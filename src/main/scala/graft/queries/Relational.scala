@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator pack over the TPC-H-ish test tables (SURVEY §2 #1–7).
+  *
+  * Everything is declarative DataFrame code: filters/projections reach the
+  * parquet scan (PushedFilters/ReadSchema), dimension joins are broadcast,
+  * aggregation is partial (map-side) before the shuffle, and the pipelines
+  * stay inside WholeStageCodegen. Doubles whose value depends on summation
+  * order are rounded in-query so results are bit-identical to the DuckDB
+  * oracle; every query ends with a full-key ORDER BY for deterministic rows.
+  */
+object Relational {
+
+  /** #2 hash aggregation: TPC-H Q1-style pricing summary.
+    * Scale: single shuffle on (returnflag, linestatus) — 6 groups; partial
+    * aggregation collapses each scan partition to ≤6 rows first. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** #3 multi-way join with broadcast dims: revenue by nation in ASIA.
+    * Scale: orders⋈customer shuffles on custkey; nation/region are broadcast
+    * so the big side never reshuffles for them. */
+  def q2Join(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+
+  /** #4 join + agg + top-k: 10 highest-revenue orders.
+    * Scale: agg keyed by orderkey, then TakeOrderedAndProject (per-partition
+    * top-k + driver merge) — no global sort materialization. */
+  def q3TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "o_orderdate", "revenue")
+
+  /** #5 window functions: first 3 orders per customer with running spend.
+    * Scale: one shuffle on custkey; window sums are order-deterministic so
+    * no rounding drift. */
+  def q4Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_spend",
+        round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "running_spend")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** #6 semi/anti join: customers with a finished order and no pending one.
+    * Scale: left_semi/left_anti never materialize the join product; with a
+    * small filtered build side AQE turns these into broadcast joins. */
+  def q5SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val finished = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val pending  = o.filter(col("o_orderstatus") === "P").select("o_custkey")
+    c.join(finished, col("c_custkey") === finished("o_custkey"), "left_semi")
+      .join(pending, col("c_custkey") === pending("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** #1 scan + selective filter + narrow projection: pushdown showcase.
+    * The plan must show PushedFilters on l_shipdate/l_discount/l_quantity and
+    * a 5-column ReadSchema. */
+  def q6Filter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+
+  /** #7 time-bucketed event aggregation: daily activity by event type. */
+  def q7EventsWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("day", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"           -> (q1Agg _),
+    "q2_join"          -> (q2Join _),
+    "q3_topk"          -> (q3TopK _),
+    "q4_window"        -> (q4Window _),
+    "q5_semijoin"      -> (q5SemiJoin _),
+    "q6_filter"        -> (q6Filter _),
+    "q7_events_window" -> (q7EventsWindow _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q3_topk" ->
+      """SELECT l_orderkey, o_orderdate, revenue FROM (
+        | SELECT l_orderkey, o_orderdate,
+        |   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY l_orderkey, o_orderdate
+        |) ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_window" ->
+      """SELECT o_custkey, rn, o_orderkey, running_spend FROM (
+        | SELECT o_custkey, o_orderkey,
+        |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |   round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        | FROM orders
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q5_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice""".stripMargin,
+    "q7_events_window" ->
+      """SELECT cast(ts AS DATE) AS day, event_type,
+        | count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM events
+        |GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
+  )
+}
