@@ -23,8 +23,11 @@ object Tables {
     * a microsecond TimestampType column here so downstream code sees one type. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = apply(s, d, "events")
+    // `ts div 1000` (integral division) — a double-precision `/ 1000` would
+    // lose sub-µs bits for epoch-nano magnitudes (~1.7e18 > 2^53) and drift
+    // from the oracle's integer epoch_us.
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

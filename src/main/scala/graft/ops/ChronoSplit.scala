@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Chronological (rank-range) dataset splitting.
+  *
+  * Same semantics as the reference's `splitChronologically`
+  * (`/root/reference/src/main/scala/com/github/jongwook/cmf/Utils.scala:11`):
+  * rows are totally ordered by a time column and partitioned into contiguous
+  * rank ranges proportional to the given weights, preserving the schema.
+  *
+  * Spark-first, scale-safe design: the reference global-sorts the whole
+  * dataset and `zipWithIndex`es it. A naive DataFrame translation would be
+  * `row_number()` over an un-partitioned window — a single-task sort that
+  * dies at 100 TB. Instead we compute the exact global rank in two bounded
+  * passes:
+  *
+  *   1. bucket every row by approximate time-quantile boundaries
+  *      (`approxQuantile`, driver-side array of ≤`numBuckets` doubles);
+  *      all rows with equal time land in the same bucket, so bucket order
+  *      is consistent with (time, tie) order;
+  *   2. count rows per bucket (tiny agg), prefix-sum the counts on the
+  *      driver, and add the bucket offset to a *per-bucket*
+  *      `row_number()` window — each window partition holds ~n/numBuckets
+  *      rows, so no task ever sees more than a shard of the data.
+  *
+  * The resulting rank is exact and deterministic (ties broken by `tieCol`),
+  * and every stage is a narrow agg or a bounded window — nothing global.
+  */
+object ChronoSplit {
+
+  /** Split `df` into `weights.size` contiguous chronological slices.
+    *
+    * @param df       input; schema is preserved in each output slice
+    * @param weights  relative sizes, e.g. Seq(0.8, 0.2); normalized by sum
+    * @param timeCol  numeric or timestamp column defining chronology
+    * @param tieCol   unique column breaking ties for a total order
+    * @param numBuckets quantile-bucket fan-out for the bounded windows
+    */
+  def split(
+      df: DataFrame,
+      weights: Seq[Double],
+      timeCol: String,
+      tieCol: String,
+      numBuckets: Int = 256): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    val ranked = withGlobalRank(df, timeCol, tieCol, numBuckets)
+    val n = ranked.agg(count(lit(1))).head.getLong(0)
+    val sum = weights.sum
+    // Cumulative row-count boundaries: slice i = ranks (k(i-1), k(i)].
+    val ks = weights.scanLeft(0.0)(_ + _).map(c => math.floor(c / sum * n).toLong)
+    ks.sliding(2).toSeq.map { case Seq(lo, hi) =>
+      ranked
+        .filter(col(RankCol) > lo && col(RankCol) <= hi)
+        .drop(RankCol)
+    }
+  }
+
+  /** Column name used internally for the exact global rank (1-based). */
+  val RankCol = "__graft_chrono_rank"
+
+  /** `df` plus an exact 1-based global rank by (timeCol, tieCol), computed
+    * without any single-partition stage. Exposed for testing. */
+  def withGlobalRank(
+      df: DataFrame,
+      timeCol: String,
+      tieCol: String,
+      numBuckets: Int = 256): DataFrame = {
+    val t = col(timeCol).cast("double")
+    val probed = df.withColumn("__graft_t", t)
+    // 1. approximate quantile boundaries of the time column (driver-side,
+    //    numBuckets doubles — microscopic vs. the data).
+    val fractions = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
+    val cuts = probed.stat
+      .approxQuantile("__graft_t", fractions, 0.001)
+      .distinct.sorted
+    // 2. bucket id = #cuts strictly below t → equal t ⇒ equal bucket, and
+    //    bucket order is consistent with t order.
+    val bucket = cuts.foldLeft(lit(0))((acc, c) => acc + when(t > lit(c), 1).otherwise(0))
+    val bucketed = probed.withColumn("__graft_bucket", bucket)
+    // 3. per-bucket counts → driver prefix sums (≤ numBuckets rows).
+    val counts = bucketed.groupBy("__graft_bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 to cuts.length).map { b =>
+        val o = b -> acc; acc += counts.getOrElse(b, 0L); o
+      }.toMap
+    }
+    val offsetCol = offsets.foldLeft(lit(0L)) { case (acc, (b, o)) =>
+      when(col("__graft_bucket") === b, o).otherwise(acc)
+    }
+    // 4. bounded per-bucket window + offset = exact global rank.
+    val w = Window.partitionBy("__graft_bucket").orderBy(col(timeCol), col(tieCol))
+    bucketed
+      .withColumn(RankCol, row_number().over(w).cast("long") + offsetCol)
+      .drop("__graft_t", "__graft_bucket")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, and document
+  * fingerprinting (SURVEY §2 #25–28).
+  *
+  * Everything here is a pure built-in-expression `Column` — no UDFs — so
+  * the whole pack stays inside WholeStageCodegen and scales as a narrow
+  * map over the document scan: no shuffle, no state, embarrassingly
+  * parallel at 100 TB. Patterns are ASCII-oriented to keep Java-regex
+  * (Spark) and RE2 (DuckDB oracle) semantics identical.
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited token count (no empty tokens). */
+  def wsTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\S+"), lit(0)))
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation —
+    * the shape of byte-pair pre-tokenization without a vocab. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation (non-alphanumeric, non-space) character count. */
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Count of English stopword occurrences (word-boundary matched). */
+  def stopwordCount(c: Column): Column =
+    size(regexp_extract_all(lower(c),
+      lit("\\b(the|a|an|and|of|to|in|is|it|that|for)\\b"), lit(0)))
+
+  /** Normalized form used for fingerprinting: lowercase, trimmed,
+    * whitespace runs collapsed to single spaces. */
+  def normalized(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** 128-bit content fingerprint of the normalized text (hex md5). */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Cheap 64-bit rolling fingerprint for in-engine use (xxhash64 —
+    * not cross-engine comparable, but 2× cheaper than md5 at scale). */
+  def fastFingerprint(c: Column): Column = xxhash64(normalized(c))
+
+  /** Heuristic quality score in [0,1]: rewards moderate length, low
+    * punctuation density, and a natural stopword ratio. Deterministic
+    * arithmetic only, so it is oracle-checkable. */
+  def qualityScore(c: Column): Column = {
+    val n = greatest(length(c), lit(1)).cast("double")
+    val toks = greatest(wsTokenCount(c), lit(1)).cast("double")
+    val punctRatio = punctCount(c).cast("double") / n
+    val stopRatio = stopwordCount(c).cast("double") / toks
+    val lenScore = least(n / lit(200.0), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio * 4.0, lit(0.0))
+    val stopScore = least(stopRatio * 5.0, lit(1.0))
+    (lenScore + punctScore + stopScore) / 3.0
+  }
+
+  /** Stopword-profile language ID over {en, de, es, fr, zh-pinyin-ish}.
+    * Scores = word-boundary stopword hits per language; argmax wins, ties
+    * broken by language-code order. Returns "und" when nothing matches. */
+  val langProfiles: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|zu|den|von)\\b",
+    "en" -> "\\b(the|and|of|to|in|is|it|that|for|was)\\b",
+    "es" -> "\\b(el|la|los|las|y|es|en|un|una|por|que)\\b",
+    "fr" -> "\\b(le|la|les|et|est|en|un|une|du|pour|que)\\b",
+    "zh" -> "\\b(de|shi|bu|le|wo|ni|ta|zai|you|hen)\\b"
+  )
+
+  def langScores(c: Column): Seq[(String, Column)] =
+    langProfiles.map { case (lang, pat) =>
+      lang -> size(regexp_extract_all(lower(c), lit(pat), lit(0)))
+    }
+
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    // First language (in code order) achieving the max; "und" if max == 0.
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  // ---- DataFrame-level conveniences -------------------------------------
+
+  /** Per-document token statistics. */
+  def stats(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.select(
+      df.columns.map(col) :+
+        length(c).as("n_chars") :+
+        wsTokenCount(c).as("n_ws_tokens") :+
+        bpeTokenCount(c).as("n_bpe_tokens") :+
+        punctCount(c).as("n_punct"): _*)
+  }
+
+  /** Per-document quality features + score. */
+  def quality(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.select(
+      df.columns.map(col) :+
+        round(qualityScore(c), 6).as("quality_score"): _*)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{ChronoSplit, Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver wiring for the ops pack: chronological split, text analysis,
+  * exact dedup (SURVEY §2 #14, #18, #25–28). Every query here is
+  * DuckDB-SQL-oracled; outputs are fully ordered and every computed column
+  * is aliased identically on both sides.
+  */
+object OpsQueries {
+
+  /** #14 chronological split: the 20% test slice of events by (ts, id). */
+  def chronoSplit(s: SparkSession, dir: String): DataFrame = {
+    val Seq(_, test) =
+      ChronoSplit.split(Tables.events(s, dir), Seq(0.8, 0.2), "ts", "event_id")
+    test.select("event_id", "user_id", "event_type").orderBy("event_id")
+  }
+
+  /** #25 token statistics per document. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val c = col("text")
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(c).as("len_chars"),
+        TextAnalysis.wsTokenCount(c).as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount(c).as("n_bpe_tokens"),
+        TextAnalysis.punctCount(c).as("n_punct"))
+      .orderBy("doc_id")
+  }
+
+  /** #26 quality score per document. */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), round(TextAnalysis.qualityScore(col("text")), 6).as("quality_score"))
+      .orderBy("doc_id")
+
+  /** #27 stopword-profile language ID. */
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
+      .orderBy("doc_id")
+
+  /** #28 normalized 128-bit content fingerprint. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp_md5"))
+      .orderBy("doc_id")
+
+  /** #18 exact dedup. The test corpus is duplicate-free, so we dedup the
+    * self-union — every content group must collapse to one row with
+    * n_copies = 2 and the minimum id as representative. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.exact(docs.unionAll(docs), "text", "doc_id")
+      .select("content_md5", "doc_id", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chrono_split"     -> (chronoSplit _),
+    "text_stats"       -> (textStats _),
+    "text_quality"     -> (textQuality _),
+    "text_lang_id"     -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _),
+    "dedup_exact"      -> (dedupExact _),
+  )
+
+  private val langCase: String = {
+    val hits = TextAnalysis.langProfiles.map { case (l, p) =>
+      s"len(regexp_extract_all(lower(text), '$p')) AS s_$l"
+    }.mkString(",\n        ")
+    val best = TextAnalysis.langProfiles.map(p => "s_" + p._1).mkString(", ")
+    val cases = TextAnalysis.langProfiles.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_id FROM (
+       |  SELECT doc_id, greatest($best) AS best, $best FROM (
+       |    SELECT doc_id, text,
+       |        $hits
+       |    FROM documents)
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "chrono_split" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM events
+        |) WHERE rn > floor(0.8 * n) ORDER BY event_id""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS len_chars,
+        |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, round((
+        |    least(greatest(length(text),1) / 200.0, 1.0)
+        |  + greatest(1.0 - 4.0 * len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |        / greatest(length(text),1), 0.0)
+        |  + least(5.0 * len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that|for)\b'))
+        |        / greatest(len(regexp_extract_all(text, '\S+')),1), 1.0)
+        |  ) / 3.0, 6) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" -> langCase,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_md5,
+        |  min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+  )
+}

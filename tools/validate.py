@@ -1,15 +1,15 @@
 #!/usr/bin/env python3
-"""Local pre-validation of SparkEntry oracles: replicates the driver's
-DuckDB compare (sort columns by name, sort rows, compare values) against
-the Verify.scala parquet dumps. Usage:
-    python3 tools/validate.py <sfDir> <verifyOutDir>
+"""Local oracle pre-validation: mimics the driver's DuckDB compare.
+
+Usage: python3 tools/validate.py <sfDir> <verifyOutDir> [query ...]
+Registers each parquet table in sfDir as a DuckDB view, runs each oracle
+SQL from verifyOutDir/oracle_sql.json, loads the Spark result parquet,
+sorts columns by name, and compares row counts, schemas, and values.
 """
-import glob
-import json
-import math
-import sys
+import json, math, sys
 
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -18,53 +18,56 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver-style tolerant float repr
-        return f"{v:.9g}"
-    return str(v)
+        return repr(round(v, 9))
+    return repr(v)
 
 
-def main(sf_dir, out_dir):
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        try:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        except duckdb.Error:
+            pass
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    failures = 0
     for name, sql in sorted(oracles.items()):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output")
-            n_fail += 1
+        if only and name not in only:
             continue
         try:
-            got = con.sql(f"SELECT * FROM read_parquet({files!r})")
-            got_cols = sorted(got.columns)
-            got_rows = con.sql(
-                f"SELECT {', '.join(got_cols)} FROM read_parquet({files!r})").fetchall()
-            exp = con.sql(sql)
-            exp_cols = sorted(exp.columns)
-            exp_rows = con.sql(f"SELECT {', '.join(exp_cols)} FROM ({sql})").fetchall()
+            want = con.execute(sql).fetch_arrow_table()
         except Exception as e:
-            print(f"FAIL {name}: query error: {e}")
-            n_fail += 1
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
             continue
-        if got_cols != exp_cols:
-            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
-            n_fail += 1
+        try:
+            got = pq.read_table(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            failures += 1
             continue
-        g = sorted([tuple(norm(v) for v in r) for r in got_rows])
-        e = sorted([tuple(norm(v) for v in r) for r in exp_rows])
-        if g == e:
-            print(f"PASS {name} ({len(g)} rows)")
-            n_pass += 1
-        else:
-            n_fail += 1
-            print(f"FAIL {name}: {len(g)} vs {len(e)} rows")
-            diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
-            for a, b in diff:
-                print(f"   spark: {a}\n   duck : {b}")
-    print(f"== {n_pass} pass, {n_fail} fail")
-    return 1 if n_fail else 0
+        want = want.select(sorted(want.column_names))
+        got = got.select(sorted(got.column_names))
+        if want.column_names != got.column_names:
+            print(f"FAIL {name}: columns want={want.column_names} got={got.column_names}")
+            failures += 1
+            continue
+        if want.num_rows != got.num_rows:
+            print(f"FAIL {name}: rows want={want.num_rows} got={got.num_rows}")
+            failures += 1
+            continue
+        wl = [[norm(v) for v in d.values()] for d in want.to_pylist()]
+        gl = [[norm(v) for v in d.values()] for d in got.to_pylist()]
+        if wl != gl:
+            bad = next(i for i, (a, b) in enumerate(zip(wl, gl)) if a != b)
+            print(f"FAIL {name}: first diff at row {bad}:\n  want={wl[bad]}\n  got ={gl[bad]}")
+            failures += 1
+            continue
+        print(f"ok   {name} ({got.num_rows} rows)")
+    sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    main()
