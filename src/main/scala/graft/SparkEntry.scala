@@ -12,11 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.OpsQueries.queries
+      graft.queries.OpsQueries.queries ++
+      graft.queries.EvalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.queries.OpsQueries.oracles
+      graft.queries.OpsQueries.oracles ++
+      graft.queries.EvalQueries.oracles
 }
