@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.OpsQueries.queries ++
-      graft.queries.EvalQueries.queries
+      graft.queries.EvalQueries.queries ++
+      graft.queries.CmfQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.OpsQueries.oracles ++
-      graft.queries.EvalQueries.oracles
+      graft.queries.EvalQueries.oracles ++
+      graft.queries.CmfQueries.oracles
 }

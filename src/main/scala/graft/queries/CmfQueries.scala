@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.Tables
+import graft.cmf.{CollectiveALS, CollectiveALSModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver wiring for the CMF / recommendation pack (SURVEY §2 #8–13).
+  *
+  * Ratings derive from the TPC-H-ish testdata (SURVEY §4): the
+  * customer→part relation is (o_custkey, l_partkey, Σ l_quantity) from
+  * lineitem ⋈ orders; the part→supplier attribute relation is the
+  * distinct (l_partkey, l_suppkey) pairs. ALS results are
+  * seed-deterministic but float-accumulation-order-sensitive, so these
+  * queries carry no SQL oracle (rows-only driver check) — the numeric
+  * assertions live in the ScalaTest specs (RMSE bounds, ranking recall).
+  */
+object CmfQueries {
+
+  def custPartRatings(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .agg(sum("l_quantity").cast("float").as("rating"))
+
+  def partSuppPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+      .distinct()
+      .withColumn("rating", lit(1.0f))
+
+  /** #8 + #12: explicit two-entity ALS fit + predict. */
+  def alsExplicit(s: SparkSession, dir: String): DataFrame = {
+    val ratings = custPartRatings(s, dir)
+    val model = new CollectiveALS("cust", "part")
+      .setRank(8).setMaxIter(3).setRegParam(0.1).setSeed(42L)
+      .fit(ratings)
+    model.predict(ratings)
+      .select(col("cust"), col("part"), col("prediction"))
+      .orderBy("cust", "part")
+  }
+
+  /** #9: implicit-prefs (Hu-Koren) ALS fit + predict; quantity is the
+    * confidence signal. */
+  def alsImplicit(s: SparkSession, dir: String): DataFrame = {
+    val ratings = custPartRatings(s, dir)
+    val model = new CollectiveALS("cust", "part")
+      .setRank(8).setMaxIter(3).setRegParam(0.1).setAlpha(1.0)
+      .setImplicitPrefs(true).setSeed(42L)
+      .fit(ratings)
+    model.predict(ratings)
+      .select(col("cust"), col("part"), col("prediction"))
+      .orderBy("cust", "part")
+  }
+
+  /** #10: three-entity collective fit — customer→part ratings share the
+    * part factors with part→supplier attributes; predict on both
+    * relations. */
+  def cmfFitPredict(s: SparkSession, dir: String): DataFrame = {
+    val r1 = custPartRatings(s, dir)
+    val r2 = partSuppPairs(s, dir)
+    val model = new CollectiveALS("cust", "part", "supp")
+      .setRank(8).setMaxIter(3).setRegParam(0.1).setSeed(42L)
+      .fit(("cust", "part") -> r1, ("part", "supp") -> r2)
+    val p1 = model.predict(r1, "cust", "part")
+      .select(lit("cust_part").as("relation"),
+        col("cust").as("left_id"), col("part").as("right_id"), col("prediction"))
+    val p2 = model.predict(r2, "part", "supp")
+      .select(lit("part_supp").as("relation"),
+        col("part").as("left_id"), col("supp").as("right_id"), col("prediction"))
+    p1.unionAll(p2).orderBy("relation", "left_id", "right_id")
+  }
+
+  /** #13: blocked top-k recommendation for a deterministic 1-in-20 user
+    * sample (sampling at the factor-table boundary keeps the query cheap
+    * at bench scale while exercising the full blocked path). */
+  def recommendTopK(s: SparkSession, dir: String): DataFrame = {
+    val ratings = custPartRatings(s, dir)
+    val model = new CollectiveALS("cust", "part")
+      .setRank(8).setMaxIter(3).setRegParam(0.1).setSeed(42L)
+      .fit(ratings)
+    val sampled = new CollectiveALSModel(
+      model.rank,
+      Seq(model.factorsFor("cust").filter(pmod(col("id"), lit(20)) === 0),
+        model.factorsFor("part")),
+      Seq("cust", "part"))
+    sampled.recommendTopK(5, "cust", "part")
+      .orderBy("cust", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "als_explicit"    -> (alsExplicit _),
+    "als_implicit"    -> (alsImplicit _),
+    "cmf_fit_predict" -> (cmfFitPredict _),
+    "recommend_topk"  -> (recommendTopK _),
+  )
+
+  /** ALS factors are not SQL-reproducible — no oracle entries (the driver
+    * records rows-only checks; numeric bounds are asserted in specs). */
+  val oracles: Map[String, String] = Map.empty
+}

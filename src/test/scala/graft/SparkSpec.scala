@@ -1,0 +1,9 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for specs (one per suite, lazy). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.eval.{RankingEvaluation, RegressionEvaluation}
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ChronoSplit produces exact contiguous rank ranges") {
+    val n = 1000
+    val df = (0 until n).map { i =>
+      // Scrambled insertion order, colliding timestamps (ties).
+      val id = CollectiveALS_ids(i)
+      (id, (id % 97).toDouble)
+    }.toDF("id", "t")
+    val Seq(a, b, c) = ChronoSplit.split(df, Seq(0.5, 0.3, 0.2), "t", "id")
+    assert(a.count() == 500 && b.count() == 300 && c.count() == 200)
+    // Order correctness: every (t, id) in a <= every (t, id) in b, etc.
+    val maxA = a.select(max(struct(col("t"), col("id")))).head.getStruct(0)
+    val minB = b.select(min(struct(col("t"), col("id")))).head.getStruct(0)
+    val maxB = b.select(max(struct(col("t"), col("id")))).head.getStruct(0)
+    val minC = c.select(min(struct(col("t"), col("id")))).head.getStruct(0)
+    def le(x: org.apache.spark.sql.Row, y: org.apache.spark.sql.Row): Boolean =
+      x.getDouble(0) < y.getDouble(0) ||
+        (x.getDouble(0) == y.getDouble(0) && x.getLong(1) <= y.getLong(1))
+    assert(le(maxA, minB) && le(maxB, minC))
+    // Union recovers everything exactly once.
+    assert(a.unionAll(b).unionAll(c).select("id").distinct().count() == n)
+  }
+
+  private def CollectiveALS_ids(i: Int): Long =
+    graft.cmf.CollectiveALS.splitmix64(i.toLong) & 0xffffff
+
+  test("Dedup.exact collapses duplicates to the min id") {
+    val docs = Seq(
+      (1L, "hello  world"), (2L, "Hello world"), (3L, "unique doc"),
+      (4L, "hello world "), (5L, "another one")
+    ).toDF("doc_id", "text")
+    // normalization: lower + trim + collapse whitespace → 1,2,4 identical
+    val out = Dedup.exact(docs, "text", "doc_id").collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(r.fieldIndex("doc_id")) ->
+      r.getLong(r.fieldIndex("n_copies"))).toMap
+    assert(byId(1L) == 3 && byId(3L) == 1 && byId(5L) == 1)
+    val kept = Dedup.exactKeep(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("TextAnalysis columns compute expected values") {
+    val df = Seq((1L, "The quick brown fox, it jumped! Over 2 dogs.")).toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.wsTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe"),
+      TextAnalysis.punctCount(col("text")).as("punct"),
+      TextAnalysis.stopwordCount(col("text")).as("stop"),
+      TextAnalysis.langId(col("text")).as("lang")).head
+    assert(r.getAs[Int]("ws") == 9)
+    // tokens: The quick brown fox , it jumped ! Over 2 dogs . → 12
+    assert(r.getAs[Int]("bpe") == 12)
+    assert(r.getAs[Int]("punct") == 3) // , ! .
+    assert(r.getAs[Int]("stop") == 2)  // the, it
+    assert(r.getAs[String]("lang") == "en")
+  }
+
+  test("RegressionEvaluation computes exact metrics") {
+    val df = Seq((1.0, 2.0), (2.0, 2.0), (3.0, 5.0), (4.0, 3.0))
+      .toDF("label", "prediction")
+    val m = RegressionEvaluation.evaluate(df, "label", "prediction").head
+    // errors: 1, 0, 2, -1 → sse=6, sae=4, n=4
+    assert(m.getAs[Long]("n") == 4)
+    assert(math.abs(m.getAs[Double]("mse") - 1.5) < 1e-12)
+    assert(math.abs(m.getAs[Double]("mae") - 1.0) < 1e-12)
+    assert(math.abs(m.getAs[Double]("rmse") - math.sqrt(1.5)) < 1e-12)
+    // labels mean 2.5, sst = 5 → r2 = 1 - 6/5 = -0.2
+    assert(math.abs(m.getAs[Double]("r2") - (-0.2)) < 1e-12)
+  }
+
+  test("RankingEvaluation matches hand-computed single-user example") {
+    val pred = Seq((1L, 10L, 3.0), (1L, 20L, 2.0), (1L, 30L, 1.0))
+      .toDF("u", "i", "score")
+    val truth = Seq((1L, 10L), (1L, 30L)).toDF("u", "i")
+    val m = RankingEvaluation.evaluate(pred, truth, "u", "i", "score", Seq(2)).head
+    assert(math.abs(m.getAs[Double]("precision_at") - 0.5) < 1e-9)
+    assert(math.abs(m.getAs[Double]("recall_at") - 0.5) < 1e-9)
+    assert(math.abs(m.getAs[Double]("f1_at") - 0.5) < 1e-9)
+    val idcg2 = 1.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(math.abs(m.getAs[Double]("ndcg_at") - 1.0 / idcg2) < 1e-9)
+    assert(math.abs(m.getAs[Double]("map_at") - 0.5) < 1e-9)
+  }
+}
