@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.OpsQueries.queries ++
       graft.queries.EvalQueries.queries ++
-      graft.queries.CmfQueries.queries
+      graft.queries.CmfQueries.queries ++
+      graft.queries.DedupSimQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -22,5 +23,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.OpsQueries.oracles ++
       graft.queries.EvalQueries.oracles ++
-      graft.queries.CmfQueries.oracles
+      graft.queries.CmfQueries.oracles ++
+      graft.queries.DedupSimQueries.oracles
 }

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver wiring for near-dup dedup + similarity search (SURVEY §2
+  * #19–24). The LSH-based operators (minhash, simhash) depend on
+  * engine-specific hash functions, so they are rows-checked here and
+  * recall-bounded in specs; the Jaccard / cosine operators are exact
+  * integer-or-double arithmetic and carry DuckDB oracles.
+  */
+object DedupSimQueries {
+
+  /** documents ∪ a tail-truncated mutation of each document — planted
+    * near-duplicates for the near-dup detectors. */
+  def withMutations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    docs.unionAll(docs.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 40, 1))").as("text")))
+  }
+
+  /** #19 n-gram Jaccard near-dup over the planted-mutation corpus. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(withMutations(s, dir), "text", "doc_id", n = 3, minJaccard = 0.6)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  /** #20 MinHash+LSH near-dup (band-bucketed, verified on candidates). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(withMutations(s, dir), "text", "doc_id",
+      n = 3, numHashes = 32, bands = 8, minJaccard = 0.6)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  /** Lighter mutation for SimHash: a ~2-token truncation perturbs only a
+    * few shingles, keeping planted pairs inside a small Hamming budget
+    * (SimHash is a coarser detector than MinHash — bit flips scale with
+    * the *fraction* of shingles changed vs the vote margin √|shingles|). */
+  def withLightMutations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    docs.unionAll(docs.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text")))
+  }
+
+  /** #21 SimHash near-dup (pigeonhole-chunk-bucketed). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(withLightMutations(s, dir), "text", "doc_id", n = 3, maxHamming = 6)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  /** #22 embedding-cosine near-dup pairs (exact, double arithmetic). */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosine(Tables.embeddings(s, dir), "embedding", "vec_id", 0.4)
+      .orderBy("vec_id_a", "vec_id_b")
+
+  /** #23 brute-force cosine top-5 for a deterministic 1-in-50 query set. */
+  def simBruteforceTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(
+      e.filter(pmod(col("vec_id"), lit(50)) === 0), e, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** #24 LSH-bucketed ANN for the same query set (recall-bounded in
+    * SimilaritySpec against #23). */
+  def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.lshTopK(
+      e.filter(pmod(col("vec_id"), lit(50)) === 0), e, "vec_id", "embedding", 5,
+      planes = 16, bands = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash"       -> (dedupMinhash _),
+    "dedup_simhash"       -> (dedupSimhash _),
+    "dedup_embedding"     -> (dedupEmbedding _),
+    "sim_bruteforce_topk" -> (simBruteforceTopK _),
+    "sim_ann_lsh"         -> (simAnnLsh _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 40, 1))
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM corpus
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, array_to_string(t[j:j+2], ' ') AS shingle
+        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS j FROM toks WHERE len(t) >= 3)
+        |  )
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  round(count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |JOIN sizes sa ON sa.doc_id = a.doc_id
+        |JOIN sizes sb ON sb.doc_id = b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)) >= 0.6
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    "sim_bruteforce_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_inner_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+  )
+}

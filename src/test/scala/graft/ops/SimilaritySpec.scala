@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** LSH ANN recall against the exact brute-force baseline (worst-case
+  * setting: the test embeddings are near-uniform random, where hyperplane
+  * LSH has the least structure to exploit). */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("lshTopK achieves useful recall vs brute force on random vectors") {
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val k = 10
+    val brute = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(qs, e, "vec_id", "embedding", k,
+        planes = 16, bands = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall (${ann.intersect(brute).size}/${brute.size})")
+  }
+
+  test("lshTopK is a strict candidate subset — top-1 cosine never exceeds brute force") {
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val b1 = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", 1)
+      .select("query_id", "cosine")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a1 = Similarity.lshTopK(qs, e, "vec_id", "embedding", 1, 16, 8)
+      .select("query_id", "cosine")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    a1.foreach { case (q, c) =>
+      assert(c <= b1(q) + 1e-9, s"query $q: ann $c > brute ${b1(q)}")
+    }
+  }
+
+  test("brute force ranks are contiguous and scores non-increasing") {
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val out = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", 5)
+    val perQuery = out.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx")).collect()
+    perQuery.foreach { r =>
+      assert(r.getLong(1) == 5 && r.getInt(2) == 5)
+    }
+    val bad = out.withColumn("prev", lag("cosine", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id").orderBy("rank")))
+      .filter(col("prev").isNotNull && col("cosine") > col("prev"))
+      .count()
+    assert(bad == 0)
+  }
+}
