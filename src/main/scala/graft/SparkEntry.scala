@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.OpsQueries.queries ++
       graft.queries.EvalQueries.queries ++
       graft.queries.CmfQueries.queries ++
-      graft.queries.DedupSimQueries.queries
+      graft.queries.DedupSimQueries.queries ++
+      graft.queries.StreamMmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
       graft.queries.OpsQueries.oracles ++
       graft.queries.EvalQueries.oracles ++
       graft.queries.CmfQueries.oracles ++
-      graft.queries.DedupSimQueries.oracles
+      graft.queries.DedupSimQueries.oracles ++
+      graft.queries.StreamMmQueries.oracles
 }
