@@ -61,39 +61,56 @@ class CollectiveALSModel(
     * Blocked evaluation — never materializes the |left|×|right| cross
     * product: right factors are grouped into `numBlocks` hash blocks
     * (arrays), each left id meets each block once (shuffle volume =
-    * |left|·numBlocks·k floats), per-block top-k is selected inside a
-    * native array expression, and only k·numBlocks candidate rows per
-    * left id survive to the final per-id window. */
+    * |left|·numBlocks·k floats), a per-partition primitive loop selects
+    * the block-local top-k (the dot-product hot loop is the one place
+    * where native array expressions lose an order of magnitude to scratch
+    * arithmetic), and only k·numBlocks candidate rows per left id survive
+    * to the final per-id window. */
   def recommendTopK(
       k: Int,
       leftEntity: String,
       rightEntity: String,
       numBlocks: Int = 32): DataFrame = {
     require(k > 0 && numBlocks > 0)
-    val lCol = cols.indexOf(leftEntity) match {
-      case -1 => throw new IllegalArgumentException(s"Unknown entity: $leftEntity"); case _ => leftEntity }
+    require(cols.contains(leftEntity), s"Unknown entity: $leftEntity")
+    val spark = factors.head.sparkSession
+    import spark.implicits._
     val users = factorsFor(leftEntity)
-      .select(col("id").as(lCol), col("features").as("__graft_uf"))
-    val items = factorsFor(rightEntity)
-      .select(col("id").as("__graft_item"), col("features").as("__graft_if"))
-    val blocks = items
-      .groupBy(pmod(xxhash64(col("__graft_item")), lit(numBlocks)).as("__graft_blk"))
-      .agg(collect_list(struct(
-        col("__graft_item").as("item"), col("__graft_if").as("feat"))).as("__graft_items"))
-      .drop("__graft_blk")
-    // Per (left id, block): score every item natively, keep the block-local
-    // top-k via struct sort on (-score, item) — deterministic ties.
-    val scored = transform(col("__graft_items"), it =>
-      struct(
-        (-dot(col("__graft_uf"), it.getField("feat"))).as("negScore"),
-        it.getField("item").as("item")))
-    val topPerBlock = slice(array_sort(scored), 1, k)
+      .select(col("id").as("_1"), col("features").as("_2"))
+    val blocks = factorsFor(rightEntity)
+      .groupBy(pmod(xxhash64(col("id")), lit(numBlocks)).as("blk"))
+      .agg(collect_list(struct(col("id").as("_1"), col("features").as("_2"))).as("_3"))
+      .select("_3")
+    val kk = k
     val cand = users.crossJoin(blocks)
-      .select(col(lCol), explode(topPerBlock).as("__graft_c"))
-      .select(col(lCol),
-        col("__graft_c.item").as(rightEntity),
-        (-col("__graft_c.negScore")).cast("float").as("score"))
-    val w = Window.partitionBy(lCol).orderBy(col("score").desc, col(rightEntity))
+      .as[(Long, Array[Float], Seq[(Long, Array[Float])])]
+      .mapPartitions { it =>
+        it.flatMap { case (uid, uf, items) =>
+          // Block-local top-k by (score desc, id asc): insertion into
+          // fixed k-slots — O(|block|·k) comparisons, no allocation.
+          val ids = new Array[Long](kk)
+          val scores = new Array[Double](kk)
+          var filled = 0
+          items.foreach { case (iid, ifeat) =>
+            var s = 0.0
+            var j = 0
+            while (j < uf.length) { s += uf(j) * ifeat(j); j += 1 }
+            var p = filled
+            while (p > 0 && (scores(p - 1) < s ||
+                (scores(p - 1) == s && ids(p - 1) > iid))) p -= 1
+            if (p < kk) {
+              val last = math.min(filled, kk - 1)
+              var m = last
+              while (m > p) { ids(m) = ids(m - 1); scores(m) = scores(m - 1); m -= 1 }
+              ids(p) = iid
+              scores(p) = s
+              if (filled < kk) filled += 1
+            }
+          }
+          (0 until filled).map(x => (uid, ids(x), scores(x).toFloat))
+        }
+      }.toDF(leftEntity, rightEntity, "score")
+    val w = Window.partitionBy(leftEntity).orderBy(col("score").desc, col(rightEntity))
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 

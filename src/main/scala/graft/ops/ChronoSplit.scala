@@ -44,10 +44,11 @@ object ChronoSplit {
       weights: Seq[Double],
       timeCol: String,
       tieCol: String,
-      numBuckets: Int = 256): Seq[DataFrame] = {
+      numBuckets: Int = 0): Seq[DataFrame] = {
     require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
-    val ranked = withGlobalRank(df, timeCol, tieCol, numBuckets)
-    val n = ranked.agg(count(lit(1))).head.getLong(0)
+    val n = df.agg(count(lit(1))).head.getLong(0)
+    val ranked = withGlobalRank(df, timeCol, tieCol,
+      if (numBuckets > 0) numBuckets else adaptiveBuckets(n))
     val sum = weights.sum
     // Cumulative row-count boundaries: slice i = ranks (k(i-1), k(i)].
     val ks = weights.scanLeft(0.0)(_ + _).map(c => math.floor(c / sum * n).toLong)
@@ -57,6 +58,12 @@ object ChronoSplit {
         .drop(RankCol)
     }
   }
+
+  /** Bucket fan-out sized so each per-bucket window stays comfortably
+    * in one task (~1M rows) while the bucket-assignment expression (one
+    * pass over the literal cut array per row) stays cheap. */
+  def adaptiveBuckets(n: Long): Int =
+    math.min(4096L, math.max(32L, n / 1000000L)).toInt
 
   /** Column name used internally for the exact global rank (1-based). */
   val RankCol = "__graft_chrono_rank"
@@ -77,10 +84,14 @@ object ChronoSplit {
       .approxQuantile("__graft_t", fractions, 0.001)
       .distinct.sorted
     // 2. bucket id = #cuts strictly below t → equal t ⇒ equal bucket, and
-    //    bucket order is consistent with t order.
-    val bucket = cuts.foldLeft(lit(0))((acc, c) => acc + when(t > lit(c), 1).otherwise(0))
+    //    bucket order is consistent with t order. A single fold over the
+    //    literal cut array — flat, unlike a numBuckets-deep CASE chain
+    //    that would fall out of codegen.
+    val bucket = aggregate(typedLit(cuts.toSeq), lit(0),
+      (acc, c) => acc + when(t > c, 1).otherwise(0))
     val bucketed = probed.withColumn("__graft_bucket", bucket)
-    // 3. per-bucket counts → driver prefix sums (≤ numBuckets rows).
+    // 3. per-bucket counts → driver prefix sums (≤ numBuckets rows),
+    //    shipped back as an O(1)-lookup map literal.
     val counts = bucketed.groupBy("__graft_bucket").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     val offsets: Map[Int, Long] = {
@@ -89,9 +100,7 @@ object ChronoSplit {
         val o = b -> acc; acc += counts.getOrElse(b, 0L); o
       }.toMap
     }
-    val offsetCol = offsets.foldLeft(lit(0L)) { case (acc, (b, o)) =>
-      when(col("__graft_bucket") === b, o).otherwise(acc)
-    }
+    val offsetCol = element_at(typedLit(offsets), col("__graft_bucket"))
     // 4. bounded per-bucket window + offset = exact global rank.
     val w = Window.partitionBy("__graft_bucket").orderBy(col(timeCol), col(tieCol))
     bucketed

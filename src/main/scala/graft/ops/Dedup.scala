@@ -44,6 +44,37 @@ object Dedup {
         .otherwise(array()))
   }
 
+  private val tokenPattern = java.util.regex.Pattern.compile("\\S+")
+
+  /** JVM twin of [[shingles]] (identical output on ASCII text) for the
+    * per-partition signature loops — the expression form costs several
+    * seconds per pass over a large corpus (regex + HOF + string churn in
+    * interpreted eval), and the hash pipelines would evaluate it up to
+    * five times. */
+  def shinglesJvm(text: String, n: Int): IndexedSeq[String] = {
+    val m = tokenPattern.matcher(text.toLowerCase)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) toks += m.group()
+    if (toks.length < n) Vector.empty
+    else {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = i
+        while (j < i + n) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        seen += sb.toString
+        i += 1
+      }
+      seen.toVector
+    }
+  }
+
   /** N-gram Jaccard near-duplicate pairs via an inverted shingle index.
     *
     * Pair generation is blocked by shared shingle (the classic inverted
@@ -61,8 +92,18 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       minJaccard: Double = 0.1): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("shingle"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nn = n
+    // JVM shingle explode; the inverted-index join runs on the 64-bit
+    // shingle hash so the shuffle carries 8-byte keys, not n-gram strings
+    // (collisions are ~|vocabⁿ|²/2⁶⁴ — immaterial).
+    val sh = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        shinglesJvm(t, nn).map(s => (id, Hashing.xxh64(s, 42L)))
+      })
+      .toDF("id", "shingle")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -99,25 +140,55 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val withSh = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val mh = transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(col("sh"), s => xxhash64(s, i))))
-    val sigs = withSh
-      .withColumn("mh", mh)
-      .select(col("id"), col("sh"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("mh"), b * r + lit(1), lit(r))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val cand = sigs.as("a")
-      .join(sigs.as("b"),
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nh = numHashes
+    val nb = bands
+    val nn = n
+    val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+    // Signatures in one per-partition primitive pass (JVM shingling, one
+    // byte-level xxh64 per shingle, numHashes cheap long-mixes). Emits
+    // (id, band, bandKey) directly.
+    val banded = texts
+      .mapPartitions { it =>
+        it.flatMap { case (id, t) =>
+          val sh = shinglesJvm(t, nn)
+          if (sh.isEmpty) Nil
+          else {
+            val mins = Array.fill(nh)(Long.MaxValue)
+            sh.foreach { s =>
+              val h0 = Hashing.xxh64(s, 42L)
+              var i = 0
+              while (i < nh) {
+                val h = Hashing.xxh64(h0, i)
+                if (h < mins(i)) mins(i) = h
+                i += 1
+              }
+            }
+            (0 until nb).map { b =>
+              var key = 0x9E3779B97F4A7C15L
+              var i = b * r
+              while (i < (b + 1) * r) { key = Hashing.xxh64(mins(i), key); i += 1 }
+              (id, b, key)
+            }
+          }
+        }
+      }.toDF("id", "band", "bkey")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.sh").as("sh_a"),
-        col("b.id").as("id_b"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Exact Jaccard verification on candidates only (shingle arrays are
+    // built once here and never ride through the band self-join).
+    val withSh = texts
+      .mapPartitions(_.map { case (id, t) => (id, shinglesJvm(t, nn)) })
+      .toDF("id", "sh")
     cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -144,10 +215,36 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nn = n
     val sigs = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sim", simHashBits(col("sh")))
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // One per-partition primitive pass: JVM shingling + |shingles|×64
+        // integer fold per doc, scratch reused.
+        val counts = new Array[Int](64)
+        it.flatMap { case (id, t) =>
+          val sh = shinglesJvm(t, nn)
+          if (sh.isEmpty) Nil
+          else {
+            java.util.Arrays.fill(counts, 0)
+            sh.foreach { s =>
+              val h = Hashing.xxh64(s, 42L)
+              var j = 0
+              while (j < 64) {
+                if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+                j += 1
+              }
+            }
+            var sim = 0L
+            var j = 0
+            while (j < 64) { if (counts(j) > 0) sim |= 1L << j; j += 1 }
+            Seq((id, sim))
+          }
+        }
+      }.toDF("id", "sim")
     val chunks = maxHamming + 1
     val bitsPerChunk = 64 / chunks
     val chunkArr = array((0 until chunks).map { c =>
@@ -167,39 +264,71 @@ object Dedup {
       .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"), col("hamming"))
   }
 
-  /** 64-bit SimHash of a shingle array as a single folded expression. */
-  def simHashBits(sh: Column): Column = {
-    val hashes = transform(sh, s => xxhash64(s))
-    val counts = aggregate(
-      hashes,
-      array((0 until 64).map(_ => lit(0)): _*),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map(j =>
-          when(shiftrightunsigned(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)): _*),
-        (x, y) => x + y))
-    (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
-      acc + when(element_at(counts, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-  }
-
-  /** Embedding-cosine near-duplicate pairs above `threshold` — exact
-    * (brute-force within `a.id < b.id`), double-precision arithmetic so
-    * the result is engine-reproducible. For the sub-quadratic path at
-    * scale use [[Similarity.lshTopK]]. */
+  /** Embedding-cosine near-duplicate pairs above `threshold` — exact over
+    * all pairs, evaluated block-blocked: vectors group into hash blocks,
+    * block pairs (a ≤ b) meet once, and a per-partition primitive loop
+    * scores each block pair (double accumulation in index order, so the
+    * values are engine-reproducible). The pair space is still inherently
+    * O(n²) — that is what *exact* threshold search costs; for the
+    * sub-quadratic approximate path use [[Similarity.lshTopK]]. */
   def embeddingCosine(
       df: DataFrame,
       vecCol: String,
       idCol: String,
-      threshold: Double): DataFrame = {
-    val e = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
-    val a = e.as("a")
-    val b = e.as("b")
-    a.join(b, col("a.id") < col("b.id"))
-      .withColumn("cosine",
-        Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-      .filter(col("cosine") >= threshold)
-      .select(col("a.id").as(idCol + "_a"), col("b.id").as(idCol + "_b"),
-        round(col("cosine"), 6).as("cosine"))
+      threshold: Double,
+      numBlocks: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val blocks = e
+      .groupBy(pmod(xxhash64(col("id")), lit(numBlocks)).as("blk"))
+      .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2"))).as("items"))
+    val t = threshold
+    val pairs = blocks.select(col("blk").as("blk_a"), col("items").as("items_a"))
+      .join(blocks.select(col("blk").as("blk_b"), col("items").as("items_b")),
+        col("blk_a") <= col("blk_b"))
+      .select((col("blk_a") === col("blk_b")).as("same"),
+        col("items_a"), col("items_b"))
+      .as[(Boolean, Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])])]
+      .mapPartitions { it =>
+        def prep(xs: Seq[(Long, Seq[Double])]): Array[(Long, Array[Double], Double)] =
+          xs.map { case (id, v) =>
+            val a = v.toArray
+            var nrm = 0.0
+            var j = 0
+            while (j < a.length) { nrm += a(j) * a(j); j += 1 }
+            (id, a, math.sqrt(nrm))
+          }.toArray
+        it.flatMap { case (same, ia, ib) =>
+          val as = prep(ia)
+          val bs = prep(ib)
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          var x = 0
+          while (x < as.length) {
+            val (idx, vx, nx) = as(x)
+            var y = 0
+            while (y < bs.length) {
+              val (idy, vy, ny) = bs(y)
+              // Same block: each unordered pair is seen twice — keep the
+              // idx < idy visit. Distinct blocks: seen once — emit with
+              // ids ordered.
+              if (idx != idy && (!same || idx < idy)) {
+                var d = 0.0
+                var j = 0
+                while (j < vx.length) { d += vx(j) * vy(j); j += 1 }
+                val c = d / (nx * ny)
+                if (c >= t) {
+                  if (idx < idy) out += ((idx, idy, c)) else out += ((idy, idx, c))
+                }
+              }
+              y += 1
+            }
+            x += 1
+          }
+          out.result()
+        }
+      }.toDF(idCol + "_a", idCol + "_b", "c")
+    pairs.select(col(idCol + "_a"), col(idCol + "_b"), round(col("c"), 6).as("cosine"))
   }
 }
