@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-process output straight through: sbt's default logger
+// prefixes every line with "[info] ", which breaks anything that parses
+// Bench's one-line JSON from stdout.
+run / outputStrategy := Some(StdoutOutput)
+Test / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

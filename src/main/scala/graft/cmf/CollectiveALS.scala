@@ -102,11 +102,16 @@ class CollectiveALS(entityNames: String*) extends Serializable {
         col(l).cast("long").as("leftId"),
         col(r).cast("long").as("rightId"),
         ratingExpr.as("rating"))
-      def layout(key: String) = numPartitions
-        .map(n => data.repartition(n, col(key)))
-        .getOrElse(data.repartition(col(key)))
+      def layout(src: DataFrame, key: String) = numPartitions
+        .map(n => src.repartition(n, col(key)))
+        .getOrElse(src.repartition(col(key)))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      Rel(idx, li, ri, layout("leftId"), layout("rightId"))
+      // The second layout re-shuffles the FIRST layout's cache, so the
+      // upstream rating pipeline (often a join+agg) executes once, not
+      // once per layout.
+      val byLeft = layout(data, "leftId")
+      val byRight = layout(byLeft, "rightId")
+      Rel(idx, li, ri, byLeft, byRight)
     }.toSeq
 
     // Deterministic per-id factor init (abs-Gaussian, unit norm) for every

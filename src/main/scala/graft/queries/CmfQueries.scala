@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object CmfQueries {
 
+  /** Materialized once per query (localCheckpoint): the same ratings feed
+    * both the fit (which re-layouts them internally) and the predict join,
+    * and the driver's sink re-executes the final plan. */
   def custPartRatings(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .agg(sum("l_quantity").cast("float").as("rating"))
+      .localCheckpoint(true)
 
   def partSuppPairs(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
