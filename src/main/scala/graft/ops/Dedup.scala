@@ -98,12 +98,16 @@ object Dedup {
     // JVM shingle explode; the inverted-index join runs on the 64-bit
     // shingle hash so the shuffle carries 8-byte keys, not n-gram strings
     // (collisions are ~|vocabⁿ|²/2⁶⁴ — immaterial).
+    // Materialized once (localCheckpoint): the plan consumes it on three
+    // branches (per-doc sizes + both self-join sides) and would otherwise
+    // re-run the shingling pass per branch.
     val sh = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         shinglesJvm(t, nn).map(s => (id, Hashing.xxh64(s, 42L)))
       })
       .toDF("id", "shingle")
+      .localCheckpoint(true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -147,13 +151,19 @@ object Dedup {
     val nn = n
     val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
-    // Signatures in one per-partition primitive pass (JVM shingling, one
-    // byte-level xxh64 per shingle, numHashes cheap long-mixes). Emits
-    // (id, band, bandKey) directly.
-    val banded = texts
+    // The corpus is shingled exactly once (localCheckpoint): signatures
+    // and the verification join both read these arrays.
+    val withSh = texts
+      .mapPartitions(_.map { case (id, t) => (id, shinglesJvm(t, nn)) })
+      .toDF("id", "sh")
+      .localCheckpoint(true)
+    // Signatures in one per-partition primitive pass over the cached
+    // shingle arrays (one byte-level xxh64 per shingle, numHashes cheap
+    // long-mixes). Emits (id, band, bandKey) directly.
+    val banded = withSh
+      .as[(Long, Seq[String])]
       .mapPartitions { it =>
-        it.flatMap { case (id, t) =>
-          val sh = shinglesJvm(t, nn)
+        it.flatMap { case (id, sh) =>
           if (sh.isEmpty) Nil
           else {
             val mins = Array.fill(nh)(Long.MaxValue)
@@ -181,11 +191,8 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // Exact Jaccard verification on candidates only (shingle arrays are
-    // built once here and never ride through the band self-join).
-    val withSh = texts
-      .mapPartitions(_.map { case (id, t) => (id, shinglesJvm(t, nn)) })
-      .toDF("id", "sh")
+    // Exact Jaccard verification on candidates only (the shingle arrays
+    // never ride through the band self-join).
     cand
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

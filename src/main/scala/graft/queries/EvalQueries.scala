@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object EvalQueries {
 
-  /** (custkey, partkey, spend, qty) interaction table used by both. */
+  /** (custkey, partkey, spend, qty) interaction table. Materialized once
+    * (localCheckpoint): the plan consumes it on two branches (predictions
+    * and truth) and would otherwise recompute the join+agg per branch. */
   private def interactions(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
       .agg(sum("l_extendedprice").as("score"), sum("l_quantity").as("qty"))
+      .localCheckpoint(true)
 
   /** #15 regression eval: predict l_quantity by the per-part mean quantity;
     * score the predictor with RMSE/MAE/MSE/R². */
