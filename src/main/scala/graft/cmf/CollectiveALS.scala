@@ -59,6 +59,19 @@ class CollectiveALS(entityNames: String*) extends Serializable {
     * (the analogue of the reference's per-entity block counts). Default:
     * let Catalyst/AQE size the exchanges. */
   var numPartitions: Option[Int] = None
+  /** Per-entity overrides of [[numPartitions]] (reference:
+    * `setNumBlocks(index, value)`), keyed by entity index. */
+  val numPartitionsPerEntity: scala.collection.mutable.Map[Int, Int] =
+    scala.collection.mutable.Map.empty
+  /** Truncate factor lineage (eager localCheckpoint) every this many
+    * iterations; off-interval factors are eagerly persisted at
+    * [[intermediateStorageLevel]]. 1 (default) = every half-step. */
+  var checkpointInterval: Int = 1
+  /** Storage level for in-loop state: rating layouts + intermediate
+    * factor tables. */
+  var intermediateStorageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK
+  /** Storage level for the returned (last-iteration) factor tables. */
+  var finalStorageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK
 
   def userCol: String = cols(0)
   def itemCol: String = cols(1)
@@ -74,6 +87,14 @@ class CollectiveALS(entityNames: String*) extends Serializable {
   def setPredictionCol(value: String): this.type = { predictionCol = value; this }
   def setSeed(value: Long): this.type = { seed = value; this }
   def setNumBlocks(value: Int): this.type = { numPartitions = Some(value); this }
+  def setNumBlocks(index: Int, value: Int): this.type = { numPartitionsPerEntity(index) = value; this }
+  def setNumUserBlocks(value: Int): this.type = setNumBlocks(0, value)
+  def setNumItemBlocks(value: Int): this.type = setNumBlocks(1, value)
+  def setCheckpointInterval(value: Int): this.type = { checkpointInterval = value; this }
+  def setIntermediateStorageLevel(value: String): this.type =
+    { intermediateStorageLevel = StorageLevel.fromString(value); this }
+  def setFinalStorageLevel(value: String): this.type =
+    { finalStorageLevel = StorageLevel.fromString(value); this }
   def setUserCol(value: String): this.type = { cols(0) = value; this }
   def setItemCol(value: String): this.type = { cols(1) = value; this }
   def setEntityCol(index: Int, value: String): this.type = { cols(index) = value; this }
@@ -102,15 +123,16 @@ class CollectiveALS(entityNames: String*) extends Serializable {
         col(l).cast("long").as("leftId"),
         col(r).cast("long").as("rightId"),
         ratingExpr.as("rating"))
-      def layout(src: DataFrame, key: String) = numPartitions
-        .map(n => src.repartition(n, col(key)))
-        .getOrElse(src.repartition(col(key)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      def layout(src: DataFrame, key: String, entity: Int) =
+        numPartitionsPerEntity.get(entity).orElse(numPartitions)
+          .map(n => src.repartition(n, col(key)))
+          .getOrElse(src.repartition(col(key)))
+          .persist(intermediateStorageLevel)
       // The second layout re-shuffles the FIRST layout's cache, so the
       // upstream rating pipeline (often a join+agg) executes once, not
       // once per layout.
-      val byLeft = layout(data, "leftId")
-      val byRight = layout(byLeft, "rightId")
+      val byLeft = layout(data, "leftId", li)
+      val byRight = layout(byLeft, "rightId", ri)
       Rel(idx, li, ri, byLeft, byRight)
     }.toSeq
 
@@ -133,7 +155,7 @@ class CollectiveALS(entityNames: String*) extends Serializable {
     // ignores r <= 0 rows, and the YtY probe feeds rating 0.
     val gramUdaf = functions.udaf(new NormalEqAggregator(rank, false, 1.0))
 
-    for (_ <- 0 until maxIter; e <- cols.indices) {
+    for (iter <- 0 until maxIter; e <- cols.indices) {
       // Union the (id, srcFactor, rating, relIdx) contributions of every
       // relation incident to entity e.
       val contribs = rels.flatMap { rel =>
@@ -171,7 +193,23 @@ class CollectiveALS(entityNames: String*) extends Serializable {
               Some(rel.idx -> gram(srcFactors, gramUdaf))
             }
           }.toMap
-        val newF = solveFactors(spark, grouped, yty).localCheckpoint(true)
+        // Lineage policy (reference: setCheckpointInterval /
+        // set{Intermediate,Final}StorageLevel): the last iteration's
+        // factors checkpoint at finalStorageLevel (they ARE the model);
+        // in-loop factors checkpoint at intermediateStorageLevel on
+        // interval boundaries and otherwise eagerly persist (lineage
+        // kept, bounded by the interval).
+        val solved = solveFactors(spark, grouped, yty)
+        val last = iter == maxIter - 1
+        val newF =
+          if (last) solved.localCheckpoint(true, finalStorageLevel)
+          else if ((iter + 1) % checkpointInterval == 0)
+            solved.localCheckpoint(true, intermediateStorageLevel)
+          else {
+            val p = solved.persist(intermediateStorageLevel)
+            p.count() // materialize before the predecessor unpersists
+            p
+          }
         factors(e).unpersist(false)
         factors(e) = newF
       }

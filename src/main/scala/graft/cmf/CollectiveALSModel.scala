@@ -28,6 +28,14 @@ class CollectiveALSModel(
   def itemCol: String = cols(1)
   def entityCol(index: Int): String = cols(index)
   def setPredictionCol(value: String): this.type = { predictionCol = value; this }
+  def setUserCol(value: String): this.type = { cols(0) = value; this }
+  def setItemCol(value: String): this.type = { cols(1) = value; this }
+  def setEntityCol(index: Int, value: String): this.type = { cols(index) = value; this }
+  def setEntityCols(values: Seq[String]): this.type = {
+    require(values.length == cols.length, s"expected ${cols.length} entity columns")
+    values.zipWithIndex.foreach { case (v, i) => cols(i) = v }
+    this
+  }
 
   def factorsFor(entity: String): DataFrame = cols.indexOf(entity) match {
     case -1 => throw new IllegalArgumentException(s"Unknown entity: $entity")

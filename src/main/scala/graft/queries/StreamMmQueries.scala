@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Multimodal
+import graft.ops.{Multimodal, Sessionize}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -26,9 +26,19 @@ object StreamMmQueries {
       .toDF()
       .orderBy("doc_id")
 
+  /** Gap sessionization (batch half; the incremental
+    * `flatMapGroupsWithState` half is asserted equivalent in
+    * `SourcesStreamingSpec`): 30-minute inactivity gap per user. */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(
+        Tables.events(s, dir), "user_id", "ts", 30L * 60 * 1000000, "event_id",
+        round(sum("value"), 6).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg"   -> (streamWindowAgg _),
     "multimodal_features" -> (multimodalFeatures _),
+    "sessionize"          -> (sessionize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -43,5 +53,22 @@ object StreamMmQueries {
         |  (octet_length(encode(text))::BIGINT * 97 + ascii(substring(text, 1, 1))) % 768 AS height,
         |  octet_length(encode(text))::BIGINT % 30 + 1 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN tsu - lag(tsu) OVER w > 1800000000
+        |    OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), s AS (
+        |  SELECT *, (sum(news) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        |  FROM f
+        |)
+        |SELECT user_id, session_idx,
+        |  min(tsu) AS session_start_us, max(tsu) AS session_end_us,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
   )
 }

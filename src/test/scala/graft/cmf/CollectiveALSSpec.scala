@@ -138,6 +138,32 @@ class CollectiveALSSpec extends SparkSpec {
     assert(nans == 2, s"expected 2 NaN cold-start predictions, got $nans")
   }
 
+  test("block/checkpoint/storage tuning knobs preserve fit quality") {
+    val model = new CollectiveALS()
+      .setRank(4).setMaxIter(10).setRegParam(0.001).setSeed(7L)
+      .setNumUserBlocks(4).setNumItemBlocks(2)
+      .setCheckpointInterval(3)
+      .setIntermediateStorageLevel("MEMORY_ONLY")
+      .setFinalStorageLevel("MEMORY_AND_DISK")
+      .fit(ratings)
+    val rmse = RegressionEvaluation.evaluate(model.predict(ratings), "rating", "prediction")
+      .select("rmse").head.getDouble(0)
+    assert(rmse < 0.02, s"rmse $rmse")
+  }
+
+  test("model entity-column mutators rename the predict join keys") {
+    val model = new CollectiveALS()
+      .setRank(4).setMaxIter(2).setRegParam(0.1).setSeed(7L)
+      .fit(ratings)
+    model.setEntityCols(Seq("u", "i")).setPredictionCol("score")
+    val renamed = ratings.withColumnRenamed("user", "u").withColumnRenamed("item", "i")
+    val out = model.predict(renamed)
+    assert(out.columns.contains("score"))
+    assert(out.filter(isnan(col("score"))).count() == 0)
+    model.setUserCol("user").setItemCol("item").setPredictionCol("prediction")
+    assert(model.predict(ratings).columns.contains("prediction"))
+  }
+
   test("recommendTopK returns k deterministic, correctly ranked items") {
     val model = new CollectiveALS()
       .setRank(4).setMaxIter(5).setRegParam(0.01).setSeed(7L)

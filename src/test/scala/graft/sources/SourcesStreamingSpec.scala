@@ -39,4 +39,56 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("stateful streaming sessionization emits exactly the batch sessions") {
+    import graft.ops.Sessionize
+    import graft.streaming.SessionStream
+    import graft.streaming.SessionStream.SEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, sum}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Base offset keeps the earliest event strictly above the engine's
+    // initial watermark (0), which drops rows at exactly the boundary.
+    def ev(u: Long, sec: Long, v: Double) =
+      SEvent(u, new java.sql.Timestamp((1000L + sec) * 1000L), v)
+    val gapUs = 60L * 1000000 // 1-minute inactivity gap
+
+    val input = MemoryStream[SEvent]
+    val q = SessionStream
+      .sessions(input.toDS().withWatermark("ts", "10 seconds"), gapUs)
+      .writeStream.format("memory").queryName("graft_sessions")
+      .outputMode("append").start()
+    try {
+      // Two interleaved users; user 1 arrives out of order within the
+      // watermark delay.
+      input.addData(ev(1, 30, 1.5), ev(2, 5, 2.0), ev(1, 0, 1.0))
+      q.processAllAvailable()
+      // User 1's session extends across the micro-batch boundary; user 2
+      // goes idle past the gap → a second session.
+      input.addData(ev(1, 80, 2.5), ev(2, 300, 4.0))
+      q.processAllAvailable()
+      // Sentinel pushes the watermark far ahead so every real session closes.
+      input.addData(ev(99, 100000, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("graft_sessions")
+      .filter(col("user_id") =!= 99L)
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+      .orderBy("user_id", "session_start_us")
+      .collect().map(_.toSeq).toSeq
+
+    val batchEvents = Seq(
+      ev(1, 30, 1.5), ev(2, 5, 2.0), ev(1, 0, 1.0), ev(1, 80, 2.5), ev(2, 300, 4.0)).toDF()
+    val batch = Sessionize
+      .sessions(batchEvents, "user_id", "ts", gapUs, "user_id", sum("value").as("sum_value"))
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+      .orderBy("user_id", "session_start_us")
+      .collect().map(_.toSeq).toSeq
+
+    // user 1: one session 0–80s (3 events); user 2: two singleton sessions.
+    assert(batch.length == 3, s"batch sessions: $batch")
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
 }
