@@ -123,4 +123,32 @@ class CollectiveALSModel(
   }
 
   def recommendTopK(k: Int): DataFrame = recommendTopK(k, cols(0), cols(1))
+
+  /** Persist the model: one parquet factor table per entity plus a JSON
+    * meta row (rank, entity columns, prediction column). Factor tables
+    * write with their natural partitioning — no coalesce, so a
+    * billion-user model writes in parallel. */
+  def save(path: String): Unit = {
+    val spark = factors.head.sparkSession
+    import spark.implicits._
+    factors.zipWithIndex.foreach { case (f, i) =>
+      f.write.mode("overwrite").parquet(s"$path/factors_$i")
+    }
+    Seq((rank, cols.toSeq, predictionCol))
+      .toDF("rank", "entityCols", "predictionCol")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+}
+
+object CollectiveALSModel {
+
+  /** Load a model written by [[CollectiveALSModel.save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): CollectiveALSModel = {
+    val meta = spark.read.json(s"$path/meta").head
+    val entityCols = meta.getSeq[String](meta.fieldIndex("entityCols")).toList
+    val rank = meta.getAs[Long]("rank").toInt
+    val factors = entityCols.indices.map(i => spark.read.parquet(s"$path/factors_$i"))
+    new CollectiveALSModel(rank, factors, entityCols,
+      meta.getAs[String]("predictionCol"))
+  }
 }

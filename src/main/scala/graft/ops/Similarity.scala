@@ -104,6 +104,71 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Approximate cosine top-k via IVF (inverted-file) search: a k-means
+    * coarse quantizer partitions the corpus into `nlist` cells, each query
+    * probes its `nprobe` nearest cells, and exact cosine re-ranks the
+    * candidates — the other classic sub-quadratic ANN layout next to
+    * [[lshTopK]].
+    *
+    * Scale shape: training is MLlib k-means on the (unit-normalized)
+    * corpus — sample upstream if the corpus is huge; assignment is one
+    * distributed `transform` pass; the probe table is |queries|·nprobe
+    * rows joined against cell-assigned corpus rows (never the full cross
+    * product — the candidate fraction is ~nprobe/nlist); the centroid
+    * table (nlist·dim doubles) is the only driver-side object. Output
+    * shape matches [[bruteForceTopK]]; recall rises with nprobe.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 64,
+      nprobe: Int = 8,
+      seed: Long = 7L): DataFrame = {
+    require(nprobe <= nlist, "nprobe must be <= nlist")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    // Unit-normalize for training/assignment so euclidean k-means cells
+    // group by direction (= cosine neighborhoods).
+    def withUnit(df: DataFrame): DataFrame =
+      normalized(df, idCol, vecCol)
+        .withColumn("uv", transform(col("v"), x => x / col("nrm")))
+    val c = withUnit(corpus).withColumn("fv", array_to_vector(col("uv")))
+
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("fv")
+      .fit(c)
+    val assigned = model.transform(c)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"),
+        col("prediction").as("cell"))
+
+    // Small centroid table → literal; each query scores all nlist
+    // centroids and keeps its nprobe nearest cells. On unit queries
+    // ‖u−c‖² = 1 + ‖c‖² − 2u·c, so rank by 2u·c − ‖c‖² descending.
+    val centers = model.clusterCenters
+      .map(cc => (cc.toArray.toSeq, cc.toArray.map(x => x * x).sum)).toSeq
+    val probes = withUnit(queries)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("uv"), posexplode(typedLit(centers)))
+      .withColumn("csim", lit(2.0) * dot(col("uv"), col("col._1")) - col("col._2"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("pos"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("pos").as("cell"))
+
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   private def dimOf(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head.getInt(0)
 }

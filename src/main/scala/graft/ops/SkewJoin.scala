@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for power-law join keys — the manual salting pattern
+  * for when AQE's runtime skew-join split isn't available (static plans,
+  * pre-3.0 clusters) or insufficient (one key holding >> one partition).
+  *
+  * `saltedJoin(facts, dim, key, salts)` rewrites
+  * `facts ⋈ dim ON key` as `facts+salt ⋈ dim×salts ON (key, salt)`: each
+  * fact row gets a deterministic salt in [0, salts), the (small) dim side
+  * is replicated `salts` times, and the hot key's rows spread over
+  * `salts` reducers instead of one. Replication multiplies the dim-side
+  * shuffle by `salts` — use for large-fact ⋈ small-dim joins where the
+  * dim side is cheap to copy; equality with the unsalted join is exact
+  * (inner and left joins preserve multiplicity: every fact row matches
+  * exactly its own salt's dim replica).
+  */
+object SkewJoin {
+
+  def saltedJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      key: String,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"salting preserves semantics for inner/left joins only, not $joinType")
+    val salted = facts.withColumn("__graft_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val replicated = dim
+      .withColumn("__graft_salt", explode(sequence(lit(0), lit(salts - 1))))
+    salted
+      .join(replicated, Seq(key, "__graft_salt"), joinType)
+      .drop("__graft_salt")
+  }
+}

@@ -72,7 +72,18 @@ object DedupSimQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** #24b IVF-bucketed ANN for the same query set (recall-bounded in
+    * SimilaritySpec against #23). */
+  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(
+      e.filter(pmod(col("vec_id"), lit(50)) === 0), e, "vec_id", "embedding", 5,
+      nlist = 32, nprobe = 8)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_ivf"         -> (simAnnIvf _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_simhash"       -> (dedupSimhash _),

@@ -151,6 +151,22 @@ class CollectiveALSSpec extends SparkSpec {
     assert(rmse < 0.02, s"rmse $rmse")
   }
 
+  test("model save/load round-trips factors, rank, and columns") {
+    val model = new CollectiveALS()
+      .setRank(4).setMaxIter(3).setRegParam(0.1).setSeed(7L)
+      .fit(ratings)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    model.save(dir)
+    val loaded = CollectiveALSModel.load(spark, dir)
+    assert(loaded.rank == model.rank)
+    assert(loaded.userCol == "user" && loaded.itemCol == "item")
+    val want = model.predict(ratings).select("user", "item", "prediction")
+      .collect().map(_.toSeq).toSet
+    val got = loaded.predict(ratings).select("user", "item", "prediction")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("model entity-column mutators rename the predict join keys") {
     val model = new CollectiveALS()
       .setRank(4).setMaxIter(2).setRegParam(0.1).setSeed(7L)

@@ -89,4 +89,23 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(m.getAs[Double]("ndcg_at") - 1.0 / idcg2) < 1e-9)
     assert(math.abs(m.getAs[Double]("map_at") - 0.5) < 1e-9)
   }
+
+  test("SkewJoin.saltedJoin equals the plain join on a skewed key") {
+    import spark.implicits._
+    // 90% of fact rows hit one hot key.
+    val facts = (0 until 2000).map { i =>
+      (if (i % 10 == 0) i.toLong % 7 else 1L, i.toLong)
+    }.toDF("k", "payload")
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c"), (9L, "unmatched"))
+      .toDF("k", "label")
+    for (joinType <- Seq("inner", "left")) {
+      val plain = facts.join(dim, Seq("k"), joinType)
+        .select("k", "payload", "label")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val salted = SkewJoin.saltedJoin(facts, dim, "k", 8, joinType)
+        .select("k", "payload", "label")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(salted == plain, s"$joinType mismatch")
+    }
+  }
 }

@@ -39,6 +39,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK achieves useful recall and never beats brute-force top-1") {
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val k = 10
+    val brute = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id", "cosine")
+      .collect()
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b1 = brute.filter(_ => true)
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getDouble(2)).max }
+    val ivf = Similarity.ivfTopK(qs, e, "vec_id", "embedding", k,
+        nlist = 16, nprobe = 6)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .collect()
+    val ivfSet = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivfSet.intersect(bruteSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.3, s"recall $recall")
+    // Candidate-subset property: IVF's best cosine per query cannot
+    // exceed the exact best.
+    ivf.filter(_.getInt(3) == 1).foreach { r =>
+      assert(r.getDouble(2) <= b1(r.getLong(0)) + 1e-9)
+    }
+  }
+
   test("brute force ranks are contiguous and scores non-increasing") {
     val e = Tables.embeddings(spark, dir)
     val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)

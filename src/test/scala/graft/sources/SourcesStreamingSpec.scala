@@ -6,6 +6,8 @@ import java.nio.file.Files
 
 case class Rating(userId: Int, movieId: Int, rating: Float, timestamp: Long)
 
+case class Doc(ts: java.sql.Timestamp, doc_id: Long, text: String)
+
 /** TypedCsv round-trip + streaming/batch equivalence. */
 class SourcesStreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -90,5 +92,35 @@ class SourcesStreamingSpec extends SparkSpec {
     // user 1: one session 0–80s (3 events); user 2: two singleton sessions.
     assert(batch.length == 3, s"batch sessions: $batch")
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
+  test("streaming exact dedup keeps one row per distinct content") {
+    import graft.streaming.StreamDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def doc(sec: Long, id: Long, text: String) =
+      Doc(new java.sql.Timestamp((1000L + sec) * 1000L), id, text)
+
+    val input = MemoryStream[Doc]
+    val q = StreamDedup
+      .exactKeep(input.toDF().withWatermark("ts", "1 hour"), "text")
+      .writeStream.format("memory").queryName("graft_stream_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(doc(0, 1, "alpha beta"), doc(1, 2, "gamma"), doc(2, 3, "alpha  beta"))
+      q.processAllAvailable()
+      // Re-arrivals within the watermark horizon are dropped across batches.
+      input.addData(doc(10, 4, "GAMMA"), doc(12, 5, "delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("graft_stream_dedup").collect()
+    // Normalization folds case/whitespace: "alpha  beta"≡"alpha beta",
+    // "GAMMA"≡"gamma" — three distinct contents survive.
+    assert(out.length == 3, s"got ${out.toSeq}")
+    assert(out.map(_.getAs[Long]("doc_id")).toSet.subsetOf(Set(1L, 2L, 3L, 5L)))
+    assert(out.exists(_.getAs[Long]("doc_id") == 5L))
   }
 }
