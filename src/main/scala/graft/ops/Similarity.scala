@@ -126,8 +126,10 @@ object Similarity {
       k: Int,
       nlist: Int = 64,
       nprobe: Int = 8,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L,
+      trainFraction: Double = 1.0): DataFrame = {
     require(nprobe <= nlist, "nprobe must be <= nlist")
+    require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0, 1]")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -136,11 +138,21 @@ object Similarity {
     def withUnit(df: DataFrame): DataFrame =
       normalized(df, idCol, vecCol)
         .withColumn("uv", transform(col("v"), x => x / col("nrm")))
+    // Materialized once: k-means iterates over the training slice and the
+    // assignment pass re-reads the full set.
     val c = withUnit(corpus).withColumn("fv", array_to_vector(col("uv")))
+      .localCheckpoint(true)
 
+    // Quantizer quality needs only a representative sample — train on a
+    // deterministic id-hash slice (cells merely partition the search; the
+    // full corpus is still assigned and searched).
+    val trainSet =
+      if (trainFraction >= 1.0) c
+      else c.filter(pmod(xxhash64(col("id"), lit(seed)), lit(1000000))
+        < lit((trainFraction * 1000000).toLong))
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("fv")
-      .fit(c)
+      .fit(trainSet)
     val assigned = model.transform(c)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"),
         col("prediction").as("cell"))
