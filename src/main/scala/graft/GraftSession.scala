@@ -19,6 +19,7 @@ object GraftSession {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.register(s)
     s
   }
 }

@@ -42,8 +42,13 @@ class CollectiveALSModel(
     case i  => factors(i)
   }
 
-  private def dot(l: Column, r: Column): Column =
-    aggregate(zip_with(l, r, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Native fused dot ([[graft.functions.ArrayDot]]); registered by
+    * GraftSession — [[graft.functions.register]] re-registers idempotently
+    * for sessions built elsewhere. */
+  private def dot(l: Column, r: Column): Column = {
+    graft.functions.register(factors.head.sparkSession)
+    graft.functions.array_dot(l, r)
+  }
 
   /** Input rows + float `predictionCol`; NaN where either id is unseen. */
   def predict(

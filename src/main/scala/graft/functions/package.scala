@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** graft's native column functions (custom Catalyst expressions).
+  * Call [[register]] once per session (GraftSession does); the Column
+  * helpers resolve through the function registry — the public path to a
+  * custom expression on Spark 4.
+  */
+package object functions {
+
+  /** Σ aᵢ·bᵢ over two array<float|double> columns — fused codegen loop
+    * ([[graft.functions.ArrayDot]]). */
+  def array_dot(a: Column, b: Column): Column = call_function("array_dot", a, b)
+
+  /** Register graft's expressions with a session's function registry
+    * (idempotent); enables both the Column helpers above and SQL-text use. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (children: Seq[Expression]) => ArrayDot(children(0), children(1)))
+}

@@ -271,6 +271,70 @@ object Dedup {
       .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"), col("hamming"))
   }
 
+  /** Connected components over a near-duplicate pair list: every document
+    * reachable through any chain of near-dup pairs lands in one cluster,
+    * labeled by the cluster's minimum id — the step that turns pairwise
+    * detectors ([[ngramJaccard]], [[minHashLsh]], [[simHash]],
+    * [[embeddingCosine]]) into dedup groups.
+    *
+    * Iterative min-label propagation: each round joins every node's
+    * current label against its neighbors' and keeps the minimum, doubling
+    * the reach of a label per round, so it converges in O(log(diameter))
+    * rounds — each a key-partitioned join+agg, no driver-side graph. Label
+    * state is two Longs per node; near-dup components are short chains in
+    * practice, so `maxRounds` defaults small and the loop exits early on
+    * a converged (fixed-point) round.
+    *
+    * Returns (id, cluster) for every id appearing in `pairs`.
+    */
+  def clusters(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // Undirected adjacency, cached: reused every round.
+    val adj = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = adj.select(col("a").as("id"), col("a").as("cluster"))
+      .unionAll(adj.select(col("b").as("id"), col("b").as("cluster")))
+      .groupBy("id").agg(min("cluster").as("cluster"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborLabels = adj
+        .join(labels, adj("b") === labels("id"))
+        .select(adj("a").as("id"), col("cluster"))
+      val next = labels.unionAll(neighborLabels)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.join(labels,
+          next("id") === labels("id") && next("cluster") =!= labels("cluster"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /** Rows of `df` surviving near-dup clustering: one representative (the
+    * minimum id) per connected component of `pairs`, plus every row that
+    * appears in no pair. */
+  def keepRepresentatives(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val drop = clusters(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold` — exact over
     * all pairs, evaluated block-blocked: vectors group into hash blocks,
     * block pairs (a ≤ b) meet once, and a per-partition primitive loop

@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two array<double> columns — native, sequential
-    * left-to-right accumulation (engine-reproducible). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ over two array<double> columns — the fused native expression
+    * ([[graft.functions.ArrayDot]]): one codegen loop, no intermediate
+    * product array, sequential left-to-right double accumulation
+    * (engine-reproducible). */
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.register(org.apache.spark.sql.SparkSession.active)
+    graft.functions.array_dot(a, b)
+  }
 
   private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))

@@ -72,6 +72,15 @@ object DedupSimQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** #19b near-dup connected components over the exact n-gram Jaccard
+    * pairs: min-label propagation vs a recursive-CTE transitive closure
+    * in the oracle. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(
+      Dedup.ngramJaccard(withMutations(s, dir), "text", "doc_id", n = 3, minJaccard = 0.6),
+      "doc_id_a", "doc_id_b")
+      .orderBy("id")
+
   /** #24b IVF-bucketed ANN for the same query set (recall-bounded in
     * SimilaritySpec against #23). */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -84,6 +93,7 @@ object DedupSimQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_ivf"         -> (simAnnIvf _),
+    "dedup_clusters"      -> (dedupClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_simhash"       -> (dedupSimhash _),
@@ -93,6 +103,38 @@ object DedupSimQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 40, 1))
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM corpus
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, array_to_string(t[j:j+2], ' ') AS shingle
+        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS j FROM toks WHERE len(t) >= 3)
+        |  )
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN sizes sa ON sa.doc_id = a.doc_id
+        |  JOIN sizes sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)) >= 0.6
+        |), edges AS (
+        |  SELECT pa AS a, pb AS b FROM pairs
+        |  UNION SELECT pb, pa FROM pairs
+        |  UNION SELECT pa, pa FROM pairs
+        |  UNION SELECT pb, pb FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |)
+        |SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a ORDER BY id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

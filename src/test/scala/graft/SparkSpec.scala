@@ -5,5 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for specs (one per suite, lazy). */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("4").getOrCreate()
+    graft.functions.register(s)
+    s
+  }
 }

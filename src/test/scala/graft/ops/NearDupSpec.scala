@@ -62,4 +62,40 @@ class NearDupSpec extends SparkSpec {
     val n = corpus.count()
     assert(Dedup.exact(corpus, "text", "doc_id").count() == n)
   }
+
+  test("clusters computes connected components over pair chains") {
+    import spark.implicits._
+    // Components: {1,2,3,4} (a chain), {10,11}, {20,21,22} (a star).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L), (21L, 22L))
+      .toDF("a", "b")
+    val got = Dedup.clusters(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $got")
+  }
+
+  test("keepRepresentatives keeps one doc per planted near-dup component") {
+    val pairs = Dedup.minHashLsh(corpus, "text", "doc_id", 3, 32, 8, 0.6)
+    val kept = Dedup.keepRepresentatives(corpus, pairs, "doc_id", "doc_id_a", "doc_id_b")
+    val total = corpus.count()
+    val pairCount = pairs.count()
+    val keptCount = kept.count()
+    // Every detected pair removes at least one doc (chains remove more
+    // than pairs−components, but never fewer than components' extras).
+    assert(keptCount < total, s"kept $keptCount of $total with $pairCount pairs")
+    // Representatives are originals when the component is a planted
+    // (id, id+1000000) pair — the min id always survives.
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val detectedPlanted = pairs.select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => b - a == 1000000L }
+    assert(detectedPlanted.nonEmpty)
+    // A planted mutation (id+1000000) can never be its component's min id,
+    // so it never survives.
+    detectedPlanted.foreach { case (_, b) =>
+      assert(!keptIds.contains(b), s"mutation $b survived")
+    }
+  }
 }
