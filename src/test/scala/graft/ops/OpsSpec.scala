@@ -90,6 +90,26 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(m.getAs[Double]("map_at") - 0.5) < 1e-9)
   }
 
+  test("RankingMetrics facade returns the same values as RankingEvaluation") {
+    import spark.implicits._
+    import graft.eval.{RankingEvaluation, RankingMetrics}
+    val pred = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7),
+      (2L, 10L, 0.5), (2L, 13L, 0.4))
+      .toDF("u", "i", "score")
+    val truth = Seq((1L, 10L), (1L, 12L), (2L, 13L)).toDF("u", "i")
+    val ks = Seq(1, 3)
+    val direct = RankingEvaluation.evaluate(pred, truth, "u", "i", "score", ks)
+      .collect().map(r => r.getAs[Int]("k") ->
+        (r.getAs[Double]("precision_at"), r.getAs[Double]("ndcg_at"), r.getAs[Double]("map_at")))
+      .toMap
+    val m = RankingMetrics(pred, truth)
+      .setUserCol("u").setItemCol("i").setPredictionCol("score").setRatingCol("ignored")
+    val (ps, ns, as_) = (m.precisionAt(ks), m.ndcgAt(ks), m.mapAt(ks))
+    ks.zipWithIndex.foreach { case (k, ix) =>
+      assert(ps(ix) == direct(k)._1 && ns(ix) == direct(k)._2 && as_(ix) == direct(k)._3)
+    }
+  }
+
   test("SkewJoin.saltedJoin equals the plain join on a skewed key") {
     import spark.implicits._
     // 90% of fact rows hit one hot key.

@@ -30,6 +30,32 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(ds.filter(_.rating >= 3.0f).count() == 2)
   }
 
+  test("bucketed tables join without an exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_buckets")
+    val left = spark.range(0, 10000).selectExpr("id AS k", "id * 2 AS a")
+    val right = spark.range(0, 10000).selectExpr("id AS k", "id * 3 AS b")
+    Bucketed.write(left, "graft_bkt_left", s"$base/l", "k", 8)
+    Bucketed.write(right, "graft_bkt_right", s"$base/r", "k", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketed.read(spark, "graft_bkt_left")
+        .join(Bucketed.read(spark, "graft_bkt_right"), Seq("k"))
+      assert(joined.count() == 10000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // Control: the same join on plain (unbucketed) data does shuffle.
+      val unbucketed = left.join(right, Seq("k"))
+      unbucketed.count()
+      assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_left")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_right")
+    }
+  }
+
   test("streaming windowed agg equals the batch aggregation") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventStream.runBatchEquivalent(spark, dir)
