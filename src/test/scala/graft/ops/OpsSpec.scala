@@ -90,6 +90,33 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(m.getAs[Double]("map_at") - 0.5) < 1e-9)
   }
 
+  test("Multimodal frame sampling and resize keep the pipeline shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct, length => strlen}
+    val docs = Seq((1L, "a" * 300), (2L, "b" * 45), (3L, "")).toDF("doc_id", "text")
+    val payloads = Multimodal.withPayload(docs, "doc_id", "text")
+
+    val frames = Multimodal.sampleFrames(payloads, 4)
+    // Fan-out respects the per-doc pseudo frame count, never exceeds n.
+    val perDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.values.forall(c => c >= 1 && c <= 4), s"$perDoc")
+    assert(frames.schema("frame").dataType.typeName == "binary")
+    // Frames are deterministic: same input, same bytes.
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(key(frames) == key(Multimodal.sampleFrames(payloads, 4)))
+
+    val resized = Multimodal.resize(payloads, 64, 64)
+    assert(resized.count() == 3)
+    val lens = resized.select(strlen(col("payload"))).collect().map(_.getInt(0)).toSet
+    assert(lens == Set(64 * 64 / 64), s"$lens")
+    val metas = resized.select(col("meta.width"), col("meta.height")).distinct().collect()
+    assert(metas.length == 1 && metas(0).getLong(0) == 64 && metas(0).getLong(1) == 64)
+    // Distinct inputs produce distinct digests.
+    assert(resized.agg(countDistinct(col("payload"))).head.getLong(0) == 3)
+  }
+
   test("RankingMetrics facade returns the same values as RankingEvaluation") {
     import spark.implicits._
     import graft.eval.{RankingEvaluation, RankingMetrics}
