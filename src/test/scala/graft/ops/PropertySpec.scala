@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property-style invariants for the splitting/sessionization/salting
+  * operators — seeded randomized inputs, exact structural laws. */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** (id, user, second) event rows. */
+  private def randomEvents(rnd: Random): Seq[(Long, Long, Long)] = {
+    val n = 1 + rnd.nextInt(120)
+    (0 until n).map(i => (i.toLong, 1L + rnd.nextInt(5), rnd.nextInt(50).toLong))
+  }
+
+  test("ChronoSplit: slices partition the rows, sizes match rank ranges, no leakage") {
+    val rnd = new Random(7)
+    for (round <- 0 until 5) {
+      val rows = randomEvents(rnd)
+      val nSlices = 1 + rnd.nextInt(4)
+      val df = rows.toDF("id", "u", "t")
+      val weights = (1 to nSlices).map(_.toDouble)
+      val slices = ChronoSplit.split(df, weights, "t", "id")
+      val n = rows.size.toLong
+      // Exact rank-range sizes.
+      val sum = weights.sum
+      val ks = weights.scanLeft(0.0)(_ + _).map(c => math.floor(c / sum * n).toLong)
+      val wantSizes = ks.sliding(2).map { case Seq(lo, hi) => hi - lo }.toSeq
+      assert(slices.map(_.count()) == wantSizes, s"round $round")
+      // Disjoint cover.
+      val ids = slices.flatMap(_.select("id").collect().map(_.getLong(0)))
+      assert(ids.length == n && ids.toSet.size == n, s"round $round")
+      // Chronological: every row in slice i precedes every row in slice
+      // i+1 under the (t, id) total order.
+      val keyOf = rows.map(r => r._1 -> ((r._3, r._1))).toMap
+      val sliceKeys = slices.map(_.select("id").collect().map(r => keyOf(r.getLong(0))))
+      sliceKeys.zip(sliceKeys.drop(1)).foreach { case (prev, next) =>
+        (prev.maxOption, next.minOption) match {
+          case (Some(mx), Some(mn)) =>
+            assert(Ordering[(Long, Long)].lt(mx, mn), s"round $round: $mx !< $mn")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("Sessionize: session membership <=> gap threshold; indexes contiguous") {
+    val rnd = new Random(11)
+    for (round <- 0 until 5) {
+      val rows = randomEvents(rnd)
+      val gapUs = (1L + rnd.nextInt(20)) * 1000000L
+      val df = rows.toDF("id", "u", "tsec")
+        .withColumn("ts", timestamp_micros(col("tsec") * 1000000L))
+      val assigned = Sessionize.assign(df, "u", "ts", gapUs, "id")
+        .select(col("u"), col("id"), col("__ts_us"), col("session_idx"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(assigned.length == rows.size)
+      assigned.groupBy(_._1).foreach { case (_, evs) =>
+        val byTime = evs.sortBy(e => (e._3, e._2))
+        byTime.sliding(2).foreach {
+          case Array(a, b) =>
+            val sameSession = a._4 == b._4
+            val withinGap = b._3 - a._3 <= gapUs
+            assert(sameSession == withinGap,
+              s"round $round: gap ${b._3 - a._3} vs $gapUs, sessions ${a._4}->${b._4}")
+          case _ => ()
+        }
+        val idxs = byTime.map(_._4)
+        assert(idxs.head == 1L)
+        idxs.sliding(2).foreach {
+          case Array(a, b) => assert(b == a || b == a + 1)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("SkewJoin: salted inner join equals plain join for any salt count") {
+    val rnd = new Random(13)
+    for (round <- 0 until 5) {
+      val facts = (0 until 60).map(i => (rnd.nextInt(6).toLong, i.toLong))
+        .toDF("k", "payload")
+      val salts = 1 + rnd.nextInt(16)
+      val dim = Seq((0L, "x"), (1L, "y"), (5L, "z")).toDF("k", "label")
+      val want = facts.join(dim, Seq("k"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val got = SkewJoin.saltedJoin(facts, dim, "k", salts)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(got == want, s"round $round (salts=$salts)")
+    }
+  }
+}
