@@ -84,6 +84,67 @@ object TextAnalysis {
     }
   }
 
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): the
+    * window-min selection over k-gram rolling hashes of the normalized
+    * text. Guarantees: any shared substring of length ≥ w+k−1 between two
+    * documents yields at least one shared selected hash, and the density
+    * of selected hashes is ~2/(w+1) — a compact, position-robust sketch
+    * for plagiarism-style overlap detection (the md5 [[fingerprint]] only
+    * catches whole-document equality).
+    *
+    * Pure JVM per-partition pass (no shuffle); returns the distinct
+    * selected hashes sorted ascending for set-style comparison.
+    */
+  def winnow(text: String, k: Int = 5, w: Int = 4): IndexedSeq[Long] = {
+    require(k > 0 && w > 0)
+    val s = text.toLowerCase.trim.replaceAll("\\s+", " ")
+    if (s.length < k) return Vector.empty
+    // Polynomial rolling hash over chars, base 257 mod 2^64.
+    val base = 257L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= base; i += 1 }
+    val hashes = new Array[Long](s.length - k + 1)
+    var h = 0L
+    i = 0
+    while (i < s.length) {
+      h = if (i < k) h * base + s.charAt(i)
+          else (h - s.charAt(i - k) * pow) * base + s.charAt(i)
+      if (i >= k - 1) hashes(i - k + 1) = graft.cmf.CollectiveALS.splitmix64(h)
+      i += 1
+    }
+    if (hashes.length <= w) Vector(hashes.min)
+    else {
+      // Classic winnowing: rightmost minimum per window; record on change.
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var windowStart = 0
+      while (windowStart + w <= hashes.length) {
+        var minIdx = windowStart
+        var j = windowStart + 1
+        while (j < windowStart + w) {
+          if (hashes(j) <= hashes(minIdx)) minIdx = j
+          j += 1
+        }
+        out += hashes(minIdx)
+        windowStart += 1
+      }
+      out.toVector.sorted
+    }
+  }
+
+  /** [[winnow]] over a DataFrame column: adds `fp_winnow:
+    * array<bigint>`. */
+  def winnowFingerprint(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (kk, ww) = (k, w)
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, winnow(t, kk, ww)) })
+      .toDF(idCol, "fp_winnow")
+  }
+
   // ---- DataFrame-level conveniences -------------------------------------
 
   /** Per-document token statistics. */

@@ -90,6 +90,34 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(m.getAs[Double]("map_at") - 0.5) < 1e-9)
   }
 
+  test("winnowing fingerprint: shared substrings surface, density is bounded") {
+    val k = 5
+    val w = 4
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    val a = "PREFIX ALPHA " + shared + " SUFFIX ONE"
+    val b = "other start text " + shared + " different ending words"
+    val c = "completely unrelated content zzz qqq xxx vvv kkk jjj mmm www"
+    val fa = TextAnalysis.winnow(a, k, w).toSet
+    val fb = TextAnalysis.winnow(b, k, w).toSet
+    val fc = TextAnalysis.winnow(c, k, w).toSet
+    // Guarantee: a shared substring of length >= w+k-1 yields >= 1 shared hash.
+    assert(fa.intersect(fb).nonEmpty)
+    // Unrelated text shares (essentially) nothing.
+    assert(fa.intersect(fc).size <= 1)
+    // Identical text -> identical fingerprint; whitespace/case-insensitive.
+    assert(TextAnalysis.winnow(a, k, w) == TextAnalysis.winnow("  " + a.toUpperCase, k, w))
+    // Density ~2/(w+1): selected hashes are a small fraction of all k-grams.
+    assert(fa.size <= a.length - k + 1)
+    assert(fa.size >= (a.length - k + 1) / (w * 3))
+    // DataFrame wrapper keeps ids and produces array<bigint>.
+    import spark.implicits._
+    val df = TextAnalysis.winnowFingerprint(
+      Seq((1L, a), (2L, b), (3L, "tiny")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(df.columns.toSeq == Seq("doc_id", "fp_winnow"))
+    assert(df.schema("fp_winnow").dataType.simpleString == "array<bigint>")
+    assert(df.count() == 3)
+  }
+
   test("Multimodal frame sampling and resize keep the pipeline shapes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, countDistinct, length => strlen}
