@@ -33,13 +33,16 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                   case c if c < ' ' => " "; case c => c.toString }
-    val qs = results.collect { case (n, Right(t)) => s""""$n":${"%.3f".format(t)}""" }
+    // Locale.ROOT: "%.3f" under a comma-decimal default locale would
+    // print "1,234" and corrupt the JSON line.
+    def fmt(t: Double): String = String.format(java.util.Locale.ROOT, "%.3f", t)
+    val qs = results.collect { case (n, Right(t)) => s""""$n":${fmt(t)}""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (n, Left(m)) => s""""$n":"${esc(m)}"""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

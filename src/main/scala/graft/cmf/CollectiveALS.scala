@@ -276,6 +276,17 @@ object CollectiveALS {
     x ^ (x >>> 31)
   }
 
+  /** One standard Gaussian via Box-Muller over two SplitMix64 draws —
+    * THE deterministic gaussian stream for the whole library (factor
+    * init, LSH hyperplanes); returns (advanced state, z). */
+  def gaussian(state0: Long): (Long, Double) = {
+    var state = splitmix64(state0)
+    val u1 = ((state >>> 11) + 0.5) / (1L << 53).toDouble
+    state = splitmix64(state)
+    val u2 = ((state >>> 11) + 0.5) / (1L << 53).toDouble
+    (state, math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2))
+  }
+
   /** Deterministic per-id init: abs-Gaussian (Box-Muller over a SplitMix64
     * stream seeded by (seed, id)), normalized to unit length — the
     * "first-quadrant unit sphere" init the reference documents
@@ -288,11 +299,9 @@ object CollectiveALS {
     var norm2 = 0.0
     var j = 0
     while (j < rank) {
-      state = splitmix64(state)
-      val u1 = ((state >>> 11) + 0.5) / (1L << 53).toDouble
-      state = splitmix64(state)
-      val u2 = ((state >>> 11) + 0.5) / (1L << 53).toDouble
-      val z = math.abs(math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2))
+      val (s2, z0) = gaussian(state)
+      state = s2
+      val z = math.abs(z0)
       out(j) = z.toFloat
       norm2 += z * z
       j += 1

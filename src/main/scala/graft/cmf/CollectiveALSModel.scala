@@ -78,20 +78,29 @@ class CollectiveALSModel(
     * the block-local top-k (the dot-product hot loop is the one place
     * where native array expressions lose an order of magnitude to scratch
     * arithmetic), and only k·numBlocks candidate rows per left id survive
-    * to the final per-id window. */
+    * to the final per-id window.
+    *
+    * `numBlocks <= 0` (default) sizes blocks adaptively to ~100k right
+    * ids per block — each block row stays a few MB regardless of |right|
+    * (a fixed block count would overflow Spark's single-record limits at
+    * billion-item scale). */
   def recommendTopK(
       k: Int,
       leftEntity: String,
       rightEntity: String,
-      numBlocks: Int = 32): DataFrame = {
-    require(k > 0 && numBlocks > 0)
+      numBlocks: Int = 0): DataFrame = {
+    require(k > 0)
     require(cols.contains(leftEntity), s"Unknown entity: $leftEntity")
     val spark = factors.head.sparkSession
     import spark.implicits._
+    val nb =
+      if (numBlocks > 0) numBlocks
+      else math.min(65536L,
+        math.max(32L, factorsFor(rightEntity).count() / 100000L + 1)).toInt
     val users = factorsFor(leftEntity)
       .select(col("id").as("_1"), col("features").as("_2"))
     val blocks = factorsFor(rightEntity)
-      .groupBy(pmod(xxhash64(col("id")), lit(numBlocks)).as("blk"))
+      .groupBy(pmod(xxhash64(col("id")), lit(nb)).as("blk"))
       .agg(collect_list(struct(col("id").as("_1"), col("features").as("_2"))).as("_3"))
       .select("_3")
     val kk = k

@@ -47,8 +47,12 @@ object ChronoSplit {
       numBuckets: Int = 0): Seq[DataFrame] = {
     require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
     val n = df.agg(count(lit(1))).head.getLong(0)
+    // Materialized once: every returned slice filters this table, and the
+    // rank pipeline (quantile probe + bucket counts + window) should not
+    // re-execute per slice consumed.
     val ranked = withGlobalRank(df, timeCol, tieCol,
       if (numBuckets > 0) numBuckets else adaptiveBuckets(n))
+      .localCheckpoint(true)
     val sum = weights.sum
     // Cumulative row-count boundaries: slice i = ranks (k(i-1), k(i)].
     val ks = weights.scanLeft(0.0)(_ + _).map(c => math.floor(c / sum * n).toLong)

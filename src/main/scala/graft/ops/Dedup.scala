@@ -222,6 +222,10 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       maxHamming: Int = 3): DataFrame = {
+    // chunks = maxHamming+1 must leave >= 1 bit per chunk or the
+    // pigeonhole blocking degenerates to an all-pairs cross product.
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
     val spark = df.sparkSession
     import spark.implicits._
     val nn = n
@@ -277,13 +281,14 @@ object Dedup {
     * detectors ([[ngramJaccard]], [[minHashLsh]], [[simHash]],
     * [[embeddingCosine]]) into dedup groups.
     *
-    * Iterative min-label propagation: each round joins every node's
-    * current label against its neighbors' and keeps the minimum, doubling
-    * the reach of a label per round, so it converges in O(log(diameter))
-    * rounds — each a key-partitioned join+agg, no driver-side graph. Label
-    * state is two Longs per node; near-dup components are short chains in
-    * practice, so `maxRounds` defaults small and the loop exits early on
-    * a converged (fixed-point) round.
+    * Iterative min-label propagation with pointer jumping: each round
+    * takes the min over neighbors' labels (one hop) and then the label of
+    * the label (pointer jump), so the distance a minimum travels doubles
+    * per round — O(log diameter) rounds, each a key-partitioned join+agg,
+    * no driver-side graph. Label state is two Longs per node. The loop
+    * exits on a converged (fixed-point) round and throws if `maxRounds`
+    * is hit unconverged rather than returning wrong components (default
+    * 16 rounds covers diameters beyond any real near-dup corpus).
     *
     * Returns (id, cluster) for every id appearing in `pairs`.
     */
@@ -291,7 +296,7 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 10): DataFrame = {
+      maxRounds: Int = 16): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
     // Undirected adjacency, cached: reused every round.
     val adj = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
@@ -304,19 +309,34 @@ object Dedup {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      // 1. one-hop: min over own + neighbors' labels.
       val neighborLabels = adj
         .join(labels, adj("b") === labels("id"))
         .select(adj("a").as("id"), col("cluster"))
-      val next = labels.unionAll(neighborLabels)
+      val hop = labels.unionAll(neighborLabels)
         .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      // 2. pointer jump: cluster := min(cluster, cluster(cluster)) —
+      //    every label is itself a node id, so the lookup always resolves;
+      //    this doubles the distance minima travel per round.
+      val byId = hop.select(col("id").as("cluster"), col("cluster").as("jump"))
+      val next = hop.join(byId, Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("jump"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
       val changed = next.join(labels,
           next("id") === labels("id") && next("cluster") =!= labels("cluster"))
         .limit(1).count()
+      hop.unpersist(false)
+      labels.unpersist(false)
       converged = changed == 0
       labels = next
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds")
+    adj.unpersist(false)
     labels
   }
 
@@ -341,19 +361,25 @@ object Dedup {
     * scores each block pair (double accumulation in index order, so the
     * values are engine-reproducible). The pair space is still inherently
     * O(n²) — that is what *exact* threshold search costs; for the
-    * sub-quadratic approximate path use [[Similarity.lshTopK]]. */
+    * sub-quadratic approximate path use [[Similarity.lshTopK]].
+    *
+    * `numBlocks <= 0` (default) sizes blocks adaptively to ~20k vectors
+    * per block so a block row stays bounded at any corpus size. */
   def embeddingCosine(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       threshold: Double,
-      numBlocks: Int = 16): DataFrame = {
+      numBlocks: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val e = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
+    val nb =
+      if (numBlocks > 0) numBlocks
+      else math.min(65536L, math.max(16L, e.count() / 20000L + 1)).toInt
     val blocks = e
-      .groupBy(pmod(xxhash64(col("id")), lit(numBlocks)).as("blk"))
+      .groupBy(pmod(xxhash64(col("id")), lit(nb)).as("blk"))
       .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2"))).as("items"))
     val t = threshold
     val pairs = blocks.select(col("blk").as("blk_a"), col("items").as("items_a"))

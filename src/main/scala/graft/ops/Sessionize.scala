@@ -26,6 +26,16 @@ object Sessionize {
       userCol: String,
       tsCol: String,
       gapUs: Long,
+      tieCol: String): DataFrame =
+    assignWithTs(events, userCol, tsCol, gapUs, tieCol).drop("__ts_us")
+
+  /** [[assign]] keeping the internal `__ts_us` (epoch µs) column — for
+    * [[sessions]]' aggregation. */
+  private def assignWithTs(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      gapUs: Long,
       tieCol: String): DataFrame = {
     require(gapUs > 0, "gap must be positive")
     val w = Window.partitionBy(userCol).orderBy(col("__ts_us"), col(tieCol))
@@ -48,7 +58,7 @@ object Sessionize {
       gapUs: Long,
       tieCol: String,
       extraAggs: Column*): DataFrame =
-    assign(events, userCol, tsCol, gapUs, tieCol)
+    assignWithTs(events, userCol, tsCol, gapUs, tieCol)
       .groupBy(col(userCol), col("session_idx"))
       .agg(
         min("__ts_us").as("session_start_us"),

@@ -49,16 +49,15 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: `planes` rows of `dim` signed
-    * Gaussian components from a SplitMix64 stream. */
+    * Gaussian components from the library's shared SplitMix64 stream
+    * ([[graft.cmf.CollectiveALS.gaussian]]). */
   def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] =
     (0 until planes).map { p =>
       var state = splitmix64(seed + p)
       (0 until dim).map { _ =>
-        state = splitmix64(state)
-        val u1 = ((state >>> 11) + 0.5) / (1L << 53).toDouble
-        state = splitmix64(state)
-        val u2 = ((state >>> 11) + 0.5) / (1L << 53).toDouble
-        math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+        val (s2, z) = graft.cmf.CollectiveALS.gaussian(state)
+        state = s2
+        z
       }
     }
 

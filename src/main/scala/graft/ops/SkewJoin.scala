@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * `saltedJoin(facts, dim, key, salts)` rewrites
   * `facts ⋈ dim ON key` as `facts+salt ⋈ dim×salts ON (key, salt)`: each
-  * fact row gets a deterministic salt in [0, salts), the (small) dim side
-  * is replicated `salts` times, and the hot key's rows spread over
-  * `salts` reducers instead of one. Replication multiplies the dim-side
+  * fact row gets a salt in [0, salts) — derived from the row position, so
+  * it is arbitrary (not stable across re-partitioning) but
+  * correctness-neutral: every salt value has its dim replica — the
+  * (small) dim side is replicated `salts` times, and the hot key's rows
+  * spread over `salts` reducers instead of one. Replication multiplies the dim-side
   * shuffle by `salts` — use for large-fact ⋈ small-dim joins where the
   * dim side is cheap to copy; equality with the unsalted join is exact
   * (inner and left joins preserve multiplicity: every fact row matches

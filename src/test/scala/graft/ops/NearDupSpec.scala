@@ -76,6 +76,17 @@ class NearDupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $got")
   }
 
+  test("clusters converges on long chains within the round budget") {
+    import spark.implicits._
+    // A 61-node chain with the minimum at one end: diameter 60, far beyond
+    // one-hop-per-round reach — requires the pointer-jumping doubling.
+    val pairs = (0 until 60).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val got = Dedup.clusters(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 61)
+    assert(got.forall(_._2 == 0L), s"non-root labels: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("keepRepresentatives keeps one doc per planted near-dup component") {
     val pairs = Dedup.minHashLsh(corpus, "text", "doc_id", 3, 32, 8, 0.6)
     val kept = Dedup.keepRepresentatives(corpus, pairs, "doc_id", "doc_id_a", "doc_id_b")

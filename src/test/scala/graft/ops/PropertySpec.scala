@@ -54,8 +54,11 @@ class PropertySpec extends SparkSpec {
       val gapUs = (1L + rnd.nextInt(20)) * 1000000L
       val df = rows.toDF("id", "u", "tsec")
         .withColumn("ts", timestamp_micros(col("tsec") * 1000000L))
-      val assigned = Sessionize.assign(df, "u", "ts", gapUs, "id")
-        .select(col("u"), col("id"), col("__ts_us"), col("session_idx"))
+      val out = Sessionize.assign(df, "u", "ts", gapUs, "id")
+      // Internal helper columns must not leak into the public output.
+      assert(out.columns.toSet == Set("id", "u", "tsec", "ts", "session_idx"))
+      val assigned = out
+        .select(col("u"), col("id"), unix_micros(col("ts")), col("session_idx"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       assert(assigned.length == rows.size)

@@ -58,8 +58,10 @@ def main():
             print(f"FAIL {name}: rows want={want.num_rows} got={got.num_rows}")
             failures += 1
             continue
-        wl = [[norm(v) for v in d.values()] for d in want.to_pylist()]
-        gl = [[norm(v) for v in d.values()] for d in got.to_pylist()]
+        # Sort rows before comparing: oracle/Spark ORDER BY keys are total
+        # in practice, but multi-part parquet read order is not contractual.
+        wl = sorted([norm(v) for v in d.values()] for d in want.to_pylist())
+        gl = sorted([norm(v) for v in d.values()] for d in got.to_pylist())
         if wl != gl:
             bad = next(i for i, (a, b) in enumerate(zip(wl, gl)) if a != b)
             print(f"FAIL {name}: first diff at row {bad}:\n  want={wl[bad]}\n  got ={gl[bad]}")
