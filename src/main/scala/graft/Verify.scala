@@ -9,6 +9,11 @@ object Verify {
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) is deliberate, harness-only: results are <= ~10k rows
+      // at the gate scale, and one ordered file is the only way to hand a
+      // row-order-sensitive hasher the query's ORDER BY faithfully
+      // (repartition(1) re-shuffles away the sort; multi-part read order
+      // is not contractual). The library API never does this.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

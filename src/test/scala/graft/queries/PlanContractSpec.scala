@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan contracts for the headline queries — the plans we
+  * iterated to, pinned so a regression (lost pushdown, broadcast turned
+  * shuffle, global sort replacing top-k) fails a test rather than a
+  * benchmark. */
+class PlanContractSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6 filter reaches the parquet scan as PushedFilters") {
+    val plan = finalPlan(Relational.q6Filter(spark, dir))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("l_shipdate") || plan.contains("l_discount"), plan.take(2000))
+  }
+
+  test("q2 join broadcasts the dimension side") {
+    val plan = finalPlan(Relational.q2Join(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q3 top-k uses TakeOrderedAndProject, not a global sort") {
+    val plan = finalPlan(Relational.q3TopK(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("text stats stay in whole-stage codegen with no hash shuffle") {
+    val plan = finalPlan(OpsQueries.textStats(spark, dir))
+    // Codegen'd spans print as "*(n) Operator" in the physical plan.
+    assert(plan.contains("*("), plan.take(2000))
+    // orderBy for the oracle adds a range exchange; nothing else may shuffle.
+    assert(!plan.contains("hashpartitioning"), plan.take(2000))
+  }
+}
