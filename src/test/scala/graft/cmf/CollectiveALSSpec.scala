@@ -151,6 +151,33 @@ class CollectiveALSSpec extends SparkSpec {
     assert(rmse < 0.02, s"rmse $rmse")
   }
 
+  test("empty ratingCol fits on constant 1.0 ratings (reference semantics)") {
+    val model = new CollectiveALS()
+      .setRank(4).setMaxIter(2).setRegParam(0.1).setSeed(7L)
+      .setRatingCol("")
+      .fit(ratings.select("user", "item")) // no rating column at all
+    val p = model.predict(ratings.select("user", "item"))
+    assert(p.filter(isnan(col("prediction"))).count() == 0)
+  }
+
+  test("unknown entities and bad configs fail fast") {
+    intercept[IllegalArgumentException] {
+      new CollectiveALS("user") // single entity
+    }
+    intercept[IllegalArgumentException] {
+      new CollectiveALS("user", "item")
+        .fit(("user", "genre") -> ratings) // undeclared entity
+    }
+    val model = new CollectiveALS()
+      .setRank(4).setMaxIter(1).setRegParam(0.1).setSeed(7L).fit(ratings)
+    intercept[IllegalArgumentException] {
+      model.factorsFor("nope")
+    }
+    intercept[IllegalArgumentException] {
+      model.recommendTopK(0) // k must be positive
+    }
+  }
+
   test("model save/load round-trips factors, rank, and columns") {
     val model = new CollectiveALS()
       .setRank(4).setMaxIter(3).setRegParam(0.1).setSeed(7L)
