@@ -39,8 +39,10 @@ object Relational {
     Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-      .filter(col("r_name") === "ASIA")
+      // Filter BEFORE broadcast: ship the one matching region row, not
+      // the table, and let the broadcast join do the region pruning.
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy("n_name")
