@@ -73,6 +73,18 @@ object CmfQueries {
       .select(col("cust"), col("part"), col("prediction"))
   }
 
+  /** #11: nonnegative (NNLS-solved) explicit fit + predict — factors are
+    * constrained to the first quadrant; the spec asserts nonnegativity
+    * and fit quality, the driver checks rows. */
+  def alsNonnegative(s: SparkSession, dir: String): DataFrame = {
+    val ratings = custPartRatings(s, dir)
+    val model = new CollectiveALS("cust", "part")
+      .setRank(8).setMaxIter(3).setRegParam(0.1).setNonnegative(true).setSeed(42L)
+      .fit(ratings)
+    model.predict(ratings)
+      .select(col("cust"), col("part"), col("prediction"))
+  }
+
   /** #10: three-entity collective fit — customer→part ratings share the
     * part factors with part→supplier attributes; predict on both
     * relations. */
@@ -108,6 +120,7 @@ object CmfQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "als_explicit"    -> (alsExplicit _),
     "als_implicit"    -> (alsImplicit _),
+    "als_nonnegative" -> (alsNonnegative _),
     "cmf_fit_predict" -> (cmfFitPredict _),
     "recommend_topk"  -> (recommendTopK _),
   )
