@@ -57,6 +57,21 @@ class ArrayDotSpec extends SparkSpec {
       err.getMessage)
   }
 
+  test("array_dot interpreted path (codegen off) matches the codegen path") {
+    val df = Seq(
+      (Seq(1.5, -2.0, 0.25), Seq(4.0, 0.5, 8.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+    val expr = graft.functions.array_dot(col("a"), col("b")).as("d")
+    val withCodegen = df.select(expr).collect().map(_.getDouble(0)).toSeq
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interpreted = df.select(expr).collect().map(_.getDouble(0)).toSeq
+      assert(interpreted == withCodegen, s"$interpreted vs $withCodegen")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("array_dot survives whole-stage codegen on a real aggregation") {
     val df = (1 to 1000).map(i => (i.toLong, Seq(i * 0.001, 1.0), Seq(1.0, i * 0.002)))
       .toDF("id", "a", "b")
