@@ -91,23 +91,38 @@ object Dedup {
       textCol: String,
       idCol: String,
       n: Int = 3,
-      minJaccard: Double = 0.1): DataFrame = {
+      minJaccard: Double = 0.1,
+      maxShingleDf: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nn = n
     // JVM shingle explode; the inverted-index join runs on the 64-bit
     // shingle hash so the shuffle carries 8-byte keys, not n-gram strings
     // (collisions are ~|vocabⁿ|²/2⁶⁴ — immaterial).
-    // Materialized once (localCheckpoint): the plan consumes it on three
-    // branches (per-doc sizes + both self-join sides) and would otherwise
-    // re-run the shingling pass per branch.
-    val sh = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    // Materialized once (localCheckpoint): the plan consumes it on the
+    // df-cap aggregation plus three downstream branches (per-doc sizes +
+    // both self-join sides) and would otherwise re-run the shingling pass
+    // per branch.
+    val raw = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         shinglesJvm(t, nn).map(s => (id, Hashing.xxh64(s, 42L)))
       })
       .toDF("id", "shingle")
       .localCheckpoint(true)
+    // Document-frequency cap: a shingle in df documents contributes df²
+    // candidate pairs to the self-join, so head shingles on a real corpus
+    // (boilerplate headers, "one of the") each spawn ~df² ≈ 10¹²⁺ pairs.
+    // Shingles with df > maxShingleDf carry no pairwise discrimination;
+    // they are dropped from the index *and* the size counts, so Jaccard
+    // is computed over the discriminative (df ≤ cap) shingle space —
+    // symmetric for both documents, and mirrored verbatim in the DuckDB
+    // oracle. The hot list is tiny (Zipf head), so the anti-join
+    // broadcasts; the cap keeps the candidate space Σ min(df,cap)².
+    val hot = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("shingle")
+    val sh = raw.join(hot, Seq("shingle"), "left_anti").localCheckpoint(true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a")
     val b = sh.as("b")

@@ -28,10 +28,16 @@ object DedupSimQueries {
   /** Exact n-gram Jaccard pairs over the planted-mutation corpus,
     * materialized once per (session, dir): the pair list and its
     * connected-components clustering are two consumers of one
-    * computation, as in a real dedup pipeline. */
+    * computation, as in a real dedup pipeline.
+    *
+    * maxShingleDf = 10 deliberately binds at sf0.01 (max df 14) and
+    * sf0.1 (max df 49) so the hot-shingle cap — the guard against df²
+    * pair blowup at web scale — is exercised by the correctness gate,
+    * not just by specs; the same HAVING filter appears in both oracles. */
   def ngramPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((s, dir),
-      Dedup.ngramJaccard(withMutations(s, dir), "text", "doc_id", n = 3, minJaccard = 0.6)
+      Dedup.ngramJaccard(withMutations(s, dir), "text", "doc_id", n = 3, minJaccard = 0.6,
+        maxShingleDf = 10)
         .localCheckpoint(true))
 
   /** #19 n-gram Jaccard near-dup over the planted-mutation corpus. */
@@ -125,10 +131,14 @@ object DedupSimQueries {
         |    SELECT doc_id, array_to_string(t[j:j+2], ' ') AS shingle
         |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS j FROM toks WHERE len(t) >= 3)
         |  )
-        |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        |), cold AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10
+        |), kept AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id
         |), pairs AS (
         |  SELECT a.doc_id AS pa, b.doc_id AS pb
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  JOIN sizes sa ON sa.doc_id = a.doc_id
         |  JOIN sizes sb ON sb.doc_id = b.doc_id
         |  GROUP BY a.doc_id, b.doc_id
@@ -157,10 +167,14 @@ object DedupSimQueries {
         |    SELECT doc_id, array_to_string(t[j:j+2], ' ') AS shingle
         |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS j FROM toks WHERE len(t) >= 3)
         |  )
-        |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+        |), cold AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10
+        |), kept AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id)
         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
         |  round(count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)), 6) AS jaccard
-        |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |JOIN sizes sa ON sa.doc_id = a.doc_id
         |JOIN sizes sb ON sb.doc_id = b.doc_id
         |GROUP BY a.doc_id, b.doc_id

@@ -58,6 +58,32 @@ class NearDupSpec extends SparkSpec {
     assert(recall >= 0.4, s"simhash recall $recall (${found.size} found)")
   }
 
+  test("shingle df cap bounds candidates on a boilerplate-heavy corpus") {
+    import spark.implicits._
+    // 61 docs sharing one boilerplate sentence, each with a unique tail;
+    // doc 1000 is a planted near-dup of doc 0 (tail truncated by 2 tokens).
+    // Without a df cap the inverted index joins every doc pair through
+    // the boilerplate shingles — the Σ df² blowup the cap exists to stop.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    def tail(i: Int) = (1 to 20).map(j => s"u${i}w$j").mkString(" ")
+    val docs = (0 until 60).map(i => (i.toLong, s"$boiler ${tail(i)}")) :+
+      (1000L, s"$boiler ${(1 to 18).map(j => s"u0w$j").mkString(" ")}")
+    val corpus = docs.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(corpus, "text", "doc_id", 3, 0.0)
+    // Every one of the 61·60/2 pairs meets through boilerplate shingles.
+    assert(uncapped.count() == 61L * 60 / 2)
+    // df cap 5 drops the df=61 boilerplate shingles; only the planted
+    // pair still shares a discriminative shingle.
+    val capped = Dedup.ngramJaccard(corpus, "text", "doc_id", 3, 0.0, maxShingleDf = 5)
+      .collect()
+    assert(capped.length == 1, s"expected only the planted pair, got ${capped.length}")
+    val r = capped.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1000L)
+    // Jaccard over the kept (discriminative) shingle space stays high for
+    // the true near-dup.
+    assert(r.getDouble(2) >= 0.6, s"planted-pair jaccard ${r.getDouble(2)}")
+  }
+
   test("exact dedup on mutated corpus keeps all 2n docs distinct") {
     val n = corpus.count()
     assert(Dedup.exact(corpus, "text", "doc_id").count() == n)
