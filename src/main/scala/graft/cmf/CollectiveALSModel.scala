@@ -42,6 +42,17 @@ class CollectiveALSModel(
     case i  => factors(i)
   }
 
+  /** Factor-table row counts, cached per entity *index* (stable under
+    * column renames): adaptive block sizing reads these on every
+    * `recommendTopK` call, and a count job per serving call would be a
+    * full extra pass over the factor table. */
+  private val countCache = scala.collection.concurrent.TrieMap.empty[Int, Long]
+  private def entityCount(entity: String): Long = {
+    val i = cols.indexOf(entity)
+    require(i >= 0, s"Unknown entity: $entity")
+    countCache.getOrElseUpdate(i, factors(i).count())
+  }
+
   /** Native fused dot ([[graft.functions.ArrayDot]]); registered by
     * GraftSession — [[graft.functions.register]] re-registers idempotently
     * for sessions built elsewhere. */
@@ -71,65 +82,77 @@ class CollectiveALSModel(
   /** Top-k right-entity recommendations per left-entity id, as rows
     * (leftEntity, rightEntity, score, rank).
     *
-    * Blocked evaluation — never materializes the |left|×|right| cross
-    * product: right factors are grouped into `numBlocks` hash blocks
-    * (arrays), each left id meets each block once (shuffle volume =
-    * |left|·numBlocks·k floats), a per-partition primitive loop selects
-    * the block-local top-k (the dot-product hot loop is the one place
-    * where native array expressions lose an order of magnitude to scratch
-    * arithmetic), and only k·numBlocks candidate rows per left id survive
-    * to the final per-id window.
+    * Blocked on BOTH sides (MLlib `recommendForAll` shape) — never
+    * materializes the |left|×|right| cross product, and never replicates
+    * individual left *rows* per right block: both factor tables group
+    * into hash blocks (arrays), the cross join runs over block×block
+    * pairs (|leftBlocks|·|rightBlocks| rows — at 1B×1B ids that is ~10⁹
+    * block rows, where one-sided blocking would push 10¹³ replicated
+    * left rows through the shuffle), a per-partition primitive loop
+    * selects each left id's block-local top-k (the dot-product hot loop
+    * is the one place where native array expressions lose an order of
+    * magnitude to scratch arithmetic), and only k·numBlocks candidate
+    * rows per left id survive to the final per-id window.
     *
-    * `numBlocks <= 0` (default) sizes blocks adaptively to ~100k right
-    * ids per block — each block row stays a few MB regardless of |right|
-    * (a fixed block count would overflow Spark's single-record limits at
-    * billion-item scale). */
+    * `numBlocks`/`numLeftBlocks` <= 0 (default) size blocks adaptively
+    * to ~100k right / ~10k left ids per block — each block row stays a
+    * few MB regardless of table size (a fixed block count would overflow
+    * Spark's single-record limits at billion-id scale). */
   def recommendTopK(
       k: Int,
       leftEntity: String,
       rightEntity: String,
-      numBlocks: Int = 0): DataFrame = {
+      numBlocks: Int = 0,
+      numLeftBlocks: Int = 0): DataFrame = {
     require(k > 0)
     require(cols.contains(leftEntity), s"Unknown entity: $leftEntity")
     val spark = factors.head.sparkSession
     import spark.implicits._
-    val nb =
+    val rn =
       if (numBlocks > 0) numBlocks
       else math.min(65536L,
-        math.max(32L, factorsFor(rightEntity).count() / 100000L + 1)).toInt
-    val users = factorsFor(leftEntity)
-      .select(col("id").as("_1"), col("features").as("_2"))
-    val blocks = factorsFor(rightEntity)
-      .groupBy(pmod(xxhash64(col("id")), lit(nb)).as("blk"))
-      .agg(collect_list(struct(col("id").as("_1"), col("features").as("_2"))).as("_3"))
-      .select("_3")
+        math.max(32L, entityCount(rightEntity) / 100000L + 1)).toInt
+    val ln =
+      if (numLeftBlocks > 0) numLeftBlocks
+      else math.min(1048576L,
+        math.max(32L, entityCount(leftEntity) / 10000L + 1)).toInt
+    val userBlocks = factorsFor(leftEntity)
+      .groupBy(pmod(xxhash64(col("id")), lit(ln)).as("ublk"))
+      .agg(collect_list(struct(col("id").as("_1"), col("features").as("_2"))).as("us"))
+      .select("us")
+    val itemBlocks = factorsFor(rightEntity)
+      .groupBy(pmod(xxhash64(col("id")), lit(rn)).as("blk"))
+      .agg(collect_list(struct(col("id").as("_1"), col("features").as("_2"))).as("items"))
+      .select("items")
     val kk = k
-    val cand = users.crossJoin(blocks)
-      .as[(Long, Array[Float], Seq[(Long, Array[Float])])]
+    val cand = userBlocks.crossJoin(itemBlocks)
+      .as[(Seq[(Long, Array[Float])], Seq[(Long, Array[Float])])]
       .mapPartitions { it =>
-        it.flatMap { case (uid, uf, items) =>
-          // Block-local top-k by (score desc, id asc): insertion into
-          // fixed k-slots — O(|block|·k) comparisons, no allocation.
-          val ids = new Array[Long](kk)
-          val scores = new Array[Double](kk)
-          var filled = 0
-          items.foreach { case (iid, ifeat) =>
-            var s = 0.0
-            var j = 0
-            while (j < uf.length) { s += uf(j) * ifeat(j); j += 1 }
-            var p = filled
-            while (p > 0 && (scores(p - 1) < s ||
-                (scores(p - 1) == s && ids(p - 1) > iid))) p -= 1
-            if (p < kk) {
-              val last = math.min(filled, kk - 1)
-              var m = last
-              while (m > p) { ids(m) = ids(m - 1); scores(m) = scores(m - 1); m -= 1 }
-              ids(p) = iid
-              scores(p) = s
-              if (filled < kk) filled += 1
+        it.flatMap { case (us, items) =>
+          us.iterator.flatMap { case (uid, uf) =>
+            // Block-local top-k by (score desc, id asc): insertion into
+            // fixed k-slots — O(|block|·k) comparisons, no allocation.
+            val ids = new Array[Long](kk)
+            val scores = new Array[Double](kk)
+            var filled = 0
+            items.foreach { case (iid, ifeat) =>
+              var s = 0.0
+              var j = 0
+              while (j < uf.length) { s += uf(j) * ifeat(j); j += 1 }
+              var p = filled
+              while (p > 0 && (scores(p - 1) < s ||
+                  (scores(p - 1) == s && ids(p - 1) > iid))) p -= 1
+              if (p < kk) {
+                val last = math.min(filled, kk - 1)
+                var m = last
+                while (m > p) { ids(m) = ids(m - 1); scores(m) = scores(m - 1); m -= 1 }
+                ids(p) = iid
+                scores(p) = s
+                if (filled < kk) filled += 1
+              }
             }
+            (0 until filled).map(x => (uid, ids(x), scores(x).toFloat))
           }
-          (0 until filled).map(x => (uid, ids(x), scores(x).toFloat))
         }
       }.toDF(leftEntity, rightEntity, "score")
     val w = Window.partitionBy(leftEntity).orderBy(col("score").desc, col(rightEntity))

@@ -221,17 +221,37 @@ class CollectiveALSSpec extends SparkSpec {
       .filter(col("prev").isNotNull && col("score") > col("prev"))
       .count()
     assert(bad == 0)
-    // Top-1 via blocked path == brute-force top-1 via predict on the cross.
-    val users = model.factorsFor("user").select(col("id").as("user")).limit(5)
+    // Full-k equality: blocked path == brute-force (predict on the full
+    // cross, windowed top-k) for every user — (user, item, rank) triples.
+    val users = model.factorsFor("user").select(col("id").as("user"))
     val items = model.factorsFor("item").select(col("id").as("item"))
     val brute = model.predict(users.crossJoin(items), "user", "item")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("user")
           .orderBy(col("prediction").desc, col("item"))))
-      .filter(col("rn") === 1).select("user", "item")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val blocked = rec.filter(col("rank") === 1).select("user", "item")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    brute.foreach { case (u, i) => assert(blocked(u) == i, s"user $u: $i vs ${blocked(u)}") }
+      .filter(col("rn") <= 3).select("user", "item", "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val blocked = rec.select("user", "item", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(blocked == brute,
+      s"${(brute.toSet -- blocked.toSet).take(3)} vs ${(blocked.toSet -- brute.toSet).take(3)}")
+  }
+
+  test("recommendTopK is invariant to block geometry") {
+    // The two-sided block decomposition is an execution detail: any
+    // (leftBlocks, rightBlocks) split must produce identical rows.
+    val model = new CollectiveALS()
+      .setRank(4).setMaxIter(5).setRegParam(0.01).setSeed(7L)
+      .fit(ratings)
+    def rows(rec: DataFrame): Set[(Long, Long, Float, Int)] =
+      rec.select("user", "item", "score", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getFloat(2), r.getInt(3))).toSet
+    val base = rows(model.recommendTopK(4))
+    val skewed = rows(model.recommendTopK(4, "user", "item",
+      numBlocks = 7, numLeftBlocks = 3))
+    val singleton = rows(model.recommendTopK(4, "user", "item",
+      numBlocks = 1, numLeftBlocks = 1))
+    assert(skewed == base)
+    assert(singleton == base)
   }
 }
