@@ -103,6 +103,28 @@ object CmfQueries {
     p1.unionAll(p2)
   }
 
+  /** #9+#10: three-entity *implicit* (Hu-Koren) collective fit — the
+    * driver-side exercise of the per-relation YtY mask merge: the shared
+    * part entity is incident to both relations, so each part id's solve
+    * adds only the Gram matrices of relations that actually observe it
+    * (with a single relation that mask branch is trivial). Quantity is
+    * the cust→part confidence signal; part→supp attributes are binary. */
+  def cmfImplicit(s: SparkSession, dir: String): DataFrame = {
+    val r1 = custPartRatings(s, dir)
+    val r2 = partSuppPairs(s, dir)
+    val model = new CollectiveALS("cust", "part", "supp")
+      .setRank(8).setMaxIter(3).setRegParam(0.1).setAlpha(2.0)
+      .setImplicitPrefs(true).setSeed(42L)
+      .fit(("cust", "part") -> r1, ("part", "supp") -> r2)
+    val p1 = model.predict(r1, "cust", "part")
+      .select(lit("cust_part").as("relation"),
+        col("cust").as("left_id"), col("part").as("right_id"), col("prediction"))
+    val p2 = model.predict(r2, "part", "supp")
+      .select(lit("part_supp").as("relation"),
+        col("part").as("left_id"), col("supp").as("right_id"), col("prediction"))
+    p1.unionAll(p2)
+  }
+
   /** #13: blocked top-k recommendation for a deterministic 1-in-20 user
     * sample (sampling at the factor-table boundary keeps the query cheap
     * at bench scale while exercising the full blocked path). */
@@ -122,6 +144,7 @@ object CmfQueries {
     "als_implicit"    -> (alsImplicit _),
     "als_nonnegative" -> (alsNonnegative _),
     "cmf_fit_predict" -> (cmfFitPredict _),
+    "cmf_implicit"    -> (cmfImplicit _),
     "recommend_topk"  -> (recommendTopK _),
   )
 

@@ -96,6 +96,42 @@ class CollectiveALSSpec extends SparkSpec {
       s"observed $observed should clearly exceed unobserved $negScore")
   }
 
+  test("implicit 3-entity collective fit merges per-relation Grams (mask path)") {
+    // Two implicit relations share the item entity, so each item solve
+    // must add exactly the YtY Grams of the relations observing that id —
+    // the per-relation mask branch in solveFactors, which a single
+    // relation never exercises. Observations: (user,item) iff user-item
+    // affinity > 0; (item,tag) iff item-tag affinity > 0.
+    val itemTagObs = (for {
+      i <- 0 until nItems
+      t <- 0 until 10
+      if {
+        val fi = ConvergenceProbe.signedFactor(2L, i, trueRank)
+        val ft = ConvergenceProbe.signedFactor(3L, t, trueRank)
+        fi.zip(ft).map { case (a, b) => a * b }.sum > 0
+      }
+    } yield (i.toLong, t.toLong, 1.0f)).toDF("item", "tag", "rating")
+    val model = new CollectiveALS("user", "item", "tag")
+      .setRank(4).setMaxIter(10).setRegParam(0.05).setAlpha(10.0)
+      .setImplicitPrefs(true).setSeed(7L)
+      .fit(("user", "item") -> implicitObs, ("item", "tag") -> itemTagObs)
+    // Per relation: observed pairs must rank clearly above unobserved.
+    def separation(obs: DataFrame, l: String, r: String, nl: Int, nr: Int): Double = {
+      val obsSet = obs.select(l, r).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val unobs = (for {
+        a <- 0 until nl; b <- 0 until nr
+        if !obsSet.contains((a.toLong, b.toLong))
+      } yield (a.toLong, b.toLong)).toDF(l, r)
+      val pos = model.predict(obs, l, r).agg(avg("prediction")).head.getDouble(0)
+      val neg = model.predict(unobs, l, r).agg(avg("prediction")).head.getDouble(0)
+      pos - neg
+    }
+    val sepUserItem = separation(implicitObs, "user", "item", nUsers, nItems)
+    val sepItemTag = separation(itemTagObs, "item", "tag", nItems, 10)
+    assert(sepUserItem > 0.3, s"user-item separation $sepUserItem")
+    assert(sepItemTag > 0.3, s"item-tag separation $sepItemTag")
+  }
+
   test("nonnegative fit produces nonnegative factors with sane RMSE") {
     val model = new CollectiveALS()
       .setRank(4).setMaxIter(15).setRegParam(0.001).setNonnegative(true).setSeed(7L)
