@@ -157,6 +157,46 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
+    val (withSh, cand) = minHashParts(df, textCol, idCol, n, numHashes, bands)
+    // Exact Jaccard verification on candidates only (the shingle arrays
+    // never ride through the band self-join).
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Banded MinHash candidate pairs (idCol_a < idCol_b) *before* Jaccard
+    * verification — the recall side of [[minHashLsh]] in isolation: a
+    * pair with Jaccard j surfaces with probability 1 − (1 − j^r)^bands.
+    * Exposed so pipelines can audit banding completeness against an
+    * exact pair source (an anti-join of ground truth against these
+    * candidates shows exactly what the banding drops). */
+  def minHashCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val (_, cand) = minHashParts(df, textCol, idCol, n, numHashes, bands)
+    cand.select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"))
+  }
+
+  /** Shared MinHash pipeline: (checkpointed shingle arrays, distinct
+    * banded candidate pairs). */
+  private def minHashParts(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      numHashes: Int,
+      bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val spark = df.sparkSession
@@ -206,17 +246,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // Exact Jaccard verification on candidates only (the shingle arrays
-    // never ride through the band self-join).
-    cand
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"),
-        round(col("jaccard"), 6).as("jaccard"))
+    (withSh, cand)
   }
 
   /** 64-bit SimHash near-duplicate pairs.

@@ -61,6 +61,21 @@ object DedupSimQueries {
       expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text")))
   }
 
+  /** #20b MinHash banding completeness, driver-hash-checked: every exact
+    * Jaccard ≥ 0.6 pair (the already-oracled [[ngramPairs]]) must surface
+    * among the banded candidates. The Spark side semi-joins truth against
+    * candidates while the oracle recomputes the *full* truth list, so the
+    * hash matches iff banding dropped no true pair. Runs at an aggressive
+    * r=2, b=32 design point where P(miss | j ≥ 0.6) = (1−j²)³² ≈ 6·10⁻⁷ —
+    * containment genuinely holds, unlike the r=4 detection banding. */
+  def dedupMinhashContainment(s: SparkSession, dir: String): DataFrame = {
+    val cand = Dedup.minHashCandidates(withMutations(s, dir), "text", "doc_id",
+      n = 3, numHashes = 64, bands = 32)
+    ngramPairs(s, dir)
+      .join(cand, Seq("doc_id_a", "doc_id_b"), "left_semi")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   /** #21 SimHash near-dup (pigeonhole-chunk-bucketed). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHash(withLightMutations(s, dir), "text", "doc_id", n = 3, maxHamming = 6)
@@ -111,6 +126,7 @@ object DedupSimQueries {
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash"       -> (dedupMinhash _),
+    "dedup_minhash_containment" -> (dedupMinhashContainment _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "sim_bruteforce_topk" -> (simBruteforceTopK _),
@@ -154,32 +170,10 @@ object DedupSimQueries {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
         |)
         |SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a ORDER BY id""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 40, 1))
-        |  FROM documents
-        |), toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM corpus
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id, array_to_string(t[j:j+2], ' ') AS shingle
-        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS j FROM toks WHERE len(t) >= 3)
-        |  )
-        |), cold AS (
-        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10
-        |), kept AS (
-        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)
-        |), sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id)
-        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-        |  round(count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)), 6) AS jaccard
-        |FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |JOIN sizes sa ON sa.doc_id = a.doc_id
-        |JOIN sizes sb ON sb.doc_id = b.doc_id
-        |GROUP BY a.doc_id, b.doc_id
-        |HAVING count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)) >= 0.6
-        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramTruthSql,
+    // Containment: the Spark side is truth ∩ candidates; the oracle is
+    // the full truth list, so any banding-dropped pair hash-mismatches.
+    "dedup_minhash_containment" -> ngramTruthSql,
     "dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -205,4 +199,34 @@ object DedupSimQueries {
         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
+
+  /** Exact n-gram Jaccard ≥ 0.6 pair list over the planted-mutation
+    * corpus — the DuckDB truth for both the pair query and the banding
+    * containment check (same df ≤ 10 hot-shingle cap as the Spark side). */
+  private lazy val ngramTruthSql: String =
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 40, 1))
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM corpus
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, array_to_string(t[j:j+2], ' ') AS shingle
+        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS j FROM toks WHERE len(t) >= 3)
+        |  )
+        |), cold AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10
+        |), kept AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  round(count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)), 6) AS jaccard
+        |FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |JOIN sizes sa ON sa.doc_id = a.doc_id
+        |JOIN sizes sb ON sb.doc_id = b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)) >= 0.6
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin
 }

@@ -42,6 +42,16 @@ class NearDupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${found.size}/${truth.size})")
   }
 
+  test("r=2 b=32 banding candidates contain every exact j>=0.6 pair") {
+    // The containment design point (dedup_minhash_containment): with
+    // r=2, b=32 a j >= 0.6 pair is missed with probability
+    // (1 - j^2)^32 <= 6e-7 — truth must be a subset of the candidates.
+    val cand = Dedup.minHashCandidates(corpus, "text", "doc_id", 3, 64, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- cand
+    assert(missed.isEmpty, s"banding dropped ${missed.size} true pairs: ${missed.take(3)}")
+  }
+
   test("simhash hamming<=6 recovers lightly mutated pairs") {
     // SimHash flips bits in proportion to the fraction of shingles
     // changed, so its planted corpus uses a light (~2-token) truncation.
