@@ -410,6 +410,61 @@ object Dedup {
     *
     * `numBlocks <= 0` (default) sizes blocks adaptively to ~20k vectors
     * per block so a block row stays bounded at any corpus size. */
+  /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked
+    * — the sub-quadratic path next to the exact [[embeddingCosine]]:
+    * vectors get a `planes`-bit random-hyperplane sign signature, the
+    * bits split into `bands` band keys, candidate pairs are generated by
+    * a self-join on matching (band, key) buckets only, and exact cosine
+    * verifies every candidate (so false positives are impossible — the
+    * approximation is recall-only). A pair at angle θ shares one plane
+    * with probability p = 1 − θ/π and surfaces with probability
+    * 1 − (1 − p^(planes/bands))^bands — designed for high thresholds
+    * (≥ ~0.7), where near-dup pairs sit at small angles and long bands
+    * keep buckets selective. The default (256, 32) misses a cosine-0.93
+    * pair with probability ~3·10⁻⁷. */
+  def embeddingCosineLsh(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      planes: Int = 256,
+      bands: Int = 32,
+      seed: Long = 7L): DataFrame = {
+    require(planes % bands == 0, "planes must divide into bands")
+    val r = planes / bands
+    // Vectors + norms materialized once: consumed by the banding pass and
+    // both sides of the verification join.
+    val e = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .localCheckpoint(true)
+    val dim = e.select(size(col("v"))).head.getInt(0)
+    val hpLit = typedLit(Similarity.hyperplanes(dim, planes, seed))
+    val banded = e
+      .withColumn("sig",
+        transform(hpLit, p => when(Similarity.dot(col("v"), p) > 0, 1).otherwise(0)))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * r + lit(1), lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // Exact verification on candidates only; the fused native dot keeps
+    // accumulation in index order, so values match [[embeddingCosine]]
+    // bit-for-bit and the exact operator remains the oracle path.
+    cand
+      .join(e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cosine", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   def embeddingCosine(
       df: DataFrame,
       vecCol: String,

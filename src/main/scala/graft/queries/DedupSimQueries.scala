@@ -86,6 +86,27 @@ object DedupSimQueries {
     Dedup.embeddingCosine(Tables.embeddings(s, dir), "embedding", "vec_id", 0.4)
       .orderBy("vec_id_a", "vec_id_b")
 
+  /** embeddings ∪ a tail-zeroed mutation of each vector — planted
+    * high-cosine near-dups: cos(v, mutation) = |v[1:56]| / |v| ≈ √(56/64)
+    * ≈ 0.93 for iid components, while the natural pair space tops out
+    * near cosine 0.51, so threshold 0.7 isolates the planted pairs. The
+    * mutation is pure slicing, so the DuckDB oracle reproduces it. */
+  def withVecMutations(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    e.unionAll(e.select(
+      (col("vec_id") + 1000000).as("vec_id"),
+      expr("concat(slice(embedding, 1, 56), array_repeat(cast(0.0 as float), 8))")
+        .as("embedding")))
+  }
+
+  /** #22b LSH-blocked embedding cosine at a high threshold — the
+    * sub-quadratic near-dup path, hash-checked against the *exact* pair
+    * SQL: green iff the hyperplane banding surfaces every true pair
+    * (verification is exact, so false extras are impossible). */
+  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosineLsh(withVecMutations(s, dir), "embedding", "vec_id", 0.7)
+      .orderBy("vec_id_a", "vec_id_b")
+
   /** #23 brute-force cosine top-5 for a deterministic 1-in-50 query set. */
   def simBruteforceTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -129,6 +150,7 @@ object DedupSimQueries {
     "dedup_minhash_containment" -> (dedupMinhashContainment _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "sim_bruteforce_topk" -> (simBruteforceTopK _),
     "sim_ann_lsh"         -> (simAnnLsh _),
   )
@@ -184,6 +206,23 @@ object DedupSimQueries {
         |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    // Exact pair list over the planted-mutation vectors: the LSH-blocked
+    // Spark side must reproduce it completely or the hash mismatches.
+    "dedup_embedding_lsh" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    embedding[1:56]::DOUBLE[] || [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM base
+        |)
+        |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.7
         |ORDER BY vec_id_a, vec_id_b""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH e AS (

@@ -63,6 +63,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingCosineLsh equals exact embeddingCosine at threshold 0.7") {
+    import spark.implicits._
+    // The sf0.001 embeddings plus tail-zeroed mutations (the
+    // dedup_embedding_lsh corpus shape): planted pairs sit near cosine
+    // 0.93, natural pairs far below 0.7. The LSH-blocked operator must
+    // reproduce the exact operator's rows bit-for-bit — candidates are
+    // verified with the same dot, so only a banding-dropped pair could
+    // differ, and at (256, 32) that probability is ~3e-7 per pair.
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpus = e.unionAll(e.select(
+      (col("vec_id") + 1000000).as("vec_id"),
+      expr("concat(slice(embedding, 1, 56), array_repeat(cast(0.0 as float), 8))")
+        .as("embedding")))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows(Dedup.embeddingCosine(corpus, "embedding", "vec_id", 0.7))
+    val lsh = rows(Dedup.embeddingCosineLsh(corpus, "embedding", "vec_id", 0.7))
+    assert(exact.nonEmpty, "planted pairs should clear the 0.7 threshold")
+    assert(lsh == exact,
+      s"missing=${(exact -- lsh).take(3)} extra=${(lsh -- exact).take(3)}")
+  }
+
   test("brute force ranks are contiguous and scores non-increasing") {
     val e = Tables.embeddings(spark, dir)
     val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)
