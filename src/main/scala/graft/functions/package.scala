@@ -22,5 +22,15 @@ package object functions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (children: Seq[Expression]) => ArrayDot(children(0), children(1)))
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`array_dot`",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        ArrayDot(children(0), children(1))
+      })
 }

@@ -20,9 +20,15 @@ object Similarity {
     graft.functions.array_dot(a, b)
   }
 
+  /** (id, v, nrm) with zero-norm rows removed: cosine against a zero
+    * vector is 0/0 = NaN, and NaN sorts above every double in a
+    * descending window — an undetected zero vector would occupy the top
+    * ranks of every query. Excluding them is the only consistent
+    * semantics (a zero vector has no direction to be similar to). */
   private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
 
   /** Exact cosine top-k neighbors of each query over the corpus
     * (self-matches excluded): (query_id, neighbor_id, cosine, rank).

@@ -57,6 +57,17 @@ class ArrayDotSpec extends SparkSpec {
       err.getMessage)
   }
 
+  test("array_dot rejects wrong arity with an analysis error, not IOOBE") {
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT array_dot(array(1.0d))").collect()
+    }
+    assert(err.getMessage.contains("array_dot"), err.getMessage)
+    val err3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT array_dot(array(1.0d), array(2.0d), array(3.0d))").collect()
+    }
+    assert(err3.getMessage.contains("array_dot"), err3.getMessage)
+  }
+
   test("array_dot interpreted path (codegen off) matches the codegen path") {
     val df = Seq(
       (Seq(1.5, -2.0, 0.25), Seq(4.0, 0.5, 8.0)),

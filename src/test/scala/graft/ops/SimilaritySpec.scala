@@ -85,6 +85,23 @@ class SimilaritySpec extends SparkSpec {
       s"missing=${(exact -- lsh).take(3)} extra=${(lsh -- exact).take(3)}")
   }
 
+  test("zero-norm vectors are excluded from rankings, not NaN-ranked first") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(0.0f, 0.0f))) // zero vector: no direction, must not rank
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id") === 1), corpus, "vec_id", "embedding", 3)
+      .collect()
+    assert(!out.exists(_.getLong(1) == 4L), "zero vector appeared as a neighbor")
+    assert(out.forall(r => !r.getDouble(2).isNaN))
+    // A zero-vector query likewise produces no rows rather than NaN rows.
+    val qz = Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id") === 4), corpus, "vec_id", "embedding", 3)
+    assert(qz.count() == 0)
+  }
+
   test("brute force ranks are contiguous and scores non-increasing") {
     val e = Tables.embeddings(spark, dir)
     val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)

@@ -18,7 +18,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # 9 significant digits (NOT an absolute round): large magnitudes
+        # (revenue sums ~1e8) differ between Spark and DuckDB by more than
+        # 1e-9 absolute from accumulation order alone.
+        return format(v, ".9g")
     return repr(v)
 
 
