@@ -4,32 +4,61 @@ package graft
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
   * Hygiene: a warm-up query runs first (untimed) so JVM/session/codegen
-  * startup doesn't land on the first measured query; results sink into a
-  * `noop`-format write so the full plan executes without Catalyst pruning
-  * the final projection (a bare `.count()` would); failures are reported
-  * per query in an `errors` map instead of masquerading as wall-time.
+  * startup doesn't land on the first measured query; shared-input
+  * materializations are timed as explicit `_mat_*` entries so their cost
+  * stops landing on whichever consumer runs first alphabetically;
+  * results sink into a `noop`-format write so the full plan executes
+  * without Catalyst pruning the final projection (a bare `.count()`
+  * would); failures are reported per query in an `errors` map instead of
+  * masquerading as wall-time.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
 
-    def runOnce(name: String): Either[String, Double] =
+    def timed(body: => Unit): Either[String, Double] =
       try {
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+        body
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
 
-    // Warm-up: JVM, session state, parquet footers, codegen caches.
-    runOnce("q1_agg")
+    def runOnce(name: String): Either[String, Double] =
+      timed(SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+
+    // Warm-up: JVM, session state, parquet footers, codegen caches. Must
+    // be a real query (asserted, so a rename can't silently turn the
+    // warm-up into a no-op) but a cheap one that touches no shared cache
+    // — the `_mat_*` entries below must observe cold caches.
+    val warm = "q1_agg"
+    require(SparkEntry.queries.contains(warm), s"warm-up query $warm missing")
+    runOnce(warm)
+
+    // Shared-input materializations, timed explicitly: these memoized
+    // tables/models (localCheckpoint + per-(session, dir) caches in the
+    // queries layer) are consumed by several queries each; without these
+    // entries their cost lands on the alphabetically-first consumer
+    // (round 3: als_explicit recorded 25.4 s of which ~17 s was building
+    // custPartRatings + the shared fit). Ordering is dependency order,
+    // so each entry times only its own increment.
+    val mats: Seq[(String, Either[String, Double])] = Seq(
+      "_mat_cust_part_ratings" ->
+        timed(queries.CmfQueries.custPartRatings(spark, sfDir).count()),
+      "_mat_explicit_model" ->
+        timed(queries.CmfQueries.explicitModel(spark, sfDir)),
+      "_mat_part_supp_pairs" ->
+        timed(queries.CmfQueries.partSuppPairs(spark, sfDir).count()),
+      "_mat_ngram_pairs" ->
+        timed(queries.DedupSimQueries.ngramPairs(spark, sfDir).count()),
+    )
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> runOnce(n))
+    val results = mats ++ names.map(n => n -> runOnce(n))
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                   case c if c < ' ' => " "; case c => c.toString }
