@@ -431,7 +431,10 @@ object Dedup {
       bands: Int = 32,
       seed: Long = 7L): DataFrame = {
     require(planes % bands == 0, "planes must divide into bands")
+    require(planes / bands <= 64, "at most 64 planes per band (packed key)")
     val r = planes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
     // Vectors + norms materialized once: consumed by the banding pass and
     // both sides of the verification join.
     val e = df.select(col(idCol).cast("long").as("id"),
@@ -439,14 +442,35 @@ object Dedup {
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
       .localCheckpoint(true)
     val dim = e.select(size(col("v"))).head.getInt(0)
-    val hpLit = typedLit(Similarity.hyperplanes(dim, planes, seed))
-    val banded = e
-      .withColumn("sig",
-        transform(hpLit, p => when(Similarity.dot(col("v"), p) > 0, 1).otherwise(0)))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * r + lit(1), lit(r))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val hp: Array[Array[Double]] =
+      Similarity.hyperplanes(dim, planes, seed).map(_.toArray).toArray
+    val hpB = spark.sparkContext.broadcast(hp)
+    val nb = bands
+    // Signatures in one per-partition primitive pass (planes × dim
+    // multiplies per vector — a HOF-lambda dot here runs interpreted and
+    // costs an order of magnitude more). The band key is the band's sign
+    // bits packed into a Long: same bucket equivalence classes as any
+    // hash of the bits, no hashing needed.
+    val banded = e.select(col("id"), col("v")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val planesArr = hpB.value
+        it.flatMap { case (id, vs) =>
+          val v = vs.toArray
+          (0 until nb).map { b =>
+            var key = 0L
+            var p = b * r
+            while (p < (b + 1) * r) {
+              val plane = planesArr(p)
+              var d = 0.0
+              var j = 0
+              while (j < v.length) { d += v(j) * plane(j); j += 1 }
+              key = (key << 1) | (if (d > 0) 1L else 0L)
+              p += 1
+            }
+            (id, b, key)
+          }
+        }
+      }.toDF("id", "band", "bkey")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
