@@ -110,19 +110,7 @@ object Dedup {
       })
       .toDF("id", "shingle")
       .localCheckpoint(true)
-    // Document-frequency cap: a shingle in df documents contributes df²
-    // candidate pairs to the self-join, so head shingles on a real corpus
-    // (boilerplate headers, "one of the") each spawn ~df² ≈ 10¹²⁺ pairs.
-    // Shingles with df > maxShingleDf carry no pairwise discrimination;
-    // they are dropped from the index *and* the size counts, so Jaccard
-    // is computed over the discriminative (df ≤ cap) shingle space —
-    // symmetric for both documents, and mirrored verbatim in the DuckDB
-    // oracle. The hot list is tiny (Zipf head), so the anti-join
-    // broadcasts; the cap keeps the candidate space Σ min(df,cap)².
-    val hot = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf)
-      .select("shingle")
-    val sh = raw.join(hot, Seq("shingle"), "left_anti").localCheckpoint(true)
+    val sh = dfCapped(raw, maxShingleDf).localCheckpoint(true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -136,6 +124,24 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"),
         round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Document-frequency cap: a shingle in df documents contributes df²
+    * candidate pairs to the self-join, so head shingles on a real corpus
+    * (boilerplate headers, "one of the") each spawn ~df² ≈ 10¹²⁺ pairs.
+    * Shingles with df > maxShingleDf carry no pairwise discrimination;
+    * they are dropped from the index *and* the size counts, so Jaccard
+    * is computed over the discriminative (df ≤ cap) shingle space —
+    * symmetric for both documents, and mirrored verbatim in the DuckDB
+    * oracle. The hot list is tiny (Zipf head, post-aggregation), so the
+    * anti-join broadcasts (pinned in PlanContractSpec); the cap keeps
+    * the candidate space Σ min(df, cap)². Package-private so the plan
+    * contract can inspect the join pre-checkpoint. */
+  private[graft] def dfCapped(index: DataFrame, maxShingleDf: Int): DataFrame = {
+    val hot = index.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("shingle")
+    index.join(hot, Seq("shingle"), "left_anti")
   }
 
   /** MinHash + LSH near-duplicate pairs.

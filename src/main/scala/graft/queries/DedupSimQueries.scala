@@ -132,6 +132,15 @@ object DedupSimQueries {
     Dedup.clusters(ngramPairs(s, dir), "doc_id_a", "doc_id_b")
       .orderBy("id")
 
+  /** #19c end-to-end keep-one dedup: the corpus rows surviving near-dup
+    * clustering — one representative (the min id) per connected
+    * component, every unpaired row kept. Makes the full pipeline
+    * (pairs → components → surviving corpus) driver-hash-checkable. */
+  def dedupKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepRepresentatives(withMutations(s, dir), ngramPairs(s, dir),
+      "doc_id", "doc_id_a", "doc_id_b")
+      .orderBy("doc_id")
+
   /** #24b IVF-bucketed ANN for the same query set (recall-bounded in
     * SimilaritySpec against #23). */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -145,6 +154,7 @@ object DedupSimQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_ivf"         -> (simAnnIvf _),
     "dedup_clusters"      -> (dedupClusters _),
+    "dedup_keep"          -> (dedupKeep _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_minhash_containment" -> (dedupMinhashContainment _),
@@ -157,41 +167,15 @@ object DedupSimQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 40, 1))
-        |  FROM documents
-        |), toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM corpus
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id, array_to_string(t[j:j+2], ' ') AS shingle
-        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS j FROM toks WHERE len(t) >= 3)
-        |  )
-        |), cold AS (
-        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10
-        |), kept AS (
-        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)
-        |), sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id
-        |), pairs AS (
-        |  SELECT a.doc_id AS pa, b.doc_id AS pb
-        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  JOIN sizes sa ON sa.doc_id = a.doc_id
-        |  JOIN sizes sb ON sb.doc_id = b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |  HAVING count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)) >= 0.6
-        |), edges AS (
-        |  SELECT pa AS a, pb AS b FROM pairs
-        |  UNION SELECT pb, pa FROM pairs
-        |  UNION SELECT pa, pa FROM pairs
-        |  UNION SELECT pb, pb FROM pairs
-        |), reach AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        |)
-        |SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a ORDER BY id""".stripMargin,
+      (reachPrefix +
+        "\nSELECT a AS id, min(b) AS cluster FROM reach GROUP BY a ORDER BY id"),
+    // Keep-one: drop every id whose component label is not itself.
+    "dedup_keep" ->
+      (reachPrefix + """
+        |, labels AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a)
+        |SELECT corpus.doc_id, corpus.text FROM corpus
+        |WHERE corpus.doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
+        |ORDER BY doc_id""".stripMargin),
     "dedup_ngram_jaccard" -> ngramTruthSql,
     // Containment: the Spark side is truth ∩ candidates; the oracle is
     // the full truth list, so any banding-dropped pair hash-mismatches.
@@ -238,6 +222,45 @@ object DedupSimQueries {
         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
+
+  /** Shared WITH RECURSIVE prefix: planted-mutation corpus → df-capped
+    * shingle index → exact j ≥ 0.6 pairs → undirected edges → transitive
+    * closure (`reach`). Consumed by the clusters and keep-one oracles. */
+  private lazy val reachPrefix: String =
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 40, 1))
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM corpus
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, array_to_string(t[j:j+2], ' ') AS shingle
+        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS j FROM toks WHERE len(t) >= 3)
+        |  )
+        |), cold AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10
+        |), kept AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN sizes sa ON sa.doc_id = a.doc_id
+        |  JOIN sizes sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)) >= 0.6
+        |), edges AS (
+        |  SELECT pa AS a, pb AS b FROM pairs
+        |  UNION SELECT pb, pa FROM pairs
+        |  UNION SELECT pa, pa FROM pairs
+        |  UNION SELECT pb, pb FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |)""".stripMargin
 
   /** Exact n-gram Jaccard ≥ 0.6 pair list over the planted-mutation
     * corpus — the DuckDB truth for both the pair query and the banding

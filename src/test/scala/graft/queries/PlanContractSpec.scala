@@ -32,6 +32,17 @@ class PlanContractSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("ngramJaccard's hot-shingle filter is a broadcast anti-join") {
+    import spark.implicits._
+    // The df-cap must never force the full inverted index through an
+    // extra shuffle: the hot list is aggregation output (tiny), so the
+    // anti-join has to broadcast it.
+    val index = (1 to 2000).map(i => (i.toLong, (i % 37).toLong)).toDF("id", "shingle")
+    val plan = finalPlan(graft.ops.Dedup.dfCapped(index, 10))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2000))
+  }
+
   test("text stats stay in whole-stage codegen with no hash shuffle") {
     val plan = finalPlan(OpsQueries.textStats(spark, dir))
     // Codegen'd spans print as "*(n) Operator" in the physical plan.
