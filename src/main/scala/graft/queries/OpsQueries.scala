@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{ChronoSplit, Dedup, TextAnalysis}
+import graft.ops.{ChronoSplit, Dedup, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -60,8 +60,31 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** #32 deterministic hash slice: the [0, 0.25) sample of events by a
+    * multiplicative hash of event_id (arithmetic, so DuckDB mirrors it
+    * exactly; production callers would pass xxhash64). */
+  def sampleHash(s: SparkSession, dir: String): DataFrame = {
+    val h = col("event_id") * lit(2654435761L) + lit(42L)
+    Sampling.hashSample(Tables.events(s, dir), h, 0.25)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  /** #33 stratified quota: 10 customers per nation, drawn by the same
+    * multiplicative hash (custkey tiebreak). */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("c_custkey") * lit(2654435761L) + lit(7L), lit(Sampling.Buckets))
+    Sampling.stratifiedQuota(
+      Tables.customer(s, dir),
+      Seq(col("c_nationkey")), Seq(h, col("c_custkey")), 10)
+      .select("c_custkey", "c_nationkey")
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chrono_split"     -> (chronoSplit _),
+    "sample_hash"       -> (sampleHash _),
+    "sample_stratified" -> (sampleStratified _),
     "text_stats"       -> (textStats _),
     "text_quality"     -> (textQuality _),
     "text_lang_id"     -> (textLangId _),
@@ -86,6 +109,17 @@ object OpsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_hash" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE (event_id * 2654435761 + 42) % 1000000 < 250000
+        |ORDER BY event_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT c_custkey, c_nationkey FROM (
+        |  SELECT c_custkey, c_nationkey,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY (c_custkey * 2654435761 + 7) % 1000000, c_custkey) AS rn
+        |  FROM customer
+        |) WHERE rn <= 10 ORDER BY c_nationkey, c_custkey""".stripMargin,
     "chrono_split" ->
       """SELECT event_id, user_id, event_type FROM (
         |  SELECT event_id, user_id, event_type,

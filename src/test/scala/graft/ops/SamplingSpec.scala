@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deterministic-sampling contracts: slice disjointness/concatenation
+  * (the leak-free split property), reproducibility, and exact stratum
+  * quotas — with the production xxhash64 hash, not the oracle's
+  * arithmetic one. */
+class SamplingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("hash slices are disjoint, concatenate, and reproduce exactly") {
+    val docs = Tables.documents(spark, dir)
+    val h = xxhash64(col("doc_id"), lit(99L))
+    val a = ids(Sampling.hashSlice(docs, h, 0.0, 0.3))
+    val b = ids(Sampling.hashSlice(docs, h, 0.3, 1.0))
+    assert((a & b).isEmpty, "slices overlap")
+    assert((a | b) == ids(docs), "slices do not concatenate to the whole")
+    // Growing a sample extends it — the [0, 0.3) rows are a subset of
+    // [0, 0.6), so earlier processing is never resampled.
+    val grown = ids(Sampling.hashSample(docs, h, 0.6))
+    assert(a.subsetOf(grown))
+    // Deterministic: a re-evaluation returns the identical id set.
+    assert(ids(Sampling.hashSlice(docs, h, 0.0, 0.3)) == a)
+    // The fraction is approximately honored (hash uniformity).
+    val frac = a.size.toDouble / ids(docs).size
+    assert(frac > 0.2 && frac < 0.4, s"fraction $frac far from 0.3")
+  }
+
+  test("stratifiedQuota returns min(n, |stratum|) rows per stratum") {
+    val cust = Tables.customer(spark, dir)
+    val h = xxhash64(col("c_custkey"), lit(5L))
+    val out = Sampling.stratifiedQuota(
+      cust, Seq(col("c_nationkey")), Seq(h, col("c_custkey")), 4)
+    val got = out.groupBy("c_nationkey").count()
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val full = cust.groupBy("c_nationkey").count()
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    assert(got.keySet == full.keySet, "a stratum disappeared")
+    got.foreach { case (k, n) =>
+      assert(n == math.min(4L, full(k)), s"stratum $k: $n of ${full(k)}")
+    }
+    // Deterministic draw: same hash, same rows.
+    val again = Sampling.stratifiedQuota(
+      cust, Seq(col("c_nationkey")), Seq(h, col("c_custkey")), 4)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("c_custkey").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("hashSlice rejects invalid ranges; quota rejects bad args") {
+    val docs = Tables.documents(spark, dir)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSlice(docs, col("doc_id"), 0.5, 0.2)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedQuota(docs, Seq(col("doc_id")), Seq(col("doc_id")), 0)
+    }
+  }
+}
