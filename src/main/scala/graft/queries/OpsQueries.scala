@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{ChronoSplit, Dedup, Sampling, TextAnalysis}
+import graft.ops.{ChronoSplit, Dedup, Packing, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,10 +81,20 @@ object OpsQueries {
       .orderBy("c_nationkey", "c_custkey")
   }
 
+  /** #34 token-budget packing: documents into ~2000-token bins across 8
+    * hash buckets (arithmetic bucket hash so the oracle mirrors it). */
+  def packBudget(s: SparkSession, dir: String): DataFrame = {
+    val h = col("doc_id") * lit(2654435761L) + lit(3L)
+    Packing.packByBudget(Tables.documents(s, dir), "doc_id",
+      TextAnalysis.wsTokenCount(col("text")), 2000L, h, 8)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chrono_split"     -> (chronoSplit _),
     "sample_hash"       -> (sampleHash _),
     "sample_stratified" -> (sampleStratified _),
+    "pack_budget"       -> (packBudget _),
     "text_stats"       -> (textStats _),
     "text_quality"     -> (textQuality _),
     "text_lang_id"     -> (textLangId _),
@@ -120,6 +130,18 @@ object OpsQueries {
         |      ORDER BY (c_custkey * 2654435761 + 7) % 1000000, c_custkey) AS rn
         |  FROM customer
         |) WHERE rn <= 10 ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "pack_budget" ->
+      """SELECT doc_id, bucket, CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS bin,
+        |  n_tokens
+        |FROM (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM (
+        |    SELECT doc_id, (doc_id * 2654435761 + 3) % 8 AS bucket,
+        |      len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |    FROM documents)
+        |) ORDER BY doc_id""".stripMargin,
     "chrono_split" ->
       """SELECT event_id, user_id, event_type FROM (
         |  SELECT event_id, user_id, event_type,
