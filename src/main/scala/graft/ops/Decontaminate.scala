@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Eval-set decontamination (SURVEY §2 #35): find training documents
+  * that share word n-grams with an evaluation/benchmark set — the
+  * standard guard against benchmark leakage into training corpora.
+  *
+  * Scale shape: both sides shingle to 64-bit hashes (the corpus side is
+  * the 100 TB one — its shuffle carries 8-byte keys, never text); the
+  * eval side is aggregated to DISTINCT shingles first, so it is tiny
+  * relative to the corpus (|eval docs| · tokens hashes) and the join
+  * side AQE sees is broadcast-or-small-shuffle. One groupBy on the doc
+  * id counts distinct shared shingles. n defaults to 8: long enough
+  * that natural collisions are rare, short enough to catch paraphrased
+  * leakage; real pipelines sweep 8–13.
+  */
+object Decontaminate {
+
+  /** (idCol, n_hits) for every corpus document sharing ≥ `minHits`
+    * distinct n-grams with the eval set. */
+  def contaminated(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      n: Int = 8,
+      minHits: Int = 1): DataFrame = {
+    require(n > 0 && minHits > 0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nn = n
+    def shingled(df: DataFrame, text: String, id: org.apache.spark.sql.Column) =
+      df.select(id.cast("long").as("id"), col(text).as("t"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (i, t) =>
+          Dedup.shinglesJvm(t, nn).map(s => (i, Hashing.xxh64(s, 42L)))
+        })
+        .toDF("id", "shingle")
+    val corpusSh = shingled(corpus, textCol, col(idCol))
+    val evalSh = shingled(evalSet, evalTextCol, monotonically_increasing_id())
+      .select("shingle").distinct()
+    // shinglesJvm de-dups within a document, so surviving rows are the
+    // distinct shared shingles — a plain count is the distinct count.
+    corpusSh.join(evalSh, Seq("shingle"), "left_semi")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** Corpus rows with every contaminated document removed — the
+    * decontaminated training set. */
+  def removeContaminated(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      n: Int = 8,
+      minHits: Int = 1): DataFrame = {
+    val bad = contaminated(corpus, textCol, idCol, evalSet, evalTextCol, n, minHits)
+      .select(idCol)
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{ChronoSplit, Dedup, Packing, Sampling, TextAnalysis}
+import graft.ops.{ChronoSplit, Decontaminate, Dedup, Packing, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,11 +90,23 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** #35 eval-set decontamination: a planted "benchmark" of substring
+    * slices from every 25th document; the leaked sources (and any doc
+    * sharing a 5-gram with them) must be flagged with their hit counts. */
+  def decontamScan(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select(expr("substring(text, 10, 120)").as("text"))
+    Decontaminate.contaminated(docs, "text", "doc_id", evalSet, "text", n = 5)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chrono_split"     -> (chronoSplit _),
     "sample_hash"       -> (sampleHash _),
     "sample_stratified" -> (sampleStratified _),
     "pack_budget"       -> (packBudget _),
+    "decontam_scan"     -> (decontamScan _),
     "text_stats"       -> (textStats _),
     "text_quality"     -> (textQuality _),
     "text_lang_id"     -> (textLangId _),
@@ -130,6 +142,26 @@ object OpsQueries {
         |      ORDER BY (c_custkey * 2654435761 + 7) % 1000000, c_custkey) AS rn
         |  FROM customer
         |) WHERE rn <= 10 ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "decontam_scan" ->
+      """WITH ev AS (
+        |  SELECT substring(text, 10, 120) AS text FROM documents WHERE doc_id % 25 = 0
+        |), evtoks AS (
+        |  SELECT regexp_extract_all(lower(text), '\S+') AS t FROM ev
+        |), evsh AS (
+        |  SELECT DISTINCT shingle FROM (
+        |    SELECT array_to_string(t[j:j+4], ' ') AS shingle
+        |    FROM (SELECT t, unnest(range(1, len(t) - 3)) AS j FROM evtoks WHERE len(t) >= 5))
+        |), toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, array_to_string(t[j:j+4], ' ') AS shingle
+        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS j FROM toks
+        |          WHERE len(t) >= 5))
+        |)
+        |SELECT sh.doc_id, count(*) AS n_hits
+        |FROM sh JOIN evsh USING (shingle)
+        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
     "pack_budget" ->
       """SELECT doc_id, bucket, CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS bin,
         |  n_tokens
