@@ -101,7 +101,26 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** #36 composed corpus-cleaning pipeline — the filter chain a real
+    * training-data build runs end-to-end, every stage individually
+    * oracled elsewhere: token-count gate → quality gate → eval-set
+    * decontamination. All narrow maps plus one hash-keyed shingle join;
+    * nothing in the chain breaks pushdown on the parquet scan. */
+  def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val gated = docs
+      .withColumn("n_ws_tokens", TextAnalysis.wsTokenCount(col("text")))
+      .withColumn("quality_score", round(TextAnalysis.qualityScore(col("text")), 6))
+      .filter(col("n_ws_tokens") >= 30 && col("quality_score") >= 0.65)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select(expr("substring(text, 10, 120)").as("text"))
+    Decontaminate.removeContaminated(gated, "text", "doc_id", evalSet, "text", n = 5)
+      .select("doc_id", "n_ws_tokens", "quality_score")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_clean"      -> (corpusClean _),
     "chrono_split"     -> (chronoSplit _),
     "sample_hash"       -> (sampleHash _),
     "sample_stratified" -> (sampleStratified _),
@@ -142,6 +161,40 @@ object OpsQueries {
         |      ORDER BY (c_custkey * 2654435761 + 7) % 1000000, c_custkey) AS rn
         |  FROM customer
         |) WHERE rn <= 10 ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "corpus_clean" ->
+      """WITH ev AS (
+        |  SELECT substring(text, 10, 120) AS text FROM documents WHERE doc_id % 25 = 0
+        |), evtoks AS (
+        |  SELECT regexp_extract_all(lower(text), '\S+') AS t FROM ev
+        |), evsh AS (
+        |  SELECT DISTINCT shingle FROM (
+        |    SELECT array_to_string(t[j:j+4], ' ') AS shingle
+        |    FROM (SELECT t, unnest(range(1, len(t) - 3)) AS j FROM evtoks WHERE len(t) >= 5))
+        |), toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, array_to_string(t[j:j+4], ' ') AS shingle
+        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS j FROM toks
+        |          WHERE len(t) >= 5))
+        |), bad AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh JOIN evsh USING (shingle)
+        |), scored AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+        |    round((
+        |      least(greatest(length(text),1) / 200.0, 1.0)
+        |    + greatest(1.0 - 4.0 * len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |          / greatest(length(text),1), 0.0)
+        |    + least(5.0 * len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that|for)\b'))
+        |          / greatest(len(regexp_extract_all(text, '\S+')),1), 1.0)
+        |    ) / 3.0, 6) AS quality_score
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_ws_tokens, quality_score FROM scored
+        |WHERE n_ws_tokens >= 30 AND quality_score >= 0.65
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     "decontam_scan" ->
       """WITH ev AS (
         |  SELECT substring(text, 10, 120) AS text FROM documents WHERE doc_id % 25 = 0
