@@ -16,6 +16,26 @@ class PropertySpec extends SparkSpec {
     (0 until n).map(i => (i.toLong, 1L + rnd.nextInt(5), rnd.nextInt(50).toLong))
   }
 
+  test("ngramJaccard: a non-binding df cap is a no-op; caps only shrink pairs") {
+    val rnd = new Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 12).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("id", "text")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      Dedup.ngramJaccard(docs, "text", "id", 3, 0.2, maxShingleDf = cap)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    // A cap above every shingle's df changes nothing.
+    assert(pairs(1000) == uncapped)
+    // Tighter caps only remove meeting opportunities — candidate sets
+    // shrink monotonically (pair *scores* shift with the shingle space,
+    // so containment is on the detected pair sets at a fixed threshold
+    // only when the dropped shingles are shared noise; assert the weaker
+    // but universal law: the empty cap kills everything).
+    assert(pairs(0).isEmpty)
+  }
+
   test("ChronoSplit: slices partition the rows, sizes match rank ranges, no leakage") {
     val rnd = new Random(7)
     for (round <- 0 until 5) {

@@ -68,6 +68,26 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("hashSlice is stream-safe: the streaming slice equals the batch slice") {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def h = xxhash64(col("id"), lit(3L))
+    val input = MemoryStream[Long]
+    val q = Sampling.hashSlice(input.toDS().toDF("id"), h, 0.0, 0.5)
+      .writeStream.format("memory").queryName("graft_slice")
+      .outputMode("append").start()
+    try {
+      input.addData(1L to 500L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("graft_slice").collect().map(_.getLong(0)).toSet
+    val batch = Sampling.hashSlice((1L to 500L).toDF("id"), h, 0.0, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stateful streaming sessionization emits exactly the batch sessions") {
     import graft.ops.Sessionize
     import graft.streaming.SessionStream
