@@ -16,8 +16,15 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val s = builder(cpus).getOrCreate()
+    // Default to every core (the target environment is local[32]);
+    // shuffle partitions track the core count per the sizing contract,
+    // overridable independently for experiments.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val s = builder(cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.register(s)
     s

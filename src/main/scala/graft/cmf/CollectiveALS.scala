@@ -111,6 +111,31 @@ class CollectiveALS(entityNames: String*) extends Serializable {
     require(datasets.nonEmpty, "at least one relation required")
     require(datasets.size <= 64, "at most 64 relations supported")
     val spark = datasets.head._2.sparkSession
+    // Block count for every fit-internal exchange (rating layouts, the
+    // per-half-iteration join + normal-equation agg, factor init):
+    // explicit setNumBlocks wins; otherwise size to the data — ~100k
+    // rating rows per block (a few MB of shuffle per task), clamped to
+    // the session's parallelism. Big relations use the cluster's full
+    // width; small ones stop paying 32-way task overhead on near-empty
+    // exchanges across maxIter × entities shuffles (MLlib's ALS derives
+    // its block count from the input partitioning for the same reason).
+    // Scoped via the session shuffle-partition conf (the only way to
+    // reach groupBy exchanges) and restored after the fit; counting the
+    // inputs runs their upstream pipelines once — cache ratings first if
+    // they are expensive to derive (the queries layer does).
+    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val fitShuffle = numPartitions.getOrElse {
+      val totalRows = datasets.iterator.map(_._2.count()).sum
+      math.max(1L, math.min(sessionShuffle.toLong, totalRows / 100000L + 1)).toInt
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", fitShuffle)
+    try fitWith(spark, datasets)
+    finally spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
+  }
+
+  private def fitWith(
+      spark: SparkSession,
+      datasets: Seq[((String, String), DataFrame)]): CollectiveALSModel = {
     val ratingExpr = if (ratingCol.nonEmpty) col(ratingCol).cast("float") else lit(1.0f)
 
     // Pre-project and cache each relation in both hash layouts.
