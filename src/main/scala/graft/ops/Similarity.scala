@@ -25,7 +25,7 @@ object Similarity {
     * descending window — an undetected zero vector would occupy the top
     * ranks of every query. Excluding them is the only consistent
     * semantics (a zero vector has no direction to be similar to). */
-  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[ops] def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
@@ -136,44 +136,52 @@ object Similarity {
       nlist: Int = 64,
       nprobe: Int = 8,
       seed: Long = 7L,
-      trainFraction: Double = 1.0): DataFrame = {
+      trainFraction: Double = 1.0): DataFrame =
+    IvfIndex.build(corpus, idCol, vecCol, nlist, seed, trainFraction)
+      .search(queries, idCol, vecCol, k, nprobe)
+
+  private[ops] def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head.getInt(0)
+
+  /** Unit-normalized (id, v, nrm, uv) rows. */
+  private[ops] def withUnit(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    normalized(df, idCol, vecCol)
+      .withColumn("uv", transform(col("v"), x => x / col("nrm")))
+}
+
+/** A built IVF index — the build-once-search-many serving shape: the
+  * k-means quantizer trains once, the corpus is cell-assigned once, and
+  * every subsequent query batch pays only the probe join. State is the
+  * cell-assigned corpus DataFrame (distributed) plus nlist·dim centroid
+  * doubles on the driver; both persist via [[save]]/[[IvfIndex.load]],
+  * so a 100 TB corpus is indexed once and served forever.
+  */
+final class IvfIndex private[ops] (
+    /** (center components, ‖center‖²) per cell, in cell order. */
+    val centroids: Seq[(Seq[Double], Double)],
+    /** (cid, cv, cn, cell): corpus vectors with their cell assignment. */
+    val assigned: DataFrame) extends Serializable {
+
+  def nlist: Int = centroids.size
+
+  /** Approximate cosine top-k of each query (output shape matches
+    * [[Similarity.bruteForceTopK]]): each query scores all nlist
+    * centroids, probes its `nprobe` nearest cells, and exact cosine
+    * re-ranks the |queries|·nprobe/nlist candidate fraction. */
+  def search(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
     require(nprobe <= nlist, "nprobe must be <= nlist")
-    require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0, 1]")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    // Unit-normalize for training/assignment so euclidean k-means cells
-    // group by direction (= cosine neighborhoods).
-    def withUnit(df: DataFrame): DataFrame =
-      normalized(df, idCol, vecCol)
-        .withColumn("uv", transform(col("v"), x => x / col("nrm")))
-    // Materialized once: k-means iterates over the training slice and the
-    // assignment pass re-reads the full set.
-    val c = withUnit(corpus).withColumn("fv", array_to_vector(col("uv")))
-      .localCheckpoint(true)
-
-    // Quantizer quality needs only a representative sample — train on a
-    // deterministic id-hash slice (cells merely partition the search; the
-    // full corpus is still assigned and searched).
-    val trainSet =
-      if (trainFraction >= 1.0) c
-      else c.filter(pmod(xxhash64(col("id"), lit(seed)), lit(1000000))
-        < lit((trainFraction * 1000000).toLong))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("fv")
-      .fit(trainSet)
-    val assigned = model.transform(c)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"),
-        col("prediction").as("cell"))
-
-    // Small centroid table → literal; each query scores all nlist
-    // centroids and keeps its nprobe nearest cells. On unit queries
-    // ‖u−c‖² = 1 + ‖c‖² − 2u·c, so rank by 2u·c − ‖c‖² descending.
-    val centers = model.clusterCenters
-      .map(cc => (cc.toArray.toSeq, cc.toArray.map(x => x * x).sum)).toSeq
-    val probes = withUnit(queries)
+    require(k > 0)
+    import Similarity.dot
+    // Small centroid table → literal; on unit queries ‖u−c‖² =
+    // 1 + ‖c‖² − 2u·c, so rank cells by 2u·c − ‖c‖² descending.
+    val probes = Similarity.withUnit(queries, idCol, vecCol)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        col("uv"), posexplode(typedLit(centers)))
+        col("uv"), posexplode(typedLit(centroids)))
       .withColumn("csim", lit(2.0) * dot(col("uv"), col("col._1")) - col("col._2"))
       .withColumn("crank", row_number().over(
         Window.partitionBy("qid").orderBy(col("csim").desc, col("pos"))))
@@ -190,6 +198,65 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
-  private def dimOf(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head.getInt(0)
+  /** Persist: the assigned corpus as parquet (natural partitioning, so
+    * a billion-vector index writes in parallel) + centroids as JSON. */
+  def save(path: String): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.write.mode("overwrite").parquet(s"$path/cells")
+    centroids.zipWithIndex.map { case ((c, n2), i) => (i, c, n2) }
+      .toDF("cell", "center", "norm2")
+      .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+  }
+}
+
+object IvfIndex {
+
+  /** Train the quantizer and cell-assign the corpus (see
+    * [[Similarity.ivfTopK]] for the parameter semantics). */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 64,
+      seed: Long = 7L,
+      trainFraction: Double = 1.0): IvfIndex = {
+    require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0, 1]")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    // Unit-normalize for training/assignment so euclidean k-means cells
+    // group by direction (= cosine neighborhoods). Materialized once:
+    // k-means iterates over the training slice and the assignment pass
+    // re-reads the full set.
+    val c = Similarity.withUnit(corpus, idCol, vecCol)
+      .withColumn("fv", array_to_vector(col("uv")))
+      .localCheckpoint(true)
+
+    // Quantizer quality needs only a representative sample — train on a
+    // deterministic id-hash slice (cells merely partition the search;
+    // the full corpus is still assigned and searched).
+    val trainSet =
+      if (trainFraction >= 1.0) c
+      else c.filter(pmod(xxhash64(col("id"), lit(seed)), lit(1000000))
+        < lit((trainFraction * 1000000).toLong))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("fv")
+      .fit(trainSet)
+    val assigned = model.transform(c)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"),
+        col("prediction").as("cell"))
+    val centers = model.clusterCenters
+      .map(cc => (cc.toArray.toSeq, cc.toArray.map(x => x * x).sum)).toSeq
+    new IvfIndex(centers, assigned)
+  }
+
+  /** Load an index written by [[IvfIndex.save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.json(s"$path/centroids")
+      .select("cell", "center", "norm2").collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getSeq[Double](1).toSeq, r.getDouble(2))).toSeq
+    new IvfIndex(cents, spark.read.parquet(s"$path/cells"))
+  }
 }

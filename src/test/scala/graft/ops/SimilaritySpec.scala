@@ -63,6 +63,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IvfIndex: build once, search repeatedly, save/load round-trips") {
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val direct = rows(
+      Similarity.ivfTopK(qs, e, "vec_id", "embedding", 10, nlist = 16, nprobe = 6))
+    val idx = IvfIndex.build(e, "vec_id", "embedding", nlist = 16)
+    // Same seed -> same quantizer -> the one-shot path and the reused
+    // index return identical rows; a second search hits the same index.
+    assert(rows(idx.search(qs, "vec_id", "embedding", 10, 6)) == direct)
+    assert(rows(idx.search(qs, "vec_id", "embedding", 10, 6)) == direct)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    idx.save(path)
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.nlist == idx.nlist)
+    assert(rows(loaded.search(qs, "vec_id", "embedding", 10, 6)) == direct)
+  }
+
   test("embeddingCosineLsh equals exact embeddingCosine at threshold 0.7") {
     import spark.implicits._
     // The sf0.001 embeddings plus tail-zeroed mutations (the
