@@ -84,33 +84,27 @@ object Similarity {
       k: Int,
       planes: Int = 16,
       bands: Int = 4,
-      seed: Long = 7L): DataFrame = {
-    require(planes % bands == 0, "planes must divide into bands")
-    val r = planes / bands
-    val hp = hyperplanes(dimOf(corpus, vecCol), planes, seed)
+      seed: Long = 7L): DataFrame =
+    LshIndex.build(corpus, idCol, vecCol, planes, bands, seed)
+      .search(queries, idCol, vecCol, k)
+
+  /** Banded (prefix+id, prefix+v, prefix+n, band, bkey) rows for `df`
+    * (already normalized): the `planes`-bit sign signature split into
+    * `bands` hashed band keys. */
+  private[ops] def banded(
+      df: DataFrame,
+      hp: Seq[Seq[Double]],
+      bands: Int,
+      prefix: String): DataFrame = {
+    val r = hp.size / bands
     val hpLit = typedLit(hp)
-    def sig(v: Column): Column =
-      transform(hpLit, p => when(dot(v, p) > 0, 1).otherwise(0))
-    def banded(df: DataFrame, prefix: String): DataFrame =
-      df.withColumn("sig", sig(col("v")))
-        .select(col("id").as(prefix + "id"), col("v").as(prefix + "v"),
-          col("nrm").as(prefix + "n"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(col("sig"), b * r + lit(1), lit(r))))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val q = banded(normalized(queries, idCol, vecCol), "q")
-    val c = banded(normalized(corpus, idCol, vecCol), "c")
-    val cand = q.join(c,
-        q("band") === c("band") && q("bkey") === c("bkey") && col("qid") =!= col("cid"))
-      .select("qid", "qv", "qn", "cid", "cv", "cn")
-      .dropDuplicates("qid", "cid")
-    val scored = cand.withColumn("cosine",
-      dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    df.withColumn("sig",
+        transform(hpLit, p => when(dot(col("v"), p) > 0, 1).otherwise(0)))
+      .select(col("id").as(prefix + "id"), col("v").as(prefix + "v"),
+        col("nrm").as(prefix + "n"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * r + lit(1), lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
   }
 
   /** Approximate cosine top-k via IVF (inverted-file) search: a k-means
@@ -207,6 +201,86 @@ final class IvfIndex private[ops] (
     centroids.zipWithIndex.map { case ((c, n2), i) => (i, c, n2) }
       .toDF("cell", "center", "norm2")
       .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+  }
+}
+
+/** A built LSH index — the hyperplane twin of [[IvfIndex]]: the corpus
+  * is signed and banded once; each query batch signs itself against the
+  * same (deterministic, seed-derived) hyperplanes and joins the stored
+  * buckets. Driver state is planes·dim doubles; the banded corpus
+  * persists via [[save]]/[[LshIndex.load]].
+  */
+final class LshIndex private[ops] (
+    /** The hyperplanes (planes rows × dim components). */
+    val planes: Seq[Seq[Double]],
+    val bands: Int,
+    /** (cid, cv, cn, band, bkey): banded corpus rows. */
+    val bandedCorpus: DataFrame) extends Serializable {
+
+  require(planes.nonEmpty && planes.size % bands == 0,
+    "planes must divide into bands")
+
+  /** Approximate cosine top-k (shape matches
+    * [[Similarity.bruteForceTopK]]): bucket-join the query signatures
+    * against the stored corpus bands, then exact cosine re-rank. */
+  def search(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k > 0)
+    import Similarity.dot
+    val q = Similarity.banded(
+      Similarity.normalized(queries, idCol, vecCol), planes, bands, "q")
+    val c = bandedCorpus
+    val cand = q.join(c,
+        q("band") === c("band") && q("bkey") === c("bkey") && col("qid") =!= col("cid"))
+      .select("qid", "qv", "qn", "cid", "cv", "cn")
+      .dropDuplicates("qid", "cid")
+    val scored = cand.withColumn("cosine",
+      dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Persist: banded corpus as parquet, planes + band count as JSON. */
+  def save(path: String): Unit = {
+    val spark = bandedCorpus.sparkSession
+    import spark.implicits._
+    bandedCorpus.write.mode("overwrite").parquet(s"$path/bands")
+    planes.zipWithIndex.map { case (p, i) => (i, p, bands) }
+      .toDF("plane", "components", "bands")
+      .coalesce(1).write.mode("overwrite").json(s"$path/planes")
+  }
+}
+
+object LshIndex {
+
+  /** Sign + band the corpus once (see [[Similarity.lshTopK]] for the
+    * parameter semantics). */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int = 16,
+      bands: Int = 4,
+      seed: Long = 7L): LshIndex = {
+    require(planes % bands == 0, "planes must divide into bands")
+    val hp = Similarity.hyperplanes(Similarity.dimOf(corpus, vecCol), planes, seed)
+    new LshIndex(hp, bands,
+      Similarity.banded(Similarity.normalized(corpus, idCol, vecCol), hp, bands, "c"))
+  }
+
+  /** Load an index written by [[LshIndex.save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
+    val rows = spark.read.json(s"$path/planes")
+      .select("plane", "components", "bands").collect()
+      .sortBy(_.getLong(0))
+    val hp = rows.map(_.getSeq[Double](1).toSeq).toSeq
+    new LshIndex(hp, rows.head.getLong(2).toInt, spark.read.parquet(s"$path/bands"))
   }
 }
 

@@ -63,6 +63,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LshIndex: reused and loaded indexes equal the one-shot lshTopK") {
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val direct = rows(Similarity.lshTopK(qs, e, "vec_id", "embedding", 10, 16, 8))
+    val idx = LshIndex.build(e, "vec_id", "embedding", 16, 8)
+    assert(rows(idx.search(qs, "vec_id", "embedding", 10)) == direct)
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+    idx.save(path)
+    val loaded = LshIndex.load(spark, path)
+    assert(loaded.bands == 8 && loaded.planes == idx.planes)
+    assert(rows(loaded.search(qs, "vec_id", "embedding", 10)) == direct)
+  }
+
   test("IvfIndex: build once, search repeatedly, save/load round-trips") {
     val e = Tables.embeddings(spark, dir)
     val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)
