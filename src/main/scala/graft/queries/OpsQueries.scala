@@ -126,6 +126,7 @@ object OpsQueries {
     "sample_stratified" -> (sampleStratified _),
     "pack_budget"       -> (packBudget _),
     "decontam_scan"     -> (decontamScan _),
+    "corpus_stats"      -> (corpusStats _),
     "text_stats"       -> (textStats _),
     "text_quality"     -> (textQuality _),
     "text_lang_id"     -> (textLangId _),
@@ -133,7 +134,10 @@ object OpsQueries {
     "dedup_exact"      -> (dedupExact _),
   )
 
-  private val langCase: String = {
+  /** (score columns, best-score expr, CASE argmax expr) — the DuckDB
+    * mirror of [[TextAnalysis.langId]], reusable in any query needing a
+    * lang_id column. */
+  private def langSql: (String, String, String) = {
     val hits = TextAnalysis.langProfiles.map { case (l, p) =>
       s"len(regexp_extract_all(lower(text), '$p')) AS s_$l"
     }.mkString(",\n        ")
@@ -141,12 +145,56 @@ object OpsQueries {
     val cases = TextAnalysis.langProfiles.map { case (l, _) =>
       s"WHEN s_$l = best AND best > 0 THEN '$l'"
     }.mkString(" ")
-    s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_id FROM (
+    (hits, best, s"CASE $cases ELSE 'und' END")
+  }
+
+  private val langCase: String = {
+    val (hits, best, caseExpr) = langSql
+    s"""SELECT doc_id, $caseExpr AS lang_id FROM (
        |  SELECT doc_id, greatest($best) AS best, $best FROM (
        |    SELECT doc_id, text,
        |        $hits
        |    FROM documents)
        |) ORDER BY doc_id""".stripMargin
+  }
+
+  /** #37 per-language corpus report: doc counts, exact token-count
+    * percentiles (Spark `percentile` and DuckDB `quantile_cont` share
+    * the linear-interpolation definition), mean quality. The reporting
+    * query every corpus build ends with; one hash aggregation after the
+    * narrow text-feature maps. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(TextAnalysis.langId(col("text")).as("lang_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("double").as("nt"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .groupBy("lang_id")
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(nt, 0.5)"), 6).as("median_tokens"),
+        round(expr("percentile(nt, 0.9)"), 6).as("p90_tokens"),
+        round(avg("q"), 6).as("avg_quality"))
+      .orderBy("lang_id")
+
+  private val corpusStatsSql: String = {
+    val (hits, best, caseExpr) = langSql
+    s"""SELECT lang_id, count(*) AS n_docs,
+       |  round(quantile_cont(nt, 0.5), 6) AS median_tokens,
+       |  round(quantile_cont(nt, 0.9), 6) AS p90_tokens,
+       |  round(avg(q), 6) AS avg_quality
+       |FROM (
+       |  SELECT $caseExpr AS lang_id, nt, q FROM (
+       |    SELECT greatest($best) AS best, $best, nt, q FROM (
+       |      SELECT text,
+       |        $hits,
+       |        len(regexp_extract_all(text, '\\S+'))::DOUBLE AS nt,
+       |        (least(greatest(length(text),1) / 200.0, 1.0)
+       |         + greatest(1.0 - 4.0 * len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+       |               / greatest(length(text),1), 0.0)
+       |         + least(5.0 * len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is|it|that|for)\\b'))
+       |               / greatest(len(regexp_extract_all(text, '\\S+')),1), 1.0)
+       |        ) / 3.0 AS q
+       |      FROM documents)))
+       |GROUP BY lang_id ORDER BY lang_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -161,6 +209,7 @@ object OpsQueries {
         |      ORDER BY (c_custkey * 2654435761 + 7) % 1000000, c_custkey) AS rn
         |  FROM customer
         |) WHERE rn <= 10 ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "corpus_stats" -> corpusStatsSql,
     "corpus_clean" ->
       """WITH ev AS (
         |  SELECT substring(text, 10, 120) AS text FROM documents WHERE doc_id % 25 = 0
