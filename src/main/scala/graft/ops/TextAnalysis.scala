@@ -84,6 +84,28 @@ object TextAnalysis {
     }
   }
 
+  /** Line-repetition ratio in [0, 1]: 1 − (distinct lines / lines),
+    * empty lines ignored — the Gopher-style repetition signal (template
+    * spam and boilerplate-heavy pages repeat themselves; prose doesn't).
+    * Pure expression arithmetic, oracle-checkable. */
+  def repetitionRatio(c: Column, delim: String = "\n"): Column = {
+    val lines = filter(split(c, delim), l => length(trim(l)) > 0)
+    val n = greatest(size(lines), lit(1)).cast("double")
+    lit(1.0) - size(array_distinct(lines)).cast("double") / n
+  }
+
+  /** PII redaction: emails, long digit runs (phone-ish), and dotted
+    * quads (IP-ish) replaced by type tokens — the standard scrub pass
+    * before corpus release. ASCII regexes, replace-all, identical
+    * semantics in Spark (Java regex) and DuckDB RE2 ('g' flag). */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b[0-9][0-9 ()+-]{6,}[0-9]\\b", "<PHONE>")
+  }
+
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): the
     * window-min selection over k-gram rolling hashes of the normalized
     * text. Guarantees: any shared substring of length ≥ w+k−1 between two

@@ -119,8 +119,33 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** #38 line-repetition ratio (Gopher-style): even doc_ids get their
+    * first 40 chars planted twice as duplicate lines (ratio 1/3); odd
+    * ids stay single-line (ratio 0). */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val planted = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(expr("substring(text, 1, 40)"), lit("\n"),
+        expr("substring(text, 1, 40)"), lit("\n"), expr("substring(text, 41)")))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        round(TextAnalysis.repetitionRatio(planted), 6).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** #39 PII redaction over planted emails/IPs/phone runs. */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com at 192.168.0.1 or call 0012345678."))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.redactPii(planted).as("redacted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean"      -> (corpusClean _),
+    "text_repetition"   -> (textRepetition _),
+    "text_redact"       -> (textRedact _),
     "chrono_split"     -> (chronoSplit _),
     "sample_hash"       -> (sampleHash _),
     "sample_stratified" -> (sampleStratified _),
@@ -210,6 +235,26 @@ object OpsQueries {
         |  FROM customer
         |) WHERE rn <= 10 ORDER BY c_nationkey, c_custkey""".stripMargin,
     "corpus_stats" -> corpusStatsSql,
+    "text_repetition" ->
+      """SELECT doc_id, round(1.0 - len(list_distinct(lines)) / greatest(len(lines), 1)::DOUBLE, 6) AS rep_ratio
+        |FROM (
+        |  SELECT doc_id,
+        |    list_filter(string_split(CASE WHEN doc_id % 2 = 0
+        |      THEN substring(text, 1, 40) || chr(10) || substring(text, 1, 40)
+        |           || chr(10) || substring(text, 41)
+        |      ELSE text END, chr(10)), l -> length(trim(l)) > 0) AS lines
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || doc_id || '@example.com at 192.168.0.1 or call 0012345678.',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9][0-9 ()+-]{6,}[0-9]\b', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_clean" ->
       """WITH ev AS (
         |  SELECT substring(text, 10, 120) AS text FROM documents WHERE doc_id % 25 = 0

@@ -64,6 +64,22 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[String]("lang") == "en")
   }
 
+  test("repetitionRatio and redactPii compute expected values") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a b c\na b c\nd e f"),          // 2 distinct of 3 lines
+      (2L, "unique one\n\n  \nunique two"), // blanks ignored -> 0
+      (3L, "x\nx\nx\nx")                    // 1 distinct of 4
+    ).toDF("id", "t")
+      .select(col("id"), round(TextAnalysis.repetitionRatio(col("t")), 6).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) == 0.333333 && rows(2L) == 0.0 && rows(3L) == 0.75, rows)
+    val red = Seq("mail bob.smith+x@corp.io, host 10.0.0.1, tel 06 123 456 78, year 2024")
+      .toDF("t").select(TextAnalysis.redactPii(col("t")))
+      .head.getString(0)
+    assert(red == "mail <EMAIL>, host <IP>, tel <PHONE>, year 2024", red)
+  }
+
   test("RegressionEvaluation computes exact metrics") {
     val df = Seq((1.0, 2.0), (2.0, 2.0), (3.0, 5.0), (4.0, 3.0))
       .toDF("label", "prediction")
