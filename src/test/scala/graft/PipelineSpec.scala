@@ -39,6 +39,39 @@ class PipelineSpec extends SparkSpec {
     assert(stats.filter(col("n_tokens") <= 0).count() == 0)
   }
 
+  test("training-data build: decontam -> dedup -> slice -> pack, leak-free") {
+    import graft.ops.{Decontaminate, Packing, Sampling}
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // Benchmark to protect: substring slices of every 10th doc.
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(expr("substring(text, 10, 120)").as("text"))
+
+    // 1. decontaminate
+    val clean = Decontaminate.removeContaminated(
+      docs, "text", "doc_id", evalSet, "text", n = 5)
+    assert(clean.count() < docs.count(), "leaked docs must be removed")
+    // No surviving doc shares a 5-gram with the benchmark.
+    assert(Decontaminate.contaminated(
+      clean, "text", "doc_id", evalSet, "text", n = 5).count() == 0)
+
+    // 2. exact dedup (idempotent on the already-unique corpus)
+    val deduped = Dedup.exactKeep(clean, "text", "doc_id")
+    assert(deduped.count() == clean.count())
+
+    // 3. disjoint train/val slices
+    val h = xxhash64(col("doc_id"), lit(1L))
+    val train = Sampling.hashSlice(deduped, h, 0.0, 0.9)
+    val valSet = Sampling.hashSlice(deduped, h, 0.9, 1.0)
+    assert(train.count() + valSet.count() == deduped.count())
+    assert(train.join(valSet, Seq("doc_id"), "left_semi").count() == 0)
+
+    // 4. pack the train slice into ~1000-token bins
+    val packed = Packing.packByBudget(train, "doc_id",
+      TextAnalysis.wsTokenCount(col("text")), 1000L, xxhash64(col("doc_id")), 4)
+    assert(packed.count() == train.count())
+    assert(packed.agg(min("n_tokens")).head.getLong(0) >= 0)
+  }
+
   test("event pipeline: sessionize -> chronological split") {
     val events = Tables.events(spark, dir)
     val sessions = Sessionize.sessions(
