@@ -43,6 +43,14 @@ class PlanContractSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("decontam joins the corpus against a broadcast eval-shingle side") {
+    // The eval side is DISTINCT shingles of a small benchmark — the
+    // 100 TB corpus side must never shuffle for this join.
+    val plan = finalPlan(OpsQueries.decontamScan(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(2000))
+  }
+
   test("text stats stay in whole-stage codegen with no hash shuffle") {
     val plan = finalPlan(OpsQueries.textStats(spark, dir))
     // Codegen'd spans print as "*(n) Operator" in the physical plan.
