@@ -206,18 +206,31 @@ class CollectiveALS(entityNames: String*) extends Serializable {
         // Implicit prefs: the YtY Gram of each incident relation's src-side
         // factors (restricted to the src ids actually present in that
         // relation, matching the reference's per-relation srcFactorBlock).
+        // All incident relations ride ONE union + grouped aggregation, so
+        // the driver pays one collect job per (entity, iteration) — k(k+1)/2
+        // doubles per relation — instead of one job per relation.
         val yty: Map[Int, Array[Double]] =
           if (!implicitPrefs) Map.empty
-          else rels.iterator.flatMap { rel =>
-            if (rel.left != e && rel.right != e) None
-            else {
-              val (srcIdx, srcIds) =
-                if (rel.left == e) (rel.right, rel.byRight.select(col("rightId").as("id")))
-                else (rel.left, rel.byLeft.select(col("leftId").as("id")))
-              val srcFactors = factors(srcIdx).join(srcIds, Seq("id"), "left_semi")
-              Some(rel.idx -> gram(srcFactors, gramUdaf))
+          else {
+            val tagged = rels.flatMap { rel =>
+              if (rel.left != e && rel.right != e) None
+              else {
+                val (srcIdx, srcIds) =
+                  if (rel.left == e) (rel.right, rel.byRight.select(col("rightId").as("id")))
+                  else (rel.left, rel.byLeft.select(col("leftId").as("id")))
+                Some(factors(srcIdx).join(srcIds, Seq("id"), "left_semi")
+                  .select(col("features"), lit(rel.idx).as("relIdx")))
+              }
             }
-          }.toMap
+            if (tagged.isEmpty) Map.empty
+            else tagged.reduce(_ unionAll _)
+              .groupBy("relIdx")
+              .agg(gramUdaf(col("features"), lit(0.0f), lit(0)).as("ne"))
+              .select(col("relIdx"), col("ne.ata"))
+              .collect()
+              .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+              .toMap
+          }
         // Lineage policy (reference: setCheckpointInterval /
         // set{Intermediate,Final}StorageLevel): the last iteration's
         // factors checkpoint at finalStorageLevel (they ARE the model);
@@ -242,15 +255,6 @@ class CollectiveALS(entityNames: String*) extends Serializable {
 
     rels.foreach { r => r.byLeft.unpersist(false); r.byRight.unpersist(false) }
     new CollectiveALSModel(rank, factors.toIndexedSeq, cols.toIndexedSeq, predictionCol)
-  }
-
-  /** Σ f fᵀ (packed upper) over a factor table — the implicit-prefs Gram.
-    * k(k+1)/2 doubles to the driver, broadcast back into the solve. */
-  private def gram(factorDf: DataFrame, neUdaf: org.apache.spark.sql.expressions.UserDefinedFunction): Array[Double] = {
-    val row = factorDf
-      .agg(neUdaf(col("features"), lit(0.0f), lit(0)).as("ne"))
-      .select(col("ne.ata")).head
-    row.getSeq[Double](0).toArray
   }
 
   private def initFactors(spark: SparkSession, ids: DataFrame, s: Long): DataFrame = {
