@@ -90,21 +90,45 @@ object Similarity {
 
   /** Banded (prefix+id, prefix+v, prefix+n, band, bkey) rows for `df`
     * (already normalized): the `planes`-bit sign signature split into
-    * `bands` hashed band keys. */
+    * `bands` band keys. One per-partition primitive pass (planes × dim
+    * multiplies per vector — a HOF-lambda dot runs interpreted and costs
+    * an order of magnitude more); the key is the band's sign bits packed
+    * into a Long (same bucket equivalence classes as hashing them).
+    * Requires planes/bands ≤ 64. */
   private[ops] def banded(
       df: DataFrame,
       hp: Seq[Seq[Double]],
       bands: Int,
       prefix: String): DataFrame = {
     val r = hp.size / bands
-    val hpLit = typedLit(hp)
-    df.withColumn("sig",
-        transform(hpLit, p => when(dot(col("v"), p) > 0, 1).otherwise(0)))
-      .select(col("id").as(prefix + "id"), col("v").as(prefix + "v"),
-        col("nrm").as(prefix + "n"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * r + lit(1), lit(r))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    require(r <= 64, "at most 64 planes per band (packed key)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hpArr = hp.map(_.toArray).toArray
+    val hpB = spark.sparkContext.broadcast(hpArr)
+    val nb = bands
+    df.select(col("id").cast("long"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val planesArr = hpB.value
+        it.flatMap { case (id, vs, nrm) =>
+          val v = vs.toArray
+          (0 until nb).map { b =>
+            var key = 0L
+            var p = b * r
+            while (p < (b + 1) * r) {
+              val plane = planesArr(p)
+              var d = 0.0
+              var j = 0
+              while (j < v.length) { d += v(j) * plane(j); j += 1 }
+              key = (key << 1) | (if (d > 0) 1L else 0L)
+              p += 1
+            }
+            (id, vs, nrm, b, key)
+          }
+        }
+      }
+      .toDF(prefix + "id", prefix + "v", prefix + "n", "band", "bkey")
   }
 
   /** Approximate cosine top-k via IVF (inverted-file) search: a k-means
