@@ -139,7 +139,32 @@ object CmfQueries {
       .orderBy("cust", "rank")
   }
 
+  /** #13b recommendation shape, sql-decidable without factor values:
+    * every sampled customer must get exactly k=5 recommendations with
+    * contiguous ranks 1..5 (the part side always has ≥ 5 candidates).
+    * Hash-green iff the blocked top-k never drops, duplicates, or
+    * mis-ranks a user's list. */
+  def recommendTopKShape(s: SparkSession, dir: String): DataFrame =
+    recommendTopK(s, dir)
+      .groupBy("cust")
+      .agg(count(lit(1)).as("n_recs"), min("rank").as("min_rank"),
+        max("rank").as("max_rank"), count_distinct(col("rank")).as("n_ranks"))
+      .orderBy("cust")
+
+  /** #12b predict coverage shape: predicting the training relation from
+    * the fitted model must score every rating row (no NaN — every id was
+    * seen in the fit) exactly once. */
+  def alsPredictShape(s: SparkSession, dir: String): DataFrame = {
+    val p = explicitModel(s, dir).predict(custPartRatings(s, dir))
+    p.agg(count(lit(1)).as("n_rows"),
+      sum(when(isnan(col("prediction")), 1L).otherwise(0L)).as("n_nan"),
+      count_distinct(col("cust")).as("n_custs"),
+      count_distinct(col("part")).as("n_parts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "recommend_topk_shape" -> (recommendTopKShape _),
+    "als_predict_shape" -> (alsPredictShape _),
     "als_explicit"    -> (alsExplicit _),
     "als_implicit"    -> (alsImplicit _),
     "als_nonnegative" -> (alsNonnegative _),
@@ -148,7 +173,26 @@ object CmfQueries {
     "recommend_topk"  -> (recommendTopK _),
   )
 
-  /** ALS factors are not SQL-reproducible — no oracle entries (the driver
-    * records rows-only checks; numeric bounds are asserted in specs). */
-  val oracles: Map[String, String] = Map.empty
+  /** ALS factor *values* are not SQL-reproducible (float-accumulation-
+    * order-sensitive), so the fit/predict queries are rows-checked with
+    * numeric bounds in specs — but the *shapes* are SQL-decidable and
+    * oracled here: which ids get scored, how many recommendations each
+    * user receives, and that ranks are contiguous. */
+  val oracles: Map[String, String] = Map(
+    "recommend_topk_shape" ->
+      """SELECT cust, 5::BIGINT AS n_recs, 1 AS min_rank, 5 AS max_rank,
+        |  5::BIGINT AS n_ranks
+        |FROM (
+        |  SELECT DISTINCT o_custkey AS cust
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_custkey % 20 = 0)
+        |ORDER BY cust""".stripMargin,
+    "als_predict_shape" ->
+      """SELECT count(*) AS n_rows, 0::BIGINT AS n_nan,
+        |  count(DISTINCT cust) AS n_custs, count(DISTINCT part) AS n_parts
+        |FROM (
+        |  SELECT o_custkey AS cust, l_partkey AS part
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)""".stripMargin,
+  )
 }
