@@ -122,7 +122,10 @@ class CollectiveALS(entityNames: String*) extends Serializable {
     // Scoped via the session shuffle-partition conf (the only way to
     // reach groupBy exchanges) and restored after the fit; counting the
     // inputs runs their upstream pipelines once — cache ratings first if
-    // they are expensive to derive (the queries layer does).
+    // they are expensive to derive (the queries layer does). The swap is
+    // session-global: a fit is a single-owner operation — queries planned
+    // concurrently on the same SparkSession during a fit would pick up
+    // the fit's block count.
     val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val fitShuffle = numPartitions.getOrElse {
       val totalRows = datasets.iterator.map(_._2.count()).sum

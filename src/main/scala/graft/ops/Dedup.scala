@@ -442,12 +442,20 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     // Vectors + norms materialized once: consumed by the banding pass and
-    // both sides of the verification join.
+    // both sides of the verification join. Zero-norm vectors are dropped
+    // (same contract as Similarity.normalized): their cosine is 0/0 =
+    // NaN, and NaN >= threshold is TRUE under Spark SQL's NaN-is-largest
+    // ordering — without the filter a zero vector would emit NaN pairs
+    // the exact JVM-compared embeddingCosine never emits.
     val e = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
       .localCheckpoint(true)
-    val dim = e.select(size(col("v"))).head.getInt(0)
+    // Empty-safe dim probe: on an empty (or all-zero) input every
+    // downstream stage is empty, so any dim works — .head would crash.
+    val dim = e.select(size(col("v"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
     val hp: Array[Array[Double]] =
       Similarity.hyperplanes(dim, planes, seed).map(_.toArray).toArray
     val hpB = spark.sparkContext.broadcast(hp)

@@ -103,32 +103,40 @@ object Similarity {
     val r = hp.size / bands
     require(r <= 64, "at most 64 planes per band (packed key)")
     val spark = df.sparkSession
-    import spark.implicits._
     val hpArr = hp.map(_.toArray).toArray
     val hpB = spark.sparkContext.broadcast(hpArr)
     val nb = bands
-    df.select(col("id").cast("long"), col("v"), col("nrm"))
-      .as[(Long, Seq[Double], Double)]
-      .mapPartitions { it =>
-        val planesArr = hpB.value
-        it.flatMap { case (id, vs, nrm) =>
-          val v = vs.toArray
-          (0 until nb).map { b =>
-            var key = 0L
-            var p = b * r
-            while (p < (b + 1) * r) {
-              val plane = planesArr(p)
-              var d = 0.0
-              var j = 0
-              while (j < v.length) { d += v(j) * plane(j); j += 1 }
-              key = (key << 1) | (if (d > 0) 1L else 0L)
-              p += 1
-            }
-            (id, vs, nrm, b, key)
+    // Row-based pass so the id keeps its original type (string ids work,
+    // and the output id type matches bruteForceTopK's exactly).
+    val base = df.select(col("id"), col("v"), col("nrm"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      base.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(name = Seq(prefix + "id", prefix + "v", prefix + "n")(i))
+      } ++ Seq(
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("bkey",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val rdd = base.rdd.mapPartitions { it =>
+      val planesArr = hpB.value
+      it.flatMap { row =>
+        val v = row.getSeq[Double](1).toArray
+        (0 until nb).map { b =>
+          var key = 0L
+          var p = b * r
+          while (p < (b + 1) * r) {
+            val plane = planesArr(p)
+            var d = 0.0
+            var j = 0
+            while (j < v.length) { d += v(j) * plane(j); j += 1 }
+            key = (key << 1) | (if (d > 0) 1L else 0L)
+            p += 1
           }
+          org.apache.spark.sql.Row(row.get(0), row.get(1), row.get(2), b, key)
         }
       }
-      .toDF(prefix + "id", prefix + "v", prefix + "n", "band", "bkey")
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Approximate cosine top-k via IVF (inverted-file) search: a k-means
@@ -158,8 +166,12 @@ object Similarity {
     IvfIndex.build(corpus, idCol, vecCol, nlist, seed, trainFraction)
       .search(queries, idCol, vecCol, k, nprobe)
 
+  /** Vector dimensionality, empty-safe: 0 for an empty input (all
+    * downstream banding stages are empty-safe, so any dim works there;
+    * `.head` would crash instead). */
   private[ops] def dimOf(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head.getInt(0)
+    df.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Unit-normalized (id, v, nrm, uv) rows. */
   private[ops] def withUnit(df: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -90,8 +90,11 @@ object TextAnalysis {
     * Pure expression arithmetic, oracle-checkable. */
   def repetitionRatio(c: Column, delim: String = "\n"): Column = {
     val lines = filter(split(c, delim), l => length(trim(l)) > 0)
-    val n = greatest(size(lines), lit(1)).cast("double")
-    lit(1.0) - size(array_distinct(lines)).cast("double") / n
+    // Empty/blank documents score 0 (nothing repeats), not 1 — a
+    // repetition gate must not flag emptiness as template spam.
+    when(size(lines) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
   }
 
   /** PII redaction: emails, long digit runs (phone-ish), and dotted

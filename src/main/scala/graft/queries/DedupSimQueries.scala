@@ -62,16 +62,20 @@ object DedupSimQueries {
   }
 
   /** #20b MinHash banding completeness, driver-hash-checked: every exact
-    * Jaccard ≥ 0.6 pair (the already-oracled [[ngramPairs]]) must surface
-    * among the banded candidates. The Spark side semi-joins truth against
-    * candidates while the oracle recomputes the *full* truth list, so the
-    * hash matches iff banding dropped no true pair. Runs at an aggressive
-    * r=2, b=32 design point where P(miss | j ≥ 0.6) = (1−j²)³² ≈ 6·10⁻⁷ —
-    * containment genuinely holds, unlike the r=4 detection banding. */
+    * Jaccard ≥ 0.6 pair must surface among the banded candidates. The
+    * Spark side semi-joins truth against candidates while the oracle
+    * recomputes the *full* truth list, so the hash matches iff banding
+    * dropped no true pair. Runs at an aggressive r=2, b=32 design point
+    * where P(miss | j ≥ 0.6) = (1−j²)³² ≈ 6·10⁻⁷. The truth here is
+    * deliberately UNCAPPED (not the df-capped [[ngramPairs]]): the
+    * signatures hash the full shingle sets, so the miss bound applies to
+    * full-space Jaccard — capped truth would assert it against the
+    * wrong j. */
   def dedupMinhashContainment(s: SparkSession, dir: String): DataFrame = {
     val cand = Dedup.minHashCandidates(withMutations(s, dir), "text", "doc_id",
       n = 3, numHashes = 64, bands = 32)
-    ngramPairs(s, dir)
+    Dedup.ngramJaccard(withMutations(s, dir), "text", "doc_id",
+      n = 3, minJaccard = 0.6, maxShingleDf = Int.MaxValue)
       .join(cand, Seq("doc_id_a", "doc_id_b"), "left_semi")
       .orderBy("doc_id_a", "doc_id_b")
   }
@@ -176,10 +180,11 @@ object DedupSimQueries {
         |SELECT corpus.doc_id, corpus.text FROM corpus
         |WHERE corpus.doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
         |ORDER BY doc_id""".stripMargin),
-    "dedup_ngram_jaccard" -> ngramTruthSql,
+    "dedup_ngram_jaccard" -> ngramTruthSql(Some(10)),
     // Containment: the Spark side is truth ∩ candidates; the oracle is
     // the full truth list, so any banding-dropped pair hash-mismatches.
-    "dedup_minhash_containment" -> ngramTruthSql,
+    // Uncapped truth — signatures hash the full shingle sets.
+    "dedup_minhash_containment" -> ngramTruthSql(None),
     "dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -263,32 +268,39 @@ object DedupSimQueries {
         |)""".stripMargin
 
   /** Exact n-gram Jaccard ≥ 0.6 pair list over the planted-mutation
-    * corpus — the DuckDB truth for both the pair query and the banding
-    * containment check (same df ≤ 10 hot-shingle cap as the Spark side). */
-  private lazy val ngramTruthSql: String =
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 40, 1))
-        |  FROM documents
-        |), toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM corpus
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id, array_to_string(t[j:j+2], ' ') AS shingle
-        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS j FROM toks WHERE len(t) >= 3)
-        |  )
-        |), cold AS (
-        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10
-        |), kept AS (
-        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)
-        |), sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id)
-        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-        |  round(count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)), 6) AS jaccard
-        |FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |JOIN sizes sa ON sa.doc_id = a.doc_id
-        |JOIN sizes sb ON sb.doc_id = b.doc_id
-        |GROUP BY a.doc_id, b.doc_id
-        |HAVING count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)) >= 0.6
-        |ORDER BY doc_id_a, doc_id_b""".stripMargin
+    * corpus — the DuckDB truth for the pair query (df-capped, mirroring
+    * the Spark side) and the banding containment check (uncapped,
+    * because signatures hash the full shingle sets). */
+  private def ngramTruthSql(maxDf: Option[Int]): String = {
+    val (capCtes, src) = maxDf match {
+      case Some(d) => (
+        s""", cold AS (
+           |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $d
+           |), kept AS (
+           |  SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)
+           |)""".stripMargin, "kept")
+      case None => ("", "sh")
+    }
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 40, 1))
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM corpus
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, array_to_string(t[j:j+2], ' ') AS shingle
+       |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS j FROM toks WHERE len(t) >= 3)
+       |  )
+       |)$capCtes, sizes AS (SELECT doc_id, count(*) AS sz FROM $src GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |  round(count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)), 6) AS jaccard
+       |FROM $src a JOIN $src b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |JOIN sizes sa ON sa.doc_id = a.doc_id
+       |JOIN sizes sb ON sb.doc_id = b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)) >= 0.6
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
 }

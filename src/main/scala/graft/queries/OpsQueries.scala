@@ -108,10 +108,14 @@ object OpsQueries {
     * nothing in the chain breaks pushdown on the parquet scan. */
   def corpusClean(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // Materialized once: the gated corpus feeds both the contamination
+    // shingle scan and the anti-join's left side, and the regex-heavy
+    // feature scoring is the query's dominant cost.
     val gated = docs
       .withColumn("n_ws_tokens", TextAnalysis.wsTokenCount(col("text")))
       .withColumn("quality_score", round(TextAnalysis.qualityScore(col("text")), 6))
       .filter(col("n_ws_tokens") >= 30 && col("quality_score") >= 0.65)
+      .localCheckpoint(true)
     val evalSet = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
       .select(expr("substring(text, 10, 120)").as("text"))
     Decontaminate.removeContaminated(gated, "text", "doc_id", evalSet, "text", n = 5)
@@ -236,7 +240,8 @@ object OpsQueries {
         |) WHERE rn <= 10 ORDER BY c_nationkey, c_custkey""".stripMargin,
     "corpus_stats" -> corpusStatsSql,
     "text_repetition" ->
-      """SELECT doc_id, round(1.0 - len(list_distinct(lines)) / greatest(len(lines), 1)::DOUBLE, 6) AS rep_ratio
+      """SELECT doc_id, round(CASE WHEN len(lines) = 0 THEN 0.0
+        |  ELSE 1.0 - len(list_distinct(lines)) / len(lines)::DOUBLE END, 6) AS rep_ratio
         |FROM (
         |  SELECT doc_id,
         |    list_filter(string_split(CASE WHEN doc_id % 2 = 0

@@ -69,11 +69,14 @@ class OpsSpec extends SparkSpec {
     val rows = Seq(
       (1L, "a b c\na b c\nd e f"),          // 2 distinct of 3 lines
       (2L, "unique one\n\n  \nunique two"), // blanks ignored -> 0
-      (3L, "x\nx\nx\nx")                    // 1 distinct of 4
+      (3L, "x\nx\nx\nx"),                   // 1 distinct of 4
+      (4L, ""),                             // empty: nothing repeats
+      (5L, "  \n \n")                       // blank-only: nothing repeats
     ).toDF("id", "t")
       .select(col("id"), round(TextAnalysis.repetitionRatio(col("t")), 6).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(rows(1L) == 0.333333 && rows(2L) == 0.0 && rows(3L) == 0.75, rows)
+    assert(rows(4L) == 0.0 && rows(5L) == 0.0, rows)
     val red = Seq("mail bob.smith+x@corp.io, host 10.0.0.1, tel 06 123 456 78, year 2024")
       .toDF("t").select(TextAnalysis.redactPii(col("t")))
       .head.getString(0)

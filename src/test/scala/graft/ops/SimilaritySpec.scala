@@ -132,6 +132,13 @@ class SimilaritySpec extends SparkSpec {
     val qz = Similarity.bruteForceTopK(
       corpus.filter(col("vec_id") === 4), corpus, "vec_id", "embedding", 3)
     assert(qz.count() == 0)
+    // The LSH pair operator drops zero vectors too: NaN >= threshold is
+    // TRUE under Spark's NaN ordering, so without the guard the zero
+    // vector would emit NaN pairs the exact operator never emits.
+    val lshPairs = Dedup.embeddingCosineLsh(corpus, "embedding", "vec_id", 0.5)
+      .collect()
+    assert(lshPairs.forall(r => !r.getDouble(2).isNaN))
+    assert(!lshPairs.exists(r => r.getLong(0) == 4L || r.getLong(1) == 4L))
   }
 
   test("brute force ranks are contiguous and scores non-increasing") {

@@ -20,7 +20,11 @@ def norm(v):
             return "NaN"
         # 9 significant digits (NOT an absolute round): large magnitudes
         # (revenue sums ~1e8) differ between Spark and DuckDB by more than
-        # 1e-9 absolute from accumulation order alone.
+        # 1e-9 absolute from accumulation order alone. Near-zero values
+        # snap to 0 first — otherwise accumulation noise around 0 (1e-16
+        # vs -8e-17) would compare at full relative precision.
+        if abs(v) < 1e-9:
+            v = 0.0
         return format(v, ".9g")
     return repr(v)
 
