@@ -181,7 +181,7 @@ object CollectiveALSModel {
 
   /** Load a model written by [[CollectiveALSModel.save]]. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): CollectiveALSModel = {
-    val meta = spark.read.json(s"$path/meta").head
+    val meta = spark.read.json(s"$path/meta").head()
     val entityCols = meta.getSeq[String](meta.fieldIndex("entityCols")).toList
     val rank = meta.getAs[Long]("rank").toInt
     val factors = entityCols.indices.map(i => spark.read.parquet(s"$path/factors_$i"))

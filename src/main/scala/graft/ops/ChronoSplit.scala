@@ -46,7 +46,7 @@ object ChronoSplit {
       tieCol: String,
       numBuckets: Int = 0): Seq[DataFrame] = {
     require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
-    val n = df.agg(count(lit(1))).head.getLong(0)
+    val n = df.agg(count(lit(1))).head().getLong(0)
     // Materialized once: every returned slice filters this table, and the
     // rank pipeline (quantile probe + bucket counts + window) should not
     // re-execute per slice consumed.

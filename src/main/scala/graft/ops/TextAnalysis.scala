@@ -176,7 +176,7 @@ object TextAnalysis {
   def stats(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
     df.select(
-      df.columns.map(col) :+
+      df.columns.toIndexedSeq.map(col) :+
         length(c).as("n_chars") :+
         wsTokenCount(c).as("n_ws_tokens") :+
         bpeTokenCount(c).as("n_bpe_tokens") :+
@@ -187,7 +187,7 @@ object TextAnalysis {
   def quality(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
     df.select(
-      df.columns.map(col) :+
+      df.columns.toIndexedSeq.map(col) :+
         round(qualityScore(c), 6).as("quality_score"): _*)
   }
 }
