@@ -110,7 +110,9 @@ object Dedup {
       })
       .toDF("id", "shingle")
       .localCheckpoint(true)
-    val sh = dfCapped(raw, maxShingleDf).localCheckpoint(true)
+    val sh =
+      if (maxShingleDf == Int.MaxValue) raw // cap cannot bind — skip the df pass
+      else dfCapped(raw, maxShingleDf).localCheckpoint(true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -452,10 +454,7 @@ object Dedup {
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
       .localCheckpoint(true)
-    // Empty-safe dim probe: on an empty (or all-zero) input every
-    // downstream stage is empty, so any dim works — .head would crash.
-    val dim = e.select(size(col("v"))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    val dim = Similarity.dimOf(e, "v")
     val hp: Array[Array[Double]] =
       Similarity.hyperplanes(dim, planes, seed).map(_.toArray).toArray
     val hpB = spark.sparkContext.broadcast(hp)

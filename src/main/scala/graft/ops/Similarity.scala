@@ -126,9 +126,13 @@ object Similarity {
           var p = b * r
           while (p < (b + 1) * r) {
             val plane = planesArr(p)
+            // min guards the dim-0 planes of an empty-corpus index: the
+            // query side still bands (all keys 0) and the bucket join is
+            // empty, instead of an executor-side AIOOBE.
+            val m = math.min(v.length, plane.length)
             var d = 0.0
             var j = 0
-            while (j < v.length) { d += v(j) * plane(j); j += 1 }
+            while (j < m) { d += v(j) * plane(j); j += 1 }
             key = (key << 1) | (if (d > 0) 1L else 0L)
             p += 1
           }

@@ -141,6 +141,15 @@ class SimilaritySpec extends SparkSpec {
     assert(!lshPairs.exists(r => r.getLong(0) == 4L || r.getLong(1) == 4L))
   }
 
+  test("empty corpus: LSH and pair operators return empty, no crash") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val empty = e.filter(lit(false))
+    assert(Similarity.lshTopK(qs, empty, "vec_id", "embedding", 5).count() == 0)
+    assert(Dedup.embeddingCosineLsh(empty, "embedding", "vec_id", 0.5).count() == 0)
+  }
+
   test("brute force ranks are contiguous and scores non-increasing") {
     val e = Tables.embeddings(spark, dir)
     val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)

@@ -20,10 +20,12 @@ def norm(v):
             return "NaN"
         # 9 significant digits (NOT an absolute round): large magnitudes
         # (revenue sums ~1e8) differ between Spark and DuckDB by more than
-        # 1e-9 absolute from accumulation order alone. Near-zero values
-        # snap to 0 first — otherwise accumulation noise around 0 (1e-16
-        # vs -8e-17) would compare at full relative precision.
-        if abs(v) < 1e-9:
+        # 1e-9 absolute from accumulation order alone. Normalize -0.0 so
+        # sign-of-zero repr differences can't mismatch; anything else
+        # compares at full relative precision (queries round in-query, so
+        # sub-epsilon noise never reaches this comparator — and a real
+        # small-value disagreement should fail here, not at the driver).
+        if v == 0.0:
             v = 0.0
         return format(v, ".9g")
     return repr(v)
