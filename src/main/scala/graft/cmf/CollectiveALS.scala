@@ -161,6 +161,14 @@ class CollectiveALS(entityNames: String*) extends Serializable {
       // once per layout.
       val byLeft = layout(data, "leftId", li)
       val byRight = layout(byLeft, "rightId", ri)
+      // Checked cast (reference semantics): a non-numeric id column casts
+      // to null, which would silently merge all such rows into one
+      // normal equation instead of failing. Rides the cached layout.
+      val badIds = byLeft
+        .filter(col("leftId").isNull || col("rightId").isNull)
+        .limit(1).count()
+      require(badIds == 0,
+        s"relation ($l, $r): entity ids must be numeric (cast to long produced null)")
       Rel(idx, li, ri, byLeft, byRight)
     }.toSeq
 

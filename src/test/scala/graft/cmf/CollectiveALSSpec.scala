@@ -196,6 +196,35 @@ class CollectiveALSSpec extends SparkSpec {
     assert(p.filter(isnan(col("prediction"))).count() == 0)
   }
 
+  test("string entity ids fail fast instead of null-merging") {
+    // Under ANSI (Spark 4 default) the engine itself rejects the cast
+    // (CAST_INVALID_INPUT); with ANSI off, the fit's null-id guard
+    // catches the try-cast nulls. Either way: an error, never a silent
+    // merge of all unparseable ids into one normal equation.
+    val bad = Seq(("u1", 1L, 1.0f), ("u2", 2L, 2.0f)).toDF("user", "item", "rating")
+    val err = intercept[Exception] {
+      new CollectiveALS().setRank(2).setMaxIter(1).fit(bad)
+    }
+    assert(err.getMessage.contains("numeric") ||
+      err.getMessage.contains("CAST_INVALID_INPUT"), err.getMessage)
+    withSQLConf("spark.sql.ansi.enabled" -> "false") {
+      val err2 = intercept[IllegalArgumentException] {
+        new CollectiveALS().setRank(2).setMaxIter(1).fit(bad)
+      }
+      assert(err2.getMessage.contains("numeric"), err2.getMessage)
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("unknown entities and bad configs fail fast") {
     intercept[IllegalArgumentException] {
       new CollectiveALS("user") // single entity
