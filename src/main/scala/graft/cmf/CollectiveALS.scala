@@ -126,14 +126,18 @@ class CollectiveALS(entityNames: String*) extends Serializable {
     // session-global: a fit is a single-owner operation — queries planned
     // concurrently on the same SparkSession during a fit would pick up
     // the fit's block count.
-    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val fitShuffle = numPartitions.getOrElse {
-      val totalRows = datasets.iterator.map(_._2.count()).sum
-      math.max(1L, math.min(sessionShuffle.toLong, totalRows / 100000L + 1)).toInt
+    // Serialize fits per session: two concurrent swaps could interleave
+    // save/restore and leave the session conf permanently wrong.
+    spark.synchronized {
+      val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val fitShuffle = numPartitions.getOrElse {
+        val totalRows = datasets.iterator.map(_._2.count()).sum
+        math.max(1L, math.min(sessionShuffle.toLong, totalRows / 100000L + 1)).toInt
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", fitShuffle)
+      try fitWith(spark, datasets)
+      finally spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
     }
-    spark.conf.set("spark.sql.shuffle.partitions", fitShuffle)
-    try fitWith(spark, datasets)
-    finally spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
   }
 
   private def fitWith(

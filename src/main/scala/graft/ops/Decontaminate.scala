@@ -34,6 +34,7 @@ object Decontaminate {
     val nn = n
     def shingled(df: DataFrame, text: String, id: org.apache.spark.sql.Column) =
       df.select(id.cast("long").as("id"), col(text).as("t"))
+        .filter(col("t").isNotNull) // null text would NPE in the JVM shingler
         .as[(Long, String)]
         .mapPartitions(_.flatMap { case (i, t) =>
           Dedup.shinglesJvm(t, nn).map(s => (i, Hashing.xxh64(s, 42L)))

@@ -104,6 +104,7 @@ object Dedup {
     // both self-join sides) and would otherwise re-run the shingling pass
     // per branch.
     val raw = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .filter(col("t").isNotNull) // null text would NPE in the JVM shingler
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         shinglesJvm(t, nn).map(s => (id, Hashing.xxh64(s, 42L)))
@@ -213,6 +214,7 @@ object Dedup {
     val nb = bands
     val nn = n
     val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .filter(col("t").isNotNull) // null text would NPE in the JVM shingler
       .as[(Long, String)]
     // The corpus is shingled exactly once (localCheckpoint): signatures
     // and the verification join both read these arrays.
@@ -284,6 +286,7 @@ object Dedup {
     val nn = n
     val sigs = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .filter(col("t").isNotNull) // null text would NPE in the JVM shingler
       .as[(Long, String)]
       .mapPartitions { it =>
         // One per-partition primitive pass: JVM shingling + |shingles|×64
@@ -408,16 +411,6 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold` — exact over
-    * all pairs, evaluated block-blocked: vectors group into hash blocks,
-    * block pairs (a ≤ b) meet once, and a per-partition primitive loop
-    * scores each block pair (double accumulation in index order, so the
-    * values are engine-reproducible). The pair space is still inherently
-    * O(n²) — that is what *exact* threshold search costs; for the
-    * sub-quadratic approximate path use [[Similarity.lshTopK]].
-    *
-    * `numBlocks <= 0` (default) sizes blocks adaptively to ~20k vectors
-    * per block so a block row stays bounded at any corpus size. */
   /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked
     * — the sub-quadratic path next to the exact [[embeddingCosine]]:
     * vectors get a `planes`-bit random-hyperplane sign signature, the
@@ -469,6 +462,12 @@ object Dedup {
         val planesArr = hpB.value
         it.flatMap { case (id, vs) =>
           val v = vs.toArray
+          // Mirror of Similarity.banded's contract: dim-0 planes (empty
+          // input) band trivially; any other mismatch fails loudly.
+          val pdim = planesArr(0).length
+          if (pdim != 0 && v.length != pdim)
+            throw new IllegalArgumentException(
+              s"vector dim ${v.length} does not match hyperplane dim $pdim")
           (0 until nb).map { b =>
             var key = 0L
             var p = b * r
@@ -476,7 +475,7 @@ object Dedup {
               val plane = planesArr(p)
               var d = 0.0
               var j = 0
-              while (j < v.length) { d += v(j) * plane(j); j += 1 }
+              while (j < plane.length) { d += v(j) * plane(j); j += 1 }
               key = (key << 1) | (if (d > 0) 1L else 0L)
               p += 1
             }
@@ -502,6 +501,16 @@ object Dedup {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate pairs above `threshold` — exact over
+    * all pairs, evaluated block-blocked: vectors group into hash blocks,
+    * block pairs (a ≤ b) meet once, and a per-partition primitive loop
+    * scores each block pair (double accumulation in index order, so the
+    * values are engine-reproducible). The pair space is still inherently
+    * O(n²) — that is what *exact* threshold search costs; for the
+    * sub-quadratic approximate path use [[embeddingCosineLsh]].
+    *
+    * `numBlocks <= 0` (default) sizes blocks adaptively to ~20k vectors
+    * per block so a block row stays bounded at any corpus size. */
   def embeddingCosine(
       df: DataFrame,
       vecCol: String,

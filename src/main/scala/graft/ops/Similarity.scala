@@ -121,18 +121,22 @@ object Similarity {
       val planesArr = hpB.value
       it.flatMap { row =>
         val v = row.getSeq[Double](1).toArray
+        // Dim-0 planes (empty-corpus index) band everything to key 0 and
+        // the bucket join stays empty; any OTHER mismatch is a caller
+        // error (wrong column / index built on different vectors) and
+        // must fail loudly, not silently truncate the dot products.
+        val dim = planesArr(0).length
+        if (dim != 0 && v.length != dim)
+          throw new IllegalArgumentException(
+            s"vector dim ${v.length} does not match index dim $dim")
         (0 until nb).map { b =>
           var key = 0L
           var p = b * r
           while (p < (b + 1) * r) {
             val plane = planesArr(p)
-            // min guards the dim-0 planes of an empty-corpus index: the
-            // query side still bands (all keys 0) and the bucket join is
-            // empty, instead of an executor-side AIOOBE.
-            val m = math.min(v.length, plane.length)
             var d = 0.0
             var j = 0
-            while (j < m) { d += v(j) * plane(j); j += 1 }
+            while (j < plane.length) { d += v(j) * plane(j); j += 1 }
             key = (key << 1) | (if (d > 0) 1L else 0L)
             p += 1
           }
@@ -166,9 +170,12 @@ object Similarity {
       nlist: Int = 64,
       nprobe: Int = 8,
       seed: Long = 7L,
-      trainFraction: Double = 1.0): DataFrame =
+      trainFraction: Double = 1.0): DataFrame = {
+    // Validate before the expensive quantizer build, not after.
+    require(nprobe <= nlist, "nprobe must be <= nlist")
     IvfIndex.build(corpus, idCol, vecCol, nlist, seed, trainFraction)
       .search(queries, idCol, vecCol, k, nprobe)
+  }
 
   /** Vector dimensionality, empty-safe: 0 for an empty input (all
     * downstream banding stages are empty-safe, so any dim works there;
@@ -310,8 +317,11 @@ object LshIndex {
       seed: Long = 7L): LshIndex = {
     require(planes % bands == 0, "planes must divide into bands")
     val hp = Similarity.hyperplanes(Similarity.dimOf(corpus, vecCol), planes, seed)
+    // Materialized: the whole point of the index is that search() never
+    // re-runs the corpus banding pass.
     new LshIndex(hp, bands,
-      Similarity.banded(Similarity.normalized(corpus, idCol, vecCol), hp, bands, "c"))
+      Similarity.banded(Similarity.normalized(corpus, idCol, vecCol), hp, bands, "c")
+        .localCheckpoint(true))
   }
 
   /** Load an index written by [[LshIndex.save]]. */
@@ -357,9 +367,12 @@ object IvfIndex {
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("fv")
       .fit(trainSet)
+    // Materialized: search() must pay only the probe join, never a
+    // re-assignment pass over the corpus.
     val assigned = model.transform(c)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"),
         col("prediction").as("cell"))
+      .localCheckpoint(true)
     val centers = model.clusterCenters
       .map(cc => (cc.toArray.toSeq, cc.toArray.map(x => x * x).sum)).toSeq
     new IvfIndex(centers, assigned)

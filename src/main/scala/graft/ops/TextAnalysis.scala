@@ -165,6 +165,7 @@ object TextAnalysis {
     import spark.implicits._
     val (kk, ww) = (k, w)
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .filter(col("t").isNotNull) // null text would NPE in the JVM pass
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, winnow(t, kk, ww)) })
       .toDF(idCol, "fp_winnow")

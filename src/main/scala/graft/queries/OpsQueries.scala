@@ -64,7 +64,10 @@ object OpsQueries {
     * multiplicative hash of event_id (arithmetic, so DuckDB mirrors it
     * exactly; production callers would pass xxhash64). */
   def sampleHash(s: SparkSession, dir: String): DataFrame = {
-    val h = col("event_id") * lit(2654435761L) + lit(42L)
+    // Mod-first keeps the product within 63 bits at any corpus size:
+    // Spark would silently wrap on overflow while DuckDB's checked
+    // BIGINT multiply errors — mirrored arithmetic must never overflow.
+    val h = pmod(col("event_id"), lit(1000000L)) * lit(2654435761L) + lit(42L)
     Sampling.hashSample(Tables.events(s, dir), h, 0.25)
       .select("event_id", "user_id", "event_type")
       .orderBy("event_id")
@@ -73,7 +76,8 @@ object OpsQueries {
   /** #33 stratified quota: 10 customers per nation, drawn by the same
     * multiplicative hash (custkey tiebreak). */
   def sampleStratified(s: SparkSession, dir: String): DataFrame = {
-    val h = pmod(col("c_custkey") * lit(2654435761L) + lit(7L), lit(Sampling.Buckets))
+    val h = pmod(pmod(col("c_custkey"), lit(1000000L)) * lit(2654435761L) + lit(7L),
+      lit(Sampling.Buckets))
     Sampling.stratifiedQuota(
       Tables.customer(s, dir),
       Seq(col("c_nationkey")), Seq(h, col("c_custkey")), 10)
@@ -84,7 +88,7 @@ object OpsQueries {
   /** #34 token-budget packing: documents into ~2000-token bins across 8
     * hash buckets (arithmetic bucket hash so the oracle mirrors it). */
   def packBudget(s: SparkSession, dir: String): DataFrame = {
-    val h = col("doc_id") * lit(2654435761L) + lit(3L)
+    val h = pmod(col("doc_id"), lit(1000000L)) * lit(2654435761L) + lit(3L)
     Packing.packByBudget(Tables.documents(s, dir), "doc_id",
       TextAnalysis.wsTokenCount(col("text")), 2000L, h, 8)
       .orderBy("doc_id")
@@ -229,13 +233,13 @@ object OpsQueries {
   val oracles: Map[String, String] = Map(
     "sample_hash" ->
       """SELECT event_id, user_id, event_type FROM events
-        |WHERE (event_id * 2654435761 + 42) % 1000000 < 250000
+        |WHERE ((event_id % 1000000) * 2654435761 + 42) % 1000000 < 250000
         |ORDER BY event_id""".stripMargin,
     "sample_stratified" ->
       """SELECT c_custkey, c_nationkey FROM (
         |  SELECT c_custkey, c_nationkey,
         |    row_number() OVER (PARTITION BY c_nationkey
-        |      ORDER BY (c_custkey * 2654435761 + 7) % 1000000, c_custkey) AS rn
+        |      ORDER BY ((c_custkey % 1000000) * 2654435761 + 7) % 1000000, c_custkey) AS rn
         |  FROM customer
         |) WHERE rn <= 10 ORDER BY c_nationkey, c_custkey""".stripMargin,
     "corpus_stats" -> corpusStatsSql,
@@ -322,7 +326,7 @@ object OpsQueries {
         |    (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
         |       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
         |  FROM (
-        |    SELECT doc_id, (doc_id * 2654435761 + 3) % 8 AS bucket,
+        |    SELECT doc_id, ((doc_id % 1000000) * 2654435761 + 3) % 8 AS bucket,
         |      len(regexp_extract_all(text, '\S+')) AS n_tokens
         |    FROM documents)
         |) ORDER BY doc_id""".stripMargin,
