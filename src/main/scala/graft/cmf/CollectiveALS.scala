@@ -127,8 +127,12 @@ class CollectiveALS(entityNames: String*) extends Serializable {
     // concurrently on the same SparkSession during a fit would pick up
     // the fit's block count.
     // Serialize fits per session: two concurrent swaps could interleave
-    // save/restore and leave the session conf permanently wrong.
-    spark.synchronized {
+    // save/restore and leave the session conf permanently wrong. The lock
+    // is a private per-session object, NOT the session's own monitor —
+    // SparkSession lazy-val initialization synchronizes on `this`, so
+    // holding that monitor for a multi-minute fit would stall unrelated
+    // threads touching the same session.
+    CollectiveALS.fitLock(spark).synchronized {
       val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val fitShuffle = numPartitions.getOrElse {
         val totalRows = datasets.iterator.map(_._2.count()).sum
@@ -310,6 +314,12 @@ class CollectiveALS(entityNames: String*) extends Serializable {
 }
 
 object CollectiveALS {
+
+  // Per-session fit locks (see the fit() conf swap). Weak keys: a lock
+  // dies with its session instead of accumulating across sessions.
+  private val fitLocks = new java.util.WeakHashMap[SparkSession, AnyRef]
+  private def fitLock(s: SparkSession): AnyRef =
+    fitLocks.synchronized(fitLocks.computeIfAbsent(s, _ => new Object))
 
   /** SplitMix64 — public-domain mixing function (Steele et al.),
     * deterministic across partitioning. */

@@ -462,12 +462,7 @@ object Dedup {
         val planesArr = hpB.value
         it.flatMap { case (id, vs) =>
           val v = vs.toArray
-          // Mirror of Similarity.banded's contract: dim-0 planes (empty
-          // input) band trivially; any other mismatch fails loudly.
-          val pdim = planesArr(0).length
-          if (pdim != 0 && v.length != pdim)
-            throw new IllegalArgumentException(
-              s"vector dim ${v.length} does not match hyperplane dim $pdim")
+          Similarity.requireBandDim(v.length, planesArr)
           (0 until nb).map { b =>
             var key = 0L
             var p = b * r

@@ -85,8 +85,22 @@ object Similarity {
       planes: Int = 16,
       bands: Int = 4,
       seed: Long = 7L): DataFrame =
-    LshIndex.build(corpus, idCol, vecCol, planes, bands, seed)
+    LshIndex.build(corpus, idCol, vecCol, planes, bands, seed,
+        materialize = false) // one-shot: built and searched exactly once
       .search(queries, idCol, vecCol, k)
+
+  /** Shared dim contract for every LSH banding loop: an empty or dim-0
+    * plane set (empty-corpus index, planes = 0) bands everything to key 0
+    * — downstream stages stay correct (empty or fully-verified candidate
+    * sets); any OTHER mismatch is a caller error (wrong column / index
+    * built on different vectors) and must fail loudly, not silently
+    * truncate the dot products. */
+  private[ops] def requireBandDim(vlen: Int, planesArr: Array[Array[Double]]): Unit = {
+    val dim = if (planesArr.isEmpty) 0 else planesArr(0).length
+    if (dim != 0 && vlen != dim)
+      throw new IllegalArgumentException(
+        s"vector dim $vlen does not match hyperplane dim $dim")
+  }
 
   /** Banded (prefix+id, prefix+v, prefix+n, band, bkey) rows for `df`
     * (already normalized): the `planes`-bit sign signature split into
@@ -121,14 +135,7 @@ object Similarity {
       val planesArr = hpB.value
       it.flatMap { row =>
         val v = row.getSeq[Double](1).toArray
-        // Dim-0 planes (empty-corpus index) band everything to key 0 and
-        // the bucket join stays empty; any OTHER mismatch is a caller
-        // error (wrong column / index built on different vectors) and
-        // must fail loudly, not silently truncate the dot products.
-        val dim = planesArr(0).length
-        if (dim != 0 && v.length != dim)
-          throw new IllegalArgumentException(
-            s"vector dim ${v.length} does not match index dim $dim")
+        requireBandDim(v.length, planesArr)
         (0 until nb).map { b =>
           var key = 0L
           var p = b * r
@@ -307,21 +314,30 @@ final class LshIndex private[ops] (
 object LshIndex {
 
   /** Sign + band the corpus once (see [[Similarity.lshTopK]] for the
-    * parameter semantics). */
+    * parameter semantics).
+    *
+    * `materialize` (default true, the serving shape) localCheckpoints the
+    * banded corpus so repeated search() calls never re-run the banding
+    * pass — for the session's lifetime only (checkpoint blocks die with
+    * their executors; [[LshIndex.save]]/[[load]] is the durable path).
+    * One-shot callers ([[Similarity.lshTopK]]) pass false and skip the
+    * bands × corpus copy. */
   def build(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       planes: Int = 16,
       bands: Int = 4,
-      seed: Long = 7L): LshIndex = {
-    require(planes % bands == 0, "planes must divide into bands")
+      seed: Long = 7L,
+      materialize: Boolean = true): LshIndex = {
+    // Checked here, not just in the constructor: with materialize the
+    // banding job runs before construction and must not precede the error.
+    require(planes > 0 && planes % bands == 0, "planes must divide into bands")
     val hp = Similarity.hyperplanes(Similarity.dimOf(corpus, vecCol), planes, seed)
-    // Materialized: the whole point of the index is that search() never
-    // re-runs the corpus banding pass.
-    new LshIndex(hp, bands,
+    val banded =
       Similarity.banded(Similarity.normalized(corpus, idCol, vecCol), hp, bands, "c")
-        .localCheckpoint(true))
+    new LshIndex(hp, bands,
+      if (materialize) banded.localCheckpoint(true) else banded)
   }
 
   /** Load an index written by [[LshIndex.save]]. */
@@ -350,12 +366,14 @@ object IvfIndex {
     import org.apache.spark.ml.functions.array_to_vector
 
     // Unit-normalize for training/assignment so euclidean k-means cells
-    // group by direction (= cosine neighborhoods). Materialized once:
-    // k-means iterates over the training slice and the assignment pass
-    // re-reads the full set.
+    // group by direction (= cosine neighborhoods). Deliberately NOT
+    // checkpointed: ml.KMeans persists an unpersisted input internally
+    // for its iterations, and the assignment transform below is a single
+    // pass — a checkpoint here would pin a second corpus-sized copy for
+    // the whole index lifetime (localCheckpoint blocks have no clean
+    // release path from the Dataset API).
     val c = Similarity.withUnit(corpus, idCol, vecCol)
       .withColumn("fv", array_to_vector(col("uv")))
-      .localCheckpoint(true)
 
     // Quantizer quality needs only a representative sample — train on a
     // deterministic id-hash slice (cells merely partition the search;

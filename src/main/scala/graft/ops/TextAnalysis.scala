@@ -164,8 +164,11 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val (kk, ww) = (k, w)
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .filter(col("t").isNotNull) // null text would NPE in the JVM pass
+    // null text → empty fingerprint, not a dropped row: this operator's
+    // output IS the per-doc fingerprint, so every input id must survive
+    // (consumers join it back to the corpus).
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, winnow(t, kk, ww)) })
       .toDF(idCol, "fp_winnow")
