@@ -194,4 +194,57 @@ object TextAnalysis {
       df.columns.toIndexedSeq.map(col) :+
         round(qualityScore(c), 6).as("quality_score"): _*)
   }
+
+  /** Top-`k` BM25-weighted terms per document — the classic corpus-level
+    * term relevance score (Robertson-Spärck Jones idf × saturated tf),
+    * the keyword/topic extraction step of a training-data pipeline, as
+    * one declarative plan.
+    *
+    * Terms are lowercased ASCII-alphanumeric runs (extract-then-lower so
+    * the Java and RE2/utf8proc engines agree byte-for-byte). Documents
+    * with no terms produce no rows.
+    *
+    * Scale shape: tf is one hash aggregation over the exploded tokens
+    * (map-side partial agg absorbs each doc's repeats); dl rides a
+    * window on the same doc_id partitioning; the per-term df join
+    * shuffles on the term key (vocabularies are too big to broadcast at
+    * corpus scale); the two corpus constants (N, avgdl) broadcast as a
+    * single row. No O(n²) stage anywhere.
+    *
+    * Output: (doc_id, term, score, rank) with rank 1..k per doc by
+    * rounded score descending, term ascending tiebreak (rounding first
+    * makes near-ties deterministic across engines). */
+  def bm25TopTerms(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val withDl = tf.withColumn("dl",
+      sum("tf").over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // Per-doc lengths are integer-valued and their sum stays < 2^53, so
+    // avg() is exact (order-independent) on both engines.
+    val consts = withDl.select("doc_id", "dl").dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val scored = withDl.join(dft, "term")
+      .crossJoin(broadcast(consts))
+      .withColumn("score", round(
+        log(lit(1.0) +
+            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+        6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rank"))
+  }
 }

@@ -150,7 +150,14 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** #40 BM25 top-5 terms per document — corpus-weighted keyword
+    * extraction (idf from the full corpus, saturated tf per doc). */
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopTerms(Tables.documents(s, dir), "text", "doc_id", k = 5)
+      .orderBy("doc_id", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25"         -> (textBm25 _),
     "corpus_clean"      -> (corpusClean _),
     "text_repetition"   -> (textRepetition _),
     "text_redact"       -> (textRedact _),
@@ -230,7 +237,46 @@ object OpsQueries {
        |GROUP BY lang_id ORDER BY lang_id""".stripMargin
   }
 
+  // BM25 mirror notes: constants are spelled as the same double
+  // arithmetic Spark evaluates (1.2 + 1.0, 1.0 - 0.75) rather than
+  // pre-folded literals, every operand is cast to DOUBLE so DuckDB never
+  // routes through DECIMAL arithmetic, and ranking orders by the ROUNDED
+  // score (term tiebreak) so near-ties are decided identically on both
+  // engines. avg(dl) is exact on both: integer-valued partial sums stay
+  // below 2^53.
+  private lazy val textBm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+      |), wdl AS (
+      |  SELECT doc_id, term, tf, (sum(tf) OVER (PARTITION BY doc_id))::BIGINT AS dl
+      |  FROM tf
+      |), dft AS (
+      |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+      |), consts AS (
+      |  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+      |  FROM (SELECT DISTINCT doc_id, dl FROM wdl)
+      |), scored AS (
+      |  SELECT wdl.doc_id, wdl.term,
+      |    round(
+      |      ln(1.0::DOUBLE + (n_docs::DOUBLE - df::DOUBLE + 0.5::DOUBLE)
+      |                       / (df::DOUBLE + 0.5::DOUBLE))
+      |        * wdl.tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE)
+      |        / (wdl.tf::DOUBLE + 1.2::DOUBLE *
+      |           ((1.0::DOUBLE - 0.75::DOUBLE)
+      |            + 0.75::DOUBLE * wdl.dl::DOUBLE / avgdl)), 6) AS score
+      |  FROM wdl JOIN dft USING (term) CROSS JOIN consts
+      |)
+      |SELECT doc_id, term, score, rank FROM (
+      |  SELECT doc_id, term, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      |  FROM scored
+      |) WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_bm25" -> textBm25Sql,
     "sample_hash" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE ((event_id % 1000000) * 2654435761 + 42) % 1000000 < 250000

@@ -48,6 +48,29 @@ class OpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("TextAnalysis.bm25TopTerms ranks distinctive terms above corpus-wide ones") {
+    val docs = Seq(
+      (1L, "Zebra zebra zebra common word"),
+      (2L, "common word common word filler2"),
+      (3L, "common word filler3 stuff three"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.bm25TopTerms(docs, "text", "doc_id", k = 3).collect()
+    // A null-text doc has no terms and produces no rows.
+    assert(!rows.exists(_.getLong(0) == 4L))
+    // At most k rows per doc, ranks contiguous from 1.
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val ranks = rs.map(_.getInt(3)).sorted.toSeq
+      assert(ranks == (1 to ranks.length) && ranks.length <= 3)
+    }
+    // Case-folded distinctive term wins its doc; a doc-unique term beats
+    // terms present in every document (idf dominates equal-ish tf).
+    val top1 = rows.filter(r => r.getLong(0) == 1L && r.getInt(3) == 1).head
+    assert(top1.getString(1) == "zebra")
+    val top2 = rows.filter(r => r.getLong(0) == 2L && r.getInt(3) == 1).head
+    assert(top2.getString(1) == "filler2")
+  }
+
   test("TextAnalysis columns compute expected values") {
     val df = Seq((1L, "The quick brown fox, it jumped! Over 2 dogs.")).toDF("doc_id", "text")
     val r = df.select(
