@@ -51,6 +51,16 @@ class PlanContractSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("bm25 broadcasts only the corpus constants, never the vocabulary") {
+    // The (N, avgdl) single row must broadcast; the per-term df join is
+    // over the vocabulary, which at corpus scale cannot broadcast — it
+    // must stay a shuffle join on the term key.
+    val plan = finalPlan(OpsQueries.textBm25(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(3000))
+    assert(plan.contains("hashpartitioning(term"), plan.take(3000))
+  }
+
   test("text stats stay in whole-stage codegen with no hash shuffle") {
     val plan = finalPlan(OpsQueries.textStats(spark, dir))
     // Codegen'd spans print as "*(n) Operator" in the physical plan.
