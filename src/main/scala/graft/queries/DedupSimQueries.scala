@@ -145,6 +145,26 @@ object DedupSimQueries {
       "doc_id", "doc_id_a", "doc_id_b")
       .orderBy("doc_id")
 
+  /** #19d leakage-free train/test split: every corpus row carries its
+    * near-dup component label (its own id when unpaired) and a
+    * deterministic train/test assignment hashed from the LABEL, so
+    * near-duplicates can never straddle the split boundary — the
+    * composition a real pipeline runs between dedup and training.
+    * Arithmetic hash (mod-first, overflow-free) so DuckDB mirrors it. */
+  def splitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withMutations(s, dir)
+    val labels = Dedup.clusters(ngramPairs(s, dir), "doc_id_a", "doc_id_b")
+    val labeled = corpus.join(labels, corpus("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    val h = pmod(
+      pmod(col("cluster"), lit(1000000L)) * lit(2654435761L) + lit(13L),
+      lit(1000000L))
+    labeled
+      .withColumn("split", when(h < lit(800000L), lit("train")).otherwise(lit("test")))
+      .orderBy("doc_id")
+  }
+
   /** #24b IVF-bucketed ANN for the same query set (recall-bounded in
     * SimilaritySpec against #23). */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -159,6 +179,7 @@ object DedupSimQueries {
     "sim_ann_ivf"         -> (simAnnIvf _),
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_keep"          -> (dedupKeep _),
+    "split_leakfree"      -> (splitLeakfree _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_minhash_containment" -> (dedupMinhashContainment _),
@@ -180,6 +201,18 @@ object DedupSimQueries {
         |SELECT corpus.doc_id, corpus.text FROM corpus
         |WHERE corpus.doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
         |ORDER BY doc_id""".stripMargin),
+    // Leak-free split: the component label (own id when unpaired) feeds
+    // the same mod-first arithmetic hash the sampling oracles use.
+    "split_leakfree" ->
+      (reachPrefix + """
+        |, labels AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN ((cluster % 1000000) * 2654435761 + 13) % 1000000 < 800000
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT corpus.doc_id, coalesce(labels.cluster, corpus.doc_id) AS cluster
+        |  FROM corpus LEFT JOIN labels ON corpus.doc_id = labels.id
+        |) ORDER BY doc_id""".stripMargin),
     "dedup_ngram_jaccard" -> ngramTruthSql(Some(10)),
     // Containment: the Spark side is truth ∩ candidates; the oracle is
     // the full truth list, so any banding-dropped pair hash-mismatches.

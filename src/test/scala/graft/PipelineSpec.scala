@@ -72,6 +72,24 @@ class PipelineSpec extends SparkSpec {
     assert(packed.agg(min("n_tokens")).head.getLong(0) >= 0)
   }
 
+  test("leak-free split never separates a near-dup pair") {
+    val split = queries.DedupSimQueries.splitLeakfree(spark, dir)
+      .select(col("doc_id"), col("split"))
+    val pairs = queries.DedupSimQueries.ngramPairs(spark, dir)
+    // Every detected near-dup pair lands on one side of the boundary
+    // (labels make whole components share a split, so transitive chains
+    // are covered by construction — this pins the direct pairs).
+    val straddling = pairs
+      .join(split.select(col("doc_id").as("doc_id_a"), col("split").as("sa")), "doc_id_a")
+      .join(split.select(col("doc_id").as("doc_id_b"), col("split").as("sb")), "doc_id_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddling.count() == 0)
+    // The 80/20 hash actually splits (both sides populated).
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("train", 0L) > 0 && counts.getOrElse("test", 0L) > 0)
+  }
+
   test("event pipeline: sessionize -> chronological split") {
     val events = Tables.events(spark, dir)
     val sessions = Sessionize.sessions(
