@@ -55,6 +55,8 @@ object Bench {
         timed(queries.CmfQueries.partSuppPairs(spark, sfDir).count()),
       "_mat_ngram_pairs" ->
         timed(queries.DedupSimQueries.ngramPairs(spark, sfDir).count()),
+      "_mat_cluster_labels" ->
+        timed(queries.DedupSimQueries.clusterLabels(spark, sfDir).count()),
     )
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -366,34 +366,37 @@ object IvfIndex {
     import org.apache.spark.ml.functions.array_to_vector
 
     // Unit-normalize for training/assignment so euclidean k-means cells
-    // group by direction (= cosine neighborhoods). Deliberately NOT
-    // checkpointed: ml.KMeans persists an unpersisted input internally
-    // for its iterations, and the assignment transform below is a single
-    // pass — a checkpoint here would pin a second corpus-sized copy for
-    // the whole index lifetime (localCheckpoint blocks have no clean
-    // release path from the Dataset API).
+    // group by direction (= cosine neighborhoods). persist (not
+    // localCheckpoint): both the k-means iterations and the assignment
+    // pass read one snapshot — a nondeterministic corpus lineage can't
+    // diverge between them — and unpersist below releases the blocks
+    // once the assigned table is materialized (localCheckpoint blocks
+    // have no clean release path from the Dataset API).
     val c = Similarity.withUnit(corpus, idCol, vecCol)
       .withColumn("fv", array_to_vector(col("uv")))
-
-    // Quantizer quality needs only a representative sample — train on a
-    // deterministic id-hash slice (cells merely partition the search;
-    // the full corpus is still assigned and searched).
-    val trainSet =
-      if (trainFraction >= 1.0) c
-      else c.filter(pmod(xxhash64(col("id"), lit(seed)), lit(1000000))
-        < lit((trainFraction * 1000000).toLong))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("fv")
-      .fit(trainSet)
-    // Materialized: search() must pay only the probe join, never a
-    // re-assignment pass over the corpus.
-    val assigned = model.transform(c)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"),
-        col("prediction").as("cell"))
-      .localCheckpoint(true)
-    val centers = model.clusterCenters
-      .map(cc => (cc.toArray.toSeq, cc.toArray.map(x => x * x).sum)).toSeq
-    new IvfIndex(centers, assigned)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Quantizer quality needs only a representative sample — train on a
+      // deterministic id-hash slice (cells merely partition the search;
+      // the full corpus is still assigned and searched).
+      val trainSet =
+        if (trainFraction >= 1.0) c
+        else c.filter(pmod(xxhash64(col("id"), lit(seed)), lit(1000000))
+          < lit((trainFraction * 1000000).toLong))
+      val model = new KMeans()
+        .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("fv")
+        .fit(trainSet)
+      // Materialized (eager): search() must pay only the probe join,
+      // never a re-assignment pass over the corpus — and the checkpoint
+      // severs the lineage so the finally can release `c`.
+      val assigned = model.transform(c)
+        .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"),
+          col("prediction").as("cell"))
+        .localCheckpoint(true)
+      val centers = model.clusterCenters
+        .map(cc => (cc.toArray.toSeq, cc.toArray.map(x => x * x).sum)).toSeq
+      new IvfIndex(centers, assigned)
+    } finally c.unpersist()
   }
 
   /** Load an index written by [[IvfIndex.save]]. */

@@ -221,8 +221,14 @@ object TextAnalysis {
       k: Int = 5,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    // Checked cast (same contract as the CMF fit): under ANSI the engine
+    // rejects non-numeric ids; with ANSI off the cast nulls would merge
+    // every bad id into one null pseudo-document — raise instead.
+    // Expression-level (coalesce short-circuits), so no extra job.
+    val docId = coalesce(col(idCol).cast("long"),
+      raise_error(lit("bm25TopTerms: doc ids must be numeric and non-null")))
     val toks = df
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(docId.as("doc_id"),
         explode(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0))).as("tok"))
       .select(col("doc_id"), lower(col("tok")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

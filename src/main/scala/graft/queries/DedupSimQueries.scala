@@ -129,12 +129,22 @@ object DedupSimQueries {
       .orderBy("query_id", "rank")
   }
 
+  private val labelsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Near-dup component labels over [[ngramPairs]], run once per
+    * (session, dir): the iterative propagation's output is already
+    * checkpoint-backed, so the memo alone stops `dedup_clusters` and
+    * `split_leakfree` from each paying the propagation loop. */
+  def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    labelsCache.getOrElseUpdate((s, dir),
+      Dedup.clusters(ngramPairs(s, dir), "doc_id_a", "doc_id_b"))
+
   /** #19b near-dup connected components over the exact n-gram Jaccard
     * pairs: min-label propagation vs a recursive-CTE transitive closure
     * in the oracle. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.clusters(ngramPairs(s, dir), "doc_id_a", "doc_id_b")
-      .orderBy("id")
+    clusterLabels(s, dir).orderBy("id")
 
   /** #19c end-to-end keep-one dedup: the corpus rows surviving near-dup
     * clustering — one representative (the min id) per connected
@@ -153,7 +163,7 @@ object DedupSimQueries {
     * Arithmetic hash (mod-first, overflow-free) so DuckDB mirrors it. */
   def splitLeakfree(s: SparkSession, dir: String): DataFrame = {
     val corpus = withMutations(s, dir)
-    val labels = Dedup.clusters(ngramPairs(s, dir), "doc_id_a", "doc_id_b")
+    val labels = clusterLabels(s, dir)
     val labeled = corpus.join(labels, corpus("doc_id") === labels("id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))

@@ -71,6 +71,19 @@ class OpsSpec extends SparkSpec {
     assert(top2.getString(1) == "filler2")
   }
 
+  test("TextAnalysis.bm25TopTerms rejects non-numeric doc ids") {
+    // ANSI on (Spark 4 default): the engine rejects the cast; ANSI off:
+    // the coalesce guard raises. Either way an error, never a silent
+    // merge of all bad ids into one null pseudo-document.
+    val bad = Seq(("a1", "some text here"), ("a2", "other text")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.bm25TopTerms(bad, "text", "doc_id").collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("numeric") || chain.contains("CAST_INVALID_INPUT"), chain)
+  }
+
   test("TextAnalysis columns compute expected values") {
     val df = Seq((1L, "The quick brown fox, it jumped! Over 2 dogs.")).toDF("doc_id", "text")
     val r = df.select(

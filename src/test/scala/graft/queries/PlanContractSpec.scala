@@ -51,10 +51,12 @@ class PlanContractSpec extends SparkSpec {
       plan.take(2000))
   }
 
-  test("bm25 broadcasts only the corpus constants, never the vocabulary") {
-    // The (N, avgdl) single row must broadcast; the per-term df join is
-    // over the vocabulary, which at corpus scale cannot broadcast — it
-    // must stay a shuffle join on the term key.
+  test("bm25 broadcasts the corpus constants; df rides a term-keyed exchange") {
+    // The (N, avgdl) single row must broadcast, and the vocabulary df
+    // aggregation must exchange on the term key (partial-agg shape).
+    // The df JOIN strategy is deliberately NOT pinned: AQE sizes it at
+    // runtime — broadcast at bench scale, shuffle at corpus scale — and
+    // either is the right call for its scale.
     val plan = finalPlan(OpsQueries.textBm25(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       plan.take(3000))
