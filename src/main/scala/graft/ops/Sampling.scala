@@ -56,4 +56,42 @@ object Sampling {
       .filter(col("__graft_rn") <= n)
       .drop("__graft_rn")
   }
+
+  /** Temperature-weighted mixture sample: stratum g receives
+    * `(target · w_g) div Σw` rows where w_g = ⌊√cnt_g⌋ — the classic
+    * T=2 mixture re-weighting that upsamples tail strata relative to
+    * their raw share (a stratum with 100× the documents gets only 10×
+    * the quota). Rows within a stratum are the first `quota` in `order`
+    * (pass a hash column for an unbiased draw).
+    *
+    * Engine-reproducible by construction: counts are exact, IEEE sqrt
+    * is correctly rounded so ⌊√cnt⌋ is the same integer on any engine,
+    * and the quota split is integer arithmetic (no double accumulation
+    * anywhere) — total drawn ≤ target from the div flooring.
+    *
+    * Scale shape: one count aggregation (map-side partial), a broadcast
+    * of the per-stratum quota table (|strata| rows), and one bounded
+    * per-stratum top-quota window — the same single shuffle as
+    * [[stratifiedQuota]]. */
+  def temperatureQuota(
+      df: DataFrame,
+      stratumCols: Seq[String],
+      order: Seq[Column],
+      target: Long): DataFrame = {
+    require(target > 0, "target must be positive")
+    require(stratumCols.nonEmpty && order.nonEmpty, "stratum and order required")
+    val counts = df.groupBy(stratumCols.map(col): _*)
+      .agg(count(lit(1)).as("__graft_cnt"))
+      .withColumn("__graft_w", floor(sqrt(col("__graft_cnt"))).cast("long"))
+    val tot = counts.agg(sum("__graft_w").as("__graft_tw"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("__graft_quota",
+        expr(s"($target * __graft_w) div __graft_tw"))
+      .select(stratumCols.map(col) :+ col("__graft_quota"): _*)
+    val w = Window.partitionBy(stratumCols.map(col): _*).orderBy(order: _*)
+    df.join(broadcast(quotas), stratumCols)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= col("__graft_quota"))
+      .drop("__graft_rn", "__graft_quota")
+  }
 }

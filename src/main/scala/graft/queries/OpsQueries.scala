@@ -150,6 +150,19 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** #41 temperature-weighted mixture sample: per-nation quotas ∝
+    * ⌊√count⌋ (the T=2 re-weighting a multilingual/domain mix uses),
+    * rows drawn by the mod-first arithmetic hash. */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(
+      pmod(col("c_custkey"), lit(1000000L)) * lit(2654435761L) + lit(11L),
+      lit(Sampling.Buckets))
+    Sampling.temperatureQuota(Tables.customer(s, dir), Seq("c_nationkey"),
+      Seq(h, col("c_custkey")), 300L)
+      .select("c_custkey", "c_nationkey")
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   /** #40 BM25 top-5 terms per document — corpus-weighted keyword
     * extraction (idf from the full corpus, saturated tf per doc). */
   def textBm25(s: SparkSession, dir: String): DataFrame =
@@ -158,6 +171,7 @@ object OpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25"         -> (textBm25 _),
+    "sample_temperature" -> (sampleTemperature _),
     "corpus_clean"      -> (corpusClean _),
     "text_repetition"   -> (textRepetition _),
     "text_redact"       -> (textRedact _),
@@ -277,6 +291,26 @@ object OpsQueries {
 
   val oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Sql,
+    // Temperature mixture: integer weights (floor of a correctly-rounded
+    // IEEE sqrt) and integer div quotas — no double accumulation, so the
+    // mirror is exact by construction.
+    "sample_temperature" ->
+      """WITH counts AS (
+        |  SELECT c_nationkey, count(*)::BIGINT AS cnt FROM customer GROUP BY c_nationkey
+        |), wts AS (
+        |  SELECT c_nationkey, floor(sqrt(cnt))::BIGINT AS w FROM counts
+        |), tot AS (
+        |  SELECT sum(w)::BIGINT AS tw FROM wts
+        |), quotas AS (
+        |  SELECT c_nationkey, (300 * w) // tw AS quota FROM wts CROSS JOIN tot
+        |)
+        |SELECT c_custkey, c_nationkey FROM (
+        |  SELECT c.c_custkey, c.c_nationkey, q.quota,
+        |    row_number() OVER (PARTITION BY c.c_nationkey
+        |      ORDER BY ((c.c_custkey % 1000000) * 2654435761 + 11) % 1000000,
+        |        c.c_custkey) AS rn
+        |  FROM customer c JOIN quotas q USING (c_nationkey)
+        |) WHERE rn <= quota ORDER BY c_nationkey, c_custkey""".stripMargin,
     "sample_hash" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE ((event_id % 1000000) * 2654435761 + 42) % 1000000 < 250000

@@ -32,6 +32,21 @@ class SamplingSpec extends SparkSpec {
     assert(frac > 0.2 && frac < 0.4, s"fraction $frac far from 0.3")
   }
 
+  test("temperatureQuota splits the target by sqrt-count weights") {
+    import spark.implicits._
+    // 400 vs 100 rows → weights 20 vs 10 → quotas 60 vs 30 of target 90.
+    val df = ((1 to 400).map(i => ("a", i.toLong)) ++
+      (1 to 100).map(i => ("b", i.toLong))).toDF("g", "id")
+    val h = xxhash64(col("id"), lit(3L))
+    val out = Sampling.temperatureQuota(df, Seq("g"), Seq(h, col("id")), 90L)
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("a" -> 60L, "b" -> 30L), byG.toString)
+    // Deterministic: a re-evaluation draws the identical rows.
+    val again = Sampling.temperatureQuota(df, Seq("g"), Seq(h, col("id")), 90L)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+  }
+
   test("stratifiedQuota returns min(n, |stratum|) rows per stratum") {
     val cust = Tables.customer(spark, dir)
     val h = xxhash64(col("c_custkey"), lit(5L))
