@@ -57,22 +57,28 @@ object Sampling {
       .drop("__graft_rn")
   }
 
-  /** Temperature-weighted mixture sample: stratum g receives
-    * `(target · w_g) div Σw` rows where w_g = ⌊√cnt_g⌋ — the classic
-    * T=2 mixture re-weighting that upsamples tail strata relative to
-    * their raw share (a stratum with 100× the documents gets only 10×
-    * the quota). Rows within a stratum are the first `quota` in `order`
-    * (pass a hash column for an unbiased draw).
+  /** Temperature-weighted mixture sample: stratum g receives a quota
+    * proportional to w_g = ⌊√cnt_g⌋ — the classic T=2 mixture
+    * re-weighting that upsamples tail strata relative to their raw share
+    * (a stratum with 100× the documents gets only 10× the quota). The
+    * floored shares are topped up largest-remainder-first so the quotas
+    * sum to `target` exactly; the draw meets it whenever every stratum
+    * holds at least its quota (a stratum smaller than its quota yields
+    * what it has). Rows within a stratum are the first `quota` in
+    * `order` (pass a hash column for an unbiased draw).
     *
     * Engine-reproducible by construction: counts are exact, IEEE sqrt
     * is correctly rounded so ⌊√cnt⌋ is the same integer on any engine,
-    * and the quota split is integer arithmetic (no double accumulation
-    * anywhere) — total drawn ≤ target from the div flooring.
+    * and the whole quota split — div, mod, largest-remainder ranking
+    * (stratum-key tiebreak) — is integer arithmetic with no double
+    * accumulation anywhere.
     *
-    * Scale shape: one count aggregation (map-side partial), a broadcast
-    * of the per-stratum quota table (|strata| rows), and one bounded
-    * per-stratum top-quota window — the same single shuffle as
-    * [[stratifiedQuota]]. */
+    * Scale shape: one count aggregation (map-side partial), two
+    * |strata|-row side computations (the remainder ranking's global
+    * window runs over strata, never data rows), a broadcast quota
+    * table, and one per-stratum top-quota window over the data — the
+    * same single shuffle as [[stratifiedQuota]], kept group-limited by
+    * the literal `target` bound (quota ≤ target always). */
   def temperatureQuota(
       df: DataFrame,
       stratumCols: Seq[String],
@@ -80,18 +86,32 @@ object Sampling {
       target: Long): DataFrame = {
     require(target > 0, "target must be positive")
     require(stratumCols.nonEmpty && order.nonEmpty, "stratum and order required")
-    val counts = df.groupBy(stratumCols.map(col): _*)
+    val sc = stratumCols.map(col)
+    val counts = df.groupBy(sc: _*)
       .agg(count(lit(1)).as("__graft_cnt"))
       .withColumn("__graft_w", floor(sqrt(col("__graft_cnt"))).cast("long"))
     val tot = counts.agg(sum("__graft_w").as("__graft_tw"))
-    val quotas = counts.crossJoin(broadcast(tot))
-      .withColumn("__graft_quota",
-        expr(s"($target * __graft_w) div __graft_tw"))
-      .select(stratumCols.map(col) :+ col("__graft_quota"): _*)
-    val w = Window.partitionBy(stratumCols.map(col): _*).orderBy(order: _*)
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("__graft_base", expr(s"($target * __graft_w) div __graft_tw"))
+      .withColumn("__graft_rem", expr(s"($target * __graft_w) % __graft_tw"))
+    // Largest-remainder top-up: the floored bases undershoot target by
+    // exactly Σrem / Σw strata-rows; the strata with the largest
+    // remainders take one extra row each so Σquota = target.
+    val deficit = based.agg((lit(target) - sum("__graft_base")).as("__graft_deficit"))
+    val quotas = based.crossJoin(broadcast(deficit))
+      .withColumn("__graft_rrn", row_number().over(
+        Window.orderBy(col("__graft_rem").desc +: sc: _*)))
+      .withColumn("__graft_quota", col("__graft_base") +
+        when(col("__graft_rrn") <= col("__graft_deficit"), lit(1L)).otherwise(lit(0L)))
+      .select(sc :+ col("__graft_quota"): _*)
+    val w = Window.partitionBy(sc: _*).orderBy(order: _*)
     df.join(broadcast(quotas), stratumCols)
       .withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") <= col("__graft_quota"))
+      // The literal conjunct (implied by quota <= target) keeps Spark's
+      // WindowGroupLimit rewrite applicable: without a foldable bound
+      // every row of a skewed stratum would be shuffled and sorted.
+      .filter(col("__graft_rn") <= lit(target) &&
+        col("__graft_rn") <= col("__graft_quota"))
       .drop("__graft_rn", "__graft_quota")
   }
 }

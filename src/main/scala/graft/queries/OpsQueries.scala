@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{ChronoSplit, Decontaminate, Dedup, Packing, Sampling, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver wiring for the ops pack: chronological split, text analysis,
@@ -60,14 +60,19 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
-  /** #32 deterministic hash slice: the [0, 0.25) sample of events by a
-    * multiplicative hash of event_id (arithmetic, so DuckDB mirrors it
-    * exactly; production callers would pass xxhash64). */
+  /** The shared mod-first multiplicative hash every arithmetic-oracle
+    * sampling query mirrors in DuckDB: mod-first keeps the product
+    * within 63 bits at any corpus size (Spark would silently wrap on
+    * overflow while DuckDB's checked BIGINT multiply errors — mirrored
+    * arithmetic must never overflow). Production callers would pass
+    * xxhash64 instead. */
+  private def arithHash(key: Column, seed: Long): Column =
+    pmod(key, lit(1000000L)) * lit(2654435761L) + lit(seed)
+
+  /** #32 deterministic hash slice: the [0, 0.25) sample of events by
+    * the [[arithHash]] multiplicative hash of event_id. */
   def sampleHash(s: SparkSession, dir: String): DataFrame = {
-    // Mod-first keeps the product within 63 bits at any corpus size:
-    // Spark would silently wrap on overflow while DuckDB's checked
-    // BIGINT multiply errors — mirrored arithmetic must never overflow.
-    val h = pmod(col("event_id"), lit(1000000L)) * lit(2654435761L) + lit(42L)
+    val h = arithHash(col("event_id"), 42L)
     Sampling.hashSample(Tables.events(s, dir), h, 0.25)
       .select("event_id", "user_id", "event_type")
       .orderBy("event_id")
@@ -76,8 +81,7 @@ object OpsQueries {
   /** #33 stratified quota: 10 customers per nation, drawn by the same
     * multiplicative hash (custkey tiebreak). */
   def sampleStratified(s: SparkSession, dir: String): DataFrame = {
-    val h = pmod(pmod(col("c_custkey"), lit(1000000L)) * lit(2654435761L) + lit(7L),
-      lit(Sampling.Buckets))
+    val h = pmod(arithHash(col("c_custkey"), 7L), lit(Sampling.Buckets))
     Sampling.stratifiedQuota(
       Tables.customer(s, dir),
       Seq(col("c_nationkey")), Seq(h, col("c_custkey")), 10)
@@ -88,7 +92,7 @@ object OpsQueries {
   /** #34 token-budget packing: documents into ~2000-token bins across 8
     * hash buckets (arithmetic bucket hash so the oracle mirrors it). */
   def packBudget(s: SparkSession, dir: String): DataFrame = {
-    val h = pmod(col("doc_id"), lit(1000000L)) * lit(2654435761L) + lit(3L)
+    val h = arithHash(col("doc_id"), 3L)
     Packing.packByBudget(Tables.documents(s, dir), "doc_id",
       TextAnalysis.wsTokenCount(col("text")), 2000L, h, 8)
       .orderBy("doc_id")
@@ -154,9 +158,7 @@ object OpsQueries {
     * ⌊√count⌋ (the T=2 re-weighting a multilingual/domain mix uses),
     * rows drawn by the mod-first arithmetic hash. */
   def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
-    val h = pmod(
-      pmod(col("c_custkey"), lit(1000000L)) * lit(2654435761L) + lit(11L),
-      lit(Sampling.Buckets))
+    val h = pmod(arithHash(col("c_custkey"), 11L), lit(Sampling.Buckets))
     Sampling.temperatureQuota(Tables.customer(s, dir), Seq("c_nationkey"),
       Seq(h, col("c_custkey")), 300L)
       .select("c_custkey", "c_nationkey")
@@ -301,8 +303,16 @@ object OpsQueries {
         |  SELECT c_nationkey, floor(sqrt(cnt))::BIGINT AS w FROM counts
         |), tot AS (
         |  SELECT sum(w)::BIGINT AS tw FROM wts
+        |), based AS (
+        |  SELECT c_nationkey, (300 * w) // tw AS base, (300 * w) % tw AS rem
+        |  FROM wts CROSS JOIN tot
+        |), def AS (
+        |  SELECT (300 - sum(base))::BIGINT AS deficit FROM based
         |), quotas AS (
-        |  SELECT c_nationkey, (300 * w) // tw AS quota FROM wts CROSS JOIN tot
+        |  SELECT c_nationkey,
+        |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, c_nationkey)
+        |                     <= deficit THEN 1 ELSE 0 END AS quota
+        |  FROM based CROSS JOIN def
         |)
         |SELECT c_custkey, c_nationkey FROM (
         |  SELECT c.c_custkey, c.c_nationkey, q.quota,

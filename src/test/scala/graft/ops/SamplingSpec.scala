@@ -47,6 +47,34 @@ class SamplingSpec extends SparkSpec {
     assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
   }
 
+  test("temperatureQuota hits the target exactly when bases floor to zero") {
+    import spark.implicits._
+    // 200 strata × 100 rows: every base quota floors to 0 (w=10,
+    // tw=2000, 100·10 div 2000 = 0); the largest-remainder top-up must
+    // still draw exactly the target, one row from each of 100 strata
+    // (remainders all tie at 1000 → stratum-key order decides).
+    val df = (0 until 200).flatMap(g => (1 to 100).map(i =>
+      (f"s$g%03d", (g * 1000 + i).toLong))).toDF("g", "id")
+    val out = Sampling.temperatureQuota(df, Seq("g"), Seq(col("id")), 100L)
+    assert(out.count() == 100L)
+    val strata = out.select("g").distinct().as[String].collect().sorted
+    assert(strata.length == 100 && strata.head == "s000" && strata.last == "s099")
+  }
+
+  test("temperatureQuota caps the draw at the stratum size") {
+    import spark.implicits._
+    // b holds a single row; whatever quota the split assigns it, the
+    // draw returns the row it has — and a's draw equals its quota.
+    val df = ((1 to 400).map(i => ("a", i.toLong)) :+ ("b", 9999L)).toDF("g", "id")
+    // w_a=20, w_b=1, tw=21, target 100: base_a = 2000 div 21 = 95,
+    // base_b = 100 div 21 = 4, deficit 1; rem_a = 5, rem_b = 16 → b +1
+    // → quota_b = 5, but |b| = 1 → draw 1.
+    val out = Sampling.temperatureQuota(df, Seq("g"), Seq(col("id")), 100L)
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("a" -> 95L, "b" -> 1L), byG.toString)
+  }
+
   test("stratifiedQuota returns min(n, |stratum|) rows per stratum") {
     val cust = Tables.customer(spark, dir)
     val h = xxhash64(col("c_custkey"), lit(5L))

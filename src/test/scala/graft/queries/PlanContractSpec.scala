@@ -63,6 +63,14 @@ class PlanContractSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(term"), plan.take(3000))
   }
 
+  test("temperature quota window stays group-limited by the target bound") {
+    // The literal rn <= target conjunct must keep Spark's
+    // WindowGroupLimit rewrite applicable — without it a skewed stratum
+    // would fully sort instead of early-terminating at the bound.
+    val plan = finalPlan(OpsQueries.sampleTemperature(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("text stats stay in whole-stage codegen with no hash shuffle") {
     val plan = finalPlan(OpsQueries.textStats(spark, dir))
     // Codegen'd spans print as "*(n) Operator" in the physical plan.
