@@ -174,6 +174,7 @@ object OpsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25"         -> (textBm25 _),
     "sample_temperature" -> (sampleTemperature _),
+    "corpus_mix"        -> (corpusMix _),
     "corpus_clean"      -> (corpusClean _),
     "text_repetition"   -> (textRepetition _),
     "text_redact"       -> (textRedact _),
@@ -212,6 +213,55 @@ object OpsQueries {
        |        $hits
        |    FROM documents)
        |) ORDER BY doc_id""".stripMargin
+  }
+
+  /** #42 end-to-end training-mix build: language-ID every document,
+    * then draw a temperature-weighted (√count) per-language quota — the
+    * composed step that turns a raw corpus into a balanced multilingual
+    * mixture. Hash-checked end to end: lang CASE + integer quota split
+    * + arithmetic draw all mirror in DuckDB. */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("lang_id", TextAnalysis.langId(col("text")))
+    Sampling.temperatureQuota(docs, Seq("lang_id"),
+      Seq(pmod(arithHash(col("doc_id"), 19L), lit(Sampling.Buckets)), col("doc_id")),
+      200L)
+      .select("doc_id", "lang_id")
+      .orderBy("doc_id")
+  }
+
+  private lazy val corpusMixSql: String = {
+    val (hits, best, caseExpr) = langSql
+    s"""WITH langs AS (
+       |  SELECT doc_id, $caseExpr AS lang_id FROM (
+       |    SELECT doc_id, greatest($best) AS best, $best FROM (
+       |      SELECT doc_id, text,
+       |        $hits
+       |      FROM documents))
+       |), counts AS (
+       |  SELECT lang_id, count(*)::BIGINT AS cnt FROM langs GROUP BY lang_id
+       |), wts AS (
+       |  SELECT lang_id, floor(sqrt(cnt))::BIGINT AS w FROM counts
+       |), tot AS (
+       |  SELECT sum(w)::BIGINT AS tw FROM wts
+       |), based AS (
+       |  SELECT lang_id, (200 * w) // tw AS base, (200 * w) % tw AS rem
+       |  FROM wts CROSS JOIN tot
+       |), def AS (
+       |  SELECT (200 - sum(base))::BIGINT AS deficit FROM based
+       |), quotas AS (
+       |  SELECT lang_id,
+       |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang_id)
+       |                     <= deficit THEN 1 ELSE 0 END AS quota
+       |  FROM based CROSS JOIN def
+       |)
+       |SELECT doc_id, lang_id FROM (
+       |  SELECT l.doc_id, l.lang_id, q.quota,
+       |    row_number() OVER (PARTITION BY l.lang_id
+       |      ORDER BY ((l.doc_id % 1000000) * 2654435761 + 19) % 1000000,
+       |        l.doc_id) AS rn
+       |  FROM langs l JOIN quotas q USING (lang_id)
+       |) WHERE rn <= quota ORDER BY doc_id""".stripMargin
   }
 
   /** #37 per-language corpus report: doc counts, exact token-count
@@ -333,6 +383,7 @@ object OpsQueries {
         |  FROM customer
         |) WHERE rn <= 10 ORDER BY c_nationkey, c_custkey""".stripMargin,
     "corpus_stats" -> corpusStatsSql,
+    "corpus_mix" -> corpusMixSql,
     "text_repetition" ->
       """SELECT doc_id, round(CASE WHEN len(lines) = 0 THEN 0.0
         |  ELSE 1.0 - len(list_distinct(lines)) / len(lines)::DOUBLE END, 6) AS rep_ratio
