@@ -1,0 +1,58 @@
+package graft.eval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mean per-user AUC-ROC for implicit-feedback ranking — the probability
+  * that a user's relevant item outranks an irrelevant one, computed in
+  * the rank-sum (Mann-Whitney U) form:
+  *
+  *   AUC_u = (Σ_{p∈pos} rank_p − |pos|·(|pos|+1)/2) / (|pos|·|neg|)
+  *
+  * with ranks ascending by score over the user's scored items. Ties are
+  * broken by item id (a total order, so the metric is engine- and
+  * partitioning-deterministic); users with no positives or no negatives
+  * carry no signal and are excluded.
+  *
+  * Scale shape: one left join onto the (small per-user) truth set, one
+  * window rank per user, one aggregation — every arithmetic before the
+  * final mean is exact integer work (rank sums and pair counts stay far
+  * below 2^53), so the per-user AUC values are reproducible on any
+  * engine. Reference metric family: collective-als's
+  * RankingMetrics.scala (P/R/NDCG/MAP); AUC completes it for
+  * implicit-preference fits.
+  */
+object AucEvaluation {
+
+  /** One-row result: (n_users, mean_auc) over users holding at least
+    * one positive and one negative among their scored items. */
+  def evaluate(
+      pred: DataFrame,
+      truth: DataFrame,
+      userCol: String,
+      itemCol: String,
+      predCol: String): DataFrame = {
+    val t = truth.select(col(userCol).as("u"), col(itemCol).as("i"))
+      .withColumn("rel", lit(1L))
+    val scored = pred
+      .select(col(userCol).as("u"), col(itemCol).as("i"), col(predCol).as("score"))
+      .join(t, Seq("u", "i"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val w = Window.partitionBy("u").orderBy(col("score").asc, col("i").asc)
+    val perUser = scored
+      .withColumn("rnk", row_number().over(w))
+      .groupBy("u")
+      .agg(
+        sum("rel").as("npos"),
+        count(lit(1)).as("n"),
+        sum(when(col("rel") === 1L, col("rnk").cast("long")).otherwise(lit(0L)))
+          .as("rsum"))
+      .withColumn("nneg", col("n") - col("npos"))
+      .filter(col("npos") > 0 && col("nneg") > 0)
+      .withColumn("auc",
+        (col("rsum") - col("npos") * (col("npos") + lit(1L)) / lit(2.0)) /
+          (col("npos") * col("nneg")))
+    perUser.agg(count(lit(1)).as("n_users"), round(avg("auc"), 6).as("mean_auc"))
+  }
+}

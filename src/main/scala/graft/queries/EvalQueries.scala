@@ -54,12 +54,51 @@ object EvalQueries {
         round(col("map_at"), 6).as("map_at"))
   }
 
+  /** #16b mean per-user AUC-ROC on the same deterministic predictor and
+    * truth set as #16 — the implicit-feedback metric (rank-sum form). */
+  def evalAuc(s: SparkSession, dir: String): DataFrame = {
+    val inter = interactions(s, dir)
+    graft.eval.AucEvaluation.evaluate(
+      inter.select("u", "i", "score"),
+      inter.filter(col("qty") > 25).select("u", "i"),
+      "u", "i", "score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_regression" -> (evalRegression _),
     "eval_ranking"    -> (evalRanking _),
+    "eval_auc"        -> (evalAuc _),
   )
 
   val oracles: Map[String, String] = Map(
+    // AUC: every step before the final mean is integer arithmetic (rank
+    // sums, pair counts), so the per-user values mirror exactly; ties
+    // broken by item id on both engines.
+    "eval_auc" ->
+      """WITH inter AS (
+        |  SELECT o_custkey AS u, l_partkey AS i,
+        |    sum(l_extendedprice) AS score, sum(l_quantity) AS qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT u, i FROM inter WHERE qty > 25
+        |), scored AS (
+        |  SELECT r.u, r.i, r.score,
+        |    CASE WHEN t.i IS NOT NULL THEN 1 ELSE 0 END AS rel
+        |  FROM inter r LEFT JOIN truth t ON r.u = t.u AND r.i = t.i
+        |), ranked AS (
+        |  SELECT u, rel,
+        |    row_number() OVER (PARTITION BY u ORDER BY score ASC, i) AS rnk
+        |  FROM scored
+        |), per_user AS (
+        |  SELECT u, sum(rel)::BIGINT AS npos, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN rel = 1 THEN rnk ELSE 0 END)::BIGINT AS rsum
+        |  FROM ranked GROUP BY u
+        |)
+        |SELECT count(*) AS n_users,
+        |  round(avg((rsum - npos * (npos + 1) / 2.0) / (npos * (n - npos))), 6)
+        |    AS mean_auc
+        |FROM per_user WHERE npos > 0 AND npos < n""".stripMargin,
     "eval_regression" ->
       """WITH p AS (
         |  SELECT l_partkey, avg(l_quantity) AS prediction FROM lineitem GROUP BY 1
