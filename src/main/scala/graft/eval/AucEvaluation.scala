@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   *
   *   AUC_u = (Σ_{p∈pos} rank_p − |pos|·(|pos|+1)/2) / (|pos|·|neg|)
   *
-  * with ranks ascending by score over the user's scored items. Ties are
-  * broken by item id (a total order, so the metric is engine- and
-  * partitioning-deterministic); users with no positives or no negatives
-  * carry no signal and are excluded.
+  * with ranks ascending by score over the user's scored items and score
+  * ties resolved by the standard midrank (every tied row takes the
+  * average rank of its tie group) — so a tied positive/negative pair
+  * contributes the textbook 0.5, and the metric is order- and
+  * engine-deterministic without depending on item ids. Users with no
+  * positives or no negatives carry no signal and are excluded.
   *
   * Scale shape: one left join onto the (small per-user) truth set, one
   * window rank per user, one aggregation — every arithmetic before the
@@ -33,20 +35,28 @@ object AucEvaluation {
       userCol: String,
       itemCol: String,
       predCol: String): DataFrame = {
+    // distinct: duplicated truth pairs (a raw interaction log) must not
+    // multiply scored rows — same contract as RankingEvaluation.
     val t = truth.select(col(userCol).as("u"), col(itemCol).as("i"))
+      .distinct()
       .withColumn("rel", lit(1L))
     val scored = pred
       .select(col(userCol).as("u"), col(itemCol).as("i"), col(predCol).as("score"))
       .join(t, Seq("u", "i"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0L)))
-    val w = Window.partitionBy("u").orderBy(col("score").asc, col("i").asc)
+    // Midrank: rank() gives the tie group's first position; adding
+    // (tie-group size − 1)/2 averages over the group. Halves are exact
+    // in binary, so the rank sums stay engine-reproducible.
+    val w = Window.partitionBy("u").orderBy(col("score").asc)
+    val tieN = Window.partitionBy("u", "score")
     val perUser = scored
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk",
+        rank().over(w) + (count(lit(1)).over(tieN) - lit(1L)) / lit(2.0))
       .groupBy("u")
       .agg(
         sum("rel").as("npos"),
         count(lit(1)).as("n"),
-        sum(when(col("rel") === 1L, col("rnk").cast("long")).otherwise(lit(0L)))
+        sum(when(col("rel") === 1L, col("rnk")).otherwise(lit(0.0)))
           .as("rsum"))
       .withColumn("nneg", col("n") - col("npos"))
       .filter(col("npos") > 0 && col("nneg") > 0)

@@ -71,9 +71,8 @@ object EvalQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // AUC: every step before the final mean is integer arithmetic (rank
-    // sums, pair counts), so the per-user values mirror exactly; ties
-    // broken by item id on both engines.
+    // AUC: rank sums and pair counts are exact (midranks are halves,
+    // exact in binary), so the per-user values mirror exactly.
     "eval_auc" ->
       """WITH inter AS (
         |  SELECT o_custkey AS u, l_partkey AS i,
@@ -88,11 +87,12 @@ object EvalQueries {
         |  FROM inter r LEFT JOIN truth t ON r.u = t.u AND r.i = t.i
         |), ranked AS (
         |  SELECT u, rel,
-        |    row_number() OVER (PARTITION BY u ORDER BY score ASC, i) AS rnk
+        |    rank() OVER (PARTITION BY u ORDER BY score ASC)
+        |      + (count(*) OVER (PARTITION BY u, score) - 1) / 2.0 AS rnk
         |  FROM scored
         |), per_user AS (
         |  SELECT u, sum(rel)::BIGINT AS npos, count(*)::BIGINT AS n,
-        |    sum(CASE WHEN rel = 1 THEN rnk ELSE 0 END)::BIGINT AS rsum
+        |    sum(CASE WHEN rel = 1 THEN rnk ELSE 0 END) AS rsum
         |  FROM ranked GROUP BY u
         |)
         |SELECT count(*) AS n_users,

@@ -205,15 +205,44 @@ object OpsQueries {
     (hits, best, s"CASE $cases ELSE 'und' END")
   }
 
-  private val langCase: String = {
+  /** (doc_id, lang_id) relation body — the single expansion of the
+    * lang-ID argmax nesting, shared by the lang-ID oracle and every
+    * oracle needing a language column. */
+  private lazy val langRelSql: String = {
     val (hits, best, caseExpr) = langSql
     s"""SELECT doc_id, $caseExpr AS lang_id FROM (
        |  SELECT doc_id, greatest($best) AS best, $best FROM (
        |    SELECT doc_id, text,
        |        $hits
        |    FROM documents)
-       |) ORDER BY doc_id""".stripMargin
+       |)""".stripMargin
   }
+
+  private lazy val langCase: String = langRelSql + "\nORDER BY doc_id"
+
+  /** The shared integer quota-split CTE chain (√count weights,
+    * largest-remainder top-up) over `src(key)`: counts → wts → tot →
+    * based → def → quotas. Callers prepend `WITH` (plus any upstream
+    * CTEs) and append the per-stratum draw. Mirrors
+    * [[graft.ops.Sampling.temperatureQuota]] step for step. */
+  private def quotaSplitSql(src: String, key: String, target: Long): String =
+    s"""counts AS (
+       |  SELECT $key, count(*)::BIGINT AS cnt FROM $src GROUP BY $key
+       |), wts AS (
+       |  SELECT $key, floor(sqrt(cnt))::BIGINT AS w FROM counts
+       |), tot AS (
+       |  SELECT sum(w)::BIGINT AS tw FROM wts
+       |), based AS (
+       |  SELECT $key, ($target * w) // tw AS base, ($target * w) % tw AS rem
+       |  FROM wts CROSS JOIN tot
+       |), def AS (
+       |  SELECT ($target - sum(base))::BIGINT AS deficit FROM based
+       |), quotas AS (
+       |  SELECT $key,
+       |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, $key)
+       |                     <= deficit THEN 1 ELSE 0 END AS quota
+       |  FROM based CROSS JOIN def
+       |)""".stripMargin
 
   /** #42 end-to-end training-mix build: language-ID every document,
     * then draw a temperature-weighted (√count) per-language quota — the
@@ -230,31 +259,10 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
-  private lazy val corpusMixSql: String = {
-    val (hits, best, caseExpr) = langSql
+  private lazy val corpusMixSql: String =
     s"""WITH langs AS (
-       |  SELECT doc_id, $caseExpr AS lang_id FROM (
-       |    SELECT doc_id, greatest($best) AS best, $best FROM (
-       |      SELECT doc_id, text,
-       |        $hits
-       |      FROM documents))
-       |), counts AS (
-       |  SELECT lang_id, count(*)::BIGINT AS cnt FROM langs GROUP BY lang_id
-       |), wts AS (
-       |  SELECT lang_id, floor(sqrt(cnt))::BIGINT AS w FROM counts
-       |), tot AS (
-       |  SELECT sum(w)::BIGINT AS tw FROM wts
-       |), based AS (
-       |  SELECT lang_id, (200 * w) // tw AS base, (200 * w) % tw AS rem
-       |  FROM wts CROSS JOIN tot
-       |), def AS (
-       |  SELECT (200 - sum(base))::BIGINT AS deficit FROM based
-       |), quotas AS (
-       |  SELECT lang_id,
-       |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang_id)
-       |                     <= deficit THEN 1 ELSE 0 END AS quota
-       |  FROM based CROSS JOIN def
-       |)
+       |${langRelSql}
+       |), ${quotaSplitSql("langs", "lang_id", 200L)}
        |SELECT doc_id, lang_id FROM (
        |  SELECT l.doc_id, l.lang_id, q.quota,
        |    row_number() OVER (PARTITION BY l.lang_id
@@ -262,7 +270,6 @@ object OpsQueries {
        |        l.doc_id) AS rn
        |  FROM langs l JOIN quotas q USING (lang_id)
        |) WHERE rn <= quota ORDER BY doc_id""".stripMargin
-  }
 
   /** #37 per-language corpus report: doc counts, exact token-count
     * percentiles (Spark `percentile` and DuckDB `quantile_cont` share
@@ -347,23 +354,7 @@ object OpsQueries {
     // IEEE sqrt) and integer div quotas — no double accumulation, so the
     // mirror is exact by construction.
     "sample_temperature" ->
-      """WITH counts AS (
-        |  SELECT c_nationkey, count(*)::BIGINT AS cnt FROM customer GROUP BY c_nationkey
-        |), wts AS (
-        |  SELECT c_nationkey, floor(sqrt(cnt))::BIGINT AS w FROM counts
-        |), tot AS (
-        |  SELECT sum(w)::BIGINT AS tw FROM wts
-        |), based AS (
-        |  SELECT c_nationkey, (300 * w) // tw AS base, (300 * w) % tw AS rem
-        |  FROM wts CROSS JOIN tot
-        |), def AS (
-        |  SELECT (300 - sum(base))::BIGINT AS deficit FROM based
-        |), quotas AS (
-        |  SELECT c_nationkey,
-        |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, c_nationkey)
-        |                     <= deficit THEN 1 ELSE 0 END AS quota
-        |  FROM based CROSS JOIN def
-        |)
+      s"""WITH ${quotaSplitSql("customer", "c_nationkey", 300L)}
         |SELECT c_custkey, c_nationkey FROM (
         |  SELECT c.c_custkey, c.c_nationkey, q.quota,
         |    row_number() OVER (PARTITION BY c.c_nationkey
