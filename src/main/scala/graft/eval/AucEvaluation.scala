@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one left join onto the (small per-user) truth set, one
   * window rank per user, one aggregation — every arithmetic before the
-  * final mean is exact integer work (rank sums and pair counts stay far
-  * below 2^53), so the per-user AUC values are reproducible on any
-  * engine. Reference metric family: collective-als's
+  * final mean is exact (pair counts are integers and midrank sums are
+  * binary-exact halves, both far below 2^53), so the per-user AUC
+  * values are reproducible on any engine. Reference metric family: collective-als's
   * RankingMetrics.scala (P/R/NDCG/MAP); AUC completes it for
   * implicit-preference fits.
   */
