@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Multimodal, Sessionize}
-import graft.streaming.EventStream
+import graft.streaming.{EnrichStream, EventStream}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,13 +35,25 @@ object StreamMmQueries {
         round(sum("value"), 6).as("sum_value"))
       .orderBy("user_id", "session_idx")
 
+  /** #29b stream-static enrichment: events joined to the broadcast user
+    * dimension as they arrive, aggregated per (nation, event type). */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame =
+    EnrichStream.runBatchEquivalent(s, dir)
+      .orderBy("c_nationkey", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_enrich"       -> (streamEnrich _),
     "stream_window_agg"   -> (streamWindowAgg _),
     "multimodal_features" -> (multimodalFeatures _),
     "sessionize"          -> (sessionize _),
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_enrich" ->
+      """SELECT c_nationkey, event_type, count(*) AS n_events,
+        |  round(sum(value), 6) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY c_nationkey, event_type""".stripMargin,
     "stream_window_agg" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
         |  event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value

@@ -68,6 +68,17 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment equals the batch join") {
+    import graft.streaming.EnrichStream
+    val dir = "/root/testdata/sf0.001"
+    val users = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val streamed = EnrichStream.runBatchEquivalent(spark, dir)
+      .orderBy("c_nationkey", "event_type").collect().map(_.toSeq).toSeq
+    val batch = EnrichStream.enrichedAgg(Tables.events(spark, dir), users)
+      .orderBy("c_nationkey", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("hashSlice is stream-safe: the streaming slice equals the batch slice") {
     import graft.ops.Sampling
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
