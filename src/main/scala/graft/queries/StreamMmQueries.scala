@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Multimodal, Sessionize}
-import graft.streaming.{EnrichStream, EventStream}
+import graft.streaming.{EnrichStream, EventStream, JoinStream}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,7 +41,14 @@ object StreamMmQueries {
     EnrichStream.runBatchEquivalent(s, dir)
       .orderBy("c_nationkey", "event_type")
 
+  /** #29c watermarked stream-stream join: views attributed to the same
+    * user's purchases within 30 minutes. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame =
+    JoinStream.runBatchEquivalent(s, dir)
+      .orderBy("view_id", "purchase_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join"         -> (streamJoin _),
     "stream_enrich"       -> (streamEnrich _),
     "stream_window_agg"   -> (streamWindowAgg _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -49,6 +56,12 @@ object StreamMmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_join" ->
+      """SELECT a.event_id AS view_id, b.event_id AS purchase_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "stream_enrich" ->
       """SELECT c_nationkey, event_type, count(*) AS n_events,
         |  round(sum(value), 6) AS sum_value

@@ -79,6 +79,20 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("stream-stream attribution join equals the batch join") {
+    import graft.streaming.JoinStream
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, dir)
+    val streamed = JoinStream.runBatchEquivalent(spark, dir)
+      .orderBy("view_id", "purchase_id").collect().map(_.toSeq).toSeq
+    val batch = JoinStream.attributed(
+        events.filter(col("event_type") === "view"),
+        events.filter(col("event_type") === "purchase"))
+      .orderBy("view_id", "purchase_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("hashSlice is stream-safe: the streaming slice equals the batch slice") {
     import graft.ops.Sampling
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
