@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+/** Shared batch-equivalence harness for the streaming queries: one
+  * events file-stream source and one available-now memory-sink drain,
+  * so every streaming operator verifies through identical plumbing
+  * instead of each copying (and drifting) its own.
+  */
+private[streaming] object Drain {
+
+  /** The events table as a file-stream source, with the same
+    * nanos→micros ts normalization as `Tables.events` — stream and
+    * batch sides of every equivalence check read identical schemas.
+    * (The file source monitors a directory; the testdata table is a
+    * single parquet file, so the sf dir is glob-filtered to it.) */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Run `df` to completion (available-now trigger) through a memory
+    * sink and return the result. The sink's temp view is dropped after
+    * the returned Dataset resolves — the catalog entry would otherwise
+    * pin every drained result set in driver memory for the session
+    * lifetime (one leaked table per bench/verify invocation). */
+  def toMemory(df: DataFrame, mode: String, prefix: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"${prefix}_${System.nanoTime()}"
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    out
+  }
+}

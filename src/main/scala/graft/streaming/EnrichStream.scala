@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Stream-static enrichment join: each arriving event joins the static
   * user dimension — the canonical Structured Streaming enrichment shape
@@ -26,24 +25,13 @@ object EnrichStream {
       .groupBy("c_nationkey", "event_type")
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
 
-  /** Drain the events parquet through the streaming enrichment with an
-    * available-now trigger into a memory sink — the batch-equivalence
-    * harness for the SQL oracle. Complete output mode: the global
-    * aggregation re-emits every group. */
+  /** Drain the events parquet through the streaming enrichment
+    * ([[Drain]] harness) — the batch-equivalence path for the SQL
+    * oracle. Complete output mode: the global aggregation re-emits
+    * every group. */
   def runBatchEquivalent(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
     val users = graft.Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
-    val name = s"graft_enrich_${System.nanoTime()}"
-    val q = enrichedAgg(raw, users).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    Drain.toMemory(enrichedAgg(Drain.events(spark, dir), users),
+      "complete", "graft_enrich")
   }
 }

@@ -2,8 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.LongType
 
 /** Structured Streaming over the events table (SURVEY §2 #29): watermarked
   * tumbling-window aggregation, runnable either as a long-lived stream or
@@ -28,34 +26,10 @@ object EventStream {
         unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
-  /** Drain the events parquet through the streaming query with an
-    * available-now trigger into a memory sink and return the final
-    * result — the batch-equivalence harness for the SQL oracle. Uses
+  /** Drain the events parquet through the streaming query ([[Drain]]
+    * harness) — the batch-equivalence path for the SQL oracle. Uses
     * `complete` output mode so every window is emitted regardless of the
     * final watermark position. */
-  def runBatchEquivalent(spark: SparkSession, dir: String): DataFrame = {
-    val static = graft.Tables.events(spark, dir)
-    // The file-stream source wants a directory to monitor; the testdata
-    // table is a single parquet file, so monitor the sf dir filtered to it.
-    val raw = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    // Same nanos→micros normalization as Tables.events.
-    val events =
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    val name = s"graft_stream_${System.nanoTime()}"
-    val q = windowedAgg(events).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // Pin schema parity with the static path (documents the equivalence).
-    require(static.schema("ts").dataType.typeName == "timestamp")
-    spark.table(name)
-  }
+  def runBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
+    Drain.toMemory(windowedAgg(Drain.events(spark, dir)), "complete", "graft_stream")
 }

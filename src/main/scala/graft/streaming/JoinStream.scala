@@ -2,8 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.LongType
 
 /** Watermarked stream-stream inner join — the attribution shape: each
   * view event joins the same user's purchase events landing within the
@@ -37,30 +35,14 @@ object JoinStream {
   }
 
   /** Drain the events parquet through the streaming self-join (view
-    * side ⋈ purchase side of one source) with an available-now trigger
-    * into a memory sink — the batch-equivalence harness for the SQL
-    * oracle. */
+    * side ⋈ purchase side of one source) via the [[Drain]] harness —
+    * the batch-equivalence path for the SQL oracle. */
   def runBatchEquivalent(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    // Same nanos→micros normalization as Tables.events.
-    val events =
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    val name = s"graft_join_${System.nanoTime()}"
-    val q = attributed(
+    val events = Drain.events(spark, dir)
+    Drain.toMemory(
+      attributed(
         events.filter(col("event_type") === "view"),
-        events.filter(col("event_type") === "purchase"))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+        events.filter(col("event_type") === "purchase")),
+      "append", "graft_join")
   }
 }

@@ -90,6 +90,7 @@ class SourcesStreamingSpec extends SparkSpec {
         events.filter(col("event_type") === "view"),
         events.filter(col("event_type") === "purchase"))
       .orderBy("view_id", "purchase_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty, "no attribution pairs in testdata — vacuous test")
     assert(streamed == batch)
   }
 
