@@ -30,6 +30,24 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(ds.filter(_.rating >= 3.0f).count() == 2)
   }
 
+  test("TypedJsonl reads well-formed lines and quarantines corrupt ones") {
+    val dir = Files.createTempDirectory("graft_jsonl")
+    val f = dir.resolve("ratings.jsonl")
+    Files.writeString(f,
+      """{"userId": 1, "movieId": 31, "rating": 2.5, "timestamp": 1260759144}
+        |{"userId": 1, "movieId": 1029, "rating": 3.0, "timestamp": 1260759179}
+        |{"userId": 7, "movieId": 50, "rating": 4.5, "timestamp": 851866703
+        |{"userId": 9, "movieId": 60, "rating": 1.0, "timestamp": 851866999}
+        |""".stripMargin) // line 3 is truncated JSON → corrupt
+    val ds = TypedJsonl.read[Rating](spark, f.toString)
+    assert(ds.collect().map(_.userId).sorted.toSeq == Seq(1, 1, 9))
+    val (good, bad) = TypedJsonl.readWithCorrupt[Rating](spark, f.toString)
+    assert(good.count() == 3 && bad.count() == 1)
+    assert(bad.head.getString(0).contains("851866703"))
+    // Typed filter works through the encoder.
+    assert(good.filter(_.rating >= 3.0f).count() == 1)
+  }
+
   test("bucketed tables join without an exchange on either side") {
     import org.apache.spark.sql.functions.col
     val base = Files.createTempDirectory("graft_buckets")
