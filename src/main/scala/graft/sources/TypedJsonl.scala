@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, struct, to_json}
 
 import scala.reflect.runtime.universe.TypeTag
 
@@ -12,29 +12,39 @@ import scala.reflect.runtime.universe.TypeTag
   * sampling-based schema inference pass (a full extra scan at 100 TB)
   * and column pruning reaches the parser.
   *
-  * Malformed lines are quarantined, not fatal: PERMISSIVE mode routes
-  * them to a corrupt-record column, and [[readWithCorrupt]] exposes the
-  * split so a pipeline can count/inspect rejects instead of silently
-  * dropping them (DROPMALFORMED) or dying mid-scan (FAILFAST).
+  * Malformed input is quarantined, not fatal — and "malformed" covers
+  * BOTH failure shapes: JSON-syntax errors (PERMISSIVE routes them to a
+  * corrupt-record column) and syntactically-valid lines missing a
+  * required field (the parser keeps those as nulls, which would crash
+  * the non-nullable case-class encoder mid-scan; they are classified by
+  * a null-check over every field the encoder marks non-nullable).
   */
 object TypedJsonl {
 
   private val CorruptCol = "_corrupt_record"
 
-  /** Read `path` as Dataset[T], dropping malformed lines. */
+  private def requiredCols[T <: Product](enc: Encoder[T]): Seq[Column] =
+    enc.schema.fields.filter(!_.nullable).map(f => col(f.name)).toSeq
+
+  /** Read `path` as Dataset[T], dropping malformed lines — both
+    * syntax-level rejects (DROPMALFORMED) and rows whose required
+    * fields parsed to null. */
   def read[T <: Product: TypeTag](spark: SparkSession, path: String): Dataset[T] = {
     implicit val enc: Encoder[T] = Encoders.product[T]
-    spark.read
+    val df = spark.read
       .option("mode", "DROPMALFORMED")
       .schema(enc.schema)
       .json(path)
-      .as[T]
+    requiredCols(enc).foldLeft(df)((d, c) => d.filter(c.isNotNull)).as[T]
   }
 
-  /** Read `path` keeping rejects: (well-formed rows as Dataset[T],
-    * raw text of malformed lines). Spark requires the corrupt column
-    * to be cached/materialized-safe: both returned frames are plain
-    * projections of one PERMISSIVE scan. */
+  /** Read `path` keeping rejects: (well-formed rows as Dataset[T], one
+    * string per rejected line — the raw text for syntax failures, the
+    * re-serialized parse for null-required-field rows, whose raw text
+    * the parser does not retain). Both frames are projections of one
+    * PERMISSIVE scan plan; no caching, so repeated ingestion calls pin
+    * nothing in executor storage (consuming both sides costs two file
+    * passes — cache at the call site if that matters). */
   def readWithCorrupt[T <: Product: TypeTag](
       spark: SparkSession,
       path: String): (Dataset[T], DataFrame) = {
@@ -45,12 +55,15 @@ object TypedJsonl {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .schema(schema)
       .json(path)
-      .cache() // one scan; Spark forbids filtering the corrupt column on a raw scan
-    val good = raw.filter(col(CorruptCol).isNull)
-      .drop(CorruptCol)
-      .as[T]
-    val bad = raw.filter(col(CorruptCol).isNotNull)
-      .select(col(CorruptCol).as("line"))
+    // Referencing the data columns here (not only the corrupt column)
+    // keeps the plan outside Spark's corrupt-record-only query
+    // restriction, so no materialization is needed.
+    val isBad = requiredCols(enc)
+      .foldLeft(col(CorruptCol).isNotNull)((acc, c) => acc || c.isNull)
+    val good = raw.filter(!isBad).drop(CorruptCol).as[T]
+    val bad = raw.filter(isBad)
+      .select(coalesce(col(CorruptCol),
+        to_json(struct(enc.schema.fieldNames.map(col).toSeq: _*))).as("line"))
     (good, bad)
   }
 }

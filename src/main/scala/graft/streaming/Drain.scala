@@ -22,9 +22,16 @@ private[streaming] object Drain {
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    val out =
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    // Pin schema parity with the static path: every equivalence check
+    // assumes both sides see TimestampType ts — fail here with a clear
+    // message, not downstream as a confusing window mismatch.
+    require(out.schema("ts").dataType.typeName == "timestamp",
+      s"streaming events ts must normalize to timestamp, got ${out.schema("ts").dataType}")
+    out
   }
 
   /** Run `df` to completion (available-now trigger) through a memory

@@ -33,17 +33,23 @@ class SourcesStreamingSpec extends SparkSpec {
   test("TypedJsonl reads well-formed lines and quarantines corrupt ones") {
     val dir = Files.createTempDirectory("graft_jsonl")
     val f = dir.resolve("ratings.jsonl")
+    // line 3 is truncated JSON (syntax reject); line 5 is valid JSON
+    // missing required fields (null-field reject — would crash the
+    // non-nullable encoder if kept).
     Files.writeString(f,
       """{"userId": 1, "movieId": 31, "rating": 2.5, "timestamp": 1260759144}
         |{"userId": 1, "movieId": 1029, "rating": 3.0, "timestamp": 1260759179}
         |{"userId": 7, "movieId": 50, "rating": 4.5, "timestamp": 851866703
         |{"userId": 9, "movieId": 60, "rating": 1.0, "timestamp": 851866999}
-        |""".stripMargin) // line 3 is truncated JSON → corrupt
+        |{"userId": 5, "movieId": 77}
+        |""".stripMargin)
     val ds = TypedJsonl.read[Rating](spark, f.toString)
     assert(ds.collect().map(_.userId).sorted.toSeq == Seq(1, 1, 9))
     val (good, bad) = TypedJsonl.readWithCorrupt[Rating](spark, f.toString)
-    assert(good.count() == 3 && bad.count() == 1)
-    assert(bad.head.getString(0).contains("851866703"))
+    assert(good.count() == 3 && bad.count() == 2)
+    val lines = bad.collect().map(_.getString(0))
+    assert(lines.exists(_.contains("851866703"))) // raw text of the syntax reject
+    assert(lines.exists(_.contains("77")))        // re-serialized null-field reject
     // Typed filter works through the encoder.
     assert(good.filter(_.rating >= 3.0f).count() == 1)
   }
