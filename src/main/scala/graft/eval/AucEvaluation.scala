@@ -40,8 +40,16 @@ object AucEvaluation {
     val t = truth.select(col(userCol).as("u"), col(itemCol).as("i"))
       .distinct()
       .withColumn("rel", lit(1L))
+    // pred dedups too: duplicate (user, item) prediction rows (a scorer
+    // run twice, a union'd log) would each be ranked and counted, skewing
+    // rank sums and pair counts. max(score) keeps the dedup deterministic.
+    // Cost: one (u,i)-keyed exchange with map-side partial aggregation
+    // ahead of the user-keyed rank window — correctness of an eval metric
+    // over untrusted input is worth the extra hop.
     val scored = pred
       .select(col(userCol).as("u"), col(itemCol).as("i"), col(predCol).as("score"))
+      .groupBy("u", "i")
+      .agg(max("score").as("score"))
       .join(t, Seq("u", "i"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0L)))
     // Midrank: rank() gives the tie group's first position; adding

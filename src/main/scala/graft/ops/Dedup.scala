@@ -84,6 +84,16 @@ object Dedup {
     * Jaccard = |∩| / (|A|+|B|−|∩|) is exact integer arithmetic, so the
     * result is engine-reproducible (SQL-oracle-able).
     *
+    * '''Default behavior note''': `maxShingleDf` defaults to 1000, so
+    * Jaccard is computed over the df ≤ 1000 shingle space by default —
+    * head shingles (boilerplate, stop-phrase n-grams) are excluded from
+    * both the intersection and the size denominators, symmetrically (see
+    * [[dfCapped]]). This is the scale-safe production default: without it
+    * a single hot shingle generates df² candidate pairs. Callers who need
+    * the textbook all-shingles Jaccard must pass
+    * `maxShingleDf = Int.MaxValue` explicitly and accept the quadratic
+    * hot-shingle risk.
+    *
     * Returns (idCol_a, idCol_b, jaccard) with idCol_a < idCol_b.
     */
   def ngramJaccard(
@@ -99,21 +109,27 @@ object Dedup {
     // JVM shingle explode; the inverted-index join runs on the 64-bit
     // shingle hash so the shuffle carries 8-byte keys, not n-gram strings
     // (collisions are ~|vocabⁿ|²/2⁶⁴ — immaterial).
-    // Materialized once (localCheckpoint): the plan consumes it on the
-    // df-cap aggregation plus three downstream branches (per-doc sizes +
-    // both self-join sides) and would otherwise re-run the shingling pass
-    // per branch.
-    val raw = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    // Materialized once: the index is consumed by the df-cap aggregation
+    // plus three downstream branches (per-doc sizes + both self-join
+    // sides) and would otherwise re-run the shingling pass per branch.
+    // Only the table the downstream branches actually consume is
+    // localCheckpointed (checkpoint blocks have no release path); when
+    // the cap binds, the raw pre-cap index is persist()ed just long
+    // enough to feed the capped materialization, then unpersisted.
+    val rawPlan = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .filter(col("t").isNotNull) // null text would NPE in the JVM shingler
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         shinglesJvm(t, nn).map(s => (id, Hashing.xxh64(s, 42L)))
       })
       .toDF("id", "shingle")
-      .localCheckpoint(true)
     val sh =
-      if (maxShingleDf == Int.MaxValue) raw // cap cannot bind — skip the df pass
-      else dfCapped(raw, maxShingleDf).localCheckpoint(true)
+      if (maxShingleDf == Int.MaxValue) rawPlan.localCheckpoint(true) // cap cannot bind — skip the df pass
+      else {
+        val raw = rawPlan.persist()
+        try dfCapped(raw, maxShingleDf).localCheckpoint(true) // eager: materializes while raw is cached
+        finally raw.unpersist(false)
+      }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a")
     val b = sh.as("b")

@@ -91,9 +91,16 @@ object Sampling {
       .agg(count(lit(1)).as("__graft_cnt"))
       .withColumn("__graft_w", floor(sqrt(col("__graft_cnt"))).cast("long"))
     val tot = counts.agg(sum("__graft_w").as("__graft_tw"))
+    // The target·w product runs in DECIMAL(38,0): with Long arithmetic a
+    // large target times a heavy stratum's weight (w = ⌊√cnt⌋ reaches
+    // ~1e6 at 1e12-row strata) can exceed Long.MaxValue and Spark wraps
+    // silently, corrupting every quota. The div/mod results are ≤ target
+    // resp. < tw, so the BIGINT casts back are always exact.
     val based = counts.crossJoin(broadcast(tot))
-      .withColumn("__graft_base", expr(s"($target * __graft_w) div __graft_tw"))
-      .withColumn("__graft_rem", expr(s"($target * __graft_w) % __graft_tw"))
+      .withColumn("__graft_base", expr(
+        s"CAST((CAST($target AS DECIMAL(38,0)) * __graft_w) div __graft_tw AS BIGINT)"))
+      .withColumn("__graft_rem", expr(
+        s"CAST((CAST($target AS DECIMAL(38,0)) * __graft_w) % __graft_tw AS BIGINT)"))
     // Largest-remainder top-up: the floored bases undershoot target by
     // exactly Σrem / Σw strata-rows; the strata with the largest
     // remainders take one extra row each so Σquota = target.

@@ -48,9 +48,16 @@ private[streaming] object Drain {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    val out = spark.table(name)
-    spark.catalog.dropTempView(name)
-    out
+    // The finally arm covers the failure path: a query that throws from
+    // awaitTermination would otherwise leak its handle and one memory-sink
+    // catalog entry per failed drain. (On success the resolved Dataset
+    // stays valid after the view is dropped.)
+    try {
+      q.awaitTermination()
+      spark.table(name)
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView(name)
+    }
   }
 }
