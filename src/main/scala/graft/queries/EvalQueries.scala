@@ -82,9 +82,13 @@ object EvalQueries {
         |), truth AS (
         |  SELECT u, i FROM inter WHERE qty > 25
         |), scored AS (
-        |  SELECT r.u, r.i, r.score,
-        |    CASE WHEN t.i IS NOT NULL THEN 1 ELSE 0 END AS rel
+        |  -- mirror the Spark side's (u,i) pred dedup (max score). inter is
+        |  -- already grouped by (u,i) so this is a no-op today, but it keeps
+        |  -- the oracle faithful if the pred feed ever carries duplicates.
+        |  SELECT r.u, r.i, max(r.score) AS score,
+        |    max(CASE WHEN t.i IS NOT NULL THEN 1 ELSE 0 END) AS rel
         |  FROM inter r LEFT JOIN truth t ON r.u = t.u AND r.i = t.i
+        |  GROUP BY r.u, r.i
         |), ranked AS (
         |  SELECT u, rel,
         |    rank() OVER (PARTITION BY u ORDER BY score ASC)

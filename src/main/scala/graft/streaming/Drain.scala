@@ -56,7 +56,11 @@ private[streaming] object Drain {
       q.awaitTermination()
       spark.table(name)
     } finally {
-      if (q.isActive) q.stop()
+      // stop() can itself throw (e.g. the stream already died); isolate it
+      // so the view is always dropped and a primary awaitTermination
+      // failure is never masked by the cleanup.
+      try { if (q.isActive) q.stop() }
+      catch { case e: Exception => Console.err.println(s"[graft] drain stop($name) failed: $e") }
       spark.catalog.dropTempView(name)
     }
   }

@@ -76,7 +76,8 @@ class OpsSpec extends SparkSpec {
       (1L, 10L, 4.0), (1L, 11L, 3.0), (1L, 12L, 2.0), (1L, 13L, 1.0),
       (2L, 10L, 4.0), (2L, 11L, 3.0), (2L, 12L, 2.0), (2L, 13L, 1.0),
       (3L, 10L, 1.0), // all-positive user: no negatives → excluded
-      (4L, 20L, 3.0), (4L, 21L, 3.0) // tied positive/negative pair
+      (4L, 20L, 3.0), (4L, 21L, 3.0), // tied positive/negative pair
+      (2L, 13L, 0.5) // duplicate pred (u,i): max-score dedup keeps 1.0
     ).toDF("u", "i", "score")
     // user 1's truth pair is duplicated: dedup must keep the AUC exact.
     val truth = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 13L),
@@ -84,6 +85,8 @@ class OpsSpec extends SparkSpec {
     val r = AucEvaluation.evaluate(pred, truth, "u", "i", "score").head
     // user 1: positives hold asc-ranks {3,4} → (7 − 3)/(2·2) = 1.0
     // user 2: positive holds asc-rank 1 → (1 − 1)/(1·3) = 0.0
+    //   (the duplicate (2,13,0.5) pred row must dedup to max=1.0, not
+    //   rank as a fifth row — without dedup user 2's AUC would shift)
     // user 4: tied pair → midranks 1.5 each → (1.5 − 1)/(1·1) = 0.5
     assert(r.getLong(0) == 3 && r.getDouble(1) == 0.5, r.toString)
   }
