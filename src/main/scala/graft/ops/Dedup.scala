@@ -412,6 +412,57 @@ object Dedup {
     labels
   }
 
+  /** Paragraph-level exact dedup (the CCNet-style corpus-cleaning pass:
+    * boilerplate paragraphs repeated across documents are kept only at
+    * their first corpus-wide occurrence).
+    *
+    * Each document splits into paragraphs on `sep`; blank paragraphs are
+    * ignored. A distinct paragraph survives only in the document/position
+    * where it first occurs (minimum (id, position) — a total order, so
+    * the output is deterministic). Surviving paragraphs are reassembled
+    * in their original order; a document whose every paragraph occurred
+    * earlier vanishes from the output.
+    *
+    * Scale shape: the winner election never moves bodies — the exploded
+    * side is projected to (id, pos, md5(paragraph)) before its exchange,
+    * so the groupBy shuffles 16-byte keys with map-side partial
+    * aggregation, and the per-document kept-position list (a handful of
+    * ints) is what joins back. Document bodies cross the wire exactly
+    * once, on that final id-keyed join, where the text is re-split and
+    * filtered in place by a codegen'd higher-order function.
+    *
+    * Output: (idCol, clean_text, n_kept, n_dropped), one row per
+    * document retaining at least one paragraph.
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val parts = split(col(textCol), sepRe)
+    // slim election stream: bodies die at the md5 projection
+    val slim = df
+      .select(col(idCol), posexplode(parts).as(Seq("pos", "para")))
+      .filter(trim(col("para")) =!= "")
+      .select(col(idCol), col("pos"), md5(col("para")).as("h"))
+    val keptPos = slim
+      .groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+      .select(col("w")(idCol).as(idCol), col("w")("pos").as("pos"))
+      .groupBy(idCol)
+      .agg(collect_list("pos").as("kept_pos"))
+    val nonblank = filter(parts, p => trim(p) =!= "")
+    df.join(keptPos, Seq(idCol))
+      .select(
+        col(idCol),
+        array_join(
+          filter(parts, (p, i) => array_contains(col("kept_pos"), i)), sep)
+          .as("clean_text"),
+        size(col("kept_pos")).cast("long").as("n_kept"),
+        (size(nonblank) - size(col("kept_pos"))).cast("long").as("n_dropped"))
+  }
+
   /** Rows of `df` surviving near-dup clustering: one representative (the
     * minimum id) per connected component of `pairs`, plus every row that
     * appears in no pair. */

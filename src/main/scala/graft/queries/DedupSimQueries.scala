@@ -175,6 +175,29 @@ object DedupSimQueries {
       .orderBy("doc_id")
   }
 
+  /** Planted multi-paragraph corpus: document d's text becomes
+    * lag ∥ own ∥ lead joined by blank lines (concat_ws skips the null
+    * lag/lead at the corpus edges on both engines), so every base text
+    * appears as a paragraph in up to three documents — the repeated-
+    * boilerplate shape paragraph dedup exists for. The window is
+    * harness-side corpus planting, not the operator. */
+  def withParagraphCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat_ws("\n\n",
+        lag("text", 1).over(w), col("text"), lead("text", 1).over(w)).as("text"))
+  }
+
+  /** #19e paragraph-level exact dedup: first corpus-wide occurrence of
+    * every distinct paragraph survives, documents reassemble around the
+    * survivors. Deterministic (min (doc, pos) election), so the cleaned
+    * texts hash-check against DuckDB. */
+  def paraDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.paragraphDedup(withParagraphCorpus(s, dir), "text", "doc_id")
+      .orderBy("doc_id")
+
   /** #24b IVF-bucketed ANN for the same query set (recall-bounded in
     * SimilaritySpec against #23). */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -195,6 +218,7 @@ object DedupSimQueries {
     "dedup_minhash_containment" -> (dedupMinhashContainment _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
+    "para_dedup"          -> (paraDedup _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "sim_bruteforce_topk" -> (simBruteforceTopK _),
     "sim_ann_lsh"         -> (simAnnLsh _),
@@ -224,6 +248,36 @@ object DedupSimQueries {
         |  FROM corpus LEFT JOIN labels ON corpus.doc_id = labels.id
         |) ORDER BY doc_id""".stripMargin),
     "dedup_ngram_jaccard" -> ngramTruthSql(Some(10)),
+    // Paragraph dedup: winner election is a total order over (doc, pos),
+    // so the cleaned corpus mirrors exactly. The oracle elects with a
+    // row_number window where Spark uses min(struct) — same winners.
+    "para_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, concat_ws(chr(10)||chr(10),
+        |    lag(text) OVER (ORDER BY doc_id), text,
+        |    lead(text) OVER (ORDER BY doc_id)) AS text
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM corpus
+        |), paras AS (
+        |  SELECT doc_id, g.i - 1 AS pos, ps[g.i] AS para
+        |  FROM parts, LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) g
+        |  WHERE trim(ps[g.i]) <> ''
+        |), winners AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |    FROM paras) WHERE rn = 1
+        |), tot AS (SELECT doc_id, count(*) AS n_tot FROM paras GROUP BY doc_id)
+        |SELECT k.doc_id,
+        |  string_agg(k.para, chr(10)||chr(10) ORDER BY k.pos) AS clean_text,
+        |  count(*)::BIGINT AS n_kept,
+        |  (any_value(t.n_tot) - count(*))::BIGINT AS n_dropped
+        |FROM paras k
+        |JOIN winners w ON k.doc_id = w.doc_id AND k.pos = w.pos
+        |JOIN tot t ON k.doc_id = t.doc_id
+        |GROUP BY k.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // Containment: the Spark side is truth ∩ candidates; the oracle is
     // the full truth list, so any banding-dropped pair hash-mismatches.
     // Uncapped truth — signatures hash the full shingle sets.
