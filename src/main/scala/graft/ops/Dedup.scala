@@ -445,7 +445,7 @@ object Dedup {
     val slim = df
       .select(col(idCol), posexplode(parts).as(Seq("pos", "para")))
       .filter(trim(col("para")) =!= "")
-      .select(col(idCol), col("pos"), md5(col("para")).as("h"))
+      .select(col(idCol), col("pos"), unhex(md5(col("para"))).as("h"))
     val keptPos = slim
       .groupBy("h")
       .agg(min(struct(col(idCol), col("pos"))).as("w"))

@@ -277,7 +277,7 @@ object DedupSimQueries {
         |JOIN winners w ON k.doc_id = w.doc_id AND k.pos = w.pos
         |JOIN tot t ON k.doc_id = t.doc_id
         |GROUP BY k.doc_id
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY k.doc_id""".stripMargin,
     // Containment: the Spark side is truth ∩ candidates; the oracle is
     // the full truth list, so any banding-dropped pair hash-mismatches.
     // Uncapped truth — signatures hash the full shingle sets.

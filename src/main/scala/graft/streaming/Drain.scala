@@ -61,7 +61,10 @@ private[streaming] object Drain {
       // failure is never masked by the cleanup.
       try { if (q.isActive) q.stop() }
       catch { case e: Exception => Console.err.println(s"[graft] drain stop($name) failed: $e") }
-      spark.catalog.dropTempView(name)
+      // dropTempView can throw too (e.g. session state already torn down);
+      // same isolation so it never masks a primary awaitTermination failure.
+      try { spark.catalog.dropTempView(name) }
+      catch { case e: Exception => Console.err.println(s"[graft] drain dropTempView($name) failed: $e") }
     }
   }
 }

@@ -123,6 +123,41 @@ class NearDupSpec extends SparkSpec {
     assert(got.forall(_._2 == 0L), s"non-root labels: ${got.filter(_._2 != 0L).take(5).toSeq}")
   }
 
+  test("paragraphDedup elects first (id,pos) occurrence; full-dup doc vanishes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\n\nshared para\n\ngamma"),
+      (2L, "shared para\n\ndelta"), // 'shared para' first occurred at (1,1)
+      (3L, "shared para"),          // every paragraph seen earlier → doc vanishes
+      (5L, "solo\n\nsolo"))         // intra-doc repeat: only pos 0 survives
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("alpha beta\n\nshared para\n\ngamma", 3L, 0L)))
+    assert(out(2L) == (("delta", 1L, 1L)))
+    assert(!out.contains(3L), "fully-duplicated doc must vanish")
+    assert(out(5L) == (("solo", 1L, 1L)))
+  }
+
+  test("paragraphDedup ignores blank paragraphs and excludes them from n_dropped") {
+    import spark.implicits._
+    // "\n\n\n\n" yields an empty middle part; it is neither kept nor
+    // counted as dropped, and the reassembled text has no blank slot.
+    val docs = Seq((1L, "epsilon\n\n\n\nzeta")).toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(docs, "text", "doc_id").collect().head
+    assert(r.getString(1) == "epsilon\n\nzeta")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 0L)
+  }
+
+  test("paragraphDedup honors a custom (regex-metachar) separator") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa|bb"), (2L, "bb|cc")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "text", "doc_id", sep = "|")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("aa|bb", 2L, 0L)))
+    assert(out(2L) == (("cc", 1L, 1L)))
+  }
+
   test("keepRepresentatives keeps one doc per planted near-dup component") {
     val pairs = Dedup.minHashLsh(corpus, "text", "doc_id", 3, 32, 8, 0.6)
     val kept = Dedup.keepRepresentatives(corpus, pairs, "doc_id", "doc_id_a", "doc_id_b")
