@@ -300,6 +300,24 @@ final class LshIndex private[ops] (
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** The raw candidate pairs the bucket join surfaces for `queries` —
+    * [[search]] before re-rank, as distinct (query_id, neighbor_id).
+    * This is the audit surface: at a saturating design point (e.g.
+    * planes = 512, bands = 64 → a cosine-0.9 neighbor is missed with
+    * probability (1 − p⁸)⁶⁴ ≈ 3·10⁻¹⁰, p = 1 − θ/π), the true top-k
+    * must be contained in these pairs, which a driver query checks by
+    * semi-joining exact truth against them (same pattern as
+    * `Dedup.minHashCandidates`). */
+  def candidates(queries: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = Similarity.banded(
+      Similarity.normalized(queries, idCol, vecCol), planes, bands, "q")
+    val c = bandedCorpus
+    q.join(c,
+        q("band") === c("band") && q("bkey") === c("bkey") && col("qid") =!= col("cid"))
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
   /** Persist: banded corpus as parquet, planes + band count as JSON. */
   def save(path: String): Unit = {
     val spark = bandedCorpus.sparkSession

@@ -119,13 +119,26 @@ object DedupSimQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** #24 LSH-bucketed ANN for the same query set (recall-bounded in
-    * SimilaritySpec against #23). */
+  /** #24 LSH ANN banding completeness, driver-hash-checked (the ANN twin
+    * of [[dedupMinhashContainment]]): over the planted-mutation vectors,
+    * every true top-5 neighbor at cosine ≥ 0.9 (= the planted ~0.93
+    * pairs — the natural pair space tops out near 0.51) must surface
+    * among the bucket-join candidates. The Spark side semi-joins exact
+    * truth against [[graft.ops.LshIndex.candidates]] while the oracle
+    * recomputes the full truth, so the hash matches iff banding dropped
+    * no true high-cosine neighbor. Design point planes = 512, bands = 64
+    * (r = 8): P(miss | cos ≥ 0.9) = (1 − p⁸)⁶⁴ ≤ 3·10⁻¹⁰ per row.
+    * Realistic (sparser) design points stay recall-bounded in
+    * SimilaritySpec. */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.lshTopK(
-      e.filter(pmod(col("vec_id"), lit(50)) === 0), e, "vec_id", "embedding", 5,
-      planes = 16, bands = 8)
+    val e = withVecMutations(s, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val idx = graft.ops.LshIndex.build(e, "vec_id", "embedding",
+      planes = 512, bands = 64, materialize = false)
+    Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .filter(col("cosine") >= 0.9)
+      .join(idx.candidates(q, "vec_id", "embedding"),
+        Seq("query_id", "neighbor_id"), "left_semi")
       .orderBy("query_id", "rank")
   }
 
@@ -198,13 +211,19 @@ object DedupSimQueries {
     Dedup.paragraphDedup(withParagraphCorpus(s, dir), "text", "doc_id")
       .orderBy("doc_id")
 
-  /** #24b IVF-bucketed ANN for the same query set (recall-bounded in
-    * SimilaritySpec against #23). */
+  /** #24b IVF ANN exhaustive-probe audit, driver-hash-checked: at
+    * nprobe = nlist every cell is probed, so the output must equal
+    * brute-force top-k EXACTLY — which holds iff the k-means cell
+    * assignment is a partition of the corpus (a dropped vector loses a
+    * true neighbor; a double-assigned one occupies two ranks) and the
+    * probe ranking + exact re-rank are deterministic. The oracle is the
+    * brute-force SQL. Realistic nprobe < nlist recall stays bounded in
+    * SimilaritySpec. */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.ivfTopK(
       e.filter(pmod(col("vec_id"), lit(50)) === 0), e, "vec_id", "embedding", 5,
-      nlist = 32, nprobe = 8)
+      nlist = 32, nprobe = 32)
       .orderBy("query_id", "rank")
   }
 
@@ -310,20 +329,48 @@ object DedupSimQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.7
         |ORDER BY vec_id_a, vec_id_b""".stripMargin,
-    "sim_bruteforce_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    "sim_bruteforce_topk" -> bruteForceTopkSql,
+    // Exhaustive-probe IVF must reproduce brute force exactly (see
+    // simAnnIvf): same oracle.
+    "sim_ann_ivf" -> bruteForceTopkSql,
+    // LSH containment truth: brute-force top-5 over the planted-mutation
+    // corpus, restricted to the high-cosine (planted) rows the design
+    // point guarantees — rank is computed over ALL neighbors first, then
+    // filtered, mirroring bruteForceTopK().filter on the Spark side.
+    "sim_ann_lsh" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    embedding[1:56]::DOUBLE[] || [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
         |  FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM base
         |)
-        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine,
+        |    round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine,
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_inner_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
-        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |) WHERE rank <= 5 AND cosine >= 0.9 ORDER BY query_id, rank""".stripMargin,
   )
+
+  /** Exact cosine top-5 for the 1-in-50 query set — the truth for the
+    * brute-force query itself and the exhaustive-probe IVF audit. */
+  private lazy val bruteForceTopkSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |)
+      |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_inner_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+      |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+      |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Shared WITH RECURSIVE prefix: planted-mutation corpus → df-capped
     * shingle index → exact j ≥ 0.6 pairs → undirected edges → transitive
