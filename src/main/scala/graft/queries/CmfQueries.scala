@@ -73,35 +73,79 @@ object CmfQueries {
       .select(col("cust"), col("part"), col("prediction"))
   }
 
+  private val nonnegPredCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Nonnegative fit + predict output, materialized once per
+    * (session, dir): consumed by the #11 predict query and its #11b
+    * shape audit. */
+  private def nonnegPredict(s: SparkSession, dir: String): DataFrame =
+    nonnegPredCache.getOrElseUpdate((s, dir), {
+      val ratings = custPartRatings(s, dir)
+      val model = new CollectiveALS("cust", "part")
+        .setRank(8).setMaxIter(3).setRegParam(0.1).setNonnegative(true).setSeed(42L)
+        .fit(ratings)
+      model.predict(ratings)
+        .select(col("cust"), col("part"), col("prediction"))
+        .localCheckpoint(true)
+    })
+
   /** #11: nonnegative (NNLS-solved) explicit fit + predict — factors are
     * constrained to the first quadrant; the spec asserts nonnegativity
     * and fit quality, the driver checks rows. */
-  def alsNonnegative(s: SparkSession, dir: String): DataFrame = {
-    val ratings = custPartRatings(s, dir)
-    val model = new CollectiveALS("cust", "part")
-      .setRank(8).setMaxIter(3).setRegParam(0.1).setNonnegative(true).setSeed(42L)
-      .fit(ratings)
-    model.predict(ratings)
-      .select(col("cust"), col("part"), col("prediction"))
-  }
+  def alsNonnegative(s: SparkSession, dir: String): DataFrame =
+    nonnegPredict(s, dir)
+
+  /** #11b nonnegative predict shape, sql-decidable without factor
+    * values: every training row scores exactly once, no NaN (every id
+    * was fit), and — the NNLS invariant — no negative prediction: a dot
+    * product of first-quadrant factors cannot go below zero, float
+    * rounding included (a sum of nonnegative products never rounds
+    * negative). NaN guards itself: NaN < 0 is false under Spark's
+    * NaN-is-largest ordering, so n_nan and n_neg stay independent. */
+  def alsNonnegShape(s: SparkSession, dir: String): DataFrame =
+    nonnegPredict(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(isnan(col("prediction")), 1L).otherwise(0L)).as("n_nan"),
+      sum(when(col("prediction") < 0, 1L).otherwise(0L)).as("n_neg"))
+
+  private val cmfPredCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** #10: three-entity collective fit — customer→part ratings share the
     * part factors with part→supplier attributes; predict on both
-    * relations. */
-  def cmfFitPredict(s: SparkSession, dir: String): DataFrame = {
-    val r1 = custPartRatings(s, dir)
-    val r2 = partSuppPairs(s, dir)
-    val model = new CollectiveALS("cust", "part", "supp")
-      .setRank(8).setMaxIter(3).setRegParam(0.1).setSeed(42L)
-      .fit(("cust", "part") -> r1, ("part", "supp") -> r2)
-    val p1 = model.predict(r1, "cust", "part")
-      .select(lit("cust_part").as("relation"),
-        col("cust").as("left_id"), col("part").as("right_id"), col("prediction"))
-    val p2 = model.predict(r2, "part", "supp")
-      .select(lit("part_supp").as("relation"),
-        col("part").as("left_id"), col("supp").as("right_id"), col("prediction"))
-    p1.unionAll(p2)
-  }
+    * relations. Materialized once per (session, dir): the #10 predict
+    * query and its #10c shape audit read one fit, not two. */
+  def cmfFitPredict(s: SparkSession, dir: String): DataFrame =
+    cmfPredCache.getOrElseUpdate((s, dir), {
+      val r1 = custPartRatings(s, dir)
+      val r2 = partSuppPairs(s, dir)
+      val model = new CollectiveALS("cust", "part", "supp")
+        .setRank(8).setMaxIter(3).setRegParam(0.1).setSeed(42L)
+        .fit(("cust", "part") -> r1, ("part", "supp") -> r2)
+      val p1 = model.predict(r1, "cust", "part")
+        .select(lit("cust_part").as("relation"),
+          col("cust").as("left_id"), col("part").as("right_id"), col("prediction"))
+      val p2 = model.predict(r2, "part", "supp")
+        .select(lit("part_supp").as("relation"),
+          col("part").as("left_id"), col("supp").as("right_id"), col("prediction"))
+      p1.unionAll(p2).localCheckpoint(true)
+    })
+
+  /** #10c collective predict coverage shape, sql-decidable: per
+    * relation, every training pair scores exactly once with zero NaN
+    * (both relations' ids are all incident to the fit), and the
+    * distinct left/right id counts match the training relation's —
+    * catches a predict join that drops, duplicates, or cold-starts ids
+    * on either relation of the multi-entity model. */
+  def cmfPredictShape(s: SparkSession, dir: String): DataFrame =
+    cmfFitPredict(s, dir)
+      .groupBy("relation")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(isnan(col("prediction")), 1L).otherwise(0L)).as("n_nan"),
+        count_distinct(col("left_id")).as("n_left"),
+        count_distinct(col("right_id")).as("n_right"))
+      .orderBy("relation")
 
   /** #9+#10: three-entity *implicit* (Hu-Koren) collective fit — the
     * driver-side exercise of the per-relation YtY mask merge: the shared
@@ -165,6 +209,8 @@ object CmfQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recommend_topk_shape" -> (recommendTopKShape _),
     "als_predict_shape" -> (alsPredictShape _),
+    "als_nonneg_shape" -> (alsNonnegShape _),
+    "cmf_predict_shape" -> (cmfPredictShape _),
     "als_explicit"    -> (alsExplicit _),
     "als_implicit"    -> (alsImplicit _),
     "als_nonnegative" -> (alsNonnegative _),
@@ -194,5 +240,26 @@ object CmfQueries {
         |  SELECT o_custkey AS cust, l_partkey AS part
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |  GROUP BY 1, 2)""".stripMargin,
+    "als_nonneg_shape" ->
+      """SELECT count(*) AS n_rows, 0::BIGINT AS n_nan, 0::BIGINT AS n_neg
+        |FROM (
+        |  SELECT o_custkey AS cust, l_partkey AS part
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)""".stripMargin,
+    "cmf_predict_shape" ->
+      """SELECT * FROM (
+        |  SELECT 'cust_part' AS relation, count(*) AS n_rows,
+        |    0::BIGINT AS n_nan,
+        |    count(DISTINCT o_custkey) AS n_left,
+        |    count(DISTINCT l_partkey) AS n_right
+        |  FROM (
+        |    SELECT o_custkey, l_partkey
+        |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |    GROUP BY 1, 2)
+        |  UNION ALL
+        |  SELECT 'part_supp', count(*), 0::BIGINT,
+        |    count(DISTINCT l_partkey), count(DISTINCT l_suppkey)
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |) ORDER BY relation""".stripMargin,
   )
 }
