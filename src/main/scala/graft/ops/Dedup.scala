@@ -463,6 +463,78 @@ object Dedup {
         (size(nonblank) - size(col("kept_pos"))).cast("long").as("n_dropped"))
   }
 
+  /** Substring-level cross-document span overlap via content-sampled
+    * character k-grams — the finer-than-paragraph granularity (the
+    * detection side of substring dedup à la Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): two documents sharing
+    * any sufficiently long literal span surface as a pair regardless of
+    * paragraph or sentence boundaries.
+    *
+    * Every k-char window is hashed and a deterministic content-defined
+    * sample kept: grams whose md5 hex starts with `selPrefix` (rate
+    * 16^-|selPrefix|). Selection depends only on gram CONTENT, so two
+    * documents sharing a span select identical grams — no alignment
+    * problem (a positional stride would sample misaligned windows) —
+    * and a shared span of length L ≥ k contributes ~(L−k+1)·16^-p
+    * expected shared selections. Defaults (k = 40, one hex digit,
+    * minShared = 3) detect spans ≳ 100 chars with high probability;
+    * the selection is exactly reproducible on any engine that computes
+    * md5 of the same substring, so the operator is SQL-oracle-able
+    * with zero flakiness (sensitivity is a property, not a race).
+    *
+    * Scale shape: document bodies die at the (id, 16-byte hash)
+    * projection — the exchange carries one row per selected gram
+    * (16^-p of positions), never text. A single aggregation keeps only
+    * grams with document-frequency in [2, maxGramDf]: singletons can't
+    * form a pair, and hot grams (runaway boilerplate) would contribute
+    * df² join rows — the same cap discipline as [[ngramJaccard]], so
+    * the self-join is bounded by Σ df² over cold repeated grams.
+    *
+    * Returns (idCol_a, idCol_b, n_shared): pairs sharing ≥ `minShared`
+    * distinct selected grams, idCol_a < idCol_b.
+    */
+  def spanOverlapPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 40,
+      selPrefix: String = "0",
+      minShared: Int = 3,
+      maxGramDf: Int = 1000): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(selPrefix.nonEmpty && selPrefix.forall("0123456789abcdef".contains(_)),
+      "selPrefix must be nonempty lowercase hex")
+    require(minShared > 0 && maxGramDf >= 2)
+    // sequence(1, n) DESCENDS for n < 1 in Spark — the length filter is
+    // load-bearing, not an optimization.
+    val sel = df
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(k - 1))).as("p"),
+        col(textCol).as("t"))
+      .select(col("id"), md5(col("t").substr(col("p"), lit(k))).as("hx"))
+      .filter(substring(col("hx"), lit(1), lit(selPrefix.length)) === selPrefix)
+      .select(col("id"), unhex(col("hx")).as("h"))
+      .distinct()
+    // One df pass bounds the join: persisted only long enough to feed
+    // the eligible-gram materialization (ngramJaccard's cap pattern).
+    val selP = sel.persist()
+    val kept = try {
+      val eligible = selP.groupBy("h").agg(count(lit(1)).as("gdf"))
+        .filter(col("gdf") >= 2 && col("gdf") <= maxGramDf)
+        .select("h")
+      selP.join(eligible, Seq("h")).localCheckpoint(true)
+    } finally selP.unpersist(false)
+    val a = kept.as("a")
+    val b = kept.as("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"),
+        col("n_shared"))
+  }
+
   /** Rows of `df` surviving near-dup clustering: one representative (the
     * minimum id) per connected component of `pairs`, plus every row that
     * appears in no pair. */

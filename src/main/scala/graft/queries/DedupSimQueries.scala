@@ -211,6 +211,17 @@ object DedupSimQueries {
     Dedup.paragraphDedup(withParagraphCorpus(s, dir), "text", "doc_id")
       .orderBy("doc_id")
 
+  /** #19f substring-level span overlap over the planted multi-paragraph
+    * corpus: adjacent documents share one or two whole paragraphs (up to
+    * ~600 contiguous chars), which must surface as pairs from the
+    * content-sampled k-gram machinery. Selection is content-defined
+    * (md5-prefix), so the DuckDB oracle reproduces the exact same
+    * sample — the hash check is exact, not statistical. */
+  def spanOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanOverlapPairs(withParagraphCorpus(s, dir), "text", "doc_id",
+      k = 40, selPrefix = "0", minShared = 3, maxGramDf = 1000)
+      .orderBy("doc_id_a", "doc_id_b")
+
   /** #24b IVF ANN exhaustive-probe audit, driver-hash-checked: at
     * nprobe = nlist every cell is probed, so the output must equal
     * brute-force top-k EXACTLY — which holds iff the k-means cell
@@ -238,6 +249,7 @@ object DedupSimQueries {
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "para_dedup"          -> (paraDedup _),
+    "span_overlap"        -> (spanOverlap _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "sim_bruteforce_topk" -> (simBruteforceTopK _),
     "sim_ann_lsh"         -> (simAnnLsh _),
@@ -297,6 +309,34 @@ object DedupSimQueries {
         |JOIN tot t ON k.doc_id = t.doc_id
         |GROUP BY k.doc_id
         |ORDER BY k.doc_id""".stripMargin,
+    // Span overlap: the same lag/lead corpus as para_dedup; the 1/16
+    // content sample (md5 hex prefix '0') and the [2, 1000] gram-df
+    // band are mirrored term for term, so Spark and DuckDB select the
+    // identical gram set and the pair counts match exactly.
+    "span_overlap" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, concat_ws(chr(10)||chr(10),
+        |    lag(text) OVER (ORDER BY doc_id), text,
+        |    lead(text) OVER (ORDER BY doc_id)) AS text
+        |  FROM documents
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, h FROM (
+        |    SELECT doc_id, md5(substring(text, g.i, 40)) AS h
+        |    FROM corpus, LATERAL (
+        |      SELECT unnest(generate_series(1, len(text) - 39)) AS i) g
+        |    WHERE len(text) >= 40)
+        |  WHERE substring(h, 1, 1) = '0'
+        |), eligible AS (
+        |  SELECT h FROM sel GROUP BY h HAVING count(*) BETWEEN 2 AND 1000
+        |), kept AS (
+        |  SELECT sel.doc_id, sel.h FROM sel JOIN eligible USING (h)
+        |)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  count(*) AS n_shared
+        |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 3
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     // Containment: the Spark side is truth ∩ candidates; the oracle is
     // the full truth list, so any banding-dropped pair hash-mismatches.
     // Uncapped truth — signatures hash the full shingle sets.

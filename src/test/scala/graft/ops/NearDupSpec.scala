@@ -158,6 +158,48 @@ class NearDupSpec extends SparkSpec {
     assert(out(2L) == (("cc", 1L, 1L)))
   }
 
+  /** One draw-stream per seed: successive calls return DISTINCT random
+    * text (a fresh Random per call would replay the same prefix). */
+  private def randTextGen(seed: Int): Int => String = {
+    val rnd = new scala.util.Random(seed)
+    n => Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+  }
+
+  test("spanOverlapPairs detects a shared span at different offsets only") {
+    import spark.implicits._
+    val rs = randTextGen(7)
+    val span = rs(400)
+    // The span sits at different offsets in docs 1 and 2 (content-defined
+    // selection is position-independent); doc 3 is disjoint.
+    val docs = Seq(
+      (1L, rs(100) + span),
+      (2L, span + rs(150)),
+      (3L, rs(500))).toDF("doc_id", "text")
+    val out = Dedup.spanOverlapPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"got ${out.toSeq}")
+    // 361 shared grams at a 1/16 sample rate: well above minShared.
+    assert(out.head._3 >= 3, s"n_shared ${out.head._3}")
+  }
+
+  test("spanOverlapPairs df cap suppresses corpus-wide boilerplate spans") {
+    import spark.implicits._
+    val rs = randTextGen(11)
+    val boiler = rs(200)
+    // 30 docs all carrying the same 200-char boilerplate prefix.
+    val docs = (1 to 30).map(i => (i.toLong, boiler + rs(60))).toDF("doc_id", "text")
+    // Cap 10 < df 30 drops every boilerplate gram — no pairs survive.
+    assert(Dedup.spanOverlapPairs(docs, "text", "doc_id", maxGramDf = 10).count() == 0)
+    // With headroom, every doc pair meets through the shared span.
+    assert(Dedup.spanOverlapPairs(docs, "text", "doc_id").count() == 30L * 29 / 2)
+  }
+
+  test("spanOverlapPairs ignores docs shorter than k") {
+    import spark.implicits._
+    val docs = Seq((1L, "short"), (2L, "short")).toDF("doc_id", "text")
+    assert(Dedup.spanOverlapPairs(docs, "text", "doc_id").count() == 0)
+  }
+
   test("keepRepresentatives keeps one doc per planted near-dup component") {
     val pairs = Dedup.minHashLsh(corpus, "text", "doc_id", 3, 32, 8, 0.6)
     val kept = Dedup.keepRepresentatives(corpus, pairs, "doc_id", "doc_id_a", "doc_id_b")
