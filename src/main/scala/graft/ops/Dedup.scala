@@ -501,21 +501,8 @@ object Dedup {
       selPrefix: String = "0",
       minShared: Int = 3,
       maxGramDf: Int = 1000): DataFrame = {
-    require(k > 0, "k must be positive")
-    require(selPrefix.nonEmpty && selPrefix.forall("0123456789abcdef".contains(_)),
-      "selPrefix must be nonempty lowercase hex")
     require(minShared > 0 && maxGramDf >= 2)
-    // sequence(1, n) DESCENDS for n < 1 in Spark — the length filter is
-    // load-bearing, not an optimization.
-    val sel = df
-      .filter(length(col(textCol)) >= k)
-      .select(col(idCol).as("id"),
-        explode(sequence(lit(1), length(col(textCol)) - lit(k - 1))).as("p"),
-        col(textCol).as("t"))
-      .select(col("id"), md5(col("t").substr(col("p"), lit(k))).as("hx"))
-      .filter(substring(col("hx"), lit(1), lit(selPrefix.length)) === selPrefix)
-      .select(col("id"), unhex(col("hx")).as("h"))
-      .distinct()
+    val sel = selectedGrams(df, textCol, idCol, k, selPrefix)
     // One df pass bounds the join: persisted only long enough to feed
     // the eligible-gram materialization (ngramJaccard's cap pattern).
     val selP = sel.persist()
@@ -533,6 +520,69 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
       .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"),
         col("n_shared"))
+  }
+
+  /** The content-defined k-gram sample shared by [[spanOverlapPairs]]
+    * and [[spanDupProfile]]: distinct (id, 16-byte gram hash) rows for
+    * grams whose md5 hex starts with `selPrefix`. */
+  private def selectedGrams(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      selPrefix: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(selPrefix.nonEmpty && selPrefix.forall("0123456789abcdef".contains(_)),
+      "selPrefix must be nonempty lowercase hex")
+    // sequence(1, n) DESCENDS for n < 1 in Spark — the length filter is
+    // load-bearing, not an optimization.
+    df.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(k - 1))).as("p"),
+        col(textCol).as("t"))
+      .select(col("id"), md5(col("t").substr(col("p"), lit(k))).as("hx"))
+      .filter(substring(col("hx"), lit(1), lit(selPrefix.length)) === selPrefix)
+      .select(col("id"), unhex(col("hx")).as("h"))
+      .distinct()
+  }
+
+  /** Per-document span-duplication profile over the same content-defined
+    * k-gram sample as [[spanOverlapPairs]]: how much of each document's
+    * sampled substring space also occurs in at least one OTHER document
+    * — the corpus-quality signal behind substring-level dedup decisions
+    * (a high ratio means the document is largely assembled from text
+    * that exists elsewhere).
+    *
+    * Every input document appears exactly once: documents shorter than
+    * `k` or with no selected gram report (0, 0, 0.0) rather than
+    * vanishing — a profile must cover the corpus it profiles.
+    *
+    * Scale shape: one exchange of (id, 16-byte hash) sampled rows, a
+    * gram-df aggregation re-using that partitioning, and one id-keyed
+    * rollup; no pair space is ever formed.
+    *
+    * Returns (idCol, n_sel, n_rep, dup_ratio), dup_ratio =
+    * n_rep / max(n_sel, 1) rounded to 6 digits.
+    */
+  def spanDupProfile(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 40,
+      selPrefix: String = "0"): DataFrame = {
+    val sel = selectedGrams(df, textCol, idCol, k, selPrefix)
+    val gdf = sel.groupBy("h").agg(count(lit(1)).as("gdf"))
+    val prof = sel.join(gdf, Seq("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("sel_cnt"),
+        sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("rep_cnt"))
+    df.select(col(idCol))
+      .join(prof, df(idCol) === prof("id"), "left")
+      .select(col(idCol),
+        coalesce(col("sel_cnt"), lit(0L)).as("n_sel"),
+        coalesce(col("rep_cnt"), lit(0L)).as("n_rep"),
+        round(coalesce(col("rep_cnt"), lit(0L)).cast("double") /
+          greatest(coalesce(col("sel_cnt"), lit(0L)), lit(1L)), 6).as("dup_ratio"))
   }
 
   /** Rows of `df` surviving near-dup clustering: one representative (the

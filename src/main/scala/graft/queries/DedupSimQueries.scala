@@ -222,6 +222,16 @@ object DedupSimQueries {
       k = 40, selPrefix = "0", minShared = 3, maxGramDf = 1000)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** #19g per-document span-duplication profile over the same planted
+    * corpus: middle documents are ~2/3 assembled from paragraphs that
+    * also appear in their neighbors, so dup_ratio sits high corpus-wide
+    * — and the content-defined sample makes the whole profile exact
+    * under the DuckDB mirror. */
+  def spanProfile(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDupProfile(withParagraphCorpus(s, dir), "text", "doc_id",
+      k = 40, selPrefix = "0")
+      .orderBy("doc_id")
+
   /** #24b IVF ANN exhaustive-probe audit, driver-hash-checked: at
     * nprobe = nlist every cell is probed, so the output must equal
     * brute-force top-k EXACTLY — which holds iff the k-means cell
@@ -250,6 +260,7 @@ object DedupSimQueries {
     "dedup_embedding"     -> (dedupEmbedding _),
     "para_dedup"          -> (paraDedup _),
     "span_overlap"        -> (spanOverlap _),
+    "span_profile"        -> (spanProfile _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "sim_bruteforce_topk" -> (simBruteforceTopK _),
     "sim_ann_lsh"         -> (simAnnLsh _),
@@ -337,6 +348,34 @@ object DedupSimQueries {
         |GROUP BY 1, 2
         |HAVING count(*) >= 3
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // Span profile: every corpus doc reports once (LEFT JOIN mirrors the
+    // Spark side's left join); DuckDB sum(CASE) is HUGEINT → ::BIGINT.
+    "span_profile" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, concat_ws(chr(10)||chr(10),
+        |    lag(text) OVER (ORDER BY doc_id), text,
+        |    lead(text) OVER (ORDER BY doc_id)) AS text
+        |  FROM documents
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, h FROM (
+        |    SELECT doc_id, md5(substring(text, g.i, 40)) AS h
+        |    FROM corpus, LATERAL (
+        |      SELECT unnest(generate_series(1, len(text) - 39)) AS i) g
+        |    WHERE len(text) >= 40)
+        |  WHERE substring(h, 1, 1) = '0'
+        |), gdf AS (SELECT h, count(*) AS c FROM sel GROUP BY h
+        |), prof AS (
+        |  SELECT doc_id, count(*) AS sel_cnt,
+        |    sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS rep_cnt
+        |  FROM sel JOIN gdf USING (h) GROUP BY doc_id
+        |)
+        |SELECT corpus.doc_id,
+        |  coalesce(sel_cnt, 0)::BIGINT AS n_sel,
+        |  coalesce(rep_cnt, 0)::BIGINT AS n_rep,
+        |  round(coalesce(rep_cnt, 0)::DOUBLE /
+        |        greatest(coalesce(sel_cnt, 0), 1), 6) AS dup_ratio
+        |FROM corpus LEFT JOIN prof ON corpus.doc_id = prof.doc_id
+        |ORDER BY corpus.doc_id""".stripMargin,
     // Containment: the Spark side is truth ∩ candidates; the oracle is
     // the full truth list, so any banding-dropped pair hash-mismatches.
     // Uncapped truth — signatures hash the full shingle sets.

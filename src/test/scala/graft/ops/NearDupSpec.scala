@@ -194,6 +194,25 @@ class NearDupSpec extends SparkSpec {
     assert(Dedup.spanOverlapPairs(docs, "text", "doc_id").count() == 30L * 29 / 2)
   }
 
+  test("spanDupProfile: repeated span raises ratio; unique and short docs report zero") {
+    import spark.implicits._
+    val rs = randTextGen(13)
+    val shared = rs(300)
+    val docs = Seq(
+      (1L, shared + rs(100)), // ~261 of 361 grams inside the shared span
+      (2L, rs(120) + shared),
+      (3L, rs(400)),          // fully unique
+      (4L, "tiny"))           // shorter than k
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDupProfile(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), s"got ${out.keySet}")
+    assert(out(1L)._2 > 0 && out(1L)._3 > 0.5, s"doc1 ${out(1L)}")
+    assert(out(2L)._2 > 0, s"doc2 ${out(2L)}")
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0, s"doc3 ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0.0)), s"doc4 ${out(4L)}")
+  }
+
   test("spanOverlapPairs ignores docs shorter than k") {
     import spark.implicits._
     val docs = Seq((1L, "short"), (2L, "short")).toDF("doc_id", "text")
