@@ -5,10 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0); val outDir = args(1)
+    // Optional extra args: run only these query names (local iteration;
+    // the driver always runs the full set).
+    val only = args.drop(2).toSet
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // coalesce(1) is deliberate, harness-only: results are <= ~10k rows
       // at the gate scale, and one ordered file is the only way to hand a
       // row-order-sensitive hasher the query's ORDER BY faithfully

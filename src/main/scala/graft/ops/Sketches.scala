@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based group profiling: the 100 TB replacement for exact
+  * per-group reports ([[graft.queries.OpsQueries]]'s `corpus_stats`
+  * computes exact distincts and exact percentiles, which cost a
+  * per-group distinct shuffle and a full sort respectively). Both
+  * sketches here are one-pass, partial-aggregable, fixed-size state:
+  *
+  *  - distinct counts via HyperLogLog++ (`approx_count_distinct`,
+  *    relative sd `rsd`, default 5%) — KB of state per group instead of
+  *    a distinct-key exchange;
+  *  - percentiles via Spark's Greenwald-Khanna quantile summary
+  *    (`percentile_approx`, rank error ≤ 1/`accuracy`) — bounded summary
+  *    instead of a per-group sort.
+  *
+  * Map-side partial aggregation collapses every scan partition to one
+  * sketch per group before the single exchange, so the shuffle volume is
+  * #groups × sketch size, independent of row count — exactly what a
+  * 1000-executor scan of a 100 TB corpus needs.
+  *
+  * The driver query (`sketch_profile`) audits both sketches against
+  * their exact counterparts at gate scale and ships booleans, so the
+  * error bounds are hash-checked, not assumed.
+  */
+object Sketches {
+
+  /** Per-group profile: exact row count, HLL distinct of `distinctCol`,
+    * and GK approximate `percentiles` of `valueCol` (array column, in
+    * the order given). */
+  def groupProfile(
+      df: DataFrame,
+      groupCol: String,
+      distinctCol: String,
+      valueCol: String,
+      percentiles: Seq[Double],
+      rsd: Double = 0.05,
+      accuracy: Int = 10000): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 1),
+      "percentiles must be fractions in [0, 1]")
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col(distinctCol), rsd).as("approx_distinct"),
+        percentile_approx(
+          col(valueCol),
+          array(percentiles.map(lit): _*),
+          lit(accuracy)).as("approx_percentiles"))
+  }
+
+  /** Exact audit counterpart of [[groupProfile]] — same shape, exact
+    * aggregates. Gate-scale only: the distinct and the percentiles here
+    * are the very shuffles the sketches exist to avoid. */
+  def groupProfileExact(
+      df: DataFrame,
+      groupCol: String,
+      distinctCol: String,
+      valueCol: String,
+      percentiles: Seq[Double]): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows_exact"),
+        countDistinct(col(distinctCol)).as("exact_distinct"),
+        percentile(
+          col(valueCol),
+          array(percentiles.map(lit): _*)).as("exact_percentiles"))
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{ChronoSplit, Decontaminate, Dedup, Packing, Sampling, TextAnalysis}
+import graft.ops.{ChronoSplit, Decontaminate, Dedup, Packing, Sampling, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -171,7 +171,31 @@ object OpsQueries {
     TextAnalysis.bm25TopTerms(Tables.documents(s, dir), "text", "doc_id", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** #37b sketch profile audit: HLL distinct + GK approximate percentiles
+    * per event_type, hash-checked against their exact counterparts. The
+    * booleans assert the sketch error bounds (HLL within 5% relative; the
+    * approximate p50/p90 inside the exact [p45,p55]/[p85,p95] bands), so
+    * a regression in either sketch path flips the hash. The exact side is
+    * gate-scale audit machinery; at 100 TB only the sketch side runs. */
+  def sketchProfile(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val approx = Sketches.groupProfile(ev, "event_type", "user_id", "value", Seq(0.5, 0.9))
+    val exact = Sketches.groupProfileExact(
+      ev, "event_type", "user_id", "value", Seq(0.45, 0.55, 0.85, 0.95))
+    approx.join(exact, "event_type")
+      .select(
+        col("event_type"), col("n_rows"),
+        (abs(col("approx_distinct") - col("exact_distinct"))
+          <= col("exact_distinct") * 0.05).as("distinct_ok"),
+        col("approx_percentiles")(0)
+          .between(col("exact_percentiles")(0), col("exact_percentiles")(1)).as("p50_ok"),
+        col("approx_percentiles")(1)
+          .between(col("exact_percentiles")(2), col("exact_percentiles")(3)).as("p90_ok"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_profile"    -> (sketchProfile _),
     "text_bm25"         -> (textBm25 _),
     "sample_temperature" -> (sampleTemperature _),
     "corpus_mix"        -> (corpusMix _),
@@ -374,6 +398,13 @@ object OpsQueries {
         |  FROM customer
         |) WHERE rn <= 10 ORDER BY c_nationkey, c_custkey""".stripMargin,
     "corpus_stats" -> corpusStatsSql,
+    // The oracle's TRUE literals are the contract: the Spark side must
+    // arrive with every sketch-error assertion already true, or the hash
+    // (and before it, the value compare) breaks.
+    "sketch_profile" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  true AS distinct_ok, true AS p50_ok, true AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "corpus_mix" -> corpusMixSql,
     "text_repetition" ->
       """SELECT doc_id, round(CASE WHEN len(lines) = 0 THEN 0.0

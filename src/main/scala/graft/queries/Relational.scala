@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.{AsOfJoin, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -99,6 +100,59 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
 
+  /** #7b point-in-time (as-of) join: each event picks the user's most
+    * recent purchase at-or-before it (an event that IS a purchase matches
+    * itself — the tie arm), nulled when the purchase is older than 24 h —
+    * the feature-store / attribution lookup pattern. ~48% of events carry
+    * a match at sf0.01, so both the hit and the tolerance-null arms are
+    * exercised by the hash.
+    * Scale: [[graft.ops.AsOfJoin]]'s union-window plan — one exchange of
+    * 2|events| rows keyed by user, no per-key pair space. The purchase
+    * side is pre-deduplicated to one row per (user, ts) (greatest
+    * (value, event_id) wins) so the match is engine-deterministic. */
+  def q8AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("p_ts"))
+      .agg(max(struct(col("value"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("p_ts"),
+        col("m.event_id").as("p_event_id"), col("m.value").as("p_value"))
+    AsOfJoin.backward(
+      left = events,
+      right = purchases,
+      keys = Seq("user_id"),
+      leftTs = "ts",
+      rightTs = "p_ts",
+      rightCols = Seq("p_event_id", "p_value"),
+      toleranceUs = Some(24L * 3600 * 1000000))
+      .select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("p_event_id"), round(col("p_value"), 6).as("p_value"))
+      .orderBy("event_id")
+  }
+
+  /** #7c interval (range) join: clicks landing inside the 24 h window
+    * opened by each purchase of the same user, aggregated per purchase.
+    * Scale: [[graft.ops.RangeJoin]] tiles time into max-interval-width
+    * buckets → plain equi-join on (user, bucket) with ≤2× interval
+    * fan-out, instead of Spark's per-key nested-loop theta-join. */
+  def q9RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val intervals = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 24 HOURS")).as("win_end"))
+    val points = events
+      .filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    RangeJoin.pointInInterval(points, intervals, Seq("user_id"), "ts", "win_start", "win_end")
+      .groupBy("p_event_id")
+      .agg(count(lit(1)).as("n_clicks"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("p_event_id")
+  }
+
   /** #7 time-bucketed event aggregation: daily activity by event type. */
   def q7EventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -114,6 +168,8 @@ object Relational {
     "q5_semijoin"      -> (q5SemiJoin _),
     "q6_filter"        -> (q6Filter _),
     "q7_events_window" -> (q7EventsWindow _),
+    "q8_asof_join"     -> (q8AsofJoin _),
+    "q9_range_join"    -> (q9RangeJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -171,5 +227,32 @@ object Relational {
         |FROM events
         |GROUP BY day, event_type
         |ORDER BY day, event_type""".stripMargin,
+    // Independent algorithm on the oracle side: DuckDB's native ASOF JOIN
+    // (vs graft's union-window plan), tolerance emulated with a CASE.
+    "q8_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, p_event_id, p_value FROM (
+        |    SELECT user_id, ts, event_id AS p_event_id, value AS p_value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY value DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= 86400000000
+        |       THEN p.p_event_id END AS p_event_id,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= 86400000000
+        |       THEN round(p.p_value, 6) END AS p_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q9_range_join" ->
+      """SELECT p.event_id AS p_event_id, count(*) AS n_clicks,
+        |  round(sum(c.value), 6) AS sum_value
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 24 HOUR
+        |GROUP BY p.event_id
+        |ORDER BY p.event_id""".stripMargin,
   )
 }

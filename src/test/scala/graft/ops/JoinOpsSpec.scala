@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** As-of and range join semantics on crafted micro-tables where every
+  * boundary case is hand-checkable: ties at equal timestamps, tolerance
+  * cut-offs, keys with no match, intervals straddling bucket edges, and
+  * the half-open [start, end) containment rule. */
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (key, epoch-second) rows → DataFrame with a real TimestampType col. */
+  private def tsDf(name: String, rows: Seq[(Long, Long, Long)]): DataFrame =
+    rows.toDF("k", "sec", name)
+      .withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+
+  test("AsOfJoin.backward picks latest at-or-before, per key, ties match") {
+    val left = tsDf("lv", Seq((1L, 100L, 10L), (1L, 205L, 11L), (1L, 99L, 12L),
+      (2L, 100L, 20L), (3L, 100L, 30L)))
+    val right = tsDf("rv", Seq((1L, 100L, 1L), (1L, 200L, 2L), (2L, 150L, 3L)))
+      .withColumnRenamed("t", "rt")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(out == Set(
+      (1L, 10L, 1L),   // exact tie: right@100 matches left@100
+      (1L, 11L, 2L),   // latest of {100, 200} before 205
+      (1L, 12L, -1L),  // 99 precedes every right row → null
+      (2L, 20L, -1L),  // right@150 is AFTER left@100 → null
+      (3L, 30L, -1L))) // key absent on right → null
+  }
+
+  test("AsOfJoin.forward picks earliest at-or-after; tolerance nulls far matches") {
+    val left = tsDf("lv", Seq((1L, 100L, 10L), (1L, 150L, 11L), (1L, 250L, 12L)))
+    val right = tsDf("rv", Seq((1L, 100L, 1L), (1L, 200L, 2L), (1L, 1000L, 3L)))
+      .withColumnRenamed("t", "rt")
+    val out = AsOfJoin.forward(left, right, Seq("k"), "t", "rt", Seq("rv"),
+        toleranceUs = Some(300L * 1000000))
+      .select("lv", "rv").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(out == Set(
+      (10L, 1L),   // exact tie at 100 matches forward too
+      (11L, 2L),   // earliest ≥150 is 200, 50 s ahead — inside tolerance
+      (12L, -1L))) // earliest ≥250 is 1000, 750 s ahead — tolerance-nulled
+  }
+
+  test("AsOfJoin duplicate right rows at equal (key, time): greatest payload wins") {
+    val left = tsDf("lv", Seq((1L, 100L, 10L)))
+    val right = tsDf("rv", Seq((1L, 100L, 7L), (1L, 100L, 9L), (1L, 100L, 8L)))
+      .withColumnRenamed("t", "rt")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .select("rv").as[Long].collect()
+    assert(out.toSeq == Seq(9L))
+  }
+
+  test("AsOfJoin rejects right columns colliding with left names") {
+    val left = tsDf("v", Seq((1L, 100L, 10L)))
+    val right = tsDf("v", Seq((1L, 100L, 1L))).withColumnRenamed("t", "rt")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Seq("v"))
+    }
+  }
+
+  test("RangeJoin half-open containment across bucket boundaries") {
+    // Intervals: width up to 100 s → bucket width 100 s.
+    val intervals = Seq(
+      (1L, 50L, 150L, 100L),  // straddles the 100 s bucket edge
+      (1L, 200L, 300L, 101L), // aligned exactly on bucket edges
+      (2L, 0L, 10L, 200L))    // other key
+      .toDF("k", "s", "e", "iid")
+      .withColumn("ws", timestamp_seconds(col("s")))
+      .withColumn("we", timestamp_seconds(col("e"))).drop("s", "e")
+    val points = Seq(
+      (1L, 50L, 1L),   // == start → in (inclusive)
+      (1L, 149L, 2L),  // inside, second bucket of interval 100
+      (1L, 150L, 3L),  // == end → OUT (exclusive)
+      (1L, 250L, 4L),  // inside interval 101
+      (1L, 300L, 5L),  // == end of 101 → out
+      (2L, 5L, 6L),    // in interval 200, other key
+      (2L, 250L, 7L))  // key 2 has no window there
+      .toDF("k", "sec", "pid")
+      .withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+    val got = RangeJoin.pointInInterval(points, intervals, Seq("k"), "t", "ws", "we")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 100L), (4L, 101L), (6L, 200L)))
+  }
+
+  test("RangeJoin bucketed plan equals the naive theta-join on random data") {
+    val rnd = new scala.util.Random(7)
+    val points = Seq.tabulate(400)(i => (rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong, i.toLong))
+      .toDF("k", "sec", "pid")
+      .withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+    val intervals = Seq.tabulate(120) { i =>
+      val s = rnd.nextInt(10000); (rnd.nextInt(5).toLong, s.toLong, (s + rnd.nextInt(700)).toLong, i.toLong)
+    }.toDF("k", "s", "e", "iid")
+      .withColumn("ws", timestamp_seconds(col("s")))
+      .withColumn("we", timestamp_seconds(col("e"))).drop("s", "e")
+    val fast = RangeJoin.pointInInterval(points, intervals, Seq("k"), "t", "ws", "we")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, Seq("k"))
+      .filter(col("t") >= col("ws") && col("t") < col("we"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
+}

@@ -258,4 +258,32 @@ class OpsSpec extends SparkSpec {
       assert(salted == plain, s"$joinType mismatch")
     }
   }
+
+  test("Sketches.groupProfile tracks the exact profile within its bounds") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(6000) { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      (g, rnd.nextInt(400).toLong, rnd.nextDouble() * 100)
+    }
+    val df = rows.toDF("g", "uid", "v")
+    val approx = Sketches.groupProfile(df, "g", "uid", "v", Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = Sketches.groupProfileExact(df, "g", "uid", "v", Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == Set("a", "b"))
+    for (g <- Seq("a", "b")) {
+      val a = approx(g); val e = exact(g)
+      assert(a.getLong(a.fieldIndex("n_rows")) == e.getLong(e.fieldIndex("n_rows_exact")))
+      val ad = a.getLong(a.fieldIndex("approx_distinct")).toDouble
+      val ed = e.getLong(e.fieldIndex("exact_distinct")).toDouble
+      assert(math.abs(ad - ed) <= 0.05 * ed, s"HLL off by ${math.abs(ad - ed) / ed}")
+      val ap = a.getSeq[Double](a.fieldIndex("approx_percentiles"))
+      val ep = e.getSeq[Double](e.fieldIndex("exact_percentiles"))
+      // GK rank error ≤ n/accuracy ≤ 1 rank here; on ~100 buckets of
+      // uniform values that is well under 5 value units.
+      ap.zip(ep).foreach { case (av, ev) =>
+        assert(math.abs(av - ev) <= 5.0, s"percentile $av vs $ev")
+      }
+    }
+  }
 }
