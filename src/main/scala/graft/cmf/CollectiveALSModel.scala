@@ -79,6 +79,81 @@ class CollectiveALSModel(
 
   def predict(ds: DataFrame): DataFrame = predict(ds, cols(0), cols(1))
 
+  /** Fold-in: factors for `entity` ids NOT in the model (new users), each
+    * solved against the FROZEN `srcEntity` factors from the supplied
+    * ratings only — one half-iteration of ALS restricted to the new rows,
+    * the standard way to serve a cold user without refitting. Uses the
+    * estimator's own normal-equation aggregator and solvers, so λ·n
+    * (ALS-WR) regularization, Hu-Koren implicit confidence (with the
+    * observed-src-restricted YtY Gram), and the NNLS option all behave
+    * exactly as in `fit`.
+    *
+    * Scale: one shuffle-hash join of the new ratings against the frozen
+    * src factor table + one groupBy(id) with map-side partial normal-
+    * equation aggregation, then a per-partition k×k solve. Cost is
+    * proportional to the NEW ratings — the training corpus is never
+    * touched — so folding in a day's signups against a billion-item
+    * factor table is a routine incremental job.
+    *
+    * Ratings whose src id is unseen by the model contribute nothing
+    * (inner join); an entity id none of whose src ids are known yields no
+    * row. Returns (id, features) shaped like `factorsFor(entity)`.
+    */
+  def foldIn(
+      ratings: DataFrame,
+      entity: String,
+      srcEntity: String,
+      ratingCol: String = "rating",
+      regParam: Double = 0.1,
+      implicitPrefs: Boolean = false,
+      alpha: Double = 1.0,
+      nonnegative: Boolean = false): DataFrame = {
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val src = factorsFor(srcEntity)
+    val ratingExpr =
+      if (ratingCol.nonEmpty) col(ratingCol).cast("float") else lit(1.0f)
+    val data = ratings.select(
+      col(entity).cast("long").as("id"),
+      col(srcEntity).cast("long").as("srcId"),
+      ratingExpr.as("rating"))
+    val neUdaf = udaf(new NormalEqAggregator(rank, implicitPrefs, alpha))
+    val f = src.hint("shuffle_hash")
+    val grouped = data.join(f, data("srcId") === f("id"))
+      .select(data("id").as("id"), f("features").as("features"), col("rating"))
+      .groupBy("id")
+      .agg(neUdaf(col("features"), col("rating"), lit(0)).as("ne"))
+    // Implicit mode: the r=0 baseline Gram over the src factors actually
+    // rated by the fold-in batch (the estimator's per-relation
+    // srcFactorBlock restriction, here with a single implied relation).
+    val yty: Option[Array[Double]] =
+      if (!implicitPrefs) None
+      else {
+        val gramUdaf = udaf(new NormalEqAggregator(rank, false, 1.0))
+        Some(src
+          .join(data.select(col("srcId").as("id")), Seq("id"), "left_semi")
+          .agg(gramUdaf(col("features"), lit(0.0f), lit(0)).as("ne"))
+          .select(col("ne.ata")).head.getSeq[Double](0).toArray)
+      }
+    val k = rank; val nn = nonnegative; val reg = regParam
+    val ytyB = spark.sparkContext.broadcast(yty)
+    grouped
+      .select(col("id"), col("ne.ata"), col("ne.atb"), col("ne.n"))
+      .as[(Long, Array[Double], Array[Double], Long)]
+      .mapPartitions { it =>
+        val solver: LeastSquaresSolver =
+          if (nn) new NnlsSolver(k) else new CholeskySolver(k)
+        it.map { case (id, ata, atb, n) =>
+          ytyB.value.foreach { g =>
+            var i = 0
+            while (i < ata.length) { ata(i) += g(i); i += 1 }
+          }
+          (id, solver.solve(ata, atb, n * reg))
+        }
+      }
+      .toDF("id", "features")
+  }
+
   /** Top-k right-entity recommendations per left-entity id, as rows
     * (leftEntity, rightEntity, score, rank).
     *

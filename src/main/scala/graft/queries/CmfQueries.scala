@@ -223,7 +223,26 @@ object CmfQueries {
       count_distinct(col("part")).as("n_parts"))
   }
 
+  /** #12c fold-in coverage shape: a batch of genuinely-unseen customers
+    * (training custs re-keyed by +1,000,000, keeping their real part
+    * ratings) folded against the frozen explicit model. SQL-decidable
+    * invariants: exactly one factor row per new customer (every part in
+    * the batch is known to the model, so nobody drops out), ids unique,
+    * every factor exactly rank-long with no NaN coefficient. */
+  def alsFoldinShape(s: SparkSession, dir: String): DataFrame = {
+    val batch = custPartRatings(s, dir)
+      .filter(col("cust") % 7 === 0)
+      .withColumn("cust", col("cust") + 1000000L)
+    explicitModel(s, dir).foldIn(batch, "cust", "part", regParam = 0.1)
+      .agg(
+        count(lit(1)).as("n_users"),
+        count_distinct(col("id")).as("n_ids"),
+        sum(when(size(col("features")) =!= 8, 1L).otherwise(0L)).as("n_badrank"),
+        sum(when(exists(col("features"), f => isnan(f)), 1L).otherwise(0L)).as("n_nan"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "als_foldin_shape" -> (alsFoldinShape _),
     "recommend_topk_shape" -> (recommendTopKShape _),
     "als_predict_shape" -> (alsPredictShape _),
     "als_nonnegative_shape" -> (alsNonnegShape _),
@@ -243,6 +262,14 @@ object CmfQueries {
     * oracled here: which ids get scored, how many recommendations each
     * user receives, and that ranks are contiguous. */
   val oracles: Map[String, String] = Map(
+    // One folded factor per re-keyed customer: the batch keeps real part
+    // ids, so the inner join against the frozen part factors loses nobody.
+    "als_foldin_shape" ->
+      """SELECT count(DISTINCT o_custkey) AS n_users,
+        |  count(DISTINCT o_custkey) AS n_ids,
+        |  0::BIGINT AS n_badrank, 0::BIGINT AS n_nan
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 7 = 0""".stripMargin,
     "recommend_topk_shape" ->
       """SELECT cust, 5::BIGINT AS n_recs, 1 AS min_rank, 5 AS max_rank,
         |  5::BIGINT AS n_ranks

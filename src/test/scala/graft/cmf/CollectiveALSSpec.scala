@@ -319,4 +319,81 @@ class CollectiveALSSpec extends SparkSpec {
     assert(skewed == base)
     assert(singleton == base)
   }
+
+  /** Dense ridge solve (AᵀA + λI)x = Aᵀb by Gaussian elimination — the
+    * independent reference implementation for the fold-in spec. */
+  private def ridgeSolve(a: Seq[Array[Float]], b: Seq[Float], lambda: Double): Array[Double] = {
+    val k = a.head.length
+    val m = Array.ofDim[Double](k, k + 1)
+    for (row <- a.indices; i <- 0 until k) {
+      for (j <- 0 until k) m(i)(j) += a(row)(i).toDouble * a(row)(j)
+      m(i)(k) += a(row)(i).toDouble * b(row)
+    }
+    for (i <- 0 until k) m(i)(i) += lambda
+    for (p <- 0 until k) {
+      val piv = (p until k).maxBy(r => math.abs(m(r)(p)))
+      val t = m(p); m(p) = m(piv); m(piv) = t
+      for (r <- p + 1 until k) {
+        val f = m(r)(p) / m(p)(p)
+        for (c <- p to k) m(r)(c) -= f * m(p)(c)
+      }
+    }
+    val x = new Array[Double](k)
+    for (p <- (k - 1) to 0 by -1) {
+      x(p) = (m(p)(k) - (p + 1 until k).map(c => m(p)(c) * x(c)).sum) / m(p)(p)
+    }
+    x
+  }
+
+  test("foldIn solves the exact ridge system against frozen item factors") {
+    val model = new CollectiveALS()
+      .setRank(4).setMaxIter(5).setRegParam(0.01).setSeed(7L)
+      .fit(ratings)
+    val itemF = model.factorsFor("item").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // A brand-new user rating 6 known items, plus one rating on an id the
+    // model has never seen (must be ignored), folded in at reg 0.05.
+    val newRatings = Seq(
+      (900L, 0L, 2.5f), (900L, 1L, -1.0f), (900L, 5L, 3.0f),
+      (900L, 9L, 0.5f), (900L, 12L, -2.0f), (900L, 20L, 1.5f),
+      (900L, 99999L, 4.0f)).toDF("user", "item", "rating")
+    val out = model.foldIn(newRatings, "user", "item", regParam = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(out.keySet == Set(900L))
+    val known = Seq(0L, 1L, 5L, 9L, 12L, 20L)
+    val expected = ridgeSolve(
+      known.map(itemF), Seq(2.5f, -1.0f, 3.0f, 0.5f, -2.0f, 1.5f),
+      lambda = known.size * 0.05)
+    out(900L).zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-4, s"$got vs $want")
+    }
+  }
+
+  test("foldIn holdout users predict their ratings well; NNLS arm is nonnegative") {
+    // Fit on users 0..99 only; fold users 100..119 in afterwards.
+    // 25 iterations: the 100-user subset converges slower than the full
+    // fixture (train RMSE 0.63 at iter 10 → 0.006 at iter 25), and the
+    // fold-in bound below is only meaningful against a converged model.
+    val train = ratings.filter(col("user") < 100)
+    val hold = ratings.filter(col("user") >= 100)
+    val model = new CollectiveALS()
+      .setRank(4).setMaxIter(25).setRegParam(0.001).setSeed(7L)
+      .fit(train)
+    val folded = model.foldIn(hold, "user", "item", regParam = 0.001)
+    assert(folded.count() == 20)
+    // Score the holdout ratings with the folded factors + frozen items.
+    val scored = hold
+      .join(folded.withColumnRenamed("id", "user").withColumnRenamed("features", "uf"), "user")
+      .join(model.factorsFor("item").withColumnRenamed("id", "item")
+        .withColumnRenamed("features", "if"), "item")
+      .withColumn("prediction", graft.functions.array_dot(col("uf"), col("if")).cast("float"))
+    val rmse = RegressionEvaluation.evaluate(scored, "rating", "prediction")
+      .select("rmse").head.getDouble(0)
+    assert(rmse < 0.05, s"fold-in rmse $rmse")
+
+    val foldedNn = model.foldIn(hold, "user", "item",
+      regParam = 0.001, nonnegative = true)
+    val minCoef = foldedNn.select(min(expr("array_min(features)"))).head.getFloat(0)
+    assert(minCoef >= 0.0f, s"NNLS fold-in produced negative $minCoef")
+  }
 }
