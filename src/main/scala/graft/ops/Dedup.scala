@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (SURVEY §2 #18–22).
@@ -522,10 +523,11 @@ object Dedup {
         col("n_shared"))
   }
 
-  /** The content-defined k-gram sample shared by [[spanOverlapPairs]]
-    * and [[spanDupProfile]]: distinct (id, 16-byte gram hash) rows for
-    * grams whose md5 hex starts with `selPrefix`. */
-  private def selectedGrams(
+  /** The content-defined k-gram sample shared by [[spanOverlapPairs]],
+    * [[spanDupProfile]], and [[spanRemove]]: (id, position, 16-byte gram
+    * hash) rows for grams whose md5 hex starts with `selPrefix`.
+    * Positions are 1-based. */
+  private def selectedGramPositions(
       df: DataFrame,
       textCol: String,
       idCol: String,
@@ -540,11 +542,22 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(sequence(lit(1), length(col(textCol)) - lit(k - 1))).as("p"),
         col(textCol).as("t"))
-      .select(col("id"), md5(col("t").substr(col("p"), lit(k))).as("hx"))
+      .select(col("id"), col("p"), md5(col("t").substr(col("p"), lit(k))).as("hx"))
       .filter(substring(col("hx"), lit(1), lit(selPrefix.length)) === selPrefix)
-      .select(col("id"), unhex(col("hx")).as("h"))
-      .distinct()
+      .select(col("id"), col("p"), unhex(col("hx")).as("h"))
   }
+
+  /** Distinct (id, hash) view of [[selectedGramPositions]] — the frame
+    * the pair/profile operators aggregate over. */
+  private def selectedGrams(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      selPrefix: String): DataFrame =
+    selectedGramPositions(df, textCol, idCol, k, selPrefix)
+      .select("id", "h")
+      .distinct()
 
   /** Per-document span-duplication profile over the same content-defined
     * k-gram sample as [[spanOverlapPairs]]: how much of each document's
@@ -583,6 +596,82 @@ object Dedup {
         coalesce(col("rep_cnt"), lit(0L)).as("n_rep"),
         round(coalesce(col("rep_cnt"), lit(0L)).cast("double") /
           greatest(coalesce(col("sel_cnt"), lit(0L)), lit(1L)), 6).as("dup_ratio"))
+  }
+
+  /** Substring-level span removal — the removal side of substring dedup
+    * (Lee et al.: repeated long spans hurt LM training more than repeated
+    * documents). Every duplicated SELECTED k-gram occurrence that is not
+    * the gram's first corpus-wide occurrence (minimum (id, position) —
+    * intra-document repeats included) marks its k-char extent for
+    * deletion; overlapping marks merge into islands, and each document's
+    * text is rebuilt from the surviving segments. Long shared spans
+    * select ~(L−k)·16^-|selPrefix| grams at content-aligned positions, so
+    * their cores are scrubbed everywhere but the first occurrence, while
+    * the sampled selection keeps the position space (and the oracle
+    * replay) at 16^-p of the naive per-position cost. Deletion extents
+    * are deterministic functions of gram CONTENT, so any engine
+    * computing the same md5 sample reproduces the exact output bytes.
+    *
+    * Scale shape: the election shuffles (id, pos, 16-byte hash) rows —
+    * never text; the per-document cut list (a few ints per island) is
+    * what joins back to the bodies, and the text rebuild is one
+    * codegen'd higher-order fold per row. Window state during island
+    * merging is O(1) running max, partitioned by document.
+    *
+    * Output: every input row as (idCol, clean_text, n_removed) —
+    * untouched documents pass through with n_removed = 0.
+    */
+  def spanRemove(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 40,
+      selPrefix: String = "0"): DataFrame = {
+    val sel = selectedGramPositions(df, textCol, idCol, k, selPrefix)
+    // First corpus-wide occurrence (min (id, p)) and total occurrence
+    // count per gram hash, in one aggregation.
+    val firsts = sel
+      .groupBy("h")
+      .agg(min(struct(col("id"), col("p"))).as("w"), count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= 2)
+      .select(col("h"), col("w"))
+    val marks = sel.join(firsts, Seq("h"))
+      .filter(!(col("id") === col("w.id") && col("p") === col("w.p")))
+      .select(col("id"), col("p").as("s"), (col("p") + lit(k)).as("e"))
+    // Merge overlapping/adjacent [s, e) marks into islands: a mark opens
+    // a new island iff it starts beyond every previous mark's end.
+    val w = Window.partitionBy("id").orderBy("s", "e")
+    val islands = marks
+      .withColumn("prev_max",
+        max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1).otherwise(0))
+      .withColumn("isl",
+        sum("opens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "isl")
+      .agg(min("s").as("s"), max("e").as("e"))
+    val cuts = islands
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cut"),
+        sum(col("e") - col("s")).as("n_removed"))
+    // Rebuild: fold over the cut list keeping [prev, s) segments, then
+    // the tail from the last cut's end.
+    val t = col(textCol)
+    val rebuilt = concat(
+      aggregate(
+        col("cut"),
+        struct(lit("").cast("string").as("acc"), lit(1).as("prev")),
+        (st, c) => struct(
+          concat(st("acc"), t.substr(st("prev"), c("s") - st("prev"))).as("acc"),
+          c("e").as("prev")),
+        st => st("acc")),
+      t.substr(
+        element_at(col("cut"), -1)("e"),
+        length(t) - element_at(col("cut"), -1)("e") + lit(1)))
+    df.join(cuts, df(idCol) === cuts("id"), "left")
+      .select(df(idCol),
+        when(col("cut").isNull, t).otherwise(rebuilt).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).cast("long").as("n_removed"))
   }
 
   /** Rows of `df` surviving near-dup clustering: one representative (the

@@ -232,6 +232,16 @@ object DedupSimQueries {
       k = 40, selPrefix = "0")
       .orderBy("doc_id")
 
+  /** #19h substring-level span REMOVAL over the same planted corpus:
+    * the lag/lead-duplicated paragraphs must be scrubbed everywhere but
+    * their first corpus-wide occurrence, at sampled-gram granularity.
+    * Cut extents are deterministic functions of gram content, so the
+    * rebuilt texts (not just counts) hash-check against DuckDB. */
+  def spanRemove(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanRemove(withParagraphCorpus(s, dir), "text", "doc_id",
+      k = 40, selPrefix = "0")
+      .orderBy("doc_id")
+
   /** #24b IVF ANN exhaustive-probe audit, driver-hash-checked: at
     * nprobe = nlist every cell is probed, so the output must equal
     * brute-force top-k EXACTLY — which holds iff the k-means cell
@@ -261,6 +271,7 @@ object DedupSimQueries {
     "para_dedup"          -> (paraDedup _),
     "span_overlap"        -> (spanOverlap _),
     "span_profile"        -> (spanProfile _),
+    "span_remove"         -> (spanRemove _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "sim_bruteforce_topk" -> (simBruteforceTopK _),
     "sim_ann_lsh"         -> (simAnnLsh _),
@@ -376,6 +387,65 @@ object DedupSimQueries {
         |        greatest(coalesce(sel_cnt, 0), 1), 6) AS dup_ratio
         |FROM corpus LEFT JOIN prof ON corpus.doc_id = prof.doc_id
         |ORDER BY corpus.doc_id""".stripMargin,
+    // Span removal: position-level mirror of the span machinery — every
+    // non-first occurrence of a selected duplicated gram cuts its k-char
+    // extent, islands merge, text rebuilds from the gaps. The CLEAN TEXT
+    // BYTES are compared, so the merge logic, segment arithmetic, and
+    // tail handling must agree exactly across engines.
+    "span_remove" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, concat_ws(chr(10)||chr(10),
+        |    lag(text) OVER (ORDER BY doc_id), text,
+        |    lead(text) OVER (ORDER BY doc_id)) AS text
+        |  FROM documents
+        |), sel AS (
+        |  SELECT doc_id, p, hx FROM (
+        |    SELECT doc_id, g.i AS p, md5(substring(text, g.i, 40)) AS hx
+        |    FROM corpus, LATERAL (
+        |      SELECT unnest(generate_series(1, len(text) - 39)) AS i) g
+        |    WHERE len(text) >= 40)
+        |  WHERE substring(hx, 1, 1) = '0'
+        |), ranked AS (
+        |  SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY hx ORDER BY doc_id, p) AS rn,
+        |    count(*) OVER (PARTITION BY hx) AS gdf
+        |  FROM sel
+        |), marks AS (
+        |  SELECT doc_id, p AS s, p + 40 AS e FROM ranked
+        |  WHERE gdf >= 2 AND rn > 1
+        |), opens AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      THEN 1 ELSE 0 END AS o
+        |  FROM marks
+        |), grps AS (
+        |  SELECT doc_id, s, e,
+        |    sum(o) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM opens
+        |), merged AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e
+        |  FROM grps GROUP BY doc_id, grp
+        |), segs AS (
+        |  SELECT doc_id, s, e,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS seg_start
+        |  FROM merged
+        |), rebuilt AS (
+        |  SELECT m.doc_id,
+        |    string_agg(substring(c.text, m.seg_start, m.s - m.seg_start),
+        |               '' ORDER BY m.s)
+        |      || substring(c.text, max(m.e), len(c.text) - max(m.e) + 1)
+        |      AS clean_text,
+        |    sum(m.e - m.s) AS n_removed
+        |  FROM segs m JOIN corpus c USING (doc_id)
+        |  GROUP BY m.doc_id, c.text
+        |)
+        |SELECT c.doc_id,
+        |  coalesce(r.clean_text, c.text) AS clean_text,
+        |  coalesce(r.n_removed, 0)::BIGINT AS n_removed
+        |FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
     // Containment: the Spark side is truth ∩ candidates; the oracle is
     // the full truth list, so any banding-dropped pair hash-mismatches.
     // Uncapped truth — signatures hash the full shingle sets.

@@ -241,4 +241,81 @@ class NearDupSpec extends SparkSpec {
       assert(!keptIds.contains(b), s"mutation $b survived")
     }
   }
+
+  /** Reference implementation of [[Dedup.spanRemove]]'s semantics —
+    * per-doc loops over every position, same md5 content sample, same
+    * first-(id,pos) election and island merge — for exact comparison. */
+  private def localSpanRemove(
+      docs: Seq[(Long, String)], k: Int, prefix: String): Map[Long, (String, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hx(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // (hash -> sorted occurrences (id, pos))
+    val occ = scala.collection.mutable.Map.empty[String, List[(Long, Int)]]
+    for ((id, t) <- docs; p <- 0 to t.length - k) {
+      val h = hx(t.substring(p, p + k))
+      if (h.startsWith(prefix)) occ(h) = (id, p) :: occ.getOrElse(h, Nil)
+    }
+    val marks = scala.collection.mutable.Map.empty[Long, List[(Int, Int)]]
+    for ((_, os) <- occ if os.length >= 2) {
+      val sorted = os.sorted
+      for ((id, p) <- sorted.tail)
+        marks(id) = (p, p + k) :: marks.getOrElse(id, Nil)
+    }
+    docs.map { case (id, t) =>
+      val islands = marks.getOrElse(id, Nil).sorted
+        .foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, (s, e)) if s <= e0 => (s0, math.max(e0, e)) :: rest
+          case (acc, m) => m :: acc
+        }.reverse
+      val sb = new StringBuilder
+      var prev = 0
+      for ((s, e) <- islands) { sb.append(t.substring(prev, s)); prev = e }
+      sb.append(t.substring(prev))
+      id -> (sb.toString, islands.map { case (s, e) => (e - s).toLong }.sum)
+    }.toMap
+  }
+
+  test("spanRemove equals a per-doc reference implementation, first occurrence survives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def rand(n: Int): String =
+      Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val boiler = rand(300) // shared span planted into several docs
+    val docs = (0L until 20L).map { id =>
+      val own = rand(400 + rnd.nextInt(300))
+      val t =
+        if (id % 3 == 0) own.take(150) + boiler + own.drop(150)
+        else if (id == 7L) boiler + boiler // intra-doc repeat
+        else own
+      (id, t)
+    }
+    val expect = localSpanRemove(docs, k = 40, prefix = "0")
+    val got = Dedup.spanRemove(docs.toDF("doc_id", "text"), "text", "doc_id",
+        k = 40, selPrefix = "0")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    for ((id, (txt, n)) <- expect) {
+      assert(got(id)._1 == txt, s"doc $id text mismatch")
+      assert(got(id)._2 == n, s"doc $id n_removed ${got(id)._2} != $n")
+    }
+    // The planted boilerplate's first carrier keeps its text intact;
+    // later carriers lose sampled extents of it.
+    val firstCarrier = docs.filter(_._1 % 3 == 0).map(_._1).min
+    assert(got(firstCarrier)._2 == 0L)
+    val laterLosses = docs.filter(d => d._1 % 3 == 0 && d._1 != firstCarrier)
+      .map(d => got(d._1)._2)
+    assert(laterLosses.forall(_ > 0L), s"later carriers unscathed: $laterLosses")
+  }
+
+  test("spanRemove passes short and unique docs through untouched") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny"), (2L, "x" * 39),
+      (3L, new scala.util.Random(5).alphanumeric.take(200).mkString))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanRemove(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
 }
