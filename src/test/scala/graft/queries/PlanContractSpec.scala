@@ -78,4 +78,45 @@ class PlanContractSpec extends SparkSpec {
     // orderBy for the oracle adds a range exchange; nothing else may shuffle.
     assert(!plan.contains("hashpartitioning"), plan.take(2000))
   }
+
+  test("as-of join is one union-window pass — no join operator at all") {
+    // The whole point of the union-window plan: the per-key time lookup
+    // must come out as Window over one (key)-hash exchange of L ∪ R,
+    // never as a join (a theta-join here would be a per-key nested loop).
+    val plan = finalPlan(Relational.q8AsofJoin(spark, dir))
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    assert(plan.contains("hashpartitioning(user_id"), plan.take(3000))
+  }
+
+  test("range join is an equi-join on (key, bucket), never a data nested loop") {
+    val plan = finalPlan(Relational.q9RangeJoin(spark, dir))
+    // The containment predicate must ride an equi-join keyed on
+    // (user, bucket) — hash or sort-merge, AQE picks by size. The only
+    // nested-loop joins allowed are the single-row width-scalar
+    // broadcasts (the constant-join pattern): every BNLJ in the plan
+    // must be a Cross build of the 1-row __w aggregate, never a join
+    // between the two data sides.
+    assert(plan.linesIterator.exists(l =>
+        (l.contains("HashJoin") || l.contains("SortMergeJoin")) && l.contains("__b")),
+      plan.take(3000))
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("span removal never shuffles document bodies for the election") {
+    // The gram election exchange carries (id, pos, 16-byte hash) rows;
+    // text only moves on the final id-keyed cuts join. The projected
+    // election stream must therefore drop the text column before its
+    // exchange: no Exchange input in the plan may carry column `t`.
+    val plan = finalPlan(
+      graft.ops.Dedup.spanRemove(
+        graft.Tables.documents(spark, dir), "text", "doc_id"))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, plan.take(3000))
+    assert(!exchanges.exists(_.contains(", t#")),
+      s"election exchange carries text:\n${exchanges.mkString("\n")}")
+  }
 }
