@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{ChronoSplit, Decontaminate, Dedup, Packing, Sampling, Sketches, TextAnalysis}
+import graft.ops.{ChronoSplit, Decontaminate, Dedup, Packing, Sampling, Sketches, SkewJoin, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -194,7 +194,24 @@ object OpsQueries {
       .orderBy("event_type")
   }
 
+  /** #7d skew-salted fact⋈dim join: the manual-salting pattern for
+    * power-law join keys, driver-checked for exact equality with the
+    * plain join (the oracle IS the unsalted join). The fact side is
+    * filtered at the scan (pushdown), the dim side is replicated
+    * `salts`× so the hot key's rows spread over `salts` reducers. */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+    val dim = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    SkewJoin.saltedJoin(facts, dim, "l_suppkey", salts = 8)
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "s_nationkey")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_join"         -> (skewJoin _),
     "sketch_profile"    -> (sketchProfile _),
     "text_bm25"         -> (textBm25 _),
     "sample_temperature" -> (sampleTemperature _),
@@ -526,5 +543,12 @@ object OpsQueries {
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+    // The oracle is the UNSALTED join — equality proves salting is
+    // correctness-neutral end-to-end, not just in the unit spec.
+    "skew_join" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, s_nationkey
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Multimodal, Sessionize}
-import graft.streaming.{EnrichStream, EventStream, JoinStream}
+import graft.streaming.{EnrichStream, EventStream, JoinStream, StreamDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -47,7 +47,15 @@ object StreamMmQueries {
     JoinStream.runBatchEquivalent(s, dir)
       .orderBy("view_id", "purchase_id")
 
+  /** #29d streaming exact dedup: every document ingested twice, the
+    * watermark-bounded dedup state collapses each content to one row —
+    * the result is the distinct corpus. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+    StreamDedup.runBatchEquivalent(s, dir)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup"        -> (streamDedup _),
     "stream_join"         -> (streamJoin _),
     "stream_enrich"       -> (streamEnrich _),
     "stream_window_agg"   -> (streamWindowAgg _),
@@ -56,6 +64,12 @@ object StreamMmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The stream ingests documents ∪ documents; dedup must return the
+    // distinct corpus, i.e. the table itself with its fingerprint.
+    "stream_dedup" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "stream_join" ->
       """SELECT a.event_id AS view_id, b.event_id AS purchase_id
         |FROM events a JOIN events b ON a.user_id = b.user_id

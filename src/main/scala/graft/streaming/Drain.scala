@@ -34,6 +34,20 @@ private[streaming] object Drain {
     out
   }
 
+  /** The documents table as a file-stream source — the ingest shape for
+    * streaming corpus operators (dedup-on-arrival). Documents carry no
+    * event time, so a deterministic synthetic ingest timestamp is derived
+    * from doc_id (one second apart): watermark semantics are exercised
+    * with a reproducible clock instead of wall time. The clock starts at
+    * epoch+1s, NOT 0 — the engine's initial watermark is 0 and a row
+    * sitting exactly on the watermark is dropped as late. */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("ingest_ts", timestamp_micros((col("doc_id") + 1) * 1000000L))
+
   /** Run `df` to completion (available-now trigger) through a memory
     * sink and return the result. The sink's temp view is dropped after
     * the returned Dataset resolves — the catalog entry would otherwise

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ops.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming exact deduplication — the incremental counterpart of
@@ -26,4 +26,18 @@ object StreamDedup {
     df.withColumn("__graft_fp", TextAnalysis.fingerprint(col(textCol)))
       .dropDuplicatesWithinWatermark("__graft_fp")
       .drop("__graft_fp")
+
+  /** Drain the documents table through the streaming dedup ([[Drain]]
+    * harness) with every document arriving TWICE (self-union of the
+    * source — the re-ingest shape): the dedup state must collapse each
+    * content back to exactly one row. Re-arrivals are byte-identical
+    * rows, so the kept representative is deterministic no matter which
+    * arrival wins, and the result is the distinct corpus — which is what
+    * the DuckDB oracle states. Returns (doc_id, fp_md5). */
+  def runBatchEquivalent(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Drain.documents(spark, dir).withWatermark("ingest_ts", "1 hour")
+    val deduped = exactKeep(docs.unionAll(docs), "text")
+    Drain.toMemory(deduped, "append", "graft_sdedup")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp_md5"))
+  }
 }
