@@ -153,6 +153,45 @@ object Relational {
       .orderBy("p_event_id")
   }
 
+  /** #7e staged conversion funnel: signup → first view at-or-after the
+    * signup → first purchase at-or-after that view, counted per stage.
+    * Scale: each stage is a type-filtered scan (pushdown) aggregated on
+    * user_id, then an equi-join on user_id against the previous stage's
+    * (user, first_ts) — three user-keyed shuffles of per-user rows, never
+    * a per-event pair space or a window over the whole history. */
+  def q10Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def stage(evType: String) =
+      ev.filter(col("event_type") === evType).select("user_id", "ts")
+    val s1 = stage("signup").groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = stage("view").join(s1, "user_id").filter(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = stage("purchase").join(s2, "user_id").filter(col("ts") >= col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .agg(
+        count("t1").as("n_signup"),
+        count("t2").as("n_viewed"),
+        count("t3").as("n_purchased"))
+  }
+
+  /** #7f weekly cohort retention: users bucketed by first-activity week,
+    * counted per (cohort, week offset) of later activity.
+    * Scale: distinct (user, week) pairs — bounded by users × horizon —
+    * joined to the per-user cohort row; both shuffles are user-keyed. */
+  def q11Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val weekly = ev
+      .select(col("user_id"), unix_timestamp(date_trunc("week", col("ts"))).as("w"))
+      .distinct()
+    val cohort = weekly.groupBy("user_id").agg(min("w").as("cw"))
+    weekly.join(cohort, "user_id")
+      .groupBy(col("cw").as("cohort_week"),
+        ((col("w") - col("cw")) / 604800L).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** #7 time-bucketed event aggregation: daily activity by event type. */
   def q7EventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -170,6 +209,8 @@ object Relational {
     "q7_events_window" -> (q7EventsWindow _),
     "q8_asof_join"     -> (q8AsofJoin _),
     "q9_range_join"    -> (q9RangeJoin _),
+    "q10_funnel"       -> (q10Funnel _),
+    "q11_retention"    -> (q11Retention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -254,5 +295,31 @@ object Relational {
         | AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 24 HOUR
         |GROUP BY p.event_id
         |ORDER BY p.event_id""".stripMargin,
+    "q10_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id
+        |)
+        |SELECT count(t1) AS n_signup, count(t2) AS n_viewed,
+        |  count(t3) AS n_purchased
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "q11_retention" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch(date_trunc('week', ts))::BIGINT AS w
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(w) AS cw FROM weekly GROUP BY user_id
+        |)
+        |SELECT cw AS cohort_week, ((w - cw) / 604800)::BIGINT AS week_offset,
+        |  count(*) AS n_users
+        |FROM weekly JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
   )
 }
