@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{ChronoSplit, Decontaminate, Dedup, Packing, Sampling, Sketches, SkewJoin, TextAnalysis}
+import graft.ops.{ChronoSplit, Decontaminate, Dedup, LanguageModel, Packing, Sampling, Sketches, SkewJoin, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -210,7 +210,27 @@ object OpsQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** #43 corpus unigram LM vocabulary: the 100 most frequent tokens with
+    * their corpus log-probabilities (count ≥ 5). */
+  def lmVocab(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.unigramTable(Tables.documents(s, dir), "text", minCount = 5L)
+      .select(col("token"), col("n"), round(col("logp"), 6).as("logp"))
+      .orderBy(desc("n"), col("token"))
+      .limit(100)
+
+  /** #43b per-document mean token log-probability under the corpus
+    * unigram LM — the LM-based quality gate (OOV tokens at the floor). */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lm = LanguageModel.unigramTable(docs, "text", minCount = 5L)
+    LanguageModel.scoreDocs(docs, "text", "doc_id", lm)
+      .select(col("doc_id"), col("n_tokens"), round(col("logp_mean"), 6).as("logp_mean"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_vocab"          -> (lmVocab _),
+    "lm_score"          -> (lmScore _),
     "skew_join"         -> (skewJoin _),
     "sketch_profile"    -> (sketchProfile _),
     "text_bm25"         -> (textBm25 _),
@@ -543,6 +563,32 @@ object OpsQueries {
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+    "lm_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, count(*) AS n FROM toks GROUP BY token
+        |), t AS (SELECT sum(n) AS total FROM c)
+        |SELECT token, n, round(ln(n / total), 6) AS logp
+        |FROM c, t WHERE n >= 5
+        |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, count(*) AS n FROM toks GROUP BY token
+        |), t AS (SELECT sum(n) AS total FROM c),
+        |v AS (SELECT token, ln(n / total) AS logp FROM c, t WHERE n >= 5)
+        |SELECT d.doc_id, count(tk.token)::BIGINT AS n_tokens,
+        |  round(avg(CASE WHEN tk.token IS NULL THEN NULL
+        |    ELSE coalesce(v.logp, (SELECT ln(1.0 / total) FROM t)) END), 6)
+        |    AS logp_mean
+        |FROM documents d
+        |LEFT JOIN toks tk ON d.doc_id = tk.doc_id
+        |LEFT JOIN v ON tk.token = v.token
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     // The oracle is the UNSALTED join — equality proves salting is
     // correctness-neutral end-to-end, not just in the unit spec.
     "skew_join" ->

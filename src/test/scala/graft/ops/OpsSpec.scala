@@ -286,4 +286,33 @@ class OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("LanguageModel: unigram logps, OOV floor, zero-token survival") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "The THE the zz"),
+      (3L, "1234 5678 !!")
+    ).toDF("doc_id", "text")
+    // tokens: doc1 = the,cat,sat,on,the,mat; doc2 = the,the,the,zz;
+    // doc3 = none. counts: the=5, others=1 each; total=10.
+    val lm = LanguageModel.unigramTable(docs, "text", minCount = 2L)
+    val vocab = lm.collect()
+    assert(vocab.length == 1)
+    val row = vocab.head
+    assert(row.getString(0) == "the" && row.getLong(1) == 5L && row.getLong(2) == 10L)
+    assert(math.abs(row.getDouble(3) - math.log(0.5)) < 1e-12)
+
+    val scores = LanguageModel.scoreDocs(docs, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val floor = math.log(0.1)
+    assert(scores(1L).getLong(1) == 6L)
+    assert(math.abs(scores(1L).getDouble(2) -
+      (2 * math.log(0.5) + 4 * floor) / 6) < 1e-12)
+    assert(scores(2L).getLong(1) == 4L)
+    assert(math.abs(scores(2L).getDouble(2) -
+      (3 * math.log(0.5) + floor) / 4) < 1e-12)
+    // zero-token doc survives with null mean, not dropped
+    assert(scores(3L).getLong(1) == 0L && scores(3L).isNullAt(2))
+  }
 }
