@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{ChronoSplit, Decontaminate, Dedup, LanguageModel, Packing, Sampling, Sketches, SkewJoin, TextAnalysis}
+import graft.ops.{ChronoSplit, Chunking, Decontaminate, Dedup, LanguageModel, Packing, Sampling, Sketches, SkewJoin, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -228,7 +228,15 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** #44 sliding-window chunking: 64-token windows, stride 48 (16-token
+    * overlap) — the context-window prep step. */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame =
+    Chunking.slidingWindows(Tables.documents(s, dir), "text", "doc_id",
+        window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_windows"     -> (chunkWindows _),
     "lm_vocab"          -> (lmVocab _),
     "lm_score"          -> (lmScore _),
     "skew_join"         -> (skewJoin _),
@@ -563,6 +571,20 @@ object OpsQueries {
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+    "chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk,
+        |    len(regexp_extract_all(text, '\S+')) AS n
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, tk, n, unnest(range(0, n, 48)) AS s
+        |  FROM t WHERE n > 0
+        |)
+        |SELECT doc_id, (s // 48)::BIGINT AS chunk_idx,
+        |  least(64, n - s)::BIGINT AS n_tokens,
+        |  array_to_string(tk[s + 1 : s + 64], ' ') AS chunk_text
+        |FROM st WHERE s = 0 OR s + 16 < n
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "lm_vocab" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token

@@ -315,4 +315,30 @@ class OpsSpec extends SparkSpec {
     // zero-token doc survives with null mean, not dropped
     assert(scores(3L).getLong(1) == 0L && scores(3L).isNullAt(2))
   }
+
+  test("Chunking.slidingWindows: overlap, tail suppression, empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a  b \n c"),                              // 3 tokens, messy ws
+      (3L, "   ")                                     // 0 tokens
+    ).toDF("doc_id", "text")
+    val out = Chunking.slidingWindows(docs, "text", "doc_id", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // doc1: starts 0,3,6,9; start 9 suppressed (9+1 >= 10: window 6 already
+    // reached the end... check: keep iff s+1 < 10 → 9 dropped)
+    val d1 = out.keys.filter(_._1 == 1L).map(_._2).toSeq.sorted
+    assert(d1 == Seq(0L, 1L, 2L), s"doc1 chunk idxs $d1")
+    assert(out((1L, 0L)).getString(3) == "w1 w2 w3 w4")
+    assert(out((1L, 1L)).getString(3) == "w4 w5 w6 w7")   // 1-token overlap
+    assert(out((1L, 2L)).getString(3) == "w7 w8 w9 w10")
+    assert(out((1L, 2L)).getLong(2) == 4L)
+    // doc2: single window covers all 3 tokens, whitespace normalized
+    assert(out((2L, 0L)).getString(3) == "a b c" && out((2L, 0L)).getLong(2) == 3L)
+    assert(!out.keySet.exists(_._1 == 3L), "zero-token doc must yield no chunks")
+    // every token of doc1 appears in at least one chunk
+    val covered = out.filter(_._1._1 == 1L).values
+      .flatMap(_.getString(3).split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
 }
