@@ -85,6 +85,31 @@ object DedupSimQueries {
     Dedup.simHash(withLightMutations(s, dir), "text", "doc_id", n = 3, maxHamming = 6)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** #21b SimHash pigeonhole completeness, driver-hash-checked: plant an
+    * exact duplicate of every document — hamming 0, so the pair agrees
+    * on ALL maxHamming+1 chunks and the bucketed self-join MUST surface
+    * it (the pigeonhole guarantee is exact, not probabilistic, within
+    * the Hamming radius). The Spark side probes every planted pair
+    * against the detector's output; the oracle restates the full truth
+    * list (every shingle-able doc, i.e. ≥ 3 whitespace tokens) with a
+    * constant-true flag, so the hash matches iff the blocking dropped
+    * no pair and every probe found hamming 0. */
+  def dedupSimhashContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val corpus = docs.unionAll(
+      docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val pairs = Dedup.simHash(corpus, "text", "doc_id", n = 3, maxHamming = 3)
+    val truth = docs
+      .filter(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))) >= 3)
+      .select(col("doc_id"), (col("doc_id") + 1000000).as("dup_id"))
+    truth.join(pairs,
+        truth("doc_id") === pairs("doc_id_a") &&
+          truth("dup_id") === pairs("doc_id_b") && pairs("hamming") === 0,
+        "left")
+      .select(truth("doc_id"), pairs("doc_id_a").isNotNull.as("found"))
+      .orderBy("doc_id")
+  }
+
   /** #22 embedding-cosine near-dup pairs (exact, double arithmetic). */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosine(Tables.embeddings(s, dir), "embedding", "vec_id", 0.4)
@@ -267,6 +292,7 @@ object DedupSimQueries {
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_minhash_containment" -> (dedupMinhashContainment _),
     "dedup_simhash"       -> (dedupSimhash _),
+    "dedup_simhash_containment" -> (dedupSimhashContainment _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "para_dedup"          -> (paraDedup _),
     "span_overlap"        -> (spanOverlap _),
@@ -450,6 +476,12 @@ object DedupSimQueries {
     // the full truth list, so any banding-dropped pair hash-mismatches.
     // Uncapped truth — signatures hash the full shingle sets.
     "dedup_minhash_containment" -> ngramTruthSql(None),
+    // Constant-true truth list: hash matches iff every shingle-able doc's
+    // planted exact duplicate surfaced from the pigeonhole blocking.
+    "dedup_simhash_containment" ->
+      """SELECT doc_id, true AS found FROM documents
+        |WHERE len(regexp_extract_all(text, '\S+')) >= 3
+        |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
