@@ -121,4 +121,52 @@ object Sampling {
         col("__graft_rn") <= col("__graft_quota"))
       .drop("__graft_rn", "__graft_quota")
   }
+
+  /** Percentile-band gate: keep rows whose per-stratum rank (by `order`,
+    * ascending) lies in the fraction band (loNumer/denom, hiNumer/denom]
+    * of the stratum size — e.g. (1, 9, 10) trims each stratum's bottom
+    * and top decile, the distribution-relative form of quality pruning
+    * (an absolute score threshold over- or under-prunes strata whose
+    * score distributions differ). Band membership is decided in integer
+    * arithmetic (rn·denom vs numer·n) — no floating-point boundary, so
+    * the cut is engine-exact.
+    *
+    * Scale shape: one shuffle on the stratum key + a full per-stratum
+    * sort (a mid-band cut needs true ranks — group-limit can't apply).
+    * At extreme per-stratum cardinality, swap exact ranks for
+    * [[Sketches.groupProfile]] percentile thresholds joined back as
+    * filters — one pass, no sort, approximate cut. */
+  def rankBand(
+      df: DataFrame,
+      stratumCols: Seq[Column],
+      order: Seq[Column],
+      loNumer: Long,
+      hiNumer: Long,
+      denom: Long): DataFrame = {
+    require(denom > 0 && loNumer >= 0 && loNumer <= hiNumer && hiNumer <= denom,
+      s"need 0 <= lo <= hi <= denom, got $loNumer/$denom..$hiNumer/$denom")
+    require(stratumCols.nonEmpty && order.nonEmpty, "stratum and order required")
+    val w = Window.partitionBy(stratumCols: _*).orderBy(order: _*)
+    val cw = Window.partitionBy(stratumCols: _*)
+    df.withColumn("__graft_rn", row_number().over(w).cast("long"))
+      .withColumn("__graft_n", count(lit(1)).over(cw))
+      .filter(col("__graft_rn") * denom > lit(loNumer) * col("__graft_n") &&
+        col("__graft_rn") * denom <= lit(hiNumer) * col("__graft_n"))
+      .drop("__graft_rn", "__graft_n")
+  }
+
+  /** Deterministic corpus shuffle: a stable pseudo-random total order
+    * (`position`, 1-based) by (hash, tieCol) — the training-order
+    * shuffle that interleaves sources/languages reproducibly, decoupled
+    * from ingest order. Pass `xxhash64(key, seed)` in production; the
+    * driver query uses arithmetic hashing so DuckDB mirrors it.
+    *
+    * Scale shape: positions come from [[ChronoSplit.withGlobalRank]] —
+    * quantile-bucketed bounded windows plus driver prefix sums, never a
+    * single-partition sort. */
+  def deterministicShuffle(df: DataFrame, hash: Column, tieCol: String): DataFrame =
+    ChronoSplit.withGlobalRank(
+        df.withColumn("__graft_shuffle_key", hash), "__graft_shuffle_key", tieCol)
+      .withColumnRenamed(ChronoSplit.RankCol, "position")
+      .drop("__graft_shuffle_key")
 }

@@ -235,7 +235,29 @@ object OpsQueries {
         window = 64, stride = 48)
       .orderBy("doc_id", "chunk_idx")
 
+  /** #45 distribution-relative quality pruning: per-language middle 80%
+    * by quality score (trim each language's bottom and top decile). */
+  def qualityBand(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .withColumn("quality_score", round(TextAnalysis.qualityScore(col("text")), 6))
+    Sampling.rankBand(scored, Seq(col("lang")),
+        Seq(col("quality_score"), col("doc_id")),
+        loNumer = 1, hiNumer = 9, denom = 10)
+      .select("doc_id", "lang", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  /** #46 deterministic corpus shuffle: reproducible pseudo-random
+    * training order (seed 7), ranks from the bounded-window machinery. */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicShuffle(
+        Tables.documents(s, dir), arithHash(col("doc_id"), 7L), "doc_id")
+      .select("position", "doc_id")
+      .orderBy("position")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_band"      -> (qualityBand _),
+    "corpus_shuffle"    -> (corpusShuffle _),
     "chunk_windows"     -> (chunkWindows _),
     "lm_vocab"          -> (lmVocab _),
     "lm_score"          -> (lmScore _),
@@ -571,6 +593,29 @@ object OpsQueries {
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+    "quality_band" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    round((
+        |      least(greatest(length(text),1) / 200.0, 1.0)
+        |    + greatest(1.0 - 4.0 * len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |          / greatest(length(text),1), 0.0)
+        |    + least(5.0 * len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that|for)\b'))
+        |          / greatest(len(regexp_extract_all(text, '\S+')),1), 1.0)
+        |    ) / 3.0, 6) AS quality_score
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM scored
+        |)
+        |SELECT doc_id, lang, quality_score FROM ranked
+        |WHERE rn * 10 > n AND rn * 10 <= 9 * n
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_shuffle" ->
+      """SELECT row_number() OVER (ORDER BY (doc_id % 1000000) * 2654435761 + 7, doc_id)::BIGINT
+        |    AS position, doc_id
+        |FROM documents ORDER BY position""".stripMargin,
     "chunk_windows" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk,

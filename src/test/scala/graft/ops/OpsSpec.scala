@@ -341,4 +341,39 @@ class OpsSpec extends SparkSpec {
       .flatMap(_.getString(3).split(" ")).toSet
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
+
+  test("Sampling.rankBand keeps the exact integer rank band per stratum") {
+    import spark.implicits._
+    // stratum a: 10 rows scores 1..10; stratum b: 5 rows scores 1..5
+    val df = ((1 to 10).map(i => ("a", i)) ++ (1 to 5).map(i => ("b", i)))
+      .toDF("g", "score")
+    val kept = Sampling.rankBand(df, Seq(col("g")),
+        Seq(col("score")), loNumer = 1, hiNumer = 9, denom = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    // a: keep rn in (1, 9] → scores 2..9; b: rn*10 > 5 → rn >= 1? no:
+    // rn*10 > 1*5 → rn > 0.5 → all; rn*10 <= 9*5=45 → rn <= 4 → scores 1..4
+    assert(kept == ((2 to 9).map(("a", _)) ++ (1 to 4).map(("b", _))).toSet)
+    // degenerate band keeps nothing
+    assert(Sampling.rankBand(df, Seq(col("g")), Seq(col("score")), 0, 0, 10)
+      .count() == 0)
+  }
+
+  test("Sampling.deterministicShuffle is a stable 1-based total order") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"row$i")).toDF("id", "payload")
+    val hash = pmod(col("id") * 2654435761L + 42L, lit(1000003L))
+    val out = Sampling.deterministicShuffle(df, hash, "id")
+      .select("position", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1L to 1000L), "positions are 1..n exactly")
+    // position order must equal (hash, id) order computed independently
+    val expect = (0L until 1000L)
+      .sortBy(i => ((i * 2654435761L + 42L) % 1000003L + 1000003L) % 1000003L)
+    assert(out.map(_._2).toSeq == expect, "order matches the hash sort")
+    // reruns agree (stability)
+    val again = Sampling.deterministicShuffle(df, hash, "id")
+      .select("position", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(again == out.map(_._2).toSeq)
+  }
 }
