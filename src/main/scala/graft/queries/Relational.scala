@@ -192,6 +192,36 @@ object Relational {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** #7g ROLLUP aggregation: pricing summary with per-flag and grand
+    * totals in one pass (grouping-sets expansion inside the same hash
+    * aggregate — no self-union of aggs). Null grouping keys are
+    * sentinel-coalesced so ordering is engine-neutral. */
+  def q12Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  /** #7h pivot: per-nation event-type activity matrix (conditional
+    * aggregation with an explicit value list — one shuffle, no
+    * distinct-values pre-pass). */
+  def q13Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .join(Tables.customer(s, dir), col("user_id") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .pivot("event_type", types)
+      .count()
+      .select(col("c_nationkey") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("c_nationkey")
+  }
+
   /** #7 time-bucketed event aggregation: daily activity by event type. */
   def q7EventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -211,6 +241,8 @@ object Relational {
     "q9_range_join"    -> (q9RangeJoin _),
     "q10_funnel"       -> (q10Funnel _),
     "q11_retention"    -> (q11Retention _),
+    "q12_rollup"       -> (q12Rollup _),
+    "q13_pivot"        -> (q13Pivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -309,6 +341,23 @@ object Relational {
         |SELECT count(t1) AS n_signup, count(t2) AS n_viewed,
         |  count(t3) AS n_purchased
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "q12_rollup" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q13_pivot" ->
+      """SELECT c_nationkey,
+        |  count(*) FILTER (event_type = 'click')    AS click,
+        |  count(*) FILTER (event_type = 'error')    AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup')   AS signup,
+        |  count(*) FILTER (event_type = 'view')     AS view
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q11_retention" ->
       """WITH weekly AS (
         |  SELECT DISTINCT user_id,
