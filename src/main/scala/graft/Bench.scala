@@ -57,6 +57,8 @@ object Bench {
         timed(queries.DedupSimQueries.ngramPairs(spark, sfDir).count()),
       "_mat_cluster_labels" ->
         timed(queries.DedupSimQueries.clusterLabels(spark, sfDir).count()),
+      "_mat_span_grams" ->
+        timed(queries.DedupSimQueries.spanGrams(spark, sfDir).count()),
     )
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -501,9 +501,23 @@ object Dedup {
       k: Int = 40,
       selPrefix: String = "0",
       minShared: Int = 3,
+      maxGramDf: Int = 1000): DataFrame =
+    spanOverlapPairsFromGrams(
+      spanGramPositions(df, textCol, idCol, k, selPrefix), idCol,
+      minShared, maxGramDf)
+
+  /** [[spanOverlapPairs]] over a precomputed [[spanGramPositions]] frame
+    * — the shared-scan form: the md5-per-window sampling pass is the
+    * span family's dominant cost, so a caller running several span
+    * operators over one corpus should materialize the sample once and
+    * feed it to all of them. */
+  def spanOverlapPairsFromGrams(
+      grams: DataFrame,
+      idCol: String,
+      minShared: Int = 3,
       maxGramDf: Int = 1000): DataFrame = {
     require(minShared > 0 && maxGramDf >= 2)
-    val sel = selectedGrams(df, textCol, idCol, k, selPrefix)
+    val sel = grams.select("id", "h").distinct()
     // One df pass bounds the join: persisted only long enough to feed
     // the eligible-gram materialization (ngramJaccard's cap pattern).
     val selP = sel.persist()
@@ -526,13 +540,17 @@ object Dedup {
   /** The content-defined k-gram sample shared by [[spanOverlapPairs]],
     * [[spanDupProfile]], and [[spanRemove]]: (id, position, 16-byte gram
     * hash) rows for grams whose md5 hex starts with `selPrefix`.
-    * Positions are 1-based. */
-  private def selectedGramPositions(
+    * Positions are 1-based.
+    *
+    * Public because it is the span family's dominant cost (one md5 per
+    * character position): materialize this once per corpus and feed the
+    * `FromGrams` operator variants instead of re-scanning per operator. */
+  def spanGramPositions(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      k: Int,
-      selPrefix: String): DataFrame = {
+      k: Int = 40,
+      selPrefix: String = "0"): DataFrame = {
     require(k > 0, "k must be positive")
     require(selPrefix.nonEmpty && selPrefix.forall("0123456789abcdef".contains(_)),
       "selPrefix must be nonempty lowercase hex")
@@ -549,15 +567,6 @@ object Dedup {
 
   /** Distinct (id, hash) view of [[selectedGramPositions]] — the frame
     * the pair/profile operators aggregate over. */
-  private def selectedGrams(
-      df: DataFrame,
-      textCol: String,
-      idCol: String,
-      k: Int,
-      selPrefix: String): DataFrame =
-    selectedGramPositions(df, textCol, idCol, k, selPrefix)
-      .select("id", "h")
-      .distinct()
 
   /** Per-document span-duplication profile over the same content-defined
     * k-gram sample as [[spanOverlapPairs]]: how much of each document's
@@ -582,8 +591,17 @@ object Dedup {
       textCol: String,
       idCol: String,
       k: Int = 40,
-      selPrefix: String = "0"): DataFrame = {
-    val sel = selectedGrams(df, textCol, idCol, k, selPrefix)
+      selPrefix: String = "0"): DataFrame =
+    spanDupProfileFromGrams(df, idCol,
+      spanGramPositions(df, textCol, idCol, k, selPrefix))
+
+  /** [[spanDupProfile]] over a precomputed [[spanGramPositions]] frame
+    * (shared-scan form — see [[spanOverlapPairsFromGrams]]). */
+  def spanDupProfileFromGrams(
+      df: DataFrame,
+      idCol: String,
+      grams: DataFrame): DataFrame = {
+    val sel = grams.select("id", "h").distinct()
     val gdf = sel.groupBy("h").agg(count(lit(1)).as("gdf"))
     val prof = sel.join(gdf, Seq("h"))
       .groupBy("id")
@@ -626,8 +644,20 @@ object Dedup {
       textCol: String,
       idCol: String,
       k: Int = 40,
-      selPrefix: String = "0"): DataFrame = {
-    val sel = selectedGramPositions(df, textCol, idCol, k, selPrefix)
+      selPrefix: String = "0"): DataFrame =
+    spanRemoveFromGrams(df, textCol, idCol, k,
+      spanGramPositions(df, textCol, idCol, k, selPrefix))
+
+  /** [[spanRemove]] over a precomputed [[spanGramPositions]] frame
+    * (shared-scan form — see [[spanOverlapPairsFromGrams]]). `k` must be
+    * the value the grams were sampled with (it sets deletion extents). */
+  def spanRemoveFromGrams(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      grams: DataFrame): DataFrame = {
+    val sel = grams
     // First corpus-wide occurrence (min (id, p)) and total occurrence
     // count per gram hash, in one aggregation.
     val firsts = sel

@@ -243,9 +243,22 @@ object DedupSimQueries {
     * (md5-prefix), so the DuckDB oracle reproduces the exact same
     * sample — the hash check is exact, not statistical. */
   def spanOverlap(s: SparkSession, dir: String): DataFrame =
-    Dedup.spanOverlapPairs(withParagraphCorpus(s, dir), "text", "doc_id",
-      k = 40, selPrefix = "0", minShared = 3, maxGramDf = 1000)
+    Dedup.spanOverlapPairsFromGrams(spanGrams(s, dir), "doc_id",
+      minShared = 3, maxGramDf = 1000)
       .orderBy("doc_id_a", "doc_id_b")
+
+  private val spanGramsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The span family's content-defined k-gram sample (k=40, md5 prefix
+    * "0") over the planted paragraph corpus, materialized once per
+    * (session, dir): the per-window md5 scan is the dominant cost of all
+    * three span queries, and without the memo each recomputed it. */
+  def spanGrams(s: SparkSession, dir: String): DataFrame =
+    spanGramsCache.getOrElseUpdate((s, dir),
+      Dedup.spanGramPositions(withParagraphCorpus(s, dir), "text", "doc_id",
+          k = 40, selPrefix = "0")
+        .localCheckpoint(true))
 
   /** #19g per-document span-duplication profile over the same planted
     * corpus: middle documents are ~2/3 assembled from paragraphs that
@@ -253,8 +266,8 @@ object DedupSimQueries {
     * — and the content-defined sample makes the whole profile exact
     * under the DuckDB mirror. */
   def spanProfile(s: SparkSession, dir: String): DataFrame =
-    Dedup.spanDupProfile(withParagraphCorpus(s, dir), "text", "doc_id",
-      k = 40, selPrefix = "0")
+    Dedup.spanDupProfileFromGrams(withParagraphCorpus(s, dir), "doc_id",
+      spanGrams(s, dir))
       .orderBy("doc_id")
 
   /** #19h substring-level span REMOVAL over the same planted corpus:
@@ -263,8 +276,8 @@ object DedupSimQueries {
     * Cut extents are deterministic functions of gram content, so the
     * rebuilt texts (not just counts) hash-check against DuckDB. */
   def spanRemove(s: SparkSession, dir: String): DataFrame =
-    Dedup.spanRemove(withParagraphCorpus(s, dir), "text", "doc_id",
-      k = 40, selPrefix = "0")
+    Dedup.spanRemoveFromGrams(withParagraphCorpus(s, dir), "text", "doc_id",
+      k = 40, grams = spanGrams(s, dir))
       .orderBy("doc_id")
 
   /** #24b IVF ANN exhaustive-probe audit, driver-hash-checked: at
