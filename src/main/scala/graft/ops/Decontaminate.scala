@@ -51,6 +51,45 @@ object Decontaminate {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Semantic decontamination: corpus rows whose embedding sits within
+    * cosine `threshold` of ANY eval-set embedding — the guard n-gram
+    * overlap can't provide against paraphrased or translated benchmark
+    * leakage. Returns (idCol, n_hits, max_cosine), one row per
+    * contaminated corpus id.
+    *
+    * Scale shape: the eval side (benchmarks — thousands of rows, not
+    * billions) is broadcast; the corpus streams through one
+    * broadcast-nested-loop pass with the codegen'd native dot and is
+    * never shuffled; the per-id aggregation is partial. Cost is
+    * |corpus|·|eval| dot products — the exact baseline. At eval sets
+    * too large for that product, prefilter candidates with
+    * [[Similarity.lshTopK]]/[[IvfIndex]] and verify only bucket
+    * collisions (same split as exact vs LSH-blocked dedup).
+    *
+    * Zero-norm vectors on either side are dropped ([[Similarity]]'s
+    * contract: their cosine is 0/0 = NaN, which Spark orders above
+    * every double). */
+  def semanticContaminated(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalSet: DataFrame,
+      evalVecCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be positive (NaN-safe)")
+    def sided(df: DataFrame, vc: String, v: String, n: String) =
+      df.withColumn(v, col(vc).cast("array<double>"))
+        .withColumn(n, sqrt(Similarity.dot(col(v), col(v))))
+        .filter(col(n) > 0)
+    val c = sided(corpus.select(col(idCol), col(vecCol)), vecCol, "__cv", "__cn")
+    val e = sided(evalSet.select(col(evalVecCol)), evalVecCol, "__ev", "__en")
+      .select("__ev", "__en")
+    val cosine = Similarity.dot(col("__cv"), col("__ev")) / (col("__cn") * col("__en"))
+    c.join(broadcast(e), cosine >= threshold)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"), max(cosine).as("max_cosine"))
+  }
+
   /** Corpus rows with every contaminated document removed — the
     * decontaminated training set. */
   def removeContaminated(

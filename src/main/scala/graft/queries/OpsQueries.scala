@@ -255,7 +255,24 @@ object OpsQueries {
       .select("position", "doc_id")
       .orderBy("position")
 
+  /** #35b semantic decontamination: corpus vectors within cosine 0.7 of
+    * a planted eval set (tail-zeroed mutations of every 25th embedding,
+    * cos ≈ 0.93 to their source; natural pairs top out near 0.51). */
+  def decontamSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val eval = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(expr(
+        "concat(slice(embedding, 1, 56), array_repeat(cast(0.0 as float), 8))")
+        .as("embedding"))
+    Decontaminate.semanticContaminated(emb, "vec_id", "embedding",
+        eval, "embedding", threshold = 0.7)
+      .select(col("vec_id"), col("n_hits"),
+        round(col("max_cosine"), 6).as("max_cosine"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontam_semantic" -> (decontamSemantic _),
     "quality_band"      -> (qualityBand _),
     "corpus_shuffle"    -> (corpusShuffle _),
     "chunk_windows"     -> (chunkWindows _),
@@ -593,6 +610,24 @@ object OpsQueries {
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+    "decontam_semantic" ->
+      """WITH ev AS (
+        |  SELECT list_concat(embedding[1:56]::DOUBLE[],
+        |    [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 25 = 0
+        |), e AS (
+        |  SELECT v, sqrt(list_inner_product(v, v)) AS nrm FROM ev
+        |  WHERE list_inner_product(v, v) > 0
+        |), c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+        |)
+        |SELECT c.vec_id, count(*) AS n_hits,
+        |  round(max(list_inner_product(c.v, e.v) / (c.nrm * e.nrm)), 6) AS max_cosine
+        |FROM c JOIN e ON list_inner_product(c.v, e.v) / (c.nrm * e.nrm) >= 0.7
+        |GROUP BY c.vec_id ORDER BY vec_id""".stripMargin,
     "quality_band" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,

@@ -342,6 +342,23 @@ class OpsSpec extends SparkSpec {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("Decontaminate.semanticContaminated flags cosine hits, drops zero vectors") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // cos 1.0 vs eval[0] → hit
+      (2L, Array(0.8f, 0.6f)),   // cos 0.8 vs eval[0] → hit at 0.75
+      (3L, Array(0.0f, 1.0f)),   // cos 0 → no hit
+      (4L, Array(0.0f, 0.0f))    // zero norm → dropped, never NaN-hit
+    ).toDF("vec_id", "embedding")
+    val eval = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("embedding")
+    val got = Decontaminate.semanticContaminated(
+        corpus, "vec_id", "embedding", eval, "embedding", 0.75)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 1L && math.abs(got(1L)._2 - 1.0) < 1e-12)
+    assert(math.abs(got(2L)._2 - 0.8) < 1e-6)
+  }
+
   test("Sampling.rankBand keeps the exact integer rank band per stratum") {
     import spark.implicits._
     // stratum a: 10 rows scores 1..10; stratum b: 5 rows scores 1..5
