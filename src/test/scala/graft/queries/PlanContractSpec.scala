@@ -106,6 +106,46 @@ class PlanContractSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("chunking is exchange-free — pure narrow transforms") {
+    // Tokenize + explode starts + slice must pipeline with the scan:
+    // any Exchange here means the operator stopped parallelizing freely.
+    val plan = finalPlan(
+      graft.ops.Chunking.slidingWindows(
+        graft.Tables.documents(spark, dir), "text", "doc_id", 64, 48))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(plan.contains("*("), plan.take(2000))
+  }
+
+  test("LM scoring's only nested-loop joins are 1-row constant builds") {
+    // The corpus total and OOV floor ride single-row broadcast constant
+    // joins; the token→vocab join and per-doc mean may shuffle (AQE
+    // sizes them), but no BNLJ may join two data sides.
+    val plan = finalPlan(OpsQueries.lmScore(spark, dir))
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("semantic decontam never shuffles the corpus vectors") {
+    // The eval side broadcasts; the corpus streams through the
+    // threshold join unshuffled — only the post-join per-id aggregation
+    // (and the oracle orderBy) may exchange, and no exchange may carry
+    // the corpus vector column.
+    val plan = finalPlan(OpsQueries.decontamSemantic(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("__cv")),
+      s"corpus vectors crossed an exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("deterministic shuffle ranks via bounded per-bucket windows") {
+    // Positions must come from the quantile-bucketed global-rank
+    // machinery — a window partitioned on the bucket key — never a
+    // single-partition global sort window.
+    val plan = finalPlan(OpsQueries.corpusShuffle(spark, dir))
+    assert(plan.contains("hashpartitioning(__graft_bucket"), plan.take(3000))
+  }
+
   test("span removal never shuffles document bodies for the election") {
     // The gram election exchange carries (id, pos, 16-byte hash) rows;
     // text only moves on the final id-keyed cuts join. The projected
