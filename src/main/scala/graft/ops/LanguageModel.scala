@@ -50,6 +50,78 @@ object LanguageModel {
         log(col("n") / col("total")).as("logp"))
   }
 
+  /** Adjacent-token bigram array of the lowercased `[a-z]+` token
+    * stream — a pure narrow expression (zip of the array with its own
+    * tail), no positional self-join. Empty for texts with < 2 tokens. */
+  def bigrams(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = tokens(c)
+    when(size(t) >= 2,
+      zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("a"), b.as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+  }
+
+  /** Bigram model: (token_a, token_b, n, logp = ln(n / n_a)) for
+    * bigrams with n ≥ `minCount`, where n_a counts ALL bigram starts of
+    * token_a (kept or not) — a true conditional distribution P(b|a).
+    * Same scale shape as [[unigramTable]]: one explode → (a, b)-keyed
+    * count with partial aggregation; the per-start totals are a second
+    * tiny aggregation over the count table itself (|vocab| rows, not
+    * the corpus). */
+  def bigramTable(df: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+    val counts = df
+      .select(explode(bigrams(col(textCol))).as("bg"))
+      .groupBy(col("bg.a").as("token_a"), col("bg.b").as("token_b"))
+      .agg(count(lit(1)).as("n"))
+    val starts = counts.groupBy("token_a").agg(sum("n").as("n_a"))
+    counts
+      .filter(col("n") >= minCount)
+      .join(starts, Seq("token_a"))
+      .select(col("token_a"), col("token_b"), col("n"),
+        log(col("n") / col("n_a")).as("logp"))
+  }
+
+  /** Mean bigram log-probability per document under stupid backoff
+    * (Brants et al. 2007): score(b|a) = logp(b|a) when the bigram is in
+    * `bigramLm`, else ln(`backoff`) + the unigram score of b (OOV at
+    * the unigram floor). Returns (idCol, n_bigrams, logp_mean); a
+    * document with < 2 tokens survives with a null mean.
+    *
+    * Scale shape: bigram explode is narrow; both LM joins are
+    * vocabulary-sized (Zipf-bounded — broadcastable, AQE decides); the
+    * floor is the same in-plan single-row constant join as
+    * [[scoreDocs]]. */
+  def scoreDocsBigram(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      bigramLm: DataFrame,
+      unigramLm: DataFrame,
+      backoff: Double = 0.4): DataFrame = {
+    require(backoff > 0 && backoff <= 1, s"backoff must be in (0, 1], got $backoff")
+    val floorRow = unigramLm.agg(log(lit(1.0) / max("total")).as("__floor"))
+    val docBi = df
+      .select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+      .select(col(idCol), col("bg.a").as("token_a"), col("bg.b").as("token_b"))
+    val scored = docBi
+      .join(bigramLm.select(col("token_a"), col("token_b"), col("logp").as("__bg_logp")),
+        Seq("token_a", "token_b"), "left")
+      .join(unigramLm.select(col("token").as("token_b"), col("logp").as("__uni_logp")),
+        Seq("token_b"), "left")
+      .crossJoin(broadcast(floorRow))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        avg(coalesce(col("__bg_logp"),
+          lit(math.log(backoff)) + coalesce(col("__uni_logp"), col("__floor"))))
+          .as("logp_mean"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("logp_mean"))
+  }
+
   /** Mean token log-probability per document under `lm` (a
     * [[unigramTable]] output): (idCol, n_tokens, logp_mean). OOV tokens
     * score the floor ln(1/total); a document with zero tokens survives

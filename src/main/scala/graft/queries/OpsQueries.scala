@@ -271,7 +271,30 @@ object OpsQueries {
       .orderBy("vec_id")
   }
 
+  /** #43c corpus bigram LM: the 100 most frequent bigrams with their
+    * conditional log-probabilities P(b|a) (count ≥ 3). */
+  def lmBigramVocab(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.bigramTable(Tables.documents(s, dir), "text", minCount = 3L)
+      .select(col("token_a"), col("token_b"), col("n"),
+        round(col("logp"), 6).as("logp"))
+      .orderBy(desc("n"), col("token_a"), col("token_b"))
+      .limit(100)
+
+  /** #43d per-document mean bigram log-probability under stupid backoff
+    * (ln 0.4 + unigram score for unseen bigrams, OOV at the floor). */
+  def lmBigramScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val uni = LanguageModel.unigramTable(docs, "text", minCount = 5L)
+    val bi = LanguageModel.bigramTable(docs, "text", minCount = 3L)
+    LanguageModel.scoreDocsBigram(docs, "text", "doc_id", bi, uni, backoff = 0.4)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("logp_mean"), 6).as("logp_mean"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_bigram_vocab"   -> (lmBigramVocab _),
+    "lm_bigram_score"   -> (lmBigramScore _),
     "decontam_semantic" -> (decontamSemantic _),
     "quality_band"      -> (qualityBand _),
     "corpus_shuffle"    -> (corpusShuffle _),
@@ -610,6 +633,43 @@ object OpsQueries {
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+    "lm_bigram_vocab" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+        |), bi AS (
+        |  SELECT t[i] AS token_a, t[i+1] AS token_b
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+        |), c AS (
+        |  SELECT token_a, token_b, count(*) AS n FROM bi GROUP BY token_a, token_b
+        |), la AS (SELECT token_a, sum(n) AS na FROM c GROUP BY token_a)
+        |SELECT token_a, token_b, n, round(ln(n / na), 6) AS logp
+        |FROM c JOIN la USING (token_a) WHERE n >= 3
+        |ORDER BY n DESC, token_a, token_b LIMIT 100""".stripMargin,
+    "lm_bigram_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+        |), bi AS (
+        |  SELECT doc_id, t[i] AS a, t[i+1] AS b
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+        |        WHERE len(t) >= 2)
+        |), c AS (SELECT a, b, count(*) AS n FROM bi GROUP BY a, b),
+        |la AS (SELECT a, sum(n) AS na FROM c GROUP BY a),
+        |v AS (SELECT a, b, ln(n / na) AS logp FROM c JOIN la USING (a) WHERE n >= 3),
+        |uc AS (
+        |  SELECT token, count(*) AS n
+        |  FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token
+        |), ut AS (SELECT sum(n) AS total FROM uc),
+        |uv AS (SELECT token, ln(n / total) AS logp FROM uc, ut WHERE n >= 5)
+        |SELECT d.doc_id, count(bi.a)::BIGINT AS n_bigrams,
+        |  round(avg(CASE WHEN bi.a IS NULL THEN NULL
+        |    ELSE coalesce(v.logp, ln(0.4) +
+        |      coalesce(uv.logp, (SELECT ln(1.0 / total) FROM ut))) END), 6)
+        |    AS logp_mean
+        |FROM documents d
+        |LEFT JOIN bi ON d.doc_id = bi.doc_id
+        |LEFT JOIN v ON bi.a = v.a AND bi.b = v.b
+        |LEFT JOIN uv ON bi.b = uv.token
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "decontam_semantic" ->
       """WITH ev AS (
         |  SELECT list_concat(embedding[1:56]::DOUBLE[],

@@ -316,6 +316,33 @@ class OpsSpec extends SparkSpec {
     assert(scores(3L).getLong(1) == 0L && scores(3L).isNullAt(2))
   }
 
+  test("LanguageModel bigrams: conditional logps, stupid backoff, short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"), // bigrams (a,b)x2 (b,a)x2
+      (4L, "b b"),       // bigram (b,b)x1 — below minCount, backs off
+      (5L, "x")          // 1 token → no bigrams
+    ).toDF("doc_id", "text")
+    val bi = LanguageModel.bigramTable(docs, "text", minCount = 2L)
+    val biMap = bi.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // starts: a→2, b→3 (2×(b,a) + 1×(b,b))
+    assert(biMap.keySet == Set(("a", "b"), ("b", "a")))
+    assert(biMap(("a", "b"))._1 == 2L && math.abs(biMap(("a", "b"))._2 - 0.0) < 1e-12)
+    assert(math.abs(biMap(("b", "a"))._2 - math.log(2.0 / 3.0)) < 1e-12)
+
+    val uni = LanguageModel.unigramTable(docs, "text", minCount = 1L)
+    // unigram counts: a=3, b=4, x=1, total=8
+    val scores = LanguageModel.scoreDocsBigram(docs, "text", "doc_id", bi, uni)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(scores(1L).getLong(1) == 4L)
+    assert(math.abs(scores(1L).getDouble(2) - math.log(2.0 / 3.0) / 2) < 1e-12)
+    assert(scores(4L).getLong(1) == 1L)
+    assert(math.abs(scores(4L).getDouble(2) -
+      (math.log(0.4) + math.log(0.5))) < 1e-12)
+    assert(scores(5L).getLong(1) == 0L && scores(5L).isNullAt(2))
+  }
+
   test("Chunking.slidingWindows: overlap, tail suppression, empty docs") {
     import spark.implicits._
     val docs = Seq(
