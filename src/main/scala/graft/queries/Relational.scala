@@ -132,6 +132,32 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** #7b' forward as-of join: each event picks the user's EARLIEST
+    * purchase at-or-after it (the lead-time / time-to-conversion
+    * direction), nulled beyond 24 h. Same union-window plan and same
+    * deterministic purchase dedup as [[q8AsofJoin]]. */
+  def q8AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("p_ts"))
+      .agg(max(struct(col("value"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("p_ts"),
+        col("m.event_id").as("p_event_id"), col("m.value").as("p_value"))
+    AsOfJoin.forward(
+      left = events,
+      right = purchases,
+      keys = Seq("user_id"),
+      leftTs = "ts",
+      rightTs = "p_ts",
+      rightCols = Seq("p_event_id", "p_value"),
+      toleranceUs = Some(24L * 3600 * 1000000))
+      .select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("p_event_id"), round(col("p_value"), 6).as("p_value"))
+      .orderBy("event_id")
+  }
+
   /** #7c interval (range) join: clicks landing inside the 24 h window
     * opened by each purchase of the same user, aggregated per purchase.
     * Scale: [[graft.ops.RangeJoin]] tiles time into max-interval-width
@@ -238,6 +264,7 @@ object Relational {
     "q6_filter"        -> (q6Filter _),
     "q7_events_window" -> (q7EventsWindow _),
     "q8_asof_join"     -> (q8AsofJoin _),
+    "q8b_asof_forward" -> (q8AsofForward _),
     "q9_range_join"    -> (q9RangeJoin _),
     "q10_funnel"       -> (q10Funnel _),
     "q11_retention"    -> (q11Retention _),
@@ -317,6 +344,24 @@ object Relational {
         |       THEN round(p.p_value, 6) END AS p_value
         |FROM events e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    // Forward direction via DuckDB's (backward-only) ASOF on NEGATED
+    // epoch keys: max(-p.ts) <= -e.ts picks the earliest p.ts >= e.ts.
+    "q8b_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, p_event_id, p_value, -epoch_us(ts) AS nts FROM (
+        |    SELECT user_id, ts, event_id AS p_event_id, value AS p_value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY value DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+        |), e AS (SELECT *, -epoch_us(ts) AS nts FROM events)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(e.ts) <= 86400000000
+        |       THEN p.p_event_id END AS p_event_id,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(e.ts) <= 86400000000
+        |       THEN round(p.p_value, 6) END AS p_value
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.nts >= p.nts
         |ORDER BY e.event_id""".stripMargin,
     "q9_range_join" ->
       """SELECT p.event_id AS p_event_id, count(*) AS n_clicks,
