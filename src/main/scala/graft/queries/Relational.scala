@@ -248,6 +248,21 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** #7i SQL interface: the same engine driven through `spark.sql` text
+    * over a registered view, exercising the custom native expression
+    * (`array_dot`, registered SQL-side by [[graft.functions.register]])
+    * from SQL — the "switch your BI tool to it" surface. */
+  def q14Sql(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.register(s)
+    Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+    s.sql("""
+      SELECT label, count(*) AS n_vecs,
+        round(avg(sqrt(array_dot(v, v))), 6) AS avg_norm
+      FROM (SELECT label, cast(embedding AS array<double>) AS v
+            FROM graft_embeddings)
+      GROUP BY label ORDER BY label""")
+  }
+
   /** #7 time-bucketed event aggregation: daily activity by event type. */
   def q7EventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -270,6 +285,7 @@ object Relational {
     "q11_retention"    -> (q11Retention _),
     "q12_rollup"       -> (q12Rollup _),
     "q13_pivot"        -> (q13Pivot _),
+    "q14_sql"          -> (q14Sql _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -372,6 +388,11 @@ object Relational {
         | AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 24 HOUR
         |GROUP BY p.event_id
         |ORDER BY p.event_id""".stripMargin,
+    "q14_sql" ->
+      """SELECT label, count(*) AS n_vecs,
+        |  round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6)
+        |    AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "q10_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
