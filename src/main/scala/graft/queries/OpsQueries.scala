@@ -292,7 +292,18 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** #47 latest-wins snapshot compaction: the events log as a CDC feed
+    * keyed by (user, event type) — keep each key's newest row. */
+  def upsertLatest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Upsert.latestWins(Tables.events(s, dir),
+        keyCols = Seq("user_id", "event_type"),
+        versionCol = "ts", tieCols = Seq("event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), round(col("value"), 6).as("value"))
+      .orderBy("user_id", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "upsert_latest"     -> (upsertLatest _),
     "lm_bigram_vocab"   -> (lmBigramVocab _),
     "lm_bigram_score"   -> (lmBigramScore _),
     "decontam_semantic" -> (decontamSemantic _),
@@ -633,6 +644,15 @@ object OpsQueries {
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+    "upsert_latest" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        |  round(value, 6) AS value
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     "lm_bigram_vocab" ->
       """WITH toks AS (
         |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents

@@ -369,6 +369,19 @@ class OpsSpec extends SparkSpec {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("Upsert.latestWins keeps exactly the newest row per key") {
+    import spark.implicits._
+    val log = Seq(
+      ("k1", 1L, 10L, "old"), ("k1", 3L, 11L, "new"), ("k1", 2L, 12L, "mid"),
+      ("k2", 5L, 13L, "only"),
+      ("k3", 7L, 14L, "tie-lo"), ("k3", 7L, 15L, "tie-hi") // version tie → id wins
+    ).toDF("k", "version", "seq", "payload")
+    val got = Upsert.latestWins(log, Seq("k"), "version", Seq("seq"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(got == Map("k1" -> (3L, "new"), "k2" -> (5L, "only"),
+      "k3" -> (7L, "tie-hi")))
+  }
+
   test("Decontaminate.semanticContaminated flags cosine hits, drops zero vectors") {
     import spark.implicits._
     val corpus = Seq(
