@@ -719,6 +719,32 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** [[keepRepresentatives]] with a caller-chosen election: one row per
+    * near-dup cluster, the FIRST in `order` (e.g. quality desc, id asc —
+    * keep the best duplicate, not the lowest-numbered one; include a
+    * unique tiebreak for determinism). Rows in no pair are their own
+    * singleton cluster and always survive.
+    *
+    * Scale shape: the label join is id-keyed; the election is the
+    * group-limited top-1 window of [[Sampling.stratifiedQuota]] — never
+    * a full per-cluster sort. */
+  def keepRepresentativesBy(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      aCol: String,
+      bCol: String,
+      order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val labels = clusters(pairs, aCol, bCol)
+      .select(col("id").as("__nd_id"), col("cluster").as("__nd_cluster0"))
+    val labeled = df
+      .join(labels, df(idCol) === col("__nd_id"), "left")
+      .withColumn("__nd_cluster", coalesce(col("__nd_cluster0"), df(idCol)))
+      .drop("__nd_id", "__nd_cluster0")
+    Sampling.stratifiedQuota(labeled, Seq(col("__nd_cluster")), order, 1)
+      .drop("__nd_cluster")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked
     * — the sub-quadratic path next to the exact [[embeddingCosine]]:
     * vectors get a `planes`-bit random-hyperplane sign signature, the

@@ -80,6 +80,21 @@ object DedupSimQueries {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  /** #19c' keep-BEST-per-cluster: representative election by quality
+    * score (desc, doc_id tiebreak) instead of min id — keep the best
+    * duplicate, drop the rest. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val scored = withMutations(s, dir)
+      .withColumn("quality_score",
+        round(TextAnalysis.qualityScore(col("text")), 6))
+    Dedup.keepRepresentativesBy(scored, ngramPairs(s, dir), "doc_id",
+        "doc_id_a", "doc_id_b",
+        Seq(col("quality_score").desc, col("doc_id")))
+      .select("doc_id", "quality_score")
+      .orderBy("doc_id")
+  }
+
   /** #21 SimHash near-dup (pigeonhole-chunk-bucketed). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHash(withLightMutations(s, dir), "text", "doc_id", n = 3, maxHamming = 6)
@@ -304,6 +319,7 @@ object DedupSimQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_minhash_containment" -> (dedupMinhashContainment _),
+    "dedup_keep_best"     -> (dedupKeepBest _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_containment" -> (dedupSimhashContainment _),
     "dedup_embedding"     -> (dedupEmbedding _),
@@ -327,6 +343,30 @@ object DedupSimQueries {
         |SELECT corpus.doc_id, corpus.text FROM corpus
         |WHERE corpus.doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
         |ORDER BY doc_id""".stripMargin),
+    // Keep-best: per-cluster argmax (quality, doc_id) election over the
+    // same recursive reach closure; singletons keep themselves.
+    "dedup_keep_best" ->
+      (reachPrefix + """
+        |, labels AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a)
+        |, scored AS (
+        |  SELECT doc_id,
+        |    round((
+        |      least(greatest(length(text),1) / 200.0, 1.0)
+        |    + greatest(1.0 - 4.0 * len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |          / greatest(length(text),1), 0.0)
+        |    + least(5.0 * len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that|for)\b'))
+        |          / greatest(len(regexp_extract_all(text, '\S+')),1), 1.0)
+        |    ) / 3.0, 6) AS quality_score
+        |  FROM corpus
+        |), lab2 AS (
+        |  SELECT s.doc_id, coalesce(l.cluster, s.doc_id) AS cluster, s.quality_score
+        |  FROM scored s LEFT JOIN labels l ON s.doc_id = l.id
+        |)
+        |SELECT doc_id, quality_score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster
+        |    ORDER BY quality_score DESC, doc_id) AS rn
+        |  FROM lab2
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     // Leak-free split: the component label (own id when unpaired) feeds
     // the same mod-first arithmetic hash the sampling oracles use.
     "split_leakfree" ->

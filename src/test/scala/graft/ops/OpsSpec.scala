@@ -369,6 +369,20 @@ class OpsSpec extends SparkSpec {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("Dedup.keepRepresentativesBy elects by order, singletons survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.9), // cluster {1,2,3}: best q=0.9, tie → id 2
+      (4L, 0.1),                       // singleton — survives at any quality
+      (5L, 0.5), (6L, 0.8)             // cluster {5,6}: id 6 wins
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val kept = Dedup.keepRepresentativesBy(docs, pairs, "doc_id", "a", "b",
+        Seq(col("q").desc, col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L))
+  }
+
   test("Upsert.latestWins keeps exactly the newest row per key") {
     import spark.implicits._
     val log = Seq(
