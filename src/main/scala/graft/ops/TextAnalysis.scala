@@ -33,6 +33,34 @@ object TextAnalysis {
     size(regexp_extract_all(lower(c),
       lit("\\b(the|a|an|and|of|to|in|is|it|that|for)\\b"), lit(0)))
 
+  /** Inverted index over the corpus: one row per `[a-z]+` token with its
+    * document frequency and a comma-joined sorted posting list — the
+    * search-side artifact a keyword-retrieval layer consumes. Tokens with
+    * doc_freq > `maxDf` are dropped: stopword-class postings would each
+    * carry the whole corpus (the same hot-key cap discipline as the
+    * shingle df cap), and selective retrieval never reads them anyway.
+    *
+    * Scale shape: per-doc DISTINCT tokens (narrow explode + local
+    * distinct) → one token-keyed exchange with partial aggregation; the
+    * posting list per surviving token is ≤ maxDf ids. */
+  def invertedIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDf: Int = 1000): DataFrame = {
+    require(maxDf >= 1, "maxDf must be positive")
+    df.select(col(idCol).as("__doc"),
+        explode(array_distinct(
+          regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))))
+          .as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"),
+        array_join(
+          transform(sort_array(collect_list(col("__doc"))), _.cast("string")),
+          ",").as("postings"))
+      .filter(col("doc_freq") <= maxDf)
+  }
+
   /** Normalized form used for fingerprinting: lowercase, trimmed,
     * whitespace runs collapsed to single spaces. */
   def normalized(c: Column): Column =

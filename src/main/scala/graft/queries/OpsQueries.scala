@@ -302,7 +302,18 @@ object OpsQueries {
         unix_micros(col("ts")).as("ts_us"), round(col("value"), 6).as("value"))
       .orderBy("user_id", "event_type")
 
+  /** #48 inverted index with sorted posting lists. The synthetic corpus
+    * has a ~31-token vocabulary whose doc freqs scale with the corpus,
+    * so any fixed cap either trivializes or empties the result across
+    * sf dirs — the driver query indexes the full vocabulary and the
+    * hot-token cap (the 100 TB discipline) is spec-exercised instead. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(Tables.documents(s, dir), "text", "doc_id",
+        maxDf = Int.MaxValue)
+      .orderBy("token")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "inverted_index"    -> (invertedIndex _),
     "upsert_latest"     -> (upsertLatest _),
     "lm_bigram_vocab"   -> (lmBigramVocab _),
     "lm_bigram_score"   -> (lmBigramScore _),
@@ -644,6 +655,16 @@ object OpsQueries {
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+    "inverted_index" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents
+        |)
+        |SELECT token, count(*) AS doc_freq,
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        |FROM toks GROUP BY token
+        |ORDER BY token""".stripMargin,
     "upsert_latest" ->
       """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
         |  round(value, 6) AS value

@@ -369,6 +369,25 @@ class OpsSpec extends SparkSpec {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("TextAnalysis.invertedIndex: sorted postings, per-doc distinct, df cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "apple banana apple"), // intra-doc repeat → one posting
+      (1L, "banana cherry"),
+      (2L, "apple")
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "text", "doc_id", maxDf = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // banana df=2 → postings "1,3" (sorted); cherry df=1 → "1";
+    // apple df=2 → "2,3"; nothing exceeds the cap here
+    assert(idx == Map("apple" -> (2L, "2,3"), "banana" -> (2L, "1,3"),
+      "cherry" -> (1L, "1")))
+    // cap drops hot tokens entirely
+    val capped = TextAnalysis.invertedIndex(docs, "text", "doc_id", maxDf = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(capped == Set("cherry"))
+  }
+
   test("Dedup.keepRepresentativesBy elects by order, singletons survive") {
     import spark.implicits._
     val docs = Seq(
