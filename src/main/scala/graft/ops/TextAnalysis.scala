@@ -249,6 +249,48 @@ object TextAnalysis {
       k: Int = 5,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    bm25TermScores(df, textCol, idCol, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rank"))
+  }
+
+  /** BM25 keyword retrieval: top-k documents by summed BM25 score over
+    * the query's terms — the search side of the keyword machinery.
+    * Returns (doc_id, score, n_terms_hit), best first (doc_id tiebreak).
+    *
+    * Scale shape: the tiny term list filters the term-score frame
+    * (Catalyst pushes it into the tf aggregation), and the final top-k
+    * is an order-limit — TakeOrderedAndProject, no global sort. */
+  def bm25Search(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      query: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty && k > 0, "need query terms and k > 0")
+    val terms = query.map(_.toLowerCase).distinct
+    bm25TermScores(df, textCol, idCol, k1, b)
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(round(sum("score"), 6).as("score"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Shared BM25 per-(doc, term) score frame: (doc_id, term, score),
+    * score rounded to 6 dp (the rank/sum key both consumers use, so the
+    * rounded value IS the semantic). */
+  private def bm25TermScores(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k1: Double,
+      b: Double): DataFrame = {
     // Checked cast (same contract as the CMF fit): under ANSI the engine
     // rejects non-numeric ids; with ANSI off the cast nulls would merge
     // every bad id into one null pseudo-document — raise instead.
@@ -267,7 +309,7 @@ object TextAnalysis {
     // avg() is exact (order-independent) on both engines.
     val consts = withDl.select("doc_id", "dl").dropDuplicates("doc_id")
       .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val scored = withDl.join(dft, "term")
+    withDl.join(dft, "term")
       .crossJoin(broadcast(consts))
       .withColumn("score", round(
         log(lit(1.0) +
@@ -275,10 +317,6 @@ object TextAnalysis {
           col("tf") * lit(k1 + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
         6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("doc_id"), col("term"), col("score"), col("rank"))
+      .select(col("doc_id"), col("term"), col("score"))
   }
 }

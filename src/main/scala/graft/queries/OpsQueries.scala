@@ -302,6 +302,12 @@ object OpsQueries {
         unix_micros(col("ts")).as("ts_us"), round(col("value"), 6).as("value"))
       .orderBy("user_id", "event_type")
 
+  /** #40b BM25 keyword retrieval: top-10 documents for a three-term
+    * query mixing a rare term (dup, df 25) with common ones. */
+  def bm25Search(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Search(Tables.documents(s, dir), "text", "doc_id",
+      query = Seq("vector", "key", "dup"), k = 10)
+
   /** #48 inverted index with sorted posting lists. The synthetic corpus
     * has a ~31-token vocabulary whose doc freqs scale with the corpus,
     * so any fixed cap either trivializes or empties the result across
@@ -313,6 +319,7 @@ object OpsQueries {
       .orderBy("token")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_search"       -> (bm25Search _),
     "inverted_index"    -> (invertedIndex _),
     "upsert_latest"     -> (upsertLatest _),
     "lm_bigram_vocab"   -> (lmBigramVocab _),
@@ -470,7 +477,10 @@ object OpsQueries {
   // score (term tiebreak) so near-ties are decided identically on both
   // engines. avg(dl) is exact on both: integer-valued partial sums stay
   // below 2^53.
-  private lazy val textBm25Sql: String =
+  /** Shared BM25 per-(doc, term) scored-frame SQL (mirror of
+    * `TextAnalysis.bm25TermScores`), reused by the top-terms and
+    * search oracles. */
+  private lazy val bm25ScoredSql: String =
     """WITH toks AS (
       |  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS term
       |  FROM documents
@@ -494,15 +504,25 @@ object OpsQueries {
       |           ((1.0::DOUBLE - 0.75::DOUBLE)
       |            + 0.75::DOUBLE * wdl.dl::DOUBLE / avgdl)), 6) AS score
       |  FROM wdl JOIN dft USING (term) CROSS JOIN consts
-      |)
+      |)""".stripMargin
+
+  private lazy val textBm25Sql: String =
+    bm25ScoredSql + """
       |SELECT doc_id, term, score, rank FROM (
       |  SELECT doc_id, term, score,
       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
       |  FROM scored
       |) WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  private lazy val bm25SearchSql: String =
+    bm25ScoredSql + """
+      |SELECT doc_id, round(sum(score), 6) AS score, count(*)::BIGINT AS n_terms_hit
+      |FROM scored WHERE term IN ('vector', 'key', 'dup')
+      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Sql,
+    "bm25_search" -> bm25SearchSql,
     // Temperature mixture: integer weights (floor of a correctly-rounded
     // IEEE sqrt) and integer div quotas — no double accumulation, so the
     // mirror is exact by construction.

@@ -369,6 +369,19 @@ class OpsSpec extends SparkSpec {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("TextAnalysis.bm25Search ranks matching docs, skips non-matching") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x y"), (2L, "x"), (3L, "z only")
+    ).toDF("doc_id", "text")
+    val hits = TextAnalysis.bm25Search(docs, "text", "doc_id",
+        query = Seq("X", "y"), k = 10) // query terms lowercase-normalized
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(1)))
+    assert(hits.map(_._1).toSeq == Seq(1L, 2L), "only matching docs, best first")
+    assert(hits.head._2 == 2L && hits(1)._2 == 1L, "terms-hit counts")
+    assert(hits.head._3 > hits(1)._3, "two-term match outranks one-term")
+  }
+
   test("TextAnalysis.invertedIndex: sorted postings, per-doc distinct, df cap") {
     import spark.implicits._
     val docs = Seq(
