@@ -33,6 +33,49 @@ object TextAnalysis {
     size(regexp_extract_all(lower(c),
       lit("\\b(the|a|an|and|of|to|in|is|it|that|for)\\b"), lit(0)))
 
+  /** Corpus-wide n-gram novelty: per document, the fraction of its
+    * DISTINCT word n-grams that occur in no other document (and never
+    * twice anywhere) — a boilerplate/templating signal finer than whole
+    * near-dup detection: low novelty means the document is assembled
+    * from phrases the corpus already contains.
+    *
+    * Scale shape: same machinery as [[graft.ops.Decontaminate]] — word
+    * shingles reduce to 64-bit hashes per partition (the exchange never
+    * carries text), one hash-keyed df count with partial aggregation,
+    * one id-keyed profile aggregation. Returns
+    * (idCol, n_shingles, n_shared, novelty); documents with fewer than
+    * `n` tokens have zero shingles and a null novelty.
+    */
+  def noveltyProfile(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 5): DataFrame = {
+    require(n > 0, "n must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nn = n
+    val sh = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .filter(col("t").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (i, t) =>
+        graft.ops.Dedup.shinglesJvm(t, nn).map(s => (i, graft.ops.Hashing.xxh64(s, 42L)))
+      })
+      .toDF("id", "h")
+    val dfh = sh.groupBy("h").agg(count(lit(1)).as("hdf"))
+    val prof = sh.join(dfh, Seq("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("hdf") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    df.select(col(idCol))
+      .join(prof, df(idCol) === prof("id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(lit(1.0) - col("n_shared").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
+
   /** Inverted index over the corpus: one row per `[a-z]+` token with its
     * document frequency and a comma-joined sorted posting list — the
     * search-side artifact a keyword-retrieval layer consumes. Tokens with

@@ -318,7 +318,13 @@ object OpsQueries {
         maxDf = Int.MaxValue)
       .orderBy("token")
 
+  /** #49 corpus-wide 5-gram novelty profile per document. */
+  def textNovelty(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.noveltyProfile(Tables.documents(s, dir), "text", "doc_id", n = 5)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty"      -> (textNovelty _),
     "bm25_search"       -> (bm25Search _),
     "inverted_index"    -> (invertedIndex _),
     "upsert_latest"     -> (upsertLatest _),
@@ -675,6 +681,28 @@ object OpsQueries {
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+    // String shingles on the oracle side vs 64-bit hashes on the Spark
+    // side: only membership/counts surface, so the mirror is exact
+    // (same convention as corpus_clean/decontam_scan).
+    "text_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[j:j+4], ' ') AS s
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS j FROM toks
+        |        WHERE len(t) >= 5)
+        |), dfh AS (SELECT s, count(*) AS c FROM sh GROUP BY s
+        |), prof AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_shingles,
+        |    sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+        |  FROM sh JOIN dfh USING (s) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(n_shingles, 0) AS n_shingles,
+        |  coalesce(n_shared, 0) AS n_shared,
+        |  round(1.0 - n_shared / n_shingles, 6) AS novelty
+        |FROM documents d LEFT JOIN prof USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "inverted_index" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id,

@@ -369,6 +369,24 @@ class OpsSpec extends SparkSpec {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("TextAnalysis.noveltyProfile: shared phrases lower novelty; short docs null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),      // shingles: abcde, bcdef
+      (2L, "a b c d e zz"),     // shares abcde with doc1
+      (3L, "p q r s t"),        // unique single shingle
+      (4L, "too short")         // < 5 tokens → no shingles
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyProfile(docs, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 2L && got(1L).getLong(2) == 1L)
+    assert(math.abs(got(1L).getDouble(3) - 0.5) < 1e-9)
+    assert(got(2L).getLong(2) == 1L)
+    assert(got(3L).getLong(1) == 1L && got(3L).getLong(2) == 0L &&
+      got(3L).getDouble(3) == 1.0)
+    assert(got(4L).getLong(1) == 0L && got(4L).isNullAt(3))
+  }
+
   test("TextAnalysis.bm25Search ranks matching docs, skips non-matching") {
     import spark.implicits._
     val docs = Seq(
