@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Multimodal, Sessionize}
-import graft.streaming.{EnrichStream, EventStream, JoinStream, StreamDedup}
+import graft.streaming.{CleanStream, EnrichStream, EventStream, JoinStream, StreamDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,7 +54,19 @@ object StreamMmQueries {
     StreamDedup.runBatchEquivalent(s, dir)
       .orderBy("doc_id")
 
+  /** #29e streaming ingest cleaning: quality gates in front of the
+    * watermark dedup; the drained result aggregates to per-language
+    * accepted counts + mean quality. */
+  def streamClean(s: SparkSession, dir: String): DataFrame =
+    CleanStream.runBatchEquivalent(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(round(graft.ops.TextAnalysis.qualityScore(col("text")), 6)), 6)
+          .as("avg_quality"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_clean"        -> (streamClean _),
     "stream_dedup"        -> (streamDedup _),
     "stream_join"         -> (streamJoin _),
     "stream_enrich"       -> (streamEnrich _),
@@ -64,8 +76,24 @@ object StreamMmQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // The stream ingests documents ∪ documents; dedup must return the
-    // distinct corpus, i.e. the table itself with its fingerprint.
+    // The stream ingests documents ∪ documents through gate+dedup; the
+    // drained rows are the gated distinct corpus, aggregated per lang.
+    "stream_clean" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+        |    round((
+        |      least(greatest(length(text),1) / 200.0, 1.0)
+        |    + greatest(1.0 - 4.0 * len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |          / greatest(length(text),1), 0.0)
+        |    + least(5.0 * len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that|for)\b'))
+        |          / greatest(len(regexp_extract_all(text, '\S+')),1), 1.0)
+        |    ) / 3.0, 6) AS q
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs, round(avg(q), 6) AS avg_quality
+        |FROM scored WHERE n_ws_tokens >= 30 AND q >= 0.65
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "stream_dedup" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
