@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory-compression path
+  * of the ANN family: vectors split into `m` subspaces, each quantized
+  * to one of `k` per-subspace centroids, so a d-dim float vector
+  * becomes `m` small codes (m bytes at k ≤ 256 — a 32× compression of a
+  * 64-dim float embedding). Search scores compressed codes against an
+  * uncompressed query via asymmetric distance computation (ADC): one
+  * m×k lookup table of subspace inner products per query, then each
+  * corpus item costs m table lookups instead of d multiplies.
+  *
+  * At 100 TB of embeddings this is what makes ANN memory-feasible:
+  * codes live where vectors can't. Codebooks are driver state
+  * (m·k·subDim doubles — KBs), trained per-subspace with the same
+  * Spark ML k-means as [[IvfIndex]]; encoding is one per-partition
+  * primitive pass; search broadcasts the query LUTs and runs a
+  * per-partition top-k heap, then a bounded per-query window — the
+  * recommendTopK shape, never |queries|×|corpus| shuffled rows.
+  */
+object Pq {
+
+  /** Trained PQ codebooks: `codebooks(j)(c)` is subspace j's centroid c
+    * (subDim doubles each). */
+  final class PqModel private[ops] (
+      val m: Int,
+      val k: Int,
+      val subDim: Int,
+      val codebooks: Array[Array[Array[Double]]]) extends Serializable {
+    require(codebooks.length == m && codebooks.forall(_.length == k))
+
+    /** Decode a code array back to its reconstruction (spec/debug aid). */
+    def decode(codes: Seq[Int]): Array[Double] = {
+      val out = new Array[Double](m * subDim)
+      var j = 0
+      while (j < m) {
+        System.arraycopy(codebooks(j)(codes(j)), 0, out, j * subDim, subDim)
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Train per-subspace codebooks on a deterministic id-hash sample
+    * (quantizer quality needs representativeness, not the full corpus). */
+  def train(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      k: Int = 16,
+      seed: Long = 7L,
+      trainFraction: Double = 1.0,
+      maxIter: Int = 10): PqModel = {
+    require(m > 0 && k > 1, "need m > 0 subspaces and k > 1 centroids")
+    require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0, 1]")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = Similarity.dimOf(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val subDim = dim / m
+    val base = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val trainSet =
+        if (trainFraction >= 1.0) base
+        else base.filter(pmod(xxhash64(col("id"), lit(seed)), lit(1000000))
+          < lit((trainFraction * 1000000).toLong))
+      val books = (0 until m).map { j =>
+        val sub = trainSet.select(
+          array_to_vector(slice(col("v"), lit(j * subDim + 1), lit(subDim))).as("fv"))
+        new KMeans()
+          .setK(k).setSeed(seed + j).setMaxIter(maxIter).setFeaturesCol("fv")
+          .fit(sub)
+          .clusterCenters.map(_.toArray)
+      }.toArray
+      new PqModel(m, k, subDim, books)
+    } finally base.unpersist()
+  }
+
+  /** Encode every vector to its code array: per subspace, the index of
+    * the nearest centroid (L2; ties → lowest code). One per-partition
+    * primitive pass with the codebooks broadcast. Returns (idCol,
+    * codes: array<int>). */
+  def encode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PqModel): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val mod = bc.value
+        it.map { case (id, v) =>
+          require(v.length == mod.m * mod.subDim,
+            s"vector dim ${v.length} != ${mod.m}x${mod.subDim}")
+          val codes = new Array[Int](mod.m)
+          var j = 0
+          while (j < mod.m) {
+            val off = j * mod.subDim
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < mod.k) {
+              val cent = mod.codebooks(j)(c)
+              var d = 0.0; var i = 0
+              while (i < mod.subDim) {
+                val diff = v(off + i) - cent(i); d += diff * diff; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            codes(j) = best
+            j += 1
+          }
+          (id, codes)
+        }
+      }
+      .toDF(idCol, "codes")
+  }
+
+  /** Top-k corpus items per query by ADC inner-product score. Queries
+    * (small) collect to the driver as m×k lookup tables; the codes
+    * table streams through a per-partition heap, then a bounded
+    * per-query window takes the global top-k. Returns
+    * (query_id, id, score, rank), score = Σ_j lut(j, code_j). */
+  def searchAdc(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      codes: DataFrame,
+      idCol: String,
+      model: PqModel,
+      topK: Int): DataFrame = {
+    require(topK > 0)
+    val spark = codes.sparkSession
+    import spark.implicits._
+    // |queries| × m × k doubles — the broadcast LUT state; queries are
+    // the small side by contract (probe batches, not the corpus).
+    val luts: Array[(Long, Array[Array[Double]])] = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .map { case (qid, qv) =>
+        require(qv.length == model.m * model.subDim,
+          s"query dim ${qv.length} != ${model.m}x${model.subDim}")
+        val lut = Array.ofDim[Double](model.m, model.k)
+        var j = 0
+        while (j < model.m) {
+          val off = j * model.subDim
+          var c = 0
+          while (c < model.k) {
+            val cent = model.codebooks(j)(c)
+            var s = 0.0; var i = 0
+            while (i < model.subDim) { s += qv(off + i) * cent(i); i += 1 }
+            lut(j)(c) = s
+            c += 1
+          }
+          j += 1
+        }
+        (qid, lut)
+      }
+    val bc = spark.sparkContext.broadcast(luts)
+    val kk = topK
+    val cand = codes
+      .select(col(idCol).cast("long").as("id"), col("codes"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        // Per-partition fixed k-slot top-k per query (recommendTopK's
+        // insertion shape): O(|partition|·|queries|·m) lookups, no sort.
+        val ids = Array.ofDim[Long](qs.length, kk)
+        val scores = Array.ofDim[Double](qs.length, kk)
+        val filled = new Array[Int](qs.length)
+        it.foreach { case (id, codes) =>
+          var q = 0
+          while (q < qs.length) {
+            val lut = qs(q)._2
+            var s = 0.0; var j = 0
+            while (j < lut.length) { s += lut(j)(codes(j)); j += 1 }
+            val fid = ids(q); val fsc = scores(q)
+            var p = filled(q)
+            while (p > 0 && (fsc(p - 1) < s ||
+                (fsc(p - 1) == s && fid(p - 1) > id))) p -= 1
+            if (p < kk) {
+              val last = math.min(filled(q), kk - 1)
+              var x = last
+              while (x > p) { fid(x) = fid(x - 1); fsc(x) = fsc(x - 1); x -= 1 }
+              fid(p) = id; fsc(p) = s
+              if (filled(q) < kk) filled(q) += 1
+            }
+            q += 1
+          }
+        }
+        qs.indices.iterator.flatMap { q =>
+          (0 until filled(q)).map(x => (qs(q)._1, ids(q)(x), scores(q)(x)))
+        }
+      }
+      .toDF("query_id", idCol, "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+}

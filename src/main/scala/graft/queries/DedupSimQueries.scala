@@ -311,7 +311,48 @@ object DedupSimQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** #24c PQ-compressed ANN: every 50th embedding queries the ADC index
+    * (unit-normalized on both sides so inner-product scores rank like
+    * cosine). Approximation quality is spec-asserted on a lossless
+    * grid; here the driver checks the serving path end-to-end. */
+  def simAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val unit = Tables.embeddings(s, dir).select(col("vec_id"), expr(
+      """transform(cast(embedding AS array<double>),
+        |  x -> x / sqrt(aggregate(cast(embedding AS array<double>), 0D,
+        |                          (a, e) -> a + e * e)))""".stripMargin)
+      .as("uv"))
+    val model = graft.ops.Pq.train(unit, "vec_id", "uv", m = 8, k = 16,
+      seed = 7L)
+    val codes = graft.ops.Pq.encode(unit, "vec_id", "uv", model)
+    graft.ops.Pq.searchAdc(
+        unit.filter(pmod(col("vec_id"), lit(50)) === 0), "vec_id", "uv",
+        codes, "vec_id", model, topK = 5)
+      .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** #24c' PQ code-table shape, driver-hash-checked: every corpus
+    * vector encodes to exactly m in-range codes. */
+  def simAnnPqShape(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = graft.ops.Pq.train(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "vec_id", "v", m = 8, k = 16, seed = 7L)
+    val codes = graft.ops.Pq.encode(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "vec_id", "v", model)
+    codes.agg(
+      count(lit(1)).as("n_codes"),
+      min(size(col("codes"))).as("code_len_min"),
+      max(size(col("codes"))).as("code_len_max"),
+      (min(array_min(col("codes"))) >= 0 &&
+        max(array_max(col("codes"))) <= 15).as("codes_in_range"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_pq"          -> (simAnnPq _),
+    "sim_ann_pq_shape"    -> (simAnnPqShape _),
     "sim_ann_ivf"         -> (simAnnIvf _),
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_keep"          -> (dedupKeep _),
@@ -529,6 +570,13 @@ object DedupSimQueries {
     // the full truth list, so any banding-dropped pair hash-mismatches.
     // Uncapped truth — signatures hash the full shingle sets.
     "dedup_minhash_containment" -> ngramTruthSql(None),
+    // PQ code-table shape: m=8 in-range codes per corpus vector. The
+    // ADC ranking itself is approximate by design (no exact mirror
+    // exists) — its exactness case is the lossless-grid ScalaTest.
+    "sim_ann_pq_shape" ->
+      """SELECT count(*) AS n_codes, 8 AS code_len_min, 8 AS code_len_max,
+        |  true AS codes_in_range
+        |FROM embeddings""".stripMargin,
     // Constant-true truth list: hash matches iff every shingle-able doc's
     // planted exact duplicate surfaced from the pigeonhole blocking.
     "dedup_simhash_containment" ->

@@ -150,6 +150,43 @@ class SimilaritySpec extends SparkSpec {
     assert(Dedup.embeddingCosineLsh(empty, "embedding", "vec_id", 0.5).count() == 0)
   }
 
+  test("Pq: lossless grid encodes exactly and ADC equals exact inner product") {
+    import spark.implicits._
+    // Every subvector sits exactly on one of k=2 per-subspace points, so
+    // k-means recovers the points exactly, quantization error is zero,
+    // and ADC scores ARE the exact inner products — top-k must equal a
+    // hand-computed brute force.
+    val vecs = (0L until 16L).map { id =>
+      val a = if ((id & 1L) == 1L) 2.0 else 0.5
+      val b = if ((id & 2L) == 2L) 3.0 else 1.0
+      (id, Array(a, a, b, b))
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val model = Pq.train(df, "vec_id", "v", m = 2, k = 2, seed = 11L)
+    val codes = Pq.encode(df, "vec_id", "v", model)
+    // encode→decode must reproduce every vector exactly
+    val roundTrip = codes.collect().map(r =>
+      r.getLong(0) -> model.decode(r.getSeq[Int](1))).toMap
+    vecs.foreach { case (id, v) =>
+      assert(roundTrip(id).toSeq == v.toSeq, s"lossy roundtrip for $id")
+    }
+    val queries = df.filter(col("vec_id") < 2)
+    val got = Pq.searchAdc(queries, "vec_id", "v", codes, "vec_id", model, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    for ((qid, qv) <- vecs.take(2)) {
+      val expect = vecs
+        .map { case (id, v) => (id, v.zip(qv).map { case (x, y) => x * y }.sum) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(4)
+      expect.zipWithIndex.foreach { case ((id, s), i) =>
+        val (gid, gs) = got((qid, i + 1))
+        assert(gid == id && math.abs(gs - s) < 1e-9,
+          s"query $qid rank ${i + 1}: got ($gid, $gs) want ($id, $s)")
+      }
+    }
+  }
+
   test("brute force ranks are contiguous and scores non-increasing") {
     val e = Tables.embeddings(spark, dir)
     val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)
