@@ -116,4 +116,52 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"round $round (salts=$salts)")
     }
   }
+
+  test("paragraphDedup is idempotent: a deduped corpus passes through unchanged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val paras = Vector.tabulate(12)(i => s"para $i " + ("x" * rnd.nextInt(8)))
+    val docs = Seq.tabulate(30) { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(4))(paras(rnd.nextInt(12))).mkString("\n\n"))
+    }.toDF("doc_id", "text")
+    val once = Dedup.paragraphDedup(docs, "text", "doc_id")
+    val twice = Dedup.paragraphDedup(
+      once.select(col("doc_id"), col("clean_text").as("text")), "text", "doc_id")
+    val a = once.select("doc_id", "clean_text", "n_kept")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = twice.select("doc_id", "clean_text", "n_kept")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b, "second pass must be the identity")
+    assert(twice.agg(sum("n_dropped")).head.getLong(0) == 0L)
+  }
+
+  test("exactKeep is idempotent and its survivors are distinct by content") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"content ${i % 60}"))
+      .toDF("doc_id", "text")
+    val once = Dedup.exactKeep(docs, "text", "doc_id")
+    assert(once.count() == 60)
+    val twice = Dedup.exactKeep(once, "text", "doc_id")
+    val a = once.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = twice.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b, "dedup of a deduped corpus must be the identity")
+  }
+
+  test("rankBand: band sizes are exact and bands partition the stratum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    for (n <- Seq(1, 7, 10, 97)) {
+      val df = (1 to n).map(i => ("g", i, rnd.nextInt(1000))).toDF("g", "id", "s")
+      val lo = Sampling.rankBand(df, Seq(col("g")), Seq(col("s"), col("id")), 0, 3, 10)
+      val mid = Sampling.rankBand(df, Seq(col("g")), Seq(col("s"), col("id")), 3, 8, 10)
+      val hi = Sampling.rankBand(df, Seq(col("g")), Seq(col("s"), col("id")), 8, 10, 10)
+      // integer-exact sizes: floor boundaries partition 1..n
+      assert(lo.count() == (3L * n) / 10)
+      assert(mid.count() == (8L * n) / 10 - (3L * n) / 10)
+      assert(hi.count() == n - (8L * n) / 10)
+      val union = lo.unionAll(mid).unionAll(hi).select("id")
+      assert(union.distinct().count() == n && union.count() == n,
+        s"bands must partition exactly (n=$n)")
+    }
+  }
 }
