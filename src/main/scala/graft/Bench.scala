@@ -59,6 +59,8 @@ object Bench {
         timed(queries.DedupSimQueries.clusterLabels(spark, sfDir).count()),
       "_mat_span_grams" ->
         timed(queries.DedupSimQueries.spanGrams(spark, sfDir).count()),
+      "_mat_pq_index" ->
+        timed(queries.DedupSimQueries.pqState(spark, sfDir)._2.count()),
     )
 
     val names = SparkEntry.queries.keys.toSeq.sorted

