@@ -65,7 +65,14 @@ object StreamMmQueries {
           .as("avg_quality"))
       .orderBy("lang")
 
+  /** #29f sliding-window aggregation: 1 h windows every 30 min — each
+    * event lands in exactly two overlapping windows. */
+  def streamSliding(s: SparkSession, dir: String): DataFrame =
+    EventStream.runSlidingBatchEquivalent(s, dir)
+      .orderBy("window_start", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sliding"      -> (streamSliding _),
     "stream_clean"        -> (streamClean _),
     "stream_dedup"        -> (streamDedup _),
     "stream_join"         -> (streamJoin _),
@@ -76,6 +83,19 @@ object StreamMmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Each event expands to its two 30-min-grid window starts.
+    "stream_sliding" ->
+      """WITH g AS (
+        |  SELECT event_type, value,
+        |    (epoch_us(ts) // 1800000000) * 1800 AS s1
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, value, unnest([s1, s1 - 1800]) AS window_start
+        |  FROM g
+        |)
+        |SELECT window_start::BIGINT AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // The stream ingests documents ∪ documents through gate+dedup; the
     // drained rows are the gated distinct corpus, aggregated per lang.
     "stream_clean" ->

@@ -32,4 +32,22 @@ object EventStream {
     * final watermark position. */
   def runBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
     Drain.toMemory(windowedAgg(Drain.events(spark, dir)), "complete", "graft_stream")
+
+  /** Sliding-window variant: 1-hour windows advancing every 30 minutes,
+    * so each event lands in exactly two overlapping windows. State is
+    * window-count-bounded exactly like the tumbling case (the engine
+    * expands each row to its windows before the same incremental hash
+    * aggregation). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Batch-equivalence drain of [[slidingAgg]]. */
+  def runSlidingBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
+    Drain.toMemory(slidingAgg(Drain.events(spark, dir)), "complete", "graft_sliding")
 }
