@@ -128,6 +128,34 @@ object Pq {
       .toDF(idCol, "codes")
   }
 
+  /** Build the composed IVF-PQ index (the FAISS-style billion-scale
+    * layout): k-means cells prune the search space, PQ codes compress
+    * what remains — a probe touches nprobe/nlist of the corpus and
+    * scores it at m lookups per item, with the raw vectors needed
+    * nowhere at serving time.
+    *
+    * Everything derives from ONE cell assignment pass: codes encode the
+    * unit-normalized vectors already carried by the [[IvfIndex]], so
+    * ADC inner products rank like cosine, consistent with the IVF probe
+    * metric. */
+  def buildIvfPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 32,
+      m: Int = 8,
+      k: Int = 16,
+      seed: Long = 7L): IvfPqIndex = {
+    val ivf = IvfIndex.build(corpus, idCol, vecCol, nlist, seed)
+    val unit = ivf.assigned.select(col("cid").as("id"),
+      transform(col("cv"), x => x / col("cn")).as("uv"), col("cell"))
+    val model = train(unit, "id", "uv", m, k, seed)
+    val codedCells = encode(unit, "id", "uv", model)
+      .join(unit.select(col("id"), col("cell")), Seq("id"))
+      .localCheckpoint(true)
+    new IvfPqIndex(ivf.centroids, model, codedCells)
+  }
+
   /** Top-k corpus items per query by ADC inner-product score. Queries
     * (small) collect to the driver as m×k lookup tables; the codes
     * table streams through a per-partition heap, then a bounded
@@ -208,6 +236,115 @@ object Pq {
       .toDF("query_id", idCol, "score")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+}
+
+/** A built IVF-PQ index ([[Pq.buildIvfPq]]): driver state is
+  * nlist·dim centroid doubles + m·k·subDim codebook doubles; the
+  * distributed state is one (id, codes, cell) row per corpus vector —
+  * m ints instead of dim floats.
+  */
+final class IvfPqIndex private[ops] (
+    val centroids: Seq[(Seq[Double], Double)],
+    val model: Pq.PqModel,
+    /** (id, codes, cell) per corpus vector. */
+    val codedCells: org.apache.spark.sql.DataFrame) extends Serializable {
+
+  def nlist: Int = centroids.size
+
+  /** Top-k per query: each query (unit-normalized here) picks its
+    * `nprobe` nearest cells on the driver (centroids are local), and a
+    * single per-partition pass ADC-scores only rows whose cell is
+    * probed by the query — the heap shape of [[Pq.searchAdc]] with a
+    * cell guard. Returns (query_id, id, score, rank). */
+  def search(
+      queries: org.apache.spark.sql.DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      topK: Int,
+      nprobe: Int): org.apache.spark.sql.DataFrame = {
+    require(topK > 0 && nprobe > 0 && nprobe <= nlist, "need 0 < nprobe <= nlist")
+    val spark = codedCells.sparkSession
+    import spark.implicits._
+    val mod = model
+    val cents = centroids
+    val qstate: Array[(Long, Array[Array[Double]], Array[Boolean])] = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .flatMap { case (qid, raw) =>
+        val n = math.sqrt(raw.map(x => x * x).sum)
+        if (n == 0) None // zero-norm queries have no cosine neighborhood
+        else {
+          val qv = raw.map(_ / n)
+          // rank cells by 2u·c − ‖c‖² (unit-query euclidean order)
+          val probed = cents.zipWithIndex
+            .map { case ((c, n2), i) =>
+              var s = 0.0; var j = 0
+              while (j < qv.length) { s += qv(j) * c(j); j += 1 }
+              (2.0 * s - n2, i)
+            }
+            .sortBy { case (s, i) => (-s, i) }
+            .take(nprobe).map(_._2).toSet
+          val mask = Array.tabulate(cents.size)(probed.contains)
+          val lut = Array.ofDim[Double](mod.m, mod.k)
+          var j = 0
+          while (j < mod.m) {
+            val off = j * mod.subDim
+            var c = 0
+            while (c < mod.k) {
+              val cent = mod.codebooks(j)(c)
+              var s = 0.0; var i = 0
+              while (i < mod.subDim) { s += qv(off + i) * cent(i); i += 1 }
+              lut(j)(c) = s
+              c += 1
+            }
+            j += 1
+          }
+          Some((qid, lut, mask))
+        }
+      }
+    val bc = spark.sparkContext.broadcast(qstate)
+    val kk = topK
+    val cand = codedCells
+      .select(col("id"), col("codes"), col("cell"))
+      .as[(Long, Array[Int], Int)]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val ids = Array.ofDim[Long](qs.length, kk)
+        val scores = Array.ofDim[Double](qs.length, kk)
+        val filled = new Array[Int](qs.length)
+        it.foreach { case (id, codes, cell) =>
+          var q = 0
+          while (q < qs.length) {
+            if (qs(q)._3(cell)) {
+              val lut = qs(q)._2
+              var s = 0.0; var j = 0
+              while (j < lut.length) { s += lut(j)(codes(j)); j += 1 }
+              val fid = ids(q); val fsc = scores(q)
+              var p = filled(q)
+              while (p > 0 && (fsc(p - 1) < s ||
+                  (fsc(p - 1) == s && fid(p - 1) > id))) p -= 1
+              if (p < kk) {
+                val last = math.min(filled(q), kk - 1)
+                var x = last
+                while (x > p) { fid(x) = fid(x - 1); fsc(x) = fsc(x - 1); x -= 1 }
+                fid(p) = id; fsc(p) = s
+                if (filled(q) < kk) filled(q) += 1
+              }
+            }
+            q += 1
+          }
+        }
+        qs.indices.iterator.flatMap { q =>
+          (0 until filled(q)).map(x => (qs(q)._1, ids(q)(x), scores(q)(x)))
+        }
+      }
+      .toDF("query_id", "id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }

@@ -333,6 +333,27 @@ object DedupSimQueries {
       (model, graft.ops.Pq.encode(unit, "vec_id", "uv", model).localCheckpoint(true))
     })
 
+  private val ivfPqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ops.IvfPqIndex]
+
+  /** Build-once IVF-PQ index per (session, dir). */
+  def ivfPqIndex(s: SparkSession, dir: String): graft.ops.IvfPqIndex =
+    ivfPqCache.getOrElseUpdate((s, dir),
+      graft.ops.Pq.buildIvfPq(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = 16, m = 8, k = 16, seed = 7L))
+
+  /** #24d composed IVF-PQ ANN: cells prune to nprobe/nlist of the
+    * corpus, ADC scores the compressed remainder — the billion-scale
+    * serving layout. Exactness case (lossless grid, exhaustive probe)
+    * is spec-asserted; the driver checks the serving path. */
+  def simAnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    ivfPqIndex(s, dir).search(
+        Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", topK = 5, nprobe = 8)
+      .select(col("query_id"), col("id").as("vec_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+      .orderBy("query_id", "rank")
+
   /** #24c PQ-compressed ANN: every 50th embedding queries the ADC index
     * (unit-normalized on both sides so inner-product scores rank like
     * cosine). Approximation quality is spec-asserted on a lossless
@@ -362,6 +383,7 @@ object DedupSimQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_pq"          -> (simAnnPq _),
     "sim_ann_pq_shape"    -> (simAnnPqShape _),
+    "sim_ann_ivfpq"       -> (simAnnIvfPq _),
     "sim_ann_ivf"         -> (simAnnIvf _),
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_keep"          -> (dedupKeep _),

@@ -187,6 +187,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IvfPq: exhaustive probe on a lossless grid equals exact cosine top-k") {
+    import spark.implicits._
+    // After unit normalization each subspace takes 4 distinct values
+    // (2 raw values × 2 vector norms), so k=4 per-subspace centroids
+    // recover them exactly: zero quantization error, and exhaustive
+    // probing (nprobe = nlist) removes the cell approximation — the
+    // composed index must reproduce exact cosine ranking.
+    val vecs = (0L until 16L).map { id =>
+      val a = if ((id & 1L) == 1L) 2.0 else 0.5
+      val b = if ((id & 2L) == 2L) 3.0 else 1.0
+      (id, Array(a, a, b, b))
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val index = Pq.buildIvfPq(df, "vec_id", "v", nlist = 2, m = 2, k = 4, seed = 3L)
+    val got = index.search(df.filter(col("vec_id") < 2), "vec_id", "v",
+      topK = 4, nprobe = 2)
+    val byQ = got.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    for ((qid, qv) <- vecs.take(2)) {
+      val uq = unit(qv)
+      val expect = vecs
+        .map { case (id, v) =>
+          (id, unit(v).zip(uq).map { case (x, y) => x * y }.sum)
+        }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(4)
+      expect.zipWithIndex.foreach { case ((id, s), i) =>
+        val (gid, gs) = byQ((qid, i + 1))
+        assert(gid == id && math.abs(gs - s) < 1e-9,
+          s"query $qid rank ${i + 1}: got ($gid, $gs) want ($id, $s)")
+      }
+    }
+    // pruned probing returns a subset of the exhaustive candidates
+    val pruned = index.search(df.filter(col("vec_id") < 2), "vec_id", "v",
+        topK = 4, nprobe = 1)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = got.select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.nonEmpty && pruned.forall { case (q, _) => full.exists(_._1 == q) })
+  }
+
   test("brute force ranks are contiguous and scores non-increasing") {
     val e = Tables.embeddings(spark, dir)
     val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)
