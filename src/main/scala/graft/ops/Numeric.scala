@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Numeric feature conditioning for training pipelines: distribution-
+  * aware clipping of outliers before values feed a model or a reward /
+  * quality signal.
+  */
+object Numeric {
+
+  /** Winsorize `valueCol` per group: clip to the [loFrac, hiFrac]
+    * exact quantiles of its own group — the standard outlier treatment
+    * that (unlike dropping) keeps row counts and keys intact. Returns
+    * `df` with `<valueCol>_w` appended.
+    *
+    * Scale shape: one exact-percentile aggregation per group (partial
+    * aggregation collapses each partition first), a broadcast join of
+    * the |groups|-row bounds table, and a pure clip projection — the
+    * big side is never shuffled. Exact quantiles keep the operator
+    * oracle-checkable; at extreme per-group cardinality swap in
+    * [[Sketches.groupProfile]]'s approximate percentiles (same join
+    * shape, approximate cut). */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      loFrac: Double = 0.05,
+      hiFrac: Double = 0.95): DataFrame = {
+    require(loFrac >= 0 && loFrac <= hiFrac && hiFrac <= 1,
+      s"need 0 <= lo <= hi <= 1, got [$loFrac, $hiFrac]")
+    require(groupCols.nonEmpty, "at least one group column")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        percentile(col(valueCol), lit(loFrac)).as("__graft_lo"),
+        percentile(col(valueCol), lit(hiFrac)).as("__graft_hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(valueCol + "_w",
+        least(greatest(col(valueCol), col("__graft_lo")), col("__graft_hi")))
+      .drop("__graft_lo", "__graft_hi")
+  }
+}

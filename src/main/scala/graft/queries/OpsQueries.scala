@@ -323,7 +323,16 @@ object OpsQueries {
     TextAnalysis.noveltyProfile(Tables.documents(s, dir), "text", "doc_id", n = 5)
       .orderBy("doc_id")
 
+  /** #50 per-type winsorization of event values at [P5, P95]. */
+  def winsorizeEvents(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Numeric.winsorize(Tables.events(s, dir),
+        Seq("event_type"), "value", 0.05, 0.95)
+      .select(col("event_id"), col("event_type"),
+        round(col("value_w"), 6).as("value_w"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "winsorize_events"  -> (winsorizeEvents _),
     "text_novelty"      -> (textNovelty _),
     "bm25_search"       -> (bm25Search _),
     "inverted_index"    -> (invertedIndex _),
@@ -681,6 +690,16 @@ object OpsQueries {
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+    "winsorize_events" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_id, e.event_type,
+        |  round(least(greatest(value, lo), hi), 6) AS value_w
+        |FROM events e JOIN q USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     // String shingles on the oracle side vs 64-bit hashes on the Spark
     // side: only membership/counts surface, so the mirror is exact
     // (same convention as corpus_clean/decontam_scan).

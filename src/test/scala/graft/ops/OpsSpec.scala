@@ -433,6 +433,23 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(2L, 4L, 6L))
   }
 
+  test("Numeric.winsorize clips to its own group's quantiles, keeps rows") {
+    import spark.implicits._
+    // group a: 1..100 → P5=5.95, P95=95.05 (linear interpolation);
+    // group b constant → clip is the identity.
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(_ => ("b", 7.0))).toDF("g", "value")
+    val out = Numeric.winsorize(df, Seq("g"), "value", 0.05, 0.95)
+    assert(out.count() == 110, "winsorize must keep every row")
+    val a = out.filter(col("g") === "a").select("value", "value_w")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(a(1.0) - 5.95) < 1e-9 && math.abs(a(100.0) - 95.05) < 1e-9)
+    assert(a(50.0) == 50.0, "interior values pass through")
+    val b = out.filter(col("g") === "b").select("value_w")
+      .collect().map(_.getDouble(0)).distinct
+    assert(b.toSeq == Seq(7.0))
+  }
+
   test("Upsert.latestWins keeps exactly the newest row per key") {
     import spark.implicits._
     val log = Seq(
