@@ -39,4 +39,25 @@ object Numeric {
         least(greatest(col(valueCol), col("__graft_lo")), col("__graft_hi")))
       .drop("__graft_lo", "__graft_hi")
   }
+
+  /** Z-score standardize `valueCol` per group: (v − mean) / stddev with
+    * the group's sample statistics — appended as `<valueCol>_z`, null
+    * for groups with zero variance (a 0/0 z-score is undefined, and a
+    * silent 0 would hide a degenerate feature). Same shape as
+    * [[winsorize]]: one aggregation, one broadcast join, one
+    * projection. */
+  def standardize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(avg(col(valueCol)).as("__graft_mu"),
+        stddev_samp(col(valueCol)).as("__graft_sd"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn(valueCol + "_z",
+        when(col("__graft_sd") > 0,
+          (col(valueCol) - col("__graft_mu")) / col("__graft_sd")))
+      .drop("__graft_mu", "__graft_sd")
+  }
 }

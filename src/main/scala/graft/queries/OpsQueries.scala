@@ -331,7 +331,16 @@ object OpsQueries {
         round(col("value_w"), 6).as("value_w"))
       .orderBy("event_id")
 
+  /** #50b per-type z-score standardization of event values. */
+  def zscoreEvents(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Numeric.standardize(Tables.events(s, dir),
+        Seq("event_type"), "value")
+      .select(col("event_id"), col("event_type"),
+        round(col("value_z"), 6).as("value_z"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zscore_events"     -> (zscoreEvents _),
     "winsorize_events"  -> (winsorizeEvents _),
     "text_novelty"      -> (textNovelty _),
     "bm25_search"       -> (bm25Search _),
@@ -690,6 +699,15 @@ object OpsQueries {
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+    "zscore_events" ->
+      """WITH st AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_id, e.event_type,
+        |  round(CASE WHEN sd > 0 THEN (value - mu) / sd END, 6) AS value_z
+        |FROM events e JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "winsorize_events" ->
       """WITH q AS (
         |  SELECT event_type,

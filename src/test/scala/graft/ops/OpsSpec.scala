@@ -450,6 +450,20 @@ class OpsSpec extends SparkSpec {
     assert(b.toSeq == Seq(7.0))
   }
 
+  test("Numeric.standardize z-scores per group; zero-variance groups go null") {
+    import spark.implicits._
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)) ++
+      Seq.fill(4)(("b", 9.0))).toDF("g", "value")
+    val out = Numeric.standardize(df, Seq("g"), "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // group a: mean 2, sample sd 1 → z = v - 2
+    assert(out(("a", 1.0)).exists(z => math.abs(z + 1.0) < 1e-12))
+    assert(out(("a", 3.0)).exists(z => math.abs(z - 1.0) < 1e-12))
+    // constant group: undefined z, surfaced as null (never a silent 0)
+    assert(out(("b", 9.0)).isEmpty)
+  }
+
   test("Upsert.latestWins keeps exactly the newest row per key") {
     import spark.implicits._
     val log = Seq(
