@@ -380,7 +380,17 @@ object DedupSimQueries {
         max(array_max(col("codes"))) <= 15).as("codes_in_range"))
   }
 
+  /** #51 per-label embedding centroids (element-wise mean pooling),
+    * emitted long-form (label, dim, v) so the compare sees plain
+    * doubles. */
+  def vecMeanPool(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Vectors.meanPool(Tables.embeddings(s, dir), "label", "embedding")
+      .select(col("label"), posexplode(col("mean_vec")))
+      .select(col("label"), col("pos").as("dim"), round(col("col"), 6).as("v"))
+      .orderBy("label", "dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_mean_pool"       -> (vecMeanPool _),
     "sim_ann_pq"          -> (simAnnPq _),
     "sim_ann_pq_shape"    -> (simAnnPqShape _),
     "sim_ann_ivfpq"       -> (simAnnIvfPq _),
@@ -608,6 +618,11 @@ object DedupSimQueries {
       """SELECT count(*) AS n_codes, 8 AS code_len_min, 8 AS code_len_max,
         |  true AS codes_in_range
         |FROM embeddings""".stripMargin,
+    "vec_mean_pool" ->
+      """SELECT label, g.i - 1 AS dim, round(avg(embedding[g.i]), 6) AS v
+        |FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     // Constant-true truth list: hash matches iff every shingle-able doc's
     // planted exact duplicate surfaced from the pigeonhole blocking.
     "dedup_simhash_containment" ->

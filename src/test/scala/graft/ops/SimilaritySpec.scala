@@ -187,6 +187,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("Vectors.meanPool: element-wise means, dims stay ordered") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Array(1.0f, 10.0f, 100.0f)),
+      ("a", Array(3.0f, 30.0f, 300.0f)),
+      ("b", Array(5.0f, 6.0f, 7.0f))
+    ).toDF("g", "v")
+    val got = Vectors.meanPool(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") == Seq(2.0, 20.0, 200.0))
+    assert(got("b") == Seq(5.0, 6.0, 7.0))
+  }
+
   test("IvfPq: exhaustive probe on a lossless grid equals exact cosine top-k") {
     import spark.implicits._
     // After unit normalization each subspace takes 4 distinct values
