@@ -33,6 +33,45 @@ object TextAnalysis {
     size(regexp_extract_all(lower(c),
       lit("\\b(the|a|an|and|of|to|in|is|it|that|for)\\b"), lit(0)))
 
+  /** Gopher-style intra-document n-gram repetition rules (Rae et al.
+    * 2021 §A1.1): the fraction of bigram occurrences taken by the
+    * single most frequent bigram, and the fraction of trigram
+    * occurrences whose trigram repeats within the document — high
+    * values flag keyword-stuffed or template-looped text that the
+    * line-level [[repetitionRatio]] misses. Returns (idCol, n_bigrams,
+    * top_bigram_frac, dup_trigram_frac); documents too short for a
+    * window get 0 counts and null fractions.
+    *
+    * Scale shape: n-gram streams are narrow zips of the token array
+    * with its own tails; both fractions are (id, gram)-keyed counts
+    * with partial aggregation — never text on an exchange (grams
+    * reduce to xxhash64). */
+  def ngramRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = LanguageModel.tokens(col(textCol))
+    def grams(n: Int) = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        xxhash64(concat_ws(" ",
+          (0 until n).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+    val base = df.select(col(idCol), grams(2).as("bg"), grams(3).as("tg"))
+    val bi = base.select(col(idCol), explode(col("bg")).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_c"))
+    val tri = base.select(col(idCol), explode(col("tg")).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_trigrams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_c"))
+    df.select(col(idCol))
+      .join(bi, Seq(idCol), "left")
+      .join(tri, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("top_c").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        (col("dup_c").cast("double") / col("n_trigrams")).as("dup_trigram_frac"))
+  }
+
   /** Corpus-wide n-gram novelty: per document, the fraction of its
     * DISTINCT word n-grams that occur in no other document (and never
     * twice anywhere) — a boilerplate/templating signal finer than whole

@@ -339,7 +339,17 @@ object OpsQueries {
         round(col("value_z"), 6).as("value_z"))
       .orderBy("event_id")
 
+  /** #38b Gopher n-gram repetition rules: top-bigram concentration and
+    * duplicate-trigram fraction per document. */
+  def textNgramRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramRepetition(Tables.documents(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+        round(col("dup_trigram_frac"), 6).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_repetition" -> (textNgramRepetition _),
     "zscore_events"     -> (zscoreEvents _),
     "winsorize_events"  -> (winsorizeEvents _),
     "text_novelty"      -> (textNovelty _),
@@ -699,6 +709,37 @@ object OpsQueries {
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+    // String n-grams on the oracle side vs xxhash64 on the Spark side —
+    // only counts surface (novelty-profile convention).
+    "text_ngram_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+        |), bic AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |    FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+        |          WHERE len(t) >= 2)
+        |  ) GROUP BY doc_id, g
+        |), bip AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS top_c
+        |  FROM bic GROUP BY doc_id
+        |), tric AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+        |          WHERE len(t) >= 3)
+        |  ) GROUP BY doc_id, g
+        |), trip AS (
+        |  SELECT doc_id, sum(c) AS n_trigrams,
+        |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_c
+        |  FROM tric GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  round(top_c / n_bigrams, 6) AS top_bigram_frac,
+        |  round(dup_c / n_trigrams, 6) AS dup_trigram_frac
+        |FROM documents d
+        |LEFT JOIN bip USING (doc_id) LEFT JOIN trip USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "zscore_events" ->
       """WITH st AS (
         |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd

@@ -433,6 +433,26 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(2L, 4L, 6L))
   }
 
+  test("TextAnalysis.ngramRepetition: concentrations exact, short docs null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),  // bigrams: (a,b)x3 (b,a)x2 → top 3/5; trigrams: aba x2, bab x2 → dup 4/4
+      (2L, "x y z"),        // bigrams xy, yz (top 1/2); trigram xyz once (dup 0/1)
+      (3L, "solo"),         // 1 token → no windows
+      (4L, "")              // no tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramRepetition(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 5L)
+    assert(math.abs(got(1L).getDouble(2) - 0.6) < 1e-12)
+    assert(math.abs(got(1L).getDouble(3) - 1.0) < 1e-12)
+    assert(got(2L).getLong(1) == 2L)
+    assert(math.abs(got(2L).getDouble(2) - 0.5) < 1e-12)
+    assert(got(2L).getDouble(3) == 0.0)
+    assert(got(3L).getLong(1) == 0L && got(3L).isNullAt(2) && got(3L).isNullAt(3))
+    assert(got(4L).getLong(1) == 0L && got(4L).isNullAt(2))
+  }
+
   test("Numeric.winsorize clips to its own group's quantiles, keeps rows") {
     import spark.implicits._
     // group a: 1..100 → P5=5.95, P95=95.05 (linear interpolation);
