@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.EvalQueries.queries ++
       graft.queries.CmfQueries.queries ++
       graft.queries.DedupSimQueries.queries ++
-      graft.queries.StreamMmQueries.queries
+      graft.queries.StreamMmQueries.queries ++
+      graft.queries.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       graft.queries.EvalQueries.oracles ++
       graft.queries.CmfQueries.oracles ++
       graft.queries.DedupSimQueries.oracles ++
-      graft.queries.StreamMmQueries.oracles
+      graft.queries.StreamMmQueries.oracles ++
+      graft.queries.SourceQueries.oracles
 }

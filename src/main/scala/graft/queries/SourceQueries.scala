@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.Tables
+import graft.sources.{TypedCsv, TypedJsonl}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The documents-metadata row shape the typed-source round trips carry
+  * (text itself is excluded: embedded newlines would test the formats'
+  * quoting dialects, not the ingestion path under test). */
+case class DocMeta(doc_id: Long, lang: String, source: String, n_chars: Long)
+
+/** Driver wiring for the typed sources (SURVEY §2 #17/#17b): write the
+  * documents metadata out through each format, re-ingest through the
+  * typed reader, and hash-check the round trip against the original
+  * table — upgrading both sources from spec-only to DuckDB-checked.
+  */
+object SourceQueries {
+
+  private def meta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+
+  /** #17 typed CSV: write → `TypedCsv.read[DocMeta]` → original rows. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    meta(s, dir).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    TypedCsv.read[DocMeta](s, tmp).toDF().orderBy("doc_id")
+  }
+
+  /** #17b typed JSONL with quarantine: two malformed lines are planted
+    * (one JSON-syntax reject, one null-required-field reject — both
+    * quarantine categories) and must land in the corrupt channel, not
+    * the data; the good side must round-trip exactly. The quarantine
+    * count rides along as a constant column so the oracle checks it. */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    meta(s, dir).coalesce(1)
+      .write.mode("overwrite").json(tmp.toString)
+    java.nio.file.Files.writeString(tmp.resolve("part-planted-bad.json"),
+      "{\"oops\": 1}\n{broken json\n")
+    val (good, bad) = TypedJsonl.readWithCorrupt[DocMeta](s, tmp.toString)
+    good.toDF()
+      .crossJoin(broadcast(bad.agg(count(lit(1)).as("n_quarantined"))))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "csv_roundtrip"   -> (csvRoundtrip _),
+    "jsonl_roundtrip" -> (jsonlRoundtrip _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "csv_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, 2::BIGINT AS n_quarantined
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
