@@ -215,6 +215,27 @@ object CmfQueries {
   /** #12b predict coverage shape: predicting the training relation from
     * the fitted model must score every rating row (no NaN — every id was
     * seen in the fit) exactly once. */
+  /** #13c model persistence round-trip, driver-hash-checked: save the
+    * shared explicit model, load it back, and score the training
+    * relation with BOTH models — every pair must predict identically
+    * (same factors through the same fused dot ⇒ bitwise-equal floats;
+    * Spark's EqualTo treats NaN = NaN as true, and n_nan pins zero NaN
+    * anyway), with full row coverage. */
+  def modelRoundtripShape(s: SparkSession, dir: String): DataFrame = {
+    val m = explicitModel(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_model").toString
+    m.save(path)
+    val loaded = graft.cmf.CollectiveALSModel.load(s, path)
+    val a = m.predict(custPartRatings(s, dir))
+      .select(col("cust"), col("part"), col("prediction").as("p0"))
+    val b = loaded.predict(custPartRatings(s, dir))
+      .select(col("cust"), col("part"), col("prediction").as("p1"))
+    a.join(b, Seq("cust", "part"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("p0") === col("p1"), 0L).otherwise(1L)).as("n_diff"),
+        sum(when(isnan(col("p1")), 1L).otherwise(0L)).as("n_nan"))
+  }
+
   def alsPredictShape(s: SparkSession, dir: String): DataFrame = {
     val p = explicitModel(s, dir).predict(custPartRatings(s, dir))
     p.agg(count(lit(1)).as("n_rows"),
@@ -245,6 +266,7 @@ object CmfQueries {
     "als_foldin_shape" -> (alsFoldinShape _),
     "recommend_topk_shape" -> (recommendTopKShape _),
     "als_predict_shape" -> (alsPredictShape _),
+    "model_roundtrip_shape" -> (modelRoundtripShape _),
     "als_nonnegative_shape" -> (alsNonnegShape _),
     "als_implicit_shape" -> (alsImplicitShape _),
     "cmf_predict_shape" -> (cmfPredictShape _),
@@ -278,6 +300,13 @@ object CmfQueries {
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |  WHERE o_custkey % 20 = 0)
         |ORDER BY cust""".stripMargin,
+    // Round-trip: full coverage, zero prediction drift, zero NaN.
+    "model_roundtrip_shape" ->
+      """SELECT count(*) AS n_rows, 0::BIGINT AS n_diff, 0::BIGINT AS n_nan
+        |FROM (
+        |  SELECT o_custkey, l_partkey
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)""".stripMargin,
     "als_predict_shape" ->
       """SELECT count(*) AS n_rows, 0::BIGINT AS n_nan,
         |  count(DISTINCT cust) AS n_custs, count(DISTINCT part) AS n_parts
