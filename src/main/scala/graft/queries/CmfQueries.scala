@@ -262,7 +262,35 @@ object CmfQueries {
         sum(when(exists(col("features"), f => isnan(f)), 1L).otherwise(0L)).as("n_nan"))
   }
 
+  /** #12c' fold-in mode coverage: the same unseen-customer batch folded
+    * under implicit (Hu-Koren Gram) and NNLS modes — per mode, full
+    * coverage, rank-8 factors, no NaN, and (NNLS only) zero negative
+    * coefficients, all SQL-decidable. */
+  def foldinModesShape(s: SparkSession, dir: String): DataFrame = {
+    val batch = custPartRatings(s, dir)
+      .filter(col("cust") % 7 === 0)
+      .withColumn("cust", col("cust") + 1000000L)
+    val m = explicitModel(s, dir)
+    def shape(mode: String, f: DataFrame, checkNonneg: Boolean) =
+      f.agg(
+        lit(mode).as("mode"),
+        count(lit(1)).as("n_users"),
+        sum(when(size(col("features")) =!= 8, 1L).otherwise(0L)).as("n_badrank"),
+        sum(when(exists(col("features"), x => isnan(x)), 1L).otherwise(0L)).as("n_nan"),
+        (if (checkNonneg)
+           sum(when(exists(col("features"), x => x < 0f), 1L).otherwise(0L))
+         else lit(0L)).as("n_neg"))
+    shape("implicit",
+        m.foldIn(batch, "cust", "part", regParam = 0.1,
+          implicitPrefs = true, alpha = 40.0), checkNonneg = false)
+      .unionAll(shape("nnls",
+        m.foldIn(batch, "cust", "part", regParam = 0.1,
+          nonnegative = true), checkNonneg = true))
+      .orderBy("mode")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "foldin_modes_shape" -> (foldinModesShape _),
     "als_foldin_shape" -> (alsFoldinShape _),
     "recommend_topk_shape" -> (recommendTopKShape _),
     "als_predict_shape" -> (alsPredictShape _),
@@ -286,6 +314,13 @@ object CmfQueries {
   val oracles: Map[String, String] = Map(
     // One folded factor per re-keyed customer: the batch keeps real part
     // ids, so the inner join against the frozen part factors loses nobody.
+    "foldin_modes_shape" ->
+      """SELECT mode, count(DISTINCT o_custkey) AS n_users,
+        |  0::BIGINT AS n_badrank, 0::BIGINT AS n_nan, 0::BIGINT AS n_neg
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |CROSS JOIN (SELECT unnest(['implicit', 'nnls']) AS mode)
+        |WHERE o_custkey % 7 = 0
+        |GROUP BY mode ORDER BY mode""".stripMargin,
     "als_foldin_shape" ->
       """SELECT count(DISTINCT o_custkey) AS n_users,
         |  count(DISTINCT o_custkey) AS n_ids,
