@@ -453,6 +453,30 @@ class OpsSpec extends SparkSpec {
     assert(got(4L).getLong(1) == 0L && got(4L).isNullAt(2))
   }
 
+  test("CorpusWriter: sized writes hit the file-count target; partitioned prunes") {
+    import spark.implicits._
+    import graft.sources.CorpusWriter
+    val df = (0 until 1000).map(i => (i.toLong, s"lang${i % 3}", s"body $i"))
+      .toDF("id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_writer")
+    val files = CorpusWriter.writeSized(df, s"$dir/sized", rowsPerFile = 300)
+    assert(files == 4)
+    val parts = new java.io.File(s"$dir/sized").listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts == 4, s"expected 4 part files, found $parts")
+    assert(spark.read.parquet(s"$dir/sized").count() == 1000)
+
+    CorpusWriter.writePartitioned(df, s"$dir/bylang", Seq("lang"))
+    val dirs = new java.io.File(s"$dir/bylang").listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("lang=lang0", "lang=lang1", "lang=lang2"))
+    // partition pruning must reach the scan
+    val one = spark.read.parquet(s"$dir/bylang").filter(col("lang") === "lang1")
+    assert(one.count() == 333 || one.count() == 334)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan.take(1500))
+  }
+
   test("Numeric.winsorize clips to its own group's quantiles, keeps rows") {
     import spark.implicits._
     // group a: 1..100 → P5=5.95, P95=95.05 (linear interpolation);
