@@ -263,6 +263,32 @@ object Relational {
       GROUP BY label ORDER BY label""")
   }
 
+  /** #7j full-outer join: per-customer order count next to event count,
+    * keeping customers that appear on only one side (events carry
+    * user_ids outside the customer table and vice versa). */
+  def q15FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("cust")).agg(count(lit(1)).as("n_orders"))
+    val events = Tables.events(s, dir)
+      .groupBy(col("user_id").as("cust")).agg(count(lit(1)).as("n_events"))
+    orders.join(events, Seq("cust"), "full_outer")
+      .select(col("cust"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("cust")
+  }
+
+  /** #7k set operations: customers with both finished orders AND events
+    * (INTERSECT), and with finished orders but no events (EXCEPT). */
+  def q16SetOps(s: SparkSession, dir: String): DataFrame = {
+    val finished = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey").as("cust"))
+    val active = Tables.events(s, dir).select(col("user_id").as("cust"))
+    val both = finished.intersect(active).withColumn("set_op", lit("intersect"))
+    val only = finished.except(active).withColumn("set_op", lit("except"))
+    both.unionAll(only).orderBy("set_op", "cust")
+  }
+
   /** #7 time-bucketed event aggregation: daily activity by event type. */
   def q7EventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -286,6 +312,8 @@ object Relational {
     "q12_rollup"       -> (q12Rollup _),
     "q13_pivot"        -> (q13Pivot _),
     "q14_sql"          -> (q14Sql _),
+    "q15_fullouter"    -> (q15FullOuter _),
+    "q16_setops"       -> (q16SetOps _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -393,6 +421,24 @@ object Relational {
         |  round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6)
         |    AS avg_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q15_fullouter" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust, count(*) AS n_orders FROM orders GROUP BY 1
+        |), e AS (
+        |  SELECT user_id AS cust, count(*) AS n_events FROM events GROUP BY 1
+        |)
+        |SELECT coalesce(o.cust, e.cust) AS cust,
+        |  coalesce(n_orders, 0) AS n_orders, coalesce(n_events, 0) AS n_events
+        |FROM o FULL OUTER JOIN e ON o.cust = e.cust
+        |ORDER BY cust""".stripMargin,
+    "q16_setops" ->
+      """WITH f AS (
+        |  SELECT DISTINCT o_custkey AS cust FROM orders WHERE o_orderstatus = 'F'
+        |), a AS (SELECT DISTINCT user_id AS cust FROM events)
+        |SELECT cust, 'intersect' AS set_op FROM (SELECT cust FROM f INTERSECT SELECT cust FROM a)
+        |UNION ALL
+        |SELECT cust, 'except' AS set_op FROM (SELECT cust FROM f EXCEPT SELECT cust FROM a)
+        |ORDER BY set_op, cust""".stripMargin,
     "q10_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
