@@ -199,6 +199,17 @@ object DedupSimQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clusterLabels(s, dir).orderBy("id")
 
+  /** #19b' clustering generality: the same min-label propagation over a
+    * DIFFERENT detector's pairs — the LSH-blocked embedding-cosine
+    * pairs (planted tail-zeroed mutations at 0.7) instead of n-gram
+    * text pairs. The oracle recomputes the exact cosine pair list and
+    * its recursive closure independently. */
+  def dedupEmbeddingClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(
+        Dedup.embeddingCosineLsh(withVecMutations(s, dir), "embedding", "vec_id", 0.7),
+        "vec_id_a", "vec_id_b")
+      .orderBy("id")
+
   /** #19c end-to-end keep-one dedup: the corpus rows surviving near-dup
     * clustering — one representative (the min id) per connected
     * component, every unpaired row kept. Makes the full pipeline
@@ -402,6 +413,7 @@ object DedupSimQueries {
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_minhash_containment" -> (dedupMinhashContainment _),
     "dedup_keep_best"     -> (dedupKeepBest _),
+    "dedup_embedding_clusters" -> (dedupEmbeddingClusters _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_containment" -> (dedupSimhashContainment _),
     "dedup_embedding"     -> (dedupEmbedding _),
@@ -623,6 +635,36 @@ object DedupSimQueries {
         |FROM embeddings,
         |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // Components over the exact cosine pair list (recursive closure):
+    // matches iff LSH banding surfaced every true pair AND the
+    // min-label propagation converged to the same components.
+    "dedup_embedding_clusters" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_concat(embedding[1:56]::DOUBLE[],
+        |      [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[])
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM base
+        |  WHERE list_inner_product(v, v) > 0
+        |), p AS (
+        |  SELECT a.vec_id AS pa, b.vec_id AS pb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.7
+        |), edges AS (
+        |  SELECT pa AS a, pb AS b FROM p
+        |  UNION SELECT pb, pa FROM p
+        |  UNION SELECT pa, pa FROM p
+        |  UNION SELECT pb, pb FROM p
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+        |)
+        |SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a
+        |ORDER BY id""".stripMargin,
     // Constant-true truth list: hash matches iff every shingle-able doc's
     // planted exact duplicate surfaced from the pigeonhole blocking.
     "dedup_simhash_containment" ->
