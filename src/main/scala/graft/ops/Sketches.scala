@@ -66,4 +66,29 @@ object Sketches {
         percentile(
           col(valueCol),
           array(percentiles.map(lit): _*)).as("exact_percentiles"))
+
+  /** Equal-width histogram of `valueCol` per group: `bins` buckets over
+    * each group's own [min, max] range (the top edge closes into the
+    * last bin), emitted long-form (group, bin, n). A zero-width group
+    * (constant values) lands entirely in bin 0.
+    *
+    * Scale shape: one min/max aggregation, a broadcast range join, and
+    * one (group, bin)-keyed count — all partial-aggregable, no sort. */
+  def histogram(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val range = df.groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    df.join(broadcast(range), groupCol)
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(
+            floor((col(valueCol) - col("__lo")) * bins / (col("__hi") - col("__lo"))),
+            lit(bins - 1))).cast("int"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -348,7 +348,14 @@ object OpsQueries {
         round(col("dup_trigram_frac"), 6).as("dup_trigram_frac"))
       .orderBy("doc_id")
 
+  /** #37c equal-width value histogram per event type (10 bins over each
+    * type's own range). */
+  def eventsHistogram(s: SparkSession, dir: String): DataFrame =
+    Sketches.histogram(Tables.events(s, dir), "event_type", "value", bins = 10)
+      .orderBy("event_type", "bin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_histogram"  -> (eventsHistogram _),
     "text_ngram_repetition" -> (textNgramRepetition _),
     "zscore_events"     -> (zscoreEvents _),
     "winsorize_events"  -> (winsorizeEvents _),
@@ -709,6 +716,17 @@ object OpsQueries {
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+    "events_histogram" ->
+      """WITH r AS (
+        |  SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE least(floor((value - lo) * 10 / (hi - lo)), 9) END::INT AS bin,
+        |  count(*) AS n
+        |FROM events e JOIN r USING (event_type)
+        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
     // String n-grams on the oracle side vs xxhash64 on the Spark side —
     // only counts surface (novelty-profile convention).
     "text_ngram_repetition" ->

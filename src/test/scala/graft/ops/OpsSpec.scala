@@ -453,6 +453,19 @@ class OpsSpec extends SparkSpec {
     assert(got(4L).getLong(1) == 0L && got(4L).isNullAt(2))
   }
 
+  test("Sketches.histogram: exact bin edges, top edge closed, constant group") {
+    import spark.implicits._
+    val df = ((0 to 10).map(i => ("a", i.toDouble)) ++
+      Seq.fill(3)(("c", 5.0))).toDF("g", "value")
+    val got = Sketches.histogram(df, "g", "value", bins = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // a: values 0..10 over range [0,10] → one per bin, 10 lands in bin 9
+    assert((0 to 8).forall(b => got(("a", b)) == 1L))
+    assert(got(("a", 9)) == 2L, "top edge must close into the last bin")
+    // constant group: zero-width range → everything in bin 0
+    assert(got(("c", 0)) == 3L)
+  }
+
   test("CorpusWriter: sized writes hit the file-count target; partitioned prunes") {
     import spark.implicits._
     import graft.sources.CorpusWriter
