@@ -63,6 +63,33 @@ object ChronoSplit {
     }
   }
 
+  /** Per-group chronological split — the leave-last-out protocol
+    * recommender evaluation actually needs (a GLOBAL time cut puts
+    * early-lifecycle users entirely in train and late joiners entirely
+    * in test; cutting each user's own history keeps every user in
+    * both). Returns the slices in weight order, each preserving the
+    * schema; within a group the split is an integer-exact rank band
+    * over (timeCol, tieCol) via [[Sampling.rankBand]] — one shuffle per
+    * slice on the group key, no global sort anywhere. */
+  def splitPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      weights: Seq[Double],
+      timeCol: String,
+      tieCol: String): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    // Rational boundaries over a common denominator keep the band
+    // arithmetic integer-exact (weights like 0.8/0.2 → 8/10).
+    val denom = 1000000L
+    val sum = weights.sum
+    val cuts = weights.scanLeft(0.0)(_ + _)
+      .map(c => math.round(c / sum * denom))
+    cuts.sliding(2).toSeq.map { case Seq(lo, hi) =>
+      Sampling.rankBand(df, Seq(col(groupCol)),
+        Seq(col(timeCol), col(tieCol)), lo, hi, denom)
+    }
+  }
+
   /** Bucket fan-out sized so each per-bucket window stays comfortably
     * in one task (~1M rows) while the bucket-assignment expression (one
     * pass over the literal cut array per row) stays cheap. */

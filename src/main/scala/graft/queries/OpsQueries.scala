@@ -354,7 +354,16 @@ object OpsQueries {
     Sketches.histogram(Tables.events(s, dir), "event_type", "value", bins = 10)
       .orderBy("event_type", "bin")
 
+  /** #14b per-user leave-last-out split: each user's most recent 20% of
+    * events as the test slice. */
+  def chronoSplitUser(s: SparkSession, dir: String): DataFrame = {
+    val Seq(_, test) = ChronoSplit.splitPerGroup(
+      Tables.events(s, dir), "user_id", Seq(0.8, 0.2), "ts", "event_id")
+    test.select("event_id", "user_id", "event_type").orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chrono_split_user" -> (chronoSplitUser _),
     "events_histogram"  -> (eventsHistogram _),
     "text_ngram_repetition" -> (textNgramRepetition _),
     "zscore_events"     -> (zscoreEvents _),
@@ -716,6 +725,16 @@ object OpsQueries {
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY content_md5 ORDER BY doc_id""".stripMargin,
+    "chrono_split_user" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, event_type FROM r
+        |WHERE rn * 1000000 > 800000 * n AND rn * 1000000 <= 1000000 * n
+        |ORDER BY event_id""".stripMargin,
     "events_histogram" ->
       """WITH r AS (
         |  SELECT event_type, min(value) AS lo, max(value) AS hi

@@ -453,6 +453,24 @@ class OpsSpec extends SparkSpec {
     assert(got(4L).getLong(1) == 0L && got(4L).isNullAt(2))
   }
 
+  test("ChronoSplit.splitPerGroup keeps every user in both slices, time-ordered") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 50).flatMap { u =>
+      (0 until 10 + rnd.nextInt(20)).map(i => (u.toLong, i.toLong * 100 + u, u * 1000L + i))
+    }.toDF("user", "t", "id")
+    val Seq(train, test) =
+      ChronoSplit.splitPerGroup(df, "user", Seq(0.8, 0.2), "t", "id")
+    assert(train.count() + test.count() == df.count(), "slices partition the rows")
+    // every user appears in both slices (the point of the per-group cut)
+    assert(train.select("user").distinct().count() == 50)
+    assert(test.select("user").distinct().count() == 50)
+    // within each user, max train time <= min test time
+    val maxTrain = train.groupBy("user").agg(max("t").as("mt"))
+    val minTest = test.groupBy("user").agg(min("t").as("nt"))
+    assert(maxTrain.join(minTest, "user").filter(col("mt") > col("nt")).count() == 0)
+  }
+
   test("Sketches.histogram: exact bin edges, top edge closed, constant group") {
     import spark.implicits._
     val df = ((0 to 10).map(i => ("a", i.toDouble)) ++
