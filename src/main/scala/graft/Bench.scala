@@ -61,6 +61,8 @@ object Bench {
         timed(queries.DedupSimQueries.spanGrams(spark, sfDir).count()),
       "_mat_pq_index" ->
         timed(queries.DedupSimQueries.pqState(spark, sfDir)._2.count()),
+      "_mat_ivfpq_index" ->
+        timed(queries.DedupSimQueries.ivfPqIndex(spark, sfDir).codedCells.count()),
     )
 
     val names = SparkEntry.queries.keys.toSeq.sorted
