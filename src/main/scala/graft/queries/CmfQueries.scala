@@ -164,6 +164,17 @@ object CmfQueries {
         count_distinct(col("right_id")).as("n_right"))
       .orderBy("relation")
 
+  /** #10c' same coverage invariants on the IMPLICIT collective fit —
+    * the Gram-mask-merge path gets its own SQL-decidable shape row. */
+  def cmfImplicitShape(s: SparkSession, dir: String): DataFrame =
+    cmfImplicit(s, dir)
+      .groupBy("relation")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(isnan(col("prediction")), 1L).otherwise(0L)).as("n_nan"),
+        count_distinct(col("left_id")).as("n_left"),
+        count_distinct(col("right_id")).as("n_right"))
+      .orderBy("relation")
+
   /** #9+#10: three-entity *implicit* (Hu-Koren) collective fit — the
     * driver-side exercise of the per-relation YtY mask merge: the shared
     * part entity is incident to both relations, so each part id's solve
@@ -298,6 +309,7 @@ object CmfQueries {
     "als_nonnegative_shape" -> (alsNonnegShape _),
     "als_implicit_shape" -> (alsImplicitShape _),
     "cmf_predict_shape" -> (cmfPredictShape _),
+    "cmf_implicit_shape" -> (cmfImplicitShape _),
     "als_explicit"    -> (alsExplicit _),
     "als_implicit"    -> (alsImplicit _),
     "als_nonnegative" -> (alsNonnegative _),
@@ -364,6 +376,23 @@ object CmfQueries {
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |  GROUP BY 1, 2)""".stripMargin,
     "cmf_predict_shape" ->
+      """SELECT * FROM (
+        |  SELECT 'cust_part' AS relation, count(*) AS n_rows,
+        |    0::BIGINT AS n_nan,
+        |    count(DISTINCT o_custkey) AS n_left,
+        |    count(DISTINCT l_partkey) AS n_right
+        |  FROM (
+        |    SELECT o_custkey, l_partkey
+        |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |    GROUP BY 1, 2)
+        |  UNION ALL
+        |  SELECT 'part_supp', count(*), 0::BIGINT,
+        |    count(DISTINCT l_partkey), count(DISTINCT l_suppkey)
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |) ORDER BY relation""".stripMargin,
+    // Identical coverage truth — the implicit fit scores the same
+    // relations over the same id space.
+    "cmf_implicit_shape" ->
       """SELECT * FROM (
         |  SELECT 'cust_part' AS relation, count(*) AS n_rows,
         |    0::BIGINT AS n_nan,
