@@ -181,21 +181,27 @@ object CmfQueries {
     * adds only the Gram matrices of relations that actually observe it
     * (with a single relation that mask branch is trivial). Quantity is
     * the cust→part confidence signal; part→supp attributes are binary. */
-  def cmfImplicit(s: SparkSession, dir: String): DataFrame = {
-    val r1 = custPartRatings(s, dir)
-    val r2 = partSuppPairs(s, dir)
-    val model = new CollectiveALS("cust", "part", "supp")
-      .setRank(8).setMaxIter(3).setRegParam(0.1).setAlpha(2.0)
-      .setImplicitPrefs(true).setSeed(42L)
-      .fit(("cust", "part") -> r1, ("part", "supp") -> r2)
-    val p1 = model.predict(r1, "cust", "part")
-      .select(lit("cust_part").as("relation"),
-        col("cust").as("left_id"), col("part").as("right_id"), col("prediction"))
-    val p2 = model.predict(r2, "part", "supp")
-      .select(lit("part_supp").as("relation"),
-        col("part").as("left_id"), col("supp").as("right_id"), col("prediction"))
-    p1.unionAll(p2)
-  }
+  private val cmfImplCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def cmfImplicit(s: SparkSession, dir: String): DataFrame =
+    cmfImplCache.getOrElseUpdate((s, dir), {
+      val r1 = custPartRatings(s, dir)
+      val r2 = partSuppPairs(s, dir)
+      val model = new CollectiveALS("cust", "part", "supp")
+        .setRank(8).setMaxIter(3).setRegParam(0.1).setAlpha(2.0)
+        .setImplicitPrefs(true).setSeed(42L)
+        .fit(("cust", "part") -> r1, ("part", "supp") -> r2)
+      val p1 = model.predict(r1, "cust", "part")
+        .select(lit("cust_part").as("relation"),
+          col("cust").as("left_id"), col("part").as("right_id"), col("prediction"))
+      val p2 = model.predict(r2, "part", "supp")
+        .select(lit("part_supp").as("relation"),
+          col("part").as("left_id"), col("supp").as("right_id"), col("prediction"))
+      // Materialized once per (session, dir): the #10b predict query and
+      // its #10c' shape audit read one implicit fit, not two.
+      p1.unionAll(p2).localCheckpoint(true)
+    })
 
   /** #13: blocked top-k recommendation for a deterministic 1-in-20 user
     * sample (sampling at the factor-table boundary keeps the query cheap
