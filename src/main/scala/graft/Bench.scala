@@ -78,8 +78,21 @@ object Bench {
     val errs = results.collect { case (n, Left(m)) => s""""$n":"${esc(m)}"""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Durable copy: the driver captures stdout through a bounded tail
+    // buffer, and a 100+-entry line can lose its front (round 7's
+    // BENCH artifact came back unparseable). The repo file is the
+    // authoritative artifact; stdout stays the driver's fast path.
+    try
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
