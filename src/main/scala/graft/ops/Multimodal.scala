@@ -5,25 +5,33 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal binary-column pipeline (SURVEY §2 #30).
   *
-  * Media (image/audio/video) travels as an opaque `binary` payload column
-  * plus a typed metadata struct; decode / feature-extraction runs as a
-  * typed `mapPartitions` over the payload bytes — the Spark-side plumbing
-  * (schema, per-partition batching, JVM-side byte access) is real and the
-  * partition shape is exactly what a native decoder (or a Pandas-UDF
-  * analogue) would see. The decode step itself is a clearly-marked
-  * deterministic STUB (this container ships no image/audio codecs): it
-  * derives pseudo width/height/frame-count features from the byte stream
-  * with pure integer arithmetic, which keeps the whole pipeline
-  * oracle-checkable.
+  * Media travels as an opaque `binary` payload column plus a typed
+  * metadata struct; decode / feature-extraction runs as a typed
+  * `mapPartitions` over the payload bytes — the Spark-side plumbing
+  * (schema, per-partition batching, JVM-side byte access) is exactly
+  * what a native decoder (or a Pandas-UDF analogue) would see.
+  *
+  * Image DECODE IS REAL: [[decodeImageHeader]] parses PNG IHDR and JPEG
+  * SOF headers byte-by-byte from the public format specifications (PNG:
+  * ISO/IEC 15948 — 8-byte signature, IHDR must be the first chunk, with
+  * big-endian width/height as its first two fields; JPEG: ITU-T T.81
+  * Annex B — a marker scan over length-prefixed segments to the first
+  * SOFn frame header, whose payload carries big-endian height then
+  * width). No third-party codec library involved. Only the VIDEO side
+  * ([[sampleFrames]] / [[resize]]) remains a documented stand-in — this
+  * container ships no video codecs; the fan-out/partition shape there is
+  * the production one.
   */
 object Multimodal {
 
-  case class MediaFeatures(
+  /** Decoded image header fields; `format` is "png" / "jpeg" / "unknown"
+    * (dims null when the payload doesn't parse). */
+  case class ImageMeta(
       doc_id: Long,
-      n_bytes: Long,
-      width: Long,
-      height: Long,
-      n_frames: Long)
+      format: String,
+      width: Option[Long],
+      height: Option[Long],
+      n_bytes: Long)
 
   /** Attach the opaque payload + metadata struct to a text corpus (the
     * testdata has no real media column, so documents stand in as payloads). */
@@ -35,29 +43,154 @@ object Multimodal {
         lit("txt").as("format"),
         octet_length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB decoder: deterministic pseudo-features from the raw bytes.
-    * A real deployment swaps this body for an actual codec; the
-    * signature — bytes in, fixed-width features out, executed
-    * per-partition — is the production shape. */
-  def decodeStub(id: Long, payload: Array[Byte]): MediaFeatures = {
-    val n = payload.length.toLong
-    val first = if (payload.nonEmpty) (payload(0) & 0xff).toLong else 0L
-    MediaFeatures(
-      doc_id = id,
-      n_bytes = n,
-      width = (n * 2654435761L) % 1024L,
-      height = (n * 97L + first) % 768L,
-      n_frames = n % 30L + 1L)
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** PNG signature (ISO/IEC 15948 §5.2): \x89 P N G \r \n \x1a \n. */
+  private val PngSig: Array[Int] = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Parse an image header: Some(format, width, height) for a payload
+    * whose leading bytes are a well-formed PNG or JPEG stream, None
+    * otherwise. Reads ONLY the header region — O(header) per payload
+    * regardless of image size, the right cost for a 100 TB metadata
+    * scan.
+    *
+    *  - PNG: after the 8-byte signature the first chunk must be IHDR
+    *    (§11.2.2); its 13-byte payload starts with big-endian
+    *    width, height (4 bytes each, at stream offsets 16 and 20).
+    *  - JPEG: segments are (0xFF, marker, 2-byte big-endian length)
+    *    after the SOI marker (T.81 §B.1.1.4); standalone markers
+    *    (RSTn/TEM) carry no length. The first SOFn (0xC0–0xCF minus
+    *    DHT 0xC4, JPG 0xC8, DAC 0xCC) payload is: precision (1),
+    *    height (2), width (2) — height FIRST (§B.2.2). */
+  def decodeImageHeader(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes.length >= 24 && PngSig.indices.forall(i => (bytes(i) & 0xff) == PngSig(i))
+        && bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R') {
+      val w = be32(bytes, 16); val h = be32(bytes, 20)
+      // Spec bounds: dims are 31-bit positive (§11.2.2); 0 is invalid.
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        Some(("png", w.toInt, h.toInt)) else None
+    } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if ((bytes(i) & 0xff) != 0xff) return None // desynced: not a marker
+        var j = i
+        while (j < bytes.length && (bytes(j) & 0xff) == 0xff) j += 1 // fill bytes
+        if (j >= bytes.length) return None
+        val marker = bytes(j) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOFn payload: [len][precision][height][width]...
+          if (j + 7 >= bytes.length) return None
+          val h = be16(bytes, j + 4); val w = be16(bytes, j + 6)
+          return if (w > 0 && h > 0) Some(("jpeg", w, h)) else None
+        } else if (marker == 0xd8 || marker == 0x01 ||
+            (marker >= 0xd0 && marker <= 0xd7)) {
+          i = j + 1 // standalone marker: no length field
+        } else if (marker == 0xd9) {
+          return None // EOI before any frame header
+        } else {
+          if (j + 2 >= bytes.length) return None
+          val len = be16(bytes, j + 1)
+          if (len < 2) return None
+          i = j + 1 + len
+        }
+      }
+      None
+    } else None
   }
 
-  /** Per-partition feature extraction over (id, payload) rows. */
-  def extractFeatures(withPayloadDf: DataFrame): Dataset[MediaFeatures] = {
+  /** Per-partition image-header decode over (id, payload) rows: the real
+    * parser applied distributively, undecodable payloads surfaced as
+    * format "unknown" with null dims (never an exception — a corrupt
+    * blob in a 100 TB corpus must not kill the job). */
+  def extractImageMeta(withPayloadDf: DataFrame): Dataset[ImageMeta] = {
     val spark = withPayloadDf.sparkSession
     import spark.implicits._
     withPayloadDf
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it => it.map { case (id, bytes) => decodeStub(id, bytes) } }
+      .mapPartitions {
+        _.map { case (id, bytes) =>
+          decodeImageHeader(bytes) match {
+            case Some((fmt, w, h)) =>
+              ImageMeta(id, fmt, Some(w.toLong), Some(h.toLong), bytes.length.toLong)
+            case None => ImageMeta(id, "unknown", None, None, bytes.length.toLong)
+          }
+        }
+      }
+  }
+
+  /** A minimal spec-conformant PNG stream: signature, IHDR (8-bit
+    * truecolour, real CRC-32s via java.util.zip), IEND. 45 bytes. */
+  private[ops] def pngBytes(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val out = new java.io.ByteArrayOutputStream(45)
+    PngSig.foreach(out.write)
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(len >>> 24); out.write(len >>> 16); out.write(len >>> 8); out.write(len)
+      val body = tpe.getBytes("US-ASCII") ++ data
+      out.write(body, 0, body.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(body)
+      val c = crc.getValue
+      out.write((c >>> 24).toInt); out.write((c >>> 16).toInt)
+      out.write((c >>> 8).toInt); out.write(c.toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** A minimal spec-conformant JPEG stream: SOI, APP0/JFIF, SOF0
+    * (baseline, one component), EOI — enough segments that the decode
+    * scan must really walk length-prefixed markers. 35 bytes. */
+  private[ops] def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff)
+    val b = Array.newBuilder[Byte]
+    def u8(v: Int): Unit = b += v.toByte
+    def u16(v: Int): Unit = { u8(v >>> 8); u8(v & 0xff) }
+    u16(0xffd8) // SOI
+    u16(0xffe0); u16(16) // APP0, length
+    "JFIF".foreach(c => u8(c)); u8(0) // identifier
+    u8(1); u8(1) // version 1.1
+    u8(0); u16(1); u16(1) // aspect-ratio units, x/y density
+    u8(0); u8(0) // no thumbnail
+    u16(0xffc0); u16(11) // SOF0, length = 8 + 3·1
+    u8(8); u16(h); u16(w) // precision, height FIRST, width
+    u8(1); u8(1); u8(0x11); u8(0) // 1 component: id, 1x1 sampling, qtable
+    u16(0xffd9) // EOI
+    b.result()
+  }
+
+  /** Deterministic image corpus over an id column: even ids carry a PNG,
+    * odd ids a JPEG, dims arithmetic in the id — so the decoded fields
+    * are independently SQL-derivable while the bytes themselves are
+    * real format-conformant streams built and parsed per partition. */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions {
+        _.map { id =>
+          val w = (id % 512L).toInt + 1
+          val h = (id % 384L).toInt + 1
+          (id, if (id % 2L == 0L) pngBytes(w, h) else jpegBytes(w, h))
+        }
+      }
+      .toDF("doc_id", "payload")
   }
 
   /** STUB frame sampler: `n` evenly-spaced byte windows standing in for
@@ -65,7 +198,7 @@ object Multimodal {
     * payload row fans out to (doc_id, frame_idx, frame: binary) rows from
     * a per-partition iterator, so a real decoder drops in by replacing
     * the slice with codec output. Frame count never exceeds the payload's
-    * pseudo frame count ([[decodeStub]]). */
+    * pseudo frame count (bytes % 30 + 1 — the video-codec stand-in). */
   def sampleFrames(withPayloadDf: DataFrame, n: Int): DataFrame = {
     require(n > 0)
     val spark = withPayloadDf.sparkSession
@@ -75,7 +208,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val frames = math.min(n.toLong, decodeStub(id, bytes).n_frames).toInt
+          val frames = math.min(n.toLong, bytes.length % 30L + 1L).toInt
           val len = math.max(bytes.length / math.max(frames, 1), 1)
           (0 until frames).map { f =>
             val from = math.min(f * len, math.max(bytes.length - 1, 0))

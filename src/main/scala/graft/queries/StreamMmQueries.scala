@@ -19,10 +19,15 @@ object StreamMmQueries {
     EventStream.runBatchEquivalent(s, dir)
       .orderBy("window_start", "event_type")
 
-  /** #30 binary payload → per-partition stub decode → features. */
+  /** #30 binary image payloads → per-partition REAL header decode →
+    * typed metadata: each document row carries a format-conformant
+    * PNG/JPEG byte stream (dims arithmetic in the id), and the fields
+    * the driver hashes come out of the actual IHDR/SOF byte parse — a
+    * mis-read offset, endianness slip, or broken marker scan
+    * hash-mismatches every row. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(
-        Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text"))
+    Multimodal.extractImageMeta(
+        Multimodal.syntheticImages(Tables.documents(s, dir), "doc_id"))
       .toDF()
       .orderBy("doc_id")
 
@@ -133,12 +138,15 @@ object StreamMmQueries {
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
         |  event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // The generator's dims/format/size are arithmetic in doc_id (the
+    // byte streams are 45-byte PNGs / 35-byte JPEGs); the Spark side
+    // must recover them by actually parsing the bytes.
     "multimodal_features" ->
       """SELECT doc_id,
-        |  octet_length(encode(text))::BIGINT AS n_bytes,
-        |  (octet_length(encode(text))::BIGINT * 2654435761) % 1024 AS width,
-        |  (octet_length(encode(text))::BIGINT * 97 + ascii(substring(text, 1, 1))) % 768 AS height,
-        |  octet_length(encode(text))::BIGINT % 30 + 1 AS n_frames
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  (doc_id % 512) + 1 AS width,
+        |  (doc_id % 384) + 1 AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 35 END::BIGINT AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "sessionize" ->
       """WITH e AS (
