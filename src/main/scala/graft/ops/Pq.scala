@@ -23,6 +23,33 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** Hard cap on the query side of the ADC search paths: queries
+    * collect to the driver as m×k LUTs (65,536 × 8×16 doubles ≈ 67 MB
+    * at the default shape), so a corpus-sized query set must fail fast
+    * with a actionable message, not OOM the driver after minutes. */
+  val MaxQueryBatch: Int = 65536
+
+  /** Collect the query side, enforcing [[MaxQueryBatch]] WITHOUT first
+    * materializing an oversized batch: at most cap+1 rows ever reach
+    * the driver (limit pushes into the scan), and row cap+1 aborts. */
+  private[ops] def collectQueryBatch(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String): Array[(Long, Array[Double])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val rows = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .limit(MaxQueryBatch + 1)
+      .as[(Long, Array[Double])]
+      .collect()
+    require(rows.length <= MaxQueryBatch,
+      s"ADC search got a query batch larger than $MaxQueryBatch rows — the " +
+        "query side becomes driver-held lookup tables by contract (probe " +
+        "batches, not the corpus); chunk the probes or swap query/corpus sides")
+    rows
+  }
+
   /** Trained PQ codebooks: `codebooks(j)(c)` is subspace j's centroid c
     * (subDim doubles each). */
   final class PqModel private[ops] (
@@ -45,7 +72,16 @@ object Pq {
   }
 
   /** Train per-subspace codebooks on a deterministic id-hash sample
-    * (quantizer quality needs representativeness, not the full corpus). */
+    * (quantizer quality needs representativeness, not the full corpus).
+    *
+    * `padShort = false` (the default, for direct callers): a subspace
+    * with fewer distinct values than k is a caller error and fails with
+    * the cause. `padShort = true` (the IVFADC build): residual
+    * subspaces can legitimately collapse below k distinct values, so a
+    * short codebook is padded with duplicates of its first center —
+    * encode's lowest-code tie-break means padded codes are never
+    * emitted, so semantics are identical and the code domain stays
+    * full-width. */
   def train(
       corpus: DataFrame,
       idCol: String,
@@ -54,7 +90,8 @@ object Pq {
       k: Int = 16,
       seed: Long = 7L,
       trainFraction: Double = 1.0,
-      maxIter: Int = 10): PqModel = {
+      maxIter: Int = 10,
+      padShort: Boolean = false): PqModel = {
     require(m > 0 && k > 1, "need m > 0 subspaces and k > 1 centroids")
     require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0, 1]")
     import org.apache.spark.ml.clustering.KMeans
@@ -79,12 +116,16 @@ object Pq {
           .fit(sub)
           .clusterCenters.map(_.toArray)
         // k-means returns < k centers on a low-diversity subspace (fewer
-        // distinct subvectors than k); fail with the cause, not the
-        // PqModel constructor's opaque requirement error.
-        require(centers.length == k,
-          s"PQ subspace $j produced ${centers.length} < $k centroids — " +
-            "the subspace has too few distinct values; reduce k or train on more data")
-        centers
+        // distinct subvectors than k); pad when asked, else fail with
+        // the cause, not the PqModel constructor's opaque error.
+        if (centers.length < k && padShort)
+          centers ++ Array.fill(k - centers.length)(centers(0).clone())
+        else {
+          require(centers.length == k,
+            s"PQ subspace $j produced ${centers.length} < $k centroids — " +
+              "the subspace has too few distinct values; reduce k or train on more data")
+          centers
+        }
       }.toArray
       new PqModel(m, k, subDim, books)
     } finally base.unpersist()
@@ -141,10 +182,18 @@ object Pq {
     * scores it at m lookups per item, with the raw vectors needed
     * nowhere at serving time.
     *
-    * Everything derives from ONE cell assignment pass: codes encode the
-    * unit-normalized vectors already carried by the [[IvfIndex]], so
-    * ADC inner products rank like cosine, consistent with the IVF probe
-    * metric. */
+    * Codes encode RESIDUALS against the cell centroid (classic IVFADC,
+    * Jégou et al. §IV): within a cell the residual distribution is
+    * tighter than the raw unit vectors, so the same m·k code budget
+    * quantizes strictly better at identical cost. The search-side
+    * consequence is one add: ⟨q, u⟩ = ⟨q, c_cell⟩ + ⟨q, u − c_cell⟩,
+    * and the query already computes every ⟨q, c⟩ while ranking cells —
+    * the offset is a free per-(query, cell) lookup.
+    *
+    * Everything derives from ONE cell assignment pass: residuals come
+    * off the unit-normalized vectors already carried by the
+    * [[IvfIndex]], so offset + ADC inner products rank like cosine,
+    * consistent with the IVF probe metric. */
   def buildIvfPq(
       corpus: DataFrame,
       idCol: String,
@@ -156,11 +205,23 @@ object Pq {
     val ivf = IvfIndex.build(corpus, idCol, vecCol, nlist, seed)
     val unit = ivf.assigned.select(col("cid").as("id"),
       transform(col("cv"), x => x / col("cn")).as("uv"), col("cell"))
-    val model = train(unit, "id", "uv", m, k, seed)
-    val codedCells = encode(unit, "id", "uv", model)
-      .join(unit.select(col("id"), col("cell")), Seq("id"))
+    val resid = withResidual(unit, ivf.centroids)
+    val model = train(resid, "id", "ruv", m, k, seed, padShort = true)
+    val codedCells = encode(resid, "id", "ruv", model)
+      .join(resid.select(col("id"), col("cell")), Seq("id"))
       .localCheckpoint(true)
     new IvfPqIndex(ivf.centroids, model, codedCells)
+  }
+
+  /** (id, uv, cell) → + `ruv` = uv − centroid(cell): the IVFADC
+    * residual, computed against the (tiny, literal) centroid table —
+    * a narrow projection, no join, no shuffle. */
+  private[ops] def withResidual(
+      unit: DataFrame,
+      centroids: Seq[(Seq[Double], Double)]): DataFrame = {
+    val centLit = typedLit(centroids.map(_._1))
+    unit.withColumn("ruv",
+      zip_with(col("uv"), element_at(centLit, col("cell") + 1), (x, c) => x - c))
   }
 
   /** Top-k corpus items per query by ADC inner-product score. Queries
@@ -180,11 +241,9 @@ object Pq {
     val spark = codes.sparkSession
     import spark.implicits._
     // |queries| × m × k doubles — the broadcast LUT state; queries are
-    // the small side by contract (probe batches, not the corpus).
-    val luts: Array[(Long, Array[Array[Double]])] = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
-      .collect()
+    // the small side by contract, enforced by the batch cap.
+    val luts: Array[(Long, Array[Array[Double]])] =
+      collectQueryBatch(queries, qIdCol, qVecCol)
       .map { case (qid, qv) =>
         require(qv.length == model.m * model.subDim,
           s"query dim ${qv.length} != ${model.m}x${model.subDim}")
@@ -251,21 +310,24 @@ object Pq {
 /** A built IVF-PQ index ([[Pq.buildIvfPq]]): driver state is
   * nlist·dim centroid doubles + m·k·subDim codebook doubles; the
   * distributed state is one (id, codes, cell) row per corpus vector —
-  * m ints instead of dim floats.
+  * m ints instead of dim floats. Codes are IVFADC residuals against
+  * the cell centroid; scoring adds the per-(query, cell) centroid dot
+  * the probe ranking computes anyway.
   */
 final class IvfPqIndex private[ops] (
     val centroids: Seq[(Seq[Double], Double)],
     val model: Pq.PqModel,
-    /** (id, codes, cell) per corpus vector. */
+    /** (id, codes, cell) per corpus vector; codes encode uv − c_cell. */
     val codedCells: org.apache.spark.sql.DataFrame) extends Serializable {
 
   def nlist: Int = centroids.size
 
   /** Top-k per query: each query (unit-normalized here) picks its
     * `nprobe` nearest cells on the driver (centroids are local), and a
-    * single per-partition pass ADC-scores only rows whose cell is
-    * probed by the query — the heap shape of [[Pq.searchAdc]] with a
-    * cell guard. Returns (query_id, id, score, rank). */
+    * single per-partition pass scores only rows whose cell is probed by
+    * the query — the heap shape of [[Pq.searchAdc]] with a cell guard.
+    * Score = ⟨q, c_cell⟩ + ADC(residual codes). Returns
+    * (query_id, id, score, rank). */
   def search(
       queries: org.apache.spark.sql.DataFrame,
       qIdCol: String,
@@ -277,22 +339,22 @@ final class IvfPqIndex private[ops] (
     import spark.implicits._
     val mod = model
     val cents = centroids
-    val qstate: Array[(Long, Array[Array[Double]], Array[Boolean])] = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
-      .collect()
+    val qstate: Array[(Long, Array[Array[Double]], Array[Boolean], Array[Double])] =
+      Pq.collectQueryBatch(queries, qIdCol, qVecCol)
       .flatMap { case (qid, raw) =>
         val n = math.sqrt(raw.map(x => x * x).sum)
         if (n == 0) None // zero-norm queries have no cosine neighborhood
         else {
           val qv = raw.map(_ / n)
-          // rank cells by 2u·c − ‖c‖² (unit-query euclidean order)
+          // q·c per cell: ranks cells by 2u·c − ‖c‖² (unit-query
+          // euclidean order) AND is the residual score offset.
+          val cellDots = cents.map { case (c, _) =>
+            var s = 0.0; var j = 0
+            while (j < qv.length) { s += qv(j) * c(j); j += 1 }
+            s
+          }.toArray
           val probed = cents.zipWithIndex
-            .map { case ((c, n2), i) =>
-              var s = 0.0; var j = 0
-              while (j < qv.length) { s += qv(j) * c(j); j += 1 }
-              (2.0 * s - n2, i)
-            }
+            .map { case ((_, n2), i) => (2.0 * cellDots(i) - n2, i) }
             .sortBy { case (s, i) => (-s, i) }
             .take(nprobe).map(_._2).toSet
           val mask = Array.tabulate(cents.size)(probed.contains)
@@ -310,7 +372,7 @@ final class IvfPqIndex private[ops] (
             }
             j += 1
           }
-          Some((qid, lut, mask))
+          Some((qid, lut, mask, cellDots))
         }
       }
     val bc = spark.sparkContext.broadcast(qstate)
@@ -328,7 +390,8 @@ final class IvfPqIndex private[ops] (
           while (q < qs.length) {
             if (qs(q)._3(cell)) {
               val lut = qs(q)._2
-              var s = 0.0; var j = 0
+              var s = qs(q)._4(cell) // ⟨q, c_cell⟩: the residual offset
+              var j = 0
               while (j < lut.length) { s += lut(j)(codes(j)); j += 1 }
               val fid = ids(q); val fsc = scores(q)
               var p = filled(q)
@@ -354,5 +417,26 @@ final class IvfPqIndex private[ops] (
       .partitionBy("query_id").orderBy(col("score").desc, col("id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
+  }
+
+  /** Incremental add — the growing-corpus path: assign each new vector
+    * to its nearest EXISTING cell, residual-encode it with the frozen
+    * codebooks, and append. No retraining, no touch of the existing
+    * coded rows (only the increment is materialized; at cluster scale
+    * this is an append of new parquet partitions). Quantizer drift
+    * under heavy growth is the operator's documented trade-off —
+    * rebuild when the added fraction gets large. */
+  def add(
+      newRows: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String): IvfPqIndex = {
+    val assigned = IvfIndex.assignToCells(centroids, newRows, idCol, vecCol)
+    val unit = assigned.select(col("cid").as("id"),
+      transform(col("cv"), x => x / col("cn")).as("uv"), col("cell"))
+    val resid = Pq.withResidual(unit, centroids)
+    val coded = Pq.encode(resid, "id", "ruv", model)
+      .join(resid.select(col("id"), col("cell")), Seq("id"))
+      .localCheckpoint(true)
+    new IvfPqIndex(centroids, model, codedCells.unionAll(coded))
   }
 }

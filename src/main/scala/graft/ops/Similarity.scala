@@ -246,6 +246,22 @@ final class IvfIndex private[ops] (
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Incremental add — the growing-corpus path: assign each new vector
+    * to its nearest EXISTING cell (the frozen quantizer) and append.
+    * Only the increment is materialized — the existing assigned rows
+    * are untouched, which at cluster scale is an append of new parquet
+    * partitions to [[save]]'s cells table. Assignment uses the same
+    * argmin-distance rule as the build-time k-means transform, so
+    * build(A).add(B) and assigning A∪B against the same centroids
+    * agree row for row; quantizer drift under heavy growth is the
+    * documented trade-off — rebuild when the added fraction gets
+    * large. */
+  def add(newRows: DataFrame, idCol: String, vecCol: String): IvfIndex =
+    new IvfIndex(centroids,
+      assigned.unionAll(
+        IvfIndex.assignToCells(centroids, newRows, idCol, vecCol)
+          .localCheckpoint(true)))
+
   /** Persist: the assigned corpus as parquet (natural partitioning, so
     * a billion-vector index writes in parallel) + centroids as JSON. */
   def save(path: String): Unit = {
@@ -424,5 +440,28 @@ object IvfIndex {
       .sortBy(_.getLong(0))
       .map(r => (r.getSeq[Double](1).toSeq, r.getDouble(2))).toSeq
     new IvfIndex(cents, spark.read.parquet(s"$path/cells"))
+  }
+
+  /** Nearest-cell assignment of `df` against a FROZEN centroid table:
+    * (cid, cv, cn, cell) rows, the [[IvfIndex.assigned]] schema. Argmin
+    * euclidean on unit vectors = argmax 2u·c − ‖c‖², first-min index on
+    * ties — the same rule MLlib's k-means transform applies, so
+    * incremental assignment and build-time assignment agree. One narrow
+    * pass over a literal centroid table: no shuffle, no join. */
+  private[ops] def assignToCells(
+      centroids: Seq[(Seq[Double], Double)],
+      df: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    import Similarity.dot
+    Similarity.withUnit(df, idCol, vecCol)
+      .select(col("id"), col("v"), col("nrm"), col("uv"),
+        posexplode(typedLit(centroids)))
+      .withColumn("csim", lit(2.0) * dot(col("uv"), col("col._1")) - col("col._2"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("id").orderBy(col("csim").desc, col("pos"))))
+      .filter(col("crank") === 1)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"),
+        col("pos").as("cell"))
   }
 }

@@ -187,6 +187,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("Pq: a corpus-sized query batch fails fast instead of OOMing the driver") {
+    import spark.implicits._
+    val model = new Pq.PqModel(1, 2, 1, Array(Array(Array(0.0), Array(1.0))))
+    val over = spark.range(Pq.MaxQueryBatch + 5L)
+      .select(col("id").as("vec_id"), array(lit(0.5)).as("v"))
+    val codes = Seq((0L, Array(0))).toDF("vec_id", "codes")
+    val e = intercept[IllegalArgumentException] {
+      Pq.searchAdc(over, "vec_id", "v", codes, "vec_id", model, topK = 1)
+    }
+    assert(e.getMessage.contains("query batch larger than"), e.getMessage)
+    // Within the cap: same shape goes through.
+    val ok = Pq.searchAdc(over.limit(3), "vec_id", "v", codes, "vec_id", model, 1)
+    assert(ok.count() == 3)
+  }
+
   test("Vectors.meanPool: element-wise means, dims stay ordered") {
     import spark.implicits._
     val df = Seq(
@@ -243,6 +258,80 @@ class SimilaritySpec extends SparkSpec {
     val full = got.select("query_id", "id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pruned.nonEmpty && pruned.forall { case (q, _) => full.exists(_._1 == q) })
+  }
+
+  test("IvfIndex.add: incremental rows assign like a fresh build and search exactly") {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val b = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val idx = IvfIndex.build(a, "vec_id", "embedding", nlist = 8, seed = 7L)
+    val grown = idx.add(b, "vec_id", "embedding")
+
+    // Nothing lost, nothing doubled: the grown cells table is a
+    // partition of A ∪ B.
+    assert(grown.assigned.count() == e.count())
+    assert(grown.assigned.select("cid").distinct().count() == e.count())
+
+    // Added rows landed in their argmin-distance cell (driver recompute
+    // against the frozen centroids).
+    val cents = idx.centroids.map { case (c, n2) => (c.toArray, n2) }
+    val added = grown.assigned
+      .join(b.select(col("vec_id").as("cid")), Seq("cid"), "left_semi")
+      .collect()
+    added.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val n = r.getDouble(2)
+      val u = v.map(_ / n)
+      val best = cents.zipWithIndex.map { case ((c, n2), i) =>
+        (2.0 * c.zip(u).map { case (x, y) => x * y }.sum - n2, i)
+      }.maxBy { case (s, i) => (s, -i) }._2
+      assert(r.getInt(3) == best, s"row ${r.getLong(0)}: cell ${r.getInt(3)} != $best")
+    }
+
+    // Exhaustive probe over the grown index = brute force over A ∪ B:
+    // the add path left a true partition behind.
+    val qs = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val brute = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val got = grown.search(qs, "vec_id", "embedding", 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(got == brute)
+  }
+
+  test("IvfPqIndex.add: grown lossless grid still searches exactly") {
+    import spark.implicits._
+    def grid(ids: Range): Seq[(Long, Array[Double])] = ids.map { i =>
+      val id = i.toLong
+      val a = if ((id & 1L) == 1L) 2.0 else 0.5
+      val b = if ((id & 2L) == 2L) 3.0 else 1.0
+      (id, Array(a, a, b, b))
+    }
+    val a = grid(0 until 16).toDF("vec_id", "v")
+    val b = grid(16 until 32).toDF("vec_id", "v")
+    val idx = Pq.buildIvfPq(a, "vec_id", "v", nlist = 2, m = 2, k = 4, seed = 3L)
+    val grown = idx.add(b, "vec_id", "v")
+    assert(grown.codedCells.count() == 32)
+
+    val all = grid(0 until 32)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val queries = a.filter(col("vec_id") < 2)
+    val byQ = grown.search(queries, "vec_id", "v", topK = 6, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    for ((qid, qv) <- all.take(2)) {
+      val uq = unit(qv)
+      val expect = all
+        .map { case (id, v) => (id, unit(v).zip(uq).map { case (x, y) => x * y }.sum) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(6)
+      expect.zipWithIndex.foreach { case ((id, s), i) =>
+        val (gid, gs) = byQ((qid, i + 1))
+        assert(gid == id && math.abs(gs - s) < 1e-9,
+          s"query $qid rank ${i + 1}: got ($gid, $gs) want ($id, $s)")
+      }
+    }
   }
 
   test("brute force ranks are contiguous and scores non-increasing") {
