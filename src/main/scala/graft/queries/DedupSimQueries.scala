@@ -347,23 +347,37 @@ object DedupSimQueries {
   private val ivfPqCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ops.IvfPqIndex]
 
-  /** Build-once IVF-PQ index per (session, dir). */
+  /** Build-once IVF-PQ index per (session, dir), over the
+    * planted-mutation corpus (the audit needs known high-cosine pairs). */
   def ivfPqIndex(s: SparkSession, dir: String): graft.ops.IvfPqIndex =
     ivfPqCache.getOrElseUpdate((s, dir),
-      graft.ops.Pq.buildIvfPq(Tables.embeddings(s, dir), "vec_id", "embedding",
+      graft.ops.Pq.buildIvfPq(withVecMutations(s, dir), "vec_id", "embedding",
         nlist = 16, m = 8, k = 16, seed = 7L))
 
-  /** #24d composed IVF-PQ ANN: cells prune to nprobe/nlist of the
-    * corpus, ADC scores the compressed remainder — the billion-scale
-    * serving layout. Exactness case (lossless grid, exhaustive probe)
-    * is spec-asserted; the driver checks the serving path. */
-  def simAnnIvfPq(s: SparkSession, dir: String): DataFrame =
-    ivfPqIndex(s, dir).search(
-        Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(50)) === 0),
-        "vec_id", "embedding", topK = 5, nprobe = 8)
-      .select(col("query_id"), col("id").as("vec_id"),
-        round(col("score"), 6).as("score"), col("rank"))
+  /** #24d composed IVF-PQ ANN recall containment, driver-hash-checked
+    * (the residual-ADC twin of [[simAnnLsh]]): over the planted-mutation
+    * vectors, every true top-5 neighbor at cosine ≥ 0.9 (the planted
+    * ~0.93 pairs — the natural pair space tops out near 0.51) must
+    * surface in the index's 100-candidate ADC recall set at exhaustive
+    * probe. The Spark side semi-joins exact truth against the search
+    * output while the oracle recomputes the full truth, so the hash
+    * matches iff the cell assignment dropped no row AND the residual
+    * quantization preserved the planted pairs' ~0.4 score margin over
+    * the noise floor — an ADC error that large would mean broken codes,
+    * not approximation. Realistic (nprobe < nlist) operating points
+    * stay recall-bounded in SimilaritySpec; ADC exactness on a lossless
+    * grid is spec-asserted. */
+  def simAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = withVecMutations(s, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val idx = ivfPqIndex(s, dir)
+    val cand = idx.search(q, "vec_id", "embedding", topK = 100, nprobe = idx.nlist)
+      .select(col("query_id"), col("id").as("neighbor_id"))
+    Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .filter(col("cosine") >= 0.9)
+      .join(cand, Seq("query_id", "neighbor_id"), "left_semi")
       .orderBy("query_id", "rank")
+  }
 
   /** #24c PQ-compressed ANN: every 50th embedding queries the ADC index
     * (unit-normalized on both sides so inner-product scores rank like
@@ -703,6 +717,26 @@ object DedupSimQueries {
     // Exhaustive-probe IVF must reproduce brute force exactly (see
     // simAnnIvf): same oracle.
     "sim_ann_ivf" -> bruteForceTopkSql,
+    // IVF-PQ containment truth (see simAnnIvfPq): identical to the LSH
+    // audit's — brute-force top-5 over the planted-mutation corpus,
+    // restricted to the high-cosine planted rows.
+    "sim_ann_ivfpq" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    embedding[1:56]::DOUBLE[] || [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM base
+        |)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_inner_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+        |) WHERE rank <= 5 AND cosine >= 0.9 ORDER BY query_id, rank""".stripMargin,
     // LSH containment truth: brute-force top-5 over the planted-mutation
     // corpus, restricted to the high-cosine (planted) rows the design
     // point guarantees — rank is computed over ALL neighbors first, then
