@@ -24,6 +24,64 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
+  /** Content-defined chunking (CDC — the dedup-friendly chunker, cf.
+    * LBFS/rsync rolling-window splitting): a chunk boundary opens at
+    * every character position whose k-char gram's md5 hex starts with
+    * `selPrefix`, so boundaries are functions of CONTENT alone — insert
+    * a byte early in a document and every later chunk boundary
+    * re-aligns, where fixed-size chunking would shift all of them
+    * (the property that makes chunk-level dedup work). Expected chunk
+    * length ≈ 16^|selPrefix| chars.
+    *
+    * Returns (idCol, chunk_idx, chunk_start (1-based), chunk_len,
+    * chunk_md5) — the fingerprint, not the text (chunk-level dedup
+    * consumes hashes). A document with no qualifying position is one
+    * whole-document chunk; empty documents produce no rows.
+    *
+    * Scale shape: the position explode and md5 gate are narrow (the
+    * same windowed-gram machinery as the span-dedup family — md5 for
+    * engine-reproducible selection); the only exchange is the per-doc
+    * window ordering boundary positions, whose partitions hold
+    * len/16^|prefix| rows per document — bounded by content, not
+    * corpus. */
+  def contentDefined(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 40,
+      selPrefix: String = "0"): DataFrame = {
+    require(k > 0 && selPrefix.nonEmpty && selPrefix.matches("[0-9a-f]+"),
+      "k > 0 and a lowercase-hex selPrefix required")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .filter(col("__t").isNotNull && length(col("__t")) > 0)
+    // Cut positions (p ≥ 2: a cut at 1 would open an empty chunk).
+    // sequence(2, n) DESCENDS for n < 2 — the length guard is load-bearing.
+    val cuts = base
+      .filter(length(col("__t")) - k + 1 >= 2)
+      .select(col("__id"), col("__t"),
+        explode(sequence(lit(2), length(col("__t")) - k + 1)).as("p"))
+      .filter(substring(md5(col("__t").substr(col("p"), lit(k))), 1, selPrefix.length)
+        === selPrefix)
+      .select(col("__id"), col("p"))
+    // Sentinel end-cut at len+1 for EVERY doc: docs without cuts still
+    // yield their whole-document chunk.
+    val pts = cuts.unionAll(
+      base.select(col("__id"), (length(col("__t")) + 1).as("p")))
+    val w = Window.partitionBy("__id").orderBy("p")
+    val segs = pts
+      .withColumn("s", coalesce(lag("p", 1).over(w), lit(1)))
+      .filter(col("p") > col("s"))
+    segs
+      .join(base, Seq("__id"))
+      .withColumn("chunk_idx",
+        row_number().over(Window.partitionBy("__id").orderBy("s")).cast("long") - 1)
+      .select(col("__id").as(idCol), col("chunk_idx"),
+        col("s").cast("long").as("chunk_start"),
+        (col("p") - col("s")).cast("long").as("chunk_len"),
+        md5(col("__t").substr(col("s"), col("p") - col("s"))).as("chunk_md5"))
+  }
+
   /** (idCol, chunk_idx, n_tokens, chunk_text), one row per window.
     * `window` = tokens per chunk; `stride` = start step (≤ window for
     * overlap `window − stride`). */

@@ -90,6 +90,60 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"), max(cosine).as("max_cosine"))
   }
 
+  /** [[contaminated]] with a broadcast BLOOM-FILTER prefilter on the
+    * corpus side — the shape that wins when the corpus is 100 TB and
+    * the eval shingle set is too big to broadcast as an exact set but
+    * compresses to a few MB of Bloom bits (~9.6 bits/key at 1% fpp vs
+    * 8 bytes/key exact): the corpus stream drops ~(1 − fpp) of its
+    * non-matching shingles BEFORE the shuffle toward the exact
+    * semi-join, so the exchange carries only true hits plus the fpp
+    * sliver. The exact semi-join then removes false positives, and
+    * Bloom filters have NO false negatives — the result is exactly
+    * [[contaminated]]'s, which is what the driver oracle checks. */
+  def contaminatedBloom(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      n: Int = 8,
+      minHits: Int = 1,
+      fpp: Double = 0.01): DataFrame = {
+    require(n > 0 && minHits > 0 && fpp > 0 && fpp < 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nn = n
+    def shingled(df: DataFrame, text: String, id: org.apache.spark.sql.Column) =
+      df.select(id.cast("long").as("id"), col(text).as("t"))
+        .filter(col("t").isNotNull)
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (i, t) =>
+          Dedup.shinglesJvm(t, nn).map(s => (i, Hashing.xxh64(s, 42L)))
+        })
+        .toDF("id", "shingle")
+    val corpusSh = shingled(corpus, textCol, col(idCol))
+    // Eagerly materialized (localCheckpoint): consumed three times —
+    // count, Bloom build, exact verify — and the verify must not
+    // recompute the shingling after the Bloom bits were built from it.
+    val evalSh = shingled(evalSet, evalTextCol, monotonically_increasing_id())
+      .select("shingle").distinct()
+      .localCheckpoint(true)
+    val nEval = math.max(evalSh.count(), 1L)
+    val bloom = evalSh.stat.bloomFilter("shingle", nEval, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val cand = corpusSh
+      .as[(Long, Long)]
+      .mapPartitions { it => // JVM Bloom probe: per-partition primitive pass
+        val b = bc.value
+        it.filter { case (_, sh) => b.mightContainLong(sh) }
+      }
+      .toDF("id", "shingle")
+    cand.join(evalSh, Seq("shingle"), "left_semi")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** Corpus rows with every contaminated document removed — the
     * decontaminated training set. */
   def removeContaminated(

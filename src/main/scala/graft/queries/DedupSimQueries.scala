@@ -330,16 +330,25 @@ object DedupSimQueries {
         |                          (a, e) -> a + e * e)))""".stripMargin)
       .as("uv"))
 
+  /** Unit-normalized planted-mutation vectors (the PQ audit corpus). */
+  private def unitMutations(s: SparkSession, dir: String): DataFrame =
+    withVecMutations(s, dir).select(col("vec_id"), expr(
+      """transform(cast(embedding AS array<double>),
+        |  x -> x / sqrt(aggregate(cast(embedding AS array<double>), 0D,
+        |                          (a, e) -> a + e * e)))""".stripMargin)
+      .as("uv"))
+
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (graft.ops.Pq.PqModel, DataFrame)]
 
-  /** Build-once PQ state per (session, dir): codebooks + the encoded
-    * corpus, shared by the search query and the shape audit (each
-    * training its own 8 k-means fits would double the bench cost and
-    * contradict the build-once-search-many serving shape). */
+  /** Build-once PQ state per (session, dir) over the planted-mutation
+    * corpus: codebooks + the encoded corpus, shared by the search
+    * query, its containment audit, and the shape audit (each training
+    * its own 8 k-means fits would double the bench cost and contradict
+    * the build-once-search-many serving shape). */
   def pqState(s: SparkSession, dir: String): (graft.ops.Pq.PqModel, DataFrame) =
     pqCache.getOrElseUpdate((s, dir), {
-      val unit = unitEmbeddings(s, dir)
+      val unit = unitMutations(s, dir)
       val model = graft.ops.Pq.train(unit, "vec_id", "uv", m = 8, k = 16, seed = 7L)
       (model, graft.ops.Pq.encode(unit, "vec_id", "uv", model).localCheckpoint(true))
     })
@@ -379,17 +388,24 @@ object DedupSimQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** #24c PQ-compressed ANN: every 50th embedding queries the ADC index
-    * (unit-normalized on both sides so inner-product scores rank like
-    * cosine). Approximation quality is spec-asserted on a lossless
-    * grid; here the driver checks the serving path end-to-end. */
+  /** #24c PQ-compressed ANN recall containment, driver-hash-checked
+    * (the pure-ADC sibling of [[simAnnIvfPq]]'s audit): every true
+    * top-5 neighbor at cosine ≥ 0.9 over the planted-mutation corpus
+    * must surface in the ADC top-100 — an m = 8 quantization error
+    * large enough to bury the planted pairs' ~0.4 margin under the
+    * noise floor would mean broken codes, not approximation. ADC
+    * exactness on a lossless grid is spec-asserted. */
   def simAnnPq(s: SparkSession, dir: String): DataFrame = {
     val (model, codes) = pqState(s, dir)
-    graft.ops.Pq.searchAdc(
-        unitEmbeddings(s, dir).filter(pmod(col("vec_id"), lit(50)) === 0),
-        "vec_id", "uv", codes, "vec_id", model, topK = 5)
-      .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"),
-        col("rank"))
+    val e = withVecMutations(s, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val cand = graft.ops.Pq.searchAdc(
+        unitMutations(s, dir).filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "uv", codes, "vec_id", model, topK = 100)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .filter(col("cosine") >= 0.9)
+      .join(cand, Seq("query_id", "neighbor_id"), "left_semi")
       .orderBy("query_id", "rank")
   }
 
@@ -404,6 +420,30 @@ object DedupSimQueries {
       (min(array_min(col("codes"))) >= 0 &&
         max(array_max(col("codes"))) <= 15).as("codes_in_range"))
   }
+
+  private val lifecycleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** #24e ANN index lifecycle, driver-hash-checked end to end: build the
+    * IVF index on two thirds of the corpus, [[graft.ops.IvfIndex.add]]
+    * the remaining third against the frozen quantizer, save, load back,
+    * and search at exhaustive probe — which must equal brute force over
+    * the WHOLE corpus exactly (the sim_ann_ivf argument), proving the
+    * incremental add left a true partition behind and the round trip
+    * lost nothing. Memoized + scratch-cleaned. */
+  def annIndexLifecycle(s: SparkSession, dir: String): DataFrame =
+    lifecycleCache.getOrElseUpdate((s, dir), Scratch.cleaned("graft_ivf") { tmp =>
+      val e = Tables.embeddings(s, dir)
+      val idx = graft.ops.IvfIndex
+        .build(e.filter(pmod(col("vec_id"), lit(3)) =!= 0), "vec_id", "embedding",
+          nlist = 16, seed = 7L)
+        .add(e.filter(pmod(col("vec_id"), lit(3)) === 0), "vec_id", "embedding")
+      idx.save(tmp.toString)
+      graft.ops.IvfIndex.load(s, tmp.toString)
+        .search(e.filter(pmod(col("vec_id"), lit(50)) === 0),
+          "vec_id", "embedding", 5, nprobe = 16)
+        .orderBy("query_id", "rank")
+    })
 
   /** #51 per-label embedding centroids (element-wise mean pooling),
     * emitted long-form (label, dim, v) so the compare sees plain
@@ -420,6 +460,7 @@ object DedupSimQueries {
     "sim_ann_pq_shape"    -> (simAnnPqShape _),
     "sim_ann_ivfpq"       -> (simAnnIvfPq _),
     "sim_ann_ivf"         -> (simAnnIvf _),
+    "ann_index_lifecycle" -> (annIndexLifecycle _),
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_keep"          -> (dedupKeep _),
     "split_leakfree"      -> (splitLeakfree _),
@@ -641,7 +682,7 @@ object DedupSimQueries {
     // ADC ranking itself is approximate by design (no exact mirror
     // exists) — its exactness case is the lossless-grid ScalaTest.
     "sim_ann_pq_shape" ->
-      """SELECT count(*) AS n_codes, 8 AS code_len_min, 8 AS code_len_max,
+      """SELECT 2 * count(*) AS n_codes, 8 AS code_len_min, 8 AS code_len_max,
         |  true AS codes_in_range
         |FROM embeddings""".stripMargin,
     "vec_mean_pool" ->
@@ -717,31 +758,28 @@ object DedupSimQueries {
     // Exhaustive-probe IVF must reproduce brute force exactly (see
     // simAnnIvf): same oracle.
     "sim_ann_ivf" -> bruteForceTopkSql,
-    // IVF-PQ containment truth (see simAnnIvfPq): identical to the LSH
-    // audit's — brute-force top-5 over the planted-mutation corpus,
-    // restricted to the high-cosine planted rows.
-    "sim_ann_ivfpq" ->
-      """WITH base AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000000,
-        |    embedding[1:56]::DOUBLE[] || [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-        |  FROM embeddings
-        |), e AS (
-        |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM base
-        |)
-        |SELECT query_id, neighbor_id, cosine, rank FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_inner_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
-        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
-        |) WHERE rank <= 5 AND cosine >= 0.9 ORDER BY query_id, rank""".stripMargin,
+    // Containment truth shared by the LSH, IVF-PQ and PQ audits:
+    // brute-force top-5 over the planted-mutation corpus, restricted to
+    // the high-cosine planted rows.
+    "sim_ann_ivfpq" -> plantedHighCosineTruthSql,
+    "sim_ann_pq" -> plantedHighCosineTruthSql,
+    // Lifecycle (build ∘ add ∘ save ∘ load ∘ exhaustive search) must
+    // reproduce brute force over the whole corpus: same oracle as
+    // sim_ann_ivf.
+    "ann_index_lifecycle" -> bruteForceTopkSql,
     // LSH containment truth: brute-force top-5 over the planted-mutation
     // corpus, restricted to the high-cosine (planted) rows the design
     // point guarantees — rank is computed over ALL neighbors first, then
     // filtered, mirroring bruteForceTopK().filter on the Spark side.
-    "sim_ann_lsh" ->
+    "sim_ann_lsh" -> plantedHighCosineTruthSql,
+  )
+
+  /** Brute-force top-5 over the planted-mutation corpus restricted to
+    * the high-cosine (planted) rows — the shared containment truth for
+    * the LSH, IVF-PQ and PQ recall audits. Rank is computed over ALL
+    * neighbors first, then filtered, mirroring
+    * bruteForceTopK().filter on the Spark side. */
+  private lazy val plantedHighCosineTruthSql: String =
       """WITH base AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |  UNION ALL
@@ -757,8 +795,7 @@ object DedupSimQueries {
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_inner_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
-        |) WHERE rank <= 5 AND cosine >= 0.9 ORDER BY query_id, rank""".stripMargin,
-  )
+        |) WHERE rank <= 5 AND cosine >= 0.9 ORDER BY query_id, rank""".stripMargin
 
   /** Exact cosine top-5 for the 1-in-50 query set — the truth for the
     * brute-force query itself and the exhaustive-probe IVF audit. */

@@ -109,6 +109,28 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** #35c Bloom-prefiltered decontamination: the same planted benchmark
+    * as [[decontamScan]], with the corpus shingle stream gated by a
+    * broadcast Bloom filter before the exact verify. No false negatives
+    * + exact FP removal ⇒ the output must be IDENTICAL to the exact
+    * scan's, which is precisely what sharing its oracle checks. */
+  def decontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select(expr("substring(text, 10, 120)").as("text"))
+    Decontaminate.contaminatedBloom(docs, "text", "doc_id", evalSet, "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  /** #44b content-defined chunking: md5-gated boundaries (k = 40,
+    * prefix "0" ⇒ ~16-char expected chunks on the ~600-char docs), the
+    * dedup-friendly splitter. Boundaries are pure content functions, so
+    * the oracle reproduces every cut, length, and chunk fingerprint. */
+  def chunkCdc(s: SparkSession, dir: String): DataFrame =
+    Chunking.contentDefined(Tables.documents(s, dir), "text", "doc_id",
+        k = 40, selPrefix = "0")
+      .orderBy("doc_id", "chunk_idx")
+
   /** #36 composed corpus-cleaning pipeline — the filter chain a real
     * training-data build runs end-to-end, every stage individually
     * oracled elsewhere: token-count gate → quality gate → eval-set
@@ -363,6 +385,8 @@ object OpsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontam_bloom"    -> (decontamBloom _),
+    "chunk_cdc"         -> (chunkCdc _),
     "chrono_split_user" -> (chronoSplitUser _),
     "events_histogram"  -> (eventsHistogram _),
     "text_ngram_repetition" -> (textNgramRepetition _),
@@ -418,6 +442,30 @@ object OpsQueries {
   /** (doc_id, lang_id) relation body — the single expansion of the
     * lang-ID argmax nesting, shared by the lang-ID oracle and every
     * oracle needing a language column. */
+  /** Exact decontamination truth (planted benchmark of substring
+    * slices, 5-gram overlap) — shared by the exact scan and its
+    * Bloom-prefiltered twin, which must produce the identical result. */
+  private lazy val decontamTruthSql: String =
+    """WITH ev AS (
+      |  SELECT substring(text, 10, 120) AS text FROM documents WHERE doc_id % 25 = 0
+      |), evtoks AS (
+      |  SELECT regexp_extract_all(lower(text), '\S+') AS t FROM ev
+      |), evsh AS (
+      |  SELECT DISTINCT shingle FROM (
+      |    SELECT array_to_string(t[j:j+4], ' ') AS shingle
+      |    FROM (SELECT t, unnest(range(1, len(t) - 3)) AS j FROM evtoks WHERE len(t) >= 5))
+      |), toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, array_to_string(t[j:j+4], ' ') AS shingle
+      |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS j FROM toks
+      |          WHERE len(t) >= 5))
+      |)
+      |SELECT sh.doc_id, count(*) AS n_hits
+      |FROM sh JOIN evsh USING (shingle)
+      |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
+
   private lazy val langRelSql: String = {
     val (hits, best, caseExpr) = langSql
     s"""SELECT doc_id, $caseExpr AS lang_id FROM (
@@ -660,26 +708,36 @@ object OpsQueries {
         |WHERE n_ws_tokens >= 30 AND quality_score >= 0.65
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
-    "decontam_scan" ->
-      """WITH ev AS (
-        |  SELECT substring(text, 10, 120) AS text FROM documents WHERE doc_id % 25 = 0
-        |), evtoks AS (
-        |  SELECT regexp_extract_all(lower(text), '\S+') AS t FROM ev
-        |), evsh AS (
-        |  SELECT DISTINCT shingle FROM (
-        |    SELECT array_to_string(t[j:j+4], ' ') AS shingle
-        |    FROM (SELECT t, unnest(range(1, len(t) - 3)) AS j FROM evtoks WHERE len(t) >= 5))
-        |), toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id, array_to_string(t[j:j+4], ' ') AS shingle
-        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS j FROM toks
-        |          WHERE len(t) >= 5))
-        |)
-        |SELECT sh.doc_id, count(*) AS n_hits
-        |FROM sh JOIN evsh USING (shingle)
-        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+    "decontam_scan" -> decontamTruthSql,
+    // Bloom prefilter has no false negatives and the exact semi-join
+    // removes false positives, so the output is decontam_scan's.
+    "decontam_bloom" -> decontamTruthSql,
+    // CDC: same windowed-md5 selection machinery as the span oracles;
+    // cuts at p >= 2, sentinel end-cut, per-doc segment rebuild.
+    "chunk_cdc" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) > 0
+        |), cuts AS (
+        |  SELECT doc_id, g.i AS p
+        |  FROM base, LATERAL (
+        |    SELECT unnest(generate_series(2, len(text) - 39)) AS i) g
+        |  WHERE len(text) - 39 >= 2
+        |    AND substring(md5(substring(text, g.i, 40)), 1, 1) = '0'
+        |), pts AS (
+        |  SELECT doc_id, p FROM cuts
+        |  UNION ALL
+        |  SELECT doc_id, len(text) + 1 FROM base
+        |), segs AS (
+        |  SELECT doc_id, p,
+        |    coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 1) AS s
+        |  FROM pts
+        |), fsegs AS (SELECT * FROM segs WHERE p > s)
+        |SELECT f.doc_id,
+        |  row_number() OVER (PARTITION BY f.doc_id ORDER BY f.s) - 1 AS chunk_idx,
+        |  f.s AS chunk_start, (f.p - f.s)::BIGINT AS chunk_len,
+        |  md5(substring(b.text, f.s, f.p - f.s)) AS chunk_md5
+        |FROM fsegs f JOIN base b USING (doc_id)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "pack_budget" ->
       """SELECT doc_id, bucket, CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS bin,
         |  n_tokens

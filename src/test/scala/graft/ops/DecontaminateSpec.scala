@@ -14,6 +14,27 @@ class DecontaminateSpec extends SparkSpec {
     (4L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do")
   ).toDF("doc_id", "text")
 
+  test("contaminatedBloom returns exactly contaminated's result") {
+    // No false negatives (Bloom) + exact FP verify ⇒ set equality, row
+    // for row — checked on real data where the prefilter actually drops
+    // most of the corpus shingle stream.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalSet = docs.filter(col("doc_id") % 25 === 0)
+      .select(expr("substring(text, 10, 120)").as("text"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = key(Decontaminate.contaminated(docs, "text", "doc_id",
+      evalSet, "text", n = 5))
+    val bloom = key(Decontaminate.contaminatedBloom(docs, "text", "doc_id",
+      evalSet, "text", n = 5))
+    assert(exact.nonEmpty && bloom == exact,
+      s"bloom-only=${bloom.diff(exact)} exact-only=${exact.diff(bloom)}")
+    // An aggressive fpp still changes nothing — FPs die in the verify.
+    val sloppy = key(Decontaminate.contaminatedBloom(docs, "text", "doc_id",
+      evalSet, "text", n = 5, fpp = 0.5))
+    assert(sloppy == exact)
+  }
+
   test("contaminated flags exactly the docs sharing eval n-grams") {
     // The eval set leaks a 6-token span of doc 2 and nothing else.
     val evalSet = Seq("three four five six seven eight").toDF("text")

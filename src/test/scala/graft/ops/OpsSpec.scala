@@ -369,6 +369,39 @@ class OpsSpec extends SparkSpec {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("Chunking.contentDefined: chunks tile the doc; boundaries survive a prefix edit") {
+    import spark.implicits._
+    val text = (1 to 120).map(i => s"tok$i").mkString(" ") // ~600 chars
+    val docs = Seq((1L, text), (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    val out = Chunking.contentDefined(docs, "text", "doc_id", k = 20, selPrefix = "0")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+
+    // Tiling: per doc, chunks are contiguous from 1 and sum to the length.
+    val d1 = out.filter(_._1._1 == 1L).toSeq.sortBy(_._1._2).map(_._2)
+    assert(d1.nonEmpty)
+    assert(d1.head._1 == 1L)
+    d1.sliding(2).foreach {
+      case Seq((s1, l1, _), (s2, _, _)) => assert(s1 + l1 == s2)
+      case _ =>
+    }
+    assert(d1.map(_._2).sum == text.length)
+    // A doc shorter than k is one whole-document chunk; empty → none.
+    assert(out((2L, 0L)) == ((1L, 5L, out((2L, 0L))._3)))
+    assert(!out.keySet.exists(_._1 == 3L))
+
+    // THE content-defined property: prepend a byte — fixed-size chunking
+    // would shift every boundary; CDC boundaries re-align, so the chunk
+    // md5 multiset changes by only O(1) chunks at the edit site.
+    val edited = Seq((1L, "X " + text)).toDF("doc_id", "text")
+    val beforeMd5 = d1.map(_._3)
+    val afterMd5 = Chunking.contentDefined(edited, "text", "doc_id", 20, "0")
+      .collect().sortBy(_.getLong(1)).map(_.getString(4)).toSeq
+    val shared = beforeMd5.intersect(afterMd5)
+    assert(shared.size >= beforeMd5.size - 2,
+      s"only ${shared.size}/${beforeMd5.size} chunks survived a 2-char prefix edit")
+  }
+
   test("TextAnalysis.noveltyProfile: shared phrases lower novelty; short docs null") {
     import spark.implicits._
     val docs = Seq(
