@@ -122,6 +122,41 @@ object LanguageModel {
         col("logp_mean"))
   }
 
+  /** The distributed inner loop of BPE TOKENIZER TRAINING (Sennrich et
+    * al. 2016 §3.2): symbol-pair frequencies over the word-frequency
+    * table. Words are the `[a-z]+` tokens; symbols are their characters
+    * plus a `</w>` end-of-word marker; every adjacent symbol pair
+    * contributes the word's corpus frequency (multiplicity included —
+    * "aaa" carries (a,a) twice). The argmax row is the next merge; a
+    * driver loop applying merges re-derives this table each round, and
+    * THIS table is the part that must scale — it touches every token
+    * occurrence.
+    *
+    * Scale shape: one explode → word-keyed count with partial
+    * aggregation collapses the corpus to its Zipf-bounded vocabulary;
+    * the pair explode then runs over |vocab| rows, not the corpus, and
+    * the final (left, right) count is again partial-aggregable.
+    * Character access is positional substring (no split-on-empty
+    * semantics to disagree on across engines). Returns
+    * (sym_a, sym_b, freq) sorted nowhere — consumers order. */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val words = df
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("wfreq"))
+    words
+      .select(col("word"), col("wfreq"),
+        explode(sequence(lit(1), length(col("word")))).as("p"))
+      .select(
+        col("word").substr(col("p"), lit(1)).as("sym_a"),
+        when(col("p") < length(col("word")),
+            col("word").substr(col("p") + 1, lit(1)))
+          .otherwise(lit("</w>")).as("sym_b"),
+        col("wfreq"))
+      .groupBy("sym_a", "sym_b")
+      .agg(sum("wfreq").as("freq"))
+  }
+
   /** Mean token log-probability per document under `lm` (a
     * [[unigramTable]] output): (idCol, n_tokens, logp_mean). OOV tokens
     * score the floor ln(1/total); a document with zero tokens survives

@@ -67,6 +67,56 @@ object Sketches {
           col(valueCol),
           array(percentiles.map(lit): _*)).as("exact_percentiles"))
 
+  /** Exact φ-heavy hitters via a per-partition Misra-Gries summary +
+    * exact verification — the candidates-then-verify discipline the
+    * Bloom decontam and LSH audits use, applied to frequent items:
+    *
+    *  1. each partition runs Misra-Gries with k = ⌈2/φ⌉ counters
+    *     (amortized O(1) per row: every decrement-all event retires
+    *     k+1 occurrences, so ≤ n/(k+1) events total). An item with
+    *     global frequency ≥ φN has f_i/n_i ≥ 1/k > 1/(k+1) on at
+    *     least one partition (weighted-average pigeonhole), and MG
+    *     retains every item with local frequency > n_i/(k+1) — so the
+    *     candidate union has NO false negatives at threshold φN;
+    *  2. candidates (≤ #partitions × k rows — KBs) are exactly counted
+    *     via a semi-join and filtered to frequency ≥ ⌈φN⌉.
+    *
+    * The result is therefore EXACTLY the items with frequency ≥ ⌈φN⌉
+    * with their exact counts — SQL-decidable, while the full-stream
+    * shuffle only ever carries candidate items. Returns (item, freq). */
+  def heavyHitters(df: DataFrame, itemCol: String, phi: Double): DataFrame = {
+    require(phi > 0 && phi < 1, "phi must be in (0, 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val k = math.max(math.ceil(2.0 / phi).toInt, 4)
+    val candidates = items.as[String]
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { x =>
+          counts.get(x) match {
+            case Some(c) => counts.update(x, c + 1)
+            case None if counts.size < k => counts.update(x, 1L)
+            case None =>
+              counts.keys.toArray.foreach { key =>
+                val c = counts(key) - 1
+                if (c == 0L) counts.remove(key) else counts.update(key, c)
+              }
+          }
+        }
+        counts.keysIterator
+      }
+      .toDF("item").distinct()
+      .localCheckpoint(true) // tiny; consumed by the verify join below
+    val total = items.count()
+    val thresh = math.ceil(phi * total).toLong
+    items.join(candidates, Seq("item"), "left_semi")
+      .groupBy("item")
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= thresh)
+  }
+
   /** Equal-width histogram of `valueCol` per group: `bins` buckets over
     * each group's own [min, max] range (the top edge closes into the
     * last bin), emitted long-form (group, bin, n). A zero-width group

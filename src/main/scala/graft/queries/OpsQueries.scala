@@ -376,6 +376,25 @@ object OpsQueries {
     Sketches.histogram(Tables.events(s, dir), "event_type", "value", bins = 10)
       .orderBy("event_type", "bin")
 
+  /** #37d φ=0.02 heavy hitters over the corpus token stream — the
+    * boilerplate/stopword detector. Misra-Gries candidates per partition
+    * (no false negatives by the weighted pigeonhole), then exact counts
+    * over the semi-joined survivors, so the answer is EXACTLY the tokens
+    * with frequency ≥ ⌈φN⌉ and SQL-decidable. */
+  def heavyHittersTokens(s: SparkSession, dir: String): DataFrame =
+    Sketches.heavyHitters(
+        Tables.documents(s, dir)
+          .select(explode(LanguageModel.tokens(col("text"))).as("token")),
+        "token", phi = 0.02)
+      .orderBy("item")
+
+  /** #43e BPE merge-step pair counts: the argmax table of tokenizer
+    * training, top 200 symbol pairs by corpus frequency. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.bpePairCounts(Tables.documents(s, dir), "text")
+      .orderBy(desc("freq"), col("sym_a"), col("sym_b"))
+      .limit(200)
+
   /** #14b per-user leave-last-out split: each user's most recent 20% of
     * events as the test slice. */
   def chronoSplitUser(s: SparkSession, dir: String): DataFrame = {
@@ -389,6 +408,8 @@ object OpsQueries {
     "chunk_cdc"         -> (chunkCdc _),
     "chrono_split_user" -> (chronoSplitUser _),
     "events_histogram"  -> (eventsHistogram _),
+    "heavy_hitters"     -> (heavyHittersTokens _),
+    "bpe_pairs"         -> (bpePairs _),
     "text_ngram_repetition" -> (textNgramRepetition _),
     "zscore_events"     -> (zscoreEvents _),
     "winsorize_events"  -> (winsorizeEvents _),
@@ -804,6 +825,31 @@ object OpsQueries {
         |  count(*) AS n
         |FROM events e JOIN r USING (event_type)
         |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS item
+        |  FROM documents
+        |), t AS (SELECT count(*) AS n FROM toks)
+        |SELECT item, count(*)::BIGINT AS freq
+        |FROM toks, t GROUP BY item, t.n
+        |HAVING count(*) >= ceil(0.02 * t.n)
+        |ORDER BY item""".stripMargin,
+    "bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS wfreq FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |    FROM documents
+        |  ) GROUP BY word
+        |), p AS (
+        |  SELECT word, wfreq,
+        |    unnest(generate_series(1, length(word))) AS p FROM w
+        |)
+        |SELECT substr(word, p, 1) AS sym_a,
+        |  CASE WHEN p < length(word) THEN substr(word, p + 1, 1)
+        |       ELSE '</w>' END AS sym_b,
+        |  sum(wfreq)::BIGINT AS freq
+        |FROM p GROUP BY 1, 2
+        |ORDER BY freq DESC, sym_a, sym_b LIMIT 200""".stripMargin,
     // String n-grams on the oracle side vs xxhash64 on the Spark side —
     // only counts surface (novelty-profile convention).
     "text_ngram_repetition" ->

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.sources.{TypedCsv, TypedJsonl}
+import graft.sources.{TypedCsv, TypedJsonl, TypedOrc}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,17 @@ object SourceQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val jsonlCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val orcCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** #17c typed ORC: write → `TypedOrc.read[DocMeta]` → original rows
+    * (name-matched columns; same memo + scratch hygiene as CSV). */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame =
+    orcCache.getOrElseUpdate((s, dir), Scratch.cleaned("graft_orc") { tmp =>
+      meta(s, dir).coalesce(1)
+        .write.mode("overwrite").orc(tmp.toString)
+      TypedOrc.read[DocMeta](s, tmp.toString).toDF().orderBy("doc_id")
+    })
 
   /** #17 typed CSV: write → `TypedCsv.read[DocMeta]` → original rows.
     * Memoized + scratch-cleaned: one write/read per (session, dir), no
@@ -55,6 +66,7 @@ object SourceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip"   -> (csvRoundtrip _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "orc_roundtrip"   -> (orcRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -64,5 +76,8 @@ object SourceQueries {
     "jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, 2::BIGINT AS n_quarantined
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "orc_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
   )
 }

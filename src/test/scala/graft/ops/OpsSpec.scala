@@ -636,4 +636,47 @@ class OpsSpec extends SparkSpec {
       .sortBy(_._1).map(_._2).toSeq
     assert(again == out.map(_._2).toSeq)
   }
+
+  test("Sketches.heavyHitters is exact at ceil(phi*N) across partitionings") {
+    // Skewed stream: hot1=3000, hot2=1500, warm=900 (just under the
+    // phi=0.1 threshold of 1000), and 4600 singleton-ish rare items.
+    val rows = Seq.fill(3000)("hot1") ++ Seq.fill(1500)("hot2") ++
+      Seq.fill(900)("warm") ++ (0 until 4600).map(i => s"rare$i")
+    // Adversarial spread: scrambled order, many partitions — the
+    // per-partition MG summaries must still union to a no-false-negative
+    // candidate set (weighted pigeonhole), and verification makes the
+    // final answer exact regardless of the partitioning.
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.sortBy(x => scala.util.hashing.MurmurHash3.stringHash(x))
+        .toDF("item").repartition(parts)
+      val got = Sketches.heavyHitters(df, "item", phi = 0.1)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == Map("hot1" -> 3000L, "hot2" -> 1500L),
+        s"exact heavy hitters at $parts partitions")
+    }
+    // Boundary: phi small enough that warm crosses ceil(phi*N)=900 — the
+    // >= threshold must include it exactly at the boundary.
+    val df = rows.toDF("item")
+    val loose = Sketches.heavyHitters(df, "item", phi = 0.09)
+      .collect().map(_.getString(0)).toSet
+    assert(loose == Set("hot1", "hot2", "warm"))
+    intercept[IllegalArgumentException](Sketches.heavyHitters(df, "item", 1.0))
+  }
+
+  test("LanguageModel.bpePairCounts weights pairs by word frequency") {
+    // words: aaa x2, bb x1, ab x1 →
+    //   (a,a)   2 per "aaa" x 2 occurrences = 4
+    //   (a,</w>) 1 per "aaa" x 2            = 2
+    //   (b,b)   1; (b,</w>) from bb and ab  = 2; (a,b) 1
+    val df = Seq("aaa bb", "aaa ab").toDF("text")
+    val got = LanguageModel.bpePairCounts(df, "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      ("a", "a") -> 4L, ("a", "</w>") -> 2L, ("b", "b") -> 1L,
+      ("b", "</w>") -> 2L, ("a", "b") -> 1L))
+    // Non-letter chars never leak in: symbols come from [a-z]+ tokens only.
+    val sym = LanguageModel.bpePairCounts(Seq("x9y z!").toDF("text"), "text")
+      .collect().flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    assert(sym == Set("x", "y", "z", "</w>"))
+  }
 }

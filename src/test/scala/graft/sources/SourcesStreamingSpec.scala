@@ -62,6 +62,22 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(ds.filter(_.rating >= 3.0f).count() == 2)
   }
 
+  test("TypedOrc binds columns by name, surviving physical reorder") {
+    val dir = Files.createTempDirectory("graft_orc")
+    // Write with columns physically reordered vs the case class — the
+    // typed read must bind by name, not position.
+    Seq((1260759144L, 2.5f, 31, 1), (851866703L, 4.5f, 50, 7))
+      .toDF("timestamp", "rating", "movieId", "userId")
+      .coalesce(1).write.mode("overwrite").orc(dir.toString)
+    val rows = TypedOrc.read[Rating](spark, dir.toString)
+      .collect().sortBy(_.userId)
+    assert(rows.toSeq == Seq(
+      Rating(1, 31, 2.5f, 1260759144L), Rating(7, 50, 4.5f, 851866703L)))
+    // Typed filter works through the encoder (pushdown-eligible plan).
+    assert(TypedOrc.read[Rating](spark, dir.toString)
+      .filter(_.rating >= 3.0f).count() == 1)
+  }
+
   test("TypedJsonl reads well-formed lines and quarantines corrupt ones") {
     val dir = Files.createTempDirectory("graft_jsonl")
     val f = dir.resolve("ratings.jsonl")
