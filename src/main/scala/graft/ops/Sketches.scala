@@ -91,10 +91,16 @@ object Sketches {
     val items = df.select(col(itemCol).cast("string").as("item"))
       .filter(col("item").isNotNull)
     val k = math.max(math.ceil(2.0 / phi).toInt, 4)
-    val candidates = items.as[String]
+    // One scan yields BOTH the candidate set and the stream size: each
+    // partition emits its MG survivors as (item, null) plus one sentinel
+    // (null, n_i) row carrying its row count, so `total` needs no second
+    // pass over the stream.
+    val summary = items.as[String]
       .mapPartitions { it =>
         val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        var n = 0L
         it.foreach { x =>
+          n += 1
           counts.get(x) match {
             case Some(c) => counts.update(x, c + 1)
             case None if counts.size < k => counts.update(x, 1L)
@@ -105,13 +111,16 @@ object Sketches {
               }
           }
         }
-        counts.keysIterator
+        counts.keysIterator.map(item => (Option(item), None: Option[Long])) ++
+          Iterator((None: Option[String], Some(n)))
       }
-      .toDF("item").distinct()
-      .localCheckpoint(true) // tiny; consumed by the verify join below
-    val total = items.count()
+      .toDF("item", "n_part")
+      .localCheckpoint(true) // tiny (≤ partitions × (k+1) rows)
+    val total = summary.agg(coalesce(sum("n_part"), lit(0L))).head.getLong(0)
+    val candidates = summary.filter(col("item").isNotNull)
+      .select("item").distinct()
     val thresh = math.ceil(phi * total).toLong
-    items.join(candidates, Seq("item"), "left_semi")
+    items.join(broadcast(candidates), Seq("item"), "left_semi")
       .groupBy("item")
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= thresh)
