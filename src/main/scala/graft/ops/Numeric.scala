@@ -60,4 +60,36 @@ object Numeric {
           (col(valueCol) - col("__graft_mu")) / col("__graft_sd")))
       .drop("__graft_mu", "__graft_sd")
   }
+
+  /** Robust scale `valueCol` per group: (v − median) / (1.4826 · MAD),
+    * appended as `<valueCol>_r` — the outlier-insensitive sibling of
+    * [[standardize]] (mean/stddev move with the outliers they're meant
+    * to flag; median/MAD don't). 1.4826 ≈ 1/Φ⁻¹(3/4) makes the scale
+    * estimate consistent with stddev under normality. Zero-MAD groups
+    * (over half the values identical) go null like zero-variance
+    * z-scores.
+    *
+    * Scale shape: two exact-percentile aggregations (median, then
+    * median of |v − median|) — each partial-aggregable per group — and
+    * two broadcast joins of |groups|-row tables; the big side is never
+    * shuffled. Same approximate-percentile swap as [[winsorize]] at
+    * extreme group cardinality. */
+  def robustScale(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("__graft_med"))
+    val withMed = df.join(broadcast(med), groupCols)
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(percentile(abs(col(valueCol) - col("__graft_med")), lit(0.5))
+        .as("__graft_mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn(valueCol + "_r",
+        when(col("__graft_mad") > 0,
+          (col(valueCol) - col("__graft_med"))
+            / (col("__graft_mad") * 1.4826)))
+      .drop("__graft_med", "__graft_mad")
+  }
 }

@@ -126,6 +126,66 @@ object Sketches {
       .filter(col("freq") >= thresh)
   }
 
+  /** Key-distribution audit for join planning — the query you run on a
+    * join key BEFORE deciding between a plain shuffle join, salting
+    * ([[SkewJoin]]), or a broadcast: one row of
+    * (n_rows, n_keys, top_key, top_frac, entropy_nats).
+    *
+    * `top_frac` is the share of the hottest key (straggler-task bound
+    * for a hash partition on this key); `entropy_nats` is the Shannon
+    * entropy of the key distribution (ln n_keys = perfectly uniform).
+    * Ties on the hot key break to the LARGEST key so the answer is
+    * deterministic. One aggregation collapses the stream to key counts
+    * (partial-agg), then a single-row reduce — nothing scales with row
+    * count past the first exchange. */
+  def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        sum("n").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(struct(col("n"), col("key"))).as("top"),
+        sum(col("n") * log(col("n"))).as("sum_nlogn"))
+      .select(
+        col("n_rows"), col("n_keys"),
+        col("top.key").as("top_key"),
+        round(col("top.n") / col("n_rows"), 6).as("top_frac"),
+        // -Σ pᵢ ln pᵢ  =  ln N − (Σ nᵢ ln nᵢ)/N, from the same counts
+        round(log(col("n_rows")) - col("sum_nlogn") / col("n_rows"), 6)
+          .as("entropy_nats"))
+  }
+
+  /** Equi-depth histogram of `valueCol` per group: `buckets` quantile
+    * buckets of (as near as possible) equal row count via `ntile` over
+    * (value, tieCol) — the total order makes bucket membership
+    * deterministic. Emits (group, bucket, n, lo, hi).
+    *
+    * Complements [[histogram]] (equal-width): depth buckets answer
+    * "where does the mass sit" under skew, width buckets answer "what
+    * does the range look like". The per-group sort is the honest cost
+    * of exact depth buckets; at extreme per-group cardinality the
+    * approximate path is `percentile_approx` cuts + a bucket join
+    * (same output schema, GK-bounded error). */
+  def equiDepthHistogram(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+    df.select(col(groupCol), col(valueCol), col(tieCol))
+      .withColumn("bucket", ntile(buckets).over(w))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(valueCol), 6).as("lo"),
+        round(max(valueCol), 6).as("hi"))
+  }
+
   /** Equal-width histogram of `valueCol` per group: `bins` buckets over
     * each group's own [min, max] range (the top edge closes into the
     * last bin), emitted long-form (group, bin, n). A zero-width group

@@ -304,6 +304,40 @@ object TextAnalysis {
       .toDF(idCol, "fp_winnow")
   }
 
+  /** Per-document lexical diversity — the vocabulary-richness quality
+    * signals (a template-stamped or keyword-stuffed page has low
+    * type-token ratio; natural prose hapax share sits near 0.4-0.6):
+    * (idCol, n_tokens, n_types, ttr, hapax_ratio), zero-token docs kept
+    * with nulls for the ratios.
+    *
+    * Scale shape: one explode → (doc, token) partial-agg count →
+    * per-doc reduce; everything is keyed by doc id so the shuffles are
+    * corpus-token-bounded with map-side combine, and the final left
+    * join re-attaches empty docs without shuffling the corpus (ids
+    * only). */
+  def lexicalDiversity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val perType = df
+      .select(col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+          .as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val perDoc = perType
+      .groupBy(col(idCol))
+      .agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        round(col("n_types") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax") / col("n_tokens"), 6).as("hapax_ratio"))
+  }
+
   // ---- DataFrame-level conveniences -------------------------------------
 
   /** Per-document token statistics. */

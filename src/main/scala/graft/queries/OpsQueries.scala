@@ -395,6 +395,32 @@ object OpsQueries {
       .orderBy(desc("freq"), col("sym_a"), col("sym_b"))
       .limit(200)
 
+  /** #26b per-document lexical diversity: type-token ratio + hapax
+    * share, the vocabulary-richness quality signals. */
+  def textDiversity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** #7l join-key skew audit of events.user_id — the one-row
+    * distribution profile (hot-key share + entropy) consulted before
+    * choosing plain vs salted vs broadcast join. */
+  def skewProfileUsers(s: SparkSession, dir: String): DataFrame =
+    Sketches.skewProfile(Tables.events(s, dir), "user_id")
+
+  /** #37e equi-depth histogram: 8 depth buckets of value per event
+    * type (deterministic via the event_id tiebreak). */
+  def eventsEqdepth(s: SparkSession, dir: String): DataFrame =
+    Sketches.equiDepthHistogram(
+        Tables.events(s, dir), "event_type", "value", "event_id", buckets = 8)
+      .orderBy("event_type", "bucket")
+
+  /** #50c per-group robust scaling: (v − median) / (1.4826·MAD). */
+  def robustScaleEvents(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Numeric.robustScale(Tables.events(s, dir), Seq("event_type"), "value")
+      .select(col("event_id"), col("event_type"),
+        round(col("value_r"), 6).as("value_r"))
+      .orderBy("event_id")
+
   /** #14b per-user leave-last-out split: each user's most recent 20% of
     * events as the test slice. */
   def chronoSplitUser(s: SparkSession, dir: String): DataFrame = {
@@ -410,6 +436,10 @@ object OpsQueries {
     "events_histogram"  -> (eventsHistogram _),
     "heavy_hitters"     -> (heavyHittersTokens _),
     "bpe_pairs"         -> (bpePairs _),
+    "text_diversity"    -> (textDiversity _),
+    "skew_profile"      -> (skewProfileUsers _),
+    "events_eqdepth"    -> (eventsEqdepth _),
+    "robust_scale"      -> (robustScaleEvents _),
     "text_ngram_repetition" -> (textNgramRepetition _),
     "zscore_events"     -> (zscoreEvents _),
     "winsorize_events"  -> (winsorizeEvents _),
@@ -834,6 +864,60 @@ object OpsQueries {
         |FROM toks, t GROUP BY item, t.n
         |HAVING count(*) >= ceil(0.02 * t.n)
         |ORDER BY item""".stripMargin,
+    "text_diversity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tok, count(*) AS n FROM tk GROUP BY 1, 2
+        |), a AS (
+        |  SELECT doc_id, sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |    sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(n_types, 0)::BIGINT AS n_types,
+        |  round(n_types / n_tokens, 6) AS ttr,
+        |  round(n_hapax / n_tokens, 6) AS hapax_ratio
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "skew_profile" ->
+      """WITH c AS (
+        |  SELECT user_id::VARCHAR AS key, count(*) AS n FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1
+        |)
+        |SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        |  (SELECT key FROM c ORDER BY n DESC, key DESC LIMIT 1) AS top_key,
+        |  round(max(n) / sum(n), 6) AS top_frac,
+        |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy_nats
+        |FROM c""".stripMargin,
+    "events_eqdepth" ->
+      """WITH b AS (
+        |  SELECT event_type, value, event_id,
+        |    ntile(8) OVER (PARTITION BY event_type
+        |                   ORDER BY value, event_id)::INT AS bucket
+        |  FROM events
+        |)
+        |SELECT event_type, bucket, count(*)::BIGINT AS n,
+        |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+        |FROM b GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
+    "robust_scale" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1
+        |), d AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med
+        |  FROM events e JOIN m USING (event_type)
+        |), a AS (
+        |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT d.event_id, d.event_type,
+        |  round(CASE WHEN a.mad > 0
+        |    THEN (d.value - d.med) / (a.mad * 1.4826) END, 6) AS value_r
+        |FROM d JOIN a USING (event_type)
+        |ORDER BY d.event_id""".stripMargin,
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT word, count(*) AS wfreq FROM (

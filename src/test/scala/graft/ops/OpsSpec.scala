@@ -679,4 +679,63 @@ class OpsSpec extends SparkSpec {
       .collect().flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
     assert(sym == Set("x", "y", "z", "</w>"))
   }
+
+  test("TextAnalysis.lexicalDiversity: TTR, hapax share, empty docs kept") {
+    val df = Seq(
+      (1L, "the cat the dog"),   // 4 tokens, 3 types, hapax cat+dog
+      (2L, "aa aa aa"),          // 3 tokens, 1 type, 0 hapax
+      (3L, "")                   // empty: kept with null ratios
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+         Option(r.get(3)).map(_.asInstanceOf[Double]),
+         Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1L) == ((4L, 3L, Some(0.75), Some(0.5))))
+    assert(got(2L) == ((3L, 1L, Some(0.333333), Some(0.0))))
+    assert(got(3L) == ((0L, 0L, None, None)))
+  }
+
+  test("Sketches.skewProfile: exact shares, entropy, deterministic tiebreak") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("k").repartition(5)
+    val r = Sketches.skewProfile(df, "k").head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 3L)
+    assert(r.getString(2) == "a" && r.getDouble(3) == 0.6)
+    val h = -(0.6 * math.log(0.6) + 0.3 * math.log(0.3) + 0.1 * math.log(0.1))
+    assert(math.abs(r.getDouble(4) - h) < 1e-6)
+    // count tie → largest key wins, on both engines' orderings
+    val tie = Sketches.skewProfile(Seq("a", "b", "a", "b").toDF("k"), "k").head
+    assert(tie.getString(2) == "b")
+    // nulls are not keys
+    val withNull = Sketches.skewProfile(
+      Seq(Some("a"), None, Some("a")).toDF("k"), "k").head
+    assert(withNull.getLong(0) == 2L && withNull.getLong(1) == 1L)
+  }
+
+  test("Sketches.equiDepthHistogram: near-equal depths, ordered ranges") {
+    // 10 rows, 4 buckets → depths 3,3,2,2 over the value order.
+    val df = (1 to 10).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("g", "v", "id").repartition(3)
+    val got = Sketches.equiDepthHistogram(df, "g", "v", "id", buckets = 4)
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == Map(
+      1 -> ((3L, 1.0, 3.0)), 2 -> ((3L, 4.0, 6.0)),
+      3 -> ((2L, 7.0, 8.0)), 4 -> ((2L, 9.0, 10.0))))
+  }
+
+  test("Numeric.robustScale: median/MAD scaling, zero-MAD groups null") {
+    val a = (1 to 9).map(i => ("a", i.toDouble)) :+ (("a", 1000.0))
+    val b = Seq(("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9.0)) // MAD = 0
+    val out = Numeric.robustScale((a ++ b).toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // group a: median 5.5, MAD 2.5 → outlier scales to 994.5/(2.5*1.4826)
+    val exp = 994.5 / (2.5 * 1.4826)
+    assert(math.abs(out(("a", 1000.0)).get - exp) < 1e-9)
+    assert(math.abs(out(("a", 5.0)).get - (-0.5 / (2.5 * 1.4826))) < 1e-9)
+    assert(out(("b", 9.0)).isEmpty && out(("b", 5.0)).isEmpty,
+      "zero-MAD group must scale to null, not blow up")
+  }
 }
