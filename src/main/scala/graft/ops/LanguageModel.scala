@@ -122,6 +122,42 @@ object LanguageModel {
         col("logp_mean"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    * every document under `lm` ([[scoreDocs]]), then split each
+    * language into `buckets` equal-depth bands by model fit — bucket 1
+    * is the best-fitting "head", the last bucket the worst-fitting
+    * "tail" a pipeline typically drops. Returns
+    * (idCol, langCol, logp_mean, bucket).
+    *
+    * The band ordering uses the ROUNDED mean log-prob (6 dp) with an id
+    * tiebreak: a total order that both Spark and an external checker
+    * compute identically — raw double means carry summation-order
+    * jitter that could flip near-boundary assignments. Zero-token docs
+    * (null mean) sort into the tail, nulls-last on both engines.
+    *
+    * Scale shape: [[scoreDocs]]' token-keyed aggregation, one id-keyed
+    * join to re-attach the language, and a per-language ntile window —
+    * the per-group sort is the honest cost of exact depth bands (the
+    * approximate path at extreme scale: GK percentile cuts per
+    * language, same output contract). */
+  def perplexityBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      langCol: String,
+      lm: DataFrame,
+      buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, "need at least two perplexity bands")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(round(col("logp_mean"), 6).desc_nulls_last, col(idCol))
+    scoreDocs(df, textCol, idCol, lm)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("bucket", ntile(buckets).over(w))
+      .select(col(idCol), col(langCol),
+        round(col("logp_mean"), 6).as("logp_mean"), col("bucket"))
+  }
+
   /** The distributed inner loop of BPE TOKENIZER TRAINING (Sennrich et
     * al. 2016 §3.2): symbol-pair frequencies over the word-frequency
     * table. Words are the `[a-z]+` tokens; symbols are their characters

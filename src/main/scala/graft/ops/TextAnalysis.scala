@@ -304,6 +304,61 @@ object TextAnalysis {
       .toDF(idCol, "fp_winnow")
   }
 
+  /** TF-IDF cosine retrieval — the vector-space sibling of
+    * [[bm25Search]]: documents as L2-normalized tf·idf vectors
+    * (idf = ln(N/df)), the query as an idf-weighted term vector, score
+    * = cosine similarity, top-`k` by (score desc, doc_id). Zero-idf
+    * query terms (df = N: present in every document) carry no
+    * information and are dropped; if every query term is zero-idf the
+    * result is empty rather than 0/0 scores.
+    *
+    * Scale shape: the postings (doc, term, tf) table is built once with
+    * partial aggregation; doc norms are a per-doc reduce of the SAME
+    * table (no second corpus scan); the query side is a |terms|-row
+    * broadcast, so scoring touches only postings of query terms —
+    * the classic impact-ordered retrieval shape, never a corpus-wide
+    * pairwise product. */
+  def tfidfSearch(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      query: Seq[String],
+      k: Int = 10): DataFrame = {
+    require(query.nonEmpty && k > 0, "need query terms and k > 0")
+    val terms = query.map(_.toLowerCase).distinct
+    val docId = coalesce(col(idCol).cast("long"),
+      raise_error(lit("tfidfSearch: doc ids must be numeric and non-null")))
+    val tf = df
+      .select(docId.as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0)))
+          .as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val consts = df.agg(count(lit(1)).as("n_docs"))
+    val weights = tf.join(dft, "term")
+      .crossJoin(broadcast(consts))
+      .withColumn("w", col("tf") * log(col("n_docs") / col("df")))
+    val norms = weights.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val qw = dft.filter(col("term").isin(terms: _*))
+      .crossJoin(broadcast(consts))
+      .withColumn("qw", log(col("n_docs") / col("df")))
+      .filter(col("qw") > 0)
+      .select("term", "qw")
+    val qnorm = qw.agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
+    weights.join(broadcast(qw), "term")
+      .groupBy("doc_id")
+      .agg(sum(col("w") * col("qw")).as("dot"), count(lit(1)).as("n_terms_hit"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qnorm))
+      .select(col("doc_id"),
+        round(col("dot") / (col("norm") * col("qnorm")), 6).as("score"),
+        col("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document lexical diversity — the vocabulary-richness quality
     * signals (a template-stamped or keyword-stuffed page has low
     * type-token ratio; natural prose hapax share sits near 0.4-0.6):

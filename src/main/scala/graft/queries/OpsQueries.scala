@@ -421,6 +421,27 @@ object OpsQueries {
         round(col("value_r"), 6).as("value_r"))
       .orderBy("event_id")
 
+  /** #43f CCNet-style perplexity bucketing: per-language head/middle/
+    * tail bands under the corpus unigram LM; `kept` marks the
+    * head+middle slice a CCNet pipeline retains. */
+  def corpusCcnet(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lm = LanguageModel.unigramTable(docs, "text", minCount = 5L)
+    LanguageModel.perplexityBuckets(docs, "text", "doc_id", "lang", lm, buckets = 3)
+      .select(col("doc_id"), col("lang"), col("logp_mean"),
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("ppl_band"),
+        (col("bucket") < 3).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** #40c TF-IDF cosine retrieval, same three-term query as BM25 so the
+    * two rankings are directly comparable. */
+  def tfidfSearch(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfSearch(Tables.documents(s, dir), "text", "doc_id",
+      query = Seq("vector", "key", "dup"), k = 10)
+
   /** #14b per-user leave-last-out split: each user's most recent 20% of
     * events as the test slice. */
   def chronoSplitUser(s: SparkSession, dir: String): DataFrame = {
@@ -438,6 +459,8 @@ object OpsQueries {
     "bpe_pairs"         -> (bpePairs _),
     "text_diversity"    -> (textDiversity _),
     "skew_profile"      -> (skewProfileUsers _),
+    "corpus_ccnet"      -> (corpusCcnet _),
+    "tfidf_search"      -> (tfidfSearch _),
     "events_eqdepth"    -> (eventsEqdepth _),
     "robust_scale"      -> (robustScaleEvents _),
     "text_ngram_repetition" -> (textNgramRepetition _),
@@ -864,6 +887,58 @@ object OpsQueries {
         |FROM toks, t GROUP BY item, t.n
         |HAVING count(*) >= ceil(0.02 * t.n)
         |ORDER BY item""".stripMargin,
+    "corpus_ccnet" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, count(*) AS n FROM toks GROUP BY token
+        |), t AS (SELECT sum(n) AS total FROM c),
+        |v AS (SELECT token, ln(n / total) AS logp FROM c, t WHERE n >= 5),
+        |s AS (
+        |  SELECT d.doc_id, d.lang,
+        |    round(avg(CASE WHEN tk.token IS NULL THEN NULL
+        |      ELSE coalesce(v.logp, (SELECT ln(1.0 / total) FROM t)) END), 6)
+        |      AS logp_mean
+        |  FROM documents d
+        |  LEFT JOIN toks tk ON d.doc_id = tk.doc_id
+        |  LEFT JOIN v ON tk.token = v.token
+        |  GROUP BY d.doc_id, d.lang
+        |), b AS (
+        |  SELECT doc_id, lang, logp_mean,
+        |    ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY logp_mean DESC NULLS LAST, doc_id) AS bucket
+        |  FROM s
+        |)
+        |SELECT doc_id, lang, logp_mean,
+        |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS ppl_band,
+        |  (bucket < 3) AS kept
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "tfidf_search" ->
+      """WITH tf AS (
+        |  SELECT doc_id, lower(tok) AS term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+        |    FROM documents
+        |  ) GROUP BY 1, 2
+        |), dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * ln(n_docs / df) AS w
+        |  FROM tf JOIN dft USING (term), n
+        |),
+        |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+        |qw AS (
+        |  SELECT term, ln(n_docs / df) AS qw FROM dft, n
+        |  WHERE term IN ('vector', 'key', 'dup') AND ln(n_docs / df) > 0
+        |),
+        |qn AS (SELECT sqrt(sum(qw * qw)) AS qnorm FROM qw)
+        |SELECT w.doc_id,
+        |  round(sum(w.w * qw.qw) / (norms.norm * qn.qnorm), 6) AS score,
+        |  count(*)::BIGINT AS n_terms_hit
+        |FROM w JOIN qw USING (term) JOIN norms USING (doc_id), qn
+        |GROUP BY w.doc_id, norms.norm, qn.qnorm
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "text_diversity" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok

@@ -680,6 +680,54 @@ class OpsSpec extends SparkSpec {
     assert(sym == Set("x", "y", "z", "</w>"))
   }
 
+  test("LanguageModel.perplexityBuckets bands per language, nulls to tail") {
+    // lang A: three docs whose unigram fit strictly decreases (repeats
+    // of common tokens score higher than rare-token docs); lang B gets
+    // its own independent bands; an empty doc lands in A's tail.
+    val docs = Seq(
+      (1L, "A", "aa aa aa aa aa aa"),   // all common → best fit
+      (2L, "A", "aa aa bb bb"),
+      (3L, "A", "cc dd ee ff"),         // all rare → worst fit
+      (4L, "A", ""),                    // null mean → tail, nulls last
+      (5L, "B", "aa aa aa"),
+      (6L, "B", "bb cc dd"),
+      (7L, "B", "ee ff gg hh")
+    ).toDF("doc_id", "lang", "text")
+    val lm = LanguageModel.unigramTable(docs, "text", minCount = 1L)
+    val got = LanguageModel
+      .perplexityBuckets(docs, "text", "doc_id", "lang", lm, buckets = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(3))).toMap
+    assert(got(1L) == (("A", 1)) && got(2L) == (("A", 1)))
+    assert(got(3L) == (("A", 2)))
+    assert(got(4L) == (("A", 3)), "zero-token doc must band into the tail")
+    assert(got(5L) == (("B", 1)) && got(6L) == (("B", 2)) && got(7L) == (("B", 3)))
+  }
+
+  test("TextAnalysis.tfidfSearch: hand-computed cosine, zero-idf dropped") {
+    val docs = Seq(
+      (1L, "apple banana apple common"),
+      (2L, "banana cherry common"),
+      (3L, "cherry cherry cherry common")
+    ).toDF("doc_id", "text")
+    val ln3 = math.log(3.0); val lnh = math.log(1.5)
+    // weights: d1 {apple 2·ln3, banana ln1.5}, d2 {banana ln1.5,
+    // cherry ln1.5}, d3 {cherry 3·ln1.5}; "common" has idf 0 everywhere.
+    val qnorm = math.sqrt(ln3 * ln3 + lnh * lnh)
+    val n1 = math.sqrt(4 * ln3 * ln3 + lnh * lnh)
+    val n2 = math.sqrt(2 * lnh * lnh)
+    val exp1 = (2 * ln3 * ln3 + lnh * lnh) / (n1 * qnorm)
+    val exp2 = (lnh * lnh) / (n2 * qnorm)
+    val got = TextAnalysis
+      .tfidfSearch(docs, "text", "doc_id", Seq("apple", "banana"), k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(1L, 2L), "docs without query terms are absent")
+    assert(math.abs(got(1L)._1 - exp1) < 1e-6 && got(1L)._2 == 2L)
+    assert(math.abs(got(2L)._1 - exp2) < 1e-6 && got(2L)._2 == 1L)
+    // a query of only zero-idf terms returns empty, not 0/0 scores
+    assert(TextAnalysis.tfidfSearch(docs, "text", "doc_id",
+      Seq("common"), k = 10).count() == 0)
+  }
+
   test("TextAnalysis.lexicalDiversity: TTR, hapax share, empty docs kept") {
     val df = Seq(
       (1L, "the cat the dog"),   // 4 tokens, 3 types, hapax cat+dog
