@@ -61,6 +61,30 @@ object Numeric {
       .drop("__graft_mu", "__graft_sd")
   }
 
+  /** Percent-rank calibration of `valueCol` within each group —
+    * maps every group's score distribution onto [0, 1] so thresholds
+    * compare ACROSS groups (the per-language quality-score problem: a
+    * fixed cut on raw scores keeps different quantiles of different
+    * languages; a cut on calibrated ranks keeps the same share of
+    * each). Appended as `<valueCol>_pr`, exact percent_rank over the
+    * (value, tieCol) total order — deterministic and externally
+    * checkable; single-member groups calibrate to 0.0 (rank 0 of 0).
+    *
+    * Scale shape: one per-group sort (the honest cost of exact ranks);
+    * the approximate swap at extreme group cardinality is a GK-sketch
+    * CDF lookup (same contract, bounded rank error). */
+  def percentRankCalibrate(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tieCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol), col(tieCol))
+    df.withColumn(valueCol + "_pr", percent_rank().over(w))
+  }
+
   /** Robust scale `valueCol` per group: (v − median) / (1.4826 · MAD),
     * appended as `<valueCol>_r` — the outlier-insensitive sibling of
     * [[standardize]] (mean/stddev move with the outliers they're meant

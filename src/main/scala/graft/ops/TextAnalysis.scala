@@ -304,6 +304,46 @@ object TextAnalysis {
       .toDF(idCol, "fp_winnow")
   }
 
+  /** Document-level token co-occurrence PMI — the word-association
+    * matrix of the count-based embedding era (Church & Hanks 1990):
+    * pmi(a,b) = ln( N·n_ab / (df_a·df_b) ) over distinct-per-document
+    * token sets, emitted for pairs with `n_ab ≥ minPairCount` in
+    * canonical (tok_a < tok_b) order.
+    *
+    * Scale shape: the corpus collapses to the distinct (doc, token)
+    * incidence table first (dedup with map-side combine), the pair
+    * space is generated by a doc-keyed self-join of that table — never
+    * a token-space cross product — and `minPairCount` plays the same
+    * hot-key/long-tail control as the shingle df cap: at web scale you
+    * also cap per-doc distinct tokens (drop df-top stopwords) before
+    * the self-join, which this accepts as a pre-filtered input. */
+  def pmiPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minPairCount: Long = 1L): DataFrame = {
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    val dt = df
+      .select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+          .as("t"))
+      .distinct()
+    val nDocs = df.agg(count(lit(1)).as("nd"))
+    val dfc = dt.groupBy("t").agg(count(lit(1)).as("dfc"))
+    dt.as("a")
+      .join(dt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("tok_a"), col("b.t").as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+      .join(broadcast(dfc.select(col("t").as("tok_a"), col("dfc").as("df_a"))), "tok_a")
+      .join(broadcast(dfc.select(col("t").as("tok_b"), col("dfc").as("df_b"))), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log(col("n_ab") * col("nd") / (col("df_a") * col("df_b"))), 6)
+          .as("pmi"))
+  }
+
   /** TF-IDF cosine retrieval — the vector-space sibling of
     * [[bm25Search]]: documents as L2-normalized tf·idf vectors
     * (idf = ln(N/df)), the query as an idf-weighted term vector, score

@@ -442,6 +442,25 @@ object OpsQueries {
     TextAnalysis.tfidfSearch(Tables.documents(s, dir), "text", "doc_id",
       query = Seq("vector", "key", "dup"), k = 10)
 
+  /** #49b token co-occurrence PMI (df ≥ 5 pairs) — the count-based
+    * word-association matrix. */
+  def tokenPmi(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiPairs(Tables.documents(s, dir), "text", "doc_id",
+        minPairCount = 5L)
+      .orderBy("tok_a", "tok_b")
+
+  /** #45b per-language percent-rank calibration of the quality score:
+    * a threshold on the calibrated rank keeps the same share of every
+    * language, where a raw-score cut would not. */
+  def qualityCalibrate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Numeric.percentRankCalibrate(
+        TextAnalysis.quality(Tables.documents(s, dir), "text")
+          .select("doc_id", "lang", "quality_score"),
+        Seq("lang"), "quality_score", "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        round(col("quality_score_pr"), 6).as("q_pr"))
+      .orderBy("doc_id")
+
   /** #14b per-user leave-last-out split: each user's most recent 20% of
     * events as the test slice. */
   def chronoSplitUser(s: SparkSession, dir: String): DataFrame = {
@@ -461,6 +480,8 @@ object OpsQueries {
     "skew_profile"      -> (skewProfileUsers _),
     "corpus_ccnet"      -> (corpusCcnet _),
     "tfidf_search"      -> (tfidfSearch _),
+    "token_pmi"         -> (tokenPmi _),
+    "quality_calibrate" -> (qualityCalibrate _),
     "events_eqdepth"    -> (eventsEqdepth _),
     "robust_scale"      -> (robustScaleEvents _),
     "text_ngram_repetition" -> (textNgramRepetition _),
@@ -887,6 +908,37 @@ object OpsQueries {
         |FROM toks, t GROUP BY item, t.n
         |HAVING count(*) >= ceil(0.02 * t.n)
         |ORDER BY item""".stripMargin,
+    "token_pmi" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        |  FROM documents
+        |), n AS (SELECT count(*) AS nd FROM documents),
+        |f AS (SELECT t, count(*) AS dfc FROM dt GROUP BY 1),
+        |p AS (
+        |  SELECT a.t AS tok_a, b.t AS tok_b, count(*) AS n_ab
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |)
+        |SELECT tok_a, tok_b, n_ab,
+        |  round(ln(n_ab * nd / (da.dfc * db.dfc)), 6) AS pmi
+        |FROM p JOIN f da ON p.tok_a = da.t JOIN f db ON p.tok_b = db.t, n
+        |ORDER BY tok_a, tok_b""".stripMargin,
+    "quality_calibrate" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, round((
+        |      least(greatest(length(text),1) / 200.0, 1.0)
+        |    + greatest(1.0 - 4.0 * len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |          / greatest(length(text),1), 0.0)
+        |    + least(5.0 * len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that|for)\b'))
+        |          / greatest(len(regexp_extract_all(text, '\S+')),1), 1.0)
+        |    ) / 3.0, 6) AS quality_score
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, quality_score,
+        |  round(percent_rank() OVER (PARTITION BY lang
+        |    ORDER BY quality_score, doc_id), 6) AS q_pr
+        |FROM q ORDER BY doc_id""".stripMargin,
     "corpus_ccnet" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token

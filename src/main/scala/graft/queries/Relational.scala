@@ -233,6 +233,19 @@ object Relational {
         col("sum_qty"), col("n_rows"))
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
+  /** #7g' CUBE: the full 2^2 grouping-set lattice over the same keys
+    * as the rollup — one shuffle materializes all four granularities. */
+  def q12bCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
   /** #7h pivot: per-nation event-type activity matrix (conditional
     * aggregation with an explicit value list — one shuffle, no
     * distinct-values pre-pass). */
@@ -310,6 +323,7 @@ object Relational {
     "q10_funnel"       -> (q10Funnel _),
     "q11_retention"    -> (q11Retention _),
     "q12_rollup"       -> (q12Rollup _),
+    "q12b_cube"        -> (q12bCube _),
     "q13_pivot"        -> (q13Pivot _),
     "q14_sql"          -> (q14Sql _),
     "q15_fullouter"    -> (q15FullOuter _),
@@ -460,6 +474,14 @@ object Relational {
         |  sum(l_quantity) AS sum_qty, count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q12b_cube" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q13_pivot" ->
       """SELECT c_nationkey,

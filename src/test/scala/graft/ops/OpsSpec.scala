@@ -728,6 +728,39 @@ class OpsSpec extends SparkSpec {
       Seq("common"), k = 10).count() == 0)
   }
 
+  test("TextAnalysis.pmiPairs: doc-level co-occurrence, min-count gate") {
+    val docs = Seq(
+      (1L, "a a b"),  // within-doc repeats count once
+      (2L, "a b"), (3L, "a c"), (4L, "b")
+    ).toDF("doc_id", "text")
+    // N=4, df: a=3 b=3 c=1; pairs (a,b)=2, (a,c)=1
+    val all = TextAnalysis.pmiPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(all.keySet == Set(("a", "b"), ("a", "c")))
+    assert(all(("a", "b"))._1 == 2L)
+    assert(math.abs(all(("a", "b"))._2 - math.log(8.0 / 9.0)) < 1e-6)
+    assert(math.abs(all(("a", "c"))._2 - math.log(4.0 / 3.0)) < 1e-6)
+    // the long-tail gate drops singleton pairs
+    val gated = TextAnalysis.pmiPairs(docs, "text", "doc_id", minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gated == Set(("a", "b")))
+  }
+
+  test("Numeric.percentRankCalibrate: exact ranks per group, ties by tiebreak") {
+    val df = Seq(
+      ("g1", 10.0, 1L), ("g1", 20.0, 2L), ("g1", 30.0, 3L), ("g1", 40.0, 4L),
+      ("g2", 7.0, 5L),                       // singleton group → 0.0
+      ("g3", 1.0, 6L), ("g3", 1.0, 7L)       // tie split by id order
+    ).toDF("g", "v", "id")
+    val got = Numeric.percentRankCalibrate(df, Seq("g"), "v", "id")
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(got(1L) == 0.0 && math.abs(got(2L) - 1.0 / 3) < 1e-12 &&
+      math.abs(got(3L) - 2.0 / 3) < 1e-12 && got(4L) == 1.0)
+    assert(got(5L) == 0.0)
+    assert(got(6L) == 0.0 && got(7L) == 1.0)
+  }
+
   test("TextAnalysis.lexicalDiversity: TTR, hapax share, empty docs kept") {
     val df = Seq(
       (1L, "the cat the dog"),   // 4 tokens, 3 types, hapax cat+dog
