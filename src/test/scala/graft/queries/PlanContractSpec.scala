@@ -146,6 +146,45 @@ class PlanContractSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(__graft_bucket"), plan.take(3000))
   }
 
+  test("heavy hitters verifies via a broadcast semi-join on candidates") {
+    // The MG candidate set is KBs; the exact recount must stream the
+    // token stream past a BROADCAST semi-join — a shuffled semi-join
+    // would move the whole stream for a 30-row filter.
+    val plan = finalPlan(OpsQueries.heavyHittersTokens(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(3000))
+  }
+
+  test("tfidf scores only broadcast query-term postings") {
+    // The query weight table (|terms| rows) and the (n_docs) constant
+    // must broadcast; the postings table must never be shuffled twice
+    // for them.
+    val plan = finalPlan(OpsQueries.tfidfSearch(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must not be a global sort:\n" + plan.take(3000))
+  }
+
+  test("PMI joins its df tables broadcast; the pair space is doc-keyed") {
+    // Both df lookups are vocabulary-sized → broadcast; the only big
+    // exchanges are the incidence distinct and the doc-keyed self-join.
+    val plan = finalPlan(OpsQueries.tokenPmi(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"),
+      "token cross product leaked into the plan:\n" + plan.take(3000))
+  }
+
+  test("robust scale broadcasts both bounds tables, never the events") {
+    // Median and MAD tables are |groups| rows; the events side must
+    // reach both joins unshuffled.
+    val plan = finalPlan(OpsQueries.robustScaleEvents(spark, dir))
+    val shuffledJoins = plan.linesIterator
+      .filter(_.contains("SortMergeJoin")).toSeq
+    assert(shuffledJoins.isEmpty,
+      s"bounds join went shuffle:\n${shuffledJoins.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("span removal never shuffles document bodies for the election") {
     // The gram election exchange carries (id, pos, 16-byte hash) rows;
     // text only moves on the final id-keyed cuts join. The projected
