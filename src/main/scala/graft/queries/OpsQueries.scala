@@ -461,6 +461,31 @@ object OpsQueries {
         round(col("quality_score_pr"), 6).as("q_pr"))
       .orderBy("doc_id")
 
+  /** #47b incremental aggregate maintenance: the events rollup
+    * recomputed the way a 100 TB pipeline maintains it — aggregate the
+    * base (first 80% by time) and the delta (last 20%) separately,
+    * merge the KB-scale snapshots — and the result must equal the
+    * direct aggregation over everything, which is exactly what the
+    * oracle computes. */
+  def aggIncremental(s: SparkSession, dir: String): DataFrame = {
+    val Seq(base, delta) = ChronoSplit.split(
+      Tables.events(s, dir), Seq(0.8, 0.2), "ts", "event_id")
+    def snap(d: DataFrame) = d.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+    graft.ops.Incremental
+      .mergeAggSnapshots(Seq(snap(base), snap(delta)), Seq("event_type"))
+      .select(col("event_type"), col("n_events"),
+        round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** #46b Z-order layout cells: Morton curve values over
+    * (value, user_id) — the two-predicate data-skipping layout. */
+  def zorderCells(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.zorderCells(Tables.events(s, dir), "value", "user_id", bits = 8)
+      .select(col("event_id"), col("xcell"), col("ycell"), col("zval"))
+      .orderBy("event_id")
+
   /** #14b per-user leave-last-out split: each user's most recent 20% of
     * events as the test slice. */
   def chronoSplitUser(s: SparkSession, dir: String): DataFrame = {
@@ -482,6 +507,8 @@ object OpsQueries {
     "tfidf_search"      -> (tfidfSearch _),
     "token_pmi"         -> (tokenPmi _),
     "quality_calibrate" -> (qualityCalibrate _),
+    "agg_incremental"   -> (aggIncremental _),
+    "zorder_cells"      -> (zorderCells _),
     "events_eqdepth"    -> (eventsEqdepth _),
     "robust_scale"      -> (robustScaleEvents _),
     "text_ngram_repetition" -> (textNgramRepetition _),
@@ -908,6 +935,31 @@ object OpsQueries {
         |FROM toks, t GROUP BY item, t.n
         |HAVING count(*) >= ceil(0.02 * t.n)
         |ORDER BY item""".stripMargin,
+    "agg_incremental" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "zorder_cells" -> {
+      val morton = (0 until 8).map(i =>
+        s"(((xcell >> $i) & 1) << ${2 * i}) | (((ycell >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT min(value) AS xlo, max(value) AS xhi,
+         |         min(user_id) AS ylo, max(user_id) AS yhi FROM events
+         |), c AS (
+         |  SELECT event_id,
+         |    (CASE WHEN xhi = xlo THEN 0
+         |          ELSE least(floor((value - xlo) * 256 / (xhi - xlo)), 255)
+         |     END)::BIGINT AS xcell,
+         |    (CASE WHEN yhi = ylo THEN 0
+         |          ELSE least(floor((user_id - ylo) * 256 / (yhi - ylo)), 255)
+         |     END)::BIGINT AS ycell
+         |  FROM events, b
+         |)
+         |SELECT event_id, xcell, ycell, ($morton)::BIGINT AS zval
+         |FROM c ORDER BY event_id""".stripMargin
+    },
     "token_pmi" ->
       """WITH dt AS (
         |  SELECT DISTINCT doc_id,

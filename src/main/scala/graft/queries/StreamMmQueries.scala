@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Multimodal, Sessionize}
-import graft.streaming.{CleanStream, EnrichStream, EventStream, JoinStream, StreamDedup}
+import graft.streaming.{CleanStream, EnrichStream, EventStream, JoinStream, StreamDedup, UpsertStream}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -52,6 +52,13 @@ object StreamMmQueries {
     JoinStream.runBatchEquivalent(s, dir)
       .orderBy("view_id", "purchase_id")
 
+  /** #29h streaming latest-wins upsert: every document arrives as an
+    * original revision plus a one-hour-later re-crawl with changed
+    * metadata; the change-log compacts to exactly the re-crawl. */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame =
+    UpsertStream.runBatchEquivalent(s, dir)
+      .orderBy("doc_id")
+
   /** #29d streaming exact dedup: every document ingested twice, the
     * watermark-bounded dedup state collapses each content to one row —
     * the result is the distinct corpus. */
@@ -80,6 +87,7 @@ object StreamMmQueries {
     "stream_sliding"      -> (streamSliding _),
     "stream_clean"        -> (streamClean _),
     "stream_dedup"        -> (streamDedup _),
+    "stream_upsert"       -> (streamUpsert _),
     "stream_join"         -> (streamJoin _),
     "stream_enrich"       -> (streamEnrich _),
     "stream_window_agg"   -> (streamWindowAgg _),
@@ -121,6 +129,10 @@ object StreamMmQueries {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // One row per distinct normalized content (not per doc_id): robust
     // to the generator ever planting an intra-corpus exact duplicate.
+    "stream_upsert" ->
+      """SELECT doc_id, (doc_id + 3601) * 1000000 AS ver_us,
+        |  (n_chars + 1000)::DOUBLE AS latest_value
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, fp_md5, 1::BIGINT AS n_kept
         |FROM (

@@ -728,6 +728,63 @@ class OpsSpec extends SparkSpec {
       Seq("common"), k = 10).count() == 0)
   }
 
+  test("Incremental.mergeAggSnapshots equals the direct aggregation") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("a", 4.0), ("b", 5.0))
+    def snap(s: Seq[(String, Double)]) = s.toDF("k", "v")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val merged = Incremental
+      .mergeAggSnapshots(Seq(snap(rows.take(2)), snap(rows.drop(2))), Seq("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = snap(rows)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(merged == direct)
+    // disjoint key sets merge too (a key absent from one snapshot)
+    val disjoint = Incremental
+      .mergeAggSnapshots(Seq(snap(Seq(("a", 1.0))), snap(Seq(("b", 2.0)))), Seq("k"))
+    assert(disjoint.count() == 2)
+    intercept[IllegalArgumentException] {
+      Incremental.mergeAggSnapshots(
+        Seq(snap(rows), snap(rows).withColumnRenamed("sv", "other")), Seq("k"))
+    }
+  }
+
+  test("Layout: morton interleave, top-edge clamp, zero-width column") {
+    // morton(x=3 (0b11), y=1 (0b01)) at 2 bits: x→bits 0,2; y→bit 1 = 7
+    val m = Seq((3L, 1L)).toDF("x", "y")
+      .select(Layout.morton(col("x"), col("y"), 2).as("z"))
+      .head.getLong(0)
+    assert(m == 7L)
+    // cells: x spans [0,10] → x=10 clamps to the top cell, not cells
+    val df = Seq((1L, 0.0, 5L), (2L, 10.0, 5L), (3L, 5.0, 5L))
+      .toDF("id", "x", "y")
+    val cells = Layout.zorderCells(df, "x", "y", bits = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(cells(1L)._1 == 0L && cells(2L)._1 == 3L && cells(3L)._1 == 2L)
+    // constant y column is zero-width → every ycell is 0
+    assert(cells.values.forall(_._2 == 0L))
+  }
+
+  test("Layout.zorderSort prunes on the second column; a single sort can't") {
+    // 16×16 grid in x-major id order: id-range chunks are x-stripes
+    // spanning ALL of y, so a min/max skip on a y predicate prunes
+    // nothing — every chunk's y-range contains the point. Curve-ordered
+    // chunks cover quadrant-like boxes, so most are skippable.
+    val grid = (for (x <- 0 until 16; y <- 0 until 16)
+      yield (x * 16L + y, x.toDouble, y.toLong)).toDF("id", "x", "y")
+    def chunksHit(part: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Long =
+      part(grid)
+        .withColumn("p", spark_partition_id())
+        .groupBy("p").agg(min("y").as("ylo"), max("y").as("yhi"))
+        .filter(col("ylo") <= 5 && col("yhi") >= 5) // predicate y = 5
+        .count()
+    val zHit = chunksHit(g => Layout.zorderSort(g, "x", "y", bits = 4, partitions = 8))
+    val idHit = chunksHit(_.repartitionByRange(8, col("id")))
+    assert(idHit == 8L, s"x-sorted layout must be unprunable on y, got $idHit")
+    assert(zHit * 2 <= idHit, s"z-order hit $zHit of 8 vs natural $idHit")
+  }
+
   test("TextAnalysis.pmiPairs: doc-level co-occurrence, min-count gate") {
     val docs = Seq(
       (1L, "a a b"),  // within-doc repeats count once

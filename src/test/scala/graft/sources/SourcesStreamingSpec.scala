@@ -238,6 +238,36 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("streaming upsert: latest wins across batches, stale arrivals dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.UpsertStream
+    import graft.streaming.UpsertStream.Revision
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Revision]
+    val q = UpsertStream.latest(in.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_ups_test").start()
+    try {
+      in.addData(Revision(1, 10, 0, 1.0), Revision(2, 5, 0, 2.0))
+      q.processAllAvailable()
+      // key 1 gets a STALE revision (older ver — must emit nothing),
+      // key 2 a fresh one (must emit), key 3 two in-batch (one emission)
+      in.addData(Revision(1, 5, 1, 99.0), Revision(2, 9, 0, 4.0),
+        Revision(3, 7, 0, 6.0), Revision(3, 7, 1, 8.0))
+      q.processAllAvailable()
+      val log = spark.table("graft_ups_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(log.count(_._1 == 1) == 1, "stale arrival must not re-emit key 1")
+      assert(log.filter(_._1 == 1).head == ((1L, 10L, 0L, 1.0)))
+      assert(log.filter(_._1 == 2).map(t => (t._2, t._4)).sorted.toSeq ==
+        Seq((5L, 2.0), (9L, 4.0)), "fresh revision re-emits key 2")
+      assert(log.filter(_._1 == 3).toSeq == Seq((3L, 7L, 1L, 8.0)),
+        "same-version collision resolves by seq, one emission")
+    } finally {
+      q.stop(); spark.catalog.dropTempView("graft_ups_test")
+    }
+  }
+
   test("streaming exact dedup keeps one row per distinct content") {
     import graft.streaming.StreamDedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
