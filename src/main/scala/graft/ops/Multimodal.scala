@@ -193,6 +193,131 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Decoded audio header fields (nulls when the payload doesn't
+    * parse); `duration_us` is integral µs — frames·10⁶ div rate. */
+  case class AudioMeta(
+      doc_id: Long,
+      format: String,
+      sample_rate: Option[Long],
+      n_channels: Option[Long],
+      bits_per_sample: Option[Long],
+      n_frames: Option[Long],
+      duration_us: Option[Long],
+      n_bytes: Long)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** Parse a WAV (RIFF/WAVE) header from the public container spec
+    * (Microsoft/IBM Multimedia Programming Interface, RIFF 1991): the
+    * 12-byte RIFF/WAVE preamble, then little-endian length-prefixed
+    * chunks walked to the `fmt ` chunk (PCM layout: audio format u16,
+    * channels u16, sample rate u32, byte rate u32, block align u16,
+    * bits per sample u16) and the `data` chunk, whose byte length over
+    * the block align gives the frame count. Reads only chunk headers —
+    * O(header) per payload like the image path. */
+  def decodeWavHeader(bytes: Array[Byte]): Option[(Long, Int, Int, Long)] = {
+    def tag(i: Int, s: String): Boolean =
+      i + s.length <= bytes.length &&
+        s.indices.forall(k => (bytes(i + k) & 0xff) == s.charAt(k))
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Long, Int, Int, Int)] = None // rate, channels, bits, align
+    var dataLen: Option[Long] = None
+    while (i + 8 <= bytes.length && (fmt.isEmpty || dataLen.isEmpty)) {
+      val size = le32(bytes, i + 4)
+      if (tag(i, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > bytes.length) return None
+        val channels = le16(bytes, i + 10)
+        val rate = le32(bytes, i + 12)
+        val align = le16(bytes, i + 20)
+        val bits = le16(bytes, i + 22)
+        if (channels < 1 || rate < 1 || align < 1 || bits < 1) return None
+        fmt = Some((rate, channels, bits, align))
+      } else if (tag(i, "data")) {
+        dataLen = Some(size)
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    for ((rate, ch, bits, align) <- fmt; dl <- dataLen)
+      yield (rate, ch, bits, dl / align)
+  }
+
+  /** Per-partition WAV-header decode over (id, payload) rows — same
+    * contract as [[extractImageMeta]]: corrupt payloads surface as
+    * "unknown" with nulls, never an exception. */
+  def extractAudioMeta(withPayloadDf: DataFrame): Dataset[AudioMeta] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions {
+        _.map { case (id, bytes) =>
+          decodeWavHeader(bytes) match {
+            case Some((rate, ch, bits, frames)) =>
+              AudioMeta(id, "wav", Some(rate), Some(ch.toLong),
+                Some(bits.toLong), Some(frames),
+                Some(frames * 1000000L / rate), bytes.length.toLong)
+            case None =>
+              AudioMeta(id, "unknown", None, None, None, None, None,
+                bytes.length.toLong)
+          }
+        }
+      }
+  }
+
+  /** A minimal spec-conformant PCM WAV stream: RIFF/WAVE preamble,
+    * 16-byte `fmt ` chunk, `data` chunk of silent frames. 44 + data
+    * bytes. */
+  private[ops] def wavBytes(
+      rate: Int, channels: Int, bits: Int, frames: Int): Array[Byte] = {
+    require(rate > 0 && channels > 0 && bits % 8 == 0 && frames >= 0)
+    val align = channels * bits / 8
+    val dataLen = frames * align
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def ascii(s: String): Unit = s.foreach(c => out.write(c))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    ascii("RIFF"); u32(36L + dataLen); ascii("WAVE")
+    ascii("fmt "); u32(16L)
+    u16(1) // PCM
+    u16(channels); u32(rate.toLong)
+    u32(rate.toLong * align) // byte rate
+    u16(align); u16(bits)
+    ascii("data"); u32(dataLen.toLong)
+    (0 until dataLen).foreach(_ => out.write(0))
+    out.toByteArray
+  }
+
+  /** Deterministic audio corpus over an id column — the WAV sibling of
+    * [[syntheticImages]]: every parameter is id-arithmetic so decoded
+    * fields are SQL-derivable while the bytes are real RIFF streams. */
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 22050, 44100)
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions {
+        _.map { id =>
+          val rate = rates((id % 4L).toInt)
+          val channels = (id % 2L).toInt + 1
+          val bits = if (id % 3L == 0L) 8 else 16
+          val frames = (id % 100L).toInt + 1
+          (id, wavBytes(rate, channels, bits, frames))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** STUB frame sampler: `n` evenly-spaced byte windows standing in for
     * decoded video frames. The Spark shape is the production one — one
     * payload row fans out to (doc_id, frame_idx, frame: binary) rows from

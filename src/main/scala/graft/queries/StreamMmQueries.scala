@@ -52,6 +52,16 @@ object StreamMmQueries {
     JoinStream.runBatchEquivalent(s, dir)
       .orderBy("view_id", "purchase_id")
 
+  /** #30b binary audio payloads → per-partition REAL RIFF/WAVE header
+    * decode: rate/channels/bits/frames come out of the actual
+    * little-endian chunk walk, and every field is independently
+    * id-arithmetic for the oracle. */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAudioMeta(
+        Multimodal.syntheticAudio(Tables.documents(s, dir), "doc_id"))
+      .toDF()
+      .orderBy("doc_id")
+
   /** #29h streaming latest-wins upsert: every document arrives as an
     * original revision plus a one-hour-later re-crawl with changed
     * metadata; the change-log compacts to exactly the re-crawl. */
@@ -92,6 +102,7 @@ object StreamMmQueries {
     "stream_enrich"       -> (streamEnrich _),
     "stream_window_agg"   -> (streamWindowAgg _),
     "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_audio"    -> (multimodalAudio _),
     "sessionize"          -> (sessionize _),
   )
 
@@ -165,6 +176,22 @@ object StreamMmQueries {
         |  (doc_id % 384) + 1 AS height,
         |  CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 35 END::BIGINT AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_audio" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |    doc_id % 2 + 1 AS ch,
+        |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+        |    doc_id % 100 + 1 AS frames
+        |  FROM documents
+        |)
+        |SELECT doc_id, 'wav' AS format, rate::BIGINT AS sample_rate,
+        |  ch::BIGINT AS n_channels, bits::BIGINT AS bits_per_sample,
+        |  frames::BIGINT AS n_frames,
+        |  (frames * 1000000) // rate AS duration_us,
+        |  (44 + frames * ch * bits / 8)::BIGINT AS n_bytes
+        |FROM p ORDER BY doc_id""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events

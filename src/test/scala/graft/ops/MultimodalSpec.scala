@@ -88,4 +88,57 @@ class MultimodalSpec extends SparkSpec {
       assert(m.width.contains(id % 512 + 1) && m.height.contains(id % 384 + 1))
     }
   }
+
+  test("decodeWavHeader reads a real JDK AudioSystem-encoded WAV") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // 16-bit stereo 22050 Hz, 37 frames of silence — encoded by the
+    // JDK's own WAV writer, independent of our byte generator.
+    val fmt = new AudioFormat(22050f, 16, 2, true, false)
+    val pcm = new Array[Byte](37 * 4)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 37L)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    assert(Multimodal.decodeWavHeader(out.toByteArray)
+      .contains((22050L, 2, 16, 37L)))
+  }
+
+  test("decodeWavHeader walks chunks, round-trips, rejects malformed") {
+    // generator round-trip
+    assert(Multimodal.decodeWavHeader(Multimodal.wavBytes(8000, 1, 8, 100))
+      .contains((8000L, 1, 8, 100L)))
+    // an unknown chunk before fmt must be skipped, not fatal: splice a
+    // "JUNK" chunk (odd size — exercises word alignment) after "WAVE"
+    val base = Multimodal.wavBytes(44100, 2, 16, 5)
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // size 3 + pad
+    val spliced = base.take(12) ++ junk ++ base.drop(12)
+    // RIFF size field is now stale, but chunk walking only trusts the
+    // per-chunk lengths — exactly what a robust reader must do.
+    assert(Multimodal.decodeWavHeader(spliced).contains((44100L, 2, 16, 5L)))
+    // malformed payloads reject cleanly
+    assert(Multimodal.decodeWavHeader(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeWavHeader(
+      "RIFFxxxxNOPE".getBytes("US-ASCII") ++ new Array[Byte](40)).isEmpty)
+    assert(Multimodal.decodeWavHeader(
+      Multimodal.pngBytes(3, 4)).isEmpty, "an image is not audio")
+  }
+
+  test("syntheticAudio corpus decodes to its id-derived parameters") {
+    val ids = Seq(0L, 1L, 2L, 3L, 6L, 99L, 100L)
+    val rates = Array(8000L, 16000L, 22050L, 44100L)
+    val meta = Multimodal.extractAudioMeta(
+        Multimodal.syntheticAudio(ids.toDF("doc_id"), "doc_id"))
+      .collect().map(m => m.doc_id -> m).toMap
+    ids.foreach { id =>
+      val m = meta(id)
+      assert(m.format == "wav")
+      assert(m.sample_rate.contains(rates((id % 4).toInt)))
+      assert(m.n_channels.contains(id % 2 + 1))
+      assert(m.bits_per_sample.contains(if (id % 3 == 0) 8L else 16L))
+      assert(m.n_frames.contains(id % 100 + 1))
+      val frames = id % 100 + 1
+      assert(m.duration_us.contains(frames * 1000000L / rates((id % 4).toInt)))
+    }
+  }
 }
