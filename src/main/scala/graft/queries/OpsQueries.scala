@@ -486,6 +486,14 @@ object OpsQueries {
       .select(col("event_id"), col("xcell"), col("ycell"), col("zval"))
       .orderBy("event_id")
 
+  /** #53 per-language table checksum: the migration-validation
+    * fingerprint — one (n_rows, xor-of-row-md5) row per language over
+    * every documents column. */
+  def tableChecksum(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Integrity.groupChecksum(Tables.documents(s, dir), Seq("lang"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy("lang")
+
   /** #14b per-user leave-last-out split: each user's most recent 20% of
     * events as the test slice. */
   def chronoSplitUser(s: SparkSession, dir: String): DataFrame = {
@@ -509,6 +517,7 @@ object OpsQueries {
     "quality_calibrate" -> (qualityCalibrate _),
     "agg_incremental"   -> (aggIncremental _),
     "zorder_cells"      -> (zorderCells _),
+    "table_checksum"    -> (tableChecksum _),
     "events_eqdepth"    -> (eventsEqdepth _),
     "robust_scale"      -> (robustScaleEvents _),
     "text_ngram_repetition" -> (textNgramRepetition _),
@@ -935,6 +944,16 @@ object OpsQueries {
         |FROM toks, t GROUP BY item, t.n
         |HAVING count(*) >= ceil(0.02 * t.n)
         |ORDER BY item""".stripMargin,
+    "table_checksum" ->
+      """WITH h AS (
+        |  SELECT lang, ('0x' || substr(md5(concat_ws('|',
+        |    coalesce(doc_id::VARCHAR, '\N'), coalesce(text, '\N'),
+        |    coalesce(lang, '\N'), coalesce(source, '\N'),
+        |    coalesce(n_chars::VARCHAR, '\N'))), 1, 15))::BIGINT AS hv
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_rows, bit_xor(hv) AS checksum
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
     "agg_incremental" ->
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 6) AS sum_value

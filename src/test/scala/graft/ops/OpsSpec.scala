@@ -728,6 +728,27 @@ class OpsSpec extends SparkSpec {
       Seq("common"), k = 10).count() == 0)
   }
 
+  test("Integrity checksums: order-invariant, change-sensitive, localizing") {
+    val rows = (1L to 500L).map(i => (i, s"text$i", if (i % 7 == 0) null else "en"))
+    val df = rows.toDF("id", "t", "lang")
+    def sum1(d: org.apache.spark.sql.DataFrame) =
+      Integrity.tableChecksum(d, Seq("id", "t", "lang")).head
+    val base = sum1(df)
+    // invariant under partitioning and order
+    assert(sum1(df.repartition(17)) == base)
+    assert(sum1(df.orderBy(desc("t"))) == base)
+    // a single changed value flips it; a swapped pair of rows does not
+    val mutated = rows.updated(250, (251L, "TEXT251", "en")).toDF("id", "t", "lang")
+    assert(sum1(mutated).getLong(1) != base.getLong(1))
+    assert(sum1(rows.reverse.toDF("id", "t", "lang")) == base)
+    // group checksums localize the difference
+    val g = Integrity.groupChecksum(df, Seq("lang"), Seq("id", "t", "lang"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    val g2 = Integrity.groupChecksum(mutated, Seq("lang"), Seq("id", "t", "lang"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(g(None) == g2(None) && g(Some("en")) != g2(Some("en")))
+  }
+
   test("Incremental.mergeAggSnapshots equals the direct aggregation") {
     val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("a", 4.0), ("b", 5.0))
     def snap(s: Seq[(String, Double)]) = s.toDF("k", "v")
