@@ -318,6 +318,167 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Decoded video-container fields (nulls when the payload doesn't
+    * parse). Dims come from the track headers' 16.16 fixed-point
+    * geometry; duration is integral µs over the movie timescale. */
+  case class VideoMeta(
+      doc_id: Long,
+      format: String,
+      duration_us: Option[Long],
+      width: Option[Long],
+      height: Option[Long],
+      n_tracks: Option[Long],
+      n_bytes: Long)
+
+  /** Parse an ISO-BMFF (MP4) container header from the public spec
+    * (ISO/IEC 14496-12): big-endian length-prefixed boxes — `ftyp`
+    * first, then a walk to `moov`, whose `mvhd` carries the movie
+    * timescale and duration and whose `trak`→`tkhd` children carry
+    * per-track 16.16 fixed-point width/height (audio tracks: zero).
+    * Returns (timescale, duration ticks, max width, max height,
+    * track count). Box sizes are trusted per-box exactly like the
+    * RIFF walk; unknown boxes are skipped, truncated ones reject. */
+  def decodeMp4Header(bytes: Array[Byte]): Option[(Long, Long, Int, Int, Int)] = {
+    def boxType(i: Int, s: String): Boolean =
+      i + 8 <= bytes.length && s.indices.forall(k => (bytes(i + 4 + k) & 0xff) == s.charAt(k))
+    if (bytes.length < 24 || !boxType(0, "ftyp")) return None
+    var i = 0
+    var mvhd: Option[(Long, Long)] = None
+    var w = 0; var h = 0; var tracks = 0
+    while (i + 8 <= bytes.length) {
+      val size = be32(bytes, i)
+      if (size < 8 || i + size > bytes.length) return None
+      if (boxType(i, "moov")) {
+        // walk moov children
+        var j = i + 8
+        val end = i + size.toInt
+        while (j + 8 <= end) {
+          val csize = be32(bytes, j)
+          if (csize < 8 || j + csize > end) return None
+          if (boxType(j, "mvhd")) {
+            val v = bytes(j + 8) & 0xff
+            // v0: ver/flags(4) + times(4+4) + timescale(4) + duration(4)
+            // v1: ver/flags(4) + times(8+8) + timescale(4) + duration(8)
+            if (v == 0 && j + 28 <= end)
+              mvhd = Some((be32(bytes, j + 20), be32(bytes, j + 24)))
+            else if (v == 1 && j + 40 <= end)
+              mvhd = Some((be32(bytes, j + 28),
+                (be32(bytes, j + 32) << 32) | be32(bytes, j + 36)))
+            else return None
+          } else if (boxType(j, "trak")) {
+            tracks += 1
+            // walk trak children for tkhd
+            var k = j + 8
+            val tend = j + csize.toInt
+            while (k + 8 <= tend) {
+              val tsize = be32(bytes, k)
+              if (tsize < 8 || k + tsize > tend) return None
+              if (boxType(k, "tkhd")) {
+                // width/height: the LAST 8 bytes of the box, 16.16 fixed
+                val wOff = k + tsize.toInt - 8
+                if (wOff >= k + 8) {
+                  w = math.max(w, (be32(bytes, wOff) >> 16).toInt)
+                  h = math.max(h, (be32(bytes, wOff + 4) >> 16).toInt)
+                }
+              }
+              k += tsize.toInt
+            }
+          }
+          j += csize.toInt
+        }
+      }
+      i += size.toInt
+    }
+    for ((ts, dur) <- mvhd if ts > 0 && tracks > 0)
+      yield (ts, dur, w, h, tracks)
+  }
+
+  /** Per-partition MP4 header decode — same contract as the image and
+    * audio paths: corrupt payloads surface as "unknown" with nulls. */
+  def extractVideoMeta(withPayloadDf: DataFrame): Dataset[VideoMeta] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions {
+        _.map { case (id, bytes) =>
+          decodeMp4Header(bytes) match {
+            case Some((ts, dur, w, h, n)) =>
+              VideoMeta(id, "mp4", Some(dur * 1000000L / ts),
+                Some(w.toLong), Some(h.toLong), Some(n.toLong),
+                bytes.length.toLong)
+            case None =>
+              VideoMeta(id, "unknown", None, None, None, None,
+                bytes.length.toLong)
+          }
+        }
+      }
+  }
+
+  /** A minimal spec-conformant MP4: `ftyp` (isom), `moov` with a v0
+    * `mvhd` and `n` tracks whose v0 `tkhd` boxes give the FIRST track
+    * the video geometry and the rest zero dims (the audio-track
+    * shape). 140 + 100·n bytes. */
+  private[ops] def mp4Bytes(
+      timescale: Long, duration: Long, w: Int, h: Int, nTracks: Int): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && w > 0 && h > 0 && nTracks >= 1)
+    val out = new java.io.ByteArrayOutputStream(140 + 100 * nTracks)
+    def u32(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def ascii(s: String): Unit = s.foreach(c => out.write(c))
+    // ftyp: major brand isom, minor version, two compatible brands
+    u32(24); ascii("ftyp"); ascii("isom"); u32(0); ascii("isom"); ascii("mp41")
+    val mvhdSize = 108; val tkhdSize = 92
+    u32(8L + mvhdSize + nTracks * (8L + tkhdSize)); ascii("moov")
+    u32(mvhdSize); ascii("mvhd")
+    u32(0) // version 0 + flags
+    u32(0); u32(0) // creation, modification
+    u32(timescale); u32(duration)
+    u32(0x00010000L); u32(0x01000000L) // rate 1.0, volume 1.0 + reserved
+    u32(0); u32(0) // reserved
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(u32) // unity matrix
+    (0 until 6).foreach(_ => u32(0)) // pre_defined
+    u32(nTracks + 1L) // next_track_ID
+    (0 until nTracks).foreach { t =>
+      u32(8L + tkhdSize); ascii("trak")
+      u32(tkhdSize); ascii("tkhd")
+      u32(0x00000007L) // version 0, flags: enabled+in-movie+in-preview
+      u32(0); u32(0) // creation, modification
+      u32(t + 1L); u32(0) // track id, reserved
+      u32(duration)
+      u32(0); u32(0) // reserved
+      u32(0); u32(0) // layer+altgroup, volume+reserved
+      Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(u32)
+      if (t == 0) { u32(w.toLong << 16); u32(h.toLong << 16) }
+      else { u32(0); u32(0) }
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic video corpus over an id column — every container
+    * parameter id-arithmetic, bytes real ISO-BMFF box streams. */
+  def syntheticVideos(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scales = Array(600L, 1000L, 90000L)
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions {
+        _.map { id =>
+          val ts = scales((id % 3L).toInt)
+          val dur = (id % 500L + 1L) * 100L
+          val w = (id % 640L).toInt + 16
+          val h = (id % 360L).toInt + 16
+          val n = (id % 2L).toInt + 1
+          (id, mp4Bytes(ts, dur, w, h, n))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** STUB frame sampler: `n` evenly-spaced byte windows standing in for
     * decoded video frames. The Spark shape is the production one — one
     * payload row fans out to (doc_id, frame_idx, frame: binary) rows from

@@ -62,6 +62,16 @@ object StreamMmQueries {
       .toDF()
       .orderBy("doc_id")
 
+  /** #30c binary video payloads → per-partition REAL ISO-BMFF box
+    * walk: movie timescale/duration from mvhd, track geometry from the
+    * 16.16 fixed-point tkhd fields — all id-arithmetic for the
+    * oracle. */
+  def multimodalVideo(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractVideoMeta(
+        Multimodal.syntheticVideos(Tables.documents(s, dir), "doc_id"))
+      .toDF()
+      .orderBy("doc_id")
+
   /** #29h streaming latest-wins upsert: every document arrives as an
     * original revision plus a one-hour-later re-crawl with changed
     * metadata; the change-log compacts to exactly the re-crawl. */
@@ -103,6 +113,7 @@ object StreamMmQueries {
     "stream_window_agg"   -> (streamWindowAgg _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_audio"    -> (multimodalAudio _),
+    "multimodal_video"    -> (multimodalVideo _),
     "sessionize"          -> (sessionize _),
   )
 
@@ -176,6 +187,21 @@ object StreamMmQueries {
         |  (doc_id % 384) + 1 AS height,
         |  CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 35 END::BIGINT AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_video" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |      ELSE 90000 END AS ts,
+        |    (doc_id % 500 + 1) * 100 AS dur,
+        |    doc_id % 640 + 16 AS w, doc_id % 360 + 16 AS h,
+        |    doc_id % 2 + 1 AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, 'mp4' AS format,
+        |  (dur * 1000000) // ts AS duration_us,
+        |  w::BIGINT AS width, h::BIGINT AS height, n::BIGINT AS n_tracks,
+        |  (140 + 100 * n)::BIGINT AS n_bytes
+        |FROM p ORDER BY doc_id""".stripMargin,
     "multimodal_audio" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -124,6 +124,18 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.pngBytes(3, 4)).isEmpty, "an image is not audio")
   }
 
+  test("decodeMp4Header walks boxes, reads mvhd and fixed-point tkhd dims") {
+    val b = Multimodal.mp4Bytes(600L, 100L, 16, 16, 1)
+    assert(b.length == 240, s"generator size drifted: ${b.length}")
+    assert(Multimodal.decodeMp4Header(b).contains((600L, 100L, 16, 16, 1)))
+    // two tracks: geometry from the video track, count includes both
+    assert(Multimodal.decodeMp4Header(Multimodal.mp4Bytes(90000L, 4500L, 640, 360, 2))
+      .contains((90000L, 4500L, 640, 360, 2)))
+    // malformed payloads reject cleanly
+    assert(Multimodal.decodeMp4Header(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeMp4Header(Multimodal.wavBytes(8000, 1, 8, 1)).isEmpty)
+  }
+
   test("syntheticAudio corpus decodes to its id-derived parameters") {
     val ids = Seq(0L, 1L, 2L, 3L, 6L, 99L, 100L)
     val rates = Array(8000L, 16000L, 22050L, 44100L)
