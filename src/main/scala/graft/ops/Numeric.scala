@@ -61,6 +61,22 @@ object Numeric {
       .drop("__graft_mu", "__graft_sd")
   }
 
+  /** Continuous-MLE power-law tail exponent (Clauset, Shalizi & Newman
+    * 2009, eq. 3.1): α̂ = 1 + n / Σ ln(xᵢ/xmin) over values ≥ `xmin` —
+    * the one-row corpus-health diagnostic for heavy-tailed size
+    * distributions (document lengths, degree counts): α drifting
+    * across snapshots flags a changed crawl mix before any downstream
+    * metric moves. One partial-aggregable scan; returns
+    * (n_used, alpha_hat). */
+  def powerLawAlpha(df: DataFrame, valueCol: String, xmin: Double): DataFrame = {
+    require(xmin > 0, "xmin must be positive")
+    df.filter(col(valueCol) >= xmin)
+      .agg(count(lit(1)).as("n_used"),
+        sum(log(col(valueCol) / lit(xmin))).as("__graft_s"))
+      .select(col("n_used"),
+        round(lit(1.0) + col("n_used") / col("__graft_s"), 6).as("alpha_hat"))
+  }
+
   /** Percent-rank calibration of `valueCol` within each group —
     * maps every group's score distribution onto [0, 1] so thresholds
     * compare ACROSS groups (the per-language quality-score problem: a

@@ -494,6 +494,68 @@ object OpsQueries {
         Seq("doc_id", "text", "lang", "source", "n_chars"))
       .orderBy("lang")
 
+  /** #37f per-type correlation profile: Pearson corr and sample
+    * covariance of value against time-of-day (hours), plus the value
+    * stddev — the feature-screening pass before a model sees either
+    * column. */
+  def eventsCorr(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("tod_h",
+        (unix_micros(col("ts")) % lit(86400000000L)) / lit(3600000000.0))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(corr("value", "tod_h"), 6).as("corr_vt"),
+        round(covar_samp("value", "tod_h"), 6).as("covar_vt"),
+        round(stddev_samp("value"), 6).as("sd_value"))
+      .orderBy("event_type")
+
+  /** #37g power-law tail exponent of document lengths (xmin = 100
+    * chars) — the corpus-health scalar that moves when the crawl mix
+    * changes. */
+  def corpusPowerlaw(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Numeric.powerLawAlpha(Tables.documents(s, dir), "n_chars", 100.0)
+
+  /** #37h hourly volume anomalies: per-type hourly event counts
+    * z-scored against the type's own hourly distribution, |z| > 3
+    * flagged ([[graft.ops.Numeric.standardize]] on the aggregated
+    * series). */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+    graft.ops.Numeric.standardize(hourly, Seq("event_type"), "n")
+      .select(col("event_type"), col("hour_us"), col("n"),
+        round(col("n_z"), 6).as("z"),
+        (abs(col("n_z")) > 3.0).as("is_anomaly"))
+      .orderBy("event_type", "hour_us")
+  }
+
+  /** #36b duplicate-rate-by-source report: the composition consumers
+    * actually run — exact-content fingerprints, corpus-wide duplicate
+    * groups, per-source share of docs sitting in one. Re-posted docs
+    * are planted (every 50th doc re-ingested under a shifted id) so
+    * the rate is non-trivially non-zero and the oracle plants the
+    * identical set. */
+  def dedupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val fp = planted.select(col("doc_id"), col("source"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val dupFps = fp.groupBy("fp").agg(count(lit(1)).as("nc"))
+      .filter(col("nc") > 1).select("fp")
+    val tot = fp.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val dup = fp.join(dupFps, Seq("fp"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup"))
+    tot.join(dup, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)) / col("n_docs"), 6).as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** #14b per-user leave-last-out split: each user's most recent 20% of
     * events as the test slice. */
   def chronoSplitUser(s: SparkSession, dir: String): DataFrame = {
@@ -518,6 +580,10 @@ object OpsQueries {
     "agg_incremental"   -> (aggIncremental _),
     "zorder_cells"      -> (zorderCells _),
     "table_checksum"    -> (tableChecksum _),
+    "events_corr"       -> (eventsCorr _),
+    "corpus_powerlaw"   -> (corpusPowerlaw _),
+    "events_anomaly"    -> (eventsAnomaly _),
+    "dedup_rate_source" -> (dedupRateBySource _),
     "events_eqdepth"    -> (eventsEqdepth _),
     "robust_scale"      -> (robustScaleEvents _),
     "text_ngram_repetition" -> (textNgramRepetition _),
@@ -944,6 +1010,51 @@ object OpsQueries {
         |FROM toks, t GROUP BY item, t.n
         |HAVING count(*) >= ceil(0.02 * t.n)
         |ORDER BY item""".stripMargin,
+    "events_corr" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(corr(value, tod_h), 6) AS corr_vt,
+        |  round(covar_samp(value, tod_h), 6) AS covar_vt,
+        |  round(stddev_samp(value), 6) AS sd_value
+        |FROM (SELECT event_type, value,
+        |        (epoch_us(ts) % 86400000000) / 3600000000.0 AS tod_h
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "corpus_powerlaw" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_used, sum(ln(n_chars / 100.0)) AS s
+        |  FROM documents WHERE n_chars >= 100
+        |)
+        |SELECT n_used, round(1.0 + n_used / s, 6) AS alpha_hat FROM a""".stripMargin,
+    "events_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+        |  FROM h GROUP BY 1
+        |)
+        |SELECT h.event_type, h.hour_us, h.n,
+        |  round(CASE WHEN sd > 0 THEN (n - mu) / sd END, 6) AS z,
+        |  CASE WHEN sd > 0 THEN abs((n - mu) / sd) > 3 END AS is_anomaly
+        |FROM h JOIN st USING (event_type)
+        |ORDER BY event_type, hour_us""".stripMargin,
+    "dedup_rate_source" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM documents
+        |  WHERE doc_id % 50 = 0
+        |), fp AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM planted
+        |), d AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 1),
+        |t AS (SELECT source, count(*) AS n_docs FROM fp GROUP BY 1),
+        |u AS (SELECT source, count(*) AS n_dup FROM fp JOIN d USING (fp) GROUP BY 1)
+        |SELECT source, n_docs, coalesce(n_dup, 0)::BIGINT AS n_dup,
+        |  round(coalesce(n_dup, 0) / n_docs, 6) AS dup_rate
+        |FROM t LEFT JOIN u USING (source) ORDER BY source""".stripMargin,
     "table_checksum" ->
       """WITH h AS (
         |  SELECT lang, ('0x' || substr(md5(concat_ws('|',

@@ -825,6 +825,21 @@ class OpsSpec extends SparkSpec {
     assert(gated == Set(("a", "b")))
   }
 
+  test("Numeric.powerLawAlpha: hand-computed MLE, xmin filter") {
+    // values xmin·e each → ln(x/xmin) = 1 each → alpha = 1 + n/n = 2
+    val e = math.exp(1.0)
+    val df = (Seq.fill(40)(100.0 * e) ++ Seq.fill(10)(50.0)).toDF("x")
+    val r = Numeric.powerLawAlpha(df, "x", xmin = 100.0).head
+    assert(r.getLong(0) == 40L, "below-xmin values are excluded")
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-9)
+    // a genuine Pareto(alpha=3) sample recovers its exponent roughly
+    val rng = new scala.util.Random(7)
+    val pareto = Seq.fill(5000)(100.0 * math.pow(rng.nextDouble(), -1.0 / 3.0))
+    val a = Numeric.powerLawAlpha(pareto.toDF("x"), "x", 100.0)
+      .head.getDouble(1)
+    assert(a > 3.6 && a < 4.4, s"MLE alpha-hat $a should be near 1+3")
+  }
+
   test("Numeric.percentRankCalibrate: exact ranks per group, ties by tiebreak") {
     val df = Seq(
       ("g1", 10.0, 1L), ("g1", 20.0, 2L), ("g1", 30.0, 3L), ("g1", 40.0, 4L),
