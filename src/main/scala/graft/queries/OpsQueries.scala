@@ -556,6 +556,20 @@ object OpsQueries {
       .orderBy("source")
   }
 
+  /** #7m semi-structured property extraction: events.props is a JSON
+    * string; parse it with an EXPLICIT schema (`from_json` — the
+    * schema-first discipline of the typed sources, no inference scan)
+    * and aggregate the extracted field per type. */
+  def eventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k",
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg("k"), 6).as("avg_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** #14b per-user leave-last-out split: each user's most recent 20% of
     * events as the test slice. */
   def chronoSplitUser(s: SparkSession, dir: String): DataFrame = {
@@ -581,6 +595,7 @@ object OpsQueries {
     "zorder_cells"      -> (zorderCells _),
     "table_checksum"    -> (tableChecksum _),
     "events_corr"       -> (eventsCorr _),
+    "events_json"       -> (eventsJson _),
     "corpus_powerlaw"   -> (corpusPowerlaw _),
     "events_anomaly"    -> (eventsAnomaly _),
     "dedup_rate_source" -> (dedupRateBySource _),
@@ -1010,6 +1025,14 @@ object OpsQueries {
         |FROM toks, t GROUP BY item, t.n
         |HAVING count(*) >= ceil(0.02 * t.n)
         |ORDER BY item""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum((props->>'k')::BIGINT)::BIGINT AS sum_k,
+        |  round(avg((props->>'k')::BIGINT), 6) AS avg_k,
+        |  min((props->>'k')::BIGINT) AS min_k,
+        |  max((props->>'k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "events_corr" ->
       """SELECT event_type, count(*) AS n,
         |  round(corr(value, tod_h), 6) AS corr_vt,
