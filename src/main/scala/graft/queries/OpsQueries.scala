@@ -570,6 +570,22 @@ object OpsQueries {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** #5b time-RANGE windowed aggregation: trailing-hour count and mean
+    * per event over its type's stream — the moving-average shape
+    * (RANGE frames are tie-safe: peers at the same timestamp share one
+    * frame on both engines, so no tiebreak is even needed). */
+  def eventsMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("tsu"))
+      .rangeBetween(-3600000000L, 0L) // trailing hour in µs
+    Tables.events(s, dir)
+      .withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("avg_1h", round(avg("value").over(w), 6))
+      .select("event_id", "event_type", "tsu", "n_1h", "avg_1h")
+      .orderBy("event_id")
+  }
+
   /** #14b per-user leave-last-out split: each user's most recent 20% of
     * events as the test slice. */
   def chronoSplitUser(s: SparkSession, dir: String): DataFrame = {
@@ -596,6 +612,7 @@ object OpsQueries {
     "table_checksum"    -> (tableChecksum _),
     "events_corr"       -> (eventsCorr _),
     "events_json"       -> (eventsJson _),
+    "events_moving_avg" -> (eventsMovingAvg _),
     "corpus_powerlaw"   -> (corpusPowerlaw _),
     "events_anomaly"    -> (eventsAnomaly _),
     "dedup_rate_source" -> (dedupRateBySource _),
@@ -1025,6 +1042,14 @@ object OpsQueries {
         |FROM toks, t GROUP BY item, t.n
         |HAVING count(*) >= ceil(0.02 * t.n)
         |ORDER BY item""".stripMargin,
+    "events_moving_avg" ->
+      """SELECT event_id, event_type, epoch_us(ts) AS tsu,
+        |  count(*) OVER w AS n_1h,
+        |  round(avg(value) OVER w, 6) AS avg_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*) AS n,
         |  sum((props->>'k')::BIGINT)::BIGINT AS sum_k,

@@ -16,6 +16,25 @@ class PropertySpec extends SparkSpec {
     (0 until n).map(i => (i.toLong, 1L + rnd.nextInt(5), rnd.nextInt(50).toLong))
   }
 
+  test("morton code is a bijection on the cell grid and preserves locality") {
+    // bijectivity over the full 2^6 × 2^6 grid at 6 bits
+    val bits = 6
+    val cells = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val zs = cells.toDF("x", "y")
+      .select(Layout.morton(col("x"), col("y"), bits).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.toSet.size == cells.size, "interleave must not collide")
+    assert(zs.min == 0L && zs.max == (1L << (2 * bits)) - 1,
+      "curve values fill exactly [0, 4^bits)")
+    // one-step curve neighbors are grid-close (the locality the layout
+    // exists for): consecutive z differ by one cell in >= half of steps
+    val byZ = cells.zip(zs).sortBy(_._2).map(_._1)
+    val adjacent = byZ.sliding(2).count { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) == 1
+    }
+    assert(adjacent * 2 >= byZ.length - 1, s"only $adjacent adjacent steps")
+  }
+
   test("ngramJaccard: a non-binding df cap is a no-op; caps only shrink pairs") {
     val rnd = new Random(11)
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
