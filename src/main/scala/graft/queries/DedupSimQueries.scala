@@ -130,6 +130,20 @@ object DedupSimQueries {
     Dedup.embeddingCosine(Tables.embeddings(s, dir), "embedding", "vec_id", 0.4)
       .orderBy("vec_id_a", "vec_id_b")
 
+  /** #19i fixed-iteration PageRank over the symmetrized cosine
+    * similarity graph — centrality inside the near-dup neighborhood
+    * (which representative is the hub); the oracle unrolls the same
+    * five damped steps as a pure SQL join chain. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup
+      .embeddingCosine(Tables.embeddings(s, dir), "embedding", "vec_id", 0.4)
+      .select(col("vec_id_a").as("s"), col("vec_id_b").as("t"))
+    val edges = pairs.unionAll(pairs.select(col("t").as("s"), col("s").as("t")))
+    graft.ops.PageRank.run(edges, "s", "t", iterations = 5)
+      .select(col("v").as("vec_id"), round(col("p"), 6).as("rank"))
+      .orderBy("vec_id")
+  }
+
   /** embeddings ∪ a tail-zeroed mutation of each vector — planted
     * high-cosine near-dups: cos(v, mutation) = |v[1:56]| / |v| ≈ √(56/64)
     * ≈ 0.93 for iid components, while the natural pair space tops out
@@ -472,6 +486,7 @@ object DedupSimQueries {
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_containment" -> (dedupSimhashContainment _),
     "dedup_embedding"     -> (dedupEmbedding _),
+    "graph_pagerank"      -> (graphPagerank _),
     "para_dedup"          -> (paraDedup _),
     "span_overlap"        -> (spanOverlap _),
     "span_profile"        -> (spanProfile _),
@@ -726,6 +741,30 @@ object DedupSimQueries {
       """SELECT doc_id, true AS found FROM documents
         |WHERE len(regexp_extract_all(text, '\S+')) >= 3
         |ORDER BY doc_id""".stripMargin,
+    "graph_pagerank" -> {
+      val steps = (1 to 5).map { i =>
+        s"""p$i AS (
+           |  SELECT e.t AS v, 0.15 / nn.n + 0.85 * sum(p${i - 1}.p / deg.d) AS p
+           |  FROM e JOIN p${i - 1} ON e.s = p${i - 1}.v
+           |       JOIN deg ON e.s = deg.s, nn
+           |  GROUP BY e.t, nn.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings
+         |), pr AS (
+         |  SELECT a.vec_id AS s, b.vec_id AS t
+         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+         |  WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+         |), e AS (SELECT s, t FROM pr UNION ALL SELECT t, s FROM pr),
+         |deg AS (SELECT s, count(*) AS d FROM e GROUP BY 1),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+         |p0 AS (SELECT s AS v, 1.0 / n AS p FROM deg, nn),
+         |$steps
+         |SELECT v AS vec_id, round(p, 6) AS rank FROM p5
+         |ORDER BY vec_id""".stripMargin
+    },
     "dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -749,6 +749,24 @@ class OpsSpec extends SparkSpec {
     assert(g(None) == g2(None) && g(Some("en")) != g2(Some("en")))
   }
 
+  test("PageRank: mass conserved, regular graphs uniform, hubs rank higher") {
+    // 6-ring (2-regular, symmetric): uniform is stationary → exactly 1/6
+    val ring = (0L until 6L).flatMap(i =>
+      Seq((i, (i + 1) % 6), ((i + 1) % 6, i))).toDF("s", "t")
+    val rp = PageRank.run(ring, "s", "t", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rp.size == 6 && rp.values.forall(p => math.abs(p - 1.0 / 6) < 1e-12))
+    // star (center 0, leaves 1..4, symmetrized): center outranks leaves,
+    // total mass stays 1 (no dangling nodes in a symmetric graph)
+    val star = (1L to 4L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("s", "t")
+    val sp = PageRank.run(star, "s", "t", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sp.values.sum - 1.0) < 1e-9, "rank mass must be conserved")
+    assert((1L to 4L).forall(i => sp(0L) > sp(i) * 2), "hub dominates leaves")
+    intercept[IllegalArgumentException](
+      PageRank.run(ring, "s", "t", iterations = 0))
+  }
+
   test("Incremental.mergeAggSnapshots equals the direct aggregation") {
     val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("a", 4.0), ("b", 5.0))
     def snap(s: Seq[(String, Double)]) = s.toDF("k", "v")
