@@ -44,6 +44,23 @@ object DedupSimQueries {
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramPairs(s, dir).orderBy("doc_id_a", "doc_id_b")
 
+  /** #19j edit-distance verification of the near-dup pair list: exact
+    * levenshtein over the candidate pairs ONLY — the expensive O(m·n)
+    * comparison is affordable precisely because the shingle pass has
+    * already shrunk the pair space (at web scale, additionally bound
+    * the compared prefix or use the thresholded variant). */
+  def pairEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withMutations(s, dir)
+    ngramPairs(s, dir)
+      .join(corpus.select(col("doc_id").as("doc_id_a"), col("text").as("ta")),
+        "doc_id_a")
+      .join(corpus.select(col("doc_id").as("doc_id_b"), col("text").as("tb")),
+        "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   /** #20 MinHash+LSH near-dup (band-bucketed, verified on candidates). */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(withMutations(s, dir), "text", "doc_id",
@@ -487,6 +504,7 @@ object DedupSimQueries {
     "dedup_simhash_containment" -> (dedupSimhashContainment _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "graph_pagerank"      -> (graphPagerank _),
+    "pair_edit_distance"  -> (pairEditDistance _),
     "para_dedup"          -> (paraDedup _),
     "span_overlap"        -> (spanOverlap _),
     "span_profile"        -> (spanProfile _),
@@ -741,6 +759,23 @@ object DedupSimQueries {
       """SELECT doc_id, true AS found FROM documents
         |WHERE len(regexp_extract_all(text, '\S+')) >= 3
         |ORDER BY doc_id""".stripMargin,
+    "pair_edit_distance" -> {
+      s"""WITH pairs AS (
+         |${ngramTruthSql(Some(10))}
+         |), corpus2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    substring(text, 1, greatest(length(text) - 40, 1))
+         |  FROM documents
+         |)
+         |SELECT p.doc_id_a, p.doc_id_b,
+         |  levenshtein(a.text, b.text)::BIGINT AS edit_dist
+         |FROM pairs p
+         |JOIN corpus2 a ON p.doc_id_a = a.doc_id
+         |JOIN corpus2 b ON p.doc_id_b = b.doc_id
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin
+    },
     "graph_pagerank" -> {
       val steps = (1 to 5).map { i =>
         s"""p$i AS (

@@ -586,6 +586,40 @@ object OpsQueries {
       .orderBy("event_id")
   }
 
+  /** #37i per-type least-squares trend: slope/intercept/R² of value
+    * against time-of-day via the built-in regression aggregates — the
+    * drift-screening pass (is this metric time-of-day dependent?). */
+  def eventsRegression(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("tod_h",
+        (unix_micros(col("ts")) % lit(86400000000L)) / lit(3600000000.0))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(regr_slope(col("value"), col("tod_h")), 6).as("slope"),
+        round(regr_intercept(col("value"), col("tod_h")), 6).as("intercept"),
+        round(regr_r2(col("value"), col("tod_h")), 6).as("r2"))
+      .orderBy("event_type")
+
+  /** #37j lang × source chi-square independence audit: the full
+    * contingency arithmetic — observed vs expected counts,
+    * Σ (o−e)²/e and its degrees of freedom — pure aggregation, no
+    * statistics library. */
+  def corpusChi2(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val obs = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rowT = d.groupBy("lang").agg(count(lit(1)).as("rt"))
+    val colT = d.groupBy("source").agg(count(lit(1)).as("ct"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    obs.join(broadcast(rowT), "lang")
+      .join(broadcast(colT), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("rt") * col("ct") / col("n"))
+      .agg(
+        round(sum(pow(col("o") - col("e"), 2) / col("e")), 6).as("chi2"),
+        ((countDistinct("lang") - 1) * (countDistinct("source") - 1))
+          .as("dof"))
+  }
+
   /** #14b per-user leave-last-out split: each user's most recent 20% of
     * events as the test slice. */
   def chronoSplitUser(s: SparkSession, dir: String): DataFrame = {
@@ -613,6 +647,8 @@ object OpsQueries {
     "events_corr"       -> (eventsCorr _),
     "events_json"       -> (eventsJson _),
     "events_moving_avg" -> (eventsMovingAvg _),
+    "events_regression" -> (eventsRegression _),
+    "corpus_chi2"       -> (corpusChi2 _),
     "corpus_powerlaw"   -> (corpusPowerlaw _),
     "events_anomaly"    -> (eventsAnomaly _),
     "dedup_rate_source" -> (dedupRateBySource _),
@@ -1042,6 +1078,28 @@ object OpsQueries {
         |FROM toks, t GROUP BY item, t.n
         |HAVING count(*) >= ceil(0.02 * t.n)
         |ORDER BY item""".stripMargin,
+    "events_regression" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(regr_slope(value, tod_h), 6) AS slope,
+        |  round(regr_intercept(value, tod_h), 6) AS intercept,
+        |  round(regr_r2(value, tod_h), 6) AS r2
+        |FROM (SELECT event_type, value,
+        |        (epoch_us(ts) % 86400000000) / 3600000000.0 AS tod_h
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "corpus_chi2" ->
+      """WITH o AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+        |), r AS (SELECT lang, count(*) AS rt FROM documents GROUP BY 1),
+        |c AS (SELECT source, count(*) AS ct FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM documents),
+        |x AS (
+        |  SELECT o.o, r.rt * c.ct / t.n AS e, o.lang, o.source
+        |  FROM o JOIN r USING (lang) JOIN c USING (source), t
+        |)
+        |SELECT round(sum(pow(o - e, 2) / e), 6) AS chi2,
+        |  ((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1))::BIGINT AS dof
+        |FROM x""".stripMargin,
     "events_moving_avg" ->
       """SELECT event_id, event_type, epoch_us(ts) AS tsu,
         |  count(*) OVER w AS n_1h,
