@@ -19,6 +19,14 @@ object StreamMmQueries {
     EventStream.runBatchEquivalent(s, dir)
       .orderBy("window_start", "event_type")
 
+  /** #29i streaming windowed approx-distinct users: HLL sketch state
+    * per (window, type), audited per window against the batch-exact
+    * distinct count — the oracle recomputes the exact side and expects
+    * every window inside the bound. */
+  def streamDistinct(s: SparkSession, dir: String): DataFrame =
+    EventStream.runDistinctBatchEquivalent(s, dir)
+      .orderBy("window_start", "event_type")
+
   /** #30 binary image payloads → per-partition REAL header decode →
     * typed metadata: each document row carries a format-conformant
     * PNG/JPEG byte stream (dims arithmetic in the id), and the fields
@@ -108,6 +116,7 @@ object StreamMmQueries {
     "stream_clean"        -> (streamClean _),
     "stream_dedup"        -> (streamDedup _),
     "stream_upsert"       -> (streamUpsert _),
+    "stream_distinct"     -> (streamDistinct _),
     "stream_join"         -> (streamJoin _),
     "stream_enrich"       -> (streamEnrich _),
     "stream_window_agg"   -> (streamWindowAgg _),
@@ -151,6 +160,13 @@ object StreamMmQueries {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // One row per distinct normalized content (not per doc_id): robust
     // to the generator ever planting an intra-corpus exact duplicate.
+    "stream_distinct" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+        |  event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  true AS distinct_ok
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
     "stream_upsert" ->
       """SELECT doc_id, (doc_id + 3601) * 1000000 AS ver_us,
         |  (n_chars + 1000)::DOUBLE AS latest_value
