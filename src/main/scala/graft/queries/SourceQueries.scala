@@ -36,6 +36,28 @@ object SourceQueries {
       TypedOrc.read[DocMeta](s, tmp.toString).toDF().orderBy("doc_id")
     })
 
+  private val evoCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** #17d schema evolution across snapshot generations: an old
+    * snapshot (even ids, three columns) and a new one (odd ids, plus a
+    * `quality` column) read together under `mergeSchema` — the lake
+    * reality where the schema grew mid-corpus; old rows surface the
+    * new column as null, nothing is silently dropped or reordered. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame =
+    evoCache.getOrElseUpdate((s, dir), Scratch.cleaned("graft_evo") { tmp =>
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(tmp.resolve("gen1").toString)
+      docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("quality", col("n_chars") * 2)
+        .write.mode("overwrite").parquet(tmp.resolve("gen2").toString)
+      s.read.option("mergeSchema", "true")
+        .parquet(tmp.resolve("gen1").toString, tmp.resolve("gen2").toString)
+        .select("doc_id", "lang", "n_chars", "quality")
+        .orderBy("doc_id")
+    })
+
   /** #17 typed CSV: write → `TypedCsv.read[DocMeta]` → original rows.
     * Memoized + scratch-cleaned: one write/read per (session, dir), no
     * leaked temp dirs across bench/validate re-runs. */
@@ -67,6 +89,7 @@ object SourceQueries {
     "csv_roundtrip"   -> (csvRoundtrip _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "orc_roundtrip"   -> (orcRoundtrip _),
+    "schema_evolution" -> (schemaEvolution _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -79,5 +102,9 @@ object SourceQueries {
     "orc_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "schema_evolution" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars * 2 END AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
