@@ -34,6 +34,32 @@ object CmfQueries {
         .agg(sum("l_quantity").cast("float").as("rating"))
         .localCheckpoint(true))
 
+  /** #13d deterministic negative sampling for implicit-feedback
+    * training (the BPR/word2vec data-prep step): two pseudo-negatives
+    * per observed (cust, part) pair, drawn from the dense part keyspace
+    * by md5 arithmetic over (cust, part, draw index) — fully
+    * reproducible across engines and runs, no RNG state to ship. A
+    * draw colliding with its own positive (probability 1/|parts|) is
+    * tolerated, as uniform samplers in practice do.
+    *
+    * Scale shape: one broadcast of the single-row keyspace bound and a
+    * 2× explode of the ratings — partial-aggregation-free projection,
+    * nothing keyed, nothing driver-side. */
+  def trainNegatives(s: SparkSession, dir: String): DataFrame = {
+    val bound = broadcast(Tables.part(s, dir).agg(max("p_partkey").as("np")))
+    custPartRatings(s, dir)
+      .select(col("cust"), col("part"))
+      .crossJoin(bound)
+      .select(col("cust"), col("part"), col("np"),
+        explode(array(lit(1), lit(2))).as("neg_idx"))
+      .withColumn("part_neg",
+        pmod(conv(substring(md5(
+            concat_ws(":", col("cust"), col("part"), col("neg_idx"))),
+            1, 15), 16, 10).cast("long"), col("np")) + 1)
+      .select("cust", "part", "neg_idx", "part_neg")
+      .orderBy("cust", "part", "neg_idx")
+  }
+
   /** Fit-once-serve-many: `als_explicit` (predict) and `recommend_topk`
     * (top-k serving) exercise different model operators over the same
     * fitted model, as a production pipeline would — the fit is shared,
@@ -385,6 +411,7 @@ object CmfQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fit_quality" -> (fitQuality _),
+    "train_negatives" -> (trainNegatives _),
     "foldin_modes_shape" -> (foldinModesShape _),
     "als_foldin_shape" -> (alsFoldinShape _),
     "recommend_topk_shape" -> (recommendTopKShape _),
@@ -408,6 +435,18 @@ object CmfQueries {
     * oracled here: which ids get scored, how many recommendations each
     * user receives, and that ranks are contiguous. */
   val oracles: Map[String, String] = Map(
+    "train_negatives" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), np AS (SELECT max(p_partkey) AS np FROM part),
+        |x AS (SELECT cust, part, unnest([1, 2]) AS neg_idx FROM r)
+        |SELECT cust, part, neg_idx,
+        |  (('0x' || substr(md5(concat_ws(':', cust, part, neg_idx)), 1, 15))::BIGINT
+        |    % np) + 1 AS part_neg
+        |FROM x, np
+        |ORDER BY cust, part, neg_idx""".stripMargin,
     // n_test / n_eval are genuine oracle arithmetic (chrono boundary +
     // train-coverage EXISTS); the three certificates are booleans whose
     // thresholds hold with ≥30% margin (see fitQuality scaladoc).

@@ -620,6 +620,22 @@ object OpsQueries {
           .as("dof"))
   }
 
+  /** #14c deterministic group-aware k-fold assignment: folds are
+    * md5-of-user arithmetic, so every event of a user lands in ONE
+    * fold (no user leaks across train/validation) and the assignment
+    * reproduces on any engine with no RNG state. Emits the per-fold
+    * profile; disjointness is implied by the per-fold distinct-user
+    * counts matching the oracle's. */
+  def cvFolds(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("fold",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 15),
+          16, 10).cast("long"), lit(5L)))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("fold")
+
   /** #14b per-user leave-last-out split: each user's most recent 20% of
     * events as the test slice. */
   def chronoSplitUser(s: SparkSession, dir: String): DataFrame = {
@@ -649,6 +665,7 @@ object OpsQueries {
     "events_moving_avg" -> (eventsMovingAvg _),
     "events_regression" -> (eventsRegression _),
     "corpus_chi2"       -> (corpusChi2 _),
+    "cv_folds"          -> (cvFolds _),
     "corpus_powerlaw"   -> (corpusPowerlaw _),
     "events_anomaly"    -> (eventsAnomaly _),
     "dedup_rate_source" -> (dedupRateBySource _),
@@ -1078,6 +1095,10 @@ object OpsQueries {
         |FROM toks, t GROUP BY item, t.n
         |HAVING count(*) >= ceil(0.02 * t.n)
         |ORDER BY item""".stripMargin,
+    "cv_folds" ->
+      """SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 5 AS fold,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY fold""".stripMargin,
     "events_regression" ->
       """SELECT event_type, count(*) AS n,
         |  round(regr_slope(value, tod_h), 6) AS slope,
