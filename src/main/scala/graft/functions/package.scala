@@ -16,21 +16,35 @@ package object functions {
     * ([[graft.functions.ArrayDot]]). */
   def array_dot(a: Column, b: Column): Column = call_function("array_dot", a, b)
 
+  /** Unicode NFC normalization of a string column
+    * ([[graft.functions.NfcNormalize]]). */
+  def nfc_normalize(s: Column): Column = call_function("nfc_normalize", s)
+
+  private def wrongArgs(name: String, expected: Int, actual: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> expected.toString,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
   /** Register graft's expressions with a session's function registry
     * (idempotent); enables both the Column helpers above and SQL-text use. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (children: Seq[Expression]) => {
-        if (children.length != 2)
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "`array_dot`",
-              "expectedNum" -> "2",
-              "actualNum" -> children.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
+        if (children.length != 2) wrongArgs("array_dot", 2, children.length)
         ArrayDot(children(0), children(1))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) wrongArgs("nfc_normalize", 1, children.length)
+        NfcNormalize(children.head)
+      })
+  }
 }

@@ -57,6 +57,27 @@ object Sampling {
       .drop("__graft_rn")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    * "Weighted random sampling with a reservoir", IPL 97(5), 2006):
+    * each row draws key = −ln(u)/w from a caller-supplied uniform
+    * u ∈ (0, 1] and weight w > 0, and the k smallest keys form the
+    * sample — distributed exactly as sequential weighted draws without
+    * replacement. A deterministic hash-derived uniform makes the draw
+    * reproducible on any engine (and on re-runs over a grown corpus the
+    * surviving keys are stable, so the sample evolves incrementally
+    * instead of reshuffling).
+    *
+    * Scale shape: one narrow projection then a global top-k —
+    * Spark compiles orderBy+limit to TakeOrderedAndProject (per-partition
+    * heaps, k rows to the driver-side merge), never a full sort of the
+    * corpus. The key is exposed as `sample_key` for auditability. */
+  def weightedSample(df: DataFrame, uniform: Column, weight: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("sample_key", -log(uniform) / weight)
+      .orderBy(col("sample_key"))
+      .limit(k)
+  }
+
   /** Temperature-weighted mixture sample: stratum g receives a quota
     * proportional to w_g = ⌊√cnt_g⌋ — the classic T=2 mixture
     * re-weighting that upsamples tail strata relative to their raw share

@@ -38,4 +38,29 @@ object SkewJoin {
       .join(replicated, Seq(key, "__graft_salt"), joinType)
       .drop("__graft_salt")
   }
+
+  /** Two-stage salted aggregation for power-law GROUP BY keys: stage 1
+    * aggregates on (key, salt) — spreading a hot key's rows over `salts`
+    * reducers — stage 2 merges the per-salt partials on the key alone.
+    * Exact for decomposable aggregates (count and sum here, the common
+    * pipeline profile); equality with the single-stage GROUP BY is the
+    * oracle contract. Spark's map-side partial aggregation already
+    * bounds *network* skew; the salt additionally bounds *reducer state*
+    * skew — the case where one key's merged state (not its row stream)
+    * exceeds a single task, which AQE cannot split. The stage-2 input is
+    * |keys|×salts tiny partial rows, so the second shuffle is
+    * negligible. Returns (key, n, sum_value). */
+  def saltedAgg(
+      df: DataFrame,
+      key: String,
+      value: org.apache.spark.sql.Column,
+      salt: org.apache.spark.sql.Column,
+      salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    df.withColumn("__graft_salt", pmod(salt, lit(salts)))
+      .groupBy(col(key), col("__graft_salt"))
+      .agg(count(lit(1)).as("__graft_n"), sum(value).as("__graft_s"))
+      .groupBy(col(key))
+      .agg(sum("__graft_n").as("n"), sum("__graft_s").as("sum_value"))
+  }
 }

@@ -636,6 +636,91 @@ object OpsQueries {
         countDistinct("user_id").as("n_users"))
       .orderBy("fold")
 
+  /** #5c lag autocorrelation of the hourly event-rate series per type
+    * (lags 1–3 over observed hours) — the seasonality screen a
+    * monitoring pipeline runs before alerting on rate anomalies.
+    * Two bounded shuffles: hourly rollup, then a per-type window whose
+    * partitions are type-hour counts, never raw events. */
+  def eventsAcf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour_us")
+    hourly
+      .withColumn("n1", lag("n", 1).over(w))
+      .withColumn("n2", lag("n", 2).over(w))
+      .withColumn("n3", lag("n", 3).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        round(corr("n", "n1"), 6).as("acf1"),
+        round(corr("n", "n2"), 6).as("acf2"),
+        round(corr("n", "n3"), 6).as("acf3"))
+      .orderBy("event_type")
+  }
+
+  /** #5d first-order Markov transition profile of user behavior: for
+    * consecutive event pairs per user (total order: ts, then event_id),
+    * the transition count and conditional probability P(to | from).
+    * One window shuffle on user_id, then a tiny |types|² aggregate. */
+  def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(
+        col("n") / sum("n").over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** #33b weighted sampling without replacement: 500 documents drawn
+    * ∝ n_chars by Efraimidis–Spirakis keys over an md5-derived uniform
+    * (15 hex digits → 60 bits), so the draw is engine-reproducible. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    // u ∈ (0, 1]: (h+1) / 2^60 — never 0, so ln(u) is finite.
+    val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0)
+    Sampling.weightedSample(
+        Tables.documents(s, dir), u, col("n_chars").cast("double"), 500)
+      .select(col("doc_id"), col("n_chars"),
+        round(col("sample_key"), 9).as("sample_key"))
+      .orderBy("doc_id")
+  }
+
+  /** #7d' two-stage salted aggregation, oracled against the plain
+    * GROUP BY it must equal — the reducer-state skew mitigation for
+    * power-law keys (see [[SkewJoin.saltedAgg]]). */
+  def aggSkewSalted(s: SparkSession, dir: String): DataFrame =
+    SkewJoin.saltedAgg(Tables.events(s, dir), "event_type", col("value"),
+        pmod(col("event_id"), lit(16L)), 16)
+      .select(col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("event_type")
+
+  /** #28b Unicode NFC normalization at ingest via the native
+    * [[graft.functions.NfcNormalize]] expression. The corpus is
+    * already-NFC ASCII, so each document is probed with an appended
+    * decomposed suffix (combining acute/ring) that NFC must compose —
+    * the emitted lengths shrink and the md5 moves, both hash-checked
+    * against DuckDB's independent `nfc_normalize`. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    // e + U+0301 combining acute, A + U+030A combining ring — kept
+    // decomposed via escapes; NFC composes both (é, Å), so len shrinks by 2.
+    val probe = concat(col("text"), lit(" cafe\u0301 A\u030A"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(probe).as("len_raw"),
+        length(graft.functions.nfc_normalize(probe)).as("len_norm"),
+        md5(graft.functions.nfc_normalize(probe)).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
   /** #14b per-user leave-last-out split: each user's most recent 20% of
     * events as the test slice. */
   def chronoSplitUser(s: SparkSession, dir: String): DataFrame = {
@@ -661,6 +746,11 @@ object OpsQueries {
     "zorder_cells"      -> (zorderCells _),
     "table_checksum"    -> (tableChecksum _),
     "events_corr"       -> (eventsCorr _),
+    "events_acf"        -> (eventsAcf _),
+    "events_markov"     -> (eventsMarkov _),
+    "sample_weighted"   -> (sampleWeighted _),
+    "agg_skew_salted"   -> (aggSkewSalted _),
+    "text_normalize"    -> (textNormalize _),
     "events_json"       -> (eventsJson _),
     "events_moving_avg" -> (eventsMovingAvg _),
     "events_regression" -> (eventsRegression _),
@@ -1121,6 +1211,59 @@ object OpsQueries {
         |SELECT round(sum(pow(o - e, 2) / e), 6) AS chi2,
         |  ((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1))::BIGINT AS dof
         |FROM x""".stripMargin,
+    "events_acf" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    count(*)::DOUBLE AS n
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_type, n,
+        |    lag(n, 1) OVER w AS n1,
+        |    lag(n, 2) OVER w AS n2,
+        |    lag(n, 3) OVER w AS n3
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_us)
+        |)
+        |SELECT event_type, count(*) AS n_hours,
+        |  round(corr(n, n1), 6) AS acf1,
+        |  round(corr(n, n2), 6) AS acf2,
+        |  round(corr(n, n3), 6) AS acf3
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_markov" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "sample_weighted" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+        |        / 1152921504606846976.0) / n_chars AS key
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, round(key, 9) AS sample_key
+        |FROM k ORDER BY key LIMIT 500""".stripMargin,
+    "agg_skew_salted" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "text_normalize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' A' || chr(778) AS probe
+        |  FROM documents
+        |)
+        |SELECT doc_id, length(probe) AS len_raw,
+        |  length(nfc_normalize(probe)) AS len_norm,
+        |  md5(nfc_normalize(probe)) AS norm_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     "events_moving_avg" ->
       """SELECT event_id, event_type, epoch_us(ts) AS tsu,
         |  count(*) OVER w AS n_1h,

@@ -106,4 +106,25 @@ class JoinOpsSpec extends SparkSpec {
       .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fast == naive && fast.nonEmpty)
   }
+
+  test("saltedAgg equals the single-stage GROUP BY on skewed keys") {
+    // Power-law: one hot key with 5000 rows, a tail of 50-row keys.
+    val rows = (1 to 5000).map(i => ("hot", i * 0.5)) ++
+      (1 to 20).flatMap(k => (1 to 50).map(i => (s"k$k", i * 1.25)))
+    val df = rows.toDF("g", "v")
+    val salted = SkewJoin.saltedAgg(df, "g", col("v"),
+      xxhash64(monotonically_increasing_id()), 8)
+    val plain = df.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_value"))
+    val s = salted.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val p = plain.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(s.keySet == p.keySet)
+    s.foreach { case (k, (n, sv)) =>
+      assert(n == p(k)._1, s"count mismatch at $k")
+      assert(math.abs(sv - p(k)._2) < 1e-6 * math.abs(p(k)._2), s"sum mismatch at $k")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedAgg(df, "g", col("v"), col("v"), 0)
+    }
+  }
 }

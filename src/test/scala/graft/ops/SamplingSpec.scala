@@ -95,6 +95,30 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.select("c_custkey").collect().map(_.getLong(0)).toSet)
   }
 
+  test("weightedSample picks exactly the k smallest A-ES keys") {
+    import spark.implicits._
+    // Deterministic uniform from an arithmetic hash so the expected set
+    // is computable locally with the same double arithmetic.
+    val rows = (1L to 2000L).map(id => (id, 50L + (id * 37) % 400))
+    val df = rows.toDF("id", "w")
+    val h = pmod(col("id") * lit(2654435761L) + lit(7L), lit(1048576L))
+    val u = (h + lit(1L)).cast("double") / lit(1048577.0)
+    val out = Sampling.weightedSample(df, u, col("w").cast("double"), 100)
+    val got = out.select("id").collect().map(_.getLong(0)).toSet
+    val expect = rows.map { case (id, w) =>
+      val hv = (id * 2654435761L + 7L) % 1048576L
+      val uv = (hv + 1L).toDouble / 1048577.0
+      (id, -math.log(uv) / w.toDouble)
+    }.sortBy(_._2).take(100).map(_._1).toSet
+    assert(got == expect)
+    assert(out.count() == 100)
+    // Heavier rows are over-represented: the sampled mean weight must
+    // exceed the population mean (weighted-draw bias).
+    val popMean = rows.map(_._2).sum.toDouble / rows.size
+    val sampMean = rows.filter(r => got(r._1)).map(_._2).sum.toDouble / 100
+    assert(sampMean > popMean, s"sample mean $sampMean <= population $popMean")
+  }
+
   test("hashSlice rejects invalid ranges; quota rejects bad args") {
     val docs = Tables.documents(spark, dir)
     intercept[IllegalArgumentException] {
