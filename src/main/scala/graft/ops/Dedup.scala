@@ -103,7 +103,48 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       minJaccard: Double = 0.1,
-      maxShingleDf: Int = 1000): DataFrame = {
+      maxShingleDf: Int = 1000): DataFrame =
+    shinglePairStats(df, textCol, idCol, n, maxShingleDf)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+
+  /** Asymmetric n-gram containment pairs: |A∩B| / min(|A|, |B|) over the
+    * same df-capped shingle space as [[ngramJaccard]]. Containment is
+    * the near-SUBSET detector Jaccard misses: a snippet quoted inside a
+    * much longer document scores |snippet|/|doc| ≈ 0 on Jaccard but 1.0
+    * on containment — the boilerplate/quotation/excerpt case a corpus
+    * cleaner must catch. Same inverted-index blocking and cap
+    * discipline; exact integer arithmetic, so SQL-oracle-able.
+    *
+    * Returns (idCol_a, idCol_b, containment) with idCol_a < idCol_b.
+    */
+  def ngramContainment(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minContainment: Double = 0.8,
+      maxShingleDf: Int = 1000): DataFrame =
+    shinglePairStats(df, textCol, idCol, n, maxShingleDf)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"),
+        round(col("containment"), 6).as("containment"))
+
+  /** Shared pair-intersection base for [[ngramJaccard]] and
+    * [[ngramContainment]]: inverted-index blocked candidate pairs with
+    * their intersection size and both (df-capped) shingle-set sizes —
+    * (id_a, id_b, inter, sz_a, sz_b), id_a < id_b. */
+  private def shinglePairStats(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      maxShingleDf: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nn = n
@@ -139,11 +180,6 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"),
-        round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Document-frequency cap: a shingle in df documents contributes df²

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Similarity, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,6 +43,40 @@ object DedupSimQueries {
   /** #19 n-gram Jaccard near-dup over the planted-mutation corpus. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramPairs(s, dir).orderBy("doc_id_a", "doc_id_b")
+
+  /** documents ∪ a 25-token prefix snippet of every 8th document —
+    * planted near-SUBSET pairs: a prefix's shingle set is contained in
+    * its parent's (df-capping removes shingles from both symmetrically,
+    * so the subset relation survives the cap), giving containment
+    * exactly 1.0 while Jaccard stays far below any dedup threshold.
+    * split/slice/join mirrors byte-for-byte in the oracle. */
+  def withSnippets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    docs.unionAll(docs.filter(col("doc_id") % 8 === 0).select(
+      (col("doc_id") + 2000000).as("doc_id"),
+      array_join(slice(split(col("text"), "\\s+"), 1, 25), " ").as("text")))
+  }
+
+  /** #19i asymmetric n-gram containment at ≥ 0.9 — the near-subset
+    * detector (quoted snippets, excerpts, boilerplate inclusions) that
+    * symmetric Jaccard misses. Same inverted-index blocking and df-cap
+    * as #19. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainment(withSnippets(s, dir), "text", "doc_id",
+        n = 3, minContainment = 0.9, maxShingleDf = 10)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  /** #19k per-vertex triangle counts on the cosine similarity graph
+    * (threshold 0.4) — the local-clustering signal separating dense
+    * near-dup communities from chance pairs. Edges carry
+    * vec_id_a < vec_id_b, the orientation [[Triangles.perVertex]]
+    * needs to enumerate each triangle exactly once. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    Triangles.perVertex(
+        Dedup.embeddingCosine(Tables.embeddings(s, dir), "embedding", "vec_id", 0.4),
+        "vec_id_a", "vec_id_b")
+      .select(col("v").as("vec_id"), col("n_tri"))
+      .orderBy("vec_id")
 
   /** #19j edit-distance verification of the near-dup pair list: exact
     * levenshtein over the candidate pairs ONLY — the expensive O(m·n)
@@ -496,6 +530,8 @@ object DedupSimQueries {
     "dedup_keep"          -> (dedupKeep _),
     "split_leakfree"      -> (splitLeakfree _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment"   -> (dedupContainment _),
+    "graph_triangles"     -> (graphTriangles _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_minhash_containment" -> (dedupMinhashContainment _),
     "dedup_keep_best"     -> (dedupKeepBest _),
@@ -562,6 +598,52 @@ object DedupSimQueries {
         |  FROM corpus LEFT JOIN labels ON corpus.doc_id = labels.id
         |) ORDER BY doc_id""".stripMargin),
     "dedup_ngram_jaccard" -> ngramTruthSql(Some(10)),
+    // Containment truth over the snippet-planted corpus: same shingle
+    // pipeline and df-cap, |∩| / min(|A|, |B|) instead of Jaccard.
+    "dedup_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(regexp_split_to_array(text, '\s+')[1:25], ' ')
+        |  FROM documents WHERE doc_id % 8 = 0
+        |), toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM corpus
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, array_to_string(t[j:j+2], ' ') AS shingle
+        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS j
+        |          FROM toks WHERE len(t) >= 3)
+        |  )
+        |), cold AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10
+        |), kept AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  round(count(*)::DOUBLE / least(max(sa.sz), max(sb.sz)), 6) AS containment
+        |FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |JOIN sizes sa ON sa.doc_id = a.doc_id
+        |JOIN sizes sb ON sb.doc_id = b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*)::DOUBLE / least(max(sa.sz), max(sb.sz)) >= 0.9
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "graph_triangles" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), pr AS (
+        |  SELECT a.vec_id AS s, b.vec_id AS t
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |), tri AS (
+        |  SELECT ab.s AS a, ab.t AS b, bc.t AS c
+        |  FROM pr ab JOIN pr bc ON ab.t = bc.s
+        |       JOIN pr ac ON ac.s = ab.s AND ac.t = bc.t
+        |), v AS (SELECT unnest([a, b, c]) AS vec_id FROM tri)
+        |SELECT vec_id, count(*) AS n_tri FROM v GROUP BY 1
+        |ORDER BY vec_id""".stripMargin,
     // Paragraph dedup: winner election is a total order over (doc, pos),
     // so the cleaned corpus mirrors exactly. The oracle elects with a
     // row_number window where Spark uses min(struct) — same winners.

@@ -636,6 +636,26 @@ object OpsQueries {
         countDistinct("user_id").as("n_users"))
       .orderBy("fold")
 
+  /** #37f' Spearman rank correlation (min-rank convention) between value
+    * and time-of-day per event type: Pearson over rank() pairs — exact
+    * Spearman absent ties, engine-identical under ties because both
+    * sides use SQL min-rank semantics. The rank windows share one
+    * exchange on event_type (same partitioning, two sorts). */
+  def eventsSpearman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(s, dir)
+      .withColumn("tod_h",
+        (unix_micros(col("ts")) % lit(86400000000L)) / lit(3600000000.0))
+    base
+      .withColumn("rv",
+        rank().over(Window.partitionBy("event_type").orderBy("value")).cast("double"))
+      .withColumn("rt",
+        rank().over(Window.partitionBy("event_type").orderBy("tod_h")).cast("double"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(corr("rv", "rt"), 6).as("spearman"))
+      .orderBy("event_type")
+  }
+
   /** #5c lag autocorrelation of the hourly event-rate series per type
     * (lags 1–3 over observed hours) — the seasonality screen a
     * monitoring pipeline runs before alerting on rate anomalies.
@@ -747,6 +767,7 @@ object OpsQueries {
     "table_checksum"    -> (tableChecksum _),
     "events_corr"       -> (eventsCorr _),
     "events_acf"        -> (eventsAcf _),
+    "events_spearman"   -> (eventsSpearman _),
     "events_markov"     -> (eventsMarkov _),
     "sample_weighted"   -> (sampleWeighted _),
     "agg_skew_salted"   -> (aggSkewSalted _),
@@ -1211,6 +1232,19 @@ object OpsQueries {
         |SELECT round(sum(pow(o - e, 2) / e), 6) AS chi2,
         |  ((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1))::BIGINT AS dof
         |FROM x""".stripMargin,
+    "events_spearman" ->
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |    (epoch_us(ts) % 86400000000) / 3600000000.0 AS tod_h
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type,
+        |    (rank() OVER (PARTITION BY event_type ORDER BY value))::DOUBLE AS rv,
+        |    (rank() OVER (PARTITION BY event_type ORDER BY tod_h))::DOUBLE AS rt
+        |  FROM b
+        |)
+        |SELECT event_type, count(*) AS n, round(corr(rv, rt), 6) AS spearman
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_acf" ->
       """WITH h AS (
         |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,

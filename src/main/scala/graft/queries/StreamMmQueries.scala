@@ -23,6 +23,12 @@ object StreamMmQueries {
     * per (window, type), audited per window against the batch-exact
     * distinct count — the oracle recomputes the exact side and expects
     * every window inside the bound. */
+  /** #29j streaming windowed top-k event types (rank over the drained
+    * windowed-count sink; see [[EventStream.runTopkBatchEquivalent]]). */
+  def streamTopk(s: SparkSession, dir: String): DataFrame =
+    EventStream.runTopkBatchEquivalent(s, dir)
+      .orderBy("window_start", "rk")
+
   def streamDistinct(s: SparkSession, dir: String): DataFrame =
     EventStream.runDistinctBatchEquivalent(s, dir)
       .orderBy("window_start", "event_type")
@@ -47,6 +53,31 @@ object StreamMmQueries {
         Tables.events(s, dir), "user_id", "ts", 30L * 60 * 1000000, "event_id",
         round(sum("value"), 6).as("sum_value"))
       .orderBy("user_id", "session_idx")
+
+  /** #31b top session paths: the 20 most frequent per-session
+    * event-type sequences (first 20 steps per session, total-ordered by
+    * (ts, event_id)) — the behavioral-pattern rollup derived from
+    * sessionized streams. The row_number gate bounds every path (and
+    * the aggregation state) at 20 steps BEFORE collecting, so no whole
+    * session is ever buffered. */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = Sessionize.assign(
+      Tables.events(s, dir), "user_id", "ts", 30L * 60 * 1000000, "event_id")
+    val w = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("tsu"), col("event_id"))
+    sess
+      .withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .groupBy("user_id", "session_idx")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
 
   /** #29b stream-static enrichment: events joined to the broadcast user
     * dimension as they arrive, aggregated per (nation, event type). */
@@ -117,6 +148,8 @@ object StreamMmQueries {
     "stream_dedup"        -> (streamDedup _),
     "stream_upsert"       -> (streamUpsert _),
     "stream_distinct"     -> (streamDistinct _),
+    "stream_topk"         -> (streamTopk _),
+    "session_paths"       -> (sessionPaths _),
     "stream_join"         -> (streamJoin _),
     "stream_enrich"       -> (streamEnrich _),
     "stream_window_agg"   -> (streamWindowAgg _),
@@ -234,6 +267,43 @@ object StreamMmQueries {
         |  (frames * 1000000) // rate AS duration_us,
         |  (44 + frames * ch * bits / 8)::BIGINT AS n_bytes
         |FROM p ORDER BY doc_id""".stripMargin,
+    "stream_topk" ->
+      """WITH c AS (
+        |  SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+        |    event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY window_start
+        |    ORDER BY n_events DESC, event_type) AS rk
+        |  FROM c
+        |)
+        |SELECT window_start, event_type, n_events, rk
+        |FROM r WHERE rk <= 3 ORDER BY window_start, rk""".stripMargin,
+    // Session assignment CTEs mirror the `sessionize` oracle below; the
+    // row_number gate bounds each path at 20 steps on both sides.
+    "session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN tsu - lag(tsu) OVER w > 1800000000
+        |    OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), s AS (
+        |  SELECT *, (sum(news) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        |  FROM f
+        |), r AS (
+        |  SELECT user_id, session_idx, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_idx
+        |      ORDER BY tsu, event_id) AS rn
+        |  FROM s
+        |), p AS (
+        |  SELECT user_id, session_idx,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 20 GROUP BY 1, 2
+        |)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events

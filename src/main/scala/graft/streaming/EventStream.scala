@@ -51,6 +51,23 @@ object EventStream {
   def runSlidingBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
     Drain.toMemory(slidingAgg(Drain.events(spark, dir)), "complete", "graft_sliding")
 
+  /** Streaming per-window top-k event types: the windowed-counts stream
+    * (state bounded exactly as [[windowedAgg]]) ranked top-3 per window
+    * as a batch step over the drained sink. Ranking inside the stream
+    * would force complete-mode global state; rank-on-sink is the
+    * production pattern — the sink table is one row per (window, type),
+    * so the batch ranking is negligible at any scale. */
+  def runTopkBatchEquivalent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Drain.toMemory(
+      windowedAgg(Drain.events(spark, dir)), "complete", "graft_stopk")
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("window_start", "event_type", "n_events", "rk")
+  }
+
   /** Streaming windowed APPROXIMATE distinct users: HLL++ sketch state
     * per (window, type) — fixed KBs instead of the unbounded exact
     * distinct-user set a streaming `count(distinct)` would need (which

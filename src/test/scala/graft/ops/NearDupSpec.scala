@@ -94,6 +94,37 @@ class NearDupSpec extends SparkSpec {
     assert(r.getDouble(2) >= 0.6, s"planted-pair jaccard ${r.getDouble(2)}")
   }
 
+  test("ngramContainment flags a quoted snippet that Jaccard misses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def words(n: Int, p: String) = (1 to n).map(j => s"$p$j${rnd.nextInt(9)}").mkString(" ")
+    val long = words(200, "a")
+    val snippet = long.split(" ").take(20).mkString(" ") // 10% prefix quote
+    val docs = Seq((1L, long), (2L, snippet), (3L, words(150, "z")))
+      .toDF("doc_id", "text")
+    // The snippet's shingles are a subset of the parent's → containment 1.0.
+    val cont = Dedup.ngramContainment(docs, "text", "doc_id", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)), s"got ${cont.toSeq}")
+    // Symmetric Jaccard scores the same pair ~18/198 — far under any bar.
+    val jac = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.5)
+    assert(jac.count() == 0, "Jaccard should miss the subset pair")
+  }
+
+  test("ngramContainment respects the shingle df cap like ngramJaccard") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    def tail(i: Int) = (1 to 20).map(j => s"u${i}w$j").mkString(" ")
+    val docs = (0 until 60).map(i => (i.toLong, s"$boiler ${tail(i)}"))
+      .toDF("doc_id", "text")
+    // df cap 5 drops the df=60 boilerplate shingles; with each tail unique,
+    // no pair shares a surviving shingle.
+    assert(Dedup.ngramContainment(docs, "text", "doc_id", 3, 0.0, maxShingleDf = 5)
+      .count() == 0)
+    // Uncapped, every pair meets through boilerplate.
+    assert(Dedup.ngramContainment(docs, "text", "doc_id", 3, 0.0).count() == 60L * 59 / 2)
+  }
+
   test("exact dedup on mutated corpus keeps all 2n docs distinct") {
     val n = corpus.count()
     assert(Dedup.exact(corpus, "text", "doc_id").count() == n)

@@ -767,6 +767,24 @@ class OpsSpec extends SparkSpec {
       PageRank.run(ring, "s", "t", iterations = 0))
   }
 
+  test("Triangles: K4 complete, cycles/wedges empty, shared edge counts twice") {
+    // K4 oriented s < t: every vertex sits on C(3,2) = 3 triangles.
+    val k4 = (for (a <- 0L to 3L; b <- a + 1 to 3L) yield (a, b)).toDF("s", "t")
+    val got = Triangles.perVertex(k4, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 3L).map(_ -> 3L).toMap, s"got $got")
+    // A 4-cycle and a wedge have no triangles → empty result.
+    val c4 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)).toDF("s", "t")
+    assert(Triangles.perVertex(c4, "s", "t").count() == 0)
+    val wedge = Seq((0L, 1L), (1L, 2L)).toDF("s", "t")
+    assert(Triangles.perVertex(wedge, "s", "t").count() == 0)
+    // Two triangles sharing edge (2,3): shared vertices count 2, outer 1.
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("s", "t")
+    val bt = Triangles.perVertex(bowtie, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bt == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), s"got $bt")
+  }
+
   test("Incremental.mergeAggSnapshots equals the direct aggregation") {
     val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("a", 4.0), ("b", 5.0))
     def snap(s: Seq[(String, Double)]) = s.toDF("k", "v")
