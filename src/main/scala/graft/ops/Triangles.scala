@@ -30,4 +30,23 @@ object Triangles {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** (v, degree, n_tri, coeff) local clustering coefficient per vertex
+    * of degree ≥ 2: n_tri / C(degree, 2) — 1.0 means the neighborhood
+    * is a clique, 0.0 means no two neighbors touch. Vertices of degree
+    * < 2 have no defined coefficient and are excluded. Degrees come
+    * from one pass over the (oriented) edge list; triangle counts from
+    * [[perVertex]]. */
+  def localClustering(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("t")).localCheckpoint(true)
+    val deg = e.select(col("s").as("v"))
+      .unionAll(e.select(col("t").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(perVertex(e, "s", "t"), Seq("v"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("coeff",
+        round(col("n_tri") * 2.0 / (col("degree") * (col("degree") - 1)), 6))
+  }
 }

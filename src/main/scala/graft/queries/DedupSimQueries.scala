@@ -78,6 +78,18 @@ object DedupSimQueries {
       .select(col("v").as("vec_id"), col("n_tri"))
       .orderBy("vec_id")
 
+  /** #19m local clustering coefficient per vertex of the 0.35-cosine
+    * graph (denser than the 0.4 triangle query, so coefficients span
+    * the (0, 1] range): n_tri / C(degree, 2) for degree ≥ 2 —
+    * distinguishes clique-like near-dup communities (→ 1) from hub
+    * vertices whose neighbors are mutually unrelated (→ 0). */
+  def graphClustering(s: SparkSession, dir: String): DataFrame =
+    Triangles.localClustering(
+        Dedup.embeddingCosine(Tables.embeddings(s, dir), "embedding", "vec_id", 0.35),
+        "vec_id_a", "vec_id_b")
+      .select(col("v").as("vec_id"), col("degree"), col("n_tri"), col("coeff"))
+      .orderBy("vec_id")
+
   /** #19j edit-distance verification of the near-dup pair list: exact
     * levenshtein over the candidate pairs ONLY — the expensive O(m·n)
     * comparison is affordable precisely because the shingle pass has
@@ -532,6 +544,7 @@ object DedupSimQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment"   -> (dedupContainment _),
     "graph_triangles"     -> (graphTriangles _),
+    "graph_clustering"    -> (graphClustering _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_minhash_containment" -> (dedupMinhashContainment _),
     "dedup_keep_best"     -> (dedupKeepBest _),
@@ -644,6 +657,30 @@ object DedupSimQueries {
         |), v AS (SELECT unnest([a, b, c]) AS vec_id FROM tri)
         |SELECT vec_id, count(*) AS n_tri FROM v GROUP BY 1
         |ORDER BY vec_id""".stripMargin,
+    "graph_clustering" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), pr AS (
+        |  SELECT a.vec_id AS s, b.vec_id AS t
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+        |), tri AS (
+        |  SELECT ab.s AS a, ab.t AS b, bc.t AS c
+        |  FROM pr ab JOIN pr bc ON ab.t = bc.s
+        |       JOIN pr ac ON ac.s = ab.s AND ac.t = bc.t
+        |), tv AS (
+        |  SELECT vec_id, count(*) AS n_tri
+        |  FROM (SELECT unnest([a, b, c]) AS vec_id FROM tri) GROUP BY 1
+        |), deg AS (
+        |  SELECT vec_id, count(*) AS degree
+        |  FROM (SELECT s AS vec_id FROM pr UNION ALL SELECT t FROM pr) GROUP BY 1
+        |)
+        |SELECT d.vec_id, d.degree, coalesce(tv.n_tri, 0) AS n_tri,
+        |  round(coalesce(tv.n_tri, 0) * 2.0 / (d.degree * (d.degree - 1)), 6) AS coeff
+        |FROM deg d LEFT JOIN tv ON tv.vec_id = d.vec_id
+        |WHERE d.degree >= 2 ORDER BY d.vec_id""".stripMargin,
     // Paragraph dedup: winner election is a total order over (doc, pos),
     // so the cleaned corpus mirrors exactly. The oracle elects with a
     // row_number window where Spark uses min(struct) — same winners.

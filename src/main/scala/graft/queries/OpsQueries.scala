@@ -656,6 +656,57 @@ object OpsQueries {
       .orderBy("event_type")
   }
 
+  /** #5f per-user interval coalescing: each event opens a window of
+    * `value` × 10 minutes; overlapping windows merge into maximal
+    * islands ([[graft.ops.Intervals.coalesce]]). Durations go through
+    * an exact integer cents step (`round(value·100)` · 6e6 µs) so both
+    * engines derive identical interval ends from the float column. */
+  def intervalCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir)
+      .withColumn("s_us", unix_micros(col("ts")))
+      .withColumn("e_us",
+        col("s_us") + round(col("value") * 100, 0).cast("long") * 6000000L)
+    graft.ops.Intervals.coalesce(iv, Seq("user_id"), "s_us", "e_us")
+      .select("user_id", "island_start", "island_end", "n_merged")
+      .orderBy("user_id", "island_start")
+  }
+
+  /** #47b SCD2 history build ([[graft.ops.Upsert.scd2]]): the events
+    * CDC feed keyed by (user, type) becomes a type-2 dimension — every
+    * revision carries its validity interval and a current flag. */
+  def scd2History(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Upsert.scd2(Tables.events(s, dir),
+        keyCols = Seq("user_id", "event_type"),
+        versionCol = "ts", tieCols = Seq("event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("is_current"))
+      .orderBy("user_id", "event_type", "valid_from_us", "event_id")
+
+  /** #47c keyed snapshot diff ([[graft.ops.Snapshot.diff]]): two
+    * deterministically-derived document generations — rows absent from
+    * the old side (doc_id ≡ 3 mod 11), absent from the new
+    * (≡ 7 mod 11), and content-bumped (doc_id ≡ 0 mod 5) — audited to
+    * added/removed/changed. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+    val oldGen = docs.filter(col("doc_id") % 11 =!= 3)
+    val newGen = docs.filter(col("doc_id") % 11 =!= 7)
+      .withColumn("n_chars",
+        col("n_chars") + when(col("doc_id") % 5 === 0, 1L).otherwise(0L))
+    graft.ops.Snapshot.diff(oldGen, newGen, Seq("doc_id"), Seq("lang", "n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** #13d market-basket co-occurrence ([[graft.ops.Cooccur.pairs]]):
+    * parts appearing together in ≥ 2 orders, with lift — the exact
+    * item-to-item neighbor table next to the factor recommender. */
+  def itemCooc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cooccur.pairs(Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+        minCount = 2L)
+      .orderBy("item_a", "item_b")
+
   /** #5c lag autocorrelation of the hourly event-rate series per type
     * (lags 1–3 over observed hours) — the seasonality screen a
     * monitoring pipeline runs before alerting on rate anomalies.
@@ -768,6 +819,10 @@ object OpsQueries {
     "events_corr"       -> (eventsCorr _),
     "events_acf"        -> (eventsAcf _),
     "events_spearman"   -> (eventsSpearman _),
+    "interval_coalesce" -> (intervalCoalesce _),
+    "scd2_history"      -> (scd2History _),
+    "snapshot_diff"     -> (snapshotDiff _),
+    "item_cooc"         -> (itemCooc _),
     "events_markov"     -> (eventsMarkov _),
     "sample_weighted"   -> (sampleWeighted _),
     "agg_skew_salted"   -> (aggSkewSalted _),
@@ -1245,6 +1300,61 @@ object OpsQueries {
         |)
         |SELECT event_type, count(*) AS n, round(corr(rv, rt), 6) AS spearman
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "interval_coalesce" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + round(value * 100, 0)::BIGINT * 6000000 AS e_us
+        |  FROM events
+        |), m AS (
+        |  SELECT *, max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv
+        |), f AS (
+        |  SELECT *, CASE WHEN pmax IS NULL OR s_us > pmax THEN 1 ELSE 0 END AS brk
+        |  FROM m
+        |), g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |    ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM f
+        |)
+        |SELECT user_id, min(s_us) AS island_start, max(e_us) AS island_end,
+        |  count(*) AS n_merged
+        |FROM g GROUP BY user_id, isl
+        |ORDER BY user_id, island_start""".stripMargin,
+    "scd2_history" ->
+      """WITH v AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS valid_from_us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS valid_to_us
+        |  FROM events
+        |)
+        |SELECT *, valid_to_us IS NULL AS is_current FROM v
+        |ORDER BY user_id, event_type, valid_from_us, event_id""".stripMargin,
+    // Membership/content rules mirror the derived generations exactly:
+    // added = absent old (≡3 mod 11), removed = absent new (≡7 mod 11),
+    // changed = n_chars bumped (≡0 mod 5) and present on both sides.
+    "snapshot_diff" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 3 THEN 'added'
+        |       WHEN doc_id % 11 = 7 THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM documents
+        |WHERE doc_id % 11 = 3 OR doc_id % 11 = 7 OR doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "item_cooc" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), n AS (SELECT count(DISTINCT basket) AS nb FROM b),
+        |m AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1)
+        |SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab,
+        |  round(count(*) * (SELECT nb FROM n)::DOUBLE
+        |    / (max(ma.n_item) * max(mb.n_item)), 6) AS lift
+        |FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |JOIN m ma ON ma.item = x.item
+        |JOIN m mb ON mb.item = y.item
+        |GROUP BY x.item, y.item
+        |HAVING count(*) >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
     "events_acf" ->
       """WITH h AS (
         |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,

@@ -785,6 +785,81 @@ class OpsSpec extends SparkSpec {
     assert(bt == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), s"got $bt")
   }
 
+  test("Triangles.localClustering: cliques score 1, stars 0, bridges between") {
+    val k4 = (for (a <- 0L to 3L; b <- a + 1 to 3L) yield (a, b)).toDF("s", "t")
+    val cc = Triangles.localClustering(k4, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cc == (0L to 3L).map(_ -> 1.0).toMap, s"got $cc")
+    // Star: center has degree 4 but no neighbor-neighbor edge → 0;
+    // leaves have degree 1 → excluded.
+    val star = (1L to 4L).map(i => (0L, i)).toDF("s", "t")
+    val sc = Triangles.localClustering(star, "s", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(sc == Map(0L -> ((4L, 0.0))), s"got $sc")
+    // Triangle + pendant at vertex 2: deg 3, one of C(3,2)=3 pairs closed.
+    val pend = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L)).toDF("s", "t")
+    val pc = Triangles.localClustering(pend, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(pc(2L) == math.rint(1.0 / 3 * 1e6) / 1e6 && pc(0L) == 1.0, s"got $pc")
+  }
+
+  test("Intervals.coalesce merges overlap and touch, splits gaps, isolates keys") {
+    val iv = Seq(
+      ("u", 0L, 10L), ("u", 5L, 20L),   // overlap → one island
+      ("u", 20L, 30L),                  // touch (s == prev max) → merges
+      ("u", 40L, 50L),                  // gap → new island
+      ("v", 0L, 100L), ("v", 10L, 20L), // containment → one island
+      ("w", 7L, 8L))                    // singleton key
+      .toDF("k", "s", "e")
+    val got = Intervals.coalesce(iv, Seq("k"), "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("u", 0L, 30L, 3L), ("u", 40L, 50L, 1L),
+      ("v", 0L, 100L, 2L), ("w", 7L, 8L, 1L)), s"got $got")
+  }
+
+  test("Upsert.scd2 chains validity intervals; exactly one current row per key") {
+    val log = Seq(
+      ("k1", 10L, 1L), ("k1", 20L, 2L), ("k1", 20L, 3L), // version tie → event order
+      ("k2", 5L, 4L))
+      .toDF("k", "ver", "seq")
+    val got = Upsert.scd2(log, Seq("k"), "ver", Seq("seq"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+      .toSet
+    assert(got == Set(
+      ("k1", 1L, 10L, Some(20L), false),
+      ("k1", 2L, 20L, Some(20L), false), // tie: interval is empty, not current
+      ("k1", 3L, 20L, None, true),
+      ("k2", 4L, 5L, None, true)), s"got $got")
+  }
+
+  test("Snapshot.diff classifies membership and content changes; unchanged absent") {
+    val oldG = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "x", "y")
+    val newG = Seq((2L, "b", 20L), (3L, "c", 31L), (4L, "d", 40L)).toDF("id", "x", "y")
+    val got = Snapshot.diff(oldG, newG, Seq("id"), Seq("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"), s"got $got")
+  }
+
+  test("Cooccur.pairs computes lift; basket cap and minCount bound the pair space") {
+    // 4 baskets: {A,B} twice, {A,B,C} once, {D} once → AB in 3, AC/BC in 1.
+    val rows = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "C"), (4L, "D"), (4L, "D")) // dup row collapses
+      .toDF("basket", "item")
+    val got = Cooccur.pairs(rows, "basket", "item", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // lift(A,B) = 3 · 4 / (3 · 3) = 4/3, minCount drops AC/BC (n_ab = 1)
+    assert(got.toSeq == Seq(("A", "B", 3L, math.rint(4.0 / 3 * 1e6) / 1e6)), s"got ${got.toSeq}")
+    // A degenerate basket above the cap contributes no pairs at all.
+    val degen = (1 to 50).map(i => (9L, s"i$i")) ++ Seq((10L, "i1"), (10L, "i2"))
+    val capped = Cooccur.pairs(degen.toDF("basket", "item"), "basket", "item",
+      minCount = 1, maxBasketSize = 10)
+    assert(capped.count() == 1, "only the small basket's pair survives the cap")
+  }
+
   test("Incremental.mergeAggSnapshots equals the direct aggregation") {
     val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("a", 4.0), ("b", 5.0))
     def snap(s: Seq[(String, Double)]) = s.toDF("k", "v")
