@@ -707,6 +707,102 @@ object OpsQueries {
         minCount = 2L)
       .orderBy("item_a", "item_b")
 
+  /** Events labeled 0/1 by temporal half (epoch-µs midpoint, integer
+    * arithmetic on both engines) — the before/after split the drift
+    * screens compare. */
+  private def sidedEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+    ev.crossJoin(broadcast(mid))
+      .withColumn("side", when(col("ts_us") <= col("mid"), 0).otherwise(1))
+  }
+
+  /** #5g two-sample KS drift screen ([[graft.ops.Drift.ks]]): early
+    * half vs late half of the value distribution per event type. */
+  def driftKs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.ks(sidedEvents(s, dir), "event_type", "value", "side")
+      .orderBy("event_type")
+
+  /** #5h PSI drift screen ([[graft.ops.Drift.psi]]): 10 equal-width
+    * bins, Laplace-smoothed, complete bin grid. */
+  def driftPsi(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.psi(sidedEvents(s, dir), "event_type", "value", "side", bins = 10)
+      .orderBy("event_type")
+
+  /** #37g token-distribution entropy and KL(lang ‖ corpus) per
+    * language — the language-balance health check: low entropy flags
+    * repetitive sublanguages, high KL flags sublanguages whose token
+    * mix diverges from the corpus the sampler targets. */
+  def langEntropy(s: SparkSession, dir: String): DataFrame = {
+    val lt = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val perLang = lt.groupBy("lang").agg(sum("c").as("n"))
+    val corpus = lt.groupBy("tok").agg(sum("c").as("cc"))
+    val tot = corpus.agg(sum("cc").as("tot"))
+    lt.join(perLang, "lang").join(corpus, "tok").crossJoin(broadcast(tot))
+      .withColumn("pl", col("c").cast("double") / col("n"))
+      .withColumn("pc", col("cc").cast("double") / col("tot"))
+      .groupBy("lang")
+      .agg(max("n").as("n_tokens"),
+        round(-sum(col("pl") * log(col("pl"))), 6).as("entropy"),
+        round(sum(col("pl") * log(col("pl") / col("pc"))), 6).as("kl"))
+      .orderBy("lang")
+  }
+
+  /** #13e customer behavioral twins
+    * ([[graft.ops.Cooccur.jaccardBySharedItems]]): Jaccard over shared
+    * part sets through the orders bipartite graph, hot parts capped at
+    * df ≤ 20 before pairing. */
+  def userOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.orders(s, dir).select(col("o_custkey").as("u"), col("o_orderkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+    graft.ops.Cooccur.jaccardBySharedItems(ui, "u", "l_partkey",
+        maxItemDf = 20, minShared = 2L)
+      .orderBy("entity_a", "entity_b")
+  }
+
+  /** #31c conversion attribution: every purchase attributed to its
+    * session's first touch (first event type by session order) and
+    * last touch (the immediately preceding event, 'direct' when the
+    * purchase opens the session). Sessions are the same 30-minute-gap
+    * assignment as `sessionize`. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = graft.ops.Sessionize.assign(
+        Tables.events(s, dir), "user_id", "ts", 30L * 60 * 1000000, "event_id")
+      .withColumn("tsu", unix_micros(col("ts")))
+    val w = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("tsu"), col("event_id"))
+    sess
+      .withColumn("first_touch", first("event_type").over(w))
+      .withColumn("last_touch",
+        coalesce(lag("event_type", 1).over(w), lit("direct")))
+      .filter(col("event_type") === "purchase")
+      .groupBy("first_touch", "last_touch")
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy("first_touch", "last_touch")
+  }
+
+  /** #7c' trailing-7-day distinct users per day: the retention-scale
+    * rolling reach metric. Exact distinct over a day-grain range join —
+    * the (day, user) dedup happens FIRST, so the join fans out at most
+    * 7 × distinct-daily-actives, never 7 × raw events. */
+  def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val days = du.select("day").distinct()
+    days.as("d")
+      .join(du.as("x"), col("x.day").between(col("d.day") - 6, col("d.day")))
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct("x.user_id").as("n_users_7d"))
+      .orderBy("day")
+  }
+
   /** #5c lag autocorrelation of the hourly event-rate series per type
     * (lags 1–3 over observed hours) — the seasonality screen a
     * monitoring pipeline runs before alerting on rate anomalies.
@@ -823,6 +919,12 @@ object OpsQueries {
     "scd2_history"      -> (scd2History _),
     "snapshot_diff"     -> (snapshotDiff _),
     "item_cooc"         -> (itemCooc _),
+    "drift_ks"          -> (driftKs _),
+    "drift_psi"         -> (driftPsi _),
+    "lang_entropy"      -> (langEntropy _),
+    "user_overlap"      -> (userOverlap _),
+    "attribution"       -> (attribution _),
+    "rolling_distinct"  -> (rollingDistinct _),
     "events_markov"     -> (eventsMarkov _),
     "sample_weighted"   -> (sampleWeighted _),
     "agg_skew_salted"   -> (aggSkewSalted _),
@@ -1355,6 +1457,125 @@ object OpsQueries {
         |GROUP BY x.item, y.item
         |HAVING count(*) >= 2
         |ORDER BY item_a, item_b""".stripMargin,
+    // Temporal-half split: integer midpoint (DuckDB // floors like
+    // Scala div for positives), CDFs via RANGE frames (include ties).
+    "drift_ks" ->
+      """WITH b AS (
+        |  SELECT event_type, value, epoch_us(ts) AS ts_us FROM events
+        |), mid AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM b),
+        |g AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ts_us <= (SELECT mid FROM mid) THEN 0 ELSE 1 END AS grp
+        |  FROM b
+        |), c AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) OVER w AS ca,
+        |    sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) OVER w AS cb,
+        |    sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type) AS na,
+        |    sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type) AS nb
+        |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+        |  round(max(abs(ca / na::DOUBLE - cb / nb::DOUBLE)), 6) AS ks
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "drift_psi" ->
+      """WITH b AS (
+        |  SELECT event_type, value, epoch_us(ts) AS ts_us FROM events
+        |), mid AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM b),
+        |sided AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ts_us <= (SELECT mid FROM mid) THEN 0 ELSE 1 END AS side
+        |  FROM b
+        |), rng AS (
+        |  SELECT event_type, min(value) AS mn, max(value) AS mx
+        |  FROM sided GROUP BY 1
+        |), binned AS (
+        |  SELECT s.event_type,
+        |    CASE WHEN r.mx = r.mn THEN 0
+        |      ELSE least(floor((s.value - r.mn) * 10 / (r.mx - r.mn)), 9)::BIGINT
+        |    END AS bin,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cnt_a,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cnt_b
+        |  FROM sided s JOIN rng r USING (event_type) GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, sum(cnt_a) AS n_a, sum(cnt_b) AS n_b
+        |  FROM binned GROUP BY 1
+        |), grid AS (
+        |  SELECT event_type, n_a, n_b, unnest(range(0, 10)) AS bin FROM tot
+        |), sm AS (
+        |  SELECT g.event_type,
+        |    (coalesce(b2.cnt_a, 0) + 0.5) / (g.n_a + 5.0) AS pa,
+        |    (coalesce(b2.cnt_b, 0) + 0.5) / (g.n_b + 5.0) AS pb
+        |  FROM grid g LEFT JOIN binned b2
+        |    ON b2.event_type = g.event_type AND b2.bin = g.bin
+        |)
+        |SELECT event_type, round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+        |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lang_entropy" ->
+      """WITH lt AS (
+        |  SELECT lang, tok, count(*) AS c FROM (
+        |    SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |    FROM documents
+        |  ) GROUP BY 1, 2
+        |), pl AS (SELECT lang, sum(c) AS n FROM lt GROUP BY 1),
+        |co AS (SELECT tok, sum(c) AS cc FROM lt GROUP BY 1),
+        |tt AS (SELECT sum(cc) AS tot FROM co)
+        |SELECT lt.lang, max(pl.n)::BIGINT AS n_tokens,
+        |  round(-sum((lt.c::DOUBLE / pl.n) * ln(lt.c::DOUBLE / pl.n)), 6) AS entropy,
+        |  round(sum((lt.c::DOUBLE / pl.n)
+        |    * ln((lt.c::DOUBLE / pl.n) / (co.cc::DOUBLE / (SELECT tot FROM tt)))), 6) AS kl
+        |FROM lt JOIN pl USING (lang) JOIN co USING (tok)
+        |GROUP BY lt.lang ORDER BY lt.lang""".stripMargin,
+    "user_overlap" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT o_custkey AS entity, l_partkey AS item
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), cold AS (
+        |  SELECT item FROM ui GROUP BY item HAVING count(*) <= 20
+        |), kept AS (SELECT ui.entity, ui.item FROM ui JOIN cold USING (item)),
+        |sizes AS (SELECT entity, count(*) AS sz FROM kept GROUP BY 1)
+        |SELECT a.entity AS entity_a, b.entity AS entity_b,
+        |  count(*) AS shared,
+        |  round(count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)), 6) AS jaccard
+        |FROM kept a JOIN kept b ON a.item = b.item AND a.entity < b.entity
+        |JOIN sizes sa ON sa.entity = a.entity
+        |JOIN sizes sb ON sb.entity = b.entity
+        |GROUP BY a.entity, b.entity
+        |HAVING count(*) >= 2
+        |ORDER BY entity_a, entity_b""".stripMargin,
+    // Session CTEs mirror the `sessionize` oracle; first/last touch via
+    // first_value/lag over the same total session order.
+    "attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN tsu - lag(tsu) OVER w > 1800000000
+        |    OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), s AS (
+        |  SELECT *, (sum(news) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        |  FROM f
+        |), t AS (
+        |  SELECT event_type,
+        |    first_value(event_type) OVER w2 AS first_touch,
+        |    coalesce(lag(event_type) OVER w2, 'direct') AS last_touch
+        |  FROM s WINDOW w2 AS (PARTITION BY user_id, session_idx
+        |    ORDER BY tsu, event_id)
+        |)
+        |SELECT first_touch, last_touch, count(*) AS n_conversions
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin,
+    "rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+        |), days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day, count(DISTINCT x.user_id) AS n_users_7d
+        |FROM days d JOIN du x ON x.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
     "events_acf" ->
       """WITH h AS (
         |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,

@@ -860,6 +860,55 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 1, "only the small basket's pair survives the cap")
   }
 
+  test("Drift.ks: identical samples 0, disjoint 1, known mixed value exact") {
+    // Identical samples: CDFs coincide at every point.
+    val same = Seq(1.0, 2.0, 3.0).flatMap(v => Seq(("g", v, 0), ("g", v, 1)))
+      .toDF("grp", "v", "side")
+    assert(Drift.ks(same, "grp", "v", "side").collect().head.getDouble(3) == 0.0)
+    // Disjoint supports: KS = 1 where a's support ends.
+    val disj = (Seq(1.0, 2.0).map(("g", _, 0)) ++ Seq(5.0, 6.0).map(("g", _, 1)))
+      .toDF("grp", "v", "side")
+    assert(Drift.ks(disj, "grp", "v", "side").collect().head.getDouble(3) == 1.0)
+    // a = {1, 3}, b = {2, 3, 4}: sup at v=1 → |1/2 − 0/3| = 0.5; and the
+    // counts land in n_a/n_b.
+    val mix = (Seq(1.0, 3.0).map(("g", _, 0)) ++ Seq(2.0, 3.0, 4.0).map(("g", _, 1)))
+      .toDF("grp", "v", "side")
+    val r = Drift.ks(mix, "grp", "v", "side").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == ((2L, 3L, 0.5)), s"got $r")
+  }
+
+  test("Drift.psi: equal-n identical samples 0, shifted distribution positive") {
+    val same = (1 to 100).flatMap(i => Seq(("g", i.toDouble, 0), ("g", i.toDouble, 1)))
+      .toDF("grp", "v", "side")
+    assert(Drift.psi(same, "grp", "v", "side").collect().head.getDouble(1) == 0.0)
+    // b shifted hard right: most mass changes bins → psi well above the
+    // conventional 0.25 "significant drift" bar. Empty-middle-bin grid
+    // rows contribute their (finite, smoothed) terms on both sides.
+    val shift = ((1 to 100).map(i => ("g", i / 100.0, 0)) ++
+      (1 to 100).map(i => ("g", 9.0 + i / 100.0, 1))).toDF("grp", "v", "side")
+    val p = Drift.psi(shift, "grp", "v", "side").collect().head.getDouble(1)
+    assert(p > 2.0, s"psi $p")
+    // A constant group degenerates to one bin and stays finite.
+    val const = Seq(("g", 7.0, 0), ("g", 7.0, 1)).toDF("grp", "v", "side")
+    assert(Drift.psi(const, "grp", "v", "side").collect().head.getDouble(1) == 0.0)
+  }
+
+  test("Cooccur.jaccardBySharedItems: exact Jaccard on capped space, hot items dropped") {
+    // u1 = {a,b,c}, u2 = {b,c,d}, u3 = {x}; shared(u1,u2) = {b,c} → 2/4.
+    val rows = Seq((1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "b"), (2L, "c"), (2L, "d"), (3L, "x"))
+      .toDF("u", "i")
+    val got = Cooccur.jaccardBySharedItems(rows, "u", "i", maxItemDf = 10, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 0.5)), s"got ${got.toSeq}")
+    // An item held by everyone is capped out: pairs must re-qualify
+    // through the remaining items, and sizes shrink with the cap.
+    val hot = rows.unionAll(Seq((1L, "h"), (2L, "h"), (3L, "h")).toDF("u", "i"))
+    val capped = Cooccur.jaccardBySharedItems(hot, "u", "i", maxItemDf = 2, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(capped.toSeq == Seq((1L, 2L, 2L, 0.5)), s"got ${capped.toSeq}")
+  }
+
   test("Incremental.mergeAggSnapshots equals the direct aggregation") {
     val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("a", 4.0), ("b", 5.0))
     def snap(s: Seq[(String, Double)]) = s.toDF("k", "v")
