@@ -803,6 +803,98 @@ object OpsQueries {
       .orderBy("day")
   }
 
+  /** #7'' HLL-sketched trailing-7-day distinct users — the scale path
+    * for [[rollingDistinct]]: per-day sketches (fixed KBs) merge across
+    * the window instead of re-shuffling raw (day, user) pairs, so a
+    * year of 100 TB days rolls up from 365 sketch rows. The exact side
+    * rides along and the emitted contract is the audit: every day's
+    * estimate within 5% (HLL++ at default precision is ~1.6%). */
+  def rollingHll(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+    val daily = du.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val est = daily.select("day").as("d")
+      .join(daily.as("x"), col("x.day").between(col("d.day") - 6, col("d.day")))
+      .groupBy(col("d.day").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("x.sk"))).as("est"))
+    // exact side identical to rolling_distinct
+    val exactRoll = {
+      val pairs = du.distinct()
+      pairs.select("day").distinct().as("dd")
+        .join(pairs.as("xx"), col("xx.day").between(col("dd.day") - 6, col("dd.day")))
+        .groupBy(col("dd.day").as("day"))
+        .agg(countDistinct("xx.user_id").as("n_users_7d"))
+    }
+    est.join(exactRoll, "day")
+      .select(col("day"), col("n_users_7d"),
+        (abs(col("est") - col("n_users_7d"))
+          <= col("n_users_7d") * 0.05).as("within_bound"))
+      .orderBy("day")
+  }
+
+  /** #5i per-key debouncing audit ([[graft.ops.Debounce.flag]]): the
+    * events dropped for repeating within an hour of the previous
+    * same-(user, type) event, with the offending gap. */
+  def eventsDebounce(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Debounce.flag(Tables.events(s, dir),
+        Seq("user_id", "event_type"), "ts", "event_id", 3600L * 1000000)
+      .filter(!col("kept"))
+      .select("event_id", "user_id", "event_type", "gap_us")
+      .orderBy("event_id")
+
+  /** #5j CUSUM changepoint screen over the hourly rate series per
+    * type: running sum of deviations from the series mean; the max
+    * |S| and the hour attaining it (first on exact float ties — the
+    * running sum is order-deterministic, so both engines see identical
+    * doubles). */
+  def eventsCusum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val whole = Window.partitionBy("event_type")
+    val run = Window.partitionBy("event_type").orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = Window.partitionBy("event_type")
+      .orderBy(abs(col("s")).desc, col("hour_us"))
+    hourly
+      .withColumn("mu", avg("c").over(whole))
+      .withColumn("s", sum(col("c") - col("mu")).over(run))
+      .withColumn("rk", row_number().over(pick))
+      .withColumn("n_hours", count(lit(1)).over(whole))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n_hours"),
+        round(abs(col("s")), 6).as("cusum_max"), col("hour_us").as("peak_hour_us"))
+      .orderBy("event_type")
+  }
+
+  /** #40c reciprocal-rank fusion of the BM25 and TF-IDF top-10 lists
+    * for the same query — the standard no-tuning rank combiner
+    * (Cormack et al. 2009): rrf = Σ_lists 1/(60 + rank). Both input
+    * rankings are themselves hash-oracled queries, so the fusion is
+    * exactly mirrorable. */
+  def searchRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val q = Seq("vector", "key", "dup")
+    val wAll = Window.orderBy(col("score").desc, col("doc_id"))
+    val bm = TextAnalysis.bm25Search(docs, "text", "doc_id", q, 10)
+      .withColumn("rk_bm", row_number().over(wAll)).select("doc_id", "rk_bm")
+    val tf = TextAnalysis.tfidfSearch(docs, "text", "doc_id", q, 10)
+      .withColumn("rk_tf", row_number().over(wAll)).select("doc_id", "rk_tf")
+    bm.join(tf, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("rk_bm")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("rk_tf")), lit(0.0)), 6))
+      .withColumn("n_lists",
+        (col("rk_bm").isNotNull.cast("int") + col("rk_tf").isNotNull.cast("int"))
+          .cast("long"))
+      .select("doc_id", "rrf", "n_lists")
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** #5c lag autocorrelation of the hourly event-rate series per type
     * (lags 1–3 over observed hours) — the seasonality screen a
     * monitoring pipeline runs before alerting on rate anomalies.
@@ -920,6 +1012,10 @@ object OpsQueries {
     "snapshot_diff"     -> (snapshotDiff _),
     "item_cooc"         -> (itemCooc _),
     "drift_ks"          -> (driftKs _),
+    "rolling_hll"       -> (rollingHll _),
+    "events_debounce"   -> (eventsDebounce _),
+    "events_cusum"      -> (eventsCusum _),
+    "search_rrf"        -> (searchRrf _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -1457,6 +1553,52 @@ object OpsQueries {
         |GROUP BY x.item, y.item
         |HAVING count(*) >= 2
         |ORDER BY item_a, item_b""".stripMargin,
+    // The HLL estimate is Spark-side-only; the oracle pins the exact
+    // rolling count and demands every within_bound arrive true (the
+    // same audited-sketch contract as sketch_profile/stream_distinct).
+    "rolling_hll" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+        |), days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day, count(DISTINCT x.user_id) AS n_users_7d,
+        |  true AS within_bound
+        |FROM days d JOIN du x ON x.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
+    "events_debounce" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+        |), l AS (
+        |  SELECT *, tsu - lag(tsu) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY tsu, event_id) AS gap_us
+        |  FROM e
+        |)
+        |SELECT event_id, user_id, event_type, gap_us FROM l
+        |WHERE gap_us IS NOT NULL AND gap_us <= 3600000000
+        |ORDER BY event_id""".stripMargin,
+    // The running sum is order-deterministic (ROWS frame over a total
+    // order), so both engines produce bit-identical doubles and the
+    // argmax tiebreak (abs desc, hour asc) is stable.
+    "events_cusum" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    count(*)::DOUBLE AS c
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT *, avg(c) OVER (PARTITION BY event_type) AS mu,
+        |    count(*) OVER (PARTITION BY event_type) AS n_hours
+        |  FROM h
+        |), s AS (
+        |  SELECT *, sum(c - mu) OVER (PARTITION BY event_type
+        |    ORDER BY hour_us ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM m
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(s) DESC, hour_us) AS rk
+        |  FROM s
+        |)
+        |SELECT event_type, n_hours::BIGINT AS n_hours,
+        |  round(abs(s), 6) AS cusum_max, hour_us AS peak_hour_us
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
     // Temporal-half split: integer midpoint (DuckDB // floors like
     // Scala div for positives), CDFs via RANGE frames (include ties).
     "drift_ks" ->
@@ -1784,6 +1926,43 @@ object OpsQueries {
         |    ELSE 'tail' END AS ppl_band,
         |  (bucket < 3) AS kept
         |FROM b ORDER BY doc_id""".stripMargin,
+    // Both constituent rankings replicate their own (hash-proven)
+    // oracles verbatim — bm25ScoredSql's CTEs feed the bm25 list, the
+    // tfidf CTEs are re-derived from the shared tf/dft, and the fusion
+    // is pure rank arithmetic.
+    "search_rrf" -> (bm25ScoredSql + """
+      |, bml AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk_bm
+      |  FROM (
+      |    SELECT doc_id, round(sum(score), 6) AS score
+      |    FROM scored WHERE term IN ('vector', 'key', 'dup')
+      |    GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)
+      |), n2 AS (SELECT count(*) AS n_docs FROM documents),
+      |w2 AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf * ln(n_docs / df) AS w
+      |  FROM tf JOIN dft USING (term), n2
+      |),
+      |norms2 AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w2 GROUP BY 1),
+      |qw2 AS (
+      |  SELECT term, ln(n_docs / df) AS qw FROM dft, n2
+      |  WHERE term IN ('vector', 'key', 'dup') AND ln(n_docs / df) > 0
+      |),
+      |qn2 AS (SELECT sqrt(sum(qw * qw)) AS qnorm FROM qw2),
+      |tfl AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk_tf
+      |  FROM (
+      |    SELECT w2.doc_id,
+      |      round(sum(w2.w * qw2.qw) / (norms2.norm * qn2.qnorm), 6) AS score
+      |    FROM w2 JOIN qw2 USING (term) JOIN norms2 USING (doc_id), qn2
+      |    GROUP BY w2.doc_id, norms2.norm, qn2.qnorm
+      |    ORDER BY score DESC, doc_id LIMIT 10)
+      |)
+      |SELECT doc_id,
+      |  round(coalesce(1.0 / (60 + rk_bm), 0) + coalesce(1.0 / (60 + rk_tf), 0), 6)
+      |    AS rrf,
+      |  ((rk_bm IS NOT NULL)::INT + (rk_tf IS NOT NULL)::INT)::BIGINT AS n_lists
+      |FROM bml FULL OUTER JOIN tfl USING (doc_id)
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
     "tfidf_search" ->
       """WITH tf AS (
         |  SELECT doc_id, lower(tok) AS term, count(*) AS tf FROM (

@@ -909,6 +909,22 @@ class OpsSpec extends SparkSpec {
     assert(capped.toSeq == Seq((1L, 2L, 2L, 0.5)), s"got ${capped.toSeq}")
   }
 
+  test("Debounce.flag keeps firsts and slow repeats, drops bursts per key") {
+    val ts = (us: Long) => new java.sql.Timestamp(us / 1000)
+    val rows = Seq(
+      ("u1", "click", 1L, ts(0L)),
+      ("u1", "click", 2L, ts(500000L)),      // 0.5 s after #1 → dropped
+      ("u1", "click", 3L, ts(2000000L)),     // 1.5 s after #2 (raw-gap) → kept
+      ("u1", "view", 4L, ts(600000L)),       // other key: first → kept
+      ("u2", "click", 5L, ts(100000L)))      // other user: first → kept
+      .toDF("user_id", "event_type", "event_id", "ts")
+    val got = Debounce.flag(rows, Seq("user_id", "event_type"), "ts", "event_id",
+        minGapUs = 1000000L)
+      .collect().map(r => r.getLong(2) -> r.getBoolean(5)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true, 5L -> true),
+      s"got $got")
+  }
+
   test("Incremental.mergeAggSnapshots equals the direct aggregation") {
     val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("a", 4.0), ("b", 5.0))
     def snap(s: Seq[(String, Double)]) = s.toDF("k", "v")

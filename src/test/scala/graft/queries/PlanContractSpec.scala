@@ -198,4 +198,38 @@ class PlanContractSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains(", t#")),
       s"election exchange carries text:\n${exchanges.mkString("\n")}")
   }
+
+  test("interval coalescing hash-exchanges on the key only") {
+    // Running-max, break-flag, island-id windows and the final groupBy
+    // all share the user_id partitioning — the (user_id, _island)
+    // aggregation rides the subset-key clustering, so every hash
+    // exchange in the plan is keyed on user_id alone (the harness
+    // orderBy adds only a range exchange).
+    val plan = finalPlan(OpsQueries.intervalCoalesce(spark, dir))
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("hashpartitioning(user_id")),
+      s"off-key exchange:\n${hashEx.mkString("\n")}")
+  }
+
+  test("KS drift hash-exchanges on the group key only") {
+    // The RANGE-CDF windows, the per-group totals window and the final
+    // aggregation are all event_type-partitioned; the temporal-midpoint
+    // constant rides a 1-row broadcast (its global agg is the only
+    // SinglePartition), never a reshuffle of the feed on another key.
+    val plan = finalPlan(OpsQueries.driftKs(spark, dir))
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("hashpartitioning(event_type")),
+      s"off-key exchange:\n${hashEx.mkString("\n")}")
+  }
+
+  test("rolling distinct broadcasts the day list over deduped pairs") {
+    // The 7-day fan-out joins a tiny day list against (day, user)
+    // pairs: the range join must be a broadcast nested loop (the day
+    // side is dozens of rows), never a cartesian of raw events.
+    val plan = finalPlan(OpsQueries.rollingDistinct(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
