@@ -90,6 +90,19 @@ object DedupSimQueries {
       .select(col("v").as("vec_id"), col("degree"), col("n_tri"), col("coeff"))
       .orderBy("vec_id")
 
+  /** #19n sorted-neighborhood near-dup pass over the tail-truncated
+    * corpus ([[Dedup.sortedNeighborhood]]): planted mutants share the
+    * parent's 40-char prefix, so they sort adjacent and verify at
+    * levenshtein ≈ 40 ≤ 80. */
+  def dedupSortedNbhd(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val corpus = docs.unionAll(docs.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 40, 1))").as("text")))
+    Dedup.sortedNeighborhood(corpus, "text", "doc_id")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   /** #19j edit-distance verification of the near-dup pair list: exact
     * levenshtein over the candidate pairs ONLY — the expensive O(m·n)
     * comparison is affordable precisely because the shingle pass has
@@ -545,6 +558,7 @@ object DedupSimQueries {
     "dedup_containment"   -> (dedupContainment _),
     "graph_triangles"     -> (graphTriangles _),
     "graph_clustering"    -> (graphClustering _),
+    "dedup_sorted_nbhd"   -> (dedupSortedNbhd _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_minhash_containment" -> (dedupMinhashContainment _),
     "dedup_keep_best"     -> (dedupKeepBest _),
@@ -878,6 +892,35 @@ object DedupSimQueries {
       """SELECT doc_id, true AS found FROM documents
         |WHERE len(regexp_extract_all(text, '\S+')) >= 3
         |ORDER BY doc_id""".stripMargin,
+    // Same blocked-window pairing: lead-1/lead-2 inside 2-char key
+    // blocks over the (skey, doc_id) total order, then exact verify.
+    "dedup_sorted_nbhd" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substring(text, 1, greatest(length(text) - 40, 1))
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, text, substr(lower(text), 1, 40) AS skey,
+        |    substr(lower(text), 1, 2) AS blk
+        |  FROM corpus
+        |), led AS (
+        |  SELECT doc_id,
+        |    lead(doc_id, 1) OVER w AS n1, lead(doc_id, 2) OVER w AS n2
+        |  FROM keyed WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id)
+        |), pairs AS (
+        |  SELECT least(doc_id, n) AS id_a, greatest(doc_id, n) AS id_b
+        |  FROM (SELECT doc_id, unnest([n1, n2]) AS n FROM led)
+        |  WHERE n IS NOT NULL
+        |)
+        |SELECT p.id_a AS doc_id_a, p.id_b AS doc_id_b,
+        |  levenshtein(a.text, b.text)::BIGINT AS lev
+        |FROM pairs p
+        |JOIN keyed a ON p.id_a = a.doc_id
+        |JOIN keyed b ON p.id_b = b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 80
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "pair_edit_distance" -> {
       s"""WITH pairs AS (
          |${ngramTruthSql(Some(10))}

@@ -895,6 +895,78 @@ object OpsQueries {
       .limit(10)
   }
 
+  /** #7d time-spine gap filling: the complete hourly grid per event
+    * type (absent hours surface as zero-count rows) with the last
+    * observed hourly mean carried forward — the series repair step
+    * before any rate model sees the data. The spine is a generated
+    * sequence per type (calendar-bounded), never a scan product. */
+  def eventsGapfill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+      .agg(count(lit(1)).as("n_events"), round(avg("value"), 6).as("avg_value"))
+    val bounds = hourly.agg(min("hour_us").as("mn"), max("hour_us").as("mx"))
+    val spine = hourly.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(3600000000L))).as("hour_us"))
+    val w = Window.partitionBy("event_type").orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour_us"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("value_ffill", last("avg_value", ignoreNulls = true).over(w))
+      .select("event_type", "hour_us", "n_events", "value_ffill")
+      .orderBy("event_type", "hour_us")
+  }
+
+  /** #4b Pareto contribution analysis: parts ranked by revenue with
+    * cumulative share and the 80%-coverage flag. Money goes through
+    * exact integer cents (`round(price·(1−disc)·100)`), so ranks,
+    * running sums and the flag are integer-deterministic; the ranking
+    * window runs over AGGREGATED catalog rows (one per part — the same
+    * bounded-cardinality exception as the stratified-quota ranking),
+    * never over raw lineitems. */
+  def paretoParts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, dir)
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long"))
+      .groupBy("l_partkey").agg(sum("cents").as("cents"))
+    val tot = rev.agg(sum("cents").as("tot"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+    rev.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("l_partkey"), round(col("cents") / 100.0, 2).as("revenue"),
+        col("rk"), round(col("cum").cast("double") / col("tot"), 6).as("cum_share"),
+        ((col("cum") - col("cents")).cast("double") / col("tot") < 0.8)
+          .as("in_top80"))
+      .orderBy("rk")
+  }
+
+  /** #4c monthly revenue with MoM and YoY growth: the calendar rollup
+    * every revenue dashboard starts from. Integer cents again; the
+    * month axis is calendar-bounded (~84 rows), so the lag window's
+    * single partition is a constant, not a scale term. */
+  def revenueGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(s, dir)
+      .withColumn("month",
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long"))
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .groupBy("month").agg(sum("cents").as("cents"))
+    val w = Window.orderBy("month")
+    m.withColumn("prev", lag("cents", 1).over(w))
+      .withColumn("prev12", lag("cents", 12).over(w))
+      .select(col("month"), round(col("cents") / 100.0, 2).as("revenue"),
+        round(col("cents").cast("double") / col("prev") - 1, 6).as("mom"),
+        round(col("cents").cast("double") / col("prev12") - 1, 6).as("yoy"))
+      .orderBy("month")
+  }
+
   /** #5c lag autocorrelation of the hourly event-rate series per type
     * (lags 1–3 over observed hours) — the seasonality screen a
     * monitoring pipeline runs before alerting on rate anomalies.
@@ -1016,6 +1088,9 @@ object OpsQueries {
     "events_debounce"   -> (eventsDebounce _),
     "events_cusum"      -> (eventsCusum _),
     "search_rrf"        -> (searchRrf _),
+    "pareto_parts"      -> (paretoParts _),
+    "events_gapfill"    -> (eventsGapfill _),
+    "revenue_growth"    -> (revenueGrowth _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -1553,6 +1628,59 @@ object OpsQueries {
         |GROUP BY x.item, y.item
         |HAVING count(*) >= 2
         |ORDER BY item_a, item_b""".stripMargin,
+    "events_gapfill" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    count(*) AS n_events, round(avg(value), 6) AS avg_value
+        |  FROM events GROUP BY 1, 2
+        |), b AS (SELECT min(hour_us) AS mn, max(hour_us) AS mx FROM h),
+        |spine AS (
+        |  SELECT t.event_type, g.hour_us
+        |  FROM (SELECT DISTINCT event_type FROM h) t,
+        |    (SELECT unnest(generate_series((SELECT mn FROM b), (SELECT mx FROM b),
+        |       3600000000)) AS hour_us) g
+        |)
+        |SELECT s.event_type, s.hour_us,
+        |  coalesce(h.n_events, 0)::BIGINT AS n_events,
+        |  last_value(h.avg_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.hour_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+        |FROM spine s LEFT JOIN h
+        |  ON h.event_type = s.event_type AND h.hour_us = s.hour_us
+        |ORDER BY 1, 2""".stripMargin,
+    "pareto_parts" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    sum(round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1
+        |), t AS (SELECT sum(cents) AS tot FROM rev),
+        |r AS (
+        |  SELECT l_partkey, cents,
+        |    row_number() OVER (ORDER BY cents DESC, l_partkey) AS rk,
+        |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM rev
+        |)
+        |SELECT l_partkey, round(cents / 100.0, 2) AS revenue, rk,
+        |  round(cum::DOUBLE / (SELECT tot FROM t), 6) AS cum_share,
+        |  (cum - cents)::DOUBLE / (SELECT tot FROM t) < 0.8 AS in_top80
+        |FROM r ORDER BY rk""".stripMargin,
+    "revenue_growth" ->
+      """WITH m AS (
+        |  SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS month,
+        |    sum(round(o_totalprice * 100, 0)::BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), l AS (
+        |  SELECT month, cents,
+        |    lag(cents) OVER (ORDER BY month) AS prev,
+        |    lag(cents, 12) OVER (ORDER BY month) AS prev12
+        |  FROM m
+        |)
+        |SELECT month, round(cents / 100.0, 2) AS revenue,
+        |  round(cents::DOUBLE / prev - 1, 6) AS mom,
+        |  round(cents::DOUBLE / prev12 - 1, 6) AS yoy
+        |FROM l ORDER BY month""".stripMargin,
     // The HLL estimate is Spark-side-only; the oracle pins the exact
     // rolling count and demands every within_bound arrive true (the
     // same audited-sketch contract as sketch_profile/stream_distinct).

@@ -33,6 +33,13 @@ object StreamMmQueries {
     EventStream.runDistinctBatchEquivalent(s, dir)
       .orderBy("window_start", "event_type")
 
+  /** #29k streaming drift monitor: per-window PSI of the binned value
+    * distribution vs the static global reference (see
+    * [[EventStream.runDriftBatchEquivalent]]). */
+  def streamDrift(s: SparkSession, dir: String): DataFrame =
+    EventStream.runDriftBatchEquivalent(s, dir)
+      .orderBy("window_start")
+
   /** #30 binary image payloads → per-partition REAL header decode →
     * typed metadata: each document row carries a format-conformant
     * PNG/JPEG byte stream (dims arithmetic in the id), and the fields
@@ -149,6 +156,7 @@ object StreamMmQueries {
     "stream_upsert"       -> (streamUpsert _),
     "stream_distinct"     -> (streamDistinct _),
     "stream_topk"         -> (streamTopk _),
+    "stream_drift"        -> (streamDrift _),
     "session_paths"       -> (sessionPaths _),
     "stream_join"         -> (streamJoin _),
     "stream_enrich"       -> (streamEnrich _),
@@ -267,6 +275,39 @@ object StreamMmQueries {
         |  (frames * 1000000) // rate AS duration_us,
         |  (44 + frames * ch * bits / 8)::BIGINT AS n_bytes
         |FROM p ORDER BY doc_id""".stripMargin,
+    // All-batch mirror of the streaming binned-PSI monitor; the
+    // reference bounds are SQL scalars where Spark holds two driver
+    // doubles — identical IEEE arithmetic either way.
+    "stream_drift" ->
+      """WITH r AS (
+        |  SELECT min(value) AS mn, max(value) AS mx, count(*) AS nref FROM events
+        |), b AS (
+        |  SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+        |    least(floor((value - (SELECT mn FROM r)) * 10
+        |      / ((SELECT mx FROM r) - (SELECT mn FROM r))), 9)::BIGINT AS bin
+        |  FROM events
+        |), binned AS (
+        |  SELECT window_start, bin, count(*) AS cnt FROM b GROUP BY 1, 2
+        |), ref AS (
+        |  SELECT least(floor((value - (SELECT mn FROM r)) * 10
+        |      / ((SELECT mx FROM r) - (SELECT mn FROM r))), 9)::BIGINT AS bin,
+        |    count(*) AS ref_cnt
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT window_start, sum(cnt) AS n_events FROM binned GROUP BY 1
+        |), grid AS (
+        |  SELECT window_start, n_events, unnest(range(0, 10)) AS bin FROM tot
+        |), sm AS (
+        |  SELECT g.window_start, g.n_events,
+        |    (coalesce(bi.cnt, 0) + 0.5) / (g.n_events + 5.0) AS pw,
+        |    (coalesce(rf.ref_cnt, 0) + 0.5) / ((SELECT nref FROM r) + 5.0) AS pr
+        |  FROM grid g
+        |  LEFT JOIN binned bi ON bi.window_start = g.window_start AND bi.bin = g.bin
+        |  LEFT JOIN ref rf ON rf.bin = g.bin
+        |)
+        |SELECT window_start, max(n_events)::BIGINT AS n_events,
+        |  round(sum((pw - pr) * ln(pw / pr)), 6) AS psi
+        |FROM sm GROUP BY window_start ORDER BY window_start""".stripMargin,
     "stream_topk" ->
       """WITH c AS (
         |  SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,

@@ -68,6 +68,50 @@ object EventStream {
       .select("window_start", "event_type", "n_events", "rk")
   }
 
+  /** Streaming drift monitor: per-hourly-window PSI of the binned value
+    * distribution against the static global reference — the live
+    * version of the batch [[graft.ops.Drift.psi]] screen. The stream
+    * carries only (window, bin) counts (state = 10 bins × open windows,
+    * watermark-evicted); the PSI arithmetic runs as a batch step over
+    * the drained sink joined to the broadcast reference histogram. The
+    * reference bounds are two driver doubles — the same bounded-scalar
+    * pattern as the IVF centroids. */
+  def runDriftBatchEquivalent(spark: SparkSession, dir: String): DataFrame = {
+    val static = graft.Tables.events(spark, dir)
+    val r = static.agg(min("value"), max("value")).collect()(0)
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    def bin(v: org.apache.spark.sql.Column) =
+      least(floor((v - lit(mn)) * 10 / lit(mx - mn)), lit(9L)).cast("long")
+    val ref = static.groupBy(bin(col("value")).as("bin"))
+      .agg(count(lit(1)).as("ref_cnt"))
+    val refN = static.count().toDouble
+    val counts = Drain.toMemory(
+      Drain.events(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), bin(col("value")).as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("bin"), col("cnt")),
+      "complete", "graft_sdrift")
+      // The sink view joins against its own aggregate below; break the
+      // view lineage so the self-reference gets fresh attribute ids.
+      .localCheckpoint(true)
+    val totals = counts.groupBy("window_start").agg(sum("cnt").as("n_events"))
+    val grid = totals.select(col("window_start"), col("n_events"),
+      explode(sequence(lit(0L), lit(9L))).as("bin"))
+    grid
+      .join(counts, Seq("window_start", "bin"), "left")
+      .join(broadcast(ref), Seq("bin"), "left")
+      .withColumn("pw",
+        (coalesce(col("cnt"), lit(0L)) + 0.5) / (col("n_events") + 5.0))
+      .withColumn("pr",
+        (coalesce(col("ref_cnt"), lit(0L)) + 0.5) / lit(refN + 5.0))
+      .groupBy("window_start")
+      .agg(max("n_events").as("n_events"),
+        round(sum((col("pw") - col("pr")) * log(col("pw") / col("pr"))), 6)
+          .as("psi"))
+  }
+
   /** Streaming windowed APPROXIMATE distinct users: HLL++ sketch state
     * per (window, type) — fixed KBs instead of the unbounded exact
     * distinct-user set a streaming `count(distinct)` would need (which

@@ -125,6 +125,29 @@ class NearDupSpec extends SparkSpec {
     assert(Dedup.ngramContainment(docs, "text", "doc_id", 3, 0.0).count() == 60L * 59 / 2)
   }
 
+  test("sortedNeighborhood pairs prefix-sharing near-dups, respects window and edit bar") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def rand(n: Int): String =
+      Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val bodies = (0 until 20).map(i => (i.toLong, rand(300)))
+    // Mutants share the parent's prefix, differ by a 30-char tail cut.
+    val corpus = (bodies ++ bodies.map { case (id, t) => (id + 100L, t.dropRight(30)) })
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhood(corpus, "text", "doc_id",
+        keyLen = 40, blockLen = 2, winSize = 2, maxEdit = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = got.filter { case (a, b, _) => b - a == 100L }
+    // Random 300-char prefixes collide with nothing: every planted pair
+    // is adjacent in its block and verifies at exactly 30 edits.
+    assert(planted.length == 20, s"found ${planted.length} of 20")
+    assert(planted.forall(_._3 == 30L), s"edit distances ${planted.map(_._3).toSeq}")
+    // Unrelated random docs never pass the edit bar.
+    assert(got.length == planted.length, s"false positives: ${got.toSeq.diff(planted.toSeq)}")
+    // A too-tight edit bar rejects the planted pairs too.
+    assert(Dedup.sortedNeighborhood(corpus, "text", "doc_id", maxEdit = 10).count() == 0)
+  }
+
   test("exact dedup on mutated corpus keeps all 2n docs distinct") {
     val n = corpus.count()
     assert(Dedup.exact(corpus, "text", "doc_id").count() == n)
