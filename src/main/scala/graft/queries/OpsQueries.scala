@@ -967,6 +967,146 @@ object OpsQueries {
       .orderBy("month")
   }
 
+  /** The numeric lineitem columns the data-quality profile covers —
+    * shared by the Spark query and the generated oracle SQL. */
+  private val ProfileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** #1b per-column data-quality profile of the fact table: row count,
+    * null count, exact distinct count and numeric min/max for every
+    * numeric lineitem column — the contract check a pipeline runs
+    * before trusting a new data drop. One pass over the scan (the
+    * multi-`countDistinct` expand is the price of exactness; a 100-TB
+    * profile would swap in HLL per column, the audited-sketch path). */
+  def profileTable(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("double").as(s"${c}__mn"),
+      max(col(c)).cast("double").as(s"${c}__mx")))
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ProfileCols.map(c => struct(
+        lit(c).as("col_name"), col("n_rows"),
+        col(s"${c}__nn").as("n_null"), col(s"${c}__nd").as("n_distinct"),
+        round(col(s"${c}__mn"), 6).as("min_val"),
+        round(col(s"${c}__mx"), 6).as("max_val"))): _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
+  /** The FK edges the referential-integrity audit walks:
+    * (edge label, fact table, fk col, dim table, pk col, broadcastable).
+    * `orders` is fact-sized, so its PK side shuffles; the rest ride a
+    * broadcast anti-join. */
+  private val RiEdges = Seq(
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey", true),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", false),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey", true),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", true),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey", true),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey", true))
+
+  /** #1c referential-integrity audit: for every FK edge of the star
+    * schema, the fact row count and the number of orphan rows whose key
+    * misses the referenced table (anti-join). All-zero orphans is the
+    * expected steady state — the query is the alarm, not the answer. */
+  def riOrphans(s: SparkSession, dir: String): DataFrame = {
+    def table(n: String): DataFrame = Tables(s, dir, n)
+    RiEdges.map { case (label, fkT, fk, pkT, pk, bc) =>
+      val fact = table(fkT)
+      val dim0 = table(pkT).select(col(pk))
+      val dim = if (bc) broadcast(dim0) else dim0
+      val orphans = fact.join(dim, col(fk) === col(pk), "left_anti")
+      fact.agg(count(lit(1)).as("fk_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("orphans")))
+        .select(lit(label).as("edge"), col("fk_rows"), col("orphans"))
+    }.reduce(_ unionAll _).orderBy("edge")
+  }
+
+  /** #4d RFM segmentation: per customer, recency (days since last
+    * order, vs the corpus max date), frequency (order count) and
+    * monetary (exact-cents lifetime spend), each coded into quartiles
+    * by `ntile(4)` with a custkey tiebreak on BOTH engines (ntile's
+    * bucket boundaries depend on the total order). The quartile windows
+    * run over the AGGREGATED one-row-per-customer table — at 100 TB the
+    * coding would switch to precomputed approx-quantile cutpoints to
+    * avoid the global sort. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+    val ref = o.agg(max("o_orderdate").as("refd"))
+    val base = o.groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_order"),
+        count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+      .crossJoin(broadcast(ref))
+      .withColumn("recency_days", datediff(col("refd"), col("last_order")).cast("long"))
+    base
+      .withColumn("r", ntile(4).over(
+        Window.orderBy(col("recency_days"), col("o_custkey"))).cast("long"))
+      .withColumn("f", ntile(4).over(
+        Window.orderBy(col("n_orders").desc, col("o_custkey"))).cast("long"))
+      .withColumn("m", ntile(4).over(
+        Window.orderBy(col("cents").desc, col("o_custkey"))).cast("long"))
+      .select(col("o_custkey"), col("recency_days"), col("n_orders"),
+        round(col("cents") / 100.0, 2).as("monetary"),
+        col("r"), col("f"), col("m"),
+        (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+      .orderBy("o_custkey")
+  }
+
+  /** #4e Benford first-digit screen over order totals: observed
+    * first-significant-digit shares vs the Benford expectation
+    * log10(1+1/d), with the per-digit chi-square contribution — the
+    * classic fabricated-data smell test. The digit comes from the
+    * decimal string of exact integer cents (long-to-string is
+    * bit-identical across engines; float log10 near powers of ten is
+    * not), and the unit choice doesn't matter because Benford is
+    * scale-invariant. */
+  def benfordRevenue(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .withColumn("digit",
+        substring(round(col("o_totalprice") * 100, 0).cast("long").cast("string"),
+          1, 1).cast("long"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share", col("n").cast("double") / col("tot"))
+      .withColumn("benford_p", log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+      .select(col("digit"), col("n"), round(col("share"), 6).as("share"),
+        round(col("benford_p"), 6).as("benford_p"),
+        round(pow(col("share") - col("benford_p"), 2) / col("benford_p")
+          * col("tot"), 6).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** #5k deterministic A/B split + Welch t-test per event type: users
+    * hash into two arms by the shared [[arithHash]] (the same
+    * arithmetic the sampling oracles mirror), then the value means are
+    * compared with the unequal-variance t statistic — the experiment
+    * readout step of an event pipeline. Null is true by construction
+    * (the split is orthogonal to value), so t should hover near 0. */
+  def abTtest(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .withColumn("variant",
+        when(pmod(arithHash(col("user_id"), 13L), lit(1000000L)) < 500000L, 0L)
+          .otherwise(1L))
+      .groupBy("event_type", "variant")
+      .agg(count(lit(1)).as("n"), avg("value").as("mean"), var_samp("value").as("vr"))
+    val a = g.filter(col("variant") === 0).select(col("event_type"),
+      col("n").as("n_a"), col("mean").as("mean_a"), col("vr").as("var_a"))
+    val b = g.filter(col("variant") === 1).select(col("event_type"),
+      col("n").as("n_b"), col("mean").as("mean_b"), col("vr").as("var_b"))
+    a.join(b, "event_type")
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
+        round((col("mean_b") - col("mean_a"))
+          / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
+          .as("t_stat"))
+      .orderBy("event_type")
+  }
+
   /** #5c lag autocorrelation of the hourly event-rate series per type
     * (lags 1–3 over observed hours) — the seasonality screen a
     * monitoring pipeline runs before alerting on rate anomalies.
@@ -1091,6 +1231,11 @@ object OpsQueries {
     "pareto_parts"      -> (paretoParts _),
     "events_gapfill"    -> (eventsGapfill _),
     "revenue_growth"    -> (revenueGrowth _),
+    "profile_table"     -> (profileTable _),
+    "ri_orphans"        -> (riOrphans _),
+    "rfm_segments"      -> (rfmSegments _),
+    "benford_revenue"   -> (benfordRevenue _),
+    "ab_ttest"          -> (abTtest _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -1666,6 +1811,78 @@ object OpsQueries {
         |  round(cum::DOUBLE / (SELECT tot FROM t), 6) AS cum_share,
         |  (cum - cents)::DOUBLE / (SELECT tot FROM t) < 0.8 AS in_top80
         |FROM r ORDER BY rk""".stripMargin,
+    // Generated per profiled column so the Spark list and the oracle
+    // can never drift apart.
+    "profile_table" ->
+      (ProfileCols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           |  round(min($c)::DOUBLE, 6) AS min_val,
+           |  round(max($c)::DOUBLE, 6) AS max_val FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    // Generated from the same edge list the Spark audit walks.
+    "ri_orphans" ->
+      (RiEdges.map { case (label, fkT, fk, pkT, pk, _) =>
+        s"""SELECT '$label' AS edge, (SELECT count(*) FROM $fkT) AS fk_rows,
+           |  (SELECT count(*) FROM $fkT f WHERE NOT EXISTS
+           |    (SELECT 1 FROM $pkT p WHERE p.$pk = f.$fk)) AS orphans""".stripMargin }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY edge")),
+    "rfm_segments" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    round(o_totalprice * 100, 0)::BIGINT AS cents
+        |  FROM orders
+        |), b AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    count(*) AS n_orders, sum(cents) AS cents
+        |  FROM o GROUP BY 1
+        |), q AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', last_order, (SELECT max(o_orderdate) FROM o))::BIGINT
+        |      AS recency_days,
+        |    n_orders, cents
+        |  FROM b
+        |), t AS (
+        |  SELECT o_custkey, recency_days, n_orders, cents,
+        |    ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+        |    ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+        |    ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS m
+        |  FROM q
+        |)
+        |SELECT o_custkey, recency_days, n_orders,
+        |  round(cents / 100.0, 2) AS monetary, r, f, m,
+        |  (r * 100 + f * 10 + m) AS segment
+        |FROM t ORDER BY o_custkey""".stripMargin,
+    "benford_revenue" ->
+      """WITH d AS (
+        |  SELECT substr((round(o_totalprice * 100, 0)::BIGINT)::VARCHAR, 1, 1)::BIGINT
+        |    AS digit
+        |  FROM orders
+        |), c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM c)
+        |SELECT digit, n,
+        |  round(n::DOUBLE / (SELECT tot FROM t), 6) AS share,
+        |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p,
+        |  round(pow(n::DOUBLE / (SELECT tot FROM t) - ln(1.0 + 1.0 / digit) / ln(10.0), 2)
+        |    / (ln(1.0 + 1.0 / digit) / ln(10.0)) * (SELECT tot FROM t), 6) AS chi2_term
+        |FROM c ORDER BY digit""".stripMargin,
+    "ab_ttest" ->
+      """WITH v AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ((user_id % 1000000) * 2654435761 + 13) % 1000000 < 500000
+        |      THEN 0 ELSE 1 END AS variant
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, variant, count(*) AS n,
+        |    avg(value) AS mean, var_samp(value) AS vr
+        |  FROM v GROUP BY 1, 2
+        |)
+        |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+        |  round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+        |  round((b.mean - a.mean) / sqrt(a.vr / a.n + b.vr / b.n), 6) AS t_stat
+        |FROM g a JOIN g b
+        |  ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+        |ORDER BY a.event_type""".stripMargin,
     "revenue_growth" ->
       """WITH m AS (
         |  SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS month,
