@@ -1107,6 +1107,120 @@ object OpsQueries {
       .orderBy("event_type")
   }
 
+  /** #3b cheapest supplier per part (argmin-per-group): the classic
+    * greatest-n-per-group pattern via `row_number` over a
+    * (partkey)-partitioned window — one shuffle on the group key, no
+    * self-join. Unit price is a SINGLE IEEE division (bit-identical
+    * across engines, no accumulation jitter) rounded before ranking so
+    * float ties resolve by the suppkey tiebreak identically. */
+  def partBestSupplier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"),
+      round(col("l_extendedprice") / col("l_quantity"), 6).as("unit_price"))
+    val nSupp = u.groupBy("l_partkey")
+      .agg(countDistinct("l_suppkey").as("n_suppliers"))
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("unit_price"), col("l_suppkey"))
+    u.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(nSupp, "l_partkey")
+      .select(col("l_partkey"), col("l_suppkey").as("best_suppkey"),
+        col("unit_price"), col("n_suppliers"))
+      .orderBy("l_partkey")
+  }
+
+  /** #3c order-to-ship lead time distribution per order priority:
+    * exact day lag (ship − order date) summarized as count, mean and
+    * interpolated p50/p90/p99 (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). The SLA readout of a fulfilment pipeline. */
+  def leadTime(s: SparkSession, dir: String): DataFrame = {
+    val j = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
+    j.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(avg("days"), 6).as("mean_days"),
+        round(expr("percentile(days, 0.5)"), 6).as("p50"),
+        round(expr("percentile(days, 0.9)"), 6).as("p90"),
+        round(expr("percentile(days, 0.99)"), 6).as("p99"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** #3d supplier market concentration per nation: exact-cents revenue
+    * shares, Herfindahl–Hirschman index (sum of squared shares) and the
+    * top supplier share — the skew diagnosis a procurement dashboard
+    * runs. Dims broadcast; the only shuffle is the (nation, supplier)
+    * rollup. */
+  def supplierHhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum("cents").as("cents"))
+    val tot = rev.groupBy("n_name").agg(sum("cents").as("tot"))
+    rev.join(tot, "n_name")
+      .withColumn("share", col("cents").cast("double") / col("tot"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(max(col("tot")) / lit(100.0), 2).as("revenue"),
+        round(sum(pow(col("share"), 2)), 6).as("hhi"),
+        round(max(col("share")), 6).as("top_share"))
+      .orderBy("n_name")
+  }
+
+  /** #5l inter-arrival gap distribution per event type: microsecond
+    * lag gaps over the (ts, event_id)-ordered stream, summarized with
+    * the same exact-percentile parity as [[leadTime]] — the arrival
+    * model a capacity planner fits. */
+  def eventsInterarrival(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), round(avg("gap_us"), 6).as("mean_us"),
+        round(expr("percentile(gap_us, 0.5)"), 6).as("p50_us"),
+        round(expr("percentile(gap_us, 0.9)"), 6).as("p90_us"))
+      .orderBy("event_type")
+  }
+
+  /** #5m exponentially weighted moving average of the hourly event
+    * rate (α = 0.3, adjust-style normalized weights): expressed as the
+    * closed-form ratio Σ(1−α)^(t−j)·x_j / Σ(1−α)^(t−j) over a
+    * position-indexed self-join — the non-recursive formulation both
+    * engines can evaluate identically (the recursion is the scale
+    * path: `mapPartitions` per key over the sorted series). The series
+    * is hourly per type (calendar-bounded), so the quadratic join is
+    * over ~720-row groups, a constant. */
+  def eventsEwma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("hour_us")))
+    val a = hourly.select(col("event_type"), col("hour_us"),
+      col("rn").as("ra"), col("x").as("xa"))
+    val b = hourly.select(col("event_type").as("bt"),
+      col("rn").as("rb"), col("x").as("xb"))
+    a.join(b, col("event_type") === col("bt") && col("rb") <= col("ra"))
+      .withColumn("wt", pow(lit(0.7), col("ra") - col("rb")))
+      .groupBy("event_type", "hour_us")
+      .agg(max("xa").as("n_events"),
+        round(sum(col("wt") * col("xb")) / sum(col("wt")), 6).as("ewma"))
+      .select(col("event_type"), col("hour_us"),
+        col("n_events").cast("long").as("n_events"), col("ewma"))
+      .orderBy("event_type", "hour_us")
+  }
+
   /** #5c lag autocorrelation of the hourly event-rate series per type
     * (lags 1–3 over observed hours) — the seasonality screen a
     * monitoring pipeline runs before alerting on rate anomalies.
@@ -1236,6 +1350,11 @@ object OpsQueries {
     "rfm_segments"      -> (rfmSegments _),
     "benford_revenue"   -> (benfordRevenue _),
     "ab_ttest"          -> (abTtest _),
+    "part_best_supplier" -> (partBestSupplier _),
+    "lead_time"         -> (leadTime _),
+    "supplier_hhi"      -> (supplierHhi _),
+    "events_interarrival" -> (eventsInterarrival _),
+    "events_ewma"       -> (eventsEwma _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -1866,6 +1985,79 @@ object OpsQueries {
         |  round(pow(n::DOUBLE / (SELECT tot FROM t) - ln(1.0 + 1.0 / digit) / ln(10.0), 2)
         |    / (ln(1.0 + 1.0 / digit) / ln(10.0)) * (SELECT tot FROM t), 6) AS chi2_term
         |FROM c ORDER BY digit""".stripMargin,
+    "part_best_supplier" ->
+      """WITH u AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    round(l_extendedprice / l_quantity, 6) AS unit_price
+        |  FROM lineitem
+        |), ns AS (
+        |  SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
+        |  FROM u GROUP BY 1
+        |), r AS (
+        |  SELECT l_partkey, l_suppkey, unit_price,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY unit_price, l_suppkey) AS rn
+        |  FROM u
+        |)
+        |SELECT r.l_partkey, r.l_suppkey AS best_suppkey, r.unit_price,
+        |  ns.n_suppliers
+        |FROM r JOIN ns ON r.l_partkey = ns.l_partkey
+        |WHERE r.rn = 1 ORDER BY r.l_partkey""".stripMargin,
+    "lead_time" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority,
+        |    date_diff('day', o_orderdate, l_shipdate)::BIGINT AS days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  round(avg(days), 6) AS mean_days,
+        |  round(quantile_cont(days, 0.5), 6) AS p50,
+        |  round(quantile_cont(days, 0.9), 6) AS p90,
+        |  round(quantile_cont(days, 0.99), 6) AS p99
+        |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "supplier_hhi" ->
+      """WITH rev AS (
+        |  SELECT n_name, s_suppkey,
+        |    sum(round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT)
+        |      AS cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2
+        |), t AS (SELECT n_name, sum(cents) AS tot FROM rev GROUP BY 1)
+        |SELECT rev.n_name, count(*) AS n_suppliers,
+        |  round(max(t.tot) / 100.0, 2) AS revenue,
+        |  round(sum(pow(rev.cents::DOUBLE / t.tot, 2)), 6) AS hhi,
+        |  round(max(rev.cents::DOUBLE / t.tot), 6) AS top_share
+        |FROM rev JOIN t ON rev.n_name = t.n_name
+        |GROUP BY rev.n_name ORDER BY rev.n_name""".stripMargin,
+    "events_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(avg(gap_us), 6) AS mean_us,
+        |  round(quantile_cont(gap_us, 0.5), 6) AS p50_us,
+        |  round(quantile_cont(gap_us, 0.9), 6) AS p90_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "events_ewma" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    count(*)::DOUBLE AS x,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(date_trunc('hour', ts))) AS rn
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT a.event_type, a.hour_us, max(a.x)::BIGINT AS n_events,
+        |  round(sum(pow(0.7, a.rn - b.rn) * b.x)
+        |    / sum(pow(0.7, a.rn - b.rn)), 6) AS ewma
+        |FROM h a JOIN h b ON a.event_type = b.event_type AND b.rn <= a.rn
+        |GROUP BY a.event_type, a.hour_us
+        |ORDER BY a.event_type, a.hour_us""".stripMargin,
     "ab_ttest" ->
       """WITH v AS (
         |  SELECT event_type, value,

@@ -47,6 +47,69 @@ class AnalyticsQuerySpec extends SparkSpec {
     assert(b.forall(_.getAs[Double]("chi2_term") >= 0.0))
   }
 
+  test("part_best_supplier: one winner per part, positive price, recomputable argmin") {
+    val r = OpsQueries.partBestSupplier(spark, dir)
+    val rows = r.collect()
+    assert(rows.map(_.getAs[Long]("l_partkey")).distinct.length == rows.length)
+    assert(rows.forall(_.getAs[Double]("unit_price") > 0.0))
+    assert(rows.forall(_.getAs[Long]("n_suppliers") >= 1L))
+    // Independent recompute of the argmin for one part.
+    val pk = rows.head.getAs[Long]("l_partkey")
+    val best = graft.Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") === pk)
+      .select(round(col("l_extendedprice") / col("l_quantity"), 6).as("u"),
+        col("l_suppkey"))
+      .orderBy(col("u"), col("l_suppkey")).limit(1).collect()(0)
+    assert(rows.head.getAs[Long]("best_suppkey") == best.getAs[Long]("l_suppkey"))
+  }
+
+  test("lead_time: percentiles ordered p50<=p90<=p99") {
+    val rows = OpsQueries.leadTime(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(p50 <= p90 && p90 <= p99, s"$p50 $p90 $p99")
+      assert(r.getAs[Long]("n") > 0L)
+    }
+  }
+
+  test("supplier_hhi: bounds 1/n <= hhi <= 1 and top_share^2 <= hhi <= top_share") {
+    val rows = OpsQueries.supplierHhi(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_suppliers").toDouble
+      val hhi = r.getAs[Double]("hhi")
+      val top = r.getAs[Double]("top_share")
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-6, s"hhi $hhi n $n")
+      assert(top * top <= hhi + 1e-6 && hhi <= top + 1e-6, s"hhi $hhi top $top")
+    }
+  }
+
+  test("events_interarrival: nonnegative ordered gap percentiles") {
+    val rows = OpsQueries.eventsInterarrival(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p50_us") >= 0.0)
+      assert(r.getAs[Double]("p50_us") <= r.getAs[Double]("p90_us"))
+      assert(r.getAs[Double]("mean_us") > 0.0)
+    }
+  }
+
+  test("events_ewma: seeds at the first observation, stays within series range") {
+    val rows = OpsQueries.eventsEwma(spark, dir).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { ts =>
+      val first = ts.minBy(_.getAs[Long]("hour_us"))
+      assert(math.abs(first.getAs[Double]("ewma") -
+        first.getAs[Long]("n_events").toDouble) < 1e-6)
+      val xs = ts.map(_.getAs[Long]("n_events").toDouble)
+      val (lo, hi) = (xs.min, xs.max)
+      assert(ts.forall(r => r.getAs[Double]("ewma") >= lo - 1e-6 &&
+        r.getAs[Double]("ewma") <= hi + 1e-6))
+    }
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
