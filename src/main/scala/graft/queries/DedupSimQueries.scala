@@ -220,6 +220,24 @@ object DedupSimQueries {
       .orderBy("vec_id")
   }
 
+  /** #19o fixed-depth BFS hop distances over the symmetrized similarity
+    * graph ([[graft.ops.Bfs]]), rooted at the max-degree vertex
+    * (smallest id on ties) — the reachability profile of the densest
+    * cosine neighborhood. The oracle unrolls the same 4 frontier
+    * expansions as CTEs. */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup
+      .embeddingCosine(Tables.embeddings(s, dir), "embedding", "vec_id", 0.4)
+      .select(col("vec_id_a").as("s"), col("vec_id_b").as("t"))
+    val edges = pairs.unionAll(pairs.select(col("t").as("s"), col("s").as("t")))
+      .localCheckpoint(true)
+    val src = edges.groupBy("s").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("s")).head.getLong(0)
+    graft.ops.Bfs.distances(edges, "s", "t", src, 4)
+      .select(col("v").as("vec_id"), col("dist"))
+      .orderBy("vec_id")
+  }
+
   /** embeddings ∪ a tail-zeroed mutation of each vector — planted
     * high-cosine near-dups: cos(v, mutation) = |v[1:56]| / |v| ≈ √(56/64)
     * ≈ 0.93 for iid components, while the natural pair space tops out
@@ -567,6 +585,7 @@ object DedupSimQueries {
     "dedup_simhash_containment" -> (dedupSimhashContainment _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "graph_pagerank"      -> (graphPagerank _),
+    "graph_bfs"           -> (graphBfs _),
     "pair_edit_distance"  -> (pairEditDistance _),
     "para_dedup"          -> (paraDedup _),
     "span_overlap"        -> (spanOverlap _),
@@ -937,6 +956,28 @@ object DedupSimQueries {
          |JOIN corpus2 a ON p.doc_id_a = a.doc_id
          |JOIN corpus2 b ON p.doc_id_b = b.doc_id
          |ORDER BY doc_id_a, doc_id_b""".stripMargin
+    },
+    "graph_bfs" -> {
+      val steps = (1 to 4).map { k =>
+        s"""r$k AS (
+           |  SELECT v, dist FROM r${k - 1}
+           |  UNION ALL
+           |  SELECT e.t AS v, $k AS dist FROM e JOIN r${k - 1} ON e.s = r${k - 1}.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings
+         |), pr AS (
+         |  SELECT a.vec_id AS s, b.vec_id AS t
+         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+         |  WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+         |), e AS (SELECT s, t FROM pr UNION ALL SELECT t, s FROM pr),
+         |deg AS (SELECT s, count(*) AS d FROM e GROUP BY 1),
+         |r0 AS (SELECT s AS v, 0 AS dist FROM deg ORDER BY d DESC, s LIMIT 1),
+         |$steps
+         |SELECT v AS vec_id, min(dist)::BIGINT AS dist FROM r4
+         |GROUP BY v ORDER BY vec_id""".stripMargin
     },
     "graph_pagerank" -> {
       val steps = (1 to 5).map { i =>

@@ -1221,6 +1221,20 @@ object OpsQueries {
       .orderBy("event_type", "hour_us")
   }
 
+  /** #1d k-anonymity audit over the customer quasi-identifiers
+    * (nation, market segment, account-balance band): equivalence-class
+    * sizes with the k < 5 at-risk flag — the privacy screen a
+    * training-data release runs before shipping user-derived rows. The
+    * balance band is a single IEEE division + floor (bit-identical
+    * across engines; no accumulation). */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("bal_band", floor(col("c_acctbal") / 1000).cast("long"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < 5)
+      .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+
   /** #5c lag autocorrelation of the hourly event-rate series per type
     * (lags 1–3 over observed hours) — the seasonality screen a
     * monitoring pipeline runs before alerting on rate anomalies.
@@ -1355,6 +1369,7 @@ object OpsQueries {
     "supplier_hhi"      -> (supplierHhi _),
     "events_interarrival" -> (eventsInterarrival _),
     "events_ewma"       -> (eventsEwma _),
+    "k_anonymity"       -> (kAnonymity _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -1985,6 +2000,12 @@ object OpsQueries {
         |  round(pow(n::DOUBLE / (SELECT tot FROM t) - ln(1.0 + 1.0 / digit) / ln(10.0), 2)
         |    / (ln(1.0 + 1.0 / digit) / ln(10.0)) * (SELECT tot FROM t), 6) AS chi2_term
         |FROM c ORDER BY digit""".stripMargin,
+    "k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  floor(c_acctbal / 1000)::BIGINT AS bal_band,
+        |  count(*) AS n, count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2, 3
+        |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
     "part_best_supplier" ->
       """WITH u AS (
         |  SELECT l_partkey, l_suppkey,

@@ -40,6 +40,17 @@ object StreamMmQueries {
     EventStream.runDriftBatchEquivalent(s, dir)
       .orderBy("window_start")
 
+  /** #29l streaming stateful sessionization
+    * ([[graft.streaming.SessionStream]], `flatMapGroupsWithState` with
+    * event-time timeouts): the sessions the final watermark closes,
+    * hash-checked against the batch gap-sessionization SQL restricted
+    * by the same deterministic watermark cutoff. */
+  def streamSession(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.SessionStream.runBatchEquivalent(s, dir)
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("user_id", "session_start_us")
+
   /** #30 binary image payloads → per-partition REAL header decode →
     * typed metadata: each document row carries a format-conformant
     * PNG/JPEG byte stream (dims arithmetic in the id), and the fields
@@ -157,6 +168,7 @@ object StreamMmQueries {
     "stream_distinct"     -> (streamDistinct _),
     "stream_topk"         -> (streamTopk _),
     "stream_drift"        -> (streamDrift _),
+    "stream_session"      -> (streamSession _),
     "session_paths"       -> (sessionPaths _),
     "stream_join"         -> (streamJoin _),
     "stream_enrich"       -> (streamEnrich _),
@@ -345,6 +357,31 @@ object StreamMmQueries {
         |)
         |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // Identical session assignment to the `sessionize` oracle, then the
+    // engine's closure predicate: watermark = (max ts ms) − 1 h, and a
+    // session emits iff end + gap < watermark — all integer µs math.
+    "stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN tsu - lag(tsu) OVER w > 1800000000
+        |    OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), s AS (
+        |  SELECT *, (sum(news) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        |  FROM f
+        |), g AS (
+        |  SELECT user_id,
+        |    min(tsu) AS session_start_us, max(tsu) AS session_end_us,
+        |    count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |  FROM s GROUP BY user_id, session_idx
+        |), wm AS (
+        |  SELECT (max(tsu) // 1000 - 3600000) * 1000 AS wm_us FROM e
+        |)
+        |SELECT user_id, session_start_us, session_end_us, n_events, sum_value
+        |FROM g WHERE session_end_us + 1800000000 < (SELECT wm_us FROM wm)
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events

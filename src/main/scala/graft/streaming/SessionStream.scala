@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Incremental gap-based sessionization over an event stream — the
@@ -38,6 +39,24 @@ object SessionStream {
       session_end_us: Long,
       n_events: Long,
       sum_value: Double)
+
+  /** Driver batch-equivalence entry: sessionize the events file stream
+    * (30-minute gap, 1-hour watermark delay) and return every session
+    * the FINAL watermark closes. The engine's watermark is
+    * deterministic — `wm_us = (max_ts_us div 1000 − 3 600 000) · 1000`
+    * (event-time stats truncate to milliseconds) — and a session emits
+    * iff `session_end_us + gap_us < wm_us`, so the batch oracle applies
+    * the identical integer cutoff to the gap-sessionized table. Tail
+    * sessions the watermark never passes stay open by design (they'd
+    * emit on the next day's data in production). */
+  def runBatchEquivalent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Drain.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[SEvent]
+    Drain.toMemory(sessions(evs, 30L * 60 * 1000000).toDF(), "append", "graft_ssess")
+  }
 
   /** Sessionize `events` with inactivity gap `gapUs` (µs); the stream must
     * carry a watermark on `ts` (set `withWatermark` upstream — it bounds

@@ -110,6 +110,27 @@ class AnalyticsQuerySpec extends SparkSpec {
     }
   }
 
+  test("k_anonymity: classes partition the customer table, flag matches size") {
+    val rows = OpsQueries.kAnonymity(spark, dir).collect()
+    val total = graft.Tables.customer(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    assert(rows.forall(r => r.getAs[Boolean]("at_risk") == (r.getAs[Long]("n") < 5)))
+  }
+
+  test("Bfs.distances: exact hop counts on a known graph, hop bound respected") {
+    import spark.implicits._
+    // Path 1-2-3-4-5-6 plus chord 1-4: dist(4)=1 via chord, dist(6)=3.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("s", "t")
+    val d = graft.ops.Bfs.distances(edges, "s", "t", 1L, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L, 6L -> 3L))
+    // Tighter bound drops the far end of the path.
+    val d2 = graft.ops.Bfs.distances(edges, "s", "t", 1L, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!d2.contains(6L) && d2(5L) == 2L)
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
