@@ -77,8 +77,18 @@ object Dedup {
     pairs
       .join(base.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
       .join(base.select(col("id").as("id_b"), col("t").as("tb")), "id_b")
-      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("lev") <= maxEdit)
+      // Exactness-preserving prune: levenshtein ≥ |len a − len b|, so
+      // pairs beyond the edit bar on length alone never pay the
+      // comparison; survivors use the thresholded banded O(k·n)
+      // levenshtein (returns −1 above the bar) instead of the full
+      // O(m·n) matrix — same accepted pairs and distances.
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxEdit)
+      // AQE coalesces this join output to ~1 partition (it is tiny in
+      // BYTES), which would serialize the CPU-bound edit-distance pass
+      // on one core; spread survivors across the session parallelism.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("lev", levenshtein(col("ta"), col("tb"), maxEdit).cast("long"))
+      .filter(col("lev") >= 0 && col("lev") <= maxEdit)
       .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"), col("lev"))
   }
 

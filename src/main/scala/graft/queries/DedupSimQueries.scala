@@ -938,7 +938,8 @@ object DedupSimQueries {
         |FROM pairs p
         |JOIN keyed a ON p.id_a = a.doc_id
         |JOIN keyed b ON p.id_b = b.doc_id
-        |WHERE levenshtein(a.text, b.text) <= 80
+        |WHERE abs(length(a.text) - length(b.text)) <= 80
+        |  AND levenshtein(a.text, b.text) <= 80
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "pair_edit_distance" -> {
       s"""WITH pairs AS (
