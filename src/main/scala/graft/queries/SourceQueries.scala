@@ -58,6 +58,69 @@ object SourceQueries {
         .orderBy("doc_id")
     })
 
+  private val bucketCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** #17e bucketed co-located join ([[graft.sources.Bucketed]]): orders
+    * and lineitem bucketed (and per-bucket sorted) by order key into the
+    * same 8 buckets, then joined — the storage layout that removes BOTH
+    * shuffle sides of every recurring fact⋈fact join on the bucket key
+    * (the contract `PlanContractSpec` pins: no Exchange under the join).
+    * The result is the priority revenue rollup, hash-checked against
+    * the plain parquet join. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame =
+    bucketCache.getOrElseUpdate((s, dir), {
+      val out = Scratch.cleaned("graft_bkt") { tmp =>
+        graft.sources.Bucketed.write(Tables.orders(s, dir)
+            .select("o_orderkey", "o_orderpriority"),
+          "graft_bq_orders", tmp.resolve("o").toString, "o_orderkey", 8)
+        graft.sources.Bucketed.write(Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          "graft_bq_lineitem", tmp.resolve("l").toString, "l_orderkey", 8)
+        graft.sources.Bucketed.read(s, "graft_bq_orders")
+          .join(graft.sources.Bucketed.read(s, "graft_bq_lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .withColumn("cents",
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+              .cast("long"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"), sum("cents").as("cents"))
+          .select(col("o_orderpriority"), col("n_items"),
+            round(col("cents") / 100.0, 2).as("revenue"))
+          .orderBy("o_orderpriority")
+      }
+      // The catalog entries must not outlive their (deleted) scratch dir.
+      s.sql("DROP TABLE IF EXISTS graft_bq_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bq_lineitem")
+      out
+    })
+
+  private val partCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** #17f partition-pruned scan: events written `partitionBy(day)`, read
+    * back with a literal 7-day filter — the layout that turns a
+    * time-ranged scan over years of history into opening exactly the
+    * matching directories (`PlanContractSpec` pins the PartitionFilters
+    * and that no data filter remains). Daily rollup of the pruned week,
+    * hash-checked against the same filter over the unpartitioned table. */
+  def partitionedScan(s: SparkSession, dir: String): DataFrame =
+    partCache.getOrElseUpdate((s, dir), Scratch.cleaned("graft_part") { tmp =>
+      val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      ev.write.mode("overwrite").partitionBy("day").parquet(tmp.toString)
+      val back = s.read.parquet(tmp.toString)
+      val mn = ev.agg(min("day")).head.getDate(0).toLocalDate
+      val (lo, hi) = (mn.plusDays(7), mn.plusDays(13))
+      back
+        .filter(col("day").between(
+          java.sql.Date.valueOf(lo), java.sql.Date.valueOf(hi)))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+        .select(unix_date(col("day")).cast("long").as("day_num"),
+          col("n_events"), col("sum_value"))
+        .orderBy("day_num")
+    })
+
   /** #17 typed CSV: write → `TypedCsv.read[DocMeta]` → original rows.
     * Memoized + scratch-cleaned: one write/read per (session, dir), no
     * leaked temp dirs across bench/validate re-runs. */
@@ -90,6 +153,8 @@ object SourceQueries {
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "orc_roundtrip"   -> (orcRoundtrip _),
     "schema_evolution" -> (schemaEvolution _),
+    "bucketed_join"   -> (bucketedJoin _),
+    "partitioned_scan" -> (partitionedScan _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,5 +171,20 @@ object SourceQueries {
       """SELECT doc_id, lang, n_chars,
         |  CASE WHEN doc_id % 2 = 1 THEN n_chars * 2 END AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT)
+        |    / 100.0, 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "partitioned_scan" ->
+      """WITH e AS (
+        |  SELECT date_trunc('day', ts)::DATE AS day, value FROM events
+        |), b AS (SELECT min(day) AS mn FROM e)
+        |SELECT (day - DATE '1970-01-01')::BIGINT AS day_num,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM e
+        |WHERE day BETWEEN (SELECT mn FROM b) + 7 AND (SELECT mn FROM b) + 13
+        |GROUP BY day ORDER BY day_num""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.DataFrame
 
 /** Physical-plan contracts for the headline queries — the plans we
@@ -231,5 +231,63 @@ class PlanContractSpec extends SparkSpec {
     val plan = finalPlan(OpsQueries.rollingDistinct(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("bucketed fact join aggregates without exchanging on the order key") {
+    // The whole point of the layout: neither fact side re-shuffles on
+    // the order key even under the rollup (the tiny post-join priority
+    // aggregation is the only exchange). The memoized driver query
+    // checkpoints its result, so the contract drives the same layout
+    // directly. Broadcast is disabled to pin the co-located SMJ path —
+    // the shape that matters at fact×fact scale.
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_bktplan")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.sources.Bucketed.write(Tables.orders(spark, dir)
+          .select("o_orderkey", "o_orderpriority"),
+        "graft_bp_orders", s"$base/o", "o_orderkey", 8)
+      graft.sources.Bucketed.write(Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_extendedprice"),
+        "graft_bp_lineitem", s"$base/l", "l_orderkey", 8)
+      val q = graft.sources.Bucketed.read(spark, "graft_bp_orders")
+        .join(graft.sources.Bucketed.read(spark, "graft_bp_lineitem"),
+          org.apache.spark.sql.functions.col("o_orderkey") ===
+            org.apache.spark.sql.functions.col("l_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val plan = finalPlan(q)
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(l_orderkey"),
+        plan.take(3000))
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bp_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bp_lineitem")
+      Scratch.deleteRecursively(base)
+    }
+  }
+
+  test("partitioned scan prunes to the day range at the source") {
+    // The 7-day filter must land in PartitionFilters (directory
+    // pruning), not as a post-scan data filter over the full history.
+    // Same layout as the memoized driver query, driven directly.
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, to_date}
+    val base = Files.createTempDirectory("graft_partplan")
+    try {
+      Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(base.toString)
+      val back = spark.read.parquet(base.toString)
+      val days = back.select("day").distinct().orderBy("day")
+        .collect().map(_.getDate(0))
+      val q = back.filter(col("day") === days(days.length / 2)).groupBy("day").count()
+      val plan = finalPlan(q)
+      assert(plan.contains("PartitionFilters: [") &&
+        plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("day"),
+        plan.take(3000))
+    } finally Scratch.deleteRecursively(base)
   }
 }
