@@ -562,8 +562,28 @@ object DedupSimQueries {
       .select(col("label"), col("pos").as("dim"), round(col("col"), 6).as("v"))
       .orderBy("label", "dim")
 
+  /** #23c per-label cluster quality: within-label sum of squared
+    * distances to the label centroid (inertia) — the k-means objective
+    * evaluated on the given labels, the readout that says whether the
+    * label column actually clusters the embedding space. One
+    * dimension-exploded pass for centroids, one join back for the SSE. */
+  def labelInertia(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")))
+      .select(col("label"), col("vec_id"), col("pos").as("dim"),
+        col("col").cast("double").as("x"))
+    val cent = e.groupBy("label", "dim").agg(avg("x").as("c"))
+    e.join(cent, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(countDistinct("vec_id").as("n_vecs"),
+        round(sum(pow(col("x") - col("c"), 2)), 6).as("sse"))
+      .withColumn("avg_sse", round(col("sse") / col("n_vecs"), 6))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_mean_pool"       -> (vecMeanPool _),
+    "label_inertia"       -> (labelInertia _),
     "sim_ann_pq"          -> (simAnnPq _),
     "sim_ann_pq_shape"    -> (simAnnPqShape _),
     "sim_ann_ivfpq"       -> (simAnnIvfPq _),
@@ -875,6 +895,23 @@ object DedupSimQueries {
         |FROM embeddings,
         |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // Same exploded-dimension layout as vec_mean_pool; the SSE joins
+    // each component back to its (label, dim) centroid.
+    "label_inertia" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, g.i - 1 AS dim, embedding[g.i]::DOUBLE AS x
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+        |), cent AS (
+        |  SELECT label, dim, avg(x) AS c FROM e GROUP BY 1, 2
+        |), s AS (
+        |  SELECT e.label, count(DISTINCT e.vec_id) AS n_vecs,
+        |    round(sum(pow(e.x - cent.c, 2)), 6) AS sse
+        |  FROM e JOIN cent ON e.label = cent.label AND e.dim = cent.dim
+        |  GROUP BY e.label
+        |)
+        |SELECT label, n_vecs, sse, round(sse / n_vecs, 6) AS avg_sse
+        |FROM s ORDER BY label""".stripMargin,
     // Components over the exact cosine pair list (recursive closure):
     // matches iff LSH banding surfaced every true pair AND the
     // min-label propagation converged to the same components.

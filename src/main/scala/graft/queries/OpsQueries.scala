@@ -1221,6 +1221,52 @@ object OpsQueries {
       .orderBy("event_type", "hour_us")
   }
 
+  /** #26b top-3 TF-IDF keywords per document: the per-doc salience
+    * readout a corpus browser shows. Ranking runs on the ROUNDED score
+    * with a term tiebreak — float idf in the sort key would let a
+    * last-ulp `ln` difference flip real-equal scores (integer (tf, df)
+    * coincidences make exact score ties possible) between engines. */
+  def docKeywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tf = docs.select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dft, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** #5n Theil–Sen robust trend of the hourly event rate per type: the
+    * median of all pairwise slopes over the hour-indexed series — the
+    * outlier-immune alternative to the OLS fit in `events_regression`
+    * (one corrupted hour moves the mean slope, not the median). The
+    * pair space is quadratic in HOURS (calendar-bounded), not rows. */
+  def eventsTheilsen(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val b = hourly.agg(min("hour_us").as("mn"))
+    val g = hourly.crossJoin(broadcast(b))
+      .select(col("event_type"),
+        expr("(hour_us - mn) div 3600000000").as("hr"), col("x"))
+    val a = g.select(col("event_type"), col("hr").as("i"), col("x").as("xi"))
+    val c = g.select(col("event_type").as("et2"), col("hr").as("j"), col("x").as("xj"))
+    a.join(c, col("event_type") === col("et2") && col("i") < col("j"))
+      .withColumn("slope", (col("xj") - col("xi")) / (col("j") - col("i")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("median_slope"))
+      .orderBy("event_type")
+  }
+
   /** #1d k-anonymity audit over the customer quasi-identifiers
     * (nation, market segment, account-balance band): equivalence-class
     * sizes with the k < 5 at-risk flag — the privacy screen a
@@ -1370,6 +1416,8 @@ object OpsQueries {
     "events_interarrival" -> (eventsInterarrival _),
     "events_ewma"       -> (eventsEwma _),
     "k_anonymity"       -> (kAnonymity _),
+    "doc_keywords"      -> (docKeywords _),
+    "events_theilsen"   -> (eventsTheilsen _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2000,6 +2048,40 @@ object OpsQueries {
         |  round(pow(n::DOUBLE / (SELECT tot FROM t) - ln(1.0 + 1.0 / digit) / ln(10.0), 2)
         |    / (ln(1.0 + 1.0 / digit) / ln(10.0)) * (SELECT tot FROM t), 6) AS chi2_term
         |FROM c ORDER BY digit""".stripMargin,
+    "doc_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |    FROM documents
+        |  ) GROUP BY 1, 2
+        |), dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS score
+        |  FROM tf JOIN dft USING (term), n
+        |), r AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM sc
+        |)
+        |SELECT doc_id, rk, term, score FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    "events_theilsen" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    count(*)::DOUBLE AS x
+        |  FROM events GROUP BY 1, 2
+        |), b AS (SELECT min(hour_us) AS mn FROM h),
+        |g AS (
+        |  SELECT event_type, (hour_us - (SELECT mn FROM b)) // 3600000000 AS hr, x
+        |  FROM h
+        |), p AS (
+        |  SELECT a.event_type, (b2.x - a.x) / (b2.hr - a.hr) AS slope
+        |  FROM g a JOIN g b2 ON a.event_type = b2.event_type AND a.hr < b2.hr
+        |)
+        |SELECT event_type, count(*) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 6) AS median_slope
+        |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
     "k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |  floor(c_acctbal / 1000)::BIGINT AS bal_band,

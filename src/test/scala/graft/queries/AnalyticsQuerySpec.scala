@@ -131,6 +131,45 @@ class AnalyticsQuerySpec extends SparkSpec {
     assert(!d2.contains(6L) && d2(5L) == 2L)
   }
 
+  test("doc_keywords: at most 3 ranked keywords per doc, scores descend") {
+    val rows = OpsQueries.docKeywords(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { ks =>
+      val sorted = ks.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.length <= 3)
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("events_theilsen: pair count matches the hourly series size") {
+    val rows = OpsQueries.eventsTheilsen(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val hours = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("date_trunc('hour', ts)")).count()
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val h = hours(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_pairs") == h * (h - 1) / 2)
+      assert(!r.getAs[Double]("median_slope").isNaN)
+    }
+  }
+
+  test("label_inertia: nonnegative SSE, vectors partition across labels") {
+    val rows = DedupSimQueries.labelInertia(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("sse") >= 0.0))
+    val total = graft.Tables.embeddings(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      val expected = r.getAs[Double]("sse") / r.getAs[Long]("n_vecs")
+      assert(math.abs(r.getAs[Double]("avg_sse") - expected) < 1e-5)
+    }
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
