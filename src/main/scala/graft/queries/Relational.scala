@@ -60,6 +60,22 @@ object Relational {
       .limit(10)
       .select("l_orderkey", "o_orderdate", "revenue")
 
+  /** #4b top-3 orders per priority through the CUSTOM top-k-per-group
+    * operator ([[graft.plans.Graft.topKPerGroup]] — logical node +
+    * planner strategy + bounded-heap exec via SparkSessionExtensions):
+    * same rows as a `row_number` window, but k-bounded heap state
+    * instead of a full per-group sort. Exact-cents ranking with the
+    * orderkey tiebreak makes the kept set total-order deterministic. */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+    graft.plans.Graft.topKPerGroup(o, Seq("o_orderpriority"), "cents", 3,
+        descending = true, tiebreak = Seq("o_orderkey"))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("cents") / 100.0, 2).as("price"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** #5 window functions: first 3 orders per customer with running spend.
     * Scale: one shuffle on custkey; window sums are order-deterministic so
     * no rounding drift. */
@@ -328,9 +344,21 @@ object Relational {
     "q14_sql"          -> (q14Sql _),
     "q15_fullouter"    -> (q15FullOuter _),
     "q16_setops"       -> (q16SetOps _),
+    "topk_per_group"   -> (topkPerGroup _),
   )
 
   val oracles: Map[String, String] = Map(
+    "topk_per_group" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    round(o_totalprice * 100, 0)::BIGINT AS cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY round(o_totalprice * 100, 0)::BIGINT DESC, o_orderkey) AS rn
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority, o_orderkey, round(cents / 100.0, 2) AS price
+        |FROM o WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
