@@ -102,8 +102,10 @@ case class TopKPerGroupExec(
   * strategies (set by `GraftSession`; any session can opt in with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => ThresholdLevenshteinRule)
+  }
 }
 
 /** Public DataFrame-level API over the custom plan nodes. */
