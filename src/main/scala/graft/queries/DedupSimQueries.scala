@@ -220,6 +220,16 @@ object DedupSimQueries {
       .orderBy("vec_id")
   }
 
+  /** #19p duplicate-cluster size histogram over the n-gram component
+    * labels ([[clusterLabels]], memoized): how much of the near-dup
+    * mass sits in pairs vs long chains — the shape that decides whether
+    * keep-one dedup meaningfully shrinks the corpus. */
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** #19o fixed-depth BFS hop distances over the symmetrized similarity
     * graph ([[graft.ops.Bfs]]), rooted at the max-degree vertex
     * (smallest id on ties) — the reachability profile of the densest
@@ -606,6 +616,7 @@ object DedupSimQueries {
     "dedup_embedding"     -> (dedupEmbedding _),
     "graph_pagerank"      -> (graphPagerank _),
     "graph_bfs"           -> (graphBfs _),
+    "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "pair_edit_distance"  -> (pairEditDistance _),
     "para_dedup"          -> (paraDedup _),
     "span_overlap"        -> (spanOverlap _),
@@ -664,6 +675,13 @@ object DedupSimQueries {
         |  FROM corpus LEFT JOIN labels ON corpus.doc_id = labels.id
         |) ORDER BY doc_id""".stripMargin),
     "dedup_ngram_jaccard" -> ngramTruthSql(Some(10)),
+    // Histogram over the same recursive component labels.
+    "dedup_cluster_sizes" ->
+      (reachPrefix + """
+        |, labels AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a)
+        |, sz AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters FROM sz
+        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
     // Containment truth over the snippet-planted corpus: same shingle
     // pipeline and df-cap, |∩| / min(|A|, |B|) instead of Jaccard.
     "dedup_containment" ->

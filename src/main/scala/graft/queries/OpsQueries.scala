@@ -1267,6 +1267,41 @@ object OpsQueries {
       .orderBy("event_type")
   }
 
+  /** #7o day-over-day user churn: per day, the users retained from,
+    * new versus, and churned since the previous day — a full-outer
+    * set-op on the deduped (day, user) pairs, the daily growth
+    * accounting every activity dashboard leads with. */
+  def userChurn(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val cur = du.withColumn("cur", lit(1))
+    val prev = du.select((col("day") + 1).as("day"), col("user_id"), lit(1).as("prev"))
+    cur.join(prev, Seq("day", "user_id"), "full_outer")
+      .groupBy("day")
+      .agg(count(when(col("cur").isNotNull && col("prev").isNotNull, 1)).as("retained"),
+        count(when(col("cur").isNotNull && col("prev").isNull, 1)).as("new_users"),
+        count(when(col("cur").isNull && col("prev").isNotNull, 1)).as("churned"))
+      .orderBy("day")
+  }
+
+  /** #1e join fan-out profile: the orders-per-customer degree
+    * histogram (including the zero-order customers via an anti-join) —
+    * the distribution that predicts join blow-up and skew before any
+    * fact⋈dim join runs. */
+  def fanoutProfile(s: SparkSession, dir: String): DataFrame = {
+    val deg = Tables.orders(s, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    val hist = deg.groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+    val zero = Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_customers"))
+      .select(lit(0L).as("n_orders"), col("n_customers"))
+      .filter(col("n_customers") > 0)
+    hist.unionAll(zero).orderBy("n_orders")
+  }
+
   /** #1d k-anonymity audit over the customer quasi-identifiers
     * (nation, market segment, account-balance band): equivalence-class
     * sizes with the k < 5 at-risk flag — the privacy screen a
@@ -1418,6 +1453,8 @@ object OpsQueries {
     "k_anonymity"       -> (kAnonymity _),
     "doc_keywords"      -> (docKeywords _),
     "events_theilsen"   -> (eventsTheilsen _),
+    "user_churn"        -> (userChurn _),
+    "fanout_profile"    -> (fanoutProfile _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2082,6 +2119,33 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "user_churn" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+        |), cur AS (SELECT day, user_id FROM du),
+        |prev AS (SELECT day + 1 AS day, user_id FROM du)
+        |SELECT coalesce(c.day, p.day) AS day,
+        |  count(*) FILTER (WHERE c.user_id IS NOT NULL AND p.user_id IS NOT NULL)
+        |    AS retained,
+        |  count(*) FILTER (WHERE c.user_id IS NOT NULL AND p.user_id IS NULL)
+        |    AS new_users,
+        |  count(*) FILTER (WHERE c.user_id IS NULL AND p.user_id IS NOT NULL)
+        |    AS churned
+        |FROM cur c FULL OUTER JOIN prev p
+        |  ON c.day = p.day AND c.user_id = p.user_id
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    "fanout_profile" ->
+      """WITH deg AS (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+        |), hist AS (
+        |  SELECT n_orders, count(*) AS n_customers FROM deg GROUP BY 1
+        |), z AS (
+        |  SELECT 0::BIGINT AS n_orders, count(*) AS n_customers FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |)
+        |SELECT * FROM hist
+        |UNION ALL SELECT * FROM z WHERE n_customers > 0
+        |ORDER BY n_orders""".stripMargin,
     "k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |  floor(c_acctbal / 1000)::BIGINT AS bal_band,

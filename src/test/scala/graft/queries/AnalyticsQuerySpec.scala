@@ -170,6 +170,31 @@ class AnalyticsQuerySpec extends SparkSpec {
     }
   }
 
+  test("user_churn: day accounting is conserved against raw distinct counts") {
+    val rows = OpsQueries.userChurn(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("retained"), r.getAs[Long]("new_users"), r.getAs[Long]("churned"))).toMap
+    val daily = graft.Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .distinct().groupBy("day").count()
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("count")).toMap
+    daily.foreach { case (d, n) =>
+      val (ret, nw, _) = rows(d)
+      assert(ret + nw == n, s"day $d: $ret+$nw != $n") // today's users split
+      val prevN = daily.getOrElse(d - 1, 0L)
+      assert(ret + rows(d)._3 == prevN, s"day $d: yesterday's users split")
+    }
+  }
+
+  test("fanout_profile: histogram masses sum to the customer count") {
+    val rows = OpsQueries.fanoutProfile(spark, dir).collect()
+    val total = graft.Tables.customer(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == total)
+    val orders = graft.Tables.orders(spark, dir).count()
+    assert(rows.map(r => r.getAs[Long]("n_orders") * r.getAs[Long]("n_customers")).sum
+      == orders)
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
