@@ -1267,6 +1267,63 @@ object OpsQueries {
       .orderBy("event_type")
   }
 
+  /** #26d tokenizer vocabulary coverage: the OOV rate per document
+    * against the corpus top-1000 token vocabulary (count-then-token
+    * total order, so the cut is deterministic) — the readout that says
+    * whether a fixed vocab/tokenizer fits a new corpus drop. The vocab
+    * is aggregation output (tiny) and broadcasts into the per-doc
+    * membership join. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))))
+      .filter(col("rk") <= 1000).select("term")
+    toks.join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** #26e sentence segmentation stats: sentences as maximal runs
+    * without terminal punctuation ([.!?]), whitespace-trimmed and
+    * blank-dropped identically on both engines — per doc count, mean
+    * length, and longest sentence. */
+  def docSentences(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[^.!?]+', 0)")).as("raw"))
+      .withColumn("sent", trim(col("raw")))
+      .filter(length(col("sent")) > 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sentences"),
+        round(avg(length(col("sent"))), 6).as("mean_len"),
+        max(length(col("sent"))).cast("long").as("max_len"))
+      .orderBy("doc_id")
+
+  /** #1f right-to-be-forgotten cascade audit: a deterministic 2% of
+    * users (same [[arithHash]] arithmetic as every sampling oracle) is
+    * deleted from the event log; per day, rows before, rows after the
+    * anti-join, and rows removed — the account a deletion pipeline has
+    * to produce to prove the cascade ran. */
+  def forgetUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+    val forget = ev.select("user_id").distinct()
+      .filter(pmod(arithHash(col("user_id"), 99L), lit(1000000L)) < 20000L)
+    val after = ev.join(broadcast(forget), Seq("user_id"), "left_anti")
+    ev.groupBy("day").agg(count(lit(1)).as("n_before"))
+      .join(after.groupBy("day").agg(count(lit(1)).as("n_after")), Seq("day"), "left")
+      .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+      .withColumn("n_removed", col("n_before") - col("n_after"))
+      .orderBy("day")
+  }
+
   /** #7o day-over-day user churn: per day, the users retained from,
     * new versus, and churned since the previous day — a full-outer
     * set-op on the deduped (day, user) pairs, the daily growth
@@ -1455,6 +1512,9 @@ object OpsQueries {
     "events_theilsen"   -> (eventsTheilsen _),
     "user_churn"        -> (userChurn _),
     "fanout_profile"    -> (fanoutProfile _),
+    "vocab_coverage"    -> (vocabCoverage _),
+    "doc_sentences"     -> (docSentences _),
+    "forget_users"      -> (forgetUsers _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2119,6 +2179,47 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+        |    FROM toks GROUP BY term
+        |  ) WHERE rk <= 1000
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE v.term IS NULL) AS n_oov,
+        |  round(count(*) FILTER (WHERE v.term IS NULL)::DOUBLE / count(*), 6)
+        |    AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_sentences" ->
+      """WITH s AS (
+        |  SELECT doc_id, trim(unnest(regexp_extract_all(text, '[^.!?]+'))) AS sent
+        |  FROM documents
+        |)
+        |SELECT doc_id, count(*) AS n_sentences,
+        |  round(avg(length(sent)), 6) AS mean_len,
+        |  max(length(sent))::BIGINT AS max_len
+        |FROM s WHERE length(sent) > 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "forget_users" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+        |), forget AS (
+        |  SELECT DISTINCT user_id FROM ev
+        |  WHERE ((user_id % 1000000) * 2654435761 + 99) % 1000000 < 20000
+        |), b AS (SELECT day, count(*) AS n_before FROM ev GROUP BY 1),
+        |a AS (
+        |  SELECT day, count(*) AS n_after FROM ev
+        |  WHERE user_id NOT IN (SELECT user_id FROM forget) GROUP BY 1
+        |)
+        |SELECT b.day, b.n_before, coalesce(a.n_after, 0) AS n_after,
+        |  b.n_before - coalesce(a.n_after, 0) AS n_removed
+        |FROM b LEFT JOIN a ON b.day = a.day
+        |ORDER BY b.day""".stripMargin,
     "user_churn" ->
       """WITH du AS (
         |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events

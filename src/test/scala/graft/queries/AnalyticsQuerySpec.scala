@@ -195,6 +195,33 @@ class AnalyticsQuerySpec extends SparkSpec {
       == orders)
   }
 
+  test("vocab_coverage: oov rate bounded, zero for docs of common tokens only") {
+    val rows = OpsQueries.vocabCoverage(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("doc_sentences: counts positive, mean <= max length") {
+    val rows = OpsQueries.docSentences(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sentences") >= 1L)
+      assert(r.getAs[Double]("mean_len") <= r.getAs[Long]("max_len") + 1e-9)
+    }
+  }
+
+  test("forget_users: cascade removes exactly the flagged users' rows") {
+    val rows = OpsQueries.forgetUsers(spark, dir).collect()
+    assert(rows.forall(r => r.getAs[Long]("n_before") ==
+      r.getAs[Long]("n_after") + r.getAs[Long]("n_removed")))
+    // The 2% hash slice must actually flag someone at this SF.
+    assert(rows.map(_.getAs[Long]("n_removed")).sum > 0)
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
