@@ -1324,6 +1324,61 @@ object OpsQueries {
       .orderBy("day")
   }
 
+  /** #47d point-in-time SCD2 lookup: the dimension version valid at
+    * the corpus-midpoint probe instant (exact integer µs, so both
+    * engines pick the identical T) — the feature-correctness join a
+    * training pipeline needs to avoid leakage. A production PIT join
+    * probes a SET of instants via the interval range join (#7c); the
+    * single-probe form keeps the oracle a pure predicate. */
+  def scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val hist = graft.ops.Upsert.scd2(Tables.events(s, dir),
+        keyCols = Seq("user_id", "event_type"),
+        versionCol = "ts", tieCols = Seq("event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"))
+    val t = Tables.events(s, dir)
+      .agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("t"))
+    hist.crossJoin(broadcast(t))
+      .filter(col("valid_from_us") <= col("t") &&
+        (col("valid_to_us").isNull || col("valid_to_us") > col("t")))
+      .select("user_id", "event_type", "event_id", "valid_from_us")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** #7p day-of-week × hour-of-day activity heatmap: the weekly
+    * rhythm grid. Both axes are pure integer arithmetic on epoch
+    * micros ((epoch_day + 4) mod 7 puts Sunday at 0 — engine-proof,
+    * unlike the engines' differing dayofweek conventions). */
+  def eventsHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .groupBy(expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    g.crossJoin(broadcast(g.agg(sum("n_events").as("tot"))))
+      .withColumn("share", round(col("n_events").cast("double") / col("tot"), 6))
+      .select("dow", "hod", "n_events", "share")
+      .orderBy("dow", "hod")
+  }
+
+  /** #2b pre-aggregation reuse: the weekly rollup derived FROM the
+    * daily rollup (one base scan; the weekly pass re-aggregates ~days
+    * rows, not events) — the materialized-cube economics every metrics
+    * stack depends on. The metric rides exact integer micro-units, so
+    * the two-stage sum is bit-identical to the oracle's — reuse must
+    * not change results, and with integer sums it provably can't. */
+  def rollupReuse(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000000, 0).cast("long")).as("sv"))
+    daily
+      .groupBy(expr("day div 7").as("week"), col("event_type"))
+      .agg(sum("n").as("n_events"),
+        round(sum("sv") / lit(1000000.0), 6).as("sum_value"))
+      .orderBy("week", "event_type")
+  }
+
   /** #7o day-over-day user churn: per day, the users retained from,
     * new versus, and churned since the previous day — a full-outer
     * set-op on the deduped (day, user) pairs, the daily growth
@@ -1515,6 +1570,9 @@ object OpsQueries {
     "vocab_coverage"    -> (vocabCoverage _),
     "doc_sentences"     -> (docSentences _),
     "forget_users"      -> (forgetUsers _),
+    "scd2_lookup"       -> (scd2Lookup _),
+    "events_heatmap"    -> (eventsHeatmap _),
+    "rollup_reuse"      -> (rollupReuse _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2179,6 +2237,36 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "scd2_lookup" ->
+      """WITH v AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS valid_from_us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS valid_to_us
+        |  FROM events
+        |), t AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t FROM events
+        |)
+        |SELECT user_id, event_type, event_id, valid_from_us
+        |FROM v, t
+        |WHERE valid_from_us <= t.t AND (valid_to_us IS NULL OR valid_to_us > t.t)
+        |ORDER BY user_id, event_type""".stripMargin,
+    "events_heatmap" ->
+      """WITH g AS (
+        |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hod, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), tt AS (SELECT sum(n_events) AS tot FROM g)
+        |SELECT dow, hod, n_events,
+        |  round(n_events::DOUBLE / (SELECT tot FROM tt), 6) AS share
+        |FROM g ORDER BY dow, hod""".stripMargin,
+    // Two-stage on the Spark side, one-stage here: integer micro-unit
+    // sums make the associativity difference provably invisible.
+    "rollup_reuse" ->
+      """SELECT (epoch_us(ts) // 86400000000) // 7 AS week, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(round(value * 1000000, 0)::BIGINT) / 1000000.0, 6) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY week, event_type""".stripMargin,
     "vocab_coverage" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term

@@ -222,6 +222,32 @@ class AnalyticsQuerySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_removed")).sum > 0)
   }
 
+  test("scd2_lookup: at most one valid version per key at the probe instant") {
+    val rows = OpsQueries.scd2Lookup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    assert(keys.distinct.length == keys.length, "duplicate key at probe time")
+  }
+
+  test("events_heatmap: grid within bounds, shares sum to 1") {
+    val rows = OpsQueries.eventsHeatmap(spark, dir).collect()
+    assert(rows.forall(r => (0L to 6L).contains(r.getAs[Long]("dow"))))
+    assert(rows.forall(r => (0L to 23L).contains(r.getAs[Long]("hod"))))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+  }
+
+  test("rollup_reuse: weekly counts equal a direct weekly aggregation") {
+    val rows = OpsQueries.rollupReuse(spark, dir).collect()
+      .map(r => (r.getAs[Long]("week"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("n_events")).toMap
+    val direct = graft.Tables.events(spark, dir)
+      .groupBy(expr("(unix_micros(ts) div 86400000000) div 7").as("week"),
+        col("event_type")).count()
+      .collect().map(r => (r.getAs[Long]("week"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("count")).toMap
+    assert(rows == direct, "reuse path diverged from direct aggregation")
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
