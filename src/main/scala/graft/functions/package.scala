@@ -29,9 +29,14 @@ package object functions {
         "actualNum" -> actual.toString,
         "docroot" -> "https://spark.apache.org/docs/latest"))
 
+  /** Geometric mean of a positive double column
+    * ([[graft.functions.GeoMean]], typed Aggregator → UDAF). */
+  def geo_mean(x: Column): Column = call_function("geo_mean", x)
+
   /** Register graft's expressions with a session's function registry
     * (idempotent); enables both the Column helpers above and SQL-text use. */
   def register(spark: SparkSession): Unit = {
+    spark.udf.register("geo_mean", org.apache.spark.sql.functions.udaf(GeoMean))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),

@@ -1379,6 +1379,51 @@ object OpsQueries {
       .orderBy("week", "event_type")
   }
 
+  /** #5o geometric mean of positive event values per type through the
+    * CUSTOM typed Aggregator ([[graft.functions.GeoMean]], registered
+    * as a UDAF): state is the mergeable (Σ ln x, n) pair, so the plan
+    * gets partial aggregation like any built-in — the custom-aggregate
+    * extension tier next to the scalar expressions. */
+  def eventsGeomean(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value") > 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(graft.functions.geo_mean(col("value")), 6).as("geo_mean"))
+      .orderBy("event_type")
+
+  /** #5p rank-based quantile normalization of event values onto the
+    * pooled distribution (the ML-preprocessing step that forces every
+    * group onto one scale): within-group rank i of m maps to the pooled
+    * order statistic at index ((i−1)·(N−1)) div (m−1) — all integer
+    * arithmetic over total orders, so the mapping is engine-exact. The
+    * pooled global rank is the oracle-able form; at 100 TB the pooled
+    * quantile function would come from an approx-quantile sketch table
+    * instead of a global sort. */
+  def quantileNorm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+    val pooled = ev
+      .withColumn("idx", row_number().over(
+        Window.orderBy(col("value"), col("event_id"))).cast("long") - 1)
+      .select(col("idx"), col("value").as("pooled_value"))
+    val n = ev.agg(count(lit(1)).as("nn"))
+    val grouped = ev
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("value"), col("event_id")))
+        .cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+    grouped.crossJoin(broadcast(n))
+      .withColumn("idx",
+        when(col("m") === 1, expr("(nn - 1) div 2"))
+          .otherwise(expr("((i - 1) * (nn - 1)) div (m - 1)")))
+      .join(pooled, "idx")
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"),
+        round(col("pooled_value"), 6).as("norm_value"))
+      .orderBy("event_id")
+  }
+
   /** #7o day-over-day user churn: per day, the users retained from,
     * new versus, and churned since the previous day — a full-outer
     * set-op on the deduped (day, user) pairs, the daily growth
@@ -1573,6 +1618,8 @@ object OpsQueries {
     "scd2_lookup"       -> (scd2Lookup _),
     "events_heatmap"    -> (eventsHeatmap _),
     "rollup_reuse"      -> (rollupReuse _),
+    "events_geomean"    -> (eventsGeomean _),
+    "quantile_norm"     -> (quantileNorm _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2237,6 +2284,34 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "events_geomean" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(exp(avg(ln(value))), 6) AS geo_mean
+        |FROM events WHERE value > 0
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "quantile_norm" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+        |pooled AS (
+        |  SELECT row_number() OVER (ORDER BY value, event_id) - 1 AS idx,
+        |    value AS pooled_value
+        |  FROM ev
+        |), n AS (SELECT count(*) AS nn FROM ev),
+        |g AS (
+        |  SELECT event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS i,
+        |    count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM ev
+        |), m2 AS (
+        |  SELECT event_id, event_type, value,
+        |    CASE WHEN m = 1 THEN (nn - 1) // 2
+        |         ELSE ((i - 1) * (nn - 1)) // (m - 1) END AS idx
+        |  FROM g, n
+        |)
+        |SELECT m2.event_id, m2.event_type, round(m2.value, 6) AS value,
+        |  round(p.pooled_value, 6) AS norm_value
+        |FROM m2 JOIN pooled p ON m2.idx = p.idx
+        |ORDER BY event_id""".stripMargin,
     "scd2_lookup" ->
       """WITH v AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS valid_from_us,

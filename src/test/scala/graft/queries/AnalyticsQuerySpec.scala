@@ -248,6 +248,42 @@ class AnalyticsQuerySpec extends SparkSpec {
     assert(rows == direct, "reuse path diverged from direct aggregation")
   }
 
+  test("GeoMean aggregator: matches exp(mean log), merge is associative") {
+    import graft.functions.GeoMean
+    val xs = Seq(1.0, 2.0, 4.0, 8.0)
+    val direct = xs.map(x => GeoMean.reduce(GeoMean.zero, x))
+      .reduce(GeoMean.merge)
+    assert(math.abs(GeoMean.finish(direct) - math.exp(
+      xs.map(math.log).sum / 4)) < 1e-12)
+    // Split-merge equals one-pass.
+    val (l, r) = xs.splitAt(2)
+    def fold(s: Seq[Double]) = s.foldLeft(GeoMean.zero)(GeoMean.reduce)
+    assert(GeoMean.finish(GeoMean.merge(fold(l), fold(r))) ==
+      GeoMean.finish(fold(xs)))
+    assert(GeoMean.finish(GeoMean.zero).isNaN)
+    // Through the registered UDAF, geometric <= arithmetic mean (AM-GM).
+    val rows = OpsQueries.eventsGeomean(spark, dir).collect()
+    val am = graft.Tables.events(spark, dir).filter(col("value") > 0)
+      .groupBy("event_type").agg(avg("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(r.getAs[Double]("geo_mean") <=
+      am(r.getAs[String]("event_type")) + 1e-9))
+  }
+
+  test("quantile_norm: rank order preserved within groups, range pinned to pool") {
+    val rows = OpsQueries.quantileNorm(spark, dir).collect()
+    val pool = rows.map(_.getAs[Double]("value"))
+    val (lo, hi) = (pool.min, pool.max)
+    assert(rows.forall { r =>
+      val v = r.getAs[Double]("norm_value"); v >= lo && v <= hi })
+    rows.groupBy(_.getAs[String]("event_type")).values.foreach { g =>
+      val sorted = g.sortBy(r => (r.getAs[Double]("value"), r.getAs[Long]("event_id")))
+      val norms = sorted.map(_.getAs[Double]("norm_value"))
+      assert(norms.zip(norms.tail).forall { case (a, b) => a <= b },
+        "normalization broke within-group order")
+    }
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
