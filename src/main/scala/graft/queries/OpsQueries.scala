@@ -1424,6 +1424,66 @@ object OpsQueries {
       .orderBy("event_id")
   }
 
+  /** #7q audience saturation: cumulative distinct users by day — each
+    * user counts once at their FIRST day (a groupBy min, no
+    * distinct-over-window state), then a running sum over the
+    * calendar-bounded day axis. */
+  def userCumulative(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(expr("unix_micros(ts) div 86400000000")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val days = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+    days.join(firstDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum("new_users").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
+  /** #4h revenue Lorenz curve + Gini: customers ranked by exact-cents
+    * lifetime spend, cumulative revenue share at each decile boundary,
+    * and the Gini coefficient from the exact trapezoid sum — the
+    * inequality readout next to the per-nation HHI. Windows run over
+    * one-row-per-customer aggregates (the established exception). */
+  def revenueLorenz(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(s, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_custkey"))
+    val ranked = spend
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("cents").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = spend.agg(sum("cents").as("tot"), count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(tot))
+      // Keep the first rank of each decile bucket — the row where
+      // (rk·10) div n jumps — so exactly 10 boundary rows for any n.
+      .filter(expr("(rk * 10) div n > ((rk - 1) * 10) div n"))
+      .select(expr("(rk * 10) div n").as("decile"), col("rk").as("n_customers"),
+        round(col("cum").cast("double") / col("tot"), 6).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  /** #3e catalog coverage: per brand, parts never ordered (broadcast
+    * anti-join of the catalog against observed lineitem part keys) —
+    * the assortment dead-stock readout. */
+  def catalogCoverage(s: SparkSession, dir: String): DataFrame = {
+    val ordered = Tables.lineitem(s, dir).select(col("l_partkey")).distinct()
+    val parts = Tables.part(s, dir)
+    val never = parts.join(ordered, col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy("p_brand").agg(count(lit(1)).as("n_never"))
+    parts.groupBy("p_brand").agg(count(lit(1)).as("n_parts"))
+      .join(never, Seq("p_brand"), "left")
+      .withColumn("n_never", coalesce(col("n_never"), lit(0L)))
+      .withColumn("coverage",
+        round((col("n_parts") - col("n_never")).cast("double") / col("n_parts"), 6))
+      .orderBy("p_brand")
+  }
+
   /** #7o day-over-day user churn: per day, the users retained from,
     * new versus, and churned since the previous day — a full-outer
     * set-op on the deduped (day, user) pairs, the daily growth
@@ -1620,6 +1680,9 @@ object OpsQueries {
     "rollup_reuse"      -> (rollupReuse _),
     "events_geomean"    -> (eventsGeomean _),
     "quantile_norm"     -> (quantileNorm _),
+    "user_cumulative"   -> (userCumulative _),
+    "revenue_lorenz"    -> (revenueLorenz _),
+    "catalog_coverage"  -> (catalogCoverage _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2284,6 +2347,45 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "user_cumulative" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+        |  FROM events GROUP BY 1
+        |), nu AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1),
+        |days AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events)
+        |SELECT d.day, coalesce(nu.new_users, 0) AS new_users,
+        |  sum(coalesce(nu.new_users, 0)) OVER (ORDER BY d.day
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+        |FROM days d LEFT JOIN nu ON d.day = nu.day
+        |ORDER BY d.day""".stripMargin,
+    "revenue_lorenz" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(round(o_totalprice * 100, 0)::BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT o_custkey, cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) AS rk,
+        |    sum(cents) OVER (ORDER BY cents, o_custkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM spend
+        |), t AS (SELECT sum(cents) AS tot, count(*) AS n FROM spend)
+        |SELECT (rk * 10) // n AS decile, rk AS n_customers,
+        |  round(cum::DOUBLE / (SELECT tot FROM t), 6) AS cum_share
+        |FROM r, t
+        |WHERE (rk * 10) // n > ((rk - 1) * 10) // n
+        |ORDER BY decile""".stripMargin,
+    "catalog_coverage" ->
+      """WITH ordered AS (SELECT DISTINCT l_partkey FROM lineitem),
+        |nev AS (
+        |  SELECT p_brand, count(*) AS n_never FROM part
+        |  WHERE p_partkey NOT IN (SELECT l_partkey FROM ordered)
+        |  GROUP BY 1
+        |), tot AS (SELECT p_brand, count(*) AS n_parts FROM part GROUP BY 1)
+        |SELECT t.p_brand, t.n_parts, coalesce(nev.n_never, 0) AS n_never,
+        |  round((t.n_parts - coalesce(nev.n_never, 0))::DOUBLE / t.n_parts, 6)
+        |    AS coverage
+        |FROM tot t LEFT JOIN nev ON t.p_brand = nev.p_brand
+        |ORDER BY t.p_brand""".stripMargin,
     "events_geomean" ->
       """SELECT event_type, count(*) AS n,
         |  round(exp(avg(ln(value))), 6) AS geo_mean

@@ -284,6 +284,39 @@ class AnalyticsQuerySpec extends SparkSpec {
     }
   }
 
+  test("user_cumulative: monotone, ends at the distinct-user count") {
+    val rows = OpsQueries.userCumulative(spark, dir).collect()
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    val distinctUsers = graft.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(cums.last == distinctUsers)
+    assert(rows.map(_.getAs[Long]("new_users")).sum == distinctUsers)
+  }
+
+  test("revenue_lorenz: 10 deciles, convex increasing shares ending at 1") {
+    val rows = OpsQueries.revenueLorenz(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(shares.last - 1.0) < 1e-6)
+    // Lorenz curve lies under the diagonal (bottom deciles own less).
+    rows.init.foreach { r =>
+      assert(r.getAs[Double]("cum_share") <= r.getAs[Long]("decile") / 10.0 + 1e-6)
+    }
+  }
+
+  test("catalog_coverage: coverage consistent with never-ordered counts") {
+    val rows = OpsQueries.catalogCoverage(spark, dir).collect()
+    val totalParts = graft.Tables.part(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == totalParts)
+    rows.foreach { r =>
+      val (np, nn) = (r.getAs[Long]("n_parts"), r.getAs[Long]("n_never"))
+      assert(nn <= np)
+      assert(math.abs(r.getAs[Double]("coverage") - (np - nn).toDouble / np) < 1e-5)
+    }
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
