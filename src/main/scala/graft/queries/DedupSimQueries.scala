@@ -230,6 +230,40 @@ object DedupSimQueries {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** #19q survivorship / golden-record construction: per near-dup
+    * cluster (singletons included), the merged record — smallest id as
+    * record key, member count, the modal language (count-then-lang
+    * total order breaks ties) and the longest body. The field-wise
+    * merge step an entity-resolution pipeline runs AFTER clustering,
+    * where keep-one would throw information away. */
+  def dedupSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val corpus = docs.unionAll(docs.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 40, 1))").as("text")))
+    val meta = corpus
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("base_id",
+        when(col("doc_id") >= 1000000, col("doc_id") - 1000000).otherwise(col("doc_id")))
+      .join(Tables.documents(s, dir).select(col("doc_id").as("base_id"), col("lang")),
+        "base_id")
+      .select("doc_id", "n_chars", "lang")
+    val members = meta
+      .join(clusterLabels(s, dir), col("doc_id") === col("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val lm = members.groupBy("cluster", "lang").agg(count(lit(1)).as("cnt"))
+    val modeLang = lm.withColumn("r", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("cnt").desc, col("lang"))))
+      .filter(col("r") === 1).select(col("cluster"), col("lang").as("golden_lang"))
+    members.groupBy("cluster")
+      .agg(min("doc_id").as("record_id"), count(lit(1)).as("n_members"),
+        max("n_chars").as("max_chars"))
+      .join(modeLang, "cluster")
+      .select("cluster", "record_id", "n_members", "golden_lang", "max_chars")
+      .orderBy("cluster")
+  }
+
   /** #19o fixed-depth BFS hop distances over the symmetrized similarity
     * graph ([[graft.ops.Bfs]]), rooted at the max-degree vertex
     * (smallest id on ties) — the reachability profile of the densest
@@ -617,6 +651,7 @@ object DedupSimQueries {
     "graph_pagerank"      -> (graphPagerank _),
     "graph_bfs"           -> (graphBfs _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
+    "dedup_survivorship"  -> (dedupSurvivorship _),
     "pair_edit_distance"  -> (pairEditDistance _),
     "para_dedup"          -> (paraDedup _),
     "span_overlap"        -> (spanOverlap _),
@@ -675,6 +710,33 @@ object DedupSimQueries {
         |  FROM corpus LEFT JOIN labels ON corpus.doc_id = labels.id
         |) ORDER BY doc_id""".stripMargin),
     "dedup_ngram_jaccard" -> ngramTruthSql(Some(10)),
+    // Same labels; field-wise merge with a count-then-lang modal vote.
+    "dedup_survivorship" ->
+      (reachPrefix + """
+        |, labels AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a)
+        |, meta AS (
+        |  SELECT c.doc_id, length(c.text)::BIGINT AS n_chars, d.lang
+        |  FROM corpus c JOIN documents d ON d.doc_id =
+        |    CASE WHEN c.doc_id >= 1000000 THEN c.doc_id - 1000000 ELSE c.doc_id END
+        |), mem AS (
+        |  SELECT m.doc_id, m.n_chars, m.lang,
+        |    coalesce(l.cluster, m.doc_id) AS cluster
+        |  FROM meta m LEFT JOIN labels l ON m.doc_id = l.id
+        |), lm AS (SELECT cluster, lang, count(*) AS cnt FROM mem GROUP BY 1, 2),
+        |ml AS (
+        |  SELECT cluster, lang AS golden_lang FROM (
+        |    SELECT cluster, lang,
+        |      row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, lang) AS r
+        |    FROM lm) WHERE r = 1
+        |), agg AS (
+        |  SELECT cluster, min(doc_id) AS record_id, count(*) AS n_members,
+        |    max(n_chars) AS max_chars
+        |  FROM mem GROUP BY cluster
+        |)
+        |SELECT agg.cluster, agg.record_id, agg.n_members, ml.golden_lang,
+        |  agg.max_chars
+        |FROM agg JOIN ml ON agg.cluster = ml.cluster
+        |ORDER BY agg.cluster""".stripMargin),
     // Histogram over the same recursive component labels.
     "dedup_cluster_sizes" ->
       (reachPrefix + """

@@ -1484,6 +1484,25 @@ object OpsQueries {
       .orderBy("p_brand")
   }
 
+  /** #33b class rebalancing: every event type downsampled to the
+    * minority class size by hash-ranked selection (the [[arithHash]]
+    * order, so the kept set is deterministic and oracle-mirrorable) —
+    * the class-balance step before training on skewed label
+    * distributions. */
+  def classRebalance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select("event_id", "event_type")
+    val target = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .agg(min("cnt").as("target"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(pmod(arithHash(col("event_id"), 77L), lit(1000000L)), col("event_id"))
+    ev.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(target))
+      .filter(col("rk") <= col("target"))
+      .select("event_id", "event_type", "rk")
+      .orderBy("event_id")
+  }
+
   /** #7o day-over-day user churn: per day, the users retained from,
     * new versus, and churned since the previous day — a full-outer
     * set-op on the deduped (day, user) pairs, the daily growth
@@ -1683,6 +1702,7 @@ object OpsQueries {
     "user_cumulative"   -> (userCumulative _),
     "revenue_lorenz"    -> (revenueLorenz _),
     "catalog_coverage"  -> (catalogCoverage _),
+    "class_rebalance"   -> (classRebalance _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2347,6 +2367,19 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "class_rebalance" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ((event_id % 1000000) * 2654435761 + 77) % 1000000,
+        |        event_id) AS rk
+        |  FROM events
+        |), t AS (
+        |  SELECT min(cnt) AS target FROM (
+        |    SELECT count(*) AS cnt FROM events GROUP BY event_type)
+        |)
+        |SELECT event_id, event_type, rk FROM r, t
+        |WHERE rk <= t.target ORDER BY event_id""".stripMargin,
     "user_cumulative" ->
       """WITH fd AS (
         |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS day

@@ -317,6 +317,27 @@ class AnalyticsQuerySpec extends SparkSpec {
     }
   }
 
+  test("class_rebalance: every class downsampled to exactly the minority size") {
+    val rows = OpsQueries.classRebalance(spark, dir).collect()
+    val sizes = rows.groupBy(_.getAs[String]("event_type")).view.mapValues(_.length)
+    val minOriginal = graft.Tables.events(spark, dir)
+      .groupBy("event_type").count().agg(min("count")).head.getLong(0)
+    assert(sizes.values.toSet == Set(minOriginal.toInt),
+      s"unbalanced: ${sizes.toMap}")
+  }
+
+  test("dedup_survivorship: clusters partition the corpus, golden fields sane") {
+    val rows = DedupSimQueries.dedupSurvivorship(spark, dir).collect()
+    val corpusSize = 2 * graft.Tables.documents(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == corpusSize)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("record_id") >= r.getAs[Long]("cluster") ||
+        r.getAs[Long]("record_id") == r.getAs[Long]("cluster"))
+      assert(r.getAs[Long]("max_chars") > 0)
+      assert(r.getAs[String]("golden_lang").nonEmpty)
+    }
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
