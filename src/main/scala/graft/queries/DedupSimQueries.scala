@@ -230,6 +230,31 @@ object DedupSimQueries {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** #23d binary sign-sketch similarity: each embedding quantized to a
+    * 63-bit sign signature (one BIGINT — bit i set iff component i > 0),
+    * then top-5 neighbors per probe by exact integer Hamming distance
+    * (`bit_count(xor)`), vec_id tiebreak. The 64-byte-to-8-byte
+    * compression tier below PQ: at 100 TB the signature table is what
+    * ships to every executor, and XOR+popcount is the cheapest distance
+    * there is. Fourth ANN family next to brute-force, LSH and (IVF-)PQ. */
+  def simHamming(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = Tables.embeddings(s, dir).select(col("vec_id"), expr(
+      """aggregate(sequence(1, 63), 0L,
+        |  (acc, i) -> acc + CASE WHEN element_at(embedding, i) > 0
+        |    THEN shiftleft(1L, i - 1) ELSE 0L END)""".stripMargin).as("sig"))
+    val probes = sig.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("sig").as("psig"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("hamming"), col("vec_id"))
+    probes.join(sig, col("vec_id") =!= col("probe_id"))
+      .withColumn("hamming", expr("bit_count(sig ^ psig)").cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("probe_id", "rk", "vec_id", "hamming")
+      .orderBy("probe_id", "rk")
+  }
+
   /** #19q survivorship / golden-record construction: per near-dup
     * cluster (singletons included), the merged record — smallest id as
     * record key, member count, the modal language (count-then-lang
@@ -652,6 +677,7 @@ object DedupSimQueries {
     "graph_bfs"           -> (graphBfs _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_survivorship"  -> (dedupSurvivorship _),
+    "sim_hamming"         -> (simHamming _),
     "pair_edit_distance"  -> (pairEditDistance _),
     "para_dedup"          -> (paraDedup _),
     "span_overlap"        -> (spanOverlap _),
@@ -710,6 +736,28 @@ object DedupSimQueries {
         |  FROM corpus LEFT JOIN labels ON corpus.doc_id = labels.id
         |) ORDER BY doc_id""".stripMargin),
     "dedup_ngram_jaccard" -> ngramTruthSql(Some(10)),
+    // Same 63-bit sign signature, exact integer hamming, id tiebreak.
+    "sim_hamming" ->
+      """WITH sig AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN embedding[g.i] > 0 THEN (1::BIGINT << (g.i - 1))
+        |      ELSE 0 END)::BIGINT AS sig
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, 63)) AS i) g
+        |  GROUP BY vec_id
+        |), p AS (
+        |  SELECT vec_id AS probe_id, sig AS psig FROM sig WHERE vec_id < 3
+        |), h AS (
+        |  SELECT p.probe_id, s.vec_id,
+        |    bit_count(xor(s.sig, p.psig))::BIGINT AS hamming
+        |  FROM p JOIN sig s ON s.vec_id <> p.probe_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY hamming, vec_id) AS rk
+        |  FROM h
+        |)
+        |SELECT probe_id, rk, vec_id, hamming FROM r WHERE rk <= 5
+        |ORDER BY probe_id, rk""".stripMargin,
     // Same labels; field-wise merge with a count-then-lang modal vote.
     "dedup_survivorship" ->
       (reachPrefix + """

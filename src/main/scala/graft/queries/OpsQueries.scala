@@ -1484,6 +1484,32 @@ object OpsQueries {
       .orderBy("p_brand")
   }
 
+  /** #3g weighted median unit price per return flag (weights =
+    * quantities): sort by (price, line identity), running weight sum,
+    * first row reaching half the total — weighted order statistics
+    * without any sampling. Quantities are integral doubles, so every
+    * running sum is exact and the pick is engine-identical. */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") / col("l_quantity"), 6).as("unit"),
+      col("l_quantity").as("wt"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy("flag")
+      .orderBy(col("unit"), col("l_orderkey"), col("l_linenumber"))
+    val cum = li
+      .withColumn("cum", sum("wt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum("wt").over(Window.partitionBy("flag")))
+      .filter(col("cum") * 2 >= col("tot"))
+    cum.withColumn("r", row_number().over(
+        Window.partitionBy("flag").orderBy(col("unit"), col("l_orderkey"), col("l_linenumber"))))
+      .filter(col("r") === 1)
+      .select(col("flag"), col("unit").as("weighted_median"),
+        round(col("tot"), 2).as("total_weight"))
+      .orderBy("flag")
+  }
+
   /** #33b class rebalancing: every event type downsampled to the
     * minority class size by hash-ranked selection (the [[arithHash]]
     * order, so the kept set is deterministic and oracle-mirrorable) —
@@ -1703,6 +1729,7 @@ object OpsQueries {
     "revenue_lorenz"    -> (revenueLorenz _),
     "catalog_coverage"  -> (catalogCoverage _),
     "class_rebalance"   -> (classRebalance _),
+    "weighted_median"   -> (weightedMedian _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2367,6 +2394,27 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |    round(l_extendedprice / l_quantity, 6) AS unit,
+        |    l_quantity AS wt, l_orderkey, l_linenumber
+        |  FROM lineitem
+        |), c AS (
+        |  SELECT *,
+        |    sum(wt) OVER (PARTITION BY flag
+        |      ORDER BY unit, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(wt) OVER (PARTITION BY flag) AS tot
+        |  FROM li
+        |), f AS (
+        |  SELECT flag, unit, tot,
+        |    row_number() OVER (PARTITION BY flag
+        |      ORDER BY unit, l_orderkey, l_linenumber) AS r
+        |  FROM c WHERE cum * 2 >= tot
+        |)
+        |SELECT flag, unit AS weighted_median, round(tot, 2) AS total_weight
+        |FROM f WHERE r = 1 ORDER BY flag""".stripMargin,
     "class_rebalance" ->
       """WITH r AS (
         |  SELECT event_id, event_type,

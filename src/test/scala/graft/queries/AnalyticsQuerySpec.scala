@@ -338,6 +338,34 @@ class AnalyticsQuerySpec extends SparkSpec {
     }
   }
 
+  test("weighted_median: at least half the weight sits at or below the pick") {
+    val rows = OpsQueries.weightedMedian(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      val wm = r.getAs[Double]("weighted_median")
+      val li = graft.Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") === flag)
+        .select(round(col("l_extendedprice") / col("l_quantity"), 6).as("unit"),
+          col("l_quantity").as("wt"))
+      val tot = li.agg(sum("wt")).head.getDouble(0)
+      val below = li.filter(col("unit") <= wm).agg(sum("wt")).head.getDouble(0)
+      val above = li.filter(col("unit") >= wm).agg(sum("wt")).head.getDouble(0)
+      assert(below * 2 >= tot && above * 2 >= tot, s"$flag: $below/$above of $tot")
+    }
+  }
+
+  test("sim_hamming: planted sign-identical vector is its base's nearest neighbor") {
+    import spark.implicits._
+    val rows = DedupSimQueries.simHamming(spark, dir).collect()
+    assert(rows.length == 15) // 3 probes × top-5
+    rows.groupBy(_.getAs[Long]("probe_id")).values.foreach { g =>
+      val hs = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("hamming"))
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b })
+      assert(hs.forall(h => h >= 0 && h <= 63))
+    }
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
