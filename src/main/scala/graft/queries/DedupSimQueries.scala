@@ -115,6 +115,10 @@ object DedupSimQueries {
         "doc_id_a")
       .join(corpus.select(col("doc_id").as("doc_id_b"), col("text").as("tb")),
         "doc_id_b")
+      // The candidate list is tiny in bytes, so AQE coalesces it to ~1
+      // partition — which would serialize the O(m·n) edit-distance pass
+      // on one core (same trap as sortedNeighborhood's verify).
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id_a"), col("doc_id_b"),
         levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
       .orderBy("doc_id_a", "doc_id_b")
