@@ -318,6 +318,62 @@ object Relational {
     both.unionAll(only).orderBy("set_op", "cust")
   }
 
+  /** #3h TPC-H Q5-style star join: revenue per nation of region 0,
+    * counting only lineitems whose supplier sits in the customer's own
+    * nation — the 5-table chain (region→nation→customer→orders→
+    * lineitem→supplier) with every dim broadcast and the local-supplier
+    * predicate as a join condition, not a post-filter. */
+  def q17Star(s: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_regionkey") === 0)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    Tables.customer(s, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("cents") / lit(100.0), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** #6b correlated EXISTS (TPC-H Q4 shape): orders having at least
+    * one line shipped more than 60 days after the order date, counted
+    * per priority — the semi-join the optimizer must NOT expand into a
+    * fan-out join (one output row per order regardless of line count). */
+  def q18Exists(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey") &&
+          expr("l_shipdate > o_orderdate + INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+
+  /** #6c correlated scalar aggregate (TPC-H Q17 shape): lineitems with
+    * quantity under 20% of their part's average. The comparison runs as
+    * exact integers — `qty·5·n < Σqty` instead of `qty < 0.2·avg` — so
+    * no float-boundary row can flip between engines. */
+  def q19ScalarSub(s: SparkSession, dir: String): DataFrame = {
+    val partAgg = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum("l_quantity").as("sumq"), count(lit(1)).as("nq"))
+    Tables.lineitem(s, dir)
+      .join(partAgg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") * 5 * col("nq") < col("sumq"))
+      .withColumn("cents", round(col("l_extendedprice") * 100, 0).cast("long"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        round(sum("cents") / lit(100.0) / lit(7.0), 2).as("avg_yearly"))
+  }
+
   /** #7 time-bucketed event aggregation: daily activity by event type. */
   def q7EventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -345,9 +401,42 @@ object Relational {
     "q15_fullouter"    -> (q15FullOuter _),
     "q16_setops"       -> (q16SetOps _),
     "topk_per_group"   -> (topkPerGroup _),
+    "q17_star"         -> (q17Star _),
+    "q18_exists"       -> (q18Exists _),
+    "q19_scalar_sub"   -> (q19ScalarSub _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q17_star" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  round(sum(round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT)
+        |    / 100.0, 2) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_regionkey = 0
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q18_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q19_scalar_sub" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk, sum(l_quantity) AS sumq, count(*) AS nq
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT count(*) AS n_small_lines,
+        |  round(sum(round(l_extendedprice * 100, 0)::BIGINT) / 100.0 / 7.0, 2)
+        |    AS avg_yearly
+        |FROM lineitem JOIN pa ON l_partkey = pk
+        |WHERE l_quantity * 5 * nq < sumq""".stripMargin,
     "topk_per_group" ->
       """WITH o AS (
         |  SELECT o_orderpriority, o_orderkey,

@@ -233,6 +233,17 @@ class PlanContractSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("star join rides broadcast dims, no cartesian anywhere") {
+    val plan = finalPlan(Relational.q17Star(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("correlated EXISTS plans as a semi-join, never a fan-out join") {
+    val plan = finalPlan(Relational.q18Exists(spark, dir))
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+  }
+
   test("bucketed fact join aggregates without exchanging on the order key") {
     // The whole point of the layout: neither fact side re-shuffles on
     // the order key even under the rollup (the tiny post-join priority
