@@ -86,7 +86,13 @@ object Dedup {
       // AQE coalesces this join output to ~1 partition (it is tiny in
       // BYTES), which would serialize the CPU-bound edit-distance pass
       // on one core; spread survivors across the session parallelism.
+      // The checkpoint is a REQUIRED barrier, not a cache nicety:
+      // without it Catalyst pushes the collapsed levenshtein filter
+      // back through the repartition exchange, evaluating it on the
+      // coalesced single partition (and re-projecting lev above). The
+      // materialized set is only the length-pruned candidates.
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
       .withColumn("lev", levenshtein(col("ta"), col("tb"), maxEdit).cast("long"))
       .filter(col("lev") >= 0 && col("lev") <= maxEdit)
       .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"), col("lev"))
