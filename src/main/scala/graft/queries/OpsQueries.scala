@@ -1510,6 +1510,31 @@ object OpsQueries {
       .orderBy("flag")
   }
 
+  /** #5q above-average streaks (gaps-and-islands on a condition): per
+    * type, the longest run of consecutive observed hours whose count
+    * exceeds the type's hourly average, plus how many such runs exist.
+    * The threshold comparison is the exact integer cross-multiply
+    * `n_events · n_hours > total` — no float average near the cut. */
+  def eventsStreaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hourly.groupBy("event_type")
+      .agg(sum("n").as("total"), count(lit(1)).as("n_hours"))
+    val above = hourly.join(tot, "event_type")
+      .filter(col("n") * col("n_hours") > col("total"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("hour_us")).cast("long"))
+      // Consecutive observed hours share one (hour index − rn) island key.
+      .withColumn("grp", expr("hour_us div 3600000000") - col("rn"))
+    above.groupBy("event_type", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("event_type")
+      .agg(max("len").as("longest_streak"), count(lit(1)).as("n_streaks"))
+      .orderBy("event_type")
+  }
+
   /** #33b class rebalancing: every event type downsampled to the
     * minority class size by hash-ranked selection (the [[arithHash]]
     * order, so the kept set is deterministic and oracle-mirrorable) —
@@ -1730,6 +1755,7 @@ object OpsQueries {
     "catalog_coverage"  -> (catalogCoverage _),
     "class_rebalance"   -> (classRebalance _),
     "weighted_median"   -> (weightedMedian _),
+    "events_streaks"    -> (eventsStreaks _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2394,6 +2420,26 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "events_streaks" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, sum(n) AS total, count(*) AS n_hours
+        |  FROM h GROUP BY 1
+        |), a AS (
+        |  SELECT h.event_type, h.hour_us,
+        |    row_number() OVER (PARTITION BY h.event_type ORDER BY h.hour_us) AS rn
+        |  FROM h JOIN t ON h.event_type = t.event_type
+        |  WHERE h.n * t.n_hours > t.total
+        |), g AS (
+        |  SELECT event_type, hour_us // 3600000000 - rn AS grp,
+        |    count(*) AS len
+        |  FROM a GROUP BY 1, 2
+        |)
+        |SELECT event_type, max(len) AS longest_streak, count(*) AS n_streaks
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
     "weighted_median" ->
       """WITH li AS (
         |  SELECT l_returnflag AS flag,

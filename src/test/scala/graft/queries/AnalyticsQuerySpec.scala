@@ -366,6 +366,15 @@ class AnalyticsQuerySpec extends SparkSpec {
     }
   }
 
+  test("events_streaks: streak bounds are consistent") {
+    val rows = OpsQueries.eventsStreaks(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("longest_streak") >= 1L)
+      assert(r.getAs[Long]("n_streaks") >= 1L)
+    }
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
