@@ -1535,6 +1535,78 @@ object OpsQueries {
       .orderBy("event_type")
   }
 
+  /** #34b leave-one-out target encoding of order priority against
+    * spend: each order's encoding is the mean of the OTHER orders in
+    * its category ((Σ − own)/(n−1), exact integer cents) — the
+    * leakage-safe form of mean encoding; the naive version would leak
+    * each row's own target into its feature. */
+  def targetEncode(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+    val agg = o.groupBy(col("o_orderpriority").as("pr"))
+      .agg(sum("cents").as("sc"), count(lit(1)).as("n"))
+    o.join(broadcast(agg), col("o_orderpriority") === col("pr"))
+      .withColumn("loo_mean", when(col("n") > 1,
+        round((col("sc") - col("cents")).cast("double")
+          / (col("n") - 1) / 100.0, 6)))
+      .select("o_orderkey", "o_orderpriority", "loo_mean")
+      .orderBy("o_orderkey")
+  }
+
+  /** #34c the hashing trick: (event_type, user) feature pairs hashed
+    * into 64 buckets via the md5-prefix arithmetic both engines share —
+    * fixed-width feature vectors with no vocabulary build, the
+    * unbounded-cardinality answer when even a vocab table is too big.
+    * Bucket histogram + distinct source pairs per bucket. */
+  def featureHash(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("bucket", pmod(
+        expr("cast(conv(substring(md5(concat(event_type, ':', " +
+          "cast(user_id as string))), 1, 15), 16, 10) as long)"), lit(64L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("event_type", "user_id").as("n_pairs"))
+      .orderBy("bucket")
+
+  /** #34d 1-D decision stump: the information-gain-best threshold on
+    * order value for predicting finished status, over 9 equi-spaced
+    * integer candidate cuts. Entropies come from exact integer counts
+    * through the identical formula on both engines; the winner is
+    * elected round-then-rank (gain 6dp, threshold tiebreak) — the
+    * supervised-binning / feature-selection primitive. */
+  def bestSplit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).select(
+      (col("o_orderstatus") === "F").cast("long").as("y"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("x"))
+    val b = o.agg(min("x").as("mn"), max("x").as("mx"),
+      count(lit(1)).as("n"), sum("y").as("pos"))
+    val cands = b.select(explode(sequence(lit(1L), lit(9L))).as("k"),
+        col("mn"), col("mx"), col("n"), col("pos"))
+      .withColumn("thr", expr("mn + k * (mx - mn) div 10"))
+    val stats = o.crossJoin(broadcast(cands))
+      .groupBy("k", "thr", "n", "pos")
+      .agg(count(when(col("x") <= col("thr"), 1)).as("nl"),
+        count(when(col("x") <= col("thr") && col("y") === 1, 1)).as("pl"))
+    def ent(p: Column, q: Column): Column = {
+      val r = p.cast("double") / q
+      when(p === 0 || p === q, lit(0.0))
+        .otherwise(-r * log(r) - (lit(1.0) - r) * log(lit(1.0) - r))
+    }
+    val scored = stats
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("pr", col("pos") - col("pl"))
+      .withColumn("gain", round(
+        ent(col("pos"), col("n"))
+          - (col("nl").cast("double") / col("n")) * ent(col("pl"), col("nl"))
+          - (col("nr").cast("double") / col("n")) * ent(col("pr"), col("nr")), 6))
+    scored
+      .withColumn("is_best", row_number().over(
+        Window.orderBy(col("gain").desc, col("thr"))) === 1)
+      .select(col("k"), col("thr"), col("nl"), col("pl"), col("gain"), col("is_best"))
+      .orderBy("k")
+  }
+
   /** #33b class rebalancing: every event type downsampled to the
     * minority class size by hash-ranked selection (the [[arithHash]]
     * order, so the kept set is deterministic and oracle-mirrorable) —
@@ -1756,6 +1828,9 @@ object OpsQueries {
     "class_rebalance"   -> (classRebalance _),
     "weighted_median"   -> (weightedMedian _),
     "events_streaks"    -> (eventsStreaks _),
+    "target_encode"     -> (targetEncode _),
+    "feature_hash"      -> (featureHash _),
+    "best_split"        -> (bestSplit _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2420,6 +2495,63 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "target_encode" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    round(o_totalprice * 100, 0)::BIGINT AS cents
+        |  FROM orders
+        |), a AS (
+        |  SELECT o_orderpriority AS pr, sum(cents) AS sc, count(*) AS n
+        |  FROM o GROUP BY 1
+        |)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN n > 1
+        |    THEN round((sc - cents)::DOUBLE / (n - 1) / 100.0, 6) END AS loo_mean
+        |FROM o JOIN a ON o_orderpriority = pr
+        |ORDER BY o_orderkey""".stripMargin,
+    "feature_hash" ->
+      """SELECT ('0x' || substr(md5(event_type || ':' || user_id::VARCHAR), 1, 15))
+        |    ::BIGINT % 64 AS bucket,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT (event_type, user_id)) AS n_pairs
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "best_split" ->
+      """WITH o AS (
+        |  SELECT (o_orderstatus = 'F')::BIGINT AS y,
+        |    round(o_totalprice * 100, 0)::BIGINT AS x
+        |  FROM orders
+        |), b AS (
+        |  SELECT min(x) AS mn, max(x) AS mx, count(*) AS n, sum(y) AS pos FROM o
+        |), cands AS (
+        |  SELECT k, mn + k * (mx - mn) // 10 AS thr, n, pos
+        |  FROM b, (SELECT unnest(generate_series(1, 9)) AS k)
+        |), stats AS (
+        |  SELECT k, thr, n, pos,
+        |    count(*) FILTER (WHERE x <= thr) AS nl,
+        |    count(*) FILTER (WHERE x <= thr AND y = 1) AS pl
+        |  FROM o, cands GROUP BY k, thr, n, pos
+        |), sc AS (
+        |  SELECT k, thr, nl, pl, n, pos, n - nl AS nr, pos - pl AS pr,
+        |    round(
+        |      (CASE WHEN pos = 0 OR pos = n THEN 0.0 ELSE
+        |        -(pos::DOUBLE / n) * ln(pos::DOUBLE / n)
+        |        - (1.0 - pos::DOUBLE / n) * ln(1.0 - pos::DOUBLE / n) END)
+        |      - (nl::DOUBLE / n) *
+        |      (CASE WHEN pl = 0 OR pl = nl THEN 0.0 ELSE
+        |        -(pl::DOUBLE / nl) * ln(pl::DOUBLE / nl)
+        |        - (1.0 - pl::DOUBLE / nl) * ln(1.0 - pl::DOUBLE / nl) END)
+        |      - (nr::DOUBLE / n) *
+        |      (CASE WHEN pr = 0 OR pr = nr THEN 0.0 ELSE
+        |        -(pr::DOUBLE / nr) * ln(pr::DOUBLE / nr)
+        |        - (1.0 - pr::DOUBLE / nr) * ln(1.0 - pr::DOUBLE / nr) END), 6)
+        |      AS gain
+        |  FROM stats
+        |), r AS (
+        |  SELECT k, thr, nl, pl, gain,
+        |    row_number() OVER (ORDER BY gain DESC, thr) = 1 AS is_best
+        |  FROM sc
+        |)
+        |SELECT k, thr, nl, pl, gain, is_best FROM r ORDER BY k""".stripMargin,
     "events_streaks" ->
       """WITH h AS (
         |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,

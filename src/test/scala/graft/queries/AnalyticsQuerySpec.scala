@@ -375,6 +375,43 @@ class AnalyticsQuerySpec extends SparkSpec {
     }
   }
 
+  test("target_encode: LOO identity (sum - own)/(n-1) holds exactly") {
+    val rows = OpsQueries.targetEncode(spark, dir).limit(20).collect()
+    assert(rows.nonEmpty)
+    val o = graft.Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+    val stats = o.groupBy("o_orderpriority")
+      .agg(sum("cents").as("sc"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val own = o.select("o_orderkey", "cents").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (sc, n) = stats(r.getAs[String]("o_orderpriority"))
+      val expected = (sc - own(r.getAs[Long]("o_orderkey"))).toDouble / (n - 1) / 100.0
+      assert(math.abs(r.getAs[Double]("loo_mean") - expected) < 1e-4)
+    }
+  }
+
+  test("feature_hash: buckets within range, masses conserve the event count") {
+    val rows = OpsQueries.featureHash(spark, dir).collect()
+    assert(rows.forall(r => (0L until 64L).contains(r.getAs[Long]("bucket"))))
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      graft.Tables.events(spark, dir).count())
+    assert(rows.forall(r => r.getAs[Long]("n_pairs") <= r.getAs[Long]("n_rows")))
+  }
+
+  test("best_split: nine candidates, one winner, gains in [0, 1.4)") {
+    val rows = OpsQueries.bestSplit(spark, dir).collect()
+    assert(rows.length == 9)
+    assert(rows.count(_.getAs[Boolean]("is_best")) == 1)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gain")
+      assert(g >= -1e-9 && g < 1.4, s"gain $g") // ≤ ln 2 + slack
+    }
+    val best = rows.filter(_.getAs[Boolean]("is_best")).head.getAs[Double]("gain")
+    assert(rows.forall(_.getAs[Double]("gain") <= best))
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
