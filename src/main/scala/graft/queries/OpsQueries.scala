@@ -1535,6 +1535,63 @@ object OpsQueries {
       .orderBy("event_type")
   }
 
+  /** #4i price–volume–mix decomposition: the revenue delta between the
+    * first and second half of the order history (integer-µs midpoint
+    * cut), split per part into volume effect (Δq·p₀) and price effect
+    * (q₁·Δp), summed over parts present in both halves — the canonical
+    * "why did revenue move" bridge. Quantities and cents are exact;
+    * only the final effect sums are floats (rounded at total scale). */
+  def priceVolumeMix(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+    // o_orderdate is TIMESTAMP_NTZ; the session is pinned UTC, so the
+    // cast is an identity relabel and epoch micros match DuckDB's.
+    val odus = expr("unix_micros(cast(o_orderdate AS timestamp))")
+    val cut = li.agg(((min(odus) + max(odus)) / 2).cast("long").as("cut"))
+    val byPeriod = li.crossJoin(broadcast(cut))
+      .withColumn("period", when(odus < col("cut"), 0L).otherwise(1L))
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long"))
+      .groupBy("l_partkey", "period")
+      .agg(sum("l_quantity").as("q"), sum("cents").as("c"))
+    val p0 = byPeriod.filter(col("period") === 0)
+      .select(col("l_partkey"), col("q").as("q0"), col("c").as("c0"))
+    val p1 = byPeriod.filter(col("period") === 1)
+      .select(col("l_partkey"), col("q").as("q1"), col("c").as("c1"))
+    p0.join(p1, "l_partkey")
+      .withColumn("pp0", col("c0").cast("double") / col("q0"))
+      .withColumn("pp1", col("c1").cast("double") / col("q1"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("c1") - col("c0")).as("delta_cents"),
+        round(sum((col("q1") - col("q0")) * col("pp0")) / 100.0, 2)
+          .as("volume_effect"),
+        round(sum(col("q1") * (col("pp1") - col("pp0"))) / 100.0, 2)
+          .as("price_effect"))
+  }
+
+  /** #4j new-vs-repeat revenue per month: each order classified by
+    * whether its customer has an earlier order (strict (date, orderkey)
+    * total order, so ties are deterministic) — the acquisition-vs-
+    * retention revenue split. Exact cents throughout. */
+  def newRepeatRevenue(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("month",
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long"))
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o.withColumn("is_first", row_number().over(w) === 1)
+      .groupBy("month")
+      .agg(round(sum(when(col("is_first"), col("cents")).otherwise(0L)) / 100.0, 2)
+          .as("new_revenue"),
+        round(sum(when(!col("is_first"), col("cents")).otherwise(0L)) / 100.0, 2)
+          .as("repeat_revenue"),
+        count(when(col("is_first"), 1)).as("n_new"),
+        count(when(!col("is_first"), 1)).as("n_repeat"))
+      .orderBy("month")
+  }
+
   /** #34b leave-one-out target encoding of order priority against
     * spend: each order's encoding is the mean of the OTHER orders in
     * its category ((Σ − own)/(n−1), exact integer cents) — the
@@ -1831,6 +1888,8 @@ object OpsQueries {
     "target_encode"     -> (targetEncode _),
     "feature_hash"      -> (featureHash _),
     "best_split"        -> (bestSplit _),
+    "price_volume_mix"  -> (priceVolumeMix _),
+    "new_repeat_revenue" -> (newRepeatRevenue _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2495,6 +2554,43 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "price_volume_mix" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity,
+        |    round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT AS cents,
+        |    epoch_us(o_orderdate) AS odus
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), cut AS (SELECT (min(odus) + max(odus)) // 2 AS cut FROM li),
+        |bp AS (
+        |  SELECT l_partkey,
+        |    CASE WHEN odus < (SELECT cut FROM cut) THEN 0 ELSE 1 END AS period,
+        |    sum(l_quantity) AS q, sum(cents) AS c
+        |  FROM li GROUP BY 1, 2
+        |), p0 AS (SELECT l_partkey, q AS q0, c AS c0 FROM bp WHERE period = 0),
+        |p1 AS (SELECT l_partkey, q AS q1, c AS c1 FROM bp WHERE period = 1)
+        |SELECT count(*) AS n_parts,
+        |  sum(c1 - c0)::BIGINT AS delta_cents,
+        |  round(sum((q1 - q0) * (c0::DOUBLE / q0)) / 100.0, 2) AS volume_effect,
+        |  round(sum(q1 * (c1::DOUBLE / q1 - c0::DOUBLE / q0)) / 100.0, 2)
+        |    AS price_effect
+        |FROM p0 JOIN p1 USING (l_partkey)""".stripMargin,
+    "new_repeat_revenue" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    round(o_totalprice * 100, 0)::BIGINT AS cents,
+        |    (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS month,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) = 1 AS is_first
+        |  FROM orders
+        |)
+        |SELECT month,
+        |  round(sum(CASE WHEN is_first THEN cents ELSE 0 END) / 100.0, 2)
+        |    AS new_revenue,
+        |  round(sum(CASE WHEN NOT is_first THEN cents ELSE 0 END) / 100.0, 2)
+        |    AS repeat_revenue,
+        |  count(*) FILTER (WHERE is_first) AS n_new,
+        |  count(*) FILTER (WHERE NOT is_first) AS n_repeat
+        |FROM o GROUP BY month ORDER BY month""".stripMargin,
     "target_encode" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderpriority,

@@ -412,6 +412,25 @@ class AnalyticsQuerySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("gain") <= best))
   }
 
+  test("price_volume_mix: volume + price effects reconstruct the common-parts delta") {
+    val r = OpsQueries.priceVolumeMix(spark, dir).collect()(0)
+    val delta = r.getAs[Long]("delta_cents") / 100.0
+    val reconstructed = r.getAs[Double]("volume_effect") + r.getAs[Double]("price_effect")
+    assert(math.abs(delta - reconstructed) < math.max(1.0, math.abs(delta) * 1e-6),
+      s"delta $delta vs $reconstructed")
+    assert(r.getAs[Long]("n_parts") > 0)
+  }
+
+  test("new_repeat_revenue: one 'new' order per customer overall") {
+    val rows = OpsQueries.newRepeatRevenue(spark, dir).collect()
+    val nNew = rows.map(_.getAs[Long]("n_new")).sum
+    val customers = graft.Tables.orders(spark, dir)
+      .select("o_custkey").distinct().count()
+    assert(nNew == customers)
+    val totalOrders = graft.Tables.orders(spark, dir).count()
+    assert(nNew + rows.map(_.getAs[Long]("n_repeat")).sum == totalOrders)
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
