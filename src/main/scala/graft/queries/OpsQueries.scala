@@ -1592,6 +1592,40 @@ object OpsQueries {
       .orderBy("month")
   }
 
+  /** #26f Flesch-style readability: words = \S+ runs, sentences =
+    * terminal-punctuation splits (≥1), syllables = vowel-group runs —
+    * all integer counts through the identical regexes, then the
+    * classic 206.835 − 1.015·(w/s) − 84.6·(syl/w) formula. The ranking
+    * signal a curriculum or quality gate sorts on. */
+  def docReadability(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_words",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
+      .withColumn("n_sents", greatest(lit(1L),
+        size(expr("regexp_extract_all(text, '[^.!?]*[.!?]', 0)")).cast("long")))
+      .withColumn("n_syl",
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syl"),
+        round(lit(206.835)
+          - lit(1.015) * col("n_words").cast("double") / col("n_sents")
+          - lit(84.6) * col("n_syl").cast("double") / col("n_words"), 4)
+          .as("flesch"))
+      .orderBy("doc_id")
+
+  /** #26g keyword-in-context: the ±30-char window around the FIRST
+    * occurrence of the probe term per matching document — 1-based
+    * `instr`/`strpos` and `substring` agree across engines, so the
+    * snippet bytes hash-match exactly. */
+  def kwicSnippets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("pos", instr(lower(col("text")), "vector").cast("long"))
+      .filter(col("pos") > 0)
+      .select(col("doc_id"), col("pos"),
+        expr("substring(text, cast(greatest(pos - 30, 1) as int), 66)")
+          .as("snippet"))
+      .orderBy("doc_id")
+
   /** #34b leave-one-out target encoding of order priority against
     * spend: each order's encoding is the mean of the OTHER orders in
     * its category ((Σ − own)/(n−1), exact integer cents) — the
@@ -1890,6 +1924,8 @@ object OpsQueries {
     "best_split"        -> (bestSplit _),
     "price_volume_mix"  -> (priceVolumeMix _),
     "new_repeat_revenue" -> (newRepeatRevenue _),
+    "doc_readability"   -> (docReadability _),
+    "kwic_snippets"     -> (kwicSnippets _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2554,6 +2590,26 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "doc_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+        |    greatest(1, len(regexp_extract_all(text, '[^.!?]*[.!?]')))::BIGINT
+        |      AS n_sents,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syl
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_sents, n_syl,
+        |  round(206.835 - 1.015 * n_words::DOUBLE / n_sents
+        |    - 84.6 * n_syl::DOUBLE / n_words, 4) AS flesch
+        |FROM d WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    "kwic_snippets" ->
+      """SELECT doc_id, strpos(lower(text), 'vector')::BIGINT AS pos,
+        |  substring(text, greatest(strpos(lower(text), 'vector') - 30, 1), 66)
+        |    AS snippet
+        |FROM documents
+        |WHERE strpos(lower(text), 'vector') > 0
+        |ORDER BY doc_id""".stripMargin,
     "price_volume_mix" ->
       """WITH li AS (
         |  SELECT l_partkey, l_quantity,

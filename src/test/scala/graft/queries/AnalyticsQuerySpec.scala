@@ -431,6 +431,25 @@ class AnalyticsQuerySpec extends SparkSpec {
     assert(nNew + rows.map(_.getAs[Long]("n_repeat")).sum == totalOrders)
   }
 
+  test("doc_readability: counts positive, formula recomputes") {
+    val rows = OpsQueries.docReadability(spark, dir).limit(20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, sn, sy) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_sents"),
+        r.getAs[Long]("n_syl"))
+      assert(w > 0 && sn >= 1 && sy >= 0)
+      val expected = 206.835 - 1.015 * w.toDouble / sn - 84.6 * sy.toDouble / w
+      assert(math.abs(r.getAs[Double]("flesch") - expected) < 1e-3)
+    }
+  }
+
+  test("kwic_snippets: every snippet contains the probe term") {
+    val rows = OpsQueries.kwicSnippets(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("snippet").toLowerCase.contains("vector")))
+    assert(rows.forall(_.getAs[Long]("pos") >= 1L))
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
