@@ -1592,6 +1592,39 @@ object OpsQueries {
       .orderBy("month")
   }
 
+  /** #5r seasonally-adjusted anomaly screen: each observed hour's
+    * count against the expectation for its (dow, hour-of-day) cell
+    * (same integer axes as [[eventsHeatmap]]), residuals z-scored per
+    * type, top-5 absolute deviations elected round-then-rank — the
+    * alert that fires on "weird for a Tuesday 3am", not "weird
+    * overall". Plain `events_anomaly` flags every weekend morning;
+    * seasonal adjustment is what makes the screen deployable. */
+  def eventsSeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("(hour_us div 86400000000 + 4) % 7"))
+      .withColumn("hod", expr("(hour_us div 3600000000) % 24"))
+    val cell = hourly.groupBy("event_type", "dow", "hod")
+      .agg(sum("n").as("cn"), count(lit(1)).as("cc"))
+    val resid = hourly.join(cell, Seq("event_type", "dow", "hod"))
+      .withColumn("expected", col("cn").cast("double") / col("cc"))
+      .withColumn("resid", col("n") - col("expected"))
+    val sd = resid.groupBy(col("event_type").as("et2"))
+      .agg(stddev_samp("resid").as("sd"))
+    resid.join(sd, col("event_type") === col("et2"))
+      .withColumn("z", round(col("resid") / col("sd"), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(abs(col("z")).desc, col("hour_us"))).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("event_type"), col("rk"), col("hour_us"), col("n"),
+        round(col("expected"), 6).as("expected"), col("z"))
+      .orderBy("event_type", "rk")
+  }
+
   /** #26f Flesch-style readability: words = \S+ runs, sentences =
     * terminal-punctuation splits (≥1), syllables = vowel-group runs —
     * all integer counts through the identical regexes, then the
@@ -1926,6 +1959,7 @@ object OpsQueries {
     "new_repeat_revenue" -> (newRepeatRevenue _),
     "doc_readability"   -> (docReadability _),
     "kwic_snippets"     -> (kwicSnippets _),
+    "events_seasonal_anomaly" -> (eventsSeasonalAnomaly _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2590,6 +2624,40 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Residual z ranks on the ROUNDED |z| with an hour tiebreak — the
+    // same round-then-rank discipline as doc_keywords.
+    "events_seasonal_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), hx AS (
+        |  SELECT *, (hour_us // 86400000000 + 4) % 7 AS dow,
+        |    (hour_us // 3600000000) % 24 AS hod
+        |  FROM h
+        |), cell AS (
+        |  SELECT event_type, dow, hod, sum(n) AS cn, count(*) AS cc
+        |  FROM hx GROUP BY 1, 2, 3
+        |), res AS (
+        |  SELECT hx.event_type, hx.hour_us, hx.n,
+        |    cell.cn::DOUBLE / cell.cc AS expected,
+        |    hx.n - cell.cn::DOUBLE / cell.cc AS resid
+        |  FROM hx JOIN cell
+        |    ON hx.event_type = cell.event_type AND hx.dow = cell.dow
+        |      AND hx.hod = cell.hod
+        |), sd AS (
+        |  SELECT event_type, stddev_samp(resid) AS sd FROM res GROUP BY 1
+        |), z AS (
+        |  SELECT res.event_type, res.hour_us, res.n, res.expected,
+        |    round(res.resid / sd.sd, 4) AS z
+        |  FROM res JOIN sd ON res.event_type = sd.event_type
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(z) DESC, hour_us) AS rk
+        |  FROM z
+        |)
+        |SELECT event_type, rk, hour_us, n, round(expected, 6) AS expected, z
+        |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
     "doc_readability" ->
       """WITH d AS (
         |  SELECT doc_id,

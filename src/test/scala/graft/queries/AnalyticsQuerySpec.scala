@@ -450,6 +450,15 @@ class AnalyticsQuerySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("pos") >= 1L))
   }
 
+  test("events_seasonal_anomaly: 5 ranked deviations per type, |z| descending") {
+    val rows = OpsQueries.eventsSeasonalAnomaly(spark, dir).collect()
+    rows.groupBy(_.getAs[String]("event_type")).values.foreach { g =>
+      assert(g.length == 5)
+      val zs = g.sortBy(_.getAs[Long]("rk")).map(r => math.abs(r.getAs[Double]("z")))
+      assert(zs.zip(zs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
