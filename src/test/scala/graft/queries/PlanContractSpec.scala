@@ -233,6 +233,19 @@ class PlanContractSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("vocab coverage joins tokens against a broadcast vocabulary") {
+    // The top-1k vocab is aggregation output (tiny); the token stream
+    // must never shuffle for the membership check.
+    val plan = finalPlan(OpsQueries.vocabCoverage(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("deletion cascade anti-joins against a broadcast forget list") {
+    val plan = finalPlan(OpsQueries.forgetUsers(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(3000))
+  }
+
   test("star join rides broadcast dims, no cartesian anywhere") {
     val plan = finalPlan(Relational.q17Star(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
