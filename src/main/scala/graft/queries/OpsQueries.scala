@@ -1592,6 +1592,37 @@ object OpsQueries {
       .orderBy("month")
   }
 
+  /** #4k leaderboard dynamics: the 10 parts that climbed the revenue
+    * ranking most between the first and second half of the shipping
+    * history (integer-µs midpoint cut, exact-cents ranks with partkey
+    * tiebreaks in both periods — the rank delta is pure integer
+    * arithmetic). The "top movers" panel of any revenue leaderboard. */
+  def rankMovers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sdus = expr("unix_micros(cast(l_shipdate AS timestamp))")
+    val li = Tables.lineitem(s, dir)
+    val cut = li.agg(((min(sdus) + max(sdus)) / 2).cast("long").as("cut"))
+    val byPeriod = li.crossJoin(broadcast(cut))
+      .withColumn("period", when(sdus < col("cut"), 0L).otherwise(1L))
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long"))
+      .groupBy("period", "l_partkey").agg(sum("cents").as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("period").orderBy(col("c").desc, col("l_partkey")))
+        .cast("long"))
+    val prev = byPeriod.filter(col("period") === 0)
+      .select(col("l_partkey"), col("rk").as("rk_prev"))
+    val last = byPeriod.filter(col("period") === 1)
+      .select(col("l_partkey"), col("rk").as("rk_last"),
+        round(col("c") / 100.0, 2).as("revenue"))
+    last.join(prev, "l_partkey")
+      .withColumn("delta", col("rk_prev") - col("rk_last"))
+      .orderBy(col("delta").desc, col("l_partkey"))
+      .limit(10)
+      .select("l_partkey", "rk_prev", "rk_last", "delta", "revenue")
+  }
+
   /** #5r seasonally-adjusted anomaly screen: each observed hour's
     * count against the expectation for its (dow, hour-of-day) cell
     * (same integer axes as [[eventsHeatmap]]), residuals z-scored per
@@ -1960,6 +1991,7 @@ object OpsQueries {
     "doc_readability"   -> (docReadability _),
     "kwic_snippets"     -> (kwicSnippets _),
     "events_seasonal_anomaly" -> (eventsSeasonalAnomaly _),
+    "rank_movers"       -> (rankMovers _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2624,6 +2656,30 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "rank_movers" ->
+      """WITH li AS (
+        |  SELECT l_partkey, epoch_us(l_shipdate) AS sdus,
+        |    round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT AS cents
+        |  FROM lineitem
+        |), cut AS (SELECT (min(sdus) + max(sdus)) // 2 AS cut FROM li),
+        |w AS (
+        |  SELECT CASE WHEN sdus < (SELECT cut FROM cut) THEN 0 ELSE 1 END
+        |      AS period,
+        |    l_partkey, sum(cents) AS c
+        |  FROM li GROUP BY 1, 2
+        |), r AS (
+        |  SELECT period, l_partkey, c,
+        |    row_number() OVER (PARTITION BY period ORDER BY c DESC, l_partkey)
+        |      AS rk
+        |  FROM w
+        |), prev AS (SELECT l_partkey, rk AS rk_prev FROM r WHERE period = 0),
+        |lastw AS (
+        |  SELECT l_partkey, rk AS rk_last, round(c / 100.0, 2) AS revenue
+        |  FROM r WHERE period = 1
+        |)
+        |SELECT l_partkey, rk_prev, rk_last, rk_prev - rk_last AS delta, revenue
+        |FROM lastw JOIN prev USING (l_partkey)
+        |ORDER BY delta DESC, l_partkey LIMIT 10""".stripMargin,
     // Residual z ranks on the ROUNDED |z| with an hour tiebreak — the
     // same round-then-rank discipline as doc_keywords.
     "events_seasonal_anomaly" ->

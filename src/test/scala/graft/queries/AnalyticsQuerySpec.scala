@@ -459,6 +459,15 @@ class AnalyticsQuerySpec extends SparkSpec {
     }
   }
 
+  test("rank_movers: deltas descend, delta arithmetic consistent") {
+    val rows = OpsQueries.rankMovers(spark, dir).collect()
+    assert(rows.length == 10)
+    val deltas = rows.map(_.getAs[Long]("delta"))
+    assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => r.getAs[Long]("delta") ==
+      r.getAs[Long]("rk_prev") - r.getAs[Long]("rk_last")))
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
