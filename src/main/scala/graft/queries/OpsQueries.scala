@@ -1592,6 +1592,48 @@ object OpsQueries {
       .orderBy("month")
   }
 
+  /** #4l repeat-purchase latency: the day gap between each customer's
+    * first and second order ((date, orderkey) total order), summarized
+    * with exact interpolated percentiles — the inter-purchase interval
+    * every retention model starts from. */
+  def repeatLatency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val firstTwo = Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        datediff(max("o_orderdate"), min("o_orderdate")).cast("long").as("gap_days"))
+      .filter(col("n") === 2)
+    firstTwo.agg(count(lit(1)).as("n_repeat"),
+      round(avg("gap_days"), 6).as("mean_days"),
+      round(expr("percentile(gap_days, 0.5)"), 6).as("p50"),
+      round(expr("percentile(gap_days, 0.9)"), 6).as("p90"))
+  }
+
+  /** #13e segment × brand preference lift: observed basket share over
+    * the independence expectation (`obs·total / (row·col)`, all exact
+    * integer counts) — the merchandising heat matrix that says which
+    * customer segment over-indexes on which brand. */
+  def segmentBrandLift(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .select("c_mktsegment", "p_brand")
+    val cell = base.groupBy("c_mktsegment", "p_brand").agg(count(lit(1)).as("n"))
+    val row = cell.groupBy("c_mktsegment").agg(sum("n").as("rn"))
+    val colT = cell.groupBy("p_brand").agg(sum("n").as("cn"))
+    val tot = cell.agg(sum("n").as("tot"))
+    cell.join(row, "c_mktsegment").join(colT, "p_brand")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift", round(
+        col("n").cast("double") * col("tot") / (col("rn") * col("cn")), 6))
+      .select("c_mktsegment", "p_brand", "n", "lift")
+      .orderBy("c_mktsegment", "p_brand")
+  }
+
   /** #4k leaderboard dynamics: the 10 parts that climbed the revenue
     * ranking most between the first and second half of the shipping
     * history (integer-µs midpoint cut, exact-cents ranks with partkey
@@ -1992,6 +2034,8 @@ object OpsQueries {
     "kwic_snippets"     -> (kwicSnippets _),
     "events_seasonal_anomaly" -> (eventsSeasonalAnomaly _),
     "rank_movers"       -> (rankMovers _),
+    "repeat_latency"    -> (repeatLatency _),
+    "segment_brand_lift" -> (segmentBrandLift _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2656,6 +2700,40 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "repeat_latency" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders
+        |), g AS (
+        |  SELECT o_custkey, count(*) AS n,
+        |    date_diff('day', min(o_orderdate), max(o_orderdate))::BIGINT
+        |      AS gap_days
+        |  FROM r WHERE rn <= 2 GROUP BY 1
+        |)
+        |SELECT count(*) AS n_repeat,
+        |  round(avg(gap_days), 6) AS mean_days,
+        |  round(quantile_cont(gap_days, 0.5), 6) AS p50,
+        |  round(quantile_cont(gap_days, 0.9), 6) AS p90
+        |FROM g WHERE n = 2""".stripMargin,
+    "segment_brand_lift" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment, p_brand
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN part ON l_partkey = p_partkey
+        |), cell AS (
+        |  SELECT c_mktsegment, p_brand, count(*) AS n FROM base GROUP BY 1, 2
+        |), r AS (SELECT c_mktsegment, sum(n) AS rn FROM cell GROUP BY 1),
+        |c AS (SELECT p_brand, sum(n) AS cn FROM cell GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM cell)
+        |SELECT cell.c_mktsegment, cell.p_brand, cell.n,
+        |  round(cell.n::DOUBLE * (SELECT tot FROM t) / (r.rn * c.cn), 6) AS lift
+        |FROM cell JOIN r ON cell.c_mktsegment = r.c_mktsegment
+        |JOIN c ON cell.p_brand = c.p_brand
+        |ORDER BY cell.c_mktsegment, cell.p_brand""".stripMargin,
     "rank_movers" ->
       """WITH li AS (
         |  SELECT l_partkey, epoch_us(l_shipdate) AS sdus,

@@ -468,6 +468,24 @@ class AnalyticsQuerySpec extends SparkSpec {
       r.getAs[Long]("rk_prev") - r.getAs[Long]("rk_last")))
   }
 
+  test("repeat_latency: percentiles ordered, count matches multi-order customers") {
+    val r = OpsQueries.repeatLatency(spark, dir).collect()(0)
+    assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"))
+    val multi = graft.Tables.orders(spark, dir)
+      .groupBy("o_custkey").count().filter(col("count") >= 2).count()
+    assert(r.getAs[Long]("n_repeat") == multi)
+  }
+
+  test("segment_brand_lift: lifts average to ~1 under the cell weights") {
+    val rows = OpsQueries.segmentBrandLift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val tot = rows.map(_.getAs[Long]("n")).sum.toDouble
+    val weighted = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("lift")).sum
+    // Σ n·lift = Σ n·(n·T/(r·c)) ≥ T by Cauchy-Schwarz; equals T iff independent.
+    assert(weighted >= tot - 1e-3, s"$weighted vs $tot")
+    assert(rows.forall(_.getAs[Double]("lift") > 0.0))
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
