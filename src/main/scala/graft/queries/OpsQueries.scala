@@ -1592,6 +1592,35 @@ object OpsQueries {
       .orderBy("month")
   }
 
+  /** #5s daily quantile bands of the value distribution per type
+    * (p10/p50/p90 series) — the spread-over-time readout behind every
+    * latency/metric band chart; exact interpolated percentiles per
+    * (day, type) group. */
+  def eventsPercentileSeries(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.1)"), 6).as("p10"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"))
+      .orderBy("day", "event_type")
+
+  /** #23e embedding hygiene profile per label: count, mean and median
+    * L2 norm (each norm is one fused dot+sqrt — engine-identical per
+    * row), and the worst zero-component count — the vector-QA gate
+    * before any index build trusts a new embedding drop. */
+  def vecProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(graft.functions.array_dot(col("embedding"), col("embedding"))))
+      .withColumn("n_zero", expr(
+        "aggregate(embedding, 0L, (acc, x) -> acc + CASE WHEN x = 0.0F THEN 1L ELSE 0L END)"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("nrm"), 6).as("mean_norm"),
+        round(expr("percentile(nrm, 0.5)"), 6).as("median_norm"),
+        max("n_zero").as("max_zero_components"))
+      .orderBy("label")
+
   /** #4l repeat-purchase latency: the day gap between each customer's
     * first and second order ((date, orderkey) total order), summarized
     * with exact interpolated percentiles — the inter-purchase interval
@@ -2036,6 +2065,8 @@ object OpsQueries {
     "rank_movers"       -> (rankMovers _),
     "repeat_latency"    -> (repeatLatency _),
     "segment_brand_lift" -> (segmentBrandLift _),
+    "events_percentile_series" -> (eventsPercentileSeries _),
+    "vec_profile"       -> (vecProfile _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2700,6 +2731,29 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "events_percentile_series" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |  count(*) AS n,
+        |  round(quantile_cont(value, 0.1), 6) AS p10,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
+    // Norm = sqrt(list_inner_product) mirrors the native array_dot;
+    // zero-component count is exact float equality on both engines.
+    "vec_profile" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nrm,
+        |    len(list_filter(embedding, x -> x = 0.0))::BIGINT AS n_zero
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(nrm), 6) AS mean_norm,
+        |  round(quantile_cont(nrm, 0.5), 6) AS median_norm,
+        |  max(n_zero) AS max_zero_components
+        |FROM e GROUP BY 1 ORDER BY label""".stripMargin,
     "repeat_latency" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate,

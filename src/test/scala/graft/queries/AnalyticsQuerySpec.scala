@@ -486,6 +486,25 @@ class AnalyticsQuerySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("lift") > 0.0))
   }
 
+  test("events_percentile_series: band ordering p10<=p50<=p90 everywhere") {
+    val rows = OpsQueries.eventsPercentileSeries(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p10") <= r.getAs[Double]("p50"))
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"))
+    }
+  }
+
+  test("vec_profile: positive norms, zero counts within dimension bound") {
+    val rows = OpsQueries.vecProfile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_norm") > 0.0)
+      assert(r.getAs[Long]("max_zero_components") >= 0L)
+      assert(r.getAs[Long]("max_zero_components") <= 64L)
+    }
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
