@@ -1592,6 +1592,23 @@ object OpsQueries {
       .orderBy("month")
   }
 
+  /** #36b corpus data card: the one-row release summary (doc count,
+    * token mass, quality mean, language count, length percentiles) a
+    * dataset ships with — every metric from ONE scan of the documents
+    * table (multi-aggregate, no second pass). */
+  def corpusDatacard(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_toks",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
+      .withColumn("q", graft.ops.TextAnalysis.qualityScore(col("text")))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("total_tokens"),
+        round(avg("q"), 6).as("mean_quality"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"))
+
   /** #5s daily quantile bands of the value distribution per type
     * (p10/p50/p90 series) — the spread-over-time readout behind every
     * latency/metric band chart; exact interpolated percentiles per
@@ -2067,6 +2084,7 @@ object OpsQueries {
     "segment_brand_lift" -> (segmentBrandLift _),
     "events_percentile_series" -> (eventsPercentileSeries _),
     "vec_profile"       -> (vecProfile _),
+    "corpus_datacard"   -> (corpusDatacard _),
     "drift_psi"         -> (driftPsi _),
     "lang_entropy"      -> (langEntropy _),
     "user_overlap"      -> (userOverlap _),
@@ -2731,6 +2749,25 @@ object OpsQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS median_slope
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Same per-row quality formula as text_quality, averaged unrounded.
+    "corpus_datacard" ->
+      """WITH d AS (
+        |  SELECT lang, source, n_chars,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_toks,
+        |    (least(greatest(length(text),1) / 200.0, 1.0)
+        |     + greatest(1.0 - 4.0 * len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |         / greatest(length(text),1), 0.0)
+        |     + least(5.0 * len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that|for)\b'))
+        |         / greatest(len(regexp_extract_all(text, '\S+')),1), 1.0)) / 3.0
+        |      AS q
+        |  FROM documents
+        |)
+        |SELECT count(*) AS n_docs, sum(n_toks)::BIGINT AS total_tokens,
+        |  round(avg(q), 6) AS mean_quality,
+        |  count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+        |FROM d""".stripMargin,
     "events_percentile_series" ->
       """SELECT epoch_us(ts) // 86400000000 AS day, event_type,
         |  count(*) AS n,

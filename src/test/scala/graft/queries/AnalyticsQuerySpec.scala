@@ -505,6 +505,15 @@ class AnalyticsQuerySpec extends SparkSpec {
     }
   }
 
+  test("corpus_datacard: one row, metrics consistent with the documents table") {
+    val r = OpsQueries.corpusDatacard(spark, dir).collect()(0)
+    val docs = graft.Tables.documents(spark, dir)
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    assert(r.getAs[Long]("total_tokens") > 0)
+    assert(r.getAs[Double]("mean_quality") > 0.0 && r.getAs[Double]("mean_quality") <= 1.0)
+    assert(r.getAs[Double]("p50_chars") <= r.getAs[Double]("p90_chars"))
+  }
+
   test("ab_ttest: both arms populated, near-even split, finite t") {
     val t = OpsQueries.abTtest(spark, dir).collect()
     assert(t.nonEmpty)
