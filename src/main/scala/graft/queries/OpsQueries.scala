@@ -1751,6 +1751,10 @@ object OpsQueries {
     * signal a curriculum or quality gate sorts on. */
   def docReadability(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // One parquet file → one partition; the three regex passes are
+      // CPU-bound, so spread the scan before them (same bytes-vs-CPU
+      // sizing trap as the edit-distance verifies).
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("n_words",
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
       .withColumn("n_sents", greatest(lit(1L),
