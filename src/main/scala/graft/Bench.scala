@@ -78,21 +78,31 @@ object Bench {
     val errs = results.collect { case (n, Left(m)) => s""""$n":"${esc(m)}"""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
-    val line =
+    val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // Durable copy: the driver captures stdout through a bounded tail
-    // buffer, and a 100+-entry line can lose its front (round 7's
-    // BENCH artifact came back unparseable). The repo file is the
-    // authoritative artifact; stdout stays the driver's fast path.
+    // Durable full artifact FIRST: the driver captures stdout through a
+    // bounded (~4 KB) tail buffer, and the 200+-entry full line lost its
+    // front two rounds running (BENCH_r07/r08 both came back
+    // `parsed: null`). The repo file carries every per-query time.
     try
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_out.json"),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {
       case e: java.io.IOException =>
         System.err.println(s"bench_out.json write failed: ${e.getMessage}")
     }
+    // Stdout gets a line guaranteed to FIT the tail buffer: same schema,
+    // but `queries` holds only the slowest entries (the ones a perf
+    // review reads first), sized so the whole line stays well under the
+    // buffer even with error text present.
+    val ok = results.collect { case (n, Right(t)) => (n, t) }
+    val slowest = ok.sortBy(-_._2).take(25)
+    val qsCompact = slowest.map { case (n, t) => s""""$n":${fmt(t)}""" }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"queries_measured":${ok.length},"queries_shown":${slowest.length},"full":"bench_out.json","errors":$errs,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }
