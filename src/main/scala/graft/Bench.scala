@@ -90,18 +90,27 @@ object Bench {
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {
       case e: java.io.IOException =>
+        // Without the file the full per-query data would be lost entirely
+        // (stdout only carries the compact line) — fall back to dumping the
+        // full line on stderr so it survives somewhere.
         System.err.println(s"bench_out.json write failed: ${e.getMessage}")
+        System.err.println(full)
     }
     // Stdout gets a line guaranteed to FIT the tail buffer: same schema,
     // but `queries` holds only the slowest entries (the ones a perf
-    // review reads first), sized so the whole line stays well under the
-    // buffer even with error text present.
+    // review reads first) and `errors` is bounded too — round 9's 36
+    // untruncated error strings (~7 KB) blew the ~4 KB buffer exactly
+    // when the signal mattered most. Caps: 10 errors × 80 chars.
     val ok = results.collect { case (n, Right(t)) => (n, t) }
     val slowest = ok.sortBy(-_._2).take(25)
     val qsCompact = slowest.map { case (n, t) => s""""$n":${fmt(t)}""" }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (n, Left(m)) => (n, m) }
+    val errsCompact = failed.take(10)
+      .map { case (n, m) => s""""$n":"${esc(m.take(80))}"""" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"queries_measured":${ok.length},"queries_shown":${slowest.length},"full":"bench_out.json","errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"queries_measured":${ok.length},"queries_shown":${slowest.length},"full":"bench_out.json","errors":$errsCompact,"errors_total":${failed.length},"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

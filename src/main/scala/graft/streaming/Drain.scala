@@ -3,14 +3,14 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Shared batch-equivalence harness for the streaming queries: one
   * events file-stream source and one available-now memory-sink drain,
   * so every streaming operator verifies through identical plumbing
   * instead of each copying (and drifting) its own.
   */
-private[streaming] object Drain {
+private[graft] object Drain {
 
   /** The events table as a file-stream source, with the same
     * nanos→micros ts normalization as `Tables.events` — stream and
@@ -22,10 +22,13 @@ private[streaming] object Drain {
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val out =
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val out = raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ micros → TimestampType under the pinned-UTC session: epoch
+      // micros are preserved exactly, matching Tables.events' batch side.
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
     // Pin schema parity with the static path: every equivalence check
     // assumes both sides see TimestampType ts — fail here with a clear
     // message, not downstream as a confusing window mismatch.
