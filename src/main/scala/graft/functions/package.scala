@@ -33,6 +33,11 @@ package object functions {
     * ([[graft.functions.GeoMean]], typed Aggregator → UDAF). */
   def geo_mean(x: Column): Column = call_function("geo_mean", x)
 
+  /** Probe a serialized Bloom filter (foldable binary literal) with a
+    * long key ([[graft.functions.BloomMightContain]]). */
+  def bloom_might_contain(key: Column, filterBytes: Column): Column =
+    call_function("bloom_might_contain", key, filterBytes)
+
   /** Register graft's expressions with a session's function registry
     * (idempotent); enables both the Column helpers above and SQL-text use. */
   def register(spark: SparkSession): Unit = {
@@ -50,6 +55,13 @@ package object functions {
       (children: Seq[Expression]) => {
         if (children.length != 1) wrongArgs("nfc_normalize", 1, children.length)
         NfcNormalize(children.head)
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) wrongArgs("bloom_might_contain", 2, children.length)
+        BloomMightContain(children(0), children(1))
       })
   }
 }

@@ -70,6 +70,72 @@ object AsOfJoin {
       toleranceUs: Option[Long] = None): DataFrame =
     joined(left, right, keys, leftTs, rightTs, rightCols, toleranceUs, forward = true)
 
+  /** Nearest as-of join: each left row picks the right row whose time is
+    * CLOSEST to its own, in either direction, within `toleranceUs`
+    * (backward wins exact distance ties — deterministic). One union +
+    * ONE exchange-and-sort serves both directions: the backward hit is
+    * `last(payload, ignoreNulls)` over the preceding frame and the
+    * forward hit is `first(payload, ignoreNulls)` over the following
+    * frame of the SAME window ordering, so the 100 TB cost stays the
+    * single |L|+|R| sort — not two passes, and never a pair space. */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(rightCols.nonEmpty, "rightCols must name at least one column")
+    val leftDup = rightCols.toSet.intersect(left.columns.toSet)
+    require(leftDup.isEmpty, s"rightCols collide with left columns: $leftDup")
+
+    val payload = struct((rightCols :+ rightTs).distinct.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        epochUs(col(rightTs)).as("__t"),
+        lit(0).as("__tag"),
+        payload.as("__m")): _*)
+    val lStruct = struct(left.columns.map(col): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        epochUs(col(leftTs)).as("__t"),
+        lit(1).as("__tag"),
+        lit(null).cast(r.schema("__m").dataType).as("__m"),
+        lStruct.as("__l")): _*)
+    val rTagged = r.select(
+      col("*"),
+      lit(null).cast(lTagged.schema("__l").dataType).as("__l"))
+
+    // Right rows sort before left at equal time (tag 0 < 1): an exact-time
+    // right row lands in the left row's PRECEDING frame, so a distance-0
+    // match arrives via the backward hit — consistent with backward
+    // winning ties. Both frames share (partition, order): one sort.
+    val ord = Seq(col("__t"), col("__tag"), col("__m"))
+    val wBack = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withHits = rTagged
+      .unionByName(lTagged)
+      .withColumn("__hb", last(col("__m"), ignoreNulls = true).over(wBack))
+      .withColumn("__hf", first(col("__m"), ignoreNulls = true).over(wFwd))
+      .filter(col("__tag") === 1)
+
+    val dBack = col("__t") - epochUs(col("__hb")(rightTs))
+    val dFwd = epochUs(col("__hf")(rightTs)) - col("__t")
+    def inTol(d: Column): Column =
+      toleranceUs.map(t => d <= t).getOrElse(lit(true))
+    val bOk = col("__hb").isNotNull && inTol(dBack)
+    val fOk = col("__hf").isNotNull && inTol(dFwd)
+    val hit = when(bOk && fOk, when(dBack <= dFwd, col("__hb")).otherwise(col("__hf")))
+      .when(bOk, col("__hb"))
+      .when(fOk, col("__hf"))
+    val leftOut = left.columns.map(c => col("__l")(c).as(c))
+    val rightOut = rightCols.map(c => hit.getField(c).as(c))
+    withHits.select(leftOut ++ rightOut: _*)
+  }
+
   private def joined(
       left: DataFrame,
       right: DataFrame,

@@ -210,4 +210,43 @@ object Sketches {
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Join-key overlap profile between two key columns — the pre-join
+    * planning statistic that decides whether a join is worth a runtime
+    * filter ([[BloomJoin]]), a broadcast, or is a near-total match where
+    * pruning buys nothing. One row: exact |A|, |B|, |A∩B| (distinct key
+    * sets), plus an `est_ok` audit that the HLL inclusion-exclusion
+    * estimate (|A| + |B| − |A∪B|, each via HyperLogLog++ at `rsd`)
+    * lands within `tol·(|A|+|B|)` of the exact intersection.
+    *
+    * Scale shape: the exact side is two distinct-aggregates and one
+    * semi-join of DISTINCT keys (bounded by key cardinality, not row
+    * count); the HLL side is three one-pass sketches whose shuffle is
+    * registers-per-sketch, independent of rows. At 100 TB a planner
+    * would run ONLY the sketch side — the exact side exists so the gate
+    * hash-checks the estimate instead of assuming it. */
+  def keyOverlap(
+      a: DataFrame,
+      aCol: String,
+      b: DataFrame,
+      bCol: String,
+      rsd: Double = 0.005,
+      tol: Double = 0.05): DataFrame = {
+    require(rsd > 0 && tol > 0, "rsd and tol must be positive")
+    val ka = a.select(col(aCol).cast("long").as("k")).na.drop()
+    val kb = b.select(col(bCol).cast("long").as("k")).na.drop()
+    val exact = ka.distinct().agg(count(lit(1)).as("n_a"))
+      .crossJoin(kb.distinct().agg(count(lit(1)).as("n_b")))
+      .crossJoin(ka.distinct().join(kb.distinct(), Seq("k"), "left_semi")
+        .agg(count(lit(1)).as("n_common")))
+    val est = ka.agg(approx_count_distinct(col("k"), rsd).as("e_a"))
+      .crossJoin(kb.agg(approx_count_distinct(col("k"), rsd).as("e_b")))
+      .crossJoin(ka.unionAll(kb)
+        .agg(approx_count_distinct(col("k"), rsd).as("e_u")))
+    exact.crossJoin(est)
+      .withColumn("est_ok",
+        abs(col("e_a") + col("e_b") - col("e_u") - col("n_common")) <=
+          greatest(ceil((col("n_a") + col("n_b")) * tol), lit(16L)))
+      .select("n_a", "n_b", "n_common", "est_ok")
+  }
 }

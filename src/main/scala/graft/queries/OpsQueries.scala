@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{ChronoSplit, Chunking, Decontaminate, Dedup, LanguageModel, Packing, Sampling, Sketches, SkewJoin, TextAnalysis}
+import graft.ops.{BloomJoin, ChronoSplit, Chunking, Decontaminate, Dedup, LanguageModel, Packing, Sampling, Sketches, SkewJoin, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2015,6 +2015,73 @@ object OpsQueries {
     test.select("event_id", "user_id", "event_type").orderBy("event_id")
   }
 
+  /** #3i Bloom-pruned selective fact⋈dim join: lineitem rows joined to
+    * the suppliers of one nation through [[graft.ops.BloomJoin]] — the
+    * fact scan drops non-partner rows through the codegen'd
+    * `bloom_might_contain` probe BEFORE its exchange. The oracle IS the
+    * plain join (Bloom filters have no false negatives; the exact join
+    * removes the fpp sliver), so correctness of the pruning is
+    * hash-checked, not assumed. At gate scale the dim would broadcast
+    * anyway; the operator targets the selective-but-not-broadcastable
+    * dim where today the whole fact table shuffles for a 1% match. */
+  def bloomJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    val fact = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+    BloomJoin.inner(fact, dim, "l_suppkey")
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** #33c per-source document cap (the C4/RefinedWeb-style domain cap:
+    * no single domain may dominate the corpus): at most 30 docs per
+    * source, elected by md5(doc_id) so the survivor set is a
+    * deterministic pseudo-random draw, stable across engines and runs.
+    * One shuffle on source; the window compiles to per-group top-n. */
+  def domainCap(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedQuota(
+      Tables.documents(s, dir).select("doc_id", "source"),
+      Seq(col("source")),
+      Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+      n = 30)
+      .select("source", "doc_id")
+      .orderBy("source", "doc_id")
+
+  /** #1d' l-diversity audit (the k-anonymity refinement: a class of 50
+    * identical quasi-identifiers still leaks if all 50 share the
+    * sensitive value): distinct market segments per (nation,
+    * balance-band) class, flagged where diversity < 3. */
+  def lDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("bal_band", floor(col("c_acctbal") / 1000).cast("long"))
+      .groupBy("c_nationkey", "bal_band")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_mktsegment")).as("l_div"))
+      .withColumn("at_risk", col("l_div") < 3)
+      .orderBy("c_nationkey", "bal_band")
+
+  /** #7l' join-key overlap profiles over three FK edges
+    * ([[graft.ops.Sketches.keyOverlap]]): exact set sizes plus the
+    * audited HLL inclusion-exclusion estimate — the planning statistic
+    * behind choosing [[graft.ops.BloomJoin]] vs broadcast vs plain. */
+  def keyOverlapProfile(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Seq(
+      ("events_customer",
+        Tables.events(s, dir), "user_id", Tables.customer(s, dir), "c_custkey"),
+      ("lineitem_part",
+        Tables.lineitem(s, dir), "l_partkey", Tables.part(s, dir), "p_partkey"),
+      ("orders_customer",
+        Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey"))
+    pairs.map { case (lbl, a, ac, b, bc) =>
+      Sketches.keyOverlap(a, ac, b, bc).withColumn("pair", lit(lbl))
+    }.reduce(_ unionAll _)
+      .select("pair", "n_a", "n_b", "n_common", "est_ok")
+      .orderBy("pair")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam_bloom"    -> (decontamBloom _),
     "chunk_cdc"         -> (chunkCdc _),
@@ -2124,6 +2191,10 @@ object OpsQueries {
     "lm_vocab"          -> (lmVocab _),
     "lm_score"          -> (lmScore _),
     "skew_join"         -> (skewJoin _),
+    "bloom_join"        -> (bloomJoinQuery _),
+    "domain_cap"        -> (domainCap _),
+    "l_diversity"       -> (lDiversity _),
+    "key_overlap"       -> (keyOverlapProfile _),
     "sketch_profile"    -> (sketchProfile _),
     "text_bm25"         -> (textBm25 _),
     "sample_temperature" -> (sampleTemperature _),
@@ -4051,5 +4122,55 @@ object OpsQueries {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE l_quantity > 45
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // The oracle IS the plain (un-pruned) join — Bloom prefiltering must
+    // be invisible in the result.
+    "bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "domain_cap" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 30
+        |ORDER BY source, doc_id""".stripMargin,
+    "l_diversity" ->
+      """SELECT c_nationkey, floor(c_acctbal / 1000)::BIGINT AS bal_band,
+        |  count(*) AS n, count(DISTINCT c_mktsegment) AS l_div,
+        |  count(DISTINCT c_mktsegment) < 3 AS at_risk
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, bal_band""".stripMargin,
+    // est_ok is the HLL audit boolean — exact on the oracle side.
+    "key_overlap" ->
+      """WITH ec AS (
+        |  SELECT 'events_customer' AS pair,
+        |    (SELECT count(DISTINCT user_id) FROM events) AS n_a,
+        |    (SELECT count(DISTINCT c_custkey) FROM customer) AS n_b,
+        |    (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events) e
+        |       JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |         ON e.user_id = c.c_custkey) AS n_common,
+        |    true AS est_ok
+        |), lp AS (
+        |  SELECT 'lineitem_part' AS pair,
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_a,
+        |    (SELECT count(DISTINCT p_partkey) FROM part) AS n_b,
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem) l
+        |       JOIN (SELECT DISTINCT p_partkey FROM part) p
+        |         ON l.l_partkey = p.p_partkey) AS n_common,
+        |    true AS est_ok
+        |), oc AS (
+        |  SELECT 'orders_customer' AS pair,
+        |    (SELECT count(DISTINCT o_custkey) FROM orders) AS n_a,
+        |    (SELECT count(DISTINCT c_custkey) FROM customer) AS n_b,
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) o
+        |       JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |         ON o.o_custkey = c.c_custkey) AS n_common,
+        |    true AS est_ok
+        |)
+        |SELECT * FROM ec UNION ALL SELECT * FROM lp UNION ALL SELECT * FROM oc
+        |ORDER BY pair""".stripMargin,
   )
 }

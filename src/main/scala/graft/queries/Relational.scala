@@ -174,6 +174,34 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** #7b'' nearest as-of join: each event picks the user's purchase
+    * CLOSEST in time, either direction, within 12 h (backward wins
+    * distance ties) — the sensor-alignment / feature-join variant where
+    * "most recent" is wrong because the nearest reading may be just
+    * ahead. Same single union-window exchange as backward/forward: both
+    * direction hits come from two frames over ONE sort. */
+  def q8cAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("p_ts"))
+      .agg(max(struct(col("value"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("p_ts"),
+        col("m.event_id").as("p_event_id"), col("m.value").as("p_value"))
+    AsOfJoin.nearest(
+      left = events,
+      right = purchases,
+      keys = Seq("user_id"),
+      leftTs = "ts",
+      rightTs = "p_ts",
+      rightCols = Seq("p_event_id", "p_value"),
+      toleranceUs = Some(12L * 3600 * 1000000))
+      .select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("p_event_id"), round(col("p_value"), 6).as("p_value"))
+      .orderBy("event_id")
+  }
+
   /** #7c interval (range) join: clicks landing inside the 24 h window
     * opened by each purchase of the same user, aggregated per purchase.
     * Scale: [[graft.ops.RangeJoin]] tiles time into max-interval-width
@@ -391,6 +419,7 @@ object Relational {
     "q7_events_window" -> (q7EventsWindow _),
     "q8_asof_join"     -> (q8AsofJoin _),
     "q8b_asof_forward" -> (q8AsofForward _),
+    "q8c_asof_nearest" -> (q8cAsofNearest _),
     "q9_range_join"    -> (q9RangeJoin _),
     "q10_funnel"       -> (q10Funnel _),
     "q11_retention"    -> (q11Retention _),
@@ -538,6 +567,45 @@ object Relational {
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.nts >= p.nts
         |ORDER BY e.event_id""".stripMargin,
+    // Nearest = backward ASOF + forward ASOF (negated-key trick), then
+    // pick the closer hit within tolerance; backward wins exact ties.
+    "q8c_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, p_event_id, p_value FROM (
+        |    SELECT user_id, ts, event_id AS p_event_id, value AS p_value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY value DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+        |), pn AS (
+        |  SELECT user_id, ts, p_event_id, p_value, -epoch_us(ts) AS nts FROM p
+        |), en AS (
+        |  SELECT event_id, user_id, ts, -epoch_us(ts) AS nts FROM events
+        |), b AS (
+        |  SELECT e.event_id, p.p_event_id AS b_id, p.p_value AS b_val,
+        |    epoch_us(e.ts) - epoch_us(p.ts) AS b_d
+        |  FROM events e ASOF LEFT JOIN p
+        |    ON e.user_id = p.user_id AND e.ts >= p.ts
+        |), f AS (
+        |  SELECT e.event_id, pn.p_event_id AS f_id, pn.p_value AS f_val,
+        |    epoch_us(pn.ts) - epoch_us(e.ts) AS f_d
+        |  FROM en e ASOF LEFT JOIN pn
+        |    ON e.user_id = pn.user_id AND e.nts >= pn.nts
+        |)
+        |SELECT ev.event_id, ev.user_id, epoch_us(ev.ts) AS ts_us,
+        |  CASE WHEN b_id IS NOT NULL AND b_d <= 43200000000
+        |        AND (f_id IS NULL OR f_d > 43200000000 OR b_d <= f_d)
+        |       THEN b_id
+        |       WHEN f_id IS NOT NULL AND f_d <= 43200000000 THEN f_id
+        |  END AS p_event_id,
+        |  CASE WHEN b_id IS NOT NULL AND b_d <= 43200000000
+        |        AND (f_id IS NULL OR f_d > 43200000000 OR b_d <= f_d)
+        |       THEN round(b_val, 6)
+        |       WHEN f_id IS NOT NULL AND f_d <= 43200000000 THEN round(f_val, 6)
+        |  END AS p_value
+        |FROM events ev
+        |JOIN b ON ev.event_id = b.event_id
+        |JOIN f ON ev.event_id = f.event_id
+        |ORDER BY ev.event_id""".stripMargin,
     "q9_range_join" ->
       """SELECT p.event_id AS p_event_id, count(*) AS n_clicks,
         |  round(sum(c.value), 6) AS sum_value

@@ -57,6 +57,73 @@ class JoinOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(9L))
   }
 
+  test("AsOfJoin.nearest picks the closer direction; backward wins ties; tolerance caps both") {
+    val left = tsDf("lv", Seq(
+      (1L, 100L, 10L),  // right@90 (d=10) vs right@200 (d=100) → backward 1
+      (1L, 180L, 11L),  // right@90 (d=90) vs right@200 (d=20)  → forward 2
+      (1L, 145L, 12L),  // exact tie d=55 both ways → backward wins → 1
+      (1L, 900L, 13L),  // nearest is 200, 700 s back — tolerance-nulled
+      (2L, 100L, 20L))) // key absent on right → null
+    val right = tsDf("rv", Seq((1L, 90L, 1L), (1L, 200L, 2L), (1L, 210L, 3L)))
+      .withColumnRenamed("t", "rt")
+    val out = AsOfJoin.nearest(left, right, Seq("k"), "t", "rt", Seq("rv"),
+        toleranceUs = Some(300L * 1000000))
+      .select("lv", "rv").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(out == Set(
+      (10L, 1L), (11L, 2L), (12L, 1L), (13L, -1L), (20L, -1L)))
+  }
+
+  test("AsOfJoin.nearest exact-time right row matches at distance zero") {
+    val left = tsDf("lv", Seq((1L, 100L, 10L)))
+    val right = tsDf("rv", Seq((1L, 100L, 1L), (1L, 101L, 2L)))
+      .withColumnRenamed("t", "rt")
+    val out = AsOfJoin.nearest(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .select("rv").as[Long].collect()
+    assert(out.toSeq == Seq(1L))
+  }
+
+  test("BloomJoin.inner equals the plain inner join (no false negatives)") {
+    val fact = (1L to 2000L).map(i => (i, i % 97)).toDF("row_id", "k")
+    val dim = Seq((3L, "a"), (11L, "b"), (96L, "c"), (500L, "zz")).toDF("k", "v")
+    val got = BloomJoin.inner(fact, dim, "k")
+      .select("row_id", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = fact.join(dim, Seq("k"), "inner")
+      .select("row_id", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("BloomJoin empty dim yields empty result without a filter build") {
+    val fact = (1L to 10L).map(i => (i, i)).toDF("row_id", "k")
+    val dim = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(BloomJoin.inner(fact, dim, "k").count() == 0L)
+  }
+
+  test("bloom_might_contain: no false negatives, nulls propagate, non-foldable filter rejected") {
+    val keys = (1L to 500L).map(i => i * 7L)
+    val bloom = keys.toDF("k").stat.bloomFilter("k", 500, 0.01)
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    val bytes = out.toByteArray
+    val probed = Seq[java.lang.Long](7L, 14L, 21L, null)
+      .toDF("k")
+      .select(col("k"), graft.functions.bloom_might_contain(col("k"), lit(bytes)).as("hit"))
+      .collect()
+      .map(r => (Option(r.get(0)), if (r.isNullAt(1)) null else r.getBoolean(1)))
+    assert(probed.collect { case (Some(_), h) => h }.forall(_ == true),
+      "members must always probe true")
+    assert(probed.collect { case (None, h) => h }.forall(_ == null),
+      "null key must produce null, not false")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, bytes)).toDF("k", "b")
+        .select(graft.functions.bloom_might_contain(col("k"), col("b")))
+        .collect()
+    }
+  }
+
   test("AsOfJoin rejects right columns colliding with left names") {
     val left = tsDf("v", Seq((1L, 100L, 10L)))
     val right = tsDf("v", Seq((1L, 100L, 1L))).withColumnRenamed("t", "rt")

@@ -314,4 +314,33 @@ class PlanContractSpec extends SparkSpec {
         plan.take(3000))
     } finally Scratch.deleteRecursively(base)
   }
+
+  test("bloom_join probes the fact scan inside codegen, before the join") {
+    // sf0.01: sf0.001 has no NATION_7 suppliers, which short-circuits the
+    // empty-dim path and would test nothing.
+    val plan = finalPlan(OpsQueries.bloomJoinQuery(spark, "/root/testdata/sf0.01"))
+    // The codegen'd probe must survive into the physical plan as a Filter
+    // conjunct (i.e., not be optimized away or pushed into a UDF wrapper).
+    assert(plan.contains("bloom_might_contain"), plan.take(3000))
+    val filterAt = plan.indexOf("bloom_might_contain")
+    val joinAt = plan.indexOf("Join")
+    assert(joinAt >= 0 && filterAt > joinAt,
+      // executedPlan prints top-down: the probe filter must appear BELOW
+      // (after, in text) the join it feeds.
+      s"probe not below the join: filter@$filterAt join@$joinAt\n${plan.take(3000)}")
+  }
+
+  test("nearest as-of computes both direction frames in ONE Window over one sort") {
+    val plan = finalPlan(Relational.q8cAsofNearest(spark, dir))
+    // Both frame functions must land in a single Window operator (one
+    // exchange + one sort serve both directions) — two Window nodes would
+    // mean Spark re-sorted or re-exchanged between the frames. The AQE
+    // plan string prints the node once per section (Final + Initial), so
+    // compare distinct node texts, not raw line count.
+    val windows = plan.linesIterator.filter(_.contains("Window ["))
+      .map(_.dropWhile(c => c == ' ' || c == '+' || c == '-' || c == ':')).toSeq.distinct
+    assert(windows.length == 1, s"expected 1 distinct Window node, got ${windows.length}\n${plan.take(3000)}")
+    assert(windows.head.contains("__hb") && windows.head.contains("__hf"),
+      s"the single Window must compute both direction hits:\n${windows.head}")
+  }
 }
