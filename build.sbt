@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] puts driver + all 32 executor threads in ONE heap: at 8g,
+  // 32 concurrent tasks share ~4.8g of unified memory (~150 MB each),
+  // which makes the iterative fits spill-and-GC-bound and their bench
+  // times swing 2-4x run to run. The box has 128 GiB; size accordingly.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -90,6 +90,36 @@ object ChronoSplit {
     }
   }
 
+  /** Rolling-origin (expanding-window) backtest folds — the time-series
+    * cross-validation protocol: fold i trains on everything at-or-before
+    * cutoff_i and tests on (cutoff_i, cutoff_(i+1)], with integer-µs
+    * cutoffs dividing [min, max] into folds+1 equal spans. Returns the
+    * input fanned out to (fold, role) rows — train rows replicate into
+    * every later fold by construction (the window expands), so at scale
+    * consumers should aggregate per fold in the same pass rather than
+    * materialize the fan-out. Plan shape: one tiny bounds aggregate and
+    * one fold-id range, both broadcast — the only shuffle is whatever
+    * the consumer's own aggregation needs. */
+  def rollingOrigin(df: DataFrame, timeCol: String, folds: Int): DataFrame = {
+    require(folds > 0, "folds must be positive")
+    val t = unix_micros(col(timeCol).cast(org.apache.spark.sql.types.TimestampType))
+    val bounds = df.agg(min(t).as("__tmin"), max(t).as("__tmax"))
+    val foldIds = df.sparkSession.range(1, folds + 1L).select(col("id").as("fold"))
+    val k = folds + 1
+    // Integer division keeps cutoffs engine-exact (a double span/k would
+    // round differently across engines at epoch-µs magnitudes).
+    val lo = expr(s"__tmin + ((__tmax - __tmin) * fold) div $k")
+    val hi = expr(s"__tmin + ((__tmax - __tmin) * (fold + 1)) div $k")
+    df.withColumn("__t", t)
+      .crossJoin(broadcast(bounds))
+      .crossJoin(broadcast(foldIds))
+      .withColumn("role",
+        when(col("__t") <= lo, lit("train"))
+          .when(col("__t") <= hi, lit("test")))
+      .filter(col("role").isNotNull)
+      .drop("__t", "__tmin", "__tmax")
+  }
+
   /** Bucket fan-out sized so each per-bucket window stays comfortably
     * in one task (~1M rows) while the bucket-assignment expression (one
     * pass over the literal cut array per row) stays cheap. */

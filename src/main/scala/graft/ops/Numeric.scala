@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Numeric feature conditioning for training pipelines: distribution-
@@ -131,5 +131,34 @@ object Numeric {
           (col(valueCol) - col("__graft_med"))
             / (col("__graft_mad") * 1.4826)))
       .drop("__graft_med", "__graft_mad")
+  }
+
+  /** Leakage-safe quantile discretizer (fit/transform in one plan): bin
+    * breaks are exact interpolated percentiles of the TRAIN slice only
+    * (`trainPred`), then applied to EVERY row — the contract that keeps
+    * test-set values out of boundary estimation. Output = input +
+    * `bin` (count of breaks strictly below the value, 0..probs.length)
+    * + `__breaks` (the fitted array, for auditing).
+    *
+    * Scale shape: the fit is one aggregate to a single row that rides a
+    * broadcast constant join; the apply is a codegen'd fold over the
+    * literal-sized break array — no driver collect, no shuffle beyond
+    * the fit aggregate. Exact percentiles cost a sort of the train
+    * slice's values inside the aggregate; swap `percentile` for
+    * `percentile_approx` at corpus scale if the breaks may be sketched. */
+  def quantileBins(
+      df: DataFrame,
+      valueCol: String,
+      trainPred: Column,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      "probs must lie strictly inside (0,1)")
+    val breaks = df.filter(trainPred)
+      .agg(percentile(col(valueCol),
+        array(probs.map(lit): _*)).as("__breaks"))
+    df.crossJoin(broadcast(breaks))
+      .withColumn("bin",
+        aggregate(col("__breaks"), lit(0),
+          (acc, b) => acc + when(col(valueCol) > b, 1).otherwise(0)))
   }
 }

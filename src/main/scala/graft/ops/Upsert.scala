@@ -54,4 +54,43 @@ object Upsert {
       .withColumn("valid_to", lead(col(versionCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Lakehouse MERGE (write-side apply-changes): fold a keyed change
+    * feed onto a base snapshot, producing the next snapshot —
+    * `op = "delete"` removes the key, any other op upserts the change
+    * row's payload (insert if absent, replace if present), untouched
+    * base keys pass through. The feed is compacted to one change per
+    * key first ([[latestWins]] on `versionCol`/`tieCols`), so a batch
+    * carrying several revisions of a key applies only its newest.
+    *
+    * `changes` must carry every `base` column plus `opCol`; the result
+    * has exactly `base`'s columns. Scale shape: one WindowGroupLimit
+    * exchange to compact the feed (bounded by feed size, typically ≪
+    * base) + one key-keyed full-outer join — the two-shuffle floor for
+    * keyed merge, with no driver state; at 100 TB both sides
+    * co-partition on the key so the join reuses the compaction's
+    * exchange. */
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      opCol: String,
+      versionCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val missing = (base.columns :+ opCol).toSet -- changes.columns.toSet
+    require(missing.isEmpty, s"changes side lacks columns: $missing")
+    val payloadCols = base.columns.filterNot(keyCols.contains)
+    val latest = latestWins(changes, keyCols, versionCol, tieCols)
+      .select(keyCols.map(col) ++ Seq(col(opCol).as("__op"),
+        struct(payloadCols.map(col): _*).as("__cp")): _*)
+    val b = base.select(keyCols.map(col) :+
+      struct(payloadCols.map(col): _*).as("__bp"): _*)
+    b.join(latest, keyCols, "full_outer")
+      // Rows only in base have a null __op and must survive; only an
+      // explicit delete drops the key.
+      .filter(col("__op").isNull || col("__op") =!= "delete")
+      .withColumn("__p", when(col("__op").isNotNull, col("__cp")).otherwise(col("__bp")))
+      .select(keyCols.map(col) ++ payloadCols.map(c => col("__p")(c).as(c)): _*)
+  }
 }

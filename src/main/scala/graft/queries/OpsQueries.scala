@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{BloomJoin, ChronoSplit, Chunking, Decontaminate, Dedup, LanguageModel, Packing, Sampling, Sketches, SkewJoin, TextAnalysis}
+import graft.ops.{BloomJoin, ChronoSplit, Chunking, Decontaminate, Dedup, LanguageModel, Packing, Sampling, Sketches, SkewJoin, TextAnalysis, Upsert}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2082,7 +2082,82 @@ object OpsQueries {
       .orderBy("pair")
   }
 
+  /** #14d rolling-origin backtest folds (time-series CV): 3 expanding
+    * windows over events, profiled per (fold, role) — counts plus the
+    * time extents that prove train never leaks past its cutoff. */
+  def backtestFolds(s: SparkSession, dir: String): DataFrame =
+    ChronoSplit.rollingOrigin(Tables.events(s, dir), "ts", folds = 3)
+      .groupBy("fold", "role")
+      .agg(count(lit(1)).as("n"),
+        min(unix_micros(col("ts"))).as("min_us"),
+        max(unix_micros(col("ts"))).as("max_us"))
+      .orderBy("fold", "role")
+
+  /** #50d leakage-safe quantile discretizer: quartile breaks fitted on
+    * the even-event_id half only ([[graft.ops.Numeric.quantileBins]]),
+    * applied to all rows; per-bin counts and value extents. */
+  def quantileBinsQuery(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Numeric.quantileBins(Tables.events(s, dir), "value",
+        expr("event_id % 2 = 0"), Seq(0.25, 0.5, 0.75))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("lo"),
+        round(max(col("value")), 6).as("hi"))
+      .orderBy("bin")
+
+  /** #1d'' differentially-private count release (Laplace mechanism,
+    * ε = 0.1, sensitivity 1): per-event-type counts plus inverse-CDF
+    * Laplace noise over a deterministic md5-derived uniform — the draw
+    * reproduces on any engine, which is what makes the mechanism
+    * hash-checkable here (production swaps the hash for calibrated
+    * randomness; the release arithmetic is identical). The noise is
+    * rounded to 1e-6 BEFORE adding so an engine ulp difference in `ln`
+    * cannot flip the released grid value. */
+  def dpCounts(s: SparkSession, dir: String): DataFrame = {
+    val b = 10.0 // 1/ε
+    val u = (conv(substring(md5(concat(lit("dp:"), col("event_type"))), 1, 15),
+      16, 10).cast("double") + 0.5) / math.pow(16, 15)
+    val centered = u - 0.5
+    val noise = round(
+      -lit(b) * signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered)), 6)
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("__n"))
+      .select(col("event_type"), lit(0.1).as("eps"),
+        round(col("__n") + noise, 6).as("n_dp"))
+      .orderBy("event_type")
+  }
+
+  /** #47e lakehouse MERGE (apply-changes): the first temporal half's
+    * latest-wins state is the base snapshot; the second half becomes a
+    * change feed whose ops are a deterministic md5 coin (1-in-10
+    * deletes, rest upserts); [[graft.ops.Upsert.applyChanges]] folds
+    * feed onto base. Exercises all three merge arms — delete of an
+    * existing key, update of an existing key, insert of a new key —
+    * against a full-outer-join oracle. */
+  def mergeApply(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / 2).cast("long").as("m"))
+    val tagged = ev.crossJoin(broadcast(mid))
+    val base = Upsert.latestWins(
+      tagged.filter(col("ts_us") <= col("m")).drop("m"),
+      Seq("user_id", "event_type"), "ts_us", Seq("event_id"))
+    val changes = tagged.filter(col("ts_us") > col("m")).drop("m")
+      .withColumn("op",
+        when(pmod(conv(substring(md5(col("event_id").cast("string")), 1, 15),
+          16, 10).cast("long"), lit(10L)) === 0, lit("delete"))
+          .otherwise(lit("upsert")))
+    Upsert.applyChanges(base, changes,
+        Seq("user_id", "event_type"), "op", "ts_us", Seq("event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us"), round(col("value"), 6).as("value"))
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_apply"       -> (mergeApply _),
     "decontam_bloom"    -> (decontamBloom _),
     "chunk_cdc"         -> (chunkCdc _),
     "chrono_split_user" -> (chronoSplitUser _),
@@ -2195,6 +2270,9 @@ object OpsQueries {
     "domain_cap"        -> (domainCap _),
     "l_diversity"       -> (lDiversity _),
     "key_overlap"       -> (keyOverlapProfile _),
+    "backtest_folds"    -> (backtestFolds _),
+    "quantile_bins"     -> (quantileBinsQuery _),
+    "dp_counts"         -> (dpCounts _),
     "sketch_profile"    -> (sketchProfile _),
     "text_bm25"         -> (textBm25 _),
     "sample_temperature" -> (sampleTemperature _),
@@ -4143,6 +4221,74 @@ object OpsQueries {
         |  count(DISTINCT c_mktsegment) < 3 AS at_risk
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, bal_band""".stripMargin,
+    "merge_apply" ->
+      """WITH m AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+        |), base AS (
+        |  SELECT user_id, event_type, event_id, tus AS ts_us, value FROM (
+        |    SELECT user_id, event_type, event_id, value, epoch_us(ts) AS tus,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events, m WHERE epoch_us(ts) <= mid) WHERE rn = 1
+        |), chg AS (
+        |  SELECT user_id, event_type, event_id, tus AS ts_us, value,
+        |    CASE WHEN ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+        |              % 10 = 0
+        |         THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM (
+        |    SELECT user_id, event_type, event_id, value, epoch_us(ts) AS tus,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events, m WHERE epoch_us(ts) > mid) WHERE rn = 1
+        |)
+        |SELECT coalesce(c.user_id, b.user_id) AS user_id,
+        |  coalesce(c.event_type, b.event_type) AS event_type,
+        |  coalesce(c.event_id, b.event_id) AS event_id,
+        |  coalesce(c.ts_us, b.ts_us) AS ts_us,
+        |  round(coalesce(c.value, b.value), 6) AS value
+        |FROM base b FULL OUTER JOIN chg c
+        |  ON b.user_id = c.user_id AND b.event_type = c.event_type
+        |WHERE c.op IS NULL OR c.op <> 'delete'
+        |ORDER BY user_id, event_type""".stripMargin,
+    "backtest_folds" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax FROM events
+        |), f AS (
+        |  SELECT unnest(range(1, 4)) AS fold
+        |), a AS (
+        |  SELECT epoch_us(e.ts) AS tus, f.fold,
+        |    CASE WHEN epoch_us(e.ts) <= tmin + ((tmax - tmin) * fold) // 4
+        |           THEN 'train'
+        |         WHEN epoch_us(e.ts) <= tmin + ((tmax - tmin) * (fold + 1)) // 4
+        |           THEN 'test'
+        |    END AS role
+        |  FROM events e CROSS JOIN b CROSS JOIN f
+        |)
+        |SELECT fold, role, count(*) AS n, min(tus) AS min_us, max(tus) AS max_us
+        |FROM a WHERE role IS NOT NULL
+        |GROUP BY fold, role ORDER BY fold, role""".stripMargin,
+    "quantile_bins" ->
+      """WITH br AS (
+        |  SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS breaks
+        |  FROM events WHERE event_id % 2 = 0
+        |)
+        |SELECT
+        |  (CASE WHEN value > breaks[1] THEN 1 ELSE 0 END +
+        |   CASE WHEN value > breaks[2] THEN 1 ELSE 0 END +
+        |   CASE WHEN value > breaks[3] THEN 1 ELSE 0 END) AS bin,
+        |  count(*) AS n, round(min(value), 6) AS lo, round(max(value), 6) AS hi
+        |FROM events CROSS JOIN br
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+    "dp_counts" ->
+      """SELECT event_type, 0.1::DOUBLE AS eps,
+        |  round(count(*) +
+        |    round(-10.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6), 6) AS n_dp
+        |FROM (
+        |  SELECT event_type,
+        |    (('0x' || substr(md5('dp:' || event_type), 1, 15))::BIGINT + 0.5)
+        |      / power(16, 15) AS u
+        |  FROM events)
+        |GROUP BY event_type, u ORDER BY event_type""".stripMargin,
     // est_ok is the HLL audit boolean — exact on the oracle side.
     "key_overlap" ->
       """WITH ec AS (

@@ -148,8 +148,30 @@ object SourceQueries {
         .orderBy("doc_id")
     })
 
+  private val textCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** #17g line-text roundtrip: documents serialized as
+    * `doc_id<TAB>newline-collapsed-text` lines through
+    * [[graft.sources.TypedText]], re-ingested, re-keyed by splitting on
+    * the FIRST tab (document text may contain tabs), and length-checked
+    * per document against the original table. */
+  def textRoundtrip(s: SparkSession, dir: String): DataFrame =
+    textCache.getOrElseUpdate((s, dir), Scratch.cleaned("graft_text") { tmp =>
+      val lines = Tables.documents(s, dir)
+        .select(concat(col("doc_id").cast("string"), lit("\t"),
+          regexp_replace(col("text"), "\n", " ")).as("line"))
+      graft.sources.TypedText.write(lines.coalesce(1), "line", tmp.toString)
+      graft.sources.TypedText.read(s, tmp.toString)
+        .select(expr("split(value, '\t', 2)").as("p"))
+        .select(col("p")(0).cast("long").as("doc_id"),
+          length(col("p")(1)).as("n_chars_clean"))
+        .orderBy("doc_id")
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip"   -> (csvRoundtrip _),
+    "text_roundtrip"  -> (textRoundtrip _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "orc_roundtrip"   -> (orcRoundtrip _),
     "schema_evolution" -> (schemaEvolution _),
@@ -161,6 +183,9 @@ object SourceQueries {
     "csv_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "text_roundtrip" ->
+      """SELECT doc_id, length(replace(text, chr(10), ' ')) AS n_chars_clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, 2::BIGINT AS n_quarantined
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -585,6 +585,74 @@ class OpsSpec extends SparkSpec {
       "k3" -> (7L, "tie-hi")))
   }
 
+  test("Upsert.applyChanges: delete removes, upsert replaces/inserts, base passes through") {
+    import spark.implicits._
+    val base = Seq(
+      ("k1", 10L, "b1"), ("k2", 11L, "b2"), ("k3", 12L, "b3")
+    ).toDF("k", "ver", "payload")
+    val changes = Seq(
+      ("k1", 20L, "c1-old", "upsert"),   // superseded by the k1@21 revision
+      ("k1", 21L, "c1-new", "upsert"),   // update of existing key
+      ("k2", 22L, "unused", "delete"),   // delete of existing key
+      ("k4", 23L, "c4", "upsert"),       // insert of new key
+      ("k5", 24L, "unused", "delete")    // delete of absent key → no-op
+    ).toDF("k", "ver", "payload", "op")
+    val got = Upsert.applyChanges(base, changes, Seq("k"), "op", "ver")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == Map(
+      "k1" -> (21L, "c1-new"), "k3" -> (12L, "b3"), "k4" -> (23L, "c4")))
+  }
+
+  test("Upsert.applyChanges rejects a changes side missing base columns") {
+    import spark.implicits._
+    val base = Seq(("k1", 1L)).toDF("k", "v")
+    val changes = Seq(("k1", "upsert")).toDF("k", "op") // lacks v
+    intercept[IllegalArgumentException] {
+      Upsert.applyChanges(base, changes, Seq("k"), "op", "v")
+    }
+  }
+
+  test("ChronoSplit.rollingOrigin: expanding train, contiguous test, no leak") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, i * 1000000L))
+      .toDF("id", "us")
+      .withColumn("t", timestamp_micros(col("us")))
+    val folds = ChronoSplit.rollingOrigin(df, "t", folds = 3)
+      .select("fold", "role", "us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    for (f <- 1L to 3L) {
+      val train = folds.collect { case (`f`, "train", us) => us }
+      val test = folds.collect { case (`f`, "test", us) => us }
+      assert(train.nonEmpty && test.nonEmpty, s"fold $f empty side")
+      assert(train.max < test.min, s"fold $f leaks: ${train.max} >= ${test.min}")
+    }
+    // Expanding window: each fold's train strictly extends the previous.
+    val trainMax = (1L to 3L).map(f =>
+      folds.collect { case (`f`, "train", us) => us }.max)
+    assert(trainMax == trainMax.sorted && trainMax.distinct.length == 3)
+    // Fold i's test range ends where fold i+1's train ends.
+    for (f <- 1L to 2L)
+      assert(folds.collect { case (`f`, "test", us) => us }.max ==
+        folds.collect { case (x, "train", us) if x == f + 1 => us }.max)
+  }
+
+  test("Numeric.quantileBins fits breaks on the train slice only") {
+    import spark.implicits._
+    // Train rows 0..99; test rows carry huge values that MUST NOT move
+    // the breaks (the leakage this operator exists to prevent).
+    val df = ((0 until 100).map(i => (i.toLong, i.toDouble, true)) ++
+      Seq((1000L, 1e9, false), (1001L, 2e9, false)))
+      .toDF("id", "v", "is_train")
+    val out = Numeric.quantileBins(df, "v", col("is_train"), Seq(0.25, 0.5, 0.75))
+    val bins = out.select("id", "bin").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bins(0L) == 0 && bins(30L) == 1 && bins(60L) == 2 && bins(99L) == 3)
+    assert(bins(1000L) == 3 && bins(1001L) == 3,
+      "test outliers land in the top bin without widening it")
+    val breaks = out.select("__breaks").head().getSeq[Double](0)
+    assert(breaks.max < 100.0, s"breaks leaked test values: $breaks")
+  }
+
   test("Decontaminate.semanticContaminated flags cosine hits, drops zero vectors") {
     import spark.implicits._
     val corpus = Seq(
