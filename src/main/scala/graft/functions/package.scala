@@ -38,6 +38,10 @@ package object functions {
   def bloom_might_contain(key: Column, filterBytes: Column): Column =
     call_function("bloom_might_contain", key, filterBytes)
 
+  /** Accent/diacritic stripping (NFD + combining-mark removal) of a
+    * string column ([[graft.functions.StripAccents]]). */
+  def strip_accents(s: Column): Column = call_function("strip_accents", s)
+
   /** Register graft's expressions with a session's function registry
     * (idempotent); enables both the Column helpers above and SQL-text use. */
   def register(spark: SparkSession): Unit = {
@@ -62,6 +66,13 @@ package object functions {
       (children: Seq[Expression]) => {
         if (children.length != 2) wrongArgs("bloom_might_contain", 2, children.length)
         BloomMightContain(children(0), children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) wrongArgs("strip_accents", 1, children.length)
+        StripAccents(children.head)
       })
   }
 }

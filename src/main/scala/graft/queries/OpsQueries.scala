@@ -2007,6 +2007,27 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** #28c accent folding at ingest via the native
+    * [[graft.functions.StripAccents]] expression (NFD + combining-mark
+    * removal): each document is probed with composed (é, Å) AND
+    * decomposed (e+U+0301, A+U+030A) accents plus mark-free specials
+    * (æøß) that must survive untouched — lengths and md5 hash-checked
+    * against DuckDB's independent `strip_accents`. */
+  def textUnaccent(s: SparkSession, dir: String): DataFrame = {
+    // Escapes keep composed-vs-decomposed distinctions editor-proof:
+    // caf\u00e9 (precomposed) vs cafe\u0301 (combining acute),
+    // A\u030a (combining ring) vs \u00c5bo (precomposed); \u00e6\u00f8\u00df
+    // carry no marks and must pass through byte-identical.
+    val probe = concat(col("text"),
+      lit(" caf\u00e9 cafe\u0301 A\u030a \u00c5bo \u00e6\u00f8\u00df"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(probe).as("len_raw"),
+        length(graft.functions.strip_accents(probe)).as("len_stripped"),
+        md5(graft.functions.strip_accents(probe)).as("stripped_md5"))
+      .orderBy("doc_id")
+  }
+
   /** #14b per-user leave-last-out split: each user's most recent 20% of
     * events as the test slice. */
   def chronoSplitUser(s: SparkSession, dir: String): DataFrame = {
@@ -2240,6 +2261,7 @@ object OpsQueries {
     "sample_weighted"   -> (sampleWeighted _),
     "agg_skew_salted"   -> (aggSkewSalted _),
     "text_normalize"    -> (textNormalize _),
+    "text_unaccent"     -> (textUnaccent _),
     "events_json"       -> (eventsJson _),
     "events_moving_avg" -> (eventsMovingAvg _),
     "events_regression" -> (eventsRegression _),
@@ -4221,6 +4243,20 @@ object OpsQueries {
         |  count(DISTINCT c_mktsegment) < 3 AS at_risk
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, bal_band""".stripMargin,
+    // chr codes mirror the Spark probe exactly: 233=é, 769=combining
+    // acute, 778=combining ring, 197=Å, 230/248/223=æ/ø/ß.
+    "text_unaccent" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' caf' || chr(233) || ' cafe' || chr(769) || ' A' || chr(778)
+        |         || ' ' || chr(197) || 'bo ' || chr(230) || chr(248) || chr(223)
+        |      AS probe
+        |  FROM documents
+        |)
+        |SELECT doc_id, length(probe) AS len_raw,
+        |  length(strip_accents(probe)) AS len_stripped,
+        |  md5(strip_accents(probe)) AS stripped_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     "merge_apply" ->
       """WITH m AS (
         |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
