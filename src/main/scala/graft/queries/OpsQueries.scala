@@ -2177,8 +2177,39 @@ object OpsQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** #47f CDC loop closure: snapshot(≤mid) + second-half feed applied
+    * through [[graft.ops.Upsert.applyChanges]] must EQUAL the
+    * latest-wins state over the whole range — verified in-engine by
+    * [[graft.ops.Snapshot.diff]] coming back empty, with the counts
+    * hash-checked. The upsert/compact/diff triangle closing exactly is
+    * the property that makes incremental ingestion trustworthy: a
+    * pipeline can re-derive any snapshot from an older one plus the
+    * intervening feed. */
+  def cdcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("user_id", "event_type")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / 2).cast("long").as("m"))
+    val tagged = ev.crossJoin(broadcast(mid))
+    val base = Upsert.latestWins(
+      tagged.filter(col("ts_us") <= col("m")).drop("m"), keys, "ts_us", Seq("event_id"))
+    val feed = tagged.filter(col("ts_us") > col("m")).drop("m")
+      .withColumn("op", lit("upsert"))
+    val result = Upsert.applyChanges(base, feed, keys, "op", "ts_us", Seq("event_id"))
+    val target = Upsert.latestWins(ev, keys, "ts_us", Seq("event_id"))
+    val d = graft.ops.Snapshot.diff(result, target, keys,
+      Seq("event_id", "ts_us", "value"))
+    base.agg(count(lit(1)).as("n_base"))
+      .crossJoin(target.agg(count(lit(1)).as("n_target")))
+      .crossJoin(result.agg(count(lit(1)).as("n_result")))
+      .crossJoin(d.agg(count(lit(1)).as("n_diff")))
+      .select("n_base", "n_target", "n_result", "n_diff")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_apply"       -> (mergeApply _),
+    "cdc_roundtrip"     -> (cdcRoundtrip _),
     "decontam_bloom"    -> (decontamBloom _),
     "chunk_cdc"         -> (chunkCdc _),
     "chrono_split_user" -> (chronoSplitUser _),
@@ -4286,6 +4317,19 @@ object OpsQueries {
         |  ON b.user_id = c.user_id AND b.event_type = c.event_type
         |WHERE c.op IS NULL OR c.op <> 'delete'
         |ORDER BY user_id, event_type""".stripMargin,
+    // The oracle restates the closure: result keys = all keys, diff = 0.
+    "cdc_roundtrip" ->
+      """WITH m AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT DISTINCT user_id, event_type
+        |     FROM events, m WHERE epoch_us(ts) <= mid)) AS n_base,
+        |  (SELECT count(*) FROM (SELECT DISTINCT user_id, event_type
+        |     FROM events)) AS n_target,
+        |  (SELECT count(*) FROM (SELECT DISTINCT user_id, event_type
+        |     FROM events)) AS n_result,
+        |  0::BIGINT AS n_diff""".stripMargin,
     "backtest_folds" ->
       """WITH b AS (
         |  SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax FROM events
