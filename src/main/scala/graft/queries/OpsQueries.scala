@@ -2207,9 +2207,44 @@ object OpsQueries {
       .select("n_base", "n_target", "n_result", "n_diff")
   }
 
+  /** #19r Fellegi–Sunter record-linkage scoring (probabilistic ER):
+    * bucket-blocked document pairs scored by summed log-likelihood
+    * field weights — agree on a field adds ln(m/u), disagree adds
+    * ln((1−m)/(1−u)) — with (m, u) pinned per field (lang 0.95/0.3,
+    * source 0.9/0.05, 16-char text prefix 0.8/0.001) and the weights
+    * inlined as 6-dp literals so both engines sum identical doubles.
+    * Top-50 pairs by score; the planted re-posts surface at the top
+    * through the high-discrimination prefix field.
+    *
+    * Scale shape: the pair space is blocked on the n_chars/100 band
+    * (never all-pairs); at corpus scale the block key would be a
+    * proper blocking vector and (m, u) would come from EM — the
+    * scoring algebra is what this operator pins. */
+  def erScores(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(col("text"), 1, 16).as("pfx"),
+        expr("n_chars div 100").as("blk"))
+    def side(p: String) = d.select(d.columns.map(c => col(c).as(p + c)): _*)
+    side("a_").join(side("b_"),
+        col("a_blk") === col("b_blk") && col("a_doc_id") < col("b_doc_id"))
+      .select(col("a_doc_id"), col("b_doc_id"),
+        (col("a_lang") === col("b_lang")).as("lang_eq"),
+        (col("a_source") === col("b_source")).as("src_eq"),
+        (col("a_pfx") === col("b_pfx")).as("pfx_eq"),
+        round(
+          when(col("a_lang") === col("b_lang"), lit(1.15268)).otherwise(lit(-2.639057))
+            + when(col("a_source") === col("b_source"), lit(2.890372)).otherwise(lit(-2.251292))
+            + when(col("a_pfx") === col("b_pfx"), lit(6.684612)).otherwise(lit(-1.608437)),
+          6).as("score"))
+      .orderBy(desc("score"), col("a_doc_id"), col("b_doc_id"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_apply"       -> (mergeApply _),
     "cdc_roundtrip"     -> (cdcRoundtrip _),
+    "er_scores"         -> (erScores _),
     "decontam_bloom"    -> (decontamBloom _),
     "chunk_cdc"         -> (chunkCdc _),
     "chrono_split_user" -> (chronoSplitUser _),
@@ -4317,6 +4352,25 @@ object OpsQueries {
         |  ON b.user_id = c.user_id AND b.event_type = c.event_type
         |WHERE c.op IS NULL OR c.op <> 'delete'
         |ORDER BY user_id, event_type""".stripMargin,
+    "er_scores" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, n_chars // 100 AS blk,
+        |    substring(text, 1, 16) AS pfx
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+        |  a.lang = b.lang AS lang_eq,
+        |  a.source = b.source AS src_eq,
+        |  a.pfx = b.pfx AS pfx_eq,
+        |  round(
+        |    (CASE WHEN a.lang = b.lang THEN 1.15268::DOUBLE
+        |          ELSE -2.639057::DOUBLE END) +
+        |    (CASE WHEN a.source = b.source THEN 2.890372::DOUBLE
+        |          ELSE -2.251292::DOUBLE END) +
+        |    (CASE WHEN a.pfx = b.pfx THEN 6.684612::DOUBLE
+        |          ELSE -1.608437::DOUBLE END), 6) AS score
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |ORDER BY score DESC, a_doc_id, b_doc_id LIMIT 50""".stripMargin,
     // The oracle restates the closure: result keys = all keys, diff = 0.
     "cdc_roundtrip" ->
       """WITH m AS (
