@@ -59,6 +59,14 @@ object Bench {
         timed(queries.DedupSimQueries.clusterLabels(spark, sfDir).count()),
       "_mat_span_grams" ->
         timed(queries.DedupSimQueries.spanGrams(spark, sfDir).count()),
+      // The two collective fits are memoized per (session, dir) and each
+      // feeds two queries; without these entries the whole fit cost lands
+      // on cmf_fit_predict / cmf_implicit (alphabetically-first consumers),
+      // making those entries incomparable across rounds.
+      "_mat_cmf_explicit" ->
+        timed(queries.CmfQueries.cmfFitPredict(spark, sfDir).count()),
+      "_mat_cmf_implicit" ->
+        timed(queries.CmfQueries.cmfImplicit(spark, sfDir).count()),
       "_mat_pq_index" ->
         timed(queries.DedupSimQueries.pqState(spark, sfDir)._2.count()),
       "_mat_ivfpq_index" ->

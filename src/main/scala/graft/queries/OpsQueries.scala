@@ -2241,10 +2241,30 @@ object OpsQueries {
       .limit(50)
   }
 
+  /** #4g' Levenshtein-rule equivalence on real pairs: the SQL-text
+    * `levenshtein(a, b) <= 2` predicate is rewritten by
+    * [[graft.plans.ThresholdLevenshteinRule]] to the banded
+    * `levenshtein(a, b, 2) >= 0` form (O(k·n) with early bail-out);
+    * the DuckDB oracle computes the UN-banded distance, so the hash
+    * match proves the rewrite semantics-preserving — upgrading the rule
+    * from spec-only to engine-cross-checked. Pairs are nation-blocked,
+    * never a global cross join. */
+  def levPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey"), col("c_name"))
+    val a = c.select(col("c_nationkey"), col("c_name").as("a_name"))
+    val b = c.select(col("c_nationkey"), col("c_name").as("b_name"))
+    a.join(b, Seq("c_nationkey"))
+      .filter(col("a_name") < col("b_name"))
+      .filter(expr("levenshtein(a_name, b_name) <= 2"))
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_close_pairs"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_apply"       -> (mergeApply _),
     "cdc_roundtrip"     -> (cdcRoundtrip _),
     "er_scores"         -> (erScores _),
+    "lev_prefilter"     -> (levPrefilter _),
     "decontam_bloom"    -> (decontamBloom _),
     "chunk_cdc"         -> (chunkCdc _),
     "chrono_split_user" -> (chronoSplitUser _),
@@ -4352,6 +4372,13 @@ object OpsQueries {
         |  ON b.user_id = c.user_id AND b.event_type = c.event_type
         |WHERE c.op IS NULL OR c.op <> 'delete'
         |ORDER BY user_id, event_type""".stripMargin,
+    "lev_prefilter" ->
+      """WITH c AS (SELECT c_nationkey, c_name FROM customer)
+        |SELECT a.c_nationkey, count(*) AS n_close_pairs
+        |FROM c a JOIN c b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_name < b.c_name
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |GROUP BY 1 ORDER BY a.c_nationkey""".stripMargin,
     "er_scores" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, n_chars // 100 AS blk,

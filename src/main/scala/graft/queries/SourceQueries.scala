@@ -169,9 +169,41 @@ object SourceQueries {
         .orderBy("doc_id")
     })
 
+  private val sizingCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** #52' output-sizing audit, sql-decidable: [[graft.sources.CorpusWriter]]'s
+    * two writers exercised against the lake and read back through
+    * `input_file_name()` — `writeSized` must emit exactly
+    * ceil(n / rowsPerFile) files holding all n rows, and
+    * `writePartitioned` must emit exactly ONE file per lang partition
+    * with that lang's row count. Long-form (metric, n_files, n_rows)
+    * rows so one oracle covers both writers. */
+  def writeSizing(s: SparkSession, dir: String): DataFrame =
+    sizingCache.getOrElseUpdate((s, dir), Scratch.cleaned("graft_sizing") { tmp =>
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+      graft.sources.CorpusWriter.writeSized(docs, tmp.resolve("sized").toString, 100L)
+      val sized = s.read.parquet(tmp.resolve("sized").toString)
+        .withColumn("__f", input_file_name())
+        .agg(countDistinct(col("__f")).as("n_files"),
+          count(lit(1)).as("n_rows"))
+        .select(lit("sized").as("metric"), col("n_files"), col("n_rows"))
+      graft.sources.CorpusWriter.writePartitioned(
+        docs, tmp.resolve("bylang").toString, Seq("lang"))
+      val parted = s.read.parquet(tmp.resolve("bylang").toString)
+        .withColumn("__f", input_file_name())
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("__f")).as("n_files"),
+          count(lit(1)).as("n_rows"))
+        .select(concat(lit("lang:"), col("lang")).as("metric"),
+          col("n_files"), col("n_rows"))
+      sized.unionAll(parted).orderBy("metric")
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip"   -> (csvRoundtrip _),
     "text_roundtrip"  -> (textRoundtrip _),
+    "write_sizing"    -> (writeSizing _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "orc_roundtrip"   -> (orcRoundtrip _),
     "schema_evolution" -> (schemaEvolution _),
@@ -186,6 +218,12 @@ object SourceQueries {
     "text_roundtrip" ->
       """SELECT doc_id, length(replace(text, chr(10), ' ')) AS n_chars_clean
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "write_sizing" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents)
+        |SELECT 'sized' AS metric, (c + 99) // 100 AS n_files, c AS n_rows FROM n
+        |UNION ALL
+        |SELECT 'lang:' || lang, 1, count(*) FROM documents GROUP BY lang
+        |ORDER BY metric""".stripMargin,
     "jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, 2::BIGINT AS n_quarantined
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -330,6 +330,14 @@ class PlanContractSpec extends SparkSpec {
       s"probe not below the join: filter@$filterAt join@$joinAt\n${plan.take(3000)}")
   }
 
+  test("lev_prefilter's predicate is rewritten to the banded 3-arg levenshtein") {
+    val plan = finalPlan(OpsQueries.levPrefilter(spark, dir))
+    // ThresholdLevenshteinRule: levenshtein(a,b) <= 2 → levenshtein(a,b,2) >= 0
+    // (the threshold prints as Some(2) in the physical plan string).
+    assert(plan.contains("Some(2)) >= 0"),
+      s"banded rewrite missing from the physical plan:\n${plan.take(3000)}")
+  }
+
   test("nearest as-of computes both direction frames in ONE Window over one sort") {
     val plan = finalPlan(Relational.q8cAsofNearest(spark, dir))
     // Both frame functions must land in a single Window operator (one
