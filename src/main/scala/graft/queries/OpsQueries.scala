@@ -2260,11 +2260,59 @@ object OpsQueries {
       .orderBy("c_nationkey")
   }
 
+  /** #3j returned-revenue customer ranking (TPC-H Q10 shape): customers
+    * ranked by exact-cents revenue of their returned line items — the
+    * churn-risk triage list. Fact side filtered at the scan
+    * (l_returnflag pushdown), customer dim broadcast, global top-20 via
+    * TakeOrderedAndProject (never a full sort). */
+  def returnedTopCustomers(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    rev.join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("cents") / 100.0, 2).as("lost_revenue"))
+      .orderBy(desc("lost_revenue"), col("c_custkey")).limit(20)
+  }
+
+  /** #3k market-share trend (TPC-H Q8 shape): per order-year, the share
+    * of PROMO-segment exact-cents revenue supplied by NATION_7's
+    * suppliers — the ratio-of-conditional-sums-within-group shape. One
+    * fact scan, two broadcast dims, one year-keyed aggregate. */
+  def marketShare(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_type") === "PROMO").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(sum("cents").as("tot_cents"),
+        sum(when(col("s_nationkey") === 7, col("cents")).otherwise(0L))
+          .as("nat_cents"))
+      .select(col("o_year"), round(col("tot_cents") / 100.0, 2).as("total_revenue"),
+        round(col("nat_cents").cast("double") / col("tot_cents"), 6).as("mkt_share"))
+      .orderBy("o_year")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_apply"       -> (mergeApply _),
     "cdc_roundtrip"     -> (cdcRoundtrip _),
     "er_scores"         -> (erScores _),
     "lev_prefilter"     -> (levPrefilter _),
+    "returned_top_customers" -> (returnedTopCustomers _),
+    "market_share"      -> (marketShare _),
     "decontam_bloom"    -> (decontamBloom _),
     "chunk_cdc"         -> (chunkCdc _),
     "chrono_split_user" -> (chronoSplitUser _),
@@ -4372,6 +4420,32 @@ object OpsQueries {
         |  ON b.user_id = c.user_id AND b.event_type = c.event_type
         |WHERE c.op IS NULL OR c.op <> 'delete'
         |ORDER BY user_id, event_type""".stripMargin,
+    "returned_top_customers" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |    sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT) AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY 1
+        |)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  round(cents / 100.0, 2) AS lost_revenue
+        |FROM r JOIN customer ON o_custkey = c_custkey
+        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(sum(cents) / 100.0, 2) AS total_revenue,
+        |  round(sum(CASE WHEN s_nationkey = 7 THEN cents ELSE 0 END)::DOUBLE
+        |        / sum(cents), 6) AS mkt_share
+        |FROM (
+        |  SELECT o_orderdate, s_nationkey,
+        |    round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE p_type = 'PROMO')
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "lev_prefilter" ->
       """WITH c AS (SELECT c_nationkey, c_name FROM customer)
         |SELECT a.c_nationkey, count(*) AS n_close_pairs
