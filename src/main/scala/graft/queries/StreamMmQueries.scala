@@ -160,7 +160,69 @@ object StreamMmQueries {
     EventStream.runSlidingBatchEquivalent(s, dir)
       .orderBy("window_start", "event_type")
 
+  private val ckptCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** #29g checkpointed incremental ingest, sql-decidable: the same
+    * file-stream source is drained TWICE against ONE checkpoint
+    * location — generation 1 (even doc_ids) lands in drain 1; then
+    * generation 2 (odd doc_ids) is added to the watched directory and
+    * drain 2, restarting from the checkpoint, must emit ONLY the new
+    * generation's rows. A re-emitted even row (offset loss) or a
+    * missing odd row (offset overshoot) breaks the count the oracle
+    * recomputes from the documents table — exactly-once restart
+    * semantics, hash-checked. */
+  def streamCheckpoint(s: SparkSession, dir: String): DataFrame =
+    ckptCache.getOrElseUpdate((s, dir), Scratch.cleaned("graft_ckpt") { tmp =>
+      import java.nio.file.Files
+      val src = tmp.resolve("src"); val ckpt = tmp.resolve("ckpt")
+      Files.createDirectories(src)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+
+      def publish(gen: String, pred: org.apache.spark.sql.Column): Unit = {
+        val staging = tmp.resolve("staging_" + gen)
+        docs.filter(pred).coalesce(1)
+          .write.mode("overwrite").parquet(staging.toString)
+        val part = Files.list(staging).iterator()
+        var copied = false
+        while (part.hasNext) {
+          val f = part.next()
+          if (f.getFileName.toString.startsWith("part-")
+            && f.getFileName.toString.endsWith(".parquet")) {
+            Files.copy(f, src.resolve(gen + ".parquet"))
+            copied = true
+          }
+        }
+        require(copied, s"no part file staged for generation $gen")
+      }
+
+      // The FILE sink (not memory) is the sink that supports checkpoint
+      // recovery — its _spark_metadata manifest plus the source offsets in
+      // `ckpt` are exactly the production exactly-once mechanism.
+      val out = tmp.resolve("out")
+      def drain(): Long = {
+        val q = s.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(src.toString)
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(); s.read.parquet(out.toString).count() }
+        finally { try { if (q.isActive) q.stop() } catch { case _: Exception => } }
+      }
+
+      publish("g1", col("doc_id") % 2 === 0)
+      val n1 = drain()
+      publish("g2", col("doc_id") % 2 === 1)
+      val nAll = drain()
+      import s.implicits._
+      Seq((n1, nAll - n1)).toDF("n_first", "n_second")
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_checkpoint" -> (streamCheckpoint _),
     "stream_sliding"      -> (streamSliding _),
     "stream_clean"        -> (streamClean _),
     "stream_dedup"        -> (streamDedup _),
@@ -180,6 +242,13 @@ object StreamMmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Drain 1 = generation 1 (evens); drain 2, restarted from the same
+    // checkpoint, must carry ONLY generation 2 (odds) — exactly-once.
+    "stream_checkpoint" ->
+      """SELECT
+        |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_first,
+        |  sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_second
+        |FROM documents""".stripMargin,
     // Each event expands to its two 30-min-grid window starts.
     "stream_sliding" ->
       """WITH g AS (
