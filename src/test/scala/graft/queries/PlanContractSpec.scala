@@ -330,6 +330,22 @@ class PlanContractSpec extends SparkSpec {
       s"probe not below the join: filter@$filterAt join@$joinAt\n${plan.take(3000)}")
   }
 
+  test("merge_apply compacts the feed via WindowGroupLimit, not a full per-key sort") {
+    // latestWins inside applyChanges must keep the rn<=1 shape that
+    // Spark rewrites to per-group top-1 with early termination — a
+    // change feed at 100 TB cannot afford full per-key sorts.
+    val plan = finalPlan(OpsQueries.mergeApply(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
+  test("key_overlap's sketch aggregate is one pass with map-side partials") {
+    val plan = finalPlan(OpsQueries.keyOverlapProfile(spark, dir))
+    // Three HLL sketches must come from ONE aggregate (partial_ rows in
+    // the partial aggregate print), never three scans.
+    assert(plan.contains("partial_approx_count_distinct")
+      || plan.contains("partial_hyperloglog"), plan.take(3000))
+  }
+
   test("lev_prefilter's predicate is rewritten to the banded 3-arg levenshtein") {
     val plan = finalPlan(OpsQueries.levPrefilter(spark, dir))
     // ThresholdLevenshteinRule: levenshtein(a,b) <= 2 → levenshtein(a,b,2) >= 0
