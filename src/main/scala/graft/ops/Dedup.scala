@@ -202,7 +202,21 @@ object Dedup {
     * [[ngramContainment]]: inverted-index blocked candidate pairs with
     * their intersection size and both (df-capped) shingle-set sizes —
     * (id_a, id_b, inter, sz_a, sz_b), id_a < id_b. */
-  private def shinglePairStats(
+  /** The df-capped (id, shingle-hash) inverted index shared by the
+    * shingle-space pair detectors ([[shinglePairStats]],
+    * [[prefixFilterJaccard]]).
+    *
+    * JVM shingle explode; downstream joins run on the 64-bit shingle
+    * hash so every shuffle carries 8-byte keys, not n-gram strings
+    * (collisions are ~|vocabⁿ|²/2⁶⁴ — immaterial).
+    * Materialized once: the index is consumed by the df-cap aggregation
+    * plus several downstream branches (per-doc sizes + self-join sides)
+    * and would otherwise re-run the shingling pass per branch.
+    * Only the table the downstream branches actually consume is
+    * localCheckpointed (checkpoint blocks have no release path); when
+    * the cap binds, the raw pre-cap index is persist()ed just long
+    * enough to feed the capped materialization, then unpersisted. */
+  private def cappedShingleIndex(
       df: DataFrame,
       textCol: String,
       idCol: String,
@@ -211,16 +225,6 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val nn = n
-    // JVM shingle explode; the inverted-index join runs on the 64-bit
-    // shingle hash so the shuffle carries 8-byte keys, not n-gram strings
-    // (collisions are ~|vocabⁿ|²/2⁶⁴ — immaterial).
-    // Materialized once: the index is consumed by the df-cap aggregation
-    // plus three downstream branches (per-doc sizes + both self-join
-    // sides) and would otherwise re-run the shingling pass per branch.
-    // Only the table the downstream branches actually consume is
-    // localCheckpointed (checkpoint blocks have no release path); when
-    // the cap binds, the raw pre-cap index is persist()ed just long
-    // enough to feed the capped materialization, then unpersisted.
     val rawPlan = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .filter(col("t").isNotNull) // null text would NPE in the JVM shingler
       .as[(Long, String)]
@@ -228,13 +232,21 @@ object Dedup {
         shinglesJvm(t, nn).map(s => (id, Hashing.xxh64(s, 42L)))
       })
       .toDF("id", "shingle")
-    val sh =
-      if (maxShingleDf == Int.MaxValue) rawPlan.localCheckpoint(true) // cap cannot bind — skip the df pass
-      else {
-        val raw = rawPlan.persist()
-        try dfCapped(raw, maxShingleDf).localCheckpoint(true) // eager: materializes while raw is cached
-        finally raw.unpersist(false)
-      }
+    if (maxShingleDf == Int.MaxValue) rawPlan.localCheckpoint(true) // cap cannot bind — skip the df pass
+    else {
+      val raw = rawPlan.persist()
+      try dfCapped(raw, maxShingleDf).localCheckpoint(true) // eager: materializes while raw is cached
+      finally raw.unpersist(false)
+    }
+  }
+
+  private def shinglePairStats(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      maxShingleDf: Int): DataFrame = {
+    val sh = cappedShingleIndex(df, textCol, idCol, n, maxShingleDf)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -261,6 +273,73 @@ object Dedup {
       .filter(col("df") > maxShingleDf)
       .select("shingle")
     index.join(hot, Seq("shingle"), "left_anti")
+  }
+
+  /** All-Pairs / PPJoin-style prefix-filtered n-gram Jaccard join
+    * (Bayardo et al. WWW'07; Xiao et al. WWW'08) — the fourth blocking
+    * family next to the full inverted index, MinHash-LSH, and
+    * sorted-neighborhood, and unlike LSH it is EXACT: prefix filtering
+    * is a lossless candidate reduction, so the output equals
+    * [[ngramJaccard]] at the same threshold and df cap (the DuckDB
+    * oracle is literally the same SQL).
+    *
+    * Shingles are globally ordered rarest-first (ascending document
+    * frequency, shingle-hash tiebreak). A document of size s indexes
+    * only its first `s − ⌈t·s⌉ + 1` shingles in that order; any pair
+    * with Jaccard ≥ t must share at least one indexed shingle
+    * (|A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so the intersection cannot fit in
+    * either (⌈t·s⌉−1)-sized suffix — the classic prefix-filter lemma).
+    * Candidates are verified exactly via `array_intersect` on per-doc
+    * shingle-hash arrays.
+    *
+    * Scale shape vs the full inverted-index join: the self-join runs on
+    * the ~(1−t)·|index| prefix rows, and because prefixes are the
+    * RAREST shingles of each document, candidate fan-out per shingle is
+    * far below df² for the head of the distribution — at t = 0.8 the
+    * candidate space is typically 10–100× smaller than the full index
+    * join on web-scale corpora. The df cap still applies first, so the
+    * worst case stays Σ min(df, cap)².
+    *
+    * Returns (idCol_a, idCol_b, jaccard) with idCol_a < idCol_b.
+    */
+  def prefixFilterJaccard(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.6,
+      maxShingleDf: Int = 1000): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1, "minJaccard must be in (0, 1]")
+    val sh = cappedShingleIndex(df, textCol, idCol, n, maxShingleDf)
+    val shingleDf = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // ⌈t·s⌉ with a downward epsilon: a float excess (0.6·5 → 3.0000…04)
+    // would shorten the prefix and silently lose completeness; the
+    // epsilon can only lengthen it, which costs candidates, never pairs.
+    val minInter = ceil(lit(minJaccard) * col("sz") - lit(1e-9)).cast("long")
+    val prefix = sh.join(shingleDf, "shingle")
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("id").orderBy(col("sdf"), col("shingle"))))
+      .join(sizes, "id")
+      .filter(col("rnk") <= col("sz") - minInter + 1)
+      .select("id", "shingle")
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Exact verification on candidate pairs only: per-doc sorted hash
+    // arrays ride two hash joins; array payload is 8 B × |doc shingles|.
+    val sets = sh.groupBy("id")
+      .agg(sort_array(collect_list("shingle")).as("set"), count(lit(1)).as("sz"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a"), col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"),
+        round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** MinHash + LSH near-duplicate pairs.

@@ -44,6 +44,18 @@ object DedupSimQueries {
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramPairs(s, dir).orderBy("doc_id_a", "doc_id_b")
 
+  /** #19r prefix-filtered Jaccard join — the All-Pairs/PPJoin scale
+    * path. EXACT equivalence with the full inverted-index join via a
+    * provably-lossless candidate reduction: same planted-mutation
+    * corpus, threshold, and df cap as `dedup_ngram_jaccard`, so the
+    * oracle SQL is byte-identical while the engine-side execution
+    * (rarest-first prefix index self-join + array verification) is
+    * entirely different. */
+  def dedupPrefixFilter(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterJaccard(withMutations(s, dir), "text", "doc_id",
+      n = 3, minJaccard = 0.6, maxShingleDf = 10)
+      .orderBy("doc_id_a", "doc_id_b")
+
   /** documents ∪ a 25-token prefix snippet of every 8th document —
     * planted near-SUBSET pairs: a prefix's shingle set is contained in
     * its parent's (df-capping removes shingles from both symmetrically,
@@ -666,6 +678,7 @@ object DedupSimQueries {
     "dedup_keep"          -> (dedupKeep _),
     "split_leakfree"      -> (splitLeakfree _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_prefix_filter" -> (dedupPrefixFilter _),
     "dedup_containment"   -> (dedupContainment _),
     "graph_triangles"     -> (graphTriangles _),
     "graph_clustering"    -> (graphClustering _),
@@ -740,6 +753,10 @@ object DedupSimQueries {
         |  FROM corpus LEFT JOIN labels ON corpus.doc_id = labels.id
         |) ORDER BY doc_id""".stripMargin),
     "dedup_ngram_jaccard" -> ngramTruthSql(Some(10)),
+    // Prefix filtering is lossless, so the truth SQL is IDENTICAL to the
+    // full inverted-index join's — same corpus, threshold, and df cap;
+    // only the engine-side candidate generation differs.
+    "dedup_prefix_filter" -> ngramTruthSql(Some(10)),
     // Same 63-bit sign signature, exact integer hamming, id tiebreak.
     "sim_hamming" ->
       """WITH sig AS (

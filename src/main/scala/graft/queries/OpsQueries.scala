@@ -1107,6 +1107,183 @@ object OpsQueries {
       .orderBy("event_type")
   }
 
+  /** #5t Mann-Whitney U rank-sum test per event type — the
+    * non-parametric sibling of [[abTtest]] over the same deterministic
+    * A/B hash split: distribution-free, so it catches median shifts the
+    * t-test misses under heavy tails. Rank bookkeeping is EXACT
+    * integer arithmetic: ties share competition rank r over a run of t
+    * equal values, so twice the average rank is 2r + t − 1 (an
+    * integer), making Σ order-independent; 2·U_a = ΣR₂ − n_a(n_a+1)
+    * stays integral until the single z-score division. The normal
+    * approximation uses the standard tie-corrected variance
+    * n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1))).
+    *
+    * Scale shape: one rank sort per event_type partition (a
+    * distributed SQL window, not a driver sort) plus two hash
+    * aggregations — rank-sum tests at 100 TB would switch the ranking
+    * to a merged quantile sketch, but the integer bookkeeping here is
+    * exact to ~3·10⁹ rows per type before ΣR₂ nears 2⁶³. */
+  def eventsMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("variant",
+        when(pmod(arithHash(col("user_id"), 13L), lit(1000000L)) < 500000L, 0L)
+          .otherwise(1L))
+      .select("event_type", "variant", "value")
+    val ranked = ev
+      .withColumn("rnk", rank().over(Window.partitionBy("event_type").orderBy("value")))
+      .withColumn("tcnt", count(lit(1)).over(Window.partitionBy("event_type", "value")))
+      .withColumn("r2", lit(2L) * col("rnk") + col("tcnt") - lit(1L))
+    val g = ranked.groupBy("event_type", "variant")
+      .agg(count(lit(1)).as("n"), sum("r2").as("r2sum"))
+    val ties = ev.groupBy("event_type", "value").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    val a = g.filter(col("variant") === 0)
+      .select(col("event_type"), col("n").as("n_a"), col("r2sum").as("r2_a"))
+    val b = g.filter(col("variant") === 1)
+      .select(col("event_type"), col("n").as("n_b"))
+    a.join(b, "event_type").join(ties, "event_type")
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .withColumn("u2", col("r2_a") - col("n_a") * (col("n_a") + 1)) // = 2·U_a, exact
+      .withColumn("sigma",
+        sqrt(col("n_a").cast("double") * col("n_b") / 12.0 *
+          ((col("nn") + 1).cast("double")
+            - col("tie3").cast("double") / (col("nn") * (col("nn") - 1)))))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("u2").cast("double") / 2, 6).as("u_a"),
+        round((col("u2") - col("n_a") * col("n_b")).cast("double")
+          / (lit(2.0) * col("sigma")), 6).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** #5u Poisson-bootstrap confidence band for the per-type mean value
+    * — THE bootstrap that works at 100 TB (each row's multiplicity in
+    * resample b is an independent Poisson(1) draw, so resampling never
+    * needs the global n or a second pass; one map-side explode ×B and
+    * one aggregation). Fully deterministic: the uniform draw is the
+    * same integer multiplicative hash as the A/B split keyed by
+    * (event_id, b), inverted through the exact Poisson(1) CDF as
+    * INTEGER thresholds on the 10⁶-scaled draw (⌊10⁶·e⁻¹Σ1/k!⌋, capped
+    * at 6 — P(K>6) ≈ 8·10⁻⁵); values ride as exact micro-units so the
+    * per-resample sums are order-independent, and the B=100 resample
+    * means hit a single division each. The CI is the exact p5/p95 order
+    * statistic over the 100 means. */
+  def evalBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val b = 100
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 1000000L).cast("long").as("vmicro"))
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      // uniform draw in [0, 1e6), keyed by (event_id, resample)
+      .withColumn("u",
+        pmod(pmod(col("event_id"), lit(1000000L)) * lit(2654435761L)
+          + col("b") * lit(97L) + lit(13L), lit(1000000L)))
+      .withColumn("m", // Poisson(1) inverse CDF, integer thresholds
+        when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)
+          .when(col("u") < 919699L, 2L).when(col("u") < 981012L, 3L)
+          .when(col("u") < 996340L, 4L).when(col("u") < 999406L, 5L)
+          .otherwise(6L))
+    val means = ev.groupBy("event_type", "b")
+      .agg((sum(col("m") * col("vmicro")).cast("double")
+        / (sum("m") * lit(1000000.0))).as("mean_b"))
+    means.groupBy("event_type")
+      .agg(count(lit(1)).as("n_resamples"),
+        round(expr("percentile(mean_b, 0.05)"), 6).as("ci_lo"),
+        round(expr("percentile(mean_b, 0.5)"), 6).as("ci_mid"),
+        round(expr("percentile(mean_b, 0.95)"), 6).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  /** #5v Wald–Wolfowitz runs test per event type: is the above/below-
+    * median sign sequence (in (ts, event_id) order) random, or does the
+    * series cluster/alternate? Complements CUSUM (level shifts) and the
+    * ACF screen (linear autocorrelation) with a distribution-free
+    * serial-dependence check. Runs/sign tallies are exact integers from
+    * a lag window; μ = 2n₁n₂/n + 1 and the classic variance hit single
+    * double expressions mirrored operation-for-operation in the oracle.
+    * Rows equal to the interpolated median are dropped (standard
+    * treatment — they have no sign). */
+  def eventsRunsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("tsu"), col("value"))
+    val med = ev.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+    val signed = ev.join(med, "event_type")
+      .filter(col("value") =!= col("med"))
+      .withColumn("sgn", when(col("value") > col("med"), 1L).otherwise(-1L))
+    val w = Window.partitionBy("event_type").orderBy(col("tsu"), col("event_id"))
+    signed
+      .withColumn("brk",
+        when(lag("sgn", 1).over(w).isNull || lag("sgn", 1).over(w) =!= col("sgn"), 1L)
+          .otherwise(0L))
+      .groupBy("event_type")
+      .agg(sum("brk").as("n_runs"),
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_below"))
+      .withColumn("nn", col("n_above") + col("n_below"))
+      .withColumn("mu", lit(2.0) * col("n_above") * col("n_below") / col("nn") + 1.0)
+      .withColumn("sigma",
+        sqrt(lit(2.0) * col("n_above") * col("n_below")
+          * (lit(2.0) * col("n_above") * col("n_below") - col("nn"))
+          / (col("nn").cast("double") * col("nn") * (col("nn") - 1))))
+      .select(col("event_type"), col("n_runs"), col("n_above"), col("n_below"),
+        round((col("n_runs") - col("mu")) / col("sigma"), 6).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** #1i functional-dependency audit over five declared candidate FDs —
+    * the data-profiling step that discovers which "obvious" keys
+    * actually determine which attributes before a model trusts them as
+    * features (the key-shaped ones — n_nationkey, p_name — must hold;
+    * the plausible-looking ones — brand → type — must be caught as
+    * violated). One two-level aggregation per FD (distinct-rhs per
+    * lhs, then the violation rollup); all counts exact integers. */
+  def fdAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, lbl: String, lhs: String, rhs: String): DataFrame =
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("d"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("d") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("d")).as("max_rhs"),
+          (max(col("d")) === 1).as("holds"))
+        .select(lit(lbl).as("fd"), col("n_lhs"), col("n_violating"),
+          col("max_rhs"), col("holds"))
+    Seq(
+      audit(Tables.nation(s, dir), "nation: n_nationkey -> n_regionkey",
+        "n_nationkey", "n_regionkey"),
+      audit(Tables.part(s, dir), "part: p_name -> p_brand", "p_name", "p_brand"),
+      audit(Tables.part(s, dir), "part: p_brand -> p_type", "p_brand", "p_type"),
+      audit(Tables.customer(s, dir), "customer: c_nationkey -> c_mktsegment",
+        "c_nationkey", "c_mktsegment"),
+      audit(Tables.orders(s, dir), "orders: o_custkey -> o_orderpriority",
+        "o_custkey", "o_orderpriority"),
+      audit(Tables.lineitem(s, dir), "lineitem: l_orderkey -> l_shipdate",
+        "l_orderkey", "l_shipdate"))
+      .reduce(_ unionAll _).orderBy("fd")
+  }
+
+  /** #37k pairwise Pearson correlation matrix over the four lineitem
+    * numeric measures, long-form (6 pairs). All six correlations come
+    * out of ONE aggregation pass over one scan (partial-agg friendly —
+    * the co-moment state is 6 small tuples per partition), then a
+    * `stack` unpivot; never 6 separate scans. */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val aggs = count(lit(1)).as("n") +:
+      pairs.map { case (a, b) => round(corr(col(a), col(b)), 6).as(s"c_${a}_$b") }
+    val g = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs
+      .map { case (a, b) => s"'$a', '$b', c_${a}_$b" }.mkString(", ")
+    g.select(col("n"),
+        expr(s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, corr)"))
+      .select("col_a", "col_b", "corr", "n")
+      .orderBy("col_a", "col_b")
+  }
+
   /** #3b cheapest supplier per part (argmin-per-group): the classic
     * greatest-n-per-group pattern via `row_number` over a
     * (partkey)-partitioned window — one shuffle on the group key, no
@@ -2084,6 +2261,43 @@ object OpsQueries {
       .withColumn("at_risk", col("l_div") < 3)
       .orderBy("c_nationkey", "bal_band")
 
+  /** #1h t-closeness audit (Li et al. ICDE'07) — completes the
+    * k-anonymity / l-diversity / t-closeness privacy triple. Per
+    * quasi-identifier equivalence class, the distance between the
+    * class's sensitive-attribute (market segment) distribution and the
+    * corpus-wide one; for a categorical attribute under uniform ground
+    * distance the earth-mover distance reduces to total variation,
+    * ½·Σ|p−q|. Computed in EXACT integer arithmetic —
+    * Σ|cnt·N − g·n_c| / (2·n_c·N) — so the sum is order-independent and
+    * the DuckDB oracle hash-matches (a naive Σ of per-segment double
+    * ratios would depend on accumulation order). The absent-segment
+    * terms matter (|0 − q|), so the observed counts are left-joined
+    * onto the complete class × segment grid; the 5-row segment table
+    * broadcasts. l-diversity says how MANY sensitive values a class
+    * holds; t-closeness catches classes where the mix is skewed enough
+    * to leak (e.g. 90% one segment) even when l is formally satisfied. */
+  def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .withColumn("bal_band", floor(col("c_acctbal") / 1000).cast("long"))
+      .select("c_nationkey", "bal_band", "c_mktsegment")
+    val glob = base.groupBy("c_mktsegment").agg(count(lit(1)).as("g"))
+    val nTot = base.count()
+    val cls = base.groupBy("c_nationkey", "bal_band").agg(count(lit(1)).as("n"))
+    val obs = base.groupBy("c_nationkey", "bal_band", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+    cls.join(broadcast(glob))
+      .join(obs, Seq("c_nationkey", "bal_band", "c_mktsegment"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("c_nationkey", "bal_band")
+      .agg(max("n").as("n"),
+        sum(abs(col("cnt") * nTot - col("g") * col("n"))).as("tvd_num"))
+      .withColumn("t_close",
+        round(col("tvd_num").cast("double") / (lit(2.0) * col("n") * nTot), 6))
+      .withColumn("at_risk", col("t_close") > 0.5)
+      .select("c_nationkey", "bal_band", "n", "t_close", "at_risk")
+      .orderBy("c_nationkey", "bal_band")
+  }
+
   /** #7l' join-key overlap profiles over three FK edges
     * ([[graft.ops.Sketches.keyOverlap]]): exact set sizes plus the
     * audited HLL inclusion-exclusion estimate — the planning statistic
@@ -2425,6 +2639,12 @@ object OpsQueries {
     "bloom_join"        -> (bloomJoinQuery _),
     "domain_cap"        -> (domainCap _),
     "l_diversity"       -> (lDiversity _),
+    "t_closeness"       -> (tCloseness _),
+    "events_mannwhitney" -> (eventsMannWhitney _),
+    "eval_bootstrap"    -> (evalBootstrap _),
+    "events_runs_test"  -> (eventsRunsTest _),
+    "fd_audit"          -> (fdAudit _),
+    "corr_matrix"       -> (corrMatrix _),
     "key_overlap"       -> (keyOverlapProfile _),
     "backtest_folds"    -> (backtestFolds _),
     "quantile_bins"     -> (quantileBinsQuery _),
@@ -3549,6 +3769,108 @@ object OpsQueries {
         |  ns.n_suppliers
         |FROM r JOIN ns ON r.l_partkey = ns.l_partkey
         |WHERE r.rn = 1 ORDER BY r.l_partkey""".stripMargin,
+    // Deterministic Poisson(1) multiplicities from the shared integer
+    // hash; exact micro-unit sums per resample; CI = interpolated order
+    // statistics over the 100 resample means.
+    "eval_bootstrap" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, round(value * 1000000)::BIGINT AS vmicro
+        |  FROM events WHERE value IS NOT NULL
+        |), ex AS (
+        |  SELECT event_type, vmicro,
+        |    b.b, ((event_id % 1000000) * 2654435761 + b.b * 97 + 13) % 1000000 AS u
+        |  FROM ev, LATERAL (SELECT unnest(range(0, 100)) AS b) b
+        |), mm AS (
+        |  SELECT event_type, b, vmicro,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |      WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |      WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+        |      ELSE 6 END AS mult
+        |  FROM ex
+        |), means AS (
+        |  SELECT event_type, b,
+        |    sum(mult * vmicro)::DOUBLE / (sum(mult) * 1000000.0) AS mean_b
+        |  FROM mm GROUP BY 1, 2
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n_resamples,
+        |  round(quantile_cont(mean_b, 0.05), 6) AS ci_lo,
+        |  round(quantile_cont(mean_b, 0.5), 6) AS ci_mid,
+        |  round(quantile_cont(mean_b, 0.95), 6) AS ci_hi
+        |FROM means GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Sign sequence vs the interpolated median in (ts, event_id) order;
+    // runs counted by lag breaks; μ/σ mirrored operation-for-operation.
+    "events_runs_test" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS tsu, value FROM events
+        |), m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM e GROUP BY 1
+        |), sgn AS (
+        |  SELECT e.event_type, tsu, event_id,
+        |    CASE WHEN value > med THEN 1 ELSE -1 END AS sgn
+        |  FROM e JOIN m ON e.event_type = m.event_type
+        |  WHERE value <> med
+        |), brk AS (
+        |  SELECT event_type, sgn,
+        |    CASE WHEN lag(sgn) OVER w IS NULL OR lag(sgn) OVER w <> sgn
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM sgn WINDOW w AS (PARTITION BY event_type ORDER BY tsu, event_id)
+        |), g AS (
+        |  SELECT event_type, sum(brk)::BIGINT AS n_runs,
+        |    sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_above,
+        |    sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_below
+        |  FROM brk GROUP BY 1
+        |)
+        |SELECT event_type, n_runs, n_above, n_below,
+        |  round((n_runs - (2.0 * n_above * n_below / (n_above + n_below) + 1.0))
+        |    / sqrt(2.0 * n_above * n_below
+        |      * (2.0 * n_above * n_below - (n_above + n_below))
+        |      / ((n_above + n_below)::DOUBLE * (n_above + n_below)
+        |         * ((n_above + n_below) - 1))), 6) AS z
+        |FROM g ORDER BY event_type""".stripMargin,
+    "fd_audit" ->
+      """WITH
+        |f0 AS (SELECT 'nation: n_nationkey -> n_regionkey' AS fd, count(*)::BIGINT AS n_lhs,
+        |  sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+        |  max(d)::BIGINT AS max_rhs, max(d) = 1 AS holds
+        |  FROM (SELECT n_nationkey, count(DISTINCT n_regionkey)::BIGINT AS d FROM nation GROUP BY 1)),
+        |f1 AS (SELECT 'part: p_name -> p_brand', count(*)::BIGINT,
+        |  sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::BIGINT, max(d)::BIGINT, max(d) = 1
+        |  FROM (SELECT p_name, count(DISTINCT p_brand)::BIGINT AS d FROM part GROUP BY 1)),
+        |f2 AS (SELECT 'part: p_brand -> p_type', count(*)::BIGINT,
+        |  sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::BIGINT, max(d)::BIGINT, max(d) = 1
+        |  FROM (SELECT p_brand, count(DISTINCT p_type)::BIGINT AS d FROM part GROUP BY 1)),
+        |f3 AS (SELECT 'customer: c_nationkey -> c_mktsegment', count(*)::BIGINT,
+        |  sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::BIGINT, max(d)::BIGINT, max(d) = 1
+        |  FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment)::BIGINT AS d FROM customer GROUP BY 1)),
+        |f4 AS (SELECT 'orders: o_custkey -> o_orderpriority', count(*)::BIGINT,
+        |  sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::BIGINT, max(d)::BIGINT, max(d) = 1
+        |  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority)::BIGINT AS d FROM orders GROUP BY 1)),
+        |f5 AS (SELECT 'lineitem: l_orderkey -> l_shipdate', count(*)::BIGINT,
+        |  sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::BIGINT, max(d)::BIGINT, max(d) = 1
+        |  FROM (SELECT l_orderkey, count(DISTINCT l_shipdate)::BIGINT AS d FROM lineitem GROUP BY 1))
+        |SELECT * FROM f0 UNION ALL SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4 UNION ALL SELECT * FROM f5
+        |ORDER BY fd""".stripMargin,
+    "corr_matrix" ->
+      """WITH g AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    round(corr(l_quantity, l_extendedprice), 6) AS c1,
+        |    round(corr(l_quantity, l_discount), 6) AS c2,
+        |    round(corr(l_quantity, l_tax), 6) AS c3,
+        |    round(corr(l_extendedprice, l_discount), 6) AS c4,
+        |    round(corr(l_extendedprice, l_tax), 6) AS c5,
+        |    round(corr(l_discount, l_tax), 6) AS c6
+        |  FROM lineitem
+        |)
+        |SELECT col_a, col_b, corr, n FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c1 AS corr, n FROM g
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', c2, n FROM g
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', c3, n FROM g
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', c4, n FROM g
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', c5, n FROM g
+        |  UNION ALL SELECT 'l_discount', 'l_tax', c6, n FROM g
+        |) ORDER BY col_a, col_b""".stripMargin,
     "lead_time" ->
       """WITH j AS (
         |  SELECT o_orderpriority,
@@ -3620,6 +3942,39 @@ object OpsQueries {
         |  round((b.mean - a.mean) / sqrt(a.vr / a.n + b.vr / b.n), 6) AS t_stat
         |FROM g a JOIN g b
         |  ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+        |ORDER BY a.event_type""".stripMargin,
+    // Exact-integer rank bookkeeping (2·avgrank = 2r + t − 1) and the
+    // tie-corrected normal variance, mirroring the engine's arithmetic
+    // operation-for-operation so the single z division is bit-equal.
+    "events_mannwhitney" ->
+      """WITH v AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ((user_id % 1000000) * 2654435761 + 13) % 1000000 < 500000
+        |      THEN 0 ELSE 1 END AS variant
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, variant,
+        |    rank() OVER (PARTITION BY event_type ORDER BY value) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type, value) AS tcnt
+        |  FROM v
+        |), g AS (
+        |  SELECT event_type, variant, count(*)::BIGINT AS n,
+        |    sum(2 * rnk + tcnt - 1)::BIGINT AS r2sum
+        |  FROM r GROUP BY 1, 2
+        |), t3 AS (
+        |  SELECT event_type, sum(t * t * t - t)::BIGINT AS tie3 FROM (
+        |    SELECT event_type, value, count(*)::BIGINT AS t FROM v GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |)
+        |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+        |  round((a.r2sum - a.n * (a.n + 1))::DOUBLE / 2, 6) AS u_a,
+        |  round((a.r2sum - a.n * (a.n + 1) - a.n * b.n)::DOUBLE
+        |    / (2.0 * sqrt(a.n::DOUBLE * b.n / 12.0
+        |      * ((a.n + b.n + 1) - t3.tie3::DOUBLE
+        |         / ((a.n + b.n) * (a.n + b.n - 1))))), 6) AS z
+        |FROM g a JOIN g b
+        |  ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+        |JOIN t3 ON t3.event_type = a.event_type
         |ORDER BY a.event_type""".stripMargin,
     "revenue_growth" ->
       """WITH m AS (
@@ -4376,6 +4731,37 @@ object OpsQueries {
         |  count(*) AS n, count(DISTINCT c_mktsegment) AS l_div,
         |  count(DISTINCT c_mktsegment) < 3 AS at_risk
         |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, bal_band""".stripMargin,
+    // Same exact-integer TVD: Σ|cnt·N − g·n_c| / (2·n_c·N) over the
+    // complete class × segment grid (absent segments contribute |0−q|).
+    "t_closeness" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, floor(c_acctbal / 1000)::BIGINT AS bal_band,
+        |    c_mktsegment
+        |  FROM customer
+        |), gseg AS (
+        |  SELECT c_mktsegment, count(*)::BIGINT AS g FROM base GROUP BY 1
+        |), tot AS (SELECT count(*)::BIGINT AS n_tot FROM base),
+        |cls AS (
+        |  SELECT c_nationkey, bal_band, count(*)::BIGINT AS n
+        |  FROM base GROUP BY 1, 2
+        |), obs AS (
+        |  SELECT c_nationkey, bal_band, c_mktsegment, count(*)::BIGINT AS cnt
+        |  FROM base GROUP BY 1, 2, 3
+        |), grid AS (
+        |  SELECT cls.c_nationkey, cls.bal_band, cls.n, gseg.g,
+        |    coalesce(obs.cnt, 0) AS cnt, tot.n_tot
+        |  FROM cls CROSS JOIN gseg CROSS JOIN tot
+        |  LEFT JOIN obs ON obs.c_nationkey = cls.c_nationkey
+        |    AND obs.bal_band = cls.bal_band
+        |    AND obs.c_mktsegment = gseg.c_mktsegment
+        |)
+        |SELECT c_nationkey, bal_band, max(n) AS n,
+        |  round(sum(abs(cnt * n_tot - g * n))::DOUBLE
+        |    / (2.0 * max(n) * max(n_tot)), 6) AS t_close,
+        |  round(sum(abs(cnt * n_tot - g * n))::DOUBLE
+        |    / (2.0 * max(n) * max(n_tot)), 6) > 0.5 AS at_risk
+        |FROM grid GROUP BY c_nationkey, bal_band
         |ORDER BY c_nationkey, bal_band""".stripMargin,
     // chr codes mirror the Spark probe exactly: 233=é, 769=combining
     // acute, 778=combining ring, 197=Å, 230/248/223=æ/ø/ß.

@@ -97,6 +97,40 @@ object StreamMmQueries {
       .limit(20)
   }
 
+  /** #31d frequent within-session event-type n-grams (the first mining
+    * step of PrefixSpan-style sequence mining): corpus-wide bigram and
+    * trigram counts over the gap-sessionized per-user sequences, top-10
+    * per gram length. Where [[sessionPaths]] counts WHOLE session
+    * paths (sparse at scale — most full paths are unique),
+    * sub-sequence n-grams aggregate densely and surface the common
+    * behavioral motifs. Lag windows never materialize a session array;
+    * state per row is two strings. Deterministic: integer counts,
+    * (n desc, gram) tiebreak. */
+  def sessionNgrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = Sessionize.assign(
+        Tables.events(s, dir), "user_id", "ts", 30L * 60 * 1000000, "event_id")
+      .withColumn("tsu", unix_micros(col("ts")))
+    val w = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("tsu"), col("event_id"))
+    val lagged = sess
+      .withColumn("p1", lag("event_type", 1).over(w))
+      .withColumn("p2", lag("event_type", 2).over(w))
+    val bi = lagged.filter(col("p1").isNotNull)
+      .select(lit(2L).as("len"),
+        concat_ws(">", col("p1"), col("event_type")).as("gram"))
+    val tri = lagged.filter(col("p2").isNotNull)
+      .select(lit(3L).as("len"),
+        concat_ws(">", col("p2"), col("p1"), col("event_type")).as("gram"))
+    bi.unionAll(tri)
+      .groupBy("len", "gram").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("len").orderBy(col("n").desc, col("gram"))))
+      .filter(col("rk") <= 10)
+      .select("len", "gram", "n", "rk")
+      .orderBy("len", "rk")
+  }
+
   /** #29b stream-static enrichment: events joined to the broadcast user
     * dimension as they arrive, aggregated per (nation, event type). */
   def streamEnrich(s: SparkSession, dir: String): DataFrame =
@@ -232,6 +266,7 @@ object StreamMmQueries {
     "stream_drift"        -> (streamDrift _),
     "stream_session"      -> (streamSession _),
     "session_paths"       -> (sessionPaths _),
+    "session_ngrams"      -> (sessionNgrams _),
     "stream_join"         -> (streamJoin _),
     "stream_enrich"       -> (streamEnrich _),
     "stream_window_agg"   -> (streamWindowAgg _),
@@ -451,6 +486,39 @@ object StreamMmQueries {
         |SELECT user_id, session_start_us, session_end_us, n_events, sum_value
         |FROM g WHERE session_end_us + 1800000000 < (SELECT wm_us FROM wm)
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // Same gap-sessionization CTE as `sessionize`; lag windows inside
+    // (user, session) emit the bigram/trigram stream, top-10 per length
+    // with the (n desc, gram) tiebreak.
+    "session_ngrams" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN tsu - lag(tsu) OVER w > 1800000000
+        |    OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), s AS (
+        |  SELECT *, (sum(news) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        |  FROM f
+        |), lagged AS (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER sw AS p1,
+        |    lag(event_type, 2) OVER sw AS p2
+        |  FROM s WINDOW sw AS (PARTITION BY user_id, session_idx ORDER BY tsu, event_id)
+        |), grams AS (
+        |  SELECT 2::BIGINT AS len, p1 || '>' || event_type AS gram
+        |  FROM lagged WHERE p1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 3::BIGINT AS len, p2 || '>' || p1 || '>' || event_type AS gram
+        |  FROM lagged WHERE p2 IS NOT NULL
+        |), counted AS (
+        |  SELECT len, gram, count(*)::BIGINT AS n FROM grams GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY len ORDER BY n DESC, gram)::BIGINT AS rk
+        |  FROM counted
+        |)
+        |SELECT len, gram, n, rk FROM ranked WHERE rk <= 10
+        |ORDER BY len, rk""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events

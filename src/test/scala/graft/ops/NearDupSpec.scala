@@ -52,6 +52,26 @@ class NearDupSpec extends SparkSpec {
     assert(missed.isEmpty, s"banding dropped ${missed.size} true pairs: ${missed.take(3)}")
   }
 
+  test("prefixFilterJaccard equals the full inverted-index join exactly") {
+    // Prefix filtering is a lossless candidate reduction, so (pairs AND
+    // jaccard values) must match ngramJaccard bit-for-bit at the same
+    // threshold — not just recall/precision bounds like the LSH family.
+    val exact = Dedup.ngramJaccard(corpus, "text", "doc_id", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pf = Dedup.prefixFilterJaccard(corpus, "text", "doc_id", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pf == exact, s"prefix-filter diverged: ${(pf diff exact).take(3)} / ${(exact diff pf).take(3)}")
+    assert(pf.nonEmpty)
+  }
+
+  test("prefixFilterJaccard honors the shingle df cap symmetrically") {
+    val exact = Dedup.ngramJaccard(corpus, "text", "doc_id", 3, 0.6, maxShingleDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pf = Dedup.prefixFilterJaccard(corpus, "text", "doc_id", 3, 0.6, maxShingleDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pf == exact)
+  }
+
   test("simhash hamming<=6 recovers lightly mutated pairs") {
     // SimHash flips bits in proportion to the fraction of shingles
     // changed, so its planted corpus uses a light (~2-token) truncation.
