@@ -354,6 +354,42 @@ class PlanContractSpec extends SparkSpec {
       s"banded rewrite missing from the physical plan:\n${plan.take(3000)}")
   }
 
+  test("t_closeness broadcasts the 5-row segment table onto the class grid") {
+    val plan = finalPlan(OpsQueries.tCloseness(spark, dir))
+    // The class × segment grid join must never shuffle the class side
+    // on account of a constant-size dimension.
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+  }
+
+  test("corr_matrix reads lineitem ONCE for all six correlations") {
+    val plan = finalPlan(OpsQueries.corrMatrix(spark, dir))
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet"))
+      .map(_.dropWhile(c => c == ' ' || c == '+' || c == '-' || c == ':')).toSeq.distinct
+    assert(scans.length == 1, s"expected 1 distinct lineitem scan, got ${scans.length}\n${plan.take(3000)}")
+    // All six co-moment states must partial-aggregate map-side.
+    assert(plan.contains("partial_corr") || plan.contains("partial corr")
+      || plan.linesIterator.count(_.contains("HashAggregate")) >= 2, plan.take(3000))
+  }
+
+  test("eval_bootstrap partial-aggregates the exploded resamples map-side") {
+    val plan = finalPlan(OpsQueries.evalBootstrap(spark, dir))
+    // The ×100 Poisson explode must collapse in a partial aggregate
+    // BEFORE the (event_type, b) exchange — shuffling 100× the event
+    // table would be the scale bug.
+    assert(plan.contains("Generate explode"), plan.take(3000))
+    val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial_")),
+      s"no partial aggregate below the explode:\n${plan.take(3000)}")
+  }
+
+  test("prefixFilterJaccard never degenerates to a cartesian product") {
+    val corpus = DedupSimQueries.withMutations(spark, dir)
+    val plan = finalPlan(graft.ops.Dedup.prefixFilterJaccard(
+      corpus, "text", "doc_id", 3, 0.6, 10))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("nearest as-of computes both direction frames in ONE Window over one sort") {
     val plan = finalPlan(Relational.q8cAsofNearest(spark, dir))
     // Both frame functions must land in a single Window operator (one
