@@ -42,10 +42,17 @@ package object functions {
     * string column ([[graft.functions.StripAccents]]). */
   def strip_accents(s: Column): Column = call_function("strip_accents", s)
 
+  /** One-pass (n, Σx, ΣxxΤ) moments of an `array<float>` column
+    * ([[graft.functions.VecMomentsAgg]], typed Aggregator → UDAF). */
+  def vec_moments(v: Column): Column = call_function("vec_moments", v)
+
   /** Register graft's expressions with a session's function registry
     * (idempotent); enables both the Column helpers above and SQL-text use. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("geo_mean", org.apache.spark.sql.functions.udaf(GeoMean))
+    spark.udf.register("vec_moments",
+      org.apache.spark.sql.functions.udaf(VecMomentsAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),

@@ -1284,6 +1284,81 @@ object OpsQueries {
       .orderBy("col_a", "col_b")
   }
 
+  /** #51b exact covariance matrix of the embedding space, long-form
+    * upper triangle — ONE pass over the vectors through the mergeable
+    * (n, Σx, ΣxxΤ) state of [[graft.functions.VecMomentsAgg]]: each
+    * partition collapses to a single d²+d+1-double buffer before the
+    * exchange, so the shuffle is O(partitions·d²) bytes regardless of
+    * corpus size. cov(i,j) = (G_ij − sᵢsⱼ/n)/(n−1), computed once from
+    * the aggregated row and unpivoted via posexplode with integer
+    * (div, mod) indexing. */
+  def embCovariance(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.register(s)
+    Tables.embeddings(s, dir)
+      .agg(graft.functions.vec_moments(col("embedding")).as("m"))
+      .select(col("m.n").as("n"), col("m.sums").as("sums"), col("m.gram").as("gram"))
+      .select(col("n"), col("sums"), size(col("sums")).as("d"),
+        posexplode(col("gram")))
+      .withColumn("i", expr("pos div d").cast("long"))
+      .withColumn("j", pmod(col("pos"), col("d")).cast("long"))
+      .filter(col("i") <= col("j"))
+      .select(col("i"), col("j"), col("n"),
+        round((col("col")
+          - element_at(col("sums"), (col("i") + 1).cast("int"))
+            * element_at(col("sums"), (col("j") + 1).cast("int")) / col("n"))
+          / (col("n") - 1), 6).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  /** #51c top principal component of the embedding space: the same
+    * one-pass distributed moments, then a driver-side power iteration
+    * on the d×d covariance — the 100 TB PCA shape (the data never
+    * moves twice; the eigensolve is O(d²·iters) on a constant-size
+    * broadcastable matrix). Deterministic: fixed uniform start vector,
+    * fixed 200 iterations. Emits the dominant eigenvalue, explained
+    * variance ratio λ₁/tr(Σ), and the residual ‖Σv − λv‖ as an
+    * in-result convergence certificate. The residual is reported as a
+    * value, not gated by a threshold: on a near-isotropic spectrum
+    * (λ₁ ≈ λ₂ — exactly what synthetic Gaussian embeddings produce)
+    * the iterate wanders inside the top eigenSPACE and the residual
+    * floors at ~|λ₁−λ₂| while the Rayleigh quotient λ is already
+    * stable — a boolean "converged" would be noise. */
+  def embPca(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.register(s)
+    val m = Tables.embeddings(s, dir)
+      .agg(graft.functions.vec_moments(col("embedding")).as("m"))
+      .select(col("m.n").as("n"), col("m.sums").as("sums"), col("m.gram").as("gram"))
+      .head()
+    val n = m.getLong(0)
+    val sums = m.getSeq[Double](1).toArray
+    val gram = m.getSeq[Double](2).toArray
+    val d = sums.length
+    require(n > 1, "PCA needs at least 2 vectors")
+    val cov = Array.tabulate(d, d)((i, j) =>
+      (gram(i * d + j) - sums(i) * sums(j) / n) / (n - 1))
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => { var acc = 0.0; var j = 0
+        while (j < d) { acc += cov(i)(j) * v(j); j += 1 }; acc })
+    def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    var it = 0
+    while (it < 200) {
+      val av = matVec(v)
+      val nr = norm(av)
+      v = av.map(_ / nr)
+      it += 1
+    }
+    val av = matVec(v)
+    val lambda = v.zip(av).map { case (a, b) => a * b }.sum
+    val resid = norm(av.zip(v).map { case (a, b) => a - lambda * b })
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    import s.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n, d.toLong, r6(lambda), r6(lambda / trace), r6(resid)))
+      .toDF("n", "d", "eigval", "explained_ratio", "resid")
+  }
+
   /** #3b cheapest supplier per part (argmin-per-group): the classic
     * greatest-n-per-group pattern via `row_number` over a
     * (partkey)-partitioned window — one shuffle on the group key, no
@@ -2645,6 +2720,8 @@ object OpsQueries {
     "events_runs_test"  -> (eventsRunsTest _),
     "fd_audit"          -> (fdAudit _),
     "corr_matrix"       -> (corrMatrix _),
+    "emb_covariance"    -> (embCovariance _),
+    "emb_pca"           -> (embPca _),
     "key_overlap"       -> (keyOverlapProfile _),
     "backtest_folds"    -> (backtestFolds _),
     "quantile_bins"     -> (quantileBinsQuery _),
@@ -3852,6 +3929,21 @@ object OpsQueries {
         |SELECT * FROM f0 UNION ALL SELECT * FROM f1 UNION ALL SELECT * FROM f2
         |UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4 UNION ALL SELECT * FROM f5
         |ORDER BY fd""".stripMargin,
+    // Pairwise element join per vector recomputes the same Gram the
+    // engine accumulates in one pass; identical closed-form covariance.
+    "emb_covariance" ->
+      """WITH x AS (
+        |  SELECT vec_id, t.i::BIGINT - 1 AS i, embedding[t.i]::DOUBLE AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+        |), p AS (
+        |  SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n,
+        |    sum(a.v * b.v) AS g, sum(a.v) AS sa, sum(b.v) AS sb
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i, j, n, round((g - sa * sb / n) / (n - 1), 6) AS cov
+        |FROM p ORDER BY i, j""".stripMargin,
     "corr_matrix" ->
       """WITH g AS (
         |  SELECT count(*)::BIGINT AS n,
