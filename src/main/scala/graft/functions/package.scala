@@ -46,6 +46,11 @@ package object functions {
     * ([[graft.functions.VecMomentsAgg]], typed Aggregator → UDAF). */
   def vec_moments(v: Column): Column = call_function("vec_moments", v)
 
+  /** Dense mat-vec `M·v` (row-major flattened matrix × vector,
+    * [[graft.functions.ArrayMatVec]]). */
+  def array_mat_vec(m: Column, v: Column): Column =
+    call_function("array_mat_vec", m, v)
+
   /** Register graft's expressions with a session's function registry
     * (idempotent); enables both the Column helpers above and SQL-text use. */
   def register(spark: SparkSession): Unit = {
@@ -59,6 +64,13 @@ package object functions {
       (children: Seq[Expression]) => {
         if (children.length != 2) wrongArgs("array_dot", 2, children.length)
         ArrayDot(children(0), children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("array_mat_vec"),
+      new ExpressionInfo(classOf[ArrayMatVec].getName, "array_mat_vec"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) wrongArgs("array_mat_vec", 2, children.length)
+        ArrayMatVec(children(0), children(1))
       })
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("nfc_normalize"),

@@ -1359,6 +1359,23 @@ object OpsQueries {
       .toDF("n", "d", "eigval", "explained_ratio", "resid")
   }
 
+  /** #51d Mahalanobis top-20 embedding outliers
+    * ([[graft.ops.Mahalanobis]]): covariance-aware distance over the
+    * same one-pass moments, scored row-wise through the fused
+    * array_dot ∘ array_mat_vec codegen pair; round-then-rank with the
+    * vec_id tiebreak, TakeOrdered top-k (never a global sort). The
+    * exact Σ mahal² = d·(n−1) trace identity is spec-pinned. */
+  def embMahalanobis(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.ops.Mahalanobis.score(Tables.embeddings(s, dir), "embedding")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(col("mahal2"), 6).as("mahal2"))
+      .orderBy(col("mahal2").desc, col("vec_id")).limit(20)
+    scored.withColumn("rk",
+        row_number().over(Window.orderBy(col("mahal2").desc, col("vec_id"))))
+      .orderBy("rk")
+  }
+
   /** #3b cheapest supplier per part (argmin-per-group): the classic
     * greatest-n-per-group pattern via `row_number` over a
     * (partkey)-partitioned window — one shuffle on the group key, no
@@ -2722,6 +2739,7 @@ object OpsQueries {
     "corr_matrix"       -> (corrMatrix _),
     "emb_covariance"    -> (embCovariance _),
     "emb_pca"           -> (embPca _),
+    "emb_mahalanobis"   -> (embMahalanobis _),
     "key_overlap"       -> (keyOverlapProfile _),
     "backtest_folds"    -> (backtestFolds _),
     "quantile_bins"     -> (quantileBinsQuery _),
