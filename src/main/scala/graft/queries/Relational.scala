@@ -386,6 +386,39 @@ object Relational {
       .agg(count(lit(1)).as("n_late_orders"))
       .orderBy("o_orderpriority")
 
+  /** #6d TPC-H Q21 shape — suppliers who ALONE were late on
+    * multi-supplier orders: the doubly-correlated EXISTS (another
+    * supplier participated) + NOT EXISTS (no other supplier was also
+    * late) pattern, planned as one semi-join and one anti-join over
+    * deduplicated (order, supplier) pairs — never a fan-out join and
+    * never a correlated re-scan per row. "Late" = shipped > 60 days
+    * after order date (this schema has no commit/receipt dates).
+    * Top-20 by (numwait desc, s_suppkey): exact integers, TakeOrdered. */
+  def q20Waiting(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val late = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          expr("l_shipdate > o_orderdate + INTERVAL 60 DAYS"),
+        "left_semi")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val blamed = late.as("l1")
+      .join(pairs.as("p"),
+        col("l1.l_orderkey") === col("p.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("p.l_suppkey"),
+        "left_semi")
+      .join(late.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"),
+        "left_anti")
+    blamed.groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")), "s_suppkey")
+      .select("s_suppkey", "s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_suppkey")).limit(20)
+  }
+
   /** #6c correlated scalar aggregate (TPC-H Q17 shape): lineitems with
     * quantity under 20% of their part's average. The comparison runs as
     * exact integers — `qty·5·n < Σqty` instead of `qty < 0.2·avg` — so
@@ -432,6 +465,7 @@ object Relational {
     "topk_per_group"   -> (topkPerGroup _),
     "q17_star"         -> (q17Star _),
     "q18_exists"       -> (q18Exists _),
+    "q20_waiting"      -> (q20Waiting _),
     "q19_scalar_sub"   -> (q19ScalarSub _),
   )
 
@@ -448,6 +482,29 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
         |WHERE r_regionkey = 0
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // The doubly-correlated form runs natively in DuckDB; the engine's
+    // semi/anti-join rewrite must agree row-for-row.
+    "q20_waiting" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |), pairs AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |), blamed AS (
+        |  SELECT l1.l_orderkey, l1.l_suppkey
+        |  FROM late l1
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM pairs p
+        |    WHERE p.l_orderkey = l1.l_orderkey AND p.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |)
+        |SELECT b.l_suppkey AS s_suppkey, s.s_name, count(*)::BIGINT AS numwait
+        |FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
     "q18_exists" ->
       """SELECT o_orderpriority, count(*) AS n_late_orders
         |FROM orders o
