@@ -27,9 +27,35 @@ object VecMomentsAgg extends Aggregator[Seq[Float], VecMoments, VecMoments] {
 
   override def zero: VecMoments = VecMoments(0L, Array.empty, Array.empty)
 
-  override def reduce(b: VecMoments, x: Seq[Float]): VecMoments = {
-    if (x == null) return b
-    val xa = x.toArray
+  override def reduce(b: VecMoments, x: Seq[Float]): VecMoments =
+    if (x == null) b else VecMomentsOps.accumulate(b, x.toArray.map(_.toDouble))
+
+  override def merge(a: VecMoments, b: VecMoments): VecMoments =
+    VecMomentsOps.merge(a, b)
+
+  override def finish(r: VecMoments): VecMoments = r
+
+  override def bufferEncoder: Encoder[VecMoments] = Encoders.product[VecMoments]
+  override def outputEncoder: Encoder[VecMoments] = Encoders.product[VecMoments]
+}
+
+/** [[VecMomentsAgg]] over `array<double>` input — the variant derived
+  * columns (whitened/centered vectors) aggregate through without a
+  * lossy float cast. */
+object VecMomentsDoubleAgg extends Aggregator[Seq[Double], VecMoments, VecMoments] {
+  override def zero: VecMoments = VecMoments(0L, Array.empty, Array.empty)
+  override def reduce(b: VecMoments, x: Seq[Double]): VecMoments =
+    if (x == null) b else VecMomentsOps.accumulate(b, x.toArray)
+  override def merge(a: VecMoments, b: VecMoments): VecMoments =
+    VecMomentsOps.merge(a, b)
+  override def finish(r: VecMoments): VecMoments = r
+  override def bufferEncoder: Encoder[VecMoments] = Encoders.product[VecMoments]
+  override def outputEncoder: Encoder[VecMoments] = Encoders.product[VecMoments]
+}
+
+private[functions] object VecMomentsOps {
+
+  def accumulate(b: VecMoments, xa: Array[Double]): VecMoments = {
     val d = xa.length
     val acc =
       if (b.n == 0L && b.sums.isEmpty)
@@ -39,7 +65,7 @@ object VecMomentsAgg extends Aggregator[Seq[Float], VecMoments, VecMoments] {
       s"vec_moments: dimension changed mid-aggregation (${acc.sums.length} -> $d)")
     var i = 0
     while (i < d) {
-      val xi = xa(i).toDouble
+      val xi = xa(i)
       acc.sums(i) += xi
       var j = 0
       val row = i * d
@@ -49,7 +75,7 @@ object VecMomentsAgg extends Aggregator[Seq[Float], VecMoments, VecMoments] {
     VecMoments(acc.n + 1, acc.sums, acc.gram)
   }
 
-  override def merge(a: VecMoments, b: VecMoments): VecMoments = {
+  def merge(a: VecMoments, b: VecMoments): VecMoments = {
     if (a.n == 0L && a.sums.isEmpty) return b
     if (b.n == 0L && b.sums.isEmpty) return a
     require(a.sums.length == b.sums.length,
@@ -60,9 +86,4 @@ object VecMomentsAgg extends Aggregator[Seq[Float], VecMoments, VecMoments] {
     while (k < a.gram.length) { a.gram(k) += b.gram(k); k += 1 }
     VecMoments(a.n + b.n, a.sums, a.gram)
   }
-
-  override def finish(r: VecMoments): VecMoments = r
-
-  override def bufferEncoder: Encoder[VecMoments] = Encoders.product[VecMoments]
-  override def outputEncoder: Encoder[VecMoments] = Encoders.product[VecMoments]
 }

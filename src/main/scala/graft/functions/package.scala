@@ -51,6 +51,14 @@ package object functions {
   def array_mat_vec(m: Column, v: Column): Column =
     call_function("array_mat_vec", m, v)
 
+  /** [[vec_moments]] over an `array<double>` column
+    * ([[graft.functions.VecMomentsDoubleAgg]]). */
+  def vec_moments_double(v: Column): Column = call_function("vec_moments_double", v)
+
+  /** DEFLATE compression ratio of a string column
+    * ([[graft.functions.DeflateRatio]]). */
+  def deflate_ratio(s: Column): Column = call_function("deflate_ratio", s)
+
   /** Register graft's expressions with a session's function registry
     * (idempotent); enables both the Column helpers above and SQL-text use. */
   def register(spark: SparkSession): Unit = {
@@ -58,6 +66,9 @@ package object functions {
     spark.udf.register("vec_moments",
       org.apache.spark.sql.functions.udaf(VecMomentsAgg,
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()))
+    spark.udf.register("vec_moments_double",
+      org.apache.spark.sql.functions.udaf(VecMomentsDoubleAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
@@ -71,6 +82,13 @@ package object functions {
       (children: Seq[Expression]) => {
         if (children.length != 2) wrongArgs("array_mat_vec", 2, children.length)
         ArrayMatVec(children(0), children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) wrongArgs("deflate_ratio", 1, children.length)
+        DeflateRatio(children(0))
       })
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("nfc_normalize"),

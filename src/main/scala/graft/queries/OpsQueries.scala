@@ -1376,6 +1376,62 @@ object OpsQueries {
       .orderBy("rk")
   }
 
+  /** #51e ZCA whitening certificate ([[graft.ops.Mahalanobis.whiten]]):
+    * whitens the embeddings, then runs a SECOND one-pass moments
+    * aggregation over the whitened column and reports the worst
+    * deviations from the exact contract — mean ≈ 0, covariance ≈ I —
+    * as a self-certifying single row (errors land at ~1e-12 and round
+    * to 0.000000; any real defect in the Cholesky, the triangular
+    * inverse, or the mat-vec would print as a nonzero). */
+  def embWhiten(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.register(s)
+    val wdf = graft.ops.Mahalanobis.whiten(Tables.embeddings(s, dir), "embedding")
+    val m = wdf.agg(graft.functions.vec_moments_double(col("whitened")).as("m"))
+      .select("m.n", "m.sums", "m.gram").head()
+    val n = m.getLong(0)
+    val sums = m.getSeq[Double](1).toArray
+    val gram = m.getSeq[Double](2).toArray
+    val d = sums.length
+    var maxMu = 0.0; var maxDiag = 0.0; var maxOff = 0.0
+    var i = 0
+    while (i < d) {
+      maxMu = math.max(maxMu, math.abs(sums(i) / n))
+      var j = 0
+      while (j < d) {
+        val c = (gram(i * d + j) - sums(i) * sums(j) / n) / (n - 1)
+        if (i == j) maxDiag = math.max(maxDiag, math.abs(c - 1.0))
+        else maxOff = math.max(maxOff, math.abs(c))
+        j += 1
+      }
+      i += 1
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import s.implicits._
+    Seq((n, d.toLong, r6(maxMu), r6(maxDiag), r6(maxOff)))
+      .toDF("n", "d", "max_mean_abs", "max_diag_err", "max_offdiag_abs")
+  }
+
+  /** #38c compression-ratio quality profile per language
+    * ([[graft.functions.DeflateRatio]]): the model-free redundancy
+    * gate — per-language DEFLATE ratio distribution plus the count
+    * under the 0.35 boilerplate bar. Complements the Gopher
+    * line/n-gram repetition rules with a signal that needs no
+    * tokenization at all. No SQL oracle (DuckDB has no zlib);
+    * DeflateRatioSpec pins the ordering semantics. */
+  def textCompressGate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.register(s)
+    Tables.documents(s, dir)
+      .withColumn("ratio", graft.functions.deflate_ratio(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        round(avg("ratio"), 6).as("mean_ratio"),
+        round(expr("percentile(ratio, 0.1)"), 6).as("p10"),
+        round(expr("percentile(ratio, 0.9)"), 6).as("p90"),
+        sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy("lang")
+  }
+
   /** #3b cheapest supplier per part (argmin-per-group): the classic
     * greatest-n-per-group pattern via `row_number` over a
     * (partkey)-partitioned window — one shuffle on the group key, no
@@ -2740,6 +2796,8 @@ object OpsQueries {
     "emb_covariance"    -> (embCovariance _),
     "emb_pca"           -> (embPca _),
     "emb_mahalanobis"   -> (embMahalanobis _),
+    "emb_whiten"        -> (embWhiten _),
+    "text_compress_gate" -> (textCompressGate _),
     "key_overlap"       -> (keyOverlapProfile _),
     "backtest_folds"    -> (backtestFolds _),
     "quantile_bins"     -> (quantileBinsQuery _),

@@ -41,6 +41,38 @@ class MahalanobisSpec extends SparkSpec {
     out.foreach(m => assert(math.abs(m - 1.5) < 1e-9, s"got $m"))
   }
 
+  test("whiten: whitened sample has exactly zero mean and identity covariance") {
+    val out = Mahalanobis.whiten(
+        Tables.embeddings(spark, "/root/testdata/sf0.001"), "embedding")
+      .select("whitened").collect().map(_.getSeq[Double](0).toArray)
+    val n = out.length
+    val d = out.head.length
+    val mu = Array.tabulate(d)(i => out.map(_(i)).sum / n)
+    mu.foreach(m => assert(math.abs(m) < 1e-9, s"mean $m"))
+    for (i <- 0 until d by 7; j <- i until d by 11) {
+      val c = out.map(v => (v(i) - mu(i)) * (v(j) - mu(j))).sum / (n - 1)
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(c - expect) < 1e-8, s"cov($i,$j)=$c")
+    }
+  }
+
+  test("cholesky and triangular inverse agree with the Gauss-Jordan inverse") {
+    val a = Array(Array(4.0, 2.0, 0.6), Array(2.0, 3.0, 0.2), Array(0.6, 0.2, 1.5))
+    val l = Mahalanobis.cholesky(a.map(_.clone()))
+    // L·Lᵀ = A
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val e = (0 until 3).map(k => l(i)(k) * l(j)(k)).sum
+      assert(math.abs(e - a(i)(j)) < 1e-10)
+    }
+    // (L⁻¹)ᵀ·L⁻¹ = A⁻¹
+    val w = Mahalanobis.invertLowerTriangular(l)
+    val inv = Mahalanobis.invert(a.map(_.clone()))
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val e = (0 until 3).map(k => w(k)(i) * w(k)(j)).sum
+      assert(math.abs(e - inv(i)(j)) < 1e-10)
+    }
+  }
+
   test("array_mat_vec: identity and permutation matrices round-trip; dim mismatch fails") {
     graft.functions.register(spark)
     val v = Seq(Seq(1f, 2f, 3f)).toDF("v")
