@@ -344,6 +344,38 @@ object TextAnalysis {
           .as("pmi"))
   }
 
+  /** Windowed skip-gram pair counts — word2vec/SGNS training-pair
+    * generation: for every token position i, the ordered pairs
+    * (t[i], t[i+d]) for d = 1..`window`, counted corpus-wide and gated
+    * at `minCount`. Complements [[pmiPairs]] (doc-level co-occurrence):
+    * this is the POSITIONAL window that embedding training consumes.
+    *
+    * Scale shape: pair generation is fully NARROW — each document zips
+    * its own token array against `window` shifted slices of itself in
+    * one codegen `transform∘zip_with`, so no positional self-join and
+    * no shuffle before the (w, c)-keyed count, which partial-aggregates
+    * map-side. At web scale the `minCount` gate is the long-tail
+    * control, exactly as in word2vec's vocabulary pruning. */
+  def skipGramPairs(
+      df: DataFrame,
+      textCol: String,
+      window: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))
+    df.select(toks.as("toks"))
+      .select(explode(flatten(transform(
+        sequence(lit(1), lit(window)),
+        d => zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - d, lit(0))),
+          slice(col("toks"), d + lit(1), greatest(size(col("toks")) - d, lit(0))),
+          (a, b) => struct(a.as("w"), b.as("c")))))).as("p"))
+      .groupBy(col("p.w").as("w"), col("p.c").as("c"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minCount)
+  }
+
   /** TF-IDF cosine retrieval — the vector-space sibling of
     * [[bm25Search]]: documents as L2-normalized tf·idf vectors
     * (idf = ln(N/df)), the query as an idf-weighted term vector, score

@@ -666,9 +666,56 @@ object DedupSimQueries {
       .orderBy("label")
   }
 
+  /** #51f deterministic Lloyd's k-means over the embedding corpus
+    * ([[graft.ops.KMeans]]): hash-ranked seeds, two full assign+update
+    * rounds, final assignment emitted with its rounded squared distance.
+    * The oracle unrolls the identical iteration in SQL — seeds, distance
+    * formula, FP accumulation order, argmin ties, and the 6-dp centroid
+    * rounding all match by construction. */
+  def kmeansEmbed(s: SparkSession, dir: String): DataFrame =
+    graft.ops.KMeans
+      .fitAssign(Tables.embeddings(s, dir), "vec_id", "embedding", k = 4, iters = 2)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
+  /** #23f exact kNN majority-vote classifier: every 5th vector is the
+    * held-out query set, classified from its 5 nearest labeled neighbors
+    * (squared-euclidean, round-6; neighbor ties to the lower id, vote
+    * ties to the lower label). Neighbor selection rides the custom
+    * bounded-heap top-k operator ([[graft.plans.Graft.topKPerGroup]]) —
+    * the n_q × n_corpus product is heap-reduced per partition, never
+    * fully sorted. Scale shape: the query batch broadcasts; the corpus
+    * streams through one narrow scoring pass. */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val queries = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("nid"), col("v").as("nv"), col("label"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("nid"), col("label"),
+        round(Similarity.dot(col("nv"), col("nv"))
+          - lit(2.0) * Similarity.dot(col("nv"), col("qv"))
+          + Similarity.dot(col("qv"), col("qv")), 6).as("d2"))
+    val top5 = graft.plans.Graft.topKPerGroup(
+      scored, Seq("qid"), "d2", 5, descending = false, tiebreak = Seq("nid"))
+    val votes = top5.groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+    import org.apache.spark.sql.expressions.Window
+    votes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("qid").as("vec_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_mean_pool"       -> (vecMeanPool _),
     "label_inertia"       -> (labelInertia _),
+    "kmeans_embed"        -> (kmeansEmbed _),
+    "knn_classify"        -> (knnClassify _),
     "sim_ann_pq"          -> (simAnnPq _),
     "sim_ann_pq_shape"    -> (simAnnPqShape _),
     "sim_ann_ivfpq"       -> (simAnnIvfPq _),
@@ -705,7 +752,75 @@ object DedupSimQueries {
     "sim_ann_lsh"         -> (simAnnLsh _),
   )
 
+  /** The k-means oracle unrolls KMeans' two Lloyd rounds as CTE pairs:
+    * every arithmetic detail (seed order, d2 formula and its FP
+    * evaluation order, round-6 discipline, argmin/centroid-drop
+    * semantics) mirrors [[graft.ops.KMeans]] exactly. */
+  private val kmeansOracleSql: String = {
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT id, v, vv, c AS cluster, d2 FROM (
+         |    SELECT e.id, e.v, e.vv, $cents.c,
+         |      round(e.vv - 2 * list_inner_product(e.v, $cents.cv)
+         |        + list_inner_product($cents.cv, $cents.cv), 6) AS d2,
+         |      row_number() OVER (PARTITION BY e.id ORDER BY
+         |        round(e.vv - 2 * list_inner_product(e.v, $cents.cv)
+         |          + list_inner_product($cents.cv, $cents.cv), 6), $cents.c) AS rn
+         |    FROM e CROSS JOIN $cents
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def updateCte(name: String, assigned: String) =
+      s"""$name AS (
+         |  SELECT cluster AS c, list(x ORDER BY dim) AS cv FROM (
+         |    SELECT $assigned.cluster, g.i - 1 AS dim,
+         |      round(avg($assigned.v[g.i]), 6) AS x
+         |    FROM $assigned,
+         |      LATERAL (SELECT unnest(generate_series(1, len($assigned.v))) AS i) g
+         |    GROUP BY 1, 2
+         |  ) GROUP BY 1
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |    list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS c, v AS cv
+       |  FROM e QUALIFY row_number() OVER (ORDER BY md5(id::VARCHAR), id) <= 4
+       |),
+       |${assignCte("a1", "c0")},
+       |${updateCte("c1", "a1")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("c2", "a2")},
+       |${assignCte("a3", "c2")}
+       |SELECT id AS vec_id, cluster, d2 FROM a3 ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "kmeans_embed" -> kmeansOracleSql,
+    // Full-product mirror of the bounded-heap top-5 + majority vote:
+    // identical d2 arithmetic and the same two-level tie discipline.
+    "knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 5 = 0),
+        |c AS (SELECT vec_id AS nid, v AS nv, label FROM e WHERE vec_id % 5 <> 0),
+        |s AS (
+        |  SELECT q.qid, c.nid, c.label,
+        |    round(list_inner_product(c.nv, c.nv)
+        |      - 2 * list_inner_product(c.nv, q.qv)
+        |      + list_inner_product(q.qv, q.qv), 6) AS d2
+        |  FROM c CROSS JOIN q
+        |), top AS (
+        |  SELECT * FROM (
+        |    SELECT s.*, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+        |    FROM s) WHERE rn <= 5
+        |), votes AS (
+        |  SELECT qid, label, count(*) AS votes FROM top GROUP BY 1, 2
+        |)
+        |SELECT qid AS vec_id, label AS pred_label, votes FROM (
+        |  SELECT votes.*,
+        |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rn
+        |  FROM votes) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "dedup_clusters" ->
       (reachPrefix +
         "\nSELECT a AS id, min(b) AS cluster FROM reach GROUP BY a ORDER BY id"),

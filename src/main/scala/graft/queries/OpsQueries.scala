@@ -401,6 +401,74 @@ object OpsQueries {
     TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "text", "doc_id")
       .orderBy("doc_id")
 
+  /** #49c windowed skip-gram pair counts over the corpus
+    * ([[TextAnalysis.skipGramPairs]]): the word2vec/SGNS training-pair
+    * table (window 3, count ≥ 5), ordered canonically. */
+  def textSkipgram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.skipGramPairs(Tables.documents(s, dir), "text",
+        window = 3, minCount = 5L)
+      .orderBy("w", "c")
+
+  /** #26h charset / Unicode-composition audit per language: mean
+    * per-document ratios of letters, uppercase, digits, whitespace,
+    * ASCII punctuation, and non-ASCII bytes — the encoding-hygiene
+    * screen (mojibake, digit dumps, foreign-script leakage) a corpus
+    * release runs per language bucket. Per-doc ratios are exact
+    * integer/length divisions rounded at 6; the per-language mean is
+    * rounded again at 6 (the cross-engine summation-order guard). */
+  def textCharset(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    def cnt(pat: String): Column =
+      size(regexp_extract_all(t, lit(pat), lit(0))).cast("double")
+    val len = greatest(length(t), lit(1)).cast("double")
+    def ratio(pat: String): Column = round(cnt(pat) / len, 6)
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        ratio("[A-Za-z]").as("letter_r"),
+        ratio("[A-Z]").as("upper_r"),
+        ratio("[0-9]").as("digit_r"),
+        ratio("\\s").as("ws_r"),
+        ratio("[^A-Za-z0-9\\s]").as("punct_r"),
+        ratio("[^\\x00-\\x7F]").as("nonascii_r"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("letter_r"), 6).as("letter_r"),
+        round(avg("upper_r"), 6).as("upper_r"),
+        round(avg("digit_r"), 6).as("digit_r"),
+        round(avg("ws_r"), 6).as("ws_r"),
+        round(avg("punct_r"), 6).as("punct_r"),
+        round(avg("nonascii_r"), 6).as("nonascii_r"))
+      .orderBy("lang")
+  }
+
+  /** #7e' time-bound conversion funnel: first view → first click within
+    * 1 h → first purchase within 24 h of that click, per user, with mean
+    * stage-transition latencies. The unbounded q10_funnel counts stage
+    * reach; this is the product-analytics variant where a conversion
+    * only counts inside its window. All timestamps are exact integer
+    * micros; the stage joins key on user_id (one shuffle each) with the
+    * per-user firsts reduced BEFORE the join — the fact table is never
+    * fanned out. */
+  def funnelTtc(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + lit(3600000000L))
+      .groupBy("user_id", "t1").agg(min("us").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c.select("user_id", "t2"), "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t2") + lit(86400000000L))
+      .groupBy("user_id", "t2").agg(min("us").as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_1h"),
+        round(avg(col("t2") - col("t1")) / lit(1000000.0), 6).as("avg_view_click_s")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_24h"),
+        round(avg(col("t3") - col("t2")) / lit(1000000.0), 6).as("avg_click_purchase_s")))
+      .select(col("n_view"), col("n_click_1h"), col("n_purchase_24h"),
+        col("avg_view_click_s"), col("avg_click_purchase_s"))
+  }
+
   /** #7l join-key skew audit of events.user_id — the one-row
     * distribution profile (hot-key share + entropy) consulted before
     * choosing plain vs salted vs broadcast join. */
@@ -2682,6 +2750,9 @@ object OpsQueries {
     "heavy_hitters"     -> (heavyHittersTokens _),
     "bpe_pairs"         -> (bpePairs _),
     "text_diversity"    -> (textDiversity _),
+    "text_skipgram"     -> (textSkipgram _),
+    "text_charset"      -> (textCharset _),
+    "funnel_ttc"        -> (funnelTtc _),
     "skew_profile"      -> (skewProfileUsers _),
     "corpus_ccnet"      -> (corpusCcnet _),
     "tfidf_search"      -> (tfidfSearch _),
@@ -4593,6 +4664,61 @@ object OpsQueries {
         |FROM w JOIN qw USING (term) JOIN norms USING (doc_id), qn
         |GROUP BY w.doc_id, norms.norm, qn.qnorm
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Positional unnest mirror of the narrow zip_with pair generation:
+    // token i pairs with i+d for d in 1..3 inside each document.
+    "text_skipgram" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents
+        |), p AS (
+        |  SELECT t.toks[g.i] AS w, t.toks[g.i + d.d] AS c
+        |  FROM t,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) g,
+        |    LATERAL (SELECT unnest(generate_series(1, 3)) AS d) d
+        |  WHERE g.i + d.d <= len(t.toks)
+        |)
+        |SELECT w, c, count(*) AS n_pairs FROM p GROUP BY 1, 2
+        |HAVING count(*) >= 5 ORDER BY w, c""".stripMargin,
+    "text_charset" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    round(len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1)::DOUBLE, 6) AS letter_r,
+        |    round(len(regexp_extract_all(text, '[A-Z]')) / greatest(length(text), 1)::DOUBLE, 6) AS upper_r,
+        |    round(len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1)::DOUBLE, 6) AS digit_r,
+        |    round(len(regexp_extract_all(text, '\s')) / greatest(length(text), 1)::DOUBLE, 6) AS ws_r,
+        |    round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / greatest(length(text), 1)::DOUBLE, 6) AS punct_r,
+        |    round(len(regexp_extract_all(text, '[^\x00-\x7F]')) / greatest(length(text), 1)::DOUBLE, 6) AS nonascii_r
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(letter_r), 6) AS letter_r,
+        |  round(avg(upper_r), 6) AS upper_r,
+        |  round(avg(digit_r), 6) AS digit_r,
+        |  round(avg(ws_r), 6) AS ws_r,
+        |  round(avg(punct_r), 6) AS punct_r,
+        |  round(avg(nonascii_r), 6) AS nonascii_r
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "funnel_ttc" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT ev.user_id, v.t1, min(ev.us) AS t2
+        |  FROM ev JOIN v USING (user_id)
+        |  WHERE ev.event_type = 'click' AND ev.us > v.t1
+        |    AND ev.us <= v.t1 + 3600000000
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT ev.user_id, c.t2, min(ev.us) AS t3
+        |  FROM ev JOIN c USING (user_id)
+        |  WHERE ev.event_type = 'purchase' AND ev.us > c.t2
+        |    AND ev.us <= c.t2 + 86400000000
+        |  GROUP BY 1, 2
+        |)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click_1h,
+        |  (SELECT count(*) FROM p) AS n_purchase_24h,
+        |  (SELECT round(avg(t2 - t1) / 1000000.0, 6) FROM c) AS avg_view_click_s,
+        |  (SELECT round(avg(t3 - t2) / 1000000.0, 6) FROM p) AS avg_click_purchase_s""".stripMargin,
     "text_diversity" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok

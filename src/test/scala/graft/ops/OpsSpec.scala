@@ -1156,4 +1156,19 @@ class OpsSpec extends SparkSpec {
     assert(out(("b", 9.0)).isEmpty && out(("b", 5.0)).isEmpty,
       "zero-MAD group must scale to null, not blow up")
   }
+
+  test("TextAnalysis.skipGramPairs: exact windowed pairs, gate, no cross-doc pairs") {
+    val df = Seq("a b c d", "a b x", "").toDF("text")
+    val got = TextAnalysis.skipGramPairs(df, "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc1 window-2 pairs: ab ac bc bd cd; doc2: ab ax bx. No (d,a) etc.
+    assert(got == Map(
+      ("a", "b") -> 2L, ("a", "c") -> 1L, ("a", "x") -> 1L,
+      ("b", "c") -> 1L, ("b", "d") -> 1L, ("b", "x") -> 1L,
+      ("c", "d") -> 1L))
+    // minCount gates the tail; pairs are ordered (left precedes right).
+    val gated = TextAnalysis.skipGramPairs(df, "text", window = 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gated == Set(("a", "b")))
+  }
 }

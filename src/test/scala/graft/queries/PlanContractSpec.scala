@@ -390,6 +390,40 @@ class PlanContractSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("KMeans.assign is exchange-free: centroids ride as a literal, rows never shuffle") {
+    val e = Tables.embeddings(spark, dir)
+    val cents = graft.ops.KMeans.initCentroids(e, "vec_id", "embedding", 4)
+    val plan = finalPlan(graft.ops.KMeans.assign(e, "vec_id", "embedding", cents))
+    assert(!plan.contains("Exchange"),
+      s"assignment must be a narrow scoring pass:\n${plan.take(3000)}")
+  }
+
+  test("knn_classify selects neighbors via the bounded-heap TopKPerGroup operator") {
+    val plan = finalPlan(DedupSimQueries.knnClassify(spark, dir))
+    assert(plan.contains("TopKPerGroup"),
+      s"neighbor selection must use the custom heap operator, not a sort:\n${plan.take(3000)}")
+    // The query batch must broadcast into the scoring product.
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(3000))
+  }
+
+  test("skipGramPairs generates pairs narrowly — one exchange total, for the count") {
+    val docs = Tables.documents(spark, dir)
+    val plan = finalPlan(
+      graft.ops.TextAnalysis.skipGramPairs(docs, "text", window = 3, minCount = 5L))
+    // The AQE string prints the same node in both the Final and Initial
+    // sections with different plan_ids — strip them before dedup.
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange"))
+      .map(_.dropWhile(c => c == ' ' || c == '+' || c == '-' || c == ':')
+        .replaceAll("\\[plan_id=\\d+\\]", ""))
+      .toSeq.distinct
+    assert(exchanges.length == 1,
+      s"expected exactly the (w,c)-keyed count exchange, got ${exchanges.length}:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"pair counting must partial-aggregate map-side:\n${plan.take(3000)}")
+  }
+
   test("nearest as-of computes both direction frames in ONE Window over one sort") {
     val plan = finalPlan(Relational.q8cAsofNearest(spark, dir))
     // Both frame functions must land in a single Window operator (one
