@@ -59,6 +59,8 @@ object Bench {
         timed(queries.DedupSimQueries.clusterLabels(spark, sfDir).count()),
       "_mat_span_grams" ->
         timed(queries.DedupSimQueries.spanGrams(spark, sfDir).count()),
+      "_mat_cooc_pairs" ->
+        timed(queries.OpsQueries.coocPairs(spark, sfDir).count()),
       // The two collective fits are memoized per (session, dir) and each
       // feeds two queries; without these entries the whole fit cost lands
       // on cmf_fit_predict / cmf_implicit (alphabetically-first consumers),

@@ -767,13 +767,87 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  private val coocCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The part co-purchase pair list, materialized once per (session,
+    * dir): the neighbor table itself, the recommendation-quality audit,
+    * and the graph assortativity screen are three consumers of one
+    * pair computation (`_mat_cooc_pairs` times the build in Bench). */
+  def coocPairs(s: SparkSession, dir: String): DataFrame =
+    coocCache.getOrElseUpdate((s, dir),
+      graft.ops.Cooccur.pairs(Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+          minCount = 2L)
+        .localCheckpoint(true))
+
   /** #13d market-basket co-occurrence ([[graft.ops.Cooccur.pairs]]):
     * parts appearing together in ≥ 2 orders, with lift — the exact
     * item-to-item neighbor table next to the factor recommender. */
   def itemCooc(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Cooccur.pairs(Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
-        minCount = 2L)
-      .orderBy("item_a", "item_b")
+    coocPairs(s, dir).orderBy("item_a", "item_b")
+
+  /** #13f recommendation-quality audit of the co-occurrence
+    * recommender's top-3 lists: catalog coverage (how much of the
+    * catalog is ever recommended) and popularity bias (mean popularity
+    * percent-rank of recommended items; 0.5 = popularity-neutral,
+    * → 1 = head-chasing). The serving-quality readout every
+    * recommender ships with, computed here on the deterministic
+    * co-purchase surrogate so it oracles exactly.
+    *
+    * Scale shape: lists come from one bounded window over the pair
+    * list; the popularity percent-rank is a window over the ITEM
+    * catalog (≪ facts), and the final numbers are one-row aggregates. */
+  def recCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = coocPairs(s, dir)
+    val sym = pairs.select(col("item_a").as("item"), col("item_b").as("rec"),
+        col("lift"), col("n_ab"))
+      .unionAll(pairs.select(col("item_b").as("item"), col("item_a").as("rec"),
+        col("lift"), col("n_ab")))
+    val top3 = sym
+      .withColumn("rn", row_number().over(Window.partitionBy("item")
+        .orderBy(desc("lift"), desc("n_ab"), col("rec"))))
+      .filter(col("rn") <= 3)
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val pr = b.groupBy("item").agg(count(lit(1)).as("n_item"))
+      .withColumn("pop_pr", percent_rank().over(Window.orderBy("n_item")))
+    val audit = top3.join(pr.select(col("item").as("rec"), col("pop_pr")), "rec")
+      .agg(countDistinct("item").as("n_rec_items"),
+        countDistinct("rec").as("n_rec_distinct"),
+        round(avg("pop_pr"), 6).as("mean_rec_pop_pr"))
+    Tables.part(s, dir).agg(count(lit(1)).as("n_catalog"))
+      .crossJoin(b.agg(countDistinct("item").as("n_sold")))
+      .crossJoin(audit)
+      .select(col("n_catalog"), col("n_sold"), col("n_rec_items"),
+        col("n_rec_distinct"),
+        round(col("n_rec_distinct") / col("n_catalog"), 6).as("catalog_coverage"),
+        col("mean_rec_pop_pr"))
+  }
+
+  /** #19s degree assortativity of the co-purchase graph: Pearson
+    * correlation of endpoint degrees over the (directed-both-ways)
+    * edge list — positive = hubs link hubs (assortative), negative =
+    * hub-and-spoke. The one-number topology screen run before graph
+    * algorithms whose cost depends on degree mixing. Zero-variance
+    * degenerate graphs emit null rather than NaN. */
+  def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coocPairs(s, dir).select(col("item_a").as("a"), col("item_b").as("b"))
+    val sym = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val e = sym
+      .join(deg.select(col("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("a").as("b"), col("deg").as("deg_b")), "b")
+    e.agg(
+        (count(lit(1)) / 2).cast("long").as("n_edges"),
+        countDistinct("a").as("n_nodes"),
+        stddev_pop("deg_a").as("sa"), stddev_pop("deg_b").as("sb"),
+        corr("deg_a", "deg_b").as("r"))
+      .select(col("n_nodes"), col("n_edges"),
+        when(col("sa") === 0 || col("sb") === 0, lit(null).cast("double"))
+          .otherwise(round(col("r"), 6)).as("assortativity"))
+  }
 
   /** Events labeled 0/1 by temporal half (epoch-µs midpoint, integer
     * arithmetic on both engines) — the before/after split the drift
@@ -2768,6 +2842,8 @@ object OpsQueries {
     "scd2_history"      -> (scd2History _),
     "snapshot_diff"     -> (snapshotDiff _),
     "item_cooc"         -> (itemCooc _),
+    "rec_coverage"      -> (recCoverage _),
+    "graph_assortativity" -> (graphAssortativity _),
     "drift_ks"          -> (driftKs _),
     "rolling_hll"       -> (rollingHll _),
     "events_debounce"   -> (eventsDebounce _),
@@ -3361,6 +3437,62 @@ object OpsQueries {
         |FROM documents
         |WHERE doc_id % 11 = 3 OR doc_id % 11 = 7 OR doc_id % 5 = 0
         |ORDER BY doc_id""".stripMargin,
+    // Same pair CTE as item_cooc, then: top-3 lists (lift desc, n_ab
+    // desc, rec asc), popularity percent_rank over the item marginals,
+    // and the one-row coverage/bias audit.
+    "rec_coverage" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), n AS (SELECT count(DISTINCT basket) AS nb FROM b),
+        |m AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab,
+        |    round(count(*) * (SELECT nb FROM n)::DOUBLE
+        |      / (max(ma.n_item) * max(mb.n_item)), 6) AS lift
+        |  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |  JOIN m ma ON ma.item = x.item
+        |  JOIN m mb ON mb.item = y.item
+        |  GROUP BY x.item, y.item
+        |  HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT item_a AS item, item_b AS rec, lift, n_ab FROM p
+        |  UNION ALL
+        |  SELECT item_b AS item, item_a AS rec, lift, n_ab FROM p
+        |), top3 AS (
+        |  SELECT item, rec FROM (
+        |    SELECT sym.*, row_number() OVER (PARTITION BY item
+        |      ORDER BY lift DESC, n_ab DESC, rec) AS rn FROM sym)
+        |  WHERE rn <= 3
+        |), pr AS (
+        |  SELECT item, percent_rank() OVER (ORDER BY n_item) AS pop_pr FROM m
+        |)
+        |SELECT (SELECT count(*) FROM part) AS n_catalog,
+        |  (SELECT count(DISTINCT item) FROM b) AS n_sold,
+        |  count(DISTINCT top3.item) AS n_rec_items,
+        |  count(DISTINCT top3.rec) AS n_rec_distinct,
+        |  round(count(DISTINCT top3.rec)
+        |    / (SELECT count(*) FROM part)::DOUBLE, 6) AS catalog_coverage,
+        |  round(avg(pr.pop_pr), 6) AS mean_rec_pop_pr
+        |FROM top3 JOIN pr ON pr.item = top3.rec""".stripMargin,
+    // Directed-both-ways edge list of the same pair CTE; assortativity
+    // is the Pearson correlation of endpoint degrees.
+    "graph_assortativity" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), m AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT x.item AS a, y.item AS b
+        |  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY x.item, y.item
+        |  HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p
+        |), deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1)
+        |SELECT count(DISTINCT sym.a) AS n_nodes,
+        |  (count(*) / 2)::BIGINT AS n_edges,
+        |  CASE WHEN stddev_pop(da.deg) = 0 OR stddev_pop(db.deg) = 0 THEN NULL
+        |       ELSE round(corr(da.deg, db.deg), 6) END AS assortativity
+        |FROM sym JOIN deg da ON da.a = sym.a JOIN deg db ON db.a = sym.b""".stripMargin,
     "item_cooc" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem

@@ -372,6 +372,36 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** #3i TPC-H Q7-shape nation-pair trade volume: exact-cents revenue
+    * between every (supplier nation, customer nation) pair per ship
+    * year, excluding domestic trade. The fact table shuffles once per
+    * fact-fact join (lineitem⋈orders on orderkey, then custkey); every
+    * dimension (supplier, customer→nation, nation) broadcasts — at
+    * 100 TB the two big joins are the only exchanges, and AQE sizes
+    * them. */
+  def q21Volume(s: SparkSession, dir: String): DataFrame = {
+    val nations = broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name"))
+    val supp = broadcast(Tables.supplier(s, dir)
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = broadcast(Tables.customer(s, dir)
+      .join(nations, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("cents") / lit(100.0), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** #6b correlated EXISTS (TPC-H Q4 shape): orders having at least
     * one line shipped more than 60 days after the order date, counted
     * per priority — the semi-join the optimizer must NOT expand into a
@@ -467,9 +497,23 @@ object Relational {
     "q18_exists"       -> (q18Exists _),
     "q20_waiting"      -> (q20Waiting _),
     "q19_scalar_sub"   -> (q19ScalarSub _),
+    "q21_volume"       -> (q21Volume _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q21_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year, count(*) AS n_items,
+        |  round(sum(round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT)
+        |    / 100.0, 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q17_star" ->
       """SELECT n_name, count(*) AS n_items,
         |  round(sum(round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT)
