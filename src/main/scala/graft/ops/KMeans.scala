@@ -119,4 +119,31 @@ object KMeans {
     * monotonicity witness for specs. */
   def inertia(assigned: DataFrame): Double =
     assigned.agg(sum("d2")).collect()(0).getDouble(0)
+
+  /** Per-point simplified silhouette under `cents`
+    * (a = d² to own centroid, b = min d² to any other,
+    * s = round((b − a) / max(a, b), 6), 0 when both distances are 0):
+    * the clustering-quality readout that needs only k distances per
+    * point — same narrow literal-centroid scoring as [[assign]], no
+    * pairwise point-point work (the full silhouette's O(n²) is exactly
+    * what doesn't scale). Returns (id, cluster, a, b, s). */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String, cents: Centroids): DataFrame = {
+    require(cents.length >= 2, "silhouette needs at least 2 clusters")
+    val centLit: Column = typedlit(cents.toSeq.map { case (cid, c) =>
+      (cid, c.toSeq, c.foldLeft(0.0)((s, x) => s + x * x))
+    })
+    prepared(df, idCol, vecCol)
+      .withColumn("scored", array_sort(transform(centLit, c =>
+        struct(
+          round(col("vv") - lit(2.0) * Similarity.dot(col("v"), c.getField("_2"))
+            + c.getField("_3"), 6).as("d2"),
+          c.getField("_1").as("cluster")))))
+      .select(col("id"),
+        element_at(col("scored"), 1).getField("cluster").cast("long").as("cluster"),
+        element_at(col("scored"), 1).getField("d2").as("a"),
+        element_at(col("scored"), 2).getField("d2").as("b"))
+      .withColumn("s",
+        when(greatest(col("a"), col("b")) <= 0, lit(0.0))
+          .otherwise(round((col("b") - col("a")) / greatest(col("a"), col("b")), 6)))
+  }
 }

@@ -265,4 +265,49 @@ object Sketches {
           greatest(ceil((col("n_a") + col("n_b")) * tol), lit(16L)))
       .select("n_a", "n_b", "n_common", "est_ok")
   }
+
+  /** `depth` md5-derived bucket columns for a count-min sketch row set:
+    * bucket(r, item) = md5("r:item")[first 15 hex] mod `width` — the
+    * same engine-portable hash arithmetic as the cv-fold / negative-
+    * sampling draws, so estimates are DETERMINISTIC integers any engine
+    * reproduces exactly (no approximate wiggle to tolerate). */
+  private def cmBucket(r: Column, item: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), item)), 1, 15),
+      16, 10).cast("long"), lit(width.toLong))
+
+  /** Count-min sketch of `itemCol` frequencies: (r, bucket, cnt) for
+    * r in 0..depth-1 — depth×width longs, mergeable by addition, the
+    * classic streaming frequency summary (Cormode-Muthukrishnan).
+    *
+    * Scale shape: one pass; each row expands to `depth` (r, bucket)
+    * keys whose counts partial-aggregate map-side, so the exchange
+    * carries at most depth×width cells per partition regardless of
+    * input size — the sketch property itself. */
+  def cmSketch(df: DataFrame, itemCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    df.select(col(itemCol).cast("string").as("item"))
+      .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
+      .groupBy(col("r"), cmBucket(col("r"), col("item"), width).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[cmSketch]]: min over the depth counters
+    * each item hashes to — never under the true count, over by at most
+    * εN with the usual (e/width, 1−(1/2)^depth) guarantee. `items` is
+    * the (small) query set; the sketch side is depth×width rows, so
+    * both join inputs broadcast-scale. Returns (item, n_est). */
+  def cmEstimate(
+      sketch: DataFrame,
+      items: DataFrame,
+      itemCol: String,
+      depth: Int,
+      width: Int): DataFrame =
+    items.select(col(itemCol).cast("string").as("item"))
+      .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("bucket", cmBucket(col("r"), col("item"), width))
+      .join(sketch, Seq("r", "bucket"), "left")
+      .groupBy("item")
+      // A bucket no item hashed to never exists in the sketch: its
+      // counter is 0, and min must see it — coalesce, don't drop.
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
 }

@@ -672,11 +672,48 @@ object DedupSimQueries {
     * The oracle unrolls the identical iteration in SQL — seeds, distance
     * formula, FP accumulation order, argmin ties, and the 6-dp centroid
     * rounding all match by construction. */
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ops.KMeans.Centroids]
+
+  /** The fitted k=4 / 2-round centroid table, memoized per (session,
+    * dir): assignment and silhouette are two consumers of one fit. */
+  private def kmeansCents(s: SparkSession, dir: String): graft.ops.KMeans.Centroids =
+    kmeansCache.getOrElseUpdate((s, dir),
+      graft.ops.KMeans.fit(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 4, iters = 2))
+
   def kmeansEmbed(s: SparkSession, dir: String): DataFrame =
     graft.ops.KMeans
-      .fitAssign(Tables.embeddings(s, dir), "vec_id", "embedding", k = 4, iters = 2)
+      .assign(Tables.embeddings(s, dir), "vec_id", "embedding", kmeansCents(s, dir))
       .withColumnRenamed("id", "vec_id")
       .orderBy("vec_id")
+
+  /** #51g clustering-quality readout: per-cluster simplified silhouette
+    * of the fitted k-means ([[graft.ops.KMeans.silhouette]]) — k
+    * distances per point, no pairwise point-point work. */
+  def kmeansSilhouette(s: SparkSession, dir: String): DataFrame =
+    graft.ops.KMeans
+      .silhouette(Tables.embeddings(s, dir), "vec_id", "embedding", kmeansCents(s, dir))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"), round(avg("s"), 6).as("mean_s"))
+      .orderBy("cluster")
+
+  /** #19t cross-source duplication matrix: the near-dup pair list
+    * attributed to (source, source) cells — who re-posts whom, the
+    * between-feeds sibling of the within-source dup-rate report.
+    * Mutated ids map back to their original document's source. */
+  def dedupCrossSource(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    ngramPairs(s, dir)
+      .withColumn("oa", col("doc_id_a") % 1000000)
+      .withColumn("ob", col("doc_id_b") % 1000000)
+      .join(broadcast(src.select(col("doc_id").as("oa"), col("source").as("sa"))), "oa")
+      .join(broadcast(src.select(col("doc_id").as("ob"), col("source").as("sb"))), "ob")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
 
   /** #23f exact kNN majority-vote classifier: every 5th vector is the
     * held-out query set, classified from its 5 nearest labeled neighbors
@@ -715,7 +752,9 @@ object DedupSimQueries {
     "vec_mean_pool"       -> (vecMeanPool _),
     "label_inertia"       -> (labelInertia _),
     "kmeans_embed"        -> (kmeansEmbed _),
+    "kmeans_silhouette"   -> (kmeansSilhouette _),
     "knn_classify"        -> (knnClassify _),
+    "dedup_cross_source"  -> (dedupCrossSource _),
     "sim_ann_pq"          -> (simAnnPq _),
     "sim_ann_pq_shape"    -> (simAnnPqShape _),
     "sim_ann_ivfpq"       -> (simAnnIvfPq _),
@@ -756,8 +795,34 @@ object DedupSimQueries {
     * every arithmetic detail (seed order, d2 formula and its FP
     * evaluation order, round-6 discipline, argmin/centroid-drop
     * semantics) mirrors [[graft.ops.KMeans]] exactly. */
-  private val kmeansOracleSql: String = {
-    def assignCte(name: String, cents: String) =
+  private val kmeansOracleSql: String = kmeansPrefixSql +
+    s",\n${kmeansAssignCte("a3", "c2")}\n" +
+    "SELECT id AS vec_id, cluster, d2 FROM a3 ORDER BY vec_id"
+
+  /** Silhouette over the same unrolled fit: d2 of every (point,
+    * centroid) pair from c2, own = argmin, b = min over the others. */
+  private val kmeansSilhouetteSql: String = kmeansPrefixSql +
+    """, dall AS (
+      |  SELECT e.id, c2.c AS cluster,
+      |    round(e.vv - 2 * list_inner_product(e.v, c2.cv)
+      |      + list_inner_product(c2.cv, c2.cv), 6) AS d2
+      |  FROM e CROSS JOIN c2
+      |), own AS (
+      |  SELECT id, cluster, d2 AS a FROM (
+      |    SELECT dall.*, row_number() OVER (PARTITION BY id
+      |      ORDER BY d2, cluster) AS rn FROM dall
+      |  ) WHERE rn = 1
+      |), sil AS (
+      |  SELECT own.id, own.cluster, own.a, min(dall.d2) AS b
+      |  FROM own JOIN dall ON dall.id = own.id AND dall.cluster <> own.cluster
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT cluster, count(*) AS n_points,
+      |  round(avg(CASE WHEN greatest(a, b) <= 0 THEN 0
+      |                 ELSE round((b - a) / greatest(a, b), 6) END), 6) AS mean_s
+      |FROM sil GROUP BY 1 ORDER BY cluster""".stripMargin
+
+  private def kmeansAssignCte(name: String, cents: String) =
       s"""$name AS (
          |  SELECT id, v, vv, c AS cluster, d2 FROM (
          |    SELECT e.id, e.v, e.vv, $cents.c,
@@ -769,7 +834,7 @@ object DedupSimQueries {
          |    FROM e CROSS JOIN $cents
          |  ) WHERE rn = 1
          |)""".stripMargin
-    def updateCte(name: String, assigned: String) =
+  private def kmeansUpdateCte(name: String, assigned: String) =
       s"""$name AS (
          |  SELECT cluster AS c, list(x ORDER BY dim) AS cv FROM (
          |    SELECT $assigned.cluster, g.i - 1 AS dim,
@@ -779,6 +844,9 @@ object DedupSimQueries {
          |    GROUP BY 1, 2
          |  ) GROUP BY 1
          |)""".stripMargin
+
+  /** Shared unrolled fit: seeds (c0) + two full Lloyd rounds → c2. */
+  private def kmeansPrefixSql: String =
     s"""WITH e AS (
        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
        |    list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
@@ -787,16 +855,24 @@ object DedupSimQueries {
        |  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS c, v AS cv
        |  FROM e QUALIFY row_number() OVER (ORDER BY md5(id::VARCHAR), id) <= 4
        |),
-       |${assignCte("a1", "c0")},
-       |${updateCte("c1", "a1")},
-       |${assignCte("a2", "c1")},
-       |${updateCte("c2", "a2")},
-       |${assignCte("a3", "c2")}
-       |SELECT id AS vec_id, cluster, d2 FROM a3 ORDER BY vec_id""".stripMargin
-  }
+       |${kmeansAssignCte("a1", "c0")},
+       |${kmeansUpdateCte("c1", "a1")},
+       |${kmeansAssignCte("a2", "c1")},
+       |${kmeansUpdateCte("c2", "a2")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "kmeans_embed" -> kmeansOracleSql,
+    "kmeans_silhouette" -> kmeansSilhouetteSql,
+    // The pair truth re-derives in SQL (nested WITH subquery); each
+    // endpoint maps back to its original document's source.
+    "dedup_cross_source" ->
+      s"""SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  count(*) AS n_pairs
+         |FROM (${ngramTruthSql(Some(10))}) p
+         |JOIN documents da ON da.doc_id = p.doc_id_a % 1000000
+         |JOIN documents db ON db.doc_id = p.doc_id_b % 1000000
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Full-product mirror of the bounded-heap top-5 + majority vote:
     // identical d2 arithmetic and the same two-level tie discipline.
     "knn_classify" ->

@@ -401,6 +401,26 @@ object OpsQueries {
     TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "text", "doc_id")
       .orderBy("doc_id")
 
+  /** #37l count-min sketch frequency estimates audited against exact
+    * counts ([[Sketches.cmSketch]]): a 4×256 sketch of the corpus token
+    * stream, point-estimated on the exact top-50 tokens. Estimates are
+    * deterministic md5-bucket arithmetic, so the oracle matches them
+    * EXACTLY — and `never_under` certifies the one-sided CM guarantee
+    * row by row. */
+  def cmSketchTokens(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("t"))
+    val sketch = Sketches.cmSketch(toks, "t", depth = 4, width = 256)
+    val top = toks.groupBy("t").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), col("t")).limit(50)
+    Sketches.cmEstimate(sketch, top, "t", depth = 4, width = 256)
+      .join(top.withColumnRenamed("t", "item"), "item")
+      .select(col("item").as("token"), col("n_exact"), col("n_est"),
+        (col("n_est") >= col("n_exact")).as("never_under"))
+      .orderBy(desc("n_exact"), col("token"))
+  }
+
   /** #49c windowed skip-gram pair counts over the corpus
     * ([[TextAnalysis.skipGramPairs]]): the word2vec/SGNS training-pair
     * table (window 3, count ≥ 5), ordered canonically. */
@@ -2825,6 +2845,7 @@ object OpsQueries {
     "bpe_pairs"         -> (bpePairs _),
     "text_diversity"    -> (textDiversity _),
     "text_skipgram"     -> (textSkipgram _),
+    "cm_sketch"         -> (cmSketchTokens _),
     "text_charset"      -> (textCharset _),
     "funnel_ttc"        -> (funnelTtc _),
     "skew_profile"      -> (skewProfileUsers _),
@@ -4796,6 +4817,38 @@ object OpsQueries {
         |FROM w JOIN qw USING (term) JOIN norms USING (doc_id), qn
         |GROUP BY w.doc_id, norms.norm, qn.qnorm
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Exact mirror of the md5-bucket CM arithmetic; never_under is the
+    // one-sided Cormode-Muthukrishnan guarantee as a per-row boolean.
+    "cm_sketch" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents
+        |), exact AS (
+        |  SELECT tok, count(*) AS n_exact FROM t GROUP BY 1
+        |), top AS (
+        |  SELECT tok, n_exact FROM exact ORDER BY n_exact DESC, tok LIMIT 50
+        |), rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |sk AS (
+        |  SELECT rows_.r,
+        |    ('0x' || substr(md5(rows_.r::VARCHAR || ':' || t.tok), 1, 15))::BIGINT
+        |      % 256 AS bucket,
+        |    count(*) AS cnt
+        |  FROM t, rows_
+        |  GROUP BY 1, 2
+        |), q AS (
+        |  SELECT top.tok, rows_.r,
+        |    ('0x' || substr(md5(rows_.r::VARCHAR || ':' || top.tok), 1, 15))::BIGINT
+        |      % 256 AS bucket
+        |  FROM top, rows_
+        |), est AS (
+        |  SELECT q.tok, min(coalesce(sk.cnt, 0)) AS n_est
+        |  FROM q LEFT JOIN sk ON sk.r = q.r AND sk.bucket = q.bucket
+        |  GROUP BY 1
+        |)
+        |SELECT top.tok AS token, top.n_exact, est.n_est,
+        |  est.n_est >= top.n_exact AS never_under
+        |FROM top JOIN est ON est.tok = top.tok
+        |ORDER BY n_exact DESC, token""".stripMargin,
     // Positional unnest mirror of the narrow zip_with pair generation:
     // token i pairs with i+d for d in 1..3 inside each document.
     "text_skipgram" ->

@@ -54,6 +54,30 @@ class KMeansSpec extends SparkSpec {
     assert(cents(0)._2.sameElements(expected))
   }
 
+  test("silhouette: s in [-1, 1], a is the own-cluster distance, separated clusters score high") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.1, 0.0)),
+      (3L, Seq(10.0, 0.0)), (4L, Seq(10.1, 0.0))).toDF("id", "v")
+    val cents: KMeans.Centroids =
+      Array((0, Array(0.05, 0.0)), (1, Array(10.05, 0.0)))
+    val rows = KMeans.silhouette(df, "id", "v", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.forall { case (_, _, a, b, s) => s >= -1 && s <= 1 && a <= b })
+    // Tight, well-separated clusters: every point near-perfectly placed.
+    assert(rows.forall(_._5 > 0.99), rows.mkString(", "))
+    assert(rows.filter(_._1 <= 2).forall(_._2 == 0L))
+    assert(rows.filter(_._1 >= 3).forall(_._2 == 1L))
+    // And the real-embeddings silhouette stays in range.
+    val e = Tables.embeddings(spark, dir)
+    val fitted = KMeans.fit(e, "vec_id", "embedding", k = 4, iters = 2)
+    val sil = KMeans.silhouette(e, "vec_id", "embedding", fitted)
+      .agg(org.apache.spark.sql.functions.min("s"),
+        org.apache.spark.sql.functions.max("s")).collect()(0)
+    assert(sil.getDouble(0) >= -1 && sil.getDouble(1) <= 1)
+  }
+
   test("assignment picks the argmin centroid with ties to the lower id") {
     import spark.implicits._
     // Two identical centroids: every point must land on cluster 0.
