@@ -271,7 +271,7 @@ object Sketches {
     * same engine-portable hash arithmetic as the cv-fold / negative-
     * sampling draws, so estimates are DETERMINISTIC integers any engine
     * reproduces exactly (no approximate wiggle to tolerate). */
-  private def cmBucket(r: Column, item: Column, width: Int): Column =
+  def cmBucket(r: Column, item: Column, width: Int): Column =
     pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), item)), 1, 15),
       16, 10).cast("long"), lit(width.toLong))
 

@@ -401,6 +401,33 @@ object OpsQueries {
     TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "text", "doc_id")
       .orderBy("doc_id")
 
+  /** #47g incremental JOIN-view maintenance
+    * ([[graft.ops.Incremental.maintainJoin]]): a materialized
+    * orders⋈customer view kept current under appended orders (every
+    * third order is the delta) AND a dim update (every 10th customer's
+    * segment migrates) — only invalidated/new facts re-join; the oracle
+    * recomputes the direct join against the patched dim, so the
+    * maintenance path must agree exactly. Emits the per-segment
+    * exact-cents rollup of the maintained view. */
+  def joinIncremental(s: SparkSession, dir: String): DataFrame = {
+    val cust0 = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    val changed = cust0.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), lit("MIGRATED").as("c_mktsegment"))
+    val cust1 = cust0.filter(col("c_custkey") % 10 =!= 0).unionByName(changed)
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val matview = orders.filter(col("o_orderkey") % 3 =!= 0).join(cust0, "c_custkey")
+    val delta = orders.filter(col("o_orderkey") % 3 === 0)
+    graft.ops.Incremental
+      .maintainJoin(matview, delta, cust1, changed.select("c_custkey"),
+        "c_custkey", Seq("c_mktsegment"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("cents") / lit(100.0), 2).as("revenue"))
+      .orderBy("segment")
+  }
+
   /** #37l count-min sketch frequency estimates audited against exact
     * counts ([[Sketches.cmSketch]]): a 4×256 sketch of the corpus token
     * stream, point-estimated on the exact top-50 tokens. Estimates are
@@ -2846,6 +2873,7 @@ object OpsQueries {
     "text_diversity"    -> (textDiversity _),
     "text_skipgram"     -> (textSkipgram _),
     "cm_sketch"         -> (cmSketchTokens _),
+    "join_incremental"  -> (joinIncremental _),
     "text_charset"      -> (textCharset _),
     "funnel_ttc"        -> (funnelTtc _),
     "skew_profile"      -> (skewProfileUsers _),
@@ -4817,6 +4845,15 @@ object OpsQueries {
         |FROM w JOIN qw USING (term) JOIN norms USING (doc_id), qn
         |GROUP BY w.doc_id, norms.norm, qn.qnorm
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Direct join against the patched dim — the maintenance path
+    // (anti-join survivors + repaired/new facts) must agree exactly.
+    "join_incremental" ->
+      """SELECT CASE WHEN c_custkey % 10 = 0 THEN 'MIGRATED'
+        |            ELSE c_mktsegment END AS segment,
+        |  count(*) AS n_orders,
+        |  round(sum(round(o_totalprice * 100, 0)::BIGINT) / 100.0, 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
     // Exact mirror of the md5-bucket CM arithmetic; never_under is the
     // one-sided Cormode-Muthukrishnan guarantee as a per-row boolean.
     "cm_sketch" ->

@@ -19,6 +19,14 @@ object StreamMmQueries {
     EventStream.runBatchEquivalent(s, dir)
       .orderBy("window_start", "event_type")
 
+  /** #29m streaming windowed count-min sketch
+    * ([[EventStream.cmSketchAgg]]): per-window 4×64 CM counters of the
+    * user-id stream, drained and hash-checked against the batch
+    * recomputation — deterministic md5-bucket integers, no tolerance. */
+  def streamCmSketch(s: SparkSession, dir: String): DataFrame =
+    EventStream.runCmBatchEquivalent(s, dir)
+      .orderBy("window_start", "r", "bucket")
+
   /** #29i streaming windowed approx-distinct users: HLL sketch state
     * per (window, type), audited per window against the batch-exact
     * distinct count — the oracle recomputes the exact side and expects
@@ -270,6 +278,7 @@ object StreamMmQueries {
     "stream_join"         -> (streamJoin _),
     "stream_enrich"       -> (streamEnrich _),
     "stream_window_agg"   -> (streamWindowAgg _),
+    "stream_cm_sketch"    -> (streamCmSketch _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_audio"    -> (multimodalAudio _),
     "multimodal_video"    -> (multimodalVideo _),
@@ -346,6 +355,18 @@ object StreamMmQueries {
         |  round(sum(value), 6) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY c_nationkey, event_type""".stripMargin,
+    "stream_cm_sketch" ->
+      """WITH t AS (
+        |  SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+        |    user_id::VARCHAR AS item
+        |  FROM events
+        |), rows_ AS (SELECT unnest(generate_series(0, 3)) AS r)
+        |SELECT t.window_start, rows_.r,
+        |  ('0x' || substr(md5(rows_.r::VARCHAR || ':' || t.item), 1, 15))::BIGINT
+        |    % 64 AS bucket,
+        |  count(*) AS cnt
+        |FROM t, rows_
+        |GROUP BY 1, 2, 3 ORDER BY window_start, r, bucket""".stripMargin,
     "stream_window_agg" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
         |  event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value

@@ -51,6 +51,28 @@ object EventStream {
   def runSlidingBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
     Drain.toMemory(slidingAgg(Drain.events(spark, dir)), "complete", "graft_sliding")
 
+  /** Streaming windowed count-min sketch: per hourly tumbling window,
+    * the depth×width CM counters of the user-id stream
+    * ([[graft.ops.Sketches.cmBucket]] md5 arithmetic) — live mergeable
+    * frequency summaries with watermark-evicted state (≤ depth·width
+    * counters per open window, regardless of stream volume). Counters
+    * are deterministic integers, so the drained sink hash-matches a
+    * batch recomputation exactly. */
+  def cmSketchAgg(events: DataFrame, depth: Int = 4, width: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("user_id").cast("string").as("item"))
+      .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("r"),
+        graft.ops.Sketches.cmBucket(col("r"), col("item"), width).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("r").cast("long").as("r"), col("bucket"), col("cnt"))
+
+  /** Batch-equivalence drain of [[cmSketchAgg]]. */
+  def runCmBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
+    Drain.toMemory(cmSketchAgg(Drain.events(spark, dir)), "complete", "graft_scm")
+
   /** Streaming per-window top-k event types: the windowed-counts stream
     * (state bounded exactly as [[windowedAgg]]) ranked top-3 per window
     * as a batch step over the drained sink. Ranking inside the stream

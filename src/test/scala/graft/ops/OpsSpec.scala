@@ -1157,6 +1157,26 @@ class OpsSpec extends SparkSpec {
       "zero-MAD group must scale to null, not blow up")
   }
 
+  test("Incremental.maintainJoin equals the direct join under inserts + dim updates") {
+    val facts0 = Seq((1L, 10L, 5.0), (2L, 20L, 7.0), (3L, 10L, 9.0)).toDF("fid", "k", "v")
+    val delta = Seq((4L, 30L, 2.0), (5L, 10L, 1.0)).toDF("fid", "k", "v")
+    val dim0 = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("k", "seg")
+    // Key 10 changes a→A between generations.
+    val dim1 = Seq((10L, "A"), (20L, "b"), (30L, "c")).toDF("k", "seg")
+    val changed = Seq(Tuple1(10L)).toDF("k")
+    val matview = facts0.join(dim0, "k")
+    val got = Incremental.maintainJoin(matview, delta, dim1, changed, "k", Seq("seg"))
+      .select("fid", "k", "v", "seg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val want = facts0.unionByName(delta).join(dim1, "k")
+      .select("fid", "k", "v", "seg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    assert(got == want)
+    // Untouched keys must survive from the matview (no stale loss), and
+    // every changed-key row must carry the NEW dim value.
+    assert(got.filter(_._2 == 10L).forall(_._4 == "A"))
+  }
+
   test("TextAnalysis.skipGramPairs: exact windowed pairs, gate, no cross-doc pairs") {
     val df = Seq("a b c d", "a b x", "").toDF("text")
     val got = TextAnalysis.skipGramPairs(df, "text", window = 2)
