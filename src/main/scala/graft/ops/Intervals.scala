@@ -47,4 +47,32 @@ object Intervals {
         count(lit(1)).as("n_merged"))
       .drop("_island")
   }
+
+  /** Per-key interval-INTERSECTION join — the temporal/validity join
+    * (price history × promo windows, session × calendar grid): every
+    * overlapping (a, b) interval pair sharing a key, with the
+    * intersection span appended as (o_start, o_end). Half-open
+    * [start, end) semantics: touching intervals (a_end == b_start) do
+    * NOT match; represent closed intervals by passing end+1.
+    *
+    * Scale shape: an equi-join on the key with the overlap predicate in
+    * the join condition — Catalyst plans a hash join on the key, so
+    * work is Σ_key |a_k|·|b_k| within keys only, never a global range
+    * cross product; AQE handles key skew. The four bound columns must
+    * be distinctly named across the two sides. */
+  def intersectJoin(
+      a: DataFrame,
+      b: DataFrame,
+      keyCols: Seq[String],
+      aStart: String, aEnd: String,
+      bStart: String, bEnd: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val bounds = Seq(aStart, aEnd, bStart, bEnd)
+    require(bounds.distinct.size == 4,
+      s"interval bound columns must be distinctly named, got $bounds")
+    a.join(b, keyCols)
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .withColumn("o_start", greatest(col(aStart), col(bStart)))
+      .withColumn("o_end", least(col(aEnd), col(bEnd)))
+  }
 }

@@ -74,6 +74,14 @@ object Multimodal {
       // Spec bounds: dims are 31-bit positive (§11.2.2); 0 is invalid.
       if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
         Some(("png", w.toInt, h.toInt)) else None
+    } else if (bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') {
+      // GIF (CompuServe GIF89a spec §17-18): 6-byte version signature,
+      // then the logical screen descriptor with LITTLE-endian u16
+      // width and height at offsets 6 and 8.
+      val w = le16(bytes, 6); val h = le16(bytes, 8)
+      if (w > 0 && h > 0) Some(("gif", w, h)) else None
     } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
       var i = 2
       while (i + 3 < bytes.length) {
@@ -172,6 +180,34 @@ object Multimodal {
     u8(1); u8(1); u8(0x11); u8(0) // 1 component: id, 1x1 sampling, qtable
     u16(0xffd9) // EOI
     b.result()
+  }
+
+  /** A real GIF stream from the JDK's own ImageIO GIF encoder — unlike
+    * [[pngBytes]]/[[jpegBytes]] the bytes here are an INDEPENDENT
+    * encoder's output, so the header walk is exercised against foreign
+    * framing (color tables, extension blocks) our code never wrote. */
+  private[ops] def gifBytes(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", out)
+    out.toByteArray
+  }
+
+  /** Deterministic GIF corpus over an id column (dims arithmetic in the
+    * id; bytes from the JDK encoder, parsed back per partition). */
+  def syntheticGifs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions {
+        _.map { id =>
+          (id, gifBytes((id % 64L).toInt + 1, (id % 48L).toInt + 1))
+        }
+      }
+      .toDF("doc_id", "payload")
   }
 
   /** Deterministic image corpus over an id column: even ids carry a PNG,

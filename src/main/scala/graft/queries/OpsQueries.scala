@@ -401,6 +401,26 @@ object OpsQueries {
     TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "text", "doc_id")
       .orderBy("doc_id")
 
+  /** #37m token Zipf rank-frequency fit: least squares over
+    * (ln rank, ln freq) of the corpus vocabulary — the text sibling of
+    * the value-domain power-law screen (`corpus_powerlaw`); slope ≈ −1
+    * is Zipfian health, a flat slope flags boilerplate/synthetic text.
+    * Ranking is total-ordered by (freq desc, token); the rank window
+    * runs over the VOCABULARY (≪ corpus), never the token stream. */
+  def corpusZipf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rk", row_number().over(Window.orderBy(desc("n"), col("t"))))
+      .agg(count(lit(1)).as("n_types"),
+        round(regr_slope(log(col("n")), log(col("rk"))), 6).as("slope"),
+        round(regr_intercept(log(col("n")), log(col("rk"))), 6).as("intercept"),
+        round(regr_r2(log(col("n")), log(col("rk"))), 6).as("r2"))
+  }
+
   /** #47g incremental JOIN-view maintenance
     * ([[graft.ops.Incremental.maintainJoin]]): a materialized
     * orders⋈customer view kept current under appended orders (every
@@ -2874,6 +2894,7 @@ object OpsQueries {
     "text_skipgram"     -> (textSkipgram _),
     "cm_sketch"         -> (cmSketchTokens _),
     "join_incremental"  -> (joinIncremental _),
+    "corpus_zipf"       -> (corpusZipf _),
     "text_charset"      -> (textCharset _),
     "funnel_ttc"        -> (funnelTtc _),
     "skew_profile"      -> (skewProfileUsers _),
@@ -4845,6 +4866,19 @@ object OpsQueries {
         |FROM w JOIN qw USING (term) JOIN norms USING (doc_id), qn
         |GROUP BY w.doc_id, norms.norm, qn.qnorm
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "corpus_zipf" ->
+      """WITH c AS (
+        |  SELECT tok, count(*) AS n FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |    FROM documents) GROUP BY 1
+        |), r AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM c
+        |)
+        |SELECT count(*) AS n_types,
+        |  round(regr_slope(ln(n), ln(rk)), 6) AS slope,
+        |  round(regr_intercept(ln(n), ln(rk)), 6) AS intercept,
+        |  round(regr_r2(ln(n), ln(rk)), 6) AS r2
+        |FROM r""".stripMargin,
     // Direct join against the patched dim — the maintenance path
     // (anti-join survivors + repaired/new facts) must agree exactly.
     "join_incremental" ->

@@ -71,6 +71,42 @@ object StreamMmQueries {
       .toDF()
       .orderBy("doc_id")
 
+  /** #30d GIF binary columns: payloads written by the JDK's OWN GIF
+    * encoder, header-parsed back by [[Multimodal.decodeImageHeader]]'s
+    * logical-screen-descriptor walk — the parse target is a foreign
+    * encoder's framing. n_bytes is encoder-dependent, so the oracle
+    * checks the spec-derived fields (format + little-endian dims). */
+  def multimodalGif(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractImageMeta(
+        Multimodal.syntheticGifs(Tables.documents(s, dir), "doc_id"))
+      .toDF()
+      .select("doc_id", "format", "width", "height")
+      .orderBy("doc_id")
+
+  /** #5f' per-key interval-intersection join
+    * ([[graft.ops.Intervals.intersectJoin]]): gap sessions clipped to
+    * the per-user calendar-day grid — the temporal/validity join that
+    * splits a session's span across the days it touches. Sessions are
+    * closed intervals, so the half-open join sees end+1; day windows
+    * are the [day, day+24h) grid of the user's active days. */
+  def intervalIntersect(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val sess = Sessionize.sessions(ev, "user_id", "ts", 30L * 60 * 1000000, "event_id")
+      .select(col("user_id"), col("session_idx"),
+        col("session_start_us").as("s_start"),
+        (col("session_end_us") + 1).as("s_end"))
+    val days = ev
+      .select(col("user_id"),
+        expr("(unix_micros(ts) div 86400000000) * 86400000000").as("d_start"))
+      .distinct()
+      .withColumn("d_end", col("d_start") + lit(86400000000L))
+    graft.ops.Intervals
+      .intersectJoin(sess, days, Seq("user_id"), "s_start", "s_end", "d_start", "d_end")
+      .select(col("user_id"), col("session_idx"), col("d_start").as("day_us"),
+        col("o_start"), col("o_end"), (col("o_end") - col("o_start")).as("dur_us"))
+      .orderBy("user_id", "session_idx", "day_us")
+  }
+
   /** Gap sessionization (batch half; the incremental
     * `flatMapGroupsWithState` half is asserted equivalent in
     * `SourcesStreamingSpec`): 30-minute inactivity gap per user. */
@@ -280,6 +316,8 @@ object StreamMmQueries {
     "stream_window_agg"   -> (streamWindowAgg _),
     "stream_cm_sketch"    -> (streamCmSketch _),
     "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_gif"      -> (multimodalGif _),
+    "interval_intersect"  -> (intervalIntersect _),
     "multimodal_audio"    -> (multimodalAudio _),
     "multimodal_video"    -> (multimodalVideo _),
     "sessionize"          -> (sessionize _),
@@ -540,6 +578,41 @@ object StreamMmQueries {
         |)
         |SELECT len, gram, n, rk FROM ranked WHERE rk <= 10
         |ORDER BY len, rk""".stripMargin,
+    "multimodal_gif" ->
+      """SELECT doc_id, 'gif' AS format,
+        |  (doc_id % 64) + 1 AS width, (doc_id % 48) + 1 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same session CTE as `sessionize`, intersected with the per-user
+    // active-day grid; sessions are closed intervals → end+1 half-open.
+    "interval_intersect" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN tsu - lag(tsu) OVER w > 1800000000
+        |    OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), s AS (
+        |  SELECT *, (sum(news) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        |  FROM f
+        |), sess AS (
+        |  SELECT user_id, session_idx,
+        |    min(tsu) AS s_start, max(tsu) + 1 AS s_end
+        |  FROM s GROUP BY 1, 2
+        |), days AS (
+        |  SELECT DISTINCT user_id,
+        |    (tsu // 86400000000) * 86400000000 AS d_start
+        |  FROM e
+        |)
+        |SELECT sess.user_id, sess.session_idx, days.d_start AS day_us,
+        |  greatest(sess.s_start, days.d_start) AS o_start,
+        |  least(sess.s_end, days.d_start + 86400000000) AS o_end,
+        |  least(sess.s_end, days.d_start + 86400000000)
+        |    - greatest(sess.s_start, days.d_start) AS dur_us
+        |FROM sess JOIN days ON sess.user_id = days.user_id
+        |WHERE sess.s_start < days.d_start + 86400000000
+        |  AND days.d_start < sess.s_end
+        |ORDER BY sess.user_id, session_idx, day_us""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events

@@ -29,6 +29,17 @@ class MultimodalSpec extends SparkSpec {
       .contains(("jpeg", 129, 300)))
   }
 
+  test("decodeImageHeader reads GIF logical screen descriptors, rejects bad versions") {
+    assert(Multimodal.decodeImageHeader(imageIoBytes("gif", 37, 23))
+      .contains(("gif", 37, 23)))
+    assert(Multimodal.decodeImageHeader(Multimodal.gifBytes(640, 1))
+      .contains(("gif", 640, 1)))
+    // An unknown version tag ("GIF90a") must not parse as GIF.
+    val bad = Multimodal.gifBytes(5, 5)
+    bad(4) = '0'.toByte
+    assert(Multimodal.decodeImageHeader(bad).isEmpty)
+  }
+
   test("decodeImageHeader round-trips the minimal generator streams") {
     assert(Multimodal.decodeImageHeader(Multimodal.pngBytes(512, 384))
       .contains(("png", 512, 384)))
