@@ -59,6 +59,10 @@ package object functions {
     * ([[graft.functions.DeflateRatio]]). */
   def deflate_ratio(s: Column): Column = call_function("deflate_ratio", s)
 
+  /** Jaro-Winkler similarity of two string columns
+    * ([[graft.functions.JaroWinklerSim]]). */
+  def jaro_winkler(a: Column, b: Column): Column = call_function("jaro_winkler", a, b)
+
   /** Register graft's expressions with a session's function registry
     * (idempotent); enables both the Column helpers above and SQL-text use. */
   def register(spark: SparkSession): Unit = {
@@ -96,6 +100,13 @@ package object functions {
       (children: Seq[Expression]) => {
         if (children.length != 1) wrongArgs("nfc_normalize", 1, children.length)
         NfcNormalize(children.head)
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) wrongArgs("jaro_winkler", 2, children.length)
+        JaroWinklerSim(children(0), children(1))
       })
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bloom_might_contain"),
