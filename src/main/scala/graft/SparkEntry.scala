@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.CmfQueries.queries ++
       graft.queries.DedupSimQueries.queries ++
       graft.queries.StreamMmQueries.queries ++
-      graft.queries.SourceQueries.queries
+      graft.queries.SourceQueries.queries ++
+      graft.queries.StatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.CmfQueries.oracles ++
       graft.queries.DedupSimQueries.oracles ++
       graft.queries.StreamMmQueries.oracles ++
-      graft.queries.SourceQueries.oracles
+      graft.queries.SourceQueries.oracles ++
+      graft.queries.StatQueries.oracles
 }

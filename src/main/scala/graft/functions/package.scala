@@ -63,6 +63,11 @@ package object functions {
     * ([[graft.functions.JaroWinklerSim]]). */
   def jaro_winkler(a: Column, b: Column): Column = call_function("jaro_winkler", a, b)
 
+  /** True Damerau-Levenshtein edit distance of two string columns
+    * ([[graft.functions.DamerauLevenshtein]]). */
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    call_function("damerau_levenshtein", a, b)
+
   /** Register graft's expressions with a session's function registry
     * (idempotent); enables both the Column helpers above and SQL-text use. */
   def register(spark: SparkSession): Unit = {
@@ -107,6 +112,13 @@ package object functions {
       (children: Seq[Expression]) => {
         if (children.length != 2) wrongArgs("jaro_winkler", 2, children.length)
         JaroWinklerSim(children(0), children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) wrongArgs("damerau_levenshtein", 2, children.length)
+        DamerauLevenshtein(children(0), children(1))
       })
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bloom_might_contain"),

@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
 object Integrity {
 
   /** 60-bit row hash of the canonicalized columns (15 hex chars of
-    * md5 — stays inside a signed 64-bit value on every engine). */
-  private def rowHash(cols: Seq[String], nullAs: String): Column =
+    * md5 — stays inside a signed 64-bit value on every engine). Public:
+    * the streaming incremental fingerprint keeps per-bucket state with
+    * the SAME row hash, so batch and stream digests are comparable. */
+  def rowHash(cols: Seq[String], nullAs: String = "\\N"): Column =
     conv(substring(md5(concat_ws("|",
       cols.map(c => coalesce(col(c).cast("string"), lit(nullAs))): _*)),
       1, 15), 16, 10).cast("long")
@@ -47,5 +49,34 @@ object Integrity {
     df.withColumn("__graft_h", rowHash(cols, nullAs))
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__graft_h)").as("checksum"))
+  }
+
+  /** Two-level Merkle fingerprint: rows hash into `nBuckets` leaves by
+    * the md5 of their key (stable under repartitioning — the bucket is
+    * data-derived, never layout-derived), each leaf folds to
+    * (n_rows, checksum), and the root folds the re-hashed leaf digests.
+    * Replication protocol: compare roots first (one row); on mismatch
+    * compare the `nBuckets` leaves and re-sync only the buckets that
+    * differ — 1/nBuckets of the table instead of all of it. Long form:
+    * level 1 = leaves, level 0 = the root (bucket −1). */
+  def merkleChecksum(df: DataFrame, keyCol: String, cols: Seq[String],
+      nBuckets: Int = 16, nullAs: String = "\\N"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val bucketed = df.withColumn("__graft_b",
+      pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(nBuckets.toLong)))
+    val leaves = groupChecksum(bucketed, Seq("__graft_b"), cols, nullAs)
+      .withColumnRenamed("__graft_b", "bucket")
+    val root = leaves
+      .select(col("n_rows"),
+        conv(substring(md5(concat_ws(":",
+          col("bucket"), col("n_rows"), col("checksum"))), 1, 15), 16, 10)
+          .cast("long").as("__graft_leaf"))
+      .agg(sum("n_rows").as("n_rows"), expr("bit_xor(__graft_leaf)").as("checksum"))
+      .select(lit(0).as("level"), lit(-1L).as("bucket"),
+        col("n_rows"), col("checksum"))
+    leaves
+      .select(lit(1).as("level"), col("bucket"), col("n_rows"), col("checksum"))
+      .unionAll(root)
   }
 }

@@ -575,4 +575,133 @@ object Multimodal {
         lit(w.toLong).as("width"),
         lit(h.toLong).as("height")))
   }
+
+  /** Decoded TIFF IFD0 fields: `byte_order` is "II" (little-endian) or
+    * "MM" (big-endian); dims/orientation null when the tag is absent. */
+  case class TiffMeta(
+      doc_id: Long,
+      byte_order: String,
+      width: Option[Long],
+      height: Option[Long],
+      orientation: Option[Long],
+      n_bytes: Long)
+
+  /** Parse a TIFF header + IFD0 from the public TIFF 6.0 spec (Adobe
+    * 1992, §2): 2-byte order mark ("II" little / "MM" big endian),
+    * magic 42 in that order, u32 offset to IFD0; the IFD is a u16
+    * entry count then 12-byte entries (tag u16, type u16, count u32,
+    * value-or-offset u32). SHORT(3)/LONG(4) values with count 1 are
+    * inlined LEFT-JUSTIFIED in the 4-byte value field (§2: "the value
+    * is ... left-justified"), so a SHORT reads as the first two bytes
+    * in the file's byte order. Extracts ImageWidth (256), ImageLength
+    * (257), Orientation (274) — an O(entries) directory walk that
+    * never touches strip data, unlike the fixed-offset PNG/GIF parses
+    * this is the tag-directory shape EXIF and DNG share. */
+  def decodeTiffMeta(bytes: Array[Byte]): Option[(String, Option[Long], Option[Long], Option[Long])] = {
+    if (bytes.length < 8) return None
+    val little =
+      if (bytes(0) == 'I' && bytes(1) == 'I') true
+      else if (bytes(0) == 'M' && bytes(1) == 'M') false
+      else return None
+    def u16(i: Int): Int =
+      if (i + 1 >= bytes.length) -1
+      else if (little) le16(bytes, i) else be16(bytes, i)
+    def u32(i: Int): Long =
+      if (i + 3 >= bytes.length) -1L
+      else if (little) le32(bytes, i) else be32(bytes, i)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    val n = u16(ifd.toInt)
+    if (n < 0) return None
+    var width, height, orient: Option[Long] = None
+    var e = 0
+    while (e < n) {
+      val off = ifd.toInt + 2 + e * 12
+      if (off + 12 > bytes.length) return None
+      val tag = u16(off)
+      val tpe = u16(off + 2)
+      val cnt = u32(off + 4)
+      if (cnt == 1L) {
+        // Inline value: SHORT left-justified 2 bytes, LONG all 4.
+        val v: Long =
+          if (tpe == 3) u16(off + 8).toLong
+          else if (tpe == 4) u32(off + 8)
+          else -1L
+        if (v >= 0) tag match {
+          case 256 => width = Some(v)
+          case 257 => height = Some(v)
+          case 274 => orient = Some(v)
+          case _ =>
+        }
+      }
+      e += 1
+    }
+    Some((if (little) "II" else "MM", width, height, orient))
+  }
+
+  /** A minimal spec-conformant TIFF: header + one IFD0 with
+    * ImageWidth (LONG), ImageLength (LONG), Orientation (SHORT) in
+    * ascending tag order (spec §2 requires sorted entries), in either
+    * byte order. No strip data — a pure directory skeleton, which is
+    * exactly what the O(header) parse may read. */
+  private[ops] def tiffBytes(w: Int, h: Int, orientation: Int, little: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && orientation >= 1 && orientation <= 8)
+    val out = new java.io.ByteArrayOutputStream(8 + 2 + 3 * 12 + 4)
+    def u16(v: Int): Unit =
+      if (little) { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+      else { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def u32(v: Long): Unit =
+      if (little) { out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+        out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt) }
+      else { out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+        out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt) }
+    out.write(if (little) 'I' else 'M'); out.write(if (little) 'I' else 'M')
+    u16(42)
+    u32(8L) // IFD0 immediately after the header
+    u16(3)  // three entries
+    // tag, type, count, value (LONG inline / SHORT left-justified)
+    u16(256); u16(4); u32(1L); u32(w.toLong)
+    u16(257); u16(4); u32(1L); u32(h.toLong)
+    u16(274); u16(3); u32(1L); u16(orientation); u16(0)
+    u32(0L) // no next IFD
+    out.toByteArray
+  }
+
+  /** Deterministic TIFF corpus over an id column: dims/orientation are
+    * id arithmetic, byte order alternates II/MM by id parity so both
+    * endian walks are exercised on every run. */
+  def syntheticTiffs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions {
+        _.map { id =>
+          val w = (id % 512L).toInt + 1
+          val h = (id % 384L).toInt + 1
+          val o = (id % 8L).toInt + 1
+          (id, tiffBytes(w, h, o, little = id % 2L == 0L))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-partition TIFF decode over (id, payload) rows — same
+    * corrupt-tolerant contract as [[extractImageMeta]]. */
+  def extractTiffMeta(withPayloadDf: DataFrame): Dataset[TiffMeta] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions {
+        _.map { case (id, bytes) =>
+          decodeTiffMeta(bytes) match {
+            case Some((bo, w, h, o)) => TiffMeta(id, bo, w, h, o, bytes.length.toLong)
+            case None => TiffMeta(id, "unknown", None, None, None, bytes.length.toLong)
+          }
+        }
+      }
+  }
 }

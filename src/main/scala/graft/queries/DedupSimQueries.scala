@@ -778,8 +778,39 @@ object DedupSimQueries {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  /** #19u' true Damerau-Levenshtein ER scoring over the same
+    * sorted-neighborhood blocks as `er_jaro`: the native codegen'd
+    * [[graft.functions.DamerauLevenshtein]] (Lowrance-Wagner,
+    * unrestricted transpositions) against DuckDB's INDEPENDENT
+    * `damerau_levenshtein` — integer distances must agree exactly on
+    * every blocked pair. */
+  def erDamerau(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.register(s)
+    val keyed = withMutations(s, dir)
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, 30)
+          .as("skey"))
+    val w = Window.partitionBy(substring(col("skey"), 1, 2))
+      .orderBy(col("skey"), col("doc_id"))
+    val o = keyed.select(col("doc_id"), col("skey"),
+      lead(col("doc_id"), 1).over(w).as("n1"), lead(col("skey"), 1).over(w).as("k1"),
+      lead(col("doc_id"), 2).over(w).as("n2"), lead(col("skey"), 2).over(w).as("k2"))
+    val scored = (1 to 2).map { k =>
+      o.filter(col(s"n$k").isNotNull)
+        .select(
+          least(col("doc_id"), col(s"n$k")).as("doc_id_a"),
+          greatest(col("doc_id"), col(s"n$k")).as("doc_id_b"),
+          graft.functions.damerau_levenshtein(col("skey"), col(s"k$k")).as("dl"))
+    }.reduce(_ unionAll _)
+    scored.distinct()
+      .filter(col("dl") <= 8)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_jaro"             -> (erJaro _),
+    "er_damerau"          -> (erDamerau _),
     "vec_mean_pool"       -> (vecMeanPool _),
     "label_inertia"       -> (labelInertia _),
     "kmeans_embed"        -> (kmeansEmbed _),
@@ -920,6 +951,34 @@ object DedupSimQueries {
         |)
         |SELECT DISTINCT doc_id_a, doc_id_b, jw FROM p
         |WHERE jw >= 0.85 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // DuckDB's own damerau_levenshtein (true/unrestricted variant) —
+    // exact integer agreement on every blocked pair.
+    "er_damerau" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 40, 1))
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 30) AS skey
+        |  FROM corpus
+        |), o AS (
+        |  SELECT doc_id, skey,
+        |    lead(doc_id, 1) OVER w AS n1, lead(skey, 1) OVER w AS k1,
+        |    lead(doc_id, 2) OVER w AS n2, lead(skey, 2) OVER w AS k2
+        |  FROM keyed WINDOW w AS (PARTITION BY substr(skey, 1, 2) ORDER BY skey, doc_id)
+        |), p AS (
+        |  SELECT least(doc_id, n1) AS doc_id_a, greatest(doc_id, n1) AS doc_id_b,
+        |    damerau_levenshtein(skey, k1)::INT AS dl
+        |  FROM o WHERE n1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT least(doc_id, n2), greatest(doc_id, n2),
+        |    damerau_levenshtein(skey, k2)::INT
+        |  FROM o WHERE n2 IS NOT NULL
+        |)
+        |SELECT DISTINCT doc_id_a, doc_id_b, dl FROM p
+        |WHERE dl <= 8 ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "kmeans_embed" -> kmeansOracleSql,
     "kmeans_silhouette" -> kmeansSilhouetteSql,
     // The pair truth re-derives in SQL (nested WITH subquery); each

@@ -64,13 +64,127 @@ object EvalQueries {
       "u", "i", "score")
   }
 
+  /** Events split at the time midpoint: side 0 trains the simple
+    * predictors below, side 1 scores them — the same chronological
+    * discipline the drift screens use. */
+  private def timeSided(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+    ev.crossJoin(broadcast(mid))
+      .withColumn("side", when(col("ts_us") <= col("mid"), 0).otherwise(1))
+  }
+
+  /** #15b calibration audit (reliability diagram): a per-(type, hour)
+    * mean-value predictor fit on the first time half is scored on the
+    * second; test rows bin into prediction deciles (ntile over the
+    * deterministic (prediction, event_id) order) and each bin reports
+    * mean predicted vs mean observed — the gap IS the miscalibration.
+    * Unseen (type, hour) cells fall back to the global train mean, so
+    * every test row is scored. */
+  def evalCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sided = timeSided(s, dir)
+      .withColumn("hod", expr("(ts_us % 86400000000) div 3600000000"))
+    val train = sided.filter(col("side") === 0)
+    val cellMean = train.groupBy("event_type", "hod")
+      .agg(avg("value").as("cell_pred"))
+    val globalMean = train.agg(avg("value").as("global_pred"))
+    val scored = sided.filter(col("side") === 1)
+      .join(cellMean, Seq("event_type", "hod"), "left")
+      .crossJoin(broadcast(globalMean))
+      .withColumn("prediction", coalesce(col("cell_pred"), col("global_pred")))
+    scored
+      .withColumn("bin",
+        ntile(10).over(Window.orderBy(col("prediction"), col("event_id")))
+          .cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg("prediction"), 6).as("mean_pred"),
+        round(avg("value"), 6).as("mean_actual"))
+      .orderBy("bin")
+  }
+
+  /** #15c Brier score + log-loss for a binary outcome (event is a
+    * purchase): a per-user purchase-rate predictor fit on the first
+    * time half scores the second (global train rate for unseen users).
+    * Probabilities clamp to [1e-6, 1−1e-6] before the log — the
+    * standard guard, pinned identically in the oracle. */
+  def evalBrier(s: SparkSession, dir: String): DataFrame = {
+    val sided = timeSided(s, dir)
+      .withColumn("y", when(col("event_type") === "purchase", 1.0).otherwise(0.0))
+    val train = sided.filter(col("side") === 0)
+    val userRate = train.groupBy("user_id").agg(avg("y").as("user_p"))
+    val globalRate = train.agg(avg("y").as("global_p"))
+    val scored = sided.filter(col("side") === 1)
+      .join(userRate, Seq("user_id"), "left")
+      .crossJoin(broadcast(globalRate))
+      .withColumn("p", coalesce(col("user_p"), col("global_p")))
+      .withColumn("pc", least(greatest(col("p"), lit(1e-6)), lit(1.0 - 1e-6)))
+    scored.agg(
+      count(lit(1)).as("n_test"),
+      round(avg("y"), 6).as("base_rate"),
+      round(avg((col("p") - col("y")) * (col("p") - col("y"))), 6).as("brier"),
+      round(avg(-(col("y") * log(col("pc"))
+        + (lit(1.0) - col("y")) * log(lit(1.0) - col("pc")))), 6).as("logloss"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "eval_regression" -> (evalRegression _),
-    "eval_ranking"    -> (evalRanking _),
-    "eval_auc"        -> (evalAuc _),
+    "eval_regression"  -> (evalRegression _),
+    "eval_ranking"     -> (evalRanking _),
+    "eval_auc"         -> (evalAuc _),
+    "eval_calibration" -> (evalCalibration _),
+    "eval_brier"       -> (evalBrier _),
   )
 
   val oracles: Map[String, String] = Map(
+    "eval_calibration" ->
+      """WITH sided AS (
+        |  SELECT *, epoch_us(ts) AS ts_us,
+        |    (epoch_us(ts) % 86400000000) // 3600000000 AS hod,
+        |    CASE WHEN epoch_us(ts) <=
+        |      (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events)
+        |      THEN 0 ELSE 1 END AS side
+        |  FROM events
+        |), cell AS (
+        |  SELECT event_type, hod, avg(value) AS cell_pred
+        |  FROM sided WHERE side = 0 GROUP BY 1, 2
+        |), gm AS (SELECT avg(value) AS global_pred FROM sided WHERE side = 0),
+        |scored AS (
+        |  SELECT s.value, s.event_id,
+        |    coalesce(cell_pred, global_pred) AS prediction
+        |  FROM sided s
+        |  LEFT JOIN cell ON cell.event_type = s.event_type AND cell.hod = s.hod
+        |  CROSS JOIN gm
+        |  WHERE s.side = 1
+        |), binned AS (
+        |  SELECT value, prediction,
+        |    ntile(10) OVER (ORDER BY prediction, event_id)::BIGINT AS bin
+        |  FROM scored
+        |)
+        |SELECT bin, count(*) AS n, round(avg(prediction), 6) AS mean_pred,
+        |  round(avg(value), 6) AS mean_actual
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+    "eval_brier" ->
+      """WITH sided AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+        |    CASE WHEN epoch_us(ts) <=
+        |      (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events)
+        |      THEN 0 ELSE 1 END AS side
+        |  FROM events
+        |), ur AS (
+        |  SELECT user_id, avg(y) AS user_p FROM sided WHERE side = 0 GROUP BY 1
+        |), gr AS (SELECT avg(y) AS global_p FROM sided WHERE side = 0),
+        |scored AS (
+        |  SELECT y, coalesce(user_p, global_p) AS p,
+        |    least(greatest(coalesce(user_p, global_p), 1e-6), 1.0 - 1e-6) AS pc
+        |  FROM sided LEFT JOIN ur USING (user_id) CROSS JOIN gr
+        |  WHERE side = 1
+        |)
+        |SELECT count(*) AS n_test, round(avg(y), 6) AS base_rate,
+        |  round(avg((p - y) * (p - y)), 6) AS brier,
+        |  round(avg(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))), 6) AS logloss
+        |FROM scored""".stripMargin,
     // AUC: rank sums and pair counts are exact (midranks are halves,
     // exact in binary), so the per-user values mirror exactly.
     "eval_auc" ->

@@ -465,6 +465,75 @@ object Relational {
         round(sum("cents") / lit(100.0) / lit(7.0), 2).as("avg_yearly"))
   }
 
+  /** #6e TPC-H Q14 shape — promo revenue share per ship month: a
+    * fact⋈broadcast-dim join feeding one conditional aggregate. The
+    * share ships as integer basis points (`promo·10000 div total`),
+    * so the ratio is exact integer arithmetic on both engines instead
+    * of a float division that could round differently at the edge. */
+  def q22Promo(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0).cast("long"))
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("cents")).otherwise(lit(0L))).as("pc"),
+        sum("cents").as("tc"))
+      .select(col("month"),
+        round(col("pc") / lit(100.0), 2).as("promo_revenue"),
+        round(col("tc") / lit(100.0), 2).as("total_revenue"),
+        expr("pc * 10000 div tc").as("promo_bp"))
+      .orderBy("month")
+
+  /** #6f TPC-H Q19 shape — disjunctive multi-band join predicate:
+    * three OR'd conjunctive blocks over (brand, size, quantity). The
+    * planner must keep the equi-join key (`l_partkey = p_partkey`)
+    * out of the disjunction so the join stays a broadcast hash join
+    * with the OR-of-bands as a residual filter — not a nested-loop
+    * over the cross space. */
+  def q23Disjunct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30))))
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0).cast("long"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum("cents") / lit(100.0), 2).as("revenue"))
+      .orderBy("p_brand")
+
+  /** #6g TPC-H Q22 shape — wealthy dormant customers: acctbal above
+    * the positive-balance average AND no orders since 2000-01-01,
+    * tallied per nation. The average test runs as exact integers
+    * (`c_cents·n > sum_cents`) so no float boundary can flip a row,
+    * and the dormancy arm is a left-anti join against the date-filtered
+    * orders (never a fan-out + distinct — and the date filter pushes
+    * into the orders scan before the anti-join shuffles anything).
+    * The one-row positive-balance aggregate broadcasts. */
+  def q24Dormant(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .withColumn("c_cents", round(col("c_acctbal") * 100, 0).cast("long"))
+    val posAvg = cust.filter(col("c_cents") > 0)
+      .agg(sum("c_cents").as("sum_cents"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    cust.crossJoin(broadcast(posAvg))
+      .filter(col("c_cents") * col("n_pos") > col("sum_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum("c_cents") / lit(100.0), 2).as("total_bal"))
+      .orderBy("n_name")
+  }
+
   /** #7 time-bucketed event aggregation: daily activity by event type. */
   def q7EventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -498,9 +567,53 @@ object Relational {
     "q20_waiting"      -> (q20Waiting _),
     "q19_scalar_sub"   -> (q19ScalarSub _),
     "q21_volume"       -> (q21Volume _),
+    "q22_promo"        -> (q22Promo _),
+    "q23_disjunct"     -> (q23Disjunct _),
+    "q24_dormant"      -> (q24Dormant _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q22_promo" ->
+      """SELECT date_trunc('month', l_shipdate)::DATE AS month,
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT
+        |    ELSE 0 END) / 100.0, 2) AS promo_revenue,
+        |  round(sum(round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT)
+        |    / 100.0, 2) AS total_revenue,
+        |  (sum(CASE WHEN p_type = 'PROMO'
+        |    THEN round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT
+        |    ELSE 0 END) * 10000
+        |    // sum(round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT)
+        |    )::BIGINT AS promo_bp
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_disjunct" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |  round(sum(round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT)
+        |    / 100.0, 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+        |        AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q24_dormant" ->
+      """WITH c AS (
+        |  SELECT *, round(c_acctbal * 100, 0)::BIGINT AS c_cents FROM customer
+        |), pos AS (
+        |  SELECT sum(c_cents) AS sum_cents, count(*) AS n_pos
+        |  FROM c WHERE c_cents > 0
+        |)
+        |SELECT n_name, count(*) AS n_custs,
+        |  round(sum(c_cents) / 100.0, 2) AS total_bal
+        |FROM c CROSS JOIN pos
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_cents * n_pos > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q21_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year, count(*) AS n_items,

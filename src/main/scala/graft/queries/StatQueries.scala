@@ -1,0 +1,588 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical-screen and layout-audit operators: rank tests, divergence
+  * matrices, zone-map pruning simulation, and fixed-iteration graph
+  * peeling. All are exact-arithmetic or pinned-expression queries with
+  * DuckDB oracles.
+  */
+object StatQueries {
+
+  /** #37m pairwise Jensen-Shannon divergence between the sources'
+    * token distributions — the symmetric, bounded [0, ln 2] divergence
+    * matrix behind "which corpora are interchangeable" mixing
+    * decisions (KL, which `lang_entropy` uses, is neither). Zero-count
+    * tokens contribute zero by the p·ln(p/m) convention, so no
+    * smoothing constant enters. The pair grid is built by two
+    * broadcast joins against the (tiny) source-pair list — never a
+    * full-outer self-join of the token table. */
+  def sourceJsd(s: SparkSession, dir: String): DataFrame = {
+    val lt = Tables.documents(s, dir)
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val n = lt.groupBy("source").agg(sum("c").as("n"))
+    val st = lt.join(n, "source")
+      .select(col("source"), col("tok"), (col("c") / col("n")).as("p"))
+    val srcs = n.select("source")
+    val pairs = srcs.as("x").join(srcs.as("y"),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+    val left = st.join(broadcast(pairs), col("source") === col("source_a"))
+      .select(col("source_a"), col("source_b"), col("tok"),
+        col("p").as("pp"), lit(0.0).as("qq"))
+    val right = st.join(broadcast(pairs), col("source") === col("source_b"))
+      .select(col("source_a"), col("source_b"), col("tok"),
+        lit(0.0).as("pp"), col("p").as("qq"))
+    left.unionAll(right)
+      .groupBy("source_a", "source_b", "tok")
+      .agg(sum("pp").as("p"), sum("qq").as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("term",
+        when(col("p") > 0, col("p") * log(col("p") / col("m"))).otherwise(0.0) * 0.5 +
+        when(col("q") > 0, col("q") * log(col("q") / col("m"))).otherwise(0.0) * 0.5)
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_union_toks"), round(sum("term"), 6).as("jsd"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** #46c zone-map pruning audit — simulates parquet row-group
+    * min/max skipping over the events table laid out in event_id
+    * (insertion) order, split into 64 equal-id-range "files". For each
+    * pinned predicate: how many files the zone maps let the scanner
+    * skip, how many rows a pruned scan still reads, and how many rows
+    * actually match — the read-amplification number that decides
+    * whether a sort/Z-order rewrite (`zorder_cells`) pays for itself
+    * at 100 TB. All bucket stats are one aggregate; the audit joins
+    * 64-row summaries, never rescanning the fact table per predicate. */
+  def zonemapPrune(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val bounds = ev.agg(max("event_id").as("mx_id"),
+      min("ts_us").as("g_mn"), max("ts_us").as("g_mx"))
+    val rows = ev.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("event_id * 64 div (mx_id + 1)"))
+    val z = rows.groupBy("bucket").agg(
+      count(lit(1)).as("n_rows"),
+      min("value").as("mn_v"), max("value").as("mx_v"),
+      min("ts_us").as("mn_t"),
+      max("g_mn").as("b_mn"), max("g_mx").as("b_mx"),
+      sum(when(col("value") >= 95.0, 1L).otherwise(0L)).as("m_v95"),
+      sum(when(col("value").between(40.0, 41.0), 1L).otherwise(0L)).as("m_v4041"),
+      sum(when(col("ts_us") <= col("g_mn") + expr("(g_mx - g_mn) div 20"), 1L)
+        .otherwise(0L)).as("m_early"))
+    val preds = Seq(
+      ("value_ge_95", col("mx_v") >= 95.0, col("m_v95")),
+      ("value_40_to_41", col("mx_v") >= 40.0 && col("mn_v") <= 41.0, col("m_v4041")),
+      ("ts_first_5pct",
+        col("mn_t") <= col("b_mn") + expr("(b_mx - b_mn) div 20"), col("m_early")))
+    // All three predicates fold in ONE aggregate over the 64 bucket
+    // summaries (a per-predicate union would rescan the fact table per
+    // branch); the single wide row then unpivots via stack().
+    val wide = z.agg(
+      count(lit(1)).as("n_files"),
+      preds.zipWithIndex.flatMap { case ((_, scan, matched), i) => Seq(
+        sum(when(scan, 1L).otherwise(0L)).as(s"s$i"),
+        sum(when(scan, col("n_rows")).otherwise(0L)).as(s"r$i"),
+        sum(matched).as(s"m$i"))
+      }: _*)
+    val stackArgs = preds.zipWithIndex
+      .map { case ((name, _, _), i) => s"'$name', n_files, s$i, r$i, m$i" }
+      .mkString(", ")
+    wide.select(expr(s"stack(${preds.length}, $stackArgs) " +
+        "as (predicate, n_files, n_scanned, rows_scanned, rows_matching)"))
+      .orderBy("predicate")
+  }
+
+  /** #19v 2-core of the co-purchase graph by fixed-iteration peeling
+    * (4 rounds): repeatedly drop nodes with degree < 2 — the standard
+    * pre-filter that strips dangling chains before community or
+    * centrality passes. Each round is one degree aggregate plus two
+    * semi-joins; no driver-side graph ever materializes, and four
+    * rounds is pinned (not to-fixpoint) so the oracle unrolls to the
+    * same depth. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val p = OpsQueries.coocPairs(s, dir)
+      .select(col("item_a").as("a"), col("item_b").as("b"))
+    var sym = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
+    for (_ <- 1 to 4) {
+      val keep = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select("a")
+      sym = sym
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+    }
+    sym.groupBy(col("a").as("item"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy("item")
+  }
+
+  /** #29o watermark-lateness audit — for each candidate watermark
+    * delay, how many events a streaming job would DROP as late: a row
+    * is late when the running max event time over all earlier arrivals
+    * (arrival order = event_id, the ingest sequence) exceeds its event
+    * time by more than the delay. This is the batch dry-run that
+    * tunes `withWatermark` before a deploy: pick the smallest delay
+    * whose drop rate is acceptable. One global running-max window pass
+    * (arrival order is a total order by definition of the audit),
+    * three delays folded as conditional sums, stack() to long form. */
+  def watermarkAudit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("hwm", max("ts_us").over(w))
+    val delays = Seq(60L, 600L, 3600L)
+    val wide = ev.agg(
+      count(lit(1)).as("n_events"),
+      delays.zipWithIndex.map { case (d, i) =>
+        sum(when(col("hwm") - lit(d * 1000000L) > col("ts_us"), 1L)
+          .otherwise(0L)).as(s"l$i")
+      }: _*)
+    val stackArgs = delays.zipWithIndex
+      .map { case (d, i) => s"${d}L, n_events, l$i" }.mkString(", ")
+    wide.select(expr(s"stack(${delays.length}, $stackArgs) " +
+        "as (delay_s, n_events, n_late)"))
+      .withColumn("late_bp", expr("n_late * 10000 div n_events"))
+      .orderBy("delay_s")
+  }
+
+  /** #31e sessionization gap-sensitivity — n_sessions and mean session
+    * size for candidate inactivity gaps (5 min / 30 min / 2 h), from
+    * ONE per-user lag pass: a session starts where the gap to the
+    * previous event exceeds the threshold (or at the user's first
+    * event). The elbow of this curve picks the gap `sessionize`
+    * should run with, without re-running assignment per candidate. */
+  def sessionSensitivity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
+    val gaps = Seq(300L, 1800L, 7200L)
+    val wide = ev.agg(
+      count(lit(1)).as("n_events"),
+      gaps.zipWithIndex.map { case (g, i) =>
+        sum(when(col("gap").isNull || col("gap") > g * 1000000L, 1L)
+          .otherwise(0L)).as(s"s$i")
+      }: _*)
+    val stackArgs = gaps.zipWithIndex
+      .map { case (g, i) => s"${g}L, n_events, s$i" }.mkString(", ")
+    wide.select(expr(s"stack(${gaps.length}, $stackArgs) " +
+        "as (gap_s, n_events, n_sessions)"))
+      .withColumn("mean_session_events",
+        round(col("n_events") / col("n_sessions").cast("double"), 6))
+      .orderBy("gap_s")
+  }
+
+  /** #37l Benjamini-Hochberg FDR screen over the hourly volume
+    * anomalies — the multiple-testing correction `events_anomaly`'s
+    * raw z>3 rule lacks: with thousands of (type, hour) cells, some
+    * large z are expected by chance. Upper-tail p from the pinned
+    * exp(−0.717z − 0.416z²) approximation (Lin 1989) on the 6dp-rounded
+    * z, p itself rounded to 9dp — both engines agree bit-for-bit on
+    * the rounded values, so the step-up boundary (largest i with
+    * p_i ≤ i·q/m, q = 0.1) cannot flip between them. */
+  def anomalyFdr(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(avg("n").as("mu"), stddev_pop("n").as("sd"))
+    val z = hourly.join(stats, "event_type")
+      .filter(col("sd") > 0)
+      .withColumn("z", round((col("n") - col("mu")) / col("sd"), 6))
+      .withColumn("az", abs(col("z")))
+      .withColumn("p",
+        round(exp(lit(-0.717) * col("az") - lit(0.416) * col("az") * col("az")), 9))
+    val m = z.agg(count(lit(1)).as("m"))
+    val ranked = z.crossJoin(broadcast(m))
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("p"), col("event_type"), col("hour_us"))).cast("long"))
+      .withColumn("hit", col("p") <= col("i") / (lit(10.0) * col("m")))
+    val kmax = ranked.agg(max(when(col("hit"), col("i")).otherwise(0L)).as("kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .filter(col("i") <= col("kmax"))
+      .select(col("event_type"), col("hour_us"), col("n"), col("z"), col("p"), col("i"))
+      .orderBy("i")
+  }
+
+  /** #13g association rules from the co-purchase pairs — directional
+    * confidence on top of `item_cooc`'s symmetric lift:
+    * conf(a→b) = n_ab / n_a over order baskets, both directions
+    * emitted, gated at conf ≥ 0.1 and support ≥ 2 baskets. The
+    * basket-count side is a broadcast join (item margin table is
+    * catalog-sized, not fact-sized). */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val margin = b.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val p = OpsQueries.coocPairs(s, dir)
+      .select(col("item_a"), col("item_b"), col("n_ab"))
+    val both = p.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("n_ab"))
+      .unionAll(p.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("n_ab")))
+    both.join(broadcast(margin.withColumnRenamed("item", "antecedent")), "antecedent")
+      .withColumn("conf", round(col("n_ab") / col("n_item").cast("double"), 6))
+      .filter(col("conf") >= 0.1)
+      .select(col("antecedent"), col("consequent"), col("n_ab"), col("conf"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  /** #53b two-level Merkle fingerprint of the documents table
+    * ([[graft.ops.Integrity.merkleChecksum]]): 16 md5-keyed buckets +
+    * a root — the incremental-sync primitive that localizes a replica
+    * mismatch to 1/16th of a 100 TB table before any row-level diff. */
+  def tableMerkle(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Integrity.merkleChecksum(
+        Tables.documents(s, dir), "doc_id",
+        Seq("doc_id", "text", "lang", "source", "n_chars"), nBuckets = 16)
+      .orderBy("level", "bucket")
+
+  /** #13h frequent 3-itemsets over order baskets (support ≥ 2) — one
+    * more join than `item_cooc`'s pairs, with the canonical
+    * a < b < c ordering deduplicating permutations. The triple space
+    * is bounded by per-basket combinations (baskets are small), not by
+    * the catalog cube. */
+  def basketTriples(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    b.as("x")
+      .join(b.as("y"), col("x.basket") === col("y.basket") &&
+        col("x.item") < col("y.item"))
+      .join(b.as("z"), col("y.basket") === col("z.basket") &&
+        col("y.item") < col("z.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"),
+        col("z.item").as("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy("item_a", "item_b", "item_c")
+  }
+
+  /** #4m hierarchical revenue tree — nation rows with exact
+    * integer-basis-point share-of-region and share-of-total, the
+    * ratio-to-parent OLAP readout over the region→nation hierarchy.
+    * Shares are integral `cents·10000 div parent_cents`, so no float
+    * division can disagree between engines. */
+  def revenueTree(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.lineitem(s, dir)
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum("cents").as("c"))
+    nat.select(col("r_name"), col("n_name"),
+        round(col("c") / lit(100.0), 2).as("revenue"),
+        expr("c * 10000 div sum(c) over (partition by r_name)").as("share_region_bp"),
+        expr("c * 10000 div sum(c) over ()").as("share_total_bp"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** #1k join-cardinality estimator audit — the planner-statistics
+    * sanity check: for each FK edge, the textbook uniform-key estimate
+    * `|A|·|B| / max(d_A, d_B)` against the EXACT join size
+    * `Σ_k cnt_A(k)·cnt_B(k)` (computed from the two key histograms,
+    * never by materializing the join). ratio_bp = est·10000 div actual
+    * stays positive-integer exact; a ratio far from 10000 on an edge
+    * is where a cost-based planner (or a broadcast-threshold choice)
+    * would misfire, and where these histograms should feed hints. */
+  def joinSizeAudit(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, a: DataFrame, ka: String,
+        b: DataFrame, kb: String): DataFrame = {
+      val ca = a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("na"))
+      val cb = b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("nb"))
+      val actual = ca.join(cb, "k").agg(sum(col("na") * col("nb")).as("actual"))
+      val statsA = ca.agg(sum("na").as("n_left"), count(lit(1)).as("d_left"))
+      val statsB = cb.agg(sum("nb").as("n_right"), count(lit(1)).as("d_right"))
+      statsA.crossJoin(statsB).crossJoin(actual)
+        .select(lit(name).as("edge"),
+          col("n_left"), col("n_right"), col("d_left"), col("d_right"),
+          expr("n_left * n_right div greatest(d_left, d_right)").as("est_uniform"),
+          coalesce(col("actual"), lit(0L)).as("actual"))
+        .withColumn("ratio_bp", expr("est_uniform * 10000 div actual"))
+    }
+    Seq(
+      edge("lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      edge("lineitem_part", Tables.lineitem(s, dir), "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      edge("lineitem_supplier", Tables.lineitem(s, dir), "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      edge("orders_customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      .reduce(_ unionAll _)
+      .orderBy("edge")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_size_audit"    -> (joinSizeAudit _),
+    "table_merkle"       -> (tableMerkle _),
+    "basket_triples"     -> (basketTriples _),
+    "revenue_tree"       -> (revenueTree _),
+    "watermark_audit"    -> (watermarkAudit _),
+    "session_sensitivity" -> (sessionSensitivity _),
+    "anomaly_fdr"        -> (anomalyFdr _),
+    "assoc_rules"        -> (assocRules _),
+    "source_jsd"         -> (sourceJsd _),
+    "zonemap_prune"      -> (zonemapPrune _),
+    "graph_kcore"        -> (graphKcore _),
+  )
+
+  /** One oracle block per FK edge (same shape, four instantiations). */
+  private def joinEdgeSql(name: String, ta: String, ka: String,
+      tb: String, kb: String): String =
+    s"""SELECT '$name' AS edge, n_left, n_right, d_left, d_right,
+       |  (n_left * n_right // greatest(d_left, d_right))::BIGINT AS est_uniform,
+       |  actual, (est_uniform * 10000 // actual)::BIGINT AS ratio_bp
+       |FROM (
+       |  SELECT
+       |    (SELECT count(*) FROM $ta) AS n_left,
+       |    (SELECT count(*) FROM $tb) AS n_right,
+       |    (SELECT count(DISTINCT $ka) FROM $ta) AS d_left,
+       |    (SELECT count(DISTINCT $kb) FROM $tb) AS d_right,
+       |    (SELECT sum(na * nb)::BIGINT FROM
+       |      (SELECT $ka AS k, count(*) AS na FROM $ta GROUP BY 1) x
+       |      JOIN (SELECT $kb AS k, count(*) AS nb FROM $tb GROUP BY 1) y
+       |      USING (k)) AS actual
+       |) s""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "join_size_audit" -> Seq(
+      joinEdgeSql("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      joinEdgeSql("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      joinEdgeSql("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      joinEdgeSql("orders_customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge"),
+    "table_merkle" ->
+      """WITH base AS (
+        |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS bucket,
+        |    ('0x' || substr(md5(concat_ws('|',
+        |      coalesce(doc_id::VARCHAR, '\N'), coalesce(text, '\N'),
+        |      coalesce(lang, '\N'), coalesce(source, '\N'),
+        |      coalesce(n_chars::VARCHAR, '\N'))), 1, 15))::BIGINT AS hv
+        |  FROM documents
+        |), leaves AS (
+        |  SELECT bucket, count(*) AS n_rows, bit_xor(hv) AS checksum
+        |  FROM base GROUP BY 1
+        |), root AS (
+        |  SELECT 0 AS level, -1 AS bucket, sum(n_rows)::BIGINT AS n_rows,
+        |    bit_xor(('0x' || substr(md5(bucket::VARCHAR || ':' ||
+        |      n_rows::VARCHAR || ':' || checksum::VARCHAR), 1, 15))::BIGINT)
+        |      AS checksum
+        |  FROM leaves
+        |)
+        |SELECT 1 AS level, bucket, n_rows, checksum FROM leaves
+        |UNION ALL
+        |SELECT * FROM root
+        |ORDER BY level, bucket""".stripMargin,
+    "basket_triples" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |)
+        |SELECT x.item AS item_a, y.item AS item_b, z.item AS item_c,
+        |  count(*) AS support
+        |FROM b x
+        |JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |JOIN b z ON y.basket = z.basket AND y.item < z.item
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY item_a, item_b, item_c""".stripMargin,
+    "revenue_tree" ->
+      """WITH nat AS (
+        |  SELECT r_name, n_name,
+        |    sum(round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT)::BIGINT
+        |      AS c
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT r_name, n_name, round(c / 100.0, 2) AS revenue,
+        |  (c * 10000 // sum(c) OVER (PARTITION BY r_name))::BIGINT
+        |    AS share_region_bp,
+        |  (c * 10000 // sum(c) OVER ())::BIGINT AS share_total_bp
+        |FROM nat ORDER BY r_name, n_name""".stripMargin,
+    "watermark_audit" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us,
+        |    max(epoch_us(ts)) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM events
+        |), agg AS (
+        |  SELECT count(*) AS n_events,
+        |    sum(CASE WHEN hwm - 60000000 > ts_us THEN 1 ELSE 0 END)::BIGINT AS l0,
+        |    sum(CASE WHEN hwm - 600000000 > ts_us THEN 1 ELSE 0 END)::BIGINT AS l1,
+        |    sum(CASE WHEN hwm - 3600000000 > ts_us THEN 1 ELSE 0 END)::BIGINT AS l2
+        |  FROM ev
+        |)
+        |SELECT 60::BIGINT AS delay_s, n_events, l0 AS n_late,
+        |  (l0 * 10000 // n_events)::BIGINT AS late_bp FROM agg
+        |UNION ALL
+        |SELECT 600, n_events, l1, (l1 * 10000 // n_events)::BIGINT FROM agg
+        |UNION ALL
+        |SELECT 3600, n_events, l2, (l2 * 10000 // n_events)::BIGINT FROM agg
+        |ORDER BY delay_s""".stripMargin,
+    "session_sensitivity" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events
+        |), agg AS (
+        |  SELECT count(*) AS n_events,
+        |    sum(CASE WHEN gap IS NULL OR gap > 300000000 THEN 1 ELSE 0 END)::BIGINT AS s0,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)::BIGINT AS s1,
+        |    sum(CASE WHEN gap IS NULL OR gap > 7200000000 THEN 1 ELSE 0 END)::BIGINT AS s2
+        |  FROM ev
+        |)
+        |SELECT 300::BIGINT AS gap_s, n_events, s0 AS n_sessions,
+        |  round(n_events / s0::DOUBLE, 6) AS mean_session_events FROM agg
+        |UNION ALL
+        |SELECT 1800, n_events, s1, round(n_events / s1::DOUBLE, 6) FROM agg
+        |UNION ALL
+        |SELECT 7200, n_events, s2, round(n_events / s2::DOUBLE, 6) FROM agg
+        |ORDER BY gap_s""".stripMargin,
+    "anomaly_fdr" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd
+        |  FROM hourly GROUP BY 1
+        |), zz AS (
+        |  SELECT h.event_type, hour_us, n, round((n - mu) / sd, 6) AS z
+        |  FROM hourly h JOIN stats s ON h.event_type = s.event_type
+        |  WHERE sd > 0
+        |), pz AS (
+        |  SELECT *, round(exp(-0.717 * abs(z) - 0.416 * abs(z) * abs(z)), 9) AS p
+        |  FROM zz
+        |), m AS (SELECT count(*) AS mm FROM pz),
+        |ranked AS (
+        |  SELECT pz.*, mm,
+        |    row_number() OVER (ORDER BY p, event_type, hour_us)::BIGINT AS i
+        |  FROM pz CROSS JOIN m
+        |), hits AS (
+        |  SELECT max(CASE WHEN p <= i / (10.0 * mm) THEN i ELSE 0 END) AS kmax
+        |  FROM ranked
+        |)
+        |SELECT event_type, hour_us, n, z, p, i
+        |FROM ranked CROSS JOIN hits WHERE i <= kmax ORDER BY i""".stripMargin,
+    "assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), m AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab
+        |  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), pairs AS (
+        |  SELECT item_a AS antecedent, item_b AS consequent, n_ab FROM p
+        |  UNION ALL
+        |  SELECT item_b, item_a, n_ab FROM p
+        |)
+        |SELECT antecedent, consequent, n_ab,
+        |  round(n_ab / m.n_item::DOUBLE, 6) AS conf
+        |FROM pairs JOIN m ON m.item = pairs.antecedent
+        |WHERE round(n_ab / m.n_item::DOUBLE, 6) >= 0.1
+        |ORDER BY 1, 2""".stripMargin,
+    "source_jsd" ->
+      """WITH lt AS (
+        |  SELECT source, tok, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents) x
+        |  WHERE length(tok) > 0 GROUP BY 1, 2
+        |), n AS (SELECT source, sum(c) AS n FROM lt GROUP BY 1),
+        |st AS (
+        |  SELECT lt.source, tok, c / n::DOUBLE AS p
+        |  FROM lt JOIN n ON lt.source = n.source
+        |), pairs AS (
+        |  SELECT x.source AS source_a, y.source AS source_b
+        |  FROM n x JOIN n y ON x.source < y.source
+        |), grid AS (
+        |  SELECT source_a, source_b, tok, sum(pp) AS p, sum(qq) AS q FROM (
+        |    SELECT source_a, source_b, tok, p AS pp, 0.0 AS qq
+        |    FROM st JOIN pairs ON st.source = pairs.source_a
+        |    UNION ALL
+        |    SELECT source_a, source_b, tok, 0.0, p
+        |    FROM st JOIN pairs ON st.source = pairs.source_b) u
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT source_a, source_b, count(*) AS n_union_toks,
+        |  round(sum(
+        |    (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END) * 0.5 +
+        |    (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END) * 0.5),
+        |    6) AS jsd
+        |FROM grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "zonemap_prune" ->
+      """WITH bounds AS (
+        |  SELECT max(event_id) AS mx_id, min(epoch_us(ts)) AS g_mn,
+        |    max(epoch_us(ts)) AS g_mx
+        |  FROM events
+        |), z AS (
+        |  SELECT event_id * 64 // (mx_id + 1) AS bucket,
+        |    count(*) AS n_rows,
+        |    min(value) AS mn_v, max(value) AS mx_v,
+        |    min(epoch_us(ts)) AS mn_t,
+        |    max(g_mn) AS b_mn, max(g_mx) AS b_mx,
+        |    sum(CASE WHEN value >= 95.0 THEN 1 ELSE 0 END) AS m_v95,
+        |    sum(CASE WHEN value BETWEEN 40.0 AND 41.0 THEN 1 ELSE 0 END) AS m_v4041,
+        |    sum(CASE WHEN epoch_us(ts) <= g_mn + (g_mx - g_mn) // 20
+        |        THEN 1 ELSE 0 END) AS m_early
+        |  FROM events CROSS JOIN bounds GROUP BY 1
+        |)
+        |SELECT 'ts_first_5pct' AS predicate, count(*) AS n_files,
+        |  sum(CASE WHEN mn_t <= b_mn + (b_mx - b_mn) // 20 THEN 1 ELSE 0 END)::BIGINT AS n_scanned,
+        |  sum(CASE WHEN mn_t <= b_mn + (b_mx - b_mn) // 20 THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned,
+        |  sum(m_early)::BIGINT AS rows_matching
+        |FROM z
+        |UNION ALL
+        |SELECT 'value_40_to_41', count(*),
+        |  sum(CASE WHEN mx_v >= 40.0 AND mn_v <= 41.0 THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN mx_v >= 40.0 AND mn_v <= 41.0 THEN n_rows ELSE 0 END)::BIGINT,
+        |  sum(m_v4041)::BIGINT
+        |FROM z
+        |UNION ALL
+        |SELECT 'value_ge_95', count(*),
+        |  sum(CASE WHEN mx_v >= 95.0 THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN mx_v >= 95.0 THEN n_rows ELSE 0 END)::BIGINT,
+        |  sum(m_v95)::BIGINT
+        |FROM z
+        |ORDER BY predicate""".stripMargin,
+    "graph_kcore" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), p AS (
+        |  SELECT x.item AS a, y.item AS b
+        |  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY x.item, y.item
+        |  HAVING count(*) >= 2
+        |), s0 AS (
+        |  SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p
+        |), k1 AS (SELECT a FROM s0 GROUP BY a HAVING count(*) >= 2),
+        |s1 AS (SELECT s0.a, s0.b FROM s0
+        |  WHERE s0.a IN (SELECT a FROM k1) AND s0.b IN (SELECT a FROM k1)),
+        |k2 AS (SELECT a FROM s1 GROUP BY a HAVING count(*) >= 2),
+        |s2 AS (SELECT s1.a, s1.b FROM s1
+        |  WHERE s1.a IN (SELECT a FROM k2) AND s1.b IN (SELECT a FROM k2)),
+        |k3 AS (SELECT a FROM s2 GROUP BY a HAVING count(*) >= 2),
+        |s3 AS (SELECT s2.a, s2.b FROM s2
+        |  WHERE s2.a IN (SELECT a FROM k3) AND s2.b IN (SELECT a FROM k3)),
+        |k4 AS (SELECT a FROM s3 GROUP BY a HAVING count(*) >= 2),
+        |s4 AS (SELECT s3.a, s3.b FROM s3
+        |  WHERE s3.a IN (SELECT a FROM k4) AND s3.b IN (SELECT a FROM k4))
+        |SELECT a AS item, count(*) AS deg FROM s4 GROUP BY a ORDER BY item""".stripMargin,
+  )
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Multimodal, Sessionize}
-import graft.streaming.{CleanStream, EnrichStream, EventStream, JoinStream, StreamDedup, UpsertStream}
+import graft.streaming.{CleanStream, EnrichStream, EventStream, JoinStream, MerkleStream, StreamDedup, UpsertStream}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,6 +26,14 @@ object StreamMmQueries {
   def streamCmSketch(s: SparkSession, dir: String): DataFrame =
     EventStream.runCmBatchEquivalent(s, dir)
       .orderBy("window_start", "r", "bucket")
+
+  /** #29n streaming incremental Merkle digest
+    * ([[MerkleStream.runBatchEquivalent]]): per-bucket XOR fingerprints
+    * maintained micro-batch by micro-batch; the oracle recomputes the
+    * batch leaves — incremental and full recompute must agree exactly. */
+  def streamMerkle(s: SparkSession, dir: String): DataFrame =
+    MerkleStream.runBatchEquivalent(s, dir)
+      .orderBy("bucket")
 
   /** #29i streaming windowed approx-distinct users: HLL sketch state
     * per (window, type), audited per window against the batch-exact
@@ -81,6 +89,18 @@ object StreamMmQueries {
         Multimodal.syntheticGifs(Tables.documents(s, dir), "doc_id"))
       .toDF()
       .select("doc_id", "format", "width", "height")
+      .orderBy("doc_id")
+
+  /** #30e TIFF binary columns: header + IFD0 tag-directory walk
+    * ([[Multimodal.decodeTiffMeta]]) over both byte orders (II/MM
+    * alternate by doc parity) — the EXIF/DNG-shaped directory parse,
+    * structurally different from the fixed-offset PNG/GIF headers.
+    * Orientation rides along as the classic must-read-the-IFD field. */
+  def multimodalTiff(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractTiffMeta(
+        Multimodal.syntheticTiffs(Tables.documents(s, dir), "doc_id"))
+      .toDF()
+      .select("doc_id", "byte_order", "width", "height", "orientation")
       .orderBy("doc_id")
 
   /** #5f' per-key interval-intersection join
@@ -315,8 +335,10 @@ object StreamMmQueries {
     "stream_enrich"       -> (streamEnrich _),
     "stream_window_agg"   -> (streamWindowAgg _),
     "stream_cm_sketch"    -> (streamCmSketch _),
+    "stream_merkle"       -> (streamMerkle _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_gif"      -> (multimodalGif _),
+    "multimodal_tiff"     -> (multimodalTiff _),
     "interval_intersect"  -> (intervalIntersect _),
     "multimodal_audio"    -> (multimodalAudio _),
     "multimodal_video"    -> (multimodalVideo _),
@@ -581,6 +603,27 @@ object StreamMmQueries {
     "multimodal_gif" ->
       """SELECT doc_id, 'gif' AS format,
         |  (doc_id % 64) + 1 AS width, (doc_id % 48) + 1 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Incremental XOR digests must equal a full batch recompute of the
+    // same leaves (here stated directly over the corpus).
+    "stream_merkle" ->
+      """WITH base AS (
+        |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS bucket,
+        |    ('0x' || substr(md5(concat_ws('|',
+        |      coalesce(doc_id::VARCHAR, '\N'), coalesce(text, '\N'),
+        |      coalesce(lang, '\N'), coalesce(source, '\N'),
+        |      coalesce(n_chars::VARCHAR, '\N'))), 1, 15))::BIGINT AS hv
+        |  FROM documents
+        |)
+        |SELECT bucket, count(*) AS n_rows, bit_xor(hv) AS checksum
+        |FROM base GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // The builder writes dims/orientation as doc_id arithmetic and the
+    // byte order by parity; the IFD walk must reproduce all of it.
+    "multimodal_tiff" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  (doc_id % 512) + 1 AS width, (doc_id % 384) + 1 AS height,
+        |  (doc_id % 8) + 1 AS orientation
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Same session CTE as `sessionize`, intersected with the per-user
     // active-day grid; sessions are closed intervals → end+1 half-open.

@@ -164,4 +164,48 @@ class MultimodalSpec extends SparkSpec {
       assert(m.duration_us.contains(frames * 1000000L / rates((id % 4).toInt)))
     }
   }
+
+  test("decodeTiffMeta walks IFD0 in both byte orders and rejects junk") {
+    assert(Multimodal.decodeTiffMeta(Multimodal.tiffBytes(512, 384, 6, little = true))
+      .contains(("II", Some(512L), Some(384L), Some(6L))))
+    assert(Multimodal.decodeTiffMeta(Multimodal.tiffBytes(1, 1, 1, little = false))
+      .contains(("MM", Some(1L), Some(1L), Some(1L))))
+    assert(Multimodal.decodeTiffMeta(Multimodal.tiffBytes(65535, 2, 8, little = false))
+      .contains(("MM", Some(65535L), Some(2L), Some(8L))))
+    // wrong magic (43), truncated, and non-TIFF payloads reject cleanly
+    val badMagic = Multimodal.tiffBytes(4, 4, 1, little = true)
+    badMagic(2) = 43
+    assert(Multimodal.decodeTiffMeta(badMagic).isEmpty)
+    assert(Multimodal.decodeTiffMeta(Array[Byte]('I', 'I', 42, 0)).isEmpty)
+    assert(Multimodal.decodeTiffMeta(Multimodal.pngBytes(4, 4)).isEmpty)
+    // truncating mid-IFD must reject, not throw
+    val trunc = Multimodal.tiffBytes(512, 384, 6, little = true).take(20)
+    assert(Multimodal.decodeTiffMeta(trunc).isEmpty)
+  }
+
+  test("decodeTiffMeta reads the JDK's own TIFF encoder output (foreign framing)") {
+    // ImageIO ships a TIFF plugin since Java 9 — its directory layout
+    // (entry count, tag mix, value offsets) is foreign to tiffBytes.
+    assume(javax.imageio.ImageIO.getImageWritersByFormatName("tiff").hasNext)
+    val img = new java.awt.image.BufferedImage(
+      37, 23, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "tiff", out)
+    val m = Multimodal.decodeTiffMeta(out.toByteArray)
+    assert(m.exists { case (_, w, h, _) => w.contains(37L) && h.contains(23L) }, m)
+  }
+
+  test("syntheticTiffs corpus decodes to its id-derived parameters") {
+    val ids = Seq(0L, 1L, 2L, 7L, 8L, 511L, 512L)
+    val meta = Multimodal.extractTiffMeta(
+        Multimodal.syntheticTiffs(ids.toDF("doc_id"), "doc_id"))
+      .collect().map(m => m.doc_id -> m).toMap
+    ids.foreach { id =>
+      val m = meta(id)
+      assert(m.byte_order == (if (id % 2 == 0) "II" else "MM"))
+      assert(m.width.contains(id % 512 + 1))
+      assert(m.height.contains(id % 384 + 1))
+      assert(m.orientation.contains(id % 8 + 1))
+    }
+  }
 }

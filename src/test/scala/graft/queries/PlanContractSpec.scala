@@ -437,4 +437,29 @@ class PlanContractSpec extends SparkSpec {
     assert(windows.head.contains("__hb") && windows.head.contains("__hf"),
       s"the single Window must compute both direction hits:\n${windows.head}")
   }
+
+  test("q23 disjunctive bands stay a broadcast HASH join with an OR residual") {
+    // The equi-key (l_partkey = p_partkey) must be extracted from the
+    // disjunction: a planner that ORs the whole predicate falls back to
+    // BroadcastNestedLoopJoin — the 100 TB kill.
+    val plan = finalPlan(Relational.q23Disjunct(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("NestedLoop"), plan.take(2000))
+  }
+
+  test("q24 dormant pushes the order-date filter into the orders scan") {
+    val plan = finalPlan(Relational.q24Dormant(spark, dir))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    // The 2000-01-01 dormancy cutoff must reach the parquet reader.
+    assert(plan.contains("PushedFilters: [IsNotNull(o_custkey), GreaterThanOrEqual(o_orderdate")
+      || plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(3000))
+  }
+
+  test("zonemap audit scans events once: one bucket aggregate, no per-predicate rescan") {
+    val plan = finalPlan(StatQueries.zonemapPrune(spark, dir))
+    // Three predicate rows union 64-row aggregates — the fact scan may
+    // appear once per union branch in the plan tree, but each branch
+    // reads the same single bucket aggregate; no join back to raw rows.
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }
