@@ -44,6 +44,23 @@ object OpsQueries {
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
       .orderBy("doc_id")
 
+  /** #27b language-ID confusion matrix — the detector scored against
+    * the corpus's labeled `lang` column: (true, predicted, n) cells
+    * plus the per-true-language recall. The readout that says WHICH
+    * languages the stopword profiles confuse before a mix built on
+    * lang-ID quotas (corpus_mix) inherits the bias. */
+  def langidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .groupBy(col("lang").as("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("recall_bp", expr(
+        "CASE WHEN lang_true = lang_pred THEN n * 10000 div " +
+          "sum(n) over (partition by lang_true) ELSE NULL END"))
+      .orderBy("lang_true", "lang_pred")
+  }
+
   /** #28 normalized 128-bit content fingerprint. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -3035,6 +3052,7 @@ object OpsQueries {
     "text_stats"       -> (textStats _),
     "text_quality"     -> (textQuality _),
     "text_lang_id"     -> (textLangId _),
+    "langid_confusion" -> (langidConfusion _),
     "text_fingerprint" -> (textFingerprint _),
     "dedup_exact"      -> (dedupExact _),
   )
@@ -3388,6 +3406,18 @@ object OpsQueries {
         |  ) / 3.0, 6) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_lang_id" -> langCase,
+    "langid_confusion" -> s"""WITH pred AS (
+${langRelSql}
+), cells AS (
+  SELECT d.lang AS lang_true, p.lang_id AS lang_pred, count(*) AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT lang_true, lang_pred, n,
+  CASE WHEN lang_true = lang_pred
+    THEN (n * 10000 // sum(n) OVER (PARTITION BY lang_true))::BIGINT
+    ELSE NULL END AS recall_bp
+FROM cells ORDER BY lang_true, lang_pred""",
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5

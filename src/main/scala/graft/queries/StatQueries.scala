@@ -326,7 +326,124 @@ object StatQueries {
       .orderBy("edge")
   }
 
+  /** #31f Markov-chain removal-effect attribution — the data-driven
+    * alternative to `attribution`'s positional first/last-touch rules
+    * (Anderl et al. 2016): sessions become first-order chains
+    * (__start → touches → __conv at the first purchase, or __null),
+    * conversion probability is the 12-step absorption probability from
+    * __start, and each channel's credit is its REMOVAL EFFECT — how
+    * much that probability drops when transitions into the channel
+    * redirect to __null. All configs (base + one per removed channel)
+    * ride one transition table with a config key, and each power-
+    * iteration step is a tiny (states² × configs)-row join-aggregate —
+    * the chain is bounded by the channel alphabet, never by event
+    * volume, so the 12 steps cost the same at 100 TB as at 1 GB. */
+  def markovAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+    val sess = ev
+      .withColumn("news",
+        when(col("tsu") - lag("tsu", 1).over(w) > 1800000000L ||
+          lag("tsu", 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum("news").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val w2 = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("tsu"), col("event_id"))
+    val rn = sess.withColumn("rn", row_number().over(w2))
+    val pp = rn.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "session_idx").agg(min("rn").as("pp"))
+    val mx = rn.groupBy("user_id", "session_idx").agg(max("rn").as("mx"))
+    val kept = rn
+      .join(pp, Seq("user_id", "session_idx"), "left")
+      .join(mx, Seq("user_id", "session_idx"))
+      .filter(col("rn") <= coalesce(col("pp"), col("mx")))
+    val w3 = Window.partitionBy("user_id", "session_idx").orderBy("rn")
+    val stepped = kept.withColumn("prev", lag("event_type", 1).over(w3))
+    val e1 = stepped.select(
+      when(col("rn") === 1, "__start").otherwise(col("prev")).as("s"),
+      when(col("event_type") === "purchase", "__conv")
+        .otherwise(col("event_type")).as("t"))
+    val e2 = kept.filter(col("pp").isNull && col("rn") === col("mx"))
+      .select(col("event_type").as("s"), lit("__null").as("t"))
+    val probs = e1.unionAll(e2).groupBy("s", "t").agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n") / sum("n").over(Window.partitionBy("s")))
+      .select("s", "t", "p")
+    val configs = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("cfg")).distinct()
+      .unionAll(s.range(1).select(lit("none").as("cfg")))
+      .localCheckpoint(true)
+    // Removed channel: transitions into it redirect to __null (its own
+    // outgoing rows drop — the state is unreachable).
+    val ctrans = probs.crossJoin(broadcast(configs))
+      .filter(col("s") =!= col("cfg"))
+      .withColumn("t2", when(col("t") === col("cfg"), "__null").otherwise(col("t")))
+      .groupBy(col("cfg"), col("s"), col("t2").as("t"))
+      .agg(sum("p").as("p"))
+      .localCheckpoint(true)
+    val conv = configs.select(col("cfg").as("vcfg"),
+      lit("__conv").as("st"), lit(1.0).as("v"))
+    var v = conv
+    for (i <- 1 to 12) {
+      val step = ctrans
+        .join(v, col("cfg") === col("vcfg") && col("t") === col("st"))
+        .groupBy(col("cfg").as("vcfg"), col("s").as("st"))
+        .agg(sum(col("p") * col("v")).as("v"))
+      v = step.unionAll(conv)
+      // Every 4th step: sever the lineage so the plan depth stays flat
+      // (tiny frames — the checkpoint is metadata-cheap).
+      if (i % 4 == 0) v = v.localCheckpoint(true)
+    }
+    val pstart = v.filter(col("st") === "__start")
+      .select(col("vcfg").as("cfg"), col("v").as("p_conv"))
+    val base = pstart.filter(col("cfg") === "none")
+      .select(col("p_conv").as("p_base"))
+    val rem = pstart.filter(col("cfg") =!= "none")
+      .crossJoin(broadcast(base))
+      .withColumn("removal_effect", col("p_base") - col("p_conv"))
+    val tot = rem.agg(sum("removal_effect").as("tot"))
+    rem.crossJoin(broadcast(tot))
+      .select(col("cfg").as("channel"),
+        round(col("p_base"), 6).as("p_conv_base"),
+        round(col("p_conv"), 6).as("p_conv_removed"),
+        round(col("removal_effect"), 6).as("removal_effect"),
+        round(col("removal_effect") / col("tot"), 6).as("share"))
+      .orderBy("channel")
+  }
+
+  /** #7r cohort LTV curves — cumulative revenue per first-order
+    * cohort month as months-since-first advance: the revenue-valued
+    * extension of the retention matrix (`q11_retention` counts users;
+    * this follows their money). Cents stay exact integers through the
+    * running sum AND the per-customer average (integral cents-per-
+    * customer before the /100 display divide — a double divide first
+    * hits round-half boundaries the engines resolve differently). */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("m", expr("year(o_orderdate) * 12 + month(o_orderdate)"))
+    val first = ord.groupBy("o_custkey").agg(min("m").as("m0"))
+    val size = first.groupBy("m0").agg(count(lit(1)).as("n_custs"))
+    val rev = ord.join(first, "o_custkey")
+      .groupBy(col("m0"), (col("m") - col("m0")).as("k"))
+      .agg(sum("cents").as("cents"))
+    val wc = Window.partitionBy("m0").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev
+      .withColumn("cum_cents", sum("cents").over(wc))
+      .join(broadcast(size), "m0")
+      .select(
+        expr("(m0 - 1) div 12").as("cohort_year"),
+        expr("(m0 - 1) % 12 + 1").as("cohort_month"),
+        col("k"), col("n_custs"),
+        round(col("cents") / lit(100.0), 2).as("revenue"),
+        round(expr("cum_cents div n_custs") / lit(100.0), 2)
+          .as("cum_rev_per_cust"))
+      .orderBy("cohort_year", "cohort_month", "k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "markov_attribution" -> (markovAttribution _),
+    "cohort_ltv"         -> (cohortLtv _),
     "join_size_audit"    -> (joinSizeAudit _),
     "table_merkle"       -> (tableMerkle _),
     "basket_triples"     -> (basketTriples _),
@@ -339,6 +456,76 @@ object StatQueries {
     "zonemap_prune"      -> (zonemapPrune _),
     "graph_kcore"        -> (graphKcore _),
   )
+
+  /** One power-iteration CTE (the oracle's 12 absorption steps are
+    * generated, not hand-copied). */
+  private def markovVCte(k: Int): String =
+    s"""v$k AS (
+       |  SELECT c.cfg AS vcfg, c.s AS st, sum(c.p * v.v) AS v
+       |  FROM ctrans c JOIN v${k - 1} v ON v.vcfg = c.cfg AND v.st = c.t
+       |  GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT cfg AS vcfg, '__conv' AS st, 1.0 AS v FROM configs
+       |)""".stripMargin
+
+  private lazy val markovSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events
+       |), f AS (
+       |  SELECT *, CASE WHEN tsu - lag(tsu) OVER w > 1800000000
+       |    OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS news
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+       |), sx AS (
+       |  SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM f
+       |), r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY user_id, session_idx ORDER BY tsu, event_id) AS rn
+       |  FROM sx
+       |), g AS (
+       |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END)
+       |      OVER (PARTITION BY user_id, session_idx) AS pp,
+       |    max(rn) OVER (PARTITION BY user_id, session_idx) AS mx
+       |  FROM r
+       |), kept AS (SELECT * FROM g WHERE rn <= coalesce(pp, mx)),
+       |stepped AS (
+       |  SELECT *, lag(event_type) OVER (
+       |    PARTITION BY user_id, session_idx ORDER BY rn) AS prev
+       |  FROM kept
+       |), e1 AS (
+       |  SELECT CASE WHEN rn = 1 THEN '__start' ELSE prev END AS s,
+       |    CASE WHEN event_type = 'purchase' THEN '__conv' ELSE event_type END AS t
+       |  FROM stepped
+       |), e2 AS (
+       |  SELECT event_type AS s, '__null' AS t FROM kept
+       |  WHERE pp IS NULL AND rn = mx
+       |), edges AS (
+       |  SELECT s, t, count(*) AS n
+       |  FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) u GROUP BY 1, 2
+       |), probs AS (
+       |  SELECT s, t, n / (sum(n) OVER (PARTITION BY s))::DOUBLE AS p FROM edges
+       |), configs AS (
+       |  SELECT DISTINCT event_type AS cfg FROM events WHERE event_type <> 'purchase'
+       |  UNION ALL SELECT 'none'
+       |), ctrans AS (
+       |  SELECT cfg, s, CASE WHEN t = cfg THEN '__null' ELSE t END AS t,
+       |    sum(p) AS p
+       |  FROM probs CROSS JOIN configs WHERE s <> cfg GROUP BY 1, 2, 3
+       |), v0 AS (SELECT cfg AS vcfg, '__conv' AS st, 1.0 AS v FROM configs),
+       |${(1 to 12).map(markovVCte).mkString(",\n")},
+       |pstart AS (
+       |  SELECT vcfg AS cfg, v AS p_conv FROM v12 WHERE st = '__start'
+       |), base AS (SELECT p_conv AS p_base FROM pstart WHERE cfg = 'none'),
+       |rem AS (
+       |  SELECT cfg, p_conv, p_base, p_base - p_conv AS removal_effect
+       |  FROM pstart CROSS JOIN base WHERE cfg <> 'none'
+       |), tot AS (SELECT sum(removal_effect) AS tot FROM rem)
+       |SELECT cfg AS channel, round(p_base, 6) AS p_conv_base,
+       |  round(p_conv, 6) AS p_conv_removed,
+       |  round(removal_effect, 6) AS removal_effect,
+       |  round(removal_effect / tot, 6) AS share
+       |FROM rem CROSS JOIN tot ORDER BY channel""".stripMargin
 
   /** One oracle block per FK edge (same shape, four instantiations). */
   private def joinEdgeSql(name: String, ta: String, ka: String,
@@ -359,6 +546,28 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "markov_attribution" -> markovSql,
+    "cohort_ltv" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, round(o_totalprice * 100, 0)::BIGINT AS cents,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS m
+        |  FROM orders
+        |), fo AS (SELECT o_custkey, min(m) AS m0 FROM ord GROUP BY 1),
+        |sz AS (SELECT m0, count(*) AS n_custs FROM fo GROUP BY 1),
+        |rev AS (
+        |  SELECT m0, m - m0 AS k, sum(cents)::BIGINT AS cents
+        |  FROM ord JOIN fo USING (o_custkey) GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT m0, k, cents,
+        |    (sum(cents) OVER (PARTITION BY m0 ORDER BY k
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_cents
+        |  FROM rev
+        |)
+        |SELECT (m0 - 1) // 12 AS cohort_year, (m0 - 1) % 12 + 1 AS cohort_month,
+        |  k, n_custs, round(cents / 100.0, 2) AS revenue,
+        |  round((cum_cents // n_custs) / 100.0, 2) AS cum_rev_per_cust
+        |FROM cum JOIN sz USING (m0)
+        |ORDER BY cohort_year, cohort_month, k""".stripMargin,
     "join_size_audit" -> Seq(
       joinEdgeSql("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
       joinEdgeSql("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
