@@ -234,6 +234,104 @@ object StatQueries {
       .orderBy("antecedent", "consequent")
   }
 
+  /** #1l Deequ-style declarative data-quality constraint suite: six
+    * constraints (not-null, composite-key uniqueness, two numeric
+    * ranges, a value-set membership, a positivity check) evaluated in
+    * ONE pass over lineitem — the violation counts fold as conditional
+    * sums in a single aggregate (plus one distinct-count aggregate for
+    * uniqueness), then stack() to the per-constraint report. This is
+    * the gate a 100 TB ingest runs BEFORE publishing a partition: one
+    * scan, not one scan per rule. */
+  def dqConstraints(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val wide = li.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_nn"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("v_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("v_disc"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+        .otherwise(0L)).as("v_flag"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v_price"))
+    val uniq = li.select("l_orderkey", "l_linenumber").distinct()
+      .agg(count(lit(1)).as("n_distinct"))
+    val one = wide.crossJoin(broadcast(uniq))
+      .withColumn("v_uniq", col("n_rows") - col("n_distinct"))
+    one.select(expr(
+        "stack(6, " +
+          "'l_orderkey_not_null', n_rows, v_nn, " +
+          "'order_line_unique', n_rows, v_uniq, " +
+          "'quantity_in_1_50', n_rows, v_qty, " +
+          "'discount_in_0_01', n_rows, v_disc, " +
+          "'returnflag_in_set', n_rows, v_flag, " +
+          "'price_positive', n_rows, v_price) " +
+          "as (rule, n_rows, n_violations)"))
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("rule")
+  }
+
+  /** #6h TPC-H Q15 shape — top supplier(s) by quarterly revenue: a
+    * revenue rollup consumed twice (per-supplier totals and their
+    * max), with the max side a one-row broadcast — the
+    * view + correlated-scalar-equality pattern, planned without
+    * re-scanning the fact table for the max. Cents exact; ties all
+    * surface (the Q15 spec's subtlety). */
+  def q25TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long"))
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum("cents").as("c"))
+      .localCheckpoint(true)
+    val mx = rev.agg(max("c").as("mxc"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("c") === col("mxc"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        "s_suppkey")
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("c") / lit(100.0), 2).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** #53c Merkle-driven replica repair plan — the end-to-end use of
+    * [[tableMerkle]]: a replica with deterministic planted drift
+    * (docs dropped where md5(id)%97=0, text mutated where %89=1) is
+    * diffed against the base by row hash, and the repair plan comes
+    * back per Merkle bucket: how many rows to re-ship (missing),
+    * overwrite (stale), and delete (extra) in each 1/16th — the
+    * anti-entropy protocol's work list, sized before any data moves. */
+  def replicaRepair(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val base = Tables.documents(s, dir)
+    val keyHash = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val replica = base
+      .filter(keyHash % 97 =!= 0)
+      .withColumn("text",
+        when(keyHash % 89 === 1, concat(col("text"), lit(" [v2]")))
+          .otherwise(col("text")))
+    def hashed(df: DataFrame, side: String): DataFrame =
+      df.select(col("doc_id"),
+        pmod(keyHash, lit(16L)).as("bucket"),
+        graft.ops.Integrity.rowHash(cols).as(s"h_$side"))
+    val diff = hashed(base, "a").join(
+      hashed(replica, "b").withColumnRenamed("bucket", "bucket_b"),
+      Seq("doc_id"), "full_outer")
+    diff
+      .groupBy(coalesce(col("bucket"), col("bucket_b")).as("bucket"))
+      .agg(
+        sum(when(col("h_b").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("h_a").isNull, 1L).otherwise(0L)).as("n_extra"),
+        sum(when(col("h_a").isNotNull && col("h_b").isNotNull &&
+          col("h_a") =!= col("h_b"), 1L).otherwise(0L)).as("n_stale"))
+      .filter(col("n_missing") + col("n_extra") + col("n_stale") > 0)
+      .orderBy("bucket")
+  }
+
   /** #53b two-level Merkle fingerprint of the documents table
     * ([[graft.ops.Integrity.merkleChecksum]]): 16 md5-keyed buckets +
     * a root — the incremental-sync primitive that localizes a replica
@@ -442,6 +540,9 @@ object StatQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_constraints"     -> (dqConstraints _),
+    "q25_top_supplier"   -> (q25TopSupplier _),
+    "replica_repair"     -> (replicaRepair _),
     "markov_attribution" -> (markovAttribution _),
     "cohort_ltv"         -> (cohortLtv _),
     "join_size_audit"    -> (joinSizeAudit _),
@@ -546,6 +647,77 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dq_constraints" ->
+      """WITH wide AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_nn,
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT AS v_qty,
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)::BIGINT AS v_disc,
+        |    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)::BIGINT AS v_flag,
+        |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS v_price
+        |  FROM lineitem
+        |), uniq AS (
+        |  SELECT count(*) AS n_distinct FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem) d
+        |), one AS (
+        |  SELECT wide.*, (n_rows - n_distinct)::BIGINT AS v_uniq
+        |  FROM wide CROSS JOIN uniq
+        |), rows_ AS (
+        |  SELECT 'l_orderkey_not_null' AS rule, n_rows, v_nn AS n_violations FROM one
+        |  UNION ALL SELECT 'order_line_unique', n_rows, v_uniq FROM one
+        |  UNION ALL SELECT 'quantity_in_1_50', n_rows, v_qty FROM one
+        |  UNION ALL SELECT 'discount_in_0_01', n_rows, v_disc FROM one
+        |  UNION ALL SELECT 'returnflag_in_set', n_rows, v_flag FROM one
+        |  UNION ALL SELECT 'price_positive', n_rows, v_price FROM one
+        |)
+        |SELECT rule, n_rows, n_violations, n_violations = 0 AS passed
+        |FROM rows_ ORDER BY rule""".stripMargin,
+    "q25_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS s_suppkey,
+        |    sum(round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT)::BIGINT AS c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1
+        |), mx AS (SELECT max(c) AS mxc FROM rev)
+        |SELECT s_suppkey, s_name, round(c / 100.0, 2) AS total_revenue
+        |FROM rev CROSS JOIN mx
+        |JOIN supplier USING (s_suppkey)
+        |WHERE c = mxc ORDER BY s_suppkey""".stripMargin,
+    "replica_repair" ->
+      """WITH keyed AS (
+        |  SELECT *,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS kh
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, kh % 16 AS bucket,
+        |    ('0x' || substr(md5(concat_ws('|',
+        |      coalesce(doc_id::VARCHAR, '\N'), coalesce(text, '\N'),
+        |      coalesce(lang, '\N'), coalesce(source, '\N'),
+        |      coalesce(n_chars::VARCHAR, '\N'))), 1, 15))::BIGINT AS h_a
+        |  FROM keyed
+        |), replica AS (
+        |  SELECT doc_id, kh % 16 AS bucket,
+        |    ('0x' || substr(md5(concat_ws('|',
+        |      coalesce(doc_id::VARCHAR, '\N'),
+        |      coalesce(CASE WHEN kh % 89 = 1 THEN text || ' [v2]' ELSE text END, '\N'),
+        |      coalesce(lang, '\N'), coalesce(source, '\N'),
+        |      coalesce(n_chars::VARCHAR, '\N'))), 1, 15))::BIGINT AS h_b
+        |  FROM keyed WHERE kh % 97 <> 0
+        |)
+        |SELECT coalesce(b.bucket, r.bucket) AS bucket,
+        |  sum(CASE WHEN h_b IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
+        |  sum(CASE WHEN h_a IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_extra,
+        |  sum(CASE WHEN h_a IS NOT NULL AND h_b IS NOT NULL AND h_a <> h_b
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_stale
+        |FROM base b FULL OUTER JOIN replica r USING (doc_id)
+        |GROUP BY 1
+        |HAVING sum(CASE WHEN h_b IS NULL THEN 1 ELSE 0 END)
+        |  + sum(CASE WHEN h_a IS NULL THEN 1 ELSE 0 END)
+        |  + sum(CASE WHEN h_a IS NOT NULL AND h_b IS NOT NULL AND h_a <> h_b
+        |      THEN 1 ELSE 0 END) > 0
+        |ORDER BY bucket""".stripMargin,
     "markov_attribution" -> markovSql,
     "cohort_ltv" ->
       """WITH ord AS (
