@@ -150,6 +150,52 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #5v hourly OHLC candlestick rollup per event type — open/close
+    * are the values at the first/last (ts, event_id) of the hour,
+    * computed as `min/max(struct(ts, id, value))` so the whole rollup
+    * stays ONE hash aggregate with no window sort: the struct min is
+    * mergeable, which is also what makes the same rollup incremental
+    * under streaming. The oracle derives open/close by row_number —
+    * different mechanics, identical pinned semantics. */
+  def eventsOhlc(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("hour_us", expr("(ts_us div 3600000000) * 3600000000"))
+    ev.groupBy("event_type", "hour_us")
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("ts_us"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max(struct(col("ts_us"), col("event_id"), col("value")))
+          .getField("value").as("close"))
+      .orderBy("event_type", "hour_us")
+  }
+
+  /** #5w time-weighted average (TWAP) per event type and day — each
+    * observation holds until the next one (its weight is the micros
+    * until the next event, or until midnight for the day's last), the
+    * metric a plain `avg` misclocks whenever sampling is bursty. The
+    * weights are exact integer micros; one lag pass per (type, day)
+    * partition, no global sort. The plain average rides along so the
+    * burstiness gap is visible in one row. */
+  def eventsTwap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("day_us", expr("(ts_us div 86400000000) * 86400000000"))
+    val w = Window.partitionBy("event_type", "day_us")
+      .orderBy(col("ts_us"), col("event_id"))
+    ev.withColumn("wt",
+        coalesce(lead("ts_us", 1).over(w), col("day_us") + 86400000000L)
+          - col("ts_us"))
+      .groupBy("event_type", "day_us")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") * col("wt")) / sum("wt"), 6).as("twap"),
+        round(avg("value"), 6).as("plain_avg"))
+      .orderBy("event_type", "day_us")
+  }
+
   /** #31e sessionization gap-sensitivity — n_sessions and mean session
     * size for candidate inactivity gaps (5 min / 30 min / 2 h), from
     * ONE per-user lag pass: a session starts where the gap to the
@@ -541,6 +587,8 @@ object StatQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_constraints"     -> (dqConstraints _),
+    "events_ohlc"        -> (eventsOhlc _),
+    "events_twap"        -> (eventsTwap _),
     "q25_top_supplier"   -> (q25TopSupplier _),
     "replica_repair"     -> (replicaRepair _),
     "markov_attribution" -> (markovAttribution _),
@@ -647,6 +695,39 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_ohlc" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us
+        |  FROM events
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, hour_us
+        |      ORDER BY ts_us, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY event_type, hour_us
+        |      ORDER BY ts_us DESC, event_id DESC) AS rd
+        |  FROM ev
+        |)
+        |SELECT event_type, hour_us, count(*) AS n,
+        |  max(CASE WHEN rn = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_twap" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |    (epoch_us(ts) // 86400000000) * 86400000000 AS day_us
+        |  FROM events
+        |), wtd AS (
+        |  SELECT *,
+        |    coalesce(lead(ts_us) OVER (PARTITION BY event_type, day_us
+        |      ORDER BY ts_us, event_id), day_us + 86400000000) - ts_us AS wt
+        |  FROM ev
+        |)
+        |SELECT event_type, day_us, count(*) AS n,
+        |  round(sum(value * wt) / sum(wt), 6) AS twap,
+        |  round(avg(value), 6) AS plain_avg
+        |FROM wtd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dq_constraints" ->
       """WITH wide AS (
         |  SELECT count(*) AS n_rows,

@@ -27,6 +27,13 @@ object StreamMmQueries {
     EventStream.runCmBatchEquivalent(s, dir)
       .orderBy("window_start", "r", "bucket")
 
+  /** #29p streaming OHLC candlesticks ([[EventStream.ohlcAgg]]):
+    * mergeable struct-min/max open/close state, hash-matched against
+    * the batch `events_ohlc` derivation. */
+  def streamOhlc(s: SparkSession, dir: String): DataFrame =
+    EventStream.runOhlcBatchEquivalent(s, dir)
+      .orderBy("event_type", "hour_us")
+
   /** #29n streaming incremental Merkle digest
     * ([[MerkleStream.runBatchEquivalent]]): per-bucket XOR fingerprints
     * maintained micro-batch by micro-batch; the oracle recomputes the
@@ -336,6 +343,7 @@ object StreamMmQueries {
     "stream_window_agg"   -> (streamWindowAgg _),
     "stream_cm_sketch"    -> (streamCmSketch _),
     "stream_merkle"       -> (streamMerkle _),
+    "stream_ohlc"         -> (streamOhlc _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_gif"      -> (multimodalGif _),
     "multimodal_tiff"     -> (multimodalTiff _),
@@ -604,6 +612,26 @@ object StreamMmQueries {
       """SELECT doc_id, 'gif' AS format,
         |  (doc_id % 64) + 1 AS width, (doc_id % 48) + 1 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The streaming candlestick must equal the batch derivation exactly
+    // (open/close are values at the min/max (ts, id) of the hour).
+    "stream_ohlc" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us
+        |  FROM events
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, hour_us
+        |      ORDER BY ts_us, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY event_type, hour_us
+        |      ORDER BY ts_us DESC, event_id DESC) AS rd
+        |  FROM ev
+        |)
+        |SELECT event_type, hour_us, count(*) AS n,
+        |  max(CASE WHEN rn = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Incremental XOR digests must equal a full batch recompute of the
     // same leaves (here stated directly over the corpus).
     "stream_merkle" ->

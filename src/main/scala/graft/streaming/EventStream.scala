@@ -51,6 +51,29 @@ object EventStream {
   def runSlidingBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
     Drain.toMemory(slidingAgg(Drain.events(spark, dir)), "complete", "graft_sliding")
 
+  /** Streaming hourly OHLC per event type: open/close ride
+    * `min/max(struct(ts, id, value))` — mergeable aggregation state
+    * (one struct per open window), so the candlestick updates
+    * incrementally without any per-window sort or event buffering.
+    * The drained sink must hash-match the batch `events_ohlc` rollup. */
+  def ohlcAgg(events: DataFrame): DataFrame = {
+    def key = struct(unix_micros(col("ts")).as("t"),
+      col("event_id").as("i"), col("value").as("v"))
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(key).getField("v").as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max(key).getField("v").as("close"))
+      .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
+        col("n"), col("open"), col("high"), col("low"), col("close"))
+  }
+
+  /** Batch-equivalence drain of [[ohlcAgg]]. */
+  def runOhlcBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
+    Drain.toMemory(ohlcAgg(Drain.events(spark, dir)), "complete", "graft_ohlc")
+
   /** Streaming windowed count-min sketch: per hourly tumbling window,
     * the depth×width CM counters of the user-id stream
     * ([[graft.ops.Sketches.cmBucket]] md5 arithmetic) — live mergeable
