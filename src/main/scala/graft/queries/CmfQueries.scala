@@ -409,7 +409,68 @@ object CmfQueries {
         .toDF("n_test", "n_eval", "train_rmse_ok", "ndcg_ok", "holdout_bounded")
     })
 
+  /** #8d baseline-corrected factorization — the classic "biases first"
+    * decomposition (Koren 2009, Netflix-era): prediction =
+    * μ + b_user + b_item + qᵀp, with the shrunken biases
+    * (Σresid / (n + λ_b), λ_b = 10) absorbing who-rates-high /
+    * what-rates-high before the rank-8 ALS factorizes only the
+    * RESIDUAL interaction. Cold-start test pairs degrade gracefully to
+    * the baseline (NaN factor dot → 0 contribution) instead of NaN.
+    *
+    * The rating carries PLANTED structure — additive user and item
+    * effects plus a rank-1 interaction, with the (noise-like) TPC-H
+    * quantity as perturbation — so this is a signal-recovery test:
+    * raw quantities have no user/item effect for biases to find, and
+    * a certificate on them would only measure overfitting. The
+    * variance-robust booleans on the chrono holdout: biases must beat
+    * the global-mean predictor, and the factor term must not degrade
+    * the baseline by more than 5%. */
+  def alsBaseline(s: SparkSession, dir: String): DataFrame = {
+    val rated = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .agg(sum("l_quantity").as("qty"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("t"))
+      .withColumn("rating", expr(
+        "cast((cust % 7) - 3 + (part % 5) - 2 + " +
+          "((cust % 3) - 1) * ((part % 3) - 1) + qty / 25.0 as float)"))
+      .withColumn("tie", col("cust") * lit(10000000L) + col("part"))
+    val Seq(train, test) =
+      graft.ops.ChronoSplit.split(rated, Seq(0.8, 0.2), "t", "tie")
+    val mu = train.agg(avg("rating")).head().getDouble(0)
+    val bu = train.groupBy("cust")
+      .agg((sum(col("rating") - mu) / (count(lit(1)) + lit(10.0))).as("b_u"))
+    val bi = train.join(bu, "cust").groupBy("part")
+      .agg((sum(col("rating") - mu - col("b_u")) / (count(lit(1)) + lit(10.0)))
+        .as("b_i"))
+    val resid = train.join(bu, "cust").join(bi, "part")
+      .select(col("cust"), col("part"),
+        (col("rating") - mu - col("b_u") - col("b_i"))
+          .cast("float").as("rating"))
+    val model = new CollectiveALS("cust", "part")
+      .setRank(8).setMaxIter(5).setRegParam(0.1).setSeed(42L)
+      .fit(resid)
+    val scored = model.predict(test.select("cust", "part", "rating"))
+      .join(bu, Seq("cust"), "left")
+      .join(bi, Seq("part"), "left")
+      .withColumn("base",
+        lit(mu) + coalesce(col("b_u"), lit(0.0)) + coalesce(col("b_i"), lit(0.0)))
+      .withColumn("full",
+        col("base") + when(isnan(col("prediction")), 0.0).otherwise(col("prediction")))
+    val m = scored.agg(
+      count(lit(1)).as("n_test"),
+      sqrt(avg(pow(col("full") - col("rating"), 2))).as("rmse_full"),
+      sqrt(avg(pow(col("base") - col("rating"), 2))).as("rmse_base"),
+      sqrt(avg(pow(lit(mu) - col("rating"), 2))).as("rmse_mean")).head()
+    import s.implicits._
+    Seq((m.getLong(0),
+        m.getDouble(2) <= m.getDouble(3),
+        m.getDouble(1) <= 1.05 * m.getDouble(2)))
+      .toDF("n_test", "bias_beats_mean", "factors_no_worse")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "als_baseline" -> (alsBaseline _),
     "fit_quality" -> (fitQuality _),
     "train_negatives" -> (trainNegatives _),
     "foldin_modes_shape" -> (foldinModesShape _),

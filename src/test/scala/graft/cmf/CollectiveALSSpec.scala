@@ -396,4 +396,14 @@ class CollectiveALSSpec extends SparkSpec {
     val minCoef = foldedNn.select(min(expr("array_min(features)"))).head.getFloat(0)
     assert(minCoef >= 0.0f, s"NNLS fold-in produced negative $minCoef")
   }
+
+  test("als_baseline certificate recovers the planted bias + interaction structure") {
+    val out = graft.queries.CmfQueries.alsBaseline(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_test") > 0)
+    assert(out(0).getAs[Boolean]("bias_beats_mean"),
+      "shrunken user/item biases must beat the global-mean predictor on holdout")
+    assert(out(0).getAs[Boolean]("factors_no_worse"),
+      "residual factorization must not degrade the baseline by more than 5%")
+  }
 }
