@@ -150,6 +150,37 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #23f int8 affine quantization audit of the embedding column —
+    * the 4× storage cut every 100 TB vector corpus takes: per-vector
+    * (min, scale = range/255) affine mapping to codes 0..255 via
+    * higher-order array functions (transform/aggregate — whole-stage
+    * codegen, no UDF). Certificates per vector: exact integer
+    * Σcodes and Σcodes² (content-addressable without shipping the
+    * code arrays), and the reconstruction-error bound
+    * maxerr ≤ scale/2 (+ float slack) that affine quantization
+    * guarantees — a false bound here means the rounding convention
+    * drifted. Constant vectors take scale 1 and quantize to zeros. */
+  def vecQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        array_min(col("embedding")).as("mn"),
+        array_max(col("embedding")).as("mx"))
+      .withColumn("scale",
+        when(col("mx") === col("mn"), lit(1.0))
+          .otherwise((col("mx") - col("mn")) / lit(255.0)))
+      .withColumn("codes",
+        expr("transform(embedding, x -> cast(round((x - mn) / scale, 0) as int))"))
+      .withColumn("maxerr", expr(
+        "aggregate(embedding, cast(0.0 as double), (a, x) -> " +
+          "greatest(a, abs(x - (mn + round((x - mn) / scale, 0) * scale))))"))
+      .select(col("vec_id"),
+        size(col("codes")).as("n_dims"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("sum_codes"),
+        expr("aggregate(codes, 0L, (a, c) -> a + cast(c as bigint) * c)")
+          .as("sum_sq"),
+        (col("maxerr") <= col("scale") * lit(0.5000001)).as("within_bound"))
+      .orderBy("vec_id")
+
   /** #5v hourly OHLC candlestick rollup per event type — open/close
     * are the values at the first/last (ts, event_id) of the hour,
     * computed as `min/max(struct(ts, id, value))` so the whole rollup
@@ -588,6 +619,7 @@ object StatQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_constraints"     -> (dqConstraints _),
     "events_ohlc"        -> (eventsOhlc _),
+    "vec_quantize"       -> (vecQuantize _),
     "events_twap"        -> (eventsTwap _),
     "q25_top_supplier"   -> (q25TopSupplier _),
     "replica_repair"     -> (replicaRepair _),
@@ -695,6 +727,28 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "vec_quantize" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |    list_min(embedding) AS mn, list_max(embedding) AS mx
+        |  FROM embeddings
+        |), scaled AS (
+        |  SELECT *, CASE WHEN mx = mn THEN 1.0
+        |    ELSE (mx - mn) / 255.0 END AS scale
+        |  FROM base
+        |), coded AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(embedding,
+        |      x -> round((x - mn) / scale, 0)::INT) AS codes,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(x - (mn + round((x - mn) / scale, 0) * scale)))) AS maxerr
+        |  FROM scaled
+        |)
+        |SELECT vec_id, len(codes) AS n_dims,
+        |  list_sum(list_transform(codes, c -> c::BIGINT))::BIGINT AS sum_codes,
+        |  list_sum(list_transform(codes, c -> c::BIGINT * c))::BIGINT AS sum_sq,
+        |  maxerr <= scale * 0.5000001 AS within_bound
+        |FROM coded ORDER BY vec_id""".stripMargin,
     "events_ohlc" ->
       """WITH ev AS (
         |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,

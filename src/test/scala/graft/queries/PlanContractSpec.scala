@@ -455,6 +455,16 @@ class PlanContractSpec extends SparkSpec {
       || plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(3000))
   }
 
+  test("OHLC rollup is one hash aggregate: no Window sort in the plan") {
+    // open/close via min/max(struct(ts,id,value)) — if a refactor
+    // reintroduces row_number the candlestick stops being mergeable
+    // (and stops working as streaming state).
+    val plan = finalPlan(StatQueries.eventsOhlc(spark, dir))
+    assert(!plan.contains("Window ["), plan.take(3000))
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      plan.take(3000))
+  }
+
   test("zonemap audit scans events once: one bucket aggregate, no per-predicate rescan") {
     val plan = finalPlan(StatQueries.zonemapPrune(spark, dir))
     // Three predicate rows union 64-row aggregates — the fact scan may
