@@ -150,6 +150,81 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #5x multiwindow SLO burn-rate alerts (SRE-workbook policy): per
+    * event type and hour, the trailing-1h and trailing-6h error rates
+    * (error = value > 95, budget = 5%) as burn-rate multiples, with
+    * the two-window AND rule — page at (14.4×, 6×), ticket at
+    * (3×, 1.5×) — that suppresses both blips and slow-burn misses.
+    * The 6h window is a RANGE frame over the hour index, so calendar
+    * gaps count as empty hours instead of stretching the window. The
+    * alert booleans compare in exact integer cross-multiplied form
+    * (err·100 > 72·n), so no float boundary can disagree. */
+  def sloBurn(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .withColumn("hour_idx", expr("unix_micros(ts) div 3600000000"))
+      .groupBy("event_type", "hour_idx")
+      .agg(count(lit(1)).as("n1"),
+        sum(when(col("value") > 95.0, 1L).otherwise(0L)).as("e1"))
+    val w6 = Window.partitionBy("event_type").orderBy("hour_idx")
+      .rangeBetween(-5, 0)
+    hourly
+      .withColumn("n6", sum("n1").over(w6))
+      .withColumn("e6", sum("e1").over(w6))
+      .select(col("event_type"), col("hour_idx"),
+        col("n1"), col("e1"), col("n6"), col("e6"),
+        round(col("e1") * 20.0 / col("n1"), 6).as("burn_1h"),
+        round(col("e6") * 20.0 / col("n6"), 6).as("burn_6h"),
+        (col("e1") * 100 > col("n1") * 72 &&
+          col("e6") * 10 > col("n6") * 3).as("page"),
+        (col("e1") * 20 > col("n1") * 3 &&
+          col("e6") * 40 > col("n6") * 3).as("ticket"))
+      .orderBy("event_type", "hour_idx")
+  }
+
+  /** #16c offline policy evaluation by replay (Li et al. 2011): a
+    * follow-the-leader policy — each hour, play the event type whose
+    * cumulative CTR (reward = value > 50) through the PREVIOUS hour is
+    * highest, smoothed by a Beta(1,1) prior, min-type tiebreak — is
+    * evaluated on the log by keeping exactly the events whose logged
+    * arm matches the policy's choice. The policy table is the tiny
+    * hours × arms grid (cumulative sums over hours), so the only
+    * fact-scale work is one join back to the log on (hour, type);
+    * unmatched hours (no plays of the chosen arm) surface with
+    * n_matched = 0 rather than vanishing. */
+  def banditReplay(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("hour_idx", expr("unix_micros(ts) div 3600000000"))
+      .withColumn("reward", when(col("value") > 50.0, 1L).otherwise(0L))
+    val hourly = ev.groupBy("event_type", "hour_idx")
+      .agg(count(lit(1)).as("n"), sum("reward").as("r"))
+    // Complete (arm × hour) grid so cumulative stats advance through
+    // hours where an arm wasn't played.
+    val arms = hourly.select("event_type").distinct()
+    val hours = hourly.select("hour_idx").distinct()
+    val wcum = Window.partitionBy("event_type").orderBy("hour_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = arms.crossJoin(hours)
+      .join(hourly, Seq("event_type", "hour_idx"), "left")
+      .na.fill(0L, Seq("n", "r"))
+      .withColumn("cn", coalesce(sum("n").over(wcum), lit(0L)))
+      .withColumn("cr", coalesce(sum("r").over(wcum), lit(0L)))
+      .withColumn("ctr", (col("cr") + 1.0) / (col("cn") + 2.0))
+    val wpick = Window.partitionBy("hour_idx")
+      .orderBy(col("ctr").desc, col("event_type"))
+    val policy = grid
+      .withColumn("rk", row_number().over(wpick))
+      .filter(col("rk") === 1)
+      .select(col("hour_idx"), col("event_type").as("chosen_arm"))
+    policy
+      .join(hourly.withColumnRenamed("event_type", "chosen_arm"),
+        Seq("chosen_arm", "hour_idx"), "left")
+      .select(col("hour_idx"), col("chosen_arm"),
+        coalesce(col("n"), lit(0L)).as("n_matched"),
+        round(coalesce(col("r"), lit(0L)) / col("n").cast("double"), 6)
+          .as("replay_ctr"))
+      .orderBy("hour_idx")
+  }
+
   /** #23f int8 affine quantization audit of the embedding column —
     * the 4× storage cut every 100 TB vector corpus takes: per-vector
     * (min, scale = range/255) affine mapping to codes 0..255 via
@@ -620,6 +695,8 @@ object StatQueries {
     "dq_constraints"     -> (dqConstraints _),
     "events_ohlc"        -> (eventsOhlc _),
     "vec_quantize"       -> (vecQuantize _),
+    "slo_burn"           -> (sloBurn _),
+    "bandit_replay"      -> (banditReplay _),
     "events_twap"        -> (eventsTwap _),
     "q25_top_supplier"   -> (q25TopSupplier _),
     "replica_repair"     -> (replicaRepair _),
@@ -727,6 +804,55 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "slo_burn" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+        |    count(*) AS n1,
+        |    sum(CASE WHEN value > 95.0 THEN 1 ELSE 0 END)::BIGINT AS e1
+        |  FROM events GROUP BY 1, 2
+        |), win AS (
+        |  SELECT *, (sum(n1) OVER w6)::BIGINT AS n6, (sum(e1) OVER w6)::BIGINT AS e6
+        |  FROM hourly WINDOW w6 AS (PARTITION BY event_type ORDER BY hour_idx
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, hour_idx, n1, e1, n6, e6,
+        |  round(e1 * 20.0 / n1, 6) AS burn_1h,
+        |  round(e6 * 20.0 / n6, 6) AS burn_6h,
+        |  (e1 * 100 > n1 * 72 AND e6 * 10 > n6 * 3) AS page,
+        |  (e1 * 20 > n1 * 3 AND e6 * 40 > n6 * 3) AS ticket
+        |FROM win ORDER BY 1, 2""".stripMargin,
+    "bandit_replay" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS reward
+        |  FROM events
+        |), hourly AS (
+        |  SELECT event_type, hour_idx, count(*) AS n, sum(reward)::BIGINT AS r
+        |  FROM ev GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT a.event_type, h.hour_idx,
+        |    coalesce(hh.n, 0) AS n, coalesce(hh.r, 0) AS r
+        |  FROM (SELECT DISTINCT event_type FROM hourly) a
+        |  CROSS JOIN (SELECT DISTINCT hour_idx FROM hourly) h
+        |  LEFT JOIN hourly hh
+        |    ON hh.event_type = a.event_type AND hh.hour_idx = h.hour_idx
+        |), cum AS (
+        |  SELECT *, coalesce(sum(n) OVER wc, 0)::BIGINT AS cn,
+        |    coalesce(sum(r) OVER wc, 0)::BIGINT AS cr
+        |  FROM grid WINDOW wc AS (PARTITION BY event_type ORDER BY hour_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), pick AS (
+        |  SELECT hour_idx, event_type AS chosen_arm,
+        |    row_number() OVER (PARTITION BY hour_idx
+        |      ORDER BY (cr + 1.0) / (cn + 2.0) DESC, event_type) AS rk
+        |  FROM cum
+        |)
+        |SELECT p.hour_idx, p.chosen_arm,
+        |  coalesce(h.n, 0)::BIGINT AS n_matched,
+        |  round(coalesce(h.r, 0) / h.n::DOUBLE, 6) AS replay_ctr
+        |FROM pick p LEFT JOIN hourly h
+        |  ON h.event_type = p.chosen_arm AND h.hour_idx = p.hour_idx
+        |WHERE rk = 1 ORDER BY p.hour_idx""".stripMargin,
     "vec_quantize" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,
