@@ -150,6 +150,104 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #5y Kaplan-Meier survival curve of user lifetimes — the censored
+    * estimator a naive average-lifetime misstates: users still active
+    * in the corpus's final day are CENSORED (their lifetime is a lower
+    * bound), so each death day contributes the conditional factor
+    * (1 − d/n) over its at-risk set instead of a raw mean. Lifetimes
+    * are integer days; the survival product rides exp(Σ ln(1−d/n))
+    * over the (tiny) death-day grid. */
+  def survivalKm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val horizon = ev.agg(max("ts_us").as("h_end"))
+    val life = ev.groupBy("user_id")
+      .agg(min("ts_us").as("first_us"), max("ts_us").as("last_us"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("k", expr("(last_us - first_us) div 86400000000"))
+      .withColumn("censored", col("last_us") >= col("h_end") - 86400000000L)
+    val deaths = life.filter(!col("censored"))
+      .groupBy("k").agg(count(lit(1)).as("d"))
+    val atRisk = life.crossJoin(broadcast(deaths.select(col("k").as("gk"))))
+      .filter(col("k") >= col("gk"))
+      .groupBy(col("gk").as("k")).agg(count(lit(1)).as("n_risk"))
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    deaths.join(atRisk, "k")
+      .withColumn("lnq", log(lit(1.0) - col("d") / col("n_risk").cast("double")))
+      .withColumn("survival", round(exp(sum("lnq").over(w)), 6))
+      .select(col("k").as("day"), col("n_risk"), col("d").as("d_events"),
+        col("survival"))
+      .orderBy("day")
+  }
+
+  /** #31g Little's law audit (L = λ·W) over gap sessions — two
+    * INDEPENDENT derivations of average concurrency that must agree
+    * exactly: (a) the sweep-line time-average (+1/−1 at session
+    * start/end, counter area over the horizon) and (b) total session
+    * duration over the horizon. Equality is exact integer µs·sessions
+    * area — a mismatch means the interval algebra (the machinery under
+    * `interval_coalesce`/`intersectJoin`) dropped or double-counted a
+    * boundary. */
+  def littlesLaw(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.ops.Sessionize.sessions(
+        Tables.events(s, dir), "user_id", "ts", 30L * 60 * 1000000, "event_id")
+      .select(col("session_start_us").as("st"), col("session_end_us").as("en"))
+    val pts = sess.select(col("st").as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("en").as("t"), lit(-1L).as("delta")))
+      .groupBy("t").agg(sum("delta").as("delta"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    val wl = Window.orderBy("t")
+    val area = pts
+      .withColumn("cnt", sum("delta").over(w))
+      .withColumn("gap", lead("t", 1).over(wl) - col("t"))
+      .filter(col("gap").isNotNull)
+      .agg(sum(col("cnt") * col("gap")).as("area_us"))
+    val tot = sess.agg(count(lit(1)).as("n_sessions"),
+      sum(col("en") - col("st")).as("dur_us"),
+      (max("en") - min("st")).as("horizon_us"))
+    area.crossJoin(broadcast(tot))
+      .select(col("n_sessions"), col("area_us"), col("dur_us"), col("horizon_us"),
+        (col("area_us") === col("dur_us")).as("l_equals_lambda_w"),
+        round(col("area_us") / col("horizon_us").cast("double"), 6)
+          .as("avg_concurrency"))
+  }
+
+  /** #46d dictionary-encoding advisor — the storage-layout readout a
+    * columnar rewrite consults: for each candidate low-cardinality
+    * string column, exact NDV and raw byte volume against the
+    * dictionary alternative (distinct values once + byte-aligned codes
+    * of 1/2/4 bytes by NDV), with the saving in basis points. All
+    * integer-exact; each column costs one (pruned) scan of just that
+    * column. */
+  def encodingAdvisor(s: SparkSession, dir: String): DataFrame = {
+    def one(table: String, column: String, df: DataFrame): DataFrame = {
+      val c = col(column)
+      val stats = df.agg(
+        count(lit(1)).as("n"),
+        sum(octet_length(c)).as("raw_bytes"))
+      val dict = df.select(c.as("v")).distinct()
+        .agg(count(lit(1)).as("ndv"), sum(octet_length(col("v"))).as("dict_entry_bytes"))
+      stats.crossJoin(broadcast(dict))
+        .withColumn("code_bytes",
+          when(col("ndv") <= 256, 1L).when(col("ndv") <= 65536, 2L).otherwise(4L))
+        .select(lit(table).as("table_name"), lit(column).as("column_name"),
+          col("n"), col("ndv"), col("raw_bytes"),
+          (col("dict_entry_bytes") + col("n") * col("code_bytes")).as("dict_bytes"))
+        // greatest(..., 0): a dictionary that LOSES would make the
+        // numerator negative, where Spark's `div` (truncate) and
+        // DuckDB's `//` (floor) disagree — clamp instead.
+        .withColumn("savings_bp",
+          expr("greatest(raw_bytes - dict_bytes, 0L) * 10000 div raw_bytes"))
+    }
+    Seq(
+      one("customer", "c_mktsegment", Tables.customer(s, dir)),
+      one("documents", "lang", Tables.documents(s, dir)),
+      one("documents", "source", Tables.documents(s, dir)),
+      one("lineitem", "l_returnflag", Tables.lineitem(s, dir)),
+      one("orders", "o_orderpriority", Tables.orders(s, dir)))
+      .reduce(_ unionAll _)
+      .orderBy("table_name", "column_name")
+  }
+
   /** #5x multiwindow SLO burn-rate alerts (SRE-workbook policy): per
     * event type and hour, the trailing-1h and trailing-6h error rates
     * (error = value > 95, budget = 5%) as burn-rate multiples, with
@@ -696,6 +794,9 @@ object StatQueries {
     "events_ohlc"        -> (eventsOhlc _),
     "vec_quantize"       -> (vecQuantize _),
     "slo_burn"           -> (sloBurn _),
+    "survival_km"        -> (survivalKm _),
+    "littles_law"        -> (littlesLaw _),
+    "encoding_advisor"   -> (encodingAdvisor _),
     "bandit_replay"      -> (banditReplay _),
     "events_twap"        -> (eventsTwap _),
     "q25_top_supplier"   -> (q25TopSupplier _),
@@ -804,6 +905,79 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "survival_km" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |), h AS (SELECT max(ts_us) AS h_end FROM ev),
+        |life AS (
+        |  SELECT user_id,
+        |    (max(ts_us) - min(ts_us)) // 86400000000 AS k,
+        |    max(ts_us) >= (SELECT h_end FROM h) - 86400000000 AS censored
+        |  FROM ev GROUP BY user_id
+        |), deaths AS (
+        |  SELECT k, count(*) AS d FROM life WHERE NOT censored GROUP BY k
+        |), at_risk AS (
+        |  SELECT d.k, count(*) AS n_risk
+        |  FROM deaths d JOIN life l ON l.k >= d.k GROUP BY d.k
+        |)
+        |SELECT d.k AS day, n_risk, d AS d_events,
+        |  round(exp(sum(ln(1.0 - d / n_risk::DOUBLE)) OVER (
+        |    ORDER BY d.k ROWS UNBOUNDED PRECEDING)), 6) AS survival
+        |FROM deaths d JOIN at_risk a ON a.k = d.k
+        |ORDER BY day""".stripMargin,
+    "littles_law" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN tsu - lag(tsu) OVER w > 1800000000
+        |    OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), sx AS (
+        |  SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM f
+        |), sess AS (
+        |  SELECT min(tsu) AS st, max(tsu) AS en
+        |  FROM sx GROUP BY user_id, session_idx
+        |), pts AS (
+        |  SELECT t, sum(delta)::BIGINT AS delta FROM (
+        |    SELECT st AS t, 1 AS delta FROM sess
+        |    UNION ALL SELECT en, -1 FROM sess) u
+        |  GROUP BY t
+        |), swept AS (
+        |  SELECT t,
+        |    (sum(delta) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))::BIGINT AS cnt,
+        |    lead(t) OVER (ORDER BY t) - t AS gap
+        |  FROM pts
+        |), area AS (
+        |  SELECT sum(cnt * gap)::BIGINT AS area_us FROM swept WHERE gap IS NOT NULL
+        |), tot AS (
+        |  SELECT count(*) AS n_sessions, sum(en - st)::BIGINT AS dur_us,
+        |    (max(en) - min(st))::BIGINT AS horizon_us
+        |  FROM sess
+        |)
+        |SELECT n_sessions, area_us, dur_us, horizon_us,
+        |  area_us = dur_us AS l_equals_lambda_w,
+        |  round(area_us / horizon_us::DOUBLE, 6) AS avg_concurrency
+        |FROM area CROSS JOIN tot""".stripMargin,
+    "encoding_advisor" -> Seq(
+      ("customer", "c_mktsegment"), ("documents", "lang"),
+      ("documents", "source"), ("lineitem", "l_returnflag"),
+      ("orders", "o_orderpriority")).map { case (t, c) =>
+        s"""SELECT '$t' AS table_name, '$c' AS column_name,
+           |  n, ndv, raw_bytes, dict_bytes,
+           |  (greatest(raw_bytes - dict_bytes, 0) * 10000 // raw_bytes)::BIGINT
+           |    AS savings_bp
+           |FROM (
+           |  SELECT (SELECT count(*) FROM $t) AS n,
+           |    (SELECT count(DISTINCT $c) FROM $t) AS ndv,
+           |    (SELECT sum(strlen($c))::BIGINT FROM $t) AS raw_bytes,
+           |    (SELECT (sum(strlen(v)) + (SELECT count(*) FROM $t) *
+           |       (CASE WHEN count(*) <= 256 THEN 1
+           |             WHEN count(*) <= 65536 THEN 2 ELSE 4 END))::BIGINT
+           |     FROM (SELECT DISTINCT $c AS v FROM $t) dv) AS dict_bytes
+           |) s""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name"),
     "slo_burn" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
