@@ -27,6 +27,13 @@ object StreamMmQueries {
     EventStream.runCmBatchEquivalent(s, dir)
       .orderBy("window_start", "r", "bucket")
 
+  /** #29q declarative session windows ([[EventStream.sessionWindowAgg]]):
+    * the engine's built-in `session_window` against the same gap-session
+    * oracle the custom-state sessionizer answers to. */
+  def streamSessionWindow(s: SparkSession, dir: String): DataFrame =
+    EventStream.runSessionWindowBatchEquivalent(s, dir)
+      .orderBy("user_id", "start_us")
+
   /** #29p streaming OHLC candlesticks ([[EventStream.ohlcAgg]]):
     * mergeable struct-min/max open/close state, hash-matched against
     * the batch `events_ohlc` derivation. */
@@ -344,6 +351,7 @@ object StreamMmQueries {
     "stream_cm_sketch"    -> (streamCmSketch _),
     "stream_merkle"       -> (streamMerkle _),
     "stream_ohlc"         -> (streamOhlc _),
+    "stream_session_window" -> (streamSessionWindow _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_gif"      -> (multimodalGif _),
     "multimodal_tiff"     -> (multimodalTiff _),
@@ -612,6 +620,31 @@ object StreamMmQueries {
       """SELECT doc_id, 'gif' AS format,
         |  (doc_id % 64) + 1 AS width, (doc_id % 48) + 1 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // session_window semantics: [t, t+gap) interval union (a gap of
+    // exactly 30 min SPLITS), end = last event + gap, appended once the
+    // window end is below the final watermark (ms-truncated max - 1h).
+    "stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN tsu - lag(tsu) OVER w >= 1800000000
+        |    OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), s AS (
+        |  SELECT *, (sum(news) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        |  FROM f
+        |), g AS (
+        |  SELECT user_id,
+        |    min(tsu) AS start_us, max(tsu) + 1800000000 AS end_us,
+        |    count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |  FROM s GROUP BY user_id, session_idx
+        |), wm AS (
+        |  SELECT (max(tsu) // 1000 - 3600000) * 1000 AS wm_us FROM e
+        |)
+        |SELECT user_id, start_us, end_us, n_events, sum_value
+        |FROM g WHERE end_us < (SELECT wm_us FROM wm)
+        |ORDER BY user_id, start_us""".stripMargin,
     // The streaming candlestick must equal the batch derivation exactly
     // (open/close are values at the min/max (ts, id) of the hour).
     "stream_ohlc" ->

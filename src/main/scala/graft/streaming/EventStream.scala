@@ -74,6 +74,27 @@ object EventStream {
   def runOhlcBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
     Drain.toMemory(ohlcAgg(Drain.events(spark, dir)), "complete", "graft_ohlc")
 
+  /** Declarative gap sessionization via the engine's own
+    * `session_window` — the built-in counterpart of the
+    * `flatMapGroupsWithState` sessionizer (`SessionStream`): windows
+    * [t, t+gap) union when they overlap (a gap of EXACTLY 30 min
+    * starts a new session — strict-interval semantics), and append
+    * mode emits each session once its window end drops below the
+    * watermark. Same state bound, zero custom state code. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Batch-equivalence drain of [[sessionWindowAgg]]. */
+  def runSessionWindowBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
+    Drain.toMemory(sessionWindowAgg(Drain.events(spark, dir)), "append", "graft_swin")
+
   /** Streaming windowed count-min sketch: per hourly tumbling window,
     * the depth×width CM counters of the user-id stream
     * ([[graft.ops.Sketches.cmBucket]] md5 arithmetic) — live mergeable

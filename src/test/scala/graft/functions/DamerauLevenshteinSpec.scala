@@ -45,4 +45,36 @@ class DamerauLevenshteinSpec extends AnyFunSuite {
     // distance bounded by max length
     assert(dl("abcdefgh", "zyxw") <= 8)
   }
+
+  test("randomized metric laws over a small alphabet") {
+    // Small alphabet (3 letters) maximizes transposition/coincidence
+    // cases the classic examples miss.
+    val rnd = new scala.util.Random(1234)
+    def randStr(): String =
+      (0 until rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    def lev(a: String, b: String): Int = {
+      // plain Levenshtein reference (no transpositions)
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (_ <- 1 to 300) {
+      val (a, b, c) = (randStr(), randStr(), randStr())
+      val dab = dl(a, b)
+      assert(dab == dl(b, a), s"symmetry failed on ($a, $b)")
+      assert((dab == 0) == (a == b), s"identity failed on ($a, $b)")
+      // true DL is a metric: triangle inequality holds
+      assert(dab <= dl(a, c) + dl(c, b), s"triangle failed on ($a, $b, $c)")
+      // bounded above by plain Levenshtein (transpositions only help)
+      // and below by half of it (one transposition fixes <= 2 subs)
+      val lv = lev(a, b)
+      assert(dab <= lv && 2 * dab >= lv, s"Levenshtein bounds failed on ($a, $b)")
+      // and below by the length difference
+      assert(dab >= math.abs(a.length - b.length))
+    }
+  }
 }
