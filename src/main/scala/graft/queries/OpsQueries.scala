@@ -1100,6 +1100,31 @@ object OpsQueries {
     * (Cormack et al. 2009): rrf = Σ_lists 1/(60 + rank). Both input
     * rankings are themselves hash-oracled queries, so the fusion is
     * exactly mirrorable. */
+  /** #40e rank-biased overlap (Webber 2010, truncated at k=10,
+    * p=0.9) between the BM25 and TF-IDF top-10 lists for the same
+    * query — the top-weighted list-agreement score RRF fusion doesn't
+    * report: how much do the two retrieval models even agree? Each
+    * doc in both lists contributes Σ_{d≥max(rank_a,rank_b)}
+    * (1−p)·p^(d−1)/d — the pairwise reformulation that needs no
+    * per-depth set intersection. */
+  def searchRbo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val q = Seq("vector", "key", "dup")
+    val wAll = Window.orderBy(col("score").desc, col("doc_id"))
+    val bm = TextAnalysis.bm25Search(docs, "text", "doc_id", q, 10)
+      .withColumn("ra", row_number().over(wAll)).select("doc_id", "ra")
+    val tf = TextAnalysis.tfidfSearch(docs, "text", "doc_id", q, 10)
+      .withColumn("rb", row_number().over(wAll)).select("doc_id", "rb")
+    val pairs = bm.join(tf, "doc_id")
+      .withColumn("m", greatest(col("ra"), col("rb")))
+    val depth = s.range(1, 11).select(col("id").as("d"))
+    pairs.join(broadcast(depth), col("d") >= col("m"))
+      .withColumn("wt", lit(0.1) * pow(lit(0.9), col("d") - 1) / col("d"))
+      .agg(countDistinct("doc_id").as("n_overlap10"),
+        round(sum("wt"), 6).as("rbo"))
+  }
+
   def searchRrf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
@@ -2936,6 +2961,7 @@ object OpsQueries {
     "events_debounce"   -> (eventsDebounce _),
     "events_cusum"      -> (eventsCusum _),
     "search_rrf"        -> (searchRrf _),
+    "search_rbo"        -> (searchRbo _),
     "pareto_parts"      -> (paretoParts _),
     "events_gapfill"    -> (eventsGapfill _),
     "revenue_growth"    -> (revenueGrowth _),
@@ -3234,6 +3260,36 @@ object OpsQueries {
       |           ((1.0::DOUBLE - 0.75::DOUBLE)
       |            + 0.75::DOUBLE * wdl.dl::DOUBLE / avgdl)), 6) AS score
       |  FROM wdl JOIN dft USING (term) CROSS JOIN consts
+      |)""".stripMargin
+
+  /** The BM25 and TF-IDF top-10 lists for the pinned 3-term query —
+    * shared by the search_rrf fusion and search_rbo agreement oracles. */
+  private lazy val searchListsSql: String = bm25ScoredSql + """
+      |, bml AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk_bm
+      |  FROM (
+      |    SELECT doc_id, round(sum(score), 6) AS score
+      |    FROM scored WHERE term IN ('vector', 'key', 'dup')
+      |    GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)
+      |), n2 AS (SELECT count(*) AS n_docs FROM documents),
+      |w2 AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf * ln(n_docs / df) AS w
+      |  FROM tf JOIN dft USING (term), n2
+      |),
+      |norms2 AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w2 GROUP BY 1),
+      |qw2 AS (
+      |  SELECT term, ln(n_docs / df) AS qw FROM dft, n2
+      |  WHERE term IN ('vector', 'key', 'dup') AND ln(n_docs / df) > 0
+      |),
+      |qn2 AS (SELECT sqrt(sum(qw * qw)) AS qnorm FROM qw2),
+      |tfl AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk_tf
+      |  FROM (
+      |    SELECT w2.doc_id,
+      |      round(sum(w2.w * qw2.qw) / (norms2.norm * qn2.qnorm), 6) AS score
+      |    FROM w2 JOIN qw2 USING (term) JOIN norms2 USING (doc_id), qn2
+      |    GROUP BY w2.doc_id, norms2.norm, qn2.qnorm
+      |    ORDER BY score DESC, doc_id LIMIT 10)
       |)""".stripMargin
 
   private lazy val textBm25Sql: String =
@@ -4839,39 +4895,26 @@ FROM cells ORDER BY lang_true, lang_pred""",
     // oracles verbatim — bm25ScoredSql's CTEs feed the bm25 list, the
     // tfidf CTEs are re-derived from the shared tf/dft, and the fusion
     // is pure rank arithmetic.
-    "search_rrf" -> (bm25ScoredSql + """
-      |, bml AS (
-      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk_bm
-      |  FROM (
-      |    SELECT doc_id, round(sum(score), 6) AS score
-      |    FROM scored WHERE term IN ('vector', 'key', 'dup')
-      |    GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)
-      |), n2 AS (SELECT count(*) AS n_docs FROM documents),
-      |w2 AS (
-      |  SELECT tf.doc_id, tf.term, tf.tf * ln(n_docs / df) AS w
-      |  FROM tf JOIN dft USING (term), n2
-      |),
-      |norms2 AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w2 GROUP BY 1),
-      |qw2 AS (
-      |  SELECT term, ln(n_docs / df) AS qw FROM dft, n2
-      |  WHERE term IN ('vector', 'key', 'dup') AND ln(n_docs / df) > 0
-      |),
-      |qn2 AS (SELECT sqrt(sum(qw * qw)) AS qnorm FROM qw2),
-      |tfl AS (
-      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk_tf
-      |  FROM (
-      |    SELECT w2.doc_id,
-      |      round(sum(w2.w * qw2.qw) / (norms2.norm * qn2.qnorm), 6) AS score
-      |    FROM w2 JOIN qw2 USING (term) JOIN norms2 USING (doc_id), qn2
-      |    GROUP BY w2.doc_id, norms2.norm, qn2.qnorm
-      |    ORDER BY score DESC, doc_id LIMIT 10)
-      |)
+    "search_rrf" -> (searchListsSql + """
       |SELECT doc_id,
       |  round(coalesce(1.0 / (60 + rk_bm), 0) + coalesce(1.0 / (60 + rk_tf), 0), 6)
       |    AS rrf,
       |  ((rk_bm IS NOT NULL)::INT + (rk_tf IS NOT NULL)::INT)::BIGINT AS n_lists
       |FROM bml FULL OUTER JOIN tfl USING (doc_id)
       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
+    // Same two ranked lists as search_rrf; the pairwise Σ p^(d-1)/d
+    // reformulation replaces per-depth set intersections.
+    "search_rbo" -> (searchListsSql + """
+      |, pairs AS (
+      |  SELECT doc_id, greatest(rk_bm, rk_tf) AS m
+      |  FROM bml JOIN tfl USING (doc_id)
+      |), contrib AS (
+      |  SELECT doc_id, d, 0.1 * pow(0.9, d - 1) / d AS wt
+      |  FROM pairs JOIN (SELECT unnest(generate_series(1, 10))::BIGINT AS d) ds
+      |    ON d >= m
+      |)
+      |SELECT count(DISTINCT doc_id) AS n_overlap10, round(sum(wt), 6) AS rbo
+      |FROM contrib""".stripMargin),
     "tfidf_search" ->
       """WITH tf AS (
         |  SELECT doc_id, lower(tok) AS term, count(*) AS tf FROM (

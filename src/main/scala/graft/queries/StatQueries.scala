@@ -150,6 +150,28 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #5z Simpson's-paradox screen — the aggregation lint: the overall
+    * discount→quantity regression slope against the per-brand slopes,
+    * flagging brands whose (6dp-rounded) slope sign OPPOSES the
+    * aggregate's. A flipped segment means any conclusion drawn from
+    * the pooled slope silently reverses inside that stratum — the
+    * classic trap of reporting one regression over heterogeneous
+    * groups. */
+  def simpsonCheck(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    val overall = li.agg(
+      round(regr_slope(col("l_quantity"), col("l_discount")), 6).as("slope_all"))
+    li.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        round(regr_slope(col("l_quantity"), col("l_discount")), 6).as("slope"))
+      .crossJoin(broadcast(overall))
+      .select(col("p_brand"), col("n"), col("slope"), col("slope_all"),
+        (col("slope") * col("slope_all") < 0).as("sign_flip"))
+      .orderBy("p_brand")
+  }
+
   /** #5y Kaplan-Meier survival curve of user lifetimes — the censored
     * estimator a naive average-lifetime misstates: users still active
     * in the corpus's final day are CENSORED (their lifetime is a lower
@@ -795,6 +817,7 @@ object StatQueries {
     "vec_quantize"       -> (vecQuantize _),
     "slo_burn"           -> (sloBurn _),
     "survival_km"        -> (survivalKm _),
+    "simpson_check"      -> (simpsonCheck _),
     "littles_law"        -> (littlesLaw _),
     "encoding_advisor"   -> (encodingAdvisor _),
     "bandit_replay"      -> (banditReplay _),
@@ -905,6 +928,19 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "simpson_check" ->
+      """WITH j AS (
+        |  SELECT p_brand, l_quantity, l_discount
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), o AS (
+        |  SELECT round(regr_slope(l_quantity, l_discount), 6) AS slope_all FROM j
+        |)
+        |SELECT p_brand, count(*) AS n,
+        |  round(regr_slope(l_quantity, l_discount), 6) AS slope,
+        |  (SELECT slope_all FROM o) AS slope_all,
+        |  round(regr_slope(l_quantity, l_discount), 6)
+        |    * (SELECT slope_all FROM o) < 0 AS sign_flip
+        |FROM j GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "survival_km" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
