@@ -150,6 +150,65 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #5k'' Wald SPRT early-stopping replay — the sequential A/B
+    * readout `ab_ttest`'s fixed-horizon test can't give: walking arm
+    * B's conversions (value > 50) in arrival order, the cumulative
+    * log-likelihood ratio for H₁: p = 0.55 vs H₀: p = 0.5 is
+    * n₁·ln(1.1) + n₀·ln(0.9), checked against the Wald boundaries
+    * ln((1−β)/α), ln(β/(1−α)) at α = β = 0.05. Reports the first
+    * crossing (decision + sample number + when) and the final state —
+    * i.e. how much earlier the experiment could have stopped. LLRs
+    * round to 9dp before the boundary compare so both engines agree
+    * bit-for-bit. */
+  def abSprt(s: SparkSession, dir: String): DataFrame = {
+    // Arm B = the same multiplicative-hash split ab_ttest uses.
+    val arm = Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .filter(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L) + lit(13L),
+        lit(1000000L)) >= 500000L)
+      .withColumn("x", when(col("value") > 50.0, 1L).otherwise(0L))
+    val w = Window.orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val walked = arm
+      .withColumn("n1", sum("x").over(w))
+      .withColumn("t", row_number().over(Window.orderBy(col("ts_us"), col("event_id"))).cast("long"))
+      .withColumn("llr", round(col("n1") * log(lit(1.1))
+        + (col("t") - col("n1")) * log(lit(0.9)), 9))
+      .withColumn("hi", round(log((lit(1.0) - 0.05) / 0.05), 9))
+      .withColumn("lo", round(log(lit(0.05) / (lit(1.0) - 0.05)), 9))
+      .withColumn("crossed",
+        when(col("llr") >= col("hi"), "accept_h1")
+          .when(col("llr") <= col("lo"), "accept_h0"))
+    val first = walked.filter(col("crossed").isNotNull)
+      .agg(min(struct(col("t"), col("ts_us"), col("crossed"), col("llr"))).as("f"))
+      .select(col("f.t").as("decision_n"), col("f.ts_us").as("decision_ts_us"),
+        col("f.crossed").as("decision"), col("f.llr").as("llr_at_decision"))
+    val last = walked.agg(max("t").as("n_total"),
+      max(struct(col("t"), col("llr"))).as("l"))
+      .select(col("n_total"), col("l.llr").as("final_llr"))
+    first.crossJoin(broadcast(last))
+  }
+
+  /** #5z' overdispersion screen on hourly event counts — the
+    * index-of-dispersion (variance/mean) per type with the chi-square
+    * form (n−1)·D that tests the Poisson hypothesis: bursty arrival
+    * processes (D ≫ 1) break every model that assumed independent
+    * arrivals (rate z-scores, Poisson CIs), so this is the
+    * check-before-model gate. */
+  def eventsDispersion(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+    hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        round(avg("n"), 6).as("mean_rate"),
+        round(var_pop("n"), 6).as("var_rate"),
+        round(var_pop("n") / avg("n"), 6).as("dispersion"),
+        round((count(lit(1)) - 1) * var_pop("n") / avg("n"), 6).as("chi2"))
+      .orderBy("event_type")
+  }
+
   /** #5z Simpson's-paradox screen — the aggregation lint: the overall
     * discount→quantity regression slope against the per-brand slopes,
     * flagging brands whose (6dp-rounded) slope sign OPPOSES the
@@ -818,6 +877,8 @@ object StatQueries {
     "slo_burn"           -> (sloBurn _),
     "survival_km"        -> (survivalKm _),
     "simpson_check"      -> (simpsonCheck _),
+    "ab_sprt"            -> (abSprt _),
+    "events_dispersion"  -> (eventsDispersion _),
     "littles_law"        -> (littlesLaw _),
     "encoding_advisor"   -> (encodingAdvisor _),
     "bandit_replay"      -> (banditReplay _),
@@ -928,6 +989,51 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ab_sprt" ->
+      """WITH arm AS (
+        |  SELECT epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS x
+        |  FROM events
+        |  WHERE ((user_id % 1000000) * 2654435761 + 13) % 1000000 >= 500000
+        |), walked AS (
+        |  SELECT ts_us,
+        |    row_number() OVER (ORDER BY ts_us, event_id) AS t,
+        |    (sum(x) OVER (ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS n1
+        |  FROM arm
+        |), llrs AS (
+        |  SELECT ts_us, t::BIGINT AS t,
+        |    round(n1 * ln(1.1) + (t - n1) * ln(0.9), 9) AS llr,
+        |    round(ln((1.0 - 0.05) / 0.05), 9) AS hi,
+        |    round(ln(0.05 / (1.0 - 0.05)), 9) AS lo
+        |  FROM walked
+        |), crossed AS (
+        |  SELECT *, CASE WHEN llr >= hi THEN 'accept_h1'
+        |    WHEN llr <= lo THEN 'accept_h0' END AS crossed
+        |  FROM llrs
+        |), first AS (
+        |  SELECT t AS decision_n, ts_us AS decision_ts_us,
+        |    crossed AS decision, llr AS llr_at_decision
+        |  FROM crossed WHERE crossed IS NOT NULL
+        |  ORDER BY t LIMIT 1
+        |), last AS (
+        |  SELECT max(t) AS n_total,
+        |    (SELECT llr FROM llrs ORDER BY t DESC LIMIT 1) AS final_llr
+        |  FROM llrs
+        |)
+        |SELECT * FROM first CROSS JOIN last""".stripMargin,
+    "events_dispersion" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, count(*) AS n_hours,
+        |  round(avg(n), 6) AS mean_rate,
+        |  round(var_pop(n), 6) AS var_rate,
+        |  round(var_pop(n) / avg(n), 6) AS dispersion,
+        |  round((count(*) - 1) * var_pop(n) / avg(n), 6) AS chi2
+        |FROM hourly GROUP BY event_type ORDER BY event_type""".stripMargin,
     "simpson_check" ->
       """WITH j AS (
         |  SELECT p_brand, l_quantity, l_discount
