@@ -150,6 +150,76 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #5k''' difference-in-differences readout — the 2×2 the A/B
+    * t-test doesn't give: treatment (the hash arm) × period (time
+    * halves) cell means of value, with
+    * DiD = (T_post − T_pre) − (C_post − C_pre). On a hash-randomized
+    * arm the true effect is zero, so the estimate doubles as a
+    * placebo/implementation check; all four cells ship with exact
+    * counts so the reader can compute any contrast. */
+  def eventsDid(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .withColumn("treated",
+        pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L) + lit(13L),
+          lit(1000000L)) >= 500000L)
+      .withColumn("post", col("ts_us") > col("mid"))
+      .groupBy("treated", "post")
+      .agg(count(lit(1)).as("n"), avg("value").as("mean_v"))
+    val wide = cells.agg(
+      sum(when(col("treated") && col("post"), col("mean_v"))).as("tp"),
+      sum(when(col("treated") && !col("post"), col("mean_v"))).as("tq"),
+      sum(when(!col("treated") && col("post"), col("mean_v"))).as("cp"),
+      sum(when(!col("treated") && !col("post"), col("mean_v"))).as("cq"),
+      sum(when(col("treated") && col("post"), col("n"))).as("n_tp"),
+      sum(when(col("treated") && !col("post"), col("n"))).as("n_tq"),
+      sum(when(!col("treated") && col("post"), col("n"))).as("n_cp"),
+      sum(when(!col("treated") && !col("post"), col("n"))).as("n_cq"))
+    wide.select(
+      col("n_tp"), col("n_tq"), col("n_cp"), col("n_cq"),
+      round(col("tp"), 6).as("mean_treated_post"),
+      round(col("tq"), 6).as("mean_treated_pre"),
+      round(col("cp"), 6).as("mean_control_post"),
+      round(col("cq"), 6).as("mean_control_pre"),
+      round((col("tp") - col("tq")) - (col("cp") - col("cq")), 6).as("did"))
+  }
+
+  /** #19w rich-club coefficient of the co-purchase graph — do
+    * high-degree hubs preferentially interconnect? For each degree
+    * threshold k, the density among nodes of degree ≥ k against the
+    * full graph's density, as an exact integer-over-integer ratio in
+    * basis points. Rising φ(k) with k = a rich club; the hub-
+    * interconnection readout assortativity (one global correlation)
+    * can wash out. */
+  def graphRichclub(s: SparkSession, dir: String): DataFrame = {
+    val p = OpsQueries.coocPairs(s, dir)
+      .select(col("item_a").as("a"), col("item_b").as("b"))
+      .localCheckpoint(true)
+    val sym = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val degB = deg.select(col("a").as("b"), col("deg").as("deg_b"))
+    val joined = p.join(deg, "a").join(degB, "b")
+    val ks = Seq(2L, 4L, 8L)
+    val eCols = ks.map(k => sum(when(col("deg") >= k && col("deg_b") >= k, 1L)
+      .otherwise(0L)).as(s"e$k"))
+    val wide = joined.agg(eCols.head, eCols.tail: _*)
+    val nodes = deg.agg(
+      count(lit(1)).as("n_all"),
+      ks.map(k => sum(when(col("deg") >= k, 1L).otherwise(0L)).as(s"n$k")): _*)
+    val tot = p.agg(count(lit(1)).as("e_all"))
+    val one = wide.crossJoin(broadcast(nodes)).crossJoin(broadcast(tot))
+    val stackArgs = ks.map(k => s"${k}L, n$k, e$k").mkString(", ")
+    one.select(col("e_all"), col("n_all"),
+        expr(s"stack(${ks.length}, $stackArgs) as (k, n_rich, e_rich)"))
+      .withColumn("phi_bp", expr(
+        "CASE WHEN n_rich >= 2 THEN e_rich * 2 * 10000 div (n_rich * (n_rich - 1)) END"))
+      .withColumn("density_all_bp",
+        expr("e_all * 2 * 10000 div (n_all * (n_all - 1))"))
+      .select("k", "n_rich", "e_rich", "phi_bp", "density_all_bp")
+      .orderBy("k")
+  }
+
   /** #5k'' Wald SPRT early-stopping replay — the sequential A/B
     * readout `ab_ttest`'s fixed-horizon test can't give: walking arm
     * B's conversions (value > 50) in arrival order, the cumulative
@@ -878,6 +948,8 @@ object StatQueries {
     "survival_km"        -> (survivalKm _),
     "simpson_check"      -> (simpsonCheck _),
     "ab_sprt"            -> (abSprt _),
+    "events_did"         -> (eventsDid _),
+    "graph_richclub"     -> (graphRichclub _),
     "events_dispersion"  -> (eventsDispersion _),
     "littles_law"        -> (littlesLaw _),
     "encoding_advisor"   -> (encodingAdvisor _),
@@ -989,6 +1061,70 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_did" ->
+      """WITH mid AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+        |), cells AS (
+        |  SELECT
+        |    ((user_id % 1000000) * 2654435761 + 13) % 1000000 >= 500000 AS treated,
+        |    epoch_us(ts) > mid AS post,
+        |    count(*) AS n, avg(value) AS mean_v
+        |  FROM events CROSS JOIN mid GROUP BY 1, 2
+        |), wide AS (
+        |  SELECT
+        |    sum(CASE WHEN treated AND post THEN mean_v END) AS tp,
+        |    sum(CASE WHEN treated AND NOT post THEN mean_v END) AS tq,
+        |    sum(CASE WHEN NOT treated AND post THEN mean_v END) AS cp,
+        |    sum(CASE WHEN NOT treated AND NOT post THEN mean_v END) AS cq,
+        |    sum(CASE WHEN treated AND post THEN n END)::BIGINT AS n_tp,
+        |    sum(CASE WHEN treated AND NOT post THEN n END)::BIGINT AS n_tq,
+        |    sum(CASE WHEN NOT treated AND post THEN n END)::BIGINT AS n_cp,
+        |    sum(CASE WHEN NOT treated AND NOT post THEN n END)::BIGINT AS n_cq
+        |  FROM cells
+        |)
+        |SELECT n_tp, n_tq, n_cp, n_cq,
+        |  round(tp, 6) AS mean_treated_post, round(tq, 6) AS mean_treated_pre,
+        |  round(cp, 6) AS mean_control_post, round(cq, 6) AS mean_control_pre,
+        |  round((tp - tq) - (cp - cq), 6) AS did
+        |FROM wide""".stripMargin,
+    "graph_richclub" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), p AS (
+        |  SELECT x.item AS a, y.item AS b
+        |  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        |deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+        |joined AS (
+        |  SELECT p.a, p.b, da.deg AS deg, db.deg AS deg_b
+        |  FROM p JOIN deg da ON da.a = p.a JOIN deg db ON db.a = p.b
+        |), wide AS (
+        |  SELECT
+        |    sum(CASE WHEN deg >= 2 AND deg_b >= 2 THEN 1 ELSE 0 END)::BIGINT AS e2,
+        |    sum(CASE WHEN deg >= 4 AND deg_b >= 4 THEN 1 ELSE 0 END)::BIGINT AS e4,
+        |    sum(CASE WHEN deg >= 8 AND deg_b >= 8 THEN 1 ELSE 0 END)::BIGINT AS e8
+        |  FROM joined
+        |), nodes AS (
+        |  SELECT count(*) AS n_all,
+        |    sum(CASE WHEN deg >= 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN deg >= 4 THEN 1 ELSE 0 END)::BIGINT AS n4,
+        |    sum(CASE WHEN deg >= 8 THEN 1 ELSE 0 END)::BIGINT AS n8
+        |  FROM deg
+        |), tot AS (SELECT count(*) AS e_all FROM p),
+        |longf AS (
+        |  SELECT 2::BIGINT AS k, n2 AS n_rich, e2 AS e_rich, n_all, e_all
+        |  FROM wide CROSS JOIN nodes CROSS JOIN tot
+        |  UNION ALL
+        |  SELECT 4, n4, e4, n_all, e_all FROM wide CROSS JOIN nodes CROSS JOIN tot
+        |  UNION ALL
+        |  SELECT 8, n8, e8, n_all, e_all FROM wide CROSS JOIN nodes CROSS JOIN tot
+        |)
+        |SELECT k, n_rich, e_rich,
+        |  CASE WHEN n_rich >= 2
+        |    THEN (e_rich * 2 * 10000 // (n_rich * (n_rich - 1)))::BIGINT END AS phi_bp,
+        |  (e_all * 2 * 10000 // (n_all * (n_all - 1)))::BIGINT AS density_all_bp
+        |FROM longf ORDER BY k""".stripMargin,
     "ab_sprt" ->
       """WITH arm AS (
         |  SELECT epoch_us(ts) AS ts_us, event_id,
