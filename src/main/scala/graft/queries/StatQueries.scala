@@ -150,6 +150,60 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #37n AMS (Alon-Matias-Szegedy) F₂ sketch with exact audit — the
+    * tug-of-war second-frequency-moment estimator: 32 deterministic
+    * ±1 hash signs per user, S_i = Σ f_u·sign_i(u) accumulated in ONE
+    * pass over events (each row contributes its sign — no per-user
+    * pre-aggregation needed), squared, then median-of-4-means over
+    * groups of 8. All state is 32 integers regardless of cardinality;
+    * everything up to the final display division stays exact integer,
+    * so the estimate itself hash-matches across engines, and the
+    * audited ratio to the exact Σf² shows the estimator's real error. */
+  def sketchF2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id")
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("exact_f2"))
+    val est = s.range(32).select(col("id").as("i"))
+    val signs = ev.crossJoin(broadcast(est))
+      .withColumn("sign", expr(
+        "1 - 2 * (cast(conv(substring(md5(concat(cast(user_id as string), '#', " +
+          "cast(i as string))), 1, 15), 16, 10) as bigint) % 2)"))
+    val sums = signs.groupBy("i").agg(sum("sign").as("s"))
+      .withColumn("s2", col("s") * col("s"))
+      .withColumn("grp", expr("i div 8"))
+      .groupBy("grp").agg(sum("s2").as("gsum"))
+    // median of the 4 group sums = the two middle values (exact ints);
+    // estimate = (m2 + m3) / 16  (the /8 group mean and /2 median avg).
+    val ranked = sums.withColumn("rk",
+      row_number().over(Window.orderBy(col("gsum"), col("grp"))))
+    val mid = ranked.filter(col("rk").isin(2, 3))
+      .agg(sum("gsum").as("m23"))
+    mid.crossJoin(broadcast(exact))
+      .select(col("exact_f2"),
+        round(col("m23") / lit(16.0), 2).as("estimate"),
+        round(col("m23") / lit(16.0) / col("exact_f2"), 6).as("ratio"))
+  }
+
+  /** #5z'''' burstiness index (Goh-Barabási) of inter-arrival gaps
+    * per event type: B = (σ−μ)/(σ+μ) ∈ (−1, 1) — 0 for Poisson
+    * arrivals, → 1 for heavy bursts, < 0 for pacemaker regularity.
+    * The distribution-shape companion to `events_dispersion`'s
+    * count-variance screen; one lag pass per type. */
+  def eventsBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg("gap"), 6).as("mean_gap_us"),
+        round(stddev_pop("gap"), 6).as("sd_gap_us"),
+        round((stddev_pop("gap") - avg("gap"))
+          / (stddev_pop("gap") + avg("gap")), 6).as("burstiness"))
+      .orderBy("event_type")
+  }
+
   /** #5k''' difference-in-differences readout — the 2×2 the A/B
     * t-test doesn't give: treatment (the hash arm) × period (time
     * halves) cell means of value, with
@@ -949,6 +1003,8 @@ object StatQueries {
     "simpson_check"      -> (simpsonCheck _),
     "ab_sprt"            -> (abSprt _),
     "events_did"         -> (eventsDid _),
+    "sketch_f2"          -> (sketchF2 _),
+    "events_burstiness"  -> (eventsBurstiness _),
     "graph_richclub"     -> (graphRichclub _),
     "events_dispersion"  -> (eventsDispersion _),
     "littles_law"        -> (littlesLaw _),
@@ -1061,6 +1117,43 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sketch_f2" ->
+      """WITH exact AS (
+        |  SELECT sum(f * f)::BIGINT AS exact_f2 FROM (
+        |    SELECT user_id, count(*)::BIGINT AS f FROM events GROUP BY 1) x
+        |), est AS (SELECT unnest(generate_series(0, 31))::BIGINT AS i),
+        |signs AS (
+        |  SELECT i,
+        |    1 - 2 * (('0x' || substr(md5(user_id::VARCHAR || '#' || i::VARCHAR),
+        |      1, 15))::BIGINT % 2) AS sign
+        |  FROM events CROSS JOIN est
+        |), sums AS (
+        |  SELECT i, sum(sign)::BIGINT AS s FROM signs GROUP BY i
+        |), grps AS (
+        |  SELECT i // 8 AS grp, sum(s * s)::BIGINT AS gsum
+        |  FROM sums GROUP BY 1
+        |), ranked AS (
+        |  SELECT gsum, row_number() OVER (ORDER BY gsum, grp) AS rk FROM grps
+        |), mid AS (
+        |  SELECT sum(gsum)::BIGINT AS m23 FROM ranked WHERE rk IN (2, 3)
+        |)
+        |SELECT exact_f2, round(m23 / 16.0, 2) AS estimate,
+        |  round(m23 / 16.0 / exact_f2, 6) AS ratio
+        |FROM mid CROSS JOIN exact""".stripMargin,
+    "events_burstiness" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(avg(gap), 6) AS mean_gap_us,
+        |  round(stddev_pop(gap), 6) AS sd_gap_us,
+        |  round((stddev_pop(gap) - avg(gap)) / (stddev_pop(gap) + avg(gap)), 6)
+        |    AS burstiness
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_did" ->
       """WITH mid AS (
         |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
