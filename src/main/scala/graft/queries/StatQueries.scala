@@ -150,6 +150,37 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #4n point-in-time backlog aging — for three snapshot instants,
+    * the order lines ALREADY ORDERED but NOT YET SHIPPED (o_orderdate
+    * ≤ T < l_shipdate), bucketed by how long they had been waiting.
+    * This is the open-items/WIP query that naive "group by month"
+    * rollups cannot express — every row's membership depends on the
+    * snapshot instant, not on its own dates alone. One fact scan fans
+    * against a 3-row broadcast snapshot spine; age buckets are exact
+    * integer day arithmetic. */
+  def backlogAging(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("od_us", unix_micros(col("o_orderdate").cast("timestamp")))
+      .withColumn("sd_us", unix_micros(col("l_shipdate").cast("timestamp")))
+    val bounds = li.agg(min("od_us").as("g_mn"), max("sd_us").as("g_mx"))
+    val snaps = s.range(1, 4).select(col("id").as("snap"))
+    val fanned = li.crossJoin(broadcast(bounds)).crossJoin(broadcast(snaps))
+      .withColumn("t_us", expr("g_mn + (g_mx - g_mn) * snap div 4"))
+      .filter(col("od_us") <= col("t_us") && col("t_us") < col("sd_us"))
+      .withColumn("age_days", expr("(t_us - od_us) div 86400000000"))
+      .withColumn("bucket",
+        when(col("age_days") < 30, "0_under_30d")
+          .when(col("age_days") < 90, "1_30_to_90d")
+          .otherwise("2_over_90d"))
+    fanned.groupBy("snap", "t_us", "bucket")
+      .agg(count(lit(1)).as("n_open_lines"),
+        round(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          / lit(100.0), 2).as("open_value"))
+      .orderBy("snap", "bucket")
+  }
+
   /** #37n AMS (Alon-Matias-Szegedy) F₂ sketch with exact audit — the
     * tug-of-war second-frequency-moment estimator: 32 deterministic
     * ±1 hash signs per user, S_i = Σ f_u·sign_i(u) accumulated in ONE
@@ -1004,6 +1035,7 @@ object StatQueries {
     "ab_sprt"            -> (abSprt _),
     "events_did"         -> (eventsDid _),
     "sketch_f2"          -> (sketchF2 _),
+    "backlog_aging"      -> (backlogAging _),
     "events_burstiness"  -> (eventsBurstiness _),
     "graph_richclub"     -> (graphRichclub _),
     "events_dispersion"  -> (eventsDispersion _),
@@ -1117,6 +1149,30 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "backlog_aging" ->
+      """WITH li AS (
+        |  SELECT epoch_us(o_orderdate) AS od_us, epoch_us(l_shipdate) AS sd_us,
+        |    l_extendedprice
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), bounds AS (
+        |  SELECT min(od_us) AS g_mn, max(sd_us) AS g_mx FROM li
+        |), snaps AS (SELECT unnest([1, 2, 3])::BIGINT AS snap),
+        |fanned AS (
+        |  SELECT snap, g_mn + (g_mx - g_mn) * snap // 4 AS t_us,
+        |    (g_mn + (g_mx - g_mn) * snap // 4 - od_us) // 86400000000 AS age_days,
+        |    l_extendedprice
+        |  FROM li CROSS JOIN bounds CROSS JOIN snaps
+        |  WHERE od_us <= g_mn + (g_mx - g_mn) * snap // 4
+        |    AND g_mn + (g_mx - g_mn) * snap // 4 < sd_us
+        |)
+        |SELECT snap, t_us,
+        |  CASE WHEN age_days < 30 THEN '0_under_30d'
+        |       WHEN age_days < 90 THEN '1_30_to_90d'
+        |       ELSE '2_over_90d' END AS bucket,
+        |  count(*) AS n_open_lines,
+        |  round(sum(round(l_extendedprice * 100, 0)::BIGINT) / 100.0, 2)
+        |    AS open_value
+        |FROM fanned GROUP BY 1, 2, 3 ORDER BY snap, bucket""".stripMargin,
     "sketch_f2" ->
       """WITH exact AS (
         |  SELECT sum(f * f)::BIGINT AS exact_f2 FROM (
