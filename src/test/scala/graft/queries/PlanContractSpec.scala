@@ -465,6 +465,18 @@ class PlanContractSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("basket triples stay equi-joins on the basket key — never a cartesian") {
+    val plan = finalPlan(StatQueries.basketTriples(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("er_damerau scores pairs via the native codegen expression, no UDF") {
+    val plan = finalPlan(DedupSimQueries.erDamerau(spark, dir))
+    assert(plan.contains("damerau_levenshtein"), plan.take(3000))
+    assert(!plan.toLowerCase.contains("batchevalpython"), plan.take(2000))
+  }
+
   test("zonemap audit scans events once: one bucket aggregate, no per-predicate rescan") {
     val plan = finalPlan(StatQueries.zonemapPrune(spark, dir))
     // Three predicate rows union 64-row aggregates — the fact scan may
