@@ -150,6 +150,32 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #4o 2-D skyline / Pareto front (Börzsönyi 2001) — the parts no
+    * buyer can strictly improve on in BOTH price and size: computed by
+    * the sort + strict-prefix-min sweep (per-price min size, then keep
+    * points below every cheaper point's best size), ONE window pass
+    * instead of the O(n²) dominance self-join a naive NOT EXISTS
+    * would plan. Exact-cents prices; co-located duplicates surface via
+    * the representative min-key and a count. */
+  def skylineParts(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(s, dir)
+      .withColumn("price_cents", round(col("p_retailprice") * 100, 0).cast("long"))
+    val grouped = pts.groupBy("price_cents", "p_size")
+      .agg(min("p_partkey").as("p_partkey"), count(lit(1)).as("n_dup"))
+    val perX = grouped.groupBy("price_cents").agg(min("p_size").as("mn_size"))
+    val wx = Window.orderBy("price_cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = perX
+      .withColumn("prefix_min", min("mn_size").over(wx))
+      .filter(col("prefix_min").isNull || col("mn_size") < col("prefix_min"))
+      .select(col("price_cents").as("pc"), col("mn_size"))
+    sky.join(grouped, col("pc") === col("price_cents") &&
+        col("mn_size") === col("p_size"))
+      .select(round(col("pc") / lit(100.0), 2).as("price"),
+        col("p_size"), col("p_partkey"), col("n_dup"))
+      .orderBy("price")
+  }
+
   /** #4n point-in-time backlog aging — for three snapshot instants,
     * the order lines ALREADY ORDERED but NOT YET SHIPPED (o_orderdate
     * ≤ T < l_shipdate), bucketed by how long they had been waiting.
@@ -1036,6 +1062,7 @@ object StatQueries {
     "events_did"         -> (eventsDid _),
     "sketch_f2"          -> (sketchF2 _),
     "backlog_aging"      -> (backlogAging _),
+    "skyline_parts"      -> (skylineParts _),
     "events_burstiness"  -> (eventsBurstiness _),
     "graph_richclub"     -> (graphRichclub _),
     "events_dispersion"  -> (eventsDispersion _),
@@ -1149,6 +1176,27 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The oracle states the skyline DECLARATIVELY (NOT EXISTS strict
+    // dominance) — a different algorithm than the engine's prefix-min
+    // sweep must land on the same front.
+    "skyline_parts" ->
+      """WITH pts AS (
+        |  SELECT p_partkey, p_size,
+        |    round(p_retailprice * 100, 0)::BIGINT AS price_cents
+        |  FROM part
+        |), grouped AS (
+        |  SELECT price_cents, p_size, min(p_partkey) AS p_partkey,
+        |    count(*) AS n_dup
+        |  FROM pts GROUP BY 1, 2
+        |)
+        |SELECT round(g.price_cents / 100.0, 2) AS price, g.p_size,
+        |  g.p_partkey, g.n_dup
+        |FROM grouped g
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM grouped o
+        |  WHERE o.price_cents <= g.price_cents AND o.p_size <= g.p_size
+        |    AND (o.price_cents < g.price_cents OR o.p_size < g.p_size))
+        |ORDER BY price""".stripMargin,
     "backlog_aging" ->
       """WITH li AS (
         |  SELECT epoch_us(o_orderdate) AS od_us, epoch_us(l_shipdate) AS sd_us,
