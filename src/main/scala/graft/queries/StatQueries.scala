@@ -150,6 +150,38 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #5aa local peak detection on the hourly volume series — hours
+    * that are strict local maxima over both adjacent hours AND clear
+    * 1.5× the ±3-hour rolling mean, the prominence gate that filters
+    * sawtooth noise. Neighbor checks require actual hour adjacency
+    * (calendar gaps disqualify, never alias), and the prominence test
+    * runs as exact integers (2·n·cnt > 3·Σ) so no mean rounding can
+    * flip a peak between engines. */
+  def eventsPeaks(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+    val wl = Window.partitionBy("event_type").orderBy("hour_idx")
+    val w7 = Window.partitionBy("event_type").orderBy("hour_idx")
+      .rangeBetween(-3, 3)
+    hourly
+      .withColumn("ph", lag("hour_idx", 1).over(wl))
+      .withColumn("pn", lag("n", 1).over(wl))
+      .withColumn("nh", lead("hour_idx", 1).over(wl))
+      .withColumn("nn", lead("n", 1).over(wl))
+      .withColumn("sum7", sum("n").over(w7))
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .filter(col("ph") === col("hour_idx") - 1 &&
+        col("nh") === col("hour_idx") + 1 &&
+        col("n") > col("pn") && col("n") > col("nn") &&
+        col("n") * 2 * col("cnt7") > col("sum7") * 3)
+      .select(col("event_type"), col("hour_idx"), col("n"),
+        col("pn"), col("nn"),
+        round(col("sum7") / col("cnt7").cast("double"), 6).as("mean_7h"))
+      .orderBy("event_type", "hour_idx")
+  }
+
   /** #4o 2-D skyline / Pareto front (Börzsönyi 2001) — the parts no
     * buyer can strictly improve on in BOTH price and size: computed by
     * the sort + strict-prefix-min sweep (per-price min size, then keep
@@ -1063,6 +1095,7 @@ object StatQueries {
     "sketch_f2"          -> (sketchF2 _),
     "backlog_aging"      -> (backlogAging _),
     "skyline_parts"      -> (skylineParts _),
+    "events_peaks"       -> (eventsPeaks _),
     "events_burstiness"  -> (eventsBurstiness _),
     "graph_richclub"     -> (graphRichclub _),
     "events_dispersion"  -> (eventsDispersion _),
@@ -1176,6 +1209,28 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_peaks" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), x AS (
+        |  SELECT *,
+        |    lag(hour_idx) OVER wl AS ph, lag(n) OVER wl AS pn,
+        |    lead(hour_idx) OVER wl AS nh, lead(n) OVER wl AS nn,
+        |    (sum(n) OVER w7)::BIGINT AS sum7,
+        |    (count(*) OVER w7)::BIGINT AS cnt7
+        |  FROM hourly
+        |  WINDOW wl AS (PARTITION BY event_type ORDER BY hour_idx),
+        |    w7 AS (PARTITION BY event_type ORDER BY hour_idx
+        |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |)
+        |SELECT event_type, hour_idx, n, pn, nn,
+        |  round(sum7 / cnt7::DOUBLE, 6) AS mean_7h
+        |FROM x
+        |WHERE ph = hour_idx - 1 AND nh = hour_idx + 1
+        |  AND n > pn AND n > nn AND n * 2 * cnt7 > sum7 * 3
+        |ORDER BY event_type, hour_idx""".stripMargin,
     // The oracle states the skyline DECLARATIVELY (NOT EXISTS strict
     // dominance) — a different algorithm than the engine's prefix-min
     // sweep must land on the same front.
