@@ -150,6 +150,70 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #52b hive-partition skew advisor — the write-layout readout for
+    * `partitionBy(lang, source)` output: rows and bytes per partition
+    * directory, each partition's share of the largest in basis points,
+    * and the max/median byte ratio that predicts straggler tasks and
+    * small-file waste before anything is written. Exact integer
+    * accounting; the median is the exact lower-median by bytes. */
+  def partitionSkew(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(octet_length(col("text"))).as("bytes"))
+    val w = Window.orderBy(col("bytes"), col("lang"), col("source"))
+    val ranked = parts.withColumn("rk", row_number().over(w))
+    val m = ranked.agg(count(lit(1)).as("np"), max("bytes").as("mx"))
+    val med = ranked.crossJoin(broadcast(m))
+      .filter(col("rk") === expr("(np + 1) div 2"))
+      .select(col("bytes").as("median_bytes"))
+    ranked.crossJoin(broadcast(m)).crossJoin(broadcast(med))
+      .select(col("lang"), col("source"), col("n_rows"), col("bytes"),
+        expr("bytes * 10000 div mx").as("share_of_max_bp"),
+        round(col("mx") / col("median_bytes").cast("double"), 6)
+          .as("max_over_median"))
+      .orderBy("lang", "source")
+  }
+
+  /** #5d' Markov next-event prediction accuracy — the sequence-model
+    * eval on top of `events_markov`'s transition profile: the argmax
+    * next type per previous type is fit on the FIRST time half
+    * (min-type tiebreak on equal counts), then scored on the second
+    * half's consecutive pairs against the majority-class baseline
+    * (always predict the most common type). Transitions never cross
+    * the split boundary or a user boundary. */
+  def markovAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val pairs = ev.crossJoin(broadcast(mid))
+      .withColumn("side", when(col("ts_us") <= col("mid"), 0).otherwise(1))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .withColumn("prev_side", lag("side", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev_side") === col("side"))
+    val trained = pairs.filter(col("side") === 0)
+      .groupBy(col("prev"), col("event_type").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val wpick = Window.partitionBy("prev").orderBy(col("c").desc, col("nxt"))
+    val model = trained.withColumn("rk", row_number().over(wpick))
+      .filter(col("rk") === 1).select(col("prev"), col("nxt").as("pred"))
+    val base = pairs.filter(col("side") === 0)
+      .groupBy("event_type").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("event_type")).limit(1)
+      .select(col("event_type").as("base_pred"))
+    val test = pairs.filter(col("side") === 1)
+      .join(broadcast(model), "prev")
+      .crossJoin(broadcast(base))
+    test.agg(
+      count(lit(1)).as("n_test_pairs"),
+      sum(when(col("event_type") === col("pred"), 1L).otherwise(0L)).as("n_correct"),
+      sum(when(col("event_type") === col("base_pred"), 1L).otherwise(0L))
+        .as("n_base_correct"))
+      .select(col("n_test_pairs"), col("n_correct"), col("n_base_correct"),
+        expr("n_correct * 10000 div n_test_pairs").as("acc_bp"),
+        expr("n_base_correct * 10000 div n_test_pairs").as("base_acc_bp"))
+  }
+
   /** #5aa local peak detection on the hourly volume series — hours
     * that are strict local maxima over both adjacent hours AND clear
     * 1.5× the ±3-hour rolling mean, the prominence gate that filters
@@ -1096,6 +1160,8 @@ object StatQueries {
     "backlog_aging"      -> (backlogAging _),
     "skyline_parts"      -> (skylineParts _),
     "events_peaks"       -> (eventsPeaks _),
+    "partition_skew"     -> (partitionSkew _),
+    "markov_accuracy"    -> (markovAccuracy _),
     "events_burstiness"  -> (eventsBurstiness _),
     "graph_richclub"     -> (graphRichclub _),
     "events_dispersion"  -> (eventsDispersion _),
@@ -1209,6 +1275,62 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "partition_skew" ->
+      """WITH parts AS (
+        |  SELECT lang, source, count(*) AS n_rows,
+        |    sum(strlen(text))::BIGINT AS bytes
+        |  FROM documents GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY bytes, lang, source) AS rk
+        |  FROM parts
+        |), m AS (SELECT count(*) AS np, max(bytes) AS mx FROM ranked),
+        |med AS (
+        |  SELECT bytes AS median_bytes FROM ranked CROSS JOIN m
+        |  WHERE rk = (np + 1) // 2
+        |)
+        |SELECT lang, source, n_rows, bytes,
+        |  (bytes * 10000 // mx)::BIGINT AS share_of_max_bp,
+        |  round(mx / median_bytes::DOUBLE, 6) AS max_over_median
+        |FROM ranked CROSS JOIN m CROSS JOIN med
+        |ORDER BY lang, source""".stripMargin,
+    "markov_accuracy" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) <=
+        |      (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events)
+        |      THEN 0 ELSE 1 END AS side
+        |  FROM events
+        |), pairs AS (
+        |  SELECT side, event_type,
+        |    lag(event_type) OVER w AS prev, lag(side) OVER w AS prev_side
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), kept AS (
+        |  SELECT * FROM pairs WHERE prev IS NOT NULL AND prev_side = side
+        |), trained AS (
+        |  SELECT prev, event_type AS nxt, count(*) AS c
+        |  FROM kept WHERE side = 0 GROUP BY 1, 2
+        |), model AS (
+        |  SELECT prev, nxt AS pred FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prev
+        |      ORDER BY c DESC, nxt) AS rk FROM trained) x
+        |  WHERE rk = 1
+        |), base AS (
+        |  SELECT event_type AS base_pred FROM kept WHERE side = 0
+        |  GROUP BY 1 ORDER BY count(*) DESC, event_type LIMIT 1
+        |), test AS (
+        |  SELECT k.event_type, m.pred, b.base_pred
+        |  FROM kept k JOIN model m ON m.prev = k.prev CROSS JOIN base b
+        |  WHERE k.side = 1
+        |)
+        |SELECT count(*) AS n_test_pairs,
+        |  sum(CASE WHEN event_type = pred THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+        |  sum(CASE WHEN event_type = base_pred THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_base_correct,
+        |  (sum(CASE WHEN event_type = pred THEN 1 ELSE 0 END) * 10000
+        |    // count(*))::BIGINT AS acc_bp,
+        |  (sum(CASE WHEN event_type = base_pred THEN 1 ELSE 0 END) * 10000
+        |    // count(*))::BIGINT AS base_acc_bp
+        |FROM test""".stripMargin,
     "events_peaks" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
