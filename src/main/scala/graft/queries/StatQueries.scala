@@ -150,6 +150,40 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #48b posting-list compression estimate — the index-sizing math
+    * behind `inverted_index`: per-term sorted doc-id postings encode
+    * as deltas under Elias-gamma (2·bitlen(gap) − 1 bits; the first id
+    * encodes as id+1), against 64-bit raw postings. Bit lengths are
+    * EXACT integers via binary-string length — no float log2 that
+    * could round differently — and the report buckets by document
+    * frequency, since delta coding wins precisely on dense (high-df)
+    * lists. */
+  def postingsCompression(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))).as("token"))
+    val dft = toks.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("token").orderBy("doc_id")
+    val gaps = toks
+      .withColumn("gap",
+        coalesce(col("doc_id") - lag("doc_id", 1).over(w), col("doc_id") + 1))
+      .withColumn("bitlen",
+        length(expr("conv(cast(gap as string), 10, 2)")).cast("long"))
+    gaps.join(dft, "token")
+      .withColumn("df_bucket",
+        when(col("df") <= 10, "a_df_1_10")
+          .when(col("df") <= 100, "b_df_11_100")
+          .otherwise("c_df_over_100"))
+      .groupBy("df_bucket")
+      .agg(count(lit(1)).as("n_postings"),
+        (count(lit(1)) * 64).as("raw_bits"),
+        sum(col("bitlen") * 2 - 1).as("gamma_bits"))
+      .withColumn("savings_bp",
+        expr("greatest(raw_bits - gamma_bits, 0L) * 10000 div raw_bits"))
+      .orderBy("df_bucket")
+  }
+
   /** #52b hive-partition skew advisor — the write-layout readout for
     * `partitionBy(lang, source)` output: rows and bytes per partition
     * directory, each partition's share of the largest in basis points,
@@ -1161,6 +1195,7 @@ object StatQueries {
     "skyline_parts"      -> (skylineParts _),
     "events_peaks"       -> (eventsPeaks _),
     "partition_skew"     -> (partitionSkew _),
+    "postings_compression" -> (postingsCompression _),
     "markov_accuracy"    -> (markovAccuracy _),
     "events_burstiness"  -> (eventsBurstiness _),
     "graph_richclub"     -> (graphRichclub _),
@@ -1275,6 +1310,31 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "postings_compression" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok AS token FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |    FROM documents) x
+        |), dft AS (SELECT token, count(*) AS df FROM toks GROUP BY 1),
+        |gaps AS (
+        |  SELECT token,
+        |    coalesce(doc_id - lag(doc_id) OVER (
+        |      PARTITION BY token ORDER BY doc_id), doc_id + 1) AS gap
+        |  FROM toks
+        |), bits AS (
+        |  SELECT token, length(bin(gap)) - position('1' IN bin(gap)) + 1 AS bitlen
+        |  FROM gaps
+        |)
+        |SELECT CASE WHEN df <= 10 THEN 'a_df_1_10'
+        |            WHEN df <= 100 THEN 'b_df_11_100'
+        |            ELSE 'c_df_over_100' END AS df_bucket,
+        |  count(*) AS n_postings,
+        |  (count(*) * 64)::BIGINT AS raw_bits,
+        |  sum(bitlen * 2 - 1)::BIGINT AS gamma_bits,
+        |  (greatest(count(*) * 64 - sum(bitlen * 2 - 1), 0) * 10000
+        |    // (count(*) * 64))::BIGINT AS savings_bp
+        |FROM bits JOIN dft USING (token)
+        |GROUP BY 1 ORDER BY df_bucket""".stripMargin,
     "partition_skew" ->
       """WITH parts AS (
         |  SELECT lang, source, count(*) AS n_rows,
