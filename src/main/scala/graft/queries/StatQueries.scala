@@ -150,6 +150,32 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #5r' seasonality strength — the fraction of hourly-rate variance
+    * the day-of-week × hour-of-day profile explains
+    * (1 − var(residual)/var(total), i.e. the R² of the cell-mean
+    * model `events_seasonal_anomaly` normalizes by): near 1 means the
+    * calendar drives the series and seasonal-adjusted screens are
+    * necessary; near 0 means the profile is noise and the plain
+    * z-screen suffices. */
+  def seasonalityStrength(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("(hour_idx div 24 + 4) % 7"))
+      .withColumn("hod", expr("hour_idx % 24"))
+    val cells = hourly.groupBy("event_type", "dow", "hod")
+      .agg(avg("n").as("cell_mean"))
+    hourly.join(cells, Seq("event_type", "dow", "hod"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        round(var_pop("n"), 6).as("var_total"),
+        round(var_pop(col("n") - col("cell_mean")), 6).as("var_resid"),
+        round(lit(1.0) - var_pop(col("n") - col("cell_mean")) / var_pop("n"), 6)
+          .as("seasonal_r2"))
+      .orderBy("event_type")
+  }
+
   /** #48b posting-list compression estimate — the index-sizing math
     * behind `inverted_index`: per-term sorted doc-id postings encode
     * as deltas under Elias-gamma (2·bitlen(gap) − 1 bits; the first id
@@ -1196,6 +1222,7 @@ object StatQueries {
     "events_peaks"       -> (eventsPeaks _),
     "partition_skew"     -> (partitionSkew _),
     "postings_compression" -> (postingsCompression _),
+    "seasonality_strength" -> (seasonalityStrength _),
     "markov_accuracy"    -> (markovAccuracy _),
     "events_burstiness"  -> (eventsBurstiness _),
     "graph_richclub"     -> (graphRichclub _),
@@ -1310,6 +1337,25 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "seasonality_strength" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), keyed AS (
+        |  SELECT *, (hour_idx // 24 + 4) % 7 AS dow, hour_idx % 24 AS hod
+        |  FROM hourly
+        |), cells AS (
+        |  SELECT event_type, dow, hod, avg(n) AS cell_mean
+        |  FROM keyed GROUP BY 1, 2, 3
+        |)
+        |SELECT k.event_type, count(*) AS n_hours,
+        |  round(var_pop(n), 6) AS var_total,
+        |  round(var_pop(n - cell_mean), 6) AS var_resid,
+        |  round(1.0 - var_pop(n - cell_mean) / var_pop(n), 6) AS seasonal_r2
+        |FROM keyed k JOIN cells c
+        |  ON c.event_type = k.event_type AND c.dow = k.dow AND c.hod = k.hod
+        |GROUP BY k.event_type ORDER BY k.event_type""".stripMargin,
     "postings_compression" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, tok AS token FROM (
