@@ -150,6 +150,48 @@ object StatQueries {
       .orderBy("delay_s")
   }
 
+  /** #5ab Hurst exponent by rescaled-range analysis (Hurst 1951,
+    * Mandelbrot's R/S) — the long-memory diagnostic the lag-1 ACF
+    * can't give: the hourly rate series splits into blocks of
+    * m ∈ {8, 16, 32}, each block's range-of-cumulative-deviations
+    * over its standard deviation averages to R/S(m), and H is the
+    * log-log slope across the three sizes. H ≈ 0.5 = memoryless,
+    * H → 1 = persistent trends (burst regimes), H < 0.5 = mean
+    * reversion. Blocks are per-type row-rank partitions — every
+    * window is partition-local, no global sort. */
+  def eventsHurst(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy("hour_idx")).cast("long") - 1)
+    val rs = Seq(8, 16, 32).map { m =>
+      val blocked = hourly.withColumn("blk", expr(s"rk div $m"))
+        .withColumn("nblk", count(lit(1)).over(
+          Window.partitionBy("event_type", "blk")))
+        .filter(col("nblk") === m) // complete blocks only
+      val wb = Window.partitionBy("event_type", "blk")
+      val wcum = wb.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+      blocked
+        .withColumn("mu", avg("n").over(wb))
+        .withColumn("cumdev", sum(col("n") - col("mu")).over(wcum))
+        .groupBy("event_type", "blk")
+        .agg((max("cumdev") - min("cumdev")).as("r"),
+          stddev_pop("n").as("sd"))
+        .filter(col("sd") > 0)
+        .groupBy("event_type")
+        .agg(avg(col("r") / col("sd")).as("rs"))
+        .withColumn("m", lit(m.toLong))
+    }.reduce(_ unionAll _)
+    rs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_sizes"),
+        round(regr_slope(log(col("rs")), log(col("m"))), 6).as("hurst"))
+      .filter(col("n_sizes") === 3)
+      .select("event_type", "hurst")
+      .orderBy("event_type")
+  }
+
   /** #5r' seasonality strength — the fraction of hourly-rate variance
     * the day-of-week × hour-of-day profile explains
     * (1 − var(residual)/var(total), i.e. the R² of the cell-mean
@@ -1223,6 +1265,7 @@ object StatQueries {
     "partition_skew"     -> (partitionSkew _),
     "postings_compression" -> (postingsCompression _),
     "seasonality_strength" -> (seasonalityStrength _),
+    "events_hurst"       -> (eventsHurst _),
     "markov_accuracy"    -> (markovAccuracy _),
     "events_burstiness"  -> (eventsBurstiness _),
     "graph_richclub"     -> (graphRichclub _),
@@ -1337,6 +1380,42 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_hurst" -> {
+      def rsCte(m: Int): String =
+        s"""rs$m AS (
+           |  SELECT event_type, avg(r / sd) AS rs, $m::BIGINT AS m FROM (
+           |    SELECT event_type, blk,
+           |      max(cumdev) - min(cumdev) AS r, stddev_pop(n) AS sd
+           |    FROM (
+           |      SELECT *, sum(n - mu) OVER (PARTITION BY event_type, blk
+           |        ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cumdev
+           |      FROM (
+           |        SELECT *, avg(n) OVER (PARTITION BY event_type, blk) AS mu,
+           |          count(*) OVER (PARTITION BY event_type, blk) AS nblk
+           |        FROM (SELECT event_type, rk, n, rk // $m AS blk FROM ranked) b
+           |      ) c WHERE nblk = $m
+           |    ) d GROUP BY 1, 2
+           |  ) e WHERE sd > 0 GROUP BY event_type
+           |)""".stripMargin
+      s"""WITH hourly AS (
+         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT event_type, n,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hour_idx)::BIGINT
+         |      - 1 AS rk
+         |  FROM hourly
+         |),
+         |${Seq(8, 16, 32).map(rsCte).mkString(",\n")},
+         |allrs AS (
+         |  SELECT * FROM rs8 UNION ALL SELECT * FROM rs16
+         |  UNION ALL SELECT * FROM rs32
+         |)
+         |SELECT event_type, round(regr_slope(ln(rs), ln(m)), 6) AS hurst
+         |FROM allrs GROUP BY event_type HAVING count(*) = 3
+         |ORDER BY event_type""".stripMargin
+    },
     "seasonality_strength" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
