@@ -53,6 +53,59 @@ object VecMomentsDoubleAgg extends Aggregator[Seq[Double], VecMoments, VecMoment
   override def outputEncoder: Encoder[VecMoments] = Encoders.product[VecMoments]
 }
 
+/** Long-state vector moment buffer: exact integer (n, Σq, ΣqqΤ). */
+case class VecMomentsL(n: Long, sums: Array[Long], gram: Array[Long])
+
+/** [[VecMomentsAgg]] over a pre-quantized `array<long>` column with
+  * EXACT integer accumulation — the oracle-grade variant. Doubles sum
+  * order-dependently (last-ulp noise that can flip a `round(…, 6)`
+  * digit between engines); longs do not: addition is associative, so
+  * the result is bit-identical regardless of partitioning or merge
+  * order. Consumers quantize components to a fixed grid first (e.g.
+  * `round(v · 10⁴)`), aggregate here, and derive covariance from the
+  * exact moments with a closed form mirrored in the oracle. Headroom:
+  * with |q| ≤ 10⁴ the Gram cells overflow Long only past ~9·10¹⁰
+  * rows per aggregation — beyond that, raise the grid coarseness or
+  * pre-aggregate per shard. */
+object VecMomentsIntAgg extends Aggregator[Seq[Long], VecMomentsL, VecMomentsL] {
+  override def zero: VecMomentsL = VecMomentsL(0L, Array.empty, Array.empty)
+  override def reduce(b: VecMomentsL, x: Seq[Long]): VecMomentsL = {
+    if (x == null) return b
+    val xa = x.toArray
+    val d = xa.length
+    val acc =
+      if (b.n == 0L && b.sums.isEmpty)
+        VecMomentsL(0L, new Array[Long](d), new Array[Long](d * d))
+      else b
+    require(acc.sums.length == d,
+      s"vec_moments_int: dimension changed mid-aggregation (${acc.sums.length} -> $d)")
+    var i = 0
+    while (i < d) {
+      val xi = xa(i)
+      acc.sums(i) += xi
+      var j = 0
+      val row = i * d
+      while (j < d) { acc.gram(row + j) += xi * xa(j); j += 1 }
+      i += 1
+    }
+    VecMomentsL(acc.n + 1, acc.sums, acc.gram)
+  }
+  override def merge(a: VecMomentsL, b: VecMomentsL): VecMomentsL = {
+    if (a.n == 0L && a.sums.isEmpty) return b
+    if (b.n == 0L && b.sums.isEmpty) return a
+    require(a.sums.length == b.sums.length,
+      s"vec_moments_int: merging different dimensions (${a.sums.length}, ${b.sums.length})")
+    var i = 0
+    while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+    var k = 0
+    while (k < a.gram.length) { a.gram(k) += b.gram(k); k += 1 }
+    VecMomentsL(a.n + b.n, a.sums, a.gram)
+  }
+  override def finish(r: VecMomentsL): VecMomentsL = r
+  override def bufferEncoder: Encoder[VecMomentsL] = Encoders.product[VecMomentsL]
+  override def outputEncoder: Encoder[VecMomentsL] = Encoders.product[VecMomentsL]
+}
+
 private[functions] object VecMomentsOps {
 
   def accumulate(b: VecMoments, xa: Array[Double]): VecMoments = {

@@ -55,6 +55,11 @@ package object functions {
     * ([[graft.functions.VecMomentsDoubleAgg]]). */
   def vec_moments_double(v: Column): Column = call_function("vec_moments_double", v)
 
+  /** Exact integer moments of a pre-quantized `array<long>` column
+    * ([[graft.functions.VecMomentsIntAgg]]) — order-independent
+    * accumulation for oracle-grade covariance. */
+  def vec_moments_int(v: Column): Column = call_function("vec_moments_int", v)
+
   /** DEFLATE compression ratio of a string column
     * ([[graft.functions.DeflateRatio]]). */
   def deflate_ratio(s: Column): Column = call_function("deflate_ratio", s)
@@ -78,6 +83,9 @@ package object functions {
     spark.udf.register("vec_moments_double",
       org.apache.spark.sql.functions.udaf(VecMomentsDoubleAgg,
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()))
+    spark.udf.register("vec_moments_int",
+      org.apache.spark.sql.functions.udaf(VecMomentsIntAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),

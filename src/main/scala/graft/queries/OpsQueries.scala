@@ -1535,18 +1535,25 @@ object OpsQueries {
       .orderBy("col_a", "col_b")
   }
 
-  /** #51b exact covariance matrix of the embedding space, long-form
-    * upper triangle — ONE pass over the vectors through the mergeable
-    * (n, Σx, ΣxxΤ) state of [[graft.functions.VecMomentsAgg]]: each
-    * partition collapses to a single d²+d+1-double buffer before the
-    * exchange, so the shuffle is O(partitions·d²) bytes regardless of
-    * corpus size. cov(i,j) = (G_ij − sᵢsⱼ/n)/(n−1), computed once from
-    * the aggregated row and unpivoted via posexplode with integer
-    * (div, mod) indexing. */
+  /** #51b covariance matrix of the embedding space, long-form upper
+    * triangle — ONE pass over the vectors through the mergeable
+    * EXACT-INTEGER (n, Σq, ΣqqΤ) state of
+    * [[graft.functions.VecMomentsIntAgg]]: components quantize to a
+    * fixed 10⁻⁴ grid first (`round(v·10⁴)` as long), so accumulation
+    * is associative integer addition and the moments are bit-identical
+    * regardless of partitioning — float summation order can never flip
+    * the `round(…, 6)` digit against the oracle (the round-10 failure
+    * mode). Each partition still collapses to a single d²+d+1-long
+    * buffer before the exchange (O(partitions·d²) shuffle bytes at any
+    * corpus size). cov(i,j) = (G_ij − sᵢsⱼ/n)/(n−1)/10⁸, derived from
+    * the exact moments with the identical closed form on both sides,
+    * unpivoted via posexplode with integer (div, mod) indexing. */
   def embCovariance(s: SparkSession, dir: String): DataFrame = {
     graft.functions.register(s)
     Tables.embeddings(s, dir)
-      .agg(graft.functions.vec_moments(col("embedding")).as("m"))
+      .select(transform(col("embedding"),
+        v => round(v.cast("double") * lit(10000.0d)).cast("long")).as("q"))
+      .agg(graft.functions.vec_moments_int(col("q")).as("m"))
       .select(col("m.n").as("n"), col("m.sums").as("sums"), col("m.gram").as("gram"))
       .select(col("n"), col("sums"), size(col("sums")).as("d"),
         posexplode(col("gram")))
@@ -1557,7 +1564,7 @@ object OpsQueries {
         round((col("col")
           - element_at(col("sums"), (col("i") + 1).cast("int"))
             * element_at(col("sums"), (col("j") + 1).cast("int")) / col("n"))
-          / (col("n") - 1), 6).as("cov"))
+          / (col("n") - 1) / lit(1.0e8), 6).as("cov"))
       .orderBy("i", "j")
   }
 
@@ -4365,19 +4372,24 @@ FROM cells ORDER BY lang_true, lang_pred""",
         |UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4 UNION ALL SELECT * FROM f5
         |ORDER BY fd""".stripMargin,
     // Pairwise element join per vector recomputes the same Gram the
-    // engine accumulates in one pass; identical closed-form covariance.
+    // engine accumulates in one pass. Both sides quantize components
+    // to the 1e-4 grid first, so every sum is an exact integer and the
+    // closed-form covariance is bit-identical across engines.
     "emb_covariance" ->
       """WITH x AS (
-        |  SELECT vec_id, t.i::BIGINT - 1 AS i, embedding[t.i]::DOUBLE AS v
+        |  SELECT vec_id, t.i::BIGINT - 1 AS i,
+        |    round(embedding[t.i]::DOUBLE * 10000)::BIGINT AS q
         |  FROM embeddings,
         |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
         |), p AS (
         |  SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n,
-        |    sum(a.v * b.v) AS g, sum(a.v) AS sa, sum(b.v) AS sb
+        |    sum(a.q * b.q)::BIGINT AS g,
+        |    sum(a.q)::BIGINT AS sa, sum(b.q)::BIGINT AS sb
         |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |  GROUP BY 1, 2
         |)
-        |SELECT i, j, n, round((g - sa * sb / n) / (n - 1), 6) AS cov
+        |SELECT i, j, n,
+        |  round((g - sa * sb / n) / (n - 1) / 100000000.0, 6) AS cov
         |FROM p ORDER BY i, j""".stripMargin,
     "corr_matrix" ->
       """WITH g AS (

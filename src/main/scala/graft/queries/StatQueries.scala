@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Statistical-screen and layout-audit operators: rank tests, divergence
   * matrices, zone-map pruning simulation, and fixed-iteration graph
@@ -443,19 +444,45 @@ object StatQueries {
     * per event type: B = (σ−μ)/(σ+μ) ∈ (−1, 1) — 0 for Poisson
     * arrivals, → 1 for heavy bursts, < 0 for pacemaker regularity.
     * The distribution-shape companion to `events_dispersion`'s
-    * count-variance screen; one lag pass per type. */
+    * count-variance screen; one lag pass per type.
+    *
+    * Oracle discipline (round-10 FAIL fix): `stddev_pop` accumulates
+    * doubles in engine-specific order, and the last-ulp noise landed
+    * on a `round(…, 6)` boundary. Instead aggregate ONLY exact
+    * integers — n, Σgap (long), Σgap² (DECIMAL(38,0); ~3e22 at sf0.1
+    * exceeds Long) — and derive μ/σ/B with an identical closed form on
+    * both sides. The one cross-engine hazard left is big-decimal →
+    * double conversion (DuckDB's hugeint cast is two roundings, not
+    * one), so Σgap² crosses to double via an exact integer split
+    * q = qh·2⁶² + qm·2³¹ + ql whose three components each fit a long
+    * and whose recombination is the same correctly-rounded double
+    * sequence in both engines — bit-identical by construction, for any
+    * q up to ~4e37 (a 6,000-year span of microsecond gaps). */
   def eventsBurstiness(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+    val c1 = 4611686018427387904L // 2^62
+    val c2 = 2147483648L // 2^31
+    val qd = col("qh").cast("double") * lit(c1.toDouble) +
+      col("qm").cast("double") * lit(c2.toDouble) + col("ql").cast("double")
+    val mean = col("s").cast("double") / col("n_gaps")
+    val sd = sqrt(qd / col("n_gaps") - mean * mean)
     Tables.events(s, dir)
       .withColumn("ts_us", unix_micros(col("ts")))
       .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
       .filter(col("gap").isNotNull)
+      .select(col("event_type"), col("gap"),
+        (col("gap").cast(DecimalType(19, 0))
+          * col("gap").cast(DecimalType(19, 0))).as("gap2"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_gaps"),
-        round(avg("gap"), 6).as("mean_gap_us"),
-        round(stddev_pop("gap"), 6).as("sd_gap_us"),
-        round((stddev_pop("gap") - avg("gap"))
-          / (stddev_pop("gap") + avg("gap")), 6).as("burstiness"))
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("s"), sum("gap2").as("q"))
+      .select(col("event_type"), col("n_gaps"), col("s"),
+        expr(s"q div ${c1}L").as("qh"),
+        expr(s"(q % ${c1}L) div ${c2}L").as("qm"),
+        expr(s"CAST(q % ${c2}L AS BIGINT)").as("ql"))
+      .select(col("event_type"), col("n_gaps"),
+        round(mean, 6).as("mean_gap_us"),
+        round(sd, 6).as("sd_gap_us"),
+        round((sd - mean) / (sd + mean), 6).as("burstiness"))
       .orderBy("event_type")
   }
 
@@ -1606,20 +1633,38 @@ object StatQueries {
         |SELECT exact_f2, round(m23 / 16.0, 2) AS estimate,
         |  round(m23 / 16.0 / exact_f2, 6) AS ratio
         |FROM mid CROSS JOIN exact""".stripMargin,
+    // Exact-integer moments (n, Σgap, Σgap²) on both sides; Σgap²
+    // crosses HUGEINT→DOUBLE via the same 2^62/2^31 integer split the
+    // engine uses, so the derived μ/σ/B doubles are bit-identical.
     "events_burstiness" ->
       """WITH g AS (
         |  SELECT event_type,
         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
         |      PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS gap
         |  FROM events
+        |), a AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_gaps, sum(gap)::BIGINT AS s,
+        |    sum(gap::HUGEINT * gap) AS q
+        |  FROM g WHERE gap IS NOT NULL GROUP BY event_type
+        |), b AS (
+        |  SELECT event_type, n_gaps, s,
+        |    (q // 4611686018427387904)::BIGINT AS qh,
+        |    ((q % 4611686018427387904) // 2147483648)::BIGINT AS qm,
+        |    (q % 2147483648)::BIGINT AS ql
+        |  FROM a
+        |), c AS (
+        |  SELECT event_type, n_gaps,
+        |    s::DOUBLE / n_gaps AS mean,
+        |    sqrt((qh::DOUBLE * 4611686018427387904.0
+        |          + qm::DOUBLE * 2147483648.0 + ql::DOUBLE) / n_gaps
+        |         - (s::DOUBLE / n_gaps) * (s::DOUBLE / n_gaps)) AS sd
+        |  FROM b
         |)
-        |SELECT event_type, count(*) AS n_gaps,
-        |  round(avg(gap), 6) AS mean_gap_us,
-        |  round(stddev_pop(gap), 6) AS sd_gap_us,
-        |  round((stddev_pop(gap) - avg(gap)) / (stddev_pop(gap) + avg(gap)), 6)
-        |    AS burstiness
-        |FROM g WHERE gap IS NOT NULL
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |SELECT event_type, n_gaps,
+        |  round(mean, 6) AS mean_gap_us,
+        |  round(sd, 6) AS sd_gap_us,
+        |  round((sd - mean) / (sd + mean), 6) AS burstiness
+        |FROM c ORDER BY event_type""".stripMargin,
     "events_did" ->
       """WITH mid AS (
         |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events

@@ -38,6 +38,26 @@ class VecMomentsSpec extends SparkSpec {
     }
   }
 
+  test("vec_moments_int: exact integer moments, partition-invariant bit-for-bit") {
+    val ivecs: Seq[Seq[Long]] =
+      Seq(Seq(10L, 20L), Seq(30L, 50L), Seq(-20L, 5L), Seq(0L, 40L), Seq(70L, -10L))
+    val d = 2
+    val refSums = Array.fill(d)(0L)
+    val refGram = Array.fill(d * d)(0L)
+    for (v <- ivecs; i <- 0 until d) {
+      refSums(i) += v(i)
+      for (j <- 0 until d) refGram(i * d + j) += v(i) * v(j)
+    }
+    for (p <- Seq(1, 3, 5)) {
+      val r = ivecs.toDF("v").repartition(p)
+        .agg(graft.functions.vec_moments_int(col("v")).as("m"))
+        .select("m.n", "m.sums", "m.gram").head()
+      assert(r.getLong(0) == ivecs.length)
+      assert(r.getSeq[Long](1) == refSums.toSeq)
+      assert(r.getSeq[Long](2) == refGram.toSeq)
+    }
+  }
+
   test("null vectors are skipped; dimension drift is an error") {
     val withNull = (vecs :+ null).toDF("v")
       .agg(graft.functions.vec_moments(col("v")).as("m")).select("m.n").head()
