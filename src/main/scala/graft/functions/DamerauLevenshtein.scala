@@ -14,11 +14,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen on exactly the blocked-pair ER scoring loop.
   *
   * Algorithm: Lowrance-Wagner (1975) with the `da` last-occurrence
-  * table, O(|a|·|b|) time. Comparison is per Java char (UTF-16 unit),
-  * identical to a per-codepoint compare on BMP text; score on
-  * normalized keys ([[NfcNormalize]], [[StripAccents]]) as ER
-  * pipelines do anyway. Cross-checked digit-for-digit against DuckDB's
-  * independent `damerau_levenshtein` in the `er_damerau` oracle.
+  * table, O(|a|·|b|) time. Comparison is per Unicode CODEPOINT (a
+  * surrogate pair counts as ONE character — "😀" → "😁" is one
+  * substitution), consistent with Spark's own builtin `levenshtein`.
+  * The `er_damerau` oracle cross-checks digit-for-digit against
+  * DuckDB's independent `damerau_levenshtein`; note that DuckDB's
+  * implementation compares per UTF-8 BYTE (probe: its 'é' → 'a' = 2),
+  * so the cross-engine agreement is a property of ASCII keys (where
+  * byte = codepoint — what the oracle feeds), NOT of arbitrary text.
+  * Score on normalized keys ([[NfcNormalize]], [[StripAccents]]) as ER
+  * pipelines do anyway.
   */
 case class DamerauLevenshtein(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -52,8 +57,8 @@ object DamerauLevenshtein {
 
   /** See [[DamerauLevenshtein]] for the pinned semantics. */
   def distance(ua: UTF8String, ub: UTF8String): Int = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
     val la = a.length
     val lb = b.length
     if (la == 0) return lb
@@ -67,15 +72,15 @@ object DamerauLevenshtein {
     while (i <= la) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
     var j = 0
     while (j <= lb) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
-    // Last row in `a` where each char occurred (1-based; 0 = never).
-    val da = new java.util.HashMap[Character, Integer]()
+    // Last row in `a` where each codepoint occurred (1-based; 0 = never).
+    val da = new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= la) {
       var db = 0 // last column in b matched on this row
-      val ca = a.charAt(i - 1)
+      val ca = a(i - 1)
       j = 1
       while (j <= lb) {
-        val cb = b.charAt(j - 1)
+        val cb = b(j - 1)
         val k = { val v = da.get(cb); if (v == null) 0 else v.intValue() }
         val l = db
         val cost = if (ca == cb) { db = j; 0 } else 1

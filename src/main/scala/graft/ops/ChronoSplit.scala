@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -135,37 +135,182 @@ object ChronoSplit {
       df: DataFrame,
       timeCol: String,
       tieCol: String,
+      numBuckets: Int = 256): DataFrame =
+    withOrderStats(df, timeCol, tieCol, numBuckets = numBuckets)
+
+  /** Prefix-column name for an inclusive running sum of `c`. */
+  def cumCol(c: String): String = s"__graft_cum_$c"
+
+  /** Prefix-column name for an exclusive running max of `c`. */
+  def hwmCol(c: String): String = s"__graft_hwm_$c"
+
+  /** Exact per-row order statistics over the (orderCol, tieCol) total
+    * order — optionally within `partitionCols` groups — with EVERY
+    * window partitioned by a quantile bucket, never a single-partition
+    * (or single-hot-group) sort. This is the scale-safe replacement for
+    * `Window.orderBy(...)` over raw-table inputs: at 100 TB an
+    * unpartitioned WindowExec moves the whole table through one task.
+    *
+    * Adds to `df`:
+    *   - [[RankCol]]: exact 1-based rank within the group (global when
+    *     `partitionCols` is empty) — when `withRank`
+    *   - [[cumCol]](c): INCLUSIVE running sum of long column c
+    *   - [[hwmCol]](c): EXCLUSIVE running max of long column c (null on
+    *     each group's first row — "highest value among strictly earlier
+    *     rows", the watermark shape)
+    *
+    * Sum/max columns must be integral (LongType): integer prefix
+    * arithmetic is associative, so results are bit-identical however
+    * the quantile buckets land. Mechanics: bucket by approx-quantile
+    * cuts of `orderCol` (equal values ⇒ equal bucket, so bucket order
+    * refines value order); aggregate count/sum/max per (group, bucket);
+    * prefix the tiny aggregate — driver-side map literal when global
+    * (≤ numBuckets rows), a partitioned window over the aggregate when
+    * grouped (≤ numBuckets rows per group) — and combine each with a
+    * per-(group, bucket) bounded window. */
+  def withOrderStats(
+      df: DataFrame,
+      orderCol: String,
+      tieCol: String,
+      partitionCols: Seq[String] = Nil,
+      sumCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil,
+      withRank: Boolean = true,
       numBuckets: Int = 256): DataFrame = {
-    val t = col(timeCol).cast("double")
+    val t = col(orderCol).cast("double")
     val probed = df.withColumn("__graft_t", t)
-    // 1. approximate quantile boundaries of the time column (driver-side,
-    //    numBuckets doubles — microscopic vs. the data).
     val fractions = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
     val cuts = probed.stat
       .approxQuantile("__graft_t", fractions, 0.001)
       .distinct.sorted
-    // 2. bucket id = #cuts strictly below t → equal t ⇒ equal bucket, and
-    //    bucket order is consistent with t order. A single fold over the
-    //    literal cut array — flat, unlike a numBuckets-deep CASE chain
-    //    that would fall out of codegen.
+    // bucket id = #cuts strictly below t → equal t ⇒ equal bucket, and
+    // bucket order is consistent with t order. A single fold over the
+    // literal cut array — flat, unlike a numBuckets-deep CASE chain
+    // that would fall out of codegen.
     val bucket = aggregate(typedLit(cuts.toSeq), lit(0),
       (acc, c) => acc + when(t > c, 1).otherwise(0))
     val bucketed = probed.withColumn("__graft_bucket", bucket)
-    // 3. per-bucket counts → driver prefix sums (≤ numBuckets rows),
-    //    shipped back as an O(1)-lookup map literal.
-    val counts = bucketed.groupBy("__graft_bucket").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      (0 to cuts.length).map { b =>
-        val o = b -> acc; acc += counts.getOrElse(b, 0L); o
-      }.toMap
-    }
-    val offsetCol = element_at(typedLit(offsets), col("__graft_bucket"))
-    // 4. bounded per-bucket window + offset = exact global rank.
-    val w = Window.partitionBy("__graft_bucket").orderBy(col(timeCol), col(tieCol))
-    bucketed
-      .withColumn(RankCol, row_number().over(w).cast("long") + offsetCol)
-      .drop("__graft_t", "__graft_bucket")
+
+    val statAggs = count(lit(1)).as("__graft_cnt") +:
+      (sumCols.map(c => sum(col(c)).as(s"__graft_s_$c")) ++
+        maxCols.map(c => max(col(c)).as(s"__graft_m_$c")))
+    val withPrefixes: DataFrame =
+      if (partitionCols.isEmpty) {
+        // Driver-side exclusive prefixes (≤ numBuckets rows), shipped
+        // back as O(1)-lookup map literals — no window at all on the
+        // aggregate, so nothing unpartitioned anywhere in the plan.
+        val rows = bucketed.groupBy("__graft_bucket")
+          .agg(statAggs.head, statAggs.tail: _*).collect()
+        val byBucket = rows.map(r => r.getInt(0) -> r).toMap
+        def lookup(m: Map[Int, Long]): Column =
+          if (m.isEmpty) lit(null).cast("long")
+          else element_at(typedLit(m), col("__graft_bucket"))
+        val offsets: Map[Int, Long] = {
+          var acc = 0L
+          (0 to cuts.length).map { b =>
+            val o = b -> acc
+            acc += byBucket.get(b).map(_.getLong(1)).getOrElse(0L)
+            o
+          }.toMap
+        }
+        var out = bucketed
+          .withColumn("__graft_off", element_at(typedLit(offsets), col("__graft_bucket")))
+        sumCols.foreach { c =>
+          val m = {
+            var acc = 0L
+            (0 to cuts.length).map { b =>
+              val o = b -> acc
+              acc += byBucket.get(b)
+                .map(r => r.getLong(r.fieldIndex(s"__graft_s_$c"))).getOrElse(0L)
+              o
+            }.toMap
+          }
+          out = out.withColumn(s"__graft_ps_$c",
+            element_at(typedLit(m), col("__graft_bucket")))
+        }
+        maxCols.foreach { c =>
+          // exclusive running max over buckets; only buckets with a
+          // non-empty predecessor get an entry (missing key → null).
+          val m = {
+            var acc = Option.empty[Long]
+            val pairs = (0 to cuts.length).flatMap { b =>
+              val o = acc.map(b -> _)
+              byBucket.get(b).foreach { r =>
+                val v = r.getLong(r.fieldIndex(s"__graft_m_$c"))
+                acc = Some(acc.fold(v)(math.max(_, v)))
+              }
+              o
+            }
+            pairs.toMap
+          }
+          out = out.withColumn(s"__graft_pm_$c", lookup(m))
+        }
+        out
+      } else {
+        // Grouped: prefix the tiny (group, bucket) aggregate with a
+        // window PARTITIONED by the group (≤ numBuckets rows each),
+        // then join back on (group, bucket) — same key as the main
+        // windows below, so the exchange is reused.
+        val gb = partitionCols.map(col) :+ col("__graft_bucket")
+        val perBucket = bucketed.groupBy(gb: _*).agg(statAggs.head, statAggs.tail: _*)
+        val wpre = Window.partitionBy(partitionCols.map(col): _*)
+          .orderBy("__graft_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        var pre = perBucket
+          .withColumn("__graft_off", coalesce(sum("__graft_cnt").over(wpre), lit(0L)))
+        sumCols.foreach(c => pre = pre.withColumn(s"__graft_ps_$c",
+          coalesce(sum(s"__graft_s_$c").over(wpre), lit(0L))))
+        maxCols.foreach(c => pre = pre.withColumn(s"__graft_pm_$c",
+          max(s"__graft_m_$c").over(wpre)))
+        val keep = (partitionCols :+ "__graft_bucket") ++ Seq("__graft_off") ++
+          sumCols.map(c => s"__graft_ps_$c") ++ maxCols.map(c => s"__graft_pm_$c")
+        bucketed.join(pre.select(keep.map(col): _*),
+          partitionCols :+ "__graft_bucket")
+      }
+
+    val wParts = (partitionCols :+ "__graft_bucket").map(col)
+    val ord = Seq(col(orderCol), col(tieCol))
+    val wRank = Window.partitionBy(wParts: _*).orderBy(ord: _*)
+    val wInc = wRank.rowsBetween(Window.unboundedPreceding, 0)
+    val wExc = wRank.rowsBetween(Window.unboundedPreceding, -1)
+    var out = withPrefixes
+    if (withRank)
+      out = out.withColumn(RankCol,
+        row_number().over(wRank).cast("long") + col("__graft_off"))
+    sumCols.foreach(c => out = out.withColumn(cumCol(c),
+      sum(col(c)).over(wInc) + col(s"__graft_ps_$c")))
+    maxCols.foreach(c => out = out.withColumn(hwmCol(c),
+      greatest(max(col(c)).over(wExc), col(s"__graft_pm_$c"))))
+    val dropCols = Seq("__graft_t", "__graft_bucket", "__graft_off") ++
+      sumCols.map(c => s"__graft_ps_$c") ++ maxCols.map(c => s"__graft_pm_$c")
+    out.drop(dropCols: _*)
+  }
+
+  /** Exact SQL `ntile(b) OVER (ORDER BY orderCol, tieCol)` without an
+    * unpartitioned window: the rank comes from [[withOrderStats]]'
+    * bucketed windows and the bin index is the standard
+    * fill-first-bins-one-fuller integer formula — with q = N div b and
+    * r = N mod b, ranks ≤ (q+1)·r land in bin (rank−1) div (q+1) + 1
+    * and the rest in r + (rank − r·(q+1) − 1) div q + 1. All integer
+    * arithmetic over a total order, so the result is engine-exact; for
+    * a DESC ntile pass a negated derived column. */
+  def withNtile(
+      df: DataFrame,
+      orderCol: String,
+      tieCol: String,
+      buckets: Int,
+      outCol: String,
+      numBuckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val n = df.agg(count(lit(1)).as("__graft_n"))
+    withOrderStats(df, orderCol, tieCol, numBuckets = numBuckets)
+      .crossJoin(broadcast(n))
+      .withColumn(outCol, expr(
+        s"""CASE WHEN $RankCol <= (__graft_n div $buckets + 1) * (__graft_n % $buckets)
+           |  THEN ($RankCol - 1) div (__graft_n div $buckets + 1) + 1
+           |  ELSE __graft_n % $buckets
+           |    + ($RankCol - (__graft_n % $buckets) * (__graft_n div $buckets + 1) - 1)
+           |      div (__graft_n div $buckets) + 1 END""".stripMargin))
+      .drop(RankCol, "__graft_n")
   }
 }

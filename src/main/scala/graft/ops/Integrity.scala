@@ -58,15 +58,24 @@ object Integrity {
     * Replication protocol: compare roots first (one row); on mismatch
     * compare the `nBuckets` leaves and re-sync only the buckets that
     * differ — 1/nBuckets of the table instead of all of it. Long form:
-    * level 1 = leaves, level 0 = the root (bucket −1). */
+    * level 1 = leaves, level 0 = the root (bucket −1). The leaf level
+    * is ALWAYS exactly nBuckets rows: buckets with no rows emit
+    * (n_rows = 0, checksum = 0) via a generated spine, so a bucket
+    * that is empty on one replica and non-empty on the other diffs as
+    * a leaf mismatch instead of silently vanishing from the compare. */
   def merkleChecksum(df: DataFrame, keyCol: String, cols: Seq[String],
       nBuckets: Int = 16, nullAs: String = "\\N"): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     val bucketed = df.withColumn("__graft_b",
       pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
         .cast("long"), lit(nBuckets.toLong)))
-    val leaves = groupChecksum(bucketed, Seq("__graft_b"), cols, nullAs)
-      .withColumnRenamed("__graft_b", "bucket")
+    val spine = df.sparkSession.range(0, nBuckets.toLong)
+      .select(col("id").as("bucket"))
+    val leaves = spine
+      .join(broadcast(groupChecksum(bucketed, Seq("__graft_b"), cols, nullAs)
+        .withColumnRenamed("__graft_b", "bucket")), Seq("bucket"), "left")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+      .withColumn("checksum", coalesce(col("checksum"), lit(0L)))
     val root = leaves
       .select(col("n_rows"),
         conv(substring(md5(concat_ws(":",

@@ -436,15 +436,30 @@ object DedupSimQueries {
     * lag ∥ own ∥ lead joined by blank lines (concat_ws skips the null
     * lag/lead at the corpus edges on both engines), so every base text
     * appears as a paragraph in up to three documents — the repeated-
-    * boilerplate shape paragraph dedup exists for. The window is
-    * harness-side corpus planting, not the operator. */
-  def withParagraphCorpus(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("doc_id")
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      concat_ws("\n\n",
-        lag("text", 1).over(w), col("text"), lead("text", 1).over(w)).as("text"))
+    * boilerplate shape paragraph dedup exists for. The neighbor texts
+    * come from a bucketed global rank ([[graft.ops.ChronoSplit
+    * .withGlobalRank]]) + rank±1 equi-self-joins — even harness-side
+    * corpus planting must not funnel the corpus through one
+    * unpartitioned lag/lead window. Memoized per (session, dir): the
+    * rank pipeline runs driver actions at construction, and four
+    * queries consume the same planted corpus. */
+  private val paraCorpusCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def withParagraphCorpus(s: SparkSession, dir: String): DataFrame =
+    paraCorpusCache.getOrElseUpdate((s, dir), buildParagraphCorpus(s, dir))
+
+  private def buildParagraphCorpus(s: SparkSession, dir: String): DataFrame = {
+    val rk = graft.ops.ChronoSplit.RankCol
+    val ranked = graft.ops.ChronoSplit
+      .withGlobalRank(Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "doc_id")
+      .localCheckpoint(true)
+    val prev = ranked.select((col(rk) + 1).as(rk), col("text").as("lag_text"))
+    val next = ranked.select((col(rk) - 1).as(rk), col("text").as("lead_text"))
+    ranked.join(prev, Seq(rk), "left").join(next, Seq(rk), "left")
+      .select(col("doc_id"),
+        concat_ws("\n\n", col("lag_text"), col("text"), col("lead_text")).as("text"))
   }
 
   /** #19e paragraph-level exact dedup: first corpus-wide occurrence of

@@ -82,7 +82,6 @@ object EvalQueries {
     * Unseen (type, hour) cells fall back to the global train mean, so
     * every test row is scored. */
   def evalCalibration(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sided = timeSided(s, dir)
       .withColumn("hod", expr("(ts_us % 86400000000) div 3600000000"))
     val train = sided.filter(col("side") === 0)
@@ -93,10 +92,11 @@ object EvalQueries {
       .join(cellMean, Seq("event_type", "hod"), "left")
       .crossJoin(broadcast(globalMean))
       .withColumn("prediction", coalesce(col("cell_pred"), col("global_pred")))
-    scored
-      .withColumn("bin",
-        ntile(10).over(Window.orderBy(col("prediction"), col("event_id")))
-          .cast("long"))
+    // Exact ntile(10) via ChronoSplit.withNtile — the bucketed-rank
+    // integer formula, identical to the oracle's ntile, with no
+    // unpartitioned WindowExec over the scored rows (the prior global
+    // ntile window sorted every prediction in one task).
+    graft.ops.ChronoSplit.withNtile(scored, "prediction", "event_id", 10, "bin")
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
         round(avg("prediction"), 6).as("mean_pred"),

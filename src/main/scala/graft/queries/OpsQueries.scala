@@ -1108,14 +1108,12 @@ object OpsQueries {
     * (1−p)·p^(d−1)/d — the pairwise reformulation that needs no
     * per-depth set intersection. */
   def searchRbo(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
     val q = Seq("vector", "key", "dup")
-    val wAll = Window.orderBy(col("score").desc, col("doc_id"))
-    val bm = TextAnalysis.bm25Search(docs, "text", "doc_id", q, 10)
-      .withColumn("ra", row_number().over(wAll)).select("doc_id", "ra")
-    val tf = TextAnalysis.tfidfSearch(docs, "text", "doc_id", q, 10)
-      .withColumn("rb", row_number().over(wAll)).select("doc_id", "rb")
+    val bm = rankTopList(TextAnalysis.bm25Search(docs, "text", "doc_id", q, 10), "ra")
+      .select("doc_id", "ra")
+    val tf = rankTopList(TextAnalysis.tfidfSearch(docs, "text", "doc_id", q, 10), "rb")
+      .select("doc_id", "rb")
     val pairs = bm.join(tf, "doc_id")
       .withColumn("m", greatest(col("ra"), col("rb")))
     val depth = s.range(1, 11).select(col("id").as("d"))
@@ -1125,15 +1123,28 @@ object OpsQueries {
         round(sum("wt"), 6).as("rbo"))
   }
 
+  /** Rank a k-bounded retrieval list by (score desc, doc_id) via a
+    * broadcast strictly-ahead count — the list is already `.limit(k)`
+    * output (k ≤ 10 rows at any corpus size), so a k² theta-join
+    * replaces the unpartitioned ranking window without any scale
+    * term. */
+  private def rankTopList(list: DataFrame, outCol: String): DataFrame = {
+    val ahead = list.select(col("doc_id").as("a_id"), col("score").as("a_score"))
+    list.join(broadcast(ahead),
+        col("a_score") > col("score") ||
+          (col("a_score") === col("score") && col("a_id") < col("doc_id")),
+        "left")
+      .groupBy(list.columns.map(col): _*)
+      .agg((count("a_id") + 1).as(outCol))
+  }
+
   def searchRrf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
     val q = Seq("vector", "key", "dup")
-    val wAll = Window.orderBy(col("score").desc, col("doc_id"))
-    val bm = TextAnalysis.bm25Search(docs, "text", "doc_id", q, 10)
-      .withColumn("rk_bm", row_number().over(wAll)).select("doc_id", "rk_bm")
-    val tf = TextAnalysis.tfidfSearch(docs, "text", "doc_id", q, 10)
-      .withColumn("rk_tf", row_number().over(wAll)).select("doc_id", "rk_tf")
+    val bm = rankTopList(TextAnalysis.bm25Search(docs, "text", "doc_id", q, 10), "rk_bm")
+      .select("doc_id", "rk_bm")
+    val tf = rankTopList(TextAnalysis.tfidfSearch(docs, "text", "doc_id", q, 10), "rk_tf")
+      .select("doc_id", "rk_tf")
     bm.join(tf, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(60) + col("rk_bm")), lit(0.0))
@@ -1175,22 +1186,24 @@ object OpsQueries {
     * cumulative share and the 80%-coverage flag. Money goes through
     * exact integer cents (`round(price·(1−disc)·100)`), so ranks,
     * running sums and the flag are integer-deterministic; the ranking
-    * window runs over AGGREGATED catalog rows (one per part — the same
-    * bounded-cardinality exception as the stratified-quota ranking),
-    * never over raw lineitems. */
+    * runs over AGGREGATED catalog rows (one per part), and the rank +
+    * running sum come from [[ChronoSplit.withOrderStats]]' bucketed
+    * windows — part cardinality is entity-scale (web catalogs reach
+    * billions), so even the aggregated ranking must not sort in one
+    * task. DESC order = ascending on the negated key. */
   def paretoParts(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rev = Tables.lineitem(s, dir)
       .withColumn("cents",
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
           .cast("long"))
       .groupBy("l_partkey").agg(sum("cents").as("cents"))
     val tot = rev.agg(sum("cents").as("tot"))
-    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-    rev.crossJoin(broadcast(tot))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("cum", sum("cents")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ChronoSplit
+      .withOrderStats(rev.withColumn("neg_cents", -col("cents")),
+        "neg_cents", "l_partkey", sumCols = Seq("cents"))
+      .withColumnRenamed(ChronoSplit.RankCol, "rk")
+      .withColumnRenamed(ChronoSplit.cumCol("cents"), "cum")
+      .crossJoin(broadcast(tot))
       .select(col("l_partkey"), round(col("cents") / 100.0, 2).as("revenue"),
         col("rk"), round(col("cum").cast("double") / col("tot"), 6).as("cum_share"),
         ((col("cum") - col("cents")).cast("double") / col("tot") < 0.8)
@@ -1293,13 +1306,19 @@ object OpsQueries {
         count(lit(1)).as("n_orders"), sum("cents").as("cents"))
       .crossJoin(broadcast(ref))
       .withColumn("recency_days", datediff(col("refd"), col("last_order")).cast("long"))
-    base
-      .withColumn("r", ntile(4).over(
-        Window.orderBy(col("recency_days"), col("o_custkey"))).cast("long"))
-      .withColumn("f", ntile(4).over(
-        Window.orderBy(col("n_orders").desc, col("o_custkey"))).cast("long"))
-      .withColumn("m", ntile(4).over(
-        Window.orderBy(col("cents").desc, col("o_custkey"))).cast("long"))
+    // Three exact quartile codings via ChronoSplit.withNtile (bucketed
+    // ranks + the integer ntile formula) — customers are entity-scale,
+    // so none of the three orderings may sort in one task; DESC
+    // orderings go through negated derived keys.
+    val coded = ChronoSplit.withNtile(
+      ChronoSplit.withNtile(
+        ChronoSplit.withNtile(
+          base.withColumn("neg_f", -col("n_orders"))
+            .withColumn("neg_m", -col("cents")),
+          "recency_days", "o_custkey", 4, "r"),
+        "neg_f", "o_custkey", 4, "f"),
+      "neg_m", "o_custkey", 4, "m")
+    coded
       .select(col("o_custkey"), col("recency_days"), col("n_orders"),
         round(col("cents") / 100.0, 2).as("monetary"),
         col("r"), col("f"), col("m"),
@@ -1982,20 +2001,22 @@ object OpsQueries {
     * arithmetic over total orders, so the mapping is engine-exact. The
     * pooled global rank is the oracle-able form; at 100 TB the pooled
     * quantile function would come from an approx-quantile sketch table
-    * instead of a global sort. */
+    * instead of a global sort. Both total orders (pooled and per-type)
+    * come from [[graft.ops.ChronoSplit.withOrderStats]]' quantile-
+    * bucketed bounded windows — no unpartitioned (or single-hot-group)
+    * WindowExec anywhere, so the exact-rank form itself survives
+    * 100 TB. */
   def quantileNorm(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
-    val pooled = ev
-      .withColumn("idx", row_number().over(
-        Window.orderBy(col("value"), col("event_id"))).cast("long") - 1)
-      .select(col("idx"), col("value").as("pooled_value"))
+    val pooled = ChronoSplit.withGlobalRank(ev, "value", "event_id")
+      .select((col(ChronoSplit.RankCol) - 1).as("idx"),
+        col("value").as("pooled_value"))
     val n = ev.agg(count(lit(1)).as("nn"))
-    val grouped = ev
-      .withColumn("i", row_number().over(
-        Window.partitionBy("event_type").orderBy(col("value"), col("event_id")))
-        .cast("long"))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+    val m = ev.groupBy("event_type").agg(count(lit(1)).as("m"))
+    val grouped = ChronoSplit
+      .withOrderStats(ev, "value", "event_id", partitionCols = Seq("event_type"))
+      .withColumnRenamed(ChronoSplit.RankCol, "i")
+      .join(m, "event_type")
     grouped.crossJoin(broadcast(n))
       .withColumn("idx",
         when(col("m") === 1, expr("(nn - 1) div 2"))
@@ -2032,15 +2053,15 @@ object OpsQueries {
     * inequality readout next to the per-nation HHI. Windows run over
     * one-row-per-customer aggregates (the established exception). */
   def revenueLorenz(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // Rank + running spend via bucketed order stats — customers are
+    // entity-scale, so the Lorenz order must not sort in one task.
     val spend = Tables.orders(s, dir)
       .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
       .groupBy("o_custkey").agg(sum("cents").as("cents"))
-    val w = Window.orderBy(col("cents"), col("o_custkey"))
-    val ranked = spend
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("cum", sum("cents").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = ChronoSplit
+      .withOrderStats(spend, "cents", "o_custkey", sumCols = Seq("cents"))
+      .withColumnRenamed(ChronoSplit.RankCol, "rk")
+      .withColumnRenamed(ChronoSplit.cumCol("cents"), "cum")
     val tot = spend.agg(sum("cents").as("tot"), count(lit(1)).as("n"))
     ranked.crossJoin(broadcast(tot))
       // Keep the first rank of each decile bucket — the row where
@@ -2071,24 +2092,30 @@ object OpsQueries {
     * quantities): sort by (price, line identity), running weight sum,
     * first row reaching half the total — weighted order statistics
     * without any sampling. Quantities are integral doubles, so every
-    * running sum is exact and the pick is engine-identical. */
+    * running sum is exact and the pick is engine-identical. The
+    * running weight sum is a bucketed per-flag prefix
+    * ([[ChronoSplit.withOrderStats]] over exact long weights) — flags
+    * have only 3 values, so a flag-partitioned window over raw
+    * lineitems is 3 tasks each sorting a third of the table at 100 TB;
+    * the median pick itself is a per-flag min(struct), no window. */
   def weightedMedian(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, dir).select(
       col("l_returnflag").as("flag"),
       round(col("l_extendedprice") / col("l_quantity"), 6).as("unit"),
-      col("l_quantity").as("wt"), col("l_orderkey"), col("l_linenumber"))
-    val w = Window.partitionBy("flag")
-      .orderBy(col("unit"), col("l_orderkey"), col("l_linenumber"))
-    val cum = li
-      .withColumn("cum", sum("wt").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum("wt").over(Window.partitionBy("flag")))
-      .filter(col("cum") * 2 >= col("tot"))
-    cum.withColumn("r", row_number().over(
-        Window.partitionBy("flag").orderBy(col("unit"), col("l_orderkey"), col("l_linenumber"))))
-      .filter(col("r") === 1)
-      .select(col("flag"), col("unit").as("weighted_median"),
+      col("l_quantity").as("wt"),
+      // l_linenumber <= 7, so this composite is unique and lexicographic
+      // in (l_orderkey, l_linenumber).
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("tie"),
+      col("l_quantity").cast("long").as("wq"))
+    val tot = li.groupBy("flag").agg(sum("wt").as("tot"))
+    val cum = ChronoSplit
+      .withOrderStats(li, "unit", "tie", partitionCols = Seq("flag"),
+        sumCols = Seq("wq"), withRank = false)
+      .join(tot, "flag")
+      .filter(col(ChronoSplit.cumCol("wq")) * 2 >= col("tot"))
+    cum.groupBy("flag")
+      .agg(min(struct(col("unit"), col("tie"))).as("f"), max("tot").as("tot"))
+      .select(col("flag"), col("f.unit").as("weighted_median"),
         round(col("tot"), 2).as("total_weight"))
       .orderBy("flag")
   }
@@ -2867,13 +2894,25 @@ object OpsQueries {
     * `levenshtein(a, b, 2) >= 0` form (O(k·n) with early bail-out);
     * the DuckDB oracle computes the UN-banded distance, so the hash
     * match proves the rewrite semantics-preserving — upgrading the rule
-    * from spec-only to engine-cross-checked. Pairs are nation-blocked,
-    * never a global cross join. */
+    * from spec-only to engine-cross-checked.
+    *
+    * Blocking is COMPOUND (nation × the first 3 digits of the name's
+    * numeric suffix), the standard ER prefix-blocking discipline: a
+    * nation-only key has constant cardinality (25 blocks), so the pair
+    * space grows n²/25 — quadratic at 100×. The digit-prefix component
+    * multiplies block cardinality by 10³ while keeping every
+    * same-prefix near-pair (names share the constant "Customer#"
+    * literal, so length bands or first-char classes would not
+    * subdivide); pairs differing inside the blocking prefix are out of
+    * the query's scope by definition, exactly as in [[erScores]]'
+    * n_chars-band blocking. Mirrored in the oracle. */
   def levPrefilter(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(s, dir).select(col("c_nationkey"), col("c_name"))
-    val a = c.select(col("c_nationkey"), col("c_name").as("a_name"))
-    val b = c.select(col("c_nationkey"), col("c_name").as("b_name"))
-    a.join(b, Seq("c_nationkey"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_nationkey"), substring(col("c_name"), 10, 3).as("pfx3"),
+        col("c_name"))
+    val a = c.select(col("c_nationkey"), col("pfx3"), col("c_name").as("a_name"))
+    val b = c.select(col("c_nationkey"), col("pfx3"), col("c_name").as("b_name"))
+    a.join(b, Seq("c_nationkey", "pfx3"))
       .filter(col("a_name") < col("b_name"))
       .filter(expr("levenshtein(a_name, b_name) <= 2"))
       .groupBy("c_nationkey").agg(count(lit(1)).as("n_close_pairs"))
@@ -5467,11 +5506,17 @@ FROM cells ORDER BY lang_true, lang_pred""",
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  WHERE p_type = 'PROMO')
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    // Compound (nation, 3-digit-prefix) blocking mirrored from the
+    // engine; the oracle's levenshtein stays UN-banded so the hash
+    // match proves the banded rewrite is semantics-preserving.
     "lev_prefilter" ->
-      """WITH c AS (SELECT c_nationkey, c_name FROM customer)
+      """WITH c AS (
+        |  SELECT c_nationkey, substring(c_name, 10, 3) AS pfx3, c_name
+        |  FROM customer)
         |SELECT a.c_nationkey, count(*) AS n_close_pairs
         |FROM c a JOIN c b
-        |  ON a.c_nationkey = b.c_nationkey AND a.c_name < b.c_name
+        |  ON a.c_nationkey = b.c_nationkey AND a.pfx3 = b.pfx3
+        |    AND a.c_name < b.c_name
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |GROUP BY 1 ORDER BY a.c_nationkey""".stripMargin,
     "er_scores" ->

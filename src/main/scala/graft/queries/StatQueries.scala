@@ -127,15 +127,19 @@ object StatQueries {
     * (arrival order = event_id, the ingest sequence) exceeds its event
     * time by more than the delay. This is the batch dry-run that
     * tunes `withWatermark` before a deploy: pick the smallest delay
-    * whose drop rate is acceptable. One global running-max window pass
-    * (arrival order is a total order by definition of the audit),
-    * three delays folded as conditional sums, stack() to long form. */
+    * whose drop rate is acceptable. The running max over all earlier
+    * arrivals comes from [[graft.ops.ChronoSplit.withOrderStats]]'
+    * exclusive bucketed prefix-max — the arrival order is still a
+    * total order, but no WindowExec ever sees more than one
+    * quantile-bucket of rows (the prior global `Window.orderBy` put
+    * the whole table in one task); three delays folded as conditional
+    * sums, stack() to long form. */
   def watermarkAudit(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ev = Tables.events(s, dir)
-      .withColumn("ts_us", unix_micros(col("ts")))
-      .withColumn("hwm", max("ts_us").over(w))
+    val ev = graft.ops.ChronoSplit
+      .withOrderStats(
+        Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
+        "event_id", "event_id", maxCols = Seq("ts_us"), withRank = false)
+      .withColumn("hwm", col(graft.ops.ChronoSplit.hwmCol("ts_us")))
     val delays = Seq(60L, 600L, 3600L)
     val wide = ev.agg(
       count(lit(1)).as("n_events"),
@@ -361,11 +365,16 @@ object StatQueries {
       .withColumn("price_cents", round(col("p_retailprice") * 100, 0).cast("long"))
     val grouped = pts.groupBy("price_cents", "p_size")
       .agg(min("p_partkey").as("p_partkey"), count(lit(1)).as("n_dup"))
-    val perX = grouped.groupBy("price_cents").agg(min("p_size").as("mn_size"))
-    val wx = Window.orderBy("price_cents")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val sky = perX
-      .withColumn("prefix_min", min("mn_size").over(wx))
+    // Exclusive prefix-min of size over ascending price, computed as
+    // the negated bucketed prefix-max (ChronoSplit.withOrderStats) —
+    // distinct price points are entity-scale on a web catalog, so the
+    // sweep must not sort in one task.
+    val perX = grouped.groupBy("price_cents")
+      .agg(min("p_size").cast("long").as("mn_size"))
+    val sky = graft.ops.ChronoSplit
+      .withOrderStats(perX.withColumn("neg_size", -col("mn_size")),
+        "price_cents", "price_cents", maxCols = Seq("neg_size"), withRank = false)
+      .withColumn("prefix_min", -col(graft.ops.ChronoSplit.hwmCol("neg_size")))
       .filter(col("prefix_min").isNull || col("mn_size") < col("prefix_min"))
       .select(col("price_cents").as("pc"), col("mn_size"))
     sky.join(grouped, col("pc") === col("price_cents") &&
@@ -573,11 +582,14 @@ object StatQueries {
       .filter(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L) + lit(13L),
         lit(1000000L)) >= 500000L)
       .withColumn("x", when(col("value") > 50.0, 1L).otherwise(0L))
-    val w = Window.orderBy(col("ts_us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val walked = arm
-      .withColumn("n1", sum("x").over(w))
-      .withColumn("t", row_number().over(Window.orderBy(col("ts_us"), col("event_id"))).cast("long"))
+    // Arrival-order walk via bucketed order stats: exact global rank t
+    // and the inclusive running conversion count n1, with every window
+    // bounded to one quantile bucket (the prior two global
+    // Window.orderBy passes each sorted the whole arm in one task).
+    val walked = graft.ops.ChronoSplit
+      .withOrderStats(arm, "ts_us", "event_id", sumCols = Seq("x"))
+      .withColumnRenamed(graft.ops.ChronoSplit.RankCol, "t")
+      .withColumn("n1", col(graft.ops.ChronoSplit.cumCol("x")))
       .withColumn("llr", round(col("n1") * log(lit(1.1))
         + (col("t") - col("n1")) * log(lit(0.9)), 9))
       .withColumn("hi", round(log((lit(1.0) - 0.05) / 0.05), 9))
@@ -704,14 +716,18 @@ object StatQueries {
     * dictionary alternative (distinct values once + byte-aligned codes
     * of 1/2/4 bytes by NDV), with the saving in basis points. All
     * integer-exact; each column costs one (pruned) scan of just that
-    * column. */
+    * column. NULL convention, pinned identically in the oracle: NULLs
+    * are excluded from the dictionary and from NDV (columnar formats
+    * carry nulls in definition levels, not dictionary slots), so a
+    * nullable audited column cannot skew the 1/2/4-byte code-width
+    * choice differently per engine. */
   def encodingAdvisor(s: SparkSession, dir: String): DataFrame = {
     def one(table: String, column: String, df: DataFrame): DataFrame = {
       val c = col(column)
       val stats = df.agg(
         count(lit(1)).as("n"),
         sum(octet_length(c)).as("raw_bytes"))
-      val dict = df.select(c.as("v")).distinct()
+      val dict = df.select(c.as("v")).filter(col("v").isNotNull).distinct()
         .agg(count(lit(1)).as("ndv"), sum(octet_length(col("v"))).as("dict_entry_bytes"))
       stats.crossJoin(broadcast(dict))
         .withColumn("code_bytes",
@@ -774,8 +790,10 @@ object StatQueries {
     * arm matches the policy's choice. The policy table is the tiny
     * hours × arms grid (cumulative sums over hours), so the only
     * fact-scale work is one join back to the log on (hour, type);
-    * unmatched hours (no plays of the chosen arm) surface with
-    * n_matched = 0 rather than vanishing. */
+    * unmatched hours (no plays of the chosen arm) surface as rows with
+    * n_matched = 0 and replay_ctr = NULL (0 observed trials has no
+    * defined rate — the NULL is the honest readout, pinned identically
+    * in the oracle) rather than vanishing. */
   def banditReplay(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .withColumn("hour_idx", expr("unix_micros(ts) div 3600000000"))
@@ -1761,7 +1779,12 @@ object StatQueries {
         |    (SELECT llr FROM llrs ORDER BY t DESC LIMIT 1) AS final_llr
         |  FROM llrs
         |)
-        |SELECT * FROM first CROSS JOIN last""".stripMargin,
+        |-- LEFT JOIN from last: one null-decision row when the LLR never
+        |-- crosses a Wald boundary, matching the engine's global agg over
+        |-- the empty filtered set (a CROSS JOIN would yield zero rows).
+        |SELECT decision_n, decision_ts_us, decision, llr_at_decision,
+        |  n_total, final_llr
+        |FROM last LEFT JOIN first ON true""".stripMargin,
     "events_dispersion" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
@@ -1857,7 +1880,8 @@ object StatQueries {
            |    (SELECT (sum(strlen(v)) + (SELECT count(*) FROM $t) *
            |       (CASE WHEN count(*) <= 256 THEN 1
            |             WHEN count(*) <= 65536 THEN 2 ELSE 4 END))::BIGINT
-           |     FROM (SELECT DISTINCT $c AS v FROM $t) dv) AS dict_bytes
+           |     FROM (SELECT DISTINCT $c AS v FROM $t
+           |           WHERE $c IS NOT NULL) dv) AS dict_bytes
            |) s""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name"),
     "slo_burn" ->
@@ -2071,9 +2095,16 @@ object StatQueries {
         |      coalesce(lang, '\N'), coalesce(source, '\N'),
         |      coalesce(n_chars::VARCHAR, '\N'))), 1, 15))::BIGINT AS hv
         |  FROM documents
-        |), leaves AS (
+        |), grouped AS (
         |  SELECT bucket, count(*) AS n_rows, bit_xor(hv) AS checksum
         |  FROM base GROUP BY 1
+        |), leaves AS (
+        |  -- fixed 16-leaf level: absent buckets emit (0, 0), mirroring
+        |  -- the engine's generated spine
+        |  SELECT g.bucket, coalesce(l.n_rows, 0)::BIGINT AS n_rows,
+        |    coalesce(l.checksum, 0)::BIGINT AS checksum
+        |  FROM (SELECT unnest(range(0, 16))::BIGINT AS bucket) g
+        |  LEFT JOIN grouped l USING (bucket)
         |), root AS (
         |  SELECT 0 AS level, -1 AS bucket, sum(n_rows)::BIGINT AS n_rows,
         |    bit_xor(('0x' || substr(md5(bucket::VARCHAR || ':' ||

@@ -39,6 +39,18 @@ class DamerauLevenshteinSpec extends AnyFunSuite {
     assert(dl("a", "a") == 0)
   }
 
+  test("non-BMP text compares per codepoint, not per UTF-16 unit") {
+    // Each emoji is one codepoint (a surrogate pair in UTF-16): a
+    // per-char compare would score a deletion as 2 unit edits, and a
+    // swap of two emoji would not be a single transposition. (DuckDB's
+    // implementation is per UTF-8 byte — 'a😀b'→'ab' = 4 there — which
+    // is why the cross-engine oracle feeds ASCII keys only.)
+    assert(dl("😀", "😀") == 0)
+    assert(dl("😀", "😁") == 1) // one substitution, not two
+    assert(dl("a😀b", "ab") == 1) // one codepoint deletion
+    assert(dl("😀😁", "😁😀") == 1) // one transposition of two codepoints
+  }
+
   test("symmetry and triangle sanity") {
     val pairs = Seq(("martha", "marhta"), ("dixon", "dicksonx"), ("ca", "abc"))
     pairs.foreach { case (a, b) => assert(dl(a, b) == dl(b, a)) }
