@@ -582,4 +582,54 @@ object TextAnalysis {
         6))
       .select(col("doc_id"), col("term"), col("score"))
   }
+
+  /** Per-token χ² association with a label column — the supervised
+    * feature-selection step (which tokens discriminate a language /
+    * domain / quality class): for each (token, label), the 2×2
+    * document-presence contingency a = docs-in-label-containing,
+    * b = label docs without it, c = other-label docs containing,
+    * d = the rest, and χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)). The
+    * contingency is ALL exact integers from two aggregates (per-label
+    * doc frequency + per-label doc counts, both token- or label-keyed
+    * partial aggregation), so the derived χ² double is engine-exact;
+    * the top-k per label goes through the bounded-heap
+    * [[graft.plans.Graft.topKPerGroup]] operator on the ROUNDED score
+    * (round-then-rank) — never a vocabulary-scale sort. `minDf` gates
+    * rare tokens (χ² is unstable below ~5 expected counts). */
+  def tokenChi2(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: String,
+      k: Int = 5,
+      minDf: Long = 5L): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+        explode(array_distinct(LanguageModel.tokens(col(textCol)))).as("tok"))
+    // a: docs of this label containing tok; df_tok = a + c.
+    val perLabel = toks.groupBy("tok", "label").agg(count(lit(1)).as("a"))
+    val dfTok = perLabel.groupBy("tok").agg(sum("a").as("df_tok"))
+      .filter(col("df_tok") >= minDf)
+    val labelSizes = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_label"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val cells = perLabel
+      .join(dfTok, "tok")
+      .join(broadcast(labelSizes), "label")
+      .crossJoin(broadcast(n))
+      .withColumn("b", col("n_label") - col("a"))
+      .withColumn("c", col("df_tok") - col("a"))
+      .withColumn("d", col("n_docs") - col("n_label") - col("c"))
+      .withColumn("chi2", round(
+        col("n_docs").cast("double")
+          * (col("a") * col("d") - col("b") * col("c")).cast("double")
+          * (col("a") * col("d") - col("b") * col("c")).cast("double")
+          / (col("n_label").cast("double") * (col("n_docs") - col("n_label"))
+            * col("df_tok") * (col("n_docs") - col("df_tok"))), 6))
+    graft.plans.Graft
+      .topKPerGroup(
+        cells.select("label", "tok", "a", "df_tok", "chi2"),
+        Seq("label"), "chi2", k, descending = true, tiebreak = Seq("tok"))
+      .orderBy(col("label"), col("chi2").desc, col("tok"))
+  }
 }

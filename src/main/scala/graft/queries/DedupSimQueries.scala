@@ -763,6 +763,32 @@ object DedupSimQueries {
       .orderBy("vec_id")
   }
 
+  /** #23g nearest-centroid (Rocchio) classifier confusion matrix
+    * ([[graft.ops.Classify.centroidConfusion]]): the one-centroid-per-
+    * label companion to [[knnClassify]] — same hash split (vec_id % 5),
+    * quantized exact-integer centroid sums, deterministic argmin from
+    * integer-derived distances, |labels|-row broadcast scoring. */
+  def centroidClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    graft.ops.Classify.centroidConfusion(
+        e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", "label")
+      .orderBy("label_true", "label_pred")
+  }
+
+  /** #23h Johnson-Lindenstrauss sign-projection distortion audit
+    * ([[graft.ops.Projection.distortionAudit]]): 64 → 16 dims through
+    * the deterministic md5-parity ±1 matrix, with exact integer
+    * squared distances in both spaces for every sampled pair and the
+    * per-pair distortion ratio the JL lemma bounds near 1 — the
+    * certificate a pipeline checks before switching its ANN index to
+    * the projected space. */
+  def jlDistortion(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Projection.distortionAudit(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        d = 64, k = 16, sampleMod = 20)
+      .orderBy("a_id", "b_id")
+
   /** #19u Jaro-Winkler ER scoring over sorted-neighborhood blocks: the
     * native codegen'd [[graft.functions.JaroWinklerSim]] scored against
     * DuckDB's INDEPENDENT `jaro_winkler_similarity` implementation —
@@ -831,6 +857,8 @@ object DedupSimQueries {
     "kmeans_embed"        -> (kmeansEmbed _),
     "kmeans_silhouette"   -> (kmeansSilhouette _),
     "knn_classify"        -> (knnClassify _),
+    "centroid_classify"   -> (centroidClassify _),
+    "jl_distortion"       -> (jlDistortion _),
     "dedup_cross_source"  -> (dedupCrossSource _),
     "sim_ann_pq"          -> (simAnnPq _),
     "sim_ann_pq_shape"    -> (simAnnPqShape _),
@@ -1008,6 +1036,67 @@ object DedupSimQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Full-product mirror of the bounded-heap top-5 + majority vote:
     // identical d2 arithmetic and the same two-level tie discipline.
+    // Same 1e-4 quantization + exact-integer centroid sums as the
+    // engine; dist2 = num::DOUBLE / (n*n)::DOUBLE is two correctly-
+    // rounded ops from exact integers, so the argmin agrees with no
+    // rounding guard.
+    "centroid_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, t.i - 1 AS i,
+        |    round(embedding[t.i]::DOUBLE * 10000)::BIGINT AS qv
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+        |), tr AS (SELECT * FROM q WHERE vec_id % 5 <> 0),
+        |ev AS (SELECT * FROM q WHERE vec_id % 5 = 0),
+        |cent AS (
+        |  SELECT label AS c_label, i, sum(qv)::BIGINT AS s FROM tr GROUP BY 1, 2
+        |), nn AS (
+        |  SELECT label AS c_label, count(*)::BIGINT AS n FROM embeddings
+        |  WHERE vec_id % 5 <> 0 GROUP BY 1
+        |), sc AS (
+        |  SELECT ev.vec_id, ev.label AS label_true, c.c_label,
+        |    sum((ev.qv * nn.n - c.s) * (ev.qv * nn.n - c.s))::BIGINT AS num,
+        |    max(nn.n) AS n
+        |  FROM ev JOIN cent c ON ev.i = c.i
+        |  JOIN nn ON nn.c_label = c.c_label
+        |  GROUP BY 1, 2, 3
+        |), best AS (
+        |  SELECT vec_id, label_true, c_label AS label_pred FROM (
+        |    SELECT sc.*, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY num::DOUBLE / (n * n)::DOUBLE, c_label) AS rn
+        |    FROM sc) WHERE rn = 1
+        |)
+        |SELECT label_true, label_pred, count(*)::BIGINT AS n FROM best
+        |GROUP BY 1, 2 ORDER BY label_true, label_pred""".stripMargin,
+    // md5-parity sign matrix reconstructed in SQL; both squared
+    // distances are exact integers, the ratio two correctly-rounded
+    // double divisions.
+    "jl_distortion" ->
+      """WITH q AS (
+        |  SELECT vec_id AS id, t.i - 1 AS i,
+        |    round(embedding[t.i]::DOUBLE * 10000)::BIGINT AS qv
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+        |  WHERE vec_id % 20 = 0
+        |), pv AS (
+        |  SELECT id, j.j, sum(qv * CASE
+        |      WHEN ('0x' || substr(md5(q.i || ':' || j.j), 1, 15))::BIGINT % 2 = 1
+        |      THEN -1 ELSE 1 END)::BIGINT AS p
+        |  FROM q, (SELECT unnest(range(0, 16)) AS j) j
+        |  GROUP BY 1, 2
+        |), od AS (
+        |  SELECT a.id AS a_id, b.id AS b_id,
+        |    sum((a.qv - b.qv) * (a.qv - b.qv))::BIGINT AS orig_d2
+        |  FROM q a JOIN q b ON a.i = b.i AND a.id < b.id GROUP BY 1, 2
+        |), pd AS (
+        |  SELECT a.id AS a_id, b.id AS b_id,
+        |    sum((a.p - b.p) * (a.p - b.p))::BIGINT AS proj_d2
+        |  FROM pv a JOIN pv b ON a.j = b.j AND a.id < b.id GROUP BY 1, 2
+        |)
+        |SELECT od.a_id, od.b_id, orig_d2, proj_d2,
+        |  round(proj_d2::DOUBLE / 16.0 / orig_d2::DOUBLE, 6) AS distortion
+        |FROM od JOIN pd USING (a_id, b_id)
+        |ORDER BY a_id, b_id""".stripMargin,
     "knn_classify" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 5 = 0),

@@ -601,6 +601,16 @@ object OpsQueries {
         minPairCount = 5L)
       .orderBy("tok_a", "tok_b")
 
+  /** #49d per-language χ² keyword selection
+    * ([[TextAnalysis.tokenChi2]]): the top-5 tokens whose document
+    * presence is most associated with each language — the supervised
+    * feature-selection companion to [[tokenPmi]]'s unsupervised
+    * co-occurrence. Exact-integer contingency, round-then-rank through
+    * the bounded-heap custom top-k operator. */
+  def tokenChi2(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenChi2(Tables.documents(s, dir), "text", "doc_id", "lang",
+      k = 5, minDf = 5L)
+
   /** #45b per-language percent-rank calibration of the quality score:
     * a threshold on the calibrated rank keeps the same share of every
     * language, where a raw-score cut would not. */
@@ -2989,6 +2999,7 @@ object OpsQueries {
     "corpus_ccnet"      -> (corpusCcnet _),
     "tfidf_search"      -> (tfidfSearch _),
     "token_pmi"         -> (tokenPmi _),
+    "token_chi2"        -> (tokenChi2 _),
     "quality_calibrate" -> (qualityCalibrate _),
     "agg_incremental"   -> (aggIncremental _),
     "zorder_cells"      -> (zorderCells _),
@@ -4883,6 +4894,39 @@ FROM cells ORDER BY lang_true, lang_pred""",
          |SELECT event_id, xcell, ycell, ($morton)::BIGINT AS zval
          |FROM c ORDER BY event_id""".stripMargin
     },
+    // Exact-integer 2x2 presence contingency per (token, lang); the
+    // chi2 double derives with the identical op sequence, then
+    // round-then-rank picks the top 5 per language.
+    "token_chi2" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, lang AS label, t.tok
+        |  FROM documents,
+        |    LATERAL unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(tok)
+        |), pl AS (
+        |  SELECT tok, label, count(*)::BIGINT AS a FROM toks GROUP BY 1, 2
+        |), dt AS (
+        |  SELECT tok, sum(a)::BIGINT AS df_tok FROM pl GROUP BY 1
+        |  HAVING sum(a) >= 5
+        |), ls AS (
+        |  SELECT lang AS label, count(*)::BIGINT AS n_label FROM documents
+        |  GROUP BY 1
+        |), nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |cells AS (
+        |  SELECT pl.label, pl.tok, pl.a, dt.df_tok,
+        |    round(n_docs::DOUBLE
+        |      * ((pl.a * (n_docs - ls.n_label - (dt.df_tok - pl.a))
+        |          - (ls.n_label - pl.a) * (dt.df_tok - pl.a)))::DOUBLE
+        |      * ((pl.a * (n_docs - ls.n_label - (dt.df_tok - pl.a))
+        |          - (ls.n_label - pl.a) * (dt.df_tok - pl.a)))::DOUBLE
+        |      / (ls.n_label::DOUBLE * (n_docs - ls.n_label)
+        |         * dt.df_tok * (n_docs - dt.df_tok)), 6) AS chi2
+        |  FROM pl JOIN dt USING (tok) JOIN ls USING (label) CROSS JOIN nd
+        |)
+        |SELECT label, tok, a, df_tok, chi2 FROM (
+        |  SELECT cells.*, row_number() OVER (
+        |    PARTITION BY label ORDER BY chi2 DESC, tok) AS rk
+        |  FROM cells) WHERE rk <= 5
+        |ORDER BY label, chi2 DESC, tok""".stripMargin,
     "token_pmi" ->
       """WITH dt AS (
         |  SELECT DISTINCT doc_id,
