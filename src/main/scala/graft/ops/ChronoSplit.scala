@@ -182,13 +182,19 @@ object ChronoSplit {
     val fractions = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
     val cuts = probed.stat
       .approxQuantile("__graft_t", fractions, 0.001)
+      .map(c => if (c == 0.0d) 0.0d else c) // −0.0 → 0.0, see BucketIndex
       .distinct.sorted
     // bucket id = #cuts strictly below t → equal t ⇒ equal bucket, and
-    // bucket order is consistent with t order. A single fold over the
-    // literal cut array — flat, unlike a numBuckets-deep CASE chain
-    // that would fall out of codegen.
-    val bucket = aggregate(typedLit(cuts.toSeq), lit(0),
-      (acc, c) => acc + when(t > c, 1).otherwise(0))
+    // bucket order is consistent with t order. Assignment is the native
+    // codegen'd binary search [[graft.functions.BucketIndex]]: an
+    // aggregate() fold over the cut literal walks all N cuts through
+    // interpreted lambdas AND re-inlines a computed order column into
+    // every comparison via projection collapse (87 s at sf0.1 on
+    // weighted_median); the expression evaluates the column once and
+    // compares log₂N times inside whole-stage codegen.
+    val shim = org.apache.spark.sql.graftshim.GraftSqlShim
+    val bucket = shim.column(
+      graft.functions.BucketIndex(shim.expression(t), cuts))
     val bucketed = probed.withColumn("__graft_bucket", bucket)
 
     val statAggs = count(lit(1)).as("__graft_cnt") +:

@@ -16,4 +16,17 @@ object GraftSqlShim {
   /** `Dataset.ofRows` for plans built by graft operators. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Public `Column` over a custom catalyst `Expression` — for graft
+    * expressions carrying non-expression parameters (e.g.
+    * [[graft.functions.BucketIndex]]'s cut array) that the function
+    * registry's children-only builders cannot construct. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The inverse: the catalyst `Expression` behind a public `Column`. */
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
