@@ -128,15 +128,102 @@ object EvalQueries {
         + (lit(1.0) - col("y")) * log(lit(1.0) - col("pc")))), 6).as("logloss"))
   }
 
+  /** #15d split-conformal prediction intervals per event type: fit a
+    * per-type mean on the chronological first half, take the
+    * ceil(0.9·(m+1))-th smallest absolute calibration residual as the
+    * interval half-width (the finite-sample 90% guarantee), and audit
+    * the empirical coverage on the held-out tail.
+    *
+    * Exactness: values become integer micros and residuals stay the
+    * exact integer |v_us·n_train − sum_us| (|y − μ| scaled through by
+    * n_train), so the quantile pick is an integer order statistic with
+    * a pinned (residual, event_id) tie-break, and coverage is an exact
+    * integer comparison — no float enters until the display divides.
+    * Scale: the per-type order statistic runs through
+    * [[graft.ops.ChronoSplit.withOrderStats]]' bucketed windows; model
+    * and quantile tables are |event_type|-scale broadcasts. */
+  def conformalInterval(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("ts"), col("event_type"),
+      round(col("value") * 1000000, 0).cast("long").as("v_us"))
+    val Seq(train, calib, test) =
+      ChronoSplit.split(ev, Seq(0.5, 0.25, 0.25), "ts", "event_id")
+    val model = train.groupBy("event_type")
+      .agg(count(lit(1)).as("n_train"), sum("v_us").as("sum_us"))
+    val calR = calib.join(broadcast(model), "event_type")
+      .withColumn("res", abs(col("v_us") * col("n_train") - col("sum_us")))
+    val sizes = calR.groupBy("event_type").agg(count(lit(1)).as("n_calib"))
+    val q = ChronoSplit.withOrderStats(calR, "res", "event_id",
+        partitionCols = Seq("event_type"))
+      .join(broadcast(sizes), "event_type")
+      .filter(col(ChronoSplit.RankCol) === ceil((col("n_calib") + 1) * 0.9))
+      .select(col("event_type"), col("res").as("q_scaled"), col("n_calib"))
+    val cov = test.join(broadcast(model), "event_type")
+      .join(broadcast(q), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("v_us") * col("n_train") - col("sum_us"))
+          <= col("q_scaled"), 1).otherwise(0)).as("n_cov"))
+    model.join(broadcast(q), "event_type").join(broadcast(cov), "event_type")
+      .select(col("event_type"), col("n_train"), col("n_calib"), col("n_test"),
+        round(col("sum_us") / col("n_train") / lit(1000000.0), 6).as("mu"),
+        round(col("q_scaled") / col("n_train") / lit(1000000.0), 6).as("half_width"),
+        round(col("n_cov") / col("n_test"), 6).as("coverage"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_regression"  -> (evalRegression _),
     "eval_ranking"     -> (evalRanking _),
     "eval_auc"         -> (evalAuc _),
     "eval_calibration" -> (evalCalibration _),
     "eval_brier"       -> (evalBrier _),
+    "conformal_interval" -> (conformalInterval _),
   )
 
   val oracles: Map[String, String] = Map(
+    // Residuals are the exact integer |v_us*n_train - sum_us|; the
+    // chrono slices reproduce ChronoSplit.split's floor(cum-weight * n)
+    // rank boundaries over (ts, event_id).
+    "conformal_interval" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 1000000, 0) AS BIGINT) AS v_us,
+        |    row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM events
+        |), model AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_train,
+        |    sum(v_us)::BIGINT AS sum_us
+        |  FROM r WHERE rn <= floor(0.5 * n) GROUP BY 1
+        |), calib AS (
+        |  SELECT r.event_type, r.event_id,
+        |    abs(r.v_us * m.n_train - m.sum_us) AS res
+        |  FROM r JOIN model m USING (event_type)
+        |  WHERE rn > floor(0.5 * n) AND rn <= floor(0.75 * n)
+        |), q AS (
+        |  SELECT event_type, res AS q_scaled, n_calib FROM (
+        |    SELECT event_type, res,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY res, event_id) AS rk,
+        |      count(*) OVER (PARTITION BY event_type) AS n_calib
+        |    FROM calib)
+        |  WHERE rk = ceil((n_calib + 1) * 0.9)
+        |), cov AS (
+        |  SELECT t.event_type, count(*)::BIGINT AS n_test,
+        |    sum(CASE WHEN abs(t.v_us * m.n_train - m.sum_us) <= q.q_scaled
+        |        THEN 1 ELSE 0 END)::BIGINT AS n_cov
+        |  FROM (SELECT event_type, v_us FROM r WHERE rn > floor(0.75 * n)) t
+        |  JOIN model m USING (event_type) JOIN q USING (event_type)
+        |  GROUP BY 1
+        |)
+        |SELECT m.event_type, m.n_train, q.n_calib, c.n_test,
+        |  round(m.sum_us / m.n_train / 1000000.0, 6) AS mu,
+        |  round(q.q_scaled / m.n_train / 1000000.0, 6) AS half_width,
+        |  round(c.n_cov / c.n_test, 6) AS coverage
+        |FROM model m JOIN q USING (event_type) JOIN cov c USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "eval_calibration" ->
       """WITH sided AS (
         |  SELECT *, epoch_us(ts) AS ts_us,

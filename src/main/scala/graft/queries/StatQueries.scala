@@ -1294,7 +1294,56 @@ object StatQueries {
       .orderBy("cohort_year", "cohort_month", "k")
   }
 
+  /** #37o multivariate OLS via the normal equations
+    * ([[graft.ops.Regression.olsNormal2]]): price-cents regressed on
+    * quantity and discount basis points over the whole lineitem table.
+    * One constant-size exact-DECIMAL moment aggregation + a scalar
+    * Cramer solve — the canonical in-database ML reduction (the model
+    * is a function of ten sums; no row leaves the executors). */
+  def olsNormal(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Regression.olsNormal2(
+      Tables.lineitem(s, dir).select(
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_discount") * 10000, 0).cast("long").as("disc_bp")),
+      "cents", "qty", "disc_bp")
+
+  /** #37q bottom-k (KMV) distinct sketch with exact audit: per event
+    * type, the k = 16 smallest md5-derived 60-bit user hashes; the
+    * k-th smallest order statistic h₍ₖ₎ estimates distinct users as
+    * (k−1)·2⁶⁰/h₍ₖ₎ (Bar-Yossef et al.'s k-minimum-values estimator —
+    * the mergeable bottom-k companion to the HLL sketches already in
+    * the suite: union = merge the k-lists, re-take the k smallest).
+    * The k-list per group comes from the custom bounded-heap top-k
+    * operator (ascending), so no per-group sort materializes; the
+    * audit column holds the exact distinct count and the estimator's
+    * error in basis points. */
+  def sketchBottomk(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val ev = Tables.events(s, dir)
+    val dh = ev.select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val sk = graft.plans.Graft
+      .topKPerGroup(dh, Seq("event_type"), "h", k, descending = false)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sk"), max("h").as("h_k"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    val est = when(col("n_sk") < k, col("n_sk").cast("double"))
+      .otherwise(lit(15.0) * lit(1152921504606846976.0) / col("h_k"))
+    sk.join(broadcast(exact), "event_type")
+      .select(col("event_type"), lit(k).as("k"), col("n_exact"), col("h_k"),
+        round(est, 6).as("est_distinct"),
+        round(abs(est - col("n_exact")) / col("n_exact") * 10000, 0)
+          .cast("long").as("err_bp"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_bottomk"     -> (sketchBottomk _),
+    "ols_normal"         -> (olsNormal _),
     "dq_constraints"     -> (dqConstraints _),
     "events_ohlc"        -> (eventsOhlc _),
     "vec_quantize"       -> (vecQuantize _),
@@ -1425,6 +1474,76 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Moments are exact HUGEINT sums (mirroring the engine's
+    // DECIMAL(38,0)); the Cramer solve repeats the engine's double
+    // expression tree term for term so the derived coefficients are
+    // bit-identical before round(, 6).
+    // KMV estimate from the exact k-th-smallest 60-bit hash order
+    // statistic; audit columns vs the exact distinct count.
+    "sketch_bottomk" ->
+      """WITH dh AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events
+        |), sk AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_sk, max(h) AS h_k FROM (
+        |    SELECT event_type, h, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY h) AS rk
+        |    FROM dh) WHERE rk <= 16 GROUP BY 1
+        |), ex AS (
+        |  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT sk.event_type, 16 AS k, ex.n_exact, sk.h_k,
+        |  round(CASE WHEN sk.n_sk < 16 THEN sk.n_sk::DOUBLE
+        |    ELSE 15.0 * 1152921504606846976.0 / sk.h_k END, 6) AS est_distinct,
+        |  CAST(round(abs((CASE WHEN sk.n_sk < 16 THEN sk.n_sk::DOUBLE
+        |    ELSE 15.0 * 1152921504606846976.0 / sk.h_k END) - ex.n_exact)
+        |    / ex.n_exact * 10000, 0) AS BIGINT) AS err_bp
+        |FROM sk JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
+    "ols_normal" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
+        |         CAST(l_quantity AS BIGINT) AS x1,
+        |         CAST(round(l_discount * 10000, 0) AS BIGINT) AS x2
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(x1 AS HUGEINT))::DOUBLE AS s1,
+        |    sum(CAST(x2 AS HUGEINT))::DOUBLE AS s2,
+        |    sum(CAST(x1 AS HUGEINT) * x1)::DOUBLE AS s11,
+        |    sum(CAST(x1 AS HUGEINT) * x2)::DOUBLE AS s12,
+        |    sum(CAST(x2 AS HUGEINT) * x2)::DOUBLE AS s22,
+        |    sum(CAST(y AS HUGEINT))::DOUBLE AS sy,
+        |    sum(CAST(x1 AS HUGEINT) * y)::DOUBLE AS s1y,
+        |    sum(CAST(x2 AS HUGEINT) * y)::DOUBLE AS s2y,
+        |    sum(CAST(y AS HUGEINT) * y)::DOUBLE AS syy
+        |  FROM b
+        |), k AS (
+        |  SELECT m.*,
+        |    s11 * s22 - s12 * s12 AS m00,
+        |    s1 * s22 - s12 * s2 AS m01,
+        |    s1 * s12 - s11 * s2 AS m02
+        |  FROM m
+        |), det AS (
+        |  SELECT k.*,
+        |    n * m00 - s1 * m01 + s2 * m02 AS dd,
+        |    sy * m00 - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS d0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * m01
+        |      + s2 * (s1 * s2y - s1y * s2) AS d1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * m02 AS d2
+        |  FROM k
+        |), sol AS (
+        |  SELECT det.*, d0 / dd AS b0, d1 / dd AS b1, d2 / dd AS b2
+        |  FROM det
+        |)
+        |SELECT n, round(b0, 6) AS b0, round(b1, 6) AS b1,
+        |  round(b2, 6) AS b2,
+        |  round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+        |    / (syy - sy * sy / n), 6) AS r2
+        |FROM sol""".stripMargin,
     "events_hurst" -> {
       def rsCte(m: Int): String =
         s"""rs$m AS (
