@@ -880,6 +880,34 @@ object OpsQueries {
   def itemCooc(s: SparkSession, dir: String): DataFrame =
     coocPairs(s, dir).orderBy("item_a", "item_b")
 
+  /** #19x Adamic-Adar link prediction over the co-purchase graph
+    * ([[graft.ops.LinkPredict.adamicAdar]]): the 20 strongest
+    * not-yet-co-purchased part pairs by rare-common-neighbor weight —
+    * the "these two items WILL be bought together" shortlist next to
+    * [[itemCooc]]'s observed pairs. Integer micro-scores
+    * (round-then-sum), hub cap on the middle vertex, distributed
+    * top-k. */
+  def linkAdamicAdar(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LinkPredict.adamicAdar(
+        coocPairs(s, dir).select("item_a", "item_b"), "item_a", "item_b")
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        col("n_common"), col("aa_score_us"))
+
+  /** #19y label-propagation communities on the co-purchase graph
+    * ([[graft.ops.LabelProp.communities]]): three synchronous modal-
+    * vote rounds from singleton labels, ties to the smallest label —
+    * the deterministic community readout (which shopping clusters
+    * exist) on the same edge list the association-rule and
+    * assortativity queries use. */
+  def graphCommunities(s: SparkSession, dir: String): DataFrame = {
+    val labs = graft.ops.LabelProp.communities(
+      coocPairs(s, dir).select("item_a", "item_b"), "item_a", "item_b")
+    val sizes = labs.groupBy("community").agg(count(lit(1)).as("community_size"))
+    labs.join(sizes, "community")
+      .select(col("v").as("item"), col("community"), col("community_size"))
+      .orderBy("item")
+  }
+
   /** #13f recommendation-quality audit of the co-occurrence
     * recommender's top-3 lists: catalog coverage (how much of the
     * catalog is ever recommended) and popularity bias (mean popularity
@@ -3007,6 +3035,8 @@ object OpsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "link_adamic_adar"  -> (linkAdamicAdar _),
+    "graph_communities" -> (graphCommunities _),
     "source_ablation"   -> (sourceAblation _),
     "merge_apply"       -> (mergeApply _),
     "cdc_roundtrip"     -> (cdcRoundtrip _),
@@ -3396,6 +3426,75 @@ object OpsQueries {
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Per-middle-vertex integer micro-contributions (round-then-sum)
+    // over two-hop paths, hub-capped at deg <= 100, minus observed
+    // edges; ranking is over exact integers.
+    "link_adamic_adar" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), e AS (
+        |  SELECT x.item AS ia, y.item AS ib
+        |  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT ia AS u, ib AS v FROM e
+        |  UNION ALL SELECT ib AS u, ia AS v FROM e
+        |), mid AS (
+        |  SELECT v AS w, CAST(round(1000000.0 / ln(count(*)), 0) AS BIGINT)
+        |    AS w_contrib
+        |  FROM sym GROUP BY v HAVING count(*) BETWEEN 2 AND 100
+        |), paths AS (
+        |  SELECT s1.u AS a, s2.v AS bb, m.w_contrib
+        |  FROM sym s1 JOIN mid m ON s1.v = m.w
+        |  JOIN sym s2 ON s2.u = m.w
+        |  WHERE s1.u < s2.v
+        |), scored AS (
+        |  SELECT a, bb, sum(w_contrib)::BIGINT AS aa_score_us,
+        |    count(*)::BIGINT AS n_common
+        |  FROM paths GROUP BY 1, 2
+        |)
+        |SELECT a AS item_a, bb AS item_b, n_common, aa_score_us
+        |FROM scored LEFT JOIN e ON e.ia = scored.a AND e.ib = scored.bb
+        |WHERE e.ia IS NULL
+        |ORDER BY aa_score_us DESC, a, bb LIMIT 20""".stripMargin,
+    // Three unrolled synchronous modal-vote rounds; argmax per vertex
+    // by (count DESC, label ASC) mirrors the engine's bounded-heap
+    // top-1 tie discipline.
+    "graph_communities" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), e AS (
+        |  SELECT x.item AS ia, y.item AS ib
+        |  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT ia AS u, ib AS v FROM e
+        |  UNION ALL SELECT ib AS u, ia AS v FROM e
+        |), l0 AS (
+        |  SELECT DISTINCT u AS lv, u AS lab FROM sym
+        |), l1 AS (
+        |  SELECT cv AS lv, lab FROM (
+        |    SELECT s.u AS cv, l.lab, row_number() OVER (
+        |      PARTITION BY s.u ORDER BY count(*) DESC, l.lab) AS rk
+        |    FROM sym s JOIN l0 l ON s.v = l.lv GROUP BY s.u, l.lab
+        |  ) WHERE rk = 1
+        |), l2 AS (
+        |  SELECT cv AS lv, lab FROM (
+        |    SELECT s.u AS cv, l.lab, row_number() OVER (
+        |      PARTITION BY s.u ORDER BY count(*) DESC, l.lab) AS rk
+        |    FROM sym s JOIN l1 l ON s.v = l.lv GROUP BY s.u, l.lab
+        |  ) WHERE rk = 1
+        |), l3 AS (
+        |  SELECT cv AS lv, lab FROM (
+        |    SELECT s.u AS cv, l.lab, row_number() OVER (
+        |      PARTITION BY s.u ORDER BY count(*) DESC, l.lab) AS rk
+        |    FROM sym s JOIN l2 l ON s.v = l.lv GROUP BY s.u, l.lab
+        |  ) WHERE rk = 1
+        |), sz AS (
+        |  SELECT lab, count(*)::BIGINT AS community_size FROM l3 GROUP BY 1
+        |)
+        |SELECT l3.lv AS item, l3.lab AS community, sz.community_size
+        |FROM l3 JOIN sz USING (lab) ORDER BY item""".stripMargin,
     // Ablation figures are total-minus-group arithmetic on exact
     // integers; quality enters in micro-units after its established
     // 6-dp contract round (same formula as text_quality).
