@@ -849,7 +849,60 @@ object DedupSimQueries {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  /** Power by squaring as an EXPRESSION STRING — the same text parses
+    * in both Spark (`expr`) and DuckDB, so s^r and (1−s^r)^b evaluate
+    * through identical IEEE multiplication trees in engine and oracle
+    * (library `pow` is NOT cross-engine reproducible at the last ulp;
+    * an explicit chain is). */
+  private def powChain(e: String, n: Int): String =
+    if (n == 1) e
+    else { val h = powChain(e, n / 2); s"($h * $h)" }
+
+  private val srCase =
+    s"CASE r WHEN 1 THEN sim WHEN 2 THEN ${powChain("sim", 2)} " +
+      s"WHEN 4 THEN ${powChain("sim", 4)} ELSE ${powChain("sim", 8)} END"
+  private val qbCase =
+    s"CASE b WHEN 4 THEN ${powChain("q", 4)} WHEN 8 THEN ${powChain("q", 8)} " +
+      s"WHEN 16 THEN ${powChain("q", 16)} ELSE ${powChain("q", 32)} END"
+
+  /** #20c MinHash-LSH band planner: integrate the S-curve
+    * P[candidate] = 1 − (1 − s^r)^b over the OBSERVED pair-similarity
+    * distribution for a 16-cell (rows-per-band × bands) grid — the
+    * "which (r, b) do I run MinHash with" advisor that turns the
+    * textbook threshold formula into expected recall (of ≥ 0.7 true
+    * pairs) and expected sub-threshold candidate load on THIS corpus.
+    * Per-pair probabilities round to integer ppm before the exact sum
+    * (round-then-sum); powers evaluate by pinned squaring chains, not
+    * library pow. The pair list is the blocked, df-capped Jaccard
+    * join the dedup family already materializes once. */
+  def lshPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = Seq(1, 2, 4, 8).flatMap(r => Seq(4, 8, 16, 32).map(b => (r, b)))
+      .toDF("r", "b")
+    ngramPairs(s, dir).select(col("jaccard").as("sim"))
+      .crossJoin(broadcast(grid))
+      .withColumn("q", lit(1.0) - expr(srCase))
+      .withColumn("p_ppm",
+        round((lit(1.0) - expr(qbCase)) * 1000000, 0).cast("long"))
+      .groupBy("r", "b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sim") >= 0.7, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("sim") >= 0.7, col("p_ppm")).otherwise(0L)).as("exp_tp_ppm"),
+        sum(when(col("sim") < 0.7, col("p_ppm")).otherwise(0L)).as("exp_fp_ppm"))
+      .select(col("r"), col("b"), col("n_pairs"), col("n_true"),
+        col("exp_tp_ppm"), col("exp_fp_ppm"),
+        when(col("n_true") === 0, lit(0.0))
+          .otherwise(round(col("exp_tp_ppm") / (col("n_true") * 1000000.0), 6))
+          .as("exp_recall"),
+        when(col("n_pairs") === col("n_true"), lit(0.0))
+          .otherwise(round(col("exp_fp_ppm")
+            / ((col("n_pairs") - col("n_true")) * 1000000.0), 6))
+          .as("exp_fp_rate"))
+      .orderBy("r", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lsh_plan"            -> (lshPlan _),
     "er_jaro"             -> (erJaro _),
     "er_damerau"          -> (erDamerau _),
     "vec_mean_pool"       -> (vecMeanPool _),
@@ -966,6 +1019,38 @@ object DedupSimQueries {
        |${kmeansUpdateCte("c2", "a2")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same squaring-chain expression text as the engine (powChain), so
+    // the S-curve doubles are bit-identical; probabilities round to ppm
+    // integers before the exact sums.
+    "lsh_plan" -> {
+      val truth = ngramTruthSql(Some(10))
+      s"""WITH pairs AS (
+$truth
+), g AS (
+  SELECT r, b FROM (VALUES (1), (2), (4), (8)) AS rr(r),
+    (VALUES (4), (8), (16), (32)) AS bb(b)
+), t AS (
+  SELECT g.r, g.b, p.jaccard AS sim FROM pairs p CROSS JOIN g
+), t2 AS (
+  SELECT r, b, sim, 1.0 - ($srCase) AS q FROM t
+), t3 AS (
+  SELECT r, b, sim,
+    CAST(round((1.0 - ($qbCase)) * 1000000, 0) AS BIGINT) AS p_ppm
+  FROM t2
+), agg AS (
+  SELECT r, b, count(*)::BIGINT AS n_pairs,
+    sum(CASE WHEN sim >= 0.7 THEN 1 ELSE 0 END)::BIGINT AS n_true,
+    sum(CASE WHEN sim >= 0.7 THEN p_ppm ELSE 0 END)::BIGINT AS exp_tp_ppm,
+    sum(CASE WHEN sim < 0.7 THEN p_ppm ELSE 0 END)::BIGINT AS exp_fp_ppm
+  FROM t3 GROUP BY 1, 2
+)
+SELECT r, b, n_pairs, n_true, exp_tp_ppm, exp_fp_ppm,
+  CASE WHEN n_true = 0 THEN 0.0
+    ELSE round(exp_tp_ppm / (n_true * 1000000.0), 6) END AS exp_recall,
+  CASE WHEN n_pairs = n_true THEN 0.0
+    ELSE round(exp_fp_ppm / ((n_pairs - n_true) * 1000000.0), 6)
+  END AS exp_fp_rate
+FROM agg ORDER BY r, b""" },
     // DuckDB's own jaro_winkler_similarity — an implementation the
     // engine shares no code with — must agree on every blocked pair.
     "er_jaro" ->

@@ -1341,7 +1341,59 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #31h exact Shapley-value channel attribution — the axiomatic
+    * counterpart to [[markovAttribution]]'s removal effect. Each
+    * user's journey reduces to a 4-bit touched-channel mask (click /
+    * error / signup / view; conversion = any purchase); the coalition
+    * value v(S) is the conversion rate among users whose journey is
+    * contained in S, and φ(c) = Σ_S |S|!(3−|S|)!/4! · (v(S∪c) − v(S))
+    * over the 8 coalitions excluding c.
+    *
+    * The raw table collapses to a 16-row mask census in ONE
+    * aggregation; the subset (zeta) sums, the 16-row value table, and
+    * the 32 Shapley terms are broadcast joins over that census — at
+    * 100 TB the only full-data pass is the per-user mask groupBy. Each
+    * term is rounded to integer nano-units before the exact sum, so
+    * float ordering never touches φ (round-then-sum). */
+  def shapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def touched(t: String) =
+      max(when(col("event_type") === t, 1).otherwise(0))
+    val j = ev.groupBy("user_id").agg(
+      touched("purchase").as("conv"),
+      (touched("click") + touched("error") * 2
+        + touched("signup") * 4 + touched("view") * 8).as("mask"))
+    val cm = j.groupBy("mask").agg(count(lit(1)).as("cnt"), sum("conv").as("cv"))
+    val ss = s.range(16).select(col("id").cast("int").as("sset"))
+    val vt = ss.join(broadcast(cm),
+        col("mask").bitwiseAND(col("sset")) === col("mask"), "left")
+      .groupBy("sset").agg(sum("cnt").as("cnt_sub"), sum("cv").as("cv_sub"))
+      .select(col("sset"),
+        when(col("cnt_sub").isNull || col("cnt_sub") === 0, lit(0.0))
+          .otherwise(col("cv_sub").cast("double") / col("cnt_sub")).as("v"))
+    import s.implicits._
+    val ch = Seq(("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+      .toDF("channel", "cbit")
+    val terms = broadcast(ch)
+      .join(broadcast(vt.select(col("sset").as("s0"), col("v").as("vlo"))),
+        col("s0").bitwiseAND(col("cbit")) === 0)
+      .join(broadcast(vt.select(col("sset").as("s1"), col("v").as("vhi"))),
+        col("s1") === col("s0").bitwiseOR(col("cbit")))
+      .withColumn("bc", expr(
+        "(s0 & 1) + ((s0 div 2) & 1) + ((s0 div 4) & 1) + ((s0 div 8) & 1)"))
+      .withColumn("w", expr(
+        "CASE bc WHEN 0 THEN 6.0 WHEN 1 THEN 2.0 WHEN 2 THEN 2.0 ELSE 6.0 END")
+        / 24.0)
+      .withColumn("t_nano",
+        round(col("w") * (col("vhi") - col("vlo")) * 1000000000L, 0).cast("long"))
+    terms.groupBy("channel").agg(sum("t_nano").as("phi_nano"))
+      .select(col("channel"), col("phi_nano"),
+        round(col("phi_nano") / 1000000000.0, 6).as("phi"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shapley_attribution" -> (shapleyAttribution _),
     "sketch_bottomk"     -> (sketchBottomk _),
     "ols_normal"         -> (olsNormal _),
     "dq_constraints"     -> (dqConstraints _),
@@ -1478,6 +1530,42 @@ object StatQueries {
     // DECIMAL(38,0)); the Cramer solve repeats the engine's double
     // expression tree term for term so the derived coefficients are
     // bit-identical before round(, 6).
+    // 16-row mask census -> subset sums -> 32 Shapley terms, each
+    // rounded to integer nano-units before the exact sum; weights and
+    // v(S) guards pinned identically to the engine.
+    "shapley_attribution" ->
+      """WITH j AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    + 2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    + 8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS mask
+        |  FROM events GROUP BY user_id
+        |), cm AS (
+        |  SELECT mask, count(*)::BIGINT AS cnt, sum(conv)::BIGINT AS cv
+        |  FROM j GROUP BY 1
+        |), ss AS (SELECT unnest(generate_series(0, 15)) AS sset),
+        |vt AS (
+        |  SELECT sset, CASE WHEN sum(cnt) IS NULL OR sum(cnt) = 0 THEN 0.0
+        |    ELSE sum(cv)::DOUBLE / sum(cnt) END AS v
+        |  FROM ss LEFT JOIN cm ON (cm.mask & ss.sset) = cm.mask
+        |  GROUP BY sset
+        |), ch AS (
+        |  SELECT * FROM (VALUES ('click', 1), ('error', 2), ('signup', 4),
+        |    ('view', 8)) AS t(channel, cbit)
+        |), terms AS (
+        |  SELECT ch.channel,
+        |    CAST(round((CASE (v0.sset & 1) + ((v0.sset // 2) & 1)
+        |        + ((v0.sset // 4) & 1) + ((v0.sset // 8) & 1)
+        |      WHEN 0 THEN 6.0 WHEN 1 THEN 2.0 WHEN 2 THEN 2.0 ELSE 6.0 END
+        |      / 24.0) * (v1.v - v0.v) * 1000000000, 0) AS BIGINT) AS t_nano
+        |  FROM ch JOIN vt v0 ON (v0.sset & ch.cbit) = 0
+        |  JOIN vt v1 ON v1.sset = (v0.sset | ch.cbit)
+        |)
+        |SELECT channel, sum(t_nano)::BIGINT AS phi_nano,
+        |  round(sum(t_nano) / 1000000000.0, 6) AS phi
+        |FROM terms GROUP BY channel ORDER BY channel""".stripMargin,
     // KMV estimate from the exact k-th-smallest 60-bit hash order
     // statistic; audit columns vs the exact distinct count.
     "sketch_bottomk" ->
