@@ -333,7 +333,19 @@ object StreamMmQueries {
       Seq((n1, nAll - n1)).toDF("n_first", "n_second")
     })
 
+  /** #29r streaming CEP pattern match
+    * ([[graft.streaming.PatternStream]]): signup → first purchase
+    * within one hour per user, matched statefully with
+    * `flatMapGroupsWithState` + event-time timeouts and emitted
+    * exactly once when the watermark freezes the signup's window. The
+    * oracle applies the identical final-watermark cutoff to a batch
+    * self-join. */
+  def streamPattern(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.PatternStream.runBatchEquivalent(s, dir)
+      .orderBy("user_id", "signup_ts_us")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_pattern"    -> (streamPattern _),
     "stream_checkpoint" -> (streamCheckpoint _),
     "stream_sliding"      -> (streamSliding _),
     "stream_clean"        -> (streamClean _),
@@ -362,6 +374,30 @@ object StreamMmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Watermark over the FILTERED (signup/purchase) stream — the engine
+    // filters before withWatermark; a signup emits iff its 1-hour match
+    // window closed under that watermark and an in-window purchase
+    // exists (earliest wins; duplicate signup instants collapse).
+    "stream_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events
+        |  WHERE event_type IN ('signup', 'purchase')
+        |), wm AS (
+        |  SELECT (max(tsu) // 1000 - 3600000) * 1000 AS wm_us FROM e
+        |), s AS (
+        |  SELECT DISTINCT user_id, tsu AS s_us FROM e
+        |  WHERE event_type = 'signup'
+        |), p AS (
+        |  SELECT user_id, tsu AS p_us FROM e WHERE event_type = 'purchase'
+        |)
+        |SELECT s.user_id, s.s_us AS signup_ts_us,
+        |  min(p.p_us) AS purchase_ts_us,
+        |  min(p.p_us) - s.s_us AS latency_us
+        |FROM s JOIN p ON p.user_id = s.user_id AND p.p_us > s.s_us
+        |  AND p.p_us <= s.s_us + 3600000000
+        |WHERE s.s_us + 3600000000 < (SELECT wm_us FROM wm)
+        |GROUP BY s.user_id, s.s_us
+        |ORDER BY s.user_id, s.s_us""".stripMargin,
     // Drain 1 = generation 1 (evens); drain 2, restarted from the same
     // checkpoint, must carry ONLY generation 2 (odds) — exactly-once.
     "stream_checkpoint" ->
