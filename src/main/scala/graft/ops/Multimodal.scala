@@ -687,6 +687,79 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  case class BmpMeta(
+      doc_id: Long,
+      format: String,
+      width: Option[Long],
+      height: Option[Long],
+      bpp: Option[Long],
+      top_down: Option[Boolean])
+
+  /** Parse a BMP file header + BITMAPINFOHEADER (Windows BMP v3, the
+    * layout every encoder emits): "BM" signature, u32 LE data offset
+    * at 10; DIB header size u32 LE at 14 (≥ 40 for BITMAPINFOHEADER),
+    * SIGNED i32 LE width/height at 18/22 — a negative height is the
+    * spec's top-down flag — and u16 LE bits-per-pixel at 28. */
+  def decodeBmpMeta(bytes: Array[Byte]): Option[(Long, Long, Long, Boolean)] = {
+    if (bytes.length < 30 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    val dibSize = le32(14)
+    if (dibSize < 40) return None // BITMAPCOREHEADER not handled
+    val w = le32(18)
+    val h = le32(22)
+    val bpp = le16(28)
+    if (w <= 0 || h == 0 || bpp <= 0) None
+    else Some((w.toLong, math.abs(h.toLong), bpp.toLong, h < 0))
+  }
+
+  /** A real BMP byte stream from the JDK's own encoder (24-bit,
+    * bottom-up) — the parse target is a foreign encoder's framing,
+    * same independence discipline as the GIF/WAV fixtures. */
+  private[ops] def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  /** Deterministic BMP corpus over an id column (dims arithmetic in
+    * the id; bytes from the JDK encoder, parsed back per partition). */
+  def syntheticBmps(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions {
+        _.map { id =>
+          (id, bmpBytes((id % 96L).toInt + 1, (id % 72L).toInt + 1))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-partition BMP decode over (id, payload) rows — same
+    * corrupt-tolerant contract as [[extractImageMeta]]. */
+  def extractBmpMeta(withPayloadDf: DataFrame): Dataset[BmpMeta] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions {
+        _.map { case (id, bytes) =>
+          decodeBmpMeta(bytes) match {
+            case Some((w, h, bpp, td)) =>
+              BmpMeta(id, "bmp", Some(w), Some(h), Some(bpp), Some(td))
+            case None => BmpMeta(id, "unknown", None, None, None, None)
+          }
+        }
+      }
+  }
+
   /** Per-partition TIFF decode over (id, payload) rows — same
     * corrupt-tolerant contract as [[extractImageMeta]]. */
   def extractTiffMeta(withPayloadDf: DataFrame): Dataset[TiffMeta] = {

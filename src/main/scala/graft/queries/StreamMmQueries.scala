@@ -333,6 +333,18 @@ object StreamMmQueries {
       Seq((n1, nAll - n1)).toDF("n_first", "n_second")
     })
 
+  /** #30f BMP binary columns: payloads from the JDK's OWN BMP encoder
+    * (24-bit bottom-up), parsed back by
+    * [[Multimodal.decodeBmpMeta]]'s file-header + BITMAPINFOHEADER
+    * walk — signed little-endian dims (negative height = top-down),
+    * bits-per-pixel from the DIB header. */
+  def multimodalBmp(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractBmpMeta(
+        Multimodal.syntheticBmps(Tables.documents(s, dir), "doc_id"))
+      .toDF()
+      .select("doc_id", "format", "width", "height", "bpp", "top_down")
+      .orderBy("doc_id")
+
   /** #29r streaming CEP pattern match
     * ([[graft.streaming.PatternStream]]): signup → first purchase
     * within one hour per user, matched statefully with
@@ -345,6 +357,7 @@ object StreamMmQueries {
       .orderBy("user_id", "signup_ts_us")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_bmp"    -> (multimodalBmp _),
     "stream_pattern"    -> (streamPattern _),
     "stream_checkpoint" -> (streamCheckpoint _),
     "stream_sliding"      -> (streamSliding _),
@@ -652,6 +665,13 @@ object StreamMmQueries {
         |)
         |SELECT len, gram, n, rk FROM ranked WHERE rk <= 10
         |ORDER BY len, rk""".stripMargin,
+    // JDK encoder writes BITMAPINFOHEADER 24bpp bottom-up; the decoded
+    // fields are id arithmetic.
+    "multimodal_bmp" ->
+      """SELECT doc_id, 'bmp' AS format,
+        |  (doc_id % 96) + 1 AS width, (doc_id % 72) + 1 AS height,
+        |  24::BIGINT AS bpp, false AS top_down
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_gif" ->
       """SELECT doc_id, 'gif' AS format,
         |  (doc_id % 64) + 1 AS width, (doc_id % 48) + 1 AS height

@@ -195,6 +195,22 @@ class MultimodalSpec extends SparkSpec {
     assert(m.exists { case (_, w, h, _) => w.contains(37L) && h.contains(23L) }, m)
   }
 
+  test("decodeBmpMeta reads the JDK encoder's BITMAPINFOHEADER and rejects junk") {
+    assert(Multimodal.decodeBmpMeta(Multimodal.bmpBytes(96, 72))
+      .contains((96L, 72L, 24L, false)))
+    assert(Multimodal.decodeBmpMeta(Multimodal.bmpBytes(1, 1))
+      .contains((1L, 1L, 24L, false)))
+    // hand-built header with NEGATIVE height = top-down flag
+    val td = Multimodal.bmpBytes(8, 4)
+    val h = -4
+    td(22) = (h & 0xff).toByte; td(23) = ((h >> 8) & 0xff).toByte
+    td(24) = ((h >> 16) & 0xff).toByte; td(25) = ((h >> 24) & 0xff).toByte
+    assert(Multimodal.decodeBmpMeta(td).contains((8L, 4L, 24L, true)))
+    // non-BMP payloads and truncation reject cleanly
+    assert(Multimodal.decodeBmpMeta(Multimodal.pngBytes(4, 4)).isEmpty)
+    assert(Multimodal.decodeBmpMeta(Multimodal.bmpBytes(9, 9).take(20)).isEmpty)
+  }
+
   test("syntheticTiffs corpus decodes to its id-derived parameters") {
     val ids = Seq(0L, 1L, 2L, 7L, 8L, 511L, 512L)
     val meta = Multimodal.extractTiffMeta(
