@@ -57,6 +57,48 @@ object Sampling {
       .drop("__graft_rn")
   }
 
+  /** Neyman (variance-optimal) stratified allocation: distribute a
+    * total budget of `k` rows across strata proportionally to
+    * N_h · σ_h — sampling variance for a fixed budget is minimized by
+    * oversampling the big AND volatile strata (Neyman 1934), vs
+    * [[stratifiedQuota]]'s flat per-stratum n.
+    *
+    * Exactness: per-stratum moments (n, Σv, Σv²) aggregate as exact
+    * decimals, and N_h·σ_h = √(n·Σv² − (Σv)²) — an exact integer
+    * radicand, so the per-stratum weight is one deterministic sqrt
+    * (IEEE-correctly-rounded in any engine) rounded to an integer;
+    * quotas are integer floor-division shares of the budget (they can
+    * under-fill k by < #strata — the documented floor remainder).
+    * Zero-variance strata get quota 0.
+    *
+    * Scale shape: one moment aggregation, a broadcast quota table, one
+    * per-stratum rank filter — the same two-pass shape as the other
+    * deterministic samplers. `valueCol` must be integer-valued (cents
+    * etc.); `order` must totally order rows within a stratum. */
+  def neymanQuota(
+      df: DataFrame,
+      stratumCol: String,
+      valueCol: Column,
+      k: Int,
+      order: Seq[Column]): DataFrame = {
+    require(k > 0, "budget must be positive")
+    val d = valueCol.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 0))
+    val m = df.groupBy(stratumCol).agg(
+      count(lit(1)).as("__n"), sum(d).as("__s"), sum(d * d).as("__ssq"))
+    val x = m.select(col(stratumCol),
+      round(sqrt((col("__n") * col("__ssq") - col("__s") * col("__s"))
+        .cast("double")), 0).cast("long").as("__x"))
+    val tot = x.agg(sum("__x").as("__tot"))
+    val quota = x.crossJoin(broadcast(tot))
+      .select(col(stratumCol),
+        expr(s"($k * __x) div __tot").cast("long").as("quota"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(order: _*)
+    df.join(broadcast(quota), stratumCol)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= col("quota"))
+      .drop("__graft_rn")
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
     * "Weighted random sampling with a reservoir", IPL 97(5), 2006):
     * each row draws key = −ln(u)/w from a caller-supplied uniform

@@ -106,6 +106,23 @@ object OpsQueries {
       .orderBy("c_nationkey", "c_custkey")
   }
 
+  /** #33d Neyman variance-optimal stratified sample
+    * ([[Sampling.neymanQuota]]): a 500-row customer budget allocated
+    * across nations ∝ N_h·σ_h of exact account-balance cents — big
+    * AND volatile strata oversample, the fixed-budget minimum-variance
+    * design vs [[sampleStratified]]'s flat quotas. The per-stratum
+    * weight is √(n·Σv²−(Σv)²) of exact decimal moments; member
+    * election is the same arithmetic-hash rank as the other samplers. */
+  def sampleNeyman(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(arithHash(col("c_custkey"), 7L), lit(Sampling.Buckets))
+    Sampling.neymanQuota(
+        Tables.customer(s, dir)
+          .withColumn("cents", round(col("c_acctbal") * 100, 0).cast("long")),
+        "c_nationkey", col("cents"), 500, Seq(h, col("c_custkey")))
+      .select("c_custkey", "c_nationkey", "quota")
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   /** #34 token-budget packing: documents into ~2000-token bins across 8
     * hash buckets (arithmetic bucket hash so the oracle mirrors it). */
   def packBudget(s: SparkSession, dir: String): DataFrame = {
@@ -3035,6 +3052,7 @@ object OpsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_neyman"     -> (sampleNeyman _),
     "link_adamic_adar"  -> (linkAdamicAdar _),
     "graph_communities" -> (graphCommunities _),
     "source_ablation"   -> (sourceAblation _),
@@ -3426,6 +3444,34 @@ object OpsQueries {
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact HUGEINT moments -> integer sqrt weights -> floor-share
+    // quotas; member election mirrors the engine's arithmetic hash.
+    "sample_neyman" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM customer
+        |), m AS (
+        |  SELECT c_nationkey, count(*)::BIGINT AS n,
+        |    sum(cents) AS s, sum(cents * cents) AS ssq
+        |  FROM c GROUP BY 1
+        |), x AS (
+        |  SELECT c_nationkey,
+        |    CAST(round(sqrt((n * ssq - s * s)::DOUBLE), 0) AS BIGINT) AS xv
+        |  FROM m
+        |), q AS (
+        |  SELECT c_nationkey,
+        |    CAST((500 * xv) // (SELECT sum(xv) FROM x) AS BIGINT) AS quota
+        |  FROM x
+        |)
+        |SELECT c_custkey, c_nationkey, quota FROM (
+        |  SELECT c.c_custkey, c.c_nationkey, q.quota,
+        |    row_number() OVER (PARTITION BY c.c_nationkey
+        |      ORDER BY ((c.c_custkey % 1000000) * 2654435761 + 7) % 1000000,
+        |        c.c_custkey) AS rn
+        |  FROM c JOIN q USING (c_nationkey)
+        |) WHERE rn <= quota
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
     // Per-middle-vertex integer micro-contributions (round-then-sum)
     // over two-hop paths, hub-capped at deg <= 100, minus observed
     // edges; ranking is over exact integers.

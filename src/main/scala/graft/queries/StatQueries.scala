@@ -1392,7 +1392,60 @@ object StatQueries {
       .orderBy("channel")
   }
 
+  /** #37r forecast-baseline backtest with MASE: zero-fill the hourly
+    * count series on its spine, cut the last 20% of hours as the test
+    * horizon, and score TWO forecasters on it — seasonal-naive
+    * ŷ(h) = y(h−24) (the scaling denominator Hyndman's MASE defines
+    * against) and the train-fitted hour-of-day profile mean. MASE =
+    * MAE_profile / MAE_naive < 1 ⟺ the model beats the no-model
+    * baseline — the first honest question of any forecasting pipeline.
+    *
+    * Exactness: counts are integers on a deterministic integer spine;
+    * naive errors are exact integers, profile errors are the exact
+    * rational |y·n−s|/n rounded to ppm BEFORE summation
+    * (round-then-sum); the cut and the h−24 availability guard are
+    * integer arithmetic. Test hours whose hour-of-day never occurs in
+    * train drop by the inner profile join (pinned in the oracle).
+    * Scale: two aggregations and a spine join — the window-free
+    * forecast-eval shape; the spine is |types|×|hours|, entity-scale. */
+  def forecastBaseline(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      expr("unix_micros(ts) div 3600000000").as("h"))
+    val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("y"))
+    val bounds = ev.agg(min("h").as("mn"), max("h").as("mx"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("h"),
+        col("mn"), (col("mn") + expr("((mx - mn + 1) * 8) div 10")).as("hcut"))
+    val series = spine.join(counts, Seq("event_type", "h"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+    val prof = series.filter(col("h") < col("hcut"))
+      .withColumn("hod", pmod(col("h"), lit(24L)))
+      .groupBy("event_type", "hod")
+      .agg(sum("y").as("ps"), count(lit(1)).as("pn"))
+    val lagged = series.select(col("event_type"),
+      (col("h") + 24).as("h"), col("y").as("y_lag"))
+    val scored = series.filter(col("h") >= col("hcut") && col("h") - 24 >= col("mn"))
+      .join(lagged, Seq("event_type", "h"))
+      .withColumn("hod", pmod(col("h"), lit(24L)))
+      .join(broadcast(prof), Seq("event_type", "hod"))
+      .withColumn("naive_ppm", abs(col("y") - col("y_lag")) * 1000000L)
+      .withColumn("prof_ppm",
+        round(abs(col("y") * col("pn") - col("ps")) * 1000000.0 / col("pn"), 0)
+          .cast("long"))
+    scored.groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum("naive_ppm").as("sn"), sum("prof_ppm").as("sp"))
+      .select(col("event_type"), col("n_test"),
+        round(col("sn") / col("n_test") / 1000000.0, 6).as("mae_naive"),
+        round(col("sp") / col("n_test") / 1000000.0, 6).as("mae_profile"),
+        when(col("sn") === 0, lit(null).cast("double"))
+          .otherwise(round(col("sp") / col("sn"), 6)).as("mase"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "forecast_baseline"  -> (forecastBaseline _),
     "shapley_attribution" -> (shapleyAttribution _),
     "sketch_bottomk"     -> (sketchBottomk _),
     "ols_normal"         -> (olsNormal _),
@@ -1530,6 +1583,47 @@ object StatQueries {
     // DECIMAL(38,0)); the Cramer solve repeats the engine's double
     // expression tree term for term so the derived coefficients are
     // bit-identical before round(, 6).
+    // Zero-filled hourly spine, integer 80% hour cut, exact-integer
+    // naive errors and ppm-rounded rational profile errors summed
+    // exactly; inner profile join pinned.
+    "forecast_baseline" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+        |), b AS (SELECT min(h) AS mn, max(h) AS mx FROM ev),
+        |sp AS (
+        |  SELECT t.event_type, g.h,
+        |    (SELECT mn FROM b) AS mn,
+        |    (SELECT mn FROM b)
+        |      + (((SELECT mx FROM b) - (SELECT mn FROM b) + 1) * 8) // 10 AS hcut
+        |  FROM (SELECT DISTINCT event_type FROM ev) t,
+        |    (SELECT unnest(generate_series((SELECT mn FROM b),
+        |       (SELECT mx FROM b), 1)) AS h) g
+        |), series AS (
+        |  SELECT sp.event_type, sp.h, sp.mn, sp.hcut,
+        |    coalesce(c.y, 0)::BIGINT AS y
+        |  FROM sp LEFT JOIN (
+        |    SELECT event_type, h, count(*)::BIGINT AS y FROM ev GROUP BY 1, 2
+        |  ) c USING (event_type, h)
+        |), prof AS (
+        |  SELECT event_type, h % 24 AS hod, sum(y)::BIGINT AS ps,
+        |    count(*)::BIGINT AS pn
+        |  FROM series WHERE h < hcut GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT s.event_type,
+        |    abs(s.y - l.y) * 1000000 AS naive_ppm,
+        |    CAST(round(abs(s.y * p.pn - p.ps) * 1000000.0 / p.pn, 0) AS BIGINT)
+        |      AS prof_ppm
+        |  FROM series s
+        |  JOIN series l ON l.event_type = s.event_type AND l.h = s.h - 24
+        |  JOIN prof p ON p.event_type = s.event_type AND p.hod = s.h % 24
+        |  WHERE s.h >= s.hcut AND s.h - 24 >= s.mn
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n_test,
+        |  round(sum(naive_ppm) / count(*) / 1000000.0, 6) AS mae_naive,
+        |  round(sum(prof_ppm) / count(*) / 1000000.0, 6) AS mae_profile,
+        |  CASE WHEN sum(naive_ppm) = 0 THEN NULL
+        |    ELSE round(sum(prof_ppm) / sum(naive_ppm), 6) END AS mase
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
     // 16-row mask census -> subset sums -> 32 Shapley terms, each
     // rounded to integer nano-units before the exact sum; weights and
     // v(S) guards pinned identically to the engine.
