@@ -106,6 +106,23 @@ object OpsQueries {
       .orderBy("c_nationkey", "c_custkey")
   }
 
+  /** #37s mutual-information dependence matrix
+    * ([[graft.ops.InfoTheory.mutualInfo]]): MI / marginal entropies /
+    * NMI for two column pairs — language×source on documents and
+    * type×hour-of-day on events — the "how strongly are these columns
+    * coupled" screen in nats next to [[corpusChi2]]'s yes/no test.
+    * Cell and entropy terms round to integer nano-nats before exact
+    * summation. */
+  def miMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.ops.InfoTheory.mutualInfo(
+      Tables.documents(s, dir), "lang", "source", "lang_x_source")
+    val e = graft.ops.InfoTheory.mutualInfo(
+      Tables.events(s, dir)
+        .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24")),
+      "event_type", "hod", "type_x_hod")
+    d.unionAll(e).orderBy("pair")
+  }
+
   /** #33d Neyman variance-optimal stratified sample
     * ([[Sampling.neymanQuota]]): a 500-row customer budget allocated
     * across nations ∝ N_h·σ_h of exact account-balance cents — big
@@ -3053,6 +3070,7 @@ object OpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_neyman"     -> (sampleNeyman _),
+    "mi_matrix"         -> (miMatrix _),
     "link_adamic_adar"  -> (linkAdamicAdar _),
     "graph_communities" -> (graphCommunities _),
     "source_ablation"   -> (sourceAblation _),
@@ -3444,6 +3462,49 @@ object OpsQueries {
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Identical nano-nat round-then-sum arithmetic per pair; the two
+    // pair blocks differ only in their cell source.
+    "mi_matrix" -> {
+      def block(src: String, pair: String): String =
+        s"""SELECT '$pair' AS pair, (SELECT n FROM tot$pair) AS n,
+           |  round(mi_nn / 1000000000.0, 6) AS mi,
+           |  round(hx_nn / 1000000000.0, 6) AS h_x,
+           |  round(hy_nn / 1000000000.0, 6) AS h_y,
+           |  CASE WHEN hx_nn = 0 OR hy_nn = 0 THEN NULL
+           |    ELSE round(mi_nn / sqrt(hx_nn::DOUBLE * hy_nn::DOUBLE), 6)
+           |  END AS nmi
+           |FROM mi$pair, hx$pair, hy$pair""".stripMargin
+      def ctes(src: String, pair: String): String =
+        s"""cells$pair AS (
+           |  SELECT xv, yv, count(*)::BIGINT AS nxy FROM ($src) GROUP BY 1, 2
+           |), mx$pair AS (SELECT xv, sum(nxy)::BIGINT AS nx FROM cells$pair GROUP BY 1),
+           |my$pair AS (SELECT yv, sum(nxy)::BIGINT AS ny FROM cells$pair GROUP BY 1),
+           |tot$pair AS (SELECT sum(nxy)::BIGINT AS n FROM cells$pair),
+           |mi$pair AS (
+           |  SELECT sum(CAST(round((nxy::DOUBLE / n)
+           |    * ln((nxy * n)::DOUBLE / (nx * ny)::DOUBLE)
+           |    * 1000000000, 0) AS BIGINT))::BIGINT AS mi_nn
+           |  FROM cells$pair JOIN mx$pair USING (xv) JOIN my$pair USING (yv),
+           |    tot$pair
+           |), hx$pair AS (
+           |  SELECT sum(CAST(round(-(nx::DOUBLE / n) * ln(nx::DOUBLE / n)
+           |    * 1000000000, 0) AS BIGINT))::BIGINT AS hx_nn
+           |  FROM mx$pair, tot$pair
+           |), hy$pair AS (
+           |  SELECT sum(CAST(round(-(ny::DOUBLE / n) * ln(ny::DOUBLE / n)
+           |    * 1000000000, 0) AS BIGINT))::BIGINT AS hy_nn
+           |  FROM my$pair, tot$pair
+           |)""".stripMargin
+      val src1 = "SELECT lang AS xv, source AS yv FROM documents"
+      val src2 = "SELECT event_type AS xv, " +
+        "((epoch_us(ts) // 3600000000) % 24)::VARCHAR AS yv FROM events"
+      s"""WITH ${ctes(src1, "lang_x_source")},
+         |${ctes(src2, "type_x_hod")}
+         |${block(src1, "lang_x_source")}
+         |UNION ALL
+         |${block(src2, "type_x_hod")}
+         |ORDER BY pair""".stripMargin
+    },
     // Exact HUGEINT moments -> integer sqrt weights -> floor-share
     // quotas; member election mirrors the engine's arithmetic hash.
     "sample_neyman" ->

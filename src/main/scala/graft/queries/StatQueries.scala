@@ -1444,7 +1444,61 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #5ac CUPED variance reduction for the A/B readout (Deng et al.
+    * 2013): per-user post-period spend adjusted by the pre-period
+    * covariate, θ = cov(pre,post)/var(pre). The headline columns are
+    * each arm's raw and adjusted post means and ρ² — the fraction of
+    * metric variance the pre-period explains, i.e. how much smaller
+    * the experiment could have been.
+    *
+    * Exactness: per-user (pre, post) sums are integer micros; θ and ρ²
+    * derive from one pooled exact-DECIMAL moment row via pinned scalar
+    * expressions ((n·Σxy − ΣxΣy)/(n·Σx² − Σx²) etc.), and the per-arm
+    * adjusted mean is the closed form ȳ_a − θ(x̄_a − x̄) — scalar
+    * arithmetic on exact aggregates, never a per-row float sum. The
+    * time cut is the integer midpoint of the event-time range; the
+    * arm is the deterministic multiplicative user hash. */
+  def abCuped(s: SparkSession, dir: String): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 0)
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 1000000, 0).cast("long").as("v_us"))
+    val b = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("cut_us"))
+    val per = ev.crossJoin(broadcast(b))
+      .groupBy("user_id")
+      .agg(sum(when(col("ts_us") < col("cut_us"), col("v_us")).otherwise(0L)).as("x"),
+        sum(when(col("ts_us") >= col("cut_us"), col("v_us")).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + lit(13L), lit(1000000L)) < 500000L, "a").otherwise("b"))
+    val pooled = per.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(d18)).as("sx"), sum(col("y").cast(d18)).as("sy"),
+      sum(col("x").cast(d18) * col("y").cast(d18)).as("sxy"),
+      sum(col("x").cast(d18) * col("x").cast(d18)).as("sxx"),
+      sum(col("y").cast(d18) * col("y").cast(d18)).as("syy"))
+    val arm = per.groupBy("arm").agg(count(lit(1)).as("n_users"),
+      sum("x").as("sxa"), sum("y").as("sya"))
+    val covn = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varxn = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varyn = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    arm.crossJoin(broadcast(pooled))
+      .withColumn("theta", when(varxn === 0.0, lit(0.0)).otherwise(covn / varxn))
+      .withColumn("rho2",
+        when(varxn === 0.0 || varyn === 0.0, lit(0.0))
+          .otherwise(covn * covn / (varxn * varyn)))
+      .select(col("arm"), col("n_users"),
+        round(col("sya") / col("n_users") / 1000000.0, 6).as("mean_post"),
+        round((col("sya") / col("n_users")
+          - col("theta") * (col("sxa") / col("n_users")
+            - col("sx").cast("double") / col("n"))) / 1000000.0, 6)
+          .as("mean_post_adj"),
+        round(col("theta"), 6).as("theta"),
+        round(col("rho2"), 6).as("rho2"))
+      .orderBy("arm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab_cuped"           -> (abCuped _),
     "forecast_baseline"  -> (forecastBaseline _),
     "shapley_attribution" -> (shapleyAttribution _),
     "sketch_bottomk"     -> (sketchBottomk _),
@@ -1583,6 +1637,53 @@ object StatQueries {
     // DECIMAL(38,0)); the Cramer solve repeats the engine's double
     // expression tree term for term so the derived coefficients are
     // bit-identical before round(, 6).
+    // Exact HUGEINT moments mirror the engine's DECIMAL(38,0); theta,
+    // rho2, and the adjusted means repeat the engine's scalar
+    // expression trees term for term.
+    "ab_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 1000000, 0) AS BIGINT) AS v_us
+        |  FROM events
+        |), b AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS cut_us FROM ev),
+        |per AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN ts_us < (SELECT cut_us FROM b)
+        |      THEN v_us ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN ts_us >= (SELECT cut_us FROM b)
+        |      THEN v_us ELSE 0 END)::BIGINT AS y,
+        |    CASE WHEN ((user_id % 1000000) * 2654435761 + 13) % 1000000
+        |      < 500000 THEN 'a' ELSE 'b' END AS arm
+        |  FROM ev GROUP BY user_id
+        |), pooled AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM per
+        |), ar AS (
+        |  SELECT arm, count(*)::BIGINT AS n_users,
+        |    sum(x)::BIGINT AS sxa, sum(y)::BIGINT AS sya
+        |  FROM per GROUP BY 1
+        |), k AS (
+        |  SELECT ar.arm, ar.n_users, ar.sxa, ar.sya, pooled.n, pooled.sx,
+        |    (n * sxy - sx * sy)::DOUBLE AS covn,
+        |    (n * sxx - sx * sx)::DOUBLE AS varxn,
+        |    (n * syy - sy * sy)::DOUBLE AS varyn
+        |  FROM ar, pooled
+        |), t AS (
+        |  SELECT k.*,
+        |    CASE WHEN varxn = 0.0 THEN 0.0 ELSE covn / varxn END AS theta,
+        |    CASE WHEN varxn = 0.0 OR varyn = 0.0 THEN 0.0
+        |      ELSE covn * covn / (varxn * varyn) END AS rho2
+        |  FROM k
+        |)
+        |SELECT arm, n_users,
+        |  round(sya / n_users / 1000000.0, 6) AS mean_post,
+        |  round((sya / n_users - theta * (sxa / n_users - sx::DOUBLE / n))
+        |    / 1000000.0, 6) AS mean_post_adj,
+        |  round(theta, 6) AS theta, round(rho2, 6) AS rho2
+        |FROM t ORDER BY arm""".stripMargin,
     // Zero-filled hourly spine, integer 80% hour cut, exact-integer
     // naive errors and ppm-rounded rational profile errors summed
     // exactly; inner profile join pinned.
