@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Dedup, Similarity, Triangles}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver wiring for near-dup dedup + similarity search (SURVEY §2
@@ -865,6 +865,49 @@ object DedupSimQueries {
     s"CASE b WHEN 4 THEN ${powChain("q", 4)} WHEN 8 THEN ${powChain("q", 8)} " +
       s"WHEN 16 THEN ${powChain("q", 16)} ELSE ${powChain("q", 32)} END"
 
+  /** #19z blocking-quality audit: reduction ratio and pair
+    * completeness (the two standard ER blocking metrics, Christen
+    * 2012) for three candidate blocking schemes over the
+    * planted-mutation corpus — prefix-40 key, 50-char length band,
+    * and their compound. Candidate counts come from block SIZES
+    * (Σ C(n_b,2), never an enumerated pair list), and completeness
+    * joins each original to its known mutant to test key agreement —
+    * both exact integer computations, so the advisor scales to any
+    * corpus: it's the table you consult BEFORE running the quadratic
+    * join. */
+  def blockingAudit(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withMutations(s, dir)
+    val keyed = corpus.select(col("doc_id"), col("text"),
+      substring(col("text"), 1, 40).as("k_prefix"),
+      expr("length(text) div 50").cast("long").as("k_band"))
+    val n = keyed.count()
+    val allPairs = n * (n - 1) / 2
+    val truth = keyed.filter(col("doc_id") < 1000000)
+      .join(keyed.filter(col("doc_id") >= 1000000)
+          .select((col("doc_id") - 1000000).as("doc_id"),
+            col("k_prefix").as("mp"), col("k_band").as("mb")),
+        "doc_id")
+    val nTruth = truth.count()
+    def scheme(name: String, keys: Seq[Column], captured: Column): DataFrame = {
+      val sizes = keyed.groupBy(keys: _*).agg(count(lit(1)).as("nb"))
+      val cand = sizes.agg(
+        count(lit(1)).as("n_blocks"),
+        sum(expr("nb * (nb - 1) div 2")).as("n_candidates"))
+      val cap = truth.agg(sum(when(captured, 1L).otherwise(0L)).as("n_captured"))
+      cand.crossJoin(broadcast(cap))
+        .select(lit(name).as("scheme"), col("n_blocks"), col("n_candidates"),
+          lit(nTruth).as("n_truth"), col("n_captured"),
+          round(lit(1.0) - col("n_candidates") / lit(allPairs.toDouble), 6)
+            .as("reduction_ratio"),
+          round(col("n_captured") / lit(nTruth.toDouble), 6).as("completeness"))
+    }
+    scheme("prefix40", Seq(col("k_prefix")), col("k_prefix") === col("mp"))
+      .unionAll(scheme("lenband50", Seq(col("k_band")), col("k_band") === col("mb")))
+      .unionAll(scheme("compound", Seq(col("k_prefix"), col("k_band")),
+        col("k_prefix") === col("mp") && col("k_band") === col("mb")))
+      .orderBy("scheme")
+  }
+
   /** #20c MinHash-LSH band planner: integrate the S-curve
     * P[candidate] = 1 − (1 − s^r)^b over the OBSERVED pair-similarity
     * distribution for a 16-cell (rows-per-band × bands) grid — the
@@ -903,6 +946,7 @@ object DedupSimQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lsh_plan"            -> (lshPlan _),
+    "blocking_audit"      -> (blockingAudit _),
     "er_jaro"             -> (erJaro _),
     "er_damerau"          -> (erDamerau _),
     "vec_mean_pool"       -> (vecMeanPool _),
@@ -1019,6 +1063,45 @@ object DedupSimQueries {
        |${kmeansUpdateCte("c2", "a2")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Candidate counts from block sizes (sum of C(nb,2)); completeness
+    // from original-mutant key agreement; exact integers throughout.
+    "blocking_audit" -> {
+      def sc(name: String, key: String, cap: String): String =
+        s"""SELECT '$name' AS scheme, n_blocks, n_candidates,
+           |  (SELECT n_truth FROM nt) AS n_truth, n_captured,
+           |  round(1.0 - n_candidates / (((SELECT n FROM nn)
+           |    * ((SELECT n FROM nn) - 1) // 2))::DOUBLE, 6) AS reduction_ratio,
+           |  round(n_captured / (SELECT n_truth FROM nt)::DOUBLE, 6)
+           |    AS completeness
+           |FROM (SELECT count(*)::BIGINT AS n_blocks,
+           |    sum(nb * (nb - 1) // 2)::BIGINT AS n_candidates
+           |  FROM (SELECT count(*)::BIGINT AS nb FROM keyed GROUP BY $key)),
+           |  (SELECT sum(CASE WHEN $cap THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_captured FROM truth)""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    substring(text, 1, greatest(length(text) - 40, 1))
+         |  FROM documents
+         |), keyed AS (
+         |  SELECT doc_id, substring(text, 1, 40) AS k_prefix,
+         |    length(text) // 50 AS k_band
+         |  FROM corpus
+         |), nn AS (SELECT count(*)::BIGINT AS n FROM keyed),
+         |truth AS (
+         |  SELECT o.doc_id, o.k_prefix, o.k_band,
+         |    m.k_prefix AS mp, m.k_band AS mb
+         |  FROM keyed o JOIN keyed m ON m.doc_id = o.doc_id + 1000000
+         |  WHERE o.doc_id < 1000000
+         |), nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth)
+         |${sc("prefix40", "k_prefix", "k_prefix = mp")}
+         |UNION ALL
+         |${sc("lenband50", "k_band", "k_band = mb")}
+         |UNION ALL
+         |${sc("compound", "k_prefix, k_band", "k_prefix = mp AND k_band = mb")}
+         |ORDER BY scheme""".stripMargin
+    },
     // Same squaring-chain expression text as the engine (powChain), so
     // the S-curve doubles are bit-identical; probabilities round to ppm
     // integers before the exact sums.

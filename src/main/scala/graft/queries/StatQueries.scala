@@ -1497,7 +1497,52 @@ object StatQueries {
       .orderBy("arm")
   }
 
+  /** #5ad binary-segmentation changepoint: the single best split of
+    * each type's zero-filled hourly count series by SSE reduction —
+    * the first step of the classic binary-segmentation recursion, and
+    * the "WHERE did the level shift happen" answer next to
+    * [[eventsCusum]]'s "DID it shift" flag. Maximizing
+    * −(SSE_l+SSE_r) ≡ maximizing Sl²/nl + Sr²/nr (Σy² cancels), so
+    * the scan needs only prefix sums of exact integer counts; the
+    * per-split gain is one pinned double, rounded BEFORE the
+    * (gain desc, h) argmax through the bounded-heap top-1 operator
+    * (round-then-rank). The prefix window runs over the hours-scale
+    * aggregate series, never raw rows. */
+  def changepointBinseg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      expr("unix_micros(ts) div 3600000000").as("h"))
+    val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("y"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(ev.agg(min("h").as("mn"), max("h").as("mx"))))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("h"))
+    val series = spine.join(counts, Seq("event_type", "h"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = series.groupBy("event_type")
+      .agg(sum("y").as("st"), count(lit(1)).as("nt"))
+    val g = series
+      .withColumn("sl", sum("y").over(w))
+      .withColumn("nl", count(lit(1)).over(w))
+      .join(broadcast(tot), "event_type")
+      .filter(col("nl") < col("nt"))
+      .withColumn("sr", col("st") - col("sl"))
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("gain", round(
+        (col("sl") * col("sl")).cast("double") / col("nl")
+          + (col("sr") * col("sr")).cast("double") / col("nr")
+          - (col("st") * col("st")).cast("double") / col("nt"), 6))
+    graft.plans.Graft
+      .topKPerGroup(g, Seq("event_type"), "gain", 1, tiebreak = Seq("h"))
+      .select(col("event_type"), (col("h") + 1).as("split_hour"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        round(col("sl") / col("nl"), 6).as("mean_left"),
+        round(col("sr") / col("nr"), 6).as("mean_right"), col("gain"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "changepoint_binseg" -> (changepointBinseg _),
     "ab_cuped"           -> (abCuped _),
     "forecast_baseline"  -> (forecastBaseline _),
     "shapley_attribution" -> (shapleyAttribution _),
@@ -1637,6 +1682,45 @@ object StatQueries {
     // DECIMAL(38,0)); the Cramer solve repeats the engine's double
     // expression tree term for term so the derived coefficients are
     // bit-identical before round(, 6).
+    // Prefix sums over the zero-filled spine; gain rounded to 6 before
+    // the (gain DESC, h) argmax — round-then-rank.
+    "changepoint_binseg" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+        |), b AS (SELECT min(h) AS mn, max(h) AS mx FROM ev),
+        |sp AS (
+        |  SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM ev) t,
+        |    (SELECT unnest(generate_series((SELECT mn FROM b),
+        |       (SELECT mx FROM b), 1)) AS h) g
+        |), series AS (
+        |  SELECT sp.event_type, sp.h, coalesce(c.y, 0)::BIGINT AS y
+        |  FROM sp LEFT JOIN (
+        |    SELECT event_type, h, count(*)::BIGINT AS y FROM ev GROUP BY 1, 2
+        |  ) c USING (event_type, h)
+        |), tot AS (
+        |  SELECT event_type, sum(y)::BIGINT AS st, count(*)::BIGINT AS nt
+        |  FROM series GROUP BY 1
+        |), pre AS (
+        |  SELECT s.event_type, s.h,
+        |    (sum(y) OVER (PARTITION BY s.event_type ORDER BY s.h
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS sl,
+        |    (count(*) OVER (PARTITION BY s.event_type ORDER BY s.h
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS nl,
+        |    t.st, t.nt
+        |  FROM series s JOIN tot t USING (event_type)
+        |), g AS (
+        |  SELECT *, st - sl AS sr, nt - nl AS nr,
+        |    round((sl * sl)::DOUBLE / nl
+        |      + ((st - sl) * (st - sl))::DOUBLE / (nt - nl)
+        |      - (st * st)::DOUBLE / nt, 6) AS gain
+        |  FROM pre WHERE nl < nt
+        |)
+        |SELECT event_type, h + 1 AS split_hour, nl AS n_left, nr AS n_right,
+        |  round(sl / nl, 6) AS mean_left, round(sr / nr, 6) AS mean_right, gain
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gain DESC, h) AS rk FROM g)
+        |WHERE rk = 1 ORDER BY event_type""".stripMargin,
     // Exact HUGEINT moments mirror the engine's DECIMAL(38,0); theta,
     // rho2, and the adjusted means repeat the engine's scalar
     // expression trees term for term.
