@@ -865,6 +865,42 @@ object DedupSimQueries {
     s"CASE b WHEN 4 THEN ${powChain("q", 4)} WHEN 8 THEN ${powChain("q", 8)} " +
       s"WHEN 16 THEN ${powChain("q", 16)} ELSE ${powChain("q", 32)} END"
 
+  /** #19aa harmonic centrality within 3 hops on the 0.35-cosine
+    * graph: Σ 1/d over the 1-, 2-, and 3-hop neighborhoods — the
+    * bounded-radius form that keeps the classic closeness-family
+    * centrality computable by three frontier joins (hop sets deduped
+    * and differenced per hop, the BFS discipline) instead of
+    * all-pairs shortest paths. Reciprocals enter as exact integer
+    * micro-weights (10⁶, 5·10⁵, 333333), summed exactly. */
+  def graphHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.embeddingCosine(Tables.embeddings(s, dir), "embedding",
+        "vec_id", 0.35)
+      .select(col("vec_id_a").as("a"), col("vec_id_b").as("b"))
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val d2 = sym.as("x").join(sym.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("y.b").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .join(sym, Seq("a", "b"), "left_anti")
+      .localCheckpoint(true)
+    val d3 = d2.as("x").join(sym.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("y.b").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .join(sym, Seq("a", "b"), "left_anti")
+      .join(d2, Seq("a", "b"), "left_anti")
+    val c1 = sym.groupBy("a").agg(count(lit(1)).as("n1"))
+    val c2 = d2.groupBy("a").agg(count(lit(1)).as("n2"))
+    val c3 = d3.groupBy("a").agg(count(lit(1)).as("n3"))
+    c1.join(c2, Seq("a"), "left").join(c3, Seq("a"), "left")
+      .select(col("a").as("vec_id"), col("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("n3"), lit(0L)).as("n3"))
+      .withColumn("harmonic", round(
+        (col("n1") * 1000000L + col("n2") * 500000L + col("n3") * 333333L)
+          / 1000000.0, 6))
+      .orderBy("vec_id")
+  }
+
   /** #19z blocking-quality audit: reduction ratio and pair
     * completeness (the two standard ER blocking metrics, Christen
     * 2012) for three candidate blocking schemes over the
@@ -947,6 +983,7 @@ object DedupSimQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lsh_plan"            -> (lshPlan _),
     "blocking_audit"      -> (blockingAudit _),
+    "graph_harmonic"      -> (graphHarmonic _),
     "er_jaro"             -> (erJaro _),
     "er_damerau"          -> (erDamerau _),
     "vec_mean_pool"       -> (vecMeanPool _),
@@ -1063,6 +1100,38 @@ object DedupSimQueries {
        |${kmeansUpdateCte("c2", "a2")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Hop sets deduped and differenced exactly as the engine's frontier
+    // joins; reciprocals are integer micro-weights summed exactly.
+    "graph_harmonic" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nrm
+        |  FROM embeddings
+        |), pr AS (
+        |  SELECT a.vec_id AS s, b.vec_id AS t
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+        |), sym AS (
+        |  SELECT s AS a, t AS b FROM pr UNION ALL SELECT t AS a, s AS b FROM pr
+        |), d2 AS (
+        |  SELECT DISTINCT x.a, y.b FROM sym x JOIN sym y ON x.b = y.a
+        |  WHERE x.a <> y.b
+        |    AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.a = x.a AND s.b = y.b)
+        |), d3 AS (
+        |  SELECT DISTINCT x.a, y.b FROM d2 x JOIN sym y ON x.b = y.a
+        |  WHERE x.a <> y.b
+        |    AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.a = x.a AND s.b = y.b)
+        |    AND NOT EXISTS (SELECT 1 FROM d2 s WHERE s.a = x.a AND s.b = y.b)
+        |), c1 AS (SELECT a, count(*)::BIGINT AS n1 FROM sym GROUP BY 1),
+        |c2 AS (SELECT a, count(*)::BIGINT AS n2 FROM d2 GROUP BY 1),
+        |c3 AS (SELECT a, count(*)::BIGINT AS n3 FROM d3 GROUP BY 1)
+        |SELECT c1.a AS vec_id, c1.n1,
+        |  coalesce(c2.n2, 0)::BIGINT AS n2, coalesce(c3.n3, 0)::BIGINT AS n3,
+        |  round((c1.n1 * 1000000 + coalesce(c2.n2, 0) * 500000
+        |    + coalesce(c3.n3, 0) * 333333) / 1000000.0, 6) AS harmonic
+        |FROM c1 LEFT JOIN c2 USING (a) LEFT JOIN c3 USING (a)
+        |ORDER BY vec_id""".stripMargin,
     // Candidate counts from block sizes (sum of C(nb,2)); completeness
     // from original-mutant key agreement; exact integers throughout.
     "blocking_audit" -> {
