@@ -484,4 +484,27 @@ class PlanContractSpec extends SparkSpec {
     // reads the same single bucket aggregate; no join back to raw rows.
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  test("adamic-adar's global top-k is a TakeOrdered, never a full sort") {
+    val plan = finalPlan(OpsQueries.linkAdamicAdar(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("shapley terms stay broadcast joins over the 16-row census") {
+    // The only full-data pass is the per-user mask groupBy; everything
+    // after (zeta sums, value table, 32 terms) must ride broadcasts.
+    val plan = finalPlan(StatQueries.shapleyAttribution(spark, dir))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("binseg argmax goes through the bounded-heap top-1 operator") {
+    val plan = finalPlan(StatQueries.changepointBinseg(spark, dir))
+    assert(plan.contains("TopKPerGroup"), plan.take(3000))
+  }
+
+  test("OLS reduces to one aggregate: no join, no window, no sort") {
+    val plan = finalPlan(StatQueries.olsNormal(spark, dir))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("Window ["), plan.take(3000))
+  }
 }
