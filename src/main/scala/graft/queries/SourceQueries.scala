@@ -169,6 +169,53 @@ object SourceQueries {
         .orderBy("doc_id")
     })
 
+  private val fwCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** #17h fixed-width (copybook-style) ingestion roundtrip
+    * ([[graft.sources.FixedWidth]]): events written as 44-char
+    * fixed-slice records (no delimiter, no quoting — the
+    * mainframe/EDI interchange shape) and parsed back by stateless
+    * per-line substring slices; values survive exactly, so the oracle
+    * is the source table itself. */
+  def fixedwidthRoundtrip(s: SparkSession, dir: String): DataFrame =
+    fwCache.getOrElseUpdate((s, dir), Scratch.cleaned("graft_fw") { tmp =>
+      import graft.sources.FixedWidth
+      val layout = Seq(
+        FixedWidth.Field("event_id", 12, "long"),
+        FixedWidth.Field("user_id", 8, "long"),
+        FixedWidth.Field("event_type", 10, "string"),
+        FixedWidth.Field("v_us", 14, "long"))
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), round(col("value") * 1000000, 0).cast("long").as("v_us"))
+      FixedWidth.write(ev, layout, tmp.toString)
+      FixedWidth.read(s, tmp.toString, layout).orderBy("event_id")
+    })
+
+  private val gzCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** #17i gzip-compressed text ingestion roundtrip: the same tab-keyed
+    * line corpus as [[textRoundtrip]] but written through the gzip
+    * codec and read back transparently (`.txt.gz` part files) — the
+    * wire format most web-scale text dumps actually ship in. Gzip is
+    * NOT splittable, which is exactly why the write keeps many small
+    * part files instead of one big archive: the parallelism unit
+    * becomes the file. */
+  def gzipRoundtrip(s: SparkSession, dir: String): DataFrame =
+    gzCache.getOrElseUpdate((s, dir), Scratch.cleaned("graft_gz") { tmp =>
+      Tables.documents(s, dir)
+        .select(concat(col("doc_id").cast("string"), lit("\t"),
+          regexp_replace(col("text"), "\n", " ")).as("line"))
+        .write.mode("overwrite").option("compression", "gzip")
+        .text(tmp.toString)
+      graft.sources.TypedText.read(s, tmp.toString)
+        .select(expr("split(value, '\t', 2)").as("p"))
+        .select(col("p")(0).cast("long").as("doc_id"),
+          length(col("p")(1)).as("n_chars_clean"))
+        .orderBy("doc_id")
+    })
+
   private val sizingCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -209,9 +256,19 @@ object SourceQueries {
     "schema_evolution" -> (schemaEvolution _),
     "bucketed_join"   -> (bucketedJoin _),
     "partitioned_scan" -> (partitionedScan _),
+    "fixedwidth_roundtrip" -> (fixedwidthRoundtrip _),
+    "gzip_roundtrip"  -> (gzipRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
+    // Exact roundtrips: the oracle is the source table itself.
+    "fixedwidth_roundtrip" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(round(value * 1000000, 0) AS BIGINT) AS v_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "gzip_roundtrip" ->
+      """SELECT doc_id, length(replace(text, chr(10), ' ')) AS n_chars_clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "csv_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
