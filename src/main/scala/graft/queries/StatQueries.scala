@@ -1541,7 +1541,65 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #5ae propensity-stratified ATE (subclassification, Cochran 1968 /
+    * Rosenbaum-Rubin): users bucket into quintiles of their PRE-period
+    * spend (the deterministic stand-in for a propensity score), the
+    * treatment contrast is taken WITHIN each stratum, and the overall
+    * row re-weights the per-stratum contrasts by stratum size — the
+    * adjustment that removes covariate imbalance a raw diff-in-means
+    * inherits. Companion to [[abCuped]] (regression adjustment) and
+    * [[eventsDid]] (time adjustment).
+    *
+    * Exactness: per-user (pre, post) integer micros; quintiles via the
+    * exact bucketed ntile; per-stratum contrasts are rationals of
+    * exact sums, each size-weighted term rounded to integer
+    * micro·user units before the exact total (round-then-sum). Strata missing an arm
+    * yield null contrasts and drop from the weighted total, pinned
+    * identically in the oracle. */
+  def ateStratified(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 1000000, 0).cast("long").as("v_us"))
+    val b = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("cut_us"))
+    val per = ev.crossJoin(broadcast(b))
+      .groupBy("user_id")
+      .agg(sum(when(col("ts_us") < col("cut_us"), col("v_us")).otherwise(0L)).as("x"),
+        sum(when(col("ts_us") >= col("cut_us"), col("v_us")).otherwise(0L)).as("y"))
+      .withColumn("treated",
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + lit(13L), lit(1000000L)) >= 500000L, 1L).otherwise(0L))
+    val strat = graft.ops.ChronoSplit.withNtile(per, "x", "user_id", 5, "stratum")
+    val g = strat.groupBy("stratum").agg(
+      sum(when(col("treated") === 1, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("treated") === 0, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("treated") === 1, col("y")).otherwise(0L)).as("syt"),
+      sum(when(col("treated") === 0, col("y")).otherwise(0L)).as("syc"))
+    val tot = g.agg(sum(col("n_t") + col("n_c")).as("nn"),
+      sum("n_t").as("tnt"), sum("n_c").as("tnc"),
+      sum("syt").as("tsyt"), sum("syc").as("tsyc"),
+      sum(when(col("n_t") > 0 && col("n_c") > 0,
+        round(((col("n_t") + col("n_c"))
+          * (col("syt") / col("n_t") - col("syc") / col("n_c"))), 0)
+          .cast("long")).otherwise(0L)).as("wsum"))
+    val strata = g.select(col("stratum").cast("string").as("stratum"),
+      col("n_t"), col("n_c"),
+      when(col("n_t") === 0, lit(null).cast("double"))
+        .otherwise(round(col("syt") / col("n_t") / 1000000.0, 6)).as("mean_t"),
+      when(col("n_c") === 0, lit(null).cast("double"))
+        .otherwise(round(col("syc") / col("n_c") / 1000000.0, 6)).as("mean_c"),
+      when(col("n_t") === 0 || col("n_c") === 0, lit(null).cast("double"))
+        .otherwise(round((col("syt") / col("n_t") - col("syc") / col("n_c"))
+          / 1000000.0, 6)).as("diff"))
+    val all = tot.select(lit("ALL").as("stratum"), col("tnt").as("n_t"),
+      col("tnc").as("n_c"),
+      round(col("tsyt") / col("tnt") / 1000000.0, 6).as("mean_t"),
+      round(col("tsyc") / col("tnc") / 1000000.0, 6).as("mean_c"),
+      round(col("wsum") / col("nn") / 1000000.0, 6).as("diff"))
+    strata.unionAll(all).orderBy("stratum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ate_stratified"     -> (ateStratified _),
     "changepoint_binseg" -> (changepointBinseg _),
     "ab_cuped"           -> (abCuped _),
     "forecast_baseline"  -> (forecastBaseline _),
@@ -1682,6 +1740,58 @@ object StatQueries {
     // DECIMAL(38,0)); the Cramer solve repeats the engine's double
     // expression tree term for term so the derived coefficients are
     // bit-identical before round(, 6).
+    // Quintiles via ntile over (pre-spend, user); per-stratum contrasts
+    // from exact sums; weighted terms rounded to micro-user units
+    // before the exact total; empty-arm strata null out and drop.
+    "ate_stratified" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 1000000, 0) AS BIGINT) AS v_us
+        |  FROM events
+        |), b AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS cut_us FROM ev),
+        |per AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN ts_us < (SELECT cut_us FROM b)
+        |      THEN v_us ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN ts_us >= (SELECT cut_us FROM b)
+        |      THEN v_us ELSE 0 END)::BIGINT AS y,
+        |    CASE WHEN ((user_id % 1000000) * 2654435761 + 13) % 1000000
+        |      >= 500000 THEN 1 ELSE 0 END AS treated
+        |  FROM ev GROUP BY user_id
+        |), st AS (
+        |  SELECT *, ntile(5) OVER (ORDER BY x, user_id) AS stratum FROM per
+        |), g AS (
+        |  SELECT stratum,
+        |    sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN treated = 1 THEN y ELSE 0 END)::BIGINT AS syt,
+        |    sum(CASE WHEN treated = 0 THEN y ELSE 0 END)::BIGINT AS syc
+        |  FROM st GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(n_t + n_c)::BIGINT AS nn, sum(n_t)::BIGINT AS tnt,
+        |    sum(n_c)::BIGINT AS tnc, sum(syt)::BIGINT AS tsyt,
+        |    sum(syc)::BIGINT AS tsyc,
+        |    sum(CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |      CAST(round(((n_t + n_c) * (syt / n_t - syc / n_c)), 0) AS BIGINT)
+        |      ELSE 0 END)::BIGINT AS wsum
+        |  FROM g
+        |)
+        |SELECT stratum, n_t, n_c, mean_t, mean_c, diff FROM (
+        |  SELECT stratum::VARCHAR AS stratum, n_t, n_c,
+        |    CASE WHEN n_t = 0 THEN NULL
+        |      ELSE round(syt / n_t / 1000000.0, 6) END AS mean_t,
+        |    CASE WHEN n_c = 0 THEN NULL
+        |      ELSE round(syc / n_c / 1000000.0, 6) END AS mean_c,
+        |    CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+        |      ELSE round((syt / n_t - syc / n_c) / 1000000.0, 6) END AS diff
+        |  FROM g
+        |  UNION ALL
+        |  SELECT 'ALL', tnt, tnc,
+        |    round(tsyt / tnt / 1000000.0, 6),
+        |    round(tsyc / tnc / 1000000.0, 6),
+        |    round(wsum / nn / 1000000.0, 6)
+        |  FROM tot
+        |) ORDER BY stratum""".stripMargin,
     // Prefix sums over the zero-filled spine; gain rounded to 6 before
     // the (gain DESC, h) argmax — round-then-rank.
     "changepoint_binseg" ->
