@@ -2939,7 +2939,10 @@ object OpsQueries {
     * (never all-pairs); at corpus scale the block key would be a
     * proper blocking vector and (m, u) would come from EM — the
     * scoring algebra is what this operator pins. */
-  def erScores(s: SparkSession, dir: String): DataFrame = {
+  /** Blocked comparison pairs with per-field agreement flags — shared
+    * by [[erScores]] (pinned-weight scoring) and [[erEmWeights]]
+    * (EM-fitted weights), the two halves of Fellegi-Sunter linkage. */
+  private def erPairs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         substring(col("text"), 1, 16).as("pfx"),
@@ -2950,14 +2953,71 @@ object OpsQueries {
       .select(col("a_doc_id"), col("b_doc_id"),
         (col("a_lang") === col("b_lang")).as("lang_eq"),
         (col("a_source") === col("b_source")).as("src_eq"),
-        (col("a_pfx") === col("b_pfx")).as("pfx_eq"),
+        (col("a_pfx") === col("b_pfx")).as("pfx_eq"))
+  }
+
+  def erScores(s: SparkSession, dir: String): DataFrame =
+    erPairs(s, dir)
+      .select(col("a_doc_id"), col("b_doc_id"),
+        col("lang_eq"), col("src_eq"), col("pfx_eq"),
         round(
-          when(col("a_lang") === col("b_lang"), lit(1.15268)).otherwise(lit(-2.639057))
-            + when(col("a_source") === col("b_source"), lit(2.890372)).otherwise(lit(-2.251292))
-            + when(col("a_pfx") === col("b_pfx"), lit(6.684612)).otherwise(lit(-1.608437)),
+          when(col("lang_eq"), lit(1.15268)).otherwise(lit(-2.639057))
+            + when(col("src_eq"), lit(2.890372)).otherwise(lit(-2.251292))
+            + when(col("pfx_eq"), lit(6.684612)).otherwise(lit(-1.608437)),
           6).as("score"))
       .orderBy(desc("score"), col("a_doc_id"), col("b_doc_id"))
       .limit(50)
+
+  /** #19s EM-fitted Fellegi-Sunter parameters — the LEARNING half of
+    * record linkage next to [[erScores]]' pinned-weight scoring: fit
+    * the two-class mixture over the 8-row agreement-pattern census
+    * (per-field match probabilities m_k among true matches, u_k among
+    * non-matches, match prevalence λ) by two unrolled EM iterations
+    * from the canonical (λ=0.1, m=0.9, u=0.1) start.
+    *
+    * Scale + exactness: the blocked pair scan reduces to ≤ 8 pattern
+    * rows in one aggregation; every E-step responsibility is a pinned
+    * scalar double, and each weighted count w·n rounds to integer
+    * micro-units BEFORE the M-step sums (round-then-sum), so the
+    * fitted parameters are ratios of exact integers. Output: one row
+    * per field with m, u, and the ln(m/u) agreement weight, plus λ. */
+  def erEmWeights(s: SparkSession, dir: String): DataFrame = {
+    val pats = erPairs(s, dir)
+      .groupBy(col("lang_eq").cast("int").as("g1"),
+        col("src_eq").cast("int").as("g2"),
+        col("pfx_eq").cast("int").as("g3"))
+      .agg(count(lit(1)).as("np"))
+    import s.implicits._
+    val init = Seq((0.1, 0.9, 0.9, 0.9, 0.1, 0.1, 0.1))
+      .toDF("lam", "m1", "m2", "m3", "u1", "u2", "u3")
+    def emIter(params: DataFrame): DataFrame = {
+      def pick(g: String, p: String) =
+        when(col(g) === 1, col(p)).otherwise(lit(1.0) - col(p))
+      val pm = pick("g1", "m1") * pick("g2", "m2") * pick("g3", "m3")
+      val pu = pick("g1", "u1") * pick("g2", "u2") * pick("g3", "u3")
+      val w = col("lam") * pm / (col("lam") * pm + (lit(1.0) - col("lam")) * pu)
+      val t = pats.crossJoin(broadcast(params))
+        .withColumn("wn", round(w * col("np") * 1000000L, 0).cast("long"))
+        .withColumn("tn", col("np") * 1000000L)
+      def mUp(g: String) =
+        sum(when(col(g) === 1, col("wn")).otherwise(0L)) /
+          sum(col("wn"))
+      def uUp(g: String) =
+        sum(when(col(g) === 1, col("tn") - col("wn")).otherwise(0L)) /
+          sum(col("tn") - col("wn"))
+      t.agg((sum("wn") / sum("tn")).as("lam"),
+        mUp("g1").as("m1"), mUp("g2").as("m2"), mUp("g3").as("m3"),
+        uUp("g1").as("u1"), uUp("g2").as("u2"), uUp("g3").as("u3"))
+    }
+    val fitted = emIter(emIter(init))
+    val fields = Seq(("lang", "m1", "u1"), ("source", "m2", "u2"),
+      ("prefix16", "m3", "u3"))
+    fields.map { case (name, m, u) =>
+      fitted.select(lit(name).as("field"),
+        round(col(m), 6).as("m"), round(col(u), 6).as("u"),
+        round(log(col(m) / col(u)), 6).as("ln_weight"),
+        round(col("lam"), 6).as("lam"))
+    }.reduce(_ unionAll _).orderBy("field")
   }
 
   /** #4g' Levenshtein-rule equivalence on real pairs: the SQL-text
@@ -3077,6 +3137,7 @@ object OpsQueries {
     "merge_apply"       -> (mergeApply _),
     "cdc_roundtrip"     -> (cdcRoundtrip _),
     "er_scores"         -> (erScores _),
+    "er_em_weights"     -> (erEmWeights _),
     "lev_prefilter"     -> (levPrefilter _),
     "returned_top_customers" -> (returnedTopCustomers _),
     "market_share"      -> (marketShare _),
@@ -5833,6 +5894,65 @@ FROM cells ORDER BY lang_true, lang_pred""",
         |    AND a.c_name < b.c_name
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |GROUP BY 1 ORDER BY a.c_nationkey""".stripMargin,
+    // Two unrolled EM iterations over the 8-row pattern census; E-step
+    // responsibilities are pinned doubles, weighted counts round to
+    // integer micro-units before every M-step sum.
+    "er_em_weights" -> {
+      def em(inP: String, outP: String): String =
+        s"""$outP AS (
+           |  SELECT sum(wn) / sum(tn) AS lam,
+           |    sum(CASE WHEN g1 = 1 THEN wn ELSE 0 END) / sum(wn) AS m1,
+           |    sum(CASE WHEN g2 = 1 THEN wn ELSE 0 END) / sum(wn) AS m2,
+           |    sum(CASE WHEN g3 = 1 THEN wn ELSE 0 END) / sum(wn) AS m3,
+           |    sum(CASE WHEN g1 = 1 THEN tn - wn ELSE 0 END)
+           |      / sum(tn - wn) AS u1,
+           |    sum(CASE WHEN g2 = 1 THEN tn - wn ELSE 0 END)
+           |      / sum(tn - wn) AS u2,
+           |    sum(CASE WHEN g3 = 1 THEN tn - wn ELSE 0 END)
+           |      / sum(tn - wn) AS u3
+           |  FROM (
+           |    SELECT g1, g2, g3, np * 1000000 AS tn,
+           |      CAST(round(lam * pm / (lam * pm + (1.0 - lam) * pu)
+           |        * np * 1000000, 0) AS BIGINT) AS wn
+           |    FROM (
+           |      SELECT c.*, p.lam,
+           |        (CASE WHEN g1 = 1 THEN p.m1 ELSE 1.0 - p.m1 END)
+           |        * (CASE WHEN g2 = 1 THEN p.m2 ELSE 1.0 - p.m2 END)
+           |        * (CASE WHEN g3 = 1 THEN p.m3 ELSE 1.0 - p.m3 END) AS pm,
+           |        (CASE WHEN g1 = 1 THEN p.u1 ELSE 1.0 - p.u1 END)
+           |        * (CASE WHEN g2 = 1 THEN p.u2 ELSE 1.0 - p.u2 END)
+           |        * (CASE WHEN g3 = 1 THEN p.u3 ELSE 1.0 - p.u3 END) AS pu
+           |      FROM census c, $inP p))
+           |)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source, n_chars // 100 AS blk,
+         |    substring(text, 1, 16) AS pfx
+         |  FROM documents
+         |), census AS (
+         |  SELECT CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS g1,
+         |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g2,
+         |    CASE WHEN a.pfx = b.pfx THEN 1 ELSE 0 END AS g3,
+         |    count(*)::BIGINT AS np
+         |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3
+         |), p0 AS (
+         |  SELECT 0.1::DOUBLE AS lam, 0.9::DOUBLE AS m1, 0.9::DOUBLE AS m2,
+         |    0.9::DOUBLE AS m3, 0.1::DOUBLE AS u1, 0.1::DOUBLE AS u2,
+         |    0.1::DOUBLE AS u3
+         |),
+         |${em("p0", "p1")},
+         |${em("p1", "p2")}
+         |SELECT field, m, u, ln_weight, lam FROM (
+         |  SELECT 'lang' AS field, round(m1, 6) AS m, round(u1, 6) AS u,
+         |    round(ln(m1 / u1), 6) AS ln_weight, round(lam, 6) AS lam FROM p2
+         |  UNION ALL
+         |  SELECT 'source', round(m2, 6), round(u2, 6),
+         |    round(ln(m2 / u2), 6), round(lam, 6) FROM p2
+         |  UNION ALL
+         |  SELECT 'prefix16', round(m3, 6), round(u3, 6),
+         |    round(ln(m3 / u3), 6), round(lam, 6) FROM p2
+         |) ORDER BY field""".stripMargin
+    },
     "er_scores" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, n_chars // 100 AS blk,
