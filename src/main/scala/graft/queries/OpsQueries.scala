@@ -1980,6 +1980,33 @@ object OpsQueries {
         max(length(col("sent"))).cast("long").as("max_len"))
       .orderBy("doc_id")
 
+  /** #27c code-switching / language-mix profile: sentence-segment each
+    * document (same run-split as [[docSentences]]), language-ID every
+    * sentence with the same stopword-argmax heuristic as
+    * [[OpsQueries#textLangId doc-level lang-ID]], and report per doc
+    * how many languages its sentences span, the majority language
+    * (ties to the smaller code, via an arg-min struct — no per-doc
+    * sort), and its share — the mixed-document detector a monolingual
+    * training mix needs BEFORE per-doc lang-ID mislabels a 60/40
+    * bilingual page. */
+  def docLangMix(s: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[^.!?]+', 0)")).as("raw"))
+      .withColumn("sent", trim(col("raw")))
+      .filter(length(col("sent")) > 0)
+      .select(col("doc_id"), TextAnalysis.langId(col("sent")).as("slang"))
+      .groupBy("doc_id", "slang").agg(count(lit(1)).as("ns"))
+    cnts.groupBy("doc_id")
+      .agg(sum("ns").as("n_sentences"), count(lit(1)).as("n_langs"),
+        min(struct((-col("ns")).as("neg"), col("slang").as("l"))).as("mj"))
+      .select(col("doc_id"), col("n_sentences"), col("n_langs"),
+        col("mj.l").as("major_lang"),
+        round((-col("mj.neg")) / col("n_sentences"), 6).as("major_share"),
+        (col("n_langs") > 1).as("mixed"))
+      .orderBy("doc_id")
+  }
+
   /** #1f right-to-be-forgotten cascade audit: a deterministic 2% of
     * users (same [[arithHash]] arithmetic as every sampling oracle) is
     * deleted from the event log; per day, rows before, rows after the
@@ -3138,6 +3165,7 @@ object OpsQueries {
     "cdc_roundtrip"     -> (cdcRoundtrip _),
     "er_scores"         -> (erScores _),
     "er_em_weights"     -> (erEmWeights _),
+    "doc_lang_mix"      -> (docLangMix _),
     "lev_prefilter"     -> (levPrefilter _),
     "returned_top_customers" -> (returnedTopCustomers _),
     "market_share"      -> (marketShare _),
@@ -5894,6 +5922,38 @@ FROM cells ORDER BY lang_true, lang_pred""",
         |    AND a.c_name < b.c_name
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |GROUP BY 1 ORDER BY a.c_nationkey""".stripMargin,
+    // Sentence split + the shared stopword-argmax lang-ID applied per
+    // sentence; majority by (count DESC, lang) row_number mirroring the
+    // engine's arg-min struct.
+    "doc_lang_mix" -> {
+      val (hits, best, caseExpr) = langSql
+      s"""WITH sr AS (
+         |  SELECT doc_id, trim(unnest(regexp_extract_all(text, '[^.!?]+')))
+         |    AS text
+         |  FROM documents
+         |), sents AS (SELECT doc_id, text FROM sr WHERE length(text) > 0),
+         |scored AS (
+         |  SELECT doc_id, $caseExpr AS slang FROM (
+         |    SELECT doc_id, greatest($best) AS best, $best FROM (
+         |      SELECT doc_id, text,
+         |        $hits
+         |      FROM sents))
+         |), cnts AS (
+         |  SELECT doc_id, slang, count(*)::BIGINT AS ns FROM scored GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT doc_id, sum(ns)::BIGINT AS n_sentences,
+         |    count(*)::BIGINT AS n_langs
+         |  FROM cnts GROUP BY 1
+         |), mj AS (
+         |  SELECT doc_id, slang AS major_lang, ns AS mns FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY ns DESC, slang) AS rk FROM cnts) WHERE rk = 1
+         |)
+         |SELECT a.doc_id, a.n_sentences, a.n_langs, m.major_lang,
+         |  round(m.mns / a.n_sentences, 6) AS major_share,
+         |  a.n_langs > 1 AS mixed
+         |FROM agg a JOIN mj m USING (doc_id) ORDER BY a.doc_id""".stripMargin
+    },
     // Two unrolled EM iterations over the 8-row pattern census; E-step
     // responsibilities are pinned doubles, weighted counts round to
     // integer micro-units before every M-step sum.
