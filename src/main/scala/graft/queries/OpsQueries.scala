@@ -459,13 +459,17 @@ object OpsQueries {
     * Ranking is total-ordered by (freq desc, token); the rank window
     * runs over the VOCABULARY (≪ corpus), never the token stream. */
   def corpusZipf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = Tables.documents(s, dir)
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
         .as("t"))
       .groupBy("t").agg(count(lit(1)).as("n"))
-    counts
-      .withColumn("rk", row_number().over(Window.orderBy(desc("n"), col("t"))))
+    // The fit needs EVERY rank (log-rank is the regressor), and the
+    // vocabulary grows with the corpus — so the exact global rank comes
+    // from the bucketed order statistics, not a single-partition window.
+    // Order (n desc, t asc) ≡ (−n asc, t asc).
+    ChronoSplit
+      .withOrderStats(counts.withColumn("negn", -col("n")), "negn", "t")
+      .withColumnRenamed(ChronoSplit.RankCol, "rk")
       .agg(count(lit(1)).as("n_types"),
         round(regr_slope(log(col("n")), log(col("rk"))), 6).as("slope"),
         round(regr_intercept(log(col("n")), log(col("rk"))), 6).as("intercept"),
@@ -967,8 +971,20 @@ object OpsQueries {
     val b = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .distinct()
-    val pr = b.groupBy("item").agg(count(lit(1)).as("n_item"))
-      .withColumn("pop_pr", percent_rank().over(Window.orderBy("n_item")))
+    // percent_rank over the catalog WITHOUT sorting the catalog in one
+    // partition (items grow with the assortment): tied items share
+    // (#strictly-below)/(N−1), so derive it from the count-of-counts
+    // profile — the only window left runs over DISTINCT popularity
+    // values, a frequency profile that is log-scale in the data.
+    val itemCounts = b.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val cc = itemCounts.groupBy("n_item").agg(count(lit(1)).as("c"))
+    val below = cc.withColumn("below",
+      coalesce(sum("c").over(Window.orderBy("n_item")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val pr = itemCounts
+      .join(broadcast(below.select("n_item", "below")), "n_item")
+      .crossJoin(broadcast(cc.agg(sum("c").as("n_all"))))
+      .withColumn("pop_pr", col("below") / (col("n_all") - 1))
     val audit = top3.join(pr.select(col("item").as("rec"), col("pop_pr")), "rec")
       .agg(countDistinct("item").as("n_rec_items"),
         countDistinct("rec").as("n_rec_distinct"),
@@ -1948,13 +1964,16 @@ object OpsQueries {
     * is aggregation output (tiny) and broadcasts into the per-doc
     * membership join. */
   def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, dir).select(col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+    // Top-1k by (count desc, term): orderBy+limit compiles to
+    // TakeOrderedAndProject (per-partition heaps), not the
+    // single-partition rank window this used to be — the vocabulary
+    // GROWS with the corpus, so an unpartitioned sort here would be one
+    // executor sorting web-scale vocab.
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("term"))))
-      .filter(col("rk") <= 1000).select("term")
+      .orderBy(col("cnt").desc, col("term")).limit(1000)
+      .select("term")
     toks.join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("term"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
