@@ -1598,7 +1598,44 @@ object StatQueries {
     strata.unionAll(all).orderBy("stratum")
   }
 
+  /** #5af power analysis / minimum detectable effect for the A/B
+    * readout: per event type, the smallest absolute (and relative)
+    * lift the current sample sizes can detect at α = 5% two-sided with
+    * 80% power — MDE = (z₀.₉₇₅ + z₀.₈)·√(s²ₐ/nₐ + s²ᵦ/nᵦ). The
+    * "should we even run this test" companion to [[OpsQueries.abTtest]]'s
+    * after-the-fact verdict; the z-sum enters as one pinned literal.
+    * Sample variances come from exact DECIMAL moments of integer
+    * micros, so engine and oracle agree bit-for-bit before round. */
+  def abPower(s: SparkSession, dir: String): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 0)
+    val z = 2.8015852181129683 // z_{0.975} + z_{0.80}
+    val g = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 1000000, 0).cast("long").as("v"),
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + lit(13L), lit(1000000L)) < 500000L, 0L).otherwise(1L).as("arm"))
+      .groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(d18)).as("sv"),
+        sum(col("v").cast(d18) * col("v").cast(d18)).as("svv"))
+      .withColumn("vr", (col("n") * col("svv") - col("sv") * col("sv"))
+        .cast("double") / (col("n").cast("double") * (col("n") - 1)))
+    val a = g.filter(col("arm") === 0).select(col("event_type"),
+      col("n").as("n_a"), col("sv").as("sv_a"), col("vr").as("vr_a"))
+    val bb = g.filter(col("arm") === 1).select(col("event_type"),
+      col("n").as("n_b"), col("vr").as("vr_b"))
+    a.join(bb, "event_type")
+      .withColumn("se", sqrt(col("vr_a") / col("n_a") + col("vr_b") / col("n_b")))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("sv_a").cast("double") / col("n_a") / 1000000.0, 6)
+          .as("mean_a"),
+        round(lit(z) * col("se") / 1000000.0, 6).as("mde_abs"),
+        round(lit(z) * col("se")
+          / (col("sv_a").cast("double") / col("n_a")), 6).as("mde_rel"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab_power"           -> (abPower _),
     "ate_stratified"     -> (ateStratified _),
     "changepoint_binseg" -> (changepointBinseg _),
     "ab_cuped"           -> (abCuped _),
@@ -1740,6 +1777,34 @@ object StatQueries {
     // DECIMAL(38,0)); the Cramer solve repeats the engine's double
     // expression tree term for term so the derived coefficients are
     // bit-identical before round(, 6).
+    // Exact HUGEINT moments per arm; the z-sum literal and every scalar
+    // expression mirror the engine term for term.
+    "ab_power" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CASE WHEN ((user_id % 1000000) * 2654435761 + 13) % 1000000
+        |      < 500000 THEN 0 ELSE 1 END AS arm,
+        |    count(*)::BIGINT AS n,
+        |    sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS sv,
+        |    sum(CAST(CAST(round(value * 1000000, 0) AS BIGINT) AS HUGEINT)
+        |      * CAST(round(value * 1000000, 0) AS BIGINT)) AS svv
+        |  FROM events GROUP BY 1, 2
+        |), v AS (
+        |  SELECT g.*, (n * svv - sv * sv)::DOUBLE
+        |    / (n::DOUBLE * (n - 1)) AS vr
+        |  FROM g
+        |), j AS (
+        |  SELECT a.event_type, a.n AS n_a, a.sv AS sv_a, a.vr AS vr_a,
+        |    b.n AS n_b, b.vr AS vr_b,
+        |    sqrt(a.vr / a.n + b.vr / b.n) AS se
+        |  FROM v a JOIN v b ON a.event_type = b.event_type
+        |  WHERE a.arm = 0 AND b.arm = 1
+        |)
+        |SELECT event_type, n_a, n_b,
+        |  round(sv_a::DOUBLE / n_a / 1000000.0, 6) AS mean_a,
+        |  round(2.8015852181129683 * se / 1000000.0, 6) AS mde_abs,
+        |  round(2.8015852181129683 * se / (sv_a::DOUBLE / n_a), 6) AS mde_rel
+        |FROM j ORDER BY event_type""".stripMargin,
     // Quintiles via ntile over (pre-spend, user); per-stratum contrasts
     // from exact sums; weighted terms rounded to micro-user units
     // before the exact total; empty-arm strata null out and drop.
