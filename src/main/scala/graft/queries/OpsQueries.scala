@@ -1044,6 +1044,48 @@ object OpsQueries {
     graft.ops.Drift.psi(sidedEvents(s, dir), "event_type", "value", "side", bins = 10)
       .orderBy("event_type")
 
+  /** #5h' PSI drift timeline: the monitoring-table shape of
+    * [[driftPsi]] — population-stability index of each DAY's value
+    * distribution against the chronologically first day, on one fixed
+    * global 10-bin grid with the same 0.5-Laplace smoothing, flagged
+    * at the industry 0.2 threshold. [[driftPsi]] answers "did the two
+    * halves drift"; this is the per-day series a dashboard actually
+    * plots. PSI terms round to integer nano-units before the exact
+    * per-day sum, and the drift flag compares integers. */
+  def driftTimeline(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+    val b = ev.agg(min("value").as("mn"), max("value").as("mx"),
+      min("day").as("d0"))
+    val dayBins = ev.crossJoin(broadcast(b))
+      .withColumn("bin", when(col("mx") === col("mn"), lit(0L)).otherwise(
+        least(floor((col("value") - col("mn")) * 10 / (col("mx") - col("mn"))),
+          lit(9L)).cast("long")))
+      .groupBy("day", "bin").agg(count(lit(1)).as("c"))
+    val ref = dayBins.crossJoin(broadcast(b))
+      .filter(col("day") === col("d0"))
+      .select(col("bin"), col("c").as("cr"))
+    val refTot = ref.agg(sum("cr").as("nr"))
+    val dayTot = dayBins.groupBy("day").agg(sum("c").as("nd"))
+    val grid = dayTot.select(col("day"), col("nd"),
+      explode(sequence(lit(0L), lit(9L))).as("bin"))
+    grid.join(dayBins, Seq("day", "bin"), "left")
+      .join(broadcast(ref), Seq("bin"), "left")
+      .crossJoin(broadcast(refTot))
+      .crossJoin(broadcast(b.select("d0")))
+      .filter(col("day") =!= col("d0"))
+      .withColumn("pd", (coalesce(col("c"), lit(0L)) + 0.5) / (col("nd") + 5.0))
+      .withColumn("pr", (coalesce(col("cr"), lit(0L)) + 0.5) / (col("nr") + 5.0))
+      .withColumn("t_nn", round((col("pd") - col("pr"))
+        * log(col("pd") / col("pr")) * 1000000000L, 0).cast("long"))
+      .groupBy("day")
+      .agg(max("nd").as("n_events"), sum("t_nn").as("psi_nn"))
+      .select(col("day"), col("n_events"),
+        round(col("psi_nn") / 1000000000.0, 6).as("psi"),
+        (col("psi_nn") >= 200000000L).as("drifted"))
+      .orderBy("day")
+  }
+
   /** #37g token-distribution entropy and KL(lang ‖ corpus) per
     * language — the language-balance health check: low entropy flags
     * repetitive sublanguages, high KL flags sublanguages whose token
@@ -3185,6 +3227,7 @@ object OpsQueries {
     "er_scores"         -> (erScores _),
     "er_em_weights"     -> (erEmWeights _),
     "doc_lang_mix"      -> (docLangMix _),
+    "drift_timeline"    -> (driftTimeline _),
     "lev_prefilter"     -> (levPrefilter _),
     "returned_top_customers" -> (returnedTopCustomers _),
     "market_share"      -> (marketShare _),
@@ -5941,6 +5984,44 @@ FROM cells ORDER BY lang_true, lang_pred""",
         |    AND a.c_name < b.c_name
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |GROUP BY 1 ORDER BY a.c_nationkey""".stripMargin,
+    // Fixed global 10-bin grid, first day as reference, 0.5-Laplace
+    // smoothing; PSI terms round to nano-units before the exact sum.
+    "drift_timeline" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, value FROM events
+        |), b AS (
+        |  SELECT min(value) AS mn, max(value) AS mx, min(day) AS d0 FROM ev
+        |), db AS (
+        |  SELECT day,
+        |    CASE WHEN (SELECT mx FROM b) = (SELECT mn FROM b) THEN 0
+        |      ELSE least(floor((value - (SELECT mn FROM b)) * 10
+        |        / ((SELECT mx FROM b) - (SELECT mn FROM b))), 9)::BIGINT
+        |    END AS bin,
+        |    count(*)::BIGINT AS c
+        |  FROM ev GROUP BY 1, 2
+        |), ref AS (
+        |  SELECT bin, c AS cr FROM db WHERE day = (SELECT d0 FROM b)
+        |), rt AS (SELECT sum(cr)::BIGINT AS nr FROM ref),
+        |dt AS (SELECT day, sum(c)::BIGINT AS nd FROM db GROUP BY 1),
+        |grid AS (
+        |  SELECT dt.day, dt.nd, g.bin
+        |  FROM dt, (SELECT unnest(generate_series(0, 9)) AS bin) g
+        |), terms AS (
+        |  SELECT grid.day, grid.nd,
+        |    (coalesce(db.c, 0) + 0.5) / (grid.nd + 5.0) AS pd,
+        |    (coalesce(ref.cr, 0) + 0.5) / ((SELECT nr FROM rt) + 5.0) AS pr
+        |  FROM grid LEFT JOIN db USING (day, bin)
+        |  LEFT JOIN ref USING (bin)
+        |  WHERE grid.day <> (SELECT d0 FROM b)
+        |), nn AS (
+        |  SELECT day, max(nd)::BIGINT AS n_events,
+        |    sum(CAST(round((pd - pr) * ln(pd / pr) * 1000000000, 0)
+        |      AS BIGINT))::BIGINT AS psi_nn
+        |  FROM terms GROUP BY 1
+        |)
+        |SELECT day, n_events, round(psi_nn / 1000000000.0, 6) AS psi,
+        |  psi_nn >= 200000000 AS drifted
+        |FROM nn ORDER BY day""".stripMargin,
     // Sentence split + the shared stopword-argmax lang-ID applied per
     // sentence; majority by (count DESC, lang) row_number mirroring the
     // engine's arg-min struct.
