@@ -998,6 +998,30 @@ object OpsQueries {
         col("mean_rec_pop_pr"))
   }
 
+  /** #19ab local bridges of the co-purchase graph (Granovetter's weak
+    * ties): edges whose endpoints share NO other neighbor — removing
+    * one lengthens its endpoints' connection to ≥ 3 hops, so these are
+    * the ties that carry information BETWEEN communities (every
+    * within-community edge closes a triangle). Computed as an
+    * anti-join of the edge list against the two-hop common-neighbor
+    * pair set — the complement of the triangle query, same join
+    * shapes — with endpoint degrees as the weak-tie readout. */
+  def graphBridges(s: SparkSession, dir: String): DataFrame = {
+    val e = coocPairs(s, dir).select(col("item_a").as("a"), col("item_b").as("b"))
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val twoHop = sym.select(col("a").as("a"), col("b").as("w"))
+      .join(sym.select(col("a").as("w"), col("b").as("b2")), "w")
+      .select(col("a"), col("b2").as("b"))
+      .filter(col("a") < col("b")).distinct()
+    e.join(twoHop, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("a").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        col("deg_a"), col("deg_b"))
+      .orderBy("item_a", "item_b")
+  }
+
   /** #19s degree assortativity of the co-purchase graph: Pearson
     * correlation of endpoint degrees over the (directed-both-ways)
     * edge list — positive = hubs link hubs (assortative), negative =
@@ -3228,6 +3252,7 @@ object OpsQueries {
     "er_em_weights"     -> (erEmWeights _),
     "doc_lang_mix"      -> (docLangMix _),
     "drift_timeline"    -> (driftTimeline _),
+    "graph_bridges"     -> (graphBridges _),
     "lev_prefilter"     -> (levPrefilter _),
     "returned_top_customers" -> (returnedTopCustomers _),
     "market_share"      -> (marketShare _),
@@ -5984,6 +6009,27 @@ FROM cells ORDER BY lang_true, lang_pred""",
         |    AND a.c_name < b.c_name
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |GROUP BY 1 ORDER BY a.c_nationkey""".stripMargin,
+    // Edge anti-joined against the two-hop common-neighbor pair set;
+    // endpoint degrees ride along.
+    "graph_bridges" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), e AS (
+        |  SELECT x.item AS ia, y.item AS ib
+        |  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT ia AS u, ib AS v FROM e
+        |  UNION ALL SELECT ib AS u, ia AS v FROM e
+        |), deg AS (SELECT u, count(*)::BIGINT AS deg FROM sym GROUP BY 1)
+        |SELECT e.ia AS item_a, e.ib AS item_b,
+        |  da.deg AS deg_a, db.deg AS deg_b
+        |FROM e JOIN deg da ON da.u = e.ia JOIN deg db ON db.u = e.ib
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM sym s1 JOIN sym s2 ON s1.v = s2.u
+        |  WHERE s1.u = e.ia AND s2.v = e.ib
+        |)
+        |ORDER BY item_a, item_b""".stripMargin,
     // Fixed global 10-bin grid, first day as reference, 0.5-Laplace
     // smoothing; PSI terms round to nano-units before the exact sum.
     "drift_timeline" ->
