@@ -301,6 +301,36 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** #36d LM-scored data diet (composed curation): keep each
+    * language's best-scoring half by unigram-LM mean log-probability,
+    * then cap survivors at 15 per (lang, source) — the
+    * select-by-model-score + domain-cap recipe (CCNet / DoReMi-style)
+    * composed from the suite's own LM gate and cap operators. Scores
+    * round to 6 BEFORE both ranks (round-then-rank); zero-token docs
+    * (null score) are excluded explicitly on both sides because the
+    * engines' null-ordering defaults differ. */
+  def corpusDiet(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val lm = LanguageModel.unigramTable(docs, "text", minCount = 5L)
+    val scored = LanguageModel.scoreDocs(docs, "text", "doc_id", lm)
+      .select(col("doc_id"), round(col("logp_mean"), 6).as("lp"))
+      .filter(col("lp").isNotNull)
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+    val half = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("lp").desc, col("doc_id"))))
+      .join(scored.groupBy("lang").agg(count(lit(1)).as("nl")), "lang")
+      .filter(col("rn") * 2 <= col("nl"))
+    half
+      .withColumn("rs", row_number().over(Window.partitionBy("lang", "source")
+        .orderBy(col("lp").desc, col("doc_id"))))
+      .filter(col("rs") <= 15)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("lp").as("logp_mean"))
+      .orderBy("doc_id")
+  }
+
   /** #44 sliding-window chunking: 64-token windows, stride 48 (16-token
     * overlap) — the context-window prep step. */
   def chunkWindows(s: SparkSession, dir: String): DataFrame =
@@ -3253,6 +3283,7 @@ object OpsQueries {
     "doc_lang_mix"      -> (docLangMix _),
     "drift_timeline"    -> (driftTimeline _),
     "graph_bridges"     -> (graphBridges _),
+    "corpus_diet"       -> (corpusDiet _),
     "lev_prefilter"     -> (levPrefilter _),
     "returned_top_customers" -> (returnedTopCustomers _),
     "market_share"      -> (marketShare _),
@@ -5852,6 +5883,42 @@ FROM cells ORDER BY lang_true, lang_pred""",
         |SELECT token, n, round(ln(n / total), 6) AS logp
         |FROM c, t WHERE n >= 5
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // Same LM-score CTE as lm_score; scores round to 6 before both
+    // ranks; null-score docs excluded explicitly.
+    "corpus_diet" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, count(*) AS n FROM toks GROUP BY token
+        |), t AS (SELECT sum(n) AS total FROM c),
+        |v AS (SELECT token, ln(n / total) AS logp FROM c, t WHERE n >= 5),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    round(avg(CASE WHEN tk.token IS NULL THEN NULL
+        |      ELSE coalesce(v.logp, (SELECT ln(1.0 / total) FROM t)) END), 6)
+        |      AS lp
+        |  FROM documents d
+        |  LEFT JOIN toks tk ON d.doc_id = tk.doc_id
+        |  LEFT JOIN v ON tk.token = v.token
+        |  GROUP BY d.doc_id
+        |), scored AS (
+        |  SELECT sc.doc_id, sc.lp, d.lang, d.source
+        |  FROM sc JOIN documents d USING (doc_id) WHERE sc.lp IS NOT NULL
+        |), half AS (
+        |  SELECT * FROM (
+        |    SELECT scored.*,
+        |      row_number() OVER (PARTITION BY lang
+        |        ORDER BY lp DESC, doc_id) AS rn,
+        |      count(*) OVER (PARTITION BY lang) AS nl
+        |    FROM scored)
+        |  WHERE rn * 2 <= nl
+        |)
+        |SELECT doc_id, lang, source, lp AS logp_mean FROM (
+        |  SELECT half.*, row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY lp DESC, doc_id) AS rs
+        |  FROM half)
+        |WHERE rs <= 15 ORDER BY doc_id""".stripMargin,
     "lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
