@@ -2788,6 +2788,31 @@ object OpsQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** #5d'' semi-Markov sojourn times: the holding-time half of the
+    * behavior chain — [[eventsMarkov]] gives P(next | current); this
+    * gives HOW LONG users sit in each state before each transition
+    * (mean and max gap per (from, to) pair, exact integer micros), the
+    * timing model a semi-Markov simulation needs on top of the jump
+    * probabilities. Gaps aggregate as exact integers; the mean divides
+    * once at display. */
+  def markovSojourn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .withColumn("gap_us", lead("ts_us", 1).over(w) - col("ts_us"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"), sum("gap_us").as("sum_gap_us"),
+        max("gap_us").as("max_gap_us"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("sum_gap_us") / col("n") / 1000000.0, 6).as("mean_gap_s"),
+        round(col("max_gap_us") / 1000000.0, 6).as("max_gap_s"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** #33b weighted sampling without replacement: 500 documents drawn
     * ∝ n_chars by Efraimidis–Spirakis keys over an md5-derived uniform
     * (15 hex digits → 60 bits), so the draw is engine-reproducible. */
@@ -3284,6 +3309,7 @@ object OpsQueries {
     "drift_timeline"    -> (driftTimeline _),
     "graph_bridges"     -> (graphBridges _),
     "corpus_diet"       -> (corpusDiet _),
+    "markov_sojourn"    -> (markovSojourn _),
     "lev_prefilter"     -> (levPrefilter _),
     "returned_top_customers" -> (returnedTopCustomers _),
     "market_share"      -> (marketShare _),
@@ -5883,6 +5909,20 @@ FROM cells ORDER BY lang_true, lang_pred""",
         |SELECT token, n, round(ln(n / total), 6) AS logp
         |FROM c, t WHERE n >= 5
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // Exact integer micro gaps; one display division for the mean.
+    "markov_sojourn" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    lead(event_type) OVER w AS to_type,
+        |    lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |)
+        |SELECT event_type AS from_type, to_type, count(*)::BIGINT AS n,
+        |  round(sum(gap_us) / count(*) / 1000000.0, 6) AS mean_gap_s,
+        |  round(max(gap_us) / 1000000.0, 6) AS max_gap_s
+        |FROM e WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
     // Same LM-score CTE as lm_score; scores round to 6 before both
     // ranks; null-score docs excluded explicitly.
     "corpus_diet" ->
