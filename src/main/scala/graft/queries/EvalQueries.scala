@@ -173,16 +173,150 @@ object EvalQueries {
       .orderBy("event_type")
   }
 
+  /** The binary purchase predictor shared by [[evalPrAuc]] and
+    * [[evalLift]]: per-user train-half purchase rate (global rate for
+    * unseen users) scoring the test half — the same chrono discipline
+    * as [[evalBrier]], but keeping the rate as the exact integer pair
+    * (s_u, n_u) so the float probability is one correctly-rounded
+    * division on both engines. */
+  private def purchaseScored(s: SparkSession, dir: String): DataFrame = {
+    val sided = timeSided(s, dir)
+      .withColumn("y",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+    val train = sided.filter(col("side") === 0)
+    val userRate = train.groupBy("user_id")
+      .agg(sum("y").as("s_u"), count(lit(1)).as("n_u"))
+    val globalRate = train.agg(sum("y").as("s_g"), count(lit(1)).as("n_g"))
+    sided.filter(col("side") === 1)
+      .join(userRate, Seq("user_id"), "left")
+      .crossJoin(broadcast(globalRate))
+      .withColumn("p", coalesce(col("s_u") / col("n_u"), col("s_g") / col("n_g")))
+      .withColumn("neg_p", -col("p"))
+      .select("event_id", "y", "p", "neg_p")
+  }
+
+  /** #16d average precision (PR-AUC) of the chrono-split purchase
+    * predictor: rank the test half by predicted probability (ties
+    * broken by event_id), AP = mean over positives of precision@rank.
+    * Each precision term rounds to integer ppm BEFORE the sum
+    * (round-then-sum), so float addition order cannot move the digit.
+    * Scale: the global rank runs through ChronoSplit's quantile-bucketed
+    * order stats — no unpartitioned WindowExec over the scored rows. */
+  def evalPrAuc(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val ranked = ChronoSplit.withOrderStats(
+      purchaseScored(s, dir), "neg_p", "event_id", sumCols = Seq("y"))
+    val rank = col(ChronoSplit.RankCol)
+    val cum = col(ChronoSplit.cumCol("y"))
+    ranked
+      .withColumn("term_ppm",
+        when(col("y") === 1L,
+          round(cum * lit(1000000.0) / rank, 0).cast("long"))
+          .otherwise(0L))
+      .agg(count(lit(1)).as("n_test"), sum("y").as("n_pos"),
+        sum("term_ppm").as("sum_ppm"))
+      .select(col("n_test"), col("n_pos"),
+        round(col("sum_ppm") / lit(1000000.0) / col("n_pos"), 6)
+          .as("avg_precision"),
+        round(col("n_pos") / col("n_test"), 6).as("base_rate"))
+  }
+
+  /** #16e cumulative gains / lift table: test rows in deciles of the
+    * predicted purchase probability (exact bucketed ntile, (p DESC,
+    * event_id) order); each decile reports its exact positive count,
+    * the cumulative capture share, and lift vs the base rate — every
+    * input to the two display divisions is an exact integer product.
+    * The cumulative window runs over the 10-row decile aggregate. */
+  def evalLift(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    import org.apache.spark.sql.expressions.Window
+    val byDecile = ChronoSplit.withNtile(
+        purchaseScored(s, dir), "neg_p", "event_id", 10, "decile")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    val tot = byDecile.agg(sum("n").as("n_tot"), sum("n_pos").as("pos_tot"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    byDecile
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_pos", sum("n_pos").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("cum_pos") / col("pos_tot"), 6).as("cum_capture"),
+        round(col("cum_pos") * col("n_tot") / (col("pos_tot") * col("cum_n")), 6)
+          .as("cum_lift"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_regression"  -> (evalRegression _),
     "eval_ranking"     -> (evalRanking _),
     "eval_auc"         -> (evalAuc _),
     "eval_calibration" -> (evalCalibration _),
     "eval_brier"       -> (evalBrier _),
+    "eval_pr_auc"      -> (evalPrAuc _),
+    "eval_lift"        -> (evalLift _),
     "conformal_interval" -> (conformalInterval _),
   )
 
+  /** Shared DuckDB CTE chain for the chrono-split purchase predictor —
+    * the SQL mirror of [[purchaseScored]]. */
+  private val purchaseScoredSql: String =
+    """WITH sided AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+      |    CASE WHEN epoch_us(ts) <=
+      |      (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events)
+      |      THEN 0 ELSE 1 END AS side
+      |  FROM events
+      |), ur AS (
+      |  SELECT user_id, sum(y)::BIGINT AS s_u, count(*)::BIGINT AS n_u
+      |  FROM sided WHERE side = 0 GROUP BY 1
+      |), gr AS (
+      |  SELECT sum(y)::BIGINT AS s_g, count(*)::BIGINT AS n_g
+      |  FROM sided WHERE side = 0
+      |), scored AS (
+      |  SELECT s.event_id, s.y, coalesce(s_u / n_u, s_g / n_g) AS p
+      |  FROM sided s LEFT JOIN ur USING (user_id) CROSS JOIN gr
+      |  WHERE s.side = 1
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Precision terms round to integer ppm before the sum, so the AP
+    // hash cannot move with float addition order.
+    "eval_pr_auc" -> (purchaseScoredSql +
+      """, ranked AS (
+        |  SELECT y, row_number() OVER (ORDER BY p DESC, event_id) AS rn,
+        |    sum(y) OVER (ORDER BY p DESC, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM scored
+        |)
+        |SELECT count(*)::BIGINT AS n_test, sum(y)::BIGINT AS n_pos,
+        |  round(sum(CASE WHEN y = 1
+        |      THEN CAST(round(cum * 1000000.0 / rn, 0) AS BIGINT)
+        |      ELSE 0 END) / 1000000.0 / sum(y), 6) AS avg_precision,
+        |  round(sum(y) / count(*), 6) AS base_rate
+        |FROM ranked""".stripMargin),
+    // Deciles via exact ntile; captures/lifts divide exact integer
+    // products once at display.
+    "eval_lift" -> (purchaseScoredSql +
+      """, binned AS (
+        |  SELECT y, ntile(10) OVER (ORDER BY p DESC, event_id)::BIGINT AS decile
+        |  FROM scored
+        |), byd AS (
+        |  SELECT decile, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+        |  FROM binned GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(n)::BIGINT AS n_tot, sum(n_pos)::BIGINT AS pos_tot FROM byd
+        |), cum AS (
+        |  SELECT decile, n, n_pos,
+        |    sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n,
+        |    sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_pos
+        |  FROM byd
+        |)
+        |SELECT decile, n, n_pos,
+        |  round(cum_pos / pos_tot, 6) AS cum_capture,
+        |  round(cum_pos * n_tot / (pos_tot * cum_n), 6) AS cum_lift
+        |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin),
     // Residuals are the exact integer |v_us*n_train - sum_us|; the
     // chrono slices reproduce ChronoSplit.split's floor(cum-weight * n)
     // rank boundaries over (ts, event_id).

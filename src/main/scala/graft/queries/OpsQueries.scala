@@ -61,6 +61,35 @@ object OpsQueries {
       .orderBy("lang_true", "lang_pred")
   }
 
+  /** #27c Cohen's kappa of the lang-ID heuristic vs the labeled truth —
+    * the chance-corrected single-number companion to
+    * [[langidConfusion]]. All inputs stay exact integers (diagonal
+    * count, row·column marginal products over the tiny confusion
+    * cells); kappa = (po·N − pe) / (N² − pe) divides once at display.
+    * Scale: one groupBy over documents to ≤|lang|² cells; everything
+    * downstream is constant-size. */
+  def langidKappa(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .groupBy(col("lang").as("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum("n").as("nt"))
+    val po = cells.filter(col("lang_true") === col("lang_pred"))
+      .agg(coalesce(sum("n"), lit(0L)).as("po_num"))
+    val rows = cells.groupBy(col("lang_true").as("cls"))
+      .agg(sum("n").as("rr"))
+    val cols = cells.groupBy(col("lang_pred").as("cls"))
+      .agg(sum("n").as("cc"))
+    val pe = rows.join(cols, "cls")
+      .agg(coalesce(sum(col("rr") * col("cc")), lit(0L)).as("pe_num"))
+    tot.crossJoin(broadcast(po)).crossJoin(broadcast(pe))
+      .select(col("nt").as("n_docs"),
+        round(col("po_num") / col("nt"), 6).as("po"),
+        round(col("pe_num") / (col("nt") * col("nt")), 6).as("pe"),
+        round((col("po_num") * col("nt") - col("pe_num"))
+          / (col("nt") * col("nt") - col("pe_num")), 6).as("kappa"))
+  }
+
   /** #28 normalized 128-bit content fingerprint. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -3467,6 +3496,7 @@ object OpsQueries {
     "text_quality"     -> (textQuality _),
     "text_lang_id"     -> (textLangId _),
     "langid_confusion" -> (langidConfusion _),
+    "langid_kappa"     -> (langidKappa _),
     "text_fingerprint" -> (textFingerprint _),
     "dedup_exact"      -> (dedupExact _),
   )
@@ -4034,6 +4064,24 @@ SELECT lang_true, lang_pred, n,
     THEN (n * 10000 // sum(n) OVER (PARTITION BY lang_true))::BIGINT
     ELSE NULL END AS recall_bp
 FROM cells ORDER BY lang_true, lang_pred""",
+    // All-integer contingency arithmetic; kappa divides once.
+    "langid_kappa" -> s"""WITH pred AS (
+${langRelSql}
+), cells AS (
+  SELECT d.lang AS lang_true, p.lang_id AS lang_pred, count(*)::BIGINT AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2
+), tot AS (SELECT sum(n)::BIGINT AS nt FROM cells),
+po AS (
+  SELECT coalesce(sum(n), 0)::BIGINT AS po_num FROM cells
+  WHERE lang_true = lang_pred
+), r AS (SELECT lang_true AS cls, sum(n)::BIGINT AS rr FROM cells GROUP BY 1),
+c AS (SELECT lang_pred AS cls, sum(n)::BIGINT AS cc FROM cells GROUP BY 1),
+pe AS (SELECT coalesce(sum(rr * cc), 0)::BIGINT AS pe_num FROM r JOIN c USING (cls))
+SELECT nt AS n_docs, round(po_num / nt, 6) AS po,
+  round(pe_num / (nt * nt), 6) AS pe,
+  round((po_num * nt - pe_num) / (nt * nt - pe_num), 6) AS kappa
+FROM tot CROSS JOIN po CROSS JOIN pe""",
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5

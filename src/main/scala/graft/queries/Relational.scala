@@ -534,6 +534,42 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** #6i TPC-H Q12 shape adapted to this schema (no shipmode column):
+    * shipping-delay SLA screen per order priority. One fact⋈fact join on
+    * orderkey (both sides shuffle on the key once), then a 5-group
+    * conditional aggregation: lines shipped more than 60 days after the
+    * order date count as late, and the late share reports as exact
+    * integer basis points (`div`, never a float ratio). */
+  def q26Priority(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        when(expr("l_shipdate > o_orderdate + INTERVAL 60 DAYS"), 1L)
+          .otherwise(0L))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), sum("late").as("n_late"))
+      .withColumn("late_bp", expr("n_late * 10000 div n_lines"))
+      .orderBy("o_orderpriority")
+
+  /** #6j TPC-H Q18 shape — large-volume orders: orders whose total
+    * quantity exceeds 250, joined back to the customer, global top 100.
+    * The HAVING runs on the lineitem aggregate BEFORE any join, so only
+    * the (rare) big orders reach the join; quantities are integer-valued
+    * doubles so the sum is exact; the top-k is TakeOrderedAndProject
+    * (per-partition heaps), never a global sort. */
+  def q27BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** #7 time-bucketed event aggregation: daily activity by event type. */
   def q7EventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -570,6 +606,8 @@ object Relational {
     "q22_promo"        -> (q22Promo _),
     "q23_disjunct"     -> (q23Disjunct _),
     "q24_dormant"      -> (q24Dormant _),
+    "q26_priority"     -> (q26Priority _),
+    "q27_bigorders"    -> (q27BigOrders _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -599,6 +637,28 @@ object Relational {
         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
         |        AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // Late = exact integer-microsecond comparison; share = integer
+    // basis points (div), so nothing float-ordered enters the hash.
+    "q26_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+        |  sum(CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)
+        |      > 60 * 86400000000 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+        |  sum(CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)
+        |      > 60 * 86400000000 THEN 1 ELSE 0 END)::BIGINT
+        |    * 10000 // count(*)::BIGINT AS late_bp
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Quantities are integer-valued doubles, so sum_qty is exact and the
+    // (sum_qty DESC, orderkey) top-100 cut is deterministic.
+    "q27_bigorders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+        |)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
     "q24_dormant" ->
       """WITH c AS (
         |  SELECT *, round(c_acctbal * 100, 0)::BIGINT AS c_cents FROM customer
