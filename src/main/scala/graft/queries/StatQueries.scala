@@ -678,6 +678,105 @@ object StatQueries {
       .orderBy("day")
   }
 
+  /** #5y' Nelson-Aalen cumulative hazard over the same censored user
+    * lifetimes as [[survivalKm]] — the estimator whose increments
+    * d_i/n_i are what a hazard-rate model consumes directly. Each
+    * increment rounds to integer parts-per-billion BEFORE the running
+    * sum (round-then-sum), so the cumulative hazard is exact integer
+    * prefix arithmetic; the window runs over the ≤|days| aggregate. */
+  def survivalNa(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val horizon = ev.agg(max("ts_us").as("h_end"))
+    val life = ev.groupBy("user_id")
+      .agg(min("ts_us").as("first_us"), max("ts_us").as("last_us"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("k", expr("(last_us - first_us) div 86400000000"))
+      .withColumn("censored", col("last_us") >= col("h_end") - 86400000000L)
+    val deaths = life.filter(!col("censored"))
+      .groupBy("k").agg(count(lit(1)).as("d"))
+    val atRisk = life.crossJoin(broadcast(deaths.select(col("k").as("gk"))))
+      .filter(col("k") >= col("gk"))
+      .groupBy(col("gk").as("k")).agg(count(lit(1)).as("n_risk"))
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    deaths.join(atRisk, "k")
+      .withColumn("term_ppb",
+        round(col("d") * lit(1000000000.0) / col("n_risk"), 0).cast("long"))
+      .withColumn("cum_ppb", sum("term_ppb").over(w))
+      .select(col("k").as("day"), col("n_risk"), col("d").as("d_events"),
+        round(col("cum_ppb") / lit(1000000000.0), 6).as("cum_hazard"))
+      .orderBy("day")
+  }
+
+  /** Hourly (view, click) count series — every hour that saw any
+    * event, both type counts zero-filled. Shared by [[eventsKendall]]
+    * and [[eventsCcf]]; bounded by the time range, not the data size. */
+  private def hourlySeries(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("h", expr("unix_micros(ts) div 3600000000"))
+      .groupBy("h")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("b"))
+
+  /** #5e' Kendall tau-b between the hourly view and click count series
+    * — the rank correlation that stays exact under ties (Spearman's
+    * min-rank version is already in `events_spearman`). Concordant /
+    * discordant / tie tallies are exact integer counts over the hour-
+    * pair grid (|hours|² pairs of a POST-AGGREGATE series, bounded by
+    * the time range); tau divides once at display. */
+  def eventsKendall(s: SparkSession, dir: String): DataFrame = {
+    val g = hourlySeries(s, dir)
+    val x = g.select(col("h").as("h1"), col("a").as("a1"), col("b").as("b1"))
+    val y = g.select(col("h").as("h2"), col("a").as("a2"), col("b").as("b2"))
+    val cd = x.join(y, col("h1") < col("h2"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when((col("a1") < col("a2") && col("b1") < col("b2")) ||
+          (col("a1") > col("a2") && col("b1") > col("b2")), 1L).otherwise(0L))
+          .as("nc"),
+        sum(when((col("a1") < col("a2") && col("b1") > col("b2")) ||
+          (col("a1") > col("a2") && col("b1") < col("b2")), 1L).otherwise(0L))
+          .as("nd"))
+    val t1 = g.groupBy("a").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("n1"))
+    val t2 = g.groupBy("b").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("n2"))
+    val nh = g.agg(count(lit(1)).as("n_hours"))
+    cd.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .crossJoin(broadcast(nh))
+      .select(col("n_hours"), col("nc").as("n_conc"), col("nd").as("n_disc"),
+        col("n1").as("ties_a"), col("n2").as("ties_b"),
+        round((col("nc") - col("nd"))
+          / sqrt((col("n0") - col("n1")) * (col("n0") - col("n2"))), 6)
+          .as("tau_b"))
+  }
+
+  /** #5c' lagged cross-correlation (CCF) of the hourly view series
+    * against the click series at lags 0..6 hours — the lead/lag screen
+    * behind "does a view surge predict a click surge". Per-lag Pearson
+    * r comes from exact integer moments (counts, sums, cross products)
+    * of the matched hour pairs; the lag join is an equi-join on
+    * h + lag over the bounded post-aggregate series. */
+  def eventsCcf(s: SparkSession, dir: String): DataFrame = {
+    val g = hourlySeries(s, dir)
+    val x = g.select(col("h"), col("a"))
+    val y = g.select(col("h").as("hy"), col("b"))
+    val lags = s.range(0, 7).select(col("id").as("lag_h"))
+    val m = x.crossJoin(broadcast(lags))
+      .join(y, col("hy") === col("h") + col("lag_h"))
+      .groupBy("lag_h")
+      .agg(count(lit(1)).as("n"), sum("a").as("sx"), sum("b").as("sy"),
+        sum(col("a") * col("b")).as("sxy"),
+        sum(col("a") * col("a")).as("sxx"),
+        sum(col("b") * col("b")).as("syy"))
+    m.select(col("lag_h"), col("n"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+          col("n") * col("syy") - col("sy") * col("sy") > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+          .as("r"))
+      .orderBy("lag_h")
+  }
+
   /** #31g Little's law audit (L = λ·W) over gap sessions — two
     * INDEPENDENT derivations of average concurrency that must agree
     * exactly: (a) the sweep-line time-average (+1/−1 at session
@@ -1648,6 +1747,9 @@ object StatQueries {
     "vec_quantize"       -> (vecQuantize _),
     "slo_burn"           -> (sloBurn _),
     "survival_km"        -> (survivalKm _),
+    "survival_na"        -> (survivalNa _),
+    "events_kendall"     -> (eventsKendall _),
+    "events_ccf"         -> (eventsCcf _),
     "simpson_check"      -> (simpsonCheck _),
     "ab_sprt"            -> (abSprt _),
     "events_did"         -> (eventsDid _),
@@ -2471,6 +2573,78 @@ object StatQueries {
         |  round(regr_slope(l_quantity, l_discount), 6)
         |    * (SELECT slope_all FROM o) < 0 AS sign_flip
         |FROM j GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // Same risk-set CTEs as survival_km; increments round to integer
+    // ppb before the running sum, so the hash is prefix-exact.
+    "survival_na" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |), h AS (SELECT max(ts_us) AS h_end FROM ev),
+        |life AS (
+        |  SELECT user_id,
+        |    (max(ts_us) - min(ts_us)) // 86400000000 AS k,
+        |    max(ts_us) >= (SELECT h_end FROM h) - 86400000000 AS censored
+        |  FROM ev GROUP BY user_id
+        |), deaths AS (
+        |  SELECT k, count(*) AS d FROM life WHERE NOT censored GROUP BY k
+        |), at_risk AS (
+        |  SELECT d.k, count(*) AS n_risk
+        |  FROM deaths d JOIN life l ON l.k >= d.k GROUP BY d.k
+        |)
+        |SELECT d.k AS day, n_risk, d AS d_events,
+        |  round(sum(CAST(round(d * 1000000000.0 / n_risk, 0) AS BIGINT)) OVER (
+        |    ORDER BY d.k ROWS UNBOUNDED PRECEDING) / 1000000000.0, 6)
+        |    AS cum_hazard
+        |FROM deaths d JOIN at_risk a ON a.k = d.k
+        |ORDER BY day""".stripMargin,
+    // Exact integer concordance tallies over the bounded hour-pair
+    // grid; tau-b divides once at display.
+    "events_kendall" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS b
+        |  FROM events GROUP BY 1
+        |), cd AS (
+        |  SELECT count(*)::BIGINT AS n0,
+        |    sum(CASE WHEN (x.a < y.a AND x.b < y.b)
+        |          OR (x.a > y.a AND x.b > y.b) THEN 1 ELSE 0 END)::BIGINT AS nc,
+        |    sum(CASE WHEN (x.a < y.a AND x.b > y.b)
+        |          OR (x.a > y.a AND x.b < y.b) THEN 1 ELSE 0 END)::BIGINT AS nd
+        |  FROM g x JOIN g y ON x.h < y.h
+        |), t1 AS (
+        |  SELECT coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS n1
+        |  FROM (SELECT count(*)::BIGINT AS c FROM g GROUP BY a)
+        |), t2 AS (
+        |  SELECT coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS n2
+        |  FROM (SELECT count(*)::BIGINT AS c FROM g GROUP BY b)
+        |), nh AS (SELECT count(*)::BIGINT AS n_hours FROM g)
+        |SELECT n_hours, nc AS n_conc, nd AS n_disc, n1 AS ties_a, n2 AS ties_b,
+        |  round((nc - nd) / sqrt((n0 - n1) * (n0 - n2)), 6) AS tau_b
+        |FROM cd CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN nh""".stripMargin,
+    // Per-lag Pearson from exact integer moments; zero-variance lags
+    // surface as NULL on both engines.
+    "events_ccf" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS b
+        |  FROM events GROUP BY 1
+        |), l AS (SELECT unnest(range(0, 7))::BIGINT AS lag_h),
+        |m AS (
+        |  SELECT lag_h, count(*)::BIGINT AS n,
+        |    sum(x.a)::BIGINT AS sx, sum(y.b)::BIGINT AS sy,
+        |    sum(x.a * y.b)::BIGINT AS sxy,
+        |    sum(x.a * x.a)::BIGINT AS sxx,
+        |    sum(y.b * y.b)::BIGINT AS syy
+        |  FROM g x CROSS JOIN l JOIN g y ON y.h = x.h + lag_h
+        |  GROUP BY lag_h
+        |)
+        |SELECT lag_h, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN round((n * sxy - sx * sy)
+        |      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |  END AS r
+        |FROM m ORDER BY lag_h""".stripMargin,
     "survival_km" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
