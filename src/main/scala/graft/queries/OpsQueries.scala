@@ -330,6 +330,106 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** #43g Good-Turing frequency-of-frequencies (Gale & Sampson's
+    * baseline, unsmoothed): N_r for r ≤ 10 from the corpus BIGRAM
+    * counts (the unigram vocabulary of this corpus is tiny and
+    * tail-free; bigrams have the long tail the estimator exists for),
+    * the adjusted count r* = (r+1)·N_{r+1}/N_r, and the unseen-mass
+    * estimate p₀ = N₁/N — the count table every discounting scheme
+    * (Katz, SGT) starts from. All tallies are exact integers; r* and
+    * p₀ each divide once at display. */
+  def lmGoodTuring(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(LanguageModel.bigrams(col("text"))).as("bg"))
+      .groupBy(concat_ws(" ", col("bg.a"), col("bg.b")).as("token"))
+      .agg(count(lit(1)).as("c"))
+    val fof = counts.groupBy("c").agg(count(lit(1)).as("n_r"))
+    val tot = counts.agg(sum("c").as("n_tokens"))
+    val n1 = fof.filter(col("c") === 1)
+      .select(col("n_r").as("nr1"))
+    val nxt = fof.select(col("c").as("c_next"), col("n_r").as("n_next"))
+    fof.filter(col("c") <= 10)
+      .join(nxt, col("c_next") === col("c") + 1, "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+      .select(col("c").as("r"), col("n_r"),
+        when(col("n_next").isNotNull,
+          round((col("c") + 1) * col("n_next") / col("n_r"), 6)).as("r_star"),
+        round(col("nr1") / col("n_tokens"), 6).as("p_unseen"))
+      .orderBy("r")
+  }
+
+  /** #37o Heaps' law fit of vocabulary growth: V(T) ≈ K·T^β measured
+    * at 8 equal-width document checkpoints (corpus in doc_id order).
+    * The vocabulary at a checkpoint counts tokens whose FIRST document
+    * rank is within it — one token-level min-aggregate, no cumulative
+    * re-scan per checkpoint — and the log-log least-squares fit runs
+    * over integer-micro-rounded ln values (round-then-sum), so the
+    * 8-term regression is exact integer arithmetic until the final
+    * divisions. Document ranks come from the bucketed order stats, so
+    * nothing sorts the corpus in one task. */
+  def corpusHeaps(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val ranked = ChronoSplit.withOrderStats(docs, "doc_id", "doc_id")
+      .select(col(ChronoSplit.RankCol).as("rk"), col("text"))
+    val toks = ranked.select(col("rk"),
+      explode(LanguageModel.tokens(col("text"))).as("tok"))
+    val firstRank = toks.groupBy("tok").agg(min("rk").as("fr"))
+    val perDoc = toks.groupBy("rk").agg(count(lit(1)).as("ntok"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val cps = s.range(1, 9).select(col("id").as("k"))
+      .crossJoin(broadcast(nd))
+      .withColumn("cut", expr("(nd * k + 7) div 8"))
+    val tox = perDoc.crossJoin(broadcast(cps))
+      .filter(col("rk") <= col("cut"))
+      .groupBy("k", "cut").agg(sum("ntok").as("cum_tokens"))
+    val voc = firstRank.crossJoin(broadcast(cps))
+      .filter(col("fr") <= col("cut"))
+      .groupBy("k", "cut").agg(count(lit(1)).as("vocab"))
+    val pts = tox.join(voc, Seq("k", "cut"))
+      .withColumn("xn", round(log(col("cum_tokens")) * 1000000, 0).cast("long"))
+      .withColumn("yn", round(log(col("vocab")) * 1000000, 0).cast("long"))
+    val fit = pts.agg(count(lit(1)).as("m"),
+        sum("xn").as("sx"), sum("yn").as("sy"),
+        sum(col("xn") * col("yn")).as("sxy"),
+        sum(col("xn") * col("xn")).as("sxx"))
+      .withColumn("beta",
+        (col("m") * col("sxy") - col("sx") * col("sy"))
+          / (col("m") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("k_coef",
+        exp((col("sy") - col("beta") * col("sx")) / col("m") / lit(1000000.0)))
+    pts.crossJoin(broadcast(fit.select("beta", "k_coef")))
+      .select(col("k").as("checkpoint"), col("cut").as("n_docs"),
+        col("cum_tokens"), col("vocab"),
+        round(col("beta"), 6).as("beta"), round(col("k_coef"), 6).as("k_coef"))
+      .orderBy("checkpoint")
+  }
+
+  /** #4h' Theil inequality indices of per-customer order revenue — the
+    * decomposable entropy-based companions to the Lorenz/Gini readout:
+    * T = (1/n)Σ (x/μ)ln(x/μ) and the mean log deviation
+    * L = (1/n)Σ ln(μ/x). Revenue is exact integer cents, each
+    * customer's ratio x·n/S is two exact integers divided once, and
+    * both ln terms round to integer ppb BEFORE their sums
+    * (round-then-sum), so float addition order never moves the hash. */
+  def revenueTheil(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val tot = cust.agg(sum("cents").as("s"), count(lit(1)).as("n"))
+    cust.crossJoin(broadcast(tot))
+      .withColumn("ratio", col("cents") * col("n") / col("s"))
+      .withColumn("t_ppb",
+        round(col("ratio") * log(col("ratio")) * 1000000000.0, 0).cast("long"))
+      .withColumn("l_ppb",
+        round(log(col("ratio")) * 1000000000.0, 0).cast("long"))
+      .groupBy("n", "s")
+      .agg(sum("t_ppb").as("st"), sum("l_ppb").as("sl"))
+      .select(col("n").as("n_customers"),
+        round(col("s") / col("n") / 100.0, 6).as("mean_revenue"),
+        round(col("st") / 1000000000.0 / col("n"), 6).as("theil_t"),
+        round(-col("sl") / 1000000000.0 / col("n"), 6).as("theil_l"))
+  }
+
   /** #36d LM-scored data diet (composed curation): keep each
     * language's best-scoring half by unigram-LM mean log-probability,
     * then cap survivors at 15 per (lang, source) — the
@@ -3459,6 +3559,9 @@ object OpsQueries {
     "corpus_shuffle"    -> (corpusShuffle _),
     "chunk_windows"     -> (chunkWindows _),
     "lm_vocab"          -> (lmVocab _),
+    "lm_goodturing"     -> (lmGoodTuring _),
+    "corpus_heaps"      -> (corpusHeaps _),
+    "revenue_theil"     -> (revenueTheil _),
     "lm_score"          -> (lmScore _),
     "skew_join"         -> (skewJoin _),
     "bloom_join"        -> (bloomJoinQuery _),
@@ -5947,6 +6050,79 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
         |  array_to_string(tk[s + 1 : s + 64], ' ') AS chunk_text
         |FROM st WHERE s = 0 OR s + 16 < n
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Exact integer N_r tallies over bigram counts; r* and p0 divide
+    // once at display.
+    "lm_goodturing" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+        |), bi AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS token
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+        |), c AS (
+        |  SELECT token, count(*)::BIGINT AS c FROM bi GROUP BY token
+        |), fof AS (
+        |  SELECT c, count(*)::BIGINT AS n_r FROM c GROUP BY c
+        |), tot AS (SELECT sum(c)::BIGINT AS n_tokens FROM c),
+        |n1 AS (SELECT n_r AS nr1 FROM fof WHERE c = 1)
+        |SELECT f.c AS r, f.n_r,
+        |  CASE WHEN nx.n_r IS NOT NULL
+        |    THEN round((f.c + 1) * nx.n_r / f.n_r, 6) END AS r_star,
+        |  round(nr1 / n_tokens, 6) AS p_unseen
+        |FROM fof f LEFT JOIN fof nx ON nx.c = f.c + 1
+        |CROSS JOIN tot CROSS JOIN n1
+        |WHERE f.c <= 10 ORDER BY r""".stripMargin,
+    // Vocabulary per checkpoint via token first-occurrence ranks; the
+    // log-log fit runs over integer-micro ln values (round-then-sum).
+    "corpus_heaps" ->
+      """WITH ranked AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) AS rk, text FROM documents
+        |), toks AS (
+        |  SELECT rk, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM ranked
+        |), fr AS (SELECT tok, min(rk) AS fr FROM toks GROUP BY tok),
+        |pd AS (SELECT rk, count(*)::BIGINT AS ntok FROM toks GROUP BY rk),
+        |nd AS (SELECT count(*)::BIGINT AS nd FROM documents),
+        |cps AS (
+        |  SELECT k, (nd * k + 7) // 8 AS cut
+        |  FROM (SELECT unnest(range(1, 9))::BIGINT AS k) CROSS JOIN nd
+        |), tox AS (
+        |  SELECT k, cut, sum(ntok)::BIGINT AS cum_tokens
+        |  FROM pd CROSS JOIN cps WHERE rk <= cut GROUP BY k, cut
+        |), voc AS (
+        |  SELECT k, cut, count(*)::BIGINT AS vocab
+        |  FROM fr CROSS JOIN cps WHERE fr <= cut GROUP BY k, cut
+        |), pts AS (
+        |  SELECT k, cut, cum_tokens, vocab,
+        |    CAST(round(ln(cum_tokens) * 1000000, 0) AS BIGINT) AS xn,
+        |    CAST(round(ln(vocab) * 1000000, 0) AS BIGINT) AS yn
+        |  FROM tox JOIN voc USING (k, cut)
+        |), fit AS (
+        |  SELECT count(*)::BIGINT AS m, sum(xn)::BIGINT AS sx,
+        |    sum(yn)::BIGINT AS sy, sum(xn * yn)::BIGINT AS sxy,
+        |    sum(xn * xn)::BIGINT AS sxx
+        |  FROM pts
+        |), coefs AS (
+        |  SELECT (m * sxy - sx * sy) / (m * sxx - sx * sx) AS beta,
+        |    m, sx, sy FROM fit
+        |), coefs2 AS (
+        |  SELECT beta, exp((sy - beta * sx) / m / 1000000.0) AS k_coef FROM coefs
+        |)
+        |SELECT k AS checkpoint, cut AS n_docs, cum_tokens, vocab,
+        |  round(beta, 6) AS beta, round(k_coef, 6) AS k_coef
+        |FROM pts CROSS JOIN coefs2 ORDER BY checkpoint""".stripMargin,
+    // Exact integer cents; each ln term rounds to ppb before its sum.
+    "revenue_theil" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1
+        |), t AS (SELECT sum(cents)::BIGINT AS s, count(*)::BIGINT AS n FROM c)
+        |SELECT n AS n_customers, round(s / n / 100.0, 6) AS mean_revenue,
+        |  round(sum(CAST(round((cents * n / s) * ln(cents * n / s)
+        |      * 1000000000.0, 0) AS BIGINT)) / 1000000000.0 / n, 6) AS theil_t,
+        |  round(-sum(CAST(round(ln(cents * n / s)
+        |      * 1000000000.0, 0) AS BIGINT)) / 1000000000.0 / n, 6) AS theil_l
+        |FROM c CROSS JOIN t GROUP BY n, s""".stripMargin,
     "lm_vocab" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token

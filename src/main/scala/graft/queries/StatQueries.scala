@@ -678,6 +678,29 @@ object StatQueries {
       .orderBy("day")
   }
 
+  /** #19z HITS hubs-and-authorities on the order→part bipartite
+    * incidence (Kleinberg 1999): authority(part) = Σ hub(basket) over
+    * baskets containing it, hub(basket) = Σ authority(part) over its
+    * parts, three unrolled rounds from hub ≡ 1. UNNORMALIZED, so every
+    * score is an exact integer path count (round-k normalization would
+    * put a float sum order into the hash); the top-50 authorities by
+    * (score, partkey) are the "parts central to central baskets"
+    * readout. Each round is one join + grouped sum over the distinct
+    * incidence — the join-shuffle-agg shape, no driver graph. */
+  def graphHits(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val a1 = b.groupBy("item").agg(count(lit(1)).as("a"))
+    val h1 = b.join(a1, "item").groupBy("basket").agg(sum("a").as("h"))
+    val a2 = b.join(h1, "basket").groupBy("item").agg(sum("h").as("a"))
+    val h2 = b.join(a2, "item").groupBy("basket").agg(sum("a").as("h"))
+    val a3 = b.join(h2, "basket").groupBy("item").agg(sum("h").as("a"))
+    a3.select(col("item").as("l_partkey"), col("a").as("authority"))
+      .orderBy(col("authority").desc, col("l_partkey"))
+      .limit(50)
+  }
+
   /** #5y' Nelson-Aalen cumulative hazard over the same censored user
     * lifetimes as [[survivalKm]] — the estimator whose increments
     * d_i/n_i are what a hazard-rate model consumes directly. Each
@@ -1748,6 +1771,7 @@ object StatQueries {
     "slo_burn"           -> (sloBurn _),
     "survival_km"        -> (survivalKm _),
     "survival_na"        -> (survivalNa _),
+    "graph_hits"         -> (graphHits _),
     "events_kendall"     -> (eventsKendall _),
     "events_ccf"         -> (eventsCcf _),
     "simpson_check"      -> (simpsonCheck _),
@@ -2573,6 +2597,24 @@ object StatQueries {
         |  round(regr_slope(l_quantity, l_discount), 6)
         |    * (SELECT slope_all FROM o) < 0 AS sign_flip
         |FROM j GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // Unnormalized integer HITS: every score is an exact path count,
+    // so the three unrolled rounds hash exactly.
+    "graph_hits" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), a1 AS (
+        |  SELECT item, count(*)::BIGINT AS a FROM b GROUP BY 1
+        |), h1 AS (
+        |  SELECT basket, sum(a)::BIGINT AS h FROM b JOIN a1 USING (item) GROUP BY 1
+        |), a2 AS (
+        |  SELECT item, sum(h)::BIGINT AS a FROM b JOIN h1 USING (basket) GROUP BY 1
+        |), h2 AS (
+        |  SELECT basket, sum(a)::BIGINT AS h FROM b JOIN a2 USING (item) GROUP BY 1
+        |), a3 AS (
+        |  SELECT item, sum(h)::BIGINT AS a FROM b JOIN h2 USING (basket) GROUP BY 1
+        |)
+        |SELECT item AS l_partkey, a AS authority
+        |FROM a3 ORDER BY authority DESC, l_partkey LIMIT 50""".stripMargin,
     // Same risk-set CTEs as survival_km; increments round to integer
     // ppb before the running sum, so the hash is prefix-exact.
     "survival_na" ->
