@@ -678,6 +678,86 @@ object StatQueries {
       .orderBy("day")
   }
 
+  /** #5k'''' exact permutation test for the A/B mean difference (the
+    * assumption-free companion to `ab_ttest`'s Welch readout): 64
+    * deterministic USER-level sign-flip replicates (md5-free integer
+    * hash per (user, j), preserving within-user correlation), p =
+    * (1 + #{|d_j| ≥ |d_obs|}) / 65. Every comparison is exact integer
+    * arithmetic — d = (s_A·n_B − s_B·n_A)/(n_A·n_B) compares
+    * cross-multiplied in DECIMAL(38,0), so no float ever enters the
+    * decision. Scale: one 64× flat-map + one grouped agg. */
+  def abPermutation(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = Tables.events(s, dir).select(
+        col("user_id"),
+        round(col("value") * 1000000, 0).cast("long").as("v"))
+      .withColumn("arm0",
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + lit(13L), lit(1000000L)) < 500000L, 0L).otherwise(1L))
+    val o = base.agg(
+      sum(when(col("arm0") === 0L, col("v")).otherwise(0L)).as("sa0"),
+      sum(when(col("arm0") === 0L, 1L).otherwise(0L)).as("na0"),
+      sum(when(col("arm0") === 1L, col("v")).otherwise(0L)).as("sb0"),
+      sum(when(col("arm0") === 1L, 1L).otherwise(0L)).as("nb0"))
+    val reps = base
+      .withColumn("j", explode(sequence(lit(1L), lit(64L))))
+      .withColumn("arm", pmod(col("arm0") +
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + col("j") * lit(7919L), lit(1000000L)) < 500000L, 1L)
+          .otherwise(0L), lit(2L)))
+      .groupBy("j")
+      .agg(sum(when(col("arm") === 0L, col("v")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 1L, col("v")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nb"))
+    reps.crossJoin(broadcast(o))
+      .withColumn("aj",
+        col("sa").cast(dec) * col("nb") - col("sb").cast(dec) * col("na"))
+      .withColumn("a0",
+        col("sa0").cast(dec) * col("nb0") - col("sb0").cast(dec) * col("na0"))
+      .withColumn("ge", when(
+        abs(col("aj")) * (col("na0").cast(dec) * col("nb0"))
+          >= abs(col("a0")) * (col("na").cast(dec) * col("nb")), 1L)
+        .otherwise(0L))
+      .groupBy("na0", "nb0", "a0")
+      .agg(sum("ge").as("n_ge"))
+      .select(col("na0").as("n_a"), col("nb0").as("n_b"),
+        round(col("a0").cast("double")
+          / (col("na0") * col("nb0")).cast("double") / lit(1000000.0), 6)
+          .as("diff_obs"),
+        lit(64L).as("b_reps"), col("n_ge"),
+        round((lit(1L) + col("n_ge")) / lit(65.0), 6).as("p_value"))
+  }
+
+  /** #1d'''' randomized response (Warner 1965), the local-DP
+    * mechanism next to the central-DP `dp_counts`: each event reports
+    * its purchase bit truthfully with p = 3/4, else a fair coin — both
+    * coins are md5-derived 60-bit draws against EXACT integer
+    * thresholds (3·2⁵⁸, 2⁵⁹) — and the unbiased estimator
+    * π̂ = (λ − 1/8)/(3/4) is recovered from integer tallies, audited
+    * against the true rate the mechanism hides. */
+  def dpRandResponse(s: SparkSession, dir: String): DataFrame = {
+    val h1 = conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val h2 = conv(substring(
+      md5(concat(col("event_id").cast("string"), lit(":rr"))), 1, 15), 16, 10)
+      .cast("long")
+    Tables.events(s, dir)
+      .select(
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+        when(h1 < lit(864691128455135232L), 1L).otherwise(0L).as("truthful"),
+        when(h2 < lit(576460752303423488L), 1L).otherwise(0L).as("rand_bit"))
+      .withColumn("rep",
+        when(col("truthful") === 1L, col("y")).otherwise(col("rand_bit")))
+      .agg(count(lit(1)).as("n"), sum("y").as("n_true"),
+        sum("rep").as("n_reported"))
+      .select(col("n"), col("n_true"), col("n_reported"),
+        round(col("n_reported") / col("n"), 6).as("reported_rate"),
+        round((col("n_reported") / col("n") - lit(0.125)) / lit(0.75), 6)
+          .as("pi_hat"),
+        round(col("n_true") / col("n"), 6).as("true_rate"))
+  }
+
   /** #19z HITS hubs-and-authorities on the order→part bipartite
     * incidence (Kleinberg 1999): authority(part) = Σ hub(basket) over
     * baskets containing it, hub(basket) = Σ authority(part) over its
@@ -1772,6 +1852,8 @@ object StatQueries {
     "survival_km"        -> (survivalKm _),
     "survival_na"        -> (survivalNa _),
     "graph_hits"         -> (graphHits _),
+    "ab_permutation"     -> (abPermutation _),
+    "dp_rr"              -> (dpRandResponse _),
     "events_kendall"     -> (eventsKendall _),
     "events_ccf"         -> (eventsCcf _),
     "simpson_check"      -> (simpsonCheck _),
@@ -2597,6 +2679,67 @@ object StatQueries {
         |  round(regr_slope(l_quantity, l_discount), 6)
         |    * (SELECT slope_all FROM o) < 0 AS sign_flip
         |FROM j GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // Every replicate decision is an exact cross-multiplied HUGEINT
+    // comparison; only the two display ratios are floats.
+    "ab_permutation" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(round(value * 1000000, 0) AS BIGINT) AS v,
+        |    CASE WHEN (user_id % 1000000 * 2654435761 + 13) % 1000000 < 500000
+        |      THEN 0 ELSE 1 END AS arm0
+        |  FROM events
+        |), o AS (
+        |  SELECT sum(CASE WHEN arm0 = 0 THEN v ELSE 0 END)::BIGINT AS sa0,
+        |    sum(CASE WHEN arm0 = 0 THEN 1 ELSE 0 END)::BIGINT AS na0,
+        |    sum(CASE WHEN arm0 = 1 THEN v ELSE 0 END)::BIGINT AS sb0,
+        |    sum(CASE WHEN arm0 = 1 THEN 1 ELSE 0 END)::BIGINT AS nb0
+        |  FROM ev
+        |), reps AS (
+        |  SELECT j,
+        |    sum(CASE WHEN arm = 0 THEN v ELSE 0 END)::BIGINT AS sa,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN arm = 1 THEN v ELSE 0 END)::BIGINT AS sb,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nb
+        |  FROM (
+        |    SELECT v, j, (arm0 + CASE WHEN
+        |        (user_id % 1000000 * 2654435761 + j * 7919) % 1000000 < 500000
+        |        THEN 1 ELSE 0 END) % 2 AS arm
+        |    FROM ev CROSS JOIN (SELECT unnest(range(1, 65))::BIGINT AS j))
+        |  GROUP BY j
+        |), cmp AS (
+        |  SELECT na0, nb0,
+        |    (sa0::HUGEINT * nb0 - sb0::HUGEINT * na0) AS a0,
+        |    (sa::HUGEINT * nb - sb::HUGEINT * na) AS aj,
+        |    na, nb
+        |  FROM reps CROSS JOIN o
+        |)
+        |SELECT na0 AS n_a, nb0 AS n_b,
+        |  round(a0::DOUBLE / (na0 * nb0)::DOUBLE / 1000000.0, 6) AS diff_obs,
+        |  64::BIGINT AS b_reps,
+        |  sum(CASE WHEN abs(aj) * (na0::HUGEINT * nb0)
+        |      >= abs(a0) * (na::HUGEINT * nb) THEN 1 ELSE 0 END)::BIGINT AS n_ge,
+        |  round((1 + sum(CASE WHEN abs(aj) * (na0::HUGEINT * nb0)
+        |      >= abs(a0) * (na::HUGEINT * nb) THEN 1 ELSE 0 END)) / 65.0, 6)
+        |    AS p_value
+        |FROM cmp GROUP BY na0, nb0, a0""".stripMargin,
+    // Coins are md5 60-bit draws vs exact integer thresholds; the
+    // estimator recovers from integer tallies.
+    "dp_rr" ->
+      """WITH r AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+        |      < 864691128455135232 THEN 1 ELSE 0 END AS truthful,
+        |    CASE WHEN ('0x' || substr(md5(event_id::VARCHAR || ':rr'), 1, 15))::BIGINT
+        |      < 576460752303423488 THEN 1 ELSE 0 END AS rand_bit
+        |  FROM events
+        |), rep AS (
+        |  SELECT y, CASE WHEN truthful = 1 THEN y ELSE rand_bit END AS rep FROM r
+        |)
+        |SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS n_true,
+        |  sum(rep)::BIGINT AS n_reported,
+        |  round(sum(rep) / count(*), 6) AS reported_rate,
+        |  round((sum(rep) / count(*) - 0.125::DOUBLE) / 0.75::DOUBLE, 6) AS pi_hat,
+        |  round(sum(y) / count(*), 6) AS true_rate
+        |FROM rep""".stripMargin,
     // Unnormalized integer HITS: every score is an exact path count,
     // so the three unrolled rounds hash exactly.
     "graph_hits" ->
