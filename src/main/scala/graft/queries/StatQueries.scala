@@ -678,6 +678,83 @@ object StatQueries {
       .orderBy("day")
   }
 
+  /** #5z''''' Cochran-Mantel-Haenszel pooled odds ratio of purchase by
+    * hash arm, stratified by day — the day-adjusted effect next to the
+    * Simpson's-paradox screen: OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ). The
+    * 2×2 cells are exact integers per stratum; each stratum's term
+    * rounds to integer ppb BEFORE its sum (round-then-sum), and the
+    * crude (unstratified) OR rides along so confounding shows as
+    * crude ≠ pooled. One scan, one |days|-sized aggregate. */
+  def eventsCmh(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"),
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + lit(13L), lit(1000000L)) < 500000L, 1L).otherwise(0L).as("exposed"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy("day")
+      .agg(sum(when(col("exposed") === 1L && col("y") === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("exposed") === 1L && col("y") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(col("exposed") === 0L && col("y") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(col("exposed") === 0L && col("y") === 0L, 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+    cells.agg(count(lit(1)).as("n_strata"),
+        sum(round(col("a") * col("d") / col("n") * 1000000000.0, 0)
+          .cast("long")).as("num_ppb"),
+        sum(round(col("b") * col("c") / col("n") * 1000000000.0, 0)
+          .cast("long")).as("den_ppb"),
+        sum("a").as("ta"), sum("b").as("tb"), sum("c").as("tc"),
+        sum("d").as("td"))
+      .select(col("n_strata"),
+        round(col("num_ppb") / col("den_ppb").cast("double"), 6).as("or_mh"),
+        round(col("ta") * col("td") / (col("tb") * col("tc")).cast("double"), 6)
+          .as("or_crude"))
+  }
+
+  /** #52'' range-partition plan for a global sort on order value — the
+    * exact version of the boundary sampling Spark's RangePartitioner
+    * does: 32 balanced range buckets over exact integer cents with the
+    * (cents, orderkey) tie-broken exact ntile (bucketed order stats,
+    * never a one-task sort), reporting each bucket's row count, value
+    * bounds, and share in integer basis points. The boundary list IS
+    * what you'd feed a repartitionByRange at 100 TB; the share column
+    * is the balance certificate. */
+  def rangePartitionPlan(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val tot = o.agg(count(lit(1)).as("n_tot"))
+    ChronoSplit.withNtile(o, "cents", "o_orderkey", 32, "pid")
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_rows"), min("cents").as("lo_cents"),
+        max("cents").as("hi_cents"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("n_rows * 10000 div n_tot"))
+      .drop("n_tot")
+      .orderBy("pid")
+  }
+
+  /** #4h'' exact Gini coefficient of per-customer revenue — the
+    * single-number inequality readout whose decile approximation is
+    * `revenue_lorenz`: G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over
+    * cents ranked by (cents, custkey). Ranks come from the bucketed
+    * order stats (no one-task sort of the customer table); the rank-
+    * weighted sum accumulates in DECIMAL(38,0) so it cannot overflow
+    * at web-scale entity counts; one double division at display. */
+  def revenueGini(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val dec = DecimalType(38, 0)
+    val cust = Tables.orders(s, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    ChronoSplit.withOrderStats(cust, "cents", "o_custkey")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
+        sum(col(ChronoSplit.RankCol).cast(dec) * col("cents")).as("sixi"))
+      .select(col("n").as("n_customers"), col("sx").as("total_cents"),
+        round((lit(2L) * col("sixi") - (col("n") + lit(1L)) * col("sx").cast(dec))
+          .cast("double")
+          / (col("n").cast(dec) * col("sx")).cast("double"), 6).as("gini"))
+  }
+
   /** #5k'''' exact permutation test for the A/B mean difference (the
     * assumption-free companion to `ab_ttest`'s Welch readout): 64
     * deterministic USER-level sign-flip replicates (md5-free integer
@@ -1853,6 +1930,9 @@ object StatQueries {
     "survival_na"        -> (survivalNa _),
     "graph_hits"         -> (graphHits _),
     "ab_permutation"     -> (abPermutation _),
+    "events_cmh"         -> (eventsCmh _),
+    "range_partition_plan" -> (rangePartitionPlan _),
+    "revenue_gini"       -> (revenueGini _),
     "dp_rr"              -> (dpRandResponse _),
     "events_kendall"     -> (eventsKendall _),
     "events_ccf"         -> (eventsCcf _),
@@ -2679,6 +2759,56 @@ object StatQueries {
         |  round(regr_slope(l_quantity, l_discount), 6)
         |    * (SELECT slope_all FROM o) < 0 AS sign_flip
         |FROM j GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // Exact 2x2 integer cells per day; each MH term rounds to ppb
+    // before its sum; crude OR rides along for the confounding gap.
+    "events_cmh" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    sum(CASE WHEN (user_id % 1000000 * 2654435761 + 13) % 1000000 < 500000
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN (user_id % 1000000 * 2654435761 + 13) % 1000000 < 500000
+        |      AND event_type <> 'purchase' THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN (user_id % 1000000 * 2654435761 + 13) % 1000000 >= 500000
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN (user_id % 1000000 * 2654435761 + 13) % 1000000 >= 500000
+        |      AND event_type <> 'purchase' THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM events GROUP BY 1
+        |), w AS (SELECT *, a + b + c + d AS n FROM cells)
+        |SELECT count(*)::BIGINT AS n_strata,
+        |  round(sum(CAST(round(a * d / n * 1000000000.0, 0) AS BIGINT))
+        |    / sum(CAST(round(b * c / n * 1000000000.0, 0) AS BIGINT))::DOUBLE, 6)
+        |    AS or_mh,
+        |  round(sum(a) * sum(d) / (sum(b) * sum(c))::DOUBLE, 6) AS or_crude
+        |FROM w""".stripMargin,
+    // Exact ntile boundaries over integer cents - all-integer output.
+    "range_partition_plan" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, round(o_totalprice * 100, 0)::BIGINT AS cents
+        |  FROM orders
+        |), b AS (
+        |  SELECT cents,
+        |    ntile(32) OVER (ORDER BY cents, o_orderkey)::BIGINT AS pid
+        |  FROM o
+        |), t AS (SELECT count(*)::BIGINT AS n_tot FROM o)
+        |SELECT pid, count(*)::BIGINT AS n_rows,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents,
+        |  count(*)::BIGINT * 10000 // n_tot AS share_bp
+        |FROM b CROSS JOIN t GROUP BY pid, n_tot ORDER BY pid""".stripMargin,
+    // Rank-weighted sum in HUGEINT; one double division at display.
+    "revenue_gini" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey)::HUGEINT AS rk
+        |  FROM c
+        |)
+        |SELECT count(*)::BIGINT AS n_customers, sum(cents)::BIGINT AS total_cents,
+        |  round((2 * sum(rk * cents) - (count(*) + 1) * sum(cents)::HUGEINT)::DOUBLE
+        |    / (count(*)::HUGEINT * sum(cents))::DOUBLE, 6) AS gini
+        |FROM r""".stripMargin,
     // Every replicate decision is an exact cross-multiplied HUGEINT
     // comparison; only the two display ratios are floats.
     "ab_permutation" ->
