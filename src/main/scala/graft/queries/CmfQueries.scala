@@ -469,7 +469,62 @@ object CmfQueries {
       .toDF("n_test", "bias_beats_mean", "factors_no_worse")
   }
 
+  /** #13i memory-based item-item collaborative filtering — the
+    * neighborhood recommender family (Sarwar et al. 2001) next to the
+    * factor models, with a FULL hash oracle (unlike ALS, nothing here
+    * is float-accumulation-order-sensitive): item-item cosine over the
+    * integer rating vectors rounds to integer micro-units (so the
+    * top-10 neighbor election is pure integer rank), predictions are
+    * Σ simᵤ·r / Σ simᵤ with an exact integer numerator and denominator,
+    * and the in-sample RMSE/MAE accumulate per-pair micro-rounded
+    * errors (round-then-sum). Scale: co-rated pair generation is
+    * user-blocked with a 100-item hot-user cap (the user_overlap
+    * discipline); the neighbor election is a per-item partitioned
+    * window. */
+  def cfItemPredict(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(sum("l_quantity").cast("long").as("q"))
+    val deg = r.groupBy("u").agg(count(lit(1)).as("c"))
+    val rc = r.join(deg, "u").filter(col("c") <= 100).drop("c")
+      .localCheckpoint(true)
+    val n2 = rc.groupBy("i").agg(sum(col("q") * col("q")).as("s2"))
+    val a = rc.select(col("u"), col("i"), col("q"))
+    val b = rc.select(col("u"), col("i").as("j"), col("q").as("qj"))
+    val dots = a.join(b, Seq("u")).filter(col("i") =!= col("j"))
+      .groupBy("i", "j").agg(sum(col("q") * col("qj")).as("dot"))
+    val sims = dots
+      .join(n2.select(col("i"), col("s2").as("s2i")), "i")
+      .join(n2.select(col("i").as("j"), col("s2").as("s2j")), "j")
+      .withColumn("sim_u",
+        round(col("dot") / (sqrt(col("s2i")) * sqrt(col("s2j"))) * 1000000, 0)
+          .cast("long"))
+      .filter(col("sim_u") > 0)
+    val top = sims
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("i").orderBy(col("sim_u").desc, col("j"))))
+      .filter(col("rn") <= 10)
+      .select("i", "j", "sim_u")
+    val pred = rc.join(top, "i")
+      .join(rc.select(col("u"), col("i").as("j"), col("q").as("qn")),
+        Seq("u", "j"))
+      .groupBy("u", "i", "q")
+      .agg(sum(col("sim_u") * col("qn")).as("num"), sum("sim_u").as("den"))
+      .withColumn("e", col("num") / col("den") - col("q"))
+    val nTot = rc.agg(count(lit(1)).as("n_ratings"))
+    pred.agg(count(lit(1)).as("n_scored"),
+        sum(round(col("e") * col("e") * 1000000.0, 0).cast("long")).as("se"),
+        sum(round(abs(col("e")) * 1000000.0, 0).cast("long")).as("ae"))
+      .crossJoin(broadcast(nTot))
+      .select(col("n_scored"), col("n_ratings"),
+        round(sqrt(col("se") / 1000000.0 / col("n_scored")), 6).as("rmse"),
+        round(col("ae") / 1000000.0 / col("n_scored"), 6).as("mae"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cf_item_predict" -> (cfItemPredict _),
     "als_baseline" -> (alsBaseline _),
     "fit_quality" -> (fitQuality _),
     "train_negatives" -> (trainNegatives _),
@@ -496,6 +551,45 @@ object CmfQueries {
     * oracled here: which ids get scored, how many recommendations each
     * user receives, and that ranks are contiguous. */
   val oracles: Map[String, String] = Map(
+    // Micro-rounded cosines make the neighbor election integer-exact;
+    // predictions and errors are integer arithmetic until display.
+    "cf_item_predict" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS u, l_partkey AS i,
+        |    CAST(sum(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), deg AS (SELECT u, count(*) AS c FROM r GROUP BY u),
+        |rc AS (SELECT r.* FROM r JOIN deg USING (u) WHERE c <= 100),
+        |n2 AS (SELECT i, sum(q * q)::BIGINT AS s2 FROM rc GROUP BY i),
+        |dots AS (
+        |  SELECT a.i AS i, b.i AS j, sum(a.q * b.q)::BIGINT AS dot
+        |  FROM rc a JOIN rc b ON a.u = b.u AND a.i <> b.i
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT dots.i, dots.j,
+        |    CAST(round(dot / (sqrt(x.s2) * sqrt(y.s2)) * 1000000, 0) AS BIGINT)
+        |      AS sim_u
+        |  FROM dots JOIN n2 x ON x.i = dots.i JOIN n2 y ON y.i = dots.j
+        |), top AS (
+        |  SELECT i, j, sim_u FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY i
+        |      ORDER BY sim_u DESC, j) AS rn
+        |    FROM sims WHERE sim_u > 0)
+        |  WHERE rn <= 10
+        |), pred AS (
+        |  SELECT r.u, r.i, r.q,
+        |    sum(t.sim_u * ru.q)::BIGINT AS num, sum(t.sim_u)::BIGINT AS den
+        |  FROM rc r JOIN top t ON t.i = r.i
+        |  JOIN rc ru ON ru.u = r.u AND ru.i = t.j
+        |  GROUP BY r.u, r.i, r.q
+        |), nt AS (SELECT count(*)::BIGINT AS n_ratings FROM rc)
+        |SELECT count(*)::BIGINT AS n_scored, n_ratings,
+        |  round(sqrt(sum(CAST(round((num / den - q) * (num / den - q)
+        |      * 1000000.0, 0) AS BIGINT)) / 1000000.0 / count(*)), 6) AS rmse,
+        |  round(sum(CAST(round(abs(num / den - q) * 1000000.0, 0) AS BIGINT))
+        |    / 1000000.0 / count(*), 6) AS mae
+        |FROM pred CROSS JOIN nt GROUP BY n_ratings""".stripMargin,
     "train_negatives" ->
       """WITH r AS (
         |  SELECT o_custkey AS cust, l_partkey AS part

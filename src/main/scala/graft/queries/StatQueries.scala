@@ -678,6 +678,62 @@ object StatQueries {
       .orderBy("day")
   }
 
+  /** #5s' 7-point moving median of the hourly volume series per type —
+    * the robust smoother next to `events_ewma` (a single spike moves
+    * the mean but not the median). The window materializes its 7
+    * observed points as a sorted array and picks the exact middle
+    * (half-integers are exact in binary), so there is no float path at
+    * all; it runs over the bounded post-aggregate hourly series,
+    * partitioned by type. */
+  def eventsMovingMedian(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .withColumn("h", expr("unix_micros(ts) div 3600000000"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-3, 3)
+    hourly
+      .withColumn("arr", sort_array(collect_list("c").over(w)))
+      .withColumn("m", size(col("arr")))
+      .withColumn("med7",
+        when(col("m") % 2 === 1,
+          element_at(col("arr"), ((col("m") + 1) / 2).cast("int")).cast("double"))
+          .otherwise((element_at(col("arr"), (col("m") / 2).cast("int"))
+            + element_at(col("arr"), (col("m") / 2 + 1).cast("int"))) / 2.0))
+      .select(col("event_type"), col("h"), col("c"), col("med7"))
+      .orderBy("event_type", "h")
+  }
+
+  /** #5d''' entropy rate of the user behavior chain — how predictable
+    * the next event is given the current one, the single-number
+    * readout over `events_markov`'s transition profile:
+    * H = −(1/N)·Σᵢⱼ nᵢⱼ·ln(nᵢⱼ/nᵢ), reported with the ln(k) ceiling
+    * and the efficiency ratio. Each transition's term rounds to
+    * integer ppb-scale BEFORE the sum (round-then-sum); all counts are
+    * exact integers. */
+  def eventsEntropyRate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("nij"))
+    val fromTot = trans.groupBy("from_type").agg(sum("nij").as("ni"))
+    val k = trans.select(col("from_type")).distinct()
+      .agg(count(lit(1)).as("n_states"))
+    trans.join(fromTot, "from_type")
+      .withColumn("term_n", round(col("nij")
+        * log(col("nij") / col("ni").cast("double")) * 1000000000.0, 0)
+        .cast("long"))
+      .agg(sum("nij").as("n_transitions"), sum("term_n").as("st"))
+      .crossJoin(broadcast(k))
+      .select(col("n_transitions"), col("n_states"),
+        round(-col("st") / 1000000000.0 / col("n_transitions"), 6)
+          .as("entropy_rate"),
+        round(log(col("n_states").cast("double")), 6).as("max_entropy"),
+        round((-col("st") / 1000000000.0 / col("n_transitions"))
+          / log(col("n_states").cast("double")), 6).as("efficiency"))
+  }
+
   /** #5z''''' Cochran-Mantel-Haenszel pooled odds ratio of purchase by
     * hash arm, stratified by day — the day-adjusted effect next to the
     * Simpson's-paradox screen: OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ). The
@@ -1931,6 +1987,8 @@ object StatQueries {
     "graph_hits"         -> (graphHits _),
     "ab_permutation"     -> (abPermutation _),
     "events_cmh"         -> (eventsCmh _),
+    "events_moving_median" -> (eventsMovingMedian _),
+    "events_entropy_rate" -> (eventsEntropyRate _),
     "range_partition_plan" -> (rangePartitionPlan _),
     "revenue_gini"       -> (revenueGini _),
     "dp_rr"              -> (dpRandResponse _),
@@ -2759,6 +2817,47 @@ object StatQueries {
         |  round(regr_slope(l_quantity, l_discount), 6)
         |    * (SELECT slope_all FROM o) < 0 AS sign_flip
         |FROM j GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // Exact middle of the sorted 7-point window; half-integers are
+    // exact in binary, so no float path exists.
+    "events_moving_median" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT event_type, h, c,
+        |    list_sort(list(c) OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+        |  FROM hourly
+        |)
+        |SELECT event_type, h, c,
+        |  CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]::DOUBLE
+        |    ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0 END AS med7
+        |FROM wd ORDER BY event_type, h""".stripMargin,
+    // Exact transition counts; each nij*ln(pij) term rounds to integer
+    // units before the sum.
+    "events_entropy_rate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, lead(event_type) OVER w AS to_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), t AS (
+        |  SELECT event_type AS from_type, to_type, count(*)::BIGINT AS nij
+        |  FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), ft AS (SELECT from_type, sum(nij)::BIGINT AS ni FROM t GROUP BY 1),
+        |k AS (SELECT count(DISTINCT from_type)::BIGINT AS n_states FROM t),
+        |ag AS (
+        |  SELECT sum(nij)::BIGINT AS n_transitions,
+        |    sum(CAST(round(nij * ln(nij / ni::DOUBLE) * 1000000000.0, 0)
+        |      AS BIGINT))::BIGINT AS st
+        |  FROM t JOIN ft USING (from_type)
+        |)
+        |SELECT n_transitions, n_states,
+        |  round(-st / 1000000000.0 / n_transitions, 6) AS entropy_rate,
+        |  round(ln(n_states::DOUBLE), 6) AS max_entropy,
+        |  round((-st / 1000000000.0 / n_transitions) / ln(n_states::DOUBLE), 6)
+        |    AS efficiency
+        |FROM ag CROSS JOIN k""".stripMargin,
     // Exact 2x2 integer cells per day; each MH term rounds to ppb
     // before its sum; crude OR rides along for the confounding gap.
     "events_cmh" ->
