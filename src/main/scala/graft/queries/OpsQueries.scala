@@ -430,6 +430,45 @@ object OpsQueries {
         round(-col("sl") / 1000000000.0 / col("n"), 6).as("theil_l"))
   }
 
+  /** #26i corpus vocabulary drift between document halves — which
+    * bigrams surged or collapsed from the first half of the corpus (by
+    * doc_id) to the second: Haldane-corrected log-odds ratio of each
+    * bigram's rate with its Wald z, top 20 movers by |z|. Counts are
+    * exact integers; lor/se/z are floats built from them with one
+    * pinned expression, z rounds to 6 BEFORE the rank (round-then-
+    * rank, bigram tiebreak). The monitoring screen that catches a
+    * crawl-mix shift before it reaches training. */
+  def vocabDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val mid = docs.agg(expr("(min(doc_id) + max(doc_id)) div 2").as("mid"))
+    val toks = docs.crossJoin(broadcast(mid))
+      .withColumn("side", when(col("doc_id") <= col("mid"), 0L).otherwise(1L))
+      .select(col("side"),
+        explode(LanguageModel.bigrams(col("text"))).as("bg"))
+      .select(col("side"), concat_ws(" ", col("bg.a"), col("bg.b")).as("tok"))
+    val cells = toks.groupBy("tok")
+      .agg(sum(when(col("side") === 0L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("side") === 1L, 1L).otherwise(0L)).as("b"))
+      .filter(col("a") + col("b") >= 5)
+    val tot = toks.agg(
+      sum(when(col("side") === 0L, 1L).otherwise(0L)).as("ta"),
+      sum(when(col("side") === 1L, 1L).otherwise(0L)).as("tb"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("lor",
+        log((col("a") + lit(0.5)) / (col("ta") - col("a") + lit(0.5)))
+          - log((col("b") + lit(0.5)) / (col("tb") - col("b") + lit(0.5))))
+      .withColumn("se", sqrt(
+        lit(1.0) / (col("a") + lit(0.5))
+          + lit(1.0) / (col("ta") - col("a") + lit(0.5))
+          + lit(1.0) / (col("b") + lit(0.5))
+          + lit(1.0) / (col("tb") - col("b") + lit(0.5))))
+      .withColumn("z", round(col("lor") / col("se"), 6))
+      .select(col("tok"), col("a").as("n_first"), col("b").as("n_second"),
+        round(col("lor"), 6).as("log_odds"), col("z"))
+      .orderBy(abs(col("z")).desc, col("tok"))
+      .limit(20)
+  }
+
   /** #36d LM-scored data diet (composed curation): keep each
     * language's best-scoring half by unigram-LM mean log-probability,
     * then cap survivors at 15 per (lang, source) — the
@@ -3560,6 +3599,7 @@ object OpsQueries {
     "chunk_windows"     -> (chunkWindows _),
     "lm_vocab"          -> (lmVocab _),
     "lm_goodturing"     -> (lmGoodTuring _),
+    "vocab_drift"       -> (vocabDrift _),
     "corpus_heaps"      -> (corpusHeaps _),
     "revenue_theil"     -> (revenueTheil _),
     "lm_score"          -> (lmScore _),
@@ -6050,6 +6090,39 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
         |  array_to_string(tk[s + 1 : s + 64], ' ') AS chunk_text
         |FROM st WHERE s = 0 OR s + 16 < n
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Exact integer cells; z rounds to 6 before the rank.
+    "vocab_drift" ->
+      """WITH m AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents),
+        |toks AS (
+        |  SELECT CASE WHEN doc_id <= mid THEN 0 ELSE 1 END AS side,
+        |    t[i] || ' ' || t[i+1] AS tok
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+        |              FROM documents)
+        |        WHERE len(t) >= 2) CROSS JOIN m
+        |), cells AS (
+        |  SELECT tok,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS b
+        |  FROM toks GROUP BY tok HAVING count(*) >= 5
+        |), tot AS (
+        |  SELECT sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS ta,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS tb
+        |  FROM toks
+        |), scored AS (
+        |  SELECT tok, a, b,
+        |    ln((a + 0.5::DOUBLE) / (ta - a + 0.5::DOUBLE))
+        |      - ln((b + 0.5::DOUBLE) / (tb - b + 0.5::DOUBLE)) AS lor,
+        |    sqrt(1.0::DOUBLE / (a + 0.5::DOUBLE)
+        |      + 1.0::DOUBLE / (ta - a + 0.5::DOUBLE)
+        |      + 1.0::DOUBLE / (b + 0.5::DOUBLE)
+        |      + 1.0::DOUBLE / (tb - b + 0.5::DOUBLE)) AS se
+        |  FROM cells CROSS JOIN tot
+        |)
+        |SELECT tok, a AS n_first, b AS n_second,
+        |  round(lor, 6) AS log_odds, round(lor / se, 6) AS z
+        |FROM scored
+        |ORDER BY abs(round(lor / se, 6)) DESC, tok LIMIT 20""".stripMargin,
     // Exact integer N_r tallies over bigram counts; r* and p0 divide
     // once at display.
     "lm_goodturing" ->

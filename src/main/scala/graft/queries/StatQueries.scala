@@ -678,6 +678,159 @@ object StatQueries {
       .orderBy("day")
   }
 
+  /** #19aa double-sweep BFS diameter lower bound of the co-purchase
+    * graph (Magnien et al.'s classic heuristic): BFS from the minimum
+    * vertex, re-BFS from the farthest vertex found — that second
+    * eccentricity is the standard tight diameter lower bound, here
+    * exact within the 4-hop horizon. Both sweeps are the fixed-
+    * iteration frontier-join [[graft.ops.Bfs]]; driver state is two
+    * single-row picks. */
+  def graphDiameter(s: SparkSession, dir: String): DataFrame = {
+    val p = OpsQueries.coocPairs(s, dir)
+      .select(col("item_a").as("s"), col("item_b").as("t"))
+    val edges = p.unionAll(p.select(col("t").as("s"), col("s").as("t")))
+      .localCheckpoint(true)
+    val start = edges.agg(min("s")).head.getLong(0)
+    val d1 = graft.ops.Bfs.distances(edges, "s", "t", start, 4)
+    val far = d1.orderBy(col("dist").desc, col("v")).head
+    val u = far.getLong(0)
+    val d2 = graft.ops.Bfs.distances(edges, "s", "t", u, 4)
+    val r1 = d1.agg(count(lit(1)).as("n_reach_1"))
+    d2.agg(max("dist").as("ecc_lower"), count(lit(1)).as("n_reach_2"))
+      .crossJoin(broadcast(r1))
+      .select(lit(start).as("start_v"), lit(u).as("peripheral_v"),
+        col("ecc_lower"), col("n_reach_1"), col("n_reach_2"))
+  }
+
+  /** #5ac Kruskal-Wallis H across event types — the k-sample extension
+    * of [[graft.queries.OpsQueries.eventsMannWhitney]]: one rank-based
+    * test of "do any of the k value distributions differ", with the
+    * standard tie correction. Rank bookkeeping is EXACT integers:
+    * per distinct value, t rows share average rank lt + (t+1)/2 (lt =
+    * count of strictly smaller rows), so twice each group's rank sum
+    * is Σ ng·(2·lt + t + 1) — an integer. The squared-deviation term
+    * n_g·(r̄_g − (N+1)/2)² = D²/(4n_g) with integer D = 2S_g − n_g(N+1)
+    * is rounded to WHOLE units before the k-term sum (round-then-sum:
+    * both engines add identical longs; the discarded sub-unit mass is
+    * ~1e-11 of H, far inside the 6-dp display grid). The global rank
+    * runs over the DISTINCT-value table through ChronoSplit's bucketed
+    * order stats — no unpartitioned window anywhere. */
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val tv = ev.groupBy("value").agg(count(lit(1)).as("t"))
+    val rk = graft.ops.ChronoSplit
+      .withOrderStats(tv, "value", "value", sumCols = Seq("t"), withRank = false)
+      .select(col("value"), col("t"),
+        (col(graft.ops.ChronoSplit.cumCol("t")) - col("t")).as("lt"))
+    val cells = ev.groupBy("event_type", "value").agg(count(lit(1)).as("ng"))
+    val g = cells.join(rk, "value")
+      .groupBy("event_type")
+      .agg(sum("ng").as("n_g"),
+        sum(col("ng") * (lit(2L) * col("lt") + col("t") + lit(1L))).as("s2"))
+    val tot = rk.agg(sum("t").as("nn"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("dd", (col("s2") - col("n_g") * (col("nn") + 1)).cast("double"))
+      .withColumn("dterm",
+        round(col("dd") * col("dd") / (lit(4.0) * col("n_g"))).cast("long"))
+      .groupBy("nn", "tie3")
+      .agg(count(lit(1)).as("k"), sum("dterm").as("ssum"))
+      .withColumn("h",
+        lit(12.0) * col("ssum") / (col("nn").cast("double") * (col("nn") + 1))
+          - lit(3.0) * (col("nn") + 1))
+      .withColumn("cf", lit(1.0) - col("tie3").cast("double")
+        / (col("nn").cast("double") * col("nn") * col("nn") - col("nn")))
+      .select(col("nn").as("n"), col("k"),
+        round(col("h"), 6).as("h"),
+        round(col("h") / col("cf"), 6).as("h_adj"))
+  }
+
+  /** #37o Cramér's V association between event type and day-of-week —
+    * the normalized [0,1] effect size on top of the chi-square
+    * machinery (`corpus_chi2` reports raw χ²; V answers "how strong",
+    * comparable across table shapes). The full r×c grid (absent cells
+    * included at O=0) is built from the two margin tables, each cell's
+    * χ² term (N·O − R·C)²/(N·R·C) is rounded to integer MICRO-units
+    * before the 35-term sum, and V = √(χ²/(N·(min(r,c)−1))). All
+    * inputs to the float expression are exact integer aggregates. */
+  def cramersV(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+    val obs = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rm = ev.groupBy("event_type").agg(count(lit(1)).as("r"))
+    val cm = ev.groupBy("dow").agg(count(lit(1)).as("c"))
+    val n = ev.agg(count(lit(1)).as("nn"),
+      countDistinct("event_type").as("nr"), countDistinct("dow").as("nc"))
+    rm.crossJoin(cm)
+      .join(obs, Seq("event_type", "dow"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("num", (col("nn") * col("o") - col("r") * col("c")).cast("double"))
+      .withColumn("term", round(col("num") * col("num") * lit(1000000.0)
+        / (col("nn").cast("double") * col("r") * col("c"))).cast("long"))
+      .groupBy("nn", "nr", "nc")
+      .agg(count(lit(1)).as("n_cells"), sum("term").as("chi2u"))
+      .select(col("nn").as("n"), col("n_cells"),
+        round(col("chi2u") / lit(1000000.0), 6).as("chi2"),
+        round(sqrt(col("chi2u") / lit(1000000.0)
+          / (col("nn").cast("double") * (least(col("nr"), col("nc")) - 1))), 6).as("v"))
+  }
+
+  /** #5ad McNemar's test on paired quality gates — do the length gate
+    * (n_chars ≥ 250) and the token gate (≥ 40 [a-z]+ tokens) disagree
+    * symmetrically on the SAME documents? The paired-binary design
+    * (each doc is its own control) only the discordant cells inform:
+    * χ² = (max(|b−c|−1, 0))²/(b+c) with Edwards' continuity
+    * correction, exact integers until the single division. The
+    * gate-comparison readout for swapping one corpus filter for
+    * another; null χ² when the gates never disagree. */
+  def mcnemarGates(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("ga", (col("n_chars") >= 250).cast("long"))
+      .withColumn("gb",
+        (size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))) >= 40)
+          .cast("long"))
+    d.agg(
+        sum(col("ga") * col("gb")).as("both_pass"),
+        sum(col("ga") * (lit(1L) - col("gb"))).as("only_len"),
+        sum((lit(1L) - col("ga")) * col("gb")).as("only_tok"),
+        sum((lit(1L) - col("ga")) * (lit(1L) - col("gb"))).as("neither"))
+      .withColumn("chi2",
+        when(col("only_len") + col("only_tok") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            greatest(abs(col("only_len") - col("only_tok")) - 1, lit(0L))
+              .cast("double")
+              * greatest(abs(col("only_len") - col("only_tok")) - 1, lit(0L))
+              / (col("only_len") + col("only_tok")), 6)))
+  }
+
+  /** #5ae Cochran-Armitage trend test — is the purchase share
+    * MONOTONICALLY trending across the ordered hour-of-day exposure
+    * (scores 0..23)? Sharper than the omnibus χ² when the alternative
+    * is ordered. Everything reduces to five exact integer aggregates
+    * (N, R, Σsn, Σsr, Σs²n) in ONE scan, and the z-score
+    * (N·Σsr − R·Σsn)·√N / √(R(N−R)(N·Σs²n − (Σsn)²)) is a single
+    * pinned float expression over them (the big triple product runs in
+    * doubles — identical literals, identical association order on both
+    * engines). Null z on a degenerate margin. */
+  def cochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(expr("(unix_micros(ts) div 3600000000) % 24").as("sc"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+    ev.agg(count(lit(1)).as("nn"), sum("y").as("rr"),
+        sum(col("sc")).as("sn"), sum(col("sc") * col("y")).as("sr"),
+        sum(col("sc") * col("sc")).as("s2n"))
+      .withColumn("num", (col("nn") * col("sr") - col("rr") * col("sn")).cast("double"))
+      .withColumn("z",
+        when(col("rr") === 0 || col("rr") === col("nn"), lit(null).cast("double"))
+          .otherwise(round(col("num") * sqrt(col("nn").cast("double"))
+            / sqrt(col("rr").cast("double") * (col("nn") - col("rr")).cast("double")
+              * (col("nn") * col("s2n") - col("sn") * col("sn")).cast("double")), 6)))
+      .select(col("nn").as("n"), col("rr").as("n_success"), col("z"))
+  }
+
   /** #5s' 7-point moving median of the hourly volume series per type —
     * the robust smoother next to `events_ewma` (a single spike moves
     * the mean but not the median). The window materializes its 7
@@ -1988,6 +2141,11 @@ object StatQueries {
     "ab_permutation"     -> (abPermutation _),
     "events_cmh"         -> (eventsCmh _),
     "events_moving_median" -> (eventsMovingMedian _),
+    "graph_diameter"     -> (graphDiameter _),
+    "kruskal_wallis"     -> (kruskalWallis _),
+    "cramers_v"          -> (cramersV _),
+    "mcnemar_gates"      -> (mcnemarGates _),
+    "cochran_armitage"   -> (cochranArmitage _),
     "events_entropy_rate" -> (eventsEntropyRate _),
     "range_partition_plan" -> (rangePartitionPlan _),
     "revenue_gini"       -> (revenueGini _),
@@ -2817,6 +2975,127 @@ object StatQueries {
         |  round(regr_slope(l_quantity, l_discount), 6)
         |    * (SELECT slope_all FROM o) < 0 AS sign_flip
         |FROM j GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // Two unrolled 4-hop BFS sweeps as pure join chains; all-integer.
+    // Each level dedups to min(dist) per vertex so the walk space stays
+    // |V|-bounded, and every CTE is MATERIALIZED: the sweep levels
+    // reference each other twice apiece, so DuckDB's default CTE
+    // inlining would otherwise re-expand the pair-generation tree
+    // exponentially (~500 copies; observed >100 s vs 0.1 s).
+    "graph_diameter" -> {
+      def sweep(p: String): String = (1 to 4).map { k =>
+        s"""$p$k AS MATERIALIZED (
+           |  SELECT v, min(dist) AS dist FROM (
+           |    SELECT v, dist FROM $p${k - 1}
+           |    UNION ALL
+           |    SELECT e.t AS v, $k AS dist FROM e JOIN $p${k - 1} ON e.s = $p${k - 1}.v
+           |  ) GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bk AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+         |), pr AS MATERIALIZED (
+         |  SELECT x.item AS a, y.item AS bb FROM bk x JOIN bk y
+         |    ON x.basket = y.basket AND x.item < y.item
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |), e AS MATERIALIZED (SELECT a AS s, bb AS t FROM pr UNION ALL SELECT bb, a FROM pr),
+         |r0 AS MATERIALIZED (SELECT min(s) AS v, 0 AS dist FROM e),
+         |${sweep("r")},
+         |d1 AS MATERIALIZED (SELECT v, min(dist) AS dist FROM r4 GROUP BY v),
+         |u AS MATERIALIZED (SELECT v FROM d1 ORDER BY dist DESC, v LIMIT 1),
+         |q0 AS MATERIALIZED (SELECT v, 0 AS dist FROM u),
+         |${sweep("q")},
+         |d2 AS MATERIALIZED (SELECT v, min(dist) AS dist FROM q4 GROUP BY v)
+         |SELECT (SELECT v FROM r0)::BIGINT AS start_v,
+         |  (SELECT v FROM u)::BIGINT AS peripheral_v,
+         |  (SELECT max(dist) FROM d2)::BIGINT AS ecc_lower,
+         |  (SELECT count(*) FROM d1)::BIGINT AS n_reach_1,
+         |  (SELECT count(*) FROM d2)::BIGINT AS n_reach_2""".stripMargin
+    },
+    // Exact integer rank sums (2·avgrank per run is 2·lt + t + 1);
+    // squared-deviation terms rounded to whole units before the k-sum.
+    "kruskal_wallis" ->
+      """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |tv AS (SELECT value, count(*)::BIGINT AS t FROM ev GROUP BY value),
+        |rk AS (SELECT value, t,
+        |  (sum(t) OVER (ORDER BY value))::BIGINT - t AS lt FROM tv),
+        |cells AS (SELECT event_type, value, count(*)::BIGINT AS ng
+        |  FROM ev GROUP BY 1, 2),
+        |g AS (SELECT event_type, sum(ng)::BIGINT AS n_g,
+        |    sum(ng * (2 * lt + t + 1))::BIGINT AS s2
+        |  FROM cells JOIN rk USING (value) GROUP BY 1),
+        |tot AS (SELECT sum(t)::BIGINT AS nn, sum(t*t*t - t)::BIGINT AS tie3 FROM tv),
+        |terms AS (SELECT nn, tie3,
+        |    round((s2 - n_g*(nn+1))::DOUBLE * (s2 - n_g*(nn+1))::DOUBLE
+        |      / (4.0::DOUBLE * n_g))::BIGINT AS dterm
+        |  FROM g CROSS JOIN tot),
+        |agg AS (SELECT nn, tie3, count(*)::BIGINT AS k, sum(dterm)::BIGINT AS ssum
+        |  FROM terms GROUP BY nn, tie3),
+        |hh AS (SELECT nn, tie3, k,
+        |    12.0::DOUBLE * ssum / (nn::DOUBLE * (nn+1)) - 3.0::DOUBLE * (nn+1) AS h
+        |  FROM agg)
+        |SELECT nn AS n, k, round(h, 6) AS h,
+        |  round(h / (1.0::DOUBLE - tie3::DOUBLE
+        |    / (nn::DOUBLE * nn * nn - nn)), 6) AS h_adj
+        |FROM hh""".stripMargin,
+    // Full r×c grid from the margins (absent cells at O=0); each χ²
+    // term rounds to integer micro-units before the sum.
+    "cramers_v" ->
+      """WITH ev AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow FROM events),
+        |obs AS (SELECT event_type, dow, count(*)::BIGINT AS o FROM ev GROUP BY 1, 2),
+        |rm AS (SELECT event_type, count(*)::BIGINT AS r FROM ev GROUP BY 1),
+        |cm AS (SELECT dow, count(*)::BIGINT AS c FROM ev GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS nn,
+        |    count(DISTINCT event_type)::BIGINT AS nr,
+        |    count(DISTINCT dow)::BIGINT AS nc FROM ev),
+        |grid AS (SELECT rm.event_type, cm.dow, rm.r, cm.c,
+        |    coalesce(obs.o, 0)::BIGINT AS o
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN obs ON obs.event_type = rm.event_type AND obs.dow = cm.dow),
+        |terms AS (SELECT nn, nr, nc,
+        |    round((nn*o - r*c)::DOUBLE * (nn*o - r*c)::DOUBLE * 1000000.0::DOUBLE
+        |      / (nn::DOUBLE * r * c))::BIGINT AS term
+        |  FROM grid CROSS JOIN tot),
+        |agg AS (SELECT nn, nr, nc, count(*)::BIGINT AS n_cells,
+        |    sum(term)::BIGINT AS chi2u FROM terms GROUP BY nn, nr, nc)
+        |SELECT nn AS n, n_cells, round(chi2u / 1000000.0::DOUBLE, 6) AS chi2,
+        |  round(sqrt(chi2u / 1000000.0::DOUBLE
+        |    / (nn::DOUBLE * (least(nr, nc) - 1))), 6) AS v
+        |FROM agg""".stripMargin,
+    // Exact integer concordance cells; Edwards-corrected statistic with
+    // one division at the end, null when the gates never disagree.
+    "mcnemar_gates" ->
+      """WITH d AS (SELECT
+        |  CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END::BIGINT AS ga,
+        |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) >= 40
+        |    THEN 1 ELSE 0 END::BIGINT AS gb
+        |  FROM documents),
+        |cells AS (SELECT
+        |  sum(ga * gb)::BIGINT AS both_pass,
+        |  sum(ga * (1 - gb))::BIGINT AS only_len,
+        |  sum((1 - ga) * gb)::BIGINT AS only_tok,
+        |  sum((1 - ga) * (1 - gb))::BIGINT AS neither
+        |  FROM d)
+        |SELECT both_pass, only_len, only_tok, neither,
+        |  CASE WHEN only_len + only_tok = 0 THEN NULL
+        |    ELSE round(greatest(abs(only_len - only_tok) - 1, 0)::DOUBLE
+        |      * greatest(abs(only_len - only_tok) - 1, 0)
+        |      / (only_len + only_tok), 6) END AS chi2
+        |FROM cells""".stripMargin,
+    // Five exact integer aggregates in one scan; one pinned float
+    // expression for z (triple product in doubles on both engines).
+    "cochran_armitage" ->
+      """WITH ev AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS sc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END::BIGINT AS y
+        |  FROM events),
+        |a AS (SELECT count(*)::BIGINT AS nn, sum(y)::BIGINT AS rr,
+        |    sum(sc)::BIGINT AS sn, sum(sc * y)::BIGINT AS sr,
+        |    sum(sc * sc)::BIGINT AS s2n FROM ev)
+        |SELECT nn AS n, rr AS n_success,
+        |  CASE WHEN rr = 0 OR rr = nn THEN NULL
+        |    ELSE round((nn*sr - rr*sn)::DOUBLE * sqrt(nn::DOUBLE)
+        |      / sqrt(rr::DOUBLE * (nn - rr)::DOUBLE
+        |        * (nn*s2n - sn*sn)::DOUBLE), 6) END AS z
+        |FROM a""".stripMargin,
     // Exact middle of the sorted 7-point window; half-integers are
     // exact in binary, so no float path exists.
     "events_moving_median" ->
