@@ -545,6 +545,104 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2001) — the language-modeling ranking next to BM25:
+    * score(d) = Σ_q ln((tf_dq + μ·cf_q/|C|)/(|d| + μ)), so EVERY
+    * document scores (a no-hit doc falls back to pure background
+    * mass), unlike BM25's hit-only ranking. Per-term log values ride
+    * as integer NANO-units round-then-summed (the |q|-term sum is then
+    * order-independent on both engines), and the top-k ranks on that
+    * exact integer (round-then-rank, doc_id tiebreak). Scale shape:
+    * one token explode → (doc, term) counts; the query-side stats are
+    * |q| rows broadcast against the per-doc length table — the scan
+    * never sees more than the tf table. */
+  def queryLikelihoodSearch(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      query: Seq[String],
+      k: Int = 10,
+      mu: Double = 2000.0): DataFrame = {
+    require(query.nonEmpty && k > 0, "need query terms and k > 0")
+    val terms = query.map(_.toLowerCase).distinct
+    val toks = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val ctot = toks.agg(count(lit(1)).as("ctot"))
+    // Query terms absent from the corpus would put ln(0) in every
+    // score; the standard convention drops them, which the inner
+    // grouping does by construction (cf only has observed terms).
+    val qterms = toks.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+      .crossJoin(ctot)
+    dl.crossJoin(broadcast(qterms))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .withColumn("tf", coalesce(col("tf"), lit(0L)))
+      .withColumn("lterm", round(log(
+        (col("tf") + lit(mu) * col("cf") / col("ctot"))
+          / (col("dl") + lit(mu))) * lit(1000000000.0)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("lterm").as("snano"),
+        sum(when(col("tf") > 0, 1L).otherwise(0L)).as("n_terms_hit"))
+      .select(col("doc_id"),
+        round(col("snano") / lit(1000000000.0), 6).as("score"), col("n_terms_hit"),
+        col("snano"))
+      .orderBy(col("snano").desc, col("doc_id"))
+      .limit(k)
+      .drop("snano")
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): damped
+    * PageRank over the undirected adjacent-token co-occurrence graph
+    * (edges = bigram pairs seen ≥ `minCount` times), top-k words by
+    * stationary score. The iteration state is integer PICO-units —
+    * each neighbor contribution rounds to a long before the grouped
+    * sum, and each new score re-rounds — so all five iterations are
+    * bit-identical across engines and the final ranking is exact
+    * (round-then-rank on the integer score, word tiebreak). Same
+    * join-shuffle-agg shape as [[graft.ops.PageRank]]; lineage is
+    * checkpoint-truncated per iteration; driver state is one vertex
+    * count. */
+  def textrankKeywords(
+      df: DataFrame,
+      textCol: String,
+      k: Int = 20,
+      minCount: Long = 2L,
+      iterations: Int = 5): DataFrame = {
+    val bg = df.select(
+        explode(graft.ops.LanguageModel.bigrams(col(textCol))).as("bg"))
+      .select(col("bg.a").as("wa"), col("bg.b").as("wb"))
+      .filter(col("wa") =!= col("wb"))
+    val pc = bg.groupBy("wa", "wb").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val edges = pc.select(col("wa").as("s"), col("wb").as("t"))
+      .unionAll(pc.select(col("wb").as("s"), col("wa").as("t")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = edges.groupBy("s").agg(count(lit(1)).as("d")).localCheckpoint(true)
+    val n = deg.count()
+    require(n > 0, "empty co-occurrence graph")
+    val base = Math.round(0.15e12 / n)
+    var p = deg.select(col("s").as("v"), lit(Math.round(1.0e12 / n)).as("pp"))
+    for (_ <- 1 to iterations) {
+      p = edges.join(p, col("s") === col("v"))
+        .join(deg, "s")
+        .groupBy("t")
+        .agg(sum(round(col("pp").cast("double") / col("d")).cast("long")).as("m"))
+        .select(col("t").as("v"),
+          (lit(base) + round(lit(0.85) * col("m")).cast("long")).as("pp"))
+        .localCheckpoint(true)
+    }
+    p.select(col("v").as("word"), round(col("pp") / lit(1.0e12), 6).as("rank"),
+        col("pp"))
+      .orderBy(col("pp").desc, col("word"))
+      .limit(k)
+      .drop("pp")
+  }
+
   /** Shared BM25 per-(doc, term) score frame: (doc_id, term, score),
     * score rounded to 6 dp (the rank/sum key both consumers use, so the
     * rounded value IS the semantic). */

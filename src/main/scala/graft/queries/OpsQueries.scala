@@ -830,6 +830,22 @@ object OpsQueries {
     TextAnalysis.tfidfSearch(Tables.documents(s, dir), "text", "doc_id",
       query = Seq("vector", "key", "dup"), k = 10)
 
+  /** #40f query-likelihood Dirichlet retrieval, same three-term query
+    * as BM25/TF-IDF so all three rankings are directly comparable —
+    * the LM-based third member of the retrieval family (and the one
+    * that scores no-hit documents by background mass instead of
+    * dropping them). */
+  def qlSearch(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.queryLikelihoodSearch(Tables.documents(s, dir), "text", "doc_id",
+      query = Seq("vector", "key", "dup"), k = 10)
+
+  /** #49e TextRank keyword extraction over the adjacent-token
+    * co-occurrence graph — the graph-centrality keyword ranking next
+    * to the frequency-based TF-IDF/BM25 keywords; integer pico-unit
+    * PageRank state keeps all five iterations engine-exact. */
+  def textrankKeywords(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textrankKeywords(Tables.documents(s, dir), "text", k = 20)
+
   /** #49b token co-occurrence PMI (df ≥ 5 pairs) — the count-based
     * word-association matrix. */
   def tokenPmi(s: SparkSession, dir: String): DataFrame =
@@ -3497,6 +3513,8 @@ object OpsQueries {
     "skew_profile"      -> (skewProfileUsers _),
     "corpus_ccnet"      -> (corpusCcnet _),
     "tfidf_search"      -> (tfidfSearch _),
+    "ql_search"         -> (qlSearch _),
+    "textrank_keywords" -> (textrankKeywords _),
     "token_pmi"         -> (tokenPmi _),
     "token_chi2"        -> (tokenChi2 _),
     "quality_calibrate" -> (qualityCalibrate _),
@@ -5728,6 +5746,65 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
         |FROM w JOIN qw USING (term) JOIN norms USING (doc_id), qn
         |GROUP BY w.doc_id, norms.norm, qn.qnorm
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Per-term Dirichlet log values ride as integer nano-units
+    // round-then-summed; the ranking key is that exact integer.
+    "ql_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(tok) AS term FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+        |    FROM documents)
+        |), tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |    WHERE term IN ('vector', 'key', 'dup') GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+        |ctot AS (SELECT count(*)::BIGINT AS ctot FROM toks),
+        |cf AS (SELECT term, count(*)::BIGINT AS cf FROM toks
+        |    WHERE term IN ('vector', 'key', 'dup') GROUP BY 1),
+        |grid AS (
+        |  SELECT dl.doc_id, cf.term, cf.cf, ctot.ctot, dl.dl,
+        |    coalesce(tf.tf, 0)::BIGINT AS tf
+        |  FROM dl CROSS JOIN cf CROSS JOIN ctot
+        |  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term
+        |), sc AS (
+        |  SELECT doc_id,
+        |    sum(round(ln((tf + 2000.0::DOUBLE * cf / ctot)
+        |      / (dl + 2000.0::DOUBLE)) * 1000000000.0::DOUBLE)::BIGINT)::BIGINT AS snano,
+        |    sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::BIGINT AS n_terms_hit
+        |  FROM grid GROUP BY 1)
+        |SELECT doc_id, round(snano / 1000000000.0::DOUBLE, 6) AS score, n_terms_hit
+        |FROM sc ORDER BY snano DESC, doc_id LIMIT 10""".stripMargin,
+    // Five unrolled pico-unit PageRank steps over the word graph; all
+    // CTEs MATERIALIZED (multi-referenced sweep levels would otherwise
+    // re-expand exponentially under DuckDB's default inlining).
+    "textrank_keywords" -> {
+      val steps = (1 to 5).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT t AS v,
+           |    round(150000000000.0::DOUBLE / n)::BIGINT + round(0.85::DOUBLE * m)::BIGINT AS pp
+           |  FROM (SELECT e.t, sum(round(p${i - 1}.pp::DOUBLE / deg.d)::BIGINT)::BIGINT AS m
+           |        FROM e JOIN p${i - 1} ON e.s = p${i - 1}.v JOIN deg ON e.s = deg.s
+           |        GROUP BY e.t) CROSS JOIN nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+         |), bg AS MATERIALIZED (
+         |  SELECT t[i] AS wa, t[i+1] AS wb
+         |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk WHERE len(t) >= 2)
+         |  WHERE t[i] <> t[i+1]
+         |), pc AS MATERIALIZED (
+         |  SELECT wa, wb, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2
+         |  HAVING count(*) >= 2
+         |), e AS MATERIALIZED (
+         |  SELECT DISTINCT s, t FROM (
+         |    SELECT wa AS s, wb AS t FROM pc UNION ALL SELECT wb, wa FROM pc)
+         |), deg AS MATERIALIZED (SELECT s, count(*)::BIGINT AS d FROM e GROUP BY 1),
+         |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM deg),
+         |p0 AS MATERIALIZED (
+         |  SELECT s AS v, round(1000000000000.0::DOUBLE / n)::BIGINT AS pp
+         |  FROM deg CROSS JOIN nn),
+         |$steps
+         |SELECT v AS word, round(pp / 1000000000000.0::DOUBLE, 6) AS rank
+         |FROM p5 ORDER BY pp DESC, v LIMIT 20""".stripMargin
+    },
     "corpus_zipf" ->
       """WITH c AS (
         |  SELECT tok, count(*) AS n FROM (
