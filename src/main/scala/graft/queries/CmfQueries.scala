@@ -523,7 +523,53 @@ object CmfQueries {
         round(col("ae") / 1000000.0 / col("n_scored"), 6).as("mae"))
   }
 
+  /** #13i weighted Slope One predictor (Lemire & Maclachlan 2005) over
+    * the same (customer, part, Σquantity) implicit ratings as
+    * [[cfItemPredict]] — the deviation-based CF baseline that needs no
+    * similarity model: dev(i,j) = Σ_u (r_ui − r_uj)/c_ij over co-rating
+    * users, predict r̂_ui = Σ_j (dev_ij + r_uj)·c_ij / Σ_j c_ij. The
+    * algebra stays EXACT integers end-to-end: (dev_ij + r_uj)·c_ij =
+    * dnum_ij + r_uj·c_ij (both integer aggregates), so each
+    * prediction is one integer/integer division and the RMSE/MAE
+    * readout rides micro-unit round-then-sum like the CF predictor.
+    * Pair space is bounded by the same ≤100-ratings user cap; the
+    * deviation table is |items|² at most, item-pair-keyed partial
+    * aggregation throughout. */
+  def slopeOne(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(sum("l_quantity").cast("long").as("q"))
+    val deg = r.groupBy("u").agg(count(lit(1)).as("c"))
+    val rc = r.join(deg, "u").filter(col("c") <= 100).drop("c")
+      .localCheckpoint(true)
+    val a = rc.select(col("u"), col("i"), col("q"))
+    val b = rc.select(col("u"), col("i").as("j"), col("q").as("qj"))
+    val devs = a.join(b, Seq("u")).filter(col("i") =!= col("j"))
+      .groupBy("i", "j")
+      .agg(sum(col("q") - col("qj")).as("dnum"), count(lit(1)).as("cij"))
+    // Per-user co-rated (i, j) pairs join the deviation table directly
+    // (≤ cap² pairs per user) — never the recommend-all item grid.
+    val pred = rc.select(col("u"), col("i"), col("q"))
+      .join(rc.select(col("u"), col("i").as("j"), col("q").as("quj")), Seq("u"))
+      .filter(col("i") =!= col("j"))
+      .join(devs, Seq("i", "j"))
+      .groupBy("u", "i", "q")
+      .agg(sum(col("dnum") + col("quj") * col("cij")).as("num"),
+        sum("cij").as("den"))
+      .withColumn("e", col("num").cast("double") / col("den") - col("q"))
+    val nTot = rc.agg(count(lit(1)).as("n_ratings"))
+    pred.agg(count(lit(1)).as("n_scored"),
+        sum(round(col("e") * col("e") * 1000000.0, 0).cast("long")).as("se"),
+        sum(round(abs(col("e")) * 1000000.0, 0).cast("long")).as("ae"))
+      .crossJoin(broadcast(nTot))
+      .select(col("n_scored"), col("n_ratings"),
+        round(sqrt(col("se") / 1000000.0 / col("n_scored")), 6).as("rmse"),
+        round(col("ae") / 1000000.0 / col("n_scored"), 6).as("mae"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "slope_one" -> (slopeOne _),
     "cf_item_predict" -> (cfItemPredict _),
     "als_baseline" -> (alsBaseline _),
     "fit_quality" -> (fitQuality _),
@@ -553,6 +599,34 @@ object CmfQueries {
   val oracles: Map[String, String] = Map(
     // Micro-rounded cosines make the neighbor election integer-exact;
     // predictions and errors are integer arithmetic until display.
+    // Integer deviation algebra: (dev + r_uj)·c = dnum + r_uj·c, so
+    // num/den is the only division; error terms ride micro-units.
+    "slope_one" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS u, l_partkey AS i,
+        |    CAST(sum(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), deg AS (SELECT u, count(*) AS c FROM r GROUP BY u),
+        |rc AS (SELECT r.* FROM r JOIN deg USING (u) WHERE c <= 100),
+        |devs AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    sum(a.q - b.q)::BIGINT AS dnum, count(*)::BIGINT AS cij
+        |  FROM rc a JOIN rc b ON a.u = b.u AND a.i <> b.i
+        |  GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT x.u, x.i, x.q,
+        |    sum(d.dnum + y.q * d.cij)::BIGINT AS num, sum(d.cij)::BIGINT AS den
+        |  FROM rc x JOIN rc y ON y.u = x.u AND y.i <> x.i
+        |  JOIN devs d ON d.i = x.i AND d.j = y.i
+        |  GROUP BY 1, 2, 3
+        |), nt AS (SELECT count(*)::BIGINT AS n_ratings FROM rc)
+        |SELECT count(*)::BIGINT AS n_scored, n_ratings,
+        |  round(sqrt(sum(CAST(round((num / den - q) * (num / den - q)
+        |      * 1000000.0, 0) AS BIGINT)) / 1000000.0 / count(*)), 6) AS rmse,
+        |  round(sum(CAST(round(abs(num / den - q) * 1000000.0, 0) AS BIGINT))
+        |    / 1000000.0 / count(*), 6) AS mae
+        |FROM pred CROSS JOIN nt GROUP BY n_ratings""".stripMargin,
     "cf_item_predict" ->
       """WITH r AS (
         |  SELECT o_custkey AS u, l_partkey AS i,
