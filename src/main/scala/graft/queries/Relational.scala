@@ -570,6 +570,37 @@ object Relational {
       .limit(100)
   }
 
+  /** #6k TPC-H Q9 shape — product-line profit by supplier nation and
+    * order year: parts filtered by name prefix, lineitem joined to
+    * part + supplier + nation + orders, profit rolled up per
+    * (nation, year). This schema has no partsupp, so unit cost is
+    * proxied at 80% of part retail price. All money stays integer:
+    * extended-price cents × (100 − discount pct) minus retail cents ×
+    * qty × 80, summed in cent·pct units; only the display divides.
+    * The name filter prunes parts BEFORE the join; part, supplier and
+    * nation are broadcast (dimension-sized at any SF), so the only
+    * shuffle is the lineitem→orders join + final 175-group agg. */
+  def q28Profit(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_name").like("red%"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("retail_cents"))
+    val sn = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("profit_units",
+        round(col("l_extendedprice") * 100, 0).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+          - col("retail_cents") * col("l_quantity").cast("long") * 80L)
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum("profit_units") / 10000.0, 2).as("profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
   /** #7 time-bucketed event aggregation: daily activity by event type. */
   def q7EventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -608,6 +639,7 @@ object Relational {
     "q24_dormant"      -> (q24Dormant _),
     "q26_priority"     -> (q26Priority _),
     "q27_bigorders"    -> (q27BigOrders _),
+    "q28_profit"       -> (q28Profit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -639,6 +671,21 @@ object Relational {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // Late = exact integer-microsecond comparison; share = integer
     // basis points (div), so nothing float-ordered enters the hash.
+    // Exact cent·pct profit units summed as integers; only the final
+    // display division touches doubles.
+    "q28_profit" ->
+      """SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+        |  count(*)::BIGINT AS n_lines,
+        |  round(sum(round(l_extendedprice * 100, 0)::BIGINT
+        |      * (100 - round(l_discount * 100, 0)::BIGINT)
+        |      - round(p_retailprice * 100, 0)::BIGINT
+        |      * CAST(l_quantity AS BIGINT) * 80) / 10000.0, 2) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE 'red%'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
     "q26_priority" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
         |  sum(CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)

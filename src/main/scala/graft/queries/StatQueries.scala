@@ -2122,7 +2122,91 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #5ac Ljung–Box portmanteau test on the hourly event-count series
+    * (per event type, lags 1–6) — the classical "is this series white
+    * noise" screen behind seasonality/forecasting decisions, extending
+    * [[graft.queries.OpsQueries.eventsAcf]]'s corr readout with the
+    * joint Q statistic. Autocovariances are assembled from INTEGER
+    * moments only — n²·Σxₜxₜ₋ₖ − nS(Aₖ+Bₖ) + mₖS² over DECIMAL(38,0)
+    * (HUGEINT in the oracle), so each rₖ is one exact ratio evaluated
+    * in double once; Q accumulates pico-rounded rₖ²/(n−k) terms
+    * (round-then-sum) so float summation order cannot flip the
+    * round-6 digit. The only windows run over the post-aggregate
+    * hourly series (|types|·|hours| rows), never raw events. */
+  def eventsLjungBox(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("hour_us")
+    val lagged = (1 to 6).foldLeft(hourly) { (df, k) =>
+      df.withColumn(s"x$k", lag("x", k).over(w))
+    }
+    val aggCols = Seq(count(lit(1)).as("n"), sum("x").as("s"),
+      sum(col("x") * col("x")).as("ss")) ++
+      (1 to 6).flatMap { k =>
+        Seq(sum(col("x") * col(s"x$k")).as(s"c$k"),
+          sum(when(col(s"x$k").isNotNull, col("x"))).as(s"a$k"),
+          sum(col(s"x$k")).as(s"b$k"),
+          count(col(s"x$k")).as(s"m$k"))
+      }
+    val agg = lagged.groupBy("event_type").agg(aggCols.head, aggCols.tail: _*)
+    val stackExpr = "stack(6, " + (1 to 6).map(k =>
+      s"${k}L, c$k, a$k, b$k, m$k").mkString(", ") + ") as (k, c, a, b, m)"
+    val terms = agg
+      .selectExpr("event_type", "n", "s", "ss", stackExpr)
+      .withColumn("r",
+        expr("""cast(cast(n as decimal(38,0))*n*c - cast(n as decimal(38,0))*s*(a+b)
+          + cast(m as decimal(38,0))*s*s as double)
+          / cast(cast(n as decimal(38,0))*(cast(n as decimal(38,0))*ss
+          - cast(s as decimal(38,0))*s) as double)"""))
+      .withColumn("term", expr("cast(round(r*r/m*1e12, 0) as bigint)"))
+    val cw = Window.partitionBy("event_type").orderBy("k")
+    terms
+      .withColumn("cum", sum("term").over(cw))
+      .select(col("event_type"), col("k").as("lag"), col("n").as("n_hours"),
+        round(col("r"), 6).as("r"),
+        expr("round(n*(n+2)*cum/1e12, 6)").as("q_stat"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** #5ad Fleiss' kappa over three heuristic document-quality
+    * annotators (length ≥ 300 chars, mean word length ≥ 5.5, word
+    * count ≥ 60) — the m-rater generalization of the Cohen's-kappa
+    * agreement audit (`langid_kappa`) that a labeling pipeline runs
+    * before trusting an ensemble of weak labelers. Everything is
+    * integer until the final divisions: with SQ = Σᵢ(n_{i1}²+n_{i0}²),
+    * P̄ = (SQ−3N)/(6N), P̄ₑ = (T₁²+T₀²)/(9N²), and
+    * κ = (3N(SQ−3N) − 2(T₁²+T₀²)) / (2(9N² − T₁² − T₀²)) — exact
+    * integer numerator/denominator (DECIMAL(38,0) vs HUGEINT), one
+    * double division per readout. One scan, one 1-row aggregate. */
+  def fleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.documents(s, dir)
+      .withColumn("lc", length(col("text")))
+      .withColumn("wc", length(col("text"))
+        - length(regexp_replace(col("text"), " ", "")) + 1)
+      .withColumn("n1",
+        when(col("n_chars") >= 300, 1L).otherwise(0L)
+          + when(col("lc") * 2 >= col("wc") * 11, 1L).otherwise(0L)
+          + when(col("wc") >= 60, 1L).otherwise(0L))
+      .withColumn("n0", lit(3L) - col("n1"))
+    labeled.agg(
+        count(lit(1)).as("n"), sum("n1").as("t1"), sum("n0").as("t0"),
+        sum(col("n1") * col("n1") + col("n0") * col("n0")).as("sq"))
+      .select(col("n").as("n_docs"), col("t1").as("t_pos"),
+        expr("round(cast(sq - 3*n as double) / cast(6*n as double), 6)")
+          .as("p_bar"),
+        expr("""round(cast(cast(t1 as decimal(38,0))*t1 + cast(t0 as decimal(38,0))*t0 as double)
+          / cast(9*cast(n as decimal(38,0))*n as double), 6)""").as("p_e"),
+        expr("""round(cast(3*cast(n as decimal(38,0))*(sq - 3*n)
+            - 2*(cast(t1 as decimal(38,0))*t1 + cast(t0 as decimal(38,0))*t0) as double)
+          / cast(2*(9*cast(n as decimal(38,0))*n - cast(t1 as decimal(38,0))*t1
+            - cast(t0 as decimal(38,0))*t0) as double), 6)""").as("kappa"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ljungbox"    -> (eventsLjungBox _),
+    "fleiss_kappa"       -> (fleissKappa _),
     "ab_power"           -> (abPower _),
     "ate_stratified"     -> (ateStratified _),
     "changepoint_binseg" -> (changepointBinseg _),
@@ -2277,6 +2361,72 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Integer autocovariance moments (HUGEINT mirrors DECIMAL(38,0));
+    // r and the pico-rounded Q terms repeat the engine's double
+    // expression trees verbatim.
+    "events_ljungbox" -> {
+      val lagCols = (1 to 6).map(k =>
+        s"lag(x, $k) OVER w AS x$k").mkString(",\n        |    ")
+      val aggCols = (1 to 6).map(k =>
+        s"sum(x*x$k)::BIGINT AS c$k, sum(CASE WHEN x$k IS NOT NULL THEN x END)::BIGINT AS a$k, " +
+        s"sum(x$k)::BIGINT AS b$k, count(x$k)::BIGINT AS m$k").mkString(",\n        |    ")
+      val stacked = (1 to 6).map(k =>
+        s"SELECT event_type, n, s, ss, ${k}::BIGINT AS k, c$k AS c, a$k AS a, b$k AS b, m$k AS m FROM agg")
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH hourly AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2
+        |), lagged AS (
+        |  SELECT event_type, x,
+        |    $lagCols
+        |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour_us)
+        |), agg AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+        |    sum(x*x)::BIGINT AS ss,
+        |    $aggCols
+        |  FROM lagged GROUP BY 1
+        |), stacked AS (
+        |  $stacked
+        |), rr AS (
+        |  SELECT event_type, k, n, m,
+        |    CAST(CAST(n AS HUGEINT)*n*c - CAST(n AS HUGEINT)*s*(a+b)
+        |      + CAST(m AS HUGEINT)*s*s AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT)*(CAST(n AS HUGEINT)*ss
+        |      - CAST(s AS HUGEINT)*s) AS DOUBLE) AS r
+        |  FROM stacked
+        |), terms AS (
+        |  SELECT *, CAST(round(r*r/m*1e12, 0) AS BIGINT) AS term FROM rr
+        |)
+        |SELECT event_type, k AS lag, n AS n_hours, round(r, 6) AS r,
+        |  round(n*(n+2)*(sum(term) OVER (PARTITION BY event_type ORDER BY k))/1e12, 6)
+        |    AS q_stat
+        |FROM terms ORDER BY event_type, lag""".stripMargin
+    },
+    // All-integer agreement tallies; P-bar, P-e, kappa repeat the
+    // engine's exact-numerator / exact-denominator double divisions.
+    "fleiss_kappa" ->
+      """WITH labeled AS (
+        |  SELECT
+        |    (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+        |     + CASE WHEN length(text)*2 >= ((length(text) - length(replace(text, ' ', '')) + 1))*11 THEN 1 ELSE 0 END
+        |     + CASE WHEN (length(text) - length(replace(text, ' ', '')) + 1) >= 60 THEN 1 ELSE 0 END)::BIGINT AS n1
+        |  FROM documents
+        |), agg AS (
+        |  SELECT count(*)::BIGINT AS n, sum(n1)::BIGINT AS t1,
+        |    sum(3 - n1)::BIGINT AS t0,
+        |    sum(n1*n1 + (3 - n1)*(3 - n1))::BIGINT AS sq
+        |  FROM labeled
+        |)
+        |SELECT n AS n_docs, t1 AS t_pos,
+        |  round(CAST(sq - 3*n AS DOUBLE) / CAST(6*n AS DOUBLE), 6) AS p_bar,
+        |  round(CAST(CAST(t1 AS HUGEINT)*t1 + CAST(t0 AS HUGEINT)*t0 AS DOUBLE)
+        |    / CAST(9*CAST(n AS HUGEINT)*n AS DOUBLE), 6) AS p_e,
+        |  round(CAST(3*CAST(n AS HUGEINT)*(sq - 3*n)
+        |      - 2*(CAST(t1 AS HUGEINT)*t1 + CAST(t0 AS HUGEINT)*t0) AS DOUBLE)
+        |    / CAST(2*(9*CAST(n AS HUGEINT)*n - CAST(t1 AS HUGEINT)*t1
+        |      - CAST(t0 AS HUGEINT)*t0) AS DOUBLE), 6) AS kappa
+        |FROM agg""".stripMargin,
     // Moments are exact HUGEINT sums (mirroring the engine's
     // DECIMAL(38,0)); the Cramer solve repeats the engine's double
     // expression tree term for term so the derived coefficients are
