@@ -2180,15 +2180,21 @@ object StatQueries {
     * κ = (3N(SQ−3N) − 2(T₁²+T₀²)) / (2(9N² − T₁² − T₀²)) — exact
     * integer numerator/denominator (DECIMAL(38,0) vs HUGEINT), one
     * double division per readout. One scan, one 1-row aggregate. */
+  /** The three heuristic document-quality annotators shared by
+    * [[fleissKappa]] and [[annotatorAlpha]]: length ≥ 300 chars, mean
+    * word length ≥ 5.5 (`2·chars ≥ 11·words`), word count ≥ 60 — each
+    * a 0/1 label column (`ra`, `rb`, `rc`). */
+  private def raterLabels(d: DataFrame): DataFrame = d
+    .withColumn("lc", length(col("text")))
+    .withColumn("wc", length(col("text"))
+      - length(regexp_replace(col("text"), " ", "")) + 1)
+    .withColumn("ra", when(col("n_chars") >= 300, 1L).otherwise(0L))
+    .withColumn("rb", when(col("lc") * 2 >= col("wc") * 11, 1L).otherwise(0L))
+    .withColumn("rc", when(col("wc") >= 60, 1L).otherwise(0L))
+
   def fleissKappa(s: SparkSession, dir: String): DataFrame = {
-    val labeled = Tables.documents(s, dir)
-      .withColumn("lc", length(col("text")))
-      .withColumn("wc", length(col("text"))
-        - length(regexp_replace(col("text"), " ", "")) + 1)
-      .withColumn("n1",
-        when(col("n_chars") >= 300, 1L).otherwise(0L)
-          + when(col("lc") * 2 >= col("wc") * 11, 1L).otherwise(0L)
-          + when(col("wc") >= 60, 1L).otherwise(0L))
+    val labeled = raterLabels(Tables.documents(s, dir))
+      .withColumn("n1", col("ra") + col("rb") + col("rc"))
       .withColumn("n0", lit(3L) - col("n1"))
     labeled.agg(
         count(lit(1)).as("n"), sum("n1").as("t1"), sum("n0").as("t0"),
@@ -2204,7 +2210,98 @@ object StatQueries {
             - cast(t0 as decimal(38,0))*t0) as double), 6)""").as("kappa"))
   }
 
+  /** #5ae one-way ANOVA of event value by event type — the parametric
+    * companion to `kruskal_wallis`: between/within sums of squares and
+    * the F statistic over k groups. Values become exact integer
+    * milli-units; Σv and Σv² are exact (DECIMAL(38,0) for the squared
+    * moment); each group's S_i²/n_i correction term is one
+    * deterministic double expression rounded to an integer BEFORE the
+    * cross-group sum (round-then-sum), so k-way float order cannot
+    * move the readout. One scan, one k-row aggregate. */
+  def eventsAnova(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(s, dir)
+      .select(col("event_type"), round(col("value") * 1000, 0).cast("long").as("v"))
+    val g = v.groupBy("event_type")
+      .agg(count(lit(1)).as("n_i"), sum("v").as("s_i"),
+        sum(expr("cast(v as decimal(38,0)) * v")).as("ssq_i"))
+      .withColumn("gterm",
+        expr("cast(round(cast(s_i as double)*cast(s_i as double)/n_i, 0) as bigint)"))
+    g.agg(count(lit(1)).as("k"), sum("n_i").as("n"), sum("s_i").as("s"),
+        sum("ssq_i").as("ssq"), sum("gterm").as("gsum"))
+      .select(col("k"), col("n"),
+        expr("round((gsum - cast(round(cast(s as double)*cast(s as double)/n, 0) as bigint)) / 1e6, 6)")
+          .as("ss_between"),
+        expr("round((ssq - gsum) / 1e6, 6)").as("ss_within"),
+        expr("""round(cast(gsum - cast(round(cast(s as double)*cast(s as double)/n, 0) as bigint) as double) * (n - k)
+          / (cast(ssq - gsum as double) * (k - 1)), 6)""").as("f_stat"))
+  }
+
+  /** #5af Bartlett's test for equal variances across event types — the
+    * gate [[eventsAnova]]'s pooled-variance assumption needs. Sample
+    * variances come from exact DECIMAL(38,0) moments of integer
+    * milli-units, so each s_i² is one deterministic double; the three
+    * cross-group sums ((n_i−1)s_i² in integer milli² units,
+    * (n_i−1)·ln s_i² in nano units, 1/(n_i−1) in femto units) are
+    * round-then-sum so k-way float order is moot. M is scale-invariant
+    * (the milli² unit cancels between the pooled and per-group ln
+    * terms). One scan, one k-row aggregate. */
+  def eventsBartlett(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(s, dir)
+      .select(col("event_type"), round(col("value") * 1000, 0).cast("long").as("v"))
+    val g = v.groupBy("event_type")
+      .agg(count(lit(1)).as("n_i"), sum("v").as("s_i"),
+        sum(expr("cast(v as decimal(38,0)) * v")).as("ssq_i"))
+      .withColumn("num_i",
+        expr("cast(n_i as decimal(38,0))*ssq_i - cast(s_i as decimal(38,0))*s_i"))
+      .withColumn("s2_i",
+        expr("cast(num_i as double) / cast(cast(n_i as decimal(38,0))*(n_i - 1) as double)"))
+      .withColumn("wterm", expr("cast(round(cast(num_i as double)/n_i, 0) as bigint)"))
+      .withColumn("lterm", expr("cast(round((n_i - 1)*ln(s2_i)*1e9, 0) as bigint)"))
+      .withColumn("cterm", expr("cast(round(1e15/(n_i - 1), 0) as bigint)"))
+    g.agg(count(lit(1)).as("k"), sum("n_i").as("n"), sum("wterm").as("sw"),
+        sum("lterm").as("sl"), sum("cterm").as("sc"))
+      .withColumn("m_raw",
+        expr("(n - k)*ln(cast(sw as double)/(n - k)) - sl/1e9"))
+      .withColumn("c_raw",
+        expr("1 + (sc/1e15 - cast(1 as double)/(n - k))/(3*(k - 1))"))
+      .select(col("k"), col("n"),
+        expr("round(cast(sw as double)/(n - k)/1e6, 6)").as("pooled_var"),
+        expr("round(m_raw, 6)").as("m_stat"),
+        expr("round(c_raw, 6)").as("c_factor"),
+        expr("round(m_raw/c_raw, 6)").as("bartlett"))
+  }
+
+  /** #27c'' Cronbach's alpha over the three quality annotators of
+    * [[fleissKappa]] — the internal-consistency readout (are the weak
+    * labelers measuring the same construct?) that complements kappa's
+    * chance-corrected agreement. With population variances sharing the
+    * N² denominator, α = (k/(k−1))(1 − Σᵢvarᵢ/var_total) reduces to
+    * EXACT integer arithmetic: numerators N·Σx² − (Σx)² per item and
+    * for the total score, DECIMAL(38,0) against the oracle's HUGEINT,
+    * one double division at the end. One scan, one 1-row aggregate. */
+  def annotatorAlpha(s: SparkSession, dir: String): DataFrame = {
+    val labeled = raterLabels(Tables.documents(s, dir))
+      .withColumn("t", col("ra") + col("rb") + col("rc"))
+    labeled.agg(count(lit(1)).as("n"),
+        sum("ra").as("sa"), sum("rb").as("sb"), sum("rc").as("sc"),
+        sum(col("ra") * col("ra")).as("qa"), sum(col("rb") * col("rb")).as("qb"),
+        sum(col("rc") * col("rc")).as("qc"),
+        sum("t").as("st"), sum(col("t") * col("t")).as("qt"))
+      .withColumn("vs", expr("""(cast(n as decimal(38,0))*qa - cast(sa as decimal(38,0))*sa)
+        + (cast(n as decimal(38,0))*qb - cast(sb as decimal(38,0))*sb)
+        + (cast(n as decimal(38,0))*qc - cast(sc as decimal(38,0))*sc)"""))
+      .withColumn("vt",
+        expr("cast(n as decimal(38,0))*qt - cast(st as decimal(38,0))*st"))
+      .select(col("n").as("n_docs"),
+        expr("round(cast(vs as double)/cast(n as double)/n, 6)").as("var_items"),
+        expr("round(cast(vt as double)/cast(n as double)/n, 6)").as("var_total"),
+        expr("round(3*(1 - cast(vs as double)/cast(vt as double))/2, 6)").as("alpha"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anova"       -> (eventsAnova _),
+    "events_bartlett"    -> (eventsBartlett _),
+    "annotator_alpha"    -> (annotatorAlpha _),
     "events_ljungbox"    -> (eventsLjungBox _),
     "fleiss_kappa"       -> (fleissKappa _),
     "ab_power"           -> (abPower _),
@@ -2361,6 +2458,96 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact integer milli-unit moments (HUGEINT squared sums); the
+    // per-group correction terms round to integers before the
+    // cross-group sum, mirroring the engine's round-then-sum.
+    "events_anova" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 1000, 0) AS BIGINT) AS v
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_i, sum(v)::BIGINT AS s_i,
+        |    sum(CAST(v AS HUGEINT) * v) AS ssq_i
+        |  FROM v GROUP BY 1
+        |), g2 AS (
+        |  SELECT *, CAST(round(CAST(s_i AS DOUBLE)*CAST(s_i AS DOUBLE)/n_i, 0) AS BIGINT) AS gterm
+        |  FROM g
+        |), a AS (
+        |  SELECT count(*)::BIGINT AS k, sum(n_i)::BIGINT AS n, sum(s_i)::BIGINT AS s,
+        |    sum(ssq_i) AS ssq, sum(gterm)::BIGINT AS gsum
+        |  FROM g2
+        |)
+        |SELECT k, n,
+        |  round((gsum - CAST(round(CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n, 0) AS BIGINT)) / 1e6, 6) AS ss_between,
+        |  round((ssq - gsum) / 1e6, 6) AS ss_within,
+        |  round(CAST(gsum - CAST(round(CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n, 0) AS BIGINT) AS DOUBLE) * (n - k)
+        |    / (CAST(ssq - gsum AS DOUBLE) * (k - 1)), 6) AS f_stat
+        |FROM a""".stripMargin,
+    // Variance numerators are exact HUGEINT; the three cross-group sums
+    // ride integer milli-sq / nano / femto units (round-then-sum).
+    "events_bartlett" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 1000, 0) AS BIGINT) AS v
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_i, sum(v)::BIGINT AS s_i,
+        |    sum(CAST(v AS HUGEINT) * v) AS ssq_i
+        |  FROM v GROUP BY 1
+        |), g2 AS (
+        |  SELECT *,
+        |    CAST(n_i AS HUGEINT)*ssq_i - CAST(s_i AS HUGEINT)*s_i AS num_i,
+        |    CAST(CAST(n_i AS HUGEINT)*ssq_i - CAST(s_i AS HUGEINT)*s_i AS DOUBLE)
+        |      / CAST(CAST(n_i AS HUGEINT)*(n_i - 1) AS DOUBLE) AS s2_i
+        |  FROM g
+        |), g3 AS (
+        |  SELECT *,
+        |    CAST(round(CAST(num_i AS DOUBLE)/n_i, 0) AS BIGINT) AS wterm,
+        |    CAST(round((n_i - 1)*ln(s2_i)*1e9, 0) AS BIGINT) AS lterm,
+        |    CAST(round(1e15/(n_i - 1), 0) AS BIGINT) AS cterm
+        |  FROM g2
+        |), a AS (
+        |  SELECT count(*)::BIGINT AS k, sum(n_i)::BIGINT AS n, sum(wterm)::BIGINT AS sw,
+        |    sum(lterm)::BIGINT AS sl, sum(cterm)::BIGINT AS sc
+        |  FROM g3
+        |), b AS (
+        |  SELECT *, (n - k)*ln(CAST(sw AS DOUBLE)/(n - k)) - sl/1e9 AS m_raw,
+        |    1 + (sc/1e15 - CAST(1 AS DOUBLE)/(n - k))/(3*(k - 1)) AS c_raw
+        |  FROM a
+        |)
+        |SELECT k, n, round(CAST(sw AS DOUBLE)/(n - k)/1e6, 6) AS pooled_var,
+        |  round(m_raw, 6) AS m_stat, round(c_raw, 6) AS c_factor,
+        |  round(m_raw/c_raw, 6) AS bartlett
+        |FROM b""".stripMargin,
+    // All-integer variance numerators (shared N² denominator cancels);
+    // one double division inside each readout.
+    "annotator_alpha" ->
+      """WITH labeled AS (
+        |  SELECT
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END::BIGINT AS ra,
+        |    CASE WHEN length(text)*2 >= ((length(text) - length(replace(text, ' ', '')) + 1))*11 THEN 1 ELSE 0 END::BIGINT AS rb,
+        |    CASE WHEN (length(text) - length(replace(text, ' ', '')) + 1) >= 60 THEN 1 ELSE 0 END::BIGINT AS rc
+        |  FROM documents
+        |), w AS (
+        |  SELECT *, ra + rb + rc AS t FROM labeled
+        |), agg AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(ra)::BIGINT AS sa, sum(rb)::BIGINT AS sb, sum(rc)::BIGINT AS sc,
+        |    sum(ra*ra)::BIGINT AS qa, sum(rb*rb)::BIGINT AS qb, sum(rc*rc)::BIGINT AS qc,
+        |    sum(t)::BIGINT AS st, sum(t*t)::BIGINT AS qt
+        |  FROM w
+        |), v AS (
+        |  SELECT n,
+        |    (CAST(n AS HUGEINT)*qa - CAST(sa AS HUGEINT)*sa)
+        |      + (CAST(n AS HUGEINT)*qb - CAST(sb AS HUGEINT)*sb)
+        |      + (CAST(n AS HUGEINT)*qc - CAST(sc AS HUGEINT)*sc) AS vs,
+        |    CAST(n AS HUGEINT)*qt - CAST(st AS HUGEINT)*st AS vt
+        |  FROM agg
+        |)
+        |SELECT n AS n_docs,
+        |  round(CAST(vs AS DOUBLE)/CAST(n AS DOUBLE)/n, 6) AS var_items,
+        |  round(CAST(vt AS DOUBLE)/CAST(n AS DOUBLE)/n, 6) AS var_total,
+        |  round(3*(1 - CAST(vs AS DOUBLE)/CAST(vt AS DOUBLE))/2, 6) AS alpha
+        |FROM v""".stripMargin,
     // Integer autocovariance moments (HUGEINT mirrors DECIMAL(38,0));
     // r and the pico-rounded Q terms repeat the engine's double
     // expression trees verbatim.
