@@ -192,7 +192,8 @@ object EvalQueries {
       .crossJoin(broadcast(globalRate))
       .withColumn("p", coalesce(col("s_u") / col("n_u"), col("s_g") / col("n_g")))
       .withColumn("neg_p", -col("p"))
-      .select("event_id", "y", "p", "neg_p")
+      .withColumn("p_base", col("s_g") / col("n_g"))
+      .select("event_id", "y", "p", "neg_p", "p_base")
   }
 
   /** #16d average precision (PR-AUC) of the chrono-split purchase
@@ -247,7 +248,38 @@ object EvalQueries {
       .orderBy("decile")
   }
 
+  /** #16f confusion matrix + Matthews correlation of the purchase
+    * predictor thresholded at the train base rate (predict 1 when the
+    * user's train rate meets or beats the global train rate — the
+    * "better than average" classifier). TP/FP/FN/TN are exact integer
+    * tallies; precision/recall/F1 are single integer-ratio divisions;
+    * MCC's numerator is an exact DECIMAL(38,0) product difference
+    * (HUGEINT in the oracle) and its denominator one deterministic
+    * double product chain under sqrt. Degenerate margins (a zero row
+    * or column) surface as NULL rather than a divide-by-zero. */
+  def evalMcc(s: SparkSession, dir: String): DataFrame = {
+    val scored = purchaseScored(s, dir)
+      .withColumn("pred", when(col("p") >= col("p_base"), 1L).otherwise(0L))
+    scored.agg(
+        sum(col("y") * col("pred")).as("tp"),
+        sum((lit(1L) - col("y")) * col("pred")).as("fp"),
+        sum(col("y") * (lit(1L) - col("pred"))).as("fn"),
+        sum((lit(1L) - col("y")) * (lit(1L) - col("pred"))).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("case when tp + fp > 0 then round(cast(tp as double)/(tp + fp), 6) end")
+          .as("precision"),
+        expr("case when tp + fn > 0 then round(cast(tp as double)/(tp + fn), 6) end")
+          .as("recall"),
+        expr("case when 2*tp + fp + fn > 0 then round(cast(2*tp as double)/(2*tp + fp + fn), 6) end")
+          .as("f1"),
+        expr("""case when tp + fp > 0 and tp + fn > 0 and tn + fp > 0 and tn + fn > 0 then
+          round(cast(cast(tp as decimal(38,0))*tn - cast(fp as decimal(38,0))*fn as double)
+            / sqrt(cast(tp + fp as double)*(tp + fn)*(tn + fp)*(tn + fn)), 6) end""")
+          .as("mcc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_mcc"         -> (evalMcc _),
     "eval_regression"  -> (evalRegression _),
     "eval_ranking"     -> (evalRanking _),
     "eval_auc"         -> (evalAuc _),
@@ -275,12 +307,35 @@ object EvalQueries {
       |  SELECT sum(y)::BIGINT AS s_g, count(*)::BIGINT AS n_g
       |  FROM sided WHERE side = 0
       |), scored AS (
-      |  SELECT s.event_id, s.y, coalesce(s_u / n_u, s_g / n_g) AS p
+      |  SELECT s.event_id, s.y, coalesce(s_u / n_u, s_g / n_g) AS p,
+      |    s_g / n_g AS p_base
       |  FROM sided s LEFT JOIN ur USING (user_id) CROSS JOIN gr
       |  WHERE s.side = 1
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact integer confusion tallies; MCC numerator in HUGEINT, the
+    // denominator one double product chain under sqrt; NULL guards on
+    // degenerate margins mirror the engine's CASE.
+    "eval_mcc" -> (purchaseScoredSql +
+      """, pred AS (
+        |  SELECT y, CASE WHEN p >= p_base THEN 1 ELSE 0 END::BIGINT AS pred
+        |  FROM scored
+        |), cm AS (
+        |  SELECT sum(y * pred)::BIGINT AS tp,
+        |    sum((1 - y) * pred)::BIGINT AS fp,
+        |    sum(y * (1 - pred))::BIGINT AS fn,
+        |    sum((1 - y) * (1 - pred))::BIGINT AS tn
+        |  FROM pred
+        |)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE)/(tp + fp), 6) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE)/(tp + fn), 6) END AS recall,
+        |  CASE WHEN 2*tp + fp + fn > 0 THEN round(CAST(2*tp AS DOUBLE)/(2*tp + fp + fn), 6) END AS f1,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0 THEN
+        |    round(CAST(CAST(tp AS HUGEINT)*tn - CAST(fp AS HUGEINT)*fn AS DOUBLE)
+        |      / sqrt(CAST(tp + fp AS DOUBLE)*(tp + fn)*(tn + fp)*(tn + fn)), 6) END AS mcc
+        |FROM cm""".stripMargin),
     // Precision terms round to integer ppm before the sum, so the AP
     // hash cannot move with float addition order.
     "eval_pr_auc" -> (purchaseScoredSql +

@@ -1428,7 +1428,11 @@ object StatQueries {
     * z, p itself rounded to 9dp — both engines agree bit-for-bit on
     * the rounded values, so the step-up boundary (largest i with
     * p_i ≤ i·q/m, q = 0.1) cannot flip between them. */
-  def anomalyFdr(s: SparkSession, dir: String): DataFrame = {
+  /** The ranked hourly-anomaly p-values shared by [[anomalyFdr]] and
+    * [[anomalyHolm]]: per-type hourly z-scores, the Pocock p
+    * approximation rounded to 9dp, and the deterministic global rank
+    * `i` with the candidate count `m` attached. */
+  private def rankedAnomalies(s: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.events(s, dir)
       .groupBy(col("event_type"),
         unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
@@ -1442,13 +1446,36 @@ object StatQueries {
       .withColumn("p",
         round(exp(lit(-0.717) * col("az") - lit(0.416) * col("az") * col("az")), 9))
     val m = z.agg(count(lit(1)).as("m"))
-    val ranked = z.crossJoin(broadcast(m))
+    z.crossJoin(broadcast(m))
       .withColumn("i", row_number().over(
         Window.orderBy(col("p"), col("event_type"), col("hour_us"))).cast("long"))
+  }
+
+  def anomalyFdr(s: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedAnomalies(s, dir)
       .withColumn("hit", col("p") <= col("i") / (lit(10.0) * col("m")))
     val kmax = ranked.agg(max(when(col("hit"), col("i")).otherwise(0L)).as("kmax"))
     ranked.crossJoin(broadcast(kmax))
       .filter(col("i") <= col("kmax"))
+      .select(col("event_type"), col("hour_us"), col("n"), col("z"), col("p"), col("i"))
+      .orderBy("i")
+  }
+
+  /** #5u' Holm–Bonferroni step-down over the same hourly anomalies as
+    * [[anomalyFdr]] — the familywise-error companion to BH's FDR: walk
+    * p-values in ascending order, reject while p₍ᵢ₎ ≤ α/(m−i+1), stop
+    * at the FIRST failure (BH instead keeps everything below the LAST
+    * success). The compare multiplies instead of divides
+    * (p·(m−i+1) ≤ 0.1) so no division enters the hash. Same two-phase
+    * shape as BH: rank, find the stop index via one tiny aggregate,
+    * filter. Windows run over the post-aggregate hourly set. */
+  def anomalyHolm(s: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedAnomalies(s, dir)
+      .withColumn("hit", col("p") * (col("m") - col("i") + 1) <= 0.1)
+    val kstop = ranked.agg(coalesce(min(when(!col("hit"), col("i"))),
+      max(col("i")) + 1).as("kstop"))
+    ranked.crossJoin(broadcast(kstop))
+      .filter(col("i") < col("kstop"))
       .select(col("event_type"), col("hour_us"), col("n"), col("z"), col("p"), col("i"))
       .orderBy("i")
   }
@@ -2298,7 +2325,46 @@ object StatQueries {
         expr("round(3*(1 - cast(vs as double)/cast(vt as double))/2, 6)").as("alpha"))
   }
 
+  /** #7s Weight-of-Evidence / Information-Value screen — the classic
+    * credit-scoring feature-vs-binary-target strength readout: orders
+    * banded by total price (50k-wide bands, capped at 10), target =
+    * "order has a returned line". WoE uses half-count smoothing
+    * expressed as EXACT integers ((2g+1)·B vs (2b+1)·G, DECIMAL(38,0)
+    * against HUGEINT) so ln sees one correctly-rounded double ratio;
+    * IV accumulates nano-rounded per-band terms (round-then-sum). The
+    * returned-order flag is a left semi-style join on the distinct
+    * returned orderkeys; bands are pure arithmetic (no window). */
+  def woeIv(s: SparkSession, dir: String): DataFrame = {
+    val ret = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey")).distinct()
+      .withColumn("is_bad", lit(1L))
+    val o = Tables.orders(s, dir)
+      .withColumn("band",
+        least(expr("cast(round(o_totalprice * 100, 0) as bigint) div 5000000"), lit(9L)))
+      .join(ret, Seq("o_orderkey"), "left")
+      .withColumn("bad", coalesce(col("is_bad"), lit(0L)))
+    val byBand = o.groupBy("band")
+      .agg(count(lit(1)).as("n"), sum("bad").as("n_bad"))
+      .withColumn("n_good", col("n") - col("n_bad"))
+    val tot = byBand.agg(sum("n_good").as("g"), sum("n_bad").as("b"))
+    val rows = byBand.crossJoin(broadcast(tot))
+      .withColumn("woe", expr(
+        """ln(cast(cast(2*n_good + 1 as decimal(38,0))*b as double)
+          / cast(cast(2*n_bad + 1 as decimal(38,0))*g as double))"""))
+      .withColumn("iv_term_nano", expr(
+        "cast(round((cast(n_good as double)/g - cast(n_bad as double)/b)*woe*1e9, 0) as bigint)"))
+    val iv = rows.agg(sum("iv_term_nano").as("iv_nano"))
+    rows.crossJoin(broadcast(iv))
+      .select(col("band"), col("n"), col("n_bad"), col("n_good"),
+        round(col("woe"), 6).as("woe"),
+        expr("round(iv_term_nano/1e9, 6)").as("iv_term"),
+        expr("round(iv_nano/1e9, 6)").as("iv_total"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "anomaly_holm"       -> (anomalyHolm _),
+    "woe_iv"             -> (woeIv _),
     "events_anova"       -> (eventsAnova _),
     "events_bartlett"    -> (eventsBartlett _),
     "annotator_alpha"    -> (annotatorAlpha _),
@@ -2458,6 +2524,64 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same ranked-p CTE chain as anomaly_fdr; the step-down compare
+    // multiplies (p·(m−i+1) ≤ 0.1) so no division enters the hash.
+    "anomaly_holm" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd
+        |  FROM hourly GROUP BY 1
+        |), zz AS (
+        |  SELECT h.event_type, hour_us, n, round((n - mu) / sd, 6) AS z
+        |  FROM hourly h JOIN stats s ON h.event_type = s.event_type
+        |  WHERE sd > 0
+        |), pz AS (
+        |  SELECT *, round(exp(-0.717 * abs(z) - 0.416 * abs(z) * abs(z)), 9) AS p
+        |  FROM zz
+        |), m AS (SELECT count(*) AS mm FROM pz),
+        |ranked AS (
+        |  SELECT pz.*, mm,
+        |    row_number() OVER (ORDER BY p, event_type, hour_us)::BIGINT AS i
+        |  FROM pz CROSS JOIN m
+        |), stop AS (
+        |  SELECT coalesce(min(CASE WHEN NOT (p * (mm - i + 1) <= 0.1) THEN i END),
+        |    max(i) + 1) AS kstop
+        |  FROM ranked
+        |)
+        |SELECT event_type, hour_us, n, z, p, i
+        |FROM ranked CROSS JOIN stop WHERE i < kstop ORDER BY i""".stripMargin,
+    // Exact-integer smoothed odds inside ln; IV accumulates
+    // nano-rounded per-band terms, mirroring the engine.
+    "woe_iv" ->
+      """WITH ret AS (
+        |  SELECT DISTINCT l_orderkey AS o_orderkey, 1::BIGINT AS is_bad
+        |  FROM lineitem WHERE l_returnflag = 'R'
+        |), o AS (
+        |  SELECT least(CAST(round(o_totalprice * 100, 0) AS BIGINT) // 5000000, 9) AS band,
+        |    coalesce(is_bad, 0) AS bad
+        |  FROM orders LEFT JOIN ret USING (o_orderkey)
+        |), byband AS (
+        |  SELECT band, count(*)::BIGINT AS n, sum(bad)::BIGINT AS n_bad,
+        |    count(*)::BIGINT - sum(bad)::BIGINT AS n_good
+        |  FROM o GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(n_good)::BIGINT AS g, sum(n_bad)::BIGINT AS b FROM byband
+        |), rws AS (
+        |  SELECT band, n, n_bad, n_good,
+        |    ln(CAST(CAST(2*n_good + 1 AS HUGEINT)*b AS DOUBLE)
+        |      / CAST(CAST(2*n_bad + 1 AS HUGEINT)*g AS DOUBLE)) AS woe,
+        |    CAST(round((CAST(n_good AS DOUBLE)/g - CAST(n_bad AS DOUBLE)/b)
+        |      * ln(CAST(CAST(2*n_good + 1 AS HUGEINT)*b AS DOUBLE)
+        |        / CAST(CAST(2*n_bad + 1 AS HUGEINT)*g AS DOUBLE))*1e9, 0) AS BIGINT)
+        |      AS iv_term_nano
+        |  FROM byband CROSS JOIN tot
+        |), iv AS (SELECT sum(iv_term_nano)::BIGINT AS iv_nano FROM rws)
+        |SELECT band, n, n_bad, n_good, round(woe, 6) AS woe,
+        |  round(iv_term_nano/1e9, 6) AS iv_term, round(iv_nano/1e9, 6) AS iv_total
+        |FROM rws CROSS JOIN iv ORDER BY band""".stripMargin,
     // Exact integer milli-unit moments (HUGEINT squared sums); the
     // per-group correction terms round to integers before the
     // cross-group sum, mirroring the engine's round-then-sum.
