@@ -54,4 +54,39 @@ object LinkPredict {
       .limit(k)
       .select("a", "b", "n_common", "aa_score_us")
   }
+
+  /** Top-k non-edges by Jaccard neighbor overlap:
+    * score = |Γa ∩ Γb| / (deg a + deg b − |Γa ∩ Γb|). The intersection
+    * is counted through middle vertices with deg ∈ [2, maxHubDeg]
+    * (the same hot-key cap as [[adamicAdar]] — hub middles explode the
+    * path join quadratically); the union denominator uses the FULL
+    * degrees. The score is one exact integer ratio rounded to ppm, so
+    * the ranking never touches float accumulation.
+    * Output: `a, b, n_common, deg_a, deg_b, jaccard_ppm`. */
+  def jaccard(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxHubDeg: Int = 100,
+      k: Int = 20): DataFrame = {
+    val e = edges.select(col(aCol).as("ea"), col(bCol).as("eb"))
+    val sym = e.select(col("ea").as("u"), col("eb").as("v"))
+      .unionAll(e.select(col("eb").as("u"), col("ea").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val mid = deg.filter(col("deg") >= 2 && col("deg") <= maxHubDeg)
+      .select(col("u").as("w"))
+    val paths = sym.select(col("u").as("a"), col("v").as("w1"))
+      .join(mid, col("w1") === col("w"))
+      .join(sym.select(col("u").as("w2"), col("v").as("b")), col("w1") === col("w2"))
+      .filter(col("a") < col("b"))
+    paths.groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .join(e, col("a") === col("ea") && col("b") === col("eb"), "left_anti")
+      .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), "b")
+      .withColumn("jaccard_ppm", expr(
+        "cast(round(cast(n_common as double)*1000000/(deg_a + deg_b - n_common), 0) as bigint)"))
+      .orderBy(col("jaccard_ppm").desc, col("a"), col("b"))
+      .limit(k)
+      .select("a", "b", "n_common", "deg_a", "deg_b", "jaccard_ppm")
+  }
 }

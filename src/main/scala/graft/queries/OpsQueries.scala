@@ -1145,6 +1145,18 @@ object OpsQueries {
       .select(col("a").as("item_a"), col("b").as("item_b"),
         col("n_common"), col("aa_score_us"))
 
+  /** #19x' Jaccard link prediction over the same co-purchase graph
+    * ([[graft.ops.LinkPredict.jaccard]]): the overlap-share companion
+    * to [[linkAdamicAdar]]'s rarity weighting — the 20 strongest
+    * not-yet-co-purchased pairs by |Γa∩Γb| / |Γa∪Γb|. One exact
+    * ppm-rounded integer ratio per pair, hub-capped middle join,
+    * distributed top-k. */
+  def linkJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LinkPredict.jaccard(
+        coocPairs(s, dir).select("item_a", "item_b"), "item_a", "item_b")
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        col("n_common"), col("deg_a"), col("deg_b"), col("jaccard_ppm"))
+
   /** #19y label-propagation communities on the co-purchase graph
     * ([[graft.ops.LabelProp.communities]]): three synchronous modal-
     * vote rounds from singleton labels, ties to the smallest label —
@@ -3483,6 +3495,7 @@ object OpsQueries {
     "sample_neyman"     -> (sampleNeyman _),
     "mi_matrix"         -> (miMatrix _),
     "link_adamic_adar"  -> (linkAdamicAdar _),
+    "link_jaccard"      -> (linkJaccard _),
     "graph_communities" -> (graphCommunities _),
     "source_ablation"   -> (sourceAblation _),
     "merge_apply"       -> (mergeApply _),
@@ -3960,6 +3973,39 @@ object OpsQueries {
     // Per-middle-vertex integer micro-contributions (round-then-sum)
     // over two-hop paths, hub-capped at deg <= 100, minus observed
     // edges; ranking is over exact integers.
+    // Hub-capped intersection count; the full-degree union sits in one
+    // exact ppm-rounded ratio, so the ranking is float-free.
+    "link_jaccard" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), e AS (
+        |  SELECT x.item AS ia, y.item AS ib
+        |  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT ia AS u, ib AS v FROM e
+        |  UNION ALL SELECT ib AS u, ia AS v FROM e
+        |), deg AS (
+        |  SELECT u, count(*)::BIGINT AS deg FROM sym GROUP BY 1
+        |), mid AS (
+        |  SELECT u AS w FROM deg WHERE deg BETWEEN 2 AND 100
+        |), paths AS (
+        |  SELECT s1.u AS a, s2.v AS bb
+        |  FROM sym s1 JOIN mid m ON s1.v = m.w
+        |  JOIN sym s2 ON s2.u = m.w
+        |  WHERE s1.u < s2.v
+        |), common AS (
+        |  SELECT a, bb, count(*)::BIGINT AS n_common FROM paths GROUP BY 1, 2
+        |), nonedge AS (
+        |  SELECT c.* FROM common c LEFT JOIN e ON e.ia = c.a AND e.ib = c.bb
+        |  WHERE e.ia IS NULL
+        |)
+        |SELECT a AS item_a, bb AS item_b, n_common, da.deg AS deg_a,
+        |  db.deg AS deg_b,
+        |  CAST(round(CAST(n_common AS DOUBLE)*1000000/(da.deg + db.deg - n_common), 0) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM nonedge JOIN deg da ON da.u = a JOIN deg db ON db.u = bb
+        |ORDER BY jaccard_ppm DESC, a, bb LIMIT 20""".stripMargin,
     "link_adamic_adar" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem

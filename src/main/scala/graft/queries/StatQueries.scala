@@ -2362,7 +2362,73 @@ object StatQueries {
       .orderBy("band")
   }
 
+  /** #5ag peak concurrent sessions per day — the capacity-planning
+    * number (how many users are on at once, worst instant of each
+    * day). Sessions are the repo's 30-minute-gap islands per user;
+    * each contributes a +1 at its start and a −1 at its last event,
+    * and the day's peak is the max of the global running sum over
+    * boundary events ordered by (instant, starts-before-ends). The
+    * sign is folded into a single integer sort key (2t + [delta<0])
+    * so the running sum goes through ChronoSplit's bucketed order
+    * stats — no unpartitioned window over the boundary stream; ties
+    * inside an equal key share a delta sign, so the per-day max is
+    * order-invariant. */
+  def concurrencyPeak(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val sess = ev
+      .withColumn("news",
+        when(col("ts_us") - lag("ts_us", 1).over(w) >= 1800000000L
+          || lag("ts_us", 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sess",
+        sum("news").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess")
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+    val deltas = sess.select(col("start_us").as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("end_us").as("t"), lit(-1L).as("delta")))
+      .withColumn("key",
+        col("t") * 2 + when(col("delta") < 0, 1L).otherwise(0L))
+    val cum = ChronoSplit.withOrderStats(deltas, "key", "t",
+      sumCols = Seq("delta"), withRank = false)
+    cum.groupBy(expr("t div 86400000000").as("day_idx"))
+      .agg(max(col(ChronoSplit.cumCol("delta"))).as("peak_concurrency"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+      .orderBy("day_idx")
+  }
+
+  /** #7t Atkinson inequality index (ε = 1) of customer revenue per
+    * nation — 1 − geometric/arithmetic mean ratio, the
+    * welfare-grounded companion to `revenue_gini`/`revenue_theil`
+    * with an explicit inequality-aversion parameter (ε = 1 is the
+    * log-utility point where the index needs only the two means).
+    * Revenue is exact integer cents; ln terms round to nano units
+    * BEFORE the per-nation sum (round-then-sum); customers with zero
+    * revenue are outside the ln domain and excluded by the cents > 0
+    * gate. One agg over customers, broadcast nation join. */
+  def revenueAtkinson(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+    cust.filter(col("cents") > 0)
+      .withColumn("lterm", expr("cast(round(ln(cents)*1e9, 0) as bigint)"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("sum_cents"),
+        sum("lterm").as("sl"))
+      .select(col("n_name"), col("n_customers"),
+        round(col("sum_cents") / 100.0, 2).as("total_revenue"),
+        expr("""round(1 - exp(sl/1e9/n_customers)
+          / (cast(sum_cents as double)/n_customers), 6)""").as("atkinson"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "concurrency_peak"   -> (concurrencyPeak _),
+    "revenue_atkinson"   -> (revenueAtkinson _),
     "anomaly_holm"       -> (anomalyHolm _),
     "woe_iv"             -> (woeIv _),
     "events_anova"       -> (eventsAnova _),
@@ -2524,6 +2590,56 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Boundary events ordered by the same sign-folded integer key; the
+    // per-day max over the running sum is order-invariant inside ties.
+    "concurrency_peak" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
+        |    OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sx AS (
+        |  SELECT *, sum(news) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f
+        |), g AS (
+        |  SELECT user_id, sess, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM sx GROUP BY 1, 2
+        |), d AS (
+        |  SELECT start_us AS t, 1::BIGINT AS delta FROM g
+        |  UNION ALL SELECT end_us AS t, -1::BIGINT AS delta FROM g
+        |), c AS (
+        |  SELECT t, delta,
+        |    (sum(delta) OVER (ORDER BY t*2 + CASE WHEN delta < 0 THEN 1 ELSE 0 END
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM d
+        |)
+        |SELECT t // 86400000000 AS day_idx, max(cum)::BIGINT AS peak_concurrency,
+        |  sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_starts
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact cents; nano-rounded ln terms summed as integers; the
+    // geometric/arithmetic ratio repeats the engine's exp/division tree.
+    "revenue_atkinson" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1
+        |), nn AS (
+        |  SELECT n_name, cents,
+        |    CAST(round(ln(cents)*1e9, 0) AS BIGINT) AS lterm
+        |  FROM cust
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE cents > 0
+        |), agg AS (
+        |  SELECT n_name, count(*)::BIGINT AS n_customers,
+        |    sum(cents)::BIGINT AS sum_cents, sum(lterm)::BIGINT AS sl
+        |  FROM nn GROUP BY 1
+        |)
+        |SELECT n_name, n_customers, round(sum_cents / 100.0, 2) AS total_revenue,
+        |  round(1 - exp(sl/1e9/n_customers)
+        |    / (CAST(sum_cents AS DOUBLE)/n_customers), 6) AS atkinson
+        |FROM agg ORDER BY n_name""".stripMargin,
     // Same ranked-p CTE chain as anomaly_fdr; the step-down compare
     // multiplies (p·(m−i+1) ≤ 0.1) so no division enters the hash.
     "anomaly_holm" ->
