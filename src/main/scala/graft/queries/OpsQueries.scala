@@ -3491,7 +3491,68 @@ object OpsQueries {
       .orderBy("source")
   }
 
+  /** #7u price elasticity of demand — the log-log regression behind
+    * every discount decision: slope of ln(quantity) on
+    * ln(1 − discount) across lineitems (same part, varying discount →
+    * the discount multiplier is the price shifter). Both logs round
+    * to integer NANO units per row before aggregation, so the five
+    * regression moments are exact integers (DECIMAL(38,0) cross
+    * moments vs HUGEINT) and slope/intercept are single double
+    * divisions — no float-order-sensitive `regr_slope`. One scan, one
+    * 1-row aggregate. */
+  def priceElasticity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(
+        expr("cast(round(ln(1 - l_discount)*1e9, 0) as bigint)").as("x"),
+        expr("cast(round(ln(l_quantity)*1e9, 0) as bigint)").as("y"))
+    li.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+      .select(col("n"),
+        expr("""round(cast(cast(n as decimal(38,0))*sxy - cast(sx as decimal(38,0))*sy as double)
+          / cast(cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx as double), 6)""")
+          .as("elasticity"),
+        expr("""round((sy - cast(cast(n as decimal(38,0))*sxy - cast(sx as decimal(38,0))*sy as double)
+          / cast(cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx as double) * sx)
+          / n / 1e9, 6)""").as("intercept_ln_q"))
+  }
+
+  /** #7v Laspeyres / Paasche / Fisher price index, 1995 → 1996 — the
+    * composition-free answer to "did prices rise" that
+    * [[priceVolumeMix]]'s mix split motivates. Per part-year unit
+    * price is the exact rational Σcents/Σqty; the cross terms
+    * p₁·q₀ and p₀·q₁ round to integer cents per part BEFORE the
+    * basket sum (round-then-sum), while the matching own-year basket
+    * values Σp₀q₀ = Σcents₀ and Σp₁q₁ = Σcents₁ are exact sums.
+    * Only parts sold in BOTH years enter (the matched basket). One
+    * fact scan, one part-year aggregate, one self-join on partkey. */
+  def priceIndex(s: SparkSession, dir: String): DataFrame = {
+    val py = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .groupBy(col("l_partkey").as("pk"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sc"),
+        sum(col("l_quantity").cast("long")).as("sq"))
+    val p0 = py.filter(col("yr") === 1995)
+      .select(col("pk"), col("sc").as("sc0"), col("sq").as("sq0"))
+    val p1 = py.filter(col("yr") === 1996)
+      .select(col("pk"), col("sc").as("sc1"), col("sq").as("sq1"))
+    p0.join(p1, "pk")
+      .select(col("sc0"), col("sc1"),
+        expr("cast(round(cast(sc1 as double)*sq0/sq1, 0) as bigint)").as("p1q0"),
+        expr("cast(round(cast(sc0 as double)*sq1/sq0, 0) as bigint)").as("p0q1"))
+      .agg(count(lit(1)).as("n_parts"), sum("sc0").as("v00"),
+        sum("sc1").as("v11"), sum("p1q0").as("v10"), sum("p0q1").as("v01"))
+      .select(col("n_parts"),
+        expr("round(cast(v10 as double)/v00, 6)").as("laspeyres"),
+        expr("round(cast(v11 as double)/v01, 6)").as("paasche"),
+        expr("round(sqrt(cast(v10 as double)/v00 * (cast(v11 as double)/v01)), 6)")
+          .as("fisher"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "price_elasticity"  -> (priceElasticity _),
+    "price_index"       -> (priceIndex _),
     "sample_neyman"     -> (sampleNeyman _),
     "mi_matrix"         -> (miMatrix _),
     "link_adamic_adar"  -> (linkAdamicAdar _),
@@ -3899,6 +3960,53 @@ object OpsQueries {
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Nano-rounded log units per row → exact HUGEINT regression
+    // moments; slope and intercept repeat the engine's double trees.
+    "price_elasticity" ->
+      """WITH li AS (
+        |  SELECT CAST(round(ln(1 - l_discount)*1e9, 0) AS BIGINT) AS x,
+        |    CAST(round(ln(l_quantity)*1e9, 0) AS BIGINT) AS y
+        |  FROM lineitem
+        |), a AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM li
+        |)
+        |SELECT n,
+        |  round(CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE), 6)
+        |    AS elasticity,
+        |  round((sy - CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE) * sx)
+        |    / n / 1e9, 6) AS intercept_ln_q
+        |FROM a""".stripMargin,
+    // Matched basket; cross terms round to cents per part before the
+    // basket sums, own-year values are exact cent sums.
+    "price_index" ->
+      """WITH py AS (
+        |  SELECT l_partkey AS pk, year(o_orderdate) AS yr,
+        |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT AS sc,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS sq
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) IN (1995, 1996)
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT p0.sc AS sc0, p1.sc AS sc1,
+        |    CAST(round(CAST(p1.sc AS DOUBLE)*p0.sq/p1.sq, 0) AS BIGINT) AS p1q0,
+        |    CAST(round(CAST(p0.sc AS DOUBLE)*p1.sq/p0.sq, 0) AS BIGINT) AS p0q1
+        |  FROM (SELECT * FROM py WHERE yr = 1995) p0
+        |  JOIN (SELECT * FROM py WHERE yr = 1996) p1 ON p0.pk = p1.pk
+        |), a AS (
+        |  SELECT count(*)::BIGINT AS n_parts, sum(sc0)::BIGINT AS v00,
+        |    sum(sc1)::BIGINT AS v11, sum(p1q0)::BIGINT AS v10,
+        |    sum(p0q1)::BIGINT AS v01
+        |  FROM j
+        |)
+        |SELECT n_parts, round(CAST(v10 AS DOUBLE)/v00, 6) AS laspeyres,
+        |  round(CAST(v11 AS DOUBLE)/v01, 6) AS paasche,
+        |  round(sqrt(CAST(v10 AS DOUBLE)/v00 * (CAST(v11 AS DOUBLE)/v01)), 6)
+        |    AS fisher
+        |FROM a""".stripMargin,
     // Identical nano-nat round-then-sum arithmetic per pair; the two
     // pair blocks differ only in their cell source.
     "mi_matrix" -> {

@@ -2426,7 +2426,78 @@ object StatQueries {
       .orderBy("n_name")
   }
 
+  /** #5ah Friedman test over the (day × event-type) daily-count
+    * matrix — the nonparametric repeated-measures ANOVA: within each
+    * day-block the k types are ranked by volume, and Q asks whether
+    * the rank sums could be chance. The complete grid is built
+    * explicitly (absent cells = 0) so every block ranks all k
+    * treatments. Tied counts take average ranks through the integer
+    * doubling r2 = 2·minrank + ties − 1, so rank sums stay EXACT
+    * integers; Q = 3·ΣR2ⱼ²/(nk(k+1)) − 3n(k+1) is one double division
+    * over integer aggregates. Windows run over the tiny day-grid. */
+  def eventsFriedman(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day_idx"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = daily.select("day_idx").distinct()
+      .crossJoin(daily.select("event_type").distinct())
+      .join(daily, Seq("day_idx", "event_type"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val wd = Window.partitionBy("day_idx")
+    val ranked = grid
+      .withColumn("r2",
+        lit(2L) * rank().over(wd.orderBy("n"))
+          + count(lit(1)).over(wd.partitionBy("day_idx", "n")) - 1)
+    val perType = ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_blocks"), sum("r2").as("r2_sum"))
+    val tot = perType.agg(count(lit(1)).as("k"), max("n_blocks").as("nb"),
+      sum(col("r2_sum") * col("r2_sum")).as("sq"))
+    perType.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_blocks"),
+        expr("round(r2_sum/2e0, 1)").as("rank_sum"),
+        expr("round(3*cast(sq as double)/(nb*k*(k + 1)) - 3*nb*(k + 1), 6)")
+          .as("q_stat"))
+      .orderBy("event_type")
+  }
+
+  /** #5ai Mann–Kendall trend test on the hourly series per type — the
+    * distribution-free monotone-trend screen that pairs with
+    * `events_theilsen`'s slope: S = Σ sign(x_j − x_i) over all hour
+    * pairs i<j, with the exact tie-corrected variance
+    * (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18 and the continuity-corrected
+    * z. Everything before the final sqrt is exact integer arithmetic;
+    * the pair space is |hours|² per type — post-aggregate scale, NOT
+    * raw rows (the raw table never self-joins). */
+  def eventsMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("x"))
+    val pairs = hourly.as("a").join(hourly.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("a.hour_us") < col("b.hour_us"))
+      .select(col("a.event_type").as("event_type"),
+        signum(col("b.x") - col("a.x")).cast("long").as("sg"))
+    val sstat = pairs.groupBy("event_type").agg(sum("sg").as("s_stat"))
+    val ties = hourly.groupBy("event_type", "x").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_levels"), sum("t").as("n_hours"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_corr"))
+    sstat.join(ties, "event_type")
+      .withColumn("var18",
+        expr("n_hours*(n_hours - 1)*(2*n_hours + 5) - tie_corr"))
+      .select(col("event_type"), col("n_hours"), col("s_stat"),
+        expr("round(var18/18e0, 6)").as("var_s"),
+        expr("""round(case when s_stat > 0 then (s_stat - 1)/sqrt(var18/18e0)
+          when s_stat < 0 then (s_stat + 1)/sqrt(var18/18e0)
+          else cast(0 as double) end, 6)""").as("z"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_friedman"    -> (eventsFriedman _),
+    "events_mannkendall" -> (eventsMannKendall _),
     "concurrency_peak"   -> (concurrencyPeak _),
     "revenue_atkinson"   -> (revenueAtkinson _),
     "anomaly_holm"       -> (anomalyHolm _),
@@ -2590,6 +2661,65 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Complete day×type grid; average ranks via the integer doubling
+    // r2 = 2·minrank + ties − 1, so rank sums are exact.
+    "events_friedman" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT d.day_idx, t.event_type, coalesce(x.n, 0) AS n
+        |  FROM (SELECT DISTINCT day_idx FROM daily) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+        |  LEFT JOIN daily x ON x.day_idx = d.day_idx AND x.event_type = t.event_type
+        |), ranked AS (
+        |  SELECT event_type,
+        |    2*rank() OVER (PARTITION BY day_idx ORDER BY n)
+        |      + count(*) OVER (PARTITION BY day_idx, n) - 1 AS r2
+        |  FROM grid
+        |), pt AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_blocks,
+        |    sum(r2)::BIGINT AS r2_sum
+        |  FROM ranked GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*)::BIGINT AS k, max(n_blocks)::BIGINT AS nb,
+        |    sum(r2_sum*r2_sum)::BIGINT AS sq
+        |  FROM pt
+        |)
+        |SELECT event_type, n_blocks, round(r2_sum/2e0, 1) AS rank_sum,
+        |  round(3*CAST(sq AS DOUBLE)/(nb*k*(k + 1)) - 3*nb*(k + 1), 6) AS q_stat
+        |FROM pt CROSS JOIN tot ORDER BY event_type""".stripMargin,
+    // S and the tie-corrected variance are exact integers; only the
+    // continuity-corrected z touches doubles.
+    "events_mannkendall" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2
+        |), prs AS (
+        |  SELECT a.event_type, sign(b.x - a.x)::BIGINT AS sg
+        |  FROM hourly a JOIN hourly b
+        |    ON a.event_type = b.event_type AND a.hour_us < b.hour_us
+        |), ss AS (
+        |  SELECT event_type, sum(sg)::BIGINT AS s_stat FROM prs GROUP BY 1
+        |), lv AS (
+        |  SELECT event_type, x, count(*)::BIGINT AS t
+        |  FROM hourly GROUP BY 1, 2
+        |), ties AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_levels, sum(t)::BIGINT AS n_hours,
+        |    sum(t*(t - 1)*(2*t + 5))::BIGINT AS tie_corr
+        |  FROM lv GROUP BY 1
+        |), j AS (
+        |  SELECT ss.event_type, n_hours, s_stat,
+        |    n_hours*(n_hours - 1)*(2*n_hours + 5) - tie_corr AS var18
+        |  FROM ss JOIN ties ON ss.event_type = ties.event_type
+        |)
+        |SELECT event_type, n_hours, s_stat, round(var18/18e0, 6) AS var_s,
+        |  round(CASE WHEN s_stat > 0 THEN (s_stat - 1)/sqrt(var18/18e0)
+        |    WHEN s_stat < 0 THEN (s_stat + 1)/sqrt(var18/18e0)
+        |    ELSE CAST(0 AS DOUBLE) END, 6) AS z
+        |FROM j ORDER BY event_type""".stripMargin,
     // Boundary events ordered by the same sign-folded integer key; the
     // per-day max over the running sum is order-invariant inside ties.
     "concurrency_peak" ->
