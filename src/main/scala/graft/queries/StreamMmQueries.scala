@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Multimodal, Sessionize}
-import graft.streaming.{CleanStream, EnrichStream, EventStream, JoinStream, MerkleStream, StreamDedup, UpsertStream}
+import graft.streaming.{CleanStream, EnrichStream, EventStream, JoinStream, MerkleStream, OuterJoinStream, StreamDedup, UpsertStream}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -221,6 +221,15 @@ object StreamMmQueries {
     JoinStream.runBatchEquivalent(s, dir)
       .orderBy("view_id", "purchase_id")
 
+  /** #29s streaming LEFT OUTER stream-stream join
+    * ([[OuterJoinStream]]): the inner join's matches plus exactly-once
+    * null rows for views the watermark proved unconvertible. The
+    * oracle adds the frozen-watermark cutoff to the batch anti-join
+    * side. */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame =
+    OuterJoinStream.runBatchEquivalent(s, dir)
+      .orderBy("view_id", "purchase_id")
+
   /** #30b binary audio payloads → per-partition REAL RIFF/WAVE header
     * decode: rate/channels/bits/frames come out of the actual
     * little-endian chunk walk, and every field is independently
@@ -371,6 +380,7 @@ object StreamMmQueries {
     "session_paths"       -> (sessionPaths _),
     "session_ngrams"      -> (sessionNgrams _),
     "stream_join"         -> (streamJoin _),
+    "stream_outer_join"   -> (streamOuterJoin _),
     "stream_enrich"       -> (streamEnrich _),
     "stream_window_agg"   -> (streamWindowAgg _),
     "stream_cm_sketch"    -> (streamCmSketch _),
@@ -469,6 +479,36 @@ object StreamMmQueries {
         |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
         |  FROM documents)
         |GROUP BY fp_md5 ORDER BY doc_id""".stripMargin,
+    // Matched pairs emit unconditionally; null rows only for views
+    // whose window closed below the frozen watermark (ms-truncated
+    // max event time - 1h), mirroring outer-state eviction.
+    "stream_outer_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+        |), v AS (
+        |  SELECT event_id AS view_id, user_id, tsu AS v_ts
+        |  FROM e WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, tsu AS p_ts
+        |  FROM e WHERE event_type = 'purchase'
+        |), wm AS (
+        |  -- global watermark = min over the two sides' (ms-truncated
+        |  -- max − 1h); outer state evicts at wm − 30min − 1ms (the
+        |  -- engine's strict-bound ms allowance, probe-calibrated).
+        |  SELECT least((SELECT max(v_ts) FROM v), (SELECT max(p_ts) FROM p))
+        |    // 1000 * 1000 - 3600000000 AS wm_us
+        |), m AS (
+        |  SELECT view_id, purchase_id FROM v JOIN p ON v.user_id = p.user_id
+        |    AND p_ts >= v_ts AND p_ts <= v_ts + 1800000000
+        |), un AS (
+        |  SELECT v.view_id, NULL::BIGINT AS purchase_id
+        |  FROM v CROSS JOIN wm
+        |  WHERE v_ts <= wm_us - 1800001000
+        |    AND NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+        |)
+        |SELECT view_id, purchase_id FROM m
+        |UNION ALL SELECT view_id, purchase_id FROM un
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "stream_join" ->
       """SELECT a.event_id AS view_id, b.event_id AS purchase_id
         |FROM events a JOIN events b ON a.user_id = b.user_id
