@@ -2495,7 +2495,101 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #5aj p-chart (attribute control chart) of the daily error share —
+    * the SPC readout behind "is today's failure rate special or just
+    * noise": per-day error proportion against 3σ binomial limits
+    * around the pooled rate. Tallies are exact integers; p̄, each
+    * day's p̂ and the limits are single double expressions repeated
+    * verbatim by the oracle, and the out-of-control flag compares the
+    * UNROUNDED limit (no tolerance smuggling). One scan, one day
+    * aggregate. */
+  def spcPchart(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("x"))
+    val pooled = daily.agg(sum("n").as("sn"), sum("x").as("sx"))
+    daily.crossJoin(broadcast(pooled))
+      .withColumn("pbar", expr("cast(sx as double)/sn"))
+      .withColumn("sig", expr("sqrt(pbar*(1 - pbar)/n)"))
+      .select(col("day_idx"), col("n"), col("x"),
+        expr("round(cast(x as double)/n, 6)").as("p_hat"),
+        expr("round(pbar, 6)").as("p_bar"),
+        expr("round(pbar + 3*sig, 6)").as("ucl"),
+        expr("round(greatest(pbar - 3*sig, cast(0 as double)), 6)").as("lcl"),
+        expr("""cast(x as double)/n > pbar + 3*sig
+          or cast(x as double)/n < greatest(pbar - 3*sig, cast(0 as double))""")
+          .as("out_of_control"))
+      .orderBy("day_idx")
+  }
+
+  /** #5ak leave-one-day-out jackknife standard error of the mean
+    * event value — the resampling-based uncertainty readout that
+    * respects day-level clustering (days, not rows, are the exchange
+    * unit). Day sums are exact integer micro-units; each leave-one-out
+    * mean is one exact-ratio double rounded to nano units BEFORE the
+    * cross-day variance sum, whose numerator Σ(D·tᵢ − Σt)² is then
+    * exact integer again (DECIMAL(38,0) vs HUGEINT). One scan, one
+    * day-level aggregate. */
+  def jackknifeDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000000, 0).cast("long")).as("sv"))
+    val tot = daily.agg(count(lit(1)).as("d"), sum("n").as("nn"),
+      sum("sv").as("ss"))
+    val loo = daily.crossJoin(broadcast(tot))
+      .withColumn("tn",
+        expr("cast(round(cast(ss - sv as double)/(nn - n)/1e6*1e9, 0) as bigint)"))
+    loo.groupBy("d", "nn", "ss")
+      .agg(sum("tn").as("st"),
+        sum(expr("cast(tn as decimal(38,0)) * tn")).as("stt"))
+      .select(col("d").as("n_days"),
+        expr("round(cast(ss as double)/nn/1e6, 6)").as("mean_value"),
+        expr("""round(sqrt((d - 1) * cast(cast(d as decimal(38,0))*stt
+            - cast(st as decimal(38,0))*st as double)
+          / (cast(d as double)*d)) / 1e9, 6)""").as("se_jack"))
+  }
+
+  /** #5al partial correlation of event value vs hour-of-day,
+    * controlling for day-of-week — "is the hourly pattern real or
+    * just the weekly cycle leaking through": r_vh·w from the three
+    * pairwise correlations, each assembled from EXACT integer moments
+    * (milli-unit values, arithmetic hour/dow axes — no locale-bearing
+    * date functions) so every r is one deterministic double chain.
+    * One scan, one 1-row aggregate. */
+  def eventsPartialCorr(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(
+      round(col("value") * 1000, 0).cast("long").as("v"),
+      expr("(unix_micros(ts) div 3600000000) % 24").as("h"),
+      expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("w"))
+    val m = base.agg(count(lit(1)).as("n"),
+      sum("v").as("s_v"), sum("h").as("s_h"), sum("w").as("s_w"),
+      sum(expr("cast(v as decimal(38,0)) * v")).as("s_vv"),
+      sum(expr("cast(h as decimal(38,0)) * h")).as("s_hh"),
+      sum(expr("cast(w as decimal(38,0)) * w")).as("s_ww"),
+      sum(expr("cast(v as decimal(38,0)) * h")).as("s_vh"),
+      sum(expr("cast(v as decimal(38,0)) * w")).as("s_vw"),
+      sum(expr("cast(h as decimal(38,0)) * w")).as("s_hw"))
+    def rExpr(xy: String, x: String, y: String, xx: String, yy: String) =
+      s"""(cast(cast(n as decimal(38,0))*$xy - cast($x as decimal(38,0))*$y as double)
+        / sqrt(cast(cast(n as decimal(38,0))*$xx - cast($x as decimal(38,0))*$x as double)
+          * cast(cast(n as decimal(38,0))*$yy - cast($y as decimal(38,0))*$y as double)))"""
+    val rvh = rExpr("s_vh", "s_v", "s_h", "s_vv", "s_hh")
+    val rvw = rExpr("s_vw", "s_v", "s_w", "s_vv", "s_ww")
+    val rhw = rExpr("s_hw", "s_h", "s_w", "s_hh", "s_ww")
+    m.select(col("n"),
+      expr(s"round($rvh, 6)").as("r_vh"),
+      expr(s"round($rvw, 6)").as("r_vw"),
+      expr(s"round($rhw, 6)").as("r_hw"),
+      expr(s"""round(($rvh - $rvw*$rhw)
+        / sqrt((1 - $rvw*$rvw)*(1 - $rhw*$rhw)), 6)""").as("r_vh_given_w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "spc_pchart"         -> (spcPchart _),
+    "jackknife_days"     -> (jackknifeDays _),
+    "events_partial_corr" -> (eventsPartialCorr _),
     "events_friedman"    -> (eventsFriedman _),
     "events_mannkendall" -> (eventsMannKendall _),
     "concurrency_peak"   -> (concurrencyPeak _),
@@ -2661,6 +2755,79 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact tallies; pbar/limits/flag repeat the engine's double trees
+    // (the flag compares the UNROUNDED limits).
+    "spc_pchart" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS x
+        |  FROM events GROUP BY 1
+        |), pooled AS (
+        |  SELECT sum(n)::BIGINT AS sn, sum(x)::BIGINT AS sx FROM daily
+        |), j AS (
+        |  SELECT *, CAST(sx AS DOUBLE)/sn AS pbar,
+        |    sqrt((CAST(sx AS DOUBLE)/sn)*(1 - CAST(sx AS DOUBLE)/sn)/n) AS sig
+        |  FROM daily CROSS JOIN pooled
+        |)
+        |SELECT day_idx, n, x, round(CAST(x AS DOUBLE)/n, 6) AS p_hat,
+        |  round(pbar, 6) AS p_bar, round(pbar + 3*sig, 6) AS ucl,
+        |  round(greatest(pbar - 3*sig, CAST(0 AS DOUBLE)), 6) AS lcl,
+        |  (CAST(x AS DOUBLE)/n > pbar + 3*sig
+        |    OR CAST(x AS DOUBLE)/n < greatest(pbar - 3*sig, CAST(0 AS DOUBLE)))
+        |    AS out_of_control
+        |FROM j ORDER BY day_idx""".stripMargin,
+    // Nano-rounded leave-one-out means; the variance numerator is
+    // exact HUGEINT, mirroring the engine's DECIMAL moments.
+    "jackknife_days" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n,
+        |    sum(CAST(round(value * 1000000, 0) AS BIGINT))::BIGINT AS sv
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*)::BIGINT AS d, sum(n)::BIGINT AS nn, sum(sv)::BIGINT AS ss
+        |  FROM daily
+        |), loo AS (
+        |  SELECT d, nn, ss,
+        |    CAST(round(CAST(ss - sv AS DOUBLE)/(nn - n)/1e6*1e9, 0) AS BIGINT) AS tn
+        |  FROM daily CROSS JOIN tot
+        |), agg AS (
+        |  SELECT d, nn, ss, sum(tn)::BIGINT AS st, sum(CAST(tn AS HUGEINT) * tn) AS stt
+        |  FROM loo GROUP BY 1, 2, 3
+        |)
+        |SELECT d AS n_days, round(CAST(ss AS DOUBLE)/nn/1e6, 6) AS mean_value,
+        |  round(sqrt((d - 1) * CAST(CAST(d AS HUGEINT)*stt
+        |      - CAST(st AS HUGEINT)*st AS DOUBLE)
+        |    / (CAST(d AS DOUBLE)*d)) / 1e9, 6) AS se_jack
+        |FROM agg""".stripMargin,
+    // Exact integer moments for all three pairwise correlations; the
+    // partial-r chain repeats the engine's expression verbatim.
+    "events_partial_corr" -> {
+      def r(xy: String, x: String, y: String, xx: String, yy: String) =
+        s"""(CAST(CAST(n AS HUGEINT)*$xy - CAST($x AS HUGEINT)*$y AS DOUBLE)
+          / sqrt(CAST(CAST(n AS HUGEINT)*$xx - CAST($x AS HUGEINT)*$x AS DOUBLE)
+            * CAST(CAST(n AS HUGEINT)*$yy - CAST($y AS HUGEINT)*$y AS DOUBLE)))"""
+      val rvh = r("s_vh", "s_v", "s_h", "s_vv", "s_hh")
+      val rvw = r("s_vw", "s_v", "s_w", "s_vv", "s_ww")
+      val rhw = r("s_hw", "s_h", "s_w", "s_hh", "s_ww")
+      s"""WITH base AS (
+        |  SELECT CAST(round(value * 1000, 0) AS BIGINT) AS v,
+        |    (epoch_us(ts) // 3600000000) % 24 AS h,
+        |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS w
+        |  FROM events
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(v)::BIGINT AS s_v, sum(h)::BIGINT AS s_h, sum(w)::BIGINT AS s_w,
+        |    sum(CAST(v AS HUGEINT) * v) AS s_vv, sum(CAST(h AS HUGEINT) * h) AS s_hh,
+        |    sum(CAST(w AS HUGEINT) * w) AS s_ww, sum(CAST(v AS HUGEINT) * h) AS s_vh,
+        |    sum(CAST(v AS HUGEINT) * w) AS s_vw, sum(CAST(h AS HUGEINT) * w) AS s_hw
+        |  FROM base
+        |)
+        |SELECT n, round($rvh, 6) AS r_vh, round($rvw, 6) AS r_vw,
+        |  round($rhw, 6) AS r_hw,
+        |  round(($rvh - $rvw*$rhw)
+        |    / sqrt((1 - $rvw*$rvw)*(1 - $rhw*$rhw)), 6) AS r_vh_given_w
+        |FROM m""".stripMargin
+    },
     // Complete day×type grid; average ranks via the integer doubling
     // r2 = 2·minrank + ties − 1, so rank sums are exact.
     "events_friedman" ->
