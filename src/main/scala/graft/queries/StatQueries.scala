@@ -2586,7 +2586,47 @@ object StatQueries {
         / sqrt((1 - $rvw*$rvw)*(1 - $rhw*$rhw)), 6)""").as("r_vh_given_w"))
   }
 
+  /** #5am robust outlier screen per type: median + MAD instead of the
+    * mean/σ the z-score family uses (one contaminated tail can't move
+    * the fence). Values are exact integer milli-units; both medians
+    * are the exact LOWER order statistic at rank (n+1) div 2, each
+    * found through ChronoSplit's per-group bucketed order stats (no
+    * unpartitioned sort); the 3·1.4826·MAD fence compares as the
+    * integer cross-product |v−med|·10000 > mad·44478, so no float
+    * enters the decision. Two order-stat passes over the scan. */
+  def eventsMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val base = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+      round(col("value") * 1000, 0).cast("long").as("v"))
+    val sizes = base.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val med = ChronoSplit
+      .withOrderStats(base, "v", "event_id", partitionCols = Seq("event_type"))
+      .join(broadcast(sizes), "event_type")
+      .filter(col(ChronoSplit.RankCol) === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("v").as("med"))
+    val dtab = base.join(broadcast(med), "event_type")
+      .withColumn("dd", abs(col("v") - col("med")))
+    val mad = ChronoSplit
+      .withOrderStats(dtab.select("event_type", "event_id", "dd"),
+        "dd", "event_id", partitionCols = Seq("event_type"))
+      .join(broadcast(sizes), "event_type")
+      .filter(col(ChronoSplit.RankCol) === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("dd").as("mad"))
+    dtab.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("med").as("med_m"), max("mad").as("mad_m"),
+        sum(when(col("dd") * 10000 > col("mad") * 44478, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        expr("round(med_m/1e3, 3)").as("median"),
+        expr("round(mad_m/1e3, 3)").as("mad"),
+        col("n_outliers"),
+        expr("round(cast(n_outliers as double)/n, 6)").as("outlier_share"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_mad_outliers" -> (eventsMadOutliers _),
     "spc_pchart"         -> (spcPchart _),
     "jackknife_days"     -> (jackknifeDays _),
     "events_partial_corr" -> (eventsPartialCorr _),
@@ -2755,6 +2795,40 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact lower-median order statistics; the fence is an integer
+    // cross-product, so no float enters the outlier decision.
+    "events_mad_outliers" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id, CAST(round(value*1000, 0) AS BIGINT) AS v
+        |  FROM events
+        |), sizes AS (
+        |  SELECT event_type, count(*)::BIGINT AS n FROM base GROUP BY 1
+        |), r1 AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rk
+        |  FROM base
+        |), med AS (
+        |  SELECT r1.event_type, v AS med FROM r1 JOIN sizes USING (event_type)
+        |  WHERE rk = (n + 1) // 2
+        |), d AS (
+        |  SELECT b.event_type, b.event_id, abs(b.v - med) AS dd, med
+        |  FROM base b JOIN med USING (event_type)
+        |), r2 AS (
+        |  SELECT event_type, dd,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dd, event_id) AS rk
+        |  FROM d
+        |), mad AS (
+        |  SELECT r2.event_type, dd AS mad FROM r2 JOIN sizes USING (event_type)
+        |  WHERE rk = (n + 1) // 2
+        |)
+        |SELECT d.event_type, count(*)::BIGINT AS n,
+        |  round(max(med)/1e3, 3) AS median, round(max(mad)/1e3, 3) AS mad,
+        |  sum(CASE WHEN dd * 10000 > mad * 44478 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_outliers,
+        |  round(CAST(sum(CASE WHEN dd * 10000 > mad * 44478 THEN 1 ELSE 0 END)
+        |    AS DOUBLE)/count(*), 6) AS outlier_share
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Exact tallies; pbar/limits/flag repeat the engine's double trees
     // (the flag compares the UNROUNDED limits).
     "spc_pchart" ->
