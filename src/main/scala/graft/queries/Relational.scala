@@ -601,6 +601,36 @@ object Relational {
       .orderBy(col("n_name"), col("o_year").desc)
   }
 
+  /** #6l TPC-H Q7 shape — trade volume between two nations: revenue
+    * shipped where the customer sits in one pinned nation and the
+    * supplier in the other, both directions, by year. Revenue is the
+    * exact cent·pct integer unit (price cents × (100 − discount pct));
+    * the two nation filters prune the dimension BEFORE the broadcast
+    * joins, so the fact scan only widens by two ints. */
+  def q29Trade(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_3"))
+    val cn = Tables.customer(s, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val sn = Tables.supplier(s, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .withColumn("units",
+        round(col("l_extendedprice") * 100, 0).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+      .groupBy(col("cust_nation"), col("supp_nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum("units") / 10000.0, 2).as("revenue"))
+      .orderBy("cust_nation", "supp_nation", "o_year")
+  }
+
   /** #7 time-bucketed event aggregation: daily activity by event type. */
   def q7EventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -640,6 +670,7 @@ object Relational {
     "q26_priority"     -> (q26Priority _),
     "q27_bigorders"    -> (q27BigOrders _),
     "q28_profit"       -> (q28Profit _),
+    "q29_trade"        -> (q29Trade _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -671,6 +702,23 @@ object Relational {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // Late = exact integer-microsecond comparison; share = integer
     // basis points (div), so nothing float-ordered enters the hash.
+    // Exact cent·pct revenue units; both directions between the two
+    // pinned nations, grouped by year.
+    "q29_trade" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |  year(o_orderdate)::BIGINT AS o_year, count(*)::BIGINT AS n_lines,
+        |  round(sum(round(l_extendedprice * 100, 0)::BIGINT
+        |    * (100 - round(l_discount * 100, 0)::BIGINT)) / 10000.0, 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  AND cn.n_name IN ('NATION_1', 'NATION_3')
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  AND sn.n_name IN ('NATION_1', 'NATION_3')
+        |WHERE cn.n_name <> sn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // Exact cent·pct profit units summed as integers; only the final
     // display division touches doubles.
     "q28_profit" ->

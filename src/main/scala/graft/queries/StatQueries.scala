@@ -2625,7 +2625,93 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #37n Simpson diversity of each source's token distribution — the
+    * "probability two random tokens differ" concentration readout next
+    * to [[sourceJsd]]'s pairwise divergences (ecology's 1−D, Herfindahl
+    * in market terms). EXACT end to end: D = 1 − Σc(c−1)/(N(N−1)) is
+    * all integer tallies (DECIMAL(38,0) vs HUGEINT) with one double
+    * division at display. One token explode, one two-level agg. */
+  def sourceSimpson(s: SparkSession, dir: String): DataFrame = {
+    val lt = Tables.documents(s, dir)
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    lt.groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+        sum(expr("cast(c as decimal(38,0)) * (c - 1)")).as("num"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("""round(1 - cast(num as double)
+          / cast(cast(n_tokens as decimal(38,0))*(n_tokens - 1) as double), 6)""")
+          .as("simpson"))
+      .orderBy("source")
+  }
+
+  /** #5an Cohen's d / Hedges' g effect size of the A/B value split —
+    * the magnitude readout `ab_ttest`'s p-value deliberately isn't.
+    * Same multiplicative-hash arms; per-arm moments are exact integer
+    * micro-units (DECIMAL(38,0) squared sums), the pooled SD combines
+    * the two arms' exact variance numerators explicitly (no cross-arm
+    * float agg), and Hedges' small-sample factor is the standard
+    * 1 − 3/(4df − 1). One scan, one 2×|types| aggregate. */
+  def abEffectSize(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 1000000, 0).cast("long").as("v"),
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + lit(13L), lit(1000000L)) < 500000L, 0L).otherwise(1L).as("arm"))
+      .groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(expr("cast(v as decimal(38,0)) * v")).as("svv"))
+      .withColumn("varnum",
+        expr("cast(cast(n as decimal(38,0))*svv - cast(sv as decimal(38,0))*sv as double)/n"))
+    val a = g.filter(col("arm") === 0).select(col("event_type"),
+      col("n").as("n_a"), col("sv").as("sv_a"), col("varnum").as("vn_a"))
+    val b = g.filter(col("arm") === 1).select(col("event_type"),
+      col("n").as("n_b"), col("sv").as("sv_b"), col("varnum").as("vn_b"))
+    a.join(b, "event_type")
+      .withColumn("dlt",
+        expr("cast(sv_b as double)/n_b - cast(sv_a as double)/n_a"))
+      .withColumn("sp", expr("sqrt((vn_a + vn_b)/(n_a + n_b - 2))"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("round(dlt/1e6, 6)").as("mean_diff"),
+        expr("round(dlt/sp, 6)").as("cohens_d"),
+        expr("round(dlt/sp * (1 - cast(3 as double)/(4*(n_a + n_b - 2) - 1)), 6)")
+          .as("hedges_g"))
+      .orderBy("event_type")
+  }
+
+  /** #5ao two-proportion z-test on the lineitem return rate between
+    * the first and second shipdate halves — the categorical drift
+    * companion to `drift_ks`'s continuous screen. Tallies are exact
+    * integers; the pooled-SE z repeats one double chain on both
+    * engines. One scan (the midpoint is a 1-row broadcast), one 2-row
+    * aggregate folded wide. */
+  def returnsZtest(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(expr("unix_micros(cast(l_shipdate as timestamp))").as("ts_us"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+    val mid = li.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+    val halves = li.crossJoin(broadcast(mid))
+      .groupBy(when(col("ts_us") <= col("mid"), 0L).otherwise(1L).as("half"))
+      .agg(count(lit(1)).as("n"), sum("r").as("x"))
+    val h0 = halves.filter(col("half") === 0)
+      .select(col("n").as("n1"), col("x").as("x1"))
+    val h1 = halves.filter(col("half") === 1)
+      .select(col("n").as("n2"), col("x").as("x2"))
+    h0.crossJoin(broadcast(h1))
+      .withColumn("pp", expr("cast(x1 + x2 as double)/(n1 + n2)"))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"),
+        expr("round(cast(x1 as double)/n1, 6)").as("p1"),
+        expr("round(cast(x2 as double)/n2, 6)").as("p2"),
+        expr("""round((cast(x1 as double)/n1 - cast(x2 as double)/n2)
+          / sqrt(pp*(1 - pp)*(cast(1 as double)/n1 + cast(1 as double)/n2)), 6)""")
+          .as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_simpson"     -> (sourceSimpson _),
+    "ab_effect_size"     -> (abEffectSize _),
+    "returns_ztest"      -> (returnsZtest _),
     "events_mad_outliers" -> (eventsMadOutliers _),
     "spc_pchart"         -> (spcPchart _),
     "jackknife_days"     -> (jackknifeDays _),
@@ -2795,6 +2881,74 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // All-integer concentration tallies (HUGEINT), one display division.
+    "source_simpson" ->
+      """WITH lt AS (
+        |  SELECT source, tok, count(*)::BIGINT AS c FROM (
+        |    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents) x
+        |  WHERE length(tok) > 0 GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT source, count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_tokens,
+        |    sum(CAST(c AS HUGEINT) * (c - 1)) AS num
+        |  FROM lt GROUP BY 1
+        |)
+        |SELECT source, n_tokens, n_types,
+        |  round(1 - CAST(num AS DOUBLE)
+        |    / CAST(CAST(n_tokens AS HUGEINT)*(n_tokens - 1) AS DOUBLE), 6) AS simpson
+        |FROM agg ORDER BY source""".stripMargin,
+    // Exact per-arm micro moments; the pooled SD combines the two
+    // variance numerators explicitly, mirroring the engine's join.
+    "ab_effect_size" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CASE WHEN ((user_id % 1000000) * 2654435761 + 13) % 1000000 < 500000
+        |      THEN 0 ELSE 1 END AS arm,
+        |    count(*)::BIGINT AS n,
+        |    sum(CAST(round(value * 1000000, 0) AS BIGINT))::BIGINT AS sv,
+        |    sum(CAST(CAST(round(value * 1000000, 0) AS BIGINT) AS HUGEINT)
+        |      * CAST(round(value * 1000000, 0) AS BIGINT)) AS svv
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT *, CAST(CAST(n AS HUGEINT)*svv - CAST(sv AS HUGEINT)*sv AS DOUBLE)/n
+        |    AS varnum
+        |  FROM g
+        |), j AS (
+        |  SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+        |    CAST(b.sv AS DOUBLE)/b.n - CAST(a.sv AS DOUBLE)/a.n AS dlt,
+        |    sqrt((a.varnum + b.varnum)/(a.n + b.n - 2)) AS sp
+        |  FROM (SELECT * FROM w WHERE arm = 0) a
+        |  JOIN (SELECT * FROM w WHERE arm = 1) b ON a.event_type = b.event_type
+        |)
+        |SELECT event_type, n_a, n_b, round(dlt/1e6, 6) AS mean_diff,
+        |  round(dlt/sp, 6) AS cohens_d,
+        |  round(dlt/sp * (1 - CAST(3 AS DOUBLE)/(4*(n_a + n_b - 2) - 1)), 6)
+        |    AS hedges_g
+        |FROM j ORDER BY event_type""".stripMargin,
+    // Exact tallies; the pooled-SE z repeats one double chain.
+    "returns_ztest" ->
+      """WITH li AS (
+        |  SELECT epoch_us(l_shipdate) AS ts_us,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        |  FROM lineitem
+        |), mid AS (
+        |  SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM li
+        |), halves AS (
+        |  SELECT CASE WHEN ts_us <= mid THEN 0 ELSE 1 END AS half,
+        |    count(*)::BIGINT AS n, sum(r)::BIGINT AS x
+        |  FROM li CROSS JOIN mid GROUP BY 1
+        |), j AS (
+        |  SELECT a.n AS n1, a.x AS x1, b.n AS n2, b.x AS x2,
+        |    CAST(a.x + b.x AS DOUBLE)/(a.n + b.n) AS pp
+        |  FROM (SELECT * FROM halves WHERE half = 0) a
+        |  CROSS JOIN (SELECT * FROM halves WHERE half = 1) b
+        |)
+        |SELECT n1, x1, n2, x2, round(CAST(x1 AS DOUBLE)/n1, 6) AS p1,
+        |  round(CAST(x2 AS DOUBLE)/n2, 6) AS p2,
+        |  round((CAST(x1 AS DOUBLE)/n1 - CAST(x2 AS DOUBLE)/n2)
+        |    / sqrt(pp*(1 - pp)*(CAST(1 AS DOUBLE)/n1 + CAST(1 AS DOUBLE)/n2)), 6)
+        |    AS z
+        |FROM j""".stripMargin,
     // Exact lower-median order statistics; the fence is an integer
     // cross-product, so no float enters the outlier decision.
     "events_mad_outliers" ->
