@@ -2708,7 +2708,106 @@ object StatQueries {
           .as("z"))
   }
 
+  /** #5ap Hill tail-index estimator over the event-value upper tail —
+    * "how heavy is the tail" in one number (α < 2 means infinite
+    * variance and every mean-based readout above is suspect). The top
+    * k = 100 order statistics are a deterministic TakeOrdered set
+    * ((v DESC, event_id) total order, never a global sort); ln terms
+    * round to nano units per row before the sum, and
+    * α = (k−1) / Σ(ln xᵢ − ln x₍ₖ₎) is one double division. */
+  def eventsTailIndex(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), round(col("value") * 1000, 0).cast("long").as("v"))
+      .filter(col("v") > 0)
+    val top = base.orderBy(col("v").desc, col("event_id")).limit(100)
+      .withColumn("lterm", expr("cast(round(ln(v)*1e9, 0) as bigint)"))
+    // The k-th order statistic is the struct-min over (v, −event_id) —
+    // the same row the (v DESC, event_id) total order ranks last — so
+    // no window runs at all; Σ_{i<k}(ln xᵢ − ln xₖ) = lsum − k·ltermₖ.
+    top.agg(count(lit(1)).as("k"), sum("lterm").as("lsum"),
+        min(struct(col("v"), (-col("event_id")).as("nid"))).as("m"))
+      .select(col("k"),
+        expr("round(m.v/1e3, 3)").as("x_k"),
+        expr("""round((k - 1)*1e9/cast(lsum
+          - k*cast(round(ln(m.v)*1e9, 0) as bigint) as double), 6)""")
+          .as("hill_alpha"))
+  }
+
+  /** #5aq delta-method ratio-metric A/B readout — the experimentation
+    * staple for per-user ratio metrics (value per event): user-level
+    * totals are the iid unit, R = Σx/Σy per arm, and the SE comes from
+    * the delta-method expansion Var(R) ≈ (S²x − 2R·Sxy + R²·S²y)/(n·ȳ²)
+    * with every (co)variance assembled from EXACT integer user-level
+    * moments (DECIMAL(38,0) vs HUGEINT). The z for the arm difference
+    * is one double chain. One scan → user agg → 2-row arm agg. */
+  def abRatioDelta(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir)
+      .select(col("user_id"),
+        round(col("value") * 1000000, 0).cast("long").as("vmu"),
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + lit(13L), lit(1000000L)) < 500000L, 0L).otherwise(1L).as("arm"))
+      .groupBy("arm", "user_id")
+      .agg(sum("vmu").as("x"), count(lit(1)).as("y"))
+    val g = u.groupBy("arm").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"))
+      .withColumn("r", expr("cast(sx as double)/sy"))
+      .withColumn("vx", expr(
+        "cast(cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx as double)/n/(n - 1)"))
+      .withColumn("vy", expr(
+        "cast(cast(n as decimal(38,0))*syy - cast(sy as decimal(38,0))*sy as double)/n/(n - 1)"))
+      .withColumn("cxy", expr(
+        "cast(cast(n as decimal(38,0))*sxy - cast(sx as decimal(38,0))*sy as double)/n/(n - 1)"))
+      .withColumn("se", expr(
+        "sqrt((vx - 2*r*cxy + r*r*vy)/n)/(cast(sy as double)/n)"))
+    val a = g.filter(col("arm") === 0).select(col("n").as("n_a"),
+      col("r").as("r_a"), col("se").as("se_a"))
+    val b = g.filter(col("arm") === 1).select(col("n").as("n_b"),
+      col("r").as("r_b"), col("se").as("se_b"))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        expr("round(r_a/1e6, 6)").as("ratio_a"),
+        expr("round(r_b/1e6, 6)").as("ratio_b"),
+        expr("round(se_a/1e6, 6)").as("se_ratio_a"),
+        expr("round(se_b/1e6, 6)").as("se_ratio_b"),
+        expr("round((r_b - r_a)/sqrt(se_a*se_a + se_b*se_b), 6)").as("z"))
+  }
+
+  /** #5ar quantile treatment effect at the median — the
+    * distribution-shift readout mean-based A/B tests miss (a treatment
+    * can move the median without moving the mean). Exact lower-median
+    * order statistic per arm via ChronoSplit's per-group bucketed
+    * order stats (no unpartitioned sort); the QTE is an integer
+    * difference of integer milli-unit medians. */
+  def abQte(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), round(col("value") * 1000, 0).cast("long").as("v"),
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + lit(13L), lit(1000000L)) < 500000L, 0L).otherwise(1L).as("arm"))
+    val sizes = base.groupBy("arm").agg(count(lit(1)).as("n"))
+    val med = ChronoSplit
+      .withOrderStats(base, "v", "event_id", partitionCols = Seq("arm"))
+      .join(broadcast(sizes), "arm")
+      .filter(col(ChronoSplit.RankCol) === expr("(n + 1) div 2"))
+      .select(col("arm"), col("n"), col("v").as("med"))
+    val a = med.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("med").as("med_a"))
+    val b = med.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("med").as("med_b"))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        expr("round(med_a/1e3, 3)").as("median_a"),
+        expr("round(med_b/1e3, 3)").as("median_b"),
+        expr("round((med_b - med_a)/1e3, 3)").as("qte_median"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tail_index"  -> (eventsTailIndex _),
+    "ab_ratio_delta"     -> (abRatioDelta _),
+    "ab_qte"             -> (abQte _),
     "source_simpson"     -> (sourceSimpson _),
     "ab_effect_size"     -> (abEffectSize _),
     "returns_ztest"      -> (returnsZtest _),
@@ -2881,6 +2980,77 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Deterministic top-k set ((v DESC, event_id) total order); nano
+    // ln terms round-then-sum; α is one double division.
+    "events_tail_index" ->
+      """WITH base AS (
+        |  SELECT event_id, CAST(round(value*1000, 0) AS BIGINT) AS v
+        |  FROM events WHERE round(value*1000, 0) > 0
+        |), top AS (
+        |  SELECT v, event_id, CAST(round(ln(v)*1e9, 0) AS BIGINT) AS lterm
+        |  FROM base ORDER BY v DESC, event_id LIMIT 100
+        |), kth AS (
+        |  SELECT v AS vk FROM top ORDER BY v ASC, event_id DESC LIMIT 1
+        |), agg AS (
+        |  SELECT count(*)::BIGINT AS k, sum(lterm)::BIGINT AS lsum FROM top
+        |)
+        |SELECT k, round(vk/1e3, 3) AS x_k,
+        |  round((k - 1)*1e9/CAST(lsum
+        |    - k*CAST(round(ln(vk)*1e9, 0) AS BIGINT) AS DOUBLE), 6) AS hill_alpha
+        |FROM agg CROSS JOIN kth""".stripMargin,
+    // Exact user-level moments per arm (HUGEINT); the delta-method SE
+    // and the z repeat the engine's double chains verbatim.
+    "ab_ratio_delta" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN ((user_id % 1000000) * 2654435761 + 13) % 1000000
+        |      < 500000 THEN 0 ELSE 1 END AS arm, user_id,
+        |    sum(CAST(round(value * 1000000, 0) AS BIGINT))::BIGINT AS x,
+        |    count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT arm, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(CAST(x AS HUGEINT)*x) AS sxx,
+        |    sum(CAST(y AS HUGEINT)*y) AS syy, sum(CAST(x AS HUGEINT)*y) AS sxy
+        |  FROM u GROUP BY 1
+        |), w AS (
+        |  SELECT *, CAST(sx AS DOUBLE)/sy AS r,
+        |    CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)/n/(n - 1) AS vx,
+        |    CAST(CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE)/n/(n - 1) AS vy,
+        |    CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)/n/(n - 1) AS cxy
+        |  FROM g
+        |), w2 AS (
+        |  SELECT *, sqrt((vx - 2*r*cxy + r*r*vy)/n)/(CAST(sy AS DOUBLE)/n) AS se
+        |  FROM w
+        |)
+        |SELECT a.n AS n_a, b.n AS n_b, round(a.r/1e6, 6) AS ratio_a,
+        |  round(b.r/1e6, 6) AS ratio_b, round(a.se/1e6, 6) AS se_ratio_a,
+        |  round(b.se/1e6, 6) AS se_ratio_b,
+        |  round((b.r - a.r)/sqrt(a.se*a.se + b.se*b.se), 6) AS z
+        |FROM (SELECT * FROM w2 WHERE arm = 0) a
+        |CROSS JOIN (SELECT * FROM w2 WHERE arm = 1) b""".stripMargin,
+    // Exact lower-median order statistic per arm; QTE is an integer
+    // difference displayed once.
+    "ab_qte" ->
+      """WITH base AS (
+        |  SELECT event_id, CAST(round(value*1000, 0) AS BIGINT) AS v,
+        |    CASE WHEN ((user_id % 1000000) * 2654435761 + 13) % 1000000
+        |      < 500000 THEN 0 ELSE 1 END AS arm
+        |  FROM events
+        |), sizes AS (
+        |  SELECT arm, count(*)::BIGINT AS n FROM base GROUP BY 1
+        |), r1 AS (
+        |  SELECT arm, v,
+        |    row_number() OVER (PARTITION BY arm ORDER BY v, event_id) AS rk
+        |  FROM base
+        |), med AS (
+        |  SELECT r1.arm, n, v AS med FROM r1 JOIN sizes USING (arm)
+        |  WHERE rk = (n + 1) // 2
+        |)
+        |SELECT a.n AS n_a, b.n AS n_b, round(a.med/1e3, 3) AS median_a,
+        |  round(b.med/1e3, 3) AS median_b,
+        |  round((b.med - a.med)/1e3, 3) AS qte_median
+        |FROM (SELECT * FROM med WHERE arm = 0) a
+        |CROSS JOIN (SELECT * FROM med WHERE arm = 1) b""".stripMargin,
     // All-integer concentration tallies (HUGEINT), one display division.
     "source_simpson" ->
       """WITH lt AS (
