@@ -1157,6 +1157,35 @@ object OpsQueries {
       .select(col("a").as("item_a"), col("b").as("item_b"),
         col("n_common"), col("deg_a"), col("deg_b"), col("jaccard_ppm"))
 
+  /** #19z modularity Q of the label-propagation communities — the
+    * standard "are these communities better than chance" score over
+    * the same partition [[graphCommunities]] reports:
+    * Q = E_in/m − Σ_c d_c²/(4m²), assembled as the single exact
+    * integer ratio (4m·E_in − Σd_c²)/(4m²) (DECIMAL(38,0) vs HUGEINT)
+    * so no float enters before the one display division. Degrees and
+    * intra-edges are two small joins against the deterministic label
+    * table. */
+  def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = coocPairs(s, dir).select("item_a", "item_b")
+    val labs = graft.ops.LabelProp.communities(edges, "item_a", "item_b")
+    val la = labs.select(col("v").as("item_a"), col("community").as("ca"))
+    val lb = labs.select(col("v").as("item_b"), col("community").as("cb"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val eIn = edges.join(la, "item_a").join(lb, "item_b")
+      .agg(sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("e_in"))
+    val sym = edges.select(col("item_a").as("u"))
+      .unionAll(edges.select(col("item_b").as("u")))
+    val dc = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      .join(labs.withColumnRenamed("v", "u"), "u")
+      .groupBy("community").agg(sum("deg").as("d_c"))
+    val dsq = dc.agg(count(lit(1)).as("n_communities"),
+      sum(expr("cast(d_c as decimal(38,0)) * d_c")).as("sum_dsq"))
+    m.crossJoin(broadcast(eIn)).crossJoin(broadcast(dsq))
+      .select(col("n_communities"), col("m").as("m_edges"), col("e_in"),
+        expr("""round(cast(4*cast(m as decimal(38,0))*e_in - sum_dsq as double)
+          / cast(4*cast(m as decimal(38,0))*m as double), 6)""").as("modularity"))
+  }
+
   /** #19y label-propagation communities on the co-purchase graph
     * ([[graft.ops.LabelProp.communities]]): three synchronous modal-
     * vote rounds from singleton labels, ties to the smallest label —
@@ -3558,6 +3587,7 @@ object OpsQueries {
     "link_adamic_adar"  -> (linkAdamicAdar _),
     "link_jaccard"      -> (linkJaccard _),
     "graph_communities" -> (graphCommunities _),
+    "graph_modularity"  -> (graphModularity _),
     "source_ablation"   -> (sourceAblation _),
     "merge_apply"       -> (mergeApply _),
     "cdc_roundtrip"     -> (cdcRoundtrip _),
@@ -4145,6 +4175,56 @@ object OpsQueries {
     // Three unrolled synchronous modal-vote rounds; argmax per vertex
     // by (count DESC, label ASC) mirrors the engine's bounded-heap
     // top-1 tie discipline.
+    // Same 3-round label CTE chain as graph_communities; Q is one
+    // exact HUGEINT ratio.
+    "graph_modularity" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), e AS (
+        |  SELECT x.item AS ia, y.item AS ib
+        |  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT ia AS u, ib AS v FROM e
+        |  UNION ALL SELECT ib AS u, ia AS v FROM e
+        |), l0 AS (
+        |  SELECT DISTINCT u AS lv, u AS lab FROM sym
+        |), l1 AS (
+        |  SELECT cv AS lv, lab FROM (
+        |    SELECT s.u AS cv, l.lab, row_number() OVER (
+        |      PARTITION BY s.u ORDER BY count(*) DESC, l.lab) AS rk
+        |    FROM sym s JOIN l0 l ON s.v = l.lv GROUP BY s.u, l.lab
+        |  ) WHERE rk = 1
+        |), l2 AS (
+        |  SELECT cv AS lv, lab FROM (
+        |    SELECT s.u AS cv, l.lab, row_number() OVER (
+        |      PARTITION BY s.u ORDER BY count(*) DESC, l.lab) AS rk
+        |    FROM sym s JOIN l1 l ON s.v = l.lv GROUP BY s.u, l.lab
+        |  ) WHERE rk = 1
+        |), l3 AS (
+        |  SELECT cv AS lv, lab FROM (
+        |    SELECT s.u AS cv, l.lab, row_number() OVER (
+        |      PARTITION BY s.u ORDER BY count(*) DESC, l.lab) AS rk
+        |    FROM sym s JOIN l2 l ON s.v = l.lv GROUP BY s.u, l.lab
+        |  ) WHERE rk = 1
+        |), m AS (SELECT count(*)::BIGINT AS m FROM e),
+        |ein AS (
+        |  SELECT sum(CASE WHEN a.lab = c.lab THEN 1 ELSE 0 END)::BIGINT AS e_in
+        |  FROM e JOIN l3 a ON e.ia = a.lv JOIN l3 c ON e.ib = c.lv
+        |), deg AS (
+        |  SELECT u, count(*)::BIGINT AS deg FROM sym GROUP BY 1
+        |), dc AS (
+        |  SELECT lab, sum(deg)::BIGINT AS d_c
+        |  FROM deg JOIN l3 ON deg.u = l3.lv GROUP BY 1
+        |), dsq AS (
+        |  SELECT count(*)::BIGINT AS n_communities,
+        |    sum(CAST(d_c AS HUGEINT) * d_c) AS sum_dsq
+        |  FROM dc
+        |)
+        |SELECT n_communities, m AS m_edges, e_in,
+        |  round(CAST(4*CAST(m AS HUGEINT)*e_in - sum_dsq AS DOUBLE)
+        |    / CAST(4*CAST(m AS HUGEINT)*m AS DOUBLE), 6) AS modularity
+        |FROM m CROSS JOIN ein CROSS JOIN dsq""".stripMargin,
     "graph_communities" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem

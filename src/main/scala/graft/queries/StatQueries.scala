@@ -2804,7 +2804,45 @@ object StatQueries {
         expr("round((med_b - med_a)/1e3, 3)").as("qte_median"))
   }
 
+  /** #5as Haar wavelet detail energy of the hourly volume series at
+    * scales 2/4/8 hours — the multi-resolution companion to
+    * [[eventsHurst]]: which timescale carries the variation (bursty
+    * hours vs shift-of-day swings). Hour ranks index the observed
+    * series; each scale's detail coefficient is an EXACT signed
+    * integer block sum (first half minus second half), incomplete
+    * trailing blocks are dropped by the exact block-size gate, and
+    * energies are exact DECIMAL(38,0) squared sums. The only window
+    * ranks the post-aggregate hourly set. */
+  def eventsWaveletEnergy(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("x"))
+    val idx = hourly.withColumn("i",
+      row_number().over(Window.orderBy("hour_us")).cast("long") - 1)
+    val scales = (1 to 3).map { j =>
+      val bs = 1L << j
+      idx.withColumn("scale", lit(j.toLong))
+        .withColumn("b", expr(s"i div $bs"))
+        .withColumn("t", expr(
+          s"case when (i div ${bs / 2}) % 2 = 0 then x else -x end"))
+        .groupBy("scale", "b")
+        .agg(count(lit(1)).as("cnt"), sum("t").as("d"))
+        .filter(col("cnt") === bs)
+    }.reduce(_ unionAll _)
+    val per = scales.groupBy("scale")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("cast(d as decimal(38,0)) * d")).as("energy"))
+    val tot = per.agg(sum("energy").as("etot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("scale"), col("n_blocks"),
+        col("energy").cast("long").as("energy"),
+        expr("round(cast(energy as double)/cast(etot as double), 6)")
+          .as("energy_share"))
+      .orderBy("scale")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_wavelet"     -> (eventsWaveletEnergy _),
     "events_tail_index"  -> (eventsTailIndex _),
     "ab_ratio_delta"     -> (abRatioDelta _),
     "ab_qte"             -> (abQte _),
@@ -2980,6 +3018,35 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact signed integer block sums; energies are HUGEINT squares;
+    // incomplete trailing blocks dropped by the exact size gate.
+    "events_wavelet" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1
+        |), idx AS (
+        |  SELECT x, row_number() OVER (ORDER BY hour_us) - 1 AS i FROM hourly
+        |), sc AS (
+        |  SELECT 1::BIGINT AS scale, i // 2 AS b,
+        |    CASE WHEN (i // 1) % 2 = 0 THEN x ELSE -x END AS t FROM idx
+        |  UNION ALL SELECT 2::BIGINT, i // 4,
+        |    CASE WHEN (i // 2) % 2 = 0 THEN x ELSE -x END FROM idx
+        |  UNION ALL SELECT 3::BIGINT, i // 8,
+        |    CASE WHEN (i // 4) % 2 = 0 THEN x ELSE -x END FROM idx
+        |), blocks AS (
+        |  SELECT scale, b, count(*)::BIGINT AS cnt, sum(t)::BIGINT AS d
+        |  FROM sc GROUP BY 1, 2
+        |), keep AS (
+        |  SELECT * FROM blocks
+        |  WHERE cnt = CASE scale WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END
+        |), per AS (
+        |  SELECT scale, count(*)::BIGINT AS n_blocks,
+        |    sum(CAST(d AS HUGEINT) * d) AS energy
+        |  FROM keep GROUP BY 1
+        |), tot AS (SELECT sum(energy) AS etot FROM per)
+        |SELECT scale, n_blocks, CAST(energy AS BIGINT) AS energy,
+        |  round(CAST(energy AS DOUBLE)/CAST(etot AS DOUBLE), 6) AS energy_share
+        |FROM per CROSS JOIN tot ORDER BY scale""".stripMargin,
     // Deterministic top-k set ((v DESC, event_id) total order); nano
     // ln terms round-then-sum; α is one double division.
     "events_tail_index" ->
