@@ -3556,17 +3556,21 @@ object OpsQueries {
     * Only parts sold in BOTH years enter (the matched basket). One
     * fact scan, one part-year aggregate, one self-join on partkey. */
   def priceIndex(s: SparkSession, dir: String): DataFrame = {
-    val py = Tables.lineitem(s, dir)
+    // One fact scan: both years pivot out as conditional sums per part
+    // (a self-join of the part-year aggregate would scan + join the
+    // fact table twice).
+    val yr = year(col("o_orderdate"))
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    val qty = col("l_quantity").cast("long")
+    Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .filter(year(col("o_orderdate")).isin(1995, 1996))
-      .groupBy(col("l_partkey").as("pk"), year(col("o_orderdate")).as("yr"))
-      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sc"),
-        sum(col("l_quantity").cast("long")).as("sq"))
-    val p0 = py.filter(col("yr") === 1995)
-      .select(col("pk"), col("sc").as("sc0"), col("sq").as("sq0"))
-    val p1 = py.filter(col("yr") === 1996)
-      .select(col("pk"), col("sc").as("sc1"), col("sq").as("sq1"))
-    p0.join(p1, "pk")
+      .filter(yr.isin(1995, 1996))
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(when(yr === 1995, cents)).as("sc0"),
+        sum(when(yr === 1995, qty)).as("sq0"),
+        sum(when(yr === 1996, cents)).as("sc1"),
+        sum(when(yr === 1996, qty)).as("sq1"))
+      .filter(col("sq0").isNotNull && col("sq1").isNotNull)
       .select(col("sc0"), col("sc1"),
         expr("cast(round(cast(sc1 as double)*sq0/sq1, 0) as bigint)").as("p1q0"),
         expr("cast(round(cast(sc0 as double)*sq1/sq0, 0) as bigint)").as("p0q1"))
@@ -4014,18 +4018,23 @@ object OpsQueries {
     // basket sums, own-year values are exact cent sums.
     "price_index" ->
       """WITH py AS (
-        |  SELECT l_partkey AS pk, year(o_orderdate) AS yr,
-        |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT AS sc,
-        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS sq
+        |  SELECT l_partkey AS pk,
+        |    sum(CASE WHEN year(o_orderdate) = 1995
+        |      THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END)::BIGINT AS sc0,
+        |    sum(CASE WHEN year(o_orderdate) = 1995
+        |      THEN CAST(l_quantity AS BIGINT) END)::BIGINT AS sq0,
+        |    sum(CASE WHEN year(o_orderdate) = 1996
+        |      THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END)::BIGINT AS sc1,
+        |    sum(CASE WHEN year(o_orderdate) = 1996
+        |      THEN CAST(l_quantity AS BIGINT) END)::BIGINT AS sq1
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  WHERE year(o_orderdate) IN (1995, 1996)
-        |  GROUP BY 1, 2
+        |  GROUP BY 1
         |), j AS (
-        |  SELECT p0.sc AS sc0, p1.sc AS sc1,
-        |    CAST(round(CAST(p1.sc AS DOUBLE)*p0.sq/p1.sq, 0) AS BIGINT) AS p1q0,
-        |    CAST(round(CAST(p0.sc AS DOUBLE)*p1.sq/p0.sq, 0) AS BIGINT) AS p0q1
-        |  FROM (SELECT * FROM py WHERE yr = 1995) p0
-        |  JOIN (SELECT * FROM py WHERE yr = 1996) p1 ON p0.pk = p1.pk
+        |  SELECT sc0, sc1,
+        |    CAST(round(CAST(sc1 AS DOUBLE)*sq0/sq1, 0) AS BIGINT) AS p1q0,
+        |    CAST(round(CAST(sc0 AS DOUBLE)*sq1/sq0, 0) AS BIGINT) AS p0q1
+        |  FROM py WHERE sq0 IS NOT NULL AND sq1 IS NOT NULL
         |), a AS (
         |  SELECT count(*)::BIGINT AS n_parts, sum(sc0)::BIGINT AS v00,
         |    sum(sc1)::BIGINT AS v11, sum(p1q0)::BIGINT AS v10,

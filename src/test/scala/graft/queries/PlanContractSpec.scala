@@ -507,4 +507,59 @@ class PlanContractSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(3000))
     assert(!plan.contains("Window ["), plan.take(3000))
   }
+
+  test("q28 profit rides broadcast part/supplier/nation dims") {
+    // The fact side shuffles only for the orders join + final agg;
+    // every dimension must arrive as a broadcast.
+    val plan = finalPlan(Relational.q28Profit(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("price_index reads the lineitem-orders join ONCE (conditional pivot)") {
+    // Both years pivot out of one part-keyed aggregate — a per-year
+    // self-join would double the fact scan.
+    val plan = finalPlan(OpsQueries.priceIndex(spark, dir))
+    val factScans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+      .map(_.dropWhile(c => c == ' ' || c == '+' || c == '-' || c == ':'))
+      .toSeq.distinct
+    assert(factScans.length <= 1,
+      s"expected one lineitem scan, got ${factScans.length}\n${plan.take(3000)}")
+  }
+
+  test("slope_one and link_jaccard never degenerate to a cartesian") {
+    // The deviation/path pair spaces are equi-joins (user key; middle
+    // vertex) — a lost key would explode them quadratically.
+    // slope_one's one BroadcastNestedLoopJoin is the 1-row n_ratings
+    // constant build (same pattern as LM scoring) — only a true
+    // cartesian over data-sized inputs is forbidden.
+    val p1 = finalPlan(CmfQueries.slopeOne(spark, dir))
+    assert(!p1.contains("CartesianProduct"), p1.take(3000))
+    val p2 = finalPlan(OpsQueries.linkJaccard(spark, dir))
+    assert(!p2.contains("CartesianProduct")
+      && !p2.contains("BroadcastNestedLoopJoin"), p2.take(3000))
+    assert(p2.contains("TakeOrderedAndProject"), p2.take(3000))
+  }
+
+  test("MAD outliers and QTE medians ride bucketed per-group windows") {
+    // Exact medians must come from ChronoSplit's quantile-bucketed
+    // order stats — a plain per-type Window would sort whole groups in
+    // single tasks at scale.
+    val p1 = finalPlan(StatQueries.eventsMadOutliers(spark, dir))
+    assert(p1.contains("__graft_bucket"), p1.take(3000))
+    val p2 = finalPlan(StatQueries.abQte(spark, dir))
+    assert(p2.contains("__graft_bucket"), p2.take(3000))
+  }
+
+  test("concurrency peak's running sum goes through the bucketed sweep") {
+    val plan = finalPlan(StatQueries.concurrencyPeak(spark, dir))
+    assert(plan.contains("__graft_bucket"), plan.take(3000))
+    assert(!plan.contains("Window []"), plan.take(3000))
+  }
+
+  test("tail index's top-k set is a TakeOrdered, never a global sort") {
+    val plan = finalPlan(StatQueries.eventsTailIndex(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
 }
