@@ -3583,7 +3583,83 @@ object OpsQueries {
           .as("fisher"))
   }
 
+  /** #7w monthly seasonal index of order revenue — the
+    * classical-decomposition ratio (month mean over grand monthly
+    * mean) behind "is December really bigger". Exact integer cents
+    * throughout; the index is the single exact rational
+    * mc·N/(n_years·S) evaluated in double once (DECIMAL(38,0) guards
+    * the cross products). One scan, one 12-row aggregate. */
+  def revenueSeasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    val ym = Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mon"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val tot = ym.agg(count(lit(1)).as("n_cells"), sum("cents").as("s"))
+    ym.groupBy("mon")
+      .agg(count(lit(1)).as("n_years"), sum("cents").as("mc"))
+      .crossJoin(broadcast(tot))
+      .select(col("mon").cast("long").as("month"), col("n_years"),
+        round(col("mc") / 100.0, 2).as("revenue"),
+        expr("""round(cast(cast(mc as decimal(38,0)) * n_cells as double)
+          / cast(cast(n_years as decimal(38,0)) * s as double), 6)""")
+          .as("seasonal_index"))
+      .orderBy("month")
+  }
+
+  /** #7x single-source supply risk: among multi-sourced parts, the 20
+    * with the most concentrated top supplier — the procurement "one
+    * supplier sneezes and this part stops" shortlist. Quantities are
+    * exact integer sums; the top supplier per part is the bounded-heap
+    * [[graft.plans.Graft.topKPerGroup]] (never a per-part sort);
+    * share_bp is exact integer basis points and the global top-20 is
+    * a TakeOrdered. */
+  def singleSourceRisk(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val tot = ps.groupBy("pk")
+      .agg(sum("q").as("total_qty"), count(lit(1)).as("n_suppliers"))
+      .filter(col("n_suppliers") >= 2)
+    val top = graft.plans.Graft.topKPerGroup(ps, Seq("pk"), "q", 1,
+        descending = true, tiebreak = Seq("sk"))
+      .select(col("pk"), col("sk").as("top_suppkey"), col("q").as("top_qty"))
+    top.join(tot, "pk")
+      .withColumn("share_bp", expr("top_qty * 10000 div total_qty"))
+      .orderBy(col("share_bp").desc, col("pk"))
+      .limit(20)
+      .select(col("pk").as("p_partkey"), col("top_suppkey"), col("n_suppliers"),
+        col("top_qty"), col("total_qty"), col("share_bp"))
+  }
+
+  /** #7y RFM monetary-quartile migration between the two order-date
+    * halves — the CRM "who moved up, who lapsed" matrix on top of
+    * [[rfmSegments]]'s static coding. Each half's quartile comes from
+    * the same exact bucketed ntile the static coding uses (customers
+    * are entity-scale; no single-task sort), absent halves code as
+    * quartile 0 (new/churned rows), and the matrix is exact counts. */
+  def rfmMigration(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val o = Tables.orders(s, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("odus", expr("unix_micros(cast(o_orderdate as timestamp))"))
+    val mid = o.agg(expr("(min(odus) + max(odus)) div 2").as("mid"))
+    val sided = o.crossJoin(broadcast(mid))
+      .withColumn("side", when(col("odus") <= col("mid"), 0L).otherwise(1L))
+    def quart(side: Long, out: String) = ChronoSplit.withNtile(
+        sided.filter(col("side") === side).groupBy("o_custkey")
+          .agg(sum("cents").as("cents")).withColumn("neg_m", -col("cents")),
+        "neg_m", "o_custkey", 4, out)
+      .select(col("o_custkey"), col(out))
+    quart(0L, "q_from").join(quart(1L, "q_to"), Seq("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("q_from"), lit(0L)).as("q_from"),
+        coalesce(col("q_to"), lit(0L)).as("q_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("q_from", "q_to")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "revenue_seasonal_index" -> (revenueSeasonalIndex _),
+    "single_source_risk" -> (singleSourceRisk _),
+    "rfm_migration"     -> (rfmMigration _),
     "price_elasticity"  -> (priceElasticity _),
     "price_index"       -> (priceIndex _),
     "sample_neyman"     -> (sampleNeyman _),
@@ -3994,6 +4070,70 @@ object OpsQueries {
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact cents; the index is one exact rational in double.
+    "revenue_seasonal_index" ->
+      """WITH ym AS (
+        |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+        |    sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT count(*)::BIGINT AS n_cells, sum(cents)::BIGINT AS s FROM ym
+        |), per AS (
+        |  SELECT mon::BIGINT AS month, count(*)::BIGINT AS n_years,
+        |    sum(cents)::BIGINT AS mc
+        |  FROM ym GROUP BY 1
+        |)
+        |SELECT month, n_years, round(mc / 100.0, 2) AS revenue,
+        |  round(CAST(CAST(mc AS HUGEINT) * n_cells AS DOUBLE)
+        |    / CAST(CAST(n_years AS HUGEINT) * s AS DOUBLE), 6) AS seasonal_index
+        |FROM per CROSS JOIN tot ORDER BY month""".stripMargin,
+    // Exact integer quantities and basis points; top supplier by
+    // (q DESC, suppkey) total order.
+    "single_source_risk" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS q
+        |  FROM lineitem GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT pk, sum(q)::BIGINT AS total_qty, count(*)::BIGINT AS n_suppliers
+        |  FROM ps GROUP BY 1 HAVING count(*) >= 2
+        |), top AS (
+        |  SELECT pk, sk AS top_suppkey, q AS top_qty FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY pk ORDER BY q DESC, sk) AS rk
+        |    FROM ps) x WHERE rk = 1
+        |)
+        |SELECT pk AS p_partkey, top_suppkey, n_suppliers, top_qty, total_qty,
+        |  top_qty * 10000 // total_qty AS share_bp
+        |FROM top JOIN tot USING (pk)
+        |ORDER BY share_bp DESC, pk LIMIT 20""".stripMargin,
+    // Each half's monetary quartile is the exact ntile over
+    // (cents DESC, custkey); absent halves code as quartile 0.
+    "rfm_migration" ->
+      """WITH o AS (
+        |  SELECT o_custkey, round(o_totalprice * 100, 0)::BIGINT AS cents,
+        |    epoch_us(o_orderdate) AS odus
+        |  FROM orders
+        |), mid AS (
+        |  SELECT (min(odus) + max(odus)) // 2 AS mid FROM o
+        |), sided AS (
+        |  SELECT o_custkey, cents,
+        |    CASE WHEN odus <= mid THEN 0 ELSE 1 END AS side
+        |  FROM o CROSS JOIN mid
+        |), qa AS (
+        |  SELECT o_custkey, ntile(4) OVER (ORDER BY cents DESC, o_custkey)::BIGINT
+        |    AS q_from
+        |  FROM (SELECT o_custkey, sum(cents)::BIGINT AS cents
+        |        FROM sided WHERE side = 0 GROUP BY 1)
+        |), qb AS (
+        |  SELECT o_custkey, ntile(4) OVER (ORDER BY cents DESC, o_custkey)::BIGINT
+        |    AS q_to
+        |  FROM (SELECT o_custkey, sum(cents)::BIGINT AS cents
+        |        FROM sided WHERE side = 1 GROUP BY 1)
+        |)
+        |SELECT coalesce(q_from, 0) AS q_from, coalesce(q_to, 0) AS q_to,
+        |  count(*)::BIGINT AS n_customers
+        |FROM qa FULL OUTER JOIN qb USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Nano-rounded log units per row → exact HUGEINT regression
     // moments; slope and intercept repeat the engine's double trees.
     "price_elasticity" ->
