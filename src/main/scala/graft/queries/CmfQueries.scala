@@ -543,16 +543,19 @@ object CmfQueries {
     val deg = r.groupBy("u").agg(count(lit(1)).as("c"))
     val rc = r.join(deg, "u").filter(col("c") <= 100).drop("c")
       .localCheckpoint(true)
-    val a = rc.select(col("u"), col("i"), col("q"))
-    val b = rc.select(col("u"), col("i").as("j"), col("q").as("qj"))
-    val devs = a.join(b, Seq("u")).filter(col("i") =!= col("j"))
-      .groupBy("i", "j")
-      .agg(sum(col("q") - col("qj")).as("dnum"), count(lit(1)).as("cij"))
-    // Per-user co-rated (i, j) pairs join the deviation table directly
-    // (≤ cap² pairs per user) — never the recommend-all item grid.
-    val pred = rc.select(col("u"), col("i"), col("q"))
+    // One pair enumeration serves both levels: the (u, i, j) co-rating
+    // pairs are materialized once (localCheckpoint) — the deviation
+    // table aggregates them and the prediction pass re-joins them, so
+    // the user-keyed self-join shuffle runs once, not twice.
+    val pairs = rc.select(col("u"), col("i"), col("q"))
       .join(rc.select(col("u"), col("i").as("j"), col("q").as("quj")), Seq("u"))
       .filter(col("i") =!= col("j"))
+      .localCheckpoint(true)
+    val devs = pairs.groupBy("i", "j")
+      .agg(sum(col("q") - col("quj")).as("dnum"), count(lit(1)).as("cij"))
+    // Per-user co-rated (i, j) pairs join the deviation table directly
+    // (≤ cap² pairs per user) — never the recommend-all item grid.
+    val pred = pairs
       .join(devs, Seq("i", "j"))
       .groupBy("u", "i", "q")
       .agg(sum(col("dnum") + col("quj") * col("cij")).as("num"),
