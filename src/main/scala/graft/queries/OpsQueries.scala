@@ -3656,7 +3656,87 @@ object OpsQueries {
       .orderBy("q_from", "q_to")
   }
 
+  /** #7z cart abandonment by day — the product metric behind every
+    * checkout redesign: of each day's gap-sessions that showed intent
+    * (a click), how many ended without a purchase. Sessions are the
+    * repo's standard 30-minute islands ([[graft.ops.Sessionize]]);
+    * intent/conversion flags are exact max-of-indicator aggregates;
+    * the rate is exact integer basis points. */
+  def cartAbandonment(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.ops.Sessionize.sessions(
+      Tables.events(s, dir), "user_id", "ts", 30L * 60 * 1000000, "event_id",
+      max(when(col("event_type") === "click", 1L).otherwise(0L)).as("has_click"),
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("has_purchase"))
+    sess.groupBy(expr("session_start_us div 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("has_click").as("n_intent"),
+        sum(when(col("has_click") === 1L && col("has_purchase") === 0L, 1L)
+          .otherwise(0L)).as("n_abandoned"))
+      .withColumn("abandon_bp",
+        expr("case when n_intent > 0 then n_abandoned * 10000 div n_intent end"))
+      .orderBy("day_idx")
+  }
+
+  /** #7aa peak-hour shift between time halves — "did the daily rhythm
+    * move": per type and half, the modal hour-of-day (exact counts,
+    * ties to the earliest hour via the (n DESC, hour) total order) and
+    * the signed shift. Hour axes are pure epoch arithmetic; the argmax
+    * runs over the 24-row post-aggregate grid. */
+  def peakHourShift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+    val grid = ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"),
+        when(col("ts_us") <= col("mid"), 0L).otherwise(1L).as("half"),
+        expr("(ts_us div 3600000000) % 24").as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val top = grid.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type", "half")
+          .orderBy(col("n").desc, col("hod"))))
+      .filter(col("rk") === 1)
+    val a = top.filter(col("half") === 0).select(col("event_type"),
+      col("hod").as("peak_hour_h1"), col("n").as("n_h1"))
+    val b = top.filter(col("half") === 1).select(col("event_type"),
+      col("hod").as("peak_hour_h2"), col("n").as("n_h2"))
+    a.join(b, "event_type")
+      .withColumn("shift_hours", col("peak_hour_h2") - col("peak_hour_h1"))
+      .orderBy("event_type")
+  }
+
+  /** #7ab day-N retention curve — P(active on day d+n | active on
+    * day d) pooled over all base days, n = 1…7: the growth team's
+    * curve behind "do users come back". The (user, day) activity set
+    * self-joins per user (per-user day lists are calendar-bounded, so
+    * the pair space is |users|·days², never events²); denominators
+    * count base days that HAVE an observable day d+n inside the data
+    * window. All integers until the one display division. */
+  def retentionDayn(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+    val maxd = ud.agg(max("d").as("maxd"))
+    val matched = ud.as("a")
+      .join(ud.as("b"), col("a.user_id") === col("b.user_id")
+        && (col("b.d") - col("a.d")).between(1, 7))
+      .groupBy((col("b.d") - col("a.d")).as("offset_days"))
+      .agg(count(lit(1)).as("n_retained"))
+    val base = ud.crossJoin(broadcast(maxd))
+      .select(explode(sequence(lit(1L), lit(7L))).as("offset_days"),
+        col("d"), col("maxd"))
+      .filter(col("d") + col("offset_days") <= col("maxd"))
+      .groupBy("offset_days").agg(count(lit(1)).as("n_base"))
+    base.join(matched, Seq("offset_days"), "left")
+      .withColumn("n_retained", coalesce(col("n_retained"), lit(0L)))
+      .select(col("offset_days"), col("n_base"), col("n_retained"),
+        expr("round(cast(n_retained as double)/n_base, 6)").as("retention"))
+      .orderBy("offset_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cart_abandonment"  -> (cartAbandonment _),
+    "peak_hour_shift"   -> (peakHourShift _),
+    "retention_dayn"    -> (retentionDayn _),
     "revenue_seasonal_index" -> (revenueSeasonalIndex _),
     "single_source_risk" -> (singleSourceRisk _),
     "rfm_migration"     -> (rfmMigration _),
@@ -4070,6 +4150,77 @@ object OpsQueries {
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Gap sessions split on gap > 30min (Sessionize semantics); flags
+    // are indicator maxima; the rate is exact basis points.
+    "cart_abandonment" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN tsu - lag(tsu) OVER w > 1800000000
+        |    OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), sx AS (
+        |  SELECT *, sum(news) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f
+        |), g AS (
+        |  SELECT user_id, sess, min(tsu) AS start_us,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+        |  FROM sx GROUP BY 1, 2
+        |), d AS (
+        |  SELECT start_us // 86400000000 AS day_idx, count(*)::BIGINT AS n_sessions,
+        |    sum(has_click)::BIGINT AS n_intent,
+        |    sum(CASE WHEN has_click = 1 AND has_purchase = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_abandoned
+        |  FROM g GROUP BY 1
+        |)
+        |SELECT day_idx, n_sessions, n_intent, n_abandoned,
+        |  CASE WHEN n_intent > 0 THEN n_abandoned * 10000 // n_intent END AS abandon_bp
+        |FROM d ORDER BY day_idx""".stripMargin,
+    // Modal hour per (type, half) by the (n DESC, hour) total order.
+    "peak_hour_shift" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us FROM events
+        |), mid AS (
+        |  SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM e
+        |), grid AS (
+        |  SELECT event_type, CASE WHEN ts_us <= mid THEN 0 ELSE 1 END AS half,
+        |    (ts_us // 3600000000) % 24 AS hod, count(*)::BIGINT AS n
+        |  FROM e CROSS JOIN mid GROUP BY 1, 2, 3
+        |), top AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type, half
+        |      ORDER BY n DESC, hod) AS rk
+        |    FROM grid) x WHERE rk = 1
+        |)
+        |SELECT a.event_type, a.hod AS peak_hour_h1, a.n AS n_h1,
+        |  b.hod AS peak_hour_h2, b.n AS n_h2, b.hod - a.hod AS shift_hours
+        |FROM (SELECT * FROM top WHERE half = 0) a
+        |JOIN (SELECT * FROM top WHERE half = 1) b ON a.event_type = b.event_type
+        |ORDER BY a.event_type""".stripMargin,
+    // (user, day) activity set self-joined per user; denominators gate
+    // on base days with an observable d+n.
+    "retention_dayn" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+        |), mx AS (SELECT max(d) AS maxd FROM ud),
+        |matched AS (
+        |  SELECT b.d - a.d AS offset_days, count(*)::BIGINT AS n_retained
+        |  FROM ud a JOIN ud b ON a.user_id = b.user_id
+        |    AND b.d - a.d BETWEEN 1 AND 7
+        |  GROUP BY 1
+        |), base AS (
+        |  SELECT n.offset_days, count(*)::BIGINT AS n_base
+        |  FROM ud CROSS JOIN mx
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS offset_days) n
+        |  WHERE d + n.offset_days <= maxd
+        |  GROUP BY 1
+        |)
+        |SELECT offset_days, n_base, coalesce(n_retained, 0) AS n_retained,
+        |  round(CAST(coalesce(n_retained, 0) AS DOUBLE)/n_base, 6) AS retention
+        |FROM base LEFT JOIN matched USING (offset_days)
+        |ORDER BY offset_days""".stripMargin,
     // Exact cents; the index is one exact rational in double.
     "revenue_seasonal_index" ->
       """WITH ym AS (
