@@ -631,6 +631,28 @@ object Relational {
       .orderBy("cust_nation", "supp_nation", "o_year")
   }
 
+  /** #6m TPC-H Q16 shape — supplier-count profile: for each
+    * (brand, type, size) slice outside an excluded brand, how many
+    * DISTINCT suppliers ship it, with "complaint" suppliers (negative
+    * account balance, the schema's stand-in) removed by an anti-join
+    * BEFORE the distinct count. The exclusion list is dimension-sized
+    * and broadcast; the distinct-count shuffle keys on the part
+    * attributes. */
+  def q30SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("l_suppkey"))
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#2" && col("p_size").isin(5, 11, 28))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), Seq("l_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   /** #7 time-bucketed event aggregation: daily activity by event type. */
   def q7EventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -671,6 +693,7 @@ object Relational {
     "q27_bigorders"    -> (q27BigOrders _),
     "q28_profit"       -> (q28Profit _),
     "q29_trade"        -> (q29Trade _),
+    "q30_supplier_cnt" -> (q30SupplierCnt _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -702,6 +725,16 @@ object Relational {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // Late = exact integer-microsecond comparison; share = integer
     // basis points (div), so nothing float-ordered enters the hash.
+    // Complaint suppliers anti-joined out before the distinct count.
+    "q30_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#2' AND p_size IN (5, 11, 28)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     // Exact cent·pct revenue units; both directions between the two
     // pinned nations, grouped by year.
     "q29_trade" ->

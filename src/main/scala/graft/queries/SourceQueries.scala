@@ -247,7 +247,40 @@ object SourceQueries {
       sized.unionAll(parted).orderBy("metric")
     })
 
+  private val binfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** #17h opaque-blob ingestion via Spark's `binaryFile` source — the
+    * path every non-splittable media/artifact lake uses: one file per
+    * source (bytes = that source's texts joined by newline in doc_id
+    * order, so the payload is reproducible), read back as
+    * (path, content) rows and fingerprinted with length + md5. The
+    * oracle rebuilds each payload with an ordered string_agg and must
+    * hash to the same digest — a charset or ordering slip in either
+    * direction breaks every row. */
+  def binaryfileScan(s: SparkSession, dir: String): DataFrame =
+    binfCache.getOrElseUpdate((s, dir), Scratch.cleaned("graft_binf") { tmp =>
+      val perSource = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("xs"))
+        .select(col("source"),
+          concat_ws("\n", expr("transform(xs, x -> x.text)")).as("payload"))
+        .collect() // one row per source — catalog-sized, never fact-sized
+      perSource.foreach { row =>
+        java.nio.file.Files.write(
+          tmp.resolve(s"${row.getString(0)}.bin"),
+          row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      s.read.format("binaryFile").load(tmp.toString)
+        .select(
+          regexp_extract(col("path"), "([^/]+)\\.bin$", 1).as("source"),
+          length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("source")
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "binaryfile_scan" -> (binaryfileScan _),
     "csv_roundtrip"   -> (csvRoundtrip _),
     "text_roundtrip"  -> (textRoundtrip _),
     "write_sizing"    -> (writeSizing _),
@@ -261,6 +294,14 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Ordered string_agg rebuilds each blob byte-for-byte; octet_length
+    // + md5 must match the binaryFile read.
+    "binaryfile_scan" ->
+      """SELECT source,
+        |  octet_length(encode(string_agg(text, chr(10) ORDER BY doc_id)))::BIGINT
+        |    AS n_bytes,
+        |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS content_md5
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // Exact roundtrips: the oracle is the source table itself.
     "fixedwidth_roundtrip" ->
       """SELECT event_id, user_id, event_type,
