@@ -3733,7 +3733,32 @@ object OpsQueries {
       .orderBy("offset_days")
   }
 
+  /** #51d embedding anisotropy audit — the "is the space collapsing
+    * toward a cone" number (‖μ‖² over the mean squared norm) that
+    * gates cosine-similarity use of an embedding table. Elements
+    * quantize to the emb-family's exact 1e4 grid; per-dimension sums
+    * and the total squared norm are exact integers, so the ratio
+    * Σ_d s_d² / (n·Σ‖v‖²) is one exact-rational double. One explode,
+    * one dim-keyed aggregate (d rows), one 1-row reduce. */
+  def embAnisotropy(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(s, dir)
+      .select(posexplode(transform(col("embedding"),
+        v => round(v.cast("double") * lit(10000.0d)).cast("long"))))
+      .select(col("pos"), col("col").as("q"))
+    val dims = x.groupBy("pos").agg(sum("q").as("s_d"),
+      sum(expr("cast(q as decimal(38,0)) * q")).as("ssq_d"),
+      count(lit(1)).as("n"))
+    dims.agg(max("n").as("n_vectors"), count(lit(1)).as("dim"),
+        sum(expr("cast(s_d as decimal(38,0)) * s_d")).as("ssum"),
+        sum("ssq_d").as("ssq"))
+      .select(col("n_vectors"), col("dim"),
+        expr("round(sqrt(cast(ssq as double)/n_vectors)/1e4, 6)").as("rms_norm"),
+        expr("round(cast(ssum as double)/cast(cast(n_vectors as decimal(38,0))*ssq as double), 6)")
+          .as("anisotropy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_anisotropy"    -> (embAnisotropy _),
     "cart_abandonment"  -> (cartAbandonment _),
     "peak_hour_shift"   -> (peakHourShift _),
     "retention_dayn"    -> (retentionDayn _),
@@ -4150,6 +4175,28 @@ object OpsQueries {
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact 1e4-grid quantization; per-dim sums and the squared-norm
+    // total are integers, the ratio one exact-rational double.
+    "emb_anisotropy" ->
+      """WITH x AS (
+        |  SELECT t.i::BIGINT - 1 AS pos,
+        |    round(embedding[t.i]::DOUBLE * 10000)::BIGINT AS q
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+        |), dims AS (
+        |  SELECT pos, sum(q)::BIGINT AS s_d, sum(CAST(q AS HUGEINT) * q) AS ssq_d,
+        |    count(*)::BIGINT AS n
+        |  FROM x GROUP BY 1
+        |), agg AS (
+        |  SELECT max(n)::BIGINT AS n_vectors, count(*)::BIGINT AS dim,
+        |    sum(CAST(s_d AS HUGEINT) * s_d) AS ssum, sum(ssq_d) AS ssq
+        |  FROM dims
+        |)
+        |SELECT n_vectors, dim,
+        |  round(sqrt(CAST(ssq AS DOUBLE)/n_vectors)/1e4, 6) AS rms_norm,
+        |  round(CAST(ssum AS DOUBLE)/CAST(CAST(n_vectors AS HUGEINT)*ssq AS DOUBLE), 6)
+        |    AS anisotropy
+        |FROM agg""".stripMargin,
     // Gap sessions split on gap > 30min (Sessionize semantics); flags
     // are indicator maxima; the rate is exact basis points.
     "cart_abandonment" ->

@@ -653,6 +653,30 @@ object Relational {
         col("p_size"))
   }
 
+  /** #6n TPC-H Q17 shape — small-quantity order revenue: lineitems of
+    * economy-type parts whose quantity is below 20% of that part's
+    * average, summed and annualized. The 20%-of-average compare is the
+    * EXACT integer cross-product 5·q·n_part < sum_qty_part (no
+    * division, no float); the per-part averages are a broadcast
+    * aggregate (catalog-sized), so the fact table is scanned once and
+    * never shuffled. */
+  def q31SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("q", col("l_quantity").cast("long"))
+      .withColumn("cents", round(col("l_extendedprice") * 100, 0).cast("long"))
+    val perPart = li.groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_part"), sum("q").as("sum_qty"))
+    li.join(broadcast(perPart), "p_partkey")
+      .filter(col("q") * 5 * col("n_part") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_lines"), sum("cents").as("cents"))
+      .select(col("n_lines"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round(col("cents") / 100.0 / 7.0, 2).as("avg_yearly"))
+  }
+
   /** #7 time-bucketed event aggregation: daily activity by event type. */
   def q7EventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -694,6 +718,7 @@ object Relational {
     "q28_profit"       -> (q28Profit _),
     "q29_trade"        -> (q29Trade _),
     "q30_supplier_cnt" -> (q30SupplierCnt _),
+    "q31_smallqty"     -> (q31SmallQty _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -725,6 +750,25 @@ object Relational {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // Late = exact integer-microsecond comparison; share = integer
     // basis points (div), so nothing float-ordered enters the hash.
+    // The 20%-of-average gate is the exact integer cross-product
+    // 5*q*n < sum_qty; revenue is exact cents.
+    "q31_smallqty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    round(l_extendedprice * 100, 0)::BIGINT AS cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'ECONOMY'
+        |), pp AS (
+        |  SELECT l_partkey, count(*)::BIGINT AS n_part, sum(q)::BIGINT AS sum_qty
+        |  FROM li GROUP BY 1
+        |), f AS (
+        |  SELECT li.cents FROM li JOIN pp USING (l_partkey)
+        |  WHERE li.q * 5 * n_part < sum_qty
+        |)
+        |SELECT count(*)::BIGINT AS n_lines,
+        |  round(sum(cents) / 100.0, 2) AS revenue,
+        |  round(sum(cents) / 100.0 / 7.0, 2) AS avg_yearly
+        |FROM f""".stripMargin,
     // Complaint suppliers anti-joined out before the distinct count.
     "q30_supplier_cnt" ->
       """SELECT p_brand, p_type, p_size,

@@ -2841,7 +2841,40 @@ object StatQueries {
       .orderBy("scale")
   }
 
+  /** #5at Theil's uncertainty coefficient between event type and
+    * hour-of-day — the normalized, directional "how much does knowing
+    * the hour tell you about the type" readout (U(X|Y) = MI/H(X)) that
+    * `mi_matrix`'s raw nats don't give. Entropies assemble from exact
+    * cell counts via H = ln N − (Σ c·ln c)/N with each c·ln c term
+    * nano-rounded BEFORE its (at most 120-cell) sum; MI and both U
+    * directions are single double chains. One scan, one cell-grid
+    * aggregate. */
+  def eventsUncertaintyCoef(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type").as("x"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val agg = cells
+      .withColumn("lxy", expr("cast(round(c*ln(c)*1e9, 0) as bigint)"))
+      .agg(sum("c").as("n"), sum("lxy").as("sxy"))
+    val lx = cells.groupBy("x").agg(sum("c").as("cx"))
+      .agg(sum(expr("cast(round(cx*ln(cx)*1e9, 0) as bigint)")).as("sx"))
+    val ly = cells.groupBy("y").agg(sum("c").as("cy"))
+      .agg(sum(expr("cast(round(cy*ln(cy)*1e9, 0) as bigint)")).as("sy"))
+    agg.crossJoin(broadcast(lx)).crossJoin(broadcast(ly))
+      .withColumn("hx", expr("ln(n) - sx/1e9/n"))
+      .withColumn("hy", expr("ln(n) - sy/1e9/n"))
+      .withColumn("hxy", expr("ln(n) - sxy/1e9/n"))
+      .select(col("n"),
+        expr("round(hx, 6)").as("h_type"),
+        expr("round(hy, 6)").as("h_hour"),
+        expr("round(hx + hy - hxy, 6)").as("mi"),
+        expr("round((hx + hy - hxy)/hx, 6)").as("u_type_given_hour"),
+        expr("round((hx + hy - hxy)/hy, 6)").as("u_hour_given_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_uncertainty" -> (eventsUncertaintyCoef _),
     "events_wavelet"     -> (eventsWaveletEnergy _),
     "events_tail_index"  -> (eventsTailIndex _),
     "ab_ratio_delta"     -> (abRatioDelta _),
@@ -3018,6 +3051,33 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Nano-rounded c·ln c terms per cell; H/MI/U repeat the engine's
+    // double chains.
+    "events_uncertainty" ->
+      """WITH cells AS (
+        |  SELECT event_type AS x, (epoch_us(ts) // 3600000000) % 24 AS y,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT sum(c)::BIGINT AS n,
+        |    sum(CAST(round(c*ln(c)*1e9, 0) AS BIGINT))::BIGINT AS sxy
+        |  FROM cells
+        |), lx AS (
+        |  SELECT sum(CAST(round(cx*ln(cx)*1e9, 0) AS BIGINT))::BIGINT AS sx
+        |  FROM (SELECT x, sum(c)::BIGINT AS cx FROM cells GROUP BY 1)
+        |), ly AS (
+        |  SELECT sum(CAST(round(cy*ln(cy)*1e9, 0) AS BIGINT))::BIGINT AS sy
+        |  FROM (SELECT y, sum(c)::BIGINT AS cy FROM cells GROUP BY 1)
+        |), h AS (
+        |  SELECT n, ln(n) - sx/1e9/n AS hx, ln(n) - sy/1e9/n AS hy,
+        |    ln(n) - sxy/1e9/n AS hxy
+        |  FROM agg CROSS JOIN lx CROSS JOIN ly
+        |)
+        |SELECT n, round(hx, 6) AS h_type, round(hy, 6) AS h_hour,
+        |  round(hx + hy - hxy, 6) AS mi,
+        |  round((hx + hy - hxy)/hx, 6) AS u_type_given_hour,
+        |  round((hx + hy - hxy)/hy, 6) AS u_hour_given_type
+        |FROM h""".stripMargin,
     // Exact signed integer block sums; energies are HUGEINT squares;
     // incomplete trailing blocks dropped by the exact size gate.
     "events_wavelet" ->
