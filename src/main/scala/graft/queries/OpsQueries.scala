@@ -3757,7 +3757,54 @@ object OpsQueries {
           .as("anisotropy"))
   }
 
+  /** #13k exponentially time-decayed item popularity — the freshness-
+    * aware ranking signal every trending list uses (half-life 30 days
+    * on the order date). Each lineitem contributes
+    * exp(−age·ln 2/30)·quantity, nano-rounded per ROW before the
+    * per-item sum (round-then-sum, so float order can't move the
+    * ranking), and the top 20 is a TakeOrdered on the exact integer
+    * score. The reference date is a 1-row broadcast. */
+  def itemDecayedPop(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("odus"))
+    val ref = li.agg(max("odus").as("refus"))
+    li.crossJoin(broadcast(ref))
+      .withColumn("age_days", expr("(refus - odus) div 86400000000"))
+      .withColumn("term", expr(
+        "cast(round(exp(-age_days * ln(2) / 30) * q * 1e9, 0) as bigint)"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"), sum("term").as("score_nano"))
+      .orderBy(col("score_nano").desc, col("l_partkey"))
+      .limit(20)
+      .select(col("l_partkey"), col("n_lines"),
+        expr("round(score_nano/1e9, 6)").as("decayed_popularity"))
+  }
+
+  /** #7ac DAU/MAU stickiness by day — the growth-team engagement
+    * ratio: each day's active users over the distinct users of its
+    * trailing 28 days. The (user, day) activity set is
+    * calendar-bounded, so the 28-day range join fans out at most 28×
+    * before the distinct count; the ratio is exact basis points. */
+  def dauMauStickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+    val days = ud.select(col("d").as("day_idx")).distinct()
+    val mau = days.join(ud,
+        col("d").between(col("day_idx") - 27, col("day_idx")))
+      .groupBy("day_idx").agg(countDistinct("user_id").as("mau"))
+    val dau = ud.groupBy(col("d").as("day_idx"))
+      .agg(count(lit(1)).as("dau"))
+    dau.join(mau, "day_idx")
+      .withColumn("stickiness_bp", expr("dau * 10000 div mau"))
+      .orderBy("day_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "item_decayed_pop"  -> (itemDecayedPop _),
+    "dau_mau"           -> (dauMauStickiness _),
     "emb_anisotropy"    -> (embAnisotropy _),
     "cart_abandonment"  -> (cartAbandonment _),
     "peak_hour_shift"   -> (peakHourShift _),
@@ -4175,6 +4222,41 @@ object OpsQueries {
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Nano-rounded per-row decay terms (round-then-sum); top-20 by the
+    // exact integer score.
+    "item_decayed_pop" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    epoch_us(o_orderdate) AS odus
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), ref AS (SELECT max(odus) AS refus FROM li),
+        |t AS (
+        |  SELECT l_partkey,
+        |    CAST(round(exp(-((refus - odus) // 86400000000) * ln(2) / 30)
+        |      * q * 1e9, 0) AS BIGINT) AS term
+        |  FROM li CROSS JOIN ref
+        |), g AS (
+        |  SELECT l_partkey, count(*)::BIGINT AS n_lines,
+        |    sum(term)::BIGINT AS score_nano
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT l_partkey, n_lines, round(score_nano/1e9, 6) AS decayed_popularity
+        |FROM g ORDER BY score_nano DESC, l_partkey LIMIT 20""".stripMargin,
+    // Calendar-bounded 28-day range join; stickiness is exact basis
+    // points.
+    "dau_mau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+        |), days AS (SELECT DISTINCT d AS day_idx FROM ud),
+        |mau AS (
+        |  SELECT day_idx, count(DISTINCT user_id)::BIGINT AS mau
+        |  FROM days JOIN ud ON d BETWEEN day_idx - 27 AND day_idx
+        |  GROUP BY 1
+        |), dau AS (
+        |  SELECT d AS day_idx, count(*)::BIGINT AS dau FROM ud GROUP BY 1
+        |)
+        |SELECT day_idx, dau, mau, dau * 10000 // mau AS stickiness_bp
+        |FROM dau JOIN mau USING (day_idx) ORDER BY day_idx""".stripMargin,
     // Exact 1e4-grid quantization; per-dim sums and the squared-norm
     // total are integers, the ratio one exact-rational double.
     "emb_anisotropy" ->
