@@ -2873,7 +2873,88 @@ object StatQueries {
         expr("round((hx + hy - hxy)/hy, 6)").as("u_hour_given_type"))
   }
 
+  /** #5au tail-latency ratio per type — P50/P90/P99 as exact LOWER
+    * order statistics at the ceil(p·n) ranks (no interpolation, no
+    * approx sketch) plus the SRE "how fat is the tail" P99/P50 ratio.
+    * All three ranks come out of ONE per-group bucketed order-stats
+    * pass; the ratio is one exact-integer division. */
+  def eventsTailRatio(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val base = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+      round(col("value") * 1000, 0).cast("long").as("v"))
+    val sizes = base.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ranked = ChronoSplit
+      .withOrderStats(base, "v", "event_id", partitionCols = Seq("event_type"))
+      .join(broadcast(sizes), "event_type")
+    val picked = ranked.filter(
+      col(ChronoSplit.RankCol) === expr("(n + 1) div 2")
+        || col(ChronoSplit.RankCol) === expr("(9*n + 9) div 10")
+        || col(ChronoSplit.RankCol) === expr("(99*n + 99) div 100"))
+    picked.groupBy("event_type")
+      .agg(max("n").as("n"),
+        max(when(col(ChronoSplit.RankCol) === expr("(n + 1) div 2"), col("v")))
+          .as("p50_m"),
+        max(when(col(ChronoSplit.RankCol) === expr("(9*n + 9) div 10"), col("v")))
+          .as("p90_m"),
+        max(when(col(ChronoSplit.RankCol) === expr("(99*n + 99) div 100"), col("v")))
+          .as("p99_m"))
+      .select(col("event_type"), col("n"),
+        expr("round(p50_m/1e3, 3)").as("p50"),
+        expr("round(p90_m/1e3, 3)").as("p90"),
+        expr("round(p99_m/1e3, 3)").as("p99"),
+        expr("case when p50_m > 0 then round(cast(p99_m as double)/p50_m, 6) end")
+          .as("tail_ratio_99_50"))
+      .orderBy("event_type")
+  }
+
+  /** #5av capture–recapture (Chapman) population estimate — "how many
+    * users exist that we never saw": the two time halves act as two
+    * sightings, N̂ = (n₁+1)(n₂+1)/(m+1) − 1 from exact distinct
+    * counts, with the implied undercount of the observed union. The
+    * same estimator a dedup pipeline uses to size the true entity
+    * count from two independent match passes. */
+  def populationEstimate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+    val halves = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(max(when(col("ts_us") <= col("mid"), 1L).otherwise(0L)).as("h1"),
+        max(when(col("ts_us") > col("mid"), 1L).otherwise(0L)).as("h2"))
+    halves.agg(sum("h1").as("n1"), sum("h2").as("n2"),
+        sum(col("h1") * col("h2")).as("m"), count(lit(1)).as("observed"))
+      .select(col("n1"), col("n2"), col("m"), col("observed"),
+        expr("round(cast((n1 + 1) as double)*(n2 + 1)/(m + 1) - 1, 2)")
+          .as("chapman_estimate"),
+        expr("round(cast((n1 + 1) as double)*(n2 + 1)/(m + 1) - 1 - observed, 2)")
+          .as("implied_unseen"))
+  }
+
+  /** #1j hash-bucket collision audit — does the repo's md5 keyspace
+    * hash actually spread keys like a uniform hash (the assumption
+    * under every salting/bucketing choice above): observed same-bucket
+    * pair count Σc(c−1)/2 over 1024 buckets against the birthday
+    * expectation n(n−1)/2B, as one exact-integer-ratio double. */
+  def hashCollisionAudit(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.customer(s, dir)
+      .select(expr(
+        "conv(substring(md5(cast(c_custkey as string)), 1, 15), 16, 10) % 1024")
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    b.agg(sum("c").as("n"), count(lit(1)).as("occupied"),
+        max("c").as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).as("obs_collisions"))
+      .select(col("n"), lit(1024L).as("n_buckets"), col("occupied"),
+        col("max_bucket"), col("obs_collisions"),
+        expr("round(cast(n as double)*(n - 1)/2/1024, 6)").as("exp_collisions"),
+        expr("""round(cast(obs_collisions as double)
+          / (cast(n as double)*(n - 1)/2/1024), 6)""").as("collision_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tail_ratio"  -> (eventsTailRatio _),
+    "population_estimate" -> (populationEstimate _),
+    "hash_collision_audit" -> (hashCollisionAudit _),
     "events_uncertainty" -> (eventsUncertaintyCoef _),
     "events_wavelet"     -> (eventsWaveletEnergy _),
     "events_tail_index"  -> (eventsTailIndex _),
@@ -3051,6 +3132,72 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact lower order statistics at the ceil(p·n) ranks; the tail
+    // ratio is one exact-integer division.
+    "events_tail_ratio" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id, CAST(round(value*1000, 0) AS BIGINT) AS v
+        |  FROM events
+        |), sizes AS (
+        |  SELECT event_type, count(*)::BIGINT AS n FROM base GROUP BY 1
+        |), r1 AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rk
+        |  FROM base
+        |), picked AS (
+        |  SELECT r1.event_type, n, v, rk FROM r1 JOIN sizes USING (event_type)
+        |  WHERE rk = (n + 1) // 2 OR rk = (9*n + 9) // 10 OR rk = (99*n + 99) // 100
+        |), g AS (
+        |  SELECT event_type, max(n) AS n,
+        |    max(CASE WHEN rk = (n + 1) // 2 THEN v END) AS p50_m,
+        |    max(CASE WHEN rk = (9*n + 9) // 10 THEN v END) AS p90_m,
+        |    max(CASE WHEN rk = (99*n + 99) // 100 THEN v END) AS p99_m
+        |  FROM picked GROUP BY 1
+        |)
+        |SELECT event_type, n, round(p50_m/1e3, 3) AS p50,
+        |  round(p90_m/1e3, 3) AS p90, round(p99_m/1e3, 3) AS p99,
+        |  CASE WHEN p50_m > 0 THEN round(CAST(p99_m AS DOUBLE)/p50_m, 6) END
+        |    AS tail_ratio_99_50
+        |FROM g ORDER BY event_type""".stripMargin,
+    // Exact distinct tallies; Chapman is one double chain.
+    "population_estimate" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |), mid AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM ev),
+        |halves AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN ts_us <= mid THEN 1 ELSE 0 END) AS h1,
+        |    max(CASE WHEN ts_us > mid THEN 1 ELSE 0 END) AS h2
+        |  FROM ev CROSS JOIN mid GROUP BY 1
+        |), a AS (
+        |  SELECT sum(h1)::BIGINT AS n1, sum(h2)::BIGINT AS n2,
+        |    sum(h1 * h2)::BIGINT AS m, count(*)::BIGINT AS observed
+        |  FROM halves
+        |)
+        |SELECT n1, n2, m, observed,
+        |  round(CAST((n1 + 1) AS DOUBLE)*(n2 + 1)/(m + 1) - 1, 2)
+        |    AS chapman_estimate,
+        |  round(CAST((n1 + 1) AS DOUBLE)*(n2 + 1)/(m + 1) - 1 - observed, 2)
+        |    AS implied_unseen
+        |FROM a""".stripMargin,
+    // Same md5-keyspace hash; observed pairs vs birthday expectation
+    // as one exact-integer-ratio double.
+    "hash_collision_audit" ->
+      """WITH b AS (
+        |  SELECT ('0x' || substring(md5(c_custkey::VARCHAR), 1, 15))::BIGINT % 1024
+        |    AS bucket, count(*)::BIGINT AS c
+        |  FROM customer GROUP BY 1
+        |), a AS (
+        |  SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS occupied,
+        |    max(c)::BIGINT AS max_bucket,
+        |    sum(c * (c - 1) // 2)::BIGINT AS obs_collisions
+        |  FROM b
+        |)
+        |SELECT n, 1024::BIGINT AS n_buckets, occupied, max_bucket, obs_collisions,
+        |  round(CAST(n AS DOUBLE)*(n - 1)/2/1024, 6) AS exp_collisions,
+        |  round(CAST(obs_collisions AS DOUBLE)
+        |    / (CAST(n AS DOUBLE)*(n - 1)/2/1024), 6) AS collision_ratio
+        |FROM a""".stripMargin,
     // Nano-rounded c·ln c terms per cell; H/MI/U repeat the engine's
     // double chains.
     "events_uncertainty" ->
