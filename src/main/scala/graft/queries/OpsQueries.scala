@@ -3802,7 +3802,64 @@ object OpsQueries {
       .orderBy("day_idx")
   }
 
+  /** #27d multinomial naive-Bayes language classifier — the LEARNED
+    * companion to `text_lang_id`'s fixed heuristic: Laplace-smoothed
+    * per-(lang, token) log-likelihoods fit on the even-id half,
+    * argmax-scored on the odd-id half, reported as the test confusion
+    * matrix + accuracy. Every log term rounds to integer NANO units at
+    * the model (not the document), so each document score is an EXACT
+    * long sum — token order can never flip an argmax; ties break to
+    * the lexicographically first language. The per-class constants are
+    * 5-row broadcasts; the token-weight join keys on (lang, token). */
+  def nbLangClassify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test = docs.filter(col("doc_id") % 2 === 1)
+    val trainToks = train
+      .select(col("lang"), explode(split(col("t"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = trainToks.select("tok").distinct().agg(count(lit(1)).as("v"))
+    val totals = trainToks.groupBy("lang").agg(count(lit(1)).as("t_l"))
+    val priors = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    val weights = trainToks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .join(broadcast(totals), "lang").crossJoin(broadcast(vocab))
+      .withColumn("w", expr(
+        "cast(round(ln((c + 1)/cast(t_l + v as double))*1e9, 0) as bigint)"))
+      .select(col("lang").as("cand"), col("tok"), col("w"))
+    val langInfo = totals.join(priors, "lang").crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(nTrain))
+      .withColumn("w_default",
+        expr("cast(round(ln(1/cast(t_l + v as double))*1e9, 0) as bigint)"))
+      .withColumn("prior_nano",
+        expr("cast(round(ln(cast(n_docs as double)/n_train)*1e9, 0) as bigint)"))
+      .select(col("lang").as("cand"), col("w_default"), col("prior_nano"))
+    val testToks = test.select(col("doc_id"), col("lang").as("true_lang"),
+        explode(split(col("t"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val scored = testToks.crossJoin(broadcast(langInfo))
+      .join(weights, Seq("cand", "tok"), "left")
+      .withColumn("wc", coalesce(col("w"), col("w_default")))
+      .groupBy("doc_id", "true_lang", "cand", "prior_nano")
+      .agg(sum("wc").as("sw"))
+      .withColumn("score", col("prior_nano") + col("sw"))
+    val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))
+    val pred = scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") === 1)
+    val acc = pred.agg(count(lit(1)).as("n_test"),
+      sum(when(col("true_lang") === col("cand"), 1L).otherwise(0L)).as("n_correct"))
+    pred.groupBy(col("true_lang"), col("cand").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(acc))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        expr("round(cast(n_correct as double)/n_test, 6)").as("accuracy"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nb_lang_classify"  -> (nbLangClassify _),
     "item_decayed_pop"  -> (itemDecayedPop _),
     "dau_mau"           -> (dauMauStickiness _),
     "emb_anisotropy"    -> (embAnisotropy _),
@@ -4222,6 +4279,61 @@ object OpsQueries {
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Nano-rounded log terms at the MODEL, exact long document sums,
+    // (score DESC, lang) argmax — token order can never flip a call.
+    "nb_lang_classify" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, lower(text) AS t FROM documents
+        |), train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+        |test AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+        |traintoks AS (
+        |  SELECT lang, tok FROM (
+        |    SELECT lang, unnest(string_split_regex(t, '\s+')) AS tok FROM train) x
+        |  WHERE length(tok) > 0
+        |), vocab AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM traintoks),
+        |totals AS (SELECT lang, count(*)::BIGINT AS t_l FROM traintoks GROUP BY 1),
+        |priors AS (SELECT lang, count(*)::BIGINT AS n_docs FROM train GROUP BY 1),
+        |ntr AS (SELECT count(*)::BIGINT AS n_train FROM train),
+        |weights AS (
+        |  SELECT c.lang AS cand, c.tok,
+        |    CAST(round(ln((c + 1)/CAST(t_l + v AS DOUBLE))*1e9, 0) AS BIGINT) AS w
+        |  FROM (SELECT lang, tok, count(*)::BIGINT AS c
+        |        FROM traintoks GROUP BY 1, 2) c
+        |  JOIN totals ON c.lang = totals.lang CROSS JOIN vocab
+        |), langinfo AS (
+        |  SELECT totals.lang AS cand,
+        |    CAST(round(ln(1/CAST(t_l + v AS DOUBLE))*1e9, 0) AS BIGINT) AS w_default,
+        |    CAST(round(ln(CAST(n_docs AS DOUBLE)/n_train)*1e9, 0) AS BIGINT)
+        |      AS prior_nano
+        |  FROM totals JOIN priors ON totals.lang = priors.lang
+        |  CROSS JOIN vocab CROSS JOIN ntr
+        |), testtoks AS (
+        |  SELECT doc_id, lang AS true_lang, tok FROM (
+        |    SELECT doc_id, lang, unnest(string_split_regex(t, '\s+')) AS tok
+        |    FROM test) x
+        |  WHERE length(tok) > 0
+        |), scored AS (
+        |  SELECT doc_id, true_lang, cand, prior_nano + sum(wc) AS score
+        |  FROM (
+        |    SELECT tt.doc_id, tt.true_lang, li.cand, li.prior_nano,
+        |      coalesce(w.w, li.w_default) AS wc
+        |    FROM testtoks tt CROSS JOIN langinfo li
+        |    LEFT JOIN weights w ON w.cand = li.cand AND w.tok = tt.tok) x
+        |  GROUP BY 1, 2, 3, prior_nano
+        |), pred AS (
+        |  SELECT doc_id, true_lang, cand FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) AS rk
+        |    FROM scored) x WHERE rk = 1
+        |), acc AS (
+        |  SELECT count(*)::BIGINT AS n_test,
+        |    sum(CASE WHEN true_lang = cand THEN 1 ELSE 0 END)::BIGINT AS n_correct
+        |  FROM pred
+        |)
+        |SELECT true_lang, cand AS pred_lang, count(*)::BIGINT AS n,
+        |  round(CAST(n_correct AS DOUBLE)/n_test, 6) AS accuracy
+        |FROM pred CROSS JOIN acc
+        |GROUP BY 1, 2, n_correct, n_test ORDER BY 1, 2""".stripMargin,
     // Nano-rounded per-row decay terms (round-then-sum); top-20 by the
     // exact integer score.
     "item_decayed_pop" ->

@@ -2951,7 +2951,43 @@ object StatQueries {
           / (cast(n as double)*(n - 1)/2/1024), 6)""").as("collision_ratio"))
   }
 
+  /** #5aw time-delayed mutual information of the hourly volume series
+    * at lags 1 h and 24 h — the NONLINEAR dependence screen the linear
+    * ACF ([[graft.queries.OpsQueries.eventsAcf]]) can't see: hours
+    * quartile-binned (exact ntile over (count, hour) order), joint
+    * (bin_t, bin_{t−k}) cells tallied exactly, and MI assembled as
+    * H(X)+H(Y)−H(XY) with every c·ln c term nano-rounded before its
+    * ≤16-cell sum. All windows run over the post-aggregate hourly
+    * set. */
+  def eventsLaggedMi(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("x"))
+    val binned = hourly.withColumn("bin",
+      ntile(4).over(Window.orderBy(col("x"), col("hour_us"))).cast("long"))
+    val w = Window.orderBy("hour_us")
+    val lagged = Seq(1, 24).map { k =>
+      binned.withColumn("prev", lag("bin", k).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("lag", lit(k.toLong))
+    }.reduce(_ unionAll _)
+    val cells = lagged.groupBy("lag", "bin", "prev").agg(count(lit(1)).as("c"))
+    def nano(c: String) = s"cast(round($c*ln($c)*1e9, 0) as bigint)"
+    val a = cells.groupBy("lag")
+      .agg(sum("c").as("n"), sum(expr(nano("c"))).as("sxy"))
+    val bx = cells.groupBy("lag", "bin").agg(sum("c").as("cx"))
+      .groupBy("lag").agg(sum(expr(nano("cx"))).as("sx"))
+    val by = cells.groupBy("lag", "prev").agg(sum("c").as("cy"))
+      .groupBy("lag").agg(sum(expr(nano("cy"))).as("sy"))
+    a.join(bx, "lag").join(by, "lag")
+      .select(col("lag"), col("n").as("n_pairs"),
+        expr("round((ln(n) - sx/1e9/n) + (ln(n) - sy/1e9/n) - (ln(n) - sxy/1e9/n), 6)")
+          .as("mi_nats"))
+      .orderBy("lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_lagged_mi"   -> (eventsLaggedMi _),
     "events_tail_ratio"  -> (eventsTailRatio _),
     "population_estimate" -> (populationEstimate _),
     "hash_collision_audit" -> (hashCollisionAudit _),
@@ -3132,6 +3168,41 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact quartile bins; nano-rounded c·ln c cell terms; MI is one
+    // double chain per lag.
+    "events_lagged_mi" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1
+        |), binned AS (
+        |  SELECT hour_us, ntile(4) OVER (ORDER BY x, hour_us)::BIGINT AS bin
+        |  FROM hourly
+        |), lagged AS (
+        |  SELECT 1::BIGINT AS lag, bin, lag(bin, 1) OVER (ORDER BY hour_us) AS prev
+        |  FROM binned
+        |  UNION ALL
+        |  SELECT 24::BIGINT, bin, lag(bin, 24) OVER (ORDER BY hour_us) FROM binned
+        |), cells AS (
+        |  SELECT lag, bin, prev, count(*)::BIGINT AS c
+        |  FROM lagged WHERE prev IS NOT NULL GROUP BY 1, 2, 3
+        |), a AS (
+        |  SELECT lag, sum(c)::BIGINT AS n,
+        |    sum(CAST(round(c*ln(c)*1e9, 0) AS BIGINT))::BIGINT AS sxy
+        |  FROM cells GROUP BY 1
+        |), bx AS (
+        |  SELECT lag, sum(CAST(round(cx*ln(cx)*1e9, 0) AS BIGINT))::BIGINT AS sx
+        |  FROM (SELECT lag, bin, sum(c)::BIGINT AS cx FROM cells GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), by_ AS (
+        |  SELECT lag, sum(CAST(round(cy*ln(cy)*1e9, 0) AS BIGINT))::BIGINT AS sy
+        |  FROM (SELECT lag, prev, sum(c)::BIGINT AS cy FROM cells GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT a.lag, n AS n_pairs,
+        |  round((ln(n) - sx/1e9/n) + (ln(n) - sy/1e9/n) - (ln(n) - sxy/1e9/n), 6)
+        |    AS mi_nats
+        |FROM a JOIN bx ON a.lag = bx.lag JOIN by_ ON a.lag = by_.lag
+        |ORDER BY a.lag""".stripMargin,
     // Exact lower order statistics at the ceil(p·n) ranks; the tail
     // ratio is one exact-integer division.
     "events_tail_ratio" ->
