@@ -2986,7 +2986,51 @@ object StatQueries {
       .orderBy("lag")
   }
 
+  /** #16g logistic regression by three Newton–Raphson iterations —
+    * P(purchase | value) fit distributedly: each iteration aggregates
+    * the gradient and Hessian with every per-row term rounded to
+    * integer NANO units BEFORE the sum (round-then-sum — a 1000-way
+    * partial aggregation cannot move a digit), then solves the 2×2
+    * system in closed form on the driver. The weights re-enter the
+    * next scan as literals (shortest-roundtrip doubles, exact), and
+    * the oracle replays the identical three unrolled iterations, so
+    * engine and DuckDB walk bit-identical weight trajectories. Three
+    * scans total; no collect beyond six scalars per iteration. */
+  def logisticNewton(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(
+      when(col("event_type") === "purchase", 1.0d).otherwise(0.0d).as("y"),
+      expr("cast(round(value*1000, 0) as bigint)/1e3/100").as("x"))
+    var w0 = 0.0d
+    var w1 = 0.0d
+    for (_ <- 1 to 3) {
+      val p = s"(1/(1 + exp(-(${w0}) - (${w1})*x)))"
+      val r = base.agg(
+        count(lit(1)).as("n"),
+        sum(expr(s"cast(round((y - $p)*1e9, 0) as bigint)")).as("g0"),
+        sum(expr(s"cast(round((y - $p)*x*1e9, 0) as bigint)")).as("g1"),
+        sum(expr(s"cast(round($p*(1 - $p)*1e9, 0) as bigint)")).as("h00"),
+        sum(expr(s"cast(round($p*(1 - $p)*x*1e9, 0) as bigint)")).as("h01"),
+        sum(expr(s"cast(round($p*(1 - $p)*x*x*1e9, 0) as bigint)")).as("h11"))
+        .head()
+      val (g0, g1) = (r.getLong(1) / 1e9, r.getLong(2) / 1e9)
+      val (h00, h01, h11) = (r.getLong(3) / 1e9, r.getLong(4) / 1e9, r.getLong(5) / 1e9)
+      val det = h00 * h11 - h01 * h01
+      w0 = w0 + (g0 * h11 - g1 * h01) / det
+      w1 = w1 + (h00 * g1 - h01 * g0) / det
+    }
+    val pf = s"(1/(1 + exp(-(${w0}) - (${w1})*x)))"
+    base.agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum(expr(s"cast(round($pf*1e9, 0) as bigint)")).as("sp"))
+      .select(col("n"), col("n_pos").cast("long").as("n_pos"),
+        lit(BigDecimal(w0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .as("w0"),
+        lit(BigDecimal(w1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .as("w1"),
+        expr("round(sp/1e9/n, 6)").as("mean_p"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "logistic_newton"    -> (logisticNewton _),
     "events_lagged_mi"   -> (eventsLaggedMi _),
     "events_tail_ratio"  -> (eventsTailRatio _),
     "population_estimate" -> (populationEstimate _),
@@ -3168,6 +3212,39 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Three unrolled Newton iterations with the engine's nano
+    // round-then-sum gradients/Hessians and the identical 2×2 solve —
+    // the weight trajectory is bit-identical by construction.
+    "logistic_newton" -> {
+      def step(prev: String, out: String) =
+        s"""s_$out AS (
+          |  SELECT w0, w1,
+          |    sum(CAST(round((y - (1/(1 + exp(-(w0) - (w1)*x))))*1e9, 0) AS BIGINT))/1e9 AS g0,
+          |    sum(CAST(round((y - (1/(1 + exp(-(w0) - (w1)*x))))*x*1e9, 0) AS BIGINT))/1e9 AS g1,
+          |    sum(CAST(round((1/(1 + exp(-(w0) - (w1)*x)))*(1 - (1/(1 + exp(-(w0) - (w1)*x))))*1e9, 0) AS BIGINT))/1e9 AS h00,
+          |    sum(CAST(round((1/(1 + exp(-(w0) - (w1)*x)))*(1 - (1/(1 + exp(-(w0) - (w1)*x))))*x*1e9, 0) AS BIGINT))/1e9 AS h01,
+          |    sum(CAST(round((1/(1 + exp(-(w0) - (w1)*x)))*(1 - (1/(1 + exp(-(w0) - (w1)*x))))*x*x*1e9, 0) AS BIGINT))/1e9 AS h11
+          |  FROM base CROSS JOIN $prev GROUP BY w0, w1
+          |), $out AS (
+          |  SELECT w0 + ((g0*h11 - g1*h01)/(h00*h11 - h01*h01)) AS w0,
+          |         w1 + ((h00*g1 - h01*g0)/(h00*h11 - h01*h01)) AS w1
+          |  FROM s_$out
+          |)""".stripMargin
+      s"""WITH base AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN CAST(1 AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS y,
+        |    CAST(round(value*1000, 0) AS BIGINT)/1e3/100 AS x
+        |  FROM events
+        |), w_0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1),
+        |${step("w_0", "w_1")},
+        |${step("w_1", "w_2")},
+        |${step("w_2", "w_3")}
+        |SELECT count(*)::BIGINT AS n,
+        |  sum(y)::BIGINT AS n_pos, round(w0, 6) AS w0, round(w1, 6) AS w1,
+        |  round(sum(CAST(round((1/(1 + exp(-(w0) - (w1)*x)))*1e9, 0) AS BIGINT))/1e9/count(*), 6)
+        |    AS mean_p
+        |FROM base CROSS JOIN w_3 GROUP BY w0, w1""".stripMargin
+    },
     // Exact quartile bins; nano-rounded c·ln c cell terms; MI is one
     // double chain per lag.
     "events_lagged_mi" ->
