@@ -278,7 +278,44 @@ object EvalQueries {
           .as("mcc"))
   }
 
+  /** #16h expected calibration error + Murphy's Brier decomposition of
+    * the purchase predictor — the "is the probability a probability"
+    * readout on top of [[evalBrier]]'s scalar score:
+    * Brier = REL − RES + UNC over 10 exact ntile bins of p. Per-row
+    * probabilities round to NANO units before the per-bin sums, every
+    * per-bin term (n_b·|gap|, n_b·gap², n_b·resgap²) rounds to nano
+    * before its 10-way sum (round-then-sum), and UNC = ȳ(1−ȳ) is an
+    * exact-rational double. The binning is the bucketed exact ntile —
+    * no unpartitioned window over scored rows. */
+  def evalEce(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val bins = ChronoSplit.withNtile(
+        purchaseScored(s, dir), "p", "event_id", 10, "bin")
+      .withColumn("p_nano", expr("cast(round(p*1e9, 0) as bigint)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_b"), sum("y").as("sy"), sum("p_nano").as("sp"))
+    val tot = bins.agg(sum("n_b").as("n"), sum("sy").as("sytot"))
+    val terms = bins.crossJoin(broadcast(tot))
+      .withColumn("gap", expr("sp/1e9/n_b - cast(sy as double)/n_b"))
+      .withColumn("rgap", expr("cast(sy as double)/n_b - cast(sytot as double)/n"))
+      .withColumn("ece_t", expr("cast(round(n_b*abs(gap)*1e9, 0) as bigint)"))
+      .withColumn("rel_t", expr("cast(round(n_b*gap*gap*1e9, 0) as bigint)"))
+      .withColumn("res_t", expr("cast(round(n_b*rgap*rgap*1e9, 0) as bigint)"))
+    terms.groupBy("n", "sytot")
+      .agg(sum("ece_t").as("se"), sum("rel_t").as("srel"), sum("res_t").as("sres"))
+      .select(col("n").as("n_test"),
+        expr("round(se/1e9/n, 6)").as("ece"),
+        expr("round(srel/1e9/n, 6)").as("reliability"),
+        expr("round(sres/1e9/n, 6)").as("resolution"),
+        expr("""round(cast(sytot as double)/n*(1 - cast(sytot as double)/n), 6)""")
+          .as("uncertainty"),
+        expr("""round(srel/1e9/n - sres/1e9/n
+          + cast(sytot as double)/n*(1 - cast(sytot as double)/n), 6)""")
+          .as("brier_decomposed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_ece"         -> (evalEce _),
     "eval_mcc"         -> (evalMcc _),
     "eval_regression"  -> (evalRegression _),
     "eval_ranking"     -> (evalRanking _),
@@ -314,6 +351,39 @@ object EvalQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same exact ntile bins; nano round-then-sum per-bin terms; the
+    // decomposition identity repeats the engine's chains.
+    "eval_ece" -> (purchaseScoredSql +
+      """, binned AS (
+        |  SELECT y, CAST(round(p*1e9, 0) AS BIGINT) AS p_nano,
+        |    ntile(10) OVER (ORDER BY p, event_id) AS bin
+        |  FROM scored
+        |), bins AS (
+        |  SELECT bin, count(*)::BIGINT AS n_b, sum(y)::BIGINT AS sy,
+        |    sum(p_nano)::BIGINT AS sp
+        |  FROM binned GROUP BY 1
+        |), tot AS (SELECT sum(n_b)::BIGINT AS n, sum(sy)::BIGINT AS sytot FROM bins),
+        |terms AS (
+        |  SELECT n, sytot, n_b,
+        |    sp/1e9/n_b - CAST(sy AS DOUBLE)/n_b AS gap,
+        |    CAST(sy AS DOUBLE)/n_b - CAST(sytot AS DOUBLE)/n AS rgap
+        |  FROM bins CROSS JOIN tot
+        |), ag AS (
+        |  SELECT n, sytot,
+        |    sum(CAST(round(n_b*abs(gap)*1e9, 0) AS BIGINT))::BIGINT AS se,
+        |    sum(CAST(round(n_b*gap*gap*1e9, 0) AS BIGINT))::BIGINT AS srel,
+        |    sum(CAST(round(n_b*rgap*rgap*1e9, 0) AS BIGINT))::BIGINT AS sres
+        |  FROM terms GROUP BY 1, 2
+        |)
+        |SELECT n AS n_test, round(se/1e9/n, 6) AS ece,
+        |  round(srel/1e9/n, 6) AS reliability,
+        |  round(sres/1e9/n, 6) AS resolution,
+        |  round(CAST(sytot AS DOUBLE)/n*(1 - CAST(sytot AS DOUBLE)/n), 6)
+        |    AS uncertainty,
+        |  round(srel/1e9/n - sres/1e9/n
+        |    + CAST(sytot AS DOUBLE)/n*(1 - CAST(sytot AS DOUBLE)/n), 6)
+        |    AS brier_decomposed
+        |FROM ag""".stripMargin),
     // Exact integer confusion tallies; MCC numerator in HUGEINT, the
     // denominator one double product chain under sqrt; NULL guards on
     // degenerate margins mirror the engine's CASE.
