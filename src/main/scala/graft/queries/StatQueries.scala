@@ -3029,7 +3029,110 @@ object StatQueries {
         expr("round(sp/1e9/n, 6)").as("mean_p"))
   }
 
+  /** #5ax two-model uplift by activity band + Qini curve — the
+    * incrementality readout behind "whom should we even target":
+    * users band into 5 exact ntiles of train-half activity, each
+    * band's uplift (treated minus control train conversion rate)
+    * ranks the bands, and the test half walks the ranked bands
+    * accumulating incremental conversions
+    * Qini_k = Σyt − Σyc·Σnt/Σnc. Bands, tallies and cumulative sums
+    * are exact integers (the only windows run over the 5-row band
+    * table); each readout is one double chain. Users with no train
+    * activity are excluded (no band to target by). */
+  def upliftQini(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+    val sided = ev.crossJoin(broadcast(mid))
+      .withColumn("side", when(col("ts_us") <= col("mid"), 0L).otherwise(1L))
+    val users = sided.groupBy("user_id")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_train"),
+        max(when(col("side") === 0 && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("y_train"),
+        max(when(col("side") === 1 && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("y_test"))
+      .filter(col("n_train") > 0)
+      .withColumn("arm",
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + lit(13L), lit(1000000L)) < 500000L, 0L).otherwise(1L))
+      .withColumn("neg_act", -col("n_train"))
+    val banded = ChronoSplit.withNtile(users, "neg_act", "user_id", 5, "band")
+    val bands = banded.groupBy("band").agg(
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("arm") === 1, col("y_train")).otherwise(0L)).as("yt_tr"),
+      sum(when(col("arm") === 0, col("y_train")).otherwise(0L)).as("yc_tr"),
+      sum(when(col("arm") === 1, col("y_test")).otherwise(0L)).as("yt"),
+      sum(when(col("arm") === 0, col("y_test")).otherwise(0L)).as("yc"))
+      .withColumn("uplift_train", expr(
+        """case when nt > 0 and nc > 0
+          then cast(yt_tr as double)/nt - cast(yc_tr as double)/nc
+          else cast(-1 as double) end"""))
+    val w = Window.orderBy(col("uplift_train").desc, col("band"))
+    val wc = Window.orderBy(col("uplift_train").desc, col("band"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bands
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cnt", sum("nt").over(wc))
+      .withColumn("cnc", sum("nc").over(wc))
+      .withColumn("cyt", sum("yt").over(wc))
+      .withColumn("cyc", sum("yc").over(wc))
+      .select(col("rank"), col("band"), col("nt"), col("nc"),
+        expr("round(uplift_train, 6)").as("uplift_train"),
+        expr("""case when cnc > 0
+          then round(cyt - cast(cyc as double)*cnt/cnc, 6) end""").as("qini_test"))
+      .orderBy("rank")
+  }
+
+  /** #5ay O'Brien–Fleming group-sequential A/B test at four equally
+    * spaced looks — the interim-analysis discipline `ab_sprt`'s
+    * fully-sequential walk doesn't model: the pooled two-proportion z
+    * at each quarter of arrival order against the classic OBF
+    * boundaries (4.049, 2.863, 2.337, 2.024). Arrival ranks come from
+    * the bucketed order stats (no single-task sort); all tallies are
+    * exact integers and each look's z is one double chain. */
+  def abGroupSequential(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        when(col("value") > 50.0, 1L).otherwise(0L).as("x"),
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + lit(13L), lit(1000000L)) < 500000L, 0L).otherwise(1L).as("arm"))
+    val n = ev.agg(count(lit(1)).as("n_all"))
+    val ranked = ChronoSplit.withOrderStats(ev, "ts_us", "event_id")
+      .crossJoin(broadcast(n))
+      .withColumn("look",
+        expr(s"(${ChronoSplit.RankCol} - 1) * 4 div n_all + 1"))
+    val perLook = ranked.groupBy("look", "arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("xs"))
+    val wl = Window.partitionBy("arm").orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perLook
+      .withColumn("cn", sum("n").over(wl))
+      .withColumn("cx", sum("xs").over(wl))
+    val a = cum.filter(col("arm") === 0)
+      .select(col("look"), col("cn").as("n_a"), col("cx").as("x_a"))
+    val b = cum.filter(col("arm") === 1)
+      .select(col("look"), col("cn").as("n_b"), col("cx").as("x_b"))
+    val bounds = "case look when 1 then 4.049 when 2 then 2.863 " +
+      "when 3 then 2.337 else 2.024 end"
+    a.join(b, "look")
+      .withColumn("pp", expr("cast(x_a + x_b as double)/(n_a + n_b)"))
+      .withColumn("z", expr(
+        """(cast(x_b as double)/n_b - cast(x_a as double)/n_a)
+          / sqrt(pp*(1 - pp)*(cast(1 as double)/n_a + cast(1 as double)/n_b))"""))
+      .select(col("look"), col("n_a"), col("n_b"),
+        expr("round(z, 6)").as("z"),
+        expr(s"cast($bounds as double)").as("obf_boundary"),
+        expr(s"abs(z) >= cast($bounds as double)").as("crossed"))
+      .orderBy("look")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "uplift_qini"        -> (upliftQini _),
+    "ab_group_sequential" -> (abGroupSequential _),
     "logistic_newton"    -> (logisticNewton _),
     "events_lagged_mi"   -> (eventsLaggedMi _),
     "events_tail_ratio"  -> (eventsTailRatio _),
@@ -3212,6 +3315,94 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same exact activity ntile, tallies and cumulative band walk; the
+    // degenerate-arm guards mirror the engine's CASE arms.
+    "uplift_qini" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+        |), mid AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM ev),
+        |sided AS (
+        |  SELECT *, CASE WHEN ts_us <= mid THEN 0 ELSE 1 END AS side
+        |  FROM ev CROSS JOIN mid
+        |), users AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS n_train,
+        |    max(CASE WHEN side = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y_train,
+        |    max(CASE WHEN side = 1 AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y_test
+        |  FROM sided GROUP BY 1
+        |), u2 AS (
+        |  SELECT *, CASE WHEN ((user_id % 1000000) * 2654435761 + 13) % 1000000
+        |      < 500000 THEN 0 ELSE 1 END AS arm,
+        |    ntile(5) OVER (ORDER BY -n_train, user_id)::BIGINT AS band
+        |  FROM users WHERE n_train > 0
+        |), bands AS (
+        |  SELECT band,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS nc,
+        |    sum(CASE WHEN arm = 1 THEN y_train ELSE 0 END)::BIGINT AS yt_tr,
+        |    sum(CASE WHEN arm = 0 THEN y_train ELSE 0 END)::BIGINT AS yc_tr,
+        |    sum(CASE WHEN arm = 1 THEN y_test ELSE 0 END)::BIGINT AS yt,
+        |    sum(CASE WHEN arm = 0 THEN y_test ELSE 0 END)::BIGINT AS yc
+        |  FROM u2 GROUP BY 1
+        |), b2 AS (
+        |  SELECT *, CASE WHEN nt > 0 AND nc > 0
+        |    THEN CAST(yt_tr AS DOUBLE)/nt - CAST(yc_tr AS DOUBLE)/nc
+        |    ELSE CAST(-1 AS DOUBLE) END AS uplift_train
+        |  FROM bands
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY uplift_train DESC, band)::BIGINT
+        |      AS rank,
+        |    sum(nt) OVER w AS cnt, sum(nc) OVER w AS cnc,
+        |    sum(yt) OVER w AS cyt, sum(yc) OVER w AS cyc
+        |  FROM b2
+        |  WINDOW w AS (ORDER BY uplift_train DESC, band ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT rank, band, nt, nc, round(uplift_train, 6) AS uplift_train,
+        |  CASE WHEN cnc > 0 THEN round(cyt - CAST(cyc AS DOUBLE)*cnt/cnc, 6) END
+        |    AS qini_test
+        |FROM ranked ORDER BY rank""".stripMargin,
+    // Same arrival-rank quarters, exact cumulative tallies, pooled z,
+    // and the classic OBF boundary literals.
+    "ab_group_sequential" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS x,
+        |    CASE WHEN ((user_id % 1000000) * 2654435761 + 13) % 1000000
+        |      < 500000 THEN 0 ELSE 1 END AS arm
+        |  FROM events
+        |), n AS (SELECT count(*)::BIGINT AS n_all FROM ev),
+        |ranked AS (
+        |  SELECT arm, x,
+        |    (row_number() OVER (ORDER BY ts_us, event_id) - 1) * 4 // n_all + 1
+        |      AS look
+        |  FROM ev CROSS JOIN n
+        |), pl AS (
+        |  SELECT look, arm, count(*)::BIGINT AS nn, sum(x)::BIGINT AS xs
+        |  FROM ranked GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT look, arm,
+        |    sum(nn) OVER (PARTITION BY arm ORDER BY look
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cn,
+        |    sum(xs) OVER (PARTITION BY arm ORDER BY look
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cx
+        |  FROM pl
+        |), j AS (
+        |  SELECT a.look, a.cn AS n_a, a.cx AS x_a, b.cn AS n_b, b.cx AS x_b,
+        |    CAST(a.cx + b.cx AS DOUBLE)/(a.cn + b.cn) AS pp
+        |  FROM (SELECT * FROM cum WHERE arm = 0) a
+        |  JOIN (SELECT * FROM cum WHERE arm = 1) b ON a.look = b.look
+        |), z AS (
+        |  SELECT *, (CAST(x_b AS DOUBLE)/n_b - CAST(x_a AS DOUBLE)/n_a)
+        |    / sqrt(pp*(1 - pp)*(CAST(1 AS DOUBLE)/n_a + CAST(1 AS DOUBLE)/n_b))
+        |    AS zz
+        |  FROM j
+        |)
+        |SELECT look, n_a, n_b, round(zz, 6) AS z,
+        |  CAST(CASE look WHEN 1 THEN 4.049 WHEN 2 THEN 2.863
+        |    WHEN 3 THEN 2.337 ELSE 2.024 END AS DOUBLE) AS obf_boundary,
+        |  abs(zz) >= CAST(CASE look WHEN 1 THEN 4.049 WHEN 2 THEN 2.863
+        |    WHEN 3 THEN 2.337 ELSE 2.024 END AS DOUBLE) AS crossed
+        |FROM z ORDER BY look""".stripMargin,
     // Three unrolled Newton iterations with the engine's nano
     // round-then-sum gradients/Hessians and the identical 2×2 solve —
     // the weight trajectory is bit-identical by construction.
