@@ -3130,7 +3130,35 @@ object StatQueries {
       .orderBy("look")
   }
 
+  /** #5az negative-binomial moment fit of hourly counts per type —
+    * the model upgrade [[eventsDispersion]]'s D ≫ 1 verdict calls for:
+    * method-of-moments r̂ = μ²/(s² − μ), p̂ = μ/s² from EXACT integer
+    * count moments (sample variance via the n·Σx² − S² numerator),
+    * with the Poisson-or-better case (s² ≤ μ) surfacing NULL fits
+    * rather than a negative r. One scan, one hourly aggregate, one
+    * k-row reduce. */
+  def eventsNegbin(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+      .withColumn("mu", expr("cast(sx as double)/n"))
+      .withColumn("s2", expr(
+        """cast(cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx as double)
+          /n/(n - 1)"""))
+      .select(col("event_type"), col("n").as("n_hours"),
+        expr("round(mu, 6)").as("mean_rate"),
+        expr("round(s2, 6)").as("var_rate"),
+        expr("case when s2 > mu then round(mu*mu/(s2 - mu), 6) end").as("r_hat"),
+        expr("case when s2 > mu then round(mu/s2, 6) end").as("p_hat"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_negbin"      -> (eventsNegbin _),
     "uplift_qini"        -> (upliftQini _),
     "ab_group_sequential" -> (abGroupSequential _),
     "logistic_newton"    -> (logisticNewton _),
@@ -3315,6 +3343,27 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact integer count moments; the fits are single double chains
+    // with the Poisson-or-better NULL guard mirrored.
+    "events_negbin" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM hourly GROUP BY 1
+        |), m AS (
+        |  SELECT *, CAST(sx AS DOUBLE)/n AS mu,
+        |    CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+        |      /n/(n - 1) AS s2
+        |  FROM g
+        |)
+        |SELECT event_type, n AS n_hours, round(mu, 6) AS mean_rate,
+        |  round(s2, 6) AS var_rate,
+        |  CASE WHEN s2 > mu THEN round(mu*mu/(s2 - mu), 6) END AS r_hat,
+        |  CASE WHEN s2 > mu THEN round(mu/s2, 6) END AS p_hat
+        |FROM m ORDER BY event_type""".stripMargin,
     // Same exact activity ntile, tallies and cumulative band walk; the
     // degenerate-arm guards mirror the engine's CASE arms.
     "uplift_qini" ->
