@@ -3157,7 +3157,263 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #5ba Jarque-Bera normality screen of the hourly count series per
+    * type — the moment-based test behind "is this rate Gaussian enough
+    * for z-score alerting" ([[eventsAnomaly]]'s implicit assumption).
+    * All four raw moments accumulate as EXACT integers; the central-
+    * moment numerators A2 = n·Σx²−S², A3 = n²·Σx³−3n·S·Σx²+2S³,
+    * A4 = n³·Σx⁴−4n²·S·Σx³+6n·S²·Σx²−3S⁴ are exact DECIMAL(38,0)
+    * algebra, and the n-powers cancel so skew = A3/A2^1.5 and
+    * kurtosis = A4/A2² need no float moment at all — one double chain
+    * each, identical on both engines. */
+  def eventsJarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("s2"),
+        sum(expr("cast(x as decimal(38,0)) * x * x")).as("s3"),
+        sum(expr("cast(x as decimal(38,0)) * x * x * x")).as("s4"))
+      .withColumn("a2", expr("cast(n as decimal(38,0))*s2 - cast(sx as decimal(38,0))*sx"))
+      .withColumn("a3", expr(
+        """cast(n as decimal(38,0))*n*s3 - 3*cast(n as decimal(38,0))*sx*s2
+          + 2*cast(sx as decimal(38,0))*sx*sx"""))
+      .withColumn("a4", expr(
+        """cast(n as decimal(38,0))*n*n*s4 - 4*cast(n as decimal(38,0))*n*sx*s3
+          + 6*cast(n as decimal(38,0))*sx*sx*s2 - 3*cast(sx as decimal(38,0))*sx*sx*sx"""))
+      .withColumn("sk", expr(
+        "cast(a3 as double)/(cast(a2 as double)*sqrt(cast(a2 as double)))"))
+      .withColumn("ku", expr(
+        "cast(a4 as double)/(cast(a2 as double)*cast(a2 as double)) - 3"))
+      .select(col("event_type"), col("n").as("n_hours"),
+        expr("round(sk, 6)").as("skewness"),
+        expr("round(ku, 6)").as("ex_kurtosis"),
+        expr("round(cast(n as double)/6*(sk*sk + ku*ku/4), 6)").as("jb"))
+      .orderBy("event_type")
+  }
+
+  /** #5bb maximum drawdown of the cumulative hourly net value per type
+    * — the risk readout a mean/variance profile hides: the deepest
+    * peak-to-trough drop of the running total. Values ride the
+    * integer-micros grid (`round(value·1e6)` longs), so the running
+    * sum, running max, and their difference are all order-exact
+    * integers; the trough hour is elected by (depth DESC, hour ASC) —
+    * round-then-rank with an integer key. Windows are partitioned by
+    * type over the hourly rollup, never raw rows. */
+  def eventsDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(sum(expr("cast(round(value*1e6) as bigint)")).as("f"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dd = hourly
+      .withColumn("cum", sum("f").over(w))
+      .withColumn("runmax", max("cum").over(w))
+      .withColumn("dd", col("runmax") - col("cum"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("dd").desc, col("h"))))
+    dd.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        max(when(col("rn") === 1, col("h"))).as("trough_h"),
+        max(when(col("rn") === 1, col("dd"))).as("dd_us"))
+      .select(col("event_type"), col("n_hours"), col("trough_h"),
+        expr("round(dd_us/1e6, 6)").as("max_drawdown"))
+      .orderBy("event_type")
+  }
+
+  /** #5bc Bollinger-band breakout screen on the hourly count series —
+    * the trailing-24h ±2σ envelope. The full-window gate (rn ≥ 24) and
+    * both band tests run on EXACT integer window sums: a breakout is
+    * |24·x − Σx| vs 2·√((24·Σx² − (Σx)²)·24/23) — one sqrt over an
+    * integer, so the boolean cannot drift between engines. Emits the
+    * per-type breakout tally and the last breakout hour. */
+  def eventsBollinger(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val wf = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(-23, 0)
+    val wr = Window.partitionBy("event_type").orderBy("h")
+    val b = hourly
+      .withColumn("sw", sum("x").over(wf))
+      .withColumn("sw2", sum(expr("cast(x as decimal(38,0)) * x")).over(wf))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") >= 24)
+      .withColumn("dev", expr("cast(24*x - sw as double)"))
+      .withColumn("band", expr(
+        "2*sqrt(cast(24*sw2 - cast(sw as decimal(38,0))*sw as double)*24/23)"))
+    b.groupBy("event_type")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("dev") > col("band"), 1L).otherwise(0L)).as("n_upper"),
+        sum(when(col("dev") < -col("band"), 1L).otherwise(0L)).as("n_lower"),
+        max(when(abs(col("dev")) > col("band"), col("h"))).as("last_breakout_h"))
+      .orderBy("event_type")
+  }
+
+  /** #5bd Grubbs outlier statistic per type — "is the single most
+    * extreme hour too extreme for a Gaussian rate": G = max|x−x̄|/s.
+    * The deviation ranking happens on the EXACT integer |n·x − S| (no
+    * float compare elects the outlier), the elected hour breaks ties
+    * toward the earliest, and G itself is one double chain over the
+    * integer maximum and the exact variance numerator A2. */
+  def grubbsTest(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val st = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("s2"))
+      .withColumn("a2", expr("cast(n as decimal(38,0))*s2 - cast(sx as decimal(38,0))*sx"))
+    val dev = hourly.join(broadcast(st), "event_type")
+      .withColumn("d", expr("abs(cast(n as decimal(38,0))*x - sx)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("d").desc, col("h"))))
+      .filter(col("rn") === 1)
+    dev.select(col("event_type"), col("n").as("n_hours"),
+        col("h").as("outlier_h"), col("x").as("x_out"),
+        expr("""round(cast(d as double)/n
+          / sqrt(cast(a2 as double)/n/(n - 1)), 6)""").as("g_stat"))
+      .orderBy("event_type")
+  }
+
+  /** #37u G-test of independence on the lang × source grid — the
+    * likelihood-ratio companion to [[graft.queries.OpsQueries.corpusChi2]]
+    * (preferred when cells are small, since G sums o·ln(o/e) instead of
+    * squared-deviation ratios). Every ln argument is a pure integer
+    * ratio o·n/(rt·ct); each cell's term rounds to nano units BEFORE
+    * the sum, so engines add identical longs. Empty cells contribute
+    * zero by convention and never enter (no ln(0)). */
+  def corpusGtest(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val obs = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rowT = d.groupBy("lang").agg(count(lit(1)).as("rt"))
+    val colT = d.groupBy("source").agg(count(lit(1)).as("ct"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    obs.join(broadcast(rowT), "lang")
+      .join(broadcast(colT), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("t_nano", expr(
+        "cast(round(o*ln(cast(o as double)*n/(cast(rt as double)*ct))*1e9) as bigint)"))
+      .agg(
+        round(sum("t_nano") * 2 / 1e9, 6).as("g_stat"),
+        ((countDistinct("lang") - 1) * (countDistinct("source") - 1)).as("dof"),
+        max("n").as("n_docs"))
+  }
+
+  /** #5be sample-ratio-mismatch guardrail — the first thing to check
+    * before reading ANY A/B result: do the arm sizes match the design's
+    * 50/50? Assignment is the deterministic user-hash both A/B queries
+    * share; the one-dof chi-square collapses to (n_a−n_b)²/(n_a+n_b),
+    * computed as a single double division over exact integer user
+    * counts, and the flag compares against the χ²₁ 95% literal. */
+  def abSrm(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir).select("user_id").distinct()
+      .withColumn("arm",
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + lit(13L), lit(1000000L)) < 500000L, 0L).otherwise(1L))
+    users.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("chi2", expr(
+        "cast((n_a - n_b)*(n_a - n_b) as double)/(n_a + n_b)"))
+      .select(col("n_a"), col("n_b"),
+        expr("round(chi2, 6)").as("chi2"),
+        expr("round((n_a - n_b)/sqrt(cast(n_a + n_b as double)), 6)").as("z"),
+        expr("chi2 > 3.841459").as("srm_flag"))
+  }
+
+  /** #5bf two-arm log-rank test over the censored user lifetimes —
+    * "do the two cohorts' survival curves differ", the hypothesis test
+    * [[survivalKm]]'s curves only display. Arms are the shared
+    * deterministic user hash; lifetimes/censoring mirror the KM query.
+    * At each death day the hypergeometric expectation d·n₁/n and
+    * variance d·n₁·n₂·(n−d)/(n²(n−1)) are rationals over exact integer
+    * at-risk tallies — each rounds to nano units before its sum. */
+  def logrankTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val horizon = ev.agg(max("ts_us").as("h_end"))
+    val life = ev.groupBy("user_id")
+      .agg(min("ts_us").as("first_us"), max("ts_us").as("last_us"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("k", expr("(last_us - first_us) div 86400000000"))
+      .withColumn("censored", col("last_us") >= col("h_end") - 86400000000L)
+      .withColumn("arm",
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + lit(13L), lit(1000000L)) < 500000L, 0L).otherwise(1L))
+    val deaths = life.filter(!col("censored"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("d"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("d1"))
+    val atRisk = life.crossJoin(broadcast(deaths.select(col("k").as("gk"))))
+      .filter(col("k") >= col("gk"))
+      .groupBy(col("gk").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"))
+    val terms = deaths.join(atRisk, "k")
+      .withColumn("e_nano", expr(
+        "cast(round(cast(d as double)*n1/n*1e9) as bigint)"))
+      .withColumn("v_nano", expr(
+        """case when n > 1 then cast(round(cast(d as double)*n1*(n - n1)*(n - d)
+          /(cast(n as double)*n*(n - 1))*1e9) as bigint)
+          else cast(0 as bigint) end"""))
+    terms.agg(sum("d1").as("o1"), sum("e_nano").as("se"), sum("v_nano").as("sv"),
+        count(lit(1)).as("n_death_days"))
+      .select(col("n_death_days"), col("o1"),
+        expr("round(se/1e9, 6)").as("e1"),
+        expr("round(sv/1e9, 6)").as("v"),
+        expr("case when sv > 0 then round((o1 - se/1e9)/sqrt(sv/1e9), 6) end")
+          .as("z"))
+  }
+
+  /** #5bg Cramér–von Mises uniformity test of the time-of-day
+    * distribution per type — the integrated-squared-CDF-gap companion
+    * to [[graft.queries.OpsQueries.driftKs]]'s sup-gap: W² = 1/(12n) +
+    * Σᵢ(u₍ᵢ₎−(2i−1)/(2n))². Ranks come from the bucketed per-group
+    * order stats over the DISTINCT microsecond-of-day table (never an
+    * unpartitioned window); a run of t tied values expands in closed
+    * form over Σ(2i−1) = t(2·lt+t) and Σ(2i−1)² — exact integers —
+    * and each distinct value's term rounds to nano units pre-sum. */
+  def eventsCvm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) % lit(86400000000L)).as("m"))
+    val tv = ev.groupBy("event_type", "m").agg(count(lit(1)).as("t"))
+    val rk = graft.ops.ChronoSplit
+      .withOrderStats(tv, "m", "m", partitionCols = Seq("event_type"),
+        sumCols = Seq("t"), withRank = false)
+      .withColumn("lt", col(graft.ops.ChronoSplit.cumCol("t")) - col("t"))
+    val nTot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    rk.join(broadcast(nTot), "event_type")
+      .withColumn("s1", expr("t*(2*lt + t)"))
+      .withColumn("s2", expr(
+        """4*((cast(lt as decimal(38,0)) + t)*(lt + t + 1)*(2*(lt + t) + 1)
+          - cast(lt as decimal(38,0))*(lt + 1)*(2*lt + 1)) div 6
+          - 2*(cast(t as decimal(38,0))*(2*lt + t + 1)) + t"""))
+      .withColumn("term_nano", expr(
+        """cast(round((t*(cast(m as double)/86400000000*m/86400000000)
+          - cast(m as double)/86400000000*s1/n
+          + cast(s2 as double)/(4*cast(n as double)*n))*1e9) as bigint)"""))
+      .groupBy("event_type")
+      .agg(max("n").as("n_events"), sum("term_nano").as("st"))
+      .select(col("event_type"), col("n_events"),
+        expr("round(1/(12*cast(n_events as double)) + st/1e9, 6)").as("w2"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_gtest"       -> (corpusGtest _),
+    "ab_srm"             -> (abSrm _),
+    "logrank_test"       -> (logrankTest _),
+    "events_cvm"         -> (eventsCvm _),
+    "events_jarque_bera" -> (eventsJarqueBera _),
+    "events_drawdown"    -> (eventsDrawdown _),
+    "events_bollinger"   -> (eventsBollinger _),
+    "grubbs_test"        -> (grubbsTest _),
     "events_negbin"      -> (eventsNegbin _),
     "uplift_qini"        -> (upliftQini _),
     "ab_group_sequential" -> (abGroupSequential _),
@@ -3343,6 +3599,217 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Per-cell nano-rounded o·ln(o·n/(rt·ct)) terms, integer ratios
+    // inside every ln; doubling happens after the exact long sum.
+    "corpus_gtest" ->
+      """WITH obs AS (
+        |  SELECT lang, source, count(*)::BIGINT AS o FROM documents GROUP BY 1, 2
+        |), rt AS (SELECT lang, count(*)::BIGINT AS rt FROM documents GROUP BY 1),
+        |ct AS (SELECT source, count(*)::BIGINT AS ct FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |terms AS (
+        |  SELECT lang, source, n,
+        |    CAST(round(o*ln(CAST(o AS DOUBLE)*n/(CAST(rt.rt AS DOUBLE)*ct.ct))*1e9)
+        |      AS BIGINT) AS t_nano
+        |  FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+        |)
+        |SELECT round(sum(t_nano)*2/1e9, 6) AS g_stat,
+        |  (count(DISTINCT lang) - 1)*(count(DISTINCT source) - 1) AS dof,
+        |  max(n) AS n_docs
+        |FROM terms""".stripMargin,
+    // Exact integer user tallies; chi-square collapses to one double
+    // division; the flag compares the UNROUNDED chi2 both sides.
+    "ab_srm" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |g AS (
+        |  SELECT
+        |    sum(CASE WHEN ((user_id % 1000000)*2654435761 + 13) % 1000000 < 500000
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN ((user_id % 1000000)*2654435761 + 13) % 1000000 < 500000
+        |      THEN 0 ELSE 1 END)::BIGINT AS n_b
+        |  FROM users
+        |), m AS (
+        |  SELECT n_a, n_b,
+        |    CAST((n_a - n_b)*(n_a - n_b) AS DOUBLE)/(n_a + n_b) AS chi2
+        |  FROM g
+        |)
+        |SELECT n_a, n_b, round(chi2, 6) AS chi2,
+        |  round((n_a - n_b)/sqrt(CAST(n_a + n_b AS DOUBLE)), 6) AS z,
+        |  chi2 > 3.841459::DOUBLE AS srm_flag
+        |FROM m""".stripMargin,
+    // Hypergeometric E/V terms nano-rounded pre-sum over exact at-risk
+    // tallies; lifetimes/censoring mirror survival_km's construction.
+    "logrank_test" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |hz AS (SELECT max(ts_us) AS h_end FROM ev),
+        |life AS (
+        |  SELECT user_id, min(ts_us) AS first_us, max(ts_us) AS last_us
+        |  FROM ev GROUP BY 1
+        |), lf AS (
+        |  SELECT (last_us - first_us) // 86400000000 AS k,
+        |    last_us >= (SELECT h_end FROM hz) - 86400000000 AS censored,
+        |    CASE WHEN ((user_id % 1000000)*2654435761 + 13) % 1000000 < 500000
+        |      THEN 0 ELSE 1 END AS arm
+        |  FROM life
+        |), deaths AS (
+        |  SELECT k, count(*)::BIGINT AS d,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS d1
+        |  FROM lf WHERE NOT censored GROUP BY 1
+        |), risk AS (
+        |  SELECT dk.gk AS k, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n1
+        |  FROM lf, (SELECT k AS gk FROM deaths) dk WHERE lf.k >= dk.gk
+        |  GROUP BY dk.gk
+        |), terms AS (
+        |  SELECT d.d1,
+        |    CAST(round(CAST(d.d AS DOUBLE)*r.n1/r.n*1e9) AS BIGINT) AS e_nano,
+        |    CASE WHEN r.n > 1 THEN
+        |      CAST(round(CAST(d.d AS DOUBLE)*r.n1*(r.n - r.n1)*(r.n - d.d)
+        |        /(CAST(r.n AS DOUBLE)*r.n*(r.n - 1))*1e9) AS BIGINT)
+        |      ELSE 0 END AS v_nano
+        |  FROM deaths d JOIN risk r ON d.k = r.k
+        |), g AS (
+        |  SELECT count(*)::BIGINT AS n_death_days, sum(d1)::BIGINT AS o1,
+        |    sum(e_nano)::BIGINT AS se, sum(v_nano)::BIGINT AS sv
+        |  FROM terms
+        |)
+        |SELECT n_death_days, o1, round(se/1e9, 6) AS e1, round(sv/1e9, 6) AS v,
+        |  CASE WHEN sv > 0 THEN round((o1 - se/1e9)/sqrt(sv/1e9), 6) END AS z
+        |FROM g""".stripMargin,
+    // Tied-run closed forms over exact integers (Σ(2i−1), Σ(2i−1)²);
+    // per-distinct-value terms nano-round before the sum. The window
+    // here mirrors the engine's bucketed per-group order stats.
+    "events_cvm" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) % 86400000000 AS m FROM events
+        |), tv AS (
+        |  SELECT event_type, m, count(*)::BIGINT AS t FROM ev GROUP BY 1, 2
+        |), nt AS (SELECT event_type, sum(t)::BIGINT AS n FROM tv GROUP BY 1),
+        |rk AS (
+        |  SELECT event_type, m, t,
+        |    sum(t) OVER (PARTITION BY event_type ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS lt
+        |  FROM tv
+        |), s AS (
+        |  SELECT event_type, m, t, lt, t*(2*lt + t) AS s1,
+        |    (4*((CAST(lt AS HUGEINT) + t)*(lt + t + 1)*(2*(lt + t) + 1)
+        |      - CAST(lt AS HUGEINT)*(lt + 1)*(2*lt + 1))) // 6
+        |      - 2*(CAST(t AS HUGEINT)*(2*lt + t + 1)) + t AS s2
+        |  FROM rk
+        |), terms AS (
+        |  SELECT s.event_type, nt.n,
+        |    CAST(round((t*(CAST(m AS DOUBLE)/86400000000*m/86400000000)
+        |      - CAST(m AS DOUBLE)/86400000000*s1/n
+        |      + CAST(s2 AS DOUBLE)/(4*CAST(n AS DOUBLE)*n))*1e9) AS BIGINT) AS term_nano
+        |  FROM s JOIN nt ON s.event_type = nt.event_type
+        |)
+        |SELECT event_type, n AS n_events,
+        |  round(1/(12*CAST(n AS DOUBLE)) + sum(term_nano)/1e9, 6) AS w2
+        |FROM terms GROUP BY event_type, n ORDER BY event_type""".stripMargin,
+    // Same exact HUGEINT central-moment numerators; the n-powers cancel
+    // so skew/kurtosis are pure A-ratios — double chains mirrored.
+    "events_jarque_bera" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(CAST(x AS HUGEINT)*x) AS s2, sum(CAST(x AS HUGEINT)*x*x) AS s3,
+        |    sum(CAST(x AS HUGEINT)*x*x*x) AS s4
+        |  FROM hourly GROUP BY 1
+        |), a AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS HUGEINT)*s2 - CAST(sx AS HUGEINT)*sx AS a2,
+        |    CAST(n AS HUGEINT)*n*s3 - 3*CAST(n AS HUGEINT)*sx*s2
+        |      + 2*CAST(sx AS HUGEINT)*sx*sx AS a3,
+        |    CAST(n AS HUGEINT)*n*n*s4 - 4*CAST(n AS HUGEINT)*n*sx*s3
+        |      + 6*CAST(n AS HUGEINT)*sx*sx*s2 - 3*CAST(sx AS HUGEINT)*sx*sx*sx AS a4
+        |  FROM g
+        |), m AS (
+        |  SELECT event_type, n,
+        |    CAST(a3 AS DOUBLE)/(CAST(a2 AS DOUBLE)*sqrt(CAST(a2 AS DOUBLE))) AS sk,
+        |    CAST(a4 AS DOUBLE)/(CAST(a2 AS DOUBLE)*CAST(a2 AS DOUBLE)) - 3 AS ku
+        |  FROM a
+        |)
+        |SELECT event_type, n AS n_hours, round(sk, 6) AS skewness,
+        |  round(ku, 6) AS ex_kurtosis,
+        |  round(CAST(n AS DOUBLE)/6*(sk*sk + ku*ku/4), 6) AS jb
+        |FROM m ORDER BY event_type""".stripMargin,
+    // Integer-micros running sum / running max; trough elected by
+    // (depth DESC, hour ASC) over exact integers.
+    "events_drawdown" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    sum(CAST(round(value*1e6) AS BIGINT)) AS f
+        |  FROM events GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, h, f,
+        |    sum(f) OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hourly
+        |), d AS (
+        |  SELECT event_type, h,
+        |    max(cum) OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cum AS dd
+        |  FROM c
+        |), r AS (
+        |  SELECT event_type, h, dd,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dd DESC, h) AS rn
+        |  FROM d
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n_hours,
+        |  max(CASE WHEN rn = 1 THEN h END) AS trough_h,
+        |  round(max(CASE WHEN rn = 1 THEN dd END)/1e6, 6) AS max_drawdown
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same exact integer window sums and single-sqrt band test.
+    "events_bollinger" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, h, x,
+        |    sum(x) OVER pw AS sw,
+        |    sum(CAST(x AS HUGEINT)*x) OVER pw AS sw2,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM hourly
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |), b AS (
+        |  SELECT event_type, h,
+        |    CAST(24*x - sw AS DOUBLE) AS dev,
+        |    2*sqrt(CAST(24*sw2 - CAST(sw AS HUGEINT)*sw AS DOUBLE)*24/23) AS band
+        |  FROM w WHERE rn >= 24
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n_windows,
+        |  sum(CASE WHEN dev > band THEN 1 ELSE 0 END)::BIGINT AS n_upper,
+        |  sum(CASE WHEN dev < -band THEN 1 ELSE 0 END)::BIGINT AS n_lower,
+        |  max(CASE WHEN abs(dev) > band THEN h END) AS last_breakout_h
+        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Outlier elected on the exact integer deviation |n·x − S|, ties
+    // toward the earliest hour; G is one double chain over A2.
+    "grubbs_test" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(CAST(x AS HUGEINT)*x) AS s2
+        |  FROM hourly GROUP BY 1
+        |), a AS (
+        |  SELECT event_type, n, sx,
+        |    CAST(n AS HUGEINT)*s2 - CAST(sx AS HUGEINT)*sx AS a2
+        |  FROM g
+        |), r AS (
+        |  SELECT h.event_type, h.h, h.x, a.n, a.a2,
+        |    abs(CAST(a.n AS HUGEINT)*h.x - a.sx) AS d,
+        |    row_number() OVER (PARTITION BY h.event_type
+        |      ORDER BY abs(CAST(a.n AS HUGEINT)*h.x - a.sx) DESC, h.h) AS rn
+        |  FROM hourly h JOIN a ON h.event_type = a.event_type
+        |)
+        |SELECT event_type, n AS n_hours, h AS outlier_h, x AS x_out,
+        |  round(CAST(d AS DOUBLE)/n
+        |    / sqrt(CAST(a2 AS DOUBLE)/n/(n - 1)), 6) AS g_stat
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // Exact integer count moments; the fits are single double chains
     // with the Poisson-or-better NULL guard mirrored.
     "events_negbin" ->
