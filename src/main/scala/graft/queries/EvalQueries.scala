@@ -314,7 +314,38 @@ object EvalQueries {
           .as("brier_decomposed"))
   }
 
+  /** #16i Kolmogorov-Smirnov separation of the purchase predictor's
+    * score distributions (positives vs negatives) — the threshold-free
+    * "can this score separate the classes at all" companion to
+    * [[evalAuc]]: KS = max_t |F₁(t) − F₀(t)|. Scores group by their
+    * exact one-division double; the CDF gap maximized is the EXACT
+    * integer |C₁·N₀ − C₀·N₁| (cross-multiplied, no float CDFs), the
+    * best threshold breaks ties toward the smallest score, and one
+    * division happens at display. Cumulative class counts ride the
+    * bucketed order stats over the DISTINCT-score table. */
+  def evalKs(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val byScore = purchaseScored(s, dir)
+      .groupBy("p")
+      .agg(sum("y").as("c1"), sum(lit(1L) - col("y")).as("c0"))
+    val cum = ChronoSplit.withOrderStats(byScore, "p", "p",
+        sumCols = Seq("c1", "c0"), withRank = false)
+      .withColumnRenamed(ChronoSplit.cumCol("c1"), "cc1")
+      .withColumnRenamed(ChronoSplit.cumCol("c0"), "cc0")
+    val tot = byScore.agg(sum("c1").as("n1"), sum("c0").as("n0"))
+    val gaps = cum.crossJoin(broadcast(tot))
+      .withColumn("gap", abs(col("cc1") * col("n0") - col("cc0") * col("n1")))
+    val best = gaps.agg(max("gap").as("mg"))
+    gaps.join(broadcast(best), col("gap") === col("mg"))
+      .groupBy("n1", "n0", "mg")
+      .agg(min("p").as("p_at"))
+      .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+        expr("round(cast(mg as double)/(cast(n1 as double)*n0), 6)").as("ks"),
+        expr("round(p_at, 6)").as("ks_at_p"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_ks"          -> (evalKs _),
     "eval_ece"         -> (evalEce _),
     "eval_mcc"         -> (evalMcc _),
     "eval_regression"  -> (evalRegression _),
@@ -351,6 +382,30 @@ object EvalQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Cross-multiplied integer CDF gap |C1·N0 − C0·N1| maximized
+    // exactly; smallest-score tie-break; one display division.
+    "eval_ks" -> (purchaseScoredSql +
+      """, bys AS (
+        |  SELECT p, sum(y)::BIGINT AS c1, sum(1 - y)::BIGINT AS c0
+        |  FROM scored GROUP BY 1
+        |), cum AS (
+        |  SELECT p,
+        |    sum(c1) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cc1,
+        |    sum(c0) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cc0
+        |  FROM bys
+        |), tot AS (
+        |  SELECT sum(c1)::BIGINT AS n1, sum(c0)::BIGINT AS n0 FROM bys
+        |), gaps AS (
+        |  SELECT p, abs(cc1*n0 - cc0*n1) AS gap, n1, n0
+        |  FROM cum CROSS JOIN tot
+        |), best AS (SELECT max(gap) AS mg FROM gaps)
+        |SELECT n1 AS n_pos, n0 AS n_neg,
+        |  round(CAST(mg AS DOUBLE)/(CAST(n1 AS DOUBLE)*n0), 6) AS ks,
+        |  round(min(p), 6) AS ks_at_p
+        |FROM gaps JOIN best ON gap = mg
+        |GROUP BY n1, n0, mg""".stripMargin),
     // Same exact ntile bins; nano round-then-sum per-bin terms; the
     // decomposition identity repeats the engine's chains.
     "eval_ece" -> (purchaseScoredSql +

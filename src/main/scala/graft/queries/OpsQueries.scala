@@ -1532,6 +1532,73 @@ object OpsQueries {
         round(sum("wt"), 6).as("rbo"))
   }
 
+  /** #40f Kendall tau-a between the BM25 and TF-IDF top-10 rankings —
+    * the pairwise-agreement companion to [[searchRbo]] (top-weighted)
+    * and [[searchRrf]] (fusion): over documents BOTH rankers retrieve,
+    * count concordant vs discordant rank pairs. Ranks are distinct
+    * row_numbers so no tie terms enter; C, D, and the m(m−1)/2 pair
+    * count are exact integers from a k²-bounded broadcast self-join,
+    * and tau divides once at display (NULL below two common docs). */
+  def searchTau(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val q = Seq("vector", "key", "dup")
+    val bm = rankTopList(TextAnalysis.bm25Search(docs, "text", "doc_id", q, 10), "ra")
+      .select("doc_id", "ra")
+    val tf = rankTopList(TextAnalysis.tfidfSearch(docs, "text", "doc_id", q, 10), "rb")
+      .select("doc_id", "rb")
+    val common = bm.join(tf, "doc_id")
+    val other = common.select(col("doc_id").as("id2"),
+      col("ra").as("ra2"), col("rb").as("rb2"))
+    val pairs = common.join(broadcast(other), col("doc_id") < col("id2"))
+      .withColumn("sgn", (col("ra") - col("ra2")) * (col("rb") - col("rb2")))
+    val m = common.agg(count(lit(1)).as("n_common"))
+    pairs.agg(
+        sum(when(col("sgn") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("sgn") < 0, 1L).otherwise(0L)).as("discordant"))
+      .crossJoin(broadcast(m))
+      .select(col("n_common"), col("concordant"), col("discordant"),
+        expr("""case when n_common > 1 then
+          round(cast(2*(concordant - discordant) as double)
+            /(n_common*(n_common - 1)), 6) end""").as("tau"))
+  }
+
+  /** #40g expected reciprocal rank at 10 of the BM25 ranking — the
+    * cascade-model metric (Chapelle et al.) where a reader stops at
+    * the first satisfying result: ERR = Σᵣ (1/r)·Rᵣ·Π_{i<r}(1−R_i),
+    * with graded relevance g = min(3, n_chars/150) and R = (2^g−1)/8.
+    * Every stop probability is a rational with numerator in {0,1,3,7}
+    * over 8, so the continue-product is the EXACT integer
+    * 5^b·7^c·8^d (b,c,d = window counts of each factor among earlier
+    * ranks, looked up from pinned power tables — no library pow), and
+    * each rank's term rounds to nano units pre-sum. The windows walk
+    * the 10-row list. */
+  def evalErr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val q = Seq("vector", "key", "dup")
+    val list = rankTopList(TextAnalysis.bm25Search(docs, "text", "doc_id", q, 10), "r")
+      .join(docs.select("doc_id", "n_chars"), "doc_id")
+      .withColumn("g", expr("least(3, n_chars div 150)"))
+      .withColumn("num", expr("cast(case g when 0 then 0 when 1 then 1 when 2 then 3 else 7 end as bigint)"))
+      .withColumn("f", lit(8L) - col("num"))
+    val w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, -1)
+    val pow5 = "case cb when 0 then 1 when 1 then 5 when 2 then 25 when 3 then 125 when 4 then 625 when 5 then 3125 when 6 then 15625 when 7 then 78125 when 8 then 390625 else 1953125 end"
+    val pow7 = "case cc when 0 then 1 when 1 then 7 when 2 then 49 when 3 then 343 when 4 then 2401 when 5 then 16807 when 6 then 117649 when 7 then 823543 when 8 then 5764801 else 40353607 end"
+    val pow8 = "case cd when 0 then 1 when 1 then 8 when 2 then 64 when 3 then 512 when 4 then 4096 when 5 then 32768 when 6 then 262144 when 7 then 2097152 when 8 then 16777216 else 134217728 end"
+    val pow8r = "case r when 1 then 8 when 2 then 64 when 3 then 512 when 4 then 4096 when 5 then 32768 when 6 then 262144 when 7 then 2097152 when 8 then 16777216 when 9 then 134217728 else 1073741824 end"
+    list
+      .withColumn("cb", coalesce(sum(when(col("f") === 5L, 1L).otherwise(0L)).over(w), lit(0L)))
+      .withColumn("cc", coalesce(sum(when(col("f") === 7L, 1L).otherwise(0L)).over(w), lit(0L)))
+      .withColumn("cd", coalesce(sum(when(col("f") === 8L, 1L).otherwise(0L)).over(w), lit(0L)))
+      .withColumn("pnum", expr(s"cast($pow5 as bigint) * ($pow7) * ($pow8)"))
+      .withColumn("term_nano", expr(
+        s"cast(round(cast(num*pnum as double)/(cast($pow8r as double)*r)*1e9) as bigint)"))
+      .agg(count(lit(1)).as("n_results"), sum("num").as("sum_gain"),
+        sum("term_nano").as("st"))
+      .select(col("n_results"), col("sum_gain"),
+        expr("round(st/1e9, 6)").as("err"))
+  }
+
   /** Rank a k-bounded retrieval list by (score desc, doc_id) via a
     * broadcast strictly-ahead count — the list is already `.limit(k)`
     * output (k ≤ 10 rows at any corpus size), so a k² theta-join
@@ -3859,6 +3926,8 @@ object OpsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_tau"        -> (searchTau _),
+    "eval_err"          -> (evalErr _),
     "nb_lang_classify"  -> (nbLangClassify _),
     "item_decayed_pop"  -> (itemDecayedPop _),
     "dau_mau"           -> (dauMauStickiness _),
@@ -6486,6 +6555,52 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
     // Same two ranked lists as search_rrf; the pairwise Σ p^(d-1)/d
     // reformulation replaces per-depth set intersections.
+    // Exact integer concordance over the k²-bounded common-doc pairs;
+    // a pairless run still yields one (null-tallies) row both sides.
+    "search_tau" -> (searchListsSql + """
+      |, common AS (SELECT doc_id, rk_bm, rk_tf FROM bml JOIN tfl USING (doc_id)),
+      |pairs AS (
+      |  SELECT (a.rk_bm - b.rk_bm)*(a.rk_tf - b.rk_tf) AS sgn
+      |  FROM common a JOIN common b ON a.doc_id < b.doc_id
+      |), pa AS (
+      |  SELECT sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)::BIGINT AS concordant,
+      |    sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END)::BIGINT AS discordant
+      |  FROM pairs
+      |), m AS (SELECT count(*)::BIGINT AS n_common FROM common)
+      |SELECT n_common, concordant, discordant,
+      |  CASE WHEN n_common > 1 THEN
+      |    round(CAST(2*(concordant - discordant) AS DOUBLE)
+      |      /(n_common*(n_common - 1)), 6) END AS tau
+      |FROM pa CROSS JOIN m""".stripMargin),
+    // Continue-products as exact integers 5^b·7^c·8^d from pinned power
+    // tables; per-rank terms nano-round before the sum.
+    "eval_err" -> (searchListsSql + """
+      |, lst AS (
+      |  SELECT b.doc_id, b.rk_bm AS r, least(3, d.n_chars // 150) AS g
+      |  FROM bml b JOIN documents d USING (doc_id)
+      |), graded AS (
+      |  SELECT r,
+      |    CAST(CASE g WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END AS BIGINT) AS num,
+      |    8 - CAST(CASE g WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END AS BIGINT) AS f
+      |  FROM lst
+      |), cw AS (
+      |  SELECT r, num,
+      |    coalesce(sum(CASE WHEN f = 5 THEN 1 ELSE 0 END) OVER wp, 0) AS cb,
+      |    coalesce(sum(CASE WHEN f = 7 THEN 1 ELSE 0 END) OVER wp, 0) AS cc,
+      |    coalesce(sum(CASE WHEN f = 8 THEN 1 ELSE 0 END) OVER wp, 0) AS cd
+      |  FROM graded
+      |  WINDOW wp AS (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), terms AS (
+      |  SELECT r, num,
+      |    CAST(CASE cb WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 25 WHEN 3 THEN 125 WHEN 4 THEN 625 WHEN 5 THEN 3125 WHEN 6 THEN 15625 WHEN 7 THEN 78125 WHEN 8 THEN 390625 ELSE 1953125 END AS BIGINT)
+      |    * (CASE cc WHEN 0 THEN 1 WHEN 1 THEN 7 WHEN 2 THEN 49 WHEN 3 THEN 343 WHEN 4 THEN 2401 WHEN 5 THEN 16807 WHEN 6 THEN 117649 WHEN 7 THEN 823543 WHEN 8 THEN 5764801 ELSE 40353607 END)
+      |    * (CASE cd WHEN 0 THEN 1 WHEN 1 THEN 8 WHEN 2 THEN 64 WHEN 3 THEN 512 WHEN 4 THEN 4096 WHEN 5 THEN 32768 WHEN 6 THEN 262144 WHEN 7 THEN 2097152 WHEN 8 THEN 16777216 ELSE 134217728 END) AS pnum
+      |  FROM cw
+      |)
+      |SELECT count(*)::BIGINT AS n_results, sum(num)::BIGINT AS sum_gain,
+      |  round(sum(CAST(round(CAST(num*pnum AS DOUBLE)
+      |    /(CAST(CASE r WHEN 1 THEN 8 WHEN 2 THEN 64 WHEN 3 THEN 512 WHEN 4 THEN 4096 WHEN 5 THEN 32768 WHEN 6 THEN 262144 WHEN 7 THEN 2097152 WHEN 8 THEN 16777216 WHEN 9 THEN 134217728 ELSE 1073741824 END AS DOUBLE)*r)*1e9) AS BIGINT))/1e9, 6) AS err
+      |FROM terms""".stripMargin),
     "search_rbo" -> (searchListsSql + """
       |, pairs AS (
       |  SELECT doc_id, greatest(rk_bm, rk_tf) AS m
