@@ -1532,6 +1532,47 @@ object OpsQueries {
         round(sum("wt"), 6).as("rbo"))
   }
 
+  /** #43g Chao1 vocabulary-richness estimate + Good-Turing unseen
+    * mass — "how much vocabulary has this corpus NOT shown yet", the
+    * coverage readout behind deciding whether more data changes the
+    * tokenizer: chao1 = V + f₁(f₁−1)/(2(f₂+1)) (bias-corrected, defined
+    * at f₂ = 0) and P(unseen) = f₁/N from the frequency-of-frequencies
+    * — all exact integer tallies, two display divisions. */
+  def vocabChao1(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(LanguageModel.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    freq.agg(count(lit(1)).as("v_obs"), sum("n").as("n_tokens"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("n") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("v_obs"), col("n_tokens"), col("f1"), col("f2"),
+        expr("round(v_obs + cast(f1 as double)*(f1 - 1)/(2*(f2 + 1)), 6)")
+          .as("chao1"),
+        expr("round(cast(f1 as double)/n_tokens, 6)").as("p_unseen"))
+  }
+
+  /** #49d Dice-coefficient collocation mining over adjacent token
+    * bigrams — the symmetric, count-bounded alternative to
+    * [[tokenPmi]] (PMI over-rewards rare pairs; Dice = 2·c(ab)/(c(a)+
+    * c(b)) cannot exceed 1): top-20 collocations above the c(ab) ≥ 5
+    * support gate, ranked by the 6-dp-rounded score with a (wa, wb)
+    * tie-break — round-then-rank, all counts exact integers. */
+  def tokenDice(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bg = docs.select(explode(LanguageModel.bigrams(col("text"))).as("bg"))
+      .groupBy(col("bg.a").as("wa"), col("bg.b").as("wb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5L)
+    val uni = docs.select(explode(LanguageModel.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    bg.join(uni.select(col("tok").as("wa"), col("c").as("c_a")), "wa")
+      .join(uni.select(col("tok").as("wb"), col("c").as("c_b")), "wb")
+      .withColumn("dice", expr("round(cast(2*c_ab as double)/(c_a + c_b), 6)"))
+      .select("wa", "wb", "c_ab", "c_a", "c_b", "dice")
+      .orderBy(col("dice").desc, col("wa"), col("wb"))
+      .limit(20)
+  }
+
   /** #40f Kendall tau-a between the BM25 and TF-IDF top-10 rankings —
     * the pairwise-agreement companion to [[searchRbo]] (top-weighted)
     * and [[searchRrf]] (fusion): over documents BOTH rankers retrieve,
@@ -3928,6 +3969,8 @@ object OpsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_tau"        -> (searchTau _),
     "eval_err"          -> (evalErr _),
+    "vocab_chao1"       -> (vocabChao1 _),
+    "token_dice"        -> (tokenDice _),
     "nb_lang_classify"  -> (nbLangClassify _),
     "item_decayed_pop"  -> (itemDecayedPop _),
     "dau_mau"           -> (dauMauStickiness _),
@@ -6555,6 +6598,41 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
     // Same two ranked lists as search_rrf; the pairwise Σ p^(d-1)/d
     // reformulation replaces per-depth set intersections.
+    // Exact frequency-of-frequencies tallies; two display divisions.
+    "vocab_chao1" ->
+      """WITH freq AS (
+        |  SELECT tok, count(*)::BIGINT AS n FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |    FROM documents) GROUP BY 1
+        |), g AS (
+        |  SELECT count(*)::BIGINT AS v_obs, sum(n)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+        |    sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+        |  FROM freq
+        |)
+        |SELECT v_obs, n_tokens, f1, f2,
+        |  round(v_obs + CAST(f1 AS DOUBLE)*(f1 - 1)/(2*(f2 + 1)), 6) AS chao1,
+        |  round(CAST(f1 AS DOUBLE)/n_tokens, 6) AS p_unseen
+        |FROM g""".stripMargin,
+    // Exact integer pair/unigram counts; round-then-rank with the
+    // (wa, wb) tie-break pins the top-20 across engines.
+    "token_dice" ->
+      """WITH tk AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+        |), bg AS (
+        |  SELECT t[i] AS wa, t[i+1] AS wb
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk WHERE len(t) >= 2)
+        |), cb AS (
+        |  SELECT wa, wb, count(*)::BIGINT AS c_ab FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= 5
+        |), uni AS (
+        |  SELECT tok, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(t) AS tok FROM tk) GROUP BY 1
+        |)
+        |SELECT wa, wb, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  round(CAST(2*c_ab AS DOUBLE)/(ua.c + ub.c), 6) AS dice
+        |FROM cb JOIN uni ua ON cb.wa = ua.tok JOIN uni ub ON cb.wb = ub.tok
+        |ORDER BY dice DESC, wa, wb LIMIT 20""".stripMargin,
     // Exact integer concordance over the k²-bounded common-doc pairs;
     // a pairless run still yields one (null-tallies) row both sides.
     "search_tau" -> (searchListsSql + """

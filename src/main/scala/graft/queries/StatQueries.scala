@@ -3405,7 +3405,56 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #52c small-file compaction plan over the (lang, source) output
+    * partitions — the maintenance pass every hive-partitioned corpus
+    * needs: partitions in deterministic (lang, source) order pack
+    * greedily into ~64 KB character-budget file groups by the same
+    * contiguous integer-prefix rule [[graft.ops.Packing]] uses
+    * (group = exclusive-prefix div target), so tiny partitions
+    * coalesce and large ones keep whole groups. Exact integer byte
+    * accounting; the running sum walks the |lang|×|source| aggregate,
+    * never raw rows. */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
+    val w = Window.orderBy("lang", "source")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    parts
+      .withColumn("cum", sum("bytes").over(w))
+      .select(col("lang"), col("source"), col("n_docs"), col("bytes"),
+        expr("(cum - bytes) div 65536").as("file_group"))
+      .orderBy("lang", "source")
+  }
+
+  /** #46e compound-sort-key advisor — the standard lakehouse layout
+    * rule (low-cardinality columns lead the sort key so runs stay long
+    * and zone maps stay tight): exact NDV per candidate lineitem
+    * column from ONE scan, ranked ascending with a name tie-break.
+    * The ranking window walks six rows. */
+  def sortkeyAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val a = li.agg(count(lit(1)).as("n_rows"),
+      countDistinct("l_returnflag").as("v1"),
+      countDistinct("l_linestatus").as("v2"),
+      countDistinct("l_shipdate").as("v3"),
+      countDistinct("l_suppkey").as("v4"),
+      countDistinct("l_partkey").as("v5"),
+      countDistinct("l_quantity").as("v6"))
+    a.select(col("n_rows"), expr(
+        """stack(6, 'l_returnflag', v1, 'l_linestatus', v2, 'l_shipdate', v3,
+          'l_suppkey', v4, 'l_partkey', v5, 'l_quantity', v6)
+          as (col_name, ndv)"""))
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("ndv"), col("col_name"))))
+      .select(col("col_name"), col("ndv"), col("n_rows"), col("pos"),
+        expr("round(cast(ndv as double)/n_rows, 6)").as("ndv_ratio"))
+      .orderBy("pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compaction_plan"    -> (compactionPlan _),
+    "sortkey_advisor"    -> (sortkeyAdvisor _),
     "corpus_gtest"       -> (corpusGtest _),
     "ab_srm"             -> (abSrm _),
     "logrank_test"       -> (logrankTest _),
@@ -3599,6 +3648,45 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same contiguous exclusive-prefix packing rule over the tiny
+    // partition aggregate; exact integer byte accounting.
+    "compaction_plan" ->
+      """WITH parts AS (
+        |  SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |    sum(n_chars)::BIGINT AS bytes
+        |  FROM documents GROUP BY 1, 2
+        |), c AS (
+        |  SELECT lang, source, n_docs, bytes,
+        |    sum(bytes) OVER (ORDER BY lang, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM parts
+        |)
+        |SELECT lang, source, n_docs, bytes,
+        |  CAST((cum - bytes) // 65536 AS BIGINT) AS file_group
+        |FROM c ORDER BY lang, source""".stripMargin,
+    // One-scan exact NDVs, ranked ascending with the name tie-break.
+    "sortkey_advisor" ->
+      """WITH a AS (
+        |  SELECT count(*)::BIGINT AS n_rows,
+        |    count(DISTINCT l_returnflag)::BIGINT AS v1,
+        |    count(DISTINCT l_linestatus)::BIGINT AS v2,
+        |    count(DISTINCT l_shipdate)::BIGINT AS v3,
+        |    count(DISTINCT l_suppkey)::BIGINT AS v4,
+        |    count(DISTINCT l_partkey)::BIGINT AS v5,
+        |    count(DISTINCT l_quantity)::BIGINT AS v6
+        |  FROM lineitem
+        |), u AS (
+        |  SELECT 'l_returnflag' AS col_name, v1 AS ndv, n_rows FROM a
+        |  UNION ALL SELECT 'l_linestatus', v2, n_rows FROM a
+        |  UNION ALL SELECT 'l_shipdate', v3, n_rows FROM a
+        |  UNION ALL SELECT 'l_suppkey', v4, n_rows FROM a
+        |  UNION ALL SELECT 'l_partkey', v5, n_rows FROM a
+        |  UNION ALL SELECT 'l_quantity', v6, n_rows FROM a
+        |)
+        |SELECT col_name, ndv, n_rows,
+        |  row_number() OVER (ORDER BY ndv, col_name) AS pos,
+        |  round(CAST(ndv AS DOUBLE)/n_rows, 6) AS ndv_ratio
+        |FROM u ORDER BY pos""".stripMargin,
     // Per-cell nano-rounded o·ln(o·n/(rt·ct)) terms, integer ratios
     // inside every ln; doubling happens after the exact long sum.
     "corpus_gtest" ->
