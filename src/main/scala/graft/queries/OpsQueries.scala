@@ -2619,6 +2619,33 @@ object OpsQueries {
       .orderBy("decile")
   }
 
+  /** #4p Palma ratio of customer revenue — top-10% share over
+    * bottom-40% share, the inequality headline [[revenueLorenz]]'s
+    * curve only draws: both tail sums read off the SAME bucketed
+    * (cents, custkey) rank walk at the exact integer cut ranks
+    * k₄₀ = (4n) div 10 and k₉₀ = n − n div 10, so no percentile
+    * interpolation enters and one division happens at display. */
+  def palmaRatio(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val ranked = ChronoSplit
+      .withOrderStats(spend, "cents", "o_custkey", sumCols = Seq("cents"))
+      .withColumnRenamed(ChronoSplit.RankCol, "rk")
+      .withColumnRenamed(ChronoSplit.cumCol("cents"), "cum")
+    val tot = spend.agg(sum("cents").as("tot"), count(lit(1)).as("n"))
+    val marks = ranked.crossJoin(broadcast(tot))
+      .filter(expr("rk = (4*n) div 10 or rk = n - (n div 10)"))
+      .groupBy("n", "tot")
+      .agg(max(when(expr("rk = (4*n) div 10"), col("cum"))).as("b40"),
+        max(when(expr("rk = n - (n div 10)"), col("tot") - col("cum"))).as("top10"))
+    marks.select(col("n").as("n_customers"), col("tot").as("total_cents"),
+      col("b40").as("bottom40_cents"), col("top10").as("top10_cents"),
+      expr("round(cast(top10 as double)/b40, 6)").as("palma"),
+      expr("round(cast(top10 as double)/tot, 6)").as("top10_share"),
+      expr("round(cast(b40 as double)/tot, 6)").as("bottom40_share"))
+  }
+
   /** #3e catalog coverage: per brand, parts never ordered (broadcast
     * anti-join of the catalog against observed lineitem part keys) —
     * the assortment dead-stock readout. */
@@ -3971,6 +3998,7 @@ object OpsQueries {
     "eval_err"          -> (evalErr _),
     "vocab_chao1"       -> (vocabChao1 _),
     "token_dice"        -> (tokenDice _),
+    "palma_ratio"       -> (palmaRatio _),
     "nb_lang_classify"  -> (nbLangClassify _),
     "item_decayed_pop"  -> (itemDecayedPop _),
     "dau_mau"           -> (dauMauStickiness _),
@@ -6598,6 +6626,33 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
     // Same two ranked lists as search_rrf; the pairwise Σ p^(d-1)/d
     // reformulation replaces per-depth set intersections.
+    // Same exact integer cut ranks off the (cents, custkey) order; the
+    // ratio divides exact tail sums once at display.
+    "palma_ratio" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1
+        |), rk AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rk,
+        |    sum(cents) OVER (ORDER BY cents, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM spend
+        |), tot AS (SELECT sum(cents)::BIGINT AS tot, count(*)::BIGINT AS n FROM spend),
+        |marks AS (
+        |  SELECT n, tot,
+        |    max(CASE WHEN rk = (4*n) // 10 THEN cum END)::BIGINT AS b40,
+        |    max(CASE WHEN rk = n - (n // 10) THEN tot - cum END)::BIGINT AS top10
+        |  FROM rk CROSS JOIN tot
+        |  WHERE rk = (4*n) // 10 OR rk = n - (n // 10)
+        |  GROUP BY n, tot
+        |)
+        |SELECT n AS n_customers, tot AS total_cents, b40 AS bottom40_cents,
+        |  top10 AS top10_cents,
+        |  round(CAST(top10 AS DOUBLE)/b40, 6) AS palma,
+        |  round(CAST(top10 AS DOUBLE)/tot, 6) AS top10_share,
+        |  round(CAST(b40 AS DOUBLE)/tot, 6) AS bottom40_share
+        |FROM marks""".stripMargin,
     // Exact frequency-of-frequencies tallies; two display divisions.
     "vocab_chao1" ->
       """WITH freq AS (

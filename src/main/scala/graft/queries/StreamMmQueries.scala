@@ -365,7 +365,16 @@ object StreamMmQueries {
     graft.streaming.PatternStream.runBatchEquivalent(s, dir)
       .orderBy("user_id", "signup_ts_us")
 
+  /** #29s three-stage streaming funnel (signup → view → purchase, each
+    * within 1 h): [[graft.streaming.FunnelStream]]'s stateful chain
+    * matcher drained through the micro-batch harness; the oracle
+    * replays the identical freeze-at-watermark contract in SQL. */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.FunnelStream.runBatchEquivalent(s, dir)
+      .orderBy("user_id", "signup_ts_us")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_funnel"     -> (streamFunnel _),
     "multimodal_bmp"    -> (multimodalBmp _),
     "stream_pattern"    -> (streamPattern _),
     "stream_checkpoint" -> (streamCheckpoint _),
@@ -397,6 +406,33 @@ object StreamMmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same freeze-at-watermark contract as the engine: a signup's
+    // chain emits iff signup + 2h < wm, with the earliest in-window
+    // view then the earliest purchase in THAT view's window.
+    "stream_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events
+        |  WHERE event_type IN ('signup', 'view', 'purchase')
+        |), wm AS (
+        |  SELECT (max(tsu) // 1000 - 3600000) * 1000 AS wm_us FROM e
+        |), sg AS (
+        |  SELECT DISTINCT user_id, tsu AS s FROM e WHERE event_type = 'signup'
+        |), closed AS (
+        |  SELECT user_id, s FROM sg CROSS JOIN wm WHERE s + 7200000000 < wm_us
+        |), v AS (
+        |  SELECT c.user_id, c.s, min(e.tsu) AS v
+        |  FROM closed c JOIN e ON e.user_id = c.user_id
+        |    AND e.event_type = 'view' AND e.tsu > c.s AND e.tsu <= c.s + 3600000000
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT v.user_id, v.s, v.v, min(e.tsu) AS p
+        |  FROM v JOIN e ON e.user_id = v.user_id
+        |    AND e.event_type = 'purchase' AND e.tsu > v.v AND e.tsu <= v.v + 3600000000
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, s AS signup_ts_us, v AS view_ts_us, p AS purchase_ts_us,
+        |  p - s AS total_latency_us
+        |FROM p ORDER BY user_id, signup_ts_us""".stripMargin,
     // Watermark over the FILTERED (signup/purchase) stream — the engine
     // filters before withWatermark; a signup emits iff its 1-hour match
     // window closed under that watermark and an in-window purchase
