@@ -760,6 +760,189 @@ object Multimodal {
       }
   }
 
+  case class WbmpMeta(
+      doc_id: Long,
+      format: String,
+      width: Option[Long],
+      height: Option[Long],
+      header_bytes: Option[Long],
+      n_bytes: Long)
+
+  /** Parse a WBMP (WAP-237 Wireless Bitmap) header: TypeField uintvar
+    * (0 = level-0 B/W), FixHeaderField octet, then width and height as
+    * multi-byte uintvars (7 data bits per octet, continuation bit 0x80
+    * — the variable-length integer this format exists to exercise).
+    * Returns (width, height, header length). O(header) per payload. */
+  def decodeWbmpMeta(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    var i = 0
+    def uintvar(): Option[Long] = {
+      var v = 0L
+      var n = 0
+      while (i < bytes.length && (bytes(i) & 0x80) != 0) {
+        v = (v << 7) | (bytes(i) & 0x7fL); i += 1; n += 1
+        if (n > 5) return None
+      }
+      if (i >= bytes.length) return None
+      v = (v << 7) | (bytes(i) & 0x7fL); i += 1
+      Some(v)
+    }
+    for {
+      typ <- uintvar() if typ == 0L && i < bytes.length
+      _ = { i += 1 } // FixHeaderField (0 for level 0)
+      w <- uintvar() if w > 0
+      h <- uintvar() if h > 0
+    } yield (w, h, i.toLong)
+  }
+
+  /** A real WBMP byte stream from the JDK's own encoder — the parse
+    * target is a foreign encoder's framing, same independence
+    * discipline as the GIF/BMP fixtures. */
+  private[ops] def wbmpBytes(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "wbmp", out)
+    out.toByteArray
+  }
+
+  /** Deterministic WBMP corpus over an id column — dims reach past 127
+    * so both one- and two-octet uintvars occur. */
+  def syntheticWbmps(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions {
+        _.map { id =>
+          (id, wbmpBytes((id % 200L).toInt + 1, (id % 150L).toInt + 1))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-partition WBMP decode over (id, payload) rows — same
+    * corrupt-tolerant contract as [[extractImageMeta]]. */
+  def extractWbmpMeta(withPayloadDf: DataFrame): Dataset[WbmpMeta] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions {
+        _.map { case (id, bytes) =>
+          decodeWbmpMeta(bytes) match {
+            case Some((w, h, hdr)) =>
+              WbmpMeta(id, "wbmp", Some(w), Some(h), Some(hdr),
+                bytes.length.toLong)
+            case None => WbmpMeta(id, "unknown", None, None, None,
+              bytes.length.toLong)
+          }
+        }
+      }
+  }
+
+  case class AiffMeta(
+      doc_id: Long,
+      format: String,
+      sample_rate: Option[Long],
+      n_channels: Option[Long],
+      bits_per_sample: Option[Long],
+      n_frames: Option[Long],
+      duration_us: Option[Long])
+
+  /** Parse an AIFF (EA IFF 85 / Apple AIFF 1.3) header: big-endian
+    * FORM/AIFF preamble, chunks walked to COMM — channels u16, frames
+    * u32, sample size u16, and the sample rate as an 80-bit IEEE 754
+    * EXTENDED float (15-bit exponent biased 16383, explicit-integer-
+    * bit 64-bit mantissa): rate = mantissa · 2^(exp−16383−63), an
+    * exact Long shift for every real audio rate. O(header). */
+  def decodeAiffMeta(bytes: Array[Byte]): Option[(Long, Int, Int, Long)] = {
+    def tag(i: Int, s: String): Boolean =
+      i + s.length <= bytes.length &&
+        s.indices.forall(k => (bytes(i + k) & 0xff) == s.charAt(k))
+    if (bytes.length < 12 || !tag(0, "FORM") || !tag(8, "AIFF")) return None
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val size = be32(bytes, i + 4)
+      if (tag(i, "COMM")) {
+        if (size < 18 || i + 8 + 18 > bytes.length) return None
+        val channels = be16(bytes, i + 8)
+        val frames = be32(bytes, i + 10)
+        val bits = be16(bytes, i + 14)
+        val exp = be16(bytes, i + 16) & 0x7fff
+        val mant = (be32(bytes, i + 18) << 32) | be32(bytes, i + 22)
+        val shift = exp - 16383 - 63
+        val rate =
+          if (shift >= 0) mant << shift
+          else mant >>> -shift
+        return if (channels < 1 || bits < 1 || rate < 1) None
+        else Some((rate, channels, bits, frames))
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // IFF chunks are word-aligned
+    }
+    None
+  }
+
+  /** A real AIFF byte stream from the JDK's own encoder
+    * (javax.sound.sampled — a foreign implementation of the 80-bit
+    * extended-float rate field this decoder exists to parse). */
+  private[ops] def aiffBytes(
+      rate: Int, channels: Int, bits: Int, frames: Int): Array[Byte] = {
+    require(rate > 0 && channels > 0 && bits % 8 == 0 && frames >= 0)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, bits, channels, true, true)
+    val dataLen = frames * channels * bits / 8
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](dataLen)), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    out.toByteArray
+  }
+
+  /** Deterministic AIFF corpus — the big-endian sibling of
+    * [[syntheticAudio]], same id-arithmetic parameters. */
+  def syntheticAiffs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 22050, 44100)
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions {
+        _.map { id =>
+          val rate = rates((id % 4L).toInt)
+          val channels = (id % 2L).toInt + 1
+          val bits = if (id % 3L == 0L) 8 else 16
+          val frames = (id % 100L).toInt + 1
+          (id, aiffBytes(rate, channels, bits, frames))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-partition AIFF decode over (id, payload) rows — same
+    * corrupt-tolerant contract as [[extractImageMeta]]. */
+  def extractAiffMeta(withPayloadDf: DataFrame): Dataset[AiffMeta] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions {
+        _.map { case (id, bytes) =>
+          decodeAiffMeta(bytes) match {
+            case Some((rate, ch, bits, frames)) =>
+              AiffMeta(id, "aiff", Some(rate), Some(ch.toLong),
+                Some(bits.toLong), Some(frames),
+                Some(frames * 1000000L / rate))
+            case None =>
+              AiffMeta(id, "unknown", None, None, None, None, None)
+          }
+        }
+      }
+  }
+
   /** Per-partition TIFF decode over (id, payload) rows — same
     * corrupt-tolerant contract as [[extractImageMeta]]. */
   def extractTiffMeta(withPayloadDf: DataFrame): Dataset[TiffMeta] = {

@@ -373,8 +373,31 @@ object StreamMmQueries {
     graft.streaming.FunnelStream.runBatchEquivalent(s, dir)
       .orderBy("user_id", "signup_ts_us")
 
+  /** #30f WBMP binary columns: WAP-237 uintvar header decode of
+    * JDK-encoder streams (dims past 127 so multi-octet uintvars
+    * occur); expected fields are id-arithmetic in the oracle. */
+  def multimodalWbmp(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractWbmpMeta(
+        Multimodal.syntheticWbmps(Tables.documents(s, dir), "doc_id"))
+      .toDF()
+      .select("doc_id", "format", "width", "height", "header_bytes", "n_bytes")
+      .orderBy("doc_id")
+
+  /** #30g AIFF binary columns: big-endian IFF chunk walk with the
+    * 80-bit extended-float sample-rate decode (exact Long shift),
+    * against the JDK sound stack's own encoder. */
+  def multimodalAiff(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAiffMeta(
+        Multimodal.syntheticAiffs(Tables.documents(s, dir), "doc_id"))
+      .toDF()
+      .select("doc_id", "format", "sample_rate", "n_channels",
+        "bits_per_sample", "n_frames", "duration_us")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_funnel"     -> (streamFunnel _),
+    "multimodal_wbmp"   -> (multimodalWbmp _),
+    "multimodal_aiff"   -> (multimodalAiff _),
     "multimodal_bmp"    -> (multimodalBmp _),
     "stream_pattern"    -> (streamPattern _),
     "stream_checkpoint" -> (streamCheckpoint _),
@@ -743,6 +766,29 @@ object StreamMmQueries {
         |ORDER BY len, rk""".stripMargin,
     // JDK encoder writes BITMAPINFOHEADER 24bpp bottom-up; the decoded
     // fields are id arithmetic.
+    "multimodal_wbmp" ->
+      """SELECT doc_id, 'wbmp' AS format,
+        |  (doc_id % 200) + 1 AS width, (doc_id % 150) + 1 AS height,
+        |  2 + (CASE WHEN (doc_id % 200) + 1 >= 128 THEN 2 ELSE 1 END)
+        |    + (CASE WHEN (doc_id % 150) + 1 >= 128 THEN 2 ELSE 1 END)
+        |    AS header_bytes,
+        |  2 + (CASE WHEN (doc_id % 200) + 1 >= 128 THEN 2 ELSE 1 END)
+        |    + (CASE WHEN (doc_id % 150) + 1 >= 128 THEN 2 ELSE 1 END)
+        |    + (((doc_id % 200) + 1 + 7) // 8) * ((doc_id % 150) + 1)
+        |    AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_aiff" ->
+      """SELECT doc_id, 'aiff' AS format,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |    WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+        |  (doc_id % 2) + 1 AS n_channels,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS BIGINT)
+        |    AS bits_per_sample,
+        |  (doc_id % 100) + 1 AS n_frames,
+        |  ((doc_id % 100) + 1) * 1000000
+        |    // CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS duration_us
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_bmp" ->
       """SELECT doc_id, 'bmp' AS format,
         |  (doc_id % 96) + 1 AS width, (doc_id % 72) + 1 AS height,

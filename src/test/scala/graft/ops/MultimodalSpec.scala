@@ -211,6 +211,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBmpMeta(Multimodal.bmpBytes(9, 9).take(20)).isEmpty)
   }
 
+  test("decodeWbmpMeta reads JDK uintvar headers incl. multi-octet dims") {
+    assert(Multimodal.decodeWbmpMeta(Multimodal.wbmpBytes(33, 21))
+      .contains((33L, 21L, 4L)))
+    // dims past 127 force two-octet uintvars (continuation bit 0x80)
+    assert(Multimodal.decodeWbmpMeta(Multimodal.wbmpBytes(200, 150))
+      .contains((200L, 150L, 6L)))
+    val b = Multimodal.wbmpBytes(200, 150)
+    assert((b(2) & 0x80) != 0, "expected a continuation octet")
+    // non-WBMP payloads and truncation reject cleanly
+    assert(Multimodal.decodeWbmpMeta(Multimodal.pngBytes(4, 4)).isEmpty)
+    assert(Multimodal.decodeWbmpMeta(Array[Byte](0, 0)).isEmpty)
+  }
+
+  test("decodeAiffMeta reads the JDK sound stack's 80-bit extended rate") {
+    for (rate <- Seq(8000, 16000, 22050, 44100, 48000, 96000)) {
+      val m = Multimodal.decodeAiffMeta(Multimodal.aiffBytes(rate, 2, 16, 100))
+      assert(m.contains((rate.toLong, 2, 16, 100L)), s"rate $rate -> $m")
+    }
+    assert(Multimodal.decodeAiffMeta(Multimodal.aiffBytes(8000, 1, 8, 0))
+      .contains((8000L, 1, 8, 0L)))
+    // WAV (little-endian RIFF) is not AIFF; truncation rejects cleanly
+    assert(Multimodal.decodeAiffMeta(Multimodal.wavBytes(8000, 1, 8, 4)).isEmpty)
+    assert(Multimodal.decodeAiffMeta(
+      Multimodal.aiffBytes(8000, 1, 8, 4).take(20)).isEmpty)
+  }
+
   test("syntheticTiffs corpus decodes to its id-derived parameters") {
     val ids = Seq(0L, 1L, 2L, 7L, 8L, 511L, 512L)
     val meta = Multimodal.extractTiffMeta(
