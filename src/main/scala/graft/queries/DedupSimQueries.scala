@@ -336,6 +336,66 @@ object DedupSimQueries {
         .as("embedding")))
   }
 
+  /** Planted density structure for [[dbscanEmbed]]: every fifth base
+    * vector gets THREE tail/head/middle-zeroed mutations (a 1-core,
+    * 3-border star at the 0.9 cosine gate — mutations sit near the
+    * base but not near each other), every fifth-plus-one gets ONE
+    * (a below-minPts noise pair); everything else stays a singleton. */
+  def withDensityFamilies(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val z8 = "array_repeat(cast(0.0 as float), 8)"
+    val m5 = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+    e.unionAll(m5.select((col("vec_id") + 1000000).as("vec_id"),
+        expr(s"concat(slice(embedding, 1, 56), $z8)").as("embedding")))
+      .unionAll(m5.select((col("vec_id") + 2000000).as("vec_id"),
+        expr(s"concat($z8, slice(embedding, 9, 56))").as("embedding")))
+      .unionAll(m5.select((col("vec_id") + 3000000).as("vec_id"),
+        expr(s"concat(slice(embedding, 1, 28), $z8, slice(embedding, 37, 28))")
+          .as("embedding")))
+      .unionAll(e.filter(pmod(col("vec_id"), lit(5)) === 1)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          expr(s"concat(slice(embedding, 1, 56), $z8)").as("embedding")))
+  }
+
+  /** #51i DBSCAN over the planted-density embeddings — the
+    * density-based complement to [[kmeansEmbed]] (no k, finds noise):
+    * eps-neighbors are cosine ≥ 0.9 pairs from the blocked exact pair
+    * enumerator, a CORE point has ≥ 3 neighbors, clusters are
+    * connected components of the core-core graph (min-label, exact
+    * closure in the oracle), a BORDER point is a non-core with a core
+    * neighbor (label = min over its cores' labels), everything else is
+    * NOISE with a null cluster. All elections are integer min/counts —
+    * nothing floats but the pinned pair threshold itself. */
+  def dbscanEmbed(s: SparkSession, dir: String): DataFrame = {
+    val fam = withDensityFamilies(s, dir)
+    val pairs = Dedup.embeddingCosine(fam, "embedding", "vec_id", 0.9)
+      .select(col("vec_id_a").as("a"), col("vec_id_b").as("b"))
+    val sym = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val core = sym.groupBy("a").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 3).select(col("a").as("id"))
+    val ce = sym
+      .join(core.select(col("id").as("a")), "a")
+      .join(core.select(col("id").as("b")), "b")
+      .select("a", "b")
+    val coreLab = core
+      .join(graft.ops.Dedup.clusters(ce, "a", "b"), Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+    val borderLab = sym
+      .join(coreLab.select(col("vec_id").as("b"), col("cluster")), "b")
+      .join(core.select(col("id").as("a")), Seq("a"), "left_anti")
+      .groupBy(col("a").as("vec_id")).agg(min("cluster").as("cluster"))
+    fam.select("vec_id")
+      .join(coreLab.withColumn("role_c", lit("core")), Seq("vec_id"), "left")
+      .join(borderLab.withColumnRenamed("cluster", "cluster_b")
+        .withColumn("role_b", lit("border")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("role_c"), col("role_b"), lit("noise")).as("role"),
+        coalesce(col("cluster"), col("cluster_b")).as("cluster"))
+      .orderBy("vec_id")
+  }
+
   /** #22b LSH-blocked embedding cosine at a high threshold — the
     * sub-quadratic near-dup path, hash-checked against the *exact* pair
     * SQL: green iff the hyperplane banding surfaces every true pair
@@ -1012,6 +1072,7 @@ object DedupSimQueries {
     "dedup_minhash_containment" -> (dedupMinhashContainment _),
     "dedup_keep_best"     -> (dedupKeepBest _),
     "dedup_embedding_clusters" -> (dedupEmbeddingClusters _),
+    "dbscan_embed"        -> (dbscanEmbed _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_containment" -> (dedupSimhashContainment _),
     "dedup_embedding"     -> (dedupEmbedding _),
@@ -1100,6 +1161,57 @@ object DedupSimQueries {
        |${kmeansUpdateCte("c2", "a2")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact reach closure over the core-core graph (self-edges keep
+    // singleton cores); border/noise elections are integer min/counts.
+    "dbscan_embed" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), fam AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL SELECT vec_id + 1000000,
+        |    v[1:56] || [0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0] FROM base WHERE vec_id % 5 = 0
+        |  UNION ALL SELECT vec_id + 2000000,
+        |    [0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0] || v[9:64] FROM base WHERE vec_id % 5 = 0
+        |  UNION ALL SELECT vec_id + 3000000,
+        |    v[1:28] || [0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0] || v[37:64]
+        |  FROM base WHERE vec_id % 5 = 0
+        |  UNION ALL SELECT vec_id + 1000000,
+        |    v[1:56] || [0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0] FROM base WHERE vec_id % 5 = 1
+        |), e AS (
+        |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM fam
+        |), pr AS (
+        |  SELECT a.vec_id AS s, b.vec_id AS t
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0
+        |    AND list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
+        |), sym AS (SELECT s AS a, t AS b FROM pr UNION ALL SELECT t, s FROM pr),
+        |core AS (
+        |  SELECT a AS id FROM (SELECT a, count(*) AS d FROM sym GROUP BY 1)
+        |  WHERE d >= 3
+        |), edges AS (
+        |  SELECT sym.a, sym.b FROM sym
+        |  JOIN core ca ON sym.a = ca.id JOIN core cb ON sym.b = cb.id
+        |  UNION SELECT id, id FROM core
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+        |), lab AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+        |border AS (
+        |  SELECT sym.a AS vec_id, min(lab.cluster) AS cluster
+        |  FROM sym JOIN lab ON sym.b = lab.id
+        |  WHERE sym.a NOT IN (SELECT id FROM core)
+        |  GROUP BY 1
+        |)
+        |SELECT f.vec_id,
+        |  CASE WHEN cl.id IS NOT NULL THEN 'core'
+        |       WHEN bo.vec_id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  coalesce(cl.cluster, bo.cluster) AS cluster
+        |FROM fam f
+        |LEFT JOIN lab cl ON f.vec_id = cl.id
+        |LEFT JOIN border bo ON f.vec_id = bo.vec_id
+        |ORDER BY f.vec_id""".stripMargin,
     // Hop sets deduped and differenced exactly as the engine's frontier
     // joins; reciprocals are integer micro-weights summed exactly.
     "graph_harmonic" ->
