@@ -3405,6 +3405,43 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #46f Gorilla-style timestamp compressibility estimate — how many
+    * bits the per-user event-time streams cost under Facebook's
+    * delta-of-delta scheme (Pelkonen et al., VLDB'15 buckets): the
+    * first stamp stores 64 bits, the first delta buckets directly, and
+    * every later stamp buckets its millisecond delta-of-delta into
+    * {1, 9, 12, 16, 36}-bit classes. All tallies are exact integers
+    * over lag windows PARTITIONED BY USER (bounded per-key state at
+    * any scale — the sessionize discipline); the ratio divides once at
+    * display, per event type. */
+  def gorillaBits(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val bucket = (c: String) =>
+      s"""case when $c = 0 then 1
+         | when $c >= -63 and $c <= 64 then 9
+         | when $c >= -255 and $c <= 256 then 12
+         | when $c >= -2047 and $c <= 2048 then 16
+         | else 36 end""".stripMargin
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000").as("ts_ms"))
+      .withColumn("gap", col("ts_ms") - lag("ts_ms", 1).over(w))
+      .withColumn("dod", col("gap") - lag("gap", 1).over(w))
+      .withColumn("bits", expr(
+        s"""case when gap is null then 64
+           | when dod is null then ${bucket("gap")}
+           | else ${bucket("dod")} end""".stripMargin))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("bits").as("total_bits"),
+        sum(when(col("bits") === 1, 1L).otherwise(0L)).as("n_zero_dod"),
+        sum(when(col("bits") === 36, 1L).otherwise(0L)).as("n_overflow"))
+      .select(col("event_type"), col("n_events"), col("total_bits"),
+        col("n_zero_dod"), col("n_overflow"),
+        expr("round(cast(total_bits as double)/(64*n_events), 6)")
+          .as("compression_ratio"))
+      .orderBy("event_type")
+  }
+
   /** #52c small-file compaction plan over the (lang, source) output
     * partitions — the maintenance pass every hive-partitioned corpus
     * needs: partitions in deterministic (lang, source) order pack
@@ -3453,6 +3490,7 @@ object StatQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gorilla_bits"       -> (gorillaBits _),
     "compaction_plan"    -> (compactionPlan _),
     "sortkey_advisor"    -> (sortkeyAdvisor _),
     "corpus_gtest"       -> (corpusGtest _),
@@ -3648,6 +3686,43 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same per-user lag windows and integer bucket tallies; one
+    // display division.
+    "gorilla_bits" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, event_id,
+        |    epoch_us(ts) // 1000 AS ts_ms
+        |  FROM events
+        |), d AS (
+        |  SELECT event_type, ts_ms,
+        |    ts_ms - lag(ts_ms, 1) OVER w AS gap,
+        |    (ts_ms - lag(ts_ms, 1) OVER w)
+        |      - (lag(ts_ms, 1) OVER w - lag(ts_ms, 2) OVER w) AS dod
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |), b AS (
+        |  SELECT event_type,
+        |    CASE WHEN gap IS NULL THEN 64
+        |      WHEN dod IS NULL THEN
+        |        CASE WHEN gap = 0 THEN 1
+        |          WHEN gap >= -63 AND gap <= 64 THEN 9
+        |          WHEN gap >= -255 AND gap <= 256 THEN 12
+        |          WHEN gap >= -2047 AND gap <= 2048 THEN 16
+        |          ELSE 36 END
+        |      ELSE
+        |        CASE WHEN dod = 0 THEN 1
+        |          WHEN dod >= -63 AND dod <= 64 THEN 9
+        |          WHEN dod >= -255 AND dod <= 256 THEN 12
+        |          WHEN dod >= -2047 AND dod <= 2048 THEN 16
+        |          ELSE 36 END
+        |      END AS bits
+        |  FROM d
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  sum(bits)::BIGINT AS total_bits,
+        |  sum(CASE WHEN bits = 1 THEN 1 ELSE 0 END)::BIGINT AS n_zero_dod,
+        |  sum(CASE WHEN bits = 36 THEN 1 ELSE 0 END)::BIGINT AS n_overflow,
+        |  round(CAST(sum(bits) AS DOUBLE)/(64*count(*)), 6) AS compression_ratio
+        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same contiguous exclusive-prefix packing rule over the tiny
     // partition aggregate; exact integer byte accounting.
     "compaction_plan" ->
