@@ -3489,7 +3489,104 @@ object StatQueries {
       .orderBy("pos")
   }
 
+  /** Per-edge triangle support of an oriented (a < b once) edge list:
+    * the wedge-join triangle enumeration (each triangle once as
+    * a < b < c) exploded back onto its three edges. Edges on no
+    * triangle are absent (support 0 at the caller's coalesce). */
+  private def edgeSupports(e: DataFrame): DataFrame = {
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"), col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .select(col("ab.a").as("x"), col("ab.b").as("y"), col("bc.b").as("z"))
+    tri.select(col("x").as("s"), col("y").as("t"))
+      .unionAll(tri.select(col("x").as("s"), col("z").as("t")))
+      .unionAll(tri.select(col("y").as("s"), col("z").as("t")))
+      .groupBy("s", "t").agg(count(lit(1)).as("sup"))
+  }
+
+  /** #19x 4-truss of the co-purchase graph — the cohesion filter one
+    * notch above [[graphKcore]]'s degree peel: an edge survives only
+    * while it closes ≥ 1 triangle, so chains and stars dissolve and
+    * only triangle-supported neighborhoods remain (Cohen's k-truss,
+    * k = 3 — the k where this sparse co-purchase graph keeps a
+    * non-trivial core). Three unrolled peel rounds (each a wedge self-join +
+    * integer support filter — the fixed-iteration semi-join discipline,
+    * no driver graph), then the surviving edges report their support
+    * RECOMPUTED on the final graph. */
+  def graphKtruss(s: SparkSession, dir: String): DataFrame = {
+    var e = OpsQueries.coocPairs(s, dir)
+      .select(col("item_a").as("a"), col("item_b").as("b"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val sup = edgeSupports(e)
+      e = e.join(sup, e("a") === sup("s") && e("b") === sup("t"))
+        .filter(col("sup") >= 1)
+        .select(e("a"), e("b"))
+        .localCheckpoint(true)
+    }
+    val fin = edgeSupports(e)
+    e.join(fin, e("a") === fin("s") && e("b") === fin("t"), "left")
+      .select(e("a").as("item_a"), e("b").as("item_b"),
+        coalesce(col("sup"), lit(0L)).as("support"))
+      .orderBy("item_a", "item_b")
+  }
+
+  /** #3l XYZ demand-variability classification per part — the
+    * companion axis to the ABC/Pareto revenue split ([[
+    * graft.queries.OpsQueries.paretoParts]]): coefficient of variation
+    * of WEEKLY demand with zero-demand weeks counted over the global
+    * week horizon (sparse parts must read as erratic, not smooth).
+    * Quantities are integral doubles → exact longs; CV² = (W·Σx² −
+    * S²)/S² is an exact-integer ratio, and the X/≤0.5 / Y/≤1.0 / Z
+    * boundaries compare through one sqrt. */
+  def xyzClass(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        expr("datediff(l_shipdate, date'1970-01-01') div 7").as("wk"),
+        col("l_quantity").cast("long").as("q"))
+    val horizon = li.select("wk").distinct().agg(count(lit(1)).as("w"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum("q").as("sq"),
+        sum(expr("cast(q as decimal(38,0)) * q")).as("sqq"),
+        countDistinct("wk").as("active_weeks"))
+    perPart.crossJoin(broadcast(horizon))
+      .withColumn("cv", expr(
+        "sqrt(cast(cast(w as decimal(38,0))*sqq - cast(sq as decimal(38,0))*sq as double))/sq"))
+      .select(col("l_partkey"), col("active_weeks"), col("sq").as("total_qty"),
+        expr("round(cv, 6)").as("cv"),
+        expr("case when cv <= 0.5 then 'X' when cv <= 1.0 then 'Y' else 'Z' end")
+          .as("xyz"))
+      .orderBy("l_partkey")
+  }
+
+  /** #1m broadcast-join advisor — "which dimensions fit under the
+    * 10 MB autoBroadcastJoinThreshold": exact integer byte estimates
+    * per dimension table (fixed widths for numeric/date columns, exact
+    * summed lengths for strings), one aggregate per table unioned into
+    * the advisory. The estimate convention is pinned in the oracle. */
+  def broadcastAdvisor(s: SparkSession, dir: String): DataFrame = {
+    def est(df: DataFrame, name: String, fixed: Long, strCols: Seq[String]) = {
+      val strBytes = strCols.map(c => sum(length(col(c)).cast("long")))
+        .reduceOption(_ + _).getOrElse(lit(0L))
+      df.agg(count(lit(1)).as("n_rows"),
+          (strBytes + count(lit(1)) * fixed).as("est_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"),
+          (col("est_bytes") <= 10485760L).as("broadcastable"))
+    }
+    est(Tables.region(s, dir), "region", 4L, Seq("r_name"))
+      .unionAll(est(Tables.nation(s, dir), "nation", 8L, Seq("n_name")))
+      .unionAll(est(Tables.supplier(s, dir), "supplier", 20L, Seq("s_name")))
+      .unionAll(est(Tables.customer(s, dir), "customer", 20L,
+        Seq("c_name", "c_mktsegment")))
+      .unionAll(est(Tables.part(s, dir), "part", 20L,
+        Seq("p_name", "p_brand", "p_type")))
+      .orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_ktruss"       -> (graphKtruss _),
+    "xyz_class"          -> (xyzClass _),
+    "broadcast_advisor"  -> (broadcastAdvisor _),
     "gorilla_bits"       -> (gorillaBits _),
     "compaction_plan"    -> (compactionPlan _),
     "sortkey_advisor"    -> (sortkeyAdvisor _),
@@ -3686,6 +3783,89 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Three unrolled wedge-join peel rounds + a final support
+    // recompute; all integer tallies.
+    "graph_ktruss" -> {
+      def round(i: Int, in: String) =
+        s"""t$i AS (
+           |  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+           |  FROM $in ab JOIN $in bc ON ab.b = bc.a
+           |  JOIN $in ac ON ac.a = ab.a AND ac.b = bc.b
+           |), s$i AS (
+           |  SELECT s, t, count(*) AS sup FROM (
+           |    SELECT x AS s, y AS t FROM t$i
+           |    UNION ALL SELECT x, z FROM t$i
+           |    UNION ALL SELECT y, z FROM t$i) GROUP BY 1, 2
+           |)""".stripMargin
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+         |), p0 AS MATERIALIZED (
+         |  SELECT x.item AS a, y.item AS b
+         |  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |), ${round(1, "p0")},
+         |p1 AS MATERIALIZED (SELECT p0.a, p0.b FROM p0 JOIN s1 ON p0.a = s1.s AND p0.b = s1.t
+         |  WHERE sup >= 1),
+         |${round(2, "p1")},
+         |p2 AS MATERIALIZED (SELECT p1.a, p1.b FROM p1 JOIN s2 ON p1.a = s2.s AND p1.b = s2.t
+         |  WHERE sup >= 1),
+         |${round(3, "p2")},
+         |p3 AS MATERIALIZED (SELECT p2.a, p2.b FROM p2 JOIN s3 ON p2.a = s3.s AND p2.b = s3.t
+         |  WHERE sup >= 1),
+         |${round(4, "p3")}
+         |SELECT p3.a AS item_a, p3.b AS item_b,
+         |  coalesce(s4.sup, 0)::BIGINT AS support
+         |FROM p3 LEFT JOIN s4 ON p3.a = s4.s AND p3.b = s4.t
+         |ORDER BY item_a, item_b""".stripMargin
+    },
+    // Zero-weeks-inclusive CV over the global week horizon; exact
+    // integer variance numerator, one sqrt, pinned class boundaries.
+    "xyz_class" ->
+      """WITH li AS (
+        |  SELECT l_partkey, datediff('day', DATE '1970-01-01', l_shipdate) // 7 AS wk,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem
+        |), h AS (SELECT count(DISTINCT wk)::BIGINT AS w FROM li),
+        |pp AS (
+        |  SELECT l_partkey, sum(q)::BIGINT AS sq, sum(CAST(q AS HUGEINT)*q) AS sqq,
+        |    count(DISTINCT wk)::BIGINT AS active_weeks
+        |  FROM li GROUP BY 1
+        |), m AS (
+        |  SELECT l_partkey, active_weeks, sq,
+        |    sqrt(CAST(CAST(w AS HUGEINT)*sqq - CAST(sq AS HUGEINT)*sq AS DOUBLE))/sq AS cv
+        |  FROM pp CROSS JOIN h
+        |)
+        |SELECT l_partkey, active_weeks, sq AS total_qty, round(cv, 6) AS cv,
+        |  CASE WHEN cv <= 0.5 THEN 'X' WHEN cv <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+        |FROM m ORDER BY l_partkey""".stripMargin,
+    // Pinned estimate convention: fixed widths for numeric columns,
+    // exact summed lengths for strings; exact integer byte compare.
+    "broadcast_advisor" ->
+      """SELECT 'region' AS table_name, count(*)::BIGINT AS n_rows,
+        |  (sum(length(r_name))::BIGINT + count(*)*4)::BIGINT AS est_bytes,
+        |  sum(length(r_name))::BIGINT + count(*)*4 <= 10485760 AS broadcastable
+        |FROM region
+        |UNION ALL
+        |SELECT 'nation', count(*)::BIGINT,
+        |  (sum(length(n_name))::BIGINT + count(*)*8)::BIGINT,
+        |  sum(length(n_name))::BIGINT + count(*)*8 <= 10485760
+        |FROM nation
+        |UNION ALL
+        |SELECT 'supplier', count(*)::BIGINT,
+        |  (sum(length(s_name))::BIGINT + count(*)*20)::BIGINT,
+        |  sum(length(s_name))::BIGINT + count(*)*20 <= 10485760
+        |FROM supplier
+        |UNION ALL
+        |SELECT 'customer', count(*)::BIGINT,
+        |  ((sum(length(c_name)) + sum(length(c_mktsegment)))::BIGINT + count(*)*20)::BIGINT,
+        |  (sum(length(c_name)) + sum(length(c_mktsegment)))::BIGINT + count(*)*20 <= 10485760
+        |FROM customer
+        |UNION ALL
+        |SELECT 'part', count(*)::BIGINT,
+        |  ((sum(length(p_name)) + sum(length(p_brand)) + sum(length(p_type)))::BIGINT + count(*)*20)::BIGINT,
+        |  (sum(length(p_name)) + sum(length(p_brand)) + sum(length(p_type)))::BIGINT + count(*)*20 <= 10485760
+        |FROM part
+        |ORDER BY table_name""".stripMargin,
     // Same per-user lag windows and integer bucket tallies; one
     // display division.
     "gorilla_bits" ->
