@@ -1614,7 +1614,6 @@ object OpsQueries {
     * each rank's term rounds to nano units pre-sum. The windows walk
     * the 10-row list. */
   def evalErr(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
     val q = Seq("vector", "key", "dup")
     val list = rankTopList(TextAnalysis.bm25Search(docs, "text", "doc_id", q, 10), "r")
@@ -1622,15 +1621,20 @@ object OpsQueries {
       .withColumn("g", expr("least(3, n_chars div 150)"))
       .withColumn("num", expr("cast(case g when 0 then 0 when 1 then 1 when 2 then 3 else 7 end as bigint)"))
       .withColumn("f", lit(8L) - col("num"))
-    val w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, -1)
     val pow5 = "case cb when 0 then 1 when 1 then 5 when 2 then 25 when 3 then 125 when 4 then 625 when 5 then 3125 when 6 then 15625 when 7 then 78125 when 8 then 390625 else 1953125 end"
     val pow7 = "case cc when 0 then 1 when 1 then 7 when 2 then 49 when 3 then 343 when 4 then 2401 when 5 then 16807 when 6 then 117649 when 7 then 823543 when 8 then 5764801 else 40353607 end"
     val pow8 = "case cd when 0 then 1 when 1 then 8 when 2 then 64 when 3 then 512 when 4 then 4096 when 5 then 32768 when 6 then 262144 when 7 then 2097152 when 8 then 16777216 else 134217728 end"
     val pow8r = "case r when 1 then 8 when 2 then 64 when 3 then 512 when 4 then 4096 when 5 then 32768 when 6 then 262144 when 7 then 2097152 when 8 then 16777216 when 9 then 134217728 else 1073741824 end"
-    list
-      .withColumn("cb", coalesce(sum(when(col("f") === 5L, 1L).otherwise(0L)).over(w), lit(0L)))
-      .withColumn("cc", coalesce(sum(when(col("f") === 7L, 1L).otherwise(0L)).over(w), lit(0L)))
-      .withColumn("cd", coalesce(sum(when(col("f") === 8L, 1L).otherwise(0L)).over(w), lit(0L)))
+    // Earlier-rank factor counts via the same k²-bounded broadcast
+    // strictly-ahead join [[rankTopList]] uses — no window at all, so
+    // nothing unpartitioned can ever see the (joined) relation side.
+    val ahead = list.select(col("r").as("r2"), col("f").as("f2"))
+    list.join(broadcast(ahead), col("r2") < col("r"), "left")
+      .groupBy("doc_id", "r", "num")
+      .agg(
+        sum(when(col("f2") === 5L, 1L).otherwise(0L)).as("cb"),
+        sum(when(col("f2") === 7L, 1L).otherwise(0L)).as("cc"),
+        sum(when(col("f2") === 8L, 1L).otherwise(0L)).as("cd"))
       .withColumn("pnum", expr(s"cast($pow5 as bigint) * ($pow7) * ($pow8)"))
       .withColumn("term_nano", expr(
         s"cast(round(cast(num*pnum as double)/(cast($pow8r as double)*r)*1e9) as bigint)"))

@@ -3405,6 +3405,157 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #5bi Brown-Forsythe/Levene variance-homogeneity test across the
+    * per-type hourly count distributions — the robust companion to
+    * [[eventsBartlett]] (which assumes normality this data fails):
+    * deviations from the GROUP MEDIAN, then a one-way F on them.
+    * Medians ride the doubled integer med2 (odd n picks 2·mid, even
+    * picks the two middles' sum) so z = |2x − med2| stays an exact
+    * integer; the F numerator/denominator terms Sg²/ng round to nano
+    * units pre-sum; one chain at display. */
+  def leveneTest(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val wr = Window.partitionBy("event_type").orderBy("x", "h")
+    val ranked = hourly.withColumn("rn", row_number().over(wr))
+    // med2 needs ng before the rank filter — two-pass: sizes first.
+    val sizes = hourly.groupBy("event_type").agg(count(lit(1)).as("ng"))
+    val med2 = ranked.join(broadcast(sizes), "event_type")
+      .withColumn("pick1", expr("rn = (ng + 1) div 2"))
+      .withColumn("pick2", expr("rn = (ng + 2) div 2"))
+      .groupBy("event_type")
+      .agg((sum(when(col("pick1"), col("x")).otherwise(0L))
+        + sum(when(col("pick2"), col("x")).otherwise(0L))).as("med2"))
+    val z = hourly.join(broadcast(med2), "event_type")
+      .withColumn("z", abs(lit(2L) * col("x") - col("med2")))
+    val g = z.groupBy("event_type")
+      .agg(count(lit(1)).as("ng"), sum("z").as("sz"),
+        sum(expr("cast(z as decimal(38,0)) * z")).as("szz"))
+      .withColumn("t_nano", expr(
+        "cast(round(cast(sz as double)*sz/ng*1e9) as bigint)"))
+    g.agg(count(lit(1)).as("k"), sum("ng").as("n"), sum("sz").as("st"),
+        sum("szz").as("stt"), sum("t_nano").as("sgn"))
+      .select(col("k").as("k_groups"), col("n").as("n_total"),
+        expr("""round(((n - k)*(sgn/1e9 - cast(st as double)*st/n))
+          /((k - 1)*(cast(stt as double) - sgn/1e9)), 6)""").as("w_stat"))
+  }
+
+  /** #5bj TOST equivalence test of the A/B value metric — the test
+    * you run to SHOW two arms are the same (a non-significant t-test
+    * is not evidence of equivalence): two one-sided Welch tests
+    * against a ±5%-of-global-mean margin, equivalent iff BOTH one-
+    * sided statistics clear the 95% one-sided z literal. Values ride
+    * integer micros; means/variances derive from exact moments with
+    * identical chains; the margin itself is one exact-rational double.
+    */
+  def abTost(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(expr("cast(round(value*1e6) as bigint)").as("v"),
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + lit(13L), lit(1000000L)) < 500000L, 0L).otherwise(1L).as("arm"))
+      .filter(col("v").isNotNull)
+    val g = ev.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(expr("cast(v as decimal(38,0)) * v")).as("svv"))
+      .withColumn("mu", expr("cast(sv as double)/n"))
+      .withColumn("s2", expr(
+        """cast(cast(n as decimal(38,0))*svv - cast(sv as decimal(38,0))*sv as double)
+          /n/(n - 1)"""))
+    val a = g.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("sv").as("sv_a"),
+        col("mu").as("mu_a"), col("s2").as("s2_a"))
+    val b = g.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("sv").as("sv_b"),
+        col("mu").as("mu_b"), col("s2").as("s2_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("margin", expr(
+        "0.05*cast(sv_a + sv_b as double)/(n_a + n_b)"))
+      .withColumn("se", expr("sqrt(s2_a/n_a + s2_b/n_b)"))
+      .withColumn("t_lower", expr("(mu_b - mu_a + margin)/se"))
+      .withColumn("t_upper", expr("(margin - (mu_b - mu_a))/se"))
+      .select(col("n_a"), col("n_b"),
+        expr("round((mu_b - mu_a)/1e6, 6)").as("diff"),
+        expr("round(margin/1e6, 6)").as("margin"),
+        expr("round(t_lower, 6)").as("t_lower"),
+        expr("round(t_upper, 6)").as("t_upper"),
+        expr("t_lower > 1.644854 and t_upper > 1.644854").as("equivalent"))
+  }
+
+  /** #5bk sharp regression-discontinuity estimate at the 5%-discount
+    * cutoff — does crossing the discount threshold JUMP order
+    * quantities, beyond the smooth trend: local linear fits on integer
+    * discount cents over bandwidth-3 windows each side, evaluated AT
+    * the cutoff, jump = right(5) − left(5). Every regression moment
+    * (n, Σx, Σy, Σxy, Σx²) is an exact integer; slopes/intercepts are
+    * single double chains repeated identically in the oracle. */
+  def rddDiscount(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(expr("cast(round(l_discount*100) as bigint)").as("dc"),
+        col("l_quantity").cast("long").as("q"))
+      .filter(col("dc") >= 2 && col("dc") <= 7)
+      .withColumn("side", when(col("dc") < 5, "L").otherwise("R"))
+    val g = li.groupBy("side")
+      .agg(count(lit(1)).as("n"), sum("dc").as("sx"), sum("q").as("sy"),
+        sum(col("dc") * col("q")).as("sxy"),
+        sum(col("dc") * col("dc")).as("sxx"))
+      .withColumn("slope", expr(
+        """cast(cast(n as decimal(38,0))*sxy - cast(sx as decimal(38,0))*sy as double)
+          /cast(cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx as double)"""))
+      .withColumn("icpt", expr("(cast(sy as double) - slope*sx)/n"))
+      .withColumn("fit5", expr("icpt + slope*5"))
+    val l = g.filter(col("side") === "L")
+      .select(col("n").as("n_left"), col("slope").as("slope_left"),
+        col("fit5").as("fit_left"))
+    val r = g.filter(col("side") === "R")
+      .select(col("n").as("n_right"), col("slope").as("slope_right"),
+        col("fit5").as("fit_right"))
+    l.crossJoin(broadcast(r))
+      .select(col("n_left"), col("n_right"),
+        expr("round(slope_left, 6)").as("slope_left"),
+        expr("round(slope_right, 6)").as("slope_right"),
+        expr("round(fit_left, 6)").as("fit_left"),
+        expr("round(fit_right, 6)").as("fit_right"),
+        expr("round(fit_right - fit_left, 6)").as("jump"))
+  }
+
+  /** #5bh SAX symbolization + top motifs of the hourly rate series —
+    * Lin/Keogh's symbolic aggregate approximation: z-score bands become
+    * a 4-letter alphabet (Gaussian breakpoints ±0.6745, 0) and repeated
+    * 3-letter motifs surface recurring shapes a variance readout hides.
+    * The banding never divides: (x·n − S) compares against
+    * ±0.6745·√A2 (one sqrt over the exact integer variance numerator),
+    * so the symbol is engine-exact; motif ranks are integer counts
+    * round-then-ranked with a lexicographic tie-break. Windows walk the
+    * per-type hourly rollup. */
+  def eventsSax(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val st = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("s2"))
+      .withColumn("a2", expr("cast(n as decimal(38,0))*s2 - cast(sx as decimal(38,0))*sx"))
+      .select("event_type", "n", "sx", "a2")
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val sym = hourly.join(broadcast(st), "event_type")
+      .withColumn("dd", expr("cast(x*n - sx as double)"))
+      .withColumn("t", expr("0.6745*sqrt(cast(a2 as double))"))
+      .withColumn("sym", expr(
+        "case when dd < -t then 'a' when dd < 0 then 'b' when dd < t then 'c' else 'd' end"))
+      .withColumn("motif",
+        concat(col("sym"), lead("sym", 1).over(w), lead("sym", 2).over(w)))
+      .filter(col("motif").isNotNull)
+    sym.groupBy("event_type", "motif").agg(count(lit(1)).as("n_occ"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("n_occ").desc, col("motif"))))
+      .filter(col("rank") <= 3)
+      .select("event_type", "rank", "motif", "n_occ")
+      .orderBy("event_type", "rank")
+  }
+
   /** #46f Gorilla-style timestamp compressibility estimate — how many
     * bits the per-user event-time streams cost under Facebook's
     * delta-of-delta scheme (Pelkonen et al., VLDB'15 buckets): the
@@ -3584,6 +3735,10 @@ object StatQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sax"         -> (eventsSax _),
+    "levene_test"        -> (leveneTest _),
+    "ab_tost"            -> (abTost _),
+    "rdd_discount"       -> (rddDiscount _),
     "graph_ktruss"       -> (graphKtruss _),
     "xyz_class"          -> (xyzClass _),
     "broadcast_advisor"  -> (broadcastAdvisor _),
@@ -3783,6 +3938,138 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Doubled-integer medians, exact |2x − med2| deviations, nano
+    // round-then-sum Sg²/ng terms, one F chain at display.
+    "levene_test" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY x, h) AS rn
+        |  FROM hourly
+        |), sizes AS (SELECT event_type, count(*)::BIGINT AS ng FROM hourly GROUP BY 1),
+        |med2 AS (
+        |  SELECT r.event_type,
+        |    sum(CASE WHEN rn = (ng + 1) // 2 THEN x ELSE 0 END)::BIGINT
+        |      + sum(CASE WHEN rn = (ng + 2) // 2 THEN x ELSE 0 END)::BIGINT AS med2
+        |  FROM ranked r JOIN sizes s ON r.event_type = s.event_type
+        |  GROUP BY 1
+        |), z AS (
+        |  SELECT h.event_type, abs(2*h.x - m.med2) AS z
+        |  FROM hourly h JOIN med2 m ON h.event_type = m.event_type
+        |), g AS (
+        |  SELECT event_type, count(*)::BIGINT AS ng, sum(z)::BIGINT AS sz,
+        |    sum(CAST(z AS HUGEINT)*z) AS szz,
+        |    CAST(round(CAST(sum(z) AS DOUBLE)*sum(z)/count(*)*1e9) AS BIGINT) AS t_nano
+        |  FROM z GROUP BY 1
+        |), t AS (
+        |  SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n, sum(sz)::BIGINT AS st,
+        |    sum(szz) AS stt, sum(t_nano)::BIGINT AS sgn
+        |  FROM g
+        |)
+        |SELECT k AS k_groups, n AS n_total,
+        |  round(((n - k)*(sgn/1e9 - CAST(st AS DOUBLE)*st/n))
+        |    /((k - 1)*(CAST(stt AS DOUBLE) - sgn/1e9)), 6) AS w_stat
+        |FROM t""".stripMargin,
+    // Exact integer micro moments per arm; margin, Welch SE, and both
+    // one-sided statistics are identical double chains.
+    "ab_tost" ->
+      """WITH ev AS (
+        |  SELECT CAST(round(value*1e6) AS BIGINT) AS v,
+        |    CASE WHEN ((user_id % 1000000)*2654435761 + 13) % 1000000 < 500000
+        |      THEN 0 ELSE 1 END AS arm
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT arm, count(*)::BIGINT AS n, sum(v)::BIGINT AS sv,
+        |    sum(CAST(v AS HUGEINT)*v) AS svv
+        |  FROM ev GROUP BY 1
+        |), m AS (
+        |  SELECT arm, n, sv, CAST(sv AS DOUBLE)/n AS mu,
+        |    CAST(CAST(n AS HUGEINT)*svv - CAST(sv AS HUGEINT)*sv AS DOUBLE)
+        |      /n/(n - 1) AS s2
+        |  FROM g
+        |), ab AS (
+        |  SELECT a.n AS n_a, b.n AS n_b,
+        |    0.05*CAST(a.sv + b.sv AS DOUBLE)/(a.n + b.n) AS margin,
+        |    b.mu - a.mu AS d, sqrt(a.s2/a.n + b.s2/b.n) AS se
+        |  FROM (SELECT * FROM m WHERE arm = 0) a
+        |  CROSS JOIN (SELECT * FROM m WHERE arm = 1) b
+        |)
+        |SELECT n_a, n_b, round(d/1e6, 6) AS diff, round(margin/1e6, 6) AS margin,
+        |  round((d + margin)/se, 6) AS t_lower,
+        |  round((margin - d)/se, 6) AS t_upper,
+        |  (d + margin)/se > CAST(1.644854 AS DOUBLE)
+        |    AND (margin - d)/se > CAST(1.644854 AS DOUBLE) AS equivalent
+        |FROM ab""".stripMargin,
+    // Exact integer regression moments per side; slopes/intercepts/
+    // cutoff fits are identical double chains; jump at display.
+    "rdd_discount" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_discount*100) AS BIGINT) AS dc,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem
+        |  WHERE CAST(round(l_discount*100) AS BIGINT) BETWEEN 2 AND 7
+        |), g AS (
+        |  SELECT CASE WHEN dc < 5 THEN 'L' ELSE 'R' END AS side,
+        |    count(*)::BIGINT AS n, sum(dc)::BIGINT AS sx, sum(q)::BIGINT AS sy,
+        |    sum(CAST(dc AS HUGEINT)*q) AS sxy, sum(CAST(dc AS HUGEINT)*dc) AS sxx
+        |  FROM li GROUP BY 1
+        |), f AS (
+        |  SELECT side, n,
+        |    CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+        |      /CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE) AS slope,
+        |    sx, sy
+        |  FROM g
+        |), e AS (
+        |  SELECT side, n, slope,
+        |    (CAST(sy AS DOUBLE) - slope*sx)/n AS icpt
+        |  FROM f
+        |), lr AS (
+        |  SELECT l.n AS n_left, r.n AS n_right,
+        |    l.slope AS slope_left, r.slope AS slope_right,
+        |    l.icpt + l.slope*5 AS fit_left, r.icpt + r.slope*5 AS fit_right
+        |  FROM (SELECT * FROM e WHERE side = 'L') l
+        |  CROSS JOIN (SELECT * FROM e WHERE side = 'R') r
+        |)
+        |SELECT n_left, n_right, round(slope_left, 6) AS slope_left,
+        |  round(slope_right, 6) AS slope_right,
+        |  round(fit_left, 6) AS fit_left, round(fit_right, 6) AS fit_right,
+        |  round(fit_right - fit_left, 6) AS jump
+        |FROM lr""".stripMargin,
+    // Same sqrt-only banding over exact integer deviations; motif
+    // counts are integers ranked with the lexicographic tie-break.
+    "events_sax" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    CAST(count(*) AS HUGEINT)*sum(CAST(x AS HUGEINT)*x)
+        |      - CAST(sum(x) AS HUGEINT)*sum(x) AS a2
+        |  FROM hourly GROUP BY 1
+        |), sym AS (
+        |  SELECT h.event_type, h.h,
+        |    CASE WHEN CAST(h.x*st.n - st.sx AS DOUBLE)
+        |        < -(0.6745*sqrt(CAST(st.a2 AS DOUBLE))) THEN 'a'
+        |      WHEN CAST(h.x*st.n - st.sx AS DOUBLE) < 0 THEN 'b'
+        |      WHEN CAST(h.x*st.n - st.sx AS DOUBLE)
+        |        < 0.6745*sqrt(CAST(st.a2 AS DOUBLE)) THEN 'c'
+        |      ELSE 'd' END AS sym
+        |  FROM hourly h JOIN st ON h.event_type = st.event_type
+        |), motifs AS (
+        |  SELECT event_type,
+        |    sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w AS motif
+        |  FROM sym WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        |), mc AS (
+        |  SELECT event_type, motif, count(*)::BIGINT AS n_occ
+        |  FROM motifs WHERE motif IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT event_type, rank, motif, n_occ FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n_occ DESC, motif) AS rank
+        |  FROM mc
+        |) WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
     // Three unrolled wedge-join peel rounds + a final support
     // recompute; all integer tallies.
     "graph_ktruss" -> {
