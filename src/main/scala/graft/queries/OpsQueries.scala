@@ -1532,6 +1532,53 @@ object OpsQueries {
         round(sum("wt"), 6).as("rbo"))
   }
 
+  /** #49e term burstiness (Church-Gale): cf/df per term — "when this
+    * word appears, how hard does it repeat" — the signal separating
+    * topical content words (bursty) from function words (cf ≈ df) that
+    * pure frequency ranks conflate. Exact integer cf/df tallies over
+    * one token scan; top-20 by the 6-dp-rounded ratio with a term
+    * tie-break (round-then-rank), df ≥ 20 support gate. */
+  def termBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(LanguageModel.tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+    occ.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("c").as("cf"))
+      .filter(col("df") >= 20L)
+      .withColumn("burstiness", expr("round(cast(cf as double)/df, 6)"))
+      .orderBy(col("burstiness").desc, col("term"))
+      .limit(20)
+  }
+
+  /** #3m newsvendor stocking level per part — the service-level
+    * quantile inventory planning actually orders against: the smallest
+    * weekly demand q* covering ≥ 80% of weeks, with ZERO-demand weeks
+    * counted over the global week horizon (skipping them overstocks
+    * slow movers). The pick is a pure integer order statistic: target
+    * rank ceil(0.8·W) shifted past the implicit zero block, elected by
+    * (demand, week) row_number over the per-part weekly rollup. */
+  def newsvendorStock(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        expr("datediff(l_shipdate, date'1970-01-01') div 7").as("wk"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("l_partkey", "wk").agg(sum("q").as("d"))
+    val horizon = weekly.select("wk").distinct().agg(count(lit(1)).as("w"))
+    val ranked = weekly.withColumn("rn", row_number().over(
+      Window.partitionBy("l_partkey").orderBy("d", "wk")))
+    val sizes = weekly.groupBy("l_partkey").agg(count(lit(1)).as("n_active"))
+    ranked.join(sizes, "l_partkey")
+      .crossJoin(broadcast(horizon))
+      .withColumn("target", expr("(4*w + 4) div 5 - (w - n_active)"))
+      .groupBy("l_partkey", "n_active", "w")
+      .agg(coalesce(max(when(col("rn") === col("target"), col("d"))), lit(0L))
+        .as("stock_qty"))
+      .select(col("l_partkey"), col("n_active").as("n_active_weeks"),
+        col("w").as("n_weeks"), col("stock_qty"))
+      .orderBy("l_partkey")
+  }
+
   /** #43g Chao1 vocabulary-richness estimate + Good-Turing unseen
     * mass — "how much vocabulary has this corpus NOT shown yet", the
     * coverage readout behind deciding whether more data changes the
@@ -4003,6 +4050,8 @@ object OpsQueries {
     "vocab_chao1"       -> (vocabChao1 _),
     "token_dice"        -> (tokenDice _),
     "palma_ratio"       -> (palmaRatio _),
+    "term_burstiness"   -> (termBurstiness _),
+    "newsvendor_stock"  -> (newsvendorStock _),
     "nb_lang_classify"  -> (nbLangClassify _),
     "item_decayed_pop"  -> (itemDecayedPop _),
     "dau_mau"           -> (dauMauStickiness _),
@@ -6657,6 +6706,39 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
         |  round(CAST(top10 AS DOUBLE)/tot, 6) AS top10_share,
         |  round(CAST(b40 AS DOUBLE)/tot, 6) AS bottom40_share
         |FROM marks""".stripMargin,
+    // Exact cf/df tallies; round-then-rank with the term tie-break.
+    "term_burstiness" ->
+      """WITH occ AS (
+        |  SELECT term, doc_id, count(*)::BIGINT AS c FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |    FROM documents) GROUP BY 1, 2
+        |), t AS (
+        |  SELECT term, count(*)::BIGINT AS df, sum(c)::BIGINT AS cf
+        |  FROM occ GROUP BY 1 HAVING count(*) >= 20
+        |)
+        |SELECT term, df, cf, round(CAST(cf AS DOUBLE)/df, 6) AS burstiness
+        |FROM t ORDER BY burstiness DESC, term LIMIT 20""".stripMargin,
+    // Pure integer order statistic: rank ceil(0.8W) shifted past the
+    // implicit zero-demand block, (demand, week) election.
+    "newsvendor_stock" ->
+      """WITH weekly AS (
+        |  SELECT l_partkey, datediff('day', DATE '1970-01-01', l_shipdate) // 7 AS wk,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS d
+        |  FROM lineitem GROUP BY 1, 2
+        |), h AS (SELECT count(DISTINCT wk)::BIGINT AS w FROM weekly),
+        |ranked AS (
+        |  SELECT l_partkey, d,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY d, wk) AS rn
+        |  FROM weekly
+        |), sizes AS (
+        |  SELECT l_partkey, count(*)::BIGINT AS n_active FROM weekly GROUP BY 1
+        |)
+        |SELECT r.l_partkey, s.n_active AS n_active_weeks, h.w AS n_weeks,
+        |  coalesce(max(CASE WHEN r.rn = (4*h.w + 4) // 5 - (h.w - s.n_active)
+        |    THEN r.d END), 0)::BIGINT AS stock_qty
+        |FROM ranked r JOIN sizes s ON r.l_partkey = s.l_partkey CROSS JOIN h
+        |GROUP BY r.l_partkey, s.n_active, h.w
+        |ORDER BY r.l_partkey""".stripMargin,
     // Exact frequency-of-frequencies tallies; two display divisions.
     "vocab_chao1" ->
       """WITH freq AS (

@@ -279,7 +279,18 @@ object SourceQueries {
         .orderBy("source")
     })
 
+  /** #17h Avro binary-wire roundtrip ([[graft.sources.AvroCodec]]):
+    * encode+decode per partition against the Avro 1.12 runtime; the
+    * oracle recomputes the exact wire size from the PUBLIC spec
+    * (zigzag-varint longs, length-prefixed UTF-8 strings), so an
+    * encoding drift in either direction hash-mismatches. */
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.AvroCodec.roundtrip(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "avro_roundtrip"  -> (avroRoundtrip _),
     "binaryfile_scan" -> (binaryfileScan _),
     "csv_roundtrip"   -> (csvRoundtrip _),
     "text_roundtrip"  -> (textRoundtrip _),
@@ -294,6 +305,16 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Wire size from the public Avro spec: zigzag-varint(2v) per long,
+    // varint length prefix + UTF-8 bytes per string.
+    "avro_roundtrip" ->
+      """SELECT doc_id, lang, n_chars,
+        |  (CASE WHEN 2*doc_id < 128 THEN 1 WHEN 2*doc_id < 16384 THEN 2
+        |     WHEN 2*doc_id < 2097152 THEN 3 ELSE 4 END
+        |   + CASE WHEN length(lang) < 128 THEN 1 ELSE 2 END + length(lang)
+        |   + CASE WHEN 2*n_chars < 128 THEN 1 WHEN 2*n_chars < 16384 THEN 2
+        |     WHEN 2*n_chars < 2097152 THEN 3 ELSE 4 END)::BIGINT AS payload_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Ordered string_agg rebuilds each blob byte-for-byte; octet_length
     // + md5 must match the binaryFile read.
     "binaryfile_scan" ->
