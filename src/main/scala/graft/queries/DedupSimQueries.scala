@@ -336,6 +336,66 @@ object DedupSimQueries {
         .as("embedding")))
   }
 
+  /** #19ab detector precision/recall against the planted truth — the
+    * eval loop every dedup pipeline needs closed: the n-gram Jaccard
+    * detector's pairs scored against the known (d, d+10⁶) mutation
+    * pairs. TP and both denominators are exact integer pair-set
+    * tallies; recall counts EVERY planted pair (mutants the detector
+    * legitimately cannot see — too short to shingle, hot-shingle-
+    * capped — are exactly what the metric should charge it for). */
+  def dedupPr(s: SparkSession, dir: String): DataFrame = {
+    val cand = ngramPairs(s, dir).select("doc_id_a", "doc_id_b")
+    val truth = Tables.documents(s, dir)
+      .select(col("doc_id").as("doc_id_a"),
+        (col("doc_id") + 1000000).as("doc_id_b"))
+    val tp = cand.join(truth, Seq("doc_id_a", "doc_id_b"), "left_semi")
+      .agg(count(lit(1)).as("tp"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    tp.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
+      .select(col("tp"), col("n_cand"), col("n_truth"),
+        expr("round(cast(tp as double)/n_cand, 6)").as("precision"),
+        expr("round(cast(tp as double)/n_truth, 6)").as("recall"))
+  }
+
+  /** #23g embedding triplet audit over the planted mutations — the
+    * contrastive sanity check "is each vector closer to its own
+    * near-duplicate than to ANY other base": pos = cos(base, mutant),
+    * hardest negative = max cos(base, other base), violation when the
+    * margin pos − maxneg < 0.1. Cosines are the same single-chain
+    * doubles the dedup family pins; margins round to nano units before
+    * the mean (round-then-sum). */
+  def embTripletAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.ops.Similarity.dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val mut = e.select(col("id"), col("v"), col("nrm"))
+      .withColumn("mv", expr(
+        "concat(slice(v, 1, 56), array_repeat(cast(0.0 as double), 8))"))
+      .withColumn("mnrm", sqrt(graft.ops.Similarity.dot(col("mv"), col("mv"))))
+      .filter(col("mnrm") > 0)
+      .withColumn("pos", graft.ops.Similarity.dot(col("v"), col("mv"))
+        / (col("nrm") * col("mnrm")))
+      .select(col("id"), col("pos"))
+    val other = e.select(col("id").as("id2"), col("v").as("v2"),
+      col("nrm").as("nrm2"))
+    val hardest = e.join(other, col("id") =!= col("id2"))
+      .withColumn("c", graft.ops.Similarity.dot(col("v"), col("v2"))
+        / (col("nrm") * col("nrm2")))
+      .groupBy("id").agg(max("c").as("maxneg"))
+    mut.join(hardest, "id")
+      .withColumn("margin", col("pos") - col("maxneg"))
+      .withColumn("m_nano", expr("cast(round(margin*1e9) as bigint)"))
+      .agg(count(lit(1)).as("n_triplets"),
+        sum(when(col("margin") < 0.1, 1L).otherwise(0L)).as("n_violations"),
+        round(min("margin"), 6).as("min_margin"),
+        sum("m_nano").as("sm"))
+      .select(col("n_triplets"), col("n_violations"), col("min_margin"),
+        expr("round(sm/1e9/n_triplets, 6)").as("mean_margin"))
+  }
+
   /** Planted density structure for [[dbscanEmbed]]: every fifth base
     * vector gets THREE tail/head/middle-zeroed mutations (a 1-core,
     * 3-border star at the 0.9 cosine gate — mutations sit near the
@@ -1073,6 +1133,8 @@ object DedupSimQueries {
     "dedup_keep_best"     -> (dedupKeepBest _),
     "dedup_embedding_clusters" -> (dedupEmbeddingClusters _),
     "dbscan_embed"        -> (dbscanEmbed _),
+    "dedup_pr"            -> (dedupPr _),
+    "emb_triplet_audit"   -> (embTripletAudit _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_containment" -> (dedupSimhashContainment _),
     "dedup_embedding"     -> (dedupEmbedding _),
@@ -1161,6 +1223,71 @@ object DedupSimQueries {
        |${kmeansUpdateCte("c2", "a2")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact pair-set tallies: the detector CTEs repeat the ngram-pair
+    // oracle verbatim; truth is the planted (d, d+1e6) list.
+    "dedup_pr" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 40, 1))
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM corpus
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, array_to_string(t[j:j+2], ' ') AS shingle
+        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS j FROM toks WHERE len(t) >= 3)
+        |  )
+        |), cold AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10
+        |), kept AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN sizes sa ON sa.doc_id = a.doc_id
+        |  JOIN sizes sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING count(*)::DOUBLE / (max(sa.sz) + max(sb.sz) - count(*)) >= 0.6
+        |), truth AS (
+        |  SELECT doc_id AS pa, doc_id + 1000000 AS pb FROM documents
+        |), g AS (
+        |  SELECT
+        |    (SELECT count(*) FROM pairs p JOIN truth t ON p.pa = t.pa AND p.pb = t.pb)::BIGINT AS tp,
+        |    (SELECT count(*) FROM pairs)::BIGINT AS n_cand,
+        |    (SELECT count(*) FROM truth)::BIGINT AS n_truth
+        |)
+        |SELECT tp, n_cand, n_truth,
+        |  round(CAST(tp AS DOUBLE)/n_cand, 6) AS precision,
+        |  round(CAST(tp AS DOUBLE)/n_truth, 6) AS recall
+        |FROM g""".stripMargin,
+    // Same single-chain cosines; hardest negative is a max over an
+    // identical pair set; margins nano-round before the mean.
+    "emb_triplet_audit" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |  WHERE sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+        |), mv AS (
+        |  SELECT id, v, nrm, v[1:56] || [0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0] AS mv
+        |  FROM e
+        |), mut AS (
+        |  SELECT id,
+        |    list_inner_product(v, mv)/(nrm*sqrt(list_inner_product(mv, mv))) AS pos
+        |  FROM mv WHERE sqrt(list_inner_product(mv, mv)) > 0
+        |), hard AS (
+        |  SELECT a.id, max(list_inner_product(a.v, b.v)/(a.nrm*b.nrm)) AS maxneg
+        |  FROM e a JOIN e b ON a.id <> b.id GROUP BY 1
+        |), t AS (
+        |  SELECT m.pos - h.maxneg AS margin FROM mut m JOIN hard h ON m.id = h.id
+        |)
+        |SELECT count(*)::BIGINT AS n_triplets,
+        |  sum(CASE WHEN margin < 0.1 THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+        |  round(min(margin), 6) AS min_margin,
+        |  round(sum(CAST(round(margin*1e9) AS BIGINT))/1e9/count(*), 6) AS mean_margin
+        |FROM t""".stripMargin,
     // Exact reach closure over the core-core graph (self-edges keep
     // singleton cores); border/noise elections are integer min/counts.
     "dbscan_embed" ->
