@@ -289,7 +289,41 @@ object SourceQueries {
         Tables.documents(s, dir).select("doc_id", "lang", "n_chars"))
       .orderBy("doc_id")
 
+  /** #17i dynamic-partition-pruned fact⋈dim scan: the fact lake is
+    * day-partitioned and the join's dim side (weekend days) carries the
+    * only filter — static pruning can see nothing, so Catalyst's
+    * dynamic partition pruning must inject the dim subquery into the
+    * fact scan's PartitionFilters at runtime (pinned by a plan
+    * contract). Weekday partitions are never read. */
+  def dppScan(s: SparkSession, dir: String): DataFrame =
+    dppCache.getOrElseUpdate((s, dir), Scratch.cleaned("graft_dpp") { tmp =>
+      val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      ev.write.mode("overwrite").partitionBy("day").parquet(tmp.toString)
+      dppJoin(s, tmp.toString, ev)
+    })
+
+  /** The DPP-shaped join itself, factored so the plan contract can
+    * inspect it pre-checkpoint. */
+  private[queries] def dppJoin(
+      s: SparkSession, lake: String,
+      ev: org.apache.spark.sql.DataFrame): DataFrame = {
+    val fact = s.read.parquet(lake)
+    val dim = ev.select(col("day")).distinct()
+      .filter(dayofweek(col("day")).isin(1, 7))
+    fact.join(dim, "day")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value*1e6) as bigint)")).as("v_us"))
+      .select(unix_date(col("day")).cast("long").as("day_num"),
+        col("n_events"), expr("round(v_us/1e6, 6)").as("sum_value"))
+      .orderBy("day_num")
+  }
+
+  private val dppCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dpp_scan"        -> (dppScan _),
     "avro_roundtrip"  -> (avroRoundtrip _),
     "binaryfile_scan" -> (binaryfileScan _),
     "csv_roundtrip"   -> (csvRoundtrip _),
@@ -305,6 +339,19 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Weekend-day filter applied directly (the join is semantically a
+    // filter); exact micro sums.
+    "dpp_scan" ->
+      """WITH e AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+        |    dayofweek(CAST(ts AS DATE)) AS dw,
+        |    CAST(round(value*1e6) AS BIGINT) AS v_us
+        |  FROM events
+        |)
+        |SELECT day_num, count(*)::BIGINT AS n_events,
+        |  round(sum(v_us)/1e6, 6) AS sum_value
+        |FROM e WHERE dw IN (0, 6)
+        |GROUP BY day_num ORDER BY day_num""".stripMargin,
     // Wire size from the public Avro spec: zigzag-varint(2v) per long,
     // varint length prefix + UTF-8 bytes per string.
     "avro_roundtrip" ->

@@ -3405,6 +3405,40 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #5bl trailing-24h rolling correlation between the click and
+    * purchase hourly rates — the time-varying coupling a single global
+    * corr() hides (regimes where the funnel decouples are the alert).
+    * Every window statistic (n=24, Σx, Σy, Σxy, Σx², Σy²) is an exact
+    * integer window sum over the joined hour spine; the correlation is
+    * one double chain per row with zero-variance guards. */
+  def eventsRollingCorr(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val a = hourly.filter(col("event_type") === "click")
+      .select(col("h"), col("x").as("xa"))
+    val b = hourly.filter(col("event_type") === "purchase")
+      .select(col("h"), col("x").as("xb"))
+    val j = a.join(b, "h")
+    val wf = Window.orderBy("h").rowsBetween(-23, 0)
+    val wr = Window.orderBy("h")
+    j.withColumn("sx", sum("xa").over(wf))
+      .withColumn("sy", sum("xb").over(wf))
+      .withColumn("sxy", sum(col("xa") * col("xb")).over(wf))
+      .withColumn("sxx", sum(col("xa") * col("xa")).over(wf))
+      .withColumn("syy", sum(col("xb") * col("xb")).over(wf))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") >= 24)
+      .select(col("h"),
+        expr("""case when 24*sxx - sx*sx > 0 and 24*syy - sy*sy > 0 then
+          round(cast(24*sxy - sx*sy as double)
+            /sqrt(cast(24*sxx - sx*sx as double)*(24*syy - sy*sy)), 6) end""")
+          .as("rolling_corr"))
+      .orderBy("h")
+  }
+
   /** #5bi Brown-Forsythe/Levene variance-homogeneity test across the
     * per-type hourly count distributions — the robust companion to
     * [[eventsBartlett]] (which assumes normality this data fails):
@@ -3736,6 +3770,7 @@ object StatQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sax"         -> (eventsSax _),
+    "events_rolling_corr" -> (eventsRollingCorr _),
     "levene_test"        -> (leveneTest _),
     "ab_tost"            -> (abTost _),
     "rdd_discount"       -> (rddDiscount _),
@@ -3938,6 +3973,31 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Identical integer window sums over the joined hour spine; one
+    // guarded correlation chain per row.
+    "events_rolling_corr" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS x
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+        |), j AS (
+        |  SELECT a.h, a.x AS xa, b.x AS xb
+        |  FROM (SELECT h, x FROM hourly WHERE event_type = 'click') a
+        |  JOIN (SELECT h, x FROM hourly WHERE event_type = 'purchase') b USING (h)
+        |), w AS (
+        |  SELECT h,
+        |    sum(xa) OVER pw AS sx, sum(xb) OVER pw AS sy,
+        |    sum(xa*xb) OVER pw AS sxy, sum(xa*xa) OVER pw AS sxx,
+        |    sum(xb*xb) OVER pw AS syy,
+        |    row_number() OVER (ORDER BY h) AS rn
+        |  FROM j
+        |  WINDOW pw AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT h,
+        |  CASE WHEN 24*sxx - sx*sx > 0 AND 24*syy - sy*sy > 0 THEN
+        |    round(CAST(24*sxy - sx*sy AS DOUBLE)
+        |      /sqrt(CAST(24*sxx - sx*sx AS DOUBLE)*(24*syy - sy*sy)), 6) END
+        |    AS rolling_corr
+        |FROM w WHERE rn >= 24 ORDER BY h""".stripMargin,
     // Doubled-integer medians, exact |2x − med2| deviations, nano
     // round-then-sum Sg²/ng terms, one F chain at display.
     "levene_test" ->

@@ -16,6 +16,21 @@ class PlanContractSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("dpp_scan's fact scan carries a dynamic-pruning partition filter") {
+    // The only filter lives on the dim side of the join, so reading
+    // fewer than all partitions REQUIRES runtime DPP subquery
+    // injection — statically the fact scan is unfiltered.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp_spec")
+    try {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+      ev.write.mode("overwrite").partitionBy("day").parquet(tmp.toString)
+      val df = SourceQueries.dppJoin(spark, tmp.toString, ev)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(3000))
+    } finally Scratch.deleteRecursively(tmp)
+  }
+
   test("q6 filter reaches the parquet scan as PushedFilters") {
     val plan = finalPlan(Relational.q6Filter(spark, dir))
     assert(plan.contains("PushedFilters: ["), plan.take(2000))
