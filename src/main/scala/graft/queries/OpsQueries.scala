@@ -1532,6 +1532,28 @@ object OpsQueries {
         round(sum("wt"), 6).as("rbo"))
   }
 
+  /** #18b bag-of-words dedup — catches the reorder/shuffle duplicates
+    * exact content-hash dedup ([[dedupExact]]) is blind to: the
+    * canonical key is the SORTED token multiset. Planted copies with
+    * reversed word order (doc_id + 2·10⁶) must all collapse onto their
+    * bases; keeper election is min(doc_id) — every step an exact
+    * string/integer operation. */
+  def dedupBag(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val corpus = docs.unionAll(docs.select(
+      (col("doc_id") + 2000000).as("doc_id"),
+      expr("array_join(reverse(regexp_extract_all(lower(text), '[a-z]+', 0)), ' ')")
+        .as("text")))
+    corpus
+      .withColumn("bag",
+        expr("array_join(array_sort(regexp_extract_all(lower(text), '[a-z]+', 0)), ' ')"))
+      .groupBy(md5(col("bag")).as("bag_md5"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+      .filter(col("n_docs") >= 2)
+      .select("keeper", "n_docs", "bag_md5")
+      .orderBy("keeper")
+  }
+
   /** #49e term burstiness (Church-Gale): cf/df per term — "when this
     * word appears, how hard does it repeat" — the signal separating
     * topical content words (bursty) from function words (cf ≈ df) that
@@ -4052,6 +4074,7 @@ object OpsQueries {
     "palma_ratio"       -> (palmaRatio _),
     "term_burstiness"   -> (termBurstiness _),
     "newsvendor_stock"  -> (newsvendorStock _),
+    "dedup_bag"         -> (dedupBag _),
     "nb_lang_classify"  -> (nbLangClassify _),
     "item_decayed_pop"  -> (itemDecayedPop _),
     "dau_mau"           -> (dauMauStickiness _),
@@ -6706,6 +6729,22 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
         |  round(CAST(top10 AS DOUBLE)/tot, 6) AS top10_share,
         |  round(CAST(b40 AS DOUBLE)/tot, 6) AS bottom40_share
         |FROM marks""".stripMargin,
+    // Same canonical sorted-token key and min-id keeper election.
+    "dedup_bag" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(list_reverse(regexp_extract_all(lower(text), '[a-z]+')), ' ')
+        |  FROM documents
+        |), bags AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(regexp_extract_all(lower(text), '[a-z]+')), ' ')) AS bag_md5
+        |  FROM corpus
+        |)
+        |SELECT min(doc_id) AS keeper, count(*)::BIGINT AS n_docs, bag_md5
+        |FROM bags GROUP BY bag_md5 HAVING count(*) >= 2
+        |ORDER BY keeper""".stripMargin,
     // Exact cf/df tallies; round-then-rank with the term tie-break.
     "term_burstiness" ->
       """WITH occ AS (

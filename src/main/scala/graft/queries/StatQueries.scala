@@ -3405,6 +3405,82 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #37v log₂-histogram quantiles with an in-query error certificate
+    * — the mergeable fixed-width sketch for "good-enough percentiles
+    * in one cheap pass" (HDR-histogram's idea on the binary grid):
+    * bucket = ⌊log₂ v⌋ via the EXACT string length of bin(v) (no float
+    * log can straddle a power of two), the p50 estimate is the elected
+    * bucket's upper edge, and the certificate proves the EXACT lower
+    * median (bucketed per-group order stats) lands in that bucket —
+    * the sketch's error bound holds by construction, and the query
+    * shows it. */
+  def logbinQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), expr("cast(round(value*1e6) as bigint)").as("v"))
+      .filter(col("v") >= 1L)
+    val hist = ev.withColumn("bucket", expr("length(bin(v)) - 1"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+    val n = hist.groupBy("event_type").agg(sum("c").as("n"))
+    val wb = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bp = hist.withColumn("cum", sum("c").over(wb))
+      .join(broadcast(n), "event_type")
+      .filter(expr("cum >= (n + 1) div 2"))
+      .groupBy("event_type").agg(min("bucket").as("bucket_p50"))
+    val tv = ev.groupBy("event_type", "v").agg(count(lit(1)).as("t"))
+    val xp = ChronoSplit.withOrderStats(tv, "v", "v",
+        partitionCols = Seq("event_type"), sumCols = Seq("t"), withRank = false)
+      .join(broadcast(n), "event_type")
+      .filter(col(ChronoSplit.cumCol("t")) >= expr("(n + 1) div 2"))
+      .groupBy("event_type").agg(min("v").as("exact_v"))
+    n.join(broadcast(bp), "event_type").join(broadcast(xp), "event_type")
+      .select(col("event_type"), col("n").as("n_values"), col("bucket_p50"),
+        expr("round((shiftleft(cast(1 as bigint), bucket_p50 + 1) - 1)/1e6, 6)")
+          .as("est_p50"),
+        expr("round(exact_v/1e6, 6)").as("exact_p50"),
+        expr("(length(bin(exact_v)) - 1) = bucket_p50").as("certified"))
+      .orderBy("event_type")
+  }
+
+  /** #5bm Mood's median test across the per-type hourly rates — the
+    * assumption-free "do the k distributions share a center" screen
+    * (Kruskal-Wallis ranks everything; this only asks above/below the
+    * POOLED median): the global median rides the doubled-integer med2,
+    * above/below tallies compare 2x vs med2 exactly (ties excluded,
+    * the standard convention), and each cell's (o−e)²/e rounds to nano
+    * units before the chi-square sum. */
+  def moodMedian(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val ranked = hourly.withColumn("rn",
+      row_number().over(Window.orderBy(col("x"), col("event_type"), col("h"))))
+    val nAll = hourly.agg(count(lit(1)).as("na"))
+    val med2 = ranked.crossJoin(broadcast(nAll))
+      .withColumn("p1", expr("rn = (na + 1) div 2"))
+      .withColumn("p2", expr("rn = (na + 2) div 2"))
+      .agg((sum(when(col("p1"), col("x")).otherwise(0L))
+        + sum(when(col("p2"), col("x")).otherwise(0L))).as("med2"))
+    val cells = hourly.crossJoin(broadcast(med2))
+      .groupBy("event_type")
+      .agg(sum(when(lit(2L) * col("x") > col("med2"), 1L).otherwise(0L)).as("a"),
+        sum(when(lit(2L) * col("x") < col("med2"), 1L).otherwise(0L)).as("b"))
+    val tot = cells.agg(sum("a").as("ta"), sum("b").as("tb"),
+      count(lit(1)).as("k"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("n", col("ta") + col("tb"))
+      .withColumn("ea", expr("cast(a + b as double)*ta/n"))
+      .withColumn("eb", expr("cast(a + b as double)*tb/n"))
+      .withColumn("t_nano", expr(
+        """cast(round((case when ea > 0 then (a - ea)*(a - ea)/ea else 0 end
+          + case when eb > 0 then (b - eb)*(b - eb)/eb else 0 end)*1e9) as bigint)"""))
+      .agg(max("k").as("k_groups"), max("n").as("n_used"),
+        round(sum("t_nano") / 1e9, 6).as("chi2"),
+        (max("k") - 1).as("dof"))
+  }
+
   /** #5bl trailing-24h rolling correlation between the click and
     * purchase hourly rates — the time-varying coupling a single global
     * corr() hides (regimes where the funnel decouples are the alert).
@@ -3771,6 +3847,8 @@ object StatQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sax"         -> (eventsSax _),
     "events_rolling_corr" -> (eventsRollingCorr _),
+    "mood_median"        -> (moodMedian _),
+    "logbin_quantiles"   -> (logbinQuantiles _),
     "levene_test"        -> (leveneTest _),
     "ab_tost"            -> (abTost _),
     "rdd_discount"       -> (rddDiscount _),
@@ -3973,6 +4051,80 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Doubled-integer pooled median, exact 2x-vs-med2 tallies, nano
+    // round-then-sum chi-square cells.
+    "mood_median" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT event_type, x,
+        |    row_number() OVER (ORDER BY x, event_type, h) AS rn
+        |  FROM hourly
+        |), na AS (SELECT count(*)::BIGINT AS na FROM hourly),
+        |med2 AS (
+        |  SELECT sum(CASE WHEN rn = (na + 1) // 2 THEN x ELSE 0 END)::BIGINT
+        |    + sum(CASE WHEN rn = (na + 2) // 2 THEN x ELSE 0 END)::BIGINT AS med2
+        |  FROM ranked CROSS JOIN na
+        |), cells AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN 2*x > med2 THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN 2*x < med2 THEN 1 ELSE 0 END)::BIGINT AS b
+        |  FROM hourly CROSS JOIN med2 GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb, count(*)::BIGINT AS k
+        |  FROM cells
+        |), ee AS (
+        |  SELECT k, ta + tb AS n, a, b,
+        |    CAST(a + b AS DOUBLE)*ta/(ta + tb) AS ea,
+        |    CAST(a + b AS DOUBLE)*tb/(ta + tb) AS eb
+        |  FROM cells CROSS JOIN tot
+        |), terms AS (
+        |  SELECT k, n,
+        |    CAST(round((CASE WHEN ea > 0 THEN (a - ea)*(a - ea)/ea ELSE 0 END
+        |      + CASE WHEN eb > 0 THEN (b - eb)*(b - eb)/eb ELSE 0 END)*1e9) AS BIGINT) AS t_nano
+        |  FROM ee
+        |)
+        |SELECT max(k) AS k_groups, max(n) AS n_used,
+        |  round(sum(t_nano)/1e9, 6) AS chi2, max(k) - 1 AS dof
+        |FROM terms""".stripMargin,
+    // bin(v)-length buckets (exactly floor(log2)), elected-bucket upper
+    // edge estimate, exact lower median certified inside the bucket.
+    "logbin_quantiles" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value*1e6) AS BIGINT) AS v FROM events
+        |  WHERE CAST(round(value*1e6) AS BIGINT) >= 1
+        |), hist AS (
+        |  SELECT event_type, length(bin(v)) - 1 AS bucket, count(*)::BIGINT AS c
+        |  FROM ev GROUP BY 1, 2
+        |), n AS (SELECT event_type, sum(c)::BIGINT AS n FROM hist GROUP BY 1),
+        |cumb AS (
+        |  SELECT event_type, bucket,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM hist
+        |), bp AS (
+        |  SELECT c.event_type, min(bucket) AS bucket_p50
+        |  FROM cumb c JOIN n USING (event_type) WHERE cum >= (n + 1) // 2
+        |  GROUP BY 1
+        |), tv AS (
+        |  SELECT event_type, v, count(*)::BIGINT AS t FROM ev GROUP BY 1, 2
+        |), cumv AS (
+        |  SELECT event_type, v,
+        |    sum(t) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tv
+        |), xp AS (
+        |  SELECT c.event_type, min(v) AS exact_v
+        |  FROM cumv c JOIN n USING (event_type) WHERE cum >= (n + 1) // 2
+        |  GROUP BY 1
+        |)
+        |SELECT n.event_type, n.n AS n_values, bp.bucket_p50,
+        |  round(((CAST(1 AS BIGINT) << (bp.bucket_p50 + 1)) - 1)/1e6, 6) AS est_p50,
+        |  round(xp.exact_v/1e6, 6) AS exact_p50,
+        |  (length(bin(xp.exact_v)) - 1) = bp.bucket_p50 AS certified
+        |FROM n JOIN bp USING (event_type) JOIN xp USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // Identical integer window sums over the joined hour spine; one
     // guarded correlation chain per row.
     "events_rolling_corr" ->
