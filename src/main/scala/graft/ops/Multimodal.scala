@@ -842,6 +842,92 @@ object Multimodal {
       }
   }
 
+  case class MidiMeta(
+      doc_id: Long,
+      format: String,
+      midi_format: Option[Long],
+      n_tracks: Option[Long],
+      division: Option[Long],
+      n_mtrk: Option[Long],
+      n_bytes: Long)
+
+  /** Parse a Standard MIDI File header (MMA SMF 1.0): big-endian
+    * 'MThd' + u32 length-6 body holding format u16, track count u16,
+    * and the PPQ division u16 (top bit clear = ticks per quarter),
+    * then the 'MTrk' chunks WALKED by their u32 lengths so the
+    * declared track count is verified against the actual chunk list.
+    * O(header + chunk directory). */
+  def decodeMidiMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def tag(i: Int, s: String): Boolean =
+      i + s.length <= bytes.length &&
+        s.indices.forall(k => (bytes(i + k) & 0xff) == s.charAt(k))
+    if (bytes.length < 14 || !tag(0, "MThd") || be32(bytes, 4) != 6L) return None
+    val fmt = be16(bytes, 8)
+    val ntr = be16(bytes, 10)
+    val div = be16(bytes, 12)
+    if (div >= 0x8000) return None // SMPTE division not handled
+    var i = 14
+    var mtrk = 0L
+    while (i + 8 <= bytes.length) {
+      if (tag(i, "MTrk")) mtrk += 1
+      i += 8 + be32(bytes, i + 4).toInt
+    }
+    Some((fmt, ntr, div, mtrk))
+  }
+
+  /** A real SMF byte stream from the JDK's own MIDI writer (type-1
+    * file, one NOTE_ON per track) — foreign-encoder discipline. */
+  private[ops] def midiBytes(ppq: Int, nTracks: Int): Array[Byte] = {
+    require(ppq > 0 && nTracks > 0)
+    val seq = new javax.sound.midi.Sequence(javax.sound.midi.Sequence.PPQ, ppq)
+    (0 until nTracks).foreach { t =>
+      val tr = seq.createTrack()
+      tr.add(new javax.sound.midi.MidiEvent(
+        new javax.sound.midi.ShortMessage(
+          javax.sound.midi.ShortMessage.NOTE_ON, 0, 60 + t, 93),
+        10L * (t + 1)))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.midi.MidiSystem.write(seq, 1, out)
+    out.toByteArray
+  }
+
+  /** Deterministic MIDI corpus — id-arithmetic PPQ/track parameters. */
+  def syntheticMidis(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ppqs = Array(96, 192, 384, 480)
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions {
+        _.map { id =>
+          (id, midiBytes(ppqs((id % 4L).toInt), (id % 3L).toInt + 1))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-partition MIDI decode over (id, payload) rows — same
+    * corrupt-tolerant contract as [[extractImageMeta]]. */
+  def extractMidiMeta(withPayloadDf: DataFrame): Dataset[MidiMeta] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions {
+        _.map { case (id, bytes) =>
+          decodeMidiMeta(bytes) match {
+            case Some((fmt, ntr, div, mtrk)) =>
+              MidiMeta(id, "midi", Some(fmt.toLong), Some(ntr.toLong),
+                Some(div.toLong), Some(mtrk), bytes.length.toLong)
+            case None =>
+              MidiMeta(id, "unknown", None, None, None, None, bytes.length.toLong)
+          }
+        }
+      }
+  }
+
   case class AiffMeta(
       doc_id: Long,
       format: String,

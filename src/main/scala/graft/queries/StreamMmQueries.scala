@@ -394,8 +394,27 @@ object StreamMmQueries {
         "bits_per_sample", "n_frames", "duration_us")
       .orderBy("doc_id")
 
+  /** #30h MIDI binary columns: SMF header decode + MTrk chunk-walk
+    * verification of the JDK MIDI writer's type-1 files. */
+  def multimodalMidi(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMidiMeta(
+        Multimodal.syntheticMidis(Tables.documents(s, dir), "doc_id"))
+      .toDF()
+      .select("doc_id", "format", "midi_format", "n_tracks", "division",
+        "n_mtrk", "n_bytes")
+      .orderBy("doc_id")
+
+  /** #29t streaming log₂-bucket value histogram
+    * ([[EventStream.logbinAgg]]): the mergeable quantile sketch live,
+    * hash-checked against the batch bucket recomputation. */
+  def streamLogbin(s: SparkSession, dir: String): DataFrame =
+    EventStream.runLogbinBatchEquivalent(s, dir)
+      .orderBy("window_start", "event_type", "bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_funnel"     -> (streamFunnel _),
+    "stream_logbin"     -> (streamLogbin _),
+    "multimodal_midi"   -> (multimodalMidi _),
     "multimodal_wbmp"   -> (multimodalWbmp _),
     "multimodal_aiff"   -> (multimodalAiff _),
     "multimodal_bmp"    -> (multimodalBmp _),
@@ -766,6 +785,22 @@ object StreamMmQueries {
         |ORDER BY len, rk""".stripMargin,
     // JDK encoder writes BITMAPINFOHEADER 24bpp bottom-up; the decoded
     // fields are id arithmetic.
+    // Same exact bin(v)-length buckets over tumbling hours; complete
+    // mode emits every window.
+    "stream_logbin" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, event_type,
+        |  length(bin(CAST(round(value*1e6) AS BIGINT))) - 1 AS bucket,
+        |  count(*)::BIGINT AS c
+        |FROM events WHERE CAST(round(value*1e6) AS BIGINT) >= 1
+        |GROUP BY 1, 2, 3 ORDER BY window_start, event_type, bucket""".stripMargin,
+    "multimodal_midi" ->
+      """SELECT doc_id, 'midi' AS format, 1::BIGINT AS midi_format,
+        |  (doc_id % 3) + 1 AS n_tracks,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 96 WHEN 1 THEN 192
+        |    WHEN 2 THEN 384 ELSE 480 END AS BIGINT) AS division,
+        |  (doc_id % 3) + 1 AS n_mtrk,
+        |  14 + 16*((doc_id % 3) + 1) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_wbmp" ->
       """SELECT doc_id, 'wbmp' AS format,
         |  (doc_id % 200) + 1 AS width, (doc_id % 150) + 1 AS height,

@@ -117,6 +117,24 @@ object EventStream {
   def runCmBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
     Drain.toMemory(cmSketchAgg(Drain.events(spark, dir)), "complete", "graft_scm")
 
+  /** Streaming per-window log₂-bucket value histogram — the mergeable
+    * quantile sketch of the batch `logbin_quantiles` kept LIVE: state
+    * is (window, type, bucket) counts (watermark-evicted), and the
+    * bucket is the exact `length(bin(v)) − 1` integer, so the drained
+    * sink equals the batch recomputation bit-for-bit. */
+  def logbinAgg(events: DataFrame): DataFrame =
+    events
+      .filter(expr("cast(round(value*1e6) as bigint) >= 1"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"),
+        expr("length(bin(cast(round(value*1e6) as bigint))) - 1").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("bucket"), col("c"))
+
+  def runLogbinBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
+    Drain.toMemory(logbinAgg(Drain.events(spark, dir)), "complete", "graft_slogbin")
+
   /** Streaming per-window top-k event types: the windowed-counts stream
     * (state bounded exactly as [[windowedAgg]]) ranked top-3 per window
     * as a batch step over the drained sink. Ranking inside the stream
