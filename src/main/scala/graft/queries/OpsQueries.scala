@@ -3468,6 +3468,41 @@ object OpsQueries {
       .orderBy("event_type")
   }
 
+  /** #1d'''' DP sparse-vector technique (AboveThreshold, Dwork-Roth
+    * Alg. 1): the adaptive mechanism [[dpCounts]] cannot express —
+    * answer a SEQUENCE of hour-of-day volume queries against a noisy
+    * threshold, halting after c = 3 positives so the privacy budget is
+    * paid only for hits. Noise is the same deterministic inverse-CDF
+    * Laplace draw keyed per query (threshold at scale 2/ε, queries at
+    * 4/ε); the halt is a cumulative-positives walk over the 24-row
+    * ordered query grid. */
+  def dpSvt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = 10.0 // 1/ε
+    def lap(key: Column, scale: Double): Column = {
+      val u = (conv(substring(md5(key), 1, 15), 16, 10).cast("double") + 0.5) /
+        math.pow(16, 15)
+      val c = u - 0.5
+      -lit(scale) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    }
+    val q = Tables.events(s, dir)
+      .groupBy(expr("(unix_micros(ts) % 86400000000) div 3600000000").as("hod"))
+      .agg(count(lit(1)).as("q_true"))
+    val t = q.agg((sum("q_true") / count(lit(1))).as("t_exact"))
+      .withColumn("t_noisy", col("t_exact") + lap(lit("svt:threshold"), 2 * b))
+    val w = Window.orderBy("hod").rowsBetween(Window.unboundedPreceding, -1)
+    q.crossJoin(broadcast(t))
+      .withColumn("q_noisy", col("q_true") + lap(concat(lit("svt:q:"), col("hod")), 4 * b))
+      .withColumn("hit", (col("q_noisy") >= col("t_noisy")).cast("long"))
+      .withColumn("prior_hits", coalesce(sum("hit").over(w), lit(0L)))
+      .select(col("hod"), col("q_true"),
+        round(col("q_noisy"), 6).as("q_noisy"),
+        round(col("t_noisy"), 6).as("t_noisy"),
+        (col("prior_hits") < 3).as("evaluated"),
+        (col("prior_hits") < 3 && col("hit") === 1L).as("above"))
+      .orderBy("hod")
+  }
+
   /** #47e lakehouse MERGE (apply-changes): the first temporal half's
     * latest-wins state is the base snapshot; the second half becomes a
     * change feed whose ops are a deterministic md5 coin (1-in-10
@@ -4075,6 +4110,7 @@ object OpsQueries {
     "term_burstiness"   -> (termBurstiness _),
     "newsvendor_stock"  -> (newsvendorStock _),
     "dedup_bag"         -> (dedupBag _),
+    "dp_svt"            -> (dpSvt _),
     "nb_lang_classify"  -> (nbLangClassify _),
     "item_decayed_pop"  -> (itemDecayedPop _),
     "dau_mau"           -> (dauMauStickiness _),
@@ -7849,6 +7885,41 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
         |  count(*) AS n, round(min(value), 6) AS lo, round(max(value), 6) AS hi
         |FROM events CROSS JOIN br
         |GROUP BY 1 ORDER BY bin""".stripMargin,
+    // Same deterministic inverse-CDF Laplace draws (threshold 2/ε,
+    // queries 4/ε) and cumulative-positives halt at c = 3.
+    "dp_svt" ->
+      """WITH q AS (
+        |  SELECT (epoch_us(ts) % 86400000000) // 3600000000 AS hod,
+        |    count(*)::BIGINT AS q_true
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT sum(q_true)/count(*)
+        |    + (-20.0 * sign(ut - 0.5) * ln(1 - 2 * abs(ut - 0.5))) AS t_noisy
+        |  FROM q CROSS JOIN (
+        |    SELECT (('0x' || substr(md5('svt:threshold'), 1, 15))::BIGINT + 0.5)
+        |      / power(16, 15) AS ut)
+        |  GROUP BY ut
+        |), n AS (
+        |  SELECT hod, q_true,
+        |    q_true + (-40.0 * sign(uq - 0.5) * ln(1 - 2 * abs(uq - 0.5))) AS q_noisy
+        |  FROM (
+        |    SELECT hod, q_true,
+        |      (('0x' || substr(md5('svt:q:' || hod), 1, 15))::BIGINT + 0.5)
+        |        / power(16, 15) AS uq
+        |    FROM q)
+        |), h AS (
+        |  SELECT hod, q_true, q_noisy, t_noisy,
+        |    CASE WHEN q_noisy >= t_noisy THEN 1 ELSE 0 END AS hit,
+        |    coalesce(sum(CASE WHEN q_noisy >= t_noisy THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY hod ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING), 0) AS prior_hits
+        |  FROM n CROSS JOIN t
+        |)
+        |SELECT hod, q_true, round(q_noisy, 6) AS q_noisy,
+        |  round(t_noisy, 6) AS t_noisy,
+        |  prior_hits < 3 AS evaluated,
+        |  prior_hits < 3 AND hit = 1 AS above
+        |FROM h ORDER BY hod""".stripMargin,
     "dp_counts" ->
       """SELECT event_type, 0.1::DOUBLE AS eps,
         |  round(count(*) +

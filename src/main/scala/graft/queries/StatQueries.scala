@@ -3443,6 +3443,33 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #1l' day-over-day data-quality metric drift — the TIME axis
+    * [[dqConstraints]]'s static rules lack: daily row counts, null-value
+    * counts, and distinct-user counts, each flagged when it moves more
+    * than 20% against the previous day. Every flag is a CROSS-MULTIPLIED
+    * integer comparison (5·|Δ| > prev) — no division, no float, no
+    * epsilon; the lag window walks the day grid. */
+  def dqMetricDrift(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+        countDistinct("user_id").as("n_users"))
+    val w = Window.orderBy("day_idx")
+    daily
+      .withColumn("p_rows", lag("n_rows", 1).over(w))
+      .withColumn("p_null", lag("n_null_value", 1).over(w))
+      .withColumn("p_users", lag("n_users", 1).over(w))
+      .select(col("day_idx"), col("n_rows"), col("n_null_value"), col("n_users"),
+        expr("case when p_rows is not null then 5*abs(n_rows - p_rows) > p_rows end")
+          .as("rows_drift"),
+        expr("case when p_null is not null then 5*abs(n_null_value - p_null) > p_null end")
+          .as("null_drift"),
+        expr("case when p_users is not null then 5*abs(n_users - p_users) > p_users end")
+          .as("users_drift"))
+      .orderBy("day_idx")
+  }
+
   /** #5bm Mood's median test across the per-type hourly rates — the
     * assumption-free "do the k distributions share a center" screen
     * (Kruskal-Wallis ranks everything; this only asks above/below the
@@ -3849,6 +3876,7 @@ object StatQueries {
     "events_rolling_corr" -> (eventsRollingCorr _),
     "mood_median"        -> (moodMedian _),
     "logbin_quantiles"   -> (logbinQuantiles _),
+    "dq_metric_drift"    -> (dqMetricDrift _),
     "levene_test"        -> (leveneTest _),
     "ab_tost"            -> (abTost _),
     "rdd_discount"       -> (rddDiscount _),
@@ -4051,6 +4079,29 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same integer daily tallies; flags are cross-multiplied integer
+    // comparisons against the lagged day.
+    "dq_metric_drift" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |    count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_value,
+        |    count(DISTINCT user_id)::BIGINT AS n_users
+        |  FROM events GROUP BY 1
+        |), l AS (
+        |  SELECT *, lag(n_rows, 1) OVER w AS p_rows,
+        |    lag(n_null_value, 1) OVER w AS p_null,
+        |    lag(n_users, 1) OVER w AS p_users
+        |  FROM daily WINDOW w AS (ORDER BY day_idx)
+        |)
+        |SELECT day_idx, n_rows, n_null_value, n_users,
+        |  CASE WHEN p_rows IS NOT NULL THEN 5*abs(n_rows - p_rows) > p_rows END
+        |    AS rows_drift,
+        |  CASE WHEN p_null IS NOT NULL THEN 5*abs(n_null_value - p_null) > p_null END
+        |    AS null_drift,
+        |  CASE WHEN p_users IS NOT NULL THEN 5*abs(n_users - p_users) > p_users END
+        |    AS users_drift
+        |FROM l ORDER BY day_idx""".stripMargin,
     // Doubled-integer pooled median, exact 2x-vs-med2 tallies, nano
     // round-then-sum chi-square cells.
     "mood_median" ->
