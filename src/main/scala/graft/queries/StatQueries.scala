@@ -3443,6 +3443,92 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #37w IPF raking / survey reweighting (Deming-Stephan iterative
+    * proportional fitting): reweight the (lang × source) cells so lang
+    * margins hit a UNIFORM target while source margins stay observed —
+    * the classic "make the sample look like the population" step
+    * before any cross-corpus comparison. Four unrolled row/col scaling
+    * rounds; weights live on the nano grid after every step
+    * (round-then-iterate, so both engines walk identical longs) and
+    * each scaling factor is one double chain over exact sums. */
+  def ipfRaking(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val tot = cells.agg(sum("o").as("n"), countDistinct("lang").as("kl"))
+    // Step 0 lifts counts onto the nano grid.
+    var w = cells.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("o"),
+        (col("o") * lit(1000000000L)).as("w"), col("n"), col("kl"))
+    for (step <- 1 to 4) {
+      w = (if (step % 2 == 1) {
+        val rs = w.groupBy(col("lang").as("l2")).agg(sum("w").as("ms"))
+        w.join(broadcast(rs), col("lang") === col("l2"))
+          .withColumn("w2", expr(
+            "cast(round(cast(w as double)*(cast(n as double)/kl)*1e9/ms) as bigint)"))
+      } else {
+        val ct = cells.groupBy(col("source").as("s2")).agg(sum("o").as("ctgt"))
+        val cs = w.groupBy(col("source").as("s3")).agg(sum("w").as("ms"))
+        w.join(broadcast(ct), col("source") === col("s2"))
+          .join(broadcast(cs), col("source") === col("s3"))
+          .withColumn("w2", expr(
+            "cast(round(cast(w as double)*ctgt*1e9/ms) as bigint)"))
+      })
+        .select(col("lang"), col("source"), col("o"), col("w2").as("w"),
+          col("n"), col("kl"))
+        .localCheckpoint(true)
+    }
+    w.select(col("lang"), col("source"), col("o"),
+        expr("round(w/1e9, 6)").as("weight"),
+        expr("round(w/1e9/o, 6)").as("raking_factor"))
+      .orderBy("lang", "source")
+  }
+
+  /** #5bn seasonal-hybrid ESD anomalies (Twitter's S-ESD shape):
+    * deseasonalize against the dow×hod profile, then THREE unrolled
+    * generalized-ESD rounds — each elects the extreme residual of the
+    * REMAINING set and removes it before the next election, which is
+    * what lets the detector see past masking (one huge outlier
+    * inflating σ hides the second; plain [[grubbsTest]] stops at one).
+    * Residuals become integer nanos immediately, so every election is
+    * the exact integer |r·m − Σr| with an (dev DESC, hour ASC)
+    * tie-break, and each round's G is one double chain over exact
+    * moments of the surviving set. */
+  def eventsSesd(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("(hour_us div 86400000000 + 4) % 7"))
+      .withColumn("hod", expr("(hour_us div 3600000000) % 24"))
+    val cell = hourly.groupBy("event_type", "dow", "hod")
+      .agg(sum("n").as("cn"), count(lit(1)).as("cc"))
+    var rem = hourly.join(cell, Seq("event_type", "dow", "hod"))
+      .withColumn("r", expr("cast(round((n - cast(cn as double)/cc)*1e9) as bigint)"))
+      .select("event_type", "hour_us", "n", "r")
+    val picks = (1 to 3).map { k =>
+      val st = rem.groupBy("event_type")
+        .agg(count(lit(1)).as("m"), sum("r").as("sr"),
+          sum(expr("cast(r as decimal(38,0)) * r")).as("srr"))
+      val cand = rem.join(broadcast(st), "event_type")
+        .withColumn("dev", expr("abs(cast(r as decimal(38,0))*m - sr)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("dev").desc, col("hour_us"))))
+      val pick = cand.filter(col("rn") === 1)
+        .select(col("event_type"), lit(k.toLong).as("esd_round"), col("hour_us"),
+          col("n"),
+          expr("""round(cast(dev as double)/m
+            / sqrt(cast(cast(m as decimal(38,0))*srr - cast(sr as decimal(38,0))*sr as double)
+              /m/(m - 1)), 6)""").as("g_stat"))
+        .localCheckpoint(true)
+      rem = rem.join(pick.select(col("event_type").as("pe"), col("hour_us").as("ph")),
+          col("event_type") === col("pe") && col("hour_us") === col("ph"), "left_anti")
+        .localCheckpoint(true)
+      pick
+    }
+    picks.reduce(_ unionAll _).orderBy("event_type", "esd_round")
+  }
+
   /** #1l' day-over-day data-quality metric drift — the TIME axis
     * [[dqConstraints]]'s static rules lack: daily row counts, null-value
     * counts, and distinct-user counts, each flagged when it moves more
@@ -3877,6 +3963,8 @@ object StatQueries {
     "mood_median"        -> (moodMedian _),
     "logbin_quantiles"   -> (logbinQuantiles _),
     "dq_metric_drift"    -> (dqMetricDrift _),
+    "events_sesd"        -> (eventsSesd _),
+    "ipf_raking"         -> (ipfRaking _),
     "levene_test"        -> (leveneTest _),
     "ab_tost"            -> (abTost _),
     "rdd_discount"       -> (rddDiscount _),
@@ -4079,6 +4167,139 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same nano-grid round-then-iterate scaling; factors are single
+    // double chains over exact sums.
+    "ipf_raking" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT lang, source, count(*)::BIGINT AS o FROM documents GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT sum(o)::BIGINT AS n, count(DISTINCT lang)::BIGINT AS kl FROM cells
+        |), w0 AS (
+        |  SELECT lang, source, o, o*1000000000 AS w, n, kl
+        |  FROM cells CROSS JOIN tot
+        |), m1 AS (SELECT lang AS mk, sum(w)::BIGINT AS ms FROM w0 GROUP BY 1),
+        |w1 AS (
+        |  SELECT b.lang, b.source, b.o, b.n, b.kl,
+        |    CAST(round(CAST(b.w AS DOUBLE)*(CAST(b.n AS DOUBLE)/b.kl)*1e9/m.ms)
+        |      AS BIGINT) AS w
+        |  FROM w0 b JOIN m1 m ON b.lang = m.mk
+        |),
+        |c2 AS (SELECT source AS ck, sum(o)::BIGINT AS ctgt FROM cells GROUP BY 1),
+        |s2 AS (SELECT source AS sk, sum(w)::BIGINT AS ms FROM w1 GROUP BY 1),
+        |w2 AS (
+        |  SELECT b.lang, b.source, b.o, b.n, b.kl,
+        |    CAST(round(CAST(b.w AS DOUBLE)*c.ctgt*1e9/m.ms) AS BIGINT) AS w
+        |  FROM w1 b JOIN c2 c ON b.source = c.ck
+        |  JOIN s2 m ON b.source = m.sk
+        |),
+        |m3 AS (SELECT lang AS mk, sum(w)::BIGINT AS ms FROM w2 GROUP BY 1),
+        |w3 AS (
+        |  SELECT b.lang, b.source, b.o, b.n, b.kl,
+        |    CAST(round(CAST(b.w AS DOUBLE)*(CAST(b.n AS DOUBLE)/b.kl)*1e9/m.ms)
+        |      AS BIGINT) AS w
+        |  FROM w2 b JOIN m3 m ON b.lang = m.mk
+        |),
+        |c4 AS (SELECT source AS ck, sum(o)::BIGINT AS ctgt FROM cells GROUP BY 1),
+        |s4 AS (SELECT source AS sk, sum(w)::BIGINT AS ms FROM w3 GROUP BY 1),
+        |w4 AS (
+        |  SELECT b.lang, b.source, b.o, b.n, b.kl,
+        |    CAST(round(CAST(b.w AS DOUBLE)*c.ctgt*1e9/m.ms) AS BIGINT) AS w
+        |  FROM w3 b JOIN c4 c ON b.source = c.ck
+        |  JOIN s4 m ON b.source = m.sk
+        |)
+        |SELECT lang, source, o, round(w/1e9, 6) AS weight,
+        |  round(w/1e9/o, 6) AS raking_factor
+        |FROM w4 ORDER BY lang, source""".stripMargin,
+    // Same unrolled elections on exact integer |r·m − Σr| with the
+    // (dev DESC, hour ASC) tie-break; residuals are nanos from round 0.
+    "events_sesd" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2
+        |), cell AS (
+        |  SELECT event_type, (hour_us // 86400000000 + 4) % 7 AS dow,
+        |    (hour_us // 3600000000) % 24 AS hod,
+        |    sum(n)::BIGINT AS cn, count(*)::BIGINT AS cc
+        |  FROM (SELECT event_type, hour_us, n,
+        |          (hour_us // 86400000000 + 4) % 7 AS dow,
+        |          (hour_us // 3600000000) % 24 AS hod FROM hourly) x
+        |  GROUP BY 1, 2, 3
+        |), base AS MATERIALIZED (
+        |  SELECT h.event_type, h.hour_us, h.n,
+        |    CAST(round((h.n - CAST(c.cn AS DOUBLE)/c.cc)*1e9) AS BIGINT) AS r
+        |  FROM (SELECT event_type, hour_us, n,
+        |          (hour_us // 86400000000 + 4) % 7 AS dow,
+        |          (hour_us // 3600000000) % 24 AS hod FROM hourly) h
+        |  JOIN cell c ON h.event_type = c.event_type AND h.dow = c.dow
+        |    AND h.hod = c.hod
+        |), st1 AS (
+        |  SELECT event_type, count(*)::BIGINT AS m, sum(r)::BIGINT AS sr,
+        |    sum(CAST(r AS HUGEINT)*r) AS srr
+        |  FROM base GROUP BY 1
+        |), cand1 AS (
+        |  SELECT b.event_type, b.hour_us, b.n, b.r, s.m, s.sr, s.srr,
+        |    abs(CAST(b.r AS HUGEINT)*s.m - s.sr) AS dev,
+        |    row_number() OVER (PARTITION BY b.event_type
+        |      ORDER BY abs(CAST(b.r AS HUGEINT)*s.m - s.sr) DESC, b.hour_us) AS rn
+        |  FROM base b JOIN st1 s ON b.event_type = s.event_type
+        |), pick1 AS (
+        |  SELECT event_type, 1 AS esd_round, hour_us, n,
+        |    round(CAST(dev AS DOUBLE)/m
+        |      / sqrt(CAST(CAST(m AS HUGEINT)*srr - CAST(sr AS HUGEINT)*sr AS DOUBLE)
+        |        /m/(m - 1)), 6) AS g_stat
+        |  FROM cand1 WHERE rn = 1
+        |), rem1 AS (
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM pick1 p
+        |    WHERE p.event_type = b.event_type AND p.hour_us = b.hour_us)
+        |),
+        |st2 AS (
+        |  SELECT event_type, count(*)::BIGINT AS m, sum(r)::BIGINT AS sr,
+        |    sum(CAST(r AS HUGEINT)*r) AS srr
+        |  FROM rem1 GROUP BY 1
+        |), cand2 AS (
+        |  SELECT b.event_type, b.hour_us, b.n, b.r, s.m, s.sr, s.srr,
+        |    abs(CAST(b.r AS HUGEINT)*s.m - s.sr) AS dev,
+        |    row_number() OVER (PARTITION BY b.event_type
+        |      ORDER BY abs(CAST(b.r AS HUGEINT)*s.m - s.sr) DESC, b.hour_us) AS rn
+        |  FROM rem1 b JOIN st2 s ON b.event_type = s.event_type
+        |), pick2 AS (
+        |  SELECT event_type, 2 AS esd_round, hour_us, n,
+        |    round(CAST(dev AS DOUBLE)/m
+        |      / sqrt(CAST(CAST(m AS HUGEINT)*srr - CAST(sr AS HUGEINT)*sr AS DOUBLE)
+        |        /m/(m - 1)), 6) AS g_stat
+        |  FROM cand2 WHERE rn = 1
+        |), rem2 AS (
+        |  SELECT b.* FROM rem1 b
+        |  WHERE NOT EXISTS (SELECT 1 FROM pick2 p
+        |    WHERE p.event_type = b.event_type AND p.hour_us = b.hour_us)
+        |),
+        |st3 AS (
+        |  SELECT event_type, count(*)::BIGINT AS m, sum(r)::BIGINT AS sr,
+        |    sum(CAST(r AS HUGEINT)*r) AS srr
+        |  FROM rem2 GROUP BY 1
+        |), cand3 AS (
+        |  SELECT b.event_type, b.hour_us, b.n, b.r, s.m, s.sr, s.srr,
+        |    abs(CAST(b.r AS HUGEINT)*s.m - s.sr) AS dev,
+        |    row_number() OVER (PARTITION BY b.event_type
+        |      ORDER BY abs(CAST(b.r AS HUGEINT)*s.m - s.sr) DESC, b.hour_us) AS rn
+        |  FROM rem2 b JOIN st3 s ON b.event_type = s.event_type
+        |), pick3 AS (
+        |  SELECT event_type, 3 AS esd_round, hour_us, n,
+        |    round(CAST(dev AS DOUBLE)/m
+        |      / sqrt(CAST(CAST(m AS HUGEINT)*srr - CAST(sr AS HUGEINT)*sr AS DOUBLE)
+        |        /m/(m - 1)), 6) AS g_stat
+        |  FROM cand3 WHERE rn = 1
+        |), rem3 AS (
+        |  SELECT b.* FROM rem2 b
+        |  WHERE NOT EXISTS (SELECT 1 FROM pick3 p
+        |    WHERE p.event_type = b.event_type AND p.hour_us = b.hour_us)
+        |)
+        |SELECT event_type, esd_round, hour_us, n, g_stat FROM pick1
+        |UNION ALL SELECT event_type, esd_round, hour_us, n, g_stat FROM pick2
+        |UNION ALL SELECT event_type, esd_round, hour_us, n, g_stat FROM pick3
+        |ORDER BY event_type, esd_round""".stripMargin,
     // Same integer daily tallies; flags are cross-multiplied integer
     // comparisons against the lagged day.
     "dq_metric_drift" ->
