@@ -3443,6 +3443,43 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #5bo James-Stein shrinkage of the per-type mean values — the
+    * empirical-Bayes estimate that dominates the raw group means
+    * whenever k ≥ 4: each mean pulls toward the grand mean by
+    * c = max(0, 1 − (k−3)·σ̄²_mean/S), S = Σ(μᵢ−μ̄)². Values ride
+    * integer micros; every μ is one exact-ratio division; the S and
+    * pooled-variance sums take nano-rounded per-group terms
+    * (round-then-sum); c and the shrunken means are single chains. */
+  def shrinkageMeans(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(col("event_type"), expr("cast(round(value*1e6) as bigint)").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(expr("cast(v as decimal(38,0)) * v")).as("svv"))
+      .withColumn("mu", expr("cast(sv as double)/n"))
+      .withColumn("varm", expr(
+        """cast(cast(n as decimal(38,0))*svv - cast(sv as decimal(38,0))*sv as double)
+          /n/(n - 1)/n"""))
+    val tot = g.agg(sum("n").as("nt"), sum("sv").as("svt"),
+      count(lit(1)).as("k"))
+    val wide = g.crossJoin(broadcast(tot))
+      .withColumn("mug", expr("cast(svt as double)/nt"))
+      .withColumn("s_nano", expr(
+        "cast(round((mu - mug)/1e6*((mu - mug)/1e6)*1e9) as bigint)"))
+      .withColumn("v_nano", expr("cast(round(varm/1e12*1e9) as bigint)"))
+    val sums = wide.groupBy("k", "mug")
+      .agg(sum("s_nano").as("ss"), sum("v_nano").as("sv2"))
+      .withColumn("c", expr(
+        "greatest(0, 1 - (k - 3)*(sv2/1e9/k)/(ss/1e9))"))
+    wide.join(broadcast(sums.select("k", "c")), Seq("k"))
+      .select(col("event_type"), col("n"),
+        expr("round(mu/1e6, 6)").as("raw_mean"),
+        expr("round(c, 6)").as("shrink_factor"),
+        expr("round((mug + c*(mu - mug))/1e6, 6)").as("shrunken_mean"))
+      .orderBy("event_type")
+  }
+
   /** #37w IPF raking / survey reweighting (Deming-Stephan iterative
     * proportional fitting): reweight the (lang × source) cells so lang
     * margins hit a UNIFORM target while source margins stay observed —
@@ -3965,6 +4002,7 @@ object StatQueries {
     "dq_metric_drift"    -> (dqMetricDrift _),
     "events_sesd"        -> (eventsSesd _),
     "ipf_raking"         -> (ipfRaking _),
+    "shrinkage_means"    -> (shrinkageMeans _),
     "levene_test"        -> (leveneTest _),
     "ab_tost"            -> (abTost _),
     "rdd_discount"       -> (rddDiscount _),
@@ -4167,6 +4205,40 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact micro moments per group; S and pooled-variance sums take
+    // nano-rounded terms; c and the shrunken means are single chains.
+    "shrinkage_means" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(v)::BIGINT AS sv,
+        |    sum(CAST(v AS HUGEINT)*v) AS svv
+        |  FROM (SELECT event_type, CAST(round(value*1e6) AS BIGINT) AS v
+        |        FROM events WHERE value IS NOT NULL) GROUP BY 1
+        |), m AS (
+        |  SELECT event_type, n, CAST(sv AS DOUBLE)/n AS mu,
+        |    CAST(CAST(n AS HUGEINT)*svv - CAST(sv AS HUGEINT)*sv AS DOUBLE)
+        |      /n/(n - 1)/n AS varm
+        |  FROM g
+        |), tot AS (
+        |  SELECT sum(n)::BIGINT AS nt, sum(sv)::BIGINT AS svt,
+        |    count(*)::BIGINT AS k
+        |  FROM g
+        |), wide AS (
+        |  SELECT m.event_type, m.n, m.mu, t.k,
+        |    CAST(t.svt AS DOUBLE)/t.nt AS mug,
+        |    CAST(round((m.mu - CAST(t.svt AS DOUBLE)/t.nt)/1e6
+        |      *((m.mu - CAST(t.svt AS DOUBLE)/t.nt)/1e6)*1e9) AS BIGINT) AS s_nano,
+        |    CAST(round(m.varm/1e12*1e9) AS BIGINT) AS v_nano
+        |  FROM m CROSS JOIN tot t
+        |), sums AS (
+        |  SELECT k, sum(s_nano)::BIGINT AS ss, sum(v_nano)::BIGINT AS sv2
+        |  FROM wide GROUP BY k
+        |), c AS (
+        |  SELECT k, greatest(0, 1 - (k - 3)*(sv2/1e9/k)/(ss/1e9)) AS c FROM sums
+        |)
+        |SELECT w.event_type, w.n, round(w.mu/1e6, 6) AS raw_mean,
+        |  round(c.c, 6) AS shrink_factor,
+        |  round((w.mug + c.c*(w.mu - w.mug))/1e6, 6) AS shrunken_mean
+        |FROM wide w JOIN c ON w.k = c.k ORDER BY w.event_type""".stripMargin,
     // Same nano-grid round-then-iterate scaling; factors are single
     // double chains over exact sums.
     "ipf_raking" ->
