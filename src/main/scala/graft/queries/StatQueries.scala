@@ -3443,6 +3443,37 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #5bp balanced-half-sample (BRR) standard error of the mean event
+    * value — the replication SE for CLUSTER-sampled data (users are
+    * the clusters; the iid jackknife understates when users repeat):
+    * eight deterministic half-samples keyed by md5 bits of the user id,
+    * each replicate mean an exact integer ratio, and the replicate
+    * deviations nano-rounded (in value units) before the SE average.
+    * One user-grain aggregate feeds all eight replicates via a
+    * broadcast 8-row bit grid. */
+  def brrSe(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .select(col("user_id"), expr("cast(round(value*1e6) as bigint)").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+    val full = perUser.agg(sum("n").as("nt"), sum("sv").as("svt"))
+    val reps = perUser
+      .crossJoin(broadcast(s.range(8).select(col("id").as("r"))))
+      .filter(expr("shiftright(h, cast(r as int)) % 2 = 1"))
+      .groupBy("r").agg(sum("n").as("nr"), sum("sv").as("svr"))
+    reps.crossJoin(broadcast(full))
+      .withColumn("t_nano", expr(
+        """cast(round((cast(svr as double)/nr - cast(svt as double)/nt)/1e6
+          *((cast(svr as double)/nr - cast(svt as double)/nt)/1e6)*1e9) as bigint)"""))
+      .agg(count(lit(1)).as("n_replicates"), max("nt").as("n_events"),
+        expr("round(max(cast(svt as double)/nt)/1e6, 6)").as("full_mean"),
+        expr("round(sqrt(sum(t_nano)/1e9/count(1)), 6)").as("brr_se"))
+  }
+
   /** #5bo James-Stein shrinkage of the per-type mean values — the
     * empirical-Bayes estimate that dominates the raw group means
     * whenever k ≥ 4: each mean pulls toward the grand mean by
@@ -4003,6 +4034,7 @@ object StatQueries {
     "events_sesd"        -> (eventsSesd _),
     "ipf_raking"         -> (ipfRaking _),
     "shrinkage_means"    -> (shrinkageMeans _),
+    "brr_se"             -> (brrSe _),
     "levene_test"        -> (leveneTest _),
     "ab_tost"            -> (abTost _),
     "rdd_discount"       -> (rddDiscount _),
@@ -4205,6 +4237,31 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same md5-bit half-samples; replicate means are exact ratios and
+    // deviations nano-round (value units) before the SE average.
+    "brr_se" ->
+      """WITH pu AS (
+        |  SELECT user_id, count(*)::BIGINT AS n, sum(v)::BIGINT AS sv,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM (SELECT user_id, CAST(round(value*1e6) AS BIGINT) AS v
+        |        FROM events WHERE value IS NOT NULL) GROUP BY user_id
+        |), full_t AS (SELECT sum(n)::BIGINT AS nt, sum(sv)::BIGINT AS svt FROM pu),
+        |reps AS (
+        |  SELECT r, sum(n)::BIGINT AS nr, sum(sv)::BIGINT AS svr
+        |  FROM pu CROSS JOIN (SELECT unnest(range(0, 8))::BIGINT AS r) g
+        |  WHERE (h >> CAST(r AS INTEGER)) % 2 = 1
+        |  GROUP BY r
+        |), t AS (
+        |  SELECT
+        |    CAST(round((CAST(svr AS DOUBLE)/nr - CAST(svt AS DOUBLE)/nt)/1e6
+        |      *((CAST(svr AS DOUBLE)/nr - CAST(svt AS DOUBLE)/nt)/1e6)*1e9) AS BIGINT)
+        |      AS t_nano, nt, svt
+        |  FROM reps CROSS JOIN full_t
+        |)
+        |SELECT count(*)::BIGINT AS n_replicates, max(nt) AS n_events,
+        |  round(max(CAST(svt AS DOUBLE)/nt)/1e6, 6) AS full_mean,
+        |  round(sqrt(sum(t_nano)/1e9/count(1)), 6) AS brr_se
+        |FROM t""".stripMargin,
     // Exact micro moments per group; S and pooled-variance sums take
     // nano-rounded terms; c and the shrunken means are single chains.
     "shrinkage_means" ->
