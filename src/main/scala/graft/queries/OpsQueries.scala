@@ -1422,6 +1422,52 @@ object OpsQueries {
       .orderBy("first_touch", "last_touch")
   }
 
+  /** #31c' positional (U-shaped) attribution over gap sessions — the
+    * 40/20/40 rule completing the first/last/Markov/Shapley family:
+    * per conversion the first pre-purchase touch takes 4000 bp, the
+    * last 4000, middles split 2000 integer-exactly (the division
+    * remainder is pinned to the FIRST touch so every conversion's
+    * credits sum to exactly 10000); one- and two-touch paths collapse
+    * to 10000 and 5000/5000; pathless purchases credit 'direct'. The
+    * per-conversion path walk is a session-bounded pair join. */
+  def attributionPosition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = graft.ops.Sessionize.assign(
+        Tables.events(s, dir), "user_id", "ts", 30L * 60 * 1000000, "event_id")
+      .withColumn("tsu", unix_micros(col("ts")))
+      .select("user_id", "session_idx", "tsu", "event_id", "event_type")
+    val conv = sess.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("session_idx"),
+        col("tsu").as("ctsu"), col("event_id").as("cid"))
+    val touches = conv.join(sess, Seq("user_id", "session_idx"))
+      .filter(col("tsu") < col("ctsu") ||
+        (col("tsu") === col("ctsu") && col("event_id") < col("cid")))
+    val wp = Window.partitionBy("user_id", "session_idx", "cid")
+    val credited = touches
+      .withColumn("rk", row_number().over(wp.orderBy(col("tsu"), col("event_id"))))
+      .withColumn("m", count(lit(1)).over(wp))
+      .withColumn("bp", expr(
+        """case when m = 1 then 10000
+          | when rk = 1 and m = 2 then 5000
+          | when rk = m and m = 2 then 5000
+          | when rk = 1 then 4000 + 2000 % (m - 2)
+          | when rk = m then 4000
+          | else 2000 div (m - 2) end""".stripMargin))
+      .select(col("event_type").as("channel"), col("bp").cast("long").as("bp"))
+    val direct = conv.join(sess,
+        conv("user_id") === sess("user_id")
+          && conv("session_idx") === sess("session_idx")
+          && (sess("tsu") < conv("ctsu") ||
+            (sess("tsu") === conv("ctsu") && sess("event_id") < conv("cid"))),
+        "left_anti")
+      .select(lit("direct").as("channel"), lit(10000L).as("bp"))
+    credited.unionAll(direct)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_credits"), sum("bp").as("bp_total"),
+        round(sum("bp") / 10000.0, 6).as("conversions_credited"))
+      .orderBy("channel")
+  }
+
   /** #7c' trailing-7-day distinct users per day: the retention-scale
     * rolling reach metric. Exact distinct over a day-grain range join —
     * the (day, user) dedup happens FIRST, so the join fans out at most
@@ -4111,6 +4157,7 @@ object OpsQueries {
     "newsvendor_stock"  -> (newsvendorStock _),
     "dedup_bag"         -> (dedupBag _),
     "dp_svt"            -> (dpSvt _),
+    "attribution_position" -> (attributionPosition _),
     "nb_lang_classify"  -> (nbLangClassify _),
     "item_decayed_pop"  -> (itemDecayedPop _),
     "dau_mau"           -> (dauMauStickiness _),
@@ -6456,6 +6503,55 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
         |ORDER BY entity_a, entity_b""".stripMargin,
     // Session CTEs mirror the `sessionize` oracle; first/last touch via
     // first_value/lag over the same total session order.
+    // Same session assignment and strictly-before path walk; credits
+    // are exact basis points with the remainder pinned to the first
+    // touch, so each conversion sums to exactly 10000.
+    "attribution_position" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN tsu - lag(tsu) OVER w > 1800000000
+        |    OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), s AS (
+        |  SELECT *, (sum(news) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        |  FROM f
+        |), conv AS (
+        |  SELECT user_id, session_idx, tsu AS ctsu, event_id AS cid
+        |  FROM s WHERE event_type = 'purchase'
+        |), touches AS (
+        |  SELECT c.user_id, c.session_idx, c.cid, x.tsu, x.event_id, x.event_type
+        |  FROM conv c JOIN s x ON c.user_id = x.user_id
+        |    AND c.session_idx = x.session_idx
+        |  WHERE x.tsu < c.ctsu OR (x.tsu = c.ctsu AND x.event_id < c.cid)
+        |), rk AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_idx, cid
+        |      ORDER BY tsu, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY user_id, session_idx, cid) AS m
+        |  FROM touches
+        |), credited AS (
+        |  SELECT event_type AS channel,
+        |    CASE WHEN m = 1 THEN 10000
+        |      WHEN rk = 1 AND m = 2 THEN 5000
+        |      WHEN rk = m AND m = 2 THEN 5000
+        |      WHEN rk = 1 THEN 4000 + 2000 % (m - 2)
+        |      WHEN rk = m THEN 4000
+        |      ELSE 2000 // (m - 2) END::BIGINT AS bp
+        |  FROM rk
+        |), direct AS (
+        |  SELECT 'direct' AS channel, 10000::BIGINT AS bp
+        |  FROM conv c WHERE NOT EXISTS (
+        |    SELECT 1 FROM s x WHERE x.user_id = c.user_id
+        |      AND x.session_idx = c.session_idx
+        |      AND (x.tsu < c.ctsu OR (x.tsu = c.ctsu AND x.event_id < c.cid)))
+        |), allc AS (
+        |  SELECT * FROM credited UNION ALL SELECT * FROM direct
+        |)
+        |SELECT channel, count(*)::BIGINT AS n_credits, sum(bp)::BIGINT AS bp_total,
+        |  round(sum(bp)/10000.0::DOUBLE, 6) AS conversions_credited
+        |FROM allc GROUP BY 1 ORDER BY channel""".stripMargin,
     "attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events

@@ -3443,6 +3443,72 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #5bq extremal index of the hourly rate series — "do extreme hours
+    * arrive alone or in storms": θ ≈ clusters/exceedances under runs
+    * declustering (consecutive-hour exceedances form one cluster; any
+    * calendar gap starts a new one). The threshold is the exact 90th-
+    * percentile ORDER STATISTIC (rank ⌈0.9n⌉ with an (x, h) tie-break),
+    * exceedance is a strict integer compare, and θ divides once. */
+  def extremalIndex(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val sizes = hourly.groupBy("event_type").agg(count(lit(1)).as("ng"))
+    val ranked = hourly.withColumn("rn", row_number().over(
+      Window.partitionBy("event_type").orderBy("x", "h")))
+    val thr = ranked.join(broadcast(sizes), "event_type")
+      .filter(expr("rn = (9*ng + 9) div 10"))
+      .select(col("event_type"), col("x").as("u"), col("ng"))
+    val exc = hourly.join(broadcast(thr), "event_type")
+      .filter(col("x") > col("u"))
+    val runs = exc.withColumn("newc", expr(
+        "case when lag(h, 1) over (partition by event_type order by h) is null then 1 " +
+          "when h - lag(h, 1) over (partition by event_type order by h) > 1 then 1 else 0 end"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_exceedances"), sum("newc").as("n_clusters"))
+    thr.join(runs, Seq("event_type"), "left")
+      .select(col("event_type"), col("ng").as("n_hours"), col("u").as("threshold"),
+        coalesce(col("n_exceedances"), lit(0L)).as("n_exceedances"),
+        coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+        expr("""case when n_exceedances > 0 then
+          round(cast(n_clusters as double)/n_exceedances, 6) end""")
+          .as("theta"))
+      .orderBy("event_type")
+  }
+
+  /** #5br mean cumulative function of purchases per user age — the
+    * RECURRENT-events generalization of [[survivalKm]] (Nelson-Aalen
+    * counts one event per subject; purchases repeat): at each age-day
+    * k, MCF adds d_k/n_k where n_k counts users OBSERVED at least k
+    * days (observation runs to the corpus horizon, so no event-driven
+    * censoring bias). Per-day terms round to nano units before the
+    * cumulative sum over the (tiny) age grid. */
+  def eventsMcf(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts")))
+    val horizon = ev.agg(max("tsu").as("h_end"))
+    val firsts = ev.groupBy("user_id").agg(min("tsu").as("first_us"))
+    val obs = firsts.crossJoin(broadcast(horizon))
+      .withColumn("t_obs", expr("(h_end - first_us) div 86400000000"))
+    val deaths = ev.filter(col("event_type") === "purchase")
+      .join(firsts, "user_id")
+      .withColumn("k", expr("(tsu - first_us) div 86400000000"))
+      .groupBy("k").agg(count(lit(1)).as("d"))
+    val tdist = obs.groupBy("t_obs").agg(count(lit(1)).as("nu"))
+    val risk = deaths.select(col("k"))
+      .join(broadcast(tdist), col("t_obs") >= col("k"))
+      .groupBy("k").agg(sum("nu").as("n_risk"))
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    deaths.join(risk, "k")
+      .withColumn("t_nano", expr(
+        "cast(round(cast(d as double)/n_risk*1e9) as bigint)"))
+      .withColumn("mcf", expr("round(sum(t_nano) over " +
+        "(order by k rows between unbounded preceding and current row)/1e9, 6)"))
+      .select(col("k").as("age_day"), col("d").as("n_events"),
+        col("n_risk"), col("mcf"))
+      .orderBy("age_day")
+  }
+
   /** #5bp balanced-half-sample (BRR) standard error of the mean event
     * value — the replication SE for CLUSTER-sampled data (users are
     * the clusters; the iid jackknife understates when users repeat):
@@ -4035,6 +4101,8 @@ object StatQueries {
     "ipf_raking"         -> (ipfRaking _),
     "shrinkage_means"    -> (shrinkageMeans _),
     "brr_se"             -> (brrSe _),
+    "extremal_index"     -> (extremalIndex _),
+    "events_mcf"         -> (eventsMcf _),
     "levene_test"        -> (leveneTest _),
     "ab_tost"            -> (abTost _),
     "rdd_discount"       -> (rddDiscount _),
@@ -4237,6 +4305,68 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact order-statistic threshold, strict integer exceedance, runs
+    // declustering on calendar-hour gaps; one division.
+    "extremal_index" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2
+        |), sizes AS (SELECT event_type, count(*)::BIGINT AS ng FROM hourly GROUP BY 1),
+        |ranked AS (
+        |  SELECT event_type, h, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY x, h) AS rn
+        |  FROM hourly
+        |), thr AS (
+        |  SELECT r.event_type, r.x AS u, s.ng
+        |  FROM ranked r JOIN sizes s ON r.event_type = s.event_type
+        |  WHERE r.rn = (9*s.ng + 9) // 10
+        |), exc AS (
+        |  SELECT h.event_type, h.h FROM hourly h JOIN thr t
+        |    ON h.event_type = t.event_type WHERE h.x > t.u
+        |), runs AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_exceedances,
+        |    sum(CASE WHEN ph IS NULL THEN 1 WHEN h - ph > 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_clusters
+        |  FROM (SELECT event_type, h,
+        |          lag(h, 1) OVER (PARTITION BY event_type ORDER BY h) AS ph
+        |        FROM exc) x
+        |  GROUP BY 1
+        |)
+        |SELECT t.event_type, t.ng AS n_hours, t.u AS threshold,
+        |  coalesce(r.n_exceedances, 0)::BIGINT AS n_exceedances,
+        |  coalesce(r.n_clusters, 0)::BIGINT AS n_clusters,
+        |  CASE WHEN coalesce(r.n_exceedances, 0) > 0 THEN
+        |    round(CAST(r.n_clusters AS DOUBLE)/r.n_exceedances, 6) END AS theta
+        |FROM thr t LEFT JOIN runs r ON t.event_type = r.event_type
+        |ORDER BY t.event_type""".stripMargin,
+    // Observation-to-horizon at-risk counts; per-day d/n terms
+    // nano-round before the cumulative age-grid sum.
+    "events_mcf" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
+        |), hz AS (SELECT max(tsu) AS h_end FROM ev),
+        |firsts AS (SELECT user_id, min(tsu) AS first_us FROM ev GROUP BY 1),
+        |obs AS (
+        |  SELECT user_id, ((SELECT h_end FROM hz) - first_us) // 86400000000 AS t_obs
+        |  FROM firsts
+        |), deaths AS (
+        |  SELECT (e.tsu - f.first_us) // 86400000000 AS k, count(*)::BIGINT AS d
+        |  FROM ev e JOIN firsts f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' GROUP BY 1
+        |), tdist AS (SELECT t_obs, count(*)::BIGINT AS nu FROM obs GROUP BY 1),
+        |risk AS (
+        |  SELECT d.k, sum(t.nu)::BIGINT AS n_risk
+        |  FROM (SELECT k FROM deaths) d JOIN tdist t ON t.t_obs >= d.k
+        |  GROUP BY 1
+        |), terms AS (
+        |  SELECT deaths.k, deaths.d, risk.n_risk,
+        |    CAST(round(CAST(deaths.d AS DOUBLE)/risk.n_risk*1e9) AS BIGINT) AS t_nano
+        |  FROM deaths JOIN risk ON deaths.k = risk.k
+        |)
+        |SELECT k AS age_day, d AS n_events, n_risk,
+        |  round(sum(t_nano) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)/1e9, 6) AS mcf
+        |FROM terms ORDER BY age_day""".stripMargin,
     // Same md5-bit half-samples; replicate means are exact ratios and
     // deviations nano-round (value units) before the SE average.
     "brr_se" ->
