@@ -3443,6 +3443,41 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** #19ac personalized PageRank from a seed item — "what belongs in
+    * THIS item's neighborhood" (global [[graft.ops.PageRank]] answers
+    * popularity; recommendations need locality): teleport mass returns
+    * to the seed alone. Five unrolled rounds on the PICO-integer grid
+    * (the textrank discipline — every spread and damping step rounds
+    * to integer picos, so both engines walk identical longs); seed =
+    * min co-purchase item; top-20 by (mass, item). */
+  def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    val pr = OpsQueries.coocPairs(s, dir)
+      .select(col("item_a").as("sv"), col("item_b").as("tv"))
+    val e = pr.unionAll(pr.select(col("tv").as("sv"), col("sv").as("tv")))
+      .localCheckpoint(true)
+    val deg = e.groupBy("sv").agg(count(lit(1)).as("d")).localCheckpoint(true)
+    val seed = e.agg(min("sv")).head.getLong(0)
+    var p = e.sparkSession.range(1)
+      .select(lit(seed).as("v"), lit(1000000000000L).as("pp"))
+    for (_ <- 1 to 5) {
+      val spread = e.join(p, col("sv") === col("v"))
+        .join(deg, "sv")
+        .groupBy(col("tv"))
+        .agg(sum(expr("cast(round(cast(pp as double)/d) as bigint)")).as("m"))
+        .select(col("tv").as("v"),
+          expr("cast(round(0.85*m) as bigint)").as("pp"))
+      p = spread
+        .unionAll(e.sparkSession.range(1)
+          .select(lit(seed).as("v"), lit(150000000000L).as("pp")))
+        .groupBy("v").agg(sum("pp").as("pp"))
+        .localCheckpoint(true)
+    }
+    p.orderBy(col("pp").desc, col("v"))
+      .limit(20)
+      .select(col("v").as("item"), col("pp").as("pp_pico"),
+        expr("round(pp/1e12, 6)").as("ppr"))
+  }
+
   /** #5bq extremal index of the hourly rate series — "do extreme hours
     * arrive alone or in storms": θ ≈ clusters/exceedances under runs
     * declustering (consecutive-hour exceedances form one cluster; any
@@ -4102,6 +4137,7 @@ object StatQueries {
     "shrinkage_means"    -> (shrinkageMeans _),
     "brr_se"             -> (brrSe _),
     "extremal_index"     -> (extremalIndex _),
+    "graph_ppr"          -> (graphPpr _),
     "events_mcf"         -> (eventsMcf _),
     "levene_test"        -> (leveneTest _),
     "ab_tost"            -> (abTost _),
@@ -4305,6 +4341,83 @@ object StatQueries {
        |) s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Five unrolled pico-grid spreads with seed-only teleport; same
+    // rounding points as the engine at every step.
+    "graph_ppr" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), pr AS MATERIALIZED (
+        |  SELECT x.item AS a, y.item AS bb
+        |  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), e AS MATERIALIZED (
+        |  SELECT a AS sv, bb AS tv FROM pr UNION ALL SELECT bb, a FROM pr
+        |), deg AS MATERIALIZED (
+        |  SELECT sv, count(*)::BIGINT AS d FROM e GROUP BY 1
+        |), p0 AS (
+        |  SELECT (SELECT min(sv) FROM e) AS v, 1000000000000::BIGINT AS pp
+        |), sp1 AS MATERIALIZED (
+        |  SELECT e.tv AS v,
+        |    CAST(round(0.85*sum(CAST(round(CAST(p.pp AS DOUBLE)/deg.d) AS BIGINT)))
+        |      AS BIGINT) AS pp
+        |  FROM e JOIN p0 p ON e.sv = p.v JOIN deg ON e.sv = deg.sv
+        |  GROUP BY e.tv
+        |), p1 AS MATERIALIZED (
+        |  SELECT v, sum(pp)::BIGINT AS pp FROM (
+        |    SELECT v, pp FROM sp1
+        |    UNION ALL SELECT (SELECT min(sv) FROM e), 150000000000) x
+        |  GROUP BY v
+        |),
+        |sp2 AS MATERIALIZED (
+        |  SELECT e.tv AS v,
+        |    CAST(round(0.85*sum(CAST(round(CAST(p.pp AS DOUBLE)/deg.d) AS BIGINT)))
+        |      AS BIGINT) AS pp
+        |  FROM e JOIN p1 p ON e.sv = p.v JOIN deg ON e.sv = deg.sv
+        |  GROUP BY e.tv
+        |), p2 AS MATERIALIZED (
+        |  SELECT v, sum(pp)::BIGINT AS pp FROM (
+        |    SELECT v, pp FROM sp2
+        |    UNION ALL SELECT (SELECT min(sv) FROM e), 150000000000) x
+        |  GROUP BY v
+        |),
+        |sp3 AS MATERIALIZED (
+        |  SELECT e.tv AS v,
+        |    CAST(round(0.85*sum(CAST(round(CAST(p.pp AS DOUBLE)/deg.d) AS BIGINT)))
+        |      AS BIGINT) AS pp
+        |  FROM e JOIN p2 p ON e.sv = p.v JOIN deg ON e.sv = deg.sv
+        |  GROUP BY e.tv
+        |), p3 AS MATERIALIZED (
+        |  SELECT v, sum(pp)::BIGINT AS pp FROM (
+        |    SELECT v, pp FROM sp3
+        |    UNION ALL SELECT (SELECT min(sv) FROM e), 150000000000) x
+        |  GROUP BY v
+        |),
+        |sp4 AS MATERIALIZED (
+        |  SELECT e.tv AS v,
+        |    CAST(round(0.85*sum(CAST(round(CAST(p.pp AS DOUBLE)/deg.d) AS BIGINT)))
+        |      AS BIGINT) AS pp
+        |  FROM e JOIN p3 p ON e.sv = p.v JOIN deg ON e.sv = deg.sv
+        |  GROUP BY e.tv
+        |), p4 AS MATERIALIZED (
+        |  SELECT v, sum(pp)::BIGINT AS pp FROM (
+        |    SELECT v, pp FROM sp4
+        |    UNION ALL SELECT (SELECT min(sv) FROM e), 150000000000) x
+        |  GROUP BY v
+        |),
+        |sp5 AS MATERIALIZED (
+        |  SELECT e.tv AS v,
+        |    CAST(round(0.85*sum(CAST(round(CAST(p.pp AS DOUBLE)/deg.d) AS BIGINT)))
+        |      AS BIGINT) AS pp
+        |  FROM e JOIN p4 p ON e.sv = p.v JOIN deg ON e.sv = deg.sv
+        |  GROUP BY e.tv
+        |), p5 AS MATERIALIZED (
+        |  SELECT v, sum(pp)::BIGINT AS pp FROM (
+        |    SELECT v, pp FROM sp5
+        |    UNION ALL SELECT (SELECT min(sv) FROM e), 150000000000) x
+        |  GROUP BY v
+        |)
+        |SELECT v AS item, pp AS pp_pico, round(pp/1e12, 6) AS ppr
+        |FROM p5 ORDER BY pp DESC, v LIMIT 20""".stripMargin,
     // Exact order-statistic threshold, strict integer exceedance, runs
     // declustering on calendar-hour gaps; one division.
     "extremal_index" ->
