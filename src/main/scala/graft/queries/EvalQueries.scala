@@ -344,7 +344,25 @@ object EvalQueries {
         expr("round(p_at, 6)").as("ks_at_p"))
   }
 
+  /** #16j R-precision of the purchase predictor — precision at the
+    * break-even depth R = |relevant|, the single-number ranking metric
+    * that needs no k choice: rank the test half by (p DESC, event_id)
+    * through the bucketed order stats, read the exact positive count
+    * at depth R, divide once. */
+  def evalRprecision(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ChronoSplit
+    val ranked = ChronoSplit.withOrderStats(
+      purchaseScored(s, dir), "neg_p", "event_id", sumCols = Seq("y"))
+    val r = ranked.agg(sum("y").as("n_pos"), count(lit(1)).as("n_test"))
+    ranked.crossJoin(broadcast(r))
+      .filter(col(ChronoSplit.RankCol) === col("n_pos"))
+      .select(col("n_test"), col("n_pos"),
+        expr(s"round(cast(${ChronoSplit.cumCol("y")} as double)/n_pos, 6)")
+          .as("r_precision"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_rprecision"  -> (evalRprecision _),
     "eval_ks"          -> (evalKs _),
     "eval_ece"         -> (evalEce _),
     "eval_mcc"         -> (evalMcc _),
@@ -382,6 +400,19 @@ object EvalQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same (p DESC, event_id) rank; exact positive count at depth R.
+    "eval_rprecision" -> (purchaseScoredSql +
+      """, ranked AS (
+        |  SELECT y, row_number() OVER (ORDER BY p DESC, event_id) AS rn,
+        |    sum(y) OVER (ORDER BY p DESC, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM scored
+        |), r AS (
+        |  SELECT sum(y)::BIGINT AS n_pos, count(*)::BIGINT AS n_test FROM scored
+        |)
+        |SELECT r.n_test, r.n_pos,
+        |  round(CAST(ranked.cum AS DOUBLE)/r.n_pos, 6) AS r_precision
+        |FROM ranked CROSS JOIN r WHERE ranked.rn = r.n_pos""".stripMargin),
     // Cross-multiplied integer CDF gap |C1·N0 − C0·N1| maximized
     // exactly; smallest-score tie-break; one display division.
     "eval_ks" -> (purchaseScoredSql +

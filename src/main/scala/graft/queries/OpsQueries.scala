@@ -1987,6 +1987,35 @@ object OpsQueries {
       .orderBy("digit")
   }
 
+  /** #4e' Benford SECOND-digit screen of revenue — the forensic
+    * follow-up when the first-digit test passes (fabricators who know
+    * Benford's first-digit law rarely match the second): observed
+    * second-digit shares of the exact integer cents vs the marginal
+    * P(d₂) = Σ_{d₁} log₁₀(1 + 1/(10d₁+d₂)), with the same per-digit
+    * chi-square terms as [[benfordRevenue]]. Amounts below two digits
+    * are outside the test and excluded identically on both sides. */
+  def benfordDigit2(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(s, dir)
+      .withColumn("c", round(col("o_totalprice") * 100, 0).cast("long"))
+      .filter(col("c") >= 10L)
+      .withColumn("digit",
+        substring(col("c").cast("string"), 2, 1).cast("long"))
+    val counts = cents.groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("tot"))
+    // P(d2) as a sum of nine log10 terms — ln-ratio chains, identical
+    // both engines.
+    val p2 = (1 to 9).map(d1 =>
+      s"ln(1.0 + 1.0/(${10 * d1} + digit))/ln(10.0)").mkString(" + ")
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share", col("n").cast("double") / col("tot"))
+      .withColumn("benford_p", expr(p2))
+      .select(col("digit"), col("n"), round(col("share"), 6).as("share"),
+        round(col("benford_p"), 6).as("benford_p"),
+        expr("""round((share - benford_p)*(share - benford_p)/benford_p*tot, 6)""")
+          .as("chi2_term"))
+      .orderBy("digit")
+  }
+
   /** #5k deterministic A/B split + Welch t-test per event type: users
     * hash into two arms by the shared [[arithHash]] (the same
     * arithmetic the sampling oracles mirror), then the value means are
@@ -4158,6 +4187,7 @@ object OpsQueries {
     "dedup_bag"         -> (dedupBag _),
     "dp_svt"            -> (dpSvt _),
     "attribution_position" -> (attributionPosition _),
+    "benford_digit2"    -> (benfordDigit2 _),
     "nb_lang_classify"  -> (nbLangClassify _),
     "item_decayed_pop"  -> (itemDecayedPop _),
     "dau_mau"           -> (dauMauStickiness _),
@@ -6503,6 +6533,25 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
         |ORDER BY entity_a, entity_b""".stripMargin,
     // Session CTEs mirror the `sessionize` oracle; first/last touch via
     // first_value/lag over the same total session order.
+    // Second digit of the exact cents; marginal P(d2) as nine ln-ratio
+    // terms; per-digit chi-square chains mirrored.
+    "benford_digit2" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders
+        |), d AS (
+        |  SELECT CAST(substr(c::VARCHAR, 2, 1) AS BIGINT) AS digit
+        |  FROM cents WHERE c >= 10
+        |), counts AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT AS tot FROM counts),
+        |m AS (
+        |  SELECT digit, n, tot, CAST(n AS DOUBLE)/tot AS share,
+        |    ln(1.0 + 1.0/(10 + digit))/ln(10.0) + ln(1.0 + 1.0/(20 + digit))/ln(10.0) + ln(1.0 + 1.0/(30 + digit))/ln(10.0) + ln(1.0 + 1.0/(40 + digit))/ln(10.0) + ln(1.0 + 1.0/(50 + digit))/ln(10.0) + ln(1.0 + 1.0/(60 + digit))/ln(10.0) + ln(1.0 + 1.0/(70 + digit))/ln(10.0) + ln(1.0 + 1.0/(80 + digit))/ln(10.0) + ln(1.0 + 1.0/(90 + digit))/ln(10.0) AS benford_p
+        |  FROM counts CROSS JOIN tot
+        |)
+        |SELECT digit, n, round(share, 6) AS share,
+        |  round(benford_p, 6) AS benford_p,
+        |  round((share - benford_p)*(share - benford_p)/benford_p*tot, 6) AS chi2_term
+        |FROM m ORDER BY digit""".stripMargin,
     // Same session assignment and strictly-before path walk; credits
     // are exact basis points with the remainder pinned to the first
     // touch, so each conversion sums to exactly 10000.
