@@ -361,8 +361,33 @@ object EvalQueries {
           .as("r_precision"))
   }
 
+  /** #16k MRR@10 over the per-customer part ranking — "how deep does a
+    * user scroll before the first hit", the navigational complement to
+    * MAP's averaged precision: reciprocal of the FIRST relevant rank
+    * within the top 10 (0 past it), averaged over customers with any
+    * relevant item. Per-user reciprocals round to ppm before the mean
+    * (round-then-sum); ranks are per-user windows. */
+  def evalMrr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inter = interactions(s, dir)
+    val truth = inter.filter(col("qty") > 25).select("u", "i")
+    val ranked = inter.withColumn("rn", row_number().over(
+      Window.partitionBy("u").orderBy(col("score").desc, col("i"))))
+    val firstRel = ranked.join(truth, Seq("u", "i"))
+      .filter(col("rn") <= 10)
+      .groupBy("u").agg(min("rn").as("fr"))
+    truth.select("u").distinct()
+      .join(firstRel, Seq("u"), "left")
+      .withColumn("rr_ppm", expr(
+        "case when fr is not null then cast(round(1000000.0/fr) as bigint) else cast(0 as bigint) end"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("fr").isNotNull, 1L).otherwise(0L)).as("n_hit10"),
+        expr("round(sum(rr_ppm)/1e6/count(1), 6)").as("mrr_at_10"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_rprecision"  -> (evalRprecision _),
+    "eval_mrr"         -> (evalMrr _),
     "eval_ks"          -> (evalKs _),
     "eval_ece"         -> (evalEce _),
     "eval_mcc"         -> (evalMcc _),
@@ -400,6 +425,28 @@ object EvalQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same per-user (score DESC, i) rank; ppm round-then-sum.
+    "eval_mrr" ->
+      """WITH inter AS (
+        |  SELECT o_custkey AS u, l_partkey AS i,
+        |    sum(l_extendedprice) AS score, sum(l_quantity) AS qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), truth AS (SELECT u, i FROM inter WHERE qty > 25),
+        |ranked AS (
+        |  SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY score DESC, i) AS rn
+        |  FROM inter
+        |), fr AS (
+        |  SELECT r.u, min(r.rn) AS fr
+        |  FROM ranked r JOIN truth t ON r.u = t.u AND r.i = t.i
+        |  WHERE r.rn <= 10 GROUP BY 1
+        |), us AS (SELECT DISTINCT u FROM truth)
+        |SELECT count(*)::BIGINT AS n_users,
+        |  sum(CASE WHEN fr.fr IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit10,
+        |  round(sum(CASE WHEN fr.fr IS NOT NULL
+        |    THEN CAST(round(1000000.0/fr.fr) AS BIGINT) ELSE 0 END)/1e6/count(*), 6)
+        |    AS mrr_at_10
+        |FROM us LEFT JOIN fr ON us.u = fr.u""".stripMargin,
     // Same (p DESC, event_id) rank; exact positive count at depth R.
     "eval_rprecision" -> (purchaseScoredSql +
       """, ranked AS (

@@ -1422,6 +1422,28 @@ object OpsQueries {
       .orderBy("first_touch", "last_touch")
   }
 
+  /** #31h bounce rate by entry channel — per gap session: the entry
+    * event type and whether the session ended there (one event). All
+    * tallies exact integers over the session aggregate; one display
+    * division per channel. */
+  def sessionBounce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = graft.ops.Sessionize.assign(
+        Tables.events(s, dir), "user_id", "ts", 30L * 60 * 1000000, "event_id")
+      .withColumn("tsu", unix_micros(col("ts")))
+    val w = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("tsu"), col("event_id"))
+    sess.withColumn("entry", first("event_type").over(w))
+      .groupBy("user_id", "session_idx", "entry")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("entry").as("entry_channel"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        expr("round(cast(n_bounces as double)/n_sessions, 6)"))
+      .orderBy("entry_channel")
+  }
+
   /** #31c' positional (U-shaped) attribution over gap sessions — the
     * 40/20/40 rule completing the first/last/Markov/Shapley family:
     * per conversion the first pre-purchase touch takes 4000 bp, the
@@ -4188,6 +4210,7 @@ object OpsQueries {
     "dp_svt"            -> (dpSvt _),
     "attribution_position" -> (attributionPosition _),
     "benford_digit2"    -> (benfordDigit2 _),
+    "session_bounce"    -> (sessionBounce _),
     "nb_lang_classify"  -> (nbLangClassify _),
     "item_decayed_pop"  -> (itemDecayedPop _),
     "dau_mau"           -> (dauMauStickiness _),
@@ -6552,6 +6575,32 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
         |  round(benford_p, 6) AS benford_p,
         |  round((share - benford_p)*(share - benford_p)/benford_p*tot, 6) AS chi2_term
         |FROM m ORDER BY digit""".stripMargin,
+    // Same gap sessions; exact entry/bounce tallies, one division.
+    "session_bounce" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN tsu - lag(tsu) OVER w > 1800000000
+        |    OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), s AS (
+        |  SELECT *, (sum(news) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        |  FROM f
+        |), g AS (
+        |  SELECT user_id, session_idx,
+        |    first_value(event_type) OVER (PARTITION BY user_id, session_idx
+        |      ORDER BY tsu, event_id) AS entry
+        |  FROM s
+        |), agg AS (
+        |  SELECT user_id, session_idx, entry, count(*)::BIGINT AS n_events
+        |  FROM g GROUP BY 1, 2, 3
+        |)
+        |SELECT entry AS entry_channel, count(*)::BIGINT AS n_sessions,
+        |  sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+        |  round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    /count(*), 6) AS bounce_rate
+        |FROM agg GROUP BY 1 ORDER BY entry_channel""".stripMargin,
     // Same session assignment and strictly-before path walk; credits
     // are exact basis points with the remainder pinned to the first
     // touch, so each conversion sums to exactly 10000.

@@ -3620,7 +3620,16 @@ object StatQueries {
     * rounds; weights live on the nano grid after every step
     * (round-then-iterate, so both engines walk identical longs) and
     * each scaling factor is one double chain over exact sums. */
-  def ipfRaking(s: SparkSession, dir: String): DataFrame = {
+  def ipfRaking(s: SparkSession, dir: String): DataFrame =
+    rakedWeights(s, dir)
+      .select(col("lang"), col("source"), col("o"),
+        expr("round(w/1e9, 6)").as("weight"),
+        expr("round(w/1e9/o, 6)").as("raking_factor"))
+      .orderBy("lang", "source")
+
+  /** The converged nano-grid raking weights shared by [[ipfRaking]]
+    * and [[rakingEss]]. */
+  private def rakedWeights(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.documents(s, dir)
       .groupBy("lang", "source").agg(count(lit(1)).as("o"))
       .localCheckpoint(true)
@@ -3647,11 +3656,26 @@ object StatQueries {
           col("n"), col("kl"))
         .localCheckpoint(true)
     }
-    w.select(col("lang"), col("source"), col("o"),
-        expr("round(w/1e9, 6)").as("weight"),
-        expr("round(w/1e9/o, 6)").as("raking_factor"))
-      .orderBy("lang", "source")
+    w
   }
+
+  /** #37x effective sample size of the raking weights — the price of
+    * reweighting in samples: ESS = (Σw)²/Σw² per lang (Kish). A lang
+    * whose cells needed violent factors keeps few effective docs; the
+    * ratio to its raw count is the design-effect readout. Exact
+    * integer/decimal weight sums, one chain per lang. */
+  def rakingEss(s: SparkSession, dir: String): DataFrame =
+    rakedWeights(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_cells"), sum("o").as("n_docs"),
+        sum("w").as("sw"),
+        sum(expr("cast(w as decimal(38,0)) * w")).as("sww"))
+      .select(col("lang"), col("n_cells"), col("n_docs"),
+        expr("""round(cast(cast(sw as decimal(38,0))*sw as double)
+          /cast(sww as double), 6)""").as("ess"),
+        expr("""round(cast(cast(sw as decimal(38,0))*sw as double)
+          /cast(sww as double)/n_docs, 6)""").as("ess_ratio"))
+      .orderBy("lang")
 
   /** #5bn seasonal-hybrid ESD anomalies (Twitter's S-ESD shape):
     * deseasonalize against the dow×hod profile, then THREE unrolled
@@ -4134,6 +4158,7 @@ object StatQueries {
     "dq_metric_drift"    -> (dqMetricDrift _),
     "events_sesd"        -> (eventsSesd _),
     "ipf_raking"         -> (ipfRaking _),
+    "raking_ess"         -> (rakingEss _),
     "shrinkage_means"    -> (shrinkageMeans _),
     "brr_se"             -> (brrSe _),
     "extremal_index"     -> (extremalIndex _),
@@ -4539,6 +4564,51 @@ object StatQueries {
         |  round(c.c, 6) AS shrink_factor,
         |  round((w.mug + c.c*(w.mu - w.mug))/1e6, 6) AS shrunken_mean
         |FROM wide w JOIN c ON w.k = c.k ORDER BY w.event_type""".stripMargin,
+    // Kish ESS per lang over the same converged nano weights.
+    "raking_ess" ->
+      ("""WITH cells AS MATERIALIZED (
+        |  SELECT lang, source, count(*)::BIGINT AS o FROM documents GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT sum(o)::BIGINT AS n, count(DISTINCT lang)::BIGINT AS kl FROM cells
+        |), w0 AS (
+        |  SELECT lang, source, o, o*1000000000 AS w, n, kl
+        |  FROM cells CROSS JOIN tot
+        |), m1 AS (SELECT lang AS mk, sum(w)::BIGINT AS ms FROM w0 GROUP BY 1),
+        |w1 AS (
+        |  SELECT b.lang, b.source, b.o, b.n, b.kl,
+        |    CAST(round(CAST(b.w AS DOUBLE)*(CAST(b.n AS DOUBLE)/b.kl)*1e9/m.ms)
+        |      AS BIGINT) AS w
+        |  FROM w0 b JOIN m1 m ON b.lang = m.mk
+        |),
+        |c2 AS (SELECT source AS ck, sum(o)::BIGINT AS ctgt FROM cells GROUP BY 1),
+        |s2 AS (SELECT source AS sk, sum(w)::BIGINT AS ms FROM w1 GROUP BY 1),
+        |w2 AS (
+        |  SELECT b.lang, b.source, b.o, b.n, b.kl,
+        |    CAST(round(CAST(b.w AS DOUBLE)*c.ctgt*1e9/m.ms) AS BIGINT) AS w
+        |  FROM w1 b JOIN c2 c ON b.source = c.ck
+        |  JOIN s2 m ON b.source = m.sk
+        |),
+        |m3 AS (SELECT lang AS mk, sum(w)::BIGINT AS ms FROM w2 GROUP BY 1),
+        |w3 AS (
+        |  SELECT b.lang, b.source, b.o, b.n, b.kl,
+        |    CAST(round(CAST(b.w AS DOUBLE)*(CAST(b.n AS DOUBLE)/b.kl)*1e9/m.ms)
+        |      AS BIGINT) AS w
+        |  FROM w2 b JOIN m3 m ON b.lang = m.mk
+        |),
+        |c4 AS (SELECT source AS ck, sum(o)::BIGINT AS ctgt FROM cells GROUP BY 1),
+        |s4 AS (SELECT source AS sk, sum(w)::BIGINT AS ms FROM w3 GROUP BY 1),
+        |w4 AS (
+        |  SELECT b.lang, b.source, b.o, b.n, b.kl,
+        |    CAST(round(CAST(b.w AS DOUBLE)*c.ctgt*1e9/m.ms) AS BIGINT) AS w
+        |  FROM w3 b JOIN c4 c ON b.source = c.ck
+        |  JOIN s4 m ON b.source = m.sk
+        |)
+        |SELECT lang, count(*)::BIGINT AS n_cells, sum(o)::BIGINT AS n_docs,
+        |  round(CAST(CAST(sum(w) AS HUGEINT)*sum(w) AS DOUBLE)
+        |    /CAST(sum(CAST(w AS HUGEINT)*w) AS DOUBLE), 6) AS ess,
+        |  round(CAST(CAST(sum(w) AS HUGEINT)*sum(w) AS DOUBLE)
+        |    /CAST(sum(CAST(w AS HUGEINT)*w) AS DOUBLE)/sum(o), 6) AS ess_ratio
+        |FROM w4 GROUP BY lang ORDER BY lang""").stripMargin,
     // Same nano-grid round-then-iterate scaling; factors are single
     // double chains over exact sums.
     "ipf_raking" ->
