@@ -2219,6 +2219,29 @@ object StatQueries {
     .withColumn("rb", when(col("lc") * 2 >= col("wc") * 11, 1L).otherwise(0L))
     .withColumn("rc", when(col("wc") >= 60, 1L).otherwise(0L))
 
+  /** #5as' Gwet AC1 agreement over the same three deterministic raters
+    * — the paradox-resistant alternative to [[fleissKappa]] (kappa
+    * collapses under prevalence skew; AC1's chance term uses the
+    * overall positive rate symmetrically): Pa is Fleiss's observed
+    * agreement, Pe = 2π(1−π) with π = t₁/(3n) — all single chains over
+    * the same exact integer tallies. */
+  def gwetAc1(s: SparkSession, dir: String): DataFrame = {
+    val labeled = raterLabels(Tables.documents(s, dir))
+      .withColumn("n1", col("ra") + col("rb") + col("rc"))
+      .withColumn("n0", lit(3L) - col("n1"))
+    labeled.agg(
+        count(lit(1)).as("n"), sum("n1").as("t1"),
+        sum(col("n1") * col("n1") + col("n0") * col("n0")).as("sq"))
+      .select(col("n").as("n_docs"), col("t1").as("t_pos"),
+        expr("round(cast(sq - 3*n as double)/cast(6*n as double), 6)").as("p_a"),
+        expr("""round(2*(cast(t1 as double)/(3*n))*(1 - cast(t1 as double)/(3*n)), 6)""")
+          .as("p_e_gamma"),
+        expr("""round((cast(sq - 3*n as double)/cast(6*n as double)
+            - 2*(cast(t1 as double)/(3*n))*(1 - cast(t1 as double)/(3*n)))
+          /(1 - 2*(cast(t1 as double)/(3*n))*(1 - cast(t1 as double)/(3*n))), 6)""")
+          .as("ac1"))
+  }
+
   def fleissKappa(s: SparkSession, dir: String): DataFrame = {
     val labeled = raterLabels(Tables.documents(s, dir))
       .withColumn("n1", col("ra") + col("rb") + col("rc"))
@@ -4159,6 +4182,7 @@ object StatQueries {
     "events_sesd"        -> (eventsSesd _),
     "ipf_raking"         -> (ipfRaking _),
     "raking_ess"         -> (rakingEss _),
+    "gwet_ac1"           -> (gwetAc1 _),
     "shrinkage_means"    -> (shrinkageMeans _),
     "brr_se"             -> (brrSe _),
     "extremal_index"     -> (extremalIndex _),
@@ -6212,6 +6236,29 @@ object StatQueries {
     },
     // All-integer agreement tallies; P-bar, P-e, kappa repeat the
     // engine's exact-numerator / exact-denominator double divisions.
+    // Same rater tallies; Pa and the symmetric chance term are single
+    // chains over exact integers.
+    "gwet_ac1" ->
+      """WITH labeled AS (
+        |  SELECT
+        |    (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+        |     + CASE WHEN length(text)*2 >= ((length(text) - length(replace(text, ' ', '')) + 1))*11 THEN 1 ELSE 0 END
+        |     + CASE WHEN (length(text) - length(replace(text, ' ', '')) + 1) >= 60 THEN 1 ELSE 0 END)::BIGINT AS n1
+        |  FROM documents
+        |), agg AS (
+        |  SELECT count(*)::BIGINT AS n, sum(n1)::BIGINT AS t1,
+        |    sum(n1*n1 + (3 - n1)*(3 - n1))::BIGINT AS sq
+        |  FROM labeled
+        |)
+        |SELECT n AS n_docs, t1 AS t_pos,
+        |  round(CAST(sq - 3*n AS DOUBLE)/CAST(6*n AS DOUBLE), 6) AS p_a,
+        |  round(2*(CAST(t1 AS DOUBLE)/(3*n))*(1 - CAST(t1 AS DOUBLE)/(3*n)), 6)
+        |    AS p_e_gamma,
+        |  round((CAST(sq - 3*n AS DOUBLE)/CAST(6*n AS DOUBLE)
+        |      - 2*(CAST(t1 AS DOUBLE)/(3*n))*(1 - CAST(t1 AS DOUBLE)/(3*n)))
+        |    /(1 - 2*(CAST(t1 AS DOUBLE)/(3*n))*(1 - CAST(t1 AS DOUBLE)/(3*n))), 6)
+        |    AS ac1
+        |FROM agg""".stripMargin,
     "fleiss_kappa" ->
       """WITH labeled AS (
         |  SELECT
