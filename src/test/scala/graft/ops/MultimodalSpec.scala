@@ -237,6 +237,22 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.aiffBytes(8000, 1, 8, 4).take(20)).isEmpty)
   }
 
+  test("decodeMidiMeta reads SMF headers and verifies the MTrk walk") {
+    for (ppq <- Seq(96, 480); ntr <- Seq(1, 3)) {
+      val m = Multimodal.decodeMidiMeta(Multimodal.midiBytes(ppq, ntr))
+      assert(m.contains((1, ntr, ppq, ntr.toLong)), s"$ppq/$ntr -> $m")
+    }
+    // a truncated final track breaks the chunk walk count
+    val b = Multimodal.midiBytes(96, 2)
+    assert(Multimodal.decodeMidiMeta(b.dropRight(12))
+      .exists(_._4 < 2L))
+    // SMPTE division (top bit set) is out of contract
+    val sm = Multimodal.midiBytes(96, 1)
+    sm(12) = 0xE8.toByte
+    assert(Multimodal.decodeMidiMeta(sm).isEmpty)
+    assert(Multimodal.decodeMidiMeta(Multimodal.wavBytes(8000, 1, 8, 1)).isEmpty)
+  }
+
   test("syntheticTiffs corpus decodes to its id-derived parameters") {
     val ids = Seq(0L, 1L, 2L, 7L, 8L, 511L, 512L)
     val meta = Multimodal.extractTiffMeta(
