@@ -868,9 +868,17 @@ object Multimodal {
     if (div >= 0x8000) return None // SMPTE division not handled
     var i = 14
     var mtrk = 0L
-    while (i + 8 <= bytes.length) {
-      if (tag(i, "MTrk")) mtrk += 1
-      i += 8 + be32(bytes, i + 4).toInt
+    var walking = true
+    while (walking && i + 8 <= bytes.length) {
+      val size = be32(bytes, i + 4)
+      // A declared length past the buffer end (including the ≥2^31 case
+      // whose .toInt wraps negative and would stall the walk) ends the
+      // walk with the partial count — corrupt-tolerant, never loops.
+      if (size > bytes.length - i - 8) walking = false
+      else {
+        if (tag(i, "MTrk")) mtrk += 1
+        i += 8 + size.toInt
+      }
     }
     Some((fmt, ntr, div, mtrk))
   }
@@ -951,6 +959,10 @@ object Multimodal {
     var i = 12
     while (i + 8 <= bytes.length) {
       val size = be32(bytes, i + 4)
+      // Corrupt declared length past the buffer end (incl. the ≥2^31
+      // .toInt-wraps-negative case that would stall the walk): no COMM
+      // reachable beyond it — reject instead of looping.
+      if (size > bytes.length - i - 8 && !tag(i, "COMM")) return None
       if (tag(i, "COMM")) {
         if (size < 18 || i + 8 + 18 > bytes.length) return None
         val channels = be16(bytes, i + 8)

@@ -2253,7 +2253,9 @@ object OpsQueries {
     * buffer before the exchange (O(partitions·d²) shuffle bytes at any
     * corpus size). cov(i,j) = (G_ij − sᵢsⱼ/n)/(n−1)/10⁸, derived from
     * the exact moments with the identical closed form on both sides,
-    * unpivoted via posexplode with integer (div, mod) indexing. */
+    * unpivoted via posexplode with integer (div, mod) indexing.
+    * `+ 0.0` after the round normalizes IEEE `-0.0` to `+0.0` on both
+    * engines — numerically equal but hash-different otherwise. */
   def embCovariance(s: SparkSession, dir: String): DataFrame = {
     graft.functions.register(s)
     Tables.embeddings(s, dir)
@@ -2267,10 +2269,10 @@ object OpsQueries {
       .withColumn("j", pmod(col("pos"), col("d")).cast("long"))
       .filter(col("i") <= col("j"))
       .select(col("i"), col("j"), col("n"),
-        round((col("col")
+        (round((col("col")
           - element_at(col("sums"), (col("i") + 1).cast("int"))
             * element_at(col("sums"), (col("j") + 1).cast("int")) / col("n"))
-          / (col("n") - 1) / lit(1.0e8), 6).as("cov"))
+          / (col("n") - 1) / lit(1.0e8), 6) + lit(0.0)).as("cov"))
       .orderBy("i", "j")
   }
 
@@ -6278,7 +6280,7 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
         |  GROUP BY 1, 2
         |)
         |SELECT i, j, n,
-        |  round((g - sa * sb / n) / (n - 1) / 100000000.0, 6) AS cov
+        |  round((g - sa * sb / n) / (n - 1) / 100000000.0, 6) + 0.0 AS cov
         |FROM p ORDER BY i, j""".stripMargin,
     "corr_matrix" ->
       """WITH g AS (

@@ -357,10 +357,13 @@ object SourceQueries {
     "avro_roundtrip" ->
       """SELECT doc_id, lang, n_chars,
         |  (CASE WHEN 2*doc_id < 128 THEN 1 WHEN 2*doc_id < 16384 THEN 2
-        |     WHEN 2*doc_id < 2097152 THEN 3 ELSE 4 END
+        |     WHEN 2*doc_id < 2097152 THEN 3 WHEN 2*doc_id < 268435456 THEN 4
+        |     WHEN 2*doc_id < 34359738368 THEN 5 WHEN 2*doc_id < 4398046511104 THEN 6
+        |     ELSE 7 END
         |   + CASE WHEN length(lang) < 128 THEN 1 ELSE 2 END + length(lang)
         |   + CASE WHEN 2*n_chars < 128 THEN 1 WHEN 2*n_chars < 16384 THEN 2
-        |     WHEN 2*n_chars < 2097152 THEN 3 ELSE 4 END)::BIGINT AS payload_bytes
+        |     WHEN 2*n_chars < 2097152 THEN 3 WHEN 2*n_chars < 268435456 THEN 4
+        |     WHEN 2*n_chars < 34359738368 THEN 5 ELSE 6 END)::BIGINT AS payload_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Ordered string_agg rebuilds each blob byte-for-byte; octet_length
     // + md5 must match the binaryFile read.

@@ -712,7 +712,11 @@ object StatQueries {
     * n_g·(r̄_g − (N+1)/2)² = D²/(4n_g) with integer D = 2S_g − n_g(N+1)
     * is rounded to WHOLE units before the k-term sum (round-then-sum:
     * both engines add identical longs; the discarded sub-unit mass is
-    * ~1e-11 of H, far inside the 6-dp display grid). The global rank
+    * ~1e-11 of H, far inside the 6-dp display grid). Because the
+    * deviation terms are already CENTERED, H = 12·Σ/(N(N+1)) directly —
+    * the textbook −3(N+1) correction belongs only to the uncentered
+    * ΣS_g²/n_g form (small-sample value pinned in
+    * [[graft.queries.EdgeBranchSpec]]). The global rank
     * runs over the DISTINCT-value table through ChronoSplit's bucketed
     * order stats — no unpartitioned window anywhere. */
   def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
@@ -737,8 +741,7 @@ object StatQueries {
       .groupBy("nn", "tie3")
       .agg(count(lit(1)).as("k"), sum("dterm").as("ssum"))
       .withColumn("h",
-        lit(12.0) * col("ssum") / (col("nn").cast("double") * (col("nn") + 1))
-          - lit(3.0) * (col("nn") + 1))
+        lit(12.0) * col("ssum") / (col("nn").cast("double") * (col("nn") + 1)))
       .withColumn("cf", lit(1.0) - col("tie3").cast("double")
         / (col("nn").cast("double") * col("nn") * col("nn") - col("nn")))
       .select(col("nn").as("n"), col("k"),
@@ -7034,7 +7037,7 @@ object StatQueries {
         |agg AS (SELECT nn, tie3, count(*)::BIGINT AS k, sum(dterm)::BIGINT AS ssum
         |  FROM terms GROUP BY nn, tie3),
         |hh AS (SELECT nn, tie3, k,
-        |    12.0::DOUBLE * ssum / (nn::DOUBLE * (nn+1)) - 3.0::DOUBLE * (nn+1) AS h
+        |    12.0::DOUBLE * ssum / (nn::DOUBLE * (nn+1)) AS h
         |  FROM agg)
         |SELECT nn AS n, k, round(h, 6) AS h,
         |  round(h / (1.0::DOUBLE - tie3::DOUBLE
