@@ -960,9 +960,11 @@ object Multimodal {
     while (i + 8 <= bytes.length) {
       val size = be32(bytes, i + 4)
       // Corrupt declared length past the buffer end (incl. the ≥2^31
-      // .toInt-wraps-negative case that would stall the walk): no COMM
-      // reachable beyond it — reject instead of looping.
-      if (size > bytes.length - i - 8 && !tag(i, "COMM")) return None
+      // .toInt-wraps-negative case that would stall the walk): reject —
+      // uniformly, COMM included, matching the MIDI walk's stop-and-
+      // count semantics (a COMM whose declared size overruns the buffer
+      // is as corrupt as any other chunk, even if 18 body bytes fit).
+      if (size > bytes.length - i - 8) return None
       if (tag(i, "COMM")) {
         if (size < 18 || i + 8 + 18 > bytes.length) return None
         val channels = be16(bytes, i + 8)

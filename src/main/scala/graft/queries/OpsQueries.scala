@@ -2231,7 +2231,11 @@ object OpsQueries {
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
       yield (cols(i), cols(j))
     val aggs = count(lit(1)).as("n") +:
-      pairs.map { case (a, b) => round(corr(col(a), col(b)), 6).as(s"c_${a}_$b") }
+      // `+ 0.0` normalizes IEEE -0.0 after the round (near-zero
+      // correlations can round to -0.0 on one engine only — same
+      // convention as embCovariance below).
+      pairs.map { case (a, b) =>
+        (round(corr(col(a), col(b)), 6) + lit(0.0)).as(s"c_${a}_$b") }
     val g = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
     val stackArgs = pairs
       .map { case (a, b) => s"'$a', '$b', c_${a}_$b" }.mkString(", ")
@@ -6285,12 +6289,12 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
     "corr_matrix" ->
       """WITH g AS (
         |  SELECT count(*)::BIGINT AS n,
-        |    round(corr(l_quantity, l_extendedprice), 6) AS c1,
-        |    round(corr(l_quantity, l_discount), 6) AS c2,
-        |    round(corr(l_quantity, l_tax), 6) AS c3,
-        |    round(corr(l_extendedprice, l_discount), 6) AS c4,
-        |    round(corr(l_extendedprice, l_tax), 6) AS c5,
-        |    round(corr(l_discount, l_tax), 6) AS c6
+        |    round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS c1,
+        |    round(corr(l_quantity, l_discount), 6) + 0.0 AS c2,
+        |    round(corr(l_quantity, l_tax), 6) + 0.0 AS c3,
+        |    round(corr(l_extendedprice, l_discount), 6) + 0.0 AS c4,
+        |    round(corr(l_extendedprice, l_tax), 6) + 0.0 AS c5,
+        |    round(corr(l_discount, l_tax), 6) + 0.0 AS c6
         |  FROM lineitem
         |)
         |SELECT col_a, col_b, corr, n FROM (

@@ -353,18 +353,34 @@ object SourceQueries {
         |FROM e WHERE dw IN (0, 6)
         |GROUP BY day_num ORDER BY day_num""".stripMargin,
     // Wire size from the public Avro spec: zigzag-varint(2v) per long,
-    // varint length prefix + UTF-8 bytes per string.
+    // varint length prefix + UTF-8 bytes per string. Thresholds are the
+    // HALVED varint boundaries (v < 2^(7k-1) <=> zigzag 2v < 2^7k, valid
+    // because doc_id/n_chars/byte-lengths are nonnegative) so no `2*x`
+    // can overflow BIGINT at the 9/10-byte arms. The lang prefix counts
+    // UTF-8 BYTES (octet_length(encode(...))) with the zigzag 1-byte
+    // cutoff at 64, not 128 — full ladders pinned in AvroCodecSpec.
     "avro_roundtrip" ->
-      """SELECT doc_id, lang, n_chars,
-        |  (CASE WHEN 2*doc_id < 128 THEN 1 WHEN 2*doc_id < 16384 THEN 2
-        |     WHEN 2*doc_id < 2097152 THEN 3 WHEN 2*doc_id < 268435456 THEN 4
-        |     WHEN 2*doc_id < 34359738368 THEN 5 WHEN 2*doc_id < 4398046511104 THEN 6
-        |     ELSE 7 END
-        |   + CASE WHEN length(lang) < 128 THEN 1 ELSE 2 END + length(lang)
-        |   + CASE WHEN 2*n_chars < 128 THEN 1 WHEN 2*n_chars < 16384 THEN 2
-        |     WHEN 2*n_chars < 2097152 THEN 3 WHEN 2*n_chars < 268435456 THEN 4
-        |     WHEN 2*n_chars < 34359738368 THEN 5 ELSE 6 END)::BIGINT AS payload_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    octet_length(encode(lang)) AS lb FROM documents
+        |)
+        |SELECT doc_id, lang, n_chars,
+        |  (CASE WHEN doc_id < 64 THEN 1 WHEN doc_id < 8192 THEN 2
+        |     WHEN doc_id < 1048576 THEN 3 WHEN doc_id < 134217728 THEN 4
+        |     WHEN doc_id < 17179869184 THEN 5 WHEN doc_id < 2199023255552 THEN 6
+        |     WHEN doc_id < 281474976710656 THEN 7
+        |     WHEN doc_id < 36028797018963968 THEN 8
+        |     WHEN doc_id < 4611686018427387904 THEN 9 ELSE 10 END
+        |   + CASE WHEN lb < 64 THEN 1 WHEN lb < 8192 THEN 2
+        |     WHEN lb < 1048576 THEN 3 ELSE 4 END + lb
+        |   + CASE WHEN n_chars < 64 THEN 1 WHEN n_chars < 8192 THEN 2
+        |     WHEN n_chars < 1048576 THEN 3 WHEN n_chars < 134217728 THEN 4
+        |     WHEN n_chars < 17179869184 THEN 5 WHEN n_chars < 2199023255552 THEN 6
+        |     WHEN n_chars < 281474976710656 THEN 7
+        |     WHEN n_chars < 36028797018963968 THEN 8
+        |     WHEN n_chars < 4611686018427387904 THEN 9 ELSE 10 END)::BIGINT
+        |    AS payload_bytes
+        |FROM d ORDER BY doc_id""".stripMargin,
     // Ordered string_agg rebuilds each blob byte-for-byte; octet_length
     // + md5 must match the binaryFile read.
     "binaryfile_scan" ->

@@ -235,6 +235,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAiffMeta(Multimodal.wavBytes(8000, 1, 8, 4)).isEmpty)
     assert(Multimodal.decodeAiffMeta(
       Multimodal.aiffBytes(8000, 1, 8, 4).take(20)).isEmpty)
+    // A COMM whose DECLARED size overruns the buffer is rejected even
+    // when its 18 fixed body bytes still fit — same stop-and-count
+    // strictness as every other oversize chunk (and as the MIDI walk).
+    val corrupt = Multimodal.aiffBytes(8000, 1, 8, 4)
+    val ci = {
+      var i = 12
+      while (!(corrupt(i) == 'C' && corrupt(i + 1) == 'O' &&
+        corrupt(i + 2) == 'M' && corrupt(i + 3) == 'M')) i += 1
+      i
+    }
+    corrupt(ci + 4) = 0x7f.toByte // declared COMM length 2^31-ish
+    assert(Multimodal.decodeAiffMeta(corrupt).isEmpty)
   }
 
   test("decodeMidiMeta reads SMF headers and verifies the MTrk walk") {
