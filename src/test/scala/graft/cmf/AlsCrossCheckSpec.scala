@@ -1,0 +1,168 @@
+package graft.cmf
+
+import graft.SparkSpec
+import graft.eval.RegressionEvaluation
+import org.apache.spark.ml.recommendation.{ALS => MlAls}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Independent numerical cross-check of the ALS core against
+  * `org.apache.spark.ml.recommendation.ALS` — the reference's own
+  * lineage (`/root/reference/src/main/scala/com/github/jongwook/cmf/
+  * CollectiveALS.scala:1-24` vendors MLlib's internals, while graft
+  * re-derives the solves from the published normal equations). The two
+  * implementations share no code and start from different random
+  * factors, but the ALS objective with ALS-WR regularization
+  * (λ·n_u·‖x_u‖² — both engines scale λ by the per-row rating count)
+  * has an essentially unique alternating fixed point on well-
+  * conditioned data, so the TRAIN RMSE is implementation-invariant to
+  * within iteration noise. A shared-formula bug cannot hide here the
+  * way it can in a mirrored-expression oracle: MLlib is a second
+  * solver, not a mirror. */
+class AlsCrossCheckSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val trueRank = 4
+  private val nUsers = 120
+  private val nItems = 40
+
+  /** Same exactly-rank-4 synthetic set as [[CollectiveALSSpec]]. */
+  private lazy val ratings: DataFrame = {
+    val rows = for {
+      u <- 0 until nUsers
+      i <- 0 until nItems
+      if CollectiveALS.splitmix64(u * 10007L + i) % 2 == 0
+    } yield {
+      val fu = ConvergenceProbe.signedFactor(1L, u, trueRank)
+      val fi = ConvergenceProbe.signedFactor(2L, i, trueRank)
+      (u.toLong, i.toLong, fu.zip(fi).map { case (a, b) => a * b }.sum * 5.0f)
+    }
+    rows.toDF("user", "item", "rating")
+  }
+
+  private def graftRmse(reg: Double, nonneg: Boolean = false): Double = {
+    val m = new CollectiveALS()
+      .setRank(4).setMaxIter(12).setRegParam(reg)
+      .setNonnegative(nonneg).setSeed(7L)
+      .fit(ratings)
+    RegressionEvaluation.evaluate(m.predict(ratings), "rating", "prediction")
+      .select("rmse").head.getDouble(0)
+  }
+
+  private def mlRmse(reg: Double, nonneg: Boolean = false): Double = {
+    val m = new MlAls()
+      .setRank(4).setMaxIter(12).setRegParam(reg)
+      .setNonnegative(nonneg).setSeed(7L)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .fit(ratings)
+    val scored = m.transform(ratings)
+    math.sqrt(scored
+      .select(avg(pow(col("prediction") - col("rating"), 2)))
+      .head.getDouble(0))
+  }
+
+  test("explicit ALS train RMSE matches MLlib on exact low-rank data") {
+    val g = graftRmse(0.001)
+    val m = mlRmse(0.001)
+    // Both solvers should drive the residual to ~0 on noiseless rank-4
+    // data; parity within iteration noise.
+    assert(g < 0.02, s"graft rmse $g")
+    assert(m < 0.02, s"mllib rmse $m")
+    assert(math.abs(g - m) < 0.02, s"graft $g vs mllib $m")
+  }
+
+  test("regularized train RMSE parity pins the ALS-WR lambda convention") {
+    // With λ = 0.1 the regularizer dominates the equilibrium: if one
+    // engine scaled λ differently (plain λ vs λ·n_u), its train RMSE
+    // would sit at a visibly different level.
+    val g = graftRmse(0.1)
+    val m = mlRmse(0.1)
+    assert(math.abs(g - m) < 0.1 * math.max(g, m) + 0.02,
+      s"graft $g vs mllib $m")
+  }
+
+  test("nonnegative (NNLS) train RMSE matches MLlib") {
+    val nonneg = {
+      val rows = for {
+        u <- 0 until nUsers
+        i <- 0 until nItems
+        if CollectiveALS.splitmix64(u * 10007L + i) % 2 == 0
+      } yield {
+        val fu = CollectiveALS.initFactor(1L, u, trueRank)
+        val fi = CollectiveALS.initFactor(2L, i, trueRank)
+        (u.toLong, i.toLong, fu.zip(fi).map { case (a, b) => a * b }.sum * 5.0f)
+      }
+      rows.toDF("user", "item", "rating")
+    }
+    def rmseOf(scored: DataFrame): Double = math.sqrt(scored
+      .select(avg(pow(col("prediction") - col("rating"), 2)))
+      .head.getDouble(0))
+    val g = rmseOf(new CollectiveALS()
+      .setRank(4).setMaxIter(15).setRegParam(0.001)
+      .setNonnegative(true).setSeed(7L)
+      .fit(nonneg).predict(nonneg))
+    val m = rmseOf(new MlAls()
+      .setRank(4).setMaxIter(15).setRegParam(0.001).setNonnegative(true)
+      .setSeed(7L).setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .fit(nonneg).transform(nonneg))
+    assert(g < 0.2, s"graft nnls rmse $g")
+    assert(m < 0.2, s"mllib nnls rmse $m")
+    assert(math.abs(g - m) < 0.1, s"graft $g vs mllib $m")
+  }
+
+  test("implicit ALS discriminates observed pairs at MLlib's AUC") {
+    // Implicit ALS has no train RMSE; the cross-check is the model's
+    // JOB: ranking observed pairs above unobserved ones over the full
+    // user×item grid. AUC is implementation-invariant (the Hu-Koren
+    // objective determines the preference ORDER), while raw grid
+    // values are not — on the unobserved region two rank-4 models from
+    // different inits extrapolate differently (grid Pearson ≈ 0.74),
+    // so value correlation is only a loose secondary check.
+    val obs = (for {
+      u <- 0 until nUsers
+      i <- 0 until nItems
+      if {
+        val fu = ConvergenceProbe.signedFactor(1L, u, trueRank)
+        val fi = ConvergenceProbe.signedFactor(2L, i, trueRank)
+        fu.zip(fi).map { case (a, b) => a * b }.sum > 0
+      }
+    } yield (u.toLong, i.toLong, 1.0f)).toDF("user", "item", "rating")
+    val grid = (for { u <- 0 until nUsers; i <- 0 until nItems }
+      yield (u.toLong, i.toLong)).toDF("user", "item")
+    val g = new CollectiveALS()
+      .setRank(4).setMaxIter(10).setRegParam(0.05).setAlpha(10.0)
+      .setImplicitPrefs(true).setSeed(7L).fit(obs)
+      .predict(grid)
+      .select(col("user"), col("item"), col("prediction").as("pg"))
+    val m = new MlAls()
+      .setRank(4).setMaxIter(10).setRegParam(0.05).setAlpha(10.0)
+      .setImplicitPrefs(true).setSeed(7L)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .fit(obs).transform(grid)
+      .select(col("user"), col("item"), col("prediction").as("pm"))
+    val joined = g.join(m, Seq("user", "item"))
+      .join(obs.select(col("user"), col("item"), lit(1).as("pos")),
+        Seq("user", "item"), "left")
+      .withColumn("pos", coalesce(col("pos"), lit(0)))
+      .cache()
+    // Rank-sum AUC of each model at separating observed from unobserved.
+    def auc(scoreCol: String): Double = {
+      val ranked = joined.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col(scoreCol))))
+      val a = ranked.agg(
+        sum(when(col("pos") === 1, col("rk"))).as("rs"),
+        sum(col("pos")).as("np"), count(lit(1)).as("n")).head
+      val (rs, np, n) = (a.getLong(0), a.getLong(1), a.getLong(2))
+      (rs.toDouble - np.toDouble * (np + 1) / 2) / (np.toDouble * (n - np))
+    }
+    val (ag, am) = (auc("pg"), auc("pm"))
+    // Rank-4 on this latent structure tops out near AUC 0.93-0.94;
+    // parity (|delta| small) is the cross-check, the floor is sanity.
+    assert(math.abs(ag - am) < 0.02, s"graft AUC $ag vs mllib AUC $am")
+    assert(ag > 0.9, s"graft implicit AUC $ag")
+    assert(am > 0.9, s"mllib implicit AUC $am")
+    val r = joined.select(corr(col("pg"), col("pm"))).head.getDouble(0)
+    assert(r > 0.6, s"implicit preference grid correlation $r")
+  }
+}
