@@ -710,9 +710,11 @@ object StatQueries {
     * count of strictly smaller rows), so twice each group's rank sum
     * is Σ ng·(2·lt + t + 1) — an integer. The squared-deviation term
     * n_g·(r̄_g − (N+1)/2)² = D²/(4n_g) with integer D = 2S_g − n_g(N+1)
-    * is rounded to WHOLE units before the k-term sum (round-then-sum:
-    * both engines add identical longs; the discarded sub-unit mass is
-    * ~1e-11 of H, far inside the 6-dp display grid). Because the
+    * is rounded to MICRO units into DECIMAL(38,0)/HUGEINT before the
+    * k-term sum (round-then-sum: both engines add identical integers;
+    * whole-unit rounding was measurably wrong at small samples —
+    * [[graft.queries.EdgeBranchSpec]] caught 4.166667 vs the textbook
+    * 4.138889 on an 8-row fixture). Because the
     * deviation terms are already CENTERED, H = 12·Σ/(N(N+1)) directly —
     * the textbook −3(N+1) correction belongs only to the uncentered
     * ΣS_g²/n_g form (small-sample value pinned in
@@ -736,12 +738,12 @@ object StatQueries {
       sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
     g.crossJoin(broadcast(tot))
       .withColumn("dd", (col("s2") - col("n_g") * (col("nn") + 1)).cast("double"))
-      .withColumn("dterm",
-        round(col("dd") * col("dd") / (lit(4.0) * col("n_g"))).cast("long"))
+      .withColumn("dterm", expr(
+        "cast(round(dd * dd / (4.0 * n_g) * 1e6) as decimal(38,0))"))
       .groupBy("nn", "tie3")
       .agg(count(lit(1)).as("k"), sum("dterm").as("ssum"))
-      .withColumn("h",
-        lit(12.0) * col("ssum") / (col("nn").cast("double") * (col("nn") + 1)))
+      .withColumn("h", lit(12.0) * col("ssum").cast("double") / 1e6
+        / (col("nn").cast("double") * (col("nn") + 1)))
       .withColumn("cf", lit(1.0) - col("tie3").cast("double")
         / (col("nn").cast("double") * col("nn") * col("nn") - col("nn")))
       .select(col("nn").as("n"), col("k"),
@@ -7018,7 +7020,7 @@ object StatQueries {
          |  (SELECT count(*) FROM d2)::BIGINT AS n_reach_2""".stripMargin
     },
     // Exact integer rank sums (2·avgrank per run is 2·lt + t + 1);
-    // squared-deviation terms rounded to whole units before the k-sum.
+    // squared-deviation terms rounded to micro units before the k-sum.
     "kruskal_wallis" ->
       """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |tv AS (SELECT value, count(*)::BIGINT AS t FROM ev GROUP BY value),
@@ -7032,12 +7034,12 @@ object StatQueries {
         |tot AS (SELECT sum(t)::BIGINT AS nn, sum(t*t*t - t)::BIGINT AS tie3 FROM tv),
         |terms AS (SELECT nn, tie3,
         |    round((s2 - n_g*(nn+1))::DOUBLE * (s2 - n_g*(nn+1))::DOUBLE
-        |      / (4.0::DOUBLE * n_g))::BIGINT AS dterm
+        |      / (4.0::DOUBLE * n_g) * 1e6)::HUGEINT AS dterm
         |  FROM g CROSS JOIN tot),
-        |agg AS (SELECT nn, tie3, count(*)::BIGINT AS k, sum(dterm)::BIGINT AS ssum
+        |agg AS (SELECT nn, tie3, count(*)::BIGINT AS k, sum(dterm)::HUGEINT AS ssum
         |  FROM terms GROUP BY nn, tie3),
         |hh AS (SELECT nn, tie3, k,
-        |    12.0::DOUBLE * ssum / (nn::DOUBLE * (nn+1)) AS h
+        |    12.0::DOUBLE * ssum::DOUBLE / 1e6 / (nn::DOUBLE * (nn+1)) AS h
         |  FROM agg)
         |SELECT nn AS n, k, round(h, 6) AS h,
         |  round(h / (1.0::DOUBLE - tie3::DOUBLE

@@ -1,0 +1,774 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Golden-value suite for the classical statistics.
+  *
+  * The DuckDB hash oracles prove Spark and DuckDB COMPUTE THE SAME
+  * EXPRESSION — they cannot catch a shared formula error (round 11's
+  * Kruskal-Wallis carried a wrong −3(N+1) term hash-green for a full
+  * round). Every constant asserted here is derived INDEPENDENTLY from
+  * the textbook formula by `tools/golden_stats.py` (pure python — no
+  * Spark, no DuckDB, no shared expression tree) over the same tiny
+  * fixture each test writes as parquet. A comment on each assertion
+  * records the derivation; re-run the script to audit.
+  *
+  * Also pins the latent branches the sf corpus never exercises:
+  * `ab_sprt`'s no-crossing null-decision row and `encoding_advisor`'s
+  * NULL-excluded NDV / clamped-savings conventions.
+  */
+class EdgeBranchSpec extends SparkSpec {
+
+  private val Hour = 3600000000L
+  private val Day = 86400000000L
+
+  /** Fresh fixture dir per test. */
+  private def tmp(): String =
+    Files.createTempDirectory("edgebranch").toString
+
+  /** (event_id, ts_us, user_id, event_type, value) -> events.parquet */
+  private def writeEvents(dir: String,
+      rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("p").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  /** One event per (type, value): ts collapses to a single hour. */
+  private def valueEvents(dir: String, groups: Map[String, Seq[Double]]): Unit = {
+    var id = 0L
+    val rows = for {
+      (tpe, vs) <- groups.toSeq.sortBy(_._1)
+      v <- vs
+    } yield { id += 1; (id, Hour + id, id, tpe, v) }
+    writeEvents(dir, rows)
+  }
+
+  /** counts(tpe)(i) events in hour base+i — controlled hourly series. */
+  private def countEvents(dir: String, base: Long,
+      counts: Map[String, Seq[Int]]): Unit = {
+    var id = 0L
+    val rows = for {
+      (tpe, cs) <- counts.toSeq.sortBy(_._1)
+      (c, i) <- cs.zipWithIndex
+      j <- 0 until c
+    } yield { id += 1; (id, (base + i) * Hour + j * 1000L, id, tpe, 1.0) }
+    writeEvents(dir, rows)
+  }
+
+  private def one(df: DataFrame): Row = {
+    val rows = df.collect()
+    assert(rows.length == 1, s"expected 1 row, got ${rows.toSeq}")
+    rows.head
+  }
+
+  // Hourly count series shared by the count-based tests (python: T1/T2).
+  private val T1 = Seq(5, 3, 8, 7, 7, 4, 9, 6, 6, 11)
+  private val T2 = Seq(2, 2, 4, 4, 6, 6, 8, 8, 10, 3)
+
+  // ---------------------------------------------------------- ranks
+
+  test("kruskal_wallis pins the textbook small-sample H: {1,2} vs {3,4} -> 2.4") {
+    val dir = tmp()
+    valueEvents(dir, Map("g1" -> Seq(1.0, 2.0), "g2" -> Seq(3.0, 4.0)))
+    // ranks 1,2 | 3,4; H = 12/(4*5) * (2*(1.5-2.5)^2 + 2*(3.5-2.5)^2) = 2.4.
+    // The uncentered form needs the -3(N+1) term this value guards:
+    // 12/(N(N+1))*sum(S_g^2/n_g) - 3(N+1) = 12/20*(4.5+24.5) - 15 = 2.4.
+    val r = one(StatQueries.kruskalWallis(spark, dir))
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("h") == 2.4)
+    assert(r.getAs[Double]("h_adj") == 2.4)
+  }
+
+  test("kruskal_wallis with a cross-group tie: midranks + tie correction") {
+    val dir = tmp()
+    valueEvents(dir, Map("g1" -> Seq(1.0, 2.0, 4.0),
+      "g2" -> Seq(3.0, 4.0, 6.0), "g3" -> Seq(5.0, 7.0)))
+    // golden_stats.py kruskal(KW1): midranks (the 4s share rank 4.5),
+    // H = 4.138888..., tie factor 1 - (2^3-2)/(8^3-8) -> h_adj = 4.188755.
+    val r = one(StatQueries.kruskalWallis(spark, dir))
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("h") == 4.138889)
+    assert(r.getAs[Double]("h_adj") == 4.188755)
+  }
+
+  test("events_mannwhitney pins the tie-corrected rank-sum z") {
+    val dir = tmp()
+    // uids 1,3,5,7,8 hash to arm A; 2,4,6,9,11 to arm B (arithHash seed 13).
+    val a = Seq(10.0, 12.0, 14.0, 16.0, 18.0).zip(Seq(1L, 3L, 5L, 7L, 8L))
+    val b = Seq(11.0, 14.0, 19.0, 23.0, 27.0).zip(Seq(2L, 4L, 6L, 9L, 11L))
+    writeEvents(dir, (a ++ b).zipWithIndex.map { case ((v, u), i) =>
+      ((i + 1).toLong, Hour + i, u, "m", v)
+    })
+    // golden_stats.py mann_whitney(AB_A, AB_B): midranks with the tied
+    // 14s, U_a = R_a - n_a(n_a+1)/2 = 21.5 - 15 = 6.5,
+    // z = (U_a - 12.5)/sigma_tie = -1.257175.
+    val r = one(OpsQueries.eventsMannWhitney(spark, dir))
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 5L)
+    assert(r.getAs[Double]("u_a") == 6.5)
+    assert(r.getAs[Double]("z") == -1.257175)
+  }
+
+  test("ab_ttest pins the textbook Welch t on a known hash split") {
+    val dir = tmp()
+    val a = Seq(10.0, 12.0, 14.0, 16.0, 18.0).zip(Seq(1L, 3L, 5L, 7L, 8L))
+    val b = Seq(11.0, 14.0, 19.0, 23.0, 27.0).zip(Seq(2L, 4L, 6L, 9L, 11L))
+    writeEvents(dir, (a ++ b).zipWithIndex.map { case ((v, u), i) =>
+      ((i + 1).toLong, Hour + i, u, "m", v)
+    })
+    // golden_stats.py welch_t: (18.8-14)/sqrt(10/5 + 42.2/5) = 1.485563.
+    val r = one(OpsQueries.abTtest(spark, dir))
+    assert(r.getAs[Double]("mean_a") == 14.0)
+    assert(r.getAs[Double]("mean_b") == 18.8)
+    assert(r.getAs[Double]("t_stat") == 1.485563)
+  }
+
+  test("events_spearman matches 1 - 6*sum(d^2)/(n(n^2-1)) when tie-free") {
+    val dir = tmp()
+    val vals = Seq(3.0, 1.0, 4.0, 10.0, 5.0, 9.0, 2.0, 6.0)
+    writeEvents(dir, vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, 3 * Day + (i + 1) * Hour, (i + 1).toLong, "s", v)
+    })
+    // golden_stats.py spearman_noties: rho = 0.380952 (tie-free, so the
+    // engine's min-rank convention coincides with textbook midranks).
+    val r = one(OpsQueries.eventsSpearman(spark, dir))
+    assert(r.getAs[Double]("spearman") == 0.380952)
+  }
+
+  test("events_kendall pins tau-b with ties on both series") {
+    val dir = tmp()
+    val view = Seq(3, 1, 4, 1, 5, 9, 2, 6)
+    val click = Seq(2, 7, 1, 8, 2, 8, 1, 8)
+    countEvents(dir, 200L, Map("view" -> view, "click" -> click))
+    // golden_stats.py kendall_tau_b(KA, KB): nc=13 nd=9, ties 1 and 5
+    // pairs -> tau_b = 4/sqrt(27*23) = 0.160514.
+    val r = one(StatQueries.eventsKendall(spark, dir))
+    assert(r.getAs[Long]("n_conc") == 13L && r.getAs[Long]("n_disc") == 9L)
+    assert(r.getAs[Long]("ties_a") == 1L && r.getAs[Long]("ties_b") == 5L)
+    assert(r.getAs[Double]("tau_b") == 0.160514)
+  }
+
+  // ------------------------------------------------------- k-sample
+
+  test("events_anova pins the textbook one-way F") {
+    val dir = tmp()
+    valueEvents(dir, Map("a" -> Seq(1.0, 2.0, 3.0, 4.0),
+      "b" -> Seq(2.0, 4.0, 6.0, 8.0, 10.0), "c" -> Seq(5.0, 5.0, 6.0, 8.0)))
+    // golden_stats.py anova(AOV): SSB = 33.923077, SSW = 51,
+    // F = (SSB/2)/(SSW/10) = 3.325792.
+    val r = one(StatQueries.eventsAnova(spark, dir))
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 13L)
+    assert(r.getAs[Double]("ss_between") == 33.923077)
+    assert(r.getAs[Double]("ss_within") == 51.0)
+    assert(r.getAs[Double]("f_stat") == 3.325792)
+  }
+
+  test("events_bartlett pins M, the C correction, and M/C") {
+    val dir = tmp()
+    valueEvents(dir, Map("a" -> Seq(1.0, 2.0, 3.0, 4.0),
+      "b" -> Seq(2.0, 4.0, 6.0, 8.0, 10.0), "c" -> Seq(5.0, 5.0, 6.0, 8.0)))
+    // golden_stats.py bartlett(AOV): s^2 = {5/3, 10, 2}, pooled 5.1,
+    // M = 10*ln(5.1) - (3 ln(5/3) + 4 ln10 + 3 ln2) = 3.470147,
+    // C = 1 + ((1/3+1/4+1/3) - 1/10)/6 = 1.136111, M/C = 3.054408.
+    val r = one(StatQueries.eventsBartlett(spark, dir))
+    assert(r.getAs[Double]("pooled_var") == 5.1)
+    assert(r.getAs[Double]("m_stat") == 3.470147)
+    assert(r.getAs[Double]("c_factor") == 1.136111)
+    assert(r.getAs[Double]("bartlett") == 3.054408)
+  }
+
+  test("levene_test pins the Brown-Forsythe W over hourly counts") {
+    val dir = tmp()
+    countEvents(dir, 100L, Map("t1" -> T1, "t2" -> T2))
+    // golden_stats.py levene_bf([T1, T2]): one-way F on |x - median_g|
+    // (medians 6.5 and 5.0) = 0.657895.
+    val r = one(StatQueries.leveneTest(spark, dir))
+    assert(r.getAs[Long]("k_groups") == 2L && r.getAs[Long]("n_total") == 20L)
+    assert(r.getAs[Double]("w_stat") == 0.657895)
+  }
+
+  test("mood_median pins the grand-median chi-square with median ties dropped") {
+    val dir = tmp()
+    countEvents(dir, 100L, Map("t1" -> T1, "t2" -> T2))
+    // golden_stats.py mood_median([T1, T2]): grand median 6, the four
+    // 6s drop, table [[5,3],[3,5]] -> chi2 = 4*(1^2/4) = 1.0 on 16 cells.
+    val r = one(StatQueries.moodMedian(spark, dir))
+    assert(r.getAs[Long]("k_groups") == 2L && r.getAs[Long]("n_used") == 16L)
+    assert(r.getAs[Double]("chi2") == 1.0)
+    assert(r.getAs[Long]("dof") == 1L)
+  }
+
+  test("events_friedman pins midrank rank-sums and Q on a 5x3 block grid") {
+    val dir = tmp()
+    var id = 0L
+    val fried = Map("A" -> Seq(1, 2, 3, 4, 5), "B" -> Seq(2, 1, 4, 3, 6),
+      "C" -> Seq(2, 3, 1, 5, 4))
+    val rows = for {
+      (tpe, cs) <- fried.toSeq.sortBy(_._1)
+      (c, d) <- cs.zipWithIndex
+      j <- 0 until c
+    } yield { id += 1; (id, d * Day + Hour + j * 1000L, id, tpe, 1.0) }
+    writeEvents(dir, rows)
+    // golden_stats.py friedman(FRIED): day-0 tie (A=1, B=C=2) gives
+    // midranks 1, 2.5, 2.5; rank sums 9, 10.5, 10.5,
+    // Q = 12*sum(R^2)/(5*3*4) - 3*5*4 = 0.3.
+    val out = StatQueries.eventsFriedman(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("rank_sum"), r.getAs[Double]("q_stat"))).toMap
+    assert(out("A") == (9.0, 0.3))
+    assert(out("B") == (10.5, 0.3))
+    assert(out("C") == (10.5, 0.3))
+  }
+
+  // ------------------------------------------------- series screens
+
+  private def seriesOut(df: DataFrame): Map[String, Row] =
+    df.collect().map(r => r.getAs[String]("event_type") -> r).toMap
+
+  test("grubbs_test pins max |x - mean|/s per type") {
+    val dir = tmp()
+    countEvents(dir, 100L, Map("t1" -> T1, "t2" -> T2))
+    // golden_stats.py grubbs: t1 mean 6.6, outlier 11 @h109, G=1.859339;
+    // t2 mean 5.3, outlier 10 @h108, G=1.70862.
+    val out = seriesOut(StatQueries.grubbsTest(spark, dir))
+    assert(out("t1").getAs[Long]("outlier_h") == 109L)
+    assert(out("t1").getAs[Long]("x_out") == 11L)
+    assert(out("t1").getAs[Double]("g_stat") == 1.859339)
+    assert(out("t2").getAs[Long]("outlier_h") == 108L)
+    assert(out("t2").getAs[Long]("x_out") == 10L)
+    assert(out("t2").getAs[Double]("g_stat") == 1.70862)
+  }
+
+  test("events_jarque_bera pins population skew/kurtosis and JB") {
+    val dir = tmp()
+    countEvents(dir, 100L, Map("t1" -> T1, "t2" -> T2))
+    // golden_stats.py jarque_bera: population moments m2/m3/m4,
+    // t1: skew 0.292715, excess kurtosis -0.510582, JB 0.251426;
+    // t2: 0.311963, -1.133485, 0.697529.
+    val out = seriesOut(StatQueries.eventsJarqueBera(spark, dir))
+    assert(out("t1").getAs[Double]("skewness") == 0.292715)
+    assert(out("t1").getAs[Double]("ex_kurtosis") == -0.510582)
+    assert(out("t1").getAs[Double]("jb") == 0.251426)
+    assert(out("t2").getAs[Double]("skewness") == 0.311963)
+    assert(out("t2").getAs[Double]("ex_kurtosis") == -1.133485)
+    assert(out("t2").getAs[Double]("jb") == 0.697529)
+  }
+
+  test("events_ljungbox pins full-mean ACF r_1 and the lag-6 Q") {
+    val dir = tmp()
+    countEvents(dir, 100L, Map("t1" -> T1, "t2" -> T2))
+    // golden_stats.py ljung_box: r_k = sum((x_t-xbar)(x_{t-k}-xbar))
+    // / sum((x-xbar)^2), Q = n(n+2) sum r_k^2/(n-k).
+    // t1: r1 = -0.189683, Q6 = 1.158511; t2: r1 = 0.403965, Q6 = 9.029843.
+    val rows = StatQueries.eventsLjungBox(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("lag")) -> r)
+      .toMap
+    assert(rows(("t1", 1L)).getAs[Double]("r") == -0.189683)
+    assert(rows(("t1", 6L)).getAs[Double]("q_stat") == 1.158511)
+    assert(rows(("t2", 1L)).getAs[Double]("r") == 0.403965)
+    assert(rows(("t2", 6L)).getAs[Double]("q_stat") == 9.029843)
+  }
+
+  test("events_mannkendall pins S, tie-corrected var, continuity-corrected z") {
+    val dir = tmp()
+    countEvents(dir, 100L, Map("t1" -> T1, "t2" -> T2))
+    // golden_stats.py mann_kendall: t1 (ties at 7 and 6): S=13,
+    // var = (10*9*25 - (2*1*9)*2)/18 = 123, z = 12/sqrt(123) = 1.082004;
+    // t2 (ties at 2,4,6,8): S=27, var=121, z = 26/11 = 2.363636.
+    val out = seriesOut(StatQueries.eventsMannKendall(spark, dir))
+    assert(out("t1").getAs[Long]("s_stat") == 13L)
+    assert(out("t1").getAs[Double]("var_s") == 123.0)
+    assert(out("t1").getAs[Double]("z") == 1.082004)
+    assert(out("t2").getAs[Long]("s_stat") == 27L)
+    assert(out("t2").getAs[Double]("var_s") == 121.0)
+    assert(out("t2").getAs[Double]("z") == 2.363636)
+  }
+
+  test("events_cvm pins the uniformity W2, tie-free and tied") {
+    val dir = tmp()
+    var id = 0L
+    val rows =
+      Seq(8640000000L, 17280000000L, 34560000000L, 60480000000L,
+        77760000000L).map { m => id += 1; (id, 2 * Day + m, id, "c", 1.0)
+      } ++ Seq(21600000000L, 21600000000L, 43200000000L, 64800000000L)
+        .map { m => id += 1; (id, 2 * Day + m, id, "d", 1.0) }
+    writeEvents(dir, rows)
+    // golden_stats.py cvm_uniform: W2 = 1/(12n) + sum(u_(i) - (2i-1)/2n)^2.
+    // c (no ties): 0.036667; d (tie at 0.25): 0.083333.
+    val out = seriesOut(StatQueries.eventsCvm(spark, dir))
+    assert(out("c").getAs[Double]("w2") == 0.036667)
+    assert(out("d").getAs[Double]("w2") == 0.083333)
+  }
+
+  // ----------------------------------------- proportions and trends
+
+  test("returns_ztest pins the pooled two-proportion z") {
+    import spark.implicits._
+    val dir = tmp()
+    // First shipdate half (days 0..5): 2 R of 6; second (9..14): 4 of 6.
+    val rows = (0 to 5).map(d =>
+      (d.toLong * Day, if (d < 2) "R" else "N")) ++
+      (9 to 14).map(d => (d.toLong * Day, if (d < 13) "R" else "N"))
+    rows.toDF("us", "l_returnflag")
+      .select(timestamp_micros(col("us")).as("l_shipdate"), col("l_returnflag"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // golden_stats.py two_prop_z(6,2,6,4): pooled p=0.5,
+    // z = (1/3 - 2/3)/sqrt(0.25*(1/3)) = -1.154701.
+    val r = one(StatQueries.returnsZtest(spark, dir))
+    assert(r.getAs[Double]("p1") == 0.333333)
+    assert(r.getAs[Double]("p2") == 0.666667)
+    assert(r.getAs[Double]("z") == -1.154701)
+  }
+
+  test("cochran_armitage pins the score-trend z") {
+    val dir = tmp()
+    var id = 0L
+    // scores = hour-of-day 0..3, 10 events each, successes 1/2/4/6.
+    val rows = for {
+      (x, h) <- Seq(1, 2, 4, 6).zipWithIndex
+      j <- 0 until 10
+    } yield {
+      id += 1
+      (id, h * Hour + j * 1000L, id, if (j < x) "purchase" else "view", 1.0)
+    }
+    writeEvents(dir, rows)
+    // golden_stats.py cochran_armitage(CA): z = (n*sr - r*sn)*sqrt(n)
+    // / sqrt(r(n-r)(n*s2n - sn^2)) = 2.566495 over n=40, r=13.
+    val r = one(StatQueries.cochranArmitage(spark, dir))
+    assert(r.getAs[Long]("n") == 40L && r.getAs[Long]("n_success") == 13L)
+    assert(r.getAs[Double]("z") == 2.566495)
+  }
+
+  test("events_cmh pins the Mantel-Haenszel pooled odds ratio") {
+    val dir = tmp()
+    var id = 0L
+    // uid 1 hashes exposed, uid 2 unexposed; strata = days 0..2 with
+    // 2x2 cells (a,b,c,d) = (3,5,2,6), (2,6,3,5), (4,4,1,7).
+    val cells = Seq((3, 5, 2, 6), (2, 6, 3, 5), (4, 4, 1, 7))
+    val rows = for {
+      ((a, b, c, d), day) <- cells.zipWithIndex
+      (n, uid, tpe) <- Seq((a, 1L, "purchase"), (b, 1L, "view"),
+        (c, 2L, "purchase"), (d, 2L, "view"))
+      j <- 0 until n
+    } yield { id += 1; (id, day * Day + id, uid, tpe, 1.0) }
+    writeEvents(dir, rows)
+    // golden_stats.py cmh(CMH): OR_MH = sum(ad/n)/sum(bc/n) = 1.75,
+    // crude OR = (9*18)/(15*6) = 1.8.
+    val r = one(StatQueries.eventsCmh(spark, dir))
+    assert(r.getAs[Long]("n_strata") == 3L)
+    assert(r.getAs[Double]("or_mh") == 1.75)
+    assert(r.getAs[Double]("or_crude") == 1.8)
+  }
+
+  test("logrank_test pins the two-arm hypergeometric O/E/V and z") {
+    val dir = tmp()
+    // (uid, first_day, last_day); uids 103/105/107/110 hash to arm B.
+    val users = Seq((101L, 0, 2), (102L, 0, 1), (103L, 0, 3), (104L, 1, 3),
+      (105L, 0, 9), (106L, 2, 9), (107L, 1, 2), (108L, 3, 5),
+      (109L, 0, 0), (110L, 4, 9))
+    var id = 0L
+    val rows = for {
+      (u, f, l) <- users
+      d <- Seq(f, l).distinct
+    } yield { id += 1; (id, d * Day + 1000L * u, u, "view", 1.0) }
+    writeEvents(dir, rows)
+    // golden_stats.py logrank(LR_USERS): deaths at k = 0,1,2,3 (the
+    // day-9 users censor), O1 = 5, E1 = 3.675397, V = 1.349395,
+    // z = 1.140293.
+    val r = one(StatQueries.logrankTest(spark, dir))
+    assert(r.getAs[Long]("n_death_days") == 4L)
+    assert(r.getAs[Long]("o1") == 5L)
+    assert(r.getAs[Double]("e1") == 3.675397)
+    assert(r.getAs[Double]("v") == 1.349395)
+    assert(r.getAs[Double]("z") == 1.140293)
+  }
+
+  // --------------------------------------------- agreement readouts
+
+  /** Docs with controlled rater bits: ra = n_chars >= 300,
+    * rb = mean word length >= 5.5 (word length 6 passes, 4 fails),
+    * rc = word count >= 60. */
+  private def writeRaterDocs(dir: String, pats: Seq[(Int, Int, Int)]): Unit = {
+    import spark.implicits._
+    val rows = pats.zipWithIndex.map { case ((ra, rb, rc), i) =>
+      val w = if (rc == 1) 60 else 10
+      val l = if (rb == 1) 6 else 4
+      val text = (("a" * l + " ") * w).trim
+      ((i + 1).toLong, text, "en", "web", if (ra == 1) 400L else 100L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private val RaterPats = Seq((1, 1, 1), (1, 1, 0), (1, 0, 1), (1, 0, 0),
+    (0, 1, 1), (0, 1, 0), (0, 0, 1), (0, 0, 0), (1, 1, 1))
+
+  test("fleiss_kappa pins the m-rater kappa on a controlled 0/1 grid") {
+    val dir = tmp()
+    writeRaterDocs(dir, RaterPats)
+    // golden_stats.py fleiss(RATERS): P_bar = 5/9, P_e = (15^2+12^2)/27^2
+    // = 0.506173, kappa = 0.1 exactly.
+    val r = one(StatQueries.fleissKappa(spark, dir))
+    assert(r.getAs[Long]("n_docs") == 9L && r.getAs[Long]("t_pos") == 15L)
+    assert(r.getAs[Double]("p_bar") == 0.555556)
+    assert(r.getAs[Double]("p_e") == 0.506173)
+    assert(r.getAs[Double]("kappa") == 0.1)
+  }
+
+  test("gwet_ac1 pins the paradox-resistant chance term") {
+    val dir = tmp()
+    writeRaterDocs(dir, RaterPats)
+    // golden_stats.py gwet_ac1(RATERS): pi = 15/27, Pe = 2*pi*(1-pi)
+    // = 0.493827, AC1 = 0.121951 (= 5/41).
+    val r = one(StatQueries.gwetAc1(spark, dir))
+    assert(r.getAs[Double]("p_a") == 0.555556)
+    assert(r.getAs[Double]("p_e_gamma") == 0.493827)
+    assert(r.getAs[Double]("ac1") == 0.121951)
+  }
+
+  test("annotator_alpha pins Cronbach's alpha population-variance form") {
+    val dir = tmp()
+    writeRaterDocs(dir, RaterPats)
+    // golden_stats.py cronbach(RATERS): sum item var = 0.740741,
+    // total-score var = 0.888889, alpha = (3/2)(1 - vs/vt) = 0.25.
+    val r = one(StatQueries.annotatorAlpha(spark, dir))
+    assert(r.getAs[Double]("var_items") == 0.740741)
+    assert(r.getAs[Double]("var_total") == 0.888889)
+    assert(r.getAs[Double]("alpha") == 0.25)
+  }
+
+  // ------------------------------------------------ latent branches
+
+  test("ab_sprt emits the null-decision row when the LLR never crosses") {
+    val dir = tmp()
+    // uid 2 hashes to arm B (walked); uid 1 to arm A (filtered out).
+    // Alternating conversions keep |LLR| <= 0.0953 << ln(19) = 2.944.
+    var id = 0L
+    val rows = (0 until 6).map { i =>
+      id += 1; (id, i * Hour, 2L, "m", if (i % 2 == 0) 100.0 else 10.0)
+    } ++ (0 until 3).map { i => id += 1; (id, i * Hour + 1, 1L, "m", 100.0) }
+    writeEvents(dir, rows)
+    val r = one(StatQueries.abSprt(spark, dir))
+    assert(r.isNullAt(r.fieldIndex("decision_n")))
+    assert(r.isNullAt(r.fieldIndex("decision")))
+    assert(r.getAs[Long]("n_total") == 6L)
+    // final LLR = round(3*ln(1.1) + 3*ln(0.9), 9) = -0.030151008.
+    assert(r.getAs[Double]("final_llr") == -0.030151008)
+  }
+
+  test("ab_sprt reports the first H1 crossing, not the final state") {
+    val dir = tmp()
+    // 35 straight conversions: t*ln(1.1) first clears ln(19) at t=31
+    // (30 -> 2.859305394 < 2.944438979 <= 31 -> 2.954615574).
+    writeEvents(dir, (0 until 35).map { i =>
+      ((i + 1).toLong, i * Hour, 2L, "m", 100.0)
+    })
+    val r = one(StatQueries.abSprt(spark, dir))
+    assert(r.getAs[String]("decision") == "accept_h1")
+    assert(r.getAs[Long]("decision_n") == 31L)
+    assert(r.getAs[Double]("llr_at_decision") == 2.954615574)
+    assert(r.getAs[Long]("n_total") == 35L)
+    assert(r.getAs[Double]("final_llr") == 3.335856293)
+  }
+
+  // -------------------------------------------------- tranche 2
+
+  test("drift_ks pins the inclusive two-sample sup-CDF gap") {
+    val dir = tmp()
+    // early half values 1..5 (hours 0..4), late 3..7 (hours 10..14);
+    // the epoch midpoint (7h) splits them 5/5.
+    var id = 0L
+    val rows = Seq(1.0, 2.0, 3.0, 4.0, 5.0).zipWithIndex.map { case (v, i) =>
+      id += 1; (id, i * Hour, id, "k", v)
+    } ++ Seq(3.0, 4.0, 5.0, 6.0, 7.0).zipWithIndex.map { case (v, i) =>
+      id += 1; (id, (10 + i) * Hour, id, "k", v)
+    }
+    writeEvents(dir, rows)
+    // golden_stats.py tranche2: sup|F_a - F_b| = 0.4 (at v = 2).
+    val r = one(OpsQueries.driftKs(spark, dir))
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 5L)
+    assert(r.getAs[Double]("ks") == 0.4)
+  }
+
+  test("drift_psi pins the Laplace-smoothed 10-bin PSI") {
+    val dir = tmp()
+    var id = 0L
+    val rows = Seq(1.0, 2.0, 3.0, 4.0, 5.0).zipWithIndex.map { case (v, i) =>
+      id += 1; (id, i * Hour, id, "k", v)
+    } ++ Seq(3.0, 4.0, 5.0, 6.0, 7.0).zipWithIndex.map { case (v, i) =>
+      id += 1; (id, (10 + i) * Hour, id, "k", v)
+    }
+    writeEvents(dir, rows)
+    // golden_stats.py tranche2: equal-width bins over [1,7], +0.5
+    // smoothing -> PSI = 0.439445.
+    val r = one(OpsQueries.driftPsi(spark, dir))
+    assert(r.getAs[Double]("psi") == 0.439445)
+  }
+
+  /** Hourly counts 1x9 then a 6-spike: z = (6-1.5)/1.5 = 3, all other
+    * cells z = -1/3; Lin-approximation p = 0.002753176 / 0.751847408. */
+  private def writeAnomaly(dir: String): Unit =
+    countEvents(dir, 50L, Map("t1" -> Seq(1, 1, 1, 1, 1, 1, 1, 1, 1, 6)))
+
+  test("anomaly_fdr keeps exactly the BH step-up rows") {
+    val dir = tmp()
+    writeAnomaly(dir)
+    // golden_stats.py tranche2: only rank 1 clears p <= i*0.1/10
+    // (0.002753176 <= 0.01; the flat cells are 0.75 >> 0.02).
+    val rows = StatQueries.anomalyFdr(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("event_type") == "t1")
+    assert(rows.head.getAs[Long]("hour_us") == 59L * Hour)
+    assert(rows.head.getAs[Double]("z") == 3.0)
+    assert(rows.head.getAs[Double]("p") == 0.002753176)
+    assert(rows.head.getAs[Long]("i") == 1L)
+  }
+
+  test("anomaly_holm stops at the first step-down failure") {
+    val dir = tmp()
+    writeAnomaly(dir)
+    // Holm: p_(1)*(m-1+1) = 0.0275 <= 0.1 rejects; p_(2)*9 = 6.77 stops.
+    val rows = StatQueries.anomalyHolm(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("hour_us") == 59L * Hour)
+    assert(rows.head.getAs[Double]("z") == 3.0)
+  }
+
+  test("ab_effect_size pins pooled-SD Cohen's d and Hedges' g") {
+    val dir = tmp()
+    val a = Seq(10.0, 12.0, 14.0, 16.0, 18.0).zip(Seq(1L, 3L, 5L, 7L, 8L))
+    val b = Seq(11.0, 14.0, 19.0, 23.0, 27.0).zip(Seq(2L, 4L, 6L, 9L, 11L))
+    writeEvents(dir, (a ++ b).zipWithIndex.map { case ((v, u), i) =>
+      ((i + 1).toLong, Hour + i, u, "m", v)
+    })
+    // golden_stats.py tranche2: sp = sqrt((40+168.8)/8), d = 4.8/sp =
+    // 0.939552, g = d*(1 - 3/31) = 0.848628.
+    val r = one(StatQueries.abEffectSize(spark, dir))
+    assert(r.getAs[Double]("mean_diff") == 4.8)
+    assert(r.getAs[Double]("cohens_d") == 0.939552)
+    assert(r.getAs[Double]("hedges_g") == 0.848628)
+  }
+
+  test("ab_power pins the z-sum minimum detectable effect") {
+    val dir = tmp()
+    val a = Seq(10.0, 12.0, 14.0, 16.0, 18.0).zip(Seq(1L, 3L, 5L, 7L, 8L))
+    val b = Seq(11.0, 14.0, 19.0, 23.0, 27.0).zip(Seq(2L, 4L, 6L, 9L, 11L))
+    writeEvents(dir, (a ++ b).zipWithIndex.map { case ((v, u), i) =>
+      ((i + 1).toLong, Hour + i, u, "m", v)
+    })
+    // golden_stats.py tranche2: se = sqrt(10/5 + 42.2/5),
+    // MDE_abs = 2.8015852*se = 9.052199, MDE_rel = MDE/14 = 0.646586.
+    val r = one(StatQueries.abPower(spark, dir))
+    assert(r.getAs[Double]("mean_a") == 14.0)
+    assert(r.getAs[Double]("mde_abs") == 9.052199)
+    assert(r.getAs[Double]("mde_rel") == 0.646586)
+  }
+
+  /** The logrank lifetime fixture (shared by the survival tests). */
+  private def writeLifetimes(dir: String): Unit = {
+    val users = Seq((101L, 0, 2), (102L, 0, 1), (103L, 0, 3), (104L, 1, 3),
+      (105L, 0, 9), (106L, 2, 9), (107L, 1, 2), (108L, 3, 5),
+      (109L, 0, 0), (110L, 4, 9))
+    var id = 0L
+    val rows = for {
+      (u, f, l) <- users
+      d <- Seq(f, l).distinct
+    } yield { id += 1; (id, d * Day + 1000L * u, u, "view", 1.0) }
+    writeEvents(dir, rows)
+  }
+
+  test("survival_km pins the product-limit curve on the life table") {
+    val dir = tmp()
+    writeLifetimes(dir)
+    // golden_stats.py tranche2: deaths (1,2,3,1) over at-risk
+    // (10,9,7,4) -> S = 0.9, 0.7, 0.4, 0.3.
+    val rows = StatQueries.survivalKm(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Double]("survival")).toMap
+    assert(rows == Map(0L -> 0.9, 1L -> 0.7, 2L -> 0.4, 3L -> 0.3))
+  }
+
+  test("survival_na pins the Nelson-Aalen cumulative hazard") {
+    val dir = tmp()
+    writeLifetimes(dir)
+    // golden_stats.py tranche2: H = 0.1, 0.322222, 0.750794, 1.000794.
+    val rows = StatQueries.survivalNa(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Double]("cum_hazard")).toMap
+    assert(rows == Map(0L -> 0.1, 1L -> 0.322222, 2L -> 0.750794,
+      3L -> 1.000794))
+  }
+
+  test("events_dispersion pins the index of dispersion and its chi2 form") {
+    val dir = tmp()
+    countEvents(dir, 100L, Map("t1" -> T1, "t2" -> T2))
+    // golden_stats.py tranche2: t1 var_pop/mean = 5.04/6.6 = 0.763636,
+    // chi2 = 9*D = 6.872727; t2 D = 6.81/5.3 = 1.284906, chi2 = 11.564151.
+    val out = seriesOut(StatQueries.eventsDispersion(spark, dir))
+    assert(out("t1").getAs[Double]("dispersion") == 0.763636)
+    assert(out("t1").getAs[Double]("chi2") == 6.872727)
+    assert(out("t2").getAs[Double]("dispersion") == 1.284906)
+    assert(out("t2").getAs[Double]("chi2") == 11.564151)
+  }
+
+  test("events_entropy_rate pins the Markov chain entropy") {
+    val dir = tmp()
+    // One user, chain A,A,B,A,B,B: from-A counts {AA:1, AB:2},
+    // from-B {BA:1, BB:1}.
+    writeEvents(dir, Seq("A", "A", "B", "A", "B", "B").zipWithIndex.map {
+      case (t, i) => ((i + 1).toLong, i * Hour, 1L, t, 1.0)
+    })
+    // golden_stats.py tranche2: H = -(1/5)(ln(1/3) + 2 ln(2/3)
+    // + 2 ln(1/2)) = 0.659167; ceiling ln 2 = 0.693147. (efficiency
+    // sits 4e-10 from a 6dp boundary - not asserted.)
+    val r = one(StatQueries.eventsEntropyRate(spark, dir))
+    assert(r.getAs[Long]("n_transitions") == 5L)
+    assert(r.getAs[Long]("n_states") == 2L)
+    assert(r.getAs[Double]("entropy_rate") == 0.659167)
+    assert(r.getAs[Double]("max_entropy") == 0.693147)
+  }
+
+  test("revenue_gini pins the exact rank-weighted Gini") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("o_custkey", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // golden_stats.py tranche2: x = 100,200,300,400 cents:
+    // G = (2*3000 - 5*1000)/(4*1000) = 0.25.
+    val r = one(StatQueries.revenueGini(spark, dir))
+    assert(r.getAs[Long]("n_customers") == 4L)
+    assert(r.getAs[Long]("total_cents") == 1000L)
+    assert(r.getAs[Double]("gini") == 0.25)
+  }
+
+  test("events_burstiness pins the Goh-Barabasi B over known gaps") {
+    val dir = tmp()
+    // Gaps 10s, 20s, 30s: mean 2e7, sd_pop = sqrt(2/3)*1e7.
+    writeEvents(dir, Seq(0L, 10000000L, 30000000L, 60000000L).zipWithIndex
+      .map { case (us, i) => ((i + 1).toLong, us, 1L, "g", 1.0) })
+    // golden_stats.py tranche2: B = (sd - mean)/(sd + mean) = -0.420204.
+    val r = one(StatQueries.eventsBurstiness(spark, dir))
+    assert(r.getAs[Long]("n_gaps") == 3L)
+    assert(r.getAs[Double]("mean_gap_us") == 2.0e7)
+    assert(r.getAs[Double]("sd_gap_us") == 8164965.809277)
+    assert(r.getAs[Double]("burstiness") == -0.420204)
+  }
+
+  test("corpus_gtest pins the likelihood-ratio G on a 2x2 grid") {
+    import spark.implicits._
+    val dir = tmp()
+    val rows = Seq.fill(4)(("en", "s1")) ++ Seq(("en", "s2")) ++
+      Seq(("de", "s1")) ++ Seq.fill(4)(("de", "s2"))
+    rows.zipWithIndex.map { case ((l, s), i) => ((i + 1).toLong, l, s) }
+      .toDF("doc_id", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche2: G = 2(8 ln 1.6 + 2 ln 0.4) = 3.854895.
+    val r = one(StatQueries.corpusGtest(spark, dir))
+    assert(r.getAs[Double]("g_stat") == 3.854895)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Long]("n_docs") == 10L)
+  }
+
+  test("mcnemar_gates pins the Edwards-corrected discordant chi2 and its null") {
+    import spark.implicits._
+    val dir = tmp()
+    // ga = n_chars >= 250; gb = >= 40 [a-z]+ tokens (w words of "aaaa").
+    def doc(i: Int, nc: Long, w: Int) = (i.toLong, ("aaaa " * w).trim, nc)
+    val rows = Seq(doc(1, 400L, 50), doc(2, 400L, 50),   // both
+      doc(3, 400L, 10), doc(4, 400L, 10), doc(5, 400L, 10), // only_len
+      doc(6, 100L, 50),                                   // only_tok
+      doc(7, 100L, 10))                                   // neither
+    rows.toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche2: chi2 = (|3-1|-1)^2/(3+1) = 0.25.
+    val r = one(StatQueries.mcnemarGates(spark, dir))
+    assert(r.getAs[Long]("only_len") == 3L && r.getAs[Long]("only_tok") == 1L)
+    assert(r.getAs[Double]("chi2") == 0.25)
+    // Null branch: gates never disagree -> chi2 IS NULL.
+    val dir2 = tmp()
+    Seq(doc(1, 400L, 50), doc(2, 100L, 10)).toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val r2 = one(StatQueries.mcnemarGates(spark, dir2))
+    assert(r2.isNullAt(r2.fieldIndex("chi2")))
+  }
+
+  test("cramers_v pins chi-square and V on a 2x2 type-by-dow grid") {
+    val dir = tmp()
+    var id = 0L
+    // day 0 = dow 4, day 1 = dow 5; X: 8/2, Y: 2/8.
+    val rows = for {
+      (tpe, d, n) <- Seq(("X", 0, 8), ("X", 1, 2), ("Y", 0, 2), ("Y", 1, 8))
+      j <- 0 until n
+    } yield { id += 1; (id, d * Day + id, id, tpe, 1.0) }
+    writeEvents(dir, rows)
+    // golden_stats.py tranche2: uniform margins e = 5, chi2 = 4*(9/5)
+    // = 7.2, V = sqrt(7.2/20) = 0.6.
+    val r = one(StatQueries.cramersV(spark, dir))
+    assert(r.getAs[Long]("n") == 20L && r.getAs[Long]("n_cells") == 4L)
+    assert(r.getAs[Double]("chi2") == 7.2)
+    assert(r.getAs[Double]("v") == 0.6)
+  }
+
+  test("ab_cuped pins theta, rho2, and the adjusted means") {
+    val dir = tmp()
+    // Per-user (pre, post): uid1 A (10,20), uid3 A (20,30),
+    // uid2 B (10,25), uid4 B (30,45); midpoint cut splits the periods.
+    var id = 0L
+    val rows = for {
+      (u, x, y) <- Seq((1L, 10.0, 20.0), (3L, 20.0, 30.0),
+        (2L, 10.0, 25.0), (4L, 30.0, 45.0))
+      (ts, v) <- Seq((id * 2 + 1, x), (10 * Hour + id * 2 + 1, y))
+    } yield { id += 1; (id, ts, u, "m", v) }
+    writeEvents(dir, rows)
+    // golden_stats.py tranche2: theta = 1200/1100 = 1.090909,
+    // rho2 = 0.935065; adj_a = 25 + theta*2.5 = 27.727273,
+    // adj_b = 35 - theta*2.5 = 32.272727.
+    val out = StatQueries.abCuped(spark, dir).collect()
+      .map(r => r.getAs[String]("arm") -> r).toMap
+    assert(out("a").getAs[Double]("theta") == 1.090909)
+    assert(out("a").getAs[Double]("rho2") == 0.935065)
+    assert(out("a").getAs[Double]("mean_post") == 25.0)
+    assert(out("a").getAs[Double]("mean_post_adj") == 27.727273)
+    assert(out("b").getAs[Double]("mean_post") == 35.0)
+    assert(out("b").getAs[Double]("mean_post_adj") == 32.272727)
+  }
+
+  test("encoding_advisor excludes NULLs from the dictionary and clamps losses") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq.fill(10)(Tuple1("SEGMENT1")).toDF("c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, null))
+      .toDF("doc_id", "lang").withColumn("source", lit("s1"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq("R", "N", "N").toDF("l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq("1-URGENT", "2-HIGH").toDF("o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = StatQueries.encodingAdvisor(spark, dir).collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")) -> r)
+      .toMap
+    // NULL lang is not a dictionary slot: ndv = 2, raw_bytes skips the
+    // null (6), dict loses (4 entries + 4 codes = 8 > 6) -> clamped 0 bp.
+    val lang = rows(("documents", "lang"))
+    assert(lang.getAs[Long]("n") == 4L)
+    assert(lang.getAs[Long]("ndv") == 2L)
+    assert(lang.getAs[Long]("raw_bytes") == 6L)
+    assert(lang.getAs[Long]("dict_bytes") == 8L)
+    assert(lang.getAs[Long]("savings_bp") == 0L)
+    // A winning dictionary: 10x "SEGMENT1" = 80 raw vs 8 + 10 codes,
+    // savings = 62*10000 div 80 = 7750 bp.
+    val seg = rows(("customer", "c_mktsegment"))
+    assert(seg.getAs[Long]("ndv") == 1L)
+    assert(seg.getAs[Long]("dict_bytes") == 18L)
+    assert(seg.getAs[Long]("savings_bp") == 7750L)
+  }
+}

@@ -1,0 +1,704 @@
+#!/usr/bin/env python3
+"""Golden-value generator for graft.queries.EdgeBranchSpec.
+
+Computes ~22 classical statistics from TEXTBOOK formulas (pure python,
+no numpy/scipy) over the tiny literal fixtures the spec writes as
+parquet. The constants printed here are hard-coded in EdgeBranchSpec —
+an INDEPENDENT derivation, so a shared Spark/DuckDB formula error
+(like round 11's Kruskal-Wallis -3(N+1) double subtraction) fails the
+suite even when the mirrored-expression oracle is hash-green.
+
+Run: python3 tools/golden_stats.py
+"""
+import math
+
+HOUR = 3_600_000_000
+DAY = 86_400_000_000
+
+
+def r6(x):
+    # round-half-even like Spark/DuckDB round() on doubles at 6dp is
+    # actually half-up for positives in Spark; values are checked to be
+    # far from boundaries below, so either convention agrees.
+    return round(x, 6)
+
+
+def check_far(name, x, dp=6):
+    """Warn when a raw value sits near a rounding boundary."""
+    scaled = x * 10 ** dp
+    frac = abs(scaled - round(scaled))
+    if abs(frac - 0.5) < 1e-3:
+        print(f"  !! {name}: {x!r} is near a {dp}dp boundary")
+
+
+def avg_ranks(values):
+    """Average (midrank) ranks, 1-based, for a list with ties."""
+    s = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and values[s[j + 1]] == values[s[i]]:
+            j += 1
+        r = (i + 1 + j + 1) / 2.0
+        for k in range(i, j + 1):
+            ranks[s[k]] = r
+        i = j + 1
+    return ranks
+
+
+def mean(xs):
+    return sum(xs) / len(xs)
+
+
+def var_samp(xs):
+    m = mean(xs)
+    return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+
+def median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return (s[(n - 1) // 2] + s[n // 2]) / 2.0
+
+
+def arm_is_zero(uid):
+    """Replicates graft's arithHash A/B split: arm 0 (A) iff
+    ((uid % 1e6) * 2654435761 + 13) % 1e6 < 5e5."""
+    return ((uid % 1_000_000) * 2654435761 + 13) % 1_000_000 < 500_000
+
+
+# ---------------------------------------------------------------- KW
+def kruskal(groups):
+    """Textbook Kruskal-Wallis: H = 12/(N(N+1)) * sum n_g (rbar - (N+1)/2)^2
+    with midranks; tie correction divides by 1 - sum(t^3-t)/(N^3-N)."""
+    flat = [v for g in groups for v in g]
+    n = len(flat)
+    ranks = avg_ranks(flat)
+    h = 0.0
+    i = 0
+    for g in groups:
+        rg = ranks[i:i + len(g)]
+        i += len(g)
+        h += len(g) * (mean(rg) - (n + 1) / 2.0) ** 2
+    h *= 12.0 / (n * (n + 1))
+    from collections import Counter
+    ties = Counter(flat)
+    cf = 1.0 - sum(t ** 3 - t for t in ties.values()) / float(n ** 3 - n)
+    return h, h / cf
+
+
+KW0 = [[1.0, 2.0], [3.0, 4.0]]
+KW1 = [[1.0, 2.0, 4.0], [3.0, 4.0, 6.0], [5.0, 7.0]]
+
+# ------------------------------------------------------------- ANOVA
+AOV = [[1.0, 2.0, 3.0, 4.0], [2.0, 4.0, 6.0, 8.0, 10.0], [5.0, 5.0, 6.0, 8.0]]
+
+
+def anova(groups):
+    flat = [v for g in groups for v in g]
+    gm = mean(flat)
+    ssb = sum(len(g) * (mean(g) - gm) ** 2 for g in groups)
+    ssw = sum((v - mean(g)) ** 2 for g in groups for v in g)
+    k, n = len(groups), len(flat)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return ssb, ssw, f
+
+
+def bartlett(groups):
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    s2 = [var_samp(g) for g in groups]
+    sp2 = sum((len(g) - 1) * s2i for g, s2i in zip(groups, s2)) / (n - k)
+    m = (n - k) * math.log(sp2) - sum(
+        (len(g) - 1) * math.log(s2i) for g, s2i in zip(groups, s2))
+    c = 1.0 + (sum(1.0 / (len(g) - 1) for g in groups) - 1.0 / (n - k)) \
+        / (3.0 * (k - 1))
+    return sp2, m, c, m / c
+
+
+# ------------------------------------------------- hourly count series
+T1 = [5, 3, 8, 7, 7, 4, 9, 6, 6, 11]   # type t1, hours 100..109
+T2 = [2, 2, 4, 4, 6, 6, 8, 8, 10, 3]   # type t2, hours 100..109
+
+
+def grubbs(xs):
+    m, s = mean(xs), math.sqrt(var_samp(xs))
+    d = [abs(x - m) for x in xs]
+    g = max(d) / s
+    idx = d.index(max(d))  # first max = earliest hour (engine tie-break)
+    return idx, xs[idx], g
+
+
+def jarque_bera(xs):
+    n, m = len(xs), mean(xs)
+    m2 = sum((x - m) ** 2 for x in xs) / n
+    m3 = sum((x - m) ** 3 for x in xs) / n
+    m4 = sum((x - m) ** 4 for x in xs) / n
+    sk = m3 / m2 ** 1.5
+    ku = m4 / m2 ** 2 - 3.0
+    jb = n / 6.0 * (sk ** 2 + ku ** 2 / 4.0)
+    return sk, ku, jb
+
+
+def ljung_box(xs, maxlag=6):
+    n, m = len(xs), mean(xs)
+    den = sum((x - m) ** 2 for x in xs)
+    out = []
+    q = 0.0
+    for k in range(1, maxlag + 1):
+        num = sum((xs[t] - m) * (xs[t - k] - m) for t in range(k, n))
+        r = num / den
+        q += r * r / (n - k)
+        out.append((k, r, n * (n + 2) * q))
+    return out
+
+
+def mann_kendall(xs):
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n) for j in range(i + 1, n))
+    from collections import Counter
+    ties = Counter(xs)
+    var = (n * (n - 1) * (2 * n + 5)
+           - sum(t * (t - 1) * (2 * t + 5) for t in ties.values())) / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    return s, var, z
+
+
+def levene_bf(groups):
+    """Brown-Forsythe: one-way F over |x - median_g|."""
+    z = [[abs(x - median(g)) for x in g] for g in groups]
+    return anova(z)[2]
+
+
+def mood_median(groups):
+    flat = [v for g in groups for v in g]
+    gm = median(flat)
+    cells = [(sum(1 for x in g if x > gm), sum(1 for x in g if x < gm))
+             for g in groups]
+    ta = sum(a for a, _ in cells)
+    tb = sum(b for _, b in cells)
+    n = ta + tb
+    chi2 = 0.0
+    for a, b in cells:
+        ea = (a + b) * ta / n
+        eb = (a + b) * tb / n
+        if ea > 0:
+            chi2 += (a - ea) ** 2 / ea
+        if eb > 0:
+            chi2 += (b - eb) ** 2 / eb
+    return n, chi2
+
+
+# --------------------------------------------------------- Friedman
+FRIED = {  # counts[type][day], days 0..4
+    "A": [1, 2, 3, 4, 5],
+    "B": [2, 1, 4, 3, 6],
+    "C": [2, 3, 1, 5, 4],
+}
+
+
+def friedman(matrix):
+    types = sorted(matrix)
+    ndays = len(next(iter(matrix.values())))
+    rank_sums = {t: 0.0 for t in types}
+    for d in range(ndays):
+        vals = [matrix[t][d] for t in types]
+        rk = avg_ranks(vals)
+        for t, r in zip(types, rk):
+            rank_sums[t] += r
+    k, nb = len(types), ndays
+    sq = sum(r ** 2 for r in rank_sums.values())
+    q = 12.0 * sq / (nb * k * (k + 1)) - 3.0 * nb * (k + 1)
+    return rank_sums, q
+
+
+# ----------------------------------------------------- Kendall tau-b
+KA = [3, 1, 4, 1, 5, 9, 2, 6]   # view counts, hours 200..207
+KB = [2, 7, 1, 8, 2, 8, 1, 8]   # click counts
+
+
+def kendall_tau_b(a, b):
+    n = len(a)
+    nc = nd = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (a[j] - a[i]) * (b[j] - b[i])
+            if s > 0:
+                nc += 1
+            elif s < 0:
+                nd += 1
+    n0 = n * (n - 1) // 2
+    from collections import Counter
+    n1 = sum(c * (c - 1) // 2 for c in Counter(a).values())
+    n2 = sum(c * (c - 1) // 2 for c in Counter(b).values())
+    tau = (nc - nd) / math.sqrt((n0 - n1) * (n0 - n2))
+    return nc, nd, n1, n2, tau
+
+
+# -------------------------------------------------------- Spearman
+SP_TOD = [1, 2, 3, 4, 5, 6, 7, 8]          # tod hour (ascending)
+SP_VAL = [3.0, 1.0, 4.0, 10.0, 5.0, 9.0, 2.0, 6.0]
+
+
+def spearman_noties(tod, val):
+    n = len(val)
+    rv = avg_ranks(val)
+    rt = avg_ranks(tod)
+    d2 = sum((a - b) ** 2 for a, b in zip(rv, rt))
+    return 1.0 - 6.0 * d2 / (n * (n * n - 1))
+
+
+# ------------------------------------------------------------- CvM
+CVM_C = [8640000000, 17280000000, 34560000000, 60480000000, 77760000000]
+CVM_D = [21600000000, 21600000000, 43200000000, 64800000000]  # tie
+
+
+def cvm_uniform(micros):
+    u = sorted(m / 86400000000 for m in micros)
+    n = len(u)
+    return 1.0 / (12 * n) + sum(
+        (ui - (2 * (i + 1) - 1) / (2.0 * n)) ** 2 for i, ui in enumerate(u))
+
+
+# ------------------------------------------------ Welch t / MW per arm
+AB_A = [10.0, 12.0, 14.0, 16.0, 18.0]   # arm A (variant 0) values
+AB_B = [11.0, 14.0, 19.0, 23.0, 27.0]   # arm B values (14 ties with A)
+
+
+def welch_t(a, b):
+    return (mean(b) - mean(a)) / math.sqrt(
+        var_samp(a) / len(a) + var_samp(b) / len(b))
+
+
+def mann_whitney(a, b):
+    flat = a + b
+    ranks = avg_ranks(flat)
+    ra = sum(ranks[:len(a)])
+    na, nb = len(a), len(b)
+    n = na + nb
+    ua = ra - na * (na + 1) / 2.0
+    from collections import Counter
+    tie3 = sum(t ** 3 - t for t in Counter(flat).values())
+    sigma = math.sqrt(na * nb / 12.0 * ((n + 1) - tie3 / (n * (n - 1))))
+    z = (ua - na * nb / 2.0) / sigma
+    return ua, z
+
+
+# --------------------------------------------------- two-proportion z
+ZT_N1, ZT_X1 = 6, 2   # first shipdate half: 2 R of 6
+ZT_N2, ZT_X2 = 6, 4
+
+
+def two_prop_z(n1, x1, n2, x2):
+    p1, p2 = x1 / n1, x2 / n2
+    pp = (x1 + x2) / (n1 + n2)
+    return p1, p2, (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+
+
+# ------------------------------------------------- Cochran-Armitage
+CA = [(0, 10, 1), (1, 10, 2), (2, 10, 4), (3, 10, 6)]  # (score, n, successes)
+
+
+def cochran_armitage(cells):
+    rows = [(s, y) for s, n, x in cells for y in
+            [1] * x + [0] * (n - x)]
+    n = len(rows)
+    rr = sum(y for _, y in rows)
+    sn = sum(s for s, _ in rows)
+    sr = sum(s * y for s, y in rows)
+    s2n = sum(s * s for s, _ in rows)
+    num = n * sr - rr * sn
+    z = num * math.sqrt(n) / math.sqrt(rr * (n - rr) * (n * s2n - sn * sn))
+    return n, rr, z
+
+
+# ------------------------------------------------------------- CMH
+CMH = [(3, 5, 2, 6), (2, 6, 3, 5), (4, 4, 1, 7)]   # (a,b,c,d) per day
+
+
+def cmh(cells):
+    num = sum(a * d / (a + b + c + d) for a, b, c, d in cells)
+    den = sum(b * c / (a + b + c + d) for a, b, c, d in cells)
+    ta = sum(a for a, _, _, _ in cells)
+    tb = sum(b for _, b, _, _ in cells)
+    tc = sum(c for _, _, c, _ in cells)
+    td = sum(d for _, _, _, d in cells)
+    return num / den, ta * td / (tb * tc)
+
+
+# --------------------------------------------------------- log-rank
+# (uid, first_day, last_day); engine: k = last-first days, censored iff
+# last_us >= h_end - DAY with h_end = max ts over ALL events.
+LR_USERS = [
+    (101, 0, 2), (102, 0, 1), (103, 0, 3), (104, 1, 3),
+    (105, 0, 9), (106, 2, 9), (107, 1, 2), (108, 3, 5),
+    (109, 0, 0), (110, 4, 9),
+]
+
+
+def logrank(users):
+    # replicate the engine's lifetime derivation exactly (ts = day*DAY
+    # + 1000*uid), then the TEXTBOOK hypergeometric E/V sums.
+    evs = [(d * DAY + 1000 * u) for u, f, l in users for d in (f, l)]
+    h_end = max(evs)
+    life = []
+    for u, f, l in users:
+        first, last = f * DAY + 1000 * u, l * DAY + 1000 * u
+        k = (last - first) // DAY
+        censored = last >= h_end - DAY
+        life.append((u, k, censored, 0 if arm_is_zero(u) else 1))
+    death_days = sorted({k for _, k, c, _ in life if not c})
+    o1 = e1 = v = 0.0
+    for dk in death_days:
+        at = [(u, k, c, a) for u, k, c, a in life if k >= dk]
+        n = len(at)
+        n1 = sum(1 for _, _, _, a in at if a == 0)
+        d = sum(1 for _, k, c, _ in at if k == dk and not c)
+        d1 = sum(1 for _, k, c, a in at if k == dk and not c and a == 0)
+        o1 += d1
+        e1 += d * n1 / n
+        if n > 1:
+            v += d * n1 * (n - n1) * (n - d) / (n * n * (n - 1))
+    z = (o1 - e1) / math.sqrt(v)
+    return len(death_days), o1, e1, v, z, life
+
+
+# ------------------------------------- raters: fleiss / AC1 / alpha
+# (ra, rb, rc) per doc — the spec controls them via n_chars / texts.
+RATERS = [
+    (1, 1, 1), (1, 1, 0), (1, 0, 1), (1, 0, 0),
+    (0, 1, 1), (0, 1, 0), (0, 0, 1), (0, 0, 0), (1, 1, 1),
+]
+
+
+def fleiss(rows):
+    n, m = len(rows), 3
+    t1 = sum(sum(r) for r in rows)
+    t0 = n * m - t1
+    p1, p0 = t1 / (n * m), t0 / (n * m)
+    pbar = sum(
+        (sum(r) ** 2 + (m - sum(r)) ** 2 - m) / (m * (m - 1.0)) for r in rows) / n
+    pe = p1 ** 2 + p0 ** 2
+    return pbar, pe, (pbar - pe) / (1 - pe)
+
+
+def gwet_ac1(rows):
+    n, m = len(rows), 3
+    t1 = sum(sum(r) for r in rows)
+    pa = sum(
+        (sum(r) ** 2 + (m - sum(r)) ** 2 - m) / (m * (m - 1.0)) for r in rows) / n
+    pi = t1 / (n * m)
+    pe = 2 * pi * (1 - pi)
+    return pa, pe, (pa - pe) / (1 - pe)
+
+
+def cronbach(rows):
+    n, k = len(rows), 3
+    items = [[r[i] for r in rows] for i in range(k)]
+    tot = [sum(r) for r in rows]
+
+    def vpop(xs):
+        m = mean(xs)
+        return sum((x - m) ** 2 for x in xs) / len(xs)
+
+    vs = sum(vpop(it) for it in items)
+    vt = vpop(tot)
+    return vs, vt, k / (k - 1.0) * (1 - vs / vt)
+
+
+def main():
+    print("== arm assignment (arithHash seed 13) for uids 1..30 ==")
+    arms = {u: ("A" if arm_is_zero(u) else "B") for u in range(1, 31)}
+    print("  A:", [u for u, a in arms.items() if a == "A"])
+    print("  B:", [u for u, a in arms.items() if a == "B"])
+    for u, _, _ in LR_USERS:
+        pass
+    print("  logrank uids:",
+          {u: ("A" if arm_is_zero(u) else "B") for u, _, _ in LR_USERS})
+
+    h0, ha0 = kruskal(KW0)
+    print(f"\nkw0: h={r6(h0)} h_adj={r6(ha0)}  raw={h0!r}")
+    h1, ha1 = kruskal(KW1)
+    print(f"kw1: h={r6(h1)} h_adj={r6(ha1)}  raw=({h1!r},{ha1!r})")
+    check_far("kw1.h", h1); check_far("kw1.h_adj", ha1)
+
+    ssb, ssw, f = anova(AOV)
+    print(f"\naov: ss_between={r6(ssb)} ss_within={r6(ssw)} f={r6(f)}  rawf={f!r}")
+    check_far("aov.f", f)
+    sp2, m, c, b = bartlett(AOV)
+    print(f"bartlett: pooled_var={r6(sp2)} m={r6(m)} c={r6(c)} stat={r6(b)}  "
+          f"raw=({m!r},{b!r})")
+    check_far("bartlett.m", m); check_far("bartlett.stat", b)
+
+    for name, xs in (("t1", T1), ("t2", T2)):
+        i, xo, g = grubbs(xs)
+        print(f"\ngrubbs[{name}]: outlier_h={100+i} x_out={xo} g={r6(g)}  raw={g!r}")
+        check_far(f"grubbs.{name}", g)
+        sk, ku, jb = jarque_bera(xs)
+        print(f"jb[{name}]: skew={r6(sk)} exkurt={r6(ku)} jb={r6(jb)}  raw={jb!r}")
+        check_far(f"jb.{name}", jb)
+        lb = ljung_box(xs)
+        print(f"ljungbox[{name}]: r1={r6(lb[0][1])} q6={r6(lb[5][2])}  "
+              f"raw=({lb[0][1]!r},{lb[5][2]!r})")
+        check_far(f"lb.{name}.q6", lb[5][2])
+        s, var, z = mann_kendall(xs)
+        print(f"mannkendall[{name}]: s={s} var_s={r6(var)} z={r6(z)}  raw={z!r}")
+        check_far(f"mk.{name}.z", z)
+
+    print(f"\nlevene w={r6(levene_bf([T1, T2]))}  raw={levene_bf([T1, T2])!r}")
+    check_far("levene", levene_bf([T1, T2]))
+    nu, chi2 = mood_median([T1, T2])
+    print(f"mood: n_used={nu} chi2={r6(chi2)}  raw={chi2!r}")
+    check_far("mood", chi2)
+
+    rs, q = friedman(FRIED)
+    print(f"\nfriedman: rank_sums={ {t: r for t, r in rs.items()} } q={r6(q)}  raw={q!r}")
+    check_far("friedman.q", q)
+
+    nc, nd, n1, n2, tau = kendall_tau_b(KA, KB)
+    print(f"\nkendall: nc={nc} nd={nd} ties_a={n1} ties_b={n2} tau_b={r6(tau)}  raw={tau!r}")
+    check_far("kendall", tau)
+
+    rho = spearman_noties(SP_TOD, SP_VAL)
+    print(f"spearman: rho={r6(rho)}  raw={rho!r}")
+    check_far("spearman", rho)
+
+    print(f"\ncvm c: w2={r6(cvm_uniform(CVM_C))}  raw={cvm_uniform(CVM_C)!r}")
+    print(f"cvm d: w2={r6(cvm_uniform(CVM_D))}  raw={cvm_uniform(CVM_D)!r}")
+    check_far("cvm.c", cvm_uniform(CVM_C)); check_far("cvm.d", cvm_uniform(CVM_D))
+
+    t = welch_t(AB_A, AB_B)
+    print(f"\nwelch: mean_a={r6(mean(AB_A))} mean_b={r6(mean(AB_B))} t={r6(t)}  raw={t!r}")
+    check_far("welch", t)
+    ua, z = mann_whitney(AB_A, AB_B)
+    print(f"mannwhitney: u_a={ua} z={r6(z)}  raw={z!r}")
+    check_far("mw.z", z)
+
+    p1, p2, z = two_prop_z(ZT_N1, ZT_X1, ZT_N2, ZT_X2)
+    print(f"\nzprop: p1={r6(p1)} p2={r6(p2)} z={r6(z)}  raw={z!r}")
+    check_far("zprop", z)
+
+    n, rr, z = cochran_armitage(CA)
+    print(f"ca: n={n} succ={rr} z={r6(z)}  raw={z!r}")
+    check_far("ca", z)
+
+    orm, orc = cmh(CMH)
+    print(f"cmh: or_mh={r6(orm)} or_crude={r6(orc)}  raw=({orm!r},{orc!r})")
+    check_far("cmh.mh", orm); check_far("cmh.crude", orc)
+
+    ndd, o1, e1, v, z, life = logrank(LR_USERS)
+    print(f"\nlogrank: n_death_days={ndd} o1={o1} e1={r6(e1)} v={r6(v)} z={r6(z)}")
+    print(f"  raw=({e1!r},{v!r},{z!r})  life={life}")
+    check_far("logrank.e1", e1); check_far("logrank.v", v); check_far("logrank.z", z)
+
+    pb, pe, kap = fleiss(RATERS)
+    print(f"\nfleiss: p_bar={r6(pb)} p_e={r6(pe)} kappa={r6(kap)}  raw={kap!r}")
+    check_far("fleiss", kap)
+    pa, peg, ac1 = gwet_ac1(RATERS)
+    print(f"gwet: p_a={r6(pa)} p_e={r6(peg)} ac1={r6(ac1)}  raw={ac1!r}")
+    check_far("gwet", ac1)
+    vs, vt, al = cronbach(RATERS)
+    print(f"alpha: var_items={r6(vs)} var_total={r6(vt)} alpha={r6(al)}  raw={al!r}")
+    check_far("alpha", al)
+
+    # SPRT: ln(1.1), ln(0.9) walk; boundaries +-ln(19), 9dp rounding.
+    hi = round(math.log(19), 9)
+    l1, l0 = math.log(1.1), math.log(0.9)
+    print(f"\nsprt: hi={hi!r} ln1.1={l1!r} ln0.9={l0!r}")
+    for t in (30, 31):
+        print(f"  t={t}: llr={round(t * l1, 9)!r} crosses={round(t * l1, 9) >= hi}")
+    # alternating walk of 6: x=1,0,1,0,1,0
+    llr = round(3 * l1 + 3 * l0, 9)
+    print(f"  alternating-6 final llr={llr!r} round6={r6(llr)}")
+
+
+if __name__ == "__main__":
+    main()
+
+
+# ======================================================== tranche 2
+
+def tranche2():
+    print("\n===== tranche 2 =====")
+
+    # drift_ks / drift_psi: type "k", early values at hours 0..4,
+    # late values at hours 10..14 (mid = 7h splits them).
+    A = [1.0, 2.0, 3.0, 4.0, 5.0]
+    B = [3.0, 4.0, 5.0, 6.0, 7.0]
+
+    def cdf(xs, v):
+        return sum(1 for x in xs if x <= v) / len(xs)
+    ks = max(abs(cdf(A, v) - cdf(B, v)) for v in sorted(set(A + B)))
+    print(f"drift_ks: ks={r6(ks)}")
+
+    mn, mx = min(A + B), max(A + B)
+    bins = 10
+
+    def binof(v):
+        return min(int((v - mn) * bins // (mx - mn)), bins - 1)
+    ca = [0] * bins
+    cb = [0] * bins
+    for v in A:
+        ca[binof(v)] += 1
+    for v in B:
+        cb[binof(v)] += 1
+    psi = 0.0
+    for i in range(bins):
+        pa = (ca[i] + 0.5) / (len(A) + bins * 0.5)
+        pb = (cb[i] + 0.5) / (len(B) + bins * 0.5)
+        psi += (pa - pb) * math.log(pa / pb)
+    print(f"drift_psi: psi={r6(psi)}  raw={psi!r}")
+    check_far("psi", psi)
+
+    # anomaly_fdr / anomaly_holm: type t1 hourly counts, one spike.
+    AN = [1, 1, 1, 1, 1, 1, 1, 1, 1, 6]
+    mu = mean(AN)
+    sd = math.sqrt(sum((x - mu) ** 2 for x in AN) / len(AN))
+    zs = [round((x - mu) / sd, 6) for x in AN]
+    ps = [round(math.exp(-0.717 * abs(z) - 0.416 * z * z), 9) for z in zs]
+    m = len(AN)
+    order = sorted(range(m), key=lambda i: (ps[i], i))  # hour asc tiebreak
+    print(f"anomaly: mu={mu} sd={sd!r} z_spike={zs[-1]} p_spike={ps[-1]!r}"
+          f" p_flat={ps[0]!r}")
+    bh = [i + 1 for i, idx in enumerate(order)
+          if ps[idx] <= (i + 1) / (10.0 * m)]
+    kmax = max(bh) if bh else 0
+    print(f"  BH rows (i<=kmax): {kmax}")
+    holm_stop = m + 1
+    for i, idx in enumerate(order):
+        if not (ps[idx] * (m - (i + 1) + 1) <= 0.1):
+            holm_stop = i + 1
+            break
+    print(f"  Holm rows (i<kstop): {holm_stop - 1}")
+
+    # ab_effect_size / ab_power on the tranche-1 AB fixture.
+    a, b = AB_A, AB_B
+    na, nb = len(a), len(b)
+    ssa = sum((x - mean(a)) ** 2 for x in a)
+    ssb = sum((x - mean(b)) ** 2 for x in b)
+    sp = math.sqrt((ssa + ssb) / (na + nb - 2))
+    d = (mean(b) - mean(a)) / sp
+    g = d * (1 - 3.0 / (4 * (na + nb - 2) - 1))
+    print(f"effect_size: mean_diff={r6(mean(b)-mean(a))} d={r6(d)} g={r6(g)}"
+          f"  raw=({d!r},{g!r})")
+    check_far("cohens_d", d); check_far("hedges_g", g)
+    zsum = 2.8015852181129683
+    se = math.sqrt(var_samp(a) / na + var_samp(b) / nb)
+    print(f"ab_power: mde_abs={r6(zsum*se)} mde_rel={r6(zsum*se/mean(a))}"
+          f"  raw=({zsum*se!r},{zsum*se/mean(a)!r})")
+    check_far("mde_abs", zsum * se); check_far("mde_rel", zsum * se / mean(a))
+
+    # survival_km / survival_na from the logrank life table.
+    _, _, _, _, _, life = logrank(LR_USERS)
+    death_days = sorted({k for _, k, c, _ in life if not c})
+    surv, haz = 1.0, 0.0
+    for dk in death_days:
+        n = sum(1 for _, k, _, _ in life if k >= dk)
+        dd = sum(1 for _, k, c, _ in life if k == dk and not c)
+        surv *= 1 - dd / n
+        haz += dd / n
+        print(f"survival day={dk}: n_risk={n} d={dd} km={r6(surv)} na={r6(haz)}"
+              f"  raw=({surv!r},{haz!r})")
+        check_far(f"km.{dk}", surv); check_far(f"na.{dk}", haz)
+
+    # events_dispersion over T1/T2 hourly counts.
+    for name, xs in (("t1", T1), ("t2", T2)):
+        mu = mean(xs)
+        vp = sum((x - mu) ** 2 for x in xs) / len(xs)
+        print(f"dispersion[{name}]: mean={r6(mu)} var={r6(vp)} D={r6(vp/mu)}"
+              f" chi2={r6((len(xs)-1)*vp/mu)}  raw={(len(xs)-1)*vp/mu!r}")
+        check_far(f"disp.{name}", (len(xs) - 1) * vp / mu)
+
+    # events_entropy_rate: one user, sequence A,A,B,A,B,B.
+    seq = ["A", "A", "B", "A", "B", "B"]
+    trans = list(zip(seq, seq[1:]))
+    from collections import Counter
+    nij = Counter(trans)
+    ni = Counter(t[0] for t in trans)
+    h = -sum(c * math.log(c / ni[f]) for (f, _), c in nij.items()) / len(trans)
+    k = len(set(t[0] for t in trans))
+    print(f"entropy_rate: n_trans={len(trans)} n_states={k} h={r6(h)} "
+          f"max={r6(math.log(k))} eff={r6(h/math.log(k))}"
+          f"  raw=({h!r},{h/math.log(k)!r})")
+    check_far("entropy", h); check_far("eff", h / math.log(k))
+
+    # revenue_gini: customer cents 100,200,300,400.
+    xs = sorted([100, 200, 300, 400])
+    n = len(xs)
+    gini = (2 * sum((i + 1) * x for i, x in enumerate(xs))
+            - (n + 1) * sum(xs)) / (n * sum(xs))
+    print(f"gini: {r6(gini)}")
+
+    # events_burstiness: gaps 10s, 20s, 30s.
+    gaps = [10_000_000, 20_000_000, 30_000_000]
+    mu = mean(gaps)
+    sd = math.sqrt(sum((g - mu) ** 2 for g in gaps) / len(gaps))
+    print(f"burstiness: mean={r6(mu)} sd={r6(sd)} B={r6((sd-mu)/(sd+mu))}"
+          f"  raw=({sd!r},{(sd-mu)/(sd+mu)!r})")
+    check_far("burst.sd", sd); check_far("burst.b", (sd - mu) / (sd + mu))
+
+    # corpus_gtest: lang x source counts en:(4,1) de:(1,4).
+    obs = {("en", "s1"): 4, ("en", "s2"): 1, ("de", "s1"): 1, ("de", "s2"): 4}
+    nn = sum(obs.values())
+    rt = Counter()
+    ct = Counter()
+    for (l, s), o in obs.items():
+        rt[l] += o
+        ct[s] += o
+    gstat = 2 * sum(o * math.log(o * nn / (rt[l] * ct[s]))
+                    for (l, s), o in obs.items())
+    print(f"gtest: g={r6(gstat)} dof=1 n={nn}  raw={gstat!r}")
+    check_far("gtest", gstat)
+
+    # mcnemar: both=2 only_len=3 only_tok=1 neither=1.
+    bl, c = 3, 1
+    chi2 = (max(abs(bl - c) - 1, 0)) ** 2 / (bl + c)
+    print(f"mcnemar: chi2={r6(chi2)}")
+
+    # cramers_v: types X/Y over dow 4/5 with counts 8/2 and 2/8.
+    o = {("X", 4): 8, ("X", 5): 2, ("Y", 4): 2, ("Y", 5): 8}
+    nn = 20
+    rm = {"X": 10, "Y": 10}
+    cm = {4: 10, 5: 10}
+    chi2 = sum((nn * v - rm[t] * cm[dw]) ** 2 / (nn * rm[t] * cm[dw])
+               for (t, dw), v in o.items())
+    v = math.sqrt(chi2 / (nn * 1))
+    print(f"cramers_v: chi2={r6(chi2)} v={r6(v)}")
+
+    # ab_cuped: per-user (x_pre, y_post): uid1 A (10,20), uid3 A (20,30),
+    # uid2 B (10,25), uid4 B (30,45).
+    users = [(1, 10.0, 20.0), (3, 20.0, 30.0), (2, 10.0, 25.0),
+             (4, 30.0, 45.0)]
+    n = len(users)
+    xs = [x for _, x, _ in users]
+    ys = [y for _, _, y in users]
+    covn = n * sum(x * y for _, x, y in users) - sum(xs) * sum(ys)
+    varxn = n * sum(x * x for x in xs) - sum(xs) ** 2
+    varyn = n * sum(y * y for y in ys) - sum(ys) ** 2
+    theta = covn / varxn
+    rho2 = covn * covn / (varxn * varyn)
+    gx = mean(xs)
+    for arm in ("a", "b"):
+        sel = [(x, y) for u, x, y in users
+               if (arm == "a") == arm_is_zero(u)]
+        mx = mean([x for x, _ in sel])
+        my = mean([y for _, y in sel])
+        adj = my - theta * (mx - gx)
+        print(f"cuped[{arm}]: n={len(sel)} mean_post={r6(my)} adj={r6(adj)}"
+              f"  raw={adj!r}")
+        check_far(f"cuped.{arm}", adj)
+    print(f"cuped: theta={r6(theta)} rho2={r6(rho2)}"
+          f"  raw=({theta!r},{rho2!r})")
+    check_far("theta", theta); check_far("rho2", rho2)
+
+
+if __name__ == "__main__":
+    tranche2()
