@@ -650,6 +650,44 @@ object OpsQueries {
     TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "text", "doc_id")
       .orderBy("doc_id")
 
+  /** #26h distinct-n corpus diversity per source — the standard
+    * generation-diversity readout (Li et al. 2016) a training-data
+    * release reports next to the per-document TTR ([[textDiversity]]):
+    * distinct-1 = |vocab| / tokens and distinct-2 = |distinct bigrams|
+    * / bigrams, over the shared `[a-z]+` token stream
+    * ([[graft.ops.LanguageModel.tokens]]/[[graft.ops.LanguageModel.bigrams]]
+    * — adjacency stays INSIDE documents, zip-of-array, no positional
+    * self-join). Low distinct-2 under normal distinct-1 is the
+    * boilerplate/template signature near-dup hashing misses.
+    *
+    * Scale shape: two explode → (source, gram)-keyed exact distinct
+    * counts with partial aggregation; the exchange carries grams, not
+    * text. At 100 TB the same query swaps countDistinct for a per-gram
+    * HLL sketch ([[rollingHll]] pattern) without changing shape.
+    * Ratios pinned golden in [[graft.queries.EdgeBranchSpec]]. */
+  def corpusDistinctN(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.LanguageModel
+    val d = Tables.documents(s, dir)
+    val uni = d.select(col("source"),
+        explode(LanguageModel.tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("tok").as("v1"))
+    val bi = d.select(col("source"),
+        explode(LanguageModel.bigrams(col("text"))).as("bg"))
+      .select(col("source"),
+        concat_ws(" ", col("bg.a"), col("bg.b")).as("bg2"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"), countDistinct("bg2").as("v2"))
+    uni.join(bi, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("v1"),
+        round(col("v1") / col("n_tokens").cast("double"), 6).as("distinct_1"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("v2"), lit(0L)).as("v2"),
+        expr("""case when n_bigrams > 0
+          then round(v2/cast(n_bigrams as double), 6) end""").as("distinct_2"))
+      .orderBy("source")
+  }
+
   /** #37m token Zipf rank-frequency fit: least squares over
     * (ln rank, ln freq) of the corpus vocabulary — the text sibling of
     * the value-domain power-law screen (`corpus_powerlaw`); slope ≈ −1
@@ -4255,6 +4293,7 @@ object OpsQueries {
     "heavy_hitters"     -> (heavyHittersTokens _),
     "bpe_pairs"         -> (bpePairs _),
     "text_diversity"    -> (textDiversity _),
+    "corpus_distinct_n" -> (corpusDistinctN _),
     "text_skipgram"     -> (textSkipgram _),
     "cm_sketch"         -> (cmSketchTokens _),
     "join_incremental"  -> (joinIncremental _),
@@ -7315,6 +7354,27 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
         |  round(n_hapax / n_tokens, 6) AS hapax_ratio
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Same [a-z]+ stream and in-document adjacency as the LM oracles;
+    // exact distinct counts per source, one ratio each at display.
+    "corpus_distinct_n" ->
+      """WITH t AS (SELECT source,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents),
+        |uni AS (SELECT source, count(*)::BIGINT AS n_tokens,
+        |    count(DISTINCT tok)::BIGINT AS v1
+        |  FROM (SELECT source, unnest(tk) AS tok FROM t) GROUP BY source),
+        |bi AS (SELECT source, count(*)::BIGINT AS n_bigrams,
+        |    count(DISTINCT bg2)::BIGINT AS v2
+        |  FROM (SELECT source, tk[i] || ' ' || tk[i+1] AS bg2
+        |    FROM (SELECT source, tk, unnest(range(1, len(tk))) AS i
+        |          FROM t WHERE len(tk) >= 2))
+        |  GROUP BY source)
+        |SELECT source, n_tokens, v1,
+        |  round(v1/n_tokens::DOUBLE, 6) AS distinct_1,
+        |  coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  coalesce(v2, 0)::BIGINT AS v2,
+        |  CASE WHEN n_bigrams > 0
+        |    THEN round(v2/n_bigrams::DOUBLE, 6) END AS distinct_2
+        |FROM uni LEFT JOIN bi USING (source) ORDER BY source""".stripMargin,
     "skew_profile" ->
       """WITH c AS (
         |  SELECT user_id::VARCHAR AS key, count(*) AS n FROM events

@@ -751,6 +751,132 @@ object StatQueries {
         round(col("h") / col("cf"), 6).as("h_adj"))
   }
 
+  /** #5ac-4 Dunn's post-hoc pairwise test after [[kruskalWallis]] —
+    * WHICH event types differ once KW says "some do". Shares KW's
+    * exact integer rank bookkeeping (2·rank-sum per group over the
+    * bucketed distinct-value order stats); each pair's
+    * z = (r̄ᵢ − r̄ⱼ) / √((N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/nᵢ + 1/nⱼ))
+    * (Dunn 1964, tie-corrected) is one double chain over the exact
+    * aggregates. The Bonferroni gate reuses the pinned Lin p
+    * approximation on the 6dp-rounded |z| (p·m ≤ 0.05 compares the
+    * 9dp-rounded p — both engines agree bit-for-bit). The pair join is
+    * k², post-aggregate — catalog-bounded, never raw rows.
+    * Golden-pinned in [[graft.queries.EdgeBranchSpec]]. */
+  def kwDunn(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val tv = ev.groupBy("value").agg(count(lit(1)).as("t"))
+    val rk = graft.ops.ChronoSplit
+      .withOrderStats(tv, "value", "value", sumCols = Seq("t"), withRank = false)
+      .select(col("value"), col("t"),
+        (col(graft.ops.ChronoSplit.cumCol("t")) - col("t")).as("lt"))
+    val cells = ev.groupBy("event_type", "value").agg(count(lit(1)).as("ng"))
+    val g = cells.join(rk, "value")
+      .groupBy("event_type")
+      .agg(sum("ng").as("n_g"),
+        sum(col("ng") * (lit(2L) * col("lt") + col("t") + lit(1L))).as("s2"))
+    val tot = rk.agg(sum("t").as("nn"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    val km = g.agg(count(lit(1)).as("k"))
+      .select(col("k"), expr("k * (k - 1) div 2").as("m"))
+    val a = g.select(col("event_type").as("type_a"), col("n_g").as("n_a"),
+      col("s2").as("s2a"))
+    val b = g.select(col("event_type").as("type_b"), col("n_g").as("n_b"),
+      col("s2").as("s2b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(km))
+      .withColumn("zr", expr(
+        """(s2a/(2e0*n_a) - s2b/(2e0*n_b))
+          / sqrt((cast(nn as double)*(nn + 1)/12 - tie3/(12e0*(nn - 1)))
+            * (1e0/n_a + 1e0/n_b))"""))
+      .withColumn("z", round(col("zr"), 6))
+      .withColumn("p", expr(
+        "round(exp(-0.717*abs(z) - 0.416*z*z), 9)"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("z"), col("p"), (col("p") * col("m") <= 0.05).as("significant"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** #5j' Page–Hinkley sequential drift detector on the hourly count
+    * series per type — the streaming-world changepoint alarm next to
+    * [[graft.queries.OpsQueries.eventsCusum]]'s batch CUSUM: the
+    * cumulative deviation from the RUNNING mean, minus its running
+    * minimum (PH_t = m_t − min_{i≤t} m_i with
+    * m_t = Σᵢ(xᵢ − x̄ᵢ)). Each deviation (i·xᵢ − Sᵢ)/i is an exact
+    * rational rounded to nano units BEFORE the cumulative sum, so the
+    * walk is exact integer nano state; the argmax hour is elected by
+    * (PH desc, hour asc) over integers (round-then-rank) and the alarm
+    * compares integers against the pinned λ = 5 count-units. Windows
+    * run per type over the post-aggregate hourly series.
+    * Golden-pinned in [[graft.queries.EdgeBranchSpec]]. */
+  def eventsPageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    val walked = hourly
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("sx", sum("x").over(wc))
+      .withColumn("term_n",
+        expr("cast(round((t*x - sx)/cast(t as double)*1e9) as bigint)"))
+      .withColumn("m", sum("term_n").over(wc))
+      .withColumn("runmin", min("m").over(wc))
+      .withColumn("ph", col("m") - col("runmin"))
+    walked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), max("ph").as("ph_n"),
+        max(struct(col("ph"), (-col("h")).as("nh"))).as("pk"))
+      .select(col("event_type"), col("n_hours"),
+        round(col("ph_n") / 1e9, 6).as("ph_max"),
+        (-col("pk.nh")).as("ph_argmax_h"),
+        (col("ph_n") > 5000000000L).as("alarm"))
+      .orderBy("event_type")
+  }
+
+  /** #5t' Wilcoxon signed-rank test of the hour-of-day activity
+    * profile, first corpus day vs last — the PAIRED companion to
+    * [[graft.queries.OpsQueries.eventsMannWhitney]]'s independent-
+    * samples test (each hour-of-day is its own control, so day-shape
+    * differences don't drown in between-hour variance). Textbook
+    * discard-zeros convention; midranks of |d| ride the exact doubled
+    * integer 2r + t − 1; 2W⁺ stays integral until the single z
+    * division with the tie-corrected variance
+    * n(n+1)(2n+1)/24 − Σ(t³−t)/48. The rank window runs over ≤ 24
+    * post-aggregate cells. Golden-pinned in
+    * [[graft.queries.EdgeBranchSpec]]. */
+  def eventsWilcoxon(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .filter(col("day") === col("d0") || col("day") === col("d1"))
+      .groupBy("hod")
+      .agg(sum(when(col("day") === col("d0"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("day") === col("d1"), 1L).otherwise(0L)).as("y"))
+    val dz = cells.withColumn("d", col("y") - col("x"))
+      .filter(col("d") =!= 0L)
+      .withColumn("ad", abs(col("d")))
+    val ranked = dz
+      .withColumn("rnk", rank().over(Window.orderBy("ad")).cast("long"))
+      .withColumn("tcnt", count(lit(1)).over(Window.partitionBy("ad")))
+      .withColumn("r2", lit(2L) * col("rnk") + col("tcnt") - lit(1L))
+    val ties = dz.groupBy("ad").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L))
+        .as("tie3"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(when(col("d") > 0, col("r2")).otherwise(0L)).as("w2p"))
+      .crossJoin(broadcast(ties))
+      .select(col("n").as("n_pairs"),
+        round(col("w2p") / 2e0, 1).as("w_plus"),
+        expr("""case when n >= 2
+            and (cast(n as double)*(n+1)*(2*n+1)/24 - tie3/48e0) > 0
+          then round((w2p - cast(n as double)*(n+1)/2)
+            / (2*sqrt(cast(n as double)*(n+1)*(2*n+1)/24 - tie3/48e0)), 6)
+          end""").as("z"))
+  }
+
   /** #37o Cramér's V association between event type and day-of-week —
     * the normalized [0,1] effect size on top of the chi-square
     * machinery (`corpus_chi2` reports raw χ²; V answers "how strong",
@@ -4261,6 +4387,9 @@ object StatQueries {
     "events_moving_median" -> (eventsMovingMedian _),
     "graph_diameter"     -> (graphDiameter _),
     "kruskal_wallis"     -> (kruskalWallis _),
+    "kw_dunn"            -> (kwDunn _),
+    "events_page_hinkley" -> (eventsPageHinkley _),
+    "events_wilcoxon"    -> (eventsWilcoxon _),
     "cramers_v"          -> (cramersV _),
     "mcnemar_gates"      -> (mcnemarGates _),
     "cochran_armitage"   -> (cochranArmitage _),
@@ -7045,6 +7174,84 @@ object StatQueries {
         |  round(h / (1.0::DOUBLE - tie3::DOUBLE
         |    / (nn::DOUBLE * nn * nn - nn)), 6) AS h_adj
         |FROM hh""".stripMargin,
+    // Shares the Kruskal-Wallis rank bookkeeping; Dunn z per pair with
+    // the tie-corrected variance, Lin p on the 6dp z, Bonferroni gate
+    // on the 9dp p times the integer pair count.
+    "kw_dunn" ->
+      """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |tv AS (SELECT value, count(*)::BIGINT AS t FROM ev GROUP BY value),
+        |rk AS (SELECT value, t,
+        |  (sum(t) OVER (ORDER BY value))::BIGINT - t AS lt FROM tv),
+        |cells AS (SELECT event_type, value, count(*)::BIGINT AS ng
+        |  FROM ev GROUP BY 1, 2),
+        |g AS (SELECT event_type, sum(ng)::BIGINT AS n_g,
+        |    sum(ng * (2 * lt + t + 1))::BIGINT AS s2
+        |  FROM cells JOIN rk USING (value) GROUP BY 1),
+        |tot AS (SELECT sum(t)::BIGINT AS nn, sum(t*t*t - t)::BIGINT AS tie3 FROM tv),
+        |km AS (SELECT count(*)::BIGINT AS k,
+        |  (count(*) * (count(*) - 1) // 2)::BIGINT AS m FROM g),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.n_g AS n_a, b.n_g AS n_b, a.s2 AS s2a, b.s2 AS s2b
+        |  FROM g a JOIN g b ON a.event_type < b.event_type),
+        |zz AS (SELECT type_a, type_b, n_a, n_b,
+        |    round((s2a/(2.0::DOUBLE*n_a) - s2b/(2.0::DOUBLE*n_b))
+        |      / sqrt((nn::DOUBLE*(nn + 1)/12 - tie3/(12.0::DOUBLE*(nn - 1)))
+        |        * (1.0::DOUBLE/n_a + 1.0::DOUBLE/n_b)), 6) AS z, m
+        |  FROM pairs CROSS JOIN tot CROSS JOIN km),
+        |pp AS (SELECT type_a, type_b, n_a, n_b, z,
+        |    round(exp(-0.717*abs(z) - 0.416*z*z), 9) AS p, m FROM zz)
+        |SELECT type_a, type_b, n_a, n_b, z, p, p * m <= 0.05 AS significant
+        |FROM pp ORDER BY type_a, type_b""".stripMargin,
+    // Running-mean deviations round to nano units BEFORE the cumulative
+    // walk; PH is exact integer nano state; argmax = (PH desc, h asc).
+    "events_page_hinkley" ->
+      """WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS x FROM events GROUP BY 1, 2),
+        |walk AS (SELECT event_type, h, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS t,
+        |    (sum(x) OVER (PARTITION BY event_type ORDER BY h))::BIGINT AS sx
+        |  FROM hourly),
+        |terms AS (SELECT event_type, h, t,
+        |    round((t*x - sx)::DOUBLE / t * 1e9)::BIGINT AS term_n FROM walk),
+        |mm AS (SELECT event_type, h, t,
+        |    (sum(term_n) OVER (PARTITION BY event_type ORDER BY t))::BIGINT AS m
+        |  FROM terms),
+        |ph AS (SELECT event_type, h,
+        |    m - (min(m) OVER (PARTITION BY event_type ORDER BY t))::BIGINT AS ph
+        |  FROM mm),
+        |agg AS (SELECT event_type, count(*)::BIGINT AS n_hours,
+        |    max(ph)::BIGINT AS ph_n FROM ph GROUP BY 1),
+        |pick AS (SELECT p.event_type, min(p.h)::BIGINT AS ph_argmax_h
+        |  FROM ph p JOIN agg a ON a.event_type = p.event_type AND p.ph = a.ph_n
+        |  GROUP BY 1)
+        |SELECT a.event_type, n_hours, round(ph_n / 1e9, 6) AS ph_max,
+        |  ph_argmax_h, ph_n > 5000000000 AS alarm
+        |FROM agg a JOIN pick USING (event_type) ORDER BY event_type""".stripMargin,
+    // Paired signed-rank over hour-of-day cells, first vs last corpus
+    // day; discard-zeros, doubled midranks, tie-corrected variance.
+    "events_wilcoxon" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hod FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |cells AS (SELECT hod,
+        |    sum(CASE WHEN day = d0 THEN 1 ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN day = d1 THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM ev CROSS JOIN b WHERE day = d0 OR day = d1 GROUP BY 1),
+        |dz AS (SELECT hod, y - x AS d, abs(y - x) AS ad FROM cells WHERE y <> x),
+        |ranked AS (SELECT d,
+        |    2*rank() OVER (ORDER BY ad) + count(*) OVER (PARTITION BY ad) - 1 AS r2
+        |  FROM dz),
+        |ties AS (SELECT coalesce(sum(t*t*t - t), 0)::BIGINT AS tie3
+        |  FROM (SELECT count(*)::BIGINT AS t FROM dz GROUP BY ad)),
+        |agg AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN d > 0 THEN r2 ELSE 0 END)::BIGINT AS w2p FROM ranked)
+        |SELECT n AS n_pairs, round(w2p / 2.0::DOUBLE, 1) AS w_plus,
+        |  CASE WHEN n >= 2
+        |      AND (n::DOUBLE*(n+1)*(2*n+1)/24 - tie3/48.0::DOUBLE) > 0
+        |    THEN round((w2p - n::DOUBLE*(n+1)/2)
+        |      / (2*sqrt(n::DOUBLE*(n+1)*(2*n+1)/24 - tie3/48.0::DOUBLE)), 6)
+        |    END AS z
+        |FROM agg CROSS JOIN ties""".stripMargin,
     // Full r×c grid from the margins (absent cells at O=0); each χ²
     // term rounds to integer micro-units before the sum.
     "cramers_v" ->

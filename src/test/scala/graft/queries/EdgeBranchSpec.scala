@@ -444,6 +444,246 @@ class EdgeBranchSpec extends SparkSpec {
     assert(r.getAs[Double]("alpha") == 0.25)
   }
 
+  // ------------------------------------------- tranche 3: new operators
+
+  test("kw_dunn pins the tie-corrected pairwise Dunn z, p, and Bonferroni gate") {
+    val dir = tmp()
+    valueEvents(dir, Map("g1" -> Seq(1.0, 2.0, 4.0),
+      "g2" -> Seq(3.0, 4.0, 6.0), "g3" -> Seq(5.0, 7.0)))
+    // golden_stats.py tranche3: sigma2 = N(N+1)/12 - tie3/(12(N-1)),
+    // z = (rbar_i - rbar_j)/sqrt(sigma2 (1/ni + 1/nj)); m = 3 pairs.
+    val out = StatQueries.kwDunn(spark, dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r)
+      .toMap
+    assert(out.size == 3)
+    assert(out(("g1", "g2")).getAs[Double]("z") == -1.173674)
+    assert(out(("g1", "g2")).getAs[Double]("p") == 0.243030412)
+    assert(!out(("g1", "g2")).getAs[Boolean]("significant"))
+    assert(out(("g1", "g3")).getAs[Double]("z") == -2.024548)
+    assert(out(("g1", "g3")).getAs[Double]("p") == 0.042566)
+    assert(!out(("g1", "g3")).getAs[Boolean]("significant"))
+    assert(out(("g2", "g3")).getAs[Double]("z") == -0.974782)
+    // Significant branch: two fully separated groups, m = 1.
+    val dir2 = tmp()
+    valueEvents(dir2, Map("g1" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0),
+      "g2" -> Seq(11.0, 12.0, 13.0, 14.0, 15.0)))
+    val r2 = one(StatQueries.kwDunn(spark, dir2))
+    assert(r2.getAs[Double]("z") == -2.611165)
+    assert(r2.getAs[Double]("p") == 0.00901767)
+    assert(r2.getAs[Boolean]("significant"))
+  }
+
+  test("events_page_hinkley pins the running-mean deviation walk") {
+    val dir = tmp()
+    countEvents(dir, 100L, Map("t1" -> T1, "t2" -> T2,
+      "t3" -> Seq(5, 5, 5, 5)))
+    // golden_stats.py tranche3: PH_t = m_t - min m with
+    // m_t = sum(x_i - runmean_i): t1 max 10.271032 @h109,
+    // t2 17.606349 @h108 (both > lambda = 5); flat t3 stays 0.
+    val out = seriesOut(StatQueries.eventsPageHinkley(spark, dir))
+    assert(out("t1").getAs[Double]("ph_max") == 10.271032)
+    assert(out("t1").getAs[Long]("ph_argmax_h") == 109L)
+    assert(out("t1").getAs[Boolean]("alarm"))
+    assert(out("t2").getAs[Double]("ph_max") == 17.606349)
+    assert(out("t2").getAs[Long]("ph_argmax_h") == 108L)
+    assert(out("t3").getAs[Double]("ph_max") == 0.0)
+    assert(!out("t3").getAs[Boolean]("alarm"))
+  }
+
+  test("events_wilcoxon pins the paired signed-rank z with zeros dropped") {
+    val dir = tmp()
+    // day 0 hod counts [3,1,4,1,5], day 1 [2,6,4,3,5]: nonzero
+    // d = -1, +5, +2 -> W+ = 2 + 3 = 5 over n = 3.
+    var id = 0L
+    val rows = for {
+      (cs, d) <- Seq(Seq(3, 1, 4, 1, 5), Seq(2, 6, 4, 3, 5)).zipWithIndex
+      (c, h) <- cs.zipWithIndex
+      j <- 0 until c
+    } yield { id += 1; (id, d * Day + h * Hour + j * 1000L, id, "e", 1.0) }
+    writeEvents(dir, rows)
+    // golden_stats.py tranche3: z = (5 - 3)/sqrt(3*4*7/24) = 1.069045.
+    val r = one(StatQueries.eventsWilcoxon(spark, dir))
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Double]("w_plus") == 5.0)
+    assert(r.getAs[Double]("z") == 1.069045)
+  }
+
+  test("corpus_distinct_n pins distinct-1/distinct-2 and the no-bigram branch") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a b a b", "s1"), (2L, "a c", "s1"), (3L, "z", "s2"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche3: s1 = 6 tokens / 3 types -> 0.5;
+    // bigrams {a b, b a, a c} of 4 -> 0.75. s2 has no bigrams.
+    val out = OpsQueries.corpusDistinctN(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("n_tokens") == 6L)
+    assert(out("s1").getAs[Double]("distinct_1") == 0.5)
+    assert(out("s1").getAs[Long]("n_bigrams") == 4L)
+    assert(out("s1").getAs[Double]("distinct_2") == 0.75)
+    assert(out("s2").getAs[Double]("distinct_1") == 1.0)
+    assert(out("s2").getAs[Long]("n_bigrams") == 0L)
+    assert(out("s2").isNullAt(out("s2").fieldIndex("distinct_2")))
+  }
+
+  // -------------------------------------------------- tranche 4
+
+  test("events_runs_test pins the Wald-Wolfowitz z around the median") {
+    val dir = tmp()
+    // Values alternate around median 5: signs B,A,A,B,B,A,B,A,A,B -> 7 runs.
+    writeEvents(dir, Seq(1.0, 9.0, 9.0, 1.0, 1.0, 9.0, 1.0, 9.0, 9.0, 1.0)
+      .zipWithIndex.map { case (v, i) =>
+        ((i + 1).toLong, i * Hour, (i + 1).toLong, "r", v)
+      })
+    // golden_stats.py tranche4: mu = 2*25/10 + 1 = 6,
+    // sigma = sqrt(2000/900), z = 1/sigma = 0.67082.
+    val r = one(OpsQueries.eventsRunsTest(spark, dir))
+    assert(r.getAs[Long]("n_runs") == 7L)
+    assert(r.getAs[Long]("n_above") == 5L && r.getAs[Long]("n_below") == 5L)
+    assert(r.getAs[Double]("z") == 0.67082)
+  }
+
+  test("events_theilsen pins the median pairwise slope") {
+    val dir = tmp()
+    countEvents(dir, 100L, Map("th" -> Seq(1, 2, 4, 8)))
+    // golden_stats.py tranche4: slopes {1, 1.5, 2, 7/3, 3, 4},
+    // interpolated median = 2.166667.
+    val r = one(OpsQueries.eventsTheilsen(spark, dir))
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Double]("median_slope") == 2.166667)
+  }
+
+  test("supplier_hhi pins the Herfindahl index on known shares") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 100.0, 0.5), (2L, 30.0, 0.0), (3L, 20.0, 0.0))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((0L, "NATION_A")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    // Revenue cents 5000/3000/2000 -> shares .5/.3/.2 -> HHI 0.38.
+    val r = one(OpsQueries.supplierHhi(spark, dir))
+    assert(r.getAs[Long]("n_suppliers") == 3L)
+    assert(r.getAs[Double]("revenue") == 100.0)
+    assert(r.getAs[Double]("hhi") == 0.38)
+    assert(r.getAs[Double]("top_share") == 0.5)
+  }
+
+  test("palma_ratio pins the top10/bottom40 shares on cents 100..1000") {
+    import spark.implicits._
+    val dir = tmp()
+    (1 to 10).map(i => (i.toLong, i.toDouble))
+      .toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // golden_stats.py tranche4: bottom40 = 100+..+400 = 1000 cents,
+    // top10 = 1000 cents -> palma 1.0, both shares 1000/5500.
+    val r = one(OpsQueries.palmaRatio(spark, dir))
+    assert(r.getAs[Long]("bottom40_cents") == 1000L)
+    assert(r.getAs[Long]("top10_cents") == 1000L)
+    assert(r.getAs[Double]("palma") == 1.0)
+    assert(r.getAs[Double]("top10_share") == 0.181818)
+    assert(r.getAs[Double]("bottom40_share") == 0.181818)
+  }
+
+  test("vocab_chao1 pins the bias-corrected richness estimator") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a b c d d e e f f f")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche4: V=6, f1=3, f2=2:
+    // chao1 = 6 + 3*2/(2*3) = 7.0; p_unseen = 3/10.
+    val r = one(OpsQueries.vocabChao1(spark, dir))
+    assert(r.getAs[Long]("v_obs") == 6L)
+    assert(r.getAs[Long]("f1") == 3L && r.getAs[Long]("f2") == 2L)
+    assert(r.getAs[Double]("chao1") == 7.0)
+    assert(r.getAs[Double]("p_unseen") == 0.3)
+  }
+
+  test("lm_goodturing pins adjusted counts r* and the unseen mass") {
+    import spark.implicits._
+    val dir = tmp()
+    // Bigram counts: "x y" 3x, "y x" 2x (from one doc), "p q" 1x.
+    Seq((1L, "x y x y x y"), (2L, "p q")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche4: r* = (r+1)N_{r+1}/N_r with N1=N2=N3=1:
+    // r*(1) = 2, r*(2) = 3, r*(3) null (no N4); p0 = 1/6.
+    val rows = OpsQueries.lmGoodTuring(spark, dir).collect()
+      .map(r => r.getAs[Long]("r") -> r).toMap
+    assert(rows(1L).getAs[Double]("r_star") == 2.0)
+    assert(rows(2L).getAs[Double]("r_star") == 3.0)
+    assert(rows(3L).isNullAt(rows(3L).fieldIndex("r_star")))
+    assert(rows(1L).getAs[Double]("p_unseen") == 0.166667)
+  }
+
+  test("spc_pchart pins the 3-sigma binomial limits and the OOC flag") {
+    val dir = tmp()
+    // Days (n, errors): (20,2) (20,5) (20,1) (50,25); pooled p = 0.3.
+    var id = 0L
+    val rows = for {
+      ((n, x), d) <- Seq((20, 2), (20, 5), (20, 1), (50, 25)).zipWithIndex
+      j <- 0 until n
+    } yield {
+      id += 1
+      (id, d * Day + j * 1000L, id, if (j < x) "error" else "view", 1.0)
+    }
+    writeEvents(dir, rows)
+    // golden_stats.py tranche4: day3 (n=50): UCL = 0.494422 < 0.5 ->
+    // out of control; days 0-2 (n=20): UCL = 0.607409 -> in control.
+    val out = StatQueries.spcPchart(spark, dir).collect()
+      .map(r => r.getAs[Long]("day_idx") -> r).toMap
+    assert(out(0L).getAs[Double]("p_bar") == 0.3)
+    assert(out(0L).getAs[Double]("ucl") == 0.607409)
+    assert(!out(0L).getAs[Boolean]("out_of_control"))
+    assert(out(3L).getAs[Double]("ucl") == 0.494422)
+    assert(out(3L).getAs[Double]("lcl") == 0.105578)
+    assert(out(3L).getAs[Boolean]("out_of_control"))
+  }
+
+  test("jackknife_days pins the leave-one-day-out SE") {
+    val dir = tmp()
+    // Days (n_events, sum_value): (2,10) (3,30) (1,5) (2,15).
+    var id = 0L
+    val rows = for {
+      ((n, sv), d) <- Seq((2, 10.0), (3, 30.0), (1, 5.0), (2, 15.0)).zipWithIndex
+      j <- 0 until n
+    } yield { id += 1; (id, d * Day + j * 1000L, id, "e", sv / n) }
+    writeEvents(dir, rows)
+    // golden_stats.py tranche4: LOO means {50/6, 6, 55/7, 7.5},
+    // SE = sqrt(3/4 * sum((t - tbar)^2)) = 1.511963.
+    val r = one(StatQueries.jackknifeDays(spark, dir))
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Double]("mean_value") == 7.5)
+    assert(r.getAs[Double]("se_jack") == 1.511963)
+  }
+
+  test("shapley_attribution pins exact 4-channel Shapley values") {
+    val dir = tmp()
+    // Users (channels, converted): u1 {click} yes, u2 {view} no,
+    // u3 {click,view} yes, u4 {signup} no.
+    var id = 0L
+    val rows = Seq(
+      (1L, Seq("click", "purchase")), (2L, Seq("view")),
+      (3L, Seq("click", "view", "purchase")), (4L, Seq("signup"))
+    ).flatMap { case (u, ts) =>
+      ts.map { t => id += 1; (id, id * Hour, u, t, 1.0) }
+    }
+    writeEvents(dir, rows)
+    // golden_stats.py tranche4: v(S) = conv rate of users with
+    // mask within S; phi = {click: 0.694444, error: 0, signup: -0.138889,
+    // view: -0.055556}; efficiency check: sum = v(full) = 0.5.
+    val out = StatQueries.shapleyAttribution(spark, dir).collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Double]("phi")).toMap
+    assert(out("click") == 0.694444)
+    assert(out("error") == 0.0)
+    assert(out("signup") == -0.138889)
+    assert(out("view") == -0.055556)
+  }
+
   // ------------------------------------------------ latent branches
 
   test("ab_sprt emits the null-decision row when the LLR never crosses") {

@@ -702,3 +702,178 @@ def tranche2():
 
 if __name__ == "__main__":
     tranche2()
+
+
+def tranche3():
+    print("\n===== tranche 3 (new operators) =====")
+
+    # kw_dunn on the KW1 fixture: pairwise Dunn z (tie-corrected).
+    flat = [v for g in KW1 for v in g]
+    n = len(flat)
+    ranks = avg_ranks(flat)
+    names = ["g1", "g2", "g3"]
+    rbar, ng = {}, {}
+    i = 0
+    for nm, g in zip(names, KW1):
+        rg = ranks[i:i + len(g)]
+        i += len(g)
+        rbar[nm] = mean(rg)
+        ng[nm] = len(g)
+    from collections import Counter
+    tie3 = sum(t ** 3 - t for t in Counter(flat).values())
+    sig2 = n * (n + 1) / 12.0 - tie3 / (12.0 * (n - 1))
+    m = 3
+    for a, b in [("g1", "g2"), ("g1", "g3"), ("g2", "g3")]:
+        z = (rbar[a] - rbar[b]) / math.sqrt(sig2 * (1.0 / ng[a] + 1.0 / ng[b]))
+        z6 = round(z, 6)
+        p = round(math.exp(-0.717 * abs(z6) - 0.416 * z6 * z6), 9)
+        print(f"dunn {a}-{b}: z={z6} p={p!r} sig={p*m <= 0.05}  rawz={z!r}")
+        check_far(f"dunn.{a}{b}", z)
+
+    # events_page_hinkley on T1/T2: PH = m_t - min m, m_t = sum(x - runmean).
+    for nm, xs in (("t1", T1), ("t2", T2)):
+        mvals, s = [], 0
+        msum = 0.0
+        for t, x in enumerate(xs, 1):
+            s += x
+            msum += x - s / t
+            mvals.append(msum)
+        ph = [mv - min(mvals[:i + 1]) for i, mv in enumerate(mvals)]
+        mx = max(ph)
+        arg = ph.index(mx)
+        print(f"ph[{nm}]: ph_max={r6(mx)} argmax_h={100+arg} alarm={mx > 5}"
+              f"  raw={mx!r}")
+        check_far(f"ph.{nm}", mx)
+
+    # events_wilcoxon: day0 hod counts [3,1,4,1,5], day1 [2,6,4,3,5].
+    x = [3, 1, 4, 1, 5]
+    y = [2, 6, 4, 3, 5]
+    d = [b - a for a, b in zip(x, y) if b != a]
+    ad = [abs(v) for v in d]
+    rk = avg_ranks(ad)
+    nn = len(d)
+    wplus = sum(r for r, v in zip(rk, d) if v > 0)
+    tie3 = sum(t ** 3 - t for t in Counter(ad).values())
+    var = nn * (nn + 1) * (2 * nn + 1) / 24.0 - tie3 / 48.0
+    z = (wplus - nn * (nn + 1) / 4.0) / math.sqrt(var)
+    print(f"wilcoxon: n={nn} w_plus={wplus} z={r6(z)}  raw={z!r}")
+    check_far("wilcoxon", z)
+
+    # corpus_distinct_n: s1 docs "a b a b" + "a c".
+    toks = [["a", "b", "a", "b"], ["a", "c"]]
+    nt = sum(len(t) for t in toks)
+    v1 = len({w for t in toks for w in t})
+    bgs = [f"{t[i]} {t[i+1]}" for t in toks for i in range(len(t) - 1)]
+    print(f"distinct_n: n_tokens={nt} v1={v1} d1={r6(v1/nt)} "
+          f"n_bigrams={len(bgs)} v2={len(set(bgs))} "
+          f"d2={r6(len(set(bgs))/len(bgs))}")
+
+
+if __name__ == "__main__":
+    tranche3()
+
+
+def tranche4():
+    print("\n===== tranche 4 =====")
+    from collections import Counter
+
+    # events_runs_test: values [1,9,9,1,1,9,1,9,9,1], median 5.
+    vals = [1, 9, 9, 1, 1, 9, 1, 9, 9, 1]
+    med = median(vals)
+    sg = [1 if v > med else -1 for v in vals if v != med]
+    runs = 1 + sum(1 for a, b in zip(sg, sg[1:]) if a != b)
+    na = sum(1 for s in sg if s == 1)
+    nb = len(sg) - na
+    nn = na + nb
+    mu = 2.0 * na * nb / nn + 1
+    sig = math.sqrt(2.0 * na * nb * (2.0 * na * nb - nn)
+                    / (nn * nn * (nn - 1.0)))
+    z = (runs - mu) / sig
+    print(f"runs_test: runs={runs} na={na} nb={nb} z={r6(z)}  raw={z!r}")
+    check_far("runs", z)
+
+    # events_theilsen: hourly counts [1,2,4,8].
+    xs = [1, 2, 4, 8]
+    slopes = sorted((xs[j] - xs[i]) / (j - i)
+                    for i in range(4) for j in range(i + 1, 4))
+    n = len(slopes)
+    idx = 0.5 * (n - 1)
+    lo, hi = slopes[int(idx)], slopes[int(idx) + 1]
+    medsl = lo + (idx - int(idx)) * (hi - lo)
+    print(f"theilsen: n_pairs={n} median_slope={r6(medsl)}  raw={medsl!r}")
+    check_far("theilsen", medsl)
+
+    # supplier_hhi: revenue cents 5000/3000/2000 in one nation.
+    sh = [0.5, 0.3, 0.2]
+    print(f"hhi: {r6(sum(s*s for s in sh))} top={max(sh)}")
+
+    # palma_ratio: customer cents 100..1000.
+    cents = [100 * i for i in range(1, 11)]
+    cum = 0
+    n = len(cents)
+    tot = sum(cents)
+    b40 = sum(sorted(cents)[: (4 * n) // 10])
+    top10 = sum(sorted(cents)[n - n // 10:])
+    print(f"palma: b40={b40} top10={top10} palma={r6(top10/b40)} "
+          f"shares={r6(top10/tot)}/{r6(b40/tot)}")
+
+    # vocab_chao1: token freqs a,b,c x1; d,e x2; f x3 (one doc).
+    f1, f2, v, ntok = 3, 2, 6, 10
+    chao1 = v + f1 * (f1 - 1) / (2.0 * (f2 + 1))
+    print(f"chao1: v={v} f1={f1} f2={f2} chao1={r6(chao1)} "
+          f"p_unseen={r6(f1/ntok)}")
+
+    # lm_goodturing: bigram counts {x y:3, y x:2, p q:1}.
+    # fof: N1=N2=N3=1; r* = (r+1)N_{r+1}/N_r; p0 = N1/total.
+    # r* = (r+1) N_{r+1} / N_r (Good 1953 adjusted count)
+    print("goodturing: r=1 r*=2.0, r=2 r*=3.0, r=3 r*=NULL, "
+          f"p_unseen={r6(1/6)}")
+
+    # spc_pchart: days (n, err): (20,2) (20,5) (20,1) (50,25).
+    days = [(20, 2), (20, 5), (20, 1), (50, 25)]
+    sn = sum(n for n, _ in days)
+    sx = sum(x for _, x in days)
+    pbar = sx / sn
+    for i, (n, x) in enumerate(days):
+        sig = math.sqrt(pbar * (1 - pbar) / n)
+        ucl, lcl = pbar + 3 * sig, max(pbar - 3 * sig, 0.0)
+        ooc = x / n > ucl or x / n < lcl
+        print(f"pchart day{i}: p={r6(x/n)} pbar={r6(pbar)} ucl={r6(ucl)} "
+              f"lcl={r6(lcl)} ooc={ooc}  rawucl={ucl!r}")
+        check_far(f"pchart.{i}.ucl", ucl)
+
+    # jackknife_days: day (n, sum_value): (2,10) (3,30) (1,5) (2,15).
+    days = [(2, 10.0), (3, 30.0), (1, 5.0), (2, 15.0)]
+    nn = sum(n for n, _ in days)
+    ss = sum(v for _, v in days)
+    d = len(days)
+    # engine rounds each LOO mean to nano BEFORE the variance sum
+    t = [round((ss - v) / (nn - n), 9) for n, v in days]
+    tb = mean(t)
+    se = math.sqrt((d - 1) / d * sum((x - tb) ** 2 for x in t))
+    print(f"jackknife: mean={r6(ss/nn)} se={r6(se)}  raw={se!r}")
+    check_far("jackknife", se)
+
+    # shapley_attribution: users (mask, conv):
+    # u1 click(1) conv, u2 view(8) no, u3 click+view(9) conv,
+    # u4 signup(4) no.
+    users = [(1, 1), (8, 0), (9, 1), (4, 0)]
+
+    def v_of(S):
+        sub = [(m, c) for m, c in users if (m & S) == m]
+        return sum(c for _, c in sub) / len(sub) if sub else 0.0
+    w = {0: 6 / 24.0, 1: 2 / 24.0, 2: 2 / 24.0, 3: 6 / 24.0}
+    for name, bit in [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]:
+        phi = 0.0
+        for S in range(16):
+            if S & bit:
+                continue
+            bc = bin(S).count("1")
+            # engine rounds each weighted marginal to nano pre-sum
+            phi += round(w[bc] * (v_of(S | bit) - v_of(S)), 9)
+        print(f"shapley[{name}]: phi={r6(phi)}  raw={phi!r}")
+        check_far(f"shapley.{name}", phi)
+
+
+if __name__ == "__main__":
+    tranche4()
