@@ -684,6 +684,107 @@ class EdgeBranchSpec extends SparkSpec {
     assert(out("view") == -0.055556)
   }
 
+  // -------------------------------------------------- tranche 5
+
+  test("population_estimate pins the Chapman capture-recapture estimator") {
+    val dir = tmp()
+    // u1 seen in both epoch halves, u2/u3 first only, u4 second only:
+    // n1 = 3, n2 = 2, m = 1 -> Chapman = 4*3/2 - 1 = 5, unseen = 1.
+    writeEvents(dir, Seq((1L, 0L, 1L), (2L, 100L * Hour, 1L),
+      (3L, 10L * Hour, 2L), (4L, 20L * Hour, 3L), (5L, 90L * Hour, 4L))
+      .map { case (id, ts, u) => (id, ts, u, "view", 1.0) })
+    val r = one(StatQueries.populationEstimate(spark, dir))
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Long]("m") == 1L && r.getAs[Long]("observed") == 4L)
+    assert(r.getAs[Double]("chapman_estimate") == 5.0)
+    assert(r.getAs[Double]("implied_unseen") == 1.0)
+  }
+
+  test("price_index pins Laspeyres, Paasche, and Fisher") {
+    import spark.implicits._
+    val dir = tmp()
+    // part 1: 1995 (10.00, q10) -> 1996 (10.00, q5) — unit price x2;
+    // part 2: 1995 (20.00, q10) -> 1996 (30.00, q10) — x1.5.
+    Seq((1L, 1L, 10.0, 10.0), (2L, 1L, 10.0, 5.0),
+      (3L, 2L, 20.0, 10.0), (4L, 2L, 30.0, 10.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "1995-06-01"), (3L, "1995-06-02"), (2L, "1996-06-01"),
+      (4L, "1996-06-02")).toDF("o_orderkey", "d")
+      .select(col("o_orderkey"), to_timestamp(col("d")).as("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // golden_stats.py tranche5: v00=3000, v11=4000, v10=5000, v01=2500:
+    // L = 5/3, P = 1.6, Fisher = sqrt(8/3) = 1.632993.
+    val r = one(OpsQueries.priceIndex(spark, dir))
+    assert(r.getAs[Long]("n_parts") == 2L)
+    assert(r.getAs[Double]("laspeyres") == 1.666667)
+    assert(r.getAs[Double]("paasche") == 1.6)
+    assert(r.getAs[Double]("fisher") == 1.632993)
+  }
+
+  test("corpus_powerlaw pins the CSN continuous MLE alpha") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 50L), (2L, 100L), (3L, 200L), (4L, 400L))
+      .toDF("doc_id", "n_chars")
+      .withColumn("text", lit("t")).withColumn("lang", lit("en"))
+      .withColumn("source", lit("web"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche5: tail {100,200,400}, xmin=100:
+    // alpha = 1 + 3/(ln2 + ln4) = 2.442695.
+    val r = one(OpsQueries.corpusPowerlaw(spark, dir))
+    assert(r.getAs[Long]("n_used") == 3L)
+    assert(r.getAs[Double]("alpha_hat") == 2.442695)
+  }
+
+  test("ols_normal recovers exact coefficients on a perfect-fit design") {
+    import spark.implicits._
+    val dir = tmp()
+    // cents = 1000 + 500*qty - 2*disc_bp exactly.
+    Seq((1.0, 0.0, 15.0), (2.0, 0.01, 18.0), (3.0, 0.0, 25.0),
+      (4.0, 0.02, 26.0))
+      .toDF("l_quantity", "l_discount", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = one(StatQueries.olsNormal(spark, dir))
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("b0") == 1000.0)
+    assert(r.getAs[Double]("b1") == 500.0)
+    assert(r.getAs[Double]("b2") == -2.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("logistic_newton pins 3 Newton steps on a 4-row design") {
+    val dir = tmp()
+    // (y, x): (0, 0.1) (1, 0.2) (0, 0.3) (1, 0.4); x = value/100.
+    writeEvents(dir, Seq((10.0, "view"), (20.0, "purchase"),
+      (30.0, "view"), (40.0, "purchase")).zipWithIndex.map {
+      case ((v, t), i) => ((i + 1).toLong, i * Hour, (i + 1).toLong, t, v)
+    })
+    // golden_stats.py tranche5: w = (-2.270444, 9.081774), mean_p = 0.5
+    // (logistic mean matches base rate at the MLE direction).
+    val r = one(StatQueries.logisticNewton(spark, dir))
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_pos") == 2L)
+    assert(r.getAs[Double]("w0") == -2.270444)
+    assert(r.getAs[Double]("w1") == 9.081774)
+    assert(r.getAs[Double]("mean_p") == 0.5)
+  }
+
+  test("forecast_baseline pins the MASE backtest on a 58-hour series") {
+    val dir = tmp()
+    val counts = (0 until 24).map(h => h % 24 + 1) ++
+      (24 until 46).map(h => h % 24 + 3) ++
+      Seq(30, 28, 2, 3, 9, 4, 11, 6, 13, 8, 15, 10)
+    countEvents(dir, 0L, Map("e" -> counts))
+    // golden_stats.py tranche5: hcut=46, 12 test hours, all lag-24
+    // available: mae_naive = 3.083333, mae_profile = 2.916667,
+    // MASE = 0.945946 (profile beats naive).
+    val r = one(StatQueries.forecastBaseline(spark, dir))
+    assert(r.getAs[Long]("n_test") == 12L)
+    assert(r.getAs[Double]("mae_naive") == 3.083333)
+    assert(r.getAs[Double]("mae_profile") == 2.916667)
+    assert(r.getAs[Double]("mase") == 0.945946)
+  }
+
   // ------------------------------------------------ latent branches
 
   test("ab_sprt emits the null-decision row when the LLR never crosses") {

@@ -877,3 +877,88 @@ def tranche4():
 
 if __name__ == "__main__":
     tranche4()
+
+
+def tranche5():
+    print("\n===== tranche 5 =====")
+
+    # population_estimate (Chapman): n1=3, n2=2, m=1, observed=4.
+    n1, n2, m, obs = 3, 2, 1, 4
+    chap = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    print(f"chapman: est={round(chap,2)} unseen={round(chap-obs,2)}")
+
+    # price_index: part1 1995 (1000c,10) 1996 (1000c,5);
+    # part2 1995 (2000c,10) 1996 (3000c,10).
+    parts = [((1000, 10), (1000, 5)), ((2000, 10), (3000, 10))]
+    v00 = sum(c0 for (c0, _), _ in parts)
+    v11 = sum(c1 for _, (c1, _) in parts)
+    v10 = sum(round(c1 * q0 / q1) for (c0, q0), (c1, q1) in parts)
+    v01 = sum(round(c0 * q1 / q0) for (c0, q0), (c1, q1) in parts)
+    lasp, paas = v10 / v00, v11 / v01
+    print(f"price_index: laspeyres={r6(lasp)} paasche={r6(paas)} "
+          f"fisher={r6(math.sqrt(lasp*paas))}  raw={math.sqrt(lasp*paas)!r}")
+    check_far("fisher", math.sqrt(lasp * paas))
+
+    # corpus_powerlaw: n_chars [50,100,200,400], xmin=100.
+    xs = [100, 200, 400]
+    alpha = 1 + len(xs) / sum(math.log(x / 100.0) for x in xs)
+    print(f"powerlaw: n_used={len(xs)} alpha={r6(alpha)}  raw={alpha!r}")
+    check_far("powerlaw", alpha)
+
+    # ols_normal: cents = 1000 + 500*qty - 2*disc_bp exactly.
+    print("ols_normal: b0=1000 b1=500 b2=-2 r2=1.0 (perfect fit)")
+
+    # logistic_newton: rows (y, x): (0,0.1) (1,0.2) (0,0.3) (1,0.4);
+    # replicate the 3 Newton iterations with nano-rounded aggregates.
+    rows = [(0.0, 0.1), (1.0, 0.2), (0.0, 0.3), (1.0, 0.4)]
+    w0 = w1 = 0.0
+    for _ in range(3):
+        g0 = sum(round((y - 1 / (1 + math.exp(-w0 - w1 * x))) * 1e9)
+                 for y, x in rows) / 1e9
+        g1 = sum(round((y - 1 / (1 + math.exp(-w0 - w1 * x))) * x * 1e9)
+                 for y, x in rows) / 1e9
+        h00 = sum(round((p := 1 / (1 + math.exp(-w0 - w1 * x))) * (1 - p) * 1e9)
+                  for y, x in rows) / 1e9
+        h01 = sum(round((p := 1 / (1 + math.exp(-w0 - w1 * x))) * (1 - p) * x * 1e9)
+                  for y, x in rows) / 1e9
+        h11 = sum(round((p := 1 / (1 + math.exp(-w0 - w1 * x))) * (1 - p) * x * x * 1e9)
+                  for y, x in rows) / 1e9
+        det = h00 * h11 - h01 * h01
+        w0, w1 = (w0 + (g0 * h11 - g1 * h01) / det,
+                  w1 + (h00 * g1 - h01 * g0) / det)
+    sp = sum(round(1 / (1 + math.exp(-w0 - w1 * x)) * 1e9) for _, x in rows)
+    print(f"logistic: w0={round(w0,6)} w1={round(w1,6)} "
+          f"mean_p={r6(sp/1e9/4)}  raw=({w0!r},{w1!r})")
+    check_far("log.w0", w0); check_far("log.w1", w1)
+
+    # forecast_baseline: 58 hourly counts, one type.
+    cnt = [(h % 24) + 1 for h in range(24)] + \
+          [(h % 24) + 3 for h in range(24, 46)] + \
+          [30, 28, 2, 3, 9, 4, 11, 6, 13, 8, 15, 10]
+    assert len(cnt) == 58
+    mn, mx = 0, 57
+    hcut = mn + ((mx - mn + 1) * 8) // 10
+    prof = {}
+    for h in range(hcut):
+        prof.setdefault(h % 24, []).append(cnt[h])
+    sn = sp = 0
+    ntest = 0
+    for h in range(hcut, 58):
+        if h - 24 < mn:
+            continue
+        hod = h % 24
+        if hod not in prof:
+            continue
+        ntest += 1
+        sn += abs(cnt[h] - cnt[h - 24]) * 1000000
+        ps, pn = sum(prof[hod]), len(prof[hod])
+        sp += round(abs(cnt[h] * pn - ps) * 1000000.0 / pn)
+    print(f"forecast: hcut={hcut} n_test={ntest} "
+          f"mae_naive={r6(sn/ntest/1e6)} mae_profile={r6(sp/ntest/1e6)} "
+          f"mase={r6(sp/sn)}  raw={sp/sn!r}")
+    check_far("mase", sp / sn)
+    print("  counts:", cnt)
+
+
+if __name__ == "__main__":
+    tranche5()
