@@ -797,6 +797,87 @@ object StatQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** #5ae-4 Tukey HSD pairwise contrasts after [[eventsAnova]] — the
+    * parametric post-hoc that says WHICH type means differ: the
+    * studentized-range statistic q = (x̄ᵢ − x̄ⱼ)/√(MSW/2·(1/nᵢ + 1/nⱼ))
+    * (Tukey-Kramer for unequal n). MSW comes from the SAME exact
+    * integer milli-unit moments as the omnibus F (round-then-sum
+    * correction terms); each pair's q is one double chain over exact
+    * aggregates, compared against the pinned q₀.₀₅ critical value for
+    * k = 5, df ≈ ∞ (3.858) — the flag is a screen, not a table lookup.
+    * The pair join is k² post-aggregate rows.
+    * Golden-pinned in [[graft.queries.EdgeBranchSpec]]. */
+  def anovaTukey(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(s, dir)
+      .select(col("event_type"), round(col("value") * 1000, 0).cast("long").as("v"))
+    val g = v.groupBy("event_type")
+      .agg(count(lit(1)).as("n_i"), sum("v").as("s_i"),
+        sum(expr("cast(v as decimal(38,0)) * v")).as("ssq_i"))
+      .withColumn("gterm",
+        expr("cast(round(cast(s_i as double)*cast(s_i as double)/n_i, 0) as bigint)"))
+    val tot = g.agg(count(lit(1)).as("k"), sum("n_i").as("n"),
+      sum("ssq_i").as("ssq"), sum("gterm").as("gsum"))
+    val a = g.select(col("event_type").as("type_a"), col("n_i").as("n_a"),
+      col("s_i").as("s_a"))
+    val b = g.select(col("event_type").as("type_b"), col("n_i").as("n_b"),
+      col("s_i").as("s_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("msw", expr("cast(ssq - gsum as double)/(n - k)"))
+      .withColumn("q", expr(
+        """round((cast(s_a as double)/n_a - cast(s_b as double)/n_b)
+          / sqrt(msw/2*(1e0/n_a + 1e0/n_b)), 6)"""))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        expr("round((cast(s_a as double)/n_a - cast(s_b as double)/n_b)/1e3, 6)")
+          .as("mean_diff"),
+        col("q"), (abs(col("q")) > 3.858).as("significant"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** #5t'' Cliff's delta / rank-biserial effect size of the A/B split —
+    * HOW MUCH the arms differ once
+    * [[graft.queries.OpsQueries.eventsMannWhitney]] says they do:
+    * δ = (#(b>a) − #(b<a))/(n_a·n_b) = (2U_b − n_a·n_b)/(n_a·n_b),
+    * assembled from the SAME exact doubled-midrank bookkeeping (ties
+    * contribute ½ to U, cancelling in δ). 2U_b = ΣR₂(b) − n_b(n_b+1)
+    * stays integral; δ and the common-language effect size
+    * P(b>a) + ½P(b=a) = (δ+1)/2 each divide once at display, with the
+    * conventional |δ| bands (negligible < .147 < small < .33 < medium
+    * < .474 < large) as a round-then-compare label.
+    * Golden-pinned in [[graft.queries.EdgeBranchSpec]]. */
+  def abCliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("variant",
+        when(pmod(pmod(col("user_id"), lit(1000000L)) * lit(2654435761L)
+          + lit(13L), lit(1000000L)) < 500000L, 0L).otherwise(1L))
+      .select("event_type", "variant", "value")
+    val ranked = ev
+      .withColumn("rnk", rank().over(
+        Window.partitionBy("event_type").orderBy("value")).cast("long"))
+      .withColumn("tcnt", count(lit(1)).over(
+        Window.partitionBy("event_type", "value")))
+      .withColumn("r2", lit(2L) * col("rnk") + col("tcnt") - lit(1L))
+    val g = ranked.groupBy("event_type", "variant")
+      .agg(count(lit(1)).as("n"), sum("r2").as("r2sum"))
+    val a = g.filter(col("variant") === 0)
+      .select(col("event_type"), col("n").as("n_a"))
+    val b = g.filter(col("variant") === 1)
+      .select(col("event_type"), col("n").as("n_b"), col("r2sum").as("r2_b"))
+    a.join(b, "event_type")
+      .withColumn("u2b", col("r2_b") - col("n_b") * (col("n_b") + 1)) // 2·U_b
+      .withColumn("delta", expr(
+        "round(cast(u2b - n_a*n_b as double)/(cast(n_a as double)*n_b), 6)"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("delta"),
+        expr("round((cast(u2b - n_a*n_b as double)/(cast(n_a as double)*n_b) + 1)/2, 6)")
+          .as("cles"),
+        expr("""case when abs(delta) < 0.147 then 'negligible'
+          when abs(delta) < 0.33 then 'small'
+          when abs(delta) < 0.474 then 'medium'
+          else 'large' end""").as("magnitude"))
+      .orderBy("event_type")
+  }
+
   /** #5j' Page–Hinkley sequential drift detector on the hourly count
     * series per type — the streaming-world changepoint alarm next to
     * [[graft.queries.OpsQueries.eventsCusum]]'s batch CUSUM: the
@@ -4388,6 +4469,8 @@ object StatQueries {
     "graph_diameter"     -> (graphDiameter _),
     "kruskal_wallis"     -> (kruskalWallis _),
     "kw_dunn"            -> (kwDunn _),
+    "anova_tukey"        -> (anovaTukey _),
+    "ab_cliffs_delta"    -> (abCliffsDelta _),
     "events_page_hinkley" -> (eventsPageHinkley _),
     "events_wilcoxon"    -> (eventsWilcoxon _),
     "cramers_v"          -> (cramersV _),
@@ -7202,6 +7285,55 @@ object StatQueries {
         |    round(exp(-0.717*abs(z) - 0.416*z*z), 9) AS p, m FROM zz)
         |SELECT type_a, type_b, n_a, n_b, z, p, p * m <= 0.05 AS significant
         |FROM pp ORDER BY type_a, type_b""".stripMargin,
+    // Shares the ANOVA moment discipline (milli-unit integers, rounded
+    // per-group correction terms); Tukey-Kramer q per pair, one chain.
+    "anova_tukey" ->
+      """WITH v AS (SELECT event_type, round(value*1000)::BIGINT AS v FROM events),
+        |g AS (SELECT event_type, count(*)::BIGINT AS n_i, sum(v)::BIGINT AS s_i,
+        |    sum(v::HUGEINT * v)::HUGEINT AS ssq_i,
+        |    round(sum(v)::DOUBLE * sum(v)::DOUBLE / count(*))::BIGINT AS gterm
+        |  FROM v GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS k, sum(n_i)::BIGINT AS n,
+        |    sum(ssq_i)::HUGEINT AS ssq, sum(gterm)::HUGEINT AS gsum FROM g)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  a.n_i AS n_a, b.n_i AS n_b,
+        |  round((a.s_i::DOUBLE/a.n_i - b.s_i::DOUBLE/b.n_i)/1e3, 6) AS mean_diff,
+        |  round((a.s_i::DOUBLE/a.n_i - b.s_i::DOUBLE/b.n_i)
+        |    / sqrt((ssq - gsum)::DOUBLE/(n - k)/2
+        |      *(1.0::DOUBLE/a.n_i + 1.0::DOUBLE/b.n_i)), 6) AS q,
+        |  abs(round((a.s_i::DOUBLE/a.n_i - b.s_i::DOUBLE/b.n_i)
+        |    / sqrt((ssq - gsum)::DOUBLE/(n - k)/2
+        |      *(1.0::DOUBLE/a.n_i + 1.0::DOUBLE/b.n_i)), 6)) > 3.858
+        |    AS significant
+        |FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN tot
+        |ORDER BY type_a, type_b""".stripMargin,
+    // Same doubled-midrank bookkeeping as events_mannwhitney;
+    // delta = (2*U_b - n_a*n_b)/(n_a*n_b), one division at display.
+    "ab_cliffs_delta" ->
+      """WITH ev AS (SELECT event_type, value,
+        |  CASE WHEN ((user_id % 1000000) * 2654435761 + 13) % 1000000 < 500000
+        |    THEN 0 ELSE 1 END AS variant
+        |  FROM events WHERE value IS NOT NULL),
+        |ranked AS (SELECT event_type, variant,
+        |    2*rank() OVER (PARTITION BY event_type ORDER BY value)
+        |      + count(*) OVER (PARTITION BY event_type, value) - 1 AS r2
+        |  FROM ev),
+        |g AS (SELECT event_type, variant, count(*)::BIGINT AS n,
+        |    sum(r2)::BIGINT AS r2sum FROM ranked GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+        |    b.r2sum - b.n*(b.n + 1) AS u2b
+        |  FROM g a JOIN g b ON a.event_type = b.event_type
+        |  WHERE a.variant = 0 AND b.variant = 1),
+        |d AS (SELECT event_type, n_a, n_b,
+        |    round((u2b - n_a*n_b)::DOUBLE/(n_a::DOUBLE*n_b), 6) AS delta,
+        |    round(((u2b - n_a*n_b)::DOUBLE/(n_a::DOUBLE*n_b) + 1)/2, 6) AS cles
+        |  FROM j)
+        |SELECT event_type, n_a, n_b, delta, cles,
+        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |    WHEN abs(delta) < 0.33 THEN 'small'
+        |    WHEN abs(delta) < 0.474 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM d ORDER BY event_type""".stripMargin,
     // Running-mean deviations round to nano units BEFORE the cumulative
     // walk; PH is exact integer nano state; argmax = (PH desc, h asc).
     "events_page_hinkley" ->

@@ -785,6 +785,46 @@ class EdgeBranchSpec extends SparkSpec {
     assert(r.getAs[Double]("mase") == 0.945946)
   }
 
+  // -------------------------------------------------- tranche 6
+
+  test("anova_tukey pins the Tukey-Kramer q and its significance gate") {
+    val dir = tmp()
+    valueEvents(dir, Map("a" -> Seq(1.0, 2.0, 3.0, 4.0),
+      "b" -> Seq(2.0, 4.0, 6.0, 8.0, 10.0), "c" -> Seq(5.0, 5.0, 6.0, 8.0)))
+    // golden_stats.py tranche6: MSW = 51/10; q(a,b) = -3.5/sqrt(
+    // 2.55*(1/4+1/5)) = -3.26732, q(a,c) = -3.099652, q(b,c) = 0.
+    val out = StatQueries.anovaTukey(spark, dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r)
+      .toMap
+    assert(out(("a", "b")).getAs[Double]("mean_diff") == -3.5)
+    assert(out(("a", "b")).getAs[Double]("q") == -3.26732)
+    assert(!out(("a", "b")).getAs[Boolean]("significant"))
+    assert(out(("a", "c")).getAs[Double]("q") == -3.099652)
+    assert(out(("b", "c")).getAs[Double]("q") == 0.0)
+    // Separated groups trip the 3.858 gate: q = -10/sqrt(1/3).
+    val dir2 = tmp()
+    valueEvents(dir2, Map("a" -> Seq(1.0, 2.0, 3.0),
+      "b" -> Seq(11.0, 12.0, 13.0)))
+    val r2 = one(StatQueries.anovaTukey(spark, dir2))
+    assert(r2.getAs[Double]("q") == -17.320508)
+    assert(r2.getAs[Boolean]("significant"))
+  }
+
+  test("ab_cliffs_delta pins the rank-biserial effect size with ties") {
+    val dir = tmp()
+    val a = Seq(10.0, 12.0, 14.0, 16.0, 18.0).zip(Seq(1L, 3L, 5L, 7L, 8L))
+    val b = Seq(11.0, 14.0, 19.0, 23.0, 27.0).zip(Seq(2L, 4L, 6L, 9L, 11L))
+    writeEvents(dir, (a ++ b).zipWithIndex.map { case ((v, u), i) =>
+      ((i + 1).toLong, Hour + i, u, "m", v)
+    })
+    // golden_stats.py tranche6: U_b = 18.5 (the 14-tie counts half),
+    // delta = (37 - 25)/25 = 0.48 (large), CLES = 0.74.
+    val r = one(StatQueries.abCliffsDelta(spark, dir))
+    assert(r.getAs[Double]("delta") == 0.48)
+    assert(r.getAs[Double]("cles") == 0.74)
+    assert(r.getAs[String]("magnitude") == "large")
+  }
+
   // ------------------------------------------------ latent branches
 
   test("ab_sprt emits the null-decision row when the LLR never crosses") {

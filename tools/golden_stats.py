@@ -962,3 +962,33 @@ def tranche5():
 
 if __name__ == "__main__":
     tranche5()
+
+
+def tranche6():
+    print("\n===== tranche 6 =====")
+
+    # anova_tukey on AOV: q_ij = (mi - mj)/sqrt(MSW/2 (1/ni + 1/nj)).
+    ssb, ssw, _ = anova(AOV)
+    n = sum(len(g) for g in AOV)
+    k = len(AOV)
+    msw = ssw / (n - k)
+    names = ["a", "b", "c"]
+    for i in range(3):
+        for j in range(i + 1, 3):
+            gi, gj = AOV[i], AOV[j]
+            q = (mean(gi) - mean(gj)) / math.sqrt(
+                msw / 2 * (1.0 / len(gi) + 1.0 / len(gj)))
+            print(f"tukey {names[i]}-{names[j]}: diff={r6(mean(gi)-mean(gj))} "
+                  f"q={r6(q)} sig={abs(round(q,6)) > 3.858}  raw={q!r}")
+            check_far(f"tukey.{names[i]}{names[j]}", q)
+
+    # ab_cliffs_delta on AB_A/AB_B: U_b = #(b>a) + ties/2.
+    ub = sum((1.0 if b > a else 0.5 if b == a else 0.0)
+             for a in AB_A for b in AB_B)
+    nn = len(AB_A) * len(AB_B)
+    delta = (2 * ub - nn) / nn
+    print(f"cliffs: U_b={ub} delta={r6(delta)} cles={r6((delta+1)/2)}")
+
+
+if __name__ == "__main__":
+    tranche6()
