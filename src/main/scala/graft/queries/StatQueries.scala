@@ -797,6 +797,38 @@ object StatQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** #5ac-5 Durbin-Watson first-order autocorrelation screen on the
+    * hourly count series per type — the regression-residual lag-1
+    * statistic (here on the mean-only model, where residual
+    * differences equal raw differences):
+    * d = Σ(xₜ − xₜ₋₁)² / Σ(xₜ − x̄)², d ≈ 2(1 − r₁), d < 2 means
+    * positive autocorrelation. Both sums are EXACT integers
+    * (numerator directly; denominator as the (n·Σx² − S²)/n moment),
+    * so d = num·n/(n·Σx² − S²) is one exact-rational double. The lag
+    * runs per type over the post-aggregate hourly series.
+    * Golden-pinned in [[graft.queries.EdgeBranchSpec]]. */
+  def eventsDurbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val diffed = hourly
+      .withColumn("px", lag("x", 1).over(w))
+      .withColumn("d2", when(col("px").isNotNull,
+        (col("x") - col("px")) * (col("x") - col("px"))).otherwise(0L))
+    diffed.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum("d2").as("num"))
+      .select(col("event_type"), col("n").as("n_hours"),
+        expr("""case when cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx <> 0
+          then round(cast(num as double)*n
+            / cast(cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx as double), 6)
+          end""").as("dw"))
+      .orderBy("event_type")
+  }
+
   /** #5ae-4 Tukey HSD pairwise contrasts after [[eventsAnova]] — the
     * parametric post-hoc that says WHICH type means differ: the
     * studentized-range statistic q = (x̄ᵢ − x̄ⱼ)/√(MSW/2·(1/nᵢ + 1/nⱼ))
@@ -1977,7 +2009,14 @@ object StatQueries {
       .select(col("vcfg").as("cfg"), col("v").as("p_conv"))
     val base = pstart.filter(col("cfg") === "none")
       .select(col("p_conv").as("p_base"))
-    val rem = pstart.filter(col("cfg") =!= "none")
+    // LEFT join from the channel list: a channel whose removal makes
+    // conversion IMPOSSIBLE never reaches __start in the absorption
+    // walk (no v row at all) — it must surface as p_conv = 0 / 100%
+    // removal effect, not silently vanish from the attribution
+    // ([[graft.queries.EdgeBranchSpec]] pins the branch).
+    val rem = configs.filter(col("cfg") =!= "none")
+      .join(pstart, Seq("cfg"), "left")
+      .withColumn("p_conv", coalesce(col("p_conv"), lit(0.0)))
       .crossJoin(broadcast(base))
       .withColumn("removal_effect", col("p_base") - col("p_conv"))
     val tot = rem.agg(sum("removal_effect").as("tot"))
@@ -4471,6 +4510,7 @@ object StatQueries {
     "kw_dunn"            -> (kwDunn _),
     "anova_tukey"        -> (anovaTukey _),
     "ab_cliffs_delta"    -> (abCliffsDelta _),
+    "events_durbin_watson" -> (eventsDurbinWatson _),
     "events_page_hinkley" -> (eventsPageHinkley _),
     "events_wilcoxon"    -> (eventsWilcoxon _),
     "cramers_v"          -> (cramersV _),
@@ -4579,8 +4619,10 @@ object StatQueries {
        |  SELECT vcfg AS cfg, v AS p_conv FROM v12 WHERE st = '__start'
        |), base AS (SELECT p_conv AS p_base FROM pstart WHERE cfg = 'none'),
        |rem AS (
-       |  SELECT cfg, p_conv, p_base, p_base - p_conv AS removal_effect
-       |  FROM pstart CROSS JOIN base WHERE cfg <> 'none'
+       |  SELECT cfg, coalesce(p_conv, 0.0::DOUBLE) AS p_conv, p_base,
+       |    p_base - coalesce(p_conv, 0.0::DOUBLE) AS removal_effect
+       |  FROM (SELECT cfg FROM configs WHERE cfg <> 'none') c
+       |  LEFT JOIN pstart USING (cfg) CROSS JOIN base
        |), tot AS (SELECT sum(removal_effect) AS tot FROM rem)
        |SELECT cfg AS channel, round(p_base, 6) AS p_conv_base,
        |  round(p_conv, 6) AS p_conv_removed,
@@ -7285,6 +7327,24 @@ object StatQueries {
         |    round(exp(-0.717*abs(z) - 0.416*z*z), 9) AS p, m FROM zz)
         |SELECT type_a, type_b, n_a, n_b, z, p, p * m <= 0.05 AS significant
         |FROM pp ORDER BY type_a, type_b""".stripMargin,
+    // Exact integer difference and moment sums; one rational division.
+    "events_durbin_watson" ->
+      """WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS x FROM events GROUP BY 1, 2),
+        |diffed AS (SELECT event_type, x,
+        |    lag(x) OVER (PARTITION BY event_type ORDER BY h) AS px
+        |  FROM hourly),
+        |agg AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(x::HUGEINT * x)::HUGEINT AS sxx,
+        |    sum(CASE WHEN px IS NOT NULL THEN (x - px)*(x - px)
+        |      ELSE 0 END)::BIGINT AS num
+        |  FROM diffed GROUP BY 1)
+        |SELECT event_type, n AS n_hours,
+        |  CASE WHEN n::HUGEINT*sxx - sx::HUGEINT*sx <> 0
+        |    THEN round(num::DOUBLE*n
+        |      / (n::HUGEINT*sxx - sx::HUGEINT*sx)::DOUBLE, 6)
+        |    END AS dw
+        |FROM agg ORDER BY event_type""".stripMargin,
     // Shares the ANOVA moment discipline (milli-unit integers, rounded
     // per-group correction terms); Tukey-Kramer q per pair, one chain.
     "anova_tukey" ->

@@ -825,6 +825,48 @@ class EdgeBranchSpec extends SparkSpec {
     assert(r.getAs[String]("magnitude") == "large")
   }
 
+  // -------------------------------------------------- tranche 7
+
+  test("events_durbin_watson pins d on the hourly series") {
+    val dir = tmp()
+    countEvents(dir, 100L, Map("t1" -> T1, "t2" -> T2))
+    // golden_stats.py tranche7: d = sum(diff^2)/sum((x-mean)^2):
+    // t1 = 1.944444 (near-white), t2 = 0.954479 (positive autocorr).
+    val out = seriesOut(StatQueries.eventsDurbinWatson(spark, dir))
+    assert(out("t1").getAs[Double]("dw") == 1.944444)
+    assert(out("t2").getAs[Double]("dw") == 0.954479)
+  }
+
+  test("events_hurst pins the R/S slope on a 64-hour series") {
+    val dir = tmp()
+    val series = (0 until 64).map(h => ((h * 7) % 13) + ((h * 3) % 5) + 1)
+    countEvents(dir, 0L, Map("hu" -> series))
+    // golden_stats.py tranche7: mean R/S over complete blocks of
+    // 8/16/32 hours, ln-ln least-squares slope = 0.546042.
+    val r = one(StatQueries.eventsHurst(spark, dir))
+    assert(r.getAs[Double]("hurst") == 0.546042)
+  }
+
+  test("markov_attribution pins the removal effects of a hand-solved chain") {
+    val dir = tmp()
+    // One user, two sessions: [view, click, purchase] and [view]
+    // (9880 s gap > 30 min). Chain: start->view (p=1),
+    // view->{click .5, null .5}, click->conv (p=1) => P(conv) = 0.5;
+    // removing either channel zeroes it.
+    writeEvents(dir, Seq((1L, 0L, "view"), (2L, 60000000L, "click"),
+      (3L, 120000000L, "purchase"), (4L, 10000000000L, "view"))
+      .map { case (id, ts, t) => (id, ts, 1L, t, 1.0) })
+    val out = StatQueries.markovAttribution(spark, dir).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    assert(out.size == 2)
+    for (ch <- Seq("view", "click")) {
+      assert(out(ch).getAs[Double]("p_conv_base") == 0.5)
+      assert(out(ch).getAs[Double]("p_conv_removed") == 0.0)
+      assert(out(ch).getAs[Double]("removal_effect") == 0.5)
+      assert(out(ch).getAs[Double]("share") == 0.5)
+    }
+  }
+
   // ------------------------------------------------ latent branches
 
   test("ab_sprt emits the null-decision row when the LLR never crosses") {

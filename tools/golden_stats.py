@@ -992,3 +992,51 @@ def tranche6():
 
 if __name__ == "__main__":
     tranche6()
+
+
+def tranche7():
+    print("\n===== tranche 7 =====")
+
+    # events_durbin_watson on T1/T2.
+    for nm, xs in (("t1", T1), ("t2", T2)):
+        num = sum((b - a) ** 2 for a, b in zip(xs, xs[1:]))
+        mu = mean(xs)
+        den = sum((x - mu) ** 2 for x in xs)
+        print(f"dw[{nm}]: dw={r6(num/den)}  raw={num/den!r}")
+        check_far(f"dw.{nm}", num / den)
+
+    # events_hurst: 64-hour series, engine R/S over m = 8,16,32.
+    H64 = [((h * 7) % 13) + ((h * 3) % 5) + 1 for h in range(64)]
+    pts = []
+    for m in (8, 16, 32):
+        rss = []
+        for b in range(64 // m):
+            blk = H64[b * m:(b + 1) * m]
+            mu = mean(blk)
+            cum, mx, mn, s = 0.0, -1e18, 1e18, 0.0
+            cums = []
+            for x in blk:
+                cum += x - mu
+                cums.append(cum)
+            r = max(cums) - min(cums)
+            sd = math.sqrt(sum((x - mu) ** 2 for x in blk) / m)
+            if sd > 0:
+                rss.append(r / sd)
+        pts.append((math.log(m), math.log(mean(rss))))
+    xb = mean([x for x, _ in pts])
+    yb = mean([y for _, y in pts])
+    slope = sum((x - xb) * (y - yb) for x, y in pts) / \
+        sum((x - xb) ** 2 for x, _ in pts)
+    print(f"hurst: {r6(slope)}  raw={slope!r}")
+    check_far("hurst", slope)
+    print("  H64 =", H64)
+
+    # markov_attribution: 1 user, 2 sessions:
+    # [view, click, purchase], [view] -> hand-solved chain:
+    # P(start->conv) = 0.5; removing either channel kills it.
+    print("markov_attr: base=0.5; view/click removed=0.0, effect=0.5, "
+          "share=0.5 each")
+
+
+if __name__ == "__main__":
+    tranche7()
