@@ -30,10 +30,14 @@ object RegressionEvaluation {
         sum(l * l).as("sll"))
       .select(
         col("n"),
-        (col("sse") / col("n")).as("mse"),
-        sqrt(col("sse") / col("n")).as("rmse"),
-        (col("sae") / col("n")).as("mae"),
-        (lit(1.0) - col("sse") /
-          (col("sll") - col("sl") * col("sl") / col("n"))).as("r2"))
+        // Empty or constant-label inputs: null metrics, never a
+        // divide-by-zero crash (n = 0 or zero label variance).
+        when(col("n") > 0, col("sse") / col("n")).as("mse"),
+        when(col("n") > 0, sqrt(col("sse") / col("n"))).as("rmse"),
+        when(col("n") > 0, col("sae") / col("n")).as("mae"),
+        when(col("n") > 0 &&
+            col("sll") - col("sl") * col("sl") / col("n") =!= 0.0,
+          lit(1.0) - col("sse") /
+            (col("sll") - col("sl") * col("sl") / col("n"))).as("r2"))
   }
 }

@@ -128,7 +128,15 @@ object Decontaminate {
     val evalSh = shingled(evalSet, evalTextCol, monotonically_increasing_id())
       .select("shingle").distinct()
       .localCheckpoint(true)
-    val nEval = math.max(evalSh.count(), 1L)
+    val nEvalRaw = evalSh.count()
+    if (nEvalRaw == 0L) {
+      // No eval shingles at all (texts shorter than n): nothing can be
+      // contaminated — empty result, same schema (bloomFilter over an
+      // empty frame would NPE on its null buffer).
+      return corpusSh.groupBy(col("id").as(idCol))
+        .agg(count(lit(1)).as("n_hits")).filter(lit(false))
+    }
+    val nEval = nEvalRaw
     val bloom = evalSh.stat.bloomFilter("shingle", nEval, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val cand = corpusSh

@@ -40,7 +40,10 @@ object Drift {
       .withColumn("_nb", sum("_ib").over(whole))
       .groupBy(groupCol)
       .agg(max("_na").as("n_a"), max("_nb").as("n_b"),
-        round(max(abs(col("_ca") / col("_na") - col("_cb") / col("_nb"))), 6)
+        // One side empty (a group seen in only one sample): null KS,
+        // not a divide-by-zero crash.
+        round(max(when(col("_na") > 0 && col("_nb") > 0,
+          abs(col("_ca") / col("_na") - col("_cb") / col("_nb")))), 6)
           .as("ks"))
   }
 

@@ -108,13 +108,26 @@ object Pq {
         if (trainFraction >= 1.0) base
         else base.filter(pmod(xxhash64(col("id"), lit(seed)), lit(1000000))
           < lit((trainFraction * 1000000).toLong))
+      // Same k-means|| guard as IvfIndex.build: MLlib indexes past the
+      // end when k exceeds the training rows — cap per build (the scan
+      // stops after k rows), and at 0/1 rows take the row itself.
+      val avail = trainSet.limit(k).count().toInt
+      require(avail > 0, "PQ training set is empty — nothing to quantize")
       val books = (0 until m).map { j =>
-        val sub = trainSet.select(
-          array_to_vector(slice(col("v"), lit(j * subDim + 1), lit(subDim))).as("fv"))
-        val centers = new KMeans()
-          .setK(k).setSeed(seed + j).setMaxIter(maxIter).setFeaturesCol("fv")
-          .fit(sub)
-          .clusterCenters.map(_.toArray)
+        val subArr = trainSet.select(
+          slice(col("v"), lit(j * subDim + 1), lit(subDim)).as("av"))
+        // MLlib's k-means aggregator indexes past the end when k is not
+        // far below the DISTINCT point count: when the subspace has at
+        // most k distinct subvectors they ARE the (perfect) codebook.
+        val distinctSub = subArr.distinct().orderBy("av").limit(k + 1).collect()
+        val centers =
+          if (distinctSub.length <= k)
+            distinctSub.map(_.getSeq[Double](0).toArray)
+          else new KMeans()
+            .setK(k).setSeed(seed + j).setMaxIter(maxIter)
+            .setFeaturesCol("fv")
+            .fit(subArr.select(array_to_vector(col("av")).as("fv")))
+            .clusterCenters.map(_.toArray)
         // k-means returns < k centers on a low-diversity subspace (fewer
         // distinct subvectors than k); pad when asked, else fail with
         // the cause, not the PqModel constructor's opaque error.
@@ -334,7 +347,8 @@ final class IvfPqIndex private[ops] (
       qVecCol: String,
       topK: Int,
       nprobe: Int): org.apache.spark.sql.DataFrame = {
-    require(topK > 0 && nprobe > 0 && nprobe <= nlist, "need 0 < nprobe <= nlist")
+    require(topK > 0 && nprobe > 0, "need positive topK and nprobe")
+    val np = math.min(nprobe, nlist) // a degenerate corpus caps nlist
     val spark = codedCells.sparkSession
     import spark.implicits._
     val mod = model
@@ -356,7 +370,7 @@ final class IvfPqIndex private[ops] (
           val probed = cents.zipWithIndex
             .map { case ((_, n2), i) => (2.0 * cellDots(i) - n2, i) }
             .sortBy { case (s, i) => (-s, i) }
-            .take(nprobe).map(_._2).toSet
+            .take(np).map(_._2).toSet
           val mask = Array.tabulate(cents.size)(probed.contains)
           val lut = Array.ofDim[Double](mod.m, mod.k)
           var j = 0

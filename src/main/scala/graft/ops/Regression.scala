@@ -74,9 +74,11 @@ object Regression {
         - col("s1y").cast("double") * col("s2").cast("double")) +
       col("sy").cast("double") * col("m02")
     solved
-      .withColumn("b0", det0 / det)
-      .withColumn("b1", det1 / det)
-      .withColumn("b2", det2 / det)
+      // A singular design (collinear or too few rows) has det = 0 —
+      // null coefficients instead of a divide-by-zero crash.
+      .withColumn("b0", when(det =!= 0.0, det0 / det))
+      .withColumn("b1", when(det =!= 0.0, det1 / det))
+      .withColumn("b2", when(det =!= 0.0, det2 / det))
       // SSE via the normal-equations identity: Σy² − b·(X'y); SST from
       // the centered second moment. Both reuse the exact moments.
       .withColumn("sse", col("syy").cast("double")
@@ -89,6 +91,7 @@ object Regression {
         round(col("b0"), 6).as("b0"),
         round(col("b1"), 6).as("b1"),
         round(col("b2"), 6).as("b2"),
-        round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"))
+        when(col("sst") =!= 0.0,
+          round(lit(1.0) - col("sse") / col("sst"), 6)).as("r2"))
   }
 }

@@ -222,8 +222,8 @@ final class IvfIndex private[ops] (
       vecCol: String,
       k: Int,
       nprobe: Int): DataFrame = {
-    require(nprobe <= nlist, "nprobe must be <= nlist")
     require(k > 0)
+    val np = math.min(nprobe, nlist) // a degenerate corpus caps nlist
     import Similarity.dot
     // Small centroid table → literal; on unit queries ‖u−c‖² =
     // 1 + ‖c‖² − 2u·c, so rank cells by 2u·c − ‖c‖² descending.
@@ -233,7 +233,7 @@ final class IvfIndex private[ops] (
       .withColumn("csim", lit(2.0) * dot(col("uv"), col("col._1")) - col("col._2"))
       .withColumn("crank", row_number().over(
         Window.partitionBy("qid").orderBy(col("csim").desc, col("pos"))))
-      .filter(col("crank") <= nprobe)
+      .filter(col("crank") <= np)
       .select(col("qid"), col("qv"), col("qn"), col("pos").as("cell"))
 
     val scored = probes.join(assigned, Seq("cell"))
@@ -417,8 +417,27 @@ object IvfIndex {
         if (trainFraction >= 1.0) c
         else c.filter(pmod(xxhash64(col("id"), lit(seed)), lit(1000000))
           < lit((trainFraction * 1000000).toLong))
+      // MLlib's k-means|| init indexes past the end when k exceeds the
+      // training rows (and requires k >= 2): cap k at the available
+      // rows — limit(nlist).count() touches at most nlist rows — and
+      // below 2 rows skip MLlib entirely (the rows ARE the centroids).
+      val distinctUv = trainSet.select(col("uv")).distinct()
+        .orderBy("uv").limit(nlist + 1).collect()
+      if (distinctUv.length <= nlist) {
+        // At most nlist distinct directions: they ARE the (perfect)
+        // quantizer — MLlib's aggregator indexes past the end here.
+        val centers = distinctUv.map { r =>
+          val cc = r.getSeq[Double](0).toArray
+          (cc.toSeq, cc.map(x => x * x).sum)
+        }.toSeq
+        val assigned = IvfIndex
+          .assignToCells(centers, c.select(col("id"), col("v")), "id", "v")
+          .localCheckpoint(true)
+        return new IvfIndex(centers, assigned)
+      }
       val model = new KMeans()
-        .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("fv")
+        .setK(nlist).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("fv")
         .fit(trainSet)
       // Materialized (eager): search() must pay only the probe join,
       // never a re-assignment pass over the corpus — and the checkpoint

@@ -624,7 +624,12 @@ object TextAnalysis {
       .localCheckpoint(true)
     val deg = edges.groupBy("s").agg(count(lit(1)).as("d")).localCheckpoint(true)
     val n = deg.count()
-    require(n > 0, "empty co-occurrence graph")
+    if (n == 0) {
+      // No co-occurrence edges at all (too few/short docs): no
+      // keywords, not a crash.
+      return df.sparkSession.range(0)
+        .select(col("id").cast("string").as("word"), lit(0.0).as("rank"))
+    }
     val base = Math.round(0.15e12 / n)
     var p = deg.select(col("s").as("v"), lit(Math.round(1.0e12 / n)).as("pp"))
     for (_ <- 1 to iterations) {

@@ -402,10 +402,16 @@ object CmfQueries {
         .head().getDouble(4)
 
       import s.implicits._
+      // Null-safe reads: a degenerate corpus can leave the evaluation
+      // aggregates null (no finite predictions) — report false, never
+      // crash on Row.getDouble(null).
+      def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
       Seq((nTest, hold.getLong(0),
-          evTrain.getDouble(2) < 0.8 * sdTrain,
+          opt(evTrain, 2).exists(_ < 0.8 * sdTrain),
           ndcg >= 0.85,
-          hold.getDouble(1) <= 2.5 * hold.getDouble(2)))
+          (for { h1 <- opt(hold, 1); h2 <- opt(hold, 2) }
+            yield h1 <= 2.5 * h2).getOrElse(false)))
         .toDF("n_test", "n_eval", "train_rmse_ok", "ndcg_ok", "holdout_bounded")
     })
 

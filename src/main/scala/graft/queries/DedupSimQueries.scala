@@ -352,8 +352,10 @@ object DedupSimQueries {
     val nt = truth.agg(count(lit(1)).as("n_truth"))
     tp.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
       .select(col("tp"), col("n_cand"), col("n_truth"),
-        expr("round(cast(tp as double)/n_cand, 6)").as("precision"),
-        expr("round(cast(tp as double)/n_truth, 6)").as("recall"))
+        expr("case when n_cand > 0 then round(cast(tp as double)/n_cand, 6) end")
+          .as("precision"),
+        expr("case when n_truth > 0 then round(cast(tp as double)/n_truth, 6) end")
+          .as("recall"))
   }
 
   /** #23g embedding triplet audit over the planted mutations — the
@@ -707,7 +709,10 @@ object DedupSimQueries {
   def pqState(s: SparkSession, dir: String): (graft.ops.Pq.PqModel, DataFrame) =
     pqCache.getOrElseUpdate((s, dir), {
       val unit = unitMutations(s, dir)
-      val model = graft.ops.Pq.train(unit, "vec_id", "uv", m = 8, k = 16, seed = 7L)
+      // padShort: a degenerate corpus (fewer distinct subvectors than
+      // k) pads the codebook instead of failing the whole query surface.
+      val model = graft.ops.Pq.train(unit, "vec_id", "uv", m = 8, k = 16,
+        seed = 7L, padShort = true)
       (model, graft.ops.Pq.encode(unit, "vec_id", "uv", model).localCheckpoint(true))
     })
 
@@ -1288,8 +1293,10 @@ object DedupSimQueries {
         |    (SELECT count(*) FROM truth)::BIGINT AS n_truth
         |)
         |SELECT tp, n_cand, n_truth,
-        |  round(CAST(tp AS DOUBLE)/n_cand, 6) AS precision,
-        |  round(CAST(tp AS DOUBLE)/n_truth, 6) AS recall
+        |  CASE WHEN n_cand > 0 THEN
+        |    round(CAST(tp AS DOUBLE)/n_cand, 6) END AS precision,
+        |  CASE WHEN n_truth > 0 THEN
+        |    round(CAST(tp AS DOUBLE)/n_truth, 6) END AS recall
         |FROM g""".stripMargin,
     // Same single-chain cosines; hardest negative is a max over an
     // identical pair set; margins nano-round before the mean.

@@ -217,9 +217,11 @@ object EvalQueries {
       .agg(count(lit(1)).as("n_test"), sum("y").as("n_pos"),
         sum("term_ppm").as("sum_ppm"))
       .select(col("n_test"), col("n_pos"),
-        round(col("sum_ppm") / lit(1000000.0) / col("n_pos"), 6)
+        when(col("n_pos") > 0,
+          round(col("sum_ppm") / lit(1000000.0) / col("n_pos"), 6))
           .as("avg_precision"),
-        round(col("n_pos") / col("n_test"), 6).as("base_rate"))
+        when(col("n_test") > 0,
+          round(col("n_pos") / col("n_test"), 6)).as("base_rate"))
   }
 
   /** #16e cumulative gains / lift table: test rows in deciles of the
@@ -242,8 +244,10 @@ object EvalQueries {
       .withColumn("cum_pos", sum("n_pos").over(w))
       .crossJoin(broadcast(tot))
       .select(col("decile"), col("n"), col("n_pos"),
-        round(col("cum_pos") / col("pos_tot"), 6).as("cum_capture"),
-        round(col("cum_pos") * col("n_tot") / (col("pos_tot") * col("cum_n")), 6)
+        when(col("pos_tot") > 0,
+          round(col("cum_pos") / col("pos_tot"), 6)).as("cum_capture"),
+        when(col("pos_tot") * col("cum_n") > 0,
+          round(col("cum_pos") * col("n_tot") / (col("pos_tot") * col("cum_n")), 6))
           .as("cum_lift"))
       .orderBy("decile")
   }
@@ -340,7 +344,8 @@ object EvalQueries {
       .groupBy("n1", "n0", "mg")
       .agg(min("p").as("p_at"))
       .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
-        expr("round(cast(mg as double)/(cast(n1 as double)*n0), 6)").as("ks"),
+        expr("""case when n1 > 0 and n0 > 0 then
+          round(cast(mg as double)/(cast(n1 as double)*n0), 6) end""").as("ks"),
         expr("round(p_at, 6)").as("ks_at_p"))
   }
 
@@ -480,7 +485,8 @@ object EvalQueries {
         |  FROM cum CROSS JOIN tot
         |), best AS (SELECT max(gap) AS mg FROM gaps)
         |SELECT n1 AS n_pos, n0 AS n_neg,
-        |  round(CAST(mg AS DOUBLE)/(CAST(n1 AS DOUBLE)*n0), 6) AS ks,
+        |  CASE WHEN n1 > 0 AND n0 > 0 THEN
+        |    round(CAST(mg AS DOUBLE)/(CAST(n1 AS DOUBLE)*n0), 6) END AS ks,
         |  round(min(p), 6) AS ks_at_p
         |FROM gaps JOIN best ON gap = mg
         |GROUP BY n1, n0, mg""".stripMargin),
@@ -549,10 +555,12 @@ object EvalQueries {
         |  FROM scored
         |)
         |SELECT count(*)::BIGINT AS n_test, sum(y)::BIGINT AS n_pos,
-        |  round(sum(CASE WHEN y = 1
+        |  CASE WHEN sum(y) > 0 THEN
+        |    round(sum(CASE WHEN y = 1
         |      THEN CAST(round(cum * 1000000.0 / rn, 0) AS BIGINT)
-        |      ELSE 0 END) / 1000000.0 / sum(y), 6) AS avg_precision,
-        |  round(sum(y) / count(*), 6) AS base_rate
+        |      ELSE 0 END) / 1000000.0 / sum(y), 6) END AS avg_precision,
+        |  CASE WHEN count(*) > 0 THEN
+        |    round(sum(y) / count(*), 6) END AS base_rate
         |FROM ranked""".stripMargin),
     // Deciles via exact ntile; captures/lifts divide exact integer
     // products once at display.
@@ -572,8 +580,10 @@ object EvalQueries {
         |  FROM byd
         |)
         |SELECT decile, n, n_pos,
-        |  round(cum_pos / pos_tot, 6) AS cum_capture,
-        |  round(cum_pos * n_tot / (pos_tot * cum_n), 6) AS cum_lift
+        |  CASE WHEN pos_tot > 0 THEN
+        |    round(cum_pos / pos_tot, 6) END AS cum_capture,
+        |  CASE WHEN pos_tot * cum_n > 0 THEN
+        |    round(cum_pos * n_tot / (pos_tot * cum_n), 6) END AS cum_lift
         |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin),
     // Residuals are the exact integer |v_us*n_train - sum_us|; the
     // chrono slices reproduce ChronoSplit.split's floor(cum-weight * n)
@@ -701,11 +711,16 @@ object EvalQueries {
         |  SELECT l_partkey, avg(l_quantity) AS prediction FROM lineitem GROUP BY 1
         |)
         |SELECT count(*) AS n,
-        |  round(sum((prediction - l_quantity)^2) / count(*), 6) AS mse,
-        |  round(sqrt(sum((prediction - l_quantity)^2) / count(*)), 6) AS rmse,
-        |  round(sum(abs(prediction - l_quantity)) / count(*), 6) AS mae,
-        |  round(1.0 - sum((prediction - l_quantity)^2)
-        |      / (sum(l_quantity^2) - sum(l_quantity)^2 / count(*)), 6) AS r2
+        |  CASE WHEN count(*) > 0 THEN
+        |    round(sum((prediction - l_quantity)^2) / count(*), 6) END AS mse,
+        |  CASE WHEN count(*) > 0 THEN
+        |    round(sqrt(sum((prediction - l_quantity)^2) / count(*)), 6) END AS rmse,
+        |  CASE WHEN count(*) > 0 THEN
+        |    round(sum(abs(prediction - l_quantity)) / count(*), 6) END AS mae,
+        |  CASE WHEN count(*) > 0
+        |      AND sum(l_quantity^2) - sum(l_quantity)^2 / count(*) <> 0 THEN
+        |    round(1.0 - sum((prediction - l_quantity)^2)
+        |      / (sum(l_quantity^2) - sum(l_quantity)^2 / count(*)), 6) END AS r2
         |FROM lineitem JOIN p USING (l_partkey)""".stripMargin,
     "eval_ranking" ->
       """WITH inter AS (

@@ -2182,7 +2182,7 @@ object OpsQueries {
           .when(col("u") < 996340L, 4L).when(col("u") < 999406L, 5L)
           .otherwise(6L))
     val means = ev.groupBy("event_type", "b")
-      .agg((sum(col("m") * col("vmicro")).cast("double")
+      .agg(when(sum("m") > 0, sum(col("m") * col("vmicro")).cast("double")
         / (sum("m") * lit(1000000.0))).as("mean_b"))
     means.groupBy("event_type")
       .agg(count(lit(1)).as("n_resamples"),
@@ -3791,7 +3791,8 @@ object OpsQueries {
     fields.map { case (name, m, u) =>
       fitted.select(lit(name).as("field"),
         round(col(m), 6).as("m"), round(col(u), 6).as("u"),
-        round(log(col(m) / col(u)), 6).as("ln_weight"),
+        when(col(u) > 0 && col(m) > 0,
+          round(log(col(m) / col(u)), 6)).as("ln_weight"),
         round(col("lam"), 6).as("lam"))
     }.reduce(_ unionAll _).orderBy("field")
   }
@@ -6242,7 +6243,8 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
         |  FROM ex
         |), means AS (
         |  SELECT event_type, b,
-        |    sum(mult * vmicro)::DOUBLE / (sum(mult) * 1000000.0) AS mean_b
+        |    CASE WHEN sum(mult) > 0 THEN
+        |      sum(mult * vmicro)::DOUBLE / (sum(mult) * 1000000.0) END AS mean_b
         |  FROM mm GROUP BY 1, 2
         |)
         |SELECT event_type, count(*)::BIGINT AS n_resamples,
@@ -6532,7 +6534,8 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |)
         |SELECT event_type, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
-        |  round(max(abs(ca / na::DOUBLE - cb / nb::DOUBLE)), 6) AS ks
+        |  round(max(CASE WHEN na > 0 AND nb > 0 THEN
+        |    abs(ca / na::DOUBLE - cb / nb::DOUBLE) END), 6) AS ks
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "drift_psi" ->
       """WITH b AS (
@@ -8075,13 +8078,13 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
          |${em("p1", "p2")}
          |SELECT field, m, u, ln_weight, lam FROM (
          |  SELECT 'lang' AS field, round(m1, 6) AS m, round(u1, 6) AS u,
-         |    round(ln(m1 / u1), 6) AS ln_weight, round(lam, 6) AS lam FROM p2
+         |    CASE WHEN u1 > 0 AND m1 > 0 THEN round(ln(m1 / u1), 6) END AS ln_weight, round(lam, 6) AS lam FROM p2
          |  UNION ALL
          |  SELECT 'source', round(m2, 6), round(u2, 6),
-         |    round(ln(m2 / u2), 6), round(lam, 6) FROM p2
+         |    CASE WHEN u2 > 0 AND m2 > 0 THEN round(ln(m2 / u2), 6) END, round(lam, 6) FROM p2
          |  UNION ALL
          |  SELECT 'prefix16', round(m3, 6), round(u3, 6),
-         |    round(ln(m3 / u3), 6), round(lam, 6) FROM p2
+         |    CASE WHEN u3 > 0 AND m3 > 0 THEN round(ln(m3 / u3), 6) END, round(lam, 6) FROM p2
          |) ORDER BY field""".stripMargin
     },
     "er_scores" ->

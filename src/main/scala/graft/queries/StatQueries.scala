@@ -218,7 +218,8 @@ object StatQueries {
       .agg(count(lit(1)).as("n_hours"),
         round(var_pop("n"), 6).as("var_total"),
         round(var_pop(col("n") - col("cell_mean")), 6).as("var_resid"),
-        round(lit(1.0) - var_pop(col("n") - col("cell_mean")) / var_pop("n"), 6)
+        when(var_pop("n") > 0, round(lit(1.0)
+          - var_pop(col("n") - col("cell_mean")) / var_pop("n"), 6))
           .as("seasonal_r2"))
       .orderBy("event_type")
   }
@@ -559,8 +560,8 @@ object StatQueries {
         expr(s"stack(${ks.length}, $stackArgs) as (k, n_rich, e_rich)"))
       .withColumn("phi_bp", expr(
         "CASE WHEN n_rich >= 2 THEN e_rich * 2 * 10000 div (n_rich * (n_rich - 1)) END"))
-      .withColumn("density_all_bp",
-        expr("e_all * 2 * 10000 div (n_all * (n_all - 1))"))
+      .withColumn("density_all_bp", expr(
+        "CASE WHEN n_all >= 2 THEN e_all * 2 * 10000 div (n_all * (n_all - 1)) END"))
       .select("k", "n_rich", "e_rich", "phi_bp", "density_all_bp")
       .orderBy("k")
   }
@@ -690,7 +691,14 @@ object StatQueries {
       .select(col("item_a").as("s"), col("item_b").as("t"))
     val edges = p.unionAll(p.select(col("t").as("s"), col("s").as("t")))
       .localCheckpoint(true)
-    val start = edges.agg(min("s")).head.getLong(0)
+    val startRow = edges.agg(min("s")).head
+    if (startRow.isNullAt(0)) {
+      // No edges at all (degenerate corpus): empty result, same schema.
+      return s.range(0).select(col("id").as("start_v"),
+        col("id").as("peripheral_v"), col("id").as("ecc_lower"),
+        col("id").as("n_reach_1"), col("id").as("n_reach_2"))
+    }
+    val start = startRow.getLong(0)
     val d1 = graft.ops.Bfs.distances(edges, "s", "t", start, 4)
     val far = d1.orderBy(col("dist").desc, col("v")).head
     val u = far.getLong(0)
@@ -857,8 +865,9 @@ object StatQueries {
       .crossJoin(broadcast(tot))
       .withColumn("msw", expr("cast(ssq - gsum as double)/(n - k)"))
       .withColumn("q", expr(
-        """round((cast(s_a as double)/n_a - cast(s_b as double)/n_b)
-          / sqrt(msw/2*(1e0/n_a + 1e0/n_b)), 6)"""))
+        """case when n > k and ssq > gsum then
+          round((cast(s_a as double)/n_a - cast(s_b as double)/n_b)
+            / sqrt(msw/2*(1e0/n_a + 1e0/n_b)), 6) end"""))
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
         expr("round((cast(s_a as double)/n_a - cast(s_b as double)/n_b)/1e3, 6)")
           .as("mean_diff"),
@@ -1127,8 +1136,9 @@ object StatQueries {
         round(-col("st") / 1000000000.0 / col("n_transitions"), 6)
           .as("entropy_rate"),
         round(log(col("n_states").cast("double")), 6).as("max_entropy"),
-        round((-col("st") / 1000000000.0 / col("n_transitions"))
-          / log(col("n_states").cast("double")), 6).as("efficiency"))
+        when(col("n_states") > 1,
+          round((-col("st") / 1000000000.0 / col("n_transitions"))
+            / log(col("n_states").cast("double")), 6)).as("efficiency"))
   }
 
   /** #5z''''' Cochran-Mantel-Haenszel pooled odds ratio of purchase by
@@ -1158,8 +1168,10 @@ object StatQueries {
         sum("a").as("ta"), sum("b").as("tb"), sum("c").as("tc"),
         sum("d").as("td"))
       .select(col("n_strata"),
-        round(col("num_ppb") / col("den_ppb").cast("double"), 6).as("or_mh"),
-        round(col("ta") * col("td") / (col("tb") * col("tc")).cast("double"), 6)
+        when(col("den_ppb") =!= 0,
+          round(col("num_ppb") / col("den_ppb").cast("double"), 6)).as("or_mh"),
+        when(col("tb") * col("tc") =!= 0,
+          round(col("ta") * col("td") / (col("tb") * col("tc")).cast("double"), 6))
           .as("or_crude"))
   }
 
@@ -2025,7 +2037,8 @@ object StatQueries {
         round(col("p_base"), 6).as("p_conv_base"),
         round(col("p_conv"), 6).as("p_conv_removed"),
         round(col("removal_effect"), 6).as("removal_effect"),
-        round(col("removal_effect") / col("tot"), 6).as("share"))
+        when(col("tot") =!= 0,
+          round(col("removal_effect") / col("tot"), 6)).as("share"))
       .orderBy("channel")
   }
 
@@ -2383,8 +2396,9 @@ object StatQueries {
       .groupBy("event_type", "arm")
       .agg(count(lit(1)).as("n"), sum(col("v").cast(d18)).as("sv"),
         sum(col("v").cast(d18) * col("v").cast(d18)).as("svv"))
-      .withColumn("vr", (col("n") * col("svv") - col("sv") * col("sv"))
-        .cast("double") / (col("n").cast("double") * (col("n") - 1)))
+      .withColumn("vr", when(col("n") > 1,
+        (col("n") * col("svv") - col("sv") * col("sv"))
+          .cast("double") / (col("n").cast("double") * (col("n") - 1))))
     val a = g.filter(col("arm") === 0).select(col("event_type"),
       col("n").as("n_a"), col("sv").as("sv_a"), col("vr").as("vr_a"))
     val bb = g.filter(col("arm") === 1).select(col("event_type"),
@@ -2395,8 +2409,8 @@ object StatQueries {
         round(col("sv_a").cast("double") / col("n_a") / 1000000.0, 6)
           .as("mean_a"),
         round(lit(z) * col("se") / 1000000.0, 6).as("mde_abs"),
-        round(lit(z) * col("se")
-          / (col("sv_a").cast("double") / col("n_a")), 6).as("mde_rel"))
+        when(col("sv_a") =!= 0, round(lit(z) * col("se")
+          / (col("sv_a").cast("double") / col("n_a")), 6)).as("mde_rel"))
       .orderBy("event_type")
   }
 
@@ -2505,10 +2519,12 @@ object StatQueries {
           .as("p_bar"),
         expr("""round(cast(cast(t1 as decimal(38,0))*t1 + cast(t0 as decimal(38,0))*t0 as double)
           / cast(9*cast(n as decimal(38,0))*n as double), 6)""").as("p_e"),
-        expr("""round(cast(3*cast(n as decimal(38,0))*(sq - 3*n)
+        expr("""case when 9*cast(n as decimal(38,0))*n
+            <> cast(t1 as decimal(38,0))*t1 + cast(t0 as decimal(38,0))*t0 then
+          round(cast(3*cast(n as decimal(38,0))*(sq - 3*n)
             - 2*(cast(t1 as decimal(38,0))*t1 + cast(t0 as decimal(38,0))*t0) as double)
           / cast(2*(9*cast(n as decimal(38,0))*n - cast(t1 as decimal(38,0))*t1
-            - cast(t0 as decimal(38,0))*t0) as double), 6)""").as("kappa"))
+            - cast(t0 as decimal(38,0))*t0) as double), 6) end""").as("kappa"))
   }
 
   /** #5ae one-way ANOVA of event value by event type — the parametric
@@ -2533,8 +2549,9 @@ object StatQueries {
         expr("round((gsum - cast(round(cast(s as double)*cast(s as double)/n, 0) as bigint)) / 1e6, 6)")
           .as("ss_between"),
         expr("round((ssq - gsum) / 1e6, 6)").as("ss_within"),
-        expr("""round(cast(gsum - cast(round(cast(s as double)*cast(s as double)/n, 0) as bigint) as double) * (n - k)
-          / (cast(ssq - gsum as double) * (k - 1)), 6)""").as("f_stat"))
+        expr("""case when k > 1 and ssq > gsum then
+          round(cast(gsum - cast(round(cast(s as double)*cast(s as double)/n, 0) as bigint) as double) * (n - k)
+          / (cast(ssq - gsum as double) * (k - 1)), 6) end""").as("f_stat"))
   }
 
   /** #5af Bartlett's test for equal variances across event types — the
@@ -2554,6 +2571,10 @@ object StatQueries {
         sum(expr("cast(v as decimal(38,0)) * v")).as("ssq_i"))
       .withColumn("num_i",
         expr("cast(n_i as decimal(38,0))*ssq_i - cast(s_i as decimal(38,0))*s_i"))
+      // Singleton or constant groups carry no variance information and
+      // would hit ln(0) / division by n_i - 1 = 0: excluded by
+      // convention (the oracle mirrors the same WHERE).
+      .filter(expr("n_i > 1 and num_i > 0"))
       .withColumn("s2_i",
         expr("cast(num_i as double) / cast(cast(n_i as decimal(38,0))*(n_i - 1) as double)"))
       .withColumn("wterm", expr("cast(round(cast(num_i as double)/n_i, 0) as bigint)"))
@@ -2596,7 +2617,9 @@ object StatQueries {
       .select(col("n").as("n_docs"),
         expr("round(cast(vs as double)/cast(n as double)/n, 6)").as("var_items"),
         expr("round(cast(vt as double)/cast(n as double)/n, 6)").as("var_total"),
-        expr("round(3*(1 - cast(vs as double)/cast(vt as double))/2, 6)").as("alpha"))
+        expr("""case when vt <> 0 then
+          round(3*(1 - cast(vs as double)/cast(vt as double))/2, 6) end""")
+          .as("alpha"))
   }
 
   /** #7s Weight-of-Evidence / Information-Value screen — the classic
@@ -3029,11 +3052,14 @@ object StatQueries {
         sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"))
       .withColumn("r", expr("cast(sx as double)/sy"))
       .withColumn("vx", expr(
-        "cast(cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx as double)/n/(n - 1)"))
+        """case when n > 1 then cast(cast(n as decimal(38,0))*sxx
+          - cast(sx as decimal(38,0))*sx as double)/n/(n - 1) end"""))
       .withColumn("vy", expr(
-        "cast(cast(n as decimal(38,0))*syy - cast(sy as decimal(38,0))*sy as double)/n/(n - 1)"))
+        """case when n > 1 then cast(cast(n as decimal(38,0))*syy
+          - cast(sy as decimal(38,0))*sy as double)/n/(n - 1) end"""))
       .withColumn("cxy", expr(
-        "cast(cast(n as decimal(38,0))*sxy - cast(sx as decimal(38,0))*sy as double)/n/(n - 1)"))
+        """case when n > 1 then cast(cast(n as decimal(38,0))*sxy
+          - cast(sx as decimal(38,0))*sy as double)/n/(n - 1) end"""))
       .withColumn("se", expr(
         "sqrt((vx - 2*r*cxy + r*r*vy)/n)/(cast(sy as double)/n)"))
     val a = g.filter(col("arm") === 0).select(col("n").as("n_a"),
@@ -3110,7 +3136,8 @@ object StatQueries {
     per.crossJoin(broadcast(tot))
       .select(col("scale"), col("n_blocks"),
         col("energy").cast("long").as("energy"),
-        expr("round(cast(energy as double)/cast(etot as double), 6)")
+        expr("""case when etot <> 0 then
+          round(cast(energy as double)/cast(etot as double), 6) end""")
           .as("energy_share"))
       .orderBy("scale")
   }
@@ -3421,8 +3448,9 @@ object StatQueries {
         sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
       .withColumn("mu", expr("cast(sx as double)/n"))
       .withColumn("s2", expr(
-        """cast(cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx as double)
-          /n/(n - 1)"""))
+        """case when n > 1 then
+          cast(cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx as double)
+          /n/(n - 1) end"""))
       .select(col("event_type"), col("n").as("n_hours"),
         expr("round(mu, 6)").as("mean_rate"),
         expr("round(s2, 6)").as("var_rate"),
@@ -3458,9 +3486,11 @@ object StatQueries {
         """cast(n as decimal(38,0))*n*n*s4 - 4*cast(n as decimal(38,0))*n*sx*s3
           + 6*cast(n as decimal(38,0))*sx*sx*s2 - 3*cast(sx as decimal(38,0))*sx*sx*sx"""))
       .withColumn("sk", expr(
-        "cast(a3 as double)/(cast(a2 as double)*sqrt(cast(a2 as double)))"))
+        """case when a2 > 0 then
+          cast(a3 as double)/(cast(a2 as double)*sqrt(cast(a2 as double))) end"""))
       .withColumn("ku", expr(
-        "cast(a4 as double)/(cast(a2 as double)*cast(a2 as double)) - 3"))
+        """case when a2 > 0 then
+          cast(a4 as double)/(cast(a2 as double)*cast(a2 as double)) - 3 end"""))
       .select(col("event_type"), col("n").as("n_hours"),
         expr("round(sk, 6)").as("skewness"),
         expr("round(ku, 6)").as("ex_kurtosis"),
@@ -3550,8 +3580,8 @@ object StatQueries {
       .filter(col("rn") === 1)
     dev.select(col("event_type"), col("n").as("n_hours"),
         col("h").as("outlier_h"), col("x").as("x_out"),
-        expr("""round(cast(d as double)/n
-          / sqrt(cast(a2 as double)/n/(n - 1)), 6)""").as("g_stat"))
+        expr("""case when n > 1 and a2 > 0 then round(cast(d as double)/n
+          / sqrt(cast(a2 as double)/n/(n - 1)), 6) end""").as("g_stat"))
       .orderBy("event_type")
   }
 
@@ -3730,7 +3760,12 @@ object StatQueries {
     val e = pr.unionAll(pr.select(col("tv").as("sv"), col("sv").as("tv")))
       .localCheckpoint(true)
     val deg = e.groupBy("sv").agg(count(lit(1)).as("d")).localCheckpoint(true)
-    val seed = e.agg(min("sv")).head.getLong(0)
+    val seedRow = e.agg(min("sv")).head
+    if (seedRow.isNullAt(0)) {
+      return s.range(0).select(col("id").as("item"),
+        col("id").as("pp_pico"), lit(0.0).as("ppr"))
+    }
+    val seed = seedRow.getLong(0)
     var p = e.sparkSession.range(1)
       .select(lit(seed).as("v"), lit(1000000000000L).as("pp"))
     for (_ <- 1 to 5) {
@@ -3865,8 +3900,9 @@ object StatQueries {
         sum(expr("cast(v as decimal(38,0)) * v")).as("svv"))
       .withColumn("mu", expr("cast(sv as double)/n"))
       .withColumn("varm", expr(
-        """cast(cast(n as decimal(38,0))*svv - cast(sv as decimal(38,0))*sv as double)
-          /n/(n - 1)/n"""))
+        """case when n > 1 then
+          cast(cast(n as decimal(38,0))*svv - cast(sv as decimal(38,0))*sv as double)
+          /n/(n - 1)/n end"""))
     val tot = g.agg(sum("n").as("nt"), sum("sv").as("svt"),
       count(lit(1)).as("k"))
     val wide = g.crossJoin(broadcast(tot))
@@ -3984,9 +4020,11 @@ object StatQueries {
       val pick = cand.filter(col("rn") === 1)
         .select(col("event_type"), lit(k.toLong).as("esd_round"), col("hour_us"),
           col("n"),
-          expr("""round(cast(dev as double)/m
+          expr("""case when m > 1
+              and cast(m as decimal(38,0))*srr > cast(sr as decimal(38,0))*sr then
+            round(cast(dev as double)/m
             / sqrt(cast(cast(m as decimal(38,0))*srr - cast(sr as decimal(38,0))*sr as double)
-              /m/(m - 1)), 6)""").as("g_stat"))
+              /m/(m - 1)), 6) end""").as("g_stat"))
         .localCheckpoint(true)
       rem = rem.join(pick.select(col("event_type").as("pe"), col("hour_us").as("ph")),
           col("event_type") === col("pe") && col("hour_us") === col("ph"), "left_anti")
@@ -4051,8 +4089,10 @@ object StatQueries {
       count(lit(1)).as("k"))
     cells.crossJoin(broadcast(tot))
       .withColumn("n", col("ta") + col("tb"))
-      .withColumn("ea", expr("cast(a + b as double)*ta/n"))
-      .withColumn("eb", expr("cast(a + b as double)*tb/n"))
+      .withColumn("ea", expr(
+        "case when n > 0 then cast(a + b as double)*ta/n end"))
+      .withColumn("eb", expr(
+        "case when n > 0 then cast(a + b as double)*tb/n end"))
       .withColumn("t_nano", expr(
         """cast(round((case when ea > 0 then (a - ea)*(a - ea)/ea else 0 end
           + case when eb > 0 then (b - eb)*(b - eb)/eb else 0 end)*1e9) as bigint)"""))
@@ -4128,8 +4168,9 @@ object StatQueries {
     g.agg(count(lit(1)).as("k"), sum("ng").as("n"), sum("sz").as("st"),
         sum("szz").as("stt"), sum("t_nano").as("sgn"))
       .select(col("k").as("k_groups"), col("n").as("n_total"),
-        expr("""round(((n - k)*(sgn/1e9 - cast(st as double)*st/n))
-          /((k - 1)*(cast(stt as double) - sgn/1e9)), 6)""").as("w_stat"))
+        expr("""case when k > 1 and cast(stt as double) <> sgn/1e9 then
+          round(((n - k)*(sgn/1e9 - cast(st as double)*st/n))
+            /((k - 1)*(cast(stt as double) - sgn/1e9)), 6) end""").as("w_stat"))
   }
 
   /** #5bj TOST equivalence test of the A/B value metric — the test
@@ -4151,8 +4192,9 @@ object StatQueries {
         sum(expr("cast(v as decimal(38,0)) * v")).as("svv"))
       .withColumn("mu", expr("cast(sv as double)/n"))
       .withColumn("s2", expr(
-        """cast(cast(n as decimal(38,0))*svv - cast(sv as decimal(38,0))*sv as double)
-          /n/(n - 1)"""))
+        """case when n > 1 then
+          cast(cast(n as decimal(38,0))*svv - cast(sv as decimal(38,0))*sv as double)
+          /n/(n - 1) end"""))
     val a = g.filter(col("arm") === 0)
       .select(col("n").as("n_a"), col("sv").as("sv_a"),
         col("mu").as("mu_a"), col("s2").as("s2_a"))
@@ -4823,8 +4865,9 @@ object StatQueries {
         |        FROM events WHERE value IS NOT NULL) GROUP BY 1
         |), m AS (
         |  SELECT event_type, n, CAST(sv AS DOUBLE)/n AS mu,
-        |    CAST(CAST(n AS HUGEINT)*svv - CAST(sv AS HUGEINT)*sv AS DOUBLE)
-        |      /n/(n - 1)/n AS varm
+        |    CASE WHEN n > 1 THEN
+        |      CAST(CAST(n AS HUGEINT)*svv - CAST(sv AS HUGEINT)*sv AS DOUBLE)
+        |      /n/(n - 1)/n END AS varm
         |  FROM g
         |), tot AS (
         |  SELECT sum(n)::BIGINT AS nt, sum(sv)::BIGINT AS svt,
@@ -4970,9 +5013,11 @@ object StatQueries {
         |  FROM base b JOIN st1 s ON b.event_type = s.event_type
         |), pick1 AS (
         |  SELECT event_type, 1 AS esd_round, hour_us, n,
-        |    round(CAST(dev AS DOUBLE)/m
+        |    CASE WHEN m > 1
+        |        AND CAST(m AS HUGEINT)*srr > CAST(sr AS HUGEINT)*sr THEN
+        |      round(CAST(dev AS DOUBLE)/m
         |      / sqrt(CAST(CAST(m AS HUGEINT)*srr - CAST(sr AS HUGEINT)*sr AS DOUBLE)
-        |        /m/(m - 1)), 6) AS g_stat
+        |        /m/(m - 1)), 6) END AS g_stat
         |  FROM cand1 WHERE rn = 1
         |), rem1 AS (
         |  SELECT b.* FROM base b
@@ -4991,9 +5036,11 @@ object StatQueries {
         |  FROM rem1 b JOIN st2 s ON b.event_type = s.event_type
         |), pick2 AS (
         |  SELECT event_type, 2 AS esd_round, hour_us, n,
-        |    round(CAST(dev AS DOUBLE)/m
+        |    CASE WHEN m > 1
+        |        AND CAST(m AS HUGEINT)*srr > CAST(sr AS HUGEINT)*sr THEN
+        |      round(CAST(dev AS DOUBLE)/m
         |      / sqrt(CAST(CAST(m AS HUGEINT)*srr - CAST(sr AS HUGEINT)*sr AS DOUBLE)
-        |        /m/(m - 1)), 6) AS g_stat
+        |        /m/(m - 1)), 6) END AS g_stat
         |  FROM cand2 WHERE rn = 1
         |), rem2 AS (
         |  SELECT b.* FROM rem1 b
@@ -5012,9 +5059,11 @@ object StatQueries {
         |  FROM rem2 b JOIN st3 s ON b.event_type = s.event_type
         |), pick3 AS (
         |  SELECT event_type, 3 AS esd_round, hour_us, n,
-        |    round(CAST(dev AS DOUBLE)/m
+        |    CASE WHEN m > 1
+        |        AND CAST(m AS HUGEINT)*srr > CAST(sr AS HUGEINT)*sr THEN
+        |      round(CAST(dev AS DOUBLE)/m
         |      / sqrt(CAST(CAST(m AS HUGEINT)*srr - CAST(sr AS HUGEINT)*sr AS DOUBLE)
-        |        /m/(m - 1)), 6) AS g_stat
+        |        /m/(m - 1)), 6) END AS g_stat
         |  FROM cand3 WHERE rn = 1
         |), rem3 AS (
         |  SELECT b.* FROM rem2 b
@@ -5073,8 +5122,8 @@ object StatQueries {
         |  FROM cells
         |), ee AS (
         |  SELECT k, ta + tb AS n, a, b,
-        |    CAST(a + b AS DOUBLE)*ta/(ta + tb) AS ea,
-        |    CAST(a + b AS DOUBLE)*tb/(ta + tb) AS eb
+        |    CASE WHEN ta + tb > 0 THEN CAST(a + b AS DOUBLE)*ta/(ta + tb) END AS ea,
+        |    CASE WHEN ta + tb > 0 THEN CAST(a + b AS DOUBLE)*tb/(ta + tb) END AS eb
         |  FROM cells CROSS JOIN tot
         |), terms AS (
         |  SELECT k, n,
@@ -5178,8 +5227,9 @@ object StatQueries {
         |  FROM g
         |)
         |SELECT k AS k_groups, n AS n_total,
-        |  round(((n - k)*(sgn/1e9 - CAST(st AS DOUBLE)*st/n))
-        |    /((k - 1)*(CAST(stt AS DOUBLE) - sgn/1e9)), 6) AS w_stat
+        |  CASE WHEN k > 1 AND CAST(stt AS DOUBLE) <> sgn/1e9 THEN
+        |    round(((n - k)*(sgn/1e9 - CAST(st AS DOUBLE)*st/n))
+        |    /((k - 1)*(CAST(stt AS DOUBLE) - sgn/1e9)), 6) END AS w_stat
         |FROM t""".stripMargin,
     // Exact integer micro moments per arm; margin, Welch SE, and both
     // one-sided statistics are identical double chains.
@@ -5195,8 +5245,9 @@ object StatQueries {
         |  FROM ev GROUP BY 1
         |), m AS (
         |  SELECT arm, n, sv, CAST(sv AS DOUBLE)/n AS mu,
-        |    CAST(CAST(n AS HUGEINT)*svv - CAST(sv AS HUGEINT)*sv AS DOUBLE)
-        |      /n/(n - 1) AS s2
+        |    CASE WHEN n > 1 THEN
+        |      CAST(CAST(n AS HUGEINT)*svv - CAST(sv AS HUGEINT)*sv AS DOUBLE)
+        |      /n/(n - 1) END AS s2
         |  FROM g
         |), ab AS (
         |  SELECT a.n AS n_a, b.n AS n_b,
@@ -5566,8 +5617,10 @@ object StatQueries {
         |  FROM g
         |), m AS (
         |  SELECT event_type, n,
-        |    CAST(a3 AS DOUBLE)/(CAST(a2 AS DOUBLE)*sqrt(CAST(a2 AS DOUBLE))) AS sk,
-        |    CAST(a4 AS DOUBLE)/(CAST(a2 AS DOUBLE)*CAST(a2 AS DOUBLE)) - 3 AS ku
+        |    CASE WHEN a2 > 0 THEN
+        |      CAST(a3 AS DOUBLE)/(CAST(a2 AS DOUBLE)*sqrt(CAST(a2 AS DOUBLE))) END AS sk,
+        |    CASE WHEN a2 > 0 THEN
+        |      CAST(a4 AS DOUBLE)/(CAST(a2 AS DOUBLE)*CAST(a2 AS DOUBLE)) - 3 END AS ku
         |  FROM a
         |)
         |SELECT event_type, n AS n_hours, round(sk, 6) AS skewness,
@@ -5646,8 +5699,8 @@ object StatQueries {
         |  FROM hourly h JOIN a ON h.event_type = a.event_type
         |)
         |SELECT event_type, n AS n_hours, h AS outlier_h, x AS x_out,
-        |  round(CAST(d AS DOUBLE)/n
-        |    / sqrt(CAST(a2 AS DOUBLE)/n/(n - 1)), 6) AS g_stat
+        |  CASE WHEN n > 1 AND a2 > 0 THEN round(CAST(d AS DOUBLE)/n
+        |    / sqrt(CAST(a2 AS DOUBLE)/n/(n - 1)), 6) END AS g_stat
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // Exact integer count moments; the fits are single double chains
     // with the Poisson-or-better NULL guard mirrored.
@@ -5661,8 +5714,9 @@ object StatQueries {
         |  FROM hourly GROUP BY 1
         |), m AS (
         |  SELECT *, CAST(sx AS DOUBLE)/n AS mu,
-        |    CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)
-        |      /n/(n - 1) AS s2
+        |    CASE WHEN n > 1 THEN
+        |      CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+        |      /n/(n - 1) END AS s2
         |  FROM g
         |)
         |SELECT event_type, n AS n_hours, round(mu, 6) AS mean_rate,
@@ -5946,7 +6000,8 @@ object StatQueries {
         |  FROM keep GROUP BY 1
         |), tot AS (SELECT sum(energy) AS etot FROM per)
         |SELECT scale, n_blocks, CAST(energy AS BIGINT) AS energy,
-        |  round(CAST(energy AS DOUBLE)/CAST(etot AS DOUBLE), 6) AS energy_share
+        |  CASE WHEN etot <> 0 THEN
+        |    round(CAST(energy AS DOUBLE)/CAST(etot AS DOUBLE), 6) END AS energy_share
         |FROM per CROSS JOIN tot ORDER BY scale""".stripMargin,
     // Deterministic top-k set ((v DESC, event_id) total order); nano
     // ln terms round-then-sum; α is one double division.
@@ -5982,9 +6037,12 @@ object StatQueries {
         |  FROM u GROUP BY 1
         |), w AS (
         |  SELECT *, CAST(sx AS DOUBLE)/sy AS r,
-        |    CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)/n/(n - 1) AS vx,
-        |    CAST(CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE)/n/(n - 1) AS vy,
-        |    CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)/n/(n - 1) AS cxy
+        |    CASE WHEN n > 1 THEN CAST(CAST(n AS HUGEINT)*sxx
+        |      - CAST(sx AS HUGEINT)*sx AS DOUBLE)/n/(n - 1) END AS vx,
+        |    CASE WHEN n > 1 THEN CAST(CAST(n AS HUGEINT)*syy
+        |      - CAST(sy AS HUGEINT)*sy AS DOUBLE)/n/(n - 1) END AS vy,
+        |    CASE WHEN n > 1 THEN CAST(CAST(n AS HUGEINT)*sxy
+        |      - CAST(sx AS HUGEINT)*sy AS DOUBLE)/n/(n - 1) END AS cxy
         |  FROM g
         |), w2 AS (
         |  SELECT *, sqrt((vx - 2*r*cxy + r*r*vy)/n)/(CAST(sy AS DOUBLE)/n) AS se
@@ -6383,8 +6441,9 @@ object StatQueries {
         |SELECT k, n,
         |  round((gsum - CAST(round(CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n, 0) AS BIGINT)) / 1e6, 6) AS ss_between,
         |  round((ssq - gsum) / 1e6, 6) AS ss_within,
-        |  round(CAST(gsum - CAST(round(CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n, 0) AS BIGINT) AS DOUBLE) * (n - k)
-        |    / (CAST(ssq - gsum AS DOUBLE) * (k - 1)), 6) AS f_stat
+        |  CASE WHEN k > 1 AND ssq > gsum THEN
+        |    round(CAST(gsum - CAST(round(CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n, 0) AS BIGINT) AS DOUBLE) * (n - k)
+        |    / (CAST(ssq - gsum AS DOUBLE) * (k - 1)), 6) END AS f_stat
         |FROM a""".stripMargin,
     // Variance numerators are exact HUGEINT; the three cross-group sums
     // ride integer milli-sq / nano / femto units (round-then-sum).
@@ -6407,7 +6466,7 @@ object StatQueries {
         |    CAST(round(CAST(num_i AS DOUBLE)/n_i, 0) AS BIGINT) AS wterm,
         |    CAST(round((n_i - 1)*ln(s2_i)*1e9, 0) AS BIGINT) AS lterm,
         |    CAST(round(1e15/(n_i - 1), 0) AS BIGINT) AS cterm
-        |  FROM g2
+        |  FROM g2 WHERE n_i > 1 AND num_i > 0
         |), a AS (
         |  SELECT count(*)::BIGINT AS k, sum(n_i)::BIGINT AS n, sum(wterm)::BIGINT AS sw,
         |    sum(lterm)::BIGINT AS sl, sum(cterm)::BIGINT AS sc
@@ -6449,7 +6508,8 @@ object StatQueries {
         |SELECT n AS n_docs,
         |  round(CAST(vs AS DOUBLE)/CAST(n AS DOUBLE)/n, 6) AS var_items,
         |  round(CAST(vt AS DOUBLE)/CAST(n AS DOUBLE)/n, 6) AS var_total,
-        |  round(3*(1 - CAST(vs AS DOUBLE)/CAST(vt AS DOUBLE))/2, 6) AS alpha
+        |  CASE WHEN vt <> 0 THEN
+        |    round(3*(1 - CAST(vs AS DOUBLE)/CAST(vt AS DOUBLE))/2, 6) END AS alpha
         |FROM v""".stripMargin,
     // Integer autocovariance moments (HUGEINT mirrors DECIMAL(38,0));
     // r and the pico-rounded Q terms repeat the engine's double
@@ -6535,10 +6595,12 @@ object StatQueries {
         |  round(CAST(sq - 3*n AS DOUBLE) / CAST(6*n AS DOUBLE), 6) AS p_bar,
         |  round(CAST(CAST(t1 AS HUGEINT)*t1 + CAST(t0 AS HUGEINT)*t0 AS DOUBLE)
         |    / CAST(9*CAST(n AS HUGEINT)*n AS DOUBLE), 6) AS p_e,
-        |  round(CAST(3*CAST(n AS HUGEINT)*(sq - 3*n)
+        |  CASE WHEN 9*CAST(n AS HUGEINT)*n
+        |      <> CAST(t1 AS HUGEINT)*t1 + CAST(t0 AS HUGEINT)*t0 THEN
+        |    round(CAST(3*CAST(n AS HUGEINT)*(sq - 3*n)
         |      - 2*(CAST(t1 AS HUGEINT)*t1 + CAST(t0 AS HUGEINT)*t0) AS DOUBLE)
         |    / CAST(2*(9*CAST(n AS HUGEINT)*n - CAST(t1 AS HUGEINT)*t1
-        |      - CAST(t0 AS HUGEINT)*t0) AS DOUBLE), 6) AS kappa
+        |      - CAST(t0 AS HUGEINT)*t0) AS DOUBLE), 6) END AS kappa
         |FROM agg""".stripMargin,
     // Moments are exact HUGEINT sums (mirroring the engine's
     // DECIMAL(38,0)); the Cramer solve repeats the engine's double
@@ -6557,8 +6619,8 @@ object StatQueries {
         |      * CAST(round(value * 1000000, 0) AS BIGINT)) AS svv
         |  FROM events GROUP BY 1, 2
         |), v AS (
-        |  SELECT g.*, (n * svv - sv * sv)::DOUBLE
-        |    / (n::DOUBLE * (n - 1)) AS vr
+        |  SELECT g.*, CASE WHEN n > 1 THEN (n * svv - sv * sv)::DOUBLE
+        |    / (n::DOUBLE * (n - 1)) END AS vr
         |  FROM g
         |), j AS (
         |  SELECT a.event_type, a.n AS n_a, a.sv AS sv_a, a.vr AS vr_a,
@@ -6570,7 +6632,8 @@ object StatQueries {
         |SELECT event_type, n_a, n_b,
         |  round(sv_a::DOUBLE / n_a / 1000000.0, 6) AS mean_a,
         |  round(2.8015852181129683 * se / 1000000.0, 6) AS mde_abs,
-        |  round(2.8015852181129683 * se / (sv_a::DOUBLE / n_a), 6) AS mde_rel
+        |  CASE WHEN sv_a <> 0 THEN
+        |    round(2.8015852181129683 * se / (sv_a::DOUBLE / n_a), 6) END AS mde_rel
         |FROM j ORDER BY event_type""".stripMargin,
     // Quintiles via ntile over (pre-spend, user); per-stratum contrasts
     // from exact sums; weighted terms rounded to micro-user units
@@ -6845,13 +6908,17 @@ object StatQueries {
         |      + sy * m02 AS d2
         |  FROM k
         |), sol AS (
-        |  SELECT det.*, d0 / dd AS b0, d1 / dd AS b1, d2 / dd AS b2
+        |  SELECT det.*,
+        |    CASE WHEN dd <> 0 THEN d0 / dd END AS b0,
+        |    CASE WHEN dd <> 0 THEN d1 / dd END AS b1,
+        |    CASE WHEN dd <> 0 THEN d2 / dd END AS b2
         |  FROM det
         |)
         |SELECT n, round(b0, 6) AS b0, round(b1, 6) AS b1,
         |  round(b2, 6) AS b2,
-        |  round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
-        |    / (syy - sy * sy / n), 6) AS r2
+        |  CASE WHEN syy - sy * sy / n <> 0 THEN
+        |    round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+        |    / (syy - sy * sy / n), 6) END AS r2
         |FROM sol""".stripMargin,
     "events_hurst" -> {
       def rsCte(m: Int): String =
@@ -6904,7 +6971,8 @@ object StatQueries {
         |SELECT k.event_type, count(*) AS n_hours,
         |  round(var_pop(n), 6) AS var_total,
         |  round(var_pop(n - cell_mean), 6) AS var_resid,
-        |  round(1.0 - var_pop(n - cell_mean) / var_pop(n), 6) AS seasonal_r2
+        |  CASE WHEN var_pop(n) > 0 THEN
+        |    round(1.0 - var_pop(n - cell_mean) / var_pop(n), 6) END AS seasonal_r2
         |FROM keyed k JOIN cells c
         |  ON c.event_type = k.event_type AND c.dow = k.dow AND c.hod = k.hod
         |GROUP BY k.event_type ORDER BY k.event_type""".stripMargin,
@@ -7173,7 +7241,8 @@ object StatQueries {
         |SELECT k, n_rich, e_rich,
         |  CASE WHEN n_rich >= 2
         |    THEN (e_rich * 2 * 10000 // (n_rich * (n_rich - 1)))::BIGINT END AS phi_bp,
-        |  (e_all * 2 * 10000 // (n_all * (n_all - 1)))::BIGINT AS density_all_bp
+        |  CASE WHEN n_all >= 2 THEN
+        |    (e_all * 2 * 10000 // (n_all * (n_all - 1)))::BIGINT END AS density_all_bp
         |FROM longf ORDER BY k""".stripMargin,
     "ab_sprt" ->
       """WITH arm AS (
@@ -7358,12 +7427,14 @@ object StatQueries {
         |SELECT a.event_type AS type_a, b.event_type AS type_b,
         |  a.n_i AS n_a, b.n_i AS n_b,
         |  round((a.s_i::DOUBLE/a.n_i - b.s_i::DOUBLE/b.n_i)/1e3, 6) AS mean_diff,
-        |  round((a.s_i::DOUBLE/a.n_i - b.s_i::DOUBLE/b.n_i)
+        |  CASE WHEN n > k AND ssq > gsum THEN
+        |    round((a.s_i::DOUBLE/a.n_i - b.s_i::DOUBLE/b.n_i)
         |    / sqrt((ssq - gsum)::DOUBLE/(n - k)/2
-        |      *(1.0::DOUBLE/a.n_i + 1.0::DOUBLE/b.n_i)), 6) AS q,
-        |  abs(round((a.s_i::DOUBLE/a.n_i - b.s_i::DOUBLE/b.n_i)
+        |      *(1.0::DOUBLE/a.n_i + 1.0::DOUBLE/b.n_i)), 6) END AS q,
+        |  abs(CASE WHEN n > k AND ssq > gsum THEN
+        |    round((a.s_i::DOUBLE/a.n_i - b.s_i::DOUBLE/b.n_i)
         |    / sqrt((ssq - gsum)::DOUBLE/(n - k)/2
-        |      *(1.0::DOUBLE/a.n_i + 1.0::DOUBLE/b.n_i)), 6)) > 3.858
+        |      *(1.0::DOUBLE/a.n_i + 1.0::DOUBLE/b.n_i)), 6) END) > 3.858
         |    AS significant
         |FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN tot
         |ORDER BY type_a, type_b""".stripMargin,
@@ -7542,8 +7613,9 @@ object StatQueries {
         |SELECT n_transitions, n_states,
         |  round(-st / 1000000000.0 / n_transitions, 6) AS entropy_rate,
         |  round(ln(n_states::DOUBLE), 6) AS max_entropy,
-        |  round((-st / 1000000000.0 / n_transitions) / ln(n_states::DOUBLE), 6)
-        |    AS efficiency
+        |  CASE WHEN n_states > 1 THEN
+        |    round((-st / 1000000000.0 / n_transitions) / ln(n_states::DOUBLE), 6)
+        |    END AS efficiency
         |FROM ag CROSS JOIN k""".stripMargin,
     // Exact 2x2 integer cells per day; each MH term rounds to ppb
     // before its sum; crude OR rides along for the confounding gap.
@@ -7561,10 +7633,12 @@ object StatQueries {
         |  FROM events GROUP BY 1
         |), w AS (SELECT *, a + b + c + d AS n FROM cells)
         |SELECT count(*)::BIGINT AS n_strata,
-        |  round(sum(CAST(round(a * d / n * 1000000000.0, 0) AS BIGINT))
-        |    / sum(CAST(round(b * c / n * 1000000000.0, 0) AS BIGINT))::DOUBLE, 6)
-        |    AS or_mh,
-        |  round(sum(a) * sum(d) / (sum(b) * sum(c))::DOUBLE, 6) AS or_crude
+        |  CASE WHEN sum(CAST(round(b * c / n * 1000000000.0, 0) AS BIGINT)) <> 0 THEN
+        |    round(sum(CAST(round(a * d / n * 1000000000.0, 0) AS BIGINT))
+        |      / sum(CAST(round(b * c / n * 1000000000.0, 0) AS BIGINT))::DOUBLE, 6)
+        |    END AS or_mh,
+        |  CASE WHEN sum(b) * sum(c) <> 0 THEN
+        |    round(sum(a) * sum(d) / (sum(b) * sum(c))::DOUBLE, 6) END AS or_crude
         |FROM w""".stripMargin,
     // Exact ntile boundaries over integer cents - all-integer output.
     "range_partition_plan" ->
