@@ -867,6 +867,49 @@ class EdgeBranchSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------- tranche 8: eval metrics
+
+  /** Interactions (cust, part, spend, qty); relevant = qty > 25. */
+  private def writeEvalFixture(dir: String): Unit = {
+    import spark.implicits._
+    Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 100.0, 30.0), (1L, 2L, 100.0, 10.0), (1L, 3L, 150.0, 40.0),
+      (1L, 4L, 80.0, 5.0), (2L, 1L, 200.0, 30.0), (2L, 4L, 300.0, 5.0),
+      (3L, 5L, 10.0, 30.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  test("eval_auc pins the midrank Mann-Whitney mean per-user AUC") {
+    val dir = tmp()
+    writeEvalFixture(dir)
+    // golden_stats.py tranche8: cust1 (pos ranks {2.5, 4} of 4) AUC
+    // 0.875, cust2 AUC 0, cust3 excluded (no negatives) -> 0.4375.
+    val r = one(EvalQueries.evalAuc(spark, dir))
+    assert(r.getAs[Long]("n_users") == 2L)
+    assert(r.getAs[Double]("mean_auc") == 0.4375)
+  }
+
+  test("eval_ranking pins P/R/F1/NDCG/MAP at 5 and 10") {
+    val dir = tmp()
+    writeEvalFixture(dir)
+    // golden_stats.py tranche8 (hand-checkable: cust1 ranks its two
+    // relevant parts 1st and 2nd -> NDCG 1, AP 1; cust2 ranks its one
+    // relevant part 2nd -> NDCG 1/log2(3), AP 0.5; cust3 trivially 1).
+    val out = EvalQueries.evalRanking(spark, dir).collect()
+      .map(r => r.getAs[Int]("k") -> r).toMap
+    assert(out(5).getAs[Double]("precision_at") == 0.266667)
+    assert(out(5).getAs[Double]("recall_at") == 1.0)
+    assert(out(5).getAs[Double]("f1_at") == 0.412698)
+    assert(out(5).getAs[Double]("ndcg_at") == 0.876977)
+    assert(out(5).getAs[Double]("map_at") == 0.833333)
+    assert(out(10).getAs[Double]("precision_at") == 0.133333)
+    assert(out(10).getAs[Double]("f1_at") == 0.232323)
+    assert(out(10).getAs[Double]("ndcg_at") == 0.876977)
+    assert(out(10).getAs[Double]("map_at") == 0.833333)
+  }
+
   // ------------------------------------------------ latent branches
 
   test("ab_sprt emits the null-decision row when the LLR never crosses") {

@@ -1040,3 +1040,57 @@ def tranche7():
 
 if __name__ == "__main__":
     tranche7()
+
+
+def tranche8():
+    print("\n===== tranche 8: eval metrics =====")
+    # interactions: (cust, part, score, qty); rel = qty > 25.
+    inter = {
+        1: [(1, 100.0, 30), (2, 100.0, 10), (3, 150.0, 40), (4, 80.0, 5)],
+        2: [(1, 200.0, 30), (4, 300.0, 5)],
+        3: [(5, 10.0, 30)],
+    }
+    # --- mean per-user AUC (midranks ascending by score)
+    aucs = []
+    for u, items in inter.items():
+        scores = [s for _, s, _ in items]
+        rel = [1 if q > 25 else 0 for _, _, q in items]
+        rk = avg_ranks(scores)
+        npos, nneg = sum(rel), len(rel) - sum(rel)
+        if npos and nneg:
+            rsum = sum(r for r, y in zip(rk, rel) if y)
+            aucs.append((rsum - npos * (npos + 1) / 2) / (npos * nneg))
+    print(f"auc: n_users={len(aucs)} mean={r6(mean(aucs))}  raw={mean(aucs)!r}")
+    check_far("auc", mean(aucs))
+
+    # --- P/R/F1/NDCG/MAP @ k (desc score, item asc; binary relevance)
+    for k in (5, 10):
+        ps, rs, f1s, ndcgs, maps_ = [], [], [], [], []
+        for u, items in inter.items():
+            order = sorted(items, key=lambda t: (-t[1], t[0]))[:k]
+            relset = {i for i, _, q in items if q > 25}
+            nrel = len(relset)
+            hits = cum = 0
+            dcg = apn = 0.0
+            for pos, (i, _, _) in enumerate(order, 1):
+                if i in relset:
+                    hits += 1
+                    cum += 1
+                    dcg += 1 / math.log2(pos + 1)
+                    apn += cum / pos
+            m = min(nrel, k)
+            idcg = sum(1 / math.log2(i + 1) for i in range(1, m + 1))
+            p, r = hits / k, hits / nrel
+            ps.append(p); rs.append(r)
+            f1s.append(0.0 if hits == 0 else 2 * p * r / (p + r))
+            ndcgs.append(dcg / idcg if idcg > 0 else 0.0)
+            maps_.append(apn / m if m > 0 else 0.0)
+        print(f"rank@{k}: P={r6(mean(ps))} R={r6(mean(rs))} F1={r6(mean(f1s))} "
+              f"NDCG={r6(mean(ndcgs))} MAP={r6(mean(maps_))}")
+        for nm, v in [("P", mean(ps)), ("F1", mean(f1s)), ("NDCG", mean(ndcgs)),
+                      ("MAP", mean(maps_))]:
+            check_far(f"rank{k}.{nm}", v)
+
+
+if __name__ == "__main__":
+    tranche8()
