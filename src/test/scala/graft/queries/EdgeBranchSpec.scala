@@ -910,6 +910,54 @@ class EdgeBranchSpec extends SparkSpec {
     assert(out(10).getAs[Double]("map_at") == 0.833333)
   }
 
+  // ------------------------------------- tranche 9: corpus stats
+
+  test("source_simpson pins the diversity index on known token counts") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a a a b b c", "en", "s1"), (2L, "x x", "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche9: s1 counts {3,2,1}: 1 - 8/30 = 0.733333;
+    // s2 single type: 0 (no diversity).
+    val out = StatQueries.sourceSimpson(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("n_types") == 3L)
+    assert(out("s1").getAs[Double]("simpson") == 0.733333)
+    assert(out("s2").getAs[Double]("simpson") == 0.0)
+  }
+
+  test("lang_entropy pins Shannon H and KL(lang || corpus)") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a a a b b c", "en", "s1"), (2L, "x x", "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche9: en H = 1.011404, KL vs the pooled
+    // corpus = 0.287682; de is single-token: H = 0, KL = ln 4.
+    val out = OpsQueries.langEntropy(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(out("en").getAs[Double]("entropy") == 1.011404)
+    assert(out("en").getAs[Double]("kl") == 0.287682)
+    assert(out("de").getAs[Double]("entropy") == 0.0)
+    assert(out("de").getAs[Double]("kl") == 1.386294)
+  }
+
+  test("corpus_zipf pins the ln-ln least-squares fit on exact powers") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, ("z " * 8 + "y " * 4 + "x " * 2 + "w").trim, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche9: freqs 8/4/2/1 at ranks 1..4:
+    // slope = -1.459022, intercept = 2.198933, r2 = 0.96076.
+    val r = one(OpsQueries.corpusZipf(spark, dir))
+    assert(r.getAs[Long]("n_types") == 4L)
+    assert(r.getAs[Double]("slope") == -1.459022)
+    assert(r.getAs[Double]("intercept") == 2.198933)
+    assert(r.getAs[Double]("r2") == 0.96076)
+  }
+
   // ------------------------------------------------ latent branches
 
   test("ab_sprt emits the null-decision row when the LLR never crosses") {

@@ -1094,3 +1094,44 @@ def tranche8():
 
 if __name__ == "__main__":
     tranche8()
+
+
+def tranche9():
+    print("\n===== tranche 9: corpus stats =====")
+    # source_simpson: s1 = "a a a b b c", s2 = "x x".
+    for src, cnts in (("s1", [3, 2, 1]), ("s2", [2])):
+        n = sum(cnts)
+        num = sum(c * (c - 1) for c in cnts)
+        v = 1 - num / (n * (n - 1))
+        print(f"simpson[{src}]: n_types={len(cnts)} n={n} simpson={r6(v)}")
+
+    # lang_entropy: en = {a:3,b:2,c:1}, de = {x:2}; corpus = union.
+    corpus = {"a": 3, "b": 2, "c": 1, "x": 2}
+    tot = sum(corpus.values())
+    for lang, cnt in (("en", {"a": 3, "b": 2, "c": 1}), ("de", {"x": 2})):
+        n = sum(cnt.values())
+        ent = -sum(c / n * math.log(c / n) for c in cnt.values())
+        kl = sum(c / n * math.log((c / n) / (corpus[t] / tot))
+                 for t, c in cnt.items())
+        print(f"entropy[{lang}]: n={n} H={r6(ent)} KL={r6(kl)}"
+              f"  raw=({ent!r},{kl!r})")
+        check_far(f"H.{lang}", ent); check_far(f"KL.{lang}", kl)
+
+    # corpus_zipf: freqs 8,4,2,1 at ranks 1..4 (ln-ln least squares).
+    pts = [(math.log(rk), math.log(n))
+           for rk, n in ((1, 8), (2, 4), (3, 2), (4, 1))]
+    xb = mean([x for x, _ in pts]); yb = mean([y for _, y in pts])
+    sxy = sum((x - xb) * (y - yb) for x, y in pts)
+    sxx = sum((x - xb) ** 2 for x, _ in pts)
+    syy = sum((y - yb) ** 2 for _, y in pts)
+    slope = sxy / sxx
+    inter = yb - slope * xb
+    r2 = sxy * sxy / (sxx * syy)
+    print(f"zipf: slope={r6(slope)} intercept={r6(inter)} r2={r6(r2)}"
+          f"  raw=({slope!r},{inter!r},{r2!r})")
+    check_far("zipf.slope", slope); check_far("zipf.int", inter)
+    check_far("zipf.r2", r2)
+
+
+if __name__ == "__main__":
+    tranche9()
