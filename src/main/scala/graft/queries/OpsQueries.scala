@@ -2554,6 +2554,50 @@ object OpsQueries {
       .orderBy("event_type", "hour_us")
   }
 
+  /** #3n Croston's method for intermittent demand — the forecasting
+    * standard where [[OpsQueries.forecastBaseline]]'s dense-series
+    * models break down (spare-parts-style demand that is zero most
+    * weeks): smooth the NONZERO demand sizes and the inter-demand
+    * intervals separately (α = 0.3, same closed-form exponential
+    * weights as [[eventsEwma]]: the seed carries (1−α)^(T−1), later
+    * points α(1−α)^(T−i), summing to exactly 1), forecast = ẑ/v̂ per
+    * period, with the Syntetos-Boylan approximation (1 − α/2)·ẑ/v̂
+    * correcting Croston's positive bias. Weekly sizes and intervals
+    * are exact integers; the weighted sums are one pinned double chain
+    * each (v̂ ≥ 1 always — intervals are positive — so the ratio
+    * cannot divide by zero). The self-join runs per part over the
+    * NONZERO demand points only (weeks-bounded, post-aggregate —
+    * exactly the sparsity Croston exploits).
+    * Golden-pinned in [[graft.queries.EdgeBranchSpec]]. */
+  def crostonForecast(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 604800000000")
+          .as("wk"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("l_partkey", "wk").agg(sum("q").as("z"))
+    val w0 = weekly.agg(min("wk").as("w0"))
+    val wp = Window.partitionBy("l_partkey").orderBy("wk")
+    val pts = weekly.crossJoin(broadcast(w0))
+      .withColumn("rn", row_number().over(wp).cast("long"))
+      .withColumn("iv", coalesce(col("wk") - lag("wk", 1).over(wp),
+        col("wk") - col("w0") + 1L))
+    val t = pts.groupBy(col("l_partkey").as("pk"))
+      .agg(max("rn").as("t"))
+    pts.join(t, col("l_partkey") === col("pk"))
+      .withColumn("w", when(col("rn") === 1, pow(lit(0.7), col("t") - 1))
+        .otherwise(lit(0.3) * pow(lit(0.7), col("t") - col("rn"))))
+      .groupBy("l_partkey")
+      .agg(max("t").as("n_points"),
+        sum(col("w") * col("z")).as("zh"), sum(col("w") * col("iv")).as("vh"))
+      .select(col("l_partkey"), col("n_points"),
+        round(col("zh"), 6).as("z_hat"), round(col("vh"), 6).as("v_hat"),
+        round(col("zh") / col("vh"), 6).as("croston"),
+        round(lit(0.85) * col("zh") / col("vh"), 6).as("sba"))
+      .orderBy("l_partkey")
+  }
+
   /** #26b top-3 TF-IDF keywords per document: the per-doc salience
     * readout a corpus browser shows. Ranking runs on the ROUNDED score
     * with a term tiebreak — float idf in the sort key would let a
@@ -4340,6 +4384,7 @@ object OpsQueries {
     "supplier_hhi"      -> (supplierHhi _),
     "events_interarrival" -> (eventsInterarrival _),
     "events_ewma"       -> (eventsEwma _),
+    "croston_forecast"  -> (crostonForecast _),
     "k_anonymity"       -> (kAnonymity _),
     "doc_keywords"      -> (docKeywords _),
     "events_theilsen"   -> (eventsTheilsen _),
@@ -6387,6 +6432,36 @@ FROM tot CROSS JOIN po CROSS JOIN pe""",
         |  round(quantile_cont(gap_us, 0.9), 6) AS p90_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Same closed-form exponential weights as events_ewma (seed carries
+    // (1-a)^(T-1)); weekly sizes/intervals exact integers, one pinned
+    // double chain per part.
+    "croston_forecast" ->
+      """WITH weekly AS (
+        |  SELECT l_partkey, epoch_us(l_shipdate) // 604800000000 AS wk,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS z
+        |  FROM lineitem GROUP BY 1, 2
+        |), w0 AS (SELECT min(wk) AS w0 FROM weekly),
+        |pts AS (
+        |  SELECT l_partkey, wk, z,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY wk) AS rn,
+        |    coalesce(wk - lag(wk) OVER (PARTITION BY l_partkey ORDER BY wk),
+        |      wk - (SELECT w0 FROM w0) + 1) AS iv
+        |  FROM weekly
+        |), t AS (SELECT l_partkey, max(rn) AS t FROM pts GROUP BY 1),
+        |wts AS (
+        |  SELECT p.l_partkey, p.z, p.iv,
+        |    CASE WHEN p.rn = 1 THEN pow(0.7, t.t - 1)
+        |      ELSE 0.3 * pow(0.7, t.t - p.rn) END AS w, t.t
+        |  FROM pts p JOIN t ON t.l_partkey = p.l_partkey
+        |), agg AS (
+        |  SELECT l_partkey, max(t)::BIGINT AS n_points,
+        |    sum(w * z) AS zh, sum(w * iv) AS vh
+        |  FROM wts GROUP BY 1
+        |)
+        |SELECT l_partkey, n_points, round(zh, 6) AS z_hat,
+        |  round(vh, 6) AS v_hat, round(zh / vh, 6) AS croston,
+        |  round(0.85 * zh / vh, 6) AS sba
+        |FROM agg ORDER BY l_partkey""".stripMargin,
     "events_ewma" ->
       """WITH h AS (
         |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,

@@ -958,6 +958,26 @@ class EdgeBranchSpec extends SparkSpec {
     assert(r.getAs[Double]("r2") == 0.96076)
   }
 
+  test("croston_forecast pins the intermittent-demand smoother and SBA") {
+    import spark.implicits._
+    val dir = tmp()
+    // One part, demand at weeks 0, 2, 3: sizes 4/6/10, intervals 1/2/1.
+    Seq((0L, 4.0), (2L, 6.0), (3L, 10.0)).map { case (wk, q) =>
+      (1L, wk * 604800000000L, q)
+    }.toDF("l_partkey", "us", "l_quantity")
+      .select(col("l_partkey"), timestamp_micros(col("us")).as("l_shipdate"),
+        col("l_quantity"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // golden_stats.py tranche10: weights (0.49, 0.21, 0.3) sum to 1:
+    // z_hat = 6.22, v_hat = 1.21, Croston = 5.140496, SBA = 4.369421.
+    val r = one(OpsQueries.crostonForecast(spark, dir))
+    assert(r.getAs[Long]("n_points") == 3L)
+    assert(r.getAs[Double]("z_hat") == 6.22)
+    assert(r.getAs[Double]("v_hat") == 1.21)
+    assert(r.getAs[Double]("croston") == 5.140496)
+    assert(r.getAs[Double]("sba") == 4.369421)
+  }
+
   // ------------------------------------------------ latent branches
 
   test("ab_sprt emits the null-decision row when the LLR never crosses") {

@@ -1135,3 +1135,22 @@ def tranche9():
 
 if __name__ == "__main__":
     tranche9()
+
+
+def tranche10():
+    print("\n===== tranche 10: croston =====")
+    # one part, demand at weeks 0, 2, 3: sizes [4,6,10], intervals [1,2,1].
+    sizes = [4, 6, 10]
+    ivs = [1, 2, 1]
+    a, T = 0.3, 3
+    ws = [(1 - a) ** (T - 1)] + [a * (1 - a) ** (T - i) for i in (2, 3)]
+    zh = sum(w * z for w, z in zip(ws, sizes))
+    vh = sum(w * v for w, v in zip(ws, ivs))
+    print(f"croston: w={ws} zh={r6(zh)} vh={r6(vh)} "
+          f"croston={r6(zh/vh)} sba={r6(0.85*zh/vh)}"
+          f"  raw=({zh/vh!r},{0.85*zh/vh!r})")
+    check_far("croston", zh / vh); check_far("sba", 0.85 * zh / vh)
+
+
+if __name__ == "__main__":
+    tranche10()
