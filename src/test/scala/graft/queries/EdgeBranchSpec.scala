@@ -978,6 +978,37 @@ class EdgeBranchSpec extends SparkSpec {
     assert(r.getAs[Double]("sba") == 4.369421)
   }
 
+  test("price_elasticity recovers the exact log-log slope") {
+    import spark.implicits._
+    val dir = tmp()
+    // q = 5 (1-d)^-2 exactly: elasticity -2, intercept ln 5.
+    Seq((0.0, 5.0), (0.5, 20.0), (0.2, 7.8125))
+      .toDF("l_discount", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = one(OpsQueries.priceElasticity(spark, dir))
+    assert(r.getAs[Double]("elasticity") == -2.0)
+    assert(r.getAs[Double]("intercept_ln_q") == 1.609438)
+  }
+
+  test("price_volume_mix pins the volume/price effect decomposition") {
+    import spark.implicits._
+    val dir = tmp()
+    // One part: first half (q 10 @ unit 100c), second (q 20 @ 150c):
+    // volume effect = 10 units * 1.00 = 10.00; price = 20 * 0.50 = 10.00.
+    Seq((1L, "1995-01-01"), (2L, "1995-01-21")).toDF("o_orderkey", "d")
+      .select(col("o_orderkey"), to_timestamp(col("d")).as("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 7L, 10.0, 10.0, 0.0), (2L, 7L, 30.0, 20.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_quantity",
+        "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = one(OpsQueries.priceVolumeMix(spark, dir))
+    assert(r.getAs[Long]("n_parts") == 1L)
+    assert(r.getAs[Long]("delta_cents") == 2000L)
+    assert(r.getAs[Double]("volume_effect") == 10.0)
+    assert(r.getAs[Double]("price_effect") == 10.0)
+  }
+
   // ------------------------------------------------ latent branches
 
   test("ab_sprt emits the null-decision row when the LLR never crosses") {

@@ -1154,3 +1154,29 @@ def tranche10():
 
 if __name__ == "__main__":
     tranche10()
+
+
+def tranche11():
+    print("\n===== tranche 11: pricing =====")
+    # price_elasticity: q = 5 * (1-d)^-2 exactly -> elasticity -2.
+    rows = [(0.0, 5.0), (0.5, 20.0), (0.2, 7.8125)]
+    xs = [round(math.log(1 - d) * 1e9) for d, _ in rows]
+    ys = [round(math.log(q) * 1e9) for _, q in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n / 1e9
+    print(f"elasticity: b={r6(b)} intercept={r6(a)}  raw=({b!r},{a!r})")
+    check_far("elast.b", b); check_far("elast.a", a)
+
+    # price_volume_mix: one part, (q0=10, c0=1000), (q1=20, c1=3000).
+    q0, c0, q1, c1 = 10, 1000, 20, 3000
+    p0, p1 = c0 / q0, c1 / q1
+    print(f"pvm: delta={c1-c0} volume={round((q1-q0)*p0/100, 2)} "
+          f"price={round(q1*(p1-p0)/100, 2)}")
+
+
+if __name__ == "__main__":
+    tranche11()
