@@ -1009,6 +1009,85 @@ class EdgeBranchSpec extends SparkSpec {
     assert(r.getAs[Double]("price_effect") == 10.0)
   }
 
+  // -------------------------------- tranche 12: A/B closers + audits
+
+  test("ab_srm pins the sample-ratio chi-square and trips the flag when skewed") {
+    val dir = tmp()
+    writeEvents(dir, Seq(1L, 3L, 5L, 7L, 8L, 2L, 4L, 6L, 9L, 11L).zipWithIndex
+      .map { case (u, i) => ((i + 1).toLong, i * Hour, u, "view", 1.0) })
+    val r = one(StatQueries.abSrm(spark, dir))
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 5L)
+    assert(r.getAs[Double]("chi2") == 0.0 && !r.getAs[Boolean]("srm_flag"))
+    // 7 A-users vs 1 B-user: chi2 = 36/8 = 4.5 > 3.841459 -> flagged.
+    val dir2 = tmp()
+    writeEvents(dir2, Seq(1L, 3L, 5L, 7L, 8L, 10L, 12L, 2L).zipWithIndex
+      .map { case (u, i) => ((i + 1).toLong, i * Hour, u, "view", 1.0) })
+    val r2 = one(StatQueries.abSrm(spark, dir2))
+    assert(r2.getAs[Double]("chi2") == 4.5)
+    assert(r2.getAs[Double]("z") == 2.12132)
+    assert(r2.getAs[Boolean]("srm_flag"))
+  }
+
+  test("ab_qte pins the exact lower-median quantile treatment effect") {
+    val dir = tmp()
+    val a = Seq(10.0, 12.0, 14.0, 16.0, 18.0).zip(Seq(1L, 3L, 5L, 7L, 8L))
+    val b = Seq(11.0, 14.0, 19.0, 23.0, 27.0).zip(Seq(2L, 4L, 6L, 9L, 11L))
+    writeEvents(dir, (a ++ b).zipWithIndex.map { case ((v, u), i) =>
+      ((i + 1).toLong, Hour + i, u, "m", v)
+    })
+    // Lower medians 14 and 19 -> QTE 5.0.
+    val r = one(StatQueries.abQte(spark, dir))
+    assert(r.getAs[Double]("median_a") == 14.0)
+    assert(r.getAs[Double]("median_b") == 19.0)
+    assert(r.getAs[Double]("qte_median") == 5.0)
+  }
+
+  test("ab_permutation pins the 64-replicate sign-flip p-value") {
+    val dir = tmp()
+    val a = Seq(10.0, 12.0, 14.0, 16.0, 18.0).zip(Seq(1L, 3L, 5L, 7L, 8L))
+    val b = Seq(11.0, 14.0, 19.0, 23.0, 27.0).zip(Seq(2L, 4L, 6L, 9L, 11L))
+    writeEvents(dir, (a ++ b).zipWithIndex.map { case ((v, u), i) =>
+      ((i + 1).toLong, Hour + i, u, "m", v)
+    })
+    // golden_stats.py tranche12: the hash flips are replicated exactly
+    // in python (integer cross-multiplied compares): 9 of 64
+    // replicates reach |d_obs| -> p = 10/65 = 0.153846.
+    val r = one(StatQueries.abPermutation(spark, dir))
+    assert(r.getAs[Double]("diff_obs") == -4.8)
+    assert(r.getAs[Long]("n_ge") == 9L)
+    assert(r.getAs[Double]("p_value") == 0.153846)
+  }
+
+  test("benford_revenue pins log10(1 + 1/d) expectations and chi2 terms") {
+    import spark.implicits._
+    val dir = tmp()
+    // cents 100, 250, 3000, 111 -> first digits 1, 2, 3, 1.
+    Seq(1.0, 2.5, 30.0, 1.11).map(Tuple1(_)).toDF("o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = OpsQueries.benfordRevenue(spark, dir).collect()
+      .map(r => r.getAs[Long]("digit") -> r).toMap
+    assert(out(1L).getAs[Long]("n") == 2L)
+    assert(out(1L).getAs[Double]("benford_p") == 0.30103)
+    assert(out(1L).getAs[Double]("chi2_term") == 0.526048)
+    assert(out(2L).getAs[Double]("benford_p") == 0.176091)
+    assert(out(2L).getAs[Double]("chi2_term") == 0.124083)
+    assert(out(3L).getAs[Double]("chi2_term") == 0.500736)
+  }
+
+  test("hash_collision_audit pins the birthday expectation on 50 keys") {
+    import spark.implicits._
+    val dir = tmp()
+    (1 to 50).map(i => Tuple1(i.toLong)).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // golden_stats.py tranche12 (hashlib md5 replication): 48 occupied
+    // buckets, 2 colliding pairs vs E = 50*49/2048 = 1.196289.
+    val r = one(StatQueries.hashCollisionAudit(spark, dir))
+    assert(r.getAs[Long]("occupied") == 48L)
+    assert(r.getAs[Long]("obs_collisions") == 2L)
+    assert(r.getAs[Double]("exp_collisions") == 1.196289)
+    assert(r.getAs[Double]("collision_ratio") == 1.671837)
+  }
+
   // ------------------------------------------------ latent branches
 
   test("ab_sprt emits the null-decision row when the LLR never crosses") {

@@ -1180,3 +1180,74 @@ def tranche11():
 
 if __name__ == "__main__":
     tranche11()
+
+
+def tranche12():
+    print("\n===== tranche 12: A/B closers, Benford, hash audit =====")
+    # ab_srm: balanced 5/5 and imbalanced 7/1.
+    for uids in ([1, 3, 5, 7, 8, 2, 4, 6, 9, 11], [1, 3, 5, 7, 8, 10, 12, 2]):
+        na = sum(1 for u in uids if arm_is_zero(u))
+        nb = len(uids) - na
+        chi2 = (na - nb) ** 2 / (na + nb)
+        z = (na - nb) / math.sqrt(na + nb)
+        print(f"srm: n_a={na} n_b={nb} chi2={r6(chi2)} z={r6(z)} "
+              f"flag={chi2 > 3.841459}  rawz={z!r}")
+        check_far("srm.z", z)
+
+    # ab_qte on the AB fixture: lower medians of milli-values.
+    for nm, vals in (("a", AB_A), ("b", AB_B)):
+        s = sorted(int(v * 1000) for v in vals)
+        med = s[(len(s) + 1) // 2 - 1]
+        print(f"qte[{nm}]: median={med/1e3}")
+
+    # ab_permutation on the AB fixture (64 hash sign-flips).
+    users = list(zip([1, 3, 5, 7, 8], AB_A)) + list(zip([2, 4, 6, 9, 11], AB_B))
+    rows = [(u, int(round(v * 1e6))) for u, v in users]
+    def arm0(u): return 0 if arm_is_zero(u) else 1
+    sa0 = sum(v for u, v in rows if arm0(u) == 0)
+    na0 = sum(1 for u, v in rows if arm0(u) == 0)
+    sb0 = sum(v for u, v in rows if arm0(u) == 1)
+    nb0 = len(rows) - na0
+    a0 = sa0 * nb0 - sb0 * na0
+    n_ge = 0
+    for j in range(1, 65):
+        def flip(u):
+            return ((u % 1000000) * 2654435761 + j * 7919) % 1000000 < 500000
+        arms = {u: (arm0(u) + (1 if flip(u) else 0)) % 2 for u, _ in rows}
+        sa = sum(v for u, v in rows if arms[u] == 0)
+        na = sum(1 for u, v in rows if arms[u] == 0)
+        sb = sum(v for u, v in rows if arms[u] == 1)
+        nb = len(rows) - na
+        aj = sa * nb - sb * na
+        if abs(aj) * (na0 * nb0) >= abs(a0) * (na * nb):
+            n_ge += 1
+    print(f"perm: n_a={na0} n_b={nb0} diff_obs={r6(a0/(na0*nb0)/1e6)} "
+          f"n_ge={n_ge} p={r6((1+n_ge)/65.0)}  rawp={(1+n_ge)/65.0!r}")
+    check_far("perm.p", (1 + n_ge) / 65.0)
+
+    # benford_revenue: cents 100, 250, 3000, 111 -> digits 1,2,3,1.
+    from collections import Counter
+    digs = Counter([1, 2, 3, 1])
+    tot = 4
+    for d in sorted(digs):
+        share = digs[d] / tot
+        p = math.log10(1 + 1 / d)
+        term = (share - p) ** 2 / p * tot
+        print(f"benford d={d}: n={digs[d]} share={r6(share)} p={r6(p)} "
+              f"chi2={r6(term)}  raw=({p!r},{term!r})")
+        check_far(f"benford.{d}.p", p); check_far(f"benford.{d}.t", term)
+
+    # hash_collision_audit: custkeys 1..50, md5-hex[:15] % 1024.
+    import hashlib
+    from collections import Counter as C2
+    b = C2(int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 1024
+           for k in range(1, 51))
+    obs = sum(c * (c - 1) // 2 for c in b.values())
+    exp = 50 * 49 / 2 / 1024
+    print(f"hash_audit: occupied={len(b)} max={max(b.values())} obs={obs} "
+          f"exp={r6(exp)} ratio={r6(obs/exp)}  raw={obs/exp!r}")
+    check_far("hash.ratio", obs / exp)
+
+
+if __name__ == "__main__":
+    tranche12()
