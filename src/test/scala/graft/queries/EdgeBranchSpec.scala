@@ -1088,6 +1088,37 @@ class EdgeBranchSpec extends SparkSpec {
     assert(r.getAs[Double]("collision_ratio") == 1.671837)
   }
 
+  test("bm25_search pins the Robertson-Sparck-Jones scoring on a tiny corpus") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "vector key dup"), (2L, "vector vector other words here"),
+      (3L, "nothing relevant at all stuff")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche13: N=3, avgdl=13/3, df(vector)=2,
+    // df(key)=df(dup)=1, k1=1.2, b=0.75: doc1 = 2.781822 (3 hits),
+    // doc2 = 0.619452 (1 hit), doc3 unscored (no hits).
+    val rows = OpsQueries.bm25Search(spark, dir).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("doc_id") == 1L)
+    assert(rows(0).getAs[Double]("score") == 2.781822)
+    assert(rows(0).getAs[Long]("n_terms_hit") == 3L)
+    assert(rows(1).getAs[Long]("doc_id") == 2L)
+    assert(rows(1).getAs[Double]("score") == 0.619452)
+  }
+
+  test("dp_counts pins the deterministic inverse-CDF Laplace release") {
+    val dir = tmp()
+    writeEvents(dir, Seq((1L, 0L, 1L, "view", 1.0), (2L, 1L, 1L, "view", 1.0),
+      (3L, 2L, 2L, "click", 1.0)))
+    // golden_stats.py tranche13 (hashlib md5 replication of the
+    // 'dp:<type>' coin): view noise +7.591866 on n=2, click +0.35837.
+    val out = OpsQueries.dpCounts(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("view").getAs[Double]("n_dp") == 9.591866)
+    assert(out("click").getAs[Double]("n_dp") == 1.35837)
+  }
+
   // ------------------------------------------------ latent branches
 
   test("ab_sprt emits the null-decision row when the LLR never crosses") {

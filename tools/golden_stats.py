@@ -1251,3 +1251,36 @@ def tranche12():
 
 if __name__ == "__main__":
     tranche12()
+
+
+def tranche13():
+    print("\n===== tranche 13: BM25, DP Laplace =====")
+    # bm25: docs "vector key dup" (dl 3), "vector vector other words
+    # here" (dl 5), "nothing relevant at all stuff" (dl 5).
+    N, avgdl = 3, 13 / 3
+    df = {"vector": 2, "key": 1, "dup": 1}
+    k1, bb = 1.2, 0.75
+
+    def term_score(t, tf, dl):
+        idf = math.log(1 + (N - df[t] + 0.5) / (df[t] + 0.5))
+        return round(idf * tf * (k1 + 1) /
+                     (tf + k1 * (1 - bb + bb * dl / avgdl)), 6)
+    d1 = round(sum(term_score(t, 1, 3) for t in ("vector", "key", "dup")), 6)
+    d2 = round(term_score("vector", 2, 5), 6)
+    print(f"bm25 doc1: {d1}  doc2: {d2}")
+
+    # dp_counts: noise = -10 sign(u-.5) ln(1-2|u-.5|), u from
+    # md5('dp:'+type) first 15 hex digits.
+    import hashlib
+    for tpe, n in (("view", 2), ("click", 1)):
+        h = int(hashlib.md5(f"dp:{tpe}".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / 16 ** 15
+        c = u - 0.5
+        noise = round(-10.0 * math.copysign(1.0, c) * math.log(1 - 2 * abs(c)), 6)
+        ndp = round(n + noise, 6)
+        print(f"dp[{tpe}]: noise={noise} n_dp={ndp}  raw={n + noise!r}")
+        check_far(f"dp.{tpe}", n + noise)
+
+
+if __name__ == "__main__":
+    tranche13()
