@@ -1119,6 +1119,27 @@ class EdgeBranchSpec extends SparkSpec {
     assert(out("click").getAs[Double]("n_dp") == 1.35837)
   }
 
+  test("ql_search pins the Dirichlet-smoothed query likelihood incl. no-hit docs") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "vector key dup"), (2L, "vector vector other words here"),
+      (3L, "nothing relevant at all stuff")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche14: mu = 2000, |C| = 13, cf(vector) = 3:
+    // unlike BM25 every doc scores — the no-hit doc ranks on pure
+    // background mass (-6.603726) below the partial (-6.599402) and
+    // full (-6.58561) matches.
+    val rows = OpsQueries.qlSearch(spark, dir).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Long]("doc_id") == 1L)
+    assert(rows(0).getAs[Double]("score") == -6.58561)
+    assert(rows(0).getAs[Long]("n_terms_hit") == 3L)
+    assert(rows(1).getAs[Double]("score") == -6.599402)
+    assert(rows(2).getAs[Double]("score") == -6.603726)
+    assert(rows(2).getAs[Long]("n_terms_hit") == 0L)
+  }
+
   // ------------------------------------------------ latent branches
 
   test("ab_sprt emits the null-decision row when the LLR never crosses") {

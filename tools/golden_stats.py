@@ -1284,3 +1284,28 @@ def tranche13():
 
 if __name__ == "__main__":
     tranche13()
+
+
+def tranche14():
+    print("\n===== tranche 14: Dirichlet QL =====")
+    # Same 3-doc corpus as BM25; mu = 2000, query (vector, key, dup).
+    docs = {1: {"vector": 1, "key": 1, "dup": 1},
+            2: {"vector": 2, "other": 1, "words": 1, "here": 1},
+            3: {"nothing": 1, "relevant": 1, "at": 1, "all": 1, "stuff": 1}}
+    dl = {d: sum(c.values()) for d, c in docs.items()}
+    ctot = sum(dl.values())
+    cf = {"vector": 3, "key": 1, "dup": 1}
+    mu = 2000.0
+    for d in (1, 2, 3):
+        snano = 0
+        hits = 0
+        for t in ("vector", "key", "dup"):
+            tf = docs[d].get(t, 0)
+            snano += round(math.log((tf + mu * cf[t] / ctot)
+                                    / (dl[d] + mu)) * 1e9)
+            hits += 1 if tf else 0
+        print(f"ql doc{d}: score={r6(snano/1e9)} hits={hits}")
+
+
+if __name__ == "__main__":
+    tranche14()
