@@ -108,11 +108,12 @@ object Pq {
         if (trainFraction >= 1.0) base
         else base.filter(pmod(xxhash64(col("id"), lit(seed)), lit(1000000))
           < lit((trainFraction * 1000000).toLong))
-      // Same k-means|| guard as IvfIndex.build: MLlib indexes past the
-      // end when k exceeds the training rows — cap per build (the scan
-      // stops after k rows), and at 0/1 rows take the row itself.
-      val avail = trainSet.limit(k).count().toInt
-      require(avail > 0, "PQ training set is empty — nothing to quantize")
+      // Emptiness check only (the scan stops after one row). The
+      // actual k-cap protection against MLlib's k-means aggregator
+      // indexing past the end lives in the distinct-subvector branch
+      // below, which takes ≤ k distinct subvectors as the codebook.
+      require(trainSet.limit(1).count() > 0,
+        "PQ training set is empty — nothing to quantize")
       val books = (0 until m).map { j =>
         val subArr = trainSet.select(
           slice(col("v"), lit(j * subDim + 1), lit(subDim)).as("av"))

@@ -520,7 +520,12 @@ object DedupSimQueries {
     * exact baseline while pruning the scored space ~p₂⁴·bands ≈ 4×.
     * Memoized + checkpointed per (session, dir, threshold): triangles,
     * pagerank and BFS all share the 0.4 edge list; harmonic and local
-    * clustering share 0.35. */
+    * clustering share 0.35. Single-run assumption (same as labelsCache
+    * / pqCache): entries are never evicted and a dir whose contents
+    * change between calls would serve stale pairs — sessions here are
+    * per-run (Verify/Bench/specs each build a fresh session), so the
+    * memo's lifetime equals the run's. Long-lived multi-corpus
+    * sessions would need eviction before reusing this cache. */
   def bandedCosinePairs(s: SparkSession, dir: String, th: Double): DataFrame =
     bandedPairsCache.getOrElseUpdate((s, dir, th),
       Dedup.embeddingCosineLsh(Tables.embeddings(s, dir), "embedding",

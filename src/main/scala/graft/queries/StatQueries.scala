@@ -794,9 +794,10 @@ object StatQueries {
     a.join(b, col("type_a") < col("type_b"))
       .crossJoin(broadcast(tot)).crossJoin(broadcast(km))
       .withColumn("zr", expr(
-        """(s2a/(2e0*n_a) - s2b/(2e0*n_b))
-          / sqrt((cast(nn as double)*(nn + 1)/12 - tie3/(12e0*(nn - 1)))
-            * (1e0/n_a + 1e0/n_b))"""))
+        """case when cast(nn as double)*(nn + 1)/12 - tie3/(12e0*(nn - 1)) > 0
+          then (s2a/(2e0*n_a) - s2b/(2e0*n_b))
+            / sqrt((cast(nn as double)*(nn + 1)/12 - tie3/(12e0*(nn - 1)))
+              * (1e0/n_a + 1e0/n_b)) end"""))
       .withColumn("z", round(col("zr"), 6))
       .withColumn("p", expr(
         "round(exp(-0.717*abs(z) - 0.416*z*z), 9)"))
@@ -7388,9 +7389,10 @@ object StatQueries {
         |    a.n_g AS n_a, b.n_g AS n_b, a.s2 AS s2a, b.s2 AS s2b
         |  FROM g a JOIN g b ON a.event_type < b.event_type),
         |zz AS (SELECT type_a, type_b, n_a, n_b,
-        |    round((s2a/(2.0::DOUBLE*n_a) - s2b/(2.0::DOUBLE*n_b))
+        |    round(CASE WHEN nn::DOUBLE*(nn + 1)/12 - tie3/(12.0::DOUBLE*(nn - 1)) > 0
+        |      THEN (s2a/(2.0::DOUBLE*n_a) - s2b/(2.0::DOUBLE*n_b))
         |      / sqrt((nn::DOUBLE*(nn + 1)/12 - tie3/(12.0::DOUBLE*(nn - 1)))
-        |        * (1.0::DOUBLE/n_a + 1.0::DOUBLE/n_b)), 6) AS z, m
+        |        * (1.0::DOUBLE/n_a + 1.0::DOUBLE/n_b)) END, 6) AS z, m
         |  FROM pairs CROSS JOIN tot CROSS JOIN km),
         |pp AS (SELECT type_a, type_b, n_a, n_b, z,
         |    round(exp(-0.717*abs(z) - 0.416*z*z), 9) AS p, m FROM zz)
