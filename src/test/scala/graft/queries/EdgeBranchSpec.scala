@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import graft.SparkSpec
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -21,53 +19,7 @@ import org.apache.spark.sql.functions._
   * `ab_sprt`'s no-crossing null-decision row and `encoding_advisor`'s
   * NULL-excluded NDV / clamped-savings conventions.
   */
-class EdgeBranchSpec extends SparkSpec {
-
-  private val Hour = 3600000000L
-  private val Day = 86400000000L
-
-  /** Fresh fixture dir per test. */
-  private def tmp(): String =
-    Files.createTempDirectory("edgebranch").toString
-
-  /** (event_id, ts_us, user_id, event_type, value) -> events.parquet */
-  private def writeEvents(dir: String,
-      rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
-    import spark.implicits._
-    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
-      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
-        col("user_id"), col("event_type"), col("value"),
-        lit("p").as("props"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
-  }
-
-  /** One event per (type, value): ts collapses to a single hour. */
-  private def valueEvents(dir: String, groups: Map[String, Seq[Double]]): Unit = {
-    var id = 0L
-    val rows = for {
-      (tpe, vs) <- groups.toSeq.sortBy(_._1)
-      v <- vs
-    } yield { id += 1; (id, Hour + id, id, tpe, v) }
-    writeEvents(dir, rows)
-  }
-
-  /** counts(tpe)(i) events in hour base+i — controlled hourly series. */
-  private def countEvents(dir: String, base: Long,
-      counts: Map[String, Seq[Int]]): Unit = {
-    var id = 0L
-    val rows = for {
-      (tpe, cs) <- counts.toSeq.sortBy(_._1)
-      (c, i) <- cs.zipWithIndex
-      j <- 0 until c
-    } yield { id += 1; (id, (base + i) * Hour + j * 1000L, id, tpe, 1.0) }
-    writeEvents(dir, rows)
-  }
-
-  private def one(df: DataFrame): Row = {
-    val rows = df.collect()
-    assert(rows.length == 1, s"expected 1 row, got ${rows.toSeq}")
-    rows.head
-  }
+class EdgeBranchSpec extends GoldenFixtures {
 
   // Hourly count series shared by the count-based tests (python: T1/T2).
   private val T1 = Seq(5, 3, 8, 7, 7, 4, 9, 6, 6, 11)

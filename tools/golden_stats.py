@@ -1309,3 +1309,134 @@ def tranche14():
 
 if __name__ == "__main__":
     tranche14()
+
+
+def tranche15():
+    print("\n===== tranche 15: series family =====")
+    import hashlib
+
+    # --- events_bollinger: one type, 26 hourly counts, trailing-24 bands.
+    C26 = [5, 6, 5, 7, 6, 5, 6, 7, 5, 6, 5, 7, 6, 5, 6, 7,
+           5, 6, 5, 7, 6, 5, 6, 7, 20, 6]
+    nu = nl = 0
+    last = None
+    for i in range(23, len(C26)):
+        w = C26[i - 23:i + 1]
+        sw, sw2 = sum(w), sum(x * x for x in w)
+        dev = 24 * C26[i] - sw
+        band = 2 * math.sqrt((24 * sw2 - sw * sw) * 24 / 23)
+        if dev > band: nu += 1
+        if dev < -band: nl += 1
+        if abs(dev) > band: last = i
+        print(f"  boll i={i} x={C26[i]} dev={dev} band={band:.4f}")
+    print(f"bollinger: n_windows={len(C26)-23} n_upper={nu} n_lower={nl} "
+          f"last_breakout_i={last}")
+
+    # --- events_drawdown: integer-unit hourly net values.
+    DDV = [5, -3, -4, 10, -2, -9, 1]
+    cum = rm = 0
+    best = (-1, None)
+    for i, v in enumerate(DDV):
+        cum += v
+        rm = max(rm if i else cum, cum)
+        dd = rm - cum
+        if dd > best[0]: best = (dd, i)
+    print(f"drawdown: n_hours={len(DDV)} max_dd={best[0]} trough_i={best[1]}")
+
+    # --- events_wavelet: counts [5,3,8,7,7,4,9,6], scales 2/4/8.
+    W = [5, 3, 8, 7, 7, 4, 9, 6]
+    es = {}
+    for j in (1, 2, 3):
+        bs = 1 << j
+        en, nb = 0, 0
+        for b0 in range(0, len(W) - bs + 1, bs):
+            blk = W[b0:b0 + bs]
+            d = sum(blk[:bs // 2]) - sum(blk[bs // 2:])
+            en += d * d
+            nb += 1
+        es[j] = (nb, en)
+    etot = sum(e for _, e in es.values())
+    for j, (nb, en) in es.items():
+        print(f"wavelet scale={j}: n_blocks={nb} energy={en} "
+              f"share={r6(en/etot)}")
+        check_far(f"wavelet.{j}", en / etot)
+
+    # --- events_sax: alternating [2,9]x4 -> exact t = 0.6745*sqrt(784).
+    S8 = [2, 9] * 4
+    n, sx = len(S8), sum(S8)
+    a2 = n * sum(x * x for x in S8) - sx * sx
+    t = 0.6745 * math.sqrt(a2)
+    syms = []
+    for x in S8:
+        dd = x * n - sx
+        syms.append('a' if dd < -t else 'b' if dd < 0 else
+                    'c' if dd < t else 'd')
+    from collections import Counter
+    mot = Counter(''.join(syms[i:i+3]) for i in range(len(syms) - 2))
+    print(f"sax: A2={a2} t={t:.4f} syms={''.join(syms)} motifs={dict(mot)}")
+
+    # --- sketch_f2: freqs {1:3,2:1,3:2,4:1,5:1}, 32 md5 tug-of-war signs.
+    freqs = {1: 3, 2: 1, 3: 2, 4: 1, 5: 1}
+    exact = sum(f * f for f in freqs.values())
+    sums = []
+    for i in range(32):
+        si = 0
+        for u, f in freqs.items():
+            h = int(hashlib.md5(f"{u}#{i}".encode()).hexdigest()[:15], 16)
+            si += f * (1 - 2 * (h % 2))
+        sums.append(si)
+    gs = sorted((sum(s * s for s in sums[g*8:(g+1)*8]), g) for g in range(4))
+    m23 = gs[1][0] + gs[2][0]
+    print(f"f2: exact={exact} gsums={[g[0] for g in gs]} m23={m23} "
+          f"estimate={m23/16.0} ratio={r6(m23/16.0/exact)}")
+    check_far("f2.ratio", m23 / 16.0 / exact)
+
+    # --- events_mcf: 3 users, purchases at ages 1,3 (u1) and 2 (u2).
+    terms = {1: (1, 3), 2: (1, 3), 3: (1, 2)}  # k -> (d, n_risk)
+    cum_n = 0
+    for k in sorted(terms):
+        d, nr = terms[k]
+        cum_n += round(d / nr * 1e9)
+        print(f"mcf k={k}: d={d} n_risk={nr} mcf={r6(cum_n/1e9)}")
+
+    # --- littles_law: sessions [0,600e6] and [300e6,1200e6] us.
+    print("littles: area=1.5e9 dur=1.5e9 equal=True horizon=1.2e9 "
+          f"avg={r6(1.5e9/1.2e9)}")
+
+    # --- gorilla_bits: one user, ms stamps [0,100,200,300,1000].
+    def bkt(c):
+        return 1 if c == 0 else 9 if -63 <= c <= 64 else \
+            12 if -255 <= c <= 256 else 16 if -2047 <= c <= 2048 else 36
+    ms = [0, 100, 200, 300, 1000]
+    bits, zero, over = [], 0, 0
+    for i, t_ in enumerate(ms):
+        if i == 0: bits.append(64)
+        elif i == 1: bits.append(bkt(ms[1] - ms[0]))
+        else:
+            dod = (ms[i] - ms[i-1]) - (ms[i-1] - ms[i-2])
+            bits.append(bkt(dod))
+    zero = sum(1 for b in bits if b == 1)
+    over = sum(1 for b in bits if b == 36)
+    print(f"gorilla: bits={bits} total={sum(bits)} zero_dod={zero} "
+          f"overflow={over} ratio={r6(sum(bits)/(64*len(ms)))}")
+
+    # --- changepoint_binseg: [2,2,2,8,8,8].
+    Y = [2, 2, 2, 8, 8, 8]
+    st, nt = sum(Y), len(Y)
+    best = (-1e18, None)
+    for nl_ in range(1, nt):
+        sl = sum(Y[:nl_])
+        g = round(sl*sl/nl_ + (st-sl)**2/(nt-nl_) - st*st/nt, 6)
+        print(f"  binseg nl={nl_}: gain={g}")
+        if g > best[0]: best = (g, nl_)
+    print(f"binseg: best nl={best[1]} gain={best[0]} "
+          f"mean_l={sum(Y[:best[1]])/best[1]} "
+          f"mean_r={(st-sum(Y[:best[1]]))/(nt-best[1])}")
+
+    # --- extremal_index: perm of 1..20, 19@h3 20@h4 adjacent.
+    # u = 18th smallest = 18; exceedances {19,20} adjacent -> 1 cluster.
+    print("extremal: u=18 n_exc=2 n_clusters=1 theta=0.5")
+
+
+if __name__ == "__main__":
+    tranche15()
