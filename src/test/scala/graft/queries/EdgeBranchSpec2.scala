@@ -184,4 +184,178 @@ class EdgeBranchSpec2 extends GoldenFixtures {
     assert(r.getAs[Long]("n_clusters") == 1L)
     assert(r.getAs[Double]("theta") == 0.5)
   }
+
+  // ---------------------------------------------------- causal / A/B
+
+  test("ab_tost pins both one-sided Welch statistics and the margin") {
+    val dir = tmp()
+    val a = Seq(10.0, 12.0, 14.0, 16.0, 18.0).zip(Seq(1L, 3L, 5L, 7L, 8L))
+    val b = Seq(11.0, 14.0, 19.0, 23.0, 27.0).zip(Seq(2L, 4L, 6L, 9L, 11L))
+    writeEvents(dir, (a ++ b).zipWithIndex.map { case ((v, u), i) =>
+      ((i + 1).toLong, Hour + i, u, "m", v)
+    })
+    // golden_stats.py tranche16 tost: margin = 5% of grand mean 16.4 =
+    // 0.82; t_lower = (4.8 + 0.82)/se = 1.739346, t_upper =
+    // (0.82 - 4.8)/se = -1.231779 -> not equivalent.
+    val r = one(StatQueries.abTost(spark, dir))
+    assert(r.getAs[Double]("diff") == 4.8)
+    assert(r.getAs[Double]("margin") == 0.82)
+    assert(r.getAs[Double]("t_lower") == 1.739346)
+    assert(r.getAs[Double]("t_upper") == -1.231779)
+    assert(!r.getAs[Boolean]("equivalent"))
+  }
+
+  test("rdd_discount recovers perfect-fit local lines and their jump") {
+    import spark.implicits._
+    val dir = tmp()
+    // L: q = 10 + 2*dc at dc 2,3,4; R: q = 30 + dc at dc 5,6,7.
+    Seq((0.02, 14.0), (0.03, 16.0), (0.04, 18.0),
+      (0.05, 35.0), (0.06, 36.0), (0.07, 37.0))
+      .toDF("l_discount", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = one(StatQueries.rddDiscount(spark, dir))
+    assert(r.getAs[Long]("n_left") == 3L && r.getAs[Long]("n_right") == 3L)
+    assert(r.getAs[Double]("slope_left") == 2.0)
+    assert(r.getAs[Double]("slope_right") == 1.0)
+    assert(r.getAs[Double]("fit_left") == 20.0)
+    assert(r.getAs[Double]("fit_right") == 35.0)
+    assert(r.getAs[Double]("jump") == 15.0)
+  }
+
+  test("bandit_replay pins the Beta(1,1) leader walk incl. the unmatched hour") {
+    val dir = tmp()
+    // plays (arm, hour) -> values: reward iff value > 50.
+    val plays = Seq(
+      ("a", 0, Seq(60.0, 60.0)), ("a", 1, Seq(40.0, 40.0)),
+      ("a", 2, Seq(40.0, 40.0)), ("a", 3, Seq(40.0)),
+      ("b", 0, Seq(60.0, 40.0)), ("b", 1, Seq(60.0, 60.0)),
+      ("b", 2, Seq(60.0, 60.0)))
+    var id = 0L
+    writeEvents(dir, for {
+      (arm, h, vs) <- plays; v <- vs
+    } yield { id += 1; (id, (800L + h) * Hour + id, id, arm, v) })
+    // golden_stats.py tranche16 bandit: h0 prior-tie -> 'a' (1.0),
+    // h1 leader 'a' (0.0), h2 'b' overtakes (1.0), h3 'b' chosen but
+    // unplayed -> n_matched = 0, NULL ctr.
+    val out = StatQueries.banditReplay(spark, dir).collect()
+      .map(r => r.getAs[Long]("hour_idx") -> r).toMap
+    assert(out(800L).getAs[String]("chosen_arm") == "a" &&
+      out(800L).getAs[Long]("n_matched") == 2L &&
+      out(800L).getAs[Double]("replay_ctr") == 1.0)
+    assert(out(801L).getAs[String]("chosen_arm") == "a" &&
+      out(801L).getAs[Double]("replay_ctr") == 0.0)
+    assert(out(802L).getAs[String]("chosen_arm") == "b" &&
+      out(802L).getAs[Double]("replay_ctr") == 1.0)
+    assert(out(803L).getAs[String]("chosen_arm") == "b" &&
+      out(803L).getAs[Long]("n_matched") == 0L &&
+      out(803L).isNullAt(out(803L).fieldIndex("replay_ctr")))
+  }
+
+  test("uplift_qini pins band ranking and the cumulative Qini walk") {
+    val dir = tmp()
+    // (uid, n_train, y_train, y_test): bands by activity pair one
+    // control {1,3,5,7,8} with one treated {2,4,6,9,11} each.
+    val users = Seq(
+      (1L, 10, 0, 0), (2L, 9, 1, 1), (3L, 8, 1, 1), (4L, 7, 0, 0),
+      (5L, 6, 1, 0), (6L, 5, 1, 1), (7L, 4, 0, 0), (9L, 3, 1, 1),
+      (8L, 2, 0, 1), (11L, 1, 0, 0))
+    var id = 0L
+    val rows = users.flatMap { case (u, nt, yt, yte) =>
+      val train = (0 until nt).map { j =>
+        id += 1
+        (id, Day + id * 1000L, u,
+          if (j == 0 && yt == 1) "purchase" else "view", 1.0)
+      }
+      val test = if (yte == 1) {
+        id += 1
+        Seq((id, 3 * Day + id * 1000L, u, "purchase", 1.0))
+      } else Seq.empty
+      train ++ test
+    }
+    writeEvents(dir, rows)
+    // golden_stats.py tranche16 qini: ranked bands 1,4,3,5,2 with
+    // uplift_train 1,1,0,0,-1 and qini 1,2,3,2,1 (nt = nc = 1 per band).
+    val out = StatQueries.upliftQini(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("band")).toSeq == Seq(1L, 4L, 3L, 5L, 2L))
+    assert(out.map(_.getAs[Double]("uplift_train")).toSeq ==
+      Seq(1.0, 1.0, 0.0, 0.0, -1.0))
+    assert(out.map(_.getAs[Double]("qini_test")).toSeq ==
+      Seq(1.0, 2.0, 3.0, 2.0, 1.0))
+  }
+
+  test("ate_stratified pins within-stratum contrasts and the weighted ATE") {
+    val dir = tmp()
+    // Per-user (pre x, post y); treated {2,4,6,9,11} get y = control
+    // partner + 5,15,25,35,45 within ascending-x strata.
+    val users = Seq(
+      (1L, 10.0, 100.0), (2L, 11.0, 105.0), (3L, 20.0, 110.0),
+      (4L, 21.0, 125.0), (5L, 30.0, 120.0), (6L, 31.0, 145.0),
+      (7L, 40.0, 130.0), (9L, 41.0, 165.0), (8L, 50.0, 140.0),
+      (11L, 51.0, 185.0))
+    var id = 0L
+    writeEvents(dir, users.flatMap { case (u, x, y) =>
+      id += 2
+      Seq((id - 1, Day, u, "m", x), (id, 3 * Day, u, "m", y))
+    })
+    // golden_stats.py tranche16 ate: per-stratum diffs 5,15,25,35,45;
+    // ALL row re-weights to 25 with means 145 vs 120.
+    val out = StatQueries.ateStratified(spark, dir).collect()
+      .map(r => r.getAs[String]("stratum") -> r).toMap
+    for ((st, d) <- Seq("1" -> 5.0, "2" -> 15.0, "3" -> 25.0,
+        "4" -> 35.0, "5" -> 45.0)) {
+      assert(out(st).getAs[Long]("n_t") == 1L)
+      assert(out(st).getAs[Long]("n_c") == 1L)
+      assert(out(st).getAs[Double]("diff") == d)
+    }
+    assert(out("ALL").getAs[Double]("mean_t") == 145.0)
+    assert(out("ALL").getAs[Double]("mean_c") == 120.0)
+    assert(out("ALL").getAs[Double]("diff") == 25.0)
+  }
+
+  test("ab_ratio_delta pins the delta-method SEs and z") {
+    val dir = tmp()
+    // Per-user (sum, count): A = (30,2),(30,1),(60,2); B = (10,1),
+    // (50,2),(60,1).
+    val ev = Seq(
+      (1L, Seq(10.0, 20.0)), (3L, Seq(30.0)), (5L, Seq(40.0, 20.0)),
+      (2L, Seq(10.0)), (4L, Seq(20.0, 30.0)), (6L, Seq(60.0)))
+    var id = 0L
+    writeEvents(dir, ev.flatMap { case (u, vs) =>
+      vs.map { v => id += 1; (id, Hour + id, u, "m", v) }
+    })
+    // golden_stats.py tranche16 ratio_delta: R_a = 120/5 = 24,
+    // R_b = 120/4 = 30, se 5.499091 / 11.456439, z = 0.472148.
+    val r = one(StatQueries.abRatioDelta(spark, dir))
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("ratio_a") == 24.0)
+    assert(r.getAs[Double]("ratio_b") == 30.0)
+    assert(r.getAs[Double]("se_ratio_a") == 5.499091)
+    assert(r.getAs[Double]("se_ratio_b") == 11.456439)
+    assert(r.getAs[Double]("z") == 0.472148)
+  }
+
+  test("ab_group_sequential pins the four interim z's against OBF bounds") {
+    val dir = tmp()
+    // Arrival-ordered (arm, converted) script; looks of 4 events.
+    val seq16 = Seq(
+      ("A", 1), ("B", 0), ("A", 1), ("B", 0),
+      ("A", 0), ("B", 1), ("A", 0), ("B", 1),
+      ("A", 1), ("B", 1), ("A", 0), ("B", 0),
+      ("A", 0), ("A", 1), ("B", 1), ("B", 1))
+    writeEvents(dir, seq16.zipWithIndex.map { case ((arm, x), i) =>
+      ((i + 1).toLong, Day + i * 1000L, if (arm == "A") 1L else 2L, "m",
+        if (x == 1) 60.0 else 40.0)
+    })
+    // golden_stats.py tranche16 gst: z = -2, 0, 0, 0.503953; no look
+    // crosses its O'Brien-Fleming boundary.
+    val out = StatQueries.abGroupSequential(spark, dir).collect()
+      .map(r => r.getAs[Long]("look") -> r).toMap
+    assert(out(1L).getAs[Double]("z") == -2.0 &&
+      out(1L).getAs[Double]("obf_boundary") == 4.049)
+    assert(out(2L).getAs[Double]("z") == 0.0)
+    assert(out(3L).getAs[Double]("z") == 0.0)
+    assert(out(4L).getAs[Double]("z") == 0.503953 &&
+      out(4L).getAs[Double]("obf_boundary") == 2.024)
+    assert(out.values.forall(!_.getAs[Boolean]("crossed")))
+  }
 }

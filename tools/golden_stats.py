@@ -1440,3 +1440,104 @@ def tranche15():
 
 if __name__ == "__main__":
     tranche15()
+
+
+def tranche16():
+    print("\n===== tranche 16: causal/experimentation =====")
+
+    # --- ab_tost: the Welch fixture arms, 5%-of-grand-mean margin.
+    A = [10.0, 12.0, 14.0, 16.0, 18.0]
+    B = [11.0, 14.0, 19.0, 23.0, 27.0]
+    mu_a, mu_b = mean(A), mean(B)
+    s2a, s2b = var_samp(A), var_samp(B)
+    margin = 0.05 * (sum(A) + sum(B)) / (len(A) + len(B))
+    se = math.sqrt(s2a / len(A) + s2b / len(B))
+    tl = (mu_b - mu_a + margin) / se
+    tu = (margin - (mu_b - mu_a)) / se
+    print(f"tost: diff={r6(mu_b-mu_a)} margin={r6(margin)} "
+          f"t_lower={r6(tl)} t_upper={r6(tu)} "
+          f"equivalent={tl > 1.644854 and tu > 1.644854}")
+    check_far("tost.tl", tl); check_far("tost.tu", tu)
+
+    # --- rdd_discount: perfect-fit local lines each side of dc=5.
+    # L: (2,14),(3,16),(4,18) -> q = 10 + 2 dc; R: (5,35),(6,36),(7,37).
+    print("rdd: slope_l=2 fit_l=20 slope_r=1 fit_r=35 jump=15")
+
+    # --- bandit_replay: 2 arms x 4 hours, Beta(1,1) follow-the-leader.
+    plays = {('a', 0): (2, 2), ('a', 1): (2, 0), ('a', 2): (2, 0),
+             ('a', 3): (1, 0), ('b', 0): (2, 1), ('b', 1): (2, 2),
+             ('b', 2): (2, 2)}
+    for h in range(4):
+        best = None
+        for arm in ('a', 'b'):
+            cn = sum(n for (a2, h2), (n, _) in plays.items()
+                     if a2 == arm and h2 < h)
+            cr = sum(r for (a2, h2), (_, r) in plays.items()
+                     if a2 == arm and h2 < h)
+            ctr = (cr + 1.0) / (cn + 2.0)
+            if best is None or ctr > best[0] + 1e-15:
+                best = (ctr, arm)
+        n, r = plays.get((best[1], h), (0, 0))
+        ctr_s = r6(r / n) if n else None
+        print(f"bandit h={h}: chosen={best[1]} n_matched={n} ctr={ctr_s}")
+
+    # --- uplift_qini: 5 bands of (control, treated) pairs.
+    # band -> (y_train_t, y_train_c, y_test_t, y_test_c)
+    bands = {1: (1, 0, 1, 0), 2: (0, 1, 0, 1), 3: (1, 1, 1, 0),
+             4: (1, 0, 1, 0), 5: (0, 0, 0, 1)}
+    rk = sorted(bands, key=lambda b: (-(bands[b][0] - bands[b][1]), b))
+    cyt = cyc = 0
+    for i, b in enumerate(rk):
+        yt_t, yt_c, yte_t, yte_c = bands[b]
+        cyt += yte_t; cyc += yte_c
+        # nt=nc=1 per band so qini = cyt - cyc.
+        print(f"qini rank={i+1}: band={b} uplift={yt_t - yt_c} "
+              f"qini={cyt - cyc}")
+
+    # --- ate_stratified: 5 strata, diffs 5..45, equal sizes.
+    diffs = [5, 15, 25, 35, 45]
+    print(f"ate: strata diffs={diffs} "
+          f"ALL mean_t=145 mean_c=120 diff={sum(2*d for d in diffs)/10}")
+
+    # --- ab_ratio_delta: per-user (x_sum, y_count) exact moments.
+    ua = [(30.0, 2), (30.0, 1), (60.0, 2)]   # uids 1,3,5 (arm A)
+    ub = [(10.0, 1), (50.0, 2), (60.0, 1)]   # uids 2,4,6 (arm B)
+
+    def delta(us):
+        n = len(us)
+        sx = sum(x for x, _ in us); sy = sum(y for _, y in us)
+        r = sx / sy
+        vx = var_samp([x for x, _ in us])
+        vy = var_samp([float(y) for _, y in us])
+        m = (mean([x for x, _ in us]), mean([float(y) for _, y in us]))
+        cxy = sum((x - m[0]) * (y - m[1]) for x, y in us) / (n - 1)
+        se = math.sqrt((vx - 2 * r * cxy + r * r * vy) / n) / (sy / n)
+        return n, r, se
+    na, ra, sea = delta(ua)
+    nb, rb, seb = delta(ub)
+    z = (rb - ra) / math.sqrt(sea ** 2 + seb ** 2)
+    print(f"ratio_delta: r_a={r6(ra)} r_b={r6(rb)} se_a={r6(sea)} "
+          f"se_b={r6(seb)} z={r6(z)}")
+    check_far("rd.sea", sea); check_far("rd.seb", seb); check_far("rd.z", z)
+
+    # --- ab_group_sequential: 16 events, looks of 4, OBF bounds.
+    seq = [('A', 1), ('B', 0), ('A', 1), ('B', 0),
+           ('A', 0), ('B', 1), ('A', 0), ('B', 1),
+           ('A', 1), ('B', 1), ('A', 0), ('B', 0),
+           ('A', 0), ('A', 1), ('B', 1), ('B', 1)]
+    bounds = {1: 4.049, 2: 2.863, 3: 2.337, 4: 2.024}
+    ca = cb = xa = xb = 0
+    for lk in range(1, 5):
+        for arm, x in seq[(lk - 1) * 4:lk * 4]:
+            if arm == 'A': ca += 1; xa += x
+            else: cb += 1; xb += x
+        pp = (xa + xb) / (ca + cb)
+        z = ((xb / cb - xa / ca)
+             / math.sqrt(pp * (1 - pp) * (1 / ca + 1 / cb)))
+        print(f"gst look={lk}: n_a={ca} n_b={cb} z={r6(z)} "
+              f"crossed={abs(z) >= bounds[lk]}")
+        check_far(f"gst.z{lk}", z)
+
+
+if __name__ == "__main__":
+    tranche16()
