@@ -358,4 +358,184 @@ class EdgeBranchSpec2 extends GoldenFixtures {
       out(4L).getAs[Double]("obf_boundary") == 2.024)
     assert(out.values.forall(!_.getAs[Boolean]("crossed")))
   }
+
+  // ------------------------------------------------------------ eval
+
+  /** Chrono-split purchase-predictor fixture shared by the eval tests:
+    * train half (ids 1-5) gives user rates u1=0.5, u2=1.0, u3=0.0 and
+    * global 0.6; test half (ids 6-11) scores y/p pairs
+    * (0,.5),(1,.5),(1,1),(0,0),(0,0),(1,.6) — u4 is unseen and falls
+    * back to the global rate. */
+  private def writePurchaseFixture(dir: String): Unit =
+    writeEvents(dir, Seq(
+      (1L, Day, 1L, "view", 1.0),
+      (2L, Day + 1000L, 1L, "purchase", 1.0),
+      (3L, Day + 2000L, 2L, "purchase", 1.0),
+      (4L, Day + 3000L, 2L, "purchase", 1.0),
+      (5L, Day + 4000L, 3L, "view", 1.0),
+      (6L, 3 * Day - 5000L, 1L, "view", 1.0),
+      (7L, 3 * Day - 4000L, 1L, "purchase", 1.0),
+      (8L, 3 * Day - 3000L, 2L, "purchase", 1.0),
+      (9L, 3 * Day - 2000L, 3L, "view", 1.0),
+      (10L, 3 * Day - 1000L, 3L, "view", 1.0),
+      (11L, 3 * Day, 4L, "purchase", 1.0)))
+
+  test("eval_pr_auc pins the average-precision sum over positives") {
+    val dir = tmp()
+    writePurchaseFixture(dir)
+    // golden_stats.py tranche17 pr_auc: hits at ranks 1, 2, 4 ->
+    // AP = (1 + 1 + 0.75)/3 = 0.916667.
+    val r = one(EvalQueries.evalPrAuc(spark, dir))
+    assert(r.getAs[Long]("n_test") == 6L && r.getAs[Long]("n_pos") == 3L)
+    assert(r.getAs[Double]("avg_precision") == 0.916667)
+    assert(r.getAs[Double]("base_rate") == 0.5)
+  }
+
+  test("eval_rprecision pins precision at the break-even depth") {
+    val dir = tmp()
+    writePurchaseFixture(dir)
+    // tranche17 rprec: top-3 by (p desc, id) holds 2 positives -> 2/3.
+    val r = one(EvalQueries.evalRprecision(spark, dir))
+    assert(r.getAs[Long]("n_pos") == 3L)
+    assert(r.getAs[Double]("r_precision") == 0.666667)
+  }
+
+  test("eval_mcc pins the confusion matrix at the base-rate threshold") {
+    val dir = tmp()
+    writePurchaseFixture(dir)
+    // tranche17 mcc: threshold 0.6 -> tp=2 fp=0 fn=1 tn=3,
+    // MCC = 6/sqrt(72) = 0.707107.
+    val r = one(EvalQueries.evalMcc(spark, dir))
+    assert(r.getAs[Long]("tp") == 2L && r.getAs[Long]("fp") == 0L)
+    assert(r.getAs[Long]("fn") == 1L && r.getAs[Long]("tn") == 3L)
+    assert(r.getAs[Double]("precision") == 1.0)
+    assert(r.getAs[Double]("recall") == 0.666667)
+    assert(r.getAs[Double]("f1") == 0.8)
+    assert(r.getAs[Double]("mcc") == 0.707107)
+  }
+
+  test("eval_ece pins the Murphy decomposition REL - RES + UNC") {
+    val dir = tmp()
+    writePurchaseFixture(dir)
+    // tranche17 ece: singleton bins, gaps 0,0,.5,.5,.4,0 ->
+    // ECE 0.233333; REL 0.11, RES 0.25, UNC 0.25, Brier 0.11.
+    val r = one(EvalQueries.evalEce(spark, dir))
+    assert(r.getAs[Long]("n_test") == 6L)
+    assert(r.getAs[Double]("ece") == 0.233333)
+    assert(r.getAs[Double]("reliability") == 0.11)
+    assert(r.getAs[Double]("resolution") == 0.25)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    assert(r.getAs[Double]("brier_decomposed") == 0.11)
+  }
+
+  test("eval_ks pins the cross-multiplied sup-CDF gap and its threshold") {
+    val dir = tmp()
+    writePurchaseFixture(dir)
+    // tranche17 ks: gaps 6,6,3,0 over scores 0,.5,.6,1 -> KS = 6/9
+    // with the tie broken toward the smallest score.
+    val r = one(EvalQueries.evalKs(spark, dir))
+    assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 3L)
+    assert(r.getAs[Double]("ks") == 0.666667)
+    assert(r.getAs[Double]("ks_at_p") == 0.0)
+  }
+
+  test("eval_brier pins the Brier score and the clamped log-loss") {
+    val dir = tmp()
+    writePurchaseFixture(dir)
+    // tranche17 brier: mean squared gap 0.66/6 = 0.11; logloss
+    // 0.316187 with p in {0, 1} clamped to [1e-6, 1-1e-6].
+    val r = one(EvalQueries.evalBrier(spark, dir))
+    assert(r.getAs[Long]("n_test") == 6L)
+    assert(r.getAs[Double]("base_rate") == 0.5)
+    assert(r.getAs[Double]("brier") == 0.11)
+    assert(r.getAs[Double]("logloss") == 0.316187)
+  }
+
+  test("eval_lift pins capture and lift over singleton deciles") {
+    val dir = tmp()
+    writePurchaseFixture(dir)
+    // tranche17 lift: positives in deciles 1,2,4 of 6.
+    val out = EvalQueries.evalLift(spark, dir).collect()
+    assert(out.length == 6)
+    assert(out.map(_.getAs[Long]("n_pos")).toSeq ==
+      Seq(1L, 1L, 0L, 1L, 0L, 0L))
+    assert(out.map(_.getAs[Double]("cum_capture")).toSeq ==
+      Seq(0.333333, 0.666667, 0.666667, 1.0, 1.0, 1.0))
+    assert(out.map(_.getAs[Double]("cum_lift")).toSeq ==
+      Seq(2.0, 2.0, 1.333333, 1.5, 1.2, 1.0))
+  }
+
+  // ------------------------------------------------ survey/shrinkage
+
+  test("shrinkage_means pins the James-Stein factor on 4 balanced groups") {
+    val dir = tmp()
+    valueEvents(dir, Map("a" -> Seq(8.0, 12.0), "b" -> Seq(18.0, 22.0),
+      "c" -> Seq(28.0, 32.0), "d" -> Seq(38.0, 42.0)))
+    // tranche17 shrink: grand mean 25, sum sq dev 500, mean var-of-mean
+    // 4 -> c = 1 - 1*4/500 = 0.992; means pull 0.8% toward 25.
+    val out = StatQueries.shrinkageMeans(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    for ((t, m, sm) <- Seq(("a", 10.0, 10.12), ("b", 20.0, 20.04),
+        ("c", 30.0, 29.96), ("d", 40.0, 39.88))) {
+      assert(out(t).getAs[Double]("raw_mean") == m)
+      assert(out(t).getAs[Double]("shrink_factor") == 0.992)
+      assert(out(t).getAs[Double]("shrunken_mean") == sm)
+    }
+  }
+
+  test("brr_se pins the eight md5 half-sample replicate means") {
+    val dir = tmp()
+    writeEvents(dir, (1 to 6).map { u =>
+      (u.toLong, Hour + u, u.toLong, "m", 10.0 * u)
+    })
+    // tranche17 brr: md5-bit half-samples of users 1..6 give replicate
+    // means 35, 36.67, 33.33, 33.33, 36, 35, 40, 40 -> SE 2.723356.
+    val r = one(StatQueries.brrSe(spark, dir))
+    assert(r.getAs[Long]("n_replicates") == 8L)
+    assert(r.getAs[Long]("n_events") == 6L)
+    assert(r.getAs[Double]("full_mean") == 35.0)
+    assert(r.getAs[Double]("brr_se") == 2.723356)
+  }
+
+  private def writeRakingDocs(dir: String): Unit = {
+    import spark.implicits._
+    val rows = Seq.fill(4)(("en", "s1")) ++ Seq.fill(2)(("en", "s2")) ++
+      Seq(("de", "s1"), ("de", "s2"))
+    rows.zipWithIndex.map { case ((l, src), i) => (i.toLong + 1, l, src) }
+      .toDF("doc_id", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("ipf_raking pins the 4-round nano-grid Deming-Stephan walk") {
+    val dir = tmp()
+    writeRakingDocs(dir)
+    // tranche17 ipf: cells 4/2/1/1, uniform lang target (4,4), observed
+    // source targets (5,3) -> weights 2.822086, 1.179487, 2.177914,
+    // 1.820513 after 4 rounds.
+    val out = StatQueries.ipfRaking(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) -> r)
+      .toMap
+    assert(out(("de", "s1")).getAs[Double]("weight") == 2.177914)
+    assert(out(("de", "s1")).getAs[Double]("raking_factor") == 2.177914)
+    assert(out(("de", "s2")).getAs[Double]("weight") == 1.820513)
+    assert(out(("en", "s1")).getAs[Double]("weight") == 2.822086)
+    assert(out(("en", "s1")).getAs[Double]("raking_factor") == 0.705521)
+    assert(out(("en", "s2")).getAs[Double]("weight") == 1.179487)
+    assert(out(("en", "s2")).getAs[Double]("raking_factor") == 0.589744)
+  }
+
+  test("raking_ess pins the Kish effective sample size per lang") {
+    val dir = tmp()
+    writeRakingDocs(dir)
+    // tranche17 ess: de (2.178, 1.821) -> 1.984147 (ratio 0.992074);
+    // en (2.822, 1.179) -> 1.711595 (ratio 0.285266).
+    val out = StatQueries.rakingEss(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(out("de").getAs[Long]("n_docs") == 2L)
+    assert(out("de").getAs[Double]("ess") == 1.984147)
+    assert(out("de").getAs[Double]("ess_ratio") == 0.992074)
+    assert(out("en").getAs[Long]("n_docs") == 6L)
+    assert(out("en").getAs[Double]("ess") == 1.711595)
+    assert(out("en").getAs[Double]("ess_ratio") == 0.285266)
+  }
 }

@@ -1541,3 +1541,122 @@ def tranche16():
 
 if __name__ == "__main__":
     tranche16()
+
+
+def tranche17():
+    print("\n===== tranche 17: eval + survey/shrinkage =====")
+    import hashlib
+
+    # --- purchaseScored fixture: test rows (event_id, y, p).
+    rows = [(6, 0, 0.5), (7, 1, 0.5), (8, 1, 1.0),
+            (9, 0, 0.0), (10, 0, 0.0), (11, 1, 0.6)]
+    # pr_auc: rank by (p desc, id asc).
+    ranked = sorted(rows, key=lambda r: (-r[2], r[0]))
+    cum = 0
+    sppm = 0
+    for rk, (i, y, p) in enumerate(ranked, 1):
+        cum += y
+        if y:
+            sppm += round(cum * 1e6 / rk)
+    npos = sum(y for _, y, _ in rows)
+    print(f"pr_auc: n_pos={npos} ap={r6(sppm/1e6/npos)} "
+          f"base={r6(npos/len(rows))}")
+    # r-precision at depth R=3.
+    rp = sum(y for _, y, _ in ranked[:npos])
+    print(f"rprec: {r6(rp/npos)}")
+    # mcc at threshold p_base=0.6.
+    tp = sum(1 for _, y, p in rows if y and p >= 0.6)
+    fp = sum(1 for _, y, p in rows if not y and p >= 0.6)
+    fn = sum(1 for _, y, p in rows if y and p < 0.6)
+    tn = sum(1 for _, y, p in rows if not y and p < 0.6)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    print(f"mcc: tp={tp} fp={fp} fn={fn} tn={tn} prec={r6(tp/(tp+fp))} "
+          f"rec={r6(tp/(tp+fn))} f1={r6(2*tp/(2*tp+fp+fn))} mcc={r6(mcc)}")
+    # ece bins: one row per bin, (p asc, id).
+    bins = sorted(rows, key=lambda r: (r[2], r[0]))
+    ybar = npos / len(rows)
+    ece = sum(abs(p - y) for _, y, p in bins) / len(rows)
+    rel = sum((p - y) ** 2 for _, y, p in bins) / len(rows)
+    res = sum((y - ybar) ** 2 for _, y, p in bins) / len(rows)
+    unc = ybar * (1 - ybar)
+    print(f"ece: {r6(ece)} rel={r6(rel)} res={r6(res)} unc={r6(unc)} "
+          f"brier_dec={r6(rel - res + unc)}")
+    # ks over distinct scores.
+    from collections import defaultdict
+    cs = defaultdict(lambda: [0, 0])
+    for _, y, p in rows:
+        cs[p][0 if y else 1] += 1
+    n1 = sum(v[0] for v in cs.values()); n0 = sum(v[1] for v in cs.values())
+    cc1 = cc0 = 0; best = (-1, None)
+    for p in sorted(cs):
+        cc1 += cs[p][0]; cc0 += cs[p][1]
+        g = abs(cc1 * n0 - cc0 * n1)
+        if g > best[0]: best = (g, p)
+    print(f"ks: {r6(best[0]/(n1*n0))} at_p={best[1]}")
+    # brier + logloss.
+    br = sum((p - y) ** 2 for _, y, p in rows) / len(rows)
+    ll = 0.0
+    for _, y, p in rows:
+        pc = min(max(p, 1e-6), 1 - 1e-6)
+        ll += -(y * math.log(pc) + (1 - y) * math.log(1 - pc))
+    print(f"brier: {r6(br)} logloss={r6(ll/len(rows))}")
+    check_far("ll", ll / len(rows))
+    # lift deciles (one row per bin).
+    cumn = cump = 0
+    for d, (i, y, p) in enumerate(ranked, 1):
+        cumn += 1; cump += y
+        print(f"lift d={d}: n_pos={y} capture={r6(cump/npos)} "
+              f"lift={r6(cump*len(rows)/(npos*cumn))}")
+
+    # --- shrinkage_means: 4 types, means 10/20/30/40, varm 4 each.
+    mus, mug, k = [10, 20, 30, 40], 25, 4
+    ss = sum((m - mug) ** 2 for m in mus)
+    c = max(0.0, 1 - (k - 3) * 4 / ss)
+    for m in mus:
+        print(f"shrink mu={m}: c={r6(c)} shrunken={r6(mug + c*(m - mug))}")
+
+    # --- brr_se: users 1..6, single events 10..60 (micros exact).
+    vals = {u: 10.0 * u for u in range(1, 7)}
+    nt = len(vals); svt = sum(vals.values())
+    full = svt / nt
+    snano = 0
+    for rep in range(8):
+        inc = {u: v for u, v in vals.items()
+               if (int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+                   >> rep) % 2 == 1}
+        m = sum(inc.values()) / len(inc)
+        snano += round((m - full) ** 2 * 1e9)
+        print(f"  brr rep={rep}: users={sorted(inc)} mean={m}")
+    print(f"brr: full_mean={r6(full)} se={r6(math.sqrt(snano/1e9/8))}")
+    check_far("brr.se", math.sqrt(snano / 1e9 / 8))
+
+    # --- ipf_raking: cells en-s1:4 en-s2:2 de-s1:1 de-s2:1.
+    cells = {("en", "s1"): 4, ("en", "s2"): 2,
+             ("de", "s1"): 1, ("de", "s2"): 1}
+    n = sum(cells.values()); kl = 2
+    ctgt = {"s1": 5, "s2": 3}
+    w = {c: o * 10 ** 9 for c, o in cells.items()}
+    for step in (1, 2, 3, 4):
+        if step % 2 == 1:
+            ms = {l: sum(v for (l2, _), v in w.items() if l2 == l)
+                  for l in ("en", "de")}
+            w = {c: round(w[c] * (n / kl) * 1e9 / ms[c[0]]) for c in w}
+        else:
+            ms = {s: sum(v for (_, s2), v in w.items() if s2 == s)
+                  for s in ("s1", "s2")}
+            w = {c: round(w[c] * ctgt[c[1]] * 1e9 / ms[c[1]]) for c in w}
+    for c in sorted(w):
+        print(f"ipf {c}: weight={r6(w[c]/1e9)} factor={r6(w[c]/1e9/cells[c])}")
+        check_far(f"ipf.{c}", w[c] / 1e9)
+        check_far(f"ipff.{c}", w[c] / 1e9 / cells[c])
+    for l in ("de", "en"):
+        sw = sum(v for (l2, _), v in w.items() if l2 == l)
+        sww = sum(v * v for (l2, _), v in w.items() if l2 == l)
+        nd = sum(o for (l2, _), o in cells.items() if l2 == l)
+        print(f"ess {l}: ess={r6(sw*sw/sww)} ratio={r6(sw*sw/sww/nd)}")
+        check_far(f"ess.{l}", sw * sw / sww)
+
+
+if __name__ == "__main__":
+    tranche17()
