@@ -538,4 +538,129 @@ class EdgeBranchSpec2 extends GoldenFixtures {
     assert(out("en").getAs[Double]("ess") == 1.711595)
     assert(out("en").getAs[Double]("ess_ratio") == 0.285266)
   }
+
+  // --------------------------------------- info-theory / inequality
+
+  test("mi_matrix pins nano-rounded MI, marginal entropies, and NMI") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "en", "s1"), (2L, "en", "s1"), (3L, "en", "s2"),
+      (4L, "de", "s1")).toDF("doc_id", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    countEvents(dir, 0L, Map("a" -> Seq(3), "b" -> Seq(1, 2)))
+    // golden_stats.py tranche18 mi: docs grid 2/1/1 -> MI 0.08495,
+    // H 0.562335 both, NMI 0.151066; events grid 3/1/2 -> MI 0.318257,
+    // H 0.693147/0.636514, NMI 0.479139.
+    val out = OpsQueries.miMatrix(spark, dir).collect()
+      .map(r => r.getAs[String]("pair") -> r).toMap
+    val d = out("lang_x_source")
+    assert(d.getAs[Long]("n") == 4L)
+    assert(d.getAs[Double]("mi") == 0.08495)
+    assert(d.getAs[Double]("h_x") == 0.562335)
+    assert(d.getAs[Double]("h_y") == 0.562335)
+    assert(d.getAs[Double]("nmi") == 0.151066)
+    val e = out("type_x_hod")
+    assert(e.getAs[Long]("n") == 6L)
+    assert(e.getAs[Double]("mi") == 0.318257)
+    assert(e.getAs[Double]("h_x") == 0.693147)
+    assert(e.getAs[Double]("h_y") == 0.636514)
+    assert(e.getAs[Double]("nmi") == 0.479139)
+  }
+
+  test("events_uncertainty pins both Theil U directions") {
+    val dir = tmp()
+    countEvents(dir, 0L, Map("a" -> Seq(3), "b" -> Seq(1, 2)))
+    // tranche18 uncert: H(type) = ln 2, H(hour) = 0.636514,
+    // MI = 0.318257 -> U(type|hour) = 0.459148, U(hour|type) = 0.5.
+    val r = one(StatQueries.eventsUncertaintyCoef(spark, dir))
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("h_type") == 0.693147)
+    assert(r.getAs[Double]("h_hour") == 0.636514)
+    assert(r.getAs[Double]("mi") == 0.318257)
+    assert(r.getAs[Double]("u_type_given_hour") == 0.459148)
+    assert(r.getAs[Double]("u_hour_given_type") == 0.5)
+  }
+
+  test("events_lagged_mi pins quartile-binned MI at lags 1 and 24") {
+    val dir = tmp()
+    countEvents(dir, 100L, Map("t" -> (0 until 28).map(i => (i % 4) + 1)))
+    // tranche18 lagged_mi: a 1,2,3,4 cycle is deterministic at both
+    // lags; lag 24 aligns with the period (MI = ln 4 = 1.386294), lag 1
+    // loses a sliver to unbalanced margins over 27 pairs (1.384182).
+    val out = StatQueries.eventsLaggedMi(spark, dir).collect()
+      .map(r => r.getAs[Long]("lag") -> r).toMap
+    assert(out(1L).getAs[Long]("n_pairs") == 27L)
+    assert(out(1L).getAs[Double]("mi_nats") == 1.384182)
+    assert(out(24L).getAs[Long]("n_pairs") == 4L)
+    assert(out(24L).getAs[Double]("mi_nats") == 1.386294)
+  }
+
+  test("revenue_theil pins T and the mean log deviation") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 1L, 100.0), (2L, 2L, 200.0), (3L, 3L, 300.0),
+      (4L, 4L, 400.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // tranche18 theil: ratios .4/.8/1.2/1.6 -> T = 0.10644,
+    // L = 0.121777 (ppb round-then-sum).
+    val r = one(OpsQueries.revenueTheil(spark, dir))
+    assert(r.getAs[Long]("n_customers") == 4L)
+    assert(r.getAs[Double]("mean_revenue") == 250.0)
+    assert(r.getAs[Double]("theil_t") == 0.10644)
+    assert(r.getAs[Double]("theil_l") == 0.121777)
+  }
+
+  test("revenue_atkinson pins 1 - geomean/mean at eps = 1") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 1L, 100.0), (2L, 2L, 200.0), (3L, 3L, 400.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, "ALPHA")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    // tranche18 atkinson: cents 1e4/2e4/4e4 -> geomean 2e4, mean
+    // 7e4/3 -> A = 1 - 6/7 = 0.142857.
+    val r = one(StatQueries.revenueAtkinson(spark, dir))
+    assert(r.getAs[Long]("n_customers") == 3L)
+    assert(r.getAs[Double]("total_revenue") == 700.0)
+    assert(r.getAs[Double]("atkinson") == 0.142857)
+  }
+
+  test("woe_iv pins half-count-smoothed WoE and the IV sum") {
+    import spark.implicits._
+    val dir = tmp()
+    val prices = Seq.fill(4)(10000.0) ++ Seq.fill(4)(60000.0)
+    prices.zipWithIndex.map { case (p, i) => ((i + 1).toLong, p) }
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "R"), (5L, "R"), (6L, "R"), (7L, "R"), (8L, "N"))
+      .toDF("l_orderkey", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // tranche18 woe: bands (4 orders, 1 bad) and (4, 3) -> WoE
+    // +-ln(7/3) = +-0.847298, IV = 0.847298.
+    val out = StatQueries.woeIv(spark, dir).collect()
+      .map(r => r.getAs[Long]("band") -> r).toMap
+    assert(out(0L).getAs[Long]("n_good") == 3L)
+    assert(out(0L).getAs[Double]("woe") == 0.847298)
+    assert(out(0L).getAs[Double]("iv_term") == 0.423649)
+    assert(out(1L).getAs[Long]("n_bad") == 3L)
+    assert(out(1L).getAs[Double]("woe") == -0.847298)
+    assert(out(1L).getAs[Double]("iv_term") == 0.423649)
+    assert(out(0L).getAs[Double]("iv_total") == 0.847298)
+  }
+
+  test("events_tail_index pins the Hill estimator on exact powers of 2") {
+    val dir = tmp()
+    writeEvents(dir, Seq(8.0, 4.0, 2.0, 1.0).zipWithIndex.map {
+      case (v, i) => ((i + 1).toLong, Hour + i, (i + 1).toLong, "t", v)
+    })
+    // tranche18 hill: k = 4, x_k = 1.0,
+    // alpha = 3/(ln8 + ln4 + ln2) = 0.721348 over milli-unit values.
+    val r = one(StatQueries.eventsTailIndex(spark, dir))
+    assert(r.getAs[Long]("k") == 4L)
+    assert(r.getAs[Double]("x_k") == 1.0)
+    assert(r.getAs[Double]("hill_alpha") == 0.721348)
+  }
 }

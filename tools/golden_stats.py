@@ -1660,3 +1660,105 @@ def tranche17():
 
 if __name__ == "__main__":
     tranche17()
+
+
+def tranche18():
+    print("\n===== tranche 18: info-theory, inequality, tails =====")
+
+    # --- mi_matrix docs cells (en,s1):2 (en,s2):1 (de,s1):1.
+    def mi_nano(cells):
+        n = sum(cells.values())
+        from collections import Counter
+        nx = Counter(); ny = Counter()
+        for (x, y), c in cells.items():
+            nx[x] += c; ny[y] += c
+        mi = sum(round((c / n) * math.log(c * n / (nx[x] * ny[y])) * 1e9)
+                 for (x, y), c in cells.items())
+        hx = sum(round(-(v / n) * math.log(v / n) * 1e9) for v in nx.values())
+        hy = sum(round(-(v / n) * math.log(v / n) * 1e9) for v in ny.values())
+        nmi = mi / math.sqrt(hx * hy) if hx and hy else None
+        return n, r6(mi / 1e9), r6(hx / 1e9), r6(hy / 1e9), \
+            r6(nmi) if nmi is not None else None
+    docs = {("en", "s1"): 2, ("en", "s2"): 1, ("de", "s1"): 1}
+    evs = {("a", 0): 3, ("b", 0): 1, ("b", 1): 2}
+    print(f"mi docs: {mi_nano(docs)}")
+    print(f"mi events: {mi_nano(evs)}")
+
+    # --- events_uncertainty on the same events cells: H from
+    # ln N - (sum c ln c)/N with nano-rounded c ln c terms.
+    n = sum(evs.values())
+    from collections import Counter
+    nx = Counter(); ny = Counter()
+    for (x, y), c in evs.items():
+        nx[x] += c; ny[y] += c
+    def hh(counter):
+        s_ = sum(round(c * math.log(c) * 1e9) for c in counter.values())
+        return math.log(n) - s_ / 1e9 / n
+    hxy = math.log(n) - sum(round(c * math.log(c) * 1e9)
+                            for c in evs.values()) / 1e9 / n
+    hx, hy = hh(nx), hh(ny)
+    mi = hx + hy - hxy
+    print(f"uncert: h_type={r6(hx)} h_hour={r6(hy)} mi={r6(mi)} "
+          f"u_t|h={r6(mi/hx)} u_h|t={r6(mi/hy)}")
+    for nm, v in [("hx", hx), ("hy", hy), ("mi", mi), ("ut", mi/hx),
+                  ("uh", mi/hy)]:
+        check_far(f"unc.{nm}", v)
+
+    # --- events_lagged_mi: 28-hour cycle 1,2,3,4 repeating; exact
+    # ntile(4) puts each count level in its own bin.
+    series = [(i % 4) + 1 for i in range(28)]
+    for k in (1, 24):
+        pairs = Counter((series[i - k], series[i])
+                        for i in range(k, len(series)))
+        npair = sum(pairs.values())
+        cx = Counter(); cy = Counter()
+        for (a, b), c in pairs.items():
+            cy[a] += c; cx[b] += c
+        def s9(counter):
+            return sum(round(c * math.log(c) * 1e9) for c in counter.values())
+        mi = ((math.log(npair) - s9(cx) / 1e9 / npair)
+              + (math.log(npair) - s9(cy) / 1e9 / npair)
+              - (math.log(npair) - s9(pairs) / 1e9 / npair))
+        print(f"lagged_mi k={k}: n_pairs={npair} mi={r6(mi)}")
+        check_far(f"lmi.{k}", mi)
+
+    # --- revenue_theil: customer cents 10000,20000,30000,40000.
+    cents = [10000, 20000, 30000, 40000]
+    S, nn = sum(cents), len(cents)
+    st = sum(round((c * nn / S) * math.log(c * nn / S) * 1e9) for c in cents)
+    sl = sum(round(math.log(c * nn / S) * 1e9) for c in cents)
+    print(f"theil: mean_rev={S/nn/100} T={r6(st/1e9/nn)} L={r6(-sl/1e9/nn)}")
+    check_far("theil.t", st / 1e9 / nn); check_far("theil.l", -sl / 1e9 / nn)
+
+    # --- revenue_atkinson: one nation, customer cents 10000/20000/40000.
+    ac = [10000, 20000, 40000]
+    sl = sum(round(math.log(c) * 1e9) for c in ac)
+    atk = 1 - math.exp(sl / 1e9 / 3) / (sum(ac) / 3)
+    print(f"atkinson: total={sum(ac)/100} a={r6(atk)}")
+    check_far("atk", atk)
+
+    # --- woe_iv: band0 4 orders 1 bad, band1 4 orders 3 bad.
+    bands = {0: (4, 1), 1: (4, 3)}  # band -> (n, bad)
+    g = sum(n - b for n, b in bands.values())
+    b_ = sum(b for _, b in bands.values())
+    ivn = 0
+    for bd, (n, bad) in bands.items():
+        good = n - bad
+        woe = math.log((2 * good + 1) * b_ / ((2 * bad + 1) * g))
+        t = round((good / g - bad / b_) * woe * 1e9)
+        ivn += t
+        print(f"woe band={bd}: woe={r6(woe)} iv_term={r6(t/1e9)}")
+        check_far(f"woe.{bd}", woe)
+    print(f"woe iv_total={r6(ivn/1e9)}")
+
+    # --- events_tail_index: milli-values 8000,4000,2000,1000.
+    vs = [8000, 4000, 2000, 1000]
+    lsum = sum(round(math.log(v) * 1e9) for v in vs)
+    lk = round(math.log(vs[-1]) * 1e9)
+    alpha = (len(vs) - 1) * 1e9 / (lsum - len(vs) * lk)
+    print(f"hill: k={len(vs)} x_k={vs[-1]/1e3} alpha={r6(alpha)}")
+    check_far("hill", alpha)
+
+
+if __name__ == "__main__":
+    tranche18()
