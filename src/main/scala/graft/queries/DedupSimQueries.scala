@@ -235,6 +235,32 @@ object DedupSimQueries {
       .orderBy("vec_id")
   }
 
+  /** #19i'' PageRank over the kNN similarity graph — the corpus-scale
+    * graph substrate: unlike the threshold graph (whose edge SET is
+    * inherently near-quadratic at low thresholds), the kNN graph is
+    * O(n·k) edges by construction, so every downstream graph operator
+    * stays linear in the corpus no matter how dense the embedding space
+    * gets. Edges come from the IVF ANN top-k lists
+    * ([[graft.ops.Similarity.ivfTopK]]) at exhaustive probe
+    * (nprobe = nlist), where IVF provably equals brute-force top-k
+    * (the `sim_ann_ivf` audit) — which is what makes a full SQL oracle
+    * possible: brute-force kNN edges + the same five unrolled damped
+    * steps. At true corpus scale the only change is nprobe < nlist
+    * (recall bounded in SimilaritySpec) and nlist ∝ √n; the graph and
+    * everything downstream are untouched. */
+  def graphPagerankKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val topk = Similarity.ivfTopK(e, e, "vec_id", "embedding", k = 5,
+      nlist = 32, nprobe = 32)
+    val fwd = topk.select(col("query_id").as("s"), col("neighbor_id").as("t"))
+    // Symmetrize + dedup: mutual top-k pairs appear in both lists.
+    val edges = fwd.unionAll(fwd.select(col("t").as("s"), col("s").as("t")))
+      .distinct()
+    graft.ops.PageRank.run(edges, "s", "t", iterations = 5)
+      .select(col("v").as("vec_id"), round(col("p"), 6).as("rank"))
+      .orderBy("vec_id")
+  }
+
   /** #19p duplicate-cluster size histogram over the n-gram component
     * labels ([[clusterLabels]], memoized): how much of the near-dup
     * mass sits in pairs vs long chains — the shape that decides whether
@@ -1178,6 +1204,7 @@ object DedupSimQueries {
     "dedup_simhash_containment" -> (dedupSimhashContainment _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "graph_pagerank"      -> (graphPagerank _),
+    "graph_pagerank_knn"  -> (graphPagerankKnn _),
     "graph_bfs"           -> (graphBfs _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_survivorship"  -> (dedupSurvivorship _),
@@ -2114,6 +2141,41 @@ FROM agg ORDER BY r, b""" },
          |  WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
          |), e AS (SELECT s, t FROM pr UNION ALL SELECT t, s FROM pr),
          |deg AS (SELECT s, count(*) AS d FROM e GROUP BY 1),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+         |p0 AS (SELECT s AS v, 1.0 / n AS p FROM deg, nn),
+         |$steps
+         |SELECT v AS vec_id, round(p, 6) AS rank FROM p5
+         |ORDER BY vec_id""".stripMargin
+    },
+    // kNN-graph PageRank: brute-force top-5 edges (= exhaustive-probe
+    // IVF, the sim_ann_ivf equivalence) symmetrized + deduped, then the
+    // same five unrolled damped steps as graph_pagerank.
+    "graph_pagerank_knn" -> {
+      val steps = (1 to 5).map { i =>
+        s"""p$i AS (
+           |  SELECT e.t AS v, 0.15 / nn.n + 0.85 * sum(p${i - 1}.p / deg.d) AS p
+           |  FROM e JOIN p${i - 1} ON e.s = p${i - 1}.v
+           |       JOIN deg ON e.s = deg.s, nn
+           |  GROUP BY e.t, nn.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings
+         |), knn AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_inner_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+         |                 c.vec_id) AS rank
+         |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+         |  ) WHERE rank <= 5
+         |), e AS (
+         |  SELECT DISTINCT s, t FROM (
+         |    SELECT query_id AS s, neighbor_id AS t FROM knn
+         |    UNION ALL
+         |    SELECT neighbor_id AS s, query_id AS t FROM knn)
+         |), deg AS (SELECT s, count(*) AS d FROM e GROUP BY 1),
          |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
          |p0 AS (SELECT s AS v, 1.0 / n AS p FROM deg, nn),
          |$steps
