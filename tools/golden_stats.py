@@ -1779,3 +1779,606 @@ def tranche19():
 
 if __name__ == "__main__":
     tranche19()
+
+
+def tranche20():
+    print("\n===== tranche 20: retrieval + eval + LM + agreement =====")
+
+    # Shared retrieval corpus (query: vector, key, dup). d2 and d3 have
+    # IDENTICAL bm25 stats for 'key' (tf 1, dl 8) so bm25 ties them
+    # (doc_id break: d2 then d3), but d2's norm is dominated by the
+    # repeated 'zz' (tf 7) while d3's fillers are distinct -> tfidf
+    # ranks d3 above d2: one discordant pair by construction.
+    docs = {
+        1: ("vector key dup", 500),
+        2: ("key zz zz zz zz zz zz zz", 160),
+        3: ("key aa bb cc dd ee ff gg", 310),
+        4: ("nothing relevant at all", 10),
+    }
+    toks = {d: t.split() for d, (t, _) in docs.items()}
+    N = len(docs)
+    dl = {d: len(ts) for d, ts in toks.items()}
+    avgdl = sum(dl.values()) / N
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    Q = ["vector", "key", "dup"]
+
+    # --- bm25 per-term scores (round per term to 6dp, then sum+round)
+    k1, b = 1.2, 0.75
+    bm_score = {}
+    for d, ts in toks.items():
+        s, hits = 0.0, 0
+        for q in Q:
+            tf = ts.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (N - df[q] + 0.5) / (df[q] + 0.5))
+            term = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+            s += r6(term)
+            hits += 1
+        if hits:
+            bm_score[d] = (r6(s), hits)
+    bm_rank = {d: r for r, (d, _) in enumerate(
+        sorted(bm_score.items(), key=lambda kv: (-kv[1][0], kv[0])), 1)}
+    print(f"bm25: scores={bm_score} ranks={bm_rank}")
+
+    # --- tfidf_search: w = tf*ln(N/df), cosine vs idf query vector
+    tf_score = {}
+    qw = {q: math.log(N / df[q]) for q in Q if df[q] < N}
+    qnorm = math.sqrt(sum(w * w for w in qw.values()))
+    for d, ts in toks.items():
+        w = {t: ts.count(t) * math.log(N / df[t]) for t in set(ts)}
+        norm = math.sqrt(sum(v * v for v in w.values()))
+        dot = sum(w.get(q, 0.0) * qw[q] for q in qw)
+        hits = sum(1 for q in qw if q in w)
+        if hits:
+            sc = r6(dot / (norm * qnorm))
+            tf_score[d] = (sc, hits)
+            check_far(f"tfidf.{d}", dot / (norm * qnorm))
+    tf_rank = {d: r for r, (d, _) in enumerate(
+        sorted(tf_score.items(), key=lambda kv: (-kv[1][0], kv[0])), 1)}
+    print(f"tfidf: scores={tf_score} ranks={tf_rank}")
+
+    # --- search_rrf: full-outer of the two lists, 1/(60+rank)
+    all_docs = sorted(set(bm_rank) | set(tf_rank))
+    for d in all_docs:
+        ra, rb = bm_rank.get(d), tf_rank.get(d)
+        rrf = (1 / (60 + ra) if ra else 0) + (1 / (60 + rb) if rb else 0)
+        nl = (1 if ra else 0) + (1 if rb else 0)
+        print(f"rrf doc={d}: rrf={r6(rrf)} n_lists={nl}")
+        check_far(f"rrf.{d}", rrf)
+
+    # --- search_rbo: docs in both lists, wt = 0.1*0.9^(d-1)/d for d>=m
+    common = sorted(set(bm_rank) & set(tf_rank))
+    rbo = 0.0
+    for d in common:
+        m = max(bm_rank[d], tf_rank[d])
+        for depth in range(m, 11):
+            rbo += 0.1 * 0.9 ** (depth - 1) / depth
+    print(f"rbo: n_overlap10={len(common)} rbo={r6(rbo)}")
+    check_far("rbo", rbo)
+
+    # --- search_tau: tau-a over common docs
+    C = D = 0
+    for i, d1 in enumerate(common):
+        for d2 in common[i + 1:]:
+            sgn = (bm_rank[d1] - bm_rank[d2]) * (tf_rank[d1] - tf_rank[d2])
+            if sgn > 0:
+                C += 1
+            elif sgn < 0:
+                D += 1
+    n = len(common)
+    tau = 2 * (C - D) / (n * (n - 1))
+    print(f"tau: n_common={n} concordant={C} discordant={D} tau={r6(tau)}")
+
+    # --- eval_err on the bm25 ranking: g = min(3, n_chars div 150)
+    order = sorted(bm_rank.items(), key=lambda kv: kv[1])
+    st, sg = 0, 0
+    fs = []
+    for d, r in order:
+        g = min(3, docs[d][1] // 150)
+        num = {0: 0, 1: 1, 2: 3, 3: 7}[g]
+        pnum = 1
+        for f2 in fs:
+            pnum *= f2
+        term = round(num * pnum / (8 ** r * r) * 1e9)
+        st += term
+        sg += num
+        print(f"err rank={r} doc={d} g={g} num={num} pnum={pnum} term_nano={term}")
+        fs.append(8 - num)
+    print(f"err: n_results={len(order)} sum_gain={sg} err={r6(st / 1e9)}")
+
+    # --- eval_regression: per-part mean predictor
+    parts = {1: [1.0, 3.0], 2: [5.0]}
+    rows = [(q, mean(parts[p])) for p, qs in parts.items() for q in qs]
+    nn = len(rows)
+    sse = sum((p - l) ** 2 for l, p in rows)
+    sae = sum(abs(p - l) for l, p in rows)
+    sl = sum(l for l, _ in rows)
+    sll = sum(l * l for l, _ in rows)
+    mse = sse / nn
+    r2 = 1 - sse / (sll - sl * sl / nn)
+    print(f"regression: n={nn} mse={r6(mse)} rmse={r6(math.sqrt(mse))} "
+          f"mae={r6(sae / nn)} r2={r6(r2)}")
+    check_far("reg.rmse", math.sqrt(mse))
+
+    # --- eval_mrr: first-relevant rank within top 10, ppm rounding
+    # u1: fr=2, u2: fr=1, u3: relevant at rank 11 -> 0.
+    frs = [2, 1, None]
+    sppm = sum(round(1e6 / f) if f else 0 for f in frs)
+    print(f"mrr: n_users=3 n_hit10=2 mrr_at_10={r6(sppm / 1e6 / 3)}")
+
+    # --- eval_calibration: cell means {hod0: (1+3)/2=2, hod1: 10},
+    # global 14/3; test rows (hod0,4),(hod1,8),(hod2,6) -> ntile = rank.
+    g = 14 / 3
+    print(f"calibration: bin1 pred=2.0 act=4.0; bin2 pred={r6(g)} act=6.0; "
+          f"bin3 pred=10.0 act=8.0")
+
+    # --- lm_score: corpus d1='a a a a a b', d2='a b c'; minCount 5
+    tot = 9
+    lpa = math.log(6 / tot)
+    floor = math.log(1 / tot)
+    m1 = (5 * lpa + floor) / 6
+    m2 = (lpa + 2 * floor) / 3
+    print(f"lm_score: d1 n=6 logp={r6(m1)}; d2 n=3 logp={r6(m2)}")
+    check_far("lm.1", m1); check_far("lm.2", m2)
+
+    # --- lm_bigram_score: bi minCount 3 keeps only 'a a' (4 of n_a=6);
+    # backoff ln(0.4) + unigram(b|c) = floor (both < minCount 5).
+    bb = math.log(4 / 6)
+    back = math.log(0.4) + floor
+    b1 = (4 * bb + back) / 5
+    b2 = (2 * back) / 2
+    print(f"lm_bigram: d1 n=5 logp={r6(b1)}; d2 n=2 logp={r6(b2)}")
+    check_far("lmb.1", b1); check_far("lmb.2", b2)
+
+    # --- nb_lang_classify: train d2(en,'the cat') d4(de,'der hund');
+    # test d1(en,'the dog') d3(de,'der cat'). v=4, t_l=2 each.
+    w_hit = round(math.log(2 / 6) * 1e9)
+    w_def = round(math.log(1 / 6) * 1e9)
+    prior = round(math.log(1 / 2) * 1e9)
+    s_en_d1 = prior + w_hit + w_def
+    s_de_d1 = prior + 2 * w_def
+    print(f"nb d1: en={s_en_d1} de={s_de_d1} -> pred en (true en)")
+    s_en_d3 = prior + w_def + w_hit
+    s_de_d3 = prior + w_hit + w_def
+    assert s_en_d3 == s_de_d3
+    print(f"nb d3: en==de={s_en_d3} tie -> row_number picks 'de' (true de)")
+    print("nb: accuracy=1.0 cells: (en,en,1),(de,de,1)")
+
+    # --- langid_kappa: cells (en,en)=1,(de,de)=1,(en,und)=1,(de,fr)=1
+    nt, po_num = 4, 2
+    pe_num = 2 * 1 + 2 * 1
+    kappa = (po_num * nt - pe_num) / (nt * nt - pe_num)
+    print(f"kappa: n_docs={nt} po={r6(po_num / nt)} pe={r6(pe_num / nt ** 2)} "
+          f"kappa={r6(kappa)}")
+
+
+if __name__ == "__main__":
+    tranche20()
+
+
+def tranche21():
+    print("\n===== tranche 21: co-purchase graph family =====")
+    # Fixture graph: triangle {1,2,3} - bridge 3-4 - triangle {4,5,6},
+    # second triangle {5,6,7} sharing edge 5-6 via vertex 7, pendant
+    # chain 7-8-9. Each edge realized by exactly TWO 2-item orders, so
+    # Cooccur.pairs(minCount=2) reproduces the edge list verbatim.
+    E = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6),
+         (5, 7), (6, 7), (7, 8), (8, 9)]
+    nb = {}
+    for a, b in E:
+        nb.setdefault(a, set()).add(b)
+        nb.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in nb.items()}
+    n_baskets = 2 * len(E)
+    marg = {v: 2 * deg[v] for v in nb}
+    print(f"deg={deg}")
+
+    # --- item_cooc: n_ab=2, lift = 2*N/(n_a*n_b)
+    for a, b in E:
+        lift = r6(2 * n_baskets / (marg[a] * marg[b]))
+        print(f"cooc ({a},{b}): n_ab=2 lift={lift}")
+
+    # --- graph_assortativity: Pearson over symmetric endpoint degrees
+    pts = [(deg[a], deg[b]) for a, b in E] + [(deg[b], deg[a]) for a, b in E]
+    n = len(pts)
+    mx = sum(p[0] for p in pts) / n
+    my = sum(p[1] for p in pts) / n
+    sxy = sum((x - mx) * (y - my) for x, y in pts)
+    sxx = sum((x - mx) ** 2 for x, _ in pts)
+    syy = sum((y - my) ** 2 for _, y in pts)
+    r = sxy / math.sqrt(sxx * syy)
+    print(f"assortativity: n_nodes={len(nb)} n_edges={len(E)} r={r6(r)}")
+    check_far("assort", r)
+
+    # --- link_adamic_adar / link_jaccard over non-edges
+    es = {frozenset(e) for e in E}
+    verts = sorted(nb)
+    aa, jac = [], []
+    for i, a in enumerate(verts):
+        for b in verts[i + 1:]:
+            if frozenset((a, b)) in es:
+                continue
+            common = [w for w in nb[a] & nb[b] if 2 <= deg[w] <= 100]
+            if not common:
+                continue
+            score = sum(round(1e6 / math.log(deg[w])) for w in common)
+            aa.append((-score, a, b, len(common)))
+            ppm = round(len(common) * 1e6 / (deg[a] + deg[b] - len(common)))
+            jac.append((-ppm, a, b, len(common), deg[a], deg[b]))
+    for s, a, b, c in sorted(aa):
+        print(f"aa ({a},{b}): n_common={c} score_us={-s}")
+    for p, a, b, c, da, db in sorted(jac):
+        print(f"jaccard ({a},{b}): n_common={c} deg=({da},{db}) ppm={-p}")
+
+    # --- graph_communities: 3 synchronous LPA rounds, tie -> min label
+    lab = {v: v for v in nb}
+    for it in range(3):
+        nxt = {}
+        for u in nb:
+            cnt = {}
+            for v in nb[u]:
+                cnt[lab[v]] = cnt.get(lab[v], 0) + 1
+            nxt[u] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = nxt
+        print(f"lpa round {it + 1}: {lab}")
+    comm = {}
+    for v, l in lab.items():
+        comm.setdefault(l, []).append(v)
+    print(f"communities: {comm}")
+
+    # --- graph_modularity: Q = (4m*E_in - sum d_c^2)/(4m^2)
+    m = len(E)
+    e_in = sum(1 for a, b in E if lab[a] == lab[b])
+    dc = {}
+    for v in nb:
+        dc[lab[v]] = dc.get(lab[v], 0) + deg[v]
+    sdsq = sum(d * d for d in dc.values())
+    q = (4 * m * e_in - sdsq) / (4 * m * m)
+    print(f"modularity: n_comm={len(dc)} m={m} e_in={e_in} "
+          f"sum_dsq={sdsq} Q={r6(q)}")
+    check_far("modQ", q)
+
+    # --- graph_kcore: 4 peel rounds at deg >= 2 (pendant cascade 9->8)
+    sym = set()
+    for a, b in E:
+        sym.add((a, b)); sym.add((b, a))
+    for it in range(4):
+        d = {}
+        for a, _ in sym:
+            d[a] = d.get(a, 0) + 1
+        keep = {v for v, dd in d.items() if dd >= 2}
+        sym = {(a, b) for a, b in sym if a in keep and b in keep}
+    core = {}
+    for a, _ in sym:
+        core[a] = core.get(a, 0) + 1
+    print(f"kcore: {dict(sorted(core.items()))}")
+
+    # --- graph_richclub: phi at k=2 (and the n_rich<2 null at 4/8)
+    for k in (2, 4, 8):
+        rich = {v for v in nb if deg[v] >= k}
+        er = sum(1 for a, b in E if a in rich and b in rich)
+        phi = (er * 2 * 10000) // (len(rich) * (len(rich) - 1)) \
+            if len(rich) >= 2 else None
+        print(f"richclub k={k}: n_rich={len(rich)} e_rich={er} phi_bp={phi}")
+    print(f"density_all_bp={len(E) * 2 * 10000 // (len(nb) * (len(nb) - 1))}")
+
+    # --- graph_hits: 3 unrolled authority rounds on order-part incidence
+    baskets = []
+    for a, b in E:
+        baskets.append((a, b)); baskets.append((a, b))
+    a1 = {v: marg[v] for v in nb}
+    h1 = [a1[x] + a1[y] for x, y in baskets]
+    a2 = {v: 0 for v in nb}
+    for (x, y), h in zip(baskets, h1):
+        a2[x] += h; a2[y] += h
+    h2 = [a2[x] + a2[y] for x, y in baskets]
+    a3 = {v: 0 for v in nb}
+    for (x, y), h in zip(baskets, h2):
+        a3[x] += h; a3[y] += h
+    print("hits authority:",
+          sorted(a3.items(), key=lambda kv: (-kv[1], kv[0])))
+
+    # --- graph_ppr: 5 unrolled pico rounds from seed = min vertex = 1
+    def hup(x):
+        return math.floor(x + 0.5)
+    p = {1: 1_000_000_000_000}
+    for it in range(5):
+        m_ = {}
+        for sv, pp in p.items():
+            for tv in nb[sv]:
+                m_[tv] = m_.get(tv, 0) + hup(pp / deg[sv])
+        p = {tv: hup(0.85 * mm) for tv, mm in m_.items()}
+        p[1] = p.get(1, 0) + 150_000_000_000
+    print("ppr:", sorted(p.items(), key=lambda kv: (-kv[1], kv[0])))
+    for v, pp in p.items():
+        print(f"  ppr v={v}: pp_pico={pp} ppr={r6(pp / 1e12)}")
+
+
+if __name__ == "__main__":
+    tranche21()
+
+
+def tranche22():
+    print("\n===== tranche 22: remaining series family =====")
+
+    def pearson(xs, ys):
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        sxx = sum((x - mx) ** 2 for x in xs)
+        syy = sum((y - my) ** 2 for y in ys)
+        return sxy / math.sqrt(sxx * syy)
+
+    # --- events_acf: hourly counts c over 8 consecutive hours
+    c = [5, 2, 4, 1, 6, 3, 5, 2]
+    for k in (1, 2, 3):
+        r = pearson(c[k:], c[:-k])
+        print(f"acf{k} = {r6(r)}")
+        check_far(f"acf{k}", r)
+
+    # --- events_ccf: view = c, click = view shifted by 2 (peak lag 2)
+    view = c
+    click = [1, 1] + c[:-2]
+    for lag in range(7):
+        xs = view[:len(view) - lag] if lag else view
+        ys = click[lag:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        r = num / math.sqrt(dx * dy) if dx > 0 and dy > 0 else None
+        print(f"ccf lag={lag}: n={n} r={r6(r) if r is not None else None}")
+        if r is not None:
+            check_far(f"ccf{lag}", r)
+
+    # --- events_ewma: alpha chain wt = 0.7^(t-j), normalized
+    for t in range(len(c)):
+        ws = [0.7 ** (t - j) for j in range(t + 1)]
+        ew = sum(w * x for w, x in zip(ws, c)) / sum(ws)
+        print(f"ewma h{t}: n={c[t]} ewma={r6(ew)}")
+        check_far(f"ewma{t}", ew)
+
+    # --- events_cusum: s_t = cumsum(c - mean), max |s| (tie earliest)
+    mu = sum(c) / len(c)
+    s, best = 0.0, (0.0, -1)
+    for i, x in enumerate(c):
+        s += x - mu
+        if abs(s) > best[0] + 1e-12:
+            best = (abs(s), i)
+    print(f"cusum: n_hours={len(c)} max={r6(best[0])} peak_i={best[1]}")
+
+    # --- events_geomean: t1 [2,4,8] -> 4.0; t2 [1,8] (0 and -5 dropped)
+    print(f"geomean t1 = {r6(math.exp(sum(map(math.log, [2, 4, 8])) / 3))}")
+    print(f"geomean t2 = {r6(math.exp(sum(map(math.log, [1, 8])) / 2))}")
+
+    # --- events_twap: day-0 events (0h,10),(6h,20),(18h,40)
+    tw = (10 * 6 + 20 * 12 + 40 * 6) / 24
+    print(f"twap = {r6(tw)} plain_avg = {r6(70 / 3)}")
+
+    # --- events_negbin: counts [1,5,9] -> moment fit; [4,4,4] -> null
+    xs = [1, 5, 9]
+    n, sx = len(xs), sum(xs)
+    sxx = sum(x * x for x in xs)
+    muh = sx / n
+    s2 = (n * sxx - sx * sx) / n / (n - 1)
+    print(f"negbin A: mu={r6(muh)} s2={r6(s2)} r={r6(muh * muh / (s2 - muh))} "
+          f"p={r6(muh / s2)}")
+
+    # --- events_partial_corr: (value, day, hod) six events
+    rows = [(1.0, 0, 1), (2.0, 0, 2), (3.0, 0, 3),
+            (2.0, 1, 1), (4.0, 1, 2), (6.0, 1, 3)]
+    v = [round(r[0] * 1000) for r in rows]
+    h = [r[2] for r in rows]
+    w = [(r[1] + 4) % 7 for r in rows]
+    rvh, rvw, rhw = pearson(v, h), pearson(v, w), pearson(h, w)
+    pc = (rvh - rvw * rhw) / math.sqrt((1 - rvw ** 2) * (1 - rhw ** 2))
+    print(f"partial: r_vh={r6(rvh)} r_vw={r6(rvw)} r_hw={r6(rhw)} "
+          f"r_vh_given_w={r6(pc)}")
+    for nm, x in [("pvh", rvh), ("pvw", rvw), ("pc", pc)]:
+        check_far(nm, x)
+
+    # --- events_mad_outliers: milli values [1,2,3,4,100]*1000
+    vm = [1000, 2000, 3000, 4000, 100000]
+    med = sorted(vm)[(len(vm) + 1) // 2 - 1]
+    dd = sorted(abs(x - med) for x in vm)
+    mad = dd[(len(dd) + 1) // 2 - 1]
+    outl = sum(1 for x in vm if abs(x - med) * 10000 > mad * 44478)
+    print(f"mad: median={med / 1e3} mad={mad / 1e3} n_outliers={outl} "
+          f"share={r6(outl / len(vm))}")
+
+    # --- events_tail_ratio: values 1..10 -> ranks 5/9/10
+    nn = 10
+    print(f"tail: p50 rank {(nn + 1) // 2} p90 rank {(9 * nn + 9) // 10} "
+          f"p99 rank {(99 * nn + 99) // 100} -> 5.0/9.0/10.0 ratio "
+          f"{r6(10000 / 5000)}")
+
+    # --- seasonality_strength: hours 0,1,168,169 counts 3,1,5,1
+    ns = [3, 1, 5, 1]
+    cellm = {(0): 4.0, (1): 1.0}
+    resid = [3 - 4.0, 1 - 1.0, 5 - 4.0, 1 - 1.0]
+    def varp(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / len(xs)
+    vt, vr = varp(ns), varp(resid)
+    print(f"seasonality: var_total={r6(vt)} var_resid={r6(vr)} "
+          f"r2={r6(1 - vr / vt)}")
+
+    # --- events_markov + markov_sojourn: u1 view->click->view
+    # (gaps 10s, 20s), u2 view->view (5s)
+    print("markov: (click,view,1,1.0) (view,click,1,0.5) (view,view,1,0.5)")
+    print("sojourn: (click,view) 20.0/20.0 (view,click) 10.0/10.0 "
+          "(view,view) 5.0/5.0")
+
+
+if __name__ == "__main__":
+    tranche22()
+
+
+def tranche23():
+    print("\n===== tranche 23: ER, DP, encode, split, causal, cohort =====")
+    import hashlib
+
+    def md5h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # --- er_scores: 4-doc single-block corpus
+    # d1/d2 share lang+source+prefix16; d3 differs in source+prefix;
+    # d4 differs in lang+prefix.
+    W = {"lang": (1.15268, -2.639057), "src": (2.890372, -2.251292),
+         "pfx": (6.684612, -1.608437)}
+    # d1/d2 (en, web, same prefix); d3 (en, wiki); d4 (de, wiki):
+    # asymmetric census so a lang/source field swap cannot cancel.
+    pats = {(1, 2): (1, 1, 1), (1, 3): (1, 0, 0), (2, 3): (1, 0, 0),
+            (1, 4): (0, 0, 0), (2, 4): (0, 0, 0), (3, 4): (0, 1, 0)}
+    for (a, b), (g1, g2, g3) in sorted(pats.items()):
+        sc = (W["lang"][1 - g1] + W["src"][1 - g2] + W["pfx"][1 - g3])
+        print(f"er ({a},{b}): pat={g1}{g2}{g3} score={r6(sc)}")
+
+    # --- er_em_weights: census of the patterns above, 2 EM iters
+    census = {}
+    for p in pats.values():
+        census[p] = census.get(p, 0) + 1
+    lam, m, u = 0.1, [0.9] * 3, [0.1] * 3
+    for it in range(2):
+        swn = stn = 0
+        smn = [0] * 3; sun = [0] * 3
+        for (g1, g2, g3), np_ in census.items():
+            g = (g1, g2, g3)
+            pm = 1.0; pu = 1.0
+            for k in range(3):
+                pm *= m[k] if g[k] else 1 - m[k]
+                pu *= u[k] if g[k] else 1 - u[k]
+            w = lam * pm / (lam * pm + (1 - lam) * pu)
+            wn = round(w * np_ * 1e6)
+            tn = np_ * 1000000
+            swn += wn; stn += tn
+            for k in range(3):
+                if g[k]:
+                    smn[k] += wn
+                    sun[k] += tn - wn
+        lam = swn / stn
+        m = [smn[k] / swn for k in range(3)]
+        u = [sun[k] / (stn - swn) for k in range(3)]
+    for k, name in enumerate(["lang", "source", "prefix16"]):
+        lw = math.log(m[k] / u[k]) if m[k] > 0 and u[k] > 0 else None
+        print(f"em {name}: m={r6(m[k])} u={r6(u[k])} "
+              f"ln_w={r6(lw) if lw is not None else None} lam={r6(lam)}")
+        check_far(f"em.m{k}", m[k]); check_far(f"em.u{k}", u[k])
+
+    # --- dp_rr: 12 events, ids 1..12, purchases at ids 1..5
+    n_rep = 0
+    for eid in range(1, 13):
+        y = 1 if eid <= 5 else 0
+        truthful = md5h60(str(eid)) < 864691128455135232
+        rb = 1 if md5h60(f"{eid}:rr") < 576460752303423488 else 0
+        rep = y if truthful else rb
+        n_rep += rep
+        print(f"rr id={eid}: y={y} truthful={truthful} rb={rb} rep={rep}")
+    print(f"rr: n=12 n_true=5 n_reported={n_rep} rate={r6(n_rep / 12)} "
+          f"pi_hat={r6((n_rep / 12 - 0.125) / 0.75)} true_rate={r6(5 / 12)}")
+
+    # --- dp_svt: hod counts {0:5, 1:1, 2:8, 3:2}; b=10
+    def lap(key, scale):
+        uu = (md5h60(key) + 0.5) / 16 ** 15
+        cc = uu - 0.5
+        return -scale * math.copysign(1, cc) * math.log(1 - 2 * abs(cc))
+    q = {0: 5, 1: 1, 2: 8, 3: 2}
+    t_exact = sum(q.values()) / len(q)
+    t_noisy = t_exact + lap("svt:threshold", 20.0)
+    print(f"svt threshold: exact={t_exact} noisy={r6(t_noisy)}")
+    prior = 0
+    for hod in sorted(q):
+        qn = q[hod] + lap(f"svt:q:{hod}", 40.0)
+        hit = qn >= t_noisy
+        print(f"svt hod={hod}: q_true={q[hod]} q_noisy={r6(qn)} "
+              f"evaluated={prior < 3} above={prior < 3 and hit}")
+        prior += 1 if hit else 0
+
+    # --- target_encode: priority a orders (10, 20, 60), b (50)
+    print(f"encode o1 loo={(20 + 60) / 2} o2 loo={(10 + 60) / 2} "
+          f"o3 loo={(10 + 20) / 2} o4 loo=None")
+
+    # --- best_split: F at cents 100,200,300; O at 800,900,1000
+    xs = [(100, 1), (200, 1), (300, 1), (800, 0), (900, 0), (1000, 0)]
+    mn, mx, n, pos = 100, 1000, 6, 3
+    def ent(p, q):
+        if p == 0 or p == q:
+            return 0.0
+        r = p / q
+        return -r * math.log(r) - (1 - r) * math.log(1 - r)
+    for k in range(1, 10):
+        thr = mn + k * (mx - mn) // 10
+        nl = sum(1 for x, _ in xs if x <= thr)
+        pl = sum(1 for x, y in xs if x <= thr and y == 1)
+        gain = ent(pos, n) - nl / n * ent(pl, nl) \
+            - (n - nl) / n * ent(pos - pl, n - nl)
+        print(f"split k={k} thr={thr}: nl={nl} pl={pl} gain={r6(gain)}")
+
+    # --- markov_accuracy: described in EdgeBranchSpec4 fixture comment
+    print("markov_acc: model A->B B->A C->C base=B; test pairs "
+          "(A->B ok/ok, B->B miss/ok, C->C ok/miss) -> 2/3 and 2/3, "
+          f"acc_bp={2 * 10000 // 3}")
+
+    # --- cohort_ltv: printed in fixture comment
+    print("ltv: cohort 1995-01 n=2 k0 rev=40.0 cum=20.0, k1 rev=20.0 "
+          "cum=30.0; cohort 1995-02 n=1 k0 rev=40.0 cum=40.0")
+
+    # --- events_did: find user ids per arm via the hash
+    def arm(uid):
+        return ((uid % 1000000) * 2654435761 + 13) % 1000000 >= 500000
+    arms = {uid: arm(uid) for uid in range(1, 11)}
+    print(f"did arms 1..10: {arms}")
+    treated = [uid for uid, a in arms.items() if a][:2]
+    control = [uid for uid, a in arms.items() if not a][:2]
+    print(f"treated={treated} control={control}")
+    # fixture: pre (ts<=mid): treated values 10,20; control 1,3
+    #          post: treated 40,60; control 2,6
+    did = (50.0 - 15.0) - (4.0 - 2.0)
+    print(f"did: means tp=50.0 tq=15.0 cp=4.0 cq=2.0 did={r6(did)}")
+
+    # --- simpson_check: brand A (1,10),(2,8); brand B (5,30),(6,28)
+    # slopes within -200 each; pooled positive.
+    pts = [(0.01, 10.0), (0.02, 8.0), (0.05, 30.0), (0.06, 28.0)]
+    def slope(ps):
+        nn = len(ps)
+        sx = sum(p[0] for p in ps); sy = sum(p[1] for p in ps)
+        sxy = sum(p[0] * p[1] for p in ps)
+        sxx = sum(p[0] ** 2 for p in ps)
+        return (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    print(f"simpson: slope_all={r6(slope(pts))} "
+          f"slope_A={r6(slope(pts[:2]))} slope_B={r6(slope(pts[2:]))}")
+
+    # --- eval_bootstrap: ids 1..3 values 1,2,3 micro; b=100
+    thr = [367879, 735759, 919699, 981012, 996340, 999406]
+    def pois(uu):
+        for mm, t in enumerate(thr):
+            if uu < t:
+                return mm
+        return 6
+    ms = []
+    for bb in range(100):
+        tot_m = 0; tot_mv = 0
+        for eid, v in [(16, 1000000), (39, 2000000), (48, 3000000)]:
+            uu = ((eid % 1000000) * 2654435761 + bb * 97 + 13) % 1000000
+            mm = pois(uu)
+            tot_m += mm; tot_mv += mm * v
+        ms.append(tot_mv / (tot_m * 1e6) if tot_m > 0 else None)
+    vals = sorted(x for x in ms if x is not None)
+    def perc(p):
+        r = p * (len(vals) - 1)
+        lo, hi = int(math.floor(r)), int(math.ceil(r))
+        return vals[lo] + (r - lo) * (vals[hi] - vals[lo])
+    print(f"bootstrap: n_resamples=100 n_nonnull={len(vals)} "
+          f"lo={r6(perc(.05))} mid={r6(perc(.5))} hi={r6(perc(.95))}")
+
+
+if __name__ == "__main__":
+    tranche23()
