@@ -214,6 +214,205 @@ class EdgeBranchSpec4 extends GoldenFixtures {
     }
   }
 
+  // --------------------------------- recommender + token stats (t24)
+
+  /** CF ratings fixture: u1 {i1:2, i2:4}, u2 {i1:4, i2:2, i3:6},
+    * u3 {i2:2, i3:4} via one order per customer. */
+  private lazy val cfDir: String = {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (2L, 1L, 4.0), (2L, 2L, 2.0),
+      (2L, 3L, 6.0), (3L, 2L, 2.0), (3L, 3L, 4.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("cf_item_predict pins the micro cosines and neighbor predictions") {
+    // golden_stats.py tranche24 cf: sims 730297/744208/566139 micro,
+    // all 7 ratings scored, rmse 2.153394, mae 1.965193.
+    val r = one(CmfQueries.cfItemPredict(spark, cfDir))
+    assert(r.getAs[Long]("n_scored") == 7L)
+    assert(r.getAs[Long]("n_ratings") == 7L)
+    assert(r.getAs[Double]("rmse") == 2.153394)
+    assert(r.getAs[Double]("mae") == 1.965193)
+  }
+
+  test("slope_one pins the integer deviation algebra") {
+    // golden_stats.py tranche24 slope_one: rmse 1.437867, mae
+    // 1.357143 (|e| sum 9.5 over 7).
+    val r = one(CmfQueries.slopeOne(spark, cfDir))
+    assert(r.getAs[Long]("n_scored") == 7L)
+    assert(r.getAs[Long]("n_ratings") == 7L)
+    assert(r.getAs[Double]("rmse") == 1.437867)
+    assert(r.getAs[Double]("mae") == 1.357143)
+  }
+
+  test("item_decayed_pop pins the half-life terms at ages 0/30/60") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "1995-03-02"), (2L, "1995-01-31"), (3L, "1995-01-01"))
+      .toDF("o_orderkey", "d")
+      .select(col("o_orderkey"), to_date(col("d")).as("o_orderdate"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 2.0), (2L, 1L, 4.0), (3L, 2L, 10.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // golden_stats.py tranche24 decayed_pop: age 30 halves exactly
+    // (4 -> 2), age 60 quarters (10 -> 2.5); p1 = 2+2 = 4.0.
+    val rows = OpsQueries.itemDecayedPop(spark, dir).collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("n_lines"),
+        r.getAs[Double]("decayed_popularity")))
+    assert(rows.toSeq == Seq((1L, 2L, 4.0), (2L, 1L, 2.5)))
+  }
+
+  test("user_overlap pins the shared-item Jaccard and minShared gate") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L), (2L, 4L), (3L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // golden_stats.py tranche24 user_overlap: only (u1,u2) passes
+    // minShared 2: jaccard 2/(3+3-2) = 0.5; u3's single share drops.
+    val rows = OpsQueries.userOverlap(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("entity_a") == 1L)
+    assert(rows(0).getAs[Long]("entity_b") == 2L)
+    assert(rows(0).getAs[Long]("shared") == 2L)
+    assert(rows(0).getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("segment_brand_lift pins the independence-expectation ratio") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "S1"), (2L, "S2")).toDF("c_custkey", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // golden_stats.py tranche24 lift: (S1,B1) 0.888889, (S1,B2) and
+    // (S2,B1) both 1.333333 over the 4-purchase grid.
+    val out = OpsQueries.segmentBrandLift(spark, dir).collect()
+      .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[String]("p_brand")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("lift"))).toMap
+    assert(out == Map(
+      ("S1", "B1") -> (2L, 0.888889),
+      ("S1", "B2") -> (1L, 1.333333),
+      ("S2", "B1") -> (1L, 1.333333)))
+  }
+
+  test("assoc_rules pins the asymmetric directional confidences") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (4L, 1L), (5L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // golden_stats.py tranche24 assoc: item 1 in 4 baskets, item 2 in
+    // 3 -> conf(1->2) = 0.5 but conf(2->1) = 0.666667.
+    val out = StatQueries.assocRules(spark, dir).collect()
+      .map(r => (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent")) ->
+        (r.getAs[Long]("n_ab"), r.getAs[Double]("conf"))).toMap
+    assert(out == Map(
+      (1L, 2L) -> (2L, 0.5),
+      (2L, 1L) -> (2L, 0.666667)))
+  }
+
+  test("basket_triples pins the canonical-order support gate") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // (1,2,3) appears in two baskets; (1,2,4) once -> filtered.
+    val rows = StatQueries.basketTriples(spark, dir).collect()
+    assert(rows.length == 1)
+    assert((rows(0).getAs[Long]("item_a"), rows(0).getAs[Long]("item_b"),
+      rows(0).getAs[Long]("item_c"), rows(0).getAs[Long]("support")) ==
+      (1L, 2L, 3L, 2L))
+  }
+
+  test("token_pmi pins the doc-level PMI and the min-pair gate") {
+    import spark.implicits._
+    val dir = tmp()
+    val texts = Seq.fill(5)("alpha beta") ++
+      Seq("alpha", "beta gamma", "alpha beta gamma")
+    texts.zipWithIndex.map { case (t, i) => (i + 1L, t) }
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche24 pmi: only (alpha,beta) survives the
+    // n_ab >= 5 gate: ln(6*8/49) = -0.020619 (negative: the pair
+    // co-occurs slightly LESS than independence predicts).
+    val rows = OpsQueries.tokenPmi(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("tok_a") == "alpha")
+    assert(rows(0).getAs[String]("tok_b") == "beta")
+    assert(rows(0).getAs[Long]("n_ab") == 6L)
+    assert(rows(0).getAs[Double]("pmi") == -0.020619)
+  }
+
+  test("token_dice pins the adjacency counts and the rank order") {
+    import spark.implicits._
+    val dir = tmp()
+    val texts = Seq.fill(5)("x y z") ++ Seq.fill(2)("y") ++ Seq.fill(2)("x")
+    texts.zipWithIndex.map { case (t, i) => (i + 1L, t) }
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche24 dice: (y,z) 10/12 = 0.833333 outranks
+    // (x,y) 10/14 = 0.714286 — the standalone x/y docs dilute only
+    // the bigram whose BOTH margins they touch.
+    val rows = OpsQueries.tokenDice(spark, dir).collect()
+      .map(r => (r.getAs[String]("wa"), r.getAs[String]("wb"),
+        r.getAs[Long]("c_ab"), r.getAs[Double]("dice")))
+    assert(rows.toSeq == Seq(
+      ("y", "z", 5L, 0.833333), ("x", "y", 5L, 0.714286)))
+  }
+
+  test("source_jsd pins the Jensen-Shannon terms incl. one-sided tokens") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "A", "a a b"), (2L, "B", "a c c"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche24 jsd: p=(2/3,1/3,0) vs q=(1/3,0,2/3)
+    // over {a,b,c} -> 0.37489.
+    val r = one(StatQueries.sourceJsd(spark, dir))
+    assert(r.getAs[String]("source_a") == "A")
+    assert(r.getAs[String]("source_b") == "B")
+    assert(r.getAs[Long]("n_union_toks") == 3L)
+    assert(r.getAs[Double]("jsd") == 0.37489)
+  }
+
+  test("corpus_heaps pins the checkpoint curve and the log-log fit") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq("a b", "a c", "a b c d", "a", "e a", "a b e f", "a g", "a b c h")
+      .zipWithIndex.map { case (t, i) => (i + 1L, t) }
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche24 heaps: cum tokens 2,4,8,9,11,15,17,21;
+    // vocab 2,3,4,4,5,6,7,8; fit beta=0.57416, k_coef=1.28967.
+    val out = OpsQueries.corpusHeaps(spark, dir).collect()
+      .map(r => r.getAs[Long]("checkpoint") -> r).toMap
+    assert(out.size == 8)
+    val cum = Seq(2L, 4L, 8L, 9L, 11L, 15L, 17L, 21L)
+    val voc = Seq(2L, 3L, 4L, 4L, 5L, 6L, 7L, 8L)
+    (1L to 8L).foreach { k =>
+      assert(out(k).getAs[Long]("cum_tokens") == cum(k.toInt - 1), s"cum $k")
+      assert(out(k).getAs[Long]("vocab") == voc(k.toInt - 1), s"vocab $k")
+      assert(out(k).getAs[Double]("beta") == 0.57416)
+      assert(out(k).getAs[Double]("k_coef") == 1.28967)
+    }
+  }
+
   test("eval_bootstrap pins the Poisson multiplicity walk and CI") {
     val dir = tmp()
     // ids 16/39/48 chosen so the per-id multiplicity CROSSES Poisson

@@ -2382,3 +2382,137 @@ def tranche23():
 
 if __name__ == "__main__":
     tranche23()
+
+
+def tranche24():
+    print("\n===== tranche 24: recommender + token statistics =====")
+
+    # Shared CF fixture: u1 {i1:2, i2:4}, u2 {i1:4, i2:2, i3:6},
+    # u3 {i2:2, i3:4}.
+    R = {1: {1: 2, 2: 4}, 2: {1: 4, 2: 2, 3: 6}, 3: {2: 2, 3: 4}}
+
+    # --- cf_item_predict: micro cosines, top-10 neighbors, predict
+    s2 = {}
+    for u, its in R.items():
+        for i, q in its.items():
+            s2[i] = s2.get(i, 0) + q * q
+    dots = {}
+    for u, its in R.items():
+        for i in its:
+            for j in its:
+                if i != j:
+                    dots[(i, j)] = dots.get((i, j), 0) + its[i] * its[j]
+    sims = {k: round(v / (math.sqrt(s2[k[0]]) * math.sqrt(s2[k[1]])) * 1e6)
+            for k, v in dots.items() if v > 0}
+    print(f"cf sims_u: {sims}")
+    se = ae = ns = 0
+    for u, its in R.items():
+        for i, q in its.items():
+            num = den = 0
+            for j in its:
+                if j != i and (i, j) in sims:
+                    num += sims[(i, j)] * its[j]
+                    den += sims[(i, j)]
+            if den > 0:
+                e = num / den - q
+                se += round(e * e * 1e6)
+                ae += round(abs(e) * 1e6)
+                ns += 1
+    print(f"cf: n_scored={ns} n_ratings=7 rmse={r6(math.sqrt(se / 1e6 / ns))} "
+          f"mae={r6(ae / 1e6 / ns)}")
+
+    # --- slope_one on the same ratings
+    devs = {}
+    for u, its in R.items():
+        for i in its:
+            for j in its:
+                if i != j:
+                    dn, c = devs.get((i, j), (0, 0))
+                    devs[(i, j)] = (dn + its[i] - its[j], c + 1)
+    se = ae = ns = 0
+    for u, its in R.items():
+        for i, q in its.items():
+            num = den = 0
+            for j in its:
+                if j != i and (i, j) in devs:
+                    dn, c = devs[(i, j)]
+                    num += dn + its[j] * c
+                    den += c
+            if den > 0:
+                e = num / den - q
+                se += round(e * e * 1e6)
+                ae += round(abs(e) * 1e6)
+                ns += 1
+    print(f"slope_one: n_scored={ns} rmse={r6(math.sqrt(se / 1e6 / ns))} "
+          f"mae={r6(ae / 1e6 / ns)}")
+
+    # --- item_decayed_pop: p1 q4@age30 + q2@age0; p2 q10@age60
+    t1 = round(math.exp(-30 * math.log(2) / 30) * 4 * 1e9) \
+        + round(math.exp(0.0) * 2 * 1e9)
+    t2 = round(math.exp(-60 * math.log(2) / 30) * 10 * 1e9)
+    print(f"decayed_pop: p1={t1} ({r6(t1 / 1e9)}) p2={t2} ({r6(t2 / 1e9)})")
+
+    # --- user_overlap: u1 {1,2,3}, u2 {2,3,4}, u3 {3}
+    print(f"user_overlap: (u1,u2) shared=2 jaccard={r6(2 / 4)}; "
+          "(u1,u3)/(u2,u3) shared=1 < minShared -> dropped")
+
+    # --- segment_brand_lift: cells (S1,B1)=2 (S1,B2)=1 (S2,B1)=1
+    tot = 4
+    for (sg, br, n, rn, cn) in [("S1", "B1", 2, 3, 3), ("S1", "B2", 1, 3, 1),
+                                ("S2", "B1", 1, 1, 3)]:
+        print(f"lift ({sg},{br}): n={n} lift={r6(n * tot / (rn * cn))}")
+
+    # --- assoc_rules: baskets o1{1,2} o2{1,2} o3{1} o4{1} o5{2}
+    print(f"assoc: 1->2 conf={r6(2 / 4)} 2->1 conf={r6(2 / 3)}")
+
+    # --- basket_triples: o1{1,2,3} o2{1,2,3} o3{1,2,4}
+    print("triples: (1,2,3) support=2; (1,2,4) filtered at 1")
+
+    # --- token_pmi: 5x'alpha beta', 1x'alpha', 1x'beta gamma',
+    # 1x'alpha beta gamma' -> only (alpha,beta) n=6 survives minPair 5
+    pmi = math.log(6 * 8 / (7 * 7))
+    print(f"pmi (alpha,beta): n_ab=6 df=7/7 nd=8 pmi={r6(pmi)}")
+    check_far("pmi", pmi)
+
+    # --- token_dice: 5x'x y z', 2x'y', 2x'x'
+    print(f"dice (x,y): c_ab=5 c_x=7 c_y=7 dice={r6(10 / 14)}; "
+          f"(y,z): c_y=7 c_z=5 dice={r6(10 / 12)}")
+
+    # --- source_jsd: A='a a b', B='a c c'
+    pa = {"a": 2 / 3, "b": 1 / 3}
+    pb = {"a": 1 / 3, "c": 2 / 3}
+    jsd = 0.0
+    for t in sorted(set(pa) | set(pb)):
+        p, q = pa.get(t, 0.0), pb.get(t, 0.0)
+        m = (p + q) / 2
+        term = (p * math.log(p / m) if p > 0 else 0.0) * 0.5 \
+            + (q * math.log(q / m) if q > 0 else 0.0) * 0.5
+        jsd += term
+    print(f"jsd: n_union_toks=3 jsd={r6(jsd)}")
+    check_far("jsd", jsd)
+
+    # --- corpus_heaps: 8 docs, checkpoints cut=k
+    docs = ["a b", "a c", "a b c d", "a", "e a", "a b e f", "a g",
+            "a b c h"]
+    toks = [d.split() for d in docs]
+    pts = []
+    for k in range(1, 9):
+        cut = (8 * k + 7) // 8
+        cum = sum(len(t) for t in toks[:cut])
+        vocab = len({w for t in toks[:cut] for w in t})
+        xn = round(math.log(cum) * 1e6)
+        yn = round(math.log(vocab) * 1e6)
+        pts.append((k, cut, cum, vocab, xn, yn))
+        print(f"heaps k={k}: cut={cut} cum_tokens={cum} vocab={vocab}")
+    m_ = len(pts)
+    sx = sum(p[4] for p in pts); sy = sum(p[5] for p in pts)
+    sxy = sum(p[4] * p[5] for p in pts)
+    sxx = sum(p[4] * p[4] for p in pts)
+    beta = (m_ * sxy - sx * sy) / (m_ * sxx - sx * sx)
+    kc = math.exp((sy - beta * sx) / m_ / 1e6)
+    print(f"heaps fit: beta={r6(beta)} k_coef={r6(kc)}")
+    check_far("heaps.b", beta); check_far("heaps.k", kc)
+
+
+if __name__ == "__main__":
+    tranche24()
