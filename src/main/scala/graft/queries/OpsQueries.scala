@@ -2373,8 +2373,23 @@ object OpsQueries {
     * array_dot ∘ array_mat_vec codegen pair; round-then-rank with the
     * vec_id tiebreak, TakeOrdered top-k (never a global sort). The
     * exact Σ mahal² = d·(n−1) trace identity is spec-pinned. */
+  /** Degenerate-input guard shared by the two covariance-inverting
+    * queries: with n ≤ d rows the empirical covariance is singular and
+    * [[graft.ops.Mahalanobis]] (correctly) refuses — a QUERY over such
+    * a corpus must degrade to an empty result instead of crashing
+    * (the DegenerateProbe contract; cannot fire at any real corpus
+    * scale, where n ≫ d). */
+  private def covInvertible(s: SparkSession, dir: String): Boolean = {
+    val nd = Tables.embeddings(s, dir)
+      .agg(count(lit(1)).as("n"), max(size(col("embedding"))).as("d")).head()
+    !nd.isNullAt(1) && nd.getLong(0) > nd.getInt(1)
+  }
+
   def embMahalanobis(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    if (!covInvertible(s, dir))
+      return s.range(0).select(col("id").as("vec_id"), col("id").as("label"),
+        lit(0.0).as("mahal2"), lit(1).cast("int").as("rk"))
     val scored = graft.ops.Mahalanobis.score(Tables.embeddings(s, dir), "embedding")
       .select(col("vec_id"), col("label").cast("long").as("label"),
         round(col("mahal2"), 6).as("mahal2"))
@@ -2393,6 +2408,10 @@ object OpsQueries {
     * inverse, or the mat-vec would print as a nonzero). */
   def embWhiten(s: SparkSession, dir: String): DataFrame = {
     graft.functions.register(s)
+    if (!covInvertible(s, dir))
+      return s.range(0).select(col("id").as("n"), col("id").as("d"),
+        lit(0.0).as("max_mean_abs"), lit(0.0).as("max_diag_err"),
+        lit(0.0).as("max_offdiag_abs"))
     val wdf = graft.ops.Mahalanobis.whiten(Tables.embeddings(s, dir), "embedding")
     val m = wdf.agg(graft.functions.vec_moments_double(col("whitened")).as("m"))
       .select("m.n", "m.sums", "m.gram").head()

@@ -2516,3 +2516,320 @@ def tranche24():
 
 if __name__ == "__main__":
     tranche24()
+
+
+def tranche25():
+    print("\n===== tranche 25: embeddings + preprocessing + Neyman =====")
+
+    # Embedding fixture: (1,[1,0],a) (2,[3,0],a) (3,[0,2],b)
+    # (4,[0,4],b) (5,[2,2],a)
+    E = {1: ([1.0, 0.0], "a"), 2: ([3.0, 0.0], "a"), 3: ([0.0, 2.0], "b"),
+         4: ([0.0, 4.0], "b"), 5: ([2.0, 2.0], "a")}
+
+    # --- vec_mean_pool
+    for lab in ("a", "b"):
+        vs = [v for v, l in E.values() if l == lab]
+        mp = [r6(sum(v[d] for v in vs) / len(vs)) for d in range(2)]
+        print(f"mean_pool {lab}: {mp}")
+
+    # --- label_inertia
+    for lab in ("a", "b"):
+        vs = [v for v, l in E.values() if l == lab]
+        c = [sum(v[d] for v in vs) / len(vs) for d in range(2)]
+        sse = sum((v[d] - c[d]) ** 2 for v in vs for d in range(2))
+        print(f"inertia {lab}: n={len(vs)} sse={r6(sse)} "
+              f"avg={r6(sse / len(vs))}")
+
+    # --- knn_classify: query vec 5, corpus 1-4, k=5 (all), vote tie->a
+    q = E[5][0]
+    d2 = {i: r6(sum((E[i][0][d] - q[d]) ** 2 for d in range(2)))
+          for i in range(1, 5)}
+    print(f"knn d2={d2} votes a=2 b=2 -> tie -> pred 'a' votes=2")
+
+    # --- centroid_classify: quantized 1e4 grid, train 1-4, eval 5
+    cents = {"a": ([40000, 0], 2), "b": ([0, 60000], 2)}
+    qq = [20000, 20000]
+    for lab, (s, n) in cents.items():
+        num = sum((qq[d] * n - s[d]) ** 2 for d in range(2))
+        print(f"centroid {lab}: dist2={num / n / n}")
+    print("centroid: pred a (4e8 < 5e8) -> cell (a, a, 1)")
+
+    # --- vec_quantize: per-vec 255-grid affine codes
+    for i, (v, _) in sorted(E.items()):
+        mn, mx = min(v), max(v)
+        sc = 1.0 if mx == mn else (mx - mn) / 255.0
+        codes = [round((x - mn) / sc) for x in v]
+        print(f"quantize {i}: codes={codes} sum={sum(codes)} "
+              f"ssq={sum(c * c for c in codes)}")
+
+    # --- emb_covariance: q = v*1e4; n=5
+    qs = [[round(x * 1e4) for x in v] for v, _ in
+          (E[i] for i in sorted(E))]
+    n = len(qs)
+    s = [sum(q[d] for q in qs) for d in range(2)]
+    g = [[sum(q[i] * q[j] for q in qs) for j in range(2)] for i in range(2)]
+    for i in range(2):
+        for j in range(i, 2):
+            cov = (g[i][j] - s[i] * s[j] / n) / (n - 1) / 1e8
+            print(f"cov ({i},{j}) = {r6(cov)}")
+
+    # --- emb_anisotropy
+    ssum = sum(x * x for x in s)
+    ssq = g[0][0] + g[1][1]
+    print(f"anisotropy: rms={r6(math.sqrt(ssq / n) / 1e4)} "
+          f"aniso={r6(ssum / (n * ssq))}")
+
+    # --- vec_profile
+    for lab in ("a", "b"):
+        vs = [v for v, l in E.values() if l == lab]
+        nrm = sorted(math.sqrt(sum(x * x for x in v)) for v in vs)
+        mean = sum(nrm) / len(nrm)
+        mid = (len(nrm) - 1) * 0.5
+        med = nrm[int(mid)] + (mid - int(mid)) * (
+            nrm[min(int(mid) + 1, len(nrm) - 1)] - nrm[int(mid)])
+        nz = max(sum(1 for x in v if x == 0.0) for v in vs)
+        print(f"profile {lab}: n={len(vs)} mean={r6(mean)} med={r6(med)} "
+              f"max_zero={nz}")
+
+    # --- quantile_norm: type x=[1,5], y=[2,4,6]; pooled 1,2,4,5,6
+    print("qnorm: (x,1)->1.0 (x,5)->6.0 (y,2)->1.0 (y,4)->4.0 (y,6)->6.0")
+
+    # --- winsorize: type t values 1..10, P5=1.45 P95=9.55
+    print(f"winsorize: P5={1 + 0.05 * 9} P95={1 + 0.95 * 9} "
+          "-> 1->1.45, 10->9.55, rest unchanged")
+
+    # --- zscore: t [2,4,6] -> -1,0,1; z [5,5] -> null
+    print("zscore: t values 2,4,6 -> -1.0/0.0/1.0; zero-var type null")
+
+    # --- robust_scale: t [1,2,3,4,100] med=3 mad=1
+    for v in (1, 2, 3, 4, 100):
+        print(f"robust v={v}: r={r6((v - 3) / 1.4826)}")
+
+    # --- sample_neyman: nation cents {1:[100,300], 2:[500,500],
+    # 3:[0,600]}; x = round(sqrt(n*ssq - s^2)) = n*sd_pop
+    strata = {1: [100, 300], 2: [500, 500], 3: [0, 600]}
+    xs = {}
+    for k_, cs in strata.items():
+        nn, ss, ssq2 = len(cs), sum(cs), sum(c * c for c in cs)
+        xs[k_] = round(math.sqrt(nn * ssq2 - ss * ss))
+    tot = sum(xs.values())
+    for k_, x in xs.items():
+        print(f"neyman nation {k_}: x={x} quota={500 * x // tot}")
+
+
+if __name__ == "__main__":
+    tranche25()
+
+
+def tranche26():
+    print("\n===== tranche 26: conformal, SESD, rolling corr, inventory, "
+          "sketches =====")
+    import hashlib
+
+    def md5h60(s_):
+        return int(hashlib.md5(s_.encode()).hexdigest()[:15], 16)
+
+    # --- conformal_interval: 36 events, v = ((i*7) % 36) + 1 in rank
+    # order; split 18/9/9.
+    vs = [((i * 7) % 36) + 1 for i in range(1, 37)]
+    train, calib, test = vs[:18], vs[18:27], vs[27:]
+    ntr, smu = len(train), sum(train)
+    res = sorted(abs(v * ntr - smu) for v in calib)
+    qr = math.ceil((len(calib) + 1) * 0.9)
+    q = res[qr - 1]
+    cov = sum(1 for v in test if abs(v * ntr - smu) <= q)
+    print(f"conformal: n_train={ntr} mu={r6(smu / ntr)} n_calib={len(calib)} "
+          f"q_rank={qr} half_width={r6(q / ntr)} "
+          f"coverage={r6(cov / len(test))} n_test={len(test)}")
+
+    # --- events_sesd: cell (dow,hod0) hours 0/168/336 counts 3,5,10;
+    # cell hod1 hours 1/169/337 counts 2,2,2.
+    series = {0: 3, 168: 5, 336: 10, 1: 2, 169: 2, 337: 2}
+    cells = {0: [0, 168, 336], 1: [1, 169, 337]}
+    r = {}
+    for hod, hrs in cells.items():
+        mean = sum(series[h] for h in hrs) / len(hrs)
+        for h in hrs:
+            r[h] = round((series[h] - mean) * 1e9)
+    for k in range(1, 4):
+        m = len(r)
+        sr = sum(r.values())
+        srr = sum(x * x for x in r.values())
+        devs = {h: abs(x * m - sr) for h, x in r.items()}
+        pick = min(devs, key=lambda h: (-devs[h], h))
+        var = (m * srr - sr * sr) / m / (m - 1) if m > 1 else 0
+        g = (devs[pick] / m) / math.sqrt(var) if var > 0 else None
+        print(f"sesd round {k}: hour={pick} n={series[pick]} "
+              f"g={r6(g) if g else None}")
+        del r[pick]
+
+    # --- events_rolling_corr: click i, purchase (i*i)%7+1 over h=1..25
+    ck = {h: h for h in range(1, 26)}
+    pu = {h: (h * h) % 7 + 1 for h in range(1, 26)}
+    for end in (24, 25):
+        hs = list(range(end - 23, end + 1))
+        xa = [ck[h] for h in hs]; xb = [pu[h] for h in hs]
+        sx, sy = sum(xa), sum(xb)
+        sxy = sum(a * b for a, b in zip(xa, xb))
+        sxx = sum(a * a for a in xa); syy = sum(b * b for b in xb)
+        num = 24 * sxy - sx * sy
+        rr = num / math.sqrt((24 * sxx - sx * sx) * (24 * syy - sy * sy))
+        print(f"rolling_corr h={end}: r={r6(rr)}")
+        check_far(f"rc{end}", rr)
+
+    # --- dq_metric_drift: days (rows, users) = (4,2), (5,2), (2,1)
+    print("dq_drift: d0 nulls; d1 rows_drift 5*1>4 T users 5*0>2 F; "
+          "d2 rows 5*3>5 T users 5*1>2 T; null_drift F (0 vs 0)")
+
+    # --- newsvendor + xyz on the weekly-demand fixture
+    parts = {1: {0: 1, 1: 2, 2: 3, 3: 4, 4: 10}, 2: {2: 7},
+             3: {0: 5, 3: 9}, 4: {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}}
+    w = 5
+    for p, wk in sorted(parts.items()):
+        ds = sorted(wk.values())
+        target = (4 * w + 4) // 5 - (w - len(ds))
+        stock = ds[target - 1] if 1 <= target <= len(ds) else 0
+        sq = sum(wk.values()); sqq = sum(d * d for d in wk.values())
+        cv = math.sqrt(w * sqq - sq * sq) / sq
+        xyz = "X" if cv <= 0.5 else ("Y" if cv <= 1.0 else "Z")
+        print(f"part {p}: target={target} stock={stock} cv={r6(cv)} "
+              f"xyz={xyz} active={len(ds)}")
+
+    # --- logbin_quantiles: micro values [1,2,3,8,16]
+    print("logbin: buckets 0,1,1,3,4 -> bucket_p50=1 est=3e-6 "
+          "exact=0.000003 certified=true")
+
+    # --- sketch_bottomk: type big users 1..20, small users 1..3
+    hs = sorted(md5h60(str(u)) for u in range(1, 21))
+    hk = hs[15]
+    est = 15.0 * 1152921504606846976.0 / hk
+    err = round(abs(est - 20) / 20 * 10000)
+    print(f"bottomk big: h_k={hk} est={r6(est)} err_bp={err}")
+    hs3 = sorted(md5h60(str(u)) for u in range(1, 4))
+    print(f"bottomk small: n_sk=3 < 16 -> est=3.0 err_bp=0 h_k={hs3[-1]}")
+
+    # --- heavy_hitters / cm_sketch corpus: 'aa'x4 'bb'x2 'cc' 'dd'
+    toks = ["aa"] * 4 + ["bb"] * 2 + ["cc", "dd"]
+    # cm buckets, depth 4 width 256
+    buckets = {}
+    for t in set(toks):
+        for rr_ in range(4):
+            buckets.setdefault((rr_, md5h60(f"{rr_}:{t}") % 256), []).append(t)
+    coll = {k: v for k, v in buckets.items() if len(v) > 1}
+    print(f"cm collisions: {coll if coll else 'none -> n_est == n_exact'}")
+    # heavy hitters phi=0.02 on N=8 -> threshold ceil(0.16)=1: all 4.
+    print("hh on this corpus: threshold 1 -> all tokens qualify")
+
+
+if __name__ == "__main__":
+    tranche26()
+
+
+def tranche27():
+    print("\n===== tranche 27: text gates, drift timeline, retention =====")
+
+    # --- text_quality: len/punct/stopword composite
+    # doc1: 'the cat, and the dog sat.' -> len 26? count precisely below
+    docs = {
+        1: "the cat, and the dog sat.",
+        2: "x" * 250,
+        3: "!!! ??? ...",
+    }
+    stop = {"the", "a", "an", "and", "of", "to", "in", "is", "it",
+            "that", "for"}
+    import re
+    for d, t in sorted(docs.items()):
+        n = max(len(t), 1)
+        toks = max(len(re.findall(r"\S+", t)), 1)
+        punct = len(re.findall(r"[^A-Za-z0-9\s]", t))
+        stops = len(re.findall(
+            r"\b(?:the|a|an|and|of|to|in|is|it|that|for)\b", t.lower()))
+        ls = min(n / 200.0, 1.0)
+        ps = max(1.0 - punct / n * 4.0, 0.0)
+        ss = min(stops / toks * 5.0, 1.0)
+        q = (ls + ps + ss) / 3.0
+        print(f"quality {d}: n={n} toks={toks} punct={punct} stops={stops} "
+              f"q={r6(q)}")
+        check_far(f"q{d}", q)
+
+    # --- doc_readability on doc1
+    t = docs[1]
+    w = len(re.findall(r"\S+", t))
+    sents = max(len(re.findall(r"[^.!?]*[.!?]", t)), 1)
+    syl = len(re.findall(r"[aeiouy]+", t.lower()))
+    fl = 206.835 - 1.015 * w / sents - 84.6 * syl / w
+    print(f"readability 1: w={w} s={sents} syl={syl} "
+          f"flesch={round(fl, 4)}")
+
+    # --- text_diversity on 'aa bb aa cc' and 'zz'
+    print("diversity: doc (aa bb aa cc): n_tokens=4 n_types=3 ttr=0.75 "
+          "hapax=0.5; doc (zz): 1/1/1.0/1.0")
+
+    # --- lm_vocab: corpus 'a a a a a b' + 'a b c' (minCount 5)
+    print(f"lm_vocab: only 'a' kept: n=6 total=9 logp={r6(math.log(6 / 9))}")
+
+    # --- vocab_drift: bigram 'a b' x3 first half, x2 second; totals
+    # first 4, second 4 (pad with other bigrams).
+    a, b_, ta, tb = 3, 2, 4, 4
+    lor = math.log((a + .5) / (ta - a + .5)) - math.log((b_ + .5) / (tb - b_ + .5))
+    se = math.sqrt(1 / (a + .5) + 1 / (ta - a + .5) + 1 / (b_ + .5)
+                   + 1 / (tb - b_ + .5))
+    print(f"vocab_drift 'a b': lor={r6(lor)} z={r6(lor / se)}")
+    check_far("vd", lor / se)
+
+    # --- funnel_ttc: u1 view@0 click@+30m purchase@+2h(in 24h window);
+    # u2 view@0 click@+2h (outside 1h) -> not counted; u3 view only.
+    print("funnel_ttc: n_view=3 n_click_1h=1 avg_view_click_s=1800.0 "
+          "n_purchase_24h=1 avg_click_purchase_s=5400.0")
+
+    # --- retention_dayn: users {1: days 0,1,3}, {2: days 0}; maxd=3
+    ud = {1: [0, 1, 3], 2: [0]}
+    maxd = 3
+    for off in range(1, 8):
+        base = sum(1 for u, ds in ud.items() for d in ds if d + off <= maxd)
+        ret = sum(1 for u, ds in ud.items() for d in ds if d + off in ds)
+        if base:
+            print(f"retention off={off}: base={base} retained={ret} "
+                  f"r={r6(ret / base)}")
+
+    # --- dau_mau: same activity; window 28d covers everything
+    days = sorted({d for ds in ud.values() for d in ds})
+    for day in days:
+        dau = sum(1 for ds in ud.values() if day in ds)
+        mau = sum(1 for ds in ud.values()
+                  if any(day - 27 <= d <= day for d in ds))
+        print(f"dau_mau day={day}: dau={dau} mau={mau} "
+              f"bp={dau * 10000 // mau}")
+
+    # --- drift_timeline: values day0 [0,10] (ref), day1 [0,0,10],
+    # day2 [10,10]; range 0..10, bins v==0 -> 0, v==10 -> 9.
+    ref = {0: 1, 9: 1}; nr = 2
+    for day, binc in [(1, {0: 2, 9: 1}), (2, {9: 2})]:
+        nd = sum(binc.values())
+        psi_nn = 0
+        for bb in range(10):
+            pd_ = (binc.get(bb, 0) + 0.5) / (nd + 5.0)
+            pr_ = (ref.get(bb, 0) + 0.5) / (nr + 5.0)
+            psi_nn += round((pd_ - pr_) * math.log(pd_ / pr_) * 1e9)
+        print(f"drift day={day}: n={nd} psi={r6(psi_nn / 1e9)} "
+              f"drifted={psi_nn >= 200000000}")
+
+    # --- events_seasonal_anomaly: same cells as sesd fixture
+    series = {0: 3, 168: 5, 336: 10, 1: 2, 169: 2, 337: 2}
+    cells = {0: [0, 168, 336], 1: [1, 169, 337]}
+    resid = {}
+    for hod, hrs in cells.items():
+        mean = sum(series[h] for h in hrs) / len(hrs)
+        for h in hrs:
+            resid[h] = series[h] - mean
+    m = len(resid)
+    mu = sum(resid.values()) / m
+    sd = math.sqrt(sum((x - mu) ** 2 for x in resid.values()) / (m - 1))
+    for h in sorted(resid, key=lambda h: (-abs(resid[h] / sd), h))[:5]:
+        print(f"anomaly h={h}: n={series[h]} "
+              f"expected={r6(series[h] - resid[h])} "
+              f"z={round(resid[h] / sd, 4)}")
+
+
+if __name__ == "__main__":
+    tranche27()
