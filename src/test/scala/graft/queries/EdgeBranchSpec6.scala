@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 golden-value tranche 28 — same method as [[EdgeBranchSpec]]
+  * (constants derived independently by `tools/golden_stats.py`
+  * tranche28): the deterministic sampling family (hash slice,
+  * stratified/temperature quotas, domain cap, class rebalance, CV
+  * folds, shuffle), md5 fingerprints/checksums, and token-budget
+  * packing. Every constant here is an independent hashlib/arithmetic
+  * replication of the engine's md5 or multiplicative-hash draw. */
+class EdgeBranchSpec6 extends GoldenFixtures {
+
+  test("text_fingerprint pins the whitespace-collapsing normalization") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "  Hello   World "), (2L, "a\tb\nc")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche28: md5('hello world'), md5('a b c') —
+    // tabs and newlines collapse to single spaces before hashing.
+    val out = OpsQueries.textFingerprint(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp_md5")).toMap
+    assert(out(1L) == "5eb63bbbe01eeed093cb22bb8f5acdc3")
+    assert(out(2L) == "06f0760ec7f18687a7fbc0ddbf1b1722")
+  }
+
+  test("table_checksum pins the xor-of-row-md5 group fingerprint") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "x a", "en", "web", 10L), (2L, "y", "en", "wiki", 20L),
+      (3L, "z", "de", "web", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche28 checksum: 60-bit md5 of the
+    // pipe-joined row, xor-folded per lang (order-invariant).
+    val out = OpsQueries.tableChecksum(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("checksum"))).toMap
+    assert(out("de") == ((1L, 1008385495088036780L)))
+    assert(out("en") == ((2L, 1135713425592951393L)))
+  }
+
+  test("cv_folds pins the md5 fold assignment") {
+    val dir = tmp()
+    writeEvents(dir, (1L to 10L).map(u => (u, u * Hour, u, "t", 1.0)))
+    // golden_stats.py tranche28 cv: md5(user) % 5 puts {7,9} in 0,
+    // {2,6,8} in 1, {10} in 2, {1,3} in 3, {4,5} in 4.
+    val out = OpsQueries.cvFolds(spark, dir).collect()
+      .map(r => r.getAs[Long]("fold") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"))).toMap
+    assert(out == Map(0L -> (2L, 2L), 1L -> (3L, 3L), 2L -> (1L, 1L),
+      3L -> (2L, 2L), 4L -> (2L, 2L)))
+  }
+
+  test("domain_cap pins the md5-elected survivors at the cap") {
+    import spark.implicits._
+    val dir = tmp()
+    ((1L to 35L).map(i => (i, "A")) ++ (36L to 40L).map(i => (i, "B")))
+      .toDF("doc_id", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche28 domain_cap: source A keeps 30 of 35 by
+    // (md5(id), id) order — exactly {3,5,8,10,34} drop; B keeps all 5.
+    val kept = OpsQueries.domainCap(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    val aKept = kept.filter(_._1 == "A").map(_._2).toSet
+    assert(aKept.size == 30)
+    assert(Set(3L, 5L, 8L, 10L, 34L).forall(!aKept.contains(_)))
+    assert(kept.count(_._1 == "B") == 5)
+  }
+
+  test("class_rebalance pins the hash-ranked downsample to the minority") {
+    val dir = tmp()
+    writeEvents(dir,
+      (1L to 5L).map(i => (i, i * Hour, i, "a", 1.0)) ++
+        Seq((6L, Hour, 6L, "b", 1.0), (7L, 2 * Hour, 7L, "b", 1.0)))
+    // golden_stats.py tranche28 rebalance: target = 2 (minority b);
+    // the hash order keeps a-ids {3, 5}.
+    val out = OpsQueries.classRebalance(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id")))
+    assert(out.filter(_._1 == "a").map(_._2).toSet == Set(3L, 5L))
+    assert(out.filter(_._1 == "b").map(_._2).toSet == Set(6L, 7L))
+  }
+
+  test("corpus_shuffle pins the mod-first permutation") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq(1000002L, 999999L, 3L, 1000001L, 500000L).map((_, "w"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Ids straddle the 1e6 modulus, so the mod-FIRST multiplicative
+    // hash actually permutes: 1000001, 1000002, 3, 500000, 999999.
+    val out = OpsQueries.corpusShuffle(spark, dir).collect()
+      .map(r => (r.getAs[Long]("position"), r.getAs[Long]("doc_id")))
+    assert(out.toSeq == Seq((1L, 1000001L), (2L, 1000002L), (3L, 3L),
+      (4L, 500000L), (5L, 999999L)))
+  }
+
+  test("sample_hash pins the [0, 0.25) bucket slice") {
+    val dir = tmp()
+    writeEvents(dir, (1L to 20L).map(i => (i, i * Hour, i, "t", 1.0)))
+    // golden_stats.py tranche28 sample_hash: buckets of ids 5,7,12,14
+    // fall under 250000.
+    val kept = OpsQueries.sampleHash(spark, dir).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(kept == Set(5L, 7L, 12L, 14L))
+  }
+
+  test("sample_stratified pins the per-stratum hash quota") {
+    import spark.implicits._
+    val dir = tmp()
+    (1L to 12L).map((_, 1)).toDF("c_custkey", "c_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // golden_stats.py tranche28 stratified: quota 10 of 12 — custs
+    // {2, 9} lose the hash election.
+    val kept = OpsQueries.sampleStratified(spark, dir).collect()
+      .map(_.getAs[Long]("c_custkey")).toSet
+    assert(kept == (1L to 12L).toSet -- Set(2L, 9L))
+  }
+
+  test("sample_temperature pins the sqrt quotas and overfull stratum") {
+    import spark.implicits._
+    val dir = tmp()
+    ((1L to 200L).map((_, 1)) ++ (201L to 300L).map((_, 2)))
+      .toDF("c_custkey", "c_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // golden_stats.py tranche28 temperature: w = floor(sqrt(cnt)) =
+    // 14/10, quotas 175/125 of 300 (zero remainders). Nation 2's
+    // quota EXCEEDS its 100 rows -> all kept; nation 1's 175
+    // survivors sum to 17545 under the hash order.
+    val rows = OpsQueries.sampleTemperature(spark, dir).collect()
+      .map(r => (r.getAs[Int]("c_nationkey"), r.getAs[Long]("c_custkey")))
+    val n1 = rows.filter(_._1 == 1).map(_._2)
+    val n2 = rows.filter(_._1 == 2).map(_._2)
+    assert(n1.length == 175 && n1.sum == 17545L)
+    assert(n2.length == 100 && n2.sum == 25050L)
+  }
+
+  test("pack_budget pins the per-bucket greedy bin boundaries") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 1200), (9L, 1500), (17L, 900), (4L, 700))
+      .map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche28 pack: ids 1/9/17 share bucket 4
+    // (2654435761 % 8 = 1): cum 0/1200/2700 -> doc 17 opens bin 1;
+    // doc 4 sits alone in bucket 7.
+    val out = OpsQueries.packBudget(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("bin"),
+          r.getAs[Long]("n_tokens"))).toMap
+    assert(out == Map(
+      1L -> (4L, 0L, 1200L), 9L -> (4L, 0L, 1500L),
+      17L -> (4L, 1L, 900L), 4L -> (7L, 0L, 700L)))
+  }
+}

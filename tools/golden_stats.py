@@ -2833,3 +2833,98 @@ def tranche27():
 
 if __name__ == "__main__":
     tranche27()
+
+
+def tranche28():
+    print("\n===== tranche 28: sampling, fingerprints, packing =====")
+    import hashlib
+
+    def md5hex(s_):
+        return hashlib.md5(s_.encode()).hexdigest()
+
+    def md5h60(s_):
+        return int(md5hex(s_)[:15], 16)
+
+    def ah(key, seed):
+        return ((key % 1000000) * 2654435761 + seed)
+
+    # --- text_fingerprint: md5 of ws-collapsed lowercased trim
+    import re
+    for d, t in [(1, "  Hello   World "), (2, "a\tb\nc")]:
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        print(f"fingerprint {d}: '{norm}' -> {md5hex(norm)}")
+
+    # --- table_checksum: docs (1,'x a','en','web',10), (2,'y','en',
+    # 'wiki',20), (3,'z','de','web',30); 60-bit row md5 over
+    # 'doc_id|text|lang|source|n_chars', xor per lang
+    rows = [(1, "x a", "en", "web", 10), (2, "y", "en", "wiki", 20),
+            (3, "z", "de", "web", 30)]
+    xors = {}
+    for r_ in rows:
+        h = md5h60("|".join(str(x) for x in r_))
+        xors[r_[2]] = xors.get(r_[2], 0) ^ h
+    for lang, x in sorted(xors.items()):
+        print(f"checksum {lang}: {x}")
+
+    # --- cv_folds: fold = md5(user) % 5 for users 1..10
+    folds = {}
+    for u in range(1, 11):
+        folds.setdefault(md5h60(str(u)) % 5, []).append(u)
+    for f_, us in sorted(folds.items()):
+        print(f"cv fold {f_}: users={us} n={len(us)}")
+
+    # --- domain_cap: source A doc_ids 1..35 keep 30 by (md5(id), id);
+    # source B 36..40 all kept
+    order = sorted(range(1, 36), key=lambda i: (md5hex(str(i)), i))
+    kept = sorted(order[:30])
+    dropped = sorted(order[30:])
+    print(f"domain_cap A: dropped={dropped} kept_sum={sum(kept)}")
+
+    # --- class_rebalance: types a x5 (ids 1-5), b x2 (ids 6-7);
+    # target 2; order by (ah(id,77) % 1e6, id)
+    a_order = sorted(range(1, 6), key=lambda i: (ah(i, 77) % 1000000, i))
+    print(f"class_rebalance: kept a={sorted(a_order[:2])} b=[6, 7]")
+
+    # --- corpus_shuffle: ids straddling the 1e6 modulus so the
+    # mod-FIRST hash actually permutes (a plain monotone hash would
+    # return ingest order and pin nothing)
+    ids = [1000002, 999999, 3, 1000001, 500000]
+    sh = sorted(ids, key=lambda i: (ah(i, 7), i))
+    print(f"shuffle order: {sh}")
+
+    # --- sample_hash: events ids 1..20, keep (ah(id,42) % 1e6) < 250000
+    keep = [i for i in range(1, 21) if ah(i, 42) % 1000000 < 250000]
+    print(f"sample_hash kept: {keep}")
+
+    # --- sample_stratified: nation 1 custs 1..12, quota 10 by
+    # (ah(c,7) % 1e6, c)
+    so = sorted(range(1, 13), key=lambda c: (ah(c, 7) % 1000000, c))
+    print(f"stratified dropped: {sorted(so[10:])}")
+
+    # --- sample_temperature: nation 1 custs 1..200, nation 2 201..300;
+    # w = floor(sqrt(cnt)) -> 14, 10; quotas 300*14 div 24 = 175,
+    # 300*10 div 24 = 125, deficit 0
+    print("temperature: quotas n1=175 n2=125 (rem 0, no top-up)")
+    for nk, ids in [(1, range(1, 201)), (2, range(201, 301))]:
+        quota = 175 if nk == 1 else 125
+        sel = sorted(ids, key=lambda c: (ah(c, 11) % 1000000, c))[:quota]
+        print(f"  nation {nk}: n_kept={len(sel)} sum={sum(sel)}")
+
+    # --- pack_budget: budget 2000, 8 buckets, bucket = ah(id,3) % 8
+    # (2654435761 % 8 = 1 so ids 1/9/17 share bucket 4 -> the second
+    # bin opens at cum 2700)
+    docs = {1: 1200, 9: 1500, 17: 900, 4: 700}
+    buckets = {}
+    for d in sorted(docs):
+        buckets.setdefault(ah(d, 3) % 8, []).append(d)
+    for bkt, ds in sorted(buckets.items()):
+        cum = 0
+        for d in ds:
+            binno = (cum) // 2000
+            print(f"pack doc {d}: bucket={bkt} bin={binno} "
+                  f"n_tokens={docs[d]}")
+            cum += docs[d]
+
+
+if __name__ == "__main__":
+    tranche28()
