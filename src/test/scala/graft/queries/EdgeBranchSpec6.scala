@@ -135,6 +135,163 @@ class EdgeBranchSpec6 extends GoldenFixtures {
     assert(n2.length == 100 && n2.sum == 25050L)
   }
 
+  // ------------------------- intervals / windows / sweeps (t29)
+
+  test("interval_coalesce pins the touching-merges island convention") {
+    val dir = tmp()
+    // e_us = s_us + round(value*100)*6e6: value 1.0 -> 10 min.
+    writeEvents(dir, Seq(
+      (1L, 0L, 1L, "t", 1.0),            // [0, 600 s]
+      (2L, 300000000L, 1L, "t", 1.0),    // [300, 900] overlaps
+      (3L, 900000000L, 1L, "t", 0.5),    // [900, 1200] TOUCHES -> merges
+      (4L, 2000000000L, 1L, "t", 0.1),   // [2000, 2060] new island
+      (5L, 0L, 2L, "t", 0.1)))
+    val out = OpsQueries.intervalCoalesce(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("island_start")) ->
+        (r.getAs[Long]("island_end"), r.getAs[Long]("n_merged"))).toMap
+    assert(out == Map(
+      (1L, 0L) -> (1200000000L, 3L),
+      (1L, 2000000000L) -> (2060000000L, 1L),
+      (2L, 0L) -> (60000000L, 1L)))
+  }
+
+  test("interval_intersect pins the half-open midnight split") {
+    val dir = tmp()
+    // One session spanning midnight: 23:50 day 0 -> 00:10 day 1
+    // (20 min gap < 30 min).
+    writeEvents(dir, Seq(
+      (1L, 85800000000L, 1L, "t", 1.0),
+      (2L, 87000000000L, 1L, "t", 1.0)))
+    // Day 0 gets [23:50, 24:00) = 600 s; day 1 gets [24:00, 00:10+1us)
+    // — the +1 closing the half-open session end.
+    val out = StreamMmQueries.intervalIntersect(spark, dir).collect()
+      .map(r => r.getAs[Long]("day_us") ->
+        (r.getAs[Long]("o_start"), r.getAs[Long]("o_end"),
+          r.getAs[Long]("dur_us"))).toMap
+    assert(out == Map(
+      0L -> (85800000000L, 86400000000L, 600000000L),
+      86400000000L -> (86400000000L, 87000000001L, 600000001L)))
+  }
+
+  test("events_moving_avg pins the inclusive trailing-hour range bound") {
+    val dir = tmp()
+    writeEvents(dir, Seq(
+      (1L, 0L, 1L, "t", 2.0), (2L, 1800000000L, 2L, "t", 4.0),
+      (3L, 3600000000L, 3L, "t", 6.0), (4L, 7201000000L, 4L, "t", 8.0)))
+    // Event 3's window reaches back EXACTLY 1 h and must include
+    // event 1 (range frames are inclusive); event 4 stands alone.
+    val out = OpsQueries.eventsMovingAvg(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_1h"), r.getAs[Double]("avg_1h"))).toMap
+    assert(out == Map(1L -> (1L, 2.0), 2L -> (2L, 3.0),
+      3L -> (3L, 4.0), 4L -> (1L, 8.0)))
+  }
+
+  test("events_gapfill pins the zero-fill and forward-fill semantics") {
+    val dir = tmp()
+    writeEvents(dir, Seq(
+      (1L, 1000L, 1L, "a", 4.0), (2L, 2000L, 2L, "a", 6.0),
+      (3L, 2 * Hour, 3L, "a", 7.0), (4L, Hour, 4L, "b", 3.0)))
+    // Type a skips hour 1 (zero-filled, value carried forward from
+    // hour 0's mean 5.0); type b has no value before hour 1 -> null.
+    val out = OpsQueries.eventsGapfill(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_us")) ->
+        (r.getAs[Long]("n_events"),
+          Option(r.getAs[java.lang.Double]("value_ffill")).map(_.toDouble)))
+      .toMap
+    assert(out == Map(
+      ("a", 0L) -> (2L, Some(5.0)),
+      ("a", Hour) -> (0L, Some(5.0)),
+      ("a", 2 * Hour) -> (1L, Some(7.0)),
+      ("b", 0L) -> (0L, None),
+      ("b", Hour) -> (1L, Some(3.0)),
+      ("b", 2 * Hour) -> (0L, Some(3.0))))
+  }
+
+  test("events_streaks pins the gaps-and-islands grouping") {
+    val dir = tmp()
+    countEvents(dir, 100L, Map("t" -> Seq(5, 5, 1, 5, 1, 1)))
+    // Above-mean hours (n > 3): 0,1 consecutive and 3 alone.
+    val r = one(OpsQueries.eventsStreaks(spark, dir))
+    assert(r.getAs[Long]("longest_streak") == 2L)
+    assert(r.getAs[Long]("n_streaks") == 2L)
+  }
+
+  test("events_debounce flags the exact-gap boundary") {
+    val dir = tmp()
+    writeEvents(dir, Seq(
+      (1L, 0L, 1L, "t", 1.0),
+      (2L, 1800000000L, 1L, "t", 1.0),   // 30 min -> flagged
+      (3L, 7200000000L, 1L, "t", 1.0),   // 90 min -> kept
+      (4L, 10800000000L, 1L, "t", 1.0))) // EXACTLY 1 h -> flagged
+    // kept requires gap STRICTLY greater than the threshold.
+    val out = OpsQueries.eventsDebounce(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("gap_us")).toMap
+    assert(out == Map(2L -> 1800000000L, 4L -> 3600000000L))
+  }
+
+  test("events_heatmap pins the epoch dow anchor (day 0 = Thursday)") {
+    val dir = tmp()
+    writeEvents(dir, Seq(
+      (1L, 1000L, 1L, "t", 1.0), (2L, 2000L, 2L, "t", 1.0),
+      (3L, Day + 3 * Hour, 3L, "t", 1.0)))
+    val out = OpsQueries.eventsHeatmap(spark, dir).collect()
+      .map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hod")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("share"))).toMap
+    assert(out == Map((4L, 0L) -> (2L, 0.666667), (5L, 3L) -> (1L, 0.333333)))
+  }
+
+  test("events_percentile_series pins the interpolated band values") {
+    val dir = tmp()
+    writeEvents(dir, (1 to 5).map(i =>
+      (i.toLong, i * 1000L, i.toLong, "t", i.toDouble)))
+    val r = one(OpsQueries.eventsPercentileSeries(spark, dir))
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("p10") == 1.4)
+    assert(r.getAs[Double]("p50") == 3.0)
+    assert(r.getAs[Double]("p90") == 4.6)
+  }
+
+  test("skyline_parts pins the STRICT prefix-min dominance sweep") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 1.0, 5), (2L, 2.0, 3), (3L, 2.0, 7), (4L, 3.0, 3),
+      (5L, 4.0, 2), (6L, 4.0, 2))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // (3.0, 3) TIES the cheaper (2.0, 3) on size -> dominated (strict
+    // <); the duplicate (4.0, 2) pair collapses with n_dup 2.
+    val rows = StatQueries.skylineParts(spark, dir).collect()
+      .map(r => (r.getAs[Double]("price"), r.getAs[Int]("p_size"),
+        r.getAs[Long]("p_partkey"), r.getAs[Long]("n_dup")))
+    assert(rows.toSeq == Seq(
+      (1.0, 5, 1L, 1L), (2.0, 3, 2L, 1L), (4.0, 2, 5L, 2L)))
+  }
+
+  test("backlog_aging pins the point-in-time membership per snapshot") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "1970-01-01"), (2L, "1970-04-11")).toDF("o_orderkey", "d")
+      .select(col("o_orderkey"), to_timestamp(col("d")).as("o_orderdate"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "1970-07-20", 10.0), (2L, "1970-05-31", 20.0))
+      .toDF("l_orderkey", "d", "l_extendedprice")
+      .select(col("l_orderkey"), to_timestamp(col("d")).as("l_shipdate"),
+        col("l_extendedprice"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // Snapshots at days 50/100/150 of the 200-day span: o2 is open
+    // only at T2 (ordered day 100, shipped day 150 — T3 = ship day is
+    // EXCLUDED by T < shipdate); o1 ages across buckets.
+    val out = StatQueries.backlogAging(spark, dir).collect()
+      .map(r => (r.getAs[Long]("snap"), r.getAs[String]("bucket")) ->
+        (r.getAs[Long]("n_open_lines"), r.getAs[Double]("open_value"))).toMap
+    assert(out == Map(
+      (1L, "1_30_to_90d") -> (1L, 10.0),
+      (2L, "0_under_30d") -> (1L, 20.0),
+      (2L, "2_over_90d") -> (1L, 10.0),
+      (3L, "2_over_90d") -> (1L, 10.0)))
+  }
+
   test("pack_budget pins the per-bucket greedy bin boundaries") {
     import spark.implicits._
     val dir = tmp()

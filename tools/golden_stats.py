@@ -2928,3 +2928,53 @@ def tranche28():
 
 if __name__ == "__main__":
     tranche28()
+
+
+def tranche29():
+    print("\n===== tranche 29: intervals, windows, sweeps =====")
+    import datetime as dt
+
+    # --- interval_coalesce: u1 intervals [0,600s],[300,900s],
+    # [900,1200s] (touching MERGES), [2000,2060s]
+    print("coalesce u1: island [0, 1200e6] n=3; island [2000e6, 2060e6] n=1")
+
+    # --- interval_intersect: u1 session 23:50d0 .. 00:10d1 (+1us end)
+    print("intersect: day0 overlap 600000000us; day1 600000001us")
+
+    # --- events_moving_avg: ts 0/1800/3600/7201s values 2/4/6/8
+    print("moving_avg: n/avg = (1,2.0) (2,3.0) (3,4.0) (1,8.0) — the 1h "
+          "range bound is INCLUSIVE at exactly -3600s")
+
+    # --- events_gapfill: a h0 (2 ev avg 5), h2 (1 ev avg 7); b h1 (3.0)
+    print("gapfill a: (0,2,5.0) (1,0,5.0 ffill) (2,1,7.0); "
+          "b: (0,0,null) (1,1,3.0) (2,0,3.0)")
+
+    # --- events_streaks: counts [5,5,1,5,1,1] -> above mean hours
+    # 0,1,3 -> streaks 2 and 1
+    print("streaks: longest=2 n_streaks=2")
+
+    # --- events_debounce: gaps 1800s (flag), 5400s (keep), exactly
+    # 3600s (flag — kept requires gap STRICTLY > min)
+    print("debounce flagged: id2 gap=1800000000, id4 gap=3600000000")
+
+    # --- events_heatmap
+    print("heatmap: (4,0,2,0.666667) (5,3,1,0.333333)")
+
+    # --- events_percentile_series: day0 t values 1..5
+    print(f"percentiles: p10={1 + 0.1 * 4} p50=3.0 p90={1 + 0.9 * 4}")
+
+    # --- skyline_parts: (pc,size,id,n): strict prefix-min sweep
+    print("skyline: (1.0,5,1,1) (2.0,3,2,1) (4.0,2,5,2); "
+          "(3.0,3) ties prefix-min -> dropped; (2.0,7) dominated")
+
+    # --- backlog_aging: o1 od day0 ship day200 $10; o2 od day100
+    # ship day150 $20; snaps at day 50/100/150
+    d0 = dt.date(1970, 1, 1)
+    for label, days in [("o2_od", 100), ("o2_ship", 150), ("o1_ship", 200)]:
+        print(f"  {label}: {d0 + dt.timedelta(days=days)}")
+    print("backlog: snap1 (1_30_to_90d,1,10.0); snap2 (0_under_30d,1,"
+          "20.0)+(2_over_90d,1,10.0); snap3 (2_over_90d,1,10.0)")
+
+
+if __name__ == "__main__":
+    tranche29()
