@@ -292,6 +292,180 @@ class EdgeBranchSpec6 extends GoldenFixtures {
       (3L, "2_over_90d") -> (1L, 10.0)))
   }
 
+  // ------------------------------- planner / layout audits (t30)
+
+  test("join_size_audit pins the uniform estimate against exact truth") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 2L, 1L), (2L, 2L, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L), (3L, 1L)).toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(Tuple1(1L), Tuple1(2L)).toDF("p_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq(Tuple1(1L)).toDF("s_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq(Tuple1(1L), Tuple1(2L)).toDF("c_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // golden_stats.py tranche30 jsa: order key 2 has no match (order 3
+    // is dangling) -> est 4 vs actual 3 = 13333 bp; the other edges
+    // estimate exactly.
+    val out = StatQueries.joinSizeAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("edge") ->
+        (r.getAs[Long]("est_uniform"), r.getAs[Long]("actual"),
+          r.getAs[Long]("ratio_bp"))).toMap
+    assert(out("lineitem_orders") == ((4L, 3L, 13333L)))
+    assert(out("lineitem_part") == ((4L, 4L, 10000L)))
+    assert(out("lineitem_supplier") == ((4L, 4L, 10000L)))
+    assert(out("orders_customer") == ((2L, 2L, 10000L)))
+  }
+
+  test("zorder_cells pins the Morton interleave and edge cells") {
+    val dir = tmp()
+    writeEvents(dir, Seq(
+      (1L, 1000L, 1L, "t", 0.0), (2L, 2000L, 1L, "t", 10.0),
+      (3L, 3000L, 3L, "t", 5.0)))
+    // golden_stats.py tranche30 zorder: the max value caps at cell
+    // 255; (128, 255) interleaves to 60074.
+    val out = OpsQueries.zorderCells(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("xcell"), r.getAs[Long]("ycell"),
+          r.getAs[Long]("zval"))).toMap
+    assert(out == Map(
+      1L -> (0L, 0L, 0L), 2L -> (255L, 0L, 21845L),
+      3L -> (128L, 255L, 60074L)))
+  }
+
+  test("partition_skew pins the share-of-max and median ratio") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "en", "web", "a" * 10), (2L, "en", "web", "b" * 20),
+      (3L, "en", "wiki", "c" * 50), (4L, "de", "web", "d" * 5))
+      .toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = StatQueries.partitionSkew(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("bytes"), r.getAs[Long]("share_of_max_bp"),
+          r.getAs[Double]("max_over_median"))).toMap
+    assert(out == Map(
+      ("de", "web") -> (5L, 1000L, 1.666667),
+      ("en", "web") -> (30L, 6000L, 1.666667),
+      ("en", "wiki") -> (50L, 10000L, 1.666667)))
+  }
+
+  test("compaction_plan pins the exclusive-prefix file grouping") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a", "s1", 40000L), (2L, "a", "s2", 30000L),
+      (3L, "b", "s1", 60000L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // (b,s1) starts at cumulative 70000 -> 64 KiB group 1; (a,s2)
+    // starts at 40000 and stays in group 0 even though it ENDS past
+    // the boundary (exclusive-prefix packing).
+    val out = StatQueries.compactionPlan(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        r.getAs[Long]("file_group")).toMap
+    assert(out == Map(("a", "s1") -> 0L, ("a", "s2") -> 0L, ("b", "s1") -> 1L))
+  }
+
+  test("sortkey_advisor pins the cardinality-ascending ranking") {
+    import spark.implicits._
+    val dir = tmp()
+    (1 to 6).map(i => (
+      if (i <= 3) "A" else "R",       // returnflag: 2 distinct
+      "O",                            // linestatus: 1
+      s"1995-0${(i - 1) % 3 + 1}-01", // shipdate: 3
+      (i % 4).toLong,                 // suppkey: 4
+      (i % 5).toLong,                 // partkey: 5
+      i.toDouble))                    // quantity: 6
+      .toDF("l_returnflag", "l_linestatus", "d", "l_suppkey", "l_partkey",
+        "l_quantity")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        to_timestamp(col("d")).as("l_shipdate"), col("l_suppkey"),
+        col("l_partkey"), col("l_quantity"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = StatQueries.sortkeyAdvisor(spark, dir).collect()
+      .map(r => r.getAs[Int]("pos") ->
+        (r.getAs[String]("col_name"), r.getAs[Long]("ndv")))
+    assert(out.toSeq == Seq(
+      1 -> ("l_linestatus", 1L), 2 -> ("l_returnflag", 2L),
+      3 -> ("l_shipdate", 3L), 4 -> ("l_suppkey", 4L),
+      5 -> ("l_partkey", 5L), 6 -> ("l_quantity", 6L)))
+  }
+
+  test("skew_profile pins the hot-key share and count entropy") {
+    val dir = tmp()
+    writeEvents(dir, Seq(
+      (1L, 1000L, 1L, "t", 1.0), (2L, 2000L, 1L, "t", 1.0),
+      (3L, 3000L, 1L, "t", 1.0), (4L, 4000L, 2L, "t", 1.0)))
+    // golden_stats.py tranche30 skew_profile: entropy = ln 4 −
+    // (3 ln 3)/4 = 0.562335.
+    val r = one(OpsQueries.skewProfileUsers(spark, dir))
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("n_keys") == 2L)
+    assert(r.getAs[String]("top_key") == "1")
+    assert(r.getAs[Double]("top_frac") == 0.75)
+    assert(r.getAs[Double]("entropy_nats") == 0.562335)
+  }
+
+  test("broadcast_advisor pins the exact byte estimates") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((0, "AFRICA")).toDF("r_regionkey", "r_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq((0, "ALGERIA", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, "S1")).toDF("s_suppkey", "s_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, "C1", "BLD")).toDF("c_custkey", "c_name", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, "p one", "B1", "T A")).toDF("p_partkey", "p_name", "p_brand",
+      "p_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // golden_stats.py tranche30 badvisor: 10/15/22/25/30 bytes.
+    val out = StatQueries.queries("broadcast_advisor")(spark, dir).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("est_bytes"),
+          r.getAs[Boolean]("broadcastable"))).toMap
+    assert(out == Map(
+      "region" -> (1L, 10L, true), "nation" -> (1L, 15L, true),
+      "supplier" -> (1L, 22L, true), "customer" -> (1L, 25L, true),
+      "part" -> (1L, 30L, true)))
+  }
+
+  test("postings_compression pins the Elias-gamma bit accounting") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "x"), (2L, "x y"), (3L, "x")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // golden_stats.py tranche30 postings: x's posting list 1,2,3 ->
+    // first id encodes id+1 (3 bits), unit gaps 1 bit each; y's lone
+    // id 2 encodes 3 (3 bits): 8 gamma bits vs 256 raw = 9687 bp.
+    val r = one(StatQueries.queries("postings_compression")(spark, dir))
+    assert(r.getAs[String]("df_bucket") == "a_df_1_10")
+    assert(r.getAs[Long]("n_postings") == 4L)
+    assert(r.getAs[Long]("raw_bits") == 256L)
+    assert(r.getAs[Long]("gamma_bits") == 8L)
+    assert(r.getAs[Long]("savings_bp") == 9687L)
+  }
+
+  test("range_partition_plan pins the 32-way boundary shares") {
+    import spark.implicits._
+    val dir = tmp()
+    (1 to 5).map(i => (i.toLong, i * 1.0)).toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // n=5 < 32 partitions: each row lands alone in pids 1..5 with
+    // share 2000 bp and degenerate lo == hi bounds.
+    val out = StatQueries.rangePartitionPlan(spark, dir).collect()
+      .map(r => r.getAs[Int]("pid") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("lo_cents"),
+          r.getAs[Long]("hi_cents"), r.getAs[Long]("share_bp")))
+    assert(out.toSeq == (1 to 5).map(i =>
+      i -> (1L, i * 100L, i * 100L, 2000L)))
+  }
+
   test("pack_budget pins the per-bucket greedy bin boundaries") {
     import spark.implicits._
     val dir = tmp()

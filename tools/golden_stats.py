@@ -2978,3 +2978,81 @@ def tranche29():
 
 if __name__ == "__main__":
     tranche29()
+
+
+def tranche30():
+    print("\n===== tranche 30: planner/layout audits =====")
+
+    # --- join_size_audit: per-edge histograms built so the uniform
+    # estimate MISSES: left keys absent from the right side.
+    edges = {
+        # lineitem_orders: l_orderkey [1,1,1,2], orders [1,3]
+        "lineitem_orders": ([1, 1, 1, 2], [1, 3]),
+        # lineitem_part: l_partkey [1,2,2,2], part [1,2]
+        "lineitem_part": ([1, 2, 2, 2], [1, 2]),
+        # lineitem_supplier: l_suppkey all 1, supplier [1]
+        "lineitem_supplier": ([1, 1, 1, 1], [1]),
+        # orders_customer: o_custkey [1,1], customer [1,2]
+        "orders_customer": ([1, 1], [1, 2]),
+    }
+    for name, (lk, rk) in edges.items():
+        ca = {}; cb = {}
+        for k in lk: ca[k] = ca.get(k, 0) + 1
+        for k in rk: cb[k] = cb.get(k, 0) + 1
+        actual = sum(ca[k] * cb.get(k, 0) for k in ca)
+        est = len(lk) * len(rk) // max(len(ca), len(cb))
+        print(f"jsa {name}: n={len(lk)}x{len(rk)} d={len(ca)}/{len(cb)} "
+              f"est={est} actual={actual} "
+              f"ratio_bp={est * 10000 // actual}")
+
+    # --- zorder_cells: (value, user) cells at 8 bits
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+    pts = [(1, 0.0, 1), (2, 10.0, 1), (3, 5.0, 3)]
+    vlo, vhi, ulo, uhi = 0.0, 10.0, 1, 3
+    for eid, v, u in pts:
+        xc = min(int((v - vlo) * 256 / (vhi - vlo)), 255)
+        yc = min(int((u - ulo) * 256 / (uhi - ulo)), 255)
+        print(f"zorder {eid}: xcell={xc} ycell={yc} z={morton(xc, yc)}")
+
+    # --- partition_skew: (lang,source,bytes) = (de,web,5) (en,web,30)
+    # (en,wiki,50); median rk2 = 30
+    for lg, sc, b in [("de", "web", 5), ("en", "web", 30),
+                      ("en", "wiki", 50)]:
+        print(f"pskew ({lg},{sc}): bytes={b} share={b * 10000 // 50} "
+              f"mom={r6(50 / 30)}")
+
+    # --- compaction_plan: cum-exclusive div 65536 over (a,s1,40000)
+    # (a,s2,30000) (b,s1,60000)
+    print("compaction: (a,s1)->fg0 (a,s2)->fg0 (b,s1)->fg1 (cum 70000)")
+
+    # --- sortkey_advisor / range_partition_plan: printed in the spec
+    print("sortkey pos: l_linestatus(1,1) l_returnflag(2,2) "
+          "l_shipdate(3,3) l_suppkey(4,4) l_partkey(5,5) l_quantity(6,6)")
+
+    # --- skew_profile: users [1,1,1,2]
+    n = 4
+    ent = math.log(n) - (3 * math.log(3) + 1 * math.log(1)) / n
+    print(f"skew_profile: n=4 keys=2 top=1 frac=0.75 entropy={r6(ent)}")
+    check_far("skp", ent)
+
+    # --- broadcast_advisor: one-row dims, est = strlen + n*fixed
+    for t, est in [("region", 6 + 4), ("nation", 7 + 8),
+                   ("supplier", 2 + 20), ("customer", 2 + 3 + 20),
+                   ("part", 5 + 2 + 3 + 20)]:
+        print(f"badvisor {t}: est_bytes={est}")
+
+    # --- postings_compression: x in docs 1,2,3 (df 3); y in doc 2
+    # gamma bits: x -> first id 1 encodes 2 (3 bits), gaps 1,1 (1 bit
+    # each); y -> first id 2 encodes 3 (3 bits)
+    gx, gy = 3 + 1 + 1, 3
+    raw = 4 * 64
+    print(f"postings a_df_1_10: n=4 raw={raw} gamma={gx + gy} "
+          f"savings_bp={(raw - gx - gy) * 10000 // raw}")
+
+
+if __name__ == "__main__":
+    tranche30()
