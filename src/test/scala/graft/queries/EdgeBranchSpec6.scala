@@ -466,6 +466,175 @@ class EdgeBranchSpec6 extends GoldenFixtures {
       i -> (1L, i * 100L, i * 100L, 2000L)))
   }
 
+  // ------------------- privacy triple / RI / order stats (t31)
+
+  test("ri_orphans pins the planted orphan per FK edge") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq(Tuple1(0L)).toDF("r_regionkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq((0L, 0L)).toDF("n_nationkey", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 0L)).toDF("c_custkey", "c_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq(Tuple1(1L)).toDF("p_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq(Tuple1(1L)).toDF("s_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, 1L), (2L, 99L)).toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L), (3L, 99L, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = OpsQueries.riOrphans(spark, dir).collect()
+      .map(r => r.getAs[String]("edge") ->
+        (r.getAs[Long]("fk_rows"), r.getAs[Long]("orphans"))).toMap
+    assert(out == Map(
+      "customer.c_nationkey->nation" -> (1L, 0L),
+      "lineitem.l_orderkey->orders" -> (2L, 1L),
+      "lineitem.l_partkey->part" -> (2L, 1L),
+      "lineitem.l_suppkey->supplier" -> (2L, 0L),
+      "nation.n_regionkey->region" -> (1L, 0L),
+      "orders.o_custkey->customer" -> (2L, 1L)))
+  }
+
+  test("fd_audit pins the per-dependency violation census") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((0L, 0L), (1L, 0L)).toDF("n_nationkey", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq(("alpha", "B1", "T1"), ("alpha", "B2", "T1"))
+      .toDF("p_name", "p_brand", "p_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((0L, "S1"), (0L, "S2")).toDF("c_nationkey", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, "a"), (1L, "a")).toDF("o_custkey", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "1995-01-01"), (1L, "1995-01-02")).toDF("l_orderkey", "d")
+      .select(col("l_orderkey"), to_timestamp(col("d")).as("l_shipdate"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = OpsQueries.fdAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("fd") ->
+        (r.getAs[Long]("n_lhs"), r.getAs[Long]("n_violating"),
+          r.getAs[Long]("max_rhs"), r.getAs[Boolean]("holds"))).toMap
+    assert(out("nation: n_nationkey -> n_regionkey") == ((2L, 0L, 1L, true)))
+    assert(out("part: p_name -> p_brand") == ((1L, 1L, 2L, false)))
+    assert(out("part: p_brand -> p_type") == ((2L, 0L, 1L, true)))
+    assert(out("customer: c_nationkey -> c_mktsegment") == ((1L, 1L, 2L, false)))
+    assert(out("orders: o_custkey -> o_orderpriority") == ((1L, 0L, 1L, true)))
+    assert(out("lineitem: l_orderkey -> l_shipdate") == ((1L, 1L, 2L, false)))
+  }
+
+  test("weighted_median pins the running-weight election") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq(("A", 1.0, 1.0, 1L, 1), ("A", 4.0, 2.0, 1L, 2), ("A", 3.0, 1.0, 1L, 3),
+      ("B", 45.0, 5.0, 2L, 1))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey",
+        "l_linenumber")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // Flag A units (1 w1, 2 w2, 3 w1): cumulative weight doubles to 6
+    // at unit 2 >= total 4 -> weighted median 2.0.
+    val out = OpsQueries.weightedMedian(spark, dir).collect()
+      .map(r => r.getAs[String]("flag") ->
+        (r.getAs[Double]("weighted_median"), r.getAs[Double]("total_weight")))
+      .toMap
+    assert(out == Map("A" -> (2.0, 4.0), "B" -> (9.0, 5.0)))
+  }
+
+  /** QI fixture shared by the k-anonymity / l-diversity audits. */
+  private lazy val qiDir: String = {
+    import spark.implicits._
+    val dir = tmp()
+    ((1 to 6).map(i => (i.toLong, 1L, "S1", 500.0)) ++
+      Seq((7L, 1L, "S2", 500.0), (8L, 1L, "S2", 500.0)))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  test("k_anonymity pins the class sizes at the k=5 boundary") {
+    val out = OpsQueries.kAnonymity(spark, qiDir).collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        (r.getAs[Long]("n"), r.getAs[Boolean]("at_risk"))).toMap
+    assert(out == Map("S1" -> (6L, false), "S2" -> (2L, true)))
+  }
+
+  test("l_diversity pins the distinct-sensitive-value count") {
+    val r = one(OpsQueries.lDiversity(spark, qiDir))
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Long]("l_div") == 2L)
+    assert(r.getAs[Boolean]("at_risk"))
+  }
+
+  test("t_closeness pins the exact-integer TVD per class") {
+    import spark.implicits._
+    val dir = tmp()
+    (Seq.fill(4)((1L, "S1")) ++ Seq((2L, "S1"), (2L, "S2"), (2L, "S2"),
+      (2L, "S2"), (3L, "S1"), (3L, "S2")))
+      .zipWithIndex.map { case ((nk, sg), i) => (i + 1L, nk, sg, 100.0) }
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // golden_stats.py tranche31 tclose: t = 0.4 / 0.35 / 0.1 against
+    // the global 6:4 mix — incl. the null-fill for the S2-free class.
+    val out = OpsQueries.tCloseness(spark, dir).collect()
+      .map(r => r.getAs[Long]("c_nationkey") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("t_close"),
+          r.getAs[Boolean]("at_risk"))).toMap
+    assert(out == Map(
+      1L -> (4L, 0.4, false), 2L -> (4L, 0.35, false), 3L -> (2L, 0.1, false)))
+  }
+
+  test("events_ohlc pins the struct-min/max open and close") {
+    val dir = tmp()
+    writeEvents(dir, Seq(
+      (1L, 1000000L, 1L, "t", 5.0), (2L, 2000000L, 2L, "t", 9.0),
+      (3L, 3000000L, 3L, "t", 2.0), (4L, 4000000L, 4L, "t", 7.0)))
+    val r = one(StatQueries.eventsOhlc(spark, dir))
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("open") == 5.0)
+    assert(r.getAs[Double]("high") == 9.0)
+    assert(r.getAs[Double]("low") == 2.0)
+    assert(r.getAs[Double]("close") == 7.0)
+  }
+
+  test("events_peaks pins the strict-maximum and prominence gates") {
+    val dir = tmp()
+    countEvents(dir, 100L, Map("t" -> Seq(2, 2, 8, 2, 2, 2, 2, 2)))
+    // golden_stats.py tranche31 peaks: only hour 102 is a strict
+    // local max AND clears 1.5x the +-3h mean (8*2*6 = 96 > 18*3).
+    val rows = StatQueries.eventsPeaks(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("hour_idx") == 102L)
+    assert(rows(0).getAs[Long]("n") == 8L)
+    assert(rows(0).getAs[Long]("pn") == 2L && rows(0).getAs[Long]("nn") == 2L)
+    assert(rows(0).getAs[Double]("mean_7h") == 3.0)
+  }
+
+  test("events_eqdepth pins the ntile remainder layout") {
+    val dir = tmp()
+    valueEvents(dir, Map("t" -> (1 to 10).map(_.toDouble)))
+    // ntile(8) over 10 rows: the remainder 2 lands on buckets 1-2.
+    val out = OpsQueries.eventsEqdepth(spark, dir).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+      .toMap
+    assert(out(1) == ((2L, 1.0, 2.0)) && out(2) == ((2L, 3.0, 4.0)))
+    (3 to 8).foreach { b =>
+      assert(out(b) == ((1L, b + 2.0, b + 2.0)), s"bucket $b") }
+  }
+
+  test("events_moving_median pins the exact sorted-array medians") {
+    val dir = tmp()
+    countEvents(dir, 100L, Map("t" -> Seq(5, 2, 4, 1, 6, 3, 5, 2)))
+    // golden_stats.py tranche31 movmed over [5,2,4,1,6,3,5,2].
+    val exp = Seq(3.0, 4.0, 3.5, 4.0, 3.0, 3.5, 3.0, 4.0)
+    val out = StatQueries.eventsMovingMedian(spark, dir).collect()
+      .sortBy(_.getAs[Long]("h"))
+      .map(_.getAs[Double]("med7"))
+    assert(out.toSeq == exp)
+  }
+
   test("pack_budget pins the per-bucket greedy bin boundaries") {
     import spark.implicits._
     val dir = tmp()

@@ -3056,3 +3056,45 @@ def tranche30():
 
 if __name__ == "__main__":
     tranche30()
+
+
+def tranche31():
+    print("\n===== tranche 31: privacy triple, RI, order stats, OHLC =====")
+
+    # --- t_closeness: nations' (band0) classes vs global segment mix
+    # n1: S1x4; n2: S1x1,S2x3; n3: S1x1,S2x1. N=10, g(S1)=6, g(S2)=4.
+    base = {1: {"S1": 4}, 2: {"S1": 1, "S2": 3}, 3: {"S1": 1, "S2": 1}}
+    g = {}
+    for cls in base.values():
+        for s_, c in cls.items():
+            g[s_] = g.get(s_, 0) + c
+    N = sum(g.values())
+    for nk, cls in sorted(base.items()):
+        n = sum(cls.values())
+        tvd = sum(abs(cls.get(s_, 0) * N - g[s_] * n) for s_ in g)
+        print(f"tclose nation {nk}: n={n} tvd_num={tvd} "
+              f"t={r6(tvd / (2 * n * N))}")
+
+    # --- weighted_median: flag A units (1.0 w1),(2.0 w2),(3.0 w1)
+    print("wmedian A: cum 2x at 2.0 -> 6 >= tot 4 -> median 2.0 tot 4.0")
+
+    # --- events_moving_median on C8 = [5,2,4,1,6,3,5,2], window +-3
+    C8 = [5, 2, 4, 1, 6, 3, 5, 2]
+    for i in range(8):
+        arr = sorted(C8[max(0, i - 3):i + 4])
+        m = len(arr)
+        med = arr[(m + 1) // 2 - 1] if m % 2 == 1 else \
+            (arr[m // 2 - 1] + arr[m // 2]) / 2.0
+        print(f"movmed h{i}: m={m} med={med}")
+
+    # --- events_peaks: counts [2,2,8,2,2,2,2,2], base 100
+    print("peaks: hour 102 n=8 pn=2 nn=2 sum7=18 cnt7=6 mean_7h=3.0 "
+          "(8*2*6=96 > 54)")
+
+    # --- events_eqdepth: values 1..10, 8 buckets
+    # ntile(8) over 10 rows: buckets 1,2 hold 2 rows
+    print("eqdepth: b1 (2,1,2) b2 (2,3,4) b3 (1,5) ... b8 (1,10)")
+
+
+if __name__ == "__main__":
+    tranche31()
