@@ -3098,3 +3098,69 @@ def tranche31():
 
 if __name__ == "__main__":
     tranche31()
+
+
+def tranche32():
+    print("\n===== tranche 32: text-ops family =====")
+    import re
+
+    # --- text_stats on 'Ab, c9 x!'
+    t = "Ab, c9 x!"
+    print(f"text_stats: len={len(t)} ws={len(re.findall(chr(92) + 'S+', t))} "
+          f"bpe={len(re.findall('[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', t))} "
+          f"punct={len(re.findall('[^A-Za-z0-9 ]', t))}")
+
+    # --- doc_keywords: d1 'apple apple banana', d2 'banana cherry'
+    for d, terms in [(1, {"apple": 2, "banana": 1}),
+                     (2, {"banana": 1, "cherry": 1})]:
+        df_ = {"apple": 1, "banana": 2, "cherry": 1}
+        sc = {w: r6(c * math.log(2 / df_[w])) for w, c in terms.items()}
+        ranked = sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))
+        print(f"keywords d{d}: {ranked}")
+
+    # --- text_bm25: d1 'aa aa bb', d2 'bb cc'
+    docs = {1: ["aa", "aa", "bb"], 2: ["bb", "cc"]}
+    N, dl = 2, {1: 3, 2: 2}
+    avgdl = 2.5
+    df_ = {"aa": 1, "bb": 2, "cc": 1}
+    k1, b = 1.2, 0.75
+    for d, ts in docs.items():
+        out = []
+        for w in sorted(set(ts)):
+            tf = ts.count(w)
+            idf = math.log(1 + (N - df_[w] + 0.5) / (df_[w] + 0.5))
+            s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+            out.append((w, r6(s)))
+            check_far(f"bm25.{d}.{w}", s)
+        print(f"bm25 d{d}: {sorted(out, key=lambda kv: (-kv[1], kv[0]))}")
+
+    # --- vocab_coverage: top-1000 cut excludes the two singletons
+    print("vocab_coverage: doc3 n_tokens=3 n_oov=2 rate=0.666667")
+
+    # --- doc_sentences: 'One two. Three! four? five'
+    segs = [s.strip() for s in re.findall(r"[^.!?]+",
+            "One two. Three! four? five") if s.strip()]
+    lens = [len(s) for s in segs]
+    print(f"sentences: n={len(segs)} lens={lens} mean={r6(sum(lens)/len(lens))} "
+          f"max={max(lens)}")
+
+    # --- kwic_snippets: 'vector' at a known offset
+    text = "x " * 20 + "vector and more text here for padding purposes"
+    pos = text.lower().find("vector") + 1
+    snippet = text[max(pos - 30, 1) - 1:][:66]
+    print(f"kwic: pos={pos} snippet='{snippet}'")
+
+    # --- text_ngram_repetition: d1 'a b a b a', d2 'x y z'
+    print("ngram_rep d1: n_bi=4 top_frac=0.5 n_tri=3 dup_frac=0.666667; "
+          "d2: n_bi=2 top_frac=0.5 dup_frac=0.0")
+
+    # --- term_burstiness: 'the' in 20 docs, doubled in 10 -> cf/df 1.5
+    print("burstiness: the cf=30 df=20 b=1.5 (only term passing df>=20)")
+
+    # --- langid_confusion: same cells as the kappa fixture
+    print("confusion: (de,de,1,5000) (de,fr,1,null) (en,en,1,5000) "
+          "(en,und,1,null)")
+
+
+if __name__ == "__main__":
+    tranche32()
