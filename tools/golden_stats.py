@@ -3164,3 +3164,41 @@ def tranche32():
 
 if __name__ == "__main__":
     tranche32()
+
+
+def tranche33():
+    print("\n===== tranche 33: sessions, attribution, SLO =====")
+    # Shared session fixture (30-min gap):
+    # u1 A: view@0 click@60 purchase@120 click@180 purchase@240
+    # u1 B (day1): view, view+60
+    # u2: purchase@0 alone; u3: view@0 alone; u4: view@0 click@30
+    print("attribution: (purchase,direct,1) (view,click,2)")
+    # positional: conv1 m=2 -> 5000/5000 view/click; conv2 m=4 ->
+    # view 4000+2000%2=4000, middles click@60 purchase@120 1000 each,
+    # last click@180 4000; u2 pathless -> direct 10000
+    print("position: click (3, 10000, 1.0) direct (1, 10000, 1.0) "
+          "purchase (1, 1000, 0.1) view (2, 9000, 0.9)")
+    # view-entry sessions: u1A (5 ev), u1B (2), u3 (1 -> bounce),
+    # u4 (2) -> 4 sessions 1 bounce; purchase-entry: u2 alone.
+    print("bounce: purchase (1, 1, 1.0); view (4, 1, 0.25)")
+    print("churn: d0 (0 new=4 churned=0) d1 (retained 1 new 0 churned 3) "
+          "d2 (0, 0, 1)")
+    print("cumulative: d0 new=4 cum=4; d1 new=0 cum=4")
+    print("concurrency: day0 peak=4 starts=4; day1 peak=1 starts=1")
+
+    # --- slo_burn: h0 9 errors of 10; h1 1 of 10
+    print(f"slo h0: burn1={r6(9 * 20 / 10)} burn6={r6(9 * 20 / 10)} "
+          "page=True ticket=True")
+    print(f"slo h1: burn1={r6(1 * 20 / 10)} burn6={r6(10 * 20 / 20)} "
+          "page=False ticket=False")
+
+    # --- watermark_audit: arrivals ts 0, 7200s, 3600s, 7100s
+    print("watermark: delay60 late=2 bp=5000; delay600 late=1 bp=2500; "
+          "delay3600 late=0 bp=0 (boundary is STRICT >)")
+
+    # --- fanout_profile
+    print("fanout: (0,1) (1,1) (2,1)")
+
+
+if __name__ == "__main__":
+    tranche33()
