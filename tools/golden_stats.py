@@ -3202,3 +3202,23 @@ def tranche33():
 
 if __name__ == "__main__":
     tranche33()
+
+
+def tranche34():
+    print("\n===== tranche 34: business rollups =====")
+    # revenue_growth: months 199501..199512 = $1..$12, 199601 = $24
+    print("growth: 199502 mom=1.0; 199512 mom=" + str(r6(12 / 11 - 1)) +
+          "; 199601 mom=1.0 yoy=23.0; 199501 mom/yoy null")
+    # lead_time priority a: days 1, 3
+    print(f"lead: mean=2.0 p50=2.0 p90={1 + 0.9 * 2} p99={r6(1 + 0.99 * 2)}")
+    # seasonal index: cells 9501 $10, 9502 $20, 9601 $40, 9602 $10
+    print("seasonal: mon1 idx=(5000*4)/(2*8000)=1.25 mon2=0.75")
+    # single_source_risk: p1 (9,1) share 9000; p3 tie (3,3) -> s1 5000
+    print("risk: p1 s1 9000bp; p3 s1 5000bp (tie to lower suppkey); "
+          "p2 single-sourced filtered")
+    # rfm_migration cells
+    print("rfm_mig: (0,3,c5) (1,2,c1) (2,1,c2) (3,0,c3) (4,0,c4)")
+
+
+if __name__ == "__main__":
+    tranche34()
