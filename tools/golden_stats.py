@@ -3222,3 +3222,49 @@ def tranche34():
 
 if __name__ == "__main__":
     tranche34()
+
+
+def tranche35():
+    print("\n===== tranche 35: inequality curve, shares, anomalies =====")
+
+    # revenue_lorenz: customer cents 1000/2000/3000/4000
+    cents = [1000, 2000, 3000, 4000]
+    tot = sum(cents)
+    cum = 0
+    for rk, c in enumerate(sorted(cents), 1):
+        cum += c
+        dec = rk * 10 // 4
+        print(f"lorenz rk={rk}: decile={dec} cum_share={r6(cum / tot)}")
+
+    # market_share: promo cents nat7=100, other-nation=200
+    print(f"mkt: 1995 total=3.0 share={r6(100 / 300)}")
+
+    # events_anomaly: 11 hours of 2 + one hour of 20
+    ns = [2] * 11 + [20]
+    m = sum(ns) / len(ns)
+    sd = math.sqrt(sum((x - m) ** 2 for x in ns) / (len(ns) - 1))
+    print(f"anomaly: mean={m} sd={r6(sd)} z2={r6((2 - m) / sd)} "
+          f"z20={r6((20 - m) / sd)} anomaly={abs((20 - m) / sd) > 3}")
+
+    # corpus_chi2: grid (en,web)4 (en,wiki)2 (de,web)2 (de,wiki)2
+    obs = {("en", "web"): 4, ("en", "wiki"): 2, ("de", "web"): 2,
+           ("de", "wiki"): 2}
+    rt = {"en": 6, "de": 4}; ct = {"web": 6, "wiki": 4}; n = 10
+    chi2 = sum((o - rt[l] * ct[s_] / n) ** 2 / (rt[l] * ct[s_] / n)
+               for (l, s_), o in obs.items())
+    print(f"chi2={r6(chi2)} dof=1")
+
+    # events_regression/corr: (tod h, value) = (1,2) (2,4) (3,6)
+    print("regression: slope=2.0 intercept=0.0 r2=1.0; corr=1.0 "
+          "covar=2.0 sd_value=2.0")
+
+    # benford_digit2: cents 100 (d2 0), 123 (2), 250 (5); 5 filtered
+    for d in (0, 2, 5):
+        p = sum(math.log10(1 + 1 / (10 * d1 + d)) for d1 in range(1, 10))
+        t = (1 / 3 - p) ** 2 / p * 3
+        print(f"benford2 d={d}: p={r6(p)} share={r6(1 / 3)} chi2={r6(t)}")
+        check_far(f"b2.{d}", p)
+
+
+if __name__ == "__main__":
+    tranche35()
