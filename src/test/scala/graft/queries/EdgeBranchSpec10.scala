@@ -108,6 +108,49 @@ class EdgeBranchSpec10 extends GoldenFixtures {
     assert(out == (0 to 8).map(_ -> 1L).toMap + (9 -> 2L))
   }
 
+  // ------------------- coverage / interarrival / incremental (t36)
+
+  test("catalog_coverage pins the anti-join dead-stock shares") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "B1"), (2L, "B1"), (3L, "B1"), (4L, "B2"))
+      .toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq(Tuple1(1L), Tuple1(2L)).toDF("l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // golden_stats.py tranche36 coverage: B1 sells 2 of 3; B2's only
+    // part never sells (the all-dead left-join null path).
+    val out = OpsQueries.catalogCoverage(spark, dir).collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("n_never"),
+          r.getAs[Double]("coverage"))).toMap
+    assert(out == Map("B1" -> (3L, 1L, 0.666667), "B2" -> (1L, 1L, 0.0)))
+  }
+
+  test("events_interarrival pins the lag gaps and percentiles") {
+    val dir = tmp()
+    writeEvents(dir, Seq(
+      (1L, 0L, 1L, "t", 1.0), (2L, 10000000L, 2L, "t", 1.0),
+      (3L, 40000000L, 3L, "t", 1.0)))
+    // Gaps 10 s and 30 s: mean/p50 20 s, p90 = 10 + 0.9*20 = 28 s.
+    val r = one(OpsQueries.eventsInterarrival(spark, dir))
+    assert(r.getAs[Long]("n_gaps") == 2L)
+    assert(r.getAs[Double]("mean_us") == 2.0e7)
+    assert(r.getAs[Double]("p50_us") == 2.0e7)
+    assert(r.getAs[Double]("p90_us") == 2.8e7)
+  }
+
+  test("agg_incremental pins the mergeable-snapshot equivalence") {
+    val dir = tmp()
+    writeEvents(dir, (1 to 5).map(i =>
+      (i.toLong, i * Hour, i.toLong, "t", i.toDouble)))
+    // 80/20 chrono split -> base {1..4}, delta {5}; the merged
+    // snapshots must equal the direct aggregation: n=5, sum=15.
+    val r = one(OpsQueries.aggIncremental(spark, dir))
+    assert(r.getAs[Long]("n_events") == 5L)
+    assert(r.getAs[Double]("sum_value") == 15.0)
+  }
+
   test("benford_digit2 pins the marginal second-digit expectations") {
     import spark.implicits._
     val dir = tmp()

@@ -3268,3 +3268,19 @@ def tranche35():
 
 if __name__ == "__main__":
     tranche35()
+
+
+def tranche36():
+    print("\n===== tranche 36: coverage, interarrival, incremental =====")
+    # catalog_coverage: brand B1 parts {1,2,3} with 1 never-ordered;
+    # brand B2 part {4} never-ordered at all
+    print(f"coverage: B1 n=3 never=1 cov={r6(2 / 3)}; B2 n=1 never=1 cov=0.0")
+    # events_interarrival: type t gaps 10s, 30s
+    print(f"interarrival: n_gaps=2 mean={r6((10e6 + 30e6) / 2)} "
+          f"p50={r6(20e6)} p90={r6(10e6 + 0.9 * 20e6)}")
+    # agg_incremental: base (80%) + delta (20%) merged == direct agg
+    print("agg_incremental: type t n=5 sum=15.0 (merge == direct)")
+
+
+if __name__ == "__main__":
+    tranche36()
