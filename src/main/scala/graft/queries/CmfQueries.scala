@@ -116,6 +116,9 @@ object CmfQueries {
       count_distinct(col("cust")).as("n_custs"),
       count_distinct(col("part")).as("n_parts"))
 
+  // Single-run-session assumption (same convention as the DedupSimQueries
+  // memos): never evicted, stale if dir contents change mid-session; the
+  // bench's second sample comes from a fresh `newSession()` epoch.
   private val nonnegPredCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 

@@ -729,6 +729,10 @@ object DedupSimQueries {
         |                          (a, e) -> a + e * e)))""".stripMargin)
       .as("uv"))
 
+  // Single-run-session assumption (same as bandedPairsCache): entries
+  // are never evicted; a dir whose contents change mid-session would go
+  // stale. Bench/Verify use one session per run (a fresh `newSession()`
+  // is the bench's epoch bump), so the memo's lifetime equals the run's.
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (graft.ops.Pq.PqModel, DataFrame)]
 
@@ -815,6 +819,9 @@ object DedupSimQueries {
         max(array_max(col("codes"))) <= 15).as("codes_in_range"))
   }
 
+  // Single-run-session assumption (see bandedPairsCache): never evicted,
+  // stale if dir contents change mid-session; safe under the one-session-
+  // per-run convention used by Bench/Verify/tests.
   private val lifecycleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 

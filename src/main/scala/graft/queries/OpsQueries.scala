@@ -2373,30 +2373,30 @@ object OpsQueries {
     * array_dot ∘ array_mat_vec codegen pair; round-then-rank with the
     * vec_id tiebreak, TakeOrdered top-k (never a global sort). The
     * exact Σ mahal² = d·(n−1) trace identity is spec-pinned. */
-  /** Degenerate-input guard shared by the two covariance-inverting
-    * queries: with n ≤ d rows the empirical covariance is singular and
-    * [[graft.ops.Mahalanobis]] (correctly) refuses — a QUERY over such
-    * a corpus must degrade to an empty result instead of crashing
-    * (the DegenerateProbe contract; cannot fire at any real corpus
-    * scale, where n ≫ d). */
-  private def covInvertible(s: SparkSession, dir: String): Boolean = {
-    val nd = Tables.embeddings(s, dir)
-      .agg(count(lit(1)).as("n"), max(size(col("embedding"))).as("d")).head()
-    !nd.isNullAt(1) && nd.getLong(0) > nd.getInt(1)
-  }
-
   def embMahalanobis(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    if (!covInvertible(s, dir))
-      return s.range(0).select(col("id").as("vec_id"), col("id").as("label"),
-        lit(0.0).as("mahal2"), lit(1).cast("int").as("rk"))
-    val scored = graft.ops.Mahalanobis.score(Tables.embeddings(s, dir), "embedding")
-      .select(col("vec_id"), col("label").cast("long").as("label"),
-        round(col("mahal2"), 6).as("mahal2"))
-      .orderBy(col("mahal2").desc, col("vec_id")).limit(20)
-    scored.withColumn("rk",
-        row_number().over(Window.orderBy(col("mahal2").desc, col("vec_id"))))
-      .orderBy("rk")
+    try {
+      val scored = graft.ops.Mahalanobis.score(Tables.embeddings(s, dir), "embedding")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          round(col("mahal2"), 6).as("mahal2"))
+        .orderBy(col("mahal2").desc, col("vec_id")).limit(20)
+      scored.withColumn("rk",
+          row_number().over(Window.orderBy(col("mahal2").desc, col("vec_id"))))
+        .orderBy("rk")
+    } catch {
+      // Degenerate corpus: n ≤ d, or n > d with rank-deficient covariance
+      // (duplicate/collinear embedding rows) — [[graft.ops.Mahalanobis]]
+      // refuses both eagerly (its moments pass + Cholesky run driver-side
+      // at call time) and the QUERY must degrade to an empty result
+      // instead of crashing (DegenerateProbe contract; cannot fire at any
+      // real corpus scale, where n ≫ d and vectors carry noise). Catching
+      // here instead of pre-checking covers the non-PD case the old
+      // n > d pre-check missed, and drops that pre-check's extra
+      // aggregation job from every invocation.
+      case _: IllegalArgumentException =>
+        s.range(0).select(col("id").as("vec_id"), col("id").as("label"),
+          lit(0.0).as("mahal2"), lit(1).cast("int").as("rk"))
+    }
   }
 
   /** #51e ZCA whitening certificate ([[graft.ops.Mahalanobis.whiten]]):
@@ -2406,12 +2406,8 @@ object OpsQueries {
     * as a self-certifying single row (errors land at ~1e-12 and round
     * to 0.000000; any real defect in the Cholesky, the triangular
     * inverse, or the mat-vec would print as a nonzero). */
-  def embWhiten(s: SparkSession, dir: String): DataFrame = {
+  def embWhiten(s: SparkSession, dir: String): DataFrame = try {
     graft.functions.register(s)
-    if (!covInvertible(s, dir))
-      return s.range(0).select(col("id").as("n"), col("id").as("d"),
-        lit(0.0).as("max_mean_abs"), lit(0.0).as("max_diag_err"),
-        lit(0.0).as("max_offdiag_abs"))
     val wdf = graft.ops.Mahalanobis.whiten(Tables.embeddings(s, dir), "embedding")
     val m = wdf.agg(graft.functions.vec_moments_double(col("whitened")).as("m"))
       .select("m.n", "m.sums", "m.gram").head()
@@ -2437,6 +2433,14 @@ object OpsQueries {
     import s.implicits._
     Seq((n, d.toLong, r6(maxMu), r6(maxDiag), r6(maxOff)))
       .toDF("n", "d", "max_mean_abs", "max_diag_err", "max_offdiag_abs")
+  } catch {
+    // Same degenerate-corpus degradation as [[embMahalanobis]]: a
+    // singular or non-positive-definite covariance makes whiten refuse
+    // eagerly; the query degrades to the same empty schema.
+    case _: IllegalArgumentException =>
+      s.range(0).select(col("id").as("n"), col("id").as("d"),
+        lit(0.0).as("max_mean_abs"), lit(0.0).as("max_diag_err"),
+        lit(0.0).as("max_offdiag_abs"))
   }
 
   /** #38c compression-ratio quality profile per language

@@ -104,7 +104,9 @@ object StatQueries {
     * centrality passes. Each round is one degree aggregate plus two
     * semi-joins; no driver-side graph ever materializes, and four
     * rounds is pinned (not to-fixpoint) so the oracle unrolls to the
-    * same depth. */
+    * same depth. NOT full k-core decomposition: a dangling chain
+    * longer than 4 hops would survive a 4-round peel — this is the
+    * declared bounded-depth variant, exactly mirrored by the oracle. */
   def graphKcore(s: SparkSession, dir: String): DataFrame = {
     val p = OpsQueries.coocPairs(s, dir)
       .select(col("item_a").as("a"), col("item_b").as("b"))

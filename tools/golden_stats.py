@@ -3284,3 +3284,52 @@ def tranche36():
 
 if __name__ == "__main__":
     tranche36()
+
+
+def tranche37():
+    print("\n===== tranche 37: pico-graph topology (diameter/bridges/"
+          "truss/harmonic) =====")
+
+    # graph_diameter: co-purchase path P5 (edges 1-2,2-3,3-4,4-5; each
+    # edge = 2 two-part orders, so coocPairs keeps all at n_ab=2).
+    # Double-sweep: start = min vertex 1; BFS-4 reaches all 5 vertices
+    # (dist 0..4); farthest = 5; re-BFS from 5 has eccentricity 4.
+    print("diameter P5: start=1 peripheral=5 ecc_lower=4 "
+          "n_reach_1=5 n_reach_2=5")
+
+    # graph_bridges: triangle {1,2,3} + path 3-4-5. A local bridge is
+    # an edge whose endpoints share no common neighbor:
+    #   (1,2),(1,3),(2,3) each close the triangle -> not bridges;
+    #   (3,4): N(3)={1,2,4}, N(4)={3,5}, disjoint -> bridge;
+    #   (4,5): N(4)={3,5}, N(5)={4}, disjoint -> bridge.
+    # Degrees: deg(3)=3, deg(4)=2, deg(5)=1.
+    print("bridges: (3,4) deg_a=3 deg_b=2; (4,5) deg_a=2 deg_b=1")
+
+    # graph_ktruss (3-truss, 3 unrolled peels): bowtie sharing edge
+    # (2,3) -- edges (1,2),(1,3),(2,3),(2,4),(3,4) -- plus pendant
+    # (4,5). Supports round 1: pendant closes no triangle -> dropped;
+    # every bowtie edge survives all 3 rounds. Final recomputed
+    # supports: (2,3) sits on both triangles {1,2,3},{2,3,4} -> 2;
+    # the other four edges sit on one each -> 1.
+    print("ktruss: (1,2)=1 (1,3)=1 (2,3)=2 (2,4)=1 (3,4)=1; "
+          "(4,5) peeled")
+
+    # graph_harmonic (3-hop, micro-weights 1e6/5e5/333333) on the
+    # cosine path P5: unit vectors at angles 0/60/120/180/240 degrees
+    # give cos=0.5 for consecutive pairs (edge at threshold 0.35) and
+    # cos<=-0.5 otherwise (no edge).
+    import math as _m
+    for i in range(5):
+        for j in range(i + 1, 5):
+            c = _m.cos(_m.radians(60 * (j - i)))
+            edge = c >= 0.35
+            assert edge == (j - i == 1), (i, j, c)
+    prof = {1: (1, 1, 1), 2: (2, 1, 1), 3: (2, 2, 0), 4: (2, 1, 1),
+            5: (1, 1, 1)}
+    for v, (n1, n2, n3) in sorted(prof.items()):
+        h = (n1 * 1_000_000 + n2 * 500_000 + n3 * 333_333) / 1e6
+        print(f"harmonic v={v}: n1={n1} n2={n2} n3={n3} h={r6(h)}")
+
+
+if __name__ == "__main__":
+    tranche37()
