@@ -66,6 +66,22 @@ object Bench {
     def runMats(s: SparkSession): Seq[(String, Either[String, Double])] = Seq(
       "_mat_cust_part_ratings" ->
         timed(queries.CmfQueries.custPartRatings(s, sfDir).count()),
+      // Round 16: the capped co-rating table shared by slope_one /
+      // cf_item_predict, and the threshold-independent LSH pair base
+      // shared by the 0.35/0.4 similarity-graph queries — timed
+      // explicitly so their cost stops landing on the alphabetically
+      // first consumer.
+      "_mat_corated" ->
+        timed(queries.CmfQueries.coratedCapped(s, sfDir).count()),
+      "_mat_banded_pairs" ->
+        timed(queries.DedupSimQueries.bandedCosinePairs(s, sfDir, 0.35).count()),
+      "_mat_ivf_index" ->
+        timed(queries.DedupSimQueries.embIvfIndex(s, sfDir).assigned.count()),
+      "_mat_search_lists" ->
+        timed {
+          queries.OpsQueries.rankedSearchList(s, sfDir, "bm25").count()
+          queries.OpsQueries.rankedSearchList(s, sfDir, "tfidf").count()
+        },
       "_mat_explicit_model" ->
         timed(queries.CmfQueries.explicitModel(s, sfDir)),
       "_mat_part_supp_pairs" ->

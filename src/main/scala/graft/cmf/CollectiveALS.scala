@@ -110,6 +110,14 @@ class CollectiveALS(entityNames: String*) extends Serializable {
   def fit(datasets: ((String, String), DataFrame)*): CollectiveALSModel = {
     require(datasets.nonEmpty, "at least one relation required")
     require(datasets.size <= 64, "at most 64 relations supported")
+    // Entity names must be validated BEFORE the pre-fit stats pass below
+    // touches the dataframes: an undeclared entity must fail fast as an
+    // IllegalArgumentException, not surface as an analysis error from a
+    // missing column.
+    datasets.foreach { case ((l, r), _) =>
+      require(cols.contains(l), s"Unknown entity: $l")
+      require(cols.contains(r), s"Unknown entity: $r")
+    }
     val spark = datasets.head._2.sparkSession
     // Block count for every fit-internal exchange (rating layouts, the
     // per-half-iteration join + normal-equation agg, factor init):
@@ -134,10 +142,25 @@ class CollectiveALS(entityNames: String*) extends Serializable {
     // threads touching the same session.
     CollectiveALS.fitLock(spark).synchronized {
       val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val fitShuffle = numPartitions.getOrElse {
-        val totalRows = datasets.iterator.map(_._2.count()).sum
-        math.max(1L, math.min(sessionShuffle.toLong, totalRows / 100000L + 1)).toInt
-      }
+      // ONE stats pass per relation serves both pre-fit obligations that
+      // used to be separate jobs: the row count behind the adaptive block
+      // sizing AND the checked id cast (a non-numeric id casts to null,
+      // which would silently merge all such rows into one normal
+      // equation — reference semantics: fail instead). Same error
+      // contract as before: ANSI-on surfaces the engine's
+      // CAST_INVALID_INPUT from inside the aggregate; ANSI-off trips the
+      // require as an IllegalArgumentException naming "numeric".
+      val totalRows = datasets.iterator.map { case ((l, r), df) =>
+        val st = df.agg(
+          count(lit(1)),
+          sum(when(col(l).cast("long").isNull || col(r).cast("long").isNull,
+            1L).otherwise(0L))).head()
+        require(st.isNullAt(1) || st.getLong(1) == 0L,
+          s"relation ($l, $r): entity ids must be numeric (cast to long produced null)")
+        st.getLong(0)
+      }.sum
+      val fitShuffle = numPartitions.getOrElse(
+        math.max(1L, math.min(sessionShuffle.toLong, totalRows / 100000L + 1)).toInt)
       spark.conf.set("spark.sql.shuffle.partitions", fitShuffle)
       try fitWith(spark, datasets)
       finally spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
@@ -169,14 +192,8 @@ class CollectiveALS(entityNames: String*) extends Serializable {
       // once per layout.
       val byLeft = layout(data, "leftId", li)
       val byRight = layout(byLeft, "rightId", ri)
-      // Checked cast (reference semantics): a non-numeric id column casts
-      // to null, which would silently merge all such rows into one
-      // normal equation instead of failing. Rides the cached layout.
-      val badIds = byLeft
-        .filter(col("leftId").isNull || col("rightId").isNull)
-        .limit(1).count()
-      require(badIds == 0,
-        s"relation ($l, $r): entity ids must be numeric (cast to long produced null)")
+      // Checked id cast happens in fit()'s single pre-fit stats pass
+      // (folded into the block-sizing count — one job, not two).
       Rel(idx, li, ri, byLeft, byRight)
     }.toSeq
 

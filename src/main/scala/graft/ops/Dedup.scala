@@ -227,6 +227,10 @@ object Dedup {
     val nn = n
     val rawPlan = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .filter(col("t").isNotNull) // null text would NPE in the JVM shingler
+      // Shingling is CPU-bound per row; a small corpus arrives as one
+      // parquet split, which would serialize the whole pass on one core.
+      // Spread rows cluster-wide first (cheap: pre-explode bytes).
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         shinglesJvm(t, nn).map(s => (id, Hashing.xxh64(s, 42L)))
@@ -410,6 +414,10 @@ object Dedup {
     val nn = n
     val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .filter(col("t").isNotNull) // null text would NPE in the JVM shingler
+      // Same single-split-scan discipline as cappedShingleIndex: the
+      // shingling + per-shingle minhash loop is the expensive part —
+      // distribute the rows before it, not after.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, String)]
     // The corpus is shingled exactly once (localCheckpoint): signatures
     // and the verification join both read these arrays.
@@ -482,6 +490,9 @@ object Dedup {
     val sigs = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .filter(col("t").isNotNull) // null text would NPE in the JVM shingler
+      // Single-split-scan discipline (see cappedShingleIndex): spread the
+      // CPU-bound shingle+fold pass cluster-wide before it runs.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
         // One per-partition primitive pass: JVM shingling + |shingles|×64
@@ -942,6 +953,25 @@ object Dedup {
       threshold: Double,
       planes: Int = 256,
       bands: Int = 32,
+      seed: Long = 7L): DataFrame =
+    embeddingCosineLshRaw(df, vecCol, idCol, threshold, planes, bands, seed)
+      .select(col(idCol + "_a"), col(idCol + "_b"),
+        round(col("cosine"), 6).as("cosine"))
+
+  /** [[embeddingCosineLsh]] with the verification cosine left UNROUNDED —
+    * the banding candidates do not depend on the threshold at all, so a
+    * caller needing the same (planes, bands, seed) pair source at several
+    * thresholds can materialize this once at the lowest threshold and
+    * derive each higher one by an exact raw-cosine filter (filtering the
+    * ROUNDED value instead would misclassify cosines within half an ulp
+    * of the 6-dp boundary). */
+  private[graft] def embeddingCosineLshRaw(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      planes: Int = 256,
+      bands: Int = 32,
       seed: Long = 7L): DataFrame = {
     require(planes % bands == 0, "planes must divide into bands")
     require(planes / bands <= 64, "at most 64 planes per band (packed key)")
@@ -1005,7 +1035,7 @@ object Dedup {
       .withColumn("cosine", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a").as(idCol + "_a"), col("id_b").as(idCol + "_b"),
-        round(col("cosine"), 6).as("cosine"))
+        col("cosine"))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold` — exact over

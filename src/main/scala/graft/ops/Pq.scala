@@ -114,7 +114,17 @@ object Pq {
       // below, which takes ≤ k distinct subvectors as the codebook.
       require(trainSet.limit(1).count() > 0,
         "PQ training set is empty — nothing to quantize")
-      val books = (0 until m).map { j =>
+      // The m subspace fits are independent jobs over tiny subvector
+      // tables; run them concurrently from driver threads so the next
+      // fit's tasks back-fill executors idled by the current fit's tail
+      // (each fit alone is scheduling-overhead-bound). Each fit is
+      // deterministic given (data, seed + j), so the codebooks are
+      // byte-identical to the sequential order.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 4))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val books = try Await.result(Future.sequence((0 until m).map { j => Future {
         val subArr = trainSet.select(
           slice(col("v"), lit(j * subDim + 1), lit(subDim)).as("av"))
         // MLlib's k-means aggregator indexes past the end when k is not
@@ -140,7 +150,8 @@ object Pq {
               "the subspace has too few distinct values; reduce k or train on more data")
           centers
         }
-      }.toArray
+      }}), Duration.Inf).toArray
+      finally pool.shutdown()
       new PqModel(m, k, subDim, books)
     } finally base.unpersist()
   }

@@ -250,16 +250,19 @@ object Sketches {
         lit(false).as("ib")).na.drop(Seq("k"))
       .unionAll(b.select(col(bCol).cast("long").as("k"), lit(false).as("ia"),
         lit(true).as("ib")).na.drop(Seq("k")))
+    // HLL sketches are duplicate-insensitive, so the estimates computed
+    // over the deduped (k, ia, ib) table are identical to raw-stream
+    // estimates — which lets the exact tallies and the HLL audit ride ONE
+    // aggregation pipeline instead of scanning both inputs twice.
     val exact = tagged
       .groupBy("k")
       .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
       .agg(count_if(col("ia")).as("n_a"), count_if(col("ib")).as("n_b"),
-        count_if(col("ia") && col("ib")).as("n_common"))
-    val est = tagged.agg(
-      approx_count_distinct(when(col("ia"), col("k")), rsd).as("e_a"),
-      approx_count_distinct(when(col("ib"), col("k")), rsd).as("e_b"),
-      approx_count_distinct(col("k"), rsd).as("e_u"))
-    exact.crossJoin(est)
+        count_if(col("ia") && col("ib")).as("n_common"),
+        approx_count_distinct(when(col("ia"), col("k")), rsd).as("e_a"),
+        approx_count_distinct(when(col("ib"), col("k")), rsd).as("e_b"),
+        approx_count_distinct(col("k"), rsd).as("e_u"))
+    exact
       .withColumn("est_ok",
         abs(col("e_a") + col("e_b") - col("e_u") - col("n_common")) <=
           greatest(ceil((col("n_a") + col("n_b")) * tol), lit(16L)))
@@ -289,6 +292,22 @@ object Sketches {
       .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
       .groupBy(col("r"), cmBucket(col("r"), col("item"), width).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[cmSketch]] over pre-aggregated (item, count) rows: each counter is
+    * Σ weights instead of a row count — bit-identical cells (integer
+    * sums), but the bucket hash is computed once per DISTINCT item
+    * rather than once per occurrence, so a Zipf-headed stream pays
+    * |vocab|·depth hashes, not |rows|·depth. */
+  def cmSketchWeighted(
+      df: DataFrame, itemCol: String, weightCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    df.select(col(itemCol).cast("string").as("item"),
+        col(weightCol).cast("long").as("w"))
+      .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
+      .groupBy(col("r"), cmBucket(col("r"), col("item"), width).as("bucket"))
+      .agg(sum("w").as("cnt"))
   }
 
   /** Point estimates from a [[cmSketch]]: min over the depth counters

@@ -612,7 +612,11 @@ object TextAnalysis {
       k: Int = 20,
       minCount: Long = 2L,
       iterations: Int = 5): DataFrame = {
-    val bg = df.select(
+    // Tokenize+explode is CPU-bound per row and the corpus often arrives
+    // as one parquet split — distribute the rows before the narrow scan.
+    val bg = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
         explode(graft.ops.LanguageModel.bigrams(col(textCol))).as("bg"))
       .select(col("bg.a").as("wa"), col("bg.b").as("wb"))
       .filter(col("wa") =!= col("wb"))

@@ -378,13 +378,19 @@ object CmfQueries {
           // and the oracle mirrors with epoch_us (same total order).
           max(unix_micros(col("o_orderdate").cast("timestamp"))).as("t"))
         .withColumn("tie", col("cust") * lit(10000000L) + col("part"))
+        // split() makes four passes over its input (count, quantile
+        // probe, bucket aggregate, rank checkpoint) — materialize the
+        // join+agg lineage once instead of re-executing it per pass.
+        .localCheckpoint(true)
       val Seq(train, test) =
         graft.ops.ChronoSplit.split(rated, Seq(0.8, 0.2), "t", "tie")
       val model = new CollectiveALS("cust", "part")
         .setRank(8).setMaxIter(5).setRegParam(0.1).setSeed(42L)
         .fit(train.select("cust", "part", "rating"))
 
-      val trainMean = train.agg(avg("rating")).head().getDouble(0)
+      // One pass for both train-side moments (was two separate jobs).
+      val tstats = train.agg(avg("rating"), stddev_pop("rating")).head()
+      val trainMean = tstats.getDouble(0)
       val pred = model.predict(test.select("cust", "part", "rating"))
         .localCheckpoint(true)
       val hold = pred.filter(!isnan(col("prediction")))
@@ -398,7 +404,7 @@ object CmfQueries {
         .localCheckpoint(true)
       val evTrain = RegressionEvaluation
         .evaluate(predTrain, "rating", "prediction").head()
-      val sdTrain = train.agg(stddev_pop("rating")).head().getDouble(0)
+      val sdTrain = tstats.getDouble(1)
       val ndcg = RankingEvaluation.evaluate(
           predTrain, predTrain.filter(col("rating") >= lit(trainMean)),
           "cust", "part", "prediction", Seq(10))
@@ -444,18 +450,30 @@ object CmfQueries {
         "cast((cust % 7) - 3 + (part % 5) - 2 + " +
           "((cust % 3) - 1) * ((part % 3) - 1) + qty / 25.0 as float)"))
       .withColumn("tie", col("cust") * lit(10000000L) + col("part"))
+      // Same discipline as fitQuality: split() re-reads its input four
+      // times — materialize the planted-rating lineage once.
+      .localCheckpoint(true)
     val Seq(train, test) =
       graft.ops.ChronoSplit.split(rated, Seq(0.8, 0.2), "t", "tie")
     val mu = train.agg(avg("rating")).head().getDouble(0)
+    // The bias tables are consumed twice each (residual build + holdout
+    // scoring) and are |custs| / |parts|-sized — checkpoint so the
+    // train-wide aggregations behind them run once, and the scoring join
+    // reads the same bias values the residuals were built from.
     val bu = train.groupBy("cust")
       .agg((sum(col("rating") - mu) / (count(lit(1)) + lit(10.0))).as("b_u"))
+      .localCheckpoint(true)
     val bi = train.join(bu, "cust").groupBy("part")
       .agg((sum(col("rating") - mu - col("b_u")) / (count(lit(1)) + lit(10.0)))
         .as("b_i"))
+      .localCheckpoint(true)
+    // fit() itself counts its input before laying it out — hand it a
+    // materialized residual table, not the three-way join pipeline.
     val resid = train.join(bu, "cust").join(bi, "part")
       .select(col("cust"), col("part"),
         (col("rating") - mu - col("b_u") - col("b_i"))
           .cast("float").as("rating"))
+      .localCheckpoint(true)
     val model = new CollectiveALS("cust", "part")
       .setRank(8).setMaxIter(5).setRegParam(0.1).setSeed(42L)
       .fit(resid)
@@ -490,23 +508,57 @@ object CmfQueries {
     * user-blocked with a 100-item hot-user cap (the user_overlap
     * discipline); the neighbor election is a per-item partitioned
     * window. */
+  // The two neighborhood recommenders (item-item CF, Slope One) score the
+  // same (customer, part, Σquantity) ratings under the same ≤100-ratings
+  // hot-user cap — one derivation + materialization serves both (timed as
+  // `_mat_corated` in the bench so neither consumer's entry absorbs it).
+  private val coratedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def coratedCapped(s: SparkSession, dir: String): DataFrame =
+    coratedCache.getOrElseUpdate((s, dir), {
+      val r = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        .agg(sum("l_quantity").cast("long").as("q"))
+      val deg = r.groupBy("u").agg(count(lit(1)).as("c"))
+      r.join(deg, "u").filter(col("c") <= 100).drop("c")
+        // Pin a cluster-wide user-hash layout BEFORE materializing: the
+        // table is tiny in bytes, so AQE would coalesce it to ~1
+        // partition — and both consumers' u-keyed self-joins (the
+        // ~|rc|·c̄-row pair enumerations, the CPU-heavy stage of either
+        // query) would then run as ONE task. The checkpointed
+        // hashpartitioning(u) is reused by the joins exchange-free.
+        .repartition(s.sparkContext.defaultParallelism, col("u"))
+        .localCheckpoint(true)
+    })
+
   def cfItemPredict(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val r = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
-      .agg(sum("l_quantity").cast("long").as("q"))
-    val deg = r.groupBy("u").agg(count(lit(1)).as("c"))
-    val rc = r.join(deg, "u").filter(col("c") <= 100).drop("c")
-      .localCheckpoint(true)
+    val rc = coratedCapped(s, dir)
     val n2 = rc.groupBy("i").agg(sum(col("q") * col("q")).as("s2"))
+    // Explicit u-hash repartitions on BOTH self-join inputs: the rating
+    // table is tiny in bytes, so AQE coalesces an ENSURE_REQUIREMENTS
+    // exchange to ~1 partition — and the pair-enumeration join PLUS its
+    // fused partial aggregation (the CPU-heavy stage: ~|rc|·c̄ rows
+    // through a multi-million-key hash map) would run as one task. AQE
+    // never coalesces a user repartition with an explicit count, and the
+    // join consumes the layout exchange-free, so the stage runs
+    // cluster-wide. Bytes-blind coalescing cannot see the 40× row
+    // explosion above this exchange.
+    val width = s.sparkContext.defaultParallelism
     val a = rc.select(col("u"), col("i"), col("q"))
+      .repartition(width, col("u"))
     val b = rc.select(col("u"), col("i").as("j"), col("q").as("qj"))
+      .repartition(width, col("u"))
     val dots = a.join(b, Seq("u")).filter(col("i") =!= col("j"))
       .groupBy("i", "j").agg(sum(col("q") * col("qj")).as("dot"))
+    // n2 is |items|-scale (tiny) but sits above a post-aggregate whose
+    // size estimate blocks auto-broadcast — without the hints both joins
+    // plan as sort-merge and SORT the multi-million-row dot table twice.
     val sims = dots
-      .join(n2.select(col("i"), col("s2").as("s2i")), "i")
-      .join(n2.select(col("i").as("j"), col("s2").as("s2j")), "j")
+      .join(broadcast(n2.select(col("i"), col("s2").as("s2i"))), "i")
+      .join(broadcast(n2.select(col("i").as("j"), col("s2").as("s2j"))), "j")
       .withColumn("sim_u",
         round(col("dot") / (sqrt(col("s2i")) * sqrt(col("s2j"))) * 1000000, 0)
           .cast("long"))
@@ -516,7 +568,11 @@ object CmfQueries {
         Window.partitionBy("i").orderBy(col("sim_u").desc, col("j"))))
       .filter(col("rn") <= 10)
       .select("i", "j", "sim_u")
-    val pred = rc.join(top, "i")
+    // top is ≤ 10·|items| rows (dim-scale) — broadcast it so the rating
+    // table is not shuffled by i just to pick up its neighbor list. The
+    // (u, j) join keeps the shuffle: its right side is ratings-scale and
+    // may not be broadcast at corpus scale.
+    val pred = rc.join(broadcast(top), "i")
       .join(rc.select(col("u"), col("i").as("j"), col("q").as("qn")),
         Seq("u", "j"))
       .groupBy("u", "i", "q")
@@ -545,27 +601,31 @@ object CmfQueries {
     * deviation table is |items|² at most, item-pair-keyed partial
     * aggregation throughout. */
   def slopeOne(s: SparkSession, dir: String): DataFrame = {
-    val r = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
-      .agg(sum("l_quantity").cast("long").as("q"))
-    val deg = r.groupBy("u").agg(count(lit(1)).as("c"))
-    val rc = r.join(deg, "u").filter(col("c") <= 100).drop("c")
-      .localCheckpoint(true)
-    // One pair enumeration serves both levels: the (u, i, j) co-rating
-    // pairs are materialized once (localCheckpoint) — the deviation
-    // table aggregates them and the prediction pass re-joins them, so
-    // the user-keyed self-join shuffle runs once, not twice.
+    import org.apache.spark.sql.expressions.Window
+    val rc = coratedCapped(s, dir)
+    // The (u, i, j) co-rating pair stream is consumed EXACTLY ONCE: the
+    // per-(i, j) deviation aggregates (dnum, cij) attach as window
+    // aggregates over the item-pair partition instead of a separate
+    // groupBy + re-join, so the ~|rc|·c̄ pair space crosses the wire once
+    // (one (i, j) exchange) rather than three times (agg exchange + join
+    // exchange + a 2× checkpoint write/read). Integer sums/counts are
+    // order-independent, so the attached values are bit-identical to the
+    // aggregated-then-joined form the oracle mirrors.
+    // Same explicit-width self-join discipline as cfItemPredict: without
+    // it the pair enumeration runs on the ~1 partition AQE coalesces the
+    // tiny rating table to.
+    val width = s.sparkContext.defaultParallelism
     val pairs = rc.select(col("u"), col("i"), col("q"))
-      .join(rc.select(col("u"), col("i").as("j"), col("q").as("quj")), Seq("u"))
+      .repartition(width, col("u"))
+      .join(rc.select(col("u"), col("i").as("j"), col("q").as("quj"))
+        .repartition(width, col("u")), Seq("u"))
       .filter(col("i") =!= col("j"))
-      .localCheckpoint(true)
-    val devs = pairs.groupBy("i", "j")
-      .agg(sum(col("q") - col("quj")).as("dnum"), count(lit(1)).as("cij"))
-    // Per-user co-rated (i, j) pairs join the deviation table directly
+    val wij = Window.partitionBy("i", "j")
+    // Per-user co-rated (i, j) pairs carry their deviation stats directly
     // (≤ cap² pairs per user) — never the recommend-all item grid.
     val pred = pairs
-      .join(devs, Seq("i", "j"))
+      .withColumn("dnum", sum(col("q") - col("quj")).over(wij))
+      .withColumn("cij", count(lit(1)).over(wij))
       .groupBy("u", "i", "q")
       .agg(sum(col("dnum") + col("quj") * col("cij")).as("num"),
         sum("cij").as("den"))

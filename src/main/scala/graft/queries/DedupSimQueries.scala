@@ -250,8 +250,8 @@ object DedupSimQueries {
     * everything downstream are untouched. */
   def graphPagerankKnn(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val topk = Similarity.ivfTopK(e, e, "vec_id", "embedding", k = 5,
-      nlist = 32, nprobe = 32)
+    val topk = embIvfIndex(s, dir)
+      .search(e, "vec_id", "embedding", k = 5, nprobe = 32)
     val fwd = topk.select(col("query_id").as("s"), col("neighbor_id").as("t"))
     // Symmetrize + dedup: mutual top-k pairs appear in both lists.
     val edges = fwd.unionAll(fwd.select(col("t").as("s"), col("s").as("t")))
@@ -553,9 +553,27 @@ object DedupSimQueries {
     * memo's lifetime equals the run's. Long-lived multi-corpus
     * sessions would need eviction before reusing this cache. */
   def bandedCosinePairs(s: SparkSession, dir: String, th: Double): DataFrame =
-    bandedPairsCache.getOrElseUpdate((s, dir, th),
-      Dedup.embeddingCosineLsh(Tables.embeddings(s, dir), "embedding",
-          "vec_id", th, planes = 256, bands = 64)
+    bandedPairsCache.getOrElseUpdate((s, dir, th), {
+      // The banding candidates are threshold-independent, so one LSH +
+      // verify pass at the lowest threshold in use serves every caller;
+      // each threshold is an exact filter on the UNROUNDED verification
+      // cosine (bit-identical to a direct pass at that threshold).
+      require(th >= bandedBaseThreshold,
+        s"bandedCosinePairs base is materialized at $bandedBaseThreshold; " +
+          s"got $th — lower bandedBaseThreshold to serve it")
+      bandedBase(s, dir).filter(col("cosine") >= th)
+        .select(col("vec_id_a"), col("vec_id_b"),
+          round(col("cosine"), 6).as("cosine"))
+        .localCheckpoint(true)
+    })
+
+  private val bandedBaseThreshold = 0.35
+  private val bandedBaseCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def bandedBase(s: SparkSession, dir: String): DataFrame =
+    bandedBaseCache.getOrElseUpdate((s, dir),
+      Dedup.embeddingCosineLshRaw(Tables.embeddings(s, dir), "embedding",
+          "vec_id", bandedBaseThreshold, planes = 256, bands = 64)
         .localCheckpoint(true))
 
   private val labelsCache =
@@ -643,6 +661,14 @@ object DedupSimQueries {
     ranked.join(prev, Seq(rk), "left").join(next, Seq(rk), "left")
       .select(col("doc_id"),
         concat_ws("\n\n", col("lag_text"), col("text"), col("lead_text")).as("text"))
+      // Every consumer of this corpus (per-position md5 k-gram scans,
+      // paragraph splits) is CPU-heavy per row while the corpus itself is
+      // a single parquet split — fan the rows out so the narrow scans run
+      // cluster-wide instead of on one core (scale-adaptive width), and
+      // materialize ONCE so the four span/paragraph consumers read the
+      // fanned-out corpus instead of re-deriving (and re-shuffling) it.
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
   }
 
   /** #19e paragraph-level exact dedup: first corpus-wide occurrence of
@@ -707,11 +733,25 @@ object DedupSimQueries {
     * SimilaritySpec. */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    Similarity.ivfTopK(
-      e.filter(pmod(col("vec_id"), lit(50)) === 0), e, "vec_id", "embedding", 5,
-      nlist = 32, nprobe = 32)
+    embIvfIndex(s, dir)
+      .search(e.filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", 5, nprobe = 32)
       .orderBy("query_id", "rank")
   }
+
+  // Build-once-search-many: the (nlist=32, seed=7) IVF index over the
+  // embeddings corpus is identical for `sim_ann_ivf` and
+  // `graph_pagerank_knn` — train the quantizer and cell-assign once
+  // (timed as `_mat_ivf_index` in the bench). Same build parameters as
+  // the previous per-query ivfTopK calls, so search outputs are
+  // unchanged.
+  private val ivfIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.ops.IvfIndex]
+
+  private[graft] def embIvfIndex(s: SparkSession, dir: String): graft.ops.IvfIndex =
+    ivfIdxCache.getOrElseUpdate((s, dir),
+      graft.ops.IvfIndex.build(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = 32, seed = 7L))
 
   /** Unit-normalized embeddings (inner product ranks like cosine). */
   private def unitEmbeddings(s: SparkSession, dir: String): DataFrame =

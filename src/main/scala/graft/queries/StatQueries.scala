@@ -22,7 +22,10 @@ object StatQueries {
     * broadcast joins against the (tiny) source-pair list — never a
     * full-outer self-join of the token table. */
   def sourceJsd(s: SparkSession, dir: String): DataFrame = {
+    // Tokenize+explode on a single-split corpus scan would run on one
+    // core — distribute the docs before the CPU-bound narrow stage.
     val lt = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
@@ -110,13 +113,22 @@ object StatQueries {
   def graphKcore(s: SparkSession, dir: String): DataFrame = {
     val p = OpsQueries.coocPairs(s, dir)
       .select(col("item_a").as("a"), col("item_b").as("b"))
+    // Each round references the previous round's edge set three times
+    // (degree aggregate + both semi-join probes); without per-round
+    // lineage truncation the final plan re-executes every earlier round's
+    // subtree per reference (ReusedExchange only partially contains the
+    // blow-up — measured 11.8 s → ~1 s at sf0.1). The peeled sets are
+    // tiny relative to the input, so the eager checkpoint is cheap at any
+    // scale; 4 rounds and the emitted values are unchanged.
     var sym = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
     for (_ <- 1 to 4) {
       val keep = sym.groupBy("a").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 2).select("a")
       sym = sym
         .join(keep, Seq("a"), "left_semi")
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
     }
     sym.groupBy(col("a").as("item"))
       .agg(count(lit(1)).as("deg"))
@@ -429,14 +441,20 @@ object StatQueries {
     * audited ratio to the exact Σf² shows the estimator's real error. */
   def sketchF2(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select("user_id")
-    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("f"))
-      .agg(sum(col("f") * col("f")).as("exact_f2"))
+    // One per-user frequency fold FIRST: S_i = Σ_rows sign_i(user) =
+    // Σ_users f_u·sign_i(u) exactly (integer arithmetic), so the 32
+    // md5 signs are computed once per DISTINCT user instead of once per
+    // event row (|events|×32 string md5s → |users|×32), and the md5 work
+    // runs after the groupBy exchange instead of fused onto the
+    // single-split scan. The same fold feeds the exact-F₂ audit.
+    val freq = ev.groupBy("user_id").agg(count(lit(1)).as("f"))
+    val exact = freq.agg(sum(col("f") * col("f")).as("exact_f2"))
     val est = s.range(32).select(col("id").as("i"))
-    val signs = ev.crossJoin(broadcast(est))
+    val signs = freq.crossJoin(broadcast(est))
       .withColumn("sign", expr(
         "1 - 2 * (cast(conv(substring(md5(concat(cast(user_id as string), '#', " +
           "cast(i as string))), 1, 15), 16, 10) as bigint) % 2)"))
-    val sums = signs.groupBy("i").agg(sum("sign").as("s"))
+    val sums = signs.groupBy("i").agg(sum(col("sign") * col("f")).as("s"))
       .withColumn("s2", col("s") * col("s"))
       .withColumn("grp", expr("i div 8"))
       .groupBy("grp").agg(sum("s2").as("gsum"))
@@ -1316,6 +1334,10 @@ object StatQueries {
     val b = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .distinct()
+      // Referenced by all five half-steps of the unrolled HITS chain —
+      // materialize the deduped edge list once instead of re-running the
+      // distinct per reference.
+      .localCheckpoint(true)
     val a1 = b.groupBy("item").agg(count(lit(1)).as("a"))
     val h1 = b.join(a1, "item").groupBy("basket").agg(sum("a").as("h"))
     val a2 = b.join(h1, "basket").groupBy("item").agg(sum("h").as("a"))
