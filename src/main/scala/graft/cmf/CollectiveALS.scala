@@ -150,26 +150,34 @@ class CollectiveALS(entityNames: String*) extends Serializable {
       // contract as before: ANSI-on surfaces the engine's
       // CAST_INVALID_INPUT from inside the aggregate; ANSI-off trips the
       // require as an IllegalArgumentException naming "numeric".
-      val totalRows = datasets.iterator.map { case ((l, r), df) =>
-        val st = df.agg(
-          count(lit(1)),
-          sum(when(col(l).cast("long").isNull || col(r).cast("long").isNull,
-            1L).otherwise(0L))).head()
-        require(st.isNullAt(1) || st.getLong(1) == 0L,
-          s"relation ($l, $r): entity ids must be numeric (cast to long produced null)")
-        st.getLong(0)
-      }.sum
-      val fitShuffle = numPartitions.getOrElse(
-        math.max(1L, math.min(sessionShuffle.toLong, totalRows / 100000L + 1)).toInt)
+      // When numPartitions is explicit the row count has no consumer —
+      // skip the full raw-input pass entirely and run the id audit as a
+      // cheap limit(1) probe on the CACHED layout inside fitWith (the
+      // layout materializes for the fit anyway), so numPartitions-set
+      // callers with expensive un-materialized inputs don't pay an extra
+      // full pipeline execution.
+      val fitShuffle = numPartitions.getOrElse {
+        val totalRows = datasets.iterator.map { case ((l, r), df) =>
+          val st = df.agg(
+            count(lit(1)),
+            sum(when(col(l).cast("long").isNull || col(r).cast("long").isNull,
+              1L).otherwise(0L))).head()
+          require(st.isNullAt(1) || st.getLong(1) == 0L,
+            s"relation ($l, $r): entity ids must be numeric (cast to long produced null)")
+          st.getLong(0)
+        }.sum
+        math.max(1L, math.min(sessionShuffle.toLong, totalRows / 100000L + 1)).toInt
+      }
       spark.conf.set("spark.sql.shuffle.partitions", fitShuffle)
-      try fitWith(spark, datasets)
+      try fitWith(spark, datasets, auditIds = numPartitions.isDefined)
       finally spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
     }
   }
 
   private def fitWith(
       spark: SparkSession,
-      datasets: Seq[((String, String), DataFrame)]): CollectiveALSModel = {
+      datasets: Seq[((String, String), DataFrame)],
+      auditIds: Boolean = false): CollectiveALSModel = {
     val ratingExpr = if (ratingCol.nonEmpty) col(ratingCol).cast("float") else lit(1.0f)
 
     // Pre-project and cache each relation in both hash layouts.
@@ -192,8 +200,18 @@ class CollectiveALS(entityNames: String*) extends Serializable {
       // once per layout.
       val byLeft = layout(data, "leftId", li)
       val byRight = layout(byLeft, "rightId", ri)
-      // Checked id cast happens in fit()'s single pre-fit stats pass
-      // (folded into the block-sizing count — one job, not two).
+      // Checked id cast: folded into fit()'s pre-fit stats pass when the
+      // block count is adaptive; with explicit numPartitions that pass is
+      // skipped, so audit here with a limit(1) probe on the cached layout
+      // (materializes the cache the fit needs anyway — no extra pipeline
+      // execution; same IllegalArgumentException("numeric") contract).
+      if (auditIds) {
+        val bad = byLeft
+          .filter(col("leftId").isNull || col("rightId").isNull)
+          .limit(1).count()
+        require(bad == 0L,
+          s"relation ($l, $r): entity ids must be numeric (cast to long produced null)")
+      }
       Rel(idx, li, ri, byLeft, byRight)
     }.toSeq
 

@@ -74,7 +74,7 @@ object Dedup {
       .filter(col("nid").isNotNull)
       .select(least(col("id"), col("nid")).as("id_a"),
         greatest(col("id"), col("nid")).as("id_b"))
-    pairs
+    val pruned = pairs
       .join(base.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
       .join(base.select(col("id").as("id_b"), col("t").as("tb")), "id_b")
       // Exactness-preserving prune: levenshtein ≥ |len a − len b|, so
@@ -83,15 +83,17 @@ object Dedup {
       // levenshtein (returns −1 above the bar) instead of the full
       // O(m·n) matrix — same accepted pairs and distances.
       .filter(abs(length(col("ta")) - length(col("tb"))) <= maxEdit)
-      // AQE coalesces this join output to ~1 partition (it is tiny in
-      // BYTES), which would serialize the CPU-bound edit-distance pass
-      // on one core; spread survivors across the session parallelism.
-      // The checkpoint is a REQUIRED barrier, not a cache nicety:
-      // without it Catalyst pushes the collapsed levenshtein filter
-      // back through the repartition exchange, evaluating it on the
-      // coalesced single partition (and re-projecting lev above). The
-      // materialized set is only the length-pruned candidates.
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // AQE coalesces this join output to ~1 partition (it is tiny in
+    // BYTES), which would serialize the CPU-bound edit-distance pass
+    // on one core; spread survivors across the session parallelism —
+    // gated on the corpus scan's width (fanOut) so a wide at-scale
+    // input is not capped to the core count. The checkpoint is a
+    // REQUIRED barrier, not a cache nicety: without it Catalyst pushes
+    // the collapsed levenshtein filter back through the repartition
+    // exchange, evaluating it on the coalesced single partition (and
+    // re-projecting lev above). The materialized set is only the
+    // length-pruned candidates.
+    graft.Tables.fanOut(pruned, df)
       .localCheckpoint(true)
       .withColumn("lev", levenshtein(col("ta"), col("tb"), maxEdit).cast("long"))
       .filter(col("lev") >= 0 && col("lev") <= maxEdit)
@@ -225,12 +227,13 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val nn = n
-    val rawPlan = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .filter(col("t").isNotNull) // null text would NPE in the JVM shingler
-      // Shingling is CPU-bound per row; a small corpus arrives as one
-      // parquet split, which would serialize the whole pass on one core.
-      // Spread rows cluster-wide first (cheap: pre-explode bytes).
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // Shingling is CPU-bound per row; a small corpus arrives as one
+    // parquet split, which would serialize the whole pass on one core.
+    // Spread rows cluster-wide first (cheap: pre-explode bytes) — a
+    // no-op when the scan already arrives wide (fanOut gate).
+    val rawPlan = graft.Tables.fanOut(
+        df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+          .filter(col("t").isNotNull)) // null text would NPE in the JVM shingler
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         shinglesJvm(t, nn).map(s => (id, Hashing.xxh64(s, 42L)))
@@ -412,12 +415,13 @@ object Dedup {
     val nh = numHashes
     val nb = bands
     val nn = n
-    val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .filter(col("t").isNotNull) // null text would NPE in the JVM shingler
-      // Same single-split-scan discipline as cappedShingleIndex: the
-      // shingling + per-shingle minhash loop is the expensive part —
-      // distribute the rows before it, not after.
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // Same single-split-scan discipline as cappedShingleIndex: the
+    // shingling + per-shingle minhash loop is the expensive part —
+    // distribute the rows before it, not after (fanOut: no-op on a
+    // wide at-scale scan).
+    val texts = graft.Tables.fanOut(
+        df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+          .filter(col("t").isNotNull)) // null text would NPE in the JVM shingler
       .as[(Long, String)]
     // The corpus is shingled exactly once (localCheckpoint): signatures
     // and the verification join both read these arrays.
@@ -487,12 +491,12 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val nn = n
-    val sigs = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .filter(col("t").isNotNull) // null text would NPE in the JVM shingler
-      // Single-split-scan discipline (see cappedShingleIndex): spread the
-      // CPU-bound shingle+fold pass cluster-wide before it runs.
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // Single-split-scan discipline (see cappedShingleIndex): spread the
+    // CPU-bound shingle+fold pass cluster-wide before it runs (fanOut:
+    // no-op on a wide at-scale scan).
+    val sigs = graft.Tables.fanOut(df
+        .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+        .filter(col("t").isNotNull)) // null text would NPE in the JVM shingler
       .as[(Long, String)]
       .mapPartitions { it =>
         // One per-partition primitive pass: JVM shingling + |shingles|×64

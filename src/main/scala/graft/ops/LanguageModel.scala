@@ -38,7 +38,9 @@ object LanguageModel {
     * `total` rides along as a constant column so scoring needs no
     * driver-side value. */
   def unigramTable(df: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
-    val counts = df
+    // Tokenize+explode is CPU-dense narrow work on a typically
+    // single-split corpus scan — spread first (fanOut: no-op wide).
+    val counts = graft.Tables.fanOut(df)
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n"))
@@ -71,7 +73,7 @@ object LanguageModel {
     * tiny aggregation over the count table itself (|vocab| rows, not
     * the corpus). */
   def bigramTable(df: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
-    val counts = df
+    val counts = graft.Tables.fanOut(df)
       .select(explode(bigrams(col(textCol))).as("bg"))
       .groupBy(col("bg.a").as("token_a"), col("bg.b").as("token_b"))
       .agg(count(lit(1)).as("n"))
@@ -102,7 +104,7 @@ object LanguageModel {
       backoff: Double = 0.4): DataFrame = {
     require(backoff > 0 && backoff <= 1, s"backoff must be in (0, 1], got $backoff")
     val floorRow = unigramLm.agg(log(lit(1.0) / max("total")).as("__floor"))
-    val docBi = df
+    val docBi = graft.Tables.fanOut(df)
       .select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
       .select(col(idCol), col("bg.a").as("token_a"), col("bg.b").as("token_b"))
     val scored = docBi
@@ -176,7 +178,7 @@ object LanguageModel {
     * semantics to disagree on across engines). Returns
     * (sym_a, sym_b, freq) sorted nowhere — consumers order. */
   def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
-    val words = df
+    val words = graft.Tables.fanOut(df)
       .select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("wfreq"))
@@ -204,7 +206,8 @@ object LanguageModel {
       lm: DataFrame): DataFrame = {
     // single-row broadcast constant join — the OOV floor, in-plan
     val floorRow = lm.agg(log(lit(1.0) / max("total")).as("__floor"))
-    val docToks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val docToks = graft.Tables.fanOut(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val scored = docToks
       .join(lm.select("token", "logp"), Seq("token"), "left")
       .crossJoin(broadcast(floorRow))

@@ -200,7 +200,10 @@ object Multimodal {
   def syntheticGifs(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"))
+    // Payload synthesis (a JDK encoder run per row) is CPU-bound narrow
+    // work fused onto what is typically a single-split id scan — spread
+    // it cluster-wide first (fanOut: no-op on a wide at-scale scan).
+    graft.Tables.fanOut(df.select(col(idCol).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions {
         _.map { id =>
@@ -217,7 +220,10 @@ object Multimodal {
   def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"))
+    // Payload synthesis (a JDK encoder run per row) is CPU-bound narrow
+    // work fused onto what is typically a single-split id scan — spread
+    // it cluster-wide first (fanOut: no-op on a wide at-scale scan).
+    graft.Tables.fanOut(df.select(col(idCol).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions {
         _.map { id =>
@@ -340,7 +346,10 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 22050, 44100)
-    df.select(col(idCol).cast("long").as("doc_id"))
+    // Payload synthesis (a JDK encoder run per row) is CPU-bound narrow
+    // work fused onto what is typically a single-split id scan — spread
+    // it cluster-wide first (fanOut: no-op on a wide at-scale scan).
+    graft.Tables.fanOut(df.select(col(idCol).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions {
         _.map { id =>
@@ -500,7 +509,10 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val scales = Array(600L, 1000L, 90000L)
-    df.select(col(idCol).cast("long").as("doc_id"))
+    // Payload synthesis (a JDK encoder run per row) is CPU-bound narrow
+    // work fused onto what is typically a single-split id scan — spread
+    // it cluster-wide first (fanOut: no-op on a wide at-scale scan).
+    graft.Tables.fanOut(df.select(col(idCol).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions {
         _.map { id =>
@@ -674,7 +686,10 @@ object Multimodal {
   def syntheticTiffs(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"))
+    // Payload synthesis (a JDK encoder run per row) is CPU-bound narrow
+    // work fused onto what is typically a single-split id scan — spread
+    // it cluster-wide first (fanOut: no-op on a wide at-scale scan).
+    graft.Tables.fanOut(df.select(col(idCol).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions {
         _.map { id =>
@@ -731,7 +746,10 @@ object Multimodal {
   def syntheticBmps(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"))
+    // Payload synthesis (a JDK encoder run per row) is CPU-bound narrow
+    // work fused onto what is typically a single-split id scan — spread
+    // it cluster-wide first (fanOut: no-op on a wide at-scale scan).
+    graft.Tables.fanOut(df.select(col(idCol).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions {
         _.map { id =>
@@ -811,7 +829,10 @@ object Multimodal {
   def syntheticWbmps(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"))
+    // Payload synthesis (a JDK encoder run per row) is CPU-bound narrow
+    // work fused onto what is typically a single-split id scan — spread
+    // it cluster-wide first (fanOut: no-op on a wide at-scale scan).
+    graft.Tables.fanOut(df.select(col(idCol).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions {
         _.map { id =>
@@ -905,7 +926,10 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val ppqs = Array(96, 192, 384, 480)
-    df.select(col(idCol).cast("long").as("doc_id"))
+    // Payload synthesis (a JDK encoder run per row) is CPU-bound narrow
+    // work fused onto what is typically a single-split id scan — spread
+    // it cluster-wide first (fanOut: no-op on a wide at-scale scan).
+    graft.Tables.fanOut(df.select(col(idCol).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions {
         _.map { id =>
@@ -1007,7 +1031,10 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 22050, 44100)
-    df.select(col(idCol).cast("long").as("doc_id"))
+    // Payload synthesis (a JDK encoder run per row) is CPU-bound narrow
+    // work fused onto what is typically a single-split id scan — spread
+    // it cluster-wide first (fanOut: no-op on a wide at-scale scan).
+    graft.Tables.fanOut(df.select(col(idCol).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions {
         _.map { id =>

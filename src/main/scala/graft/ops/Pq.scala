@@ -124,6 +124,10 @@ object Pq {
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 4))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      // Failure path: cancel the siblings (shutdownNow interrupts queued
+      // and running fits) so they stop racing the outer finally's
+      // base.unpersist(); the bounded timeout turns a wedged fit into a
+      // diagnosable TimeoutException instead of hanging fit() forever.
       val books = try Await.result(Future.sequence((0 until m).map { j => Future {
         val subArr = trainSet.select(
           slice(col("v"), lit(j * subDim + 1), lit(subDim)).as("av"))
@@ -150,7 +154,8 @@ object Pq {
               "the subspace has too few distinct values; reduce k or train on more data")
           centers
         }
-      }}), Duration.Inf).toArray
+      }}), Duration(30, java.util.concurrent.TimeUnit.MINUTES)).toArray
+      catch { case e: Throwable => pool.shutdownNow(); throw e }
       finally pool.shutdown()
       new PqModel(m, k, subDim, books)
     } finally base.unpersist()

@@ -39,7 +39,10 @@ object Sessionize {
       tieCol: String): DataFrame = {
     require(gapUs > 0, "gap must be positive")
     val w = Window.partitionBy(userCol).orderBy(col("__ts_us"), col(tieCol))
-    events
+    // Pin the window exchange to cluster width when the scan arrives as
+    // one split: AQE coalesces the tiny-byte exchange blind to the
+    // session-window CPU above it; a no-op on a wide at-scale input.
+    graft.Tables.fanOutBy(events, events, col(userCol))
       .withColumn("__ts_us", unix_micros(col(tsCol)))
       .withColumn("__new",
         when(coalesce(col("__ts_us") - lag("__ts_us", 1).over(w), lit(Long.MaxValue))

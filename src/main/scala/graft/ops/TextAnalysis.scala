@@ -61,7 +61,10 @@ object TextAnalysis {
               (0 until n).map(j => element_at(t, i + j)): _*))))
           .otherwise(array().cast("array<bigint>"))),
       1)
-    val base = df.select(col(idCol), grams(2).as("bg"), grams(3).as("tg"))
+    // CPU-dense gram construction on a typically single-split scan —
+    // spread first (fanOut: no-op on a wide at-scale input).
+    val base = graft.Tables.fanOut(df)
+      .select(col(idCol), grams(2).as("bg"), grams(3).as("tg"))
     val bi = base.select(col(idCol), explode(col("bg")).as("g"))
       .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
       .groupBy(idCol)
@@ -102,8 +105,11 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val nn = n
-    val sh = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .filter(col("t").isNotNull)
+    // JVM shingling is CPU-bound per row — single-split-scan discipline
+    // (see Dedup.cappedShingleIndex).
+    val sh = graft.Tables.fanOut(
+        df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+          .filter(col("t").isNotNull))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (i, t) =>
         graft.ops.Dedup.shinglesJvm(t, nn).map(s => (i, graft.ops.Hashing.xxh64(s, 42L)))
@@ -145,7 +151,9 @@ object TextAnalysis {
       idCol: String,
       maxDf: Int = 1000): DataFrame = {
     require(maxDf >= 1, "maxDf must be positive")
-    val toks = df.select(col(idCol).as("__doc"),
+    // Both passes re-run this tokenize+explode (see note above) — spread
+    // the typically single-split scan so each runs cluster-wide.
+    val toks = graft.Tables.fanOut(df).select(col(idCol).as("__doc"),
       explode(array_distinct(
         regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))))
         .as("token"))
@@ -297,8 +305,9 @@ object TextAnalysis {
     // null text → empty fingerprint, not a dropped row: this operator's
     // output IS the per-doc fingerprint, so every input id must survive
     // (consumers join it back to the corpus).
-    df.select(col(idCol).cast("long").as("id"),
-        coalesce(col(textCol), lit("")).as("t"))
+    graft.Tables.fanOut(
+        df.select(col(idCol).cast("long").as("id"),
+          coalesce(col(textCol), lit("")).as("t")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, winnow(t, kk, ww)) })
       .toDF(idCol, "fp_winnow")
@@ -323,7 +332,7 @@ object TextAnalysis {
       idCol: String,
       minPairCount: Long = 1L): DataFrame = {
     require(minPairCount >= 1, "minPairCount must be >= 1")
-    val dt = df
+    val dt = graft.Tables.fanOut(df)
       .select(col(idCol).as("doc_id"),
         explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
           .as("t"))
@@ -400,7 +409,7 @@ object TextAnalysis {
     val terms = query.map(_.toLowerCase).distinct
     val docId = coalesce(col(idCol).cast("long"),
       raise_error(lit("tfidfSearch: doc ids must be numeric and non-null")))
-    val tf = df
+    val tf = graft.Tables.fanOut(df)
       .select(docId.as("doc_id"),
         explode(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0)))
           .as("tok"))
@@ -443,7 +452,7 @@ object TextAnalysis {
     * join re-attaches empty docs without shuffling the corpus (ids
     * only). */
   def lexicalDiversity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val perType = df
+    val perType = graft.Tables.fanOut(df)
       .select(col(idCol),
         explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
           .as("tok"))
@@ -470,7 +479,7 @@ object TextAnalysis {
   /** Per-document token statistics. */
   def stats(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
-    df.select(
+    graft.Tables.fanOut(df).select(
       df.columns.toIndexedSeq.map(col) :+
         length(c).as("n_chars") :+
         wsTokenCount(c).as("n_ws_tokens") :+
@@ -481,7 +490,7 @@ object TextAnalysis {
   /** Per-document quality features + score. */
   def quality(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
-    df.select(
+    graft.Tables.fanOut(df).select(
       df.columns.toIndexedSeq.map(col) :+
         round(qualityScore(c), 6).as("quality_score"): _*)
   }
@@ -565,7 +574,7 @@ object TextAnalysis {
       mu: Double = 2000.0): DataFrame = {
     require(query.nonEmpty && k > 0, "need query terms and k > 0")
     val terms = query.map(_.toLowerCase).distinct
-    val toks = df
+    val toks = graft.Tables.fanOut(df)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0))).as("tok"))
       .select(col("doc_id"), lower(col("tok")).as("term"))
@@ -613,9 +622,9 @@ object TextAnalysis {
       minCount: Long = 2L,
       iterations: Int = 5): DataFrame = {
     // Tokenize+explode is CPU-bound per row and the corpus often arrives
-    // as one parquet split — distribute the rows before the narrow scan.
-    val bg = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // as one parquet split — distribute the rows before the narrow scan
+    // (fanOut: no-op on a wide at-scale scan).
+    val bg = graft.Tables.fanOut(df)
       .select(
         explode(graft.ops.LanguageModel.bigrams(col(textCol))).as("bg"))
       .select(col("bg.a").as("wa"), col("bg.b").as("wb"))
@@ -667,7 +676,7 @@ object TextAnalysis {
     // Expression-level (coalesce short-circuits), so no extra job.
     val docId = coalesce(col(idCol).cast("long"),
       raise_error(lit("bm25TopTerms: doc ids must be numeric and non-null")))
-    val toks = df
+    val toks = graft.Tables.fanOut(df)
       .select(docId.as("doc_id"),
         explode(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0))).as("tok"))
       .select(col("doc_id"), lower(col("tok")).as("term"))
@@ -710,7 +719,7 @@ object TextAnalysis {
       labelCol: String,
       k: Int = 5,
       minDf: Long = 5L): DataFrame = {
-    val toks = df
+    val toks = graft.Tables.fanOut(df)
       .select(col(idCol).as("doc_id"), col(labelCol).as("label"),
         explode(array_distinct(LanguageModel.tokens(col(textCol)))).as("tok"))
     // a: docs of this label containing tok; df_tok = a + c.

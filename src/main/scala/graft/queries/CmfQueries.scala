@@ -551,14 +551,30 @@ object CmfQueries {
       .repartition(width, col("u"))
     val b = rc.select(col("u"), col("i").as("j"), col("q").as("qj"))
       .repartition(width, col("u"))
-    val dots = a.join(b, Seq("u")).filter(col("i") =!= col("j"))
+    // The dot table is symmetric (dot(i,j) = dot(j,i): per-term integer
+    // products commute), so enumerate each unordered pair ONCE (i < j)
+    // and mirror the AGGREGATED table — the per-user pair explosion, the
+    // (i,j) exchange and the aggregation hash map all HALVE vs the old
+    // i ≠ j enumeration (§2.3 shuffle fewer bytes). The half table is
+    // checkpointed so the mirror union reads the materialized rows
+    // instead of re-running the enumeration.
+    val half = a.join(b, Seq("u")).filter(col("i") < col("j"))
       .groupBy("i", "j").agg(sum(col("q") * col("qj")).as("dot"))
-    // n2 is |items|-scale (tiny) but sits above a post-aggregate whose
-    // size estimate blocks auto-broadcast — without the hints both joins
-    // plan as sort-merge and SORT the multi-million-row dot table twice.
+      .localCheckpoint(true)
+    val dots = half.unionByName(
+      half.select(col("j").as("i"), col("i").as("j"), col("dot")))
+    // n2 is |items|-scale but sits above a post-aggregate whose size
+    // estimate blocks auto-broadcast — without hints both joins plan as
+    // sort-merge and SORT the multi-million-row dot table twice. The
+    // hint is row-count-gated (broadcastIfSmall): at a web-scale item
+    // universe the joins degrade to the old sort-merge instead of
+    // OOMing the driver; the checkpoint makes the gating count cheap.
+    val n2c = n2.localCheckpoint(true)
     val sims = dots
-      .join(broadcast(n2.select(col("i"), col("s2").as("s2i"))), "i")
-      .join(broadcast(n2.select(col("i").as("j"), col("s2").as("s2j"))), "j")
+      .join(Tables.broadcastIfSmall(
+        n2c.select(col("i"), col("s2").as("s2i"))), "i")
+      .join(Tables.broadcastIfSmall(
+        n2c.select(col("i").as("j"), col("s2").as("s2j"))), "j")
       .withColumn("sim_u",
         round(col("dot") / (sqrt(col("s2i")) * sqrt(col("s2j"))) * 1000000, 0)
           .cast("long"))
@@ -568,11 +584,12 @@ object CmfQueries {
         Window.partitionBy("i").orderBy(col("sim_u").desc, col("j"))))
       .filter(col("rn") <= 10)
       .select("i", "j", "sim_u")
-    // top is ≤ 10·|items| rows (dim-scale) — broadcast it so the rating
-    // table is not shuffled by i just to pick up its neighbor list. The
-    // (u, j) join keeps the shuffle: its right side is ratings-scale and
-    // may not be broadcast at corpus scale.
-    val pred = rc.join(broadcast(top), "i")
+      .localCheckpoint(true)
+    // top is ≤ 10·|items| rows (dim-scale) — broadcast it (same row-count
+    // gate) so the rating table is not shuffled by i just to pick up its
+    // neighbor list. The (u, j) join keeps the shuffle: its right side is
+    // ratings-scale and may not be broadcast at corpus scale.
+    val pred = rc.join(Tables.broadcastIfSmall(top), "i")
       .join(rc.select(col("u"), col("i").as("j"), col("q").as("qn")),
         Seq("u", "j"))
       .groupBy("u", "i", "q")

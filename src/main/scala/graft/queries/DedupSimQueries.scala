@@ -122,15 +122,16 @@ object DedupSimQueries {
     * the compared prefix or use the thresholded variant). */
   def pairEditDistance(s: SparkSession, dir: String): DataFrame = {
     val corpus = withMutations(s, dir)
-    ngramPairs(s, dir)
+    val cand = ngramPairs(s, dir)
       .join(corpus.select(col("doc_id").as("doc_id_a"), col("text").as("ta")),
         "doc_id_a")
       .join(corpus.select(col("doc_id").as("doc_id_b"), col("text").as("tb")),
         "doc_id_b")
-      // The candidate list is tiny in bytes, so AQE coalesces it to ~1
-      // partition — which would serialize the O(m·n) edit-distance pass
-      // on one core (same trap as sortedNeighborhood's verify).
-      .repartition(s.sparkContext.defaultParallelism)
+    // The candidate list is tiny in bytes, so AQE coalesces it to ~1
+    // partition — which would serialize the O(m·n) edit-distance pass
+    // on one core (same trap as sortedNeighborhood's verify). Gated on
+    // the corpus scan's width: at scale the joins already fan out.
+    Tables.fanOut(cand, corpus)
       .select(col("doc_id_a"), col("doc_id_b"),
         levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
       .orderBy("doc_id_a", "doc_id_b")
@@ -518,12 +519,29 @@ object DedupSimQueries {
     val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
     val idx = graft.ops.LshIndex.build(e, "vec_id", "embedding",
       planes = 512, bands = 64, materialize = false)
-    Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
-      .filter(col("cosine") >= 0.9)
+    mutTruthTop5(s, dir)
       .join(idx.candidates(q, "vec_id", "embedding"),
         Seq("query_id", "neighbor_id"), "left_semi")
       .orderBy("query_id", "rank")
   }
+
+  // The exact cosine ≥ 0.9 truth list over the planted-mutation corpus
+  // (brute-force top-5 for the 1-in-50 query set) is IDENTICAL for the
+  // three ANN containment audits (LSH, IVF-PQ, PQ) — computed and
+  // checkpointed once per (session, dir) instead of once per audit
+  // (§5 serve-many; same single-run-session assumption as pqCache).
+  private val mutTruthCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def mutTruthTop5(s: SparkSession, dir: String): DataFrame =
+    mutTruthCache.getOrElseUpdate((s, dir), {
+      val e = withVecMutations(s, dir)
+      Similarity.bruteForceTopK(
+          e.filter(pmod(col("vec_id"), lit(50)) === 0),
+          e, "vec_id", "embedding", 5)
+        .filter(col("cosine") >= 0.9)
+        .localCheckpoint(true)
+    })
 
   private val bandedPairsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Double), DataFrame]
@@ -555,13 +573,17 @@ object DedupSimQueries {
   def bandedCosinePairs(s: SparkSession, dir: String, th: Double): DataFrame =
     bandedPairsCache.getOrElseUpdate((s, dir, th), {
       // The banding candidates are threshold-independent, so one LSH +
-      // verify pass at the lowest threshold in use serves every caller;
-      // each threshold is an exact filter on the UNROUNDED verification
-      // cosine (bit-identical to a direct pass at that threshold).
-      require(th >= bandedBaseThreshold,
-        s"bandedCosinePairs base is materialized at $bandedBaseThreshold; " +
-          s"got $th — lower bandedBaseThreshold to serve it")
-      bandedBase(s, dir).filter(col("cosine") >= th)
+      // verify pass at the lowest declared threshold serves every caller
+      // at or above it; each threshold is an exact filter on the
+      // UNROUNDED verification cosine (bit-identical to a direct pass at
+      // that threshold). A caller BELOW the base runs its own direct
+      // pass instead of throwing (same pairs it would always have got) —
+      // the shared base is an optimization, not a contract floor.
+      val src =
+        if (th >= bandedBaseThreshold) bandedBase(s, dir)
+        else Dedup.embeddingCosineLshRaw(Tables.embeddings(s, dir),
+          "embedding", "vec_id", th, planes = 256, bands = 64)
+      src.filter(col("cosine") >= th)
         .select(col("vec_id_a"), col("vec_id_b"),
           round(col("cosine"), 6).as("cosine"))
         .localCheckpoint(true)
@@ -658,16 +680,18 @@ object DedupSimQueries {
       .localCheckpoint(true)
     val prev = ranked.select((col(rk) + 1).as(rk), col("text").as("lag_text"))
     val next = ranked.select((col(rk) - 1).as(rk), col("text").as("lead_text"))
-    ranked.join(prev, Seq(rk), "left").join(next, Seq(rk), "left")
+    val joined = ranked.join(prev, Seq(rk), "left").join(next, Seq(rk), "left")
       .select(col("doc_id"),
         concat_ws("\n\n", col("lag_text"), col("text"), col("lead_text")).as("text"))
-      // Every consumer of this corpus (per-position md5 k-gram scans,
-      // paragraph splits) is CPU-heavy per row while the corpus itself is
-      // a single parquet split — fan the rows out so the narrow scans run
-      // cluster-wide instead of on one core (scale-adaptive width), and
-      // materialize ONCE so the four span/paragraph consumers read the
-      // fanned-out corpus instead of re-deriving (and re-shuffling) it.
-      .repartition(s.sparkContext.defaultParallelism)
+    // Every consumer of this corpus (per-position md5 k-gram scans,
+    // paragraph splits) is CPU-heavy per row while the corpus itself is
+    // a single parquet split — fan the rows out so the narrow scans run
+    // cluster-wide instead of on one core (gated on the documents scan's
+    // width: a wide at-scale corpus is already fanned out by the rank
+    // joins and must not be capped to the core count), and materialize
+    // ONCE so the four span/paragraph consumers read the fanned-out
+    // corpus instead of re-deriving (and re-shuffling) it.
+    Tables.fanOut(joined, Tables.documents(s, dir))
       .localCheckpoint(true)
   }
 
@@ -820,8 +844,7 @@ object DedupSimQueries {
     val idx = ivfPqIndex(s, dir)
     val cand = idx.search(q, "vec_id", "embedding", topK = 100, nprobe = idx.nlist)
       .select(col("query_id"), col("id").as("neighbor_id"))
-    Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
-      .filter(col("cosine") >= 0.9)
+    mutTruthTop5(s, dir)
       .join(cand, Seq("query_id", "neighbor_id"), "left_semi")
       .orderBy("query_id", "rank")
   }
@@ -835,14 +858,11 @@ object DedupSimQueries {
     * exactness on a lossless grid is spec-asserted. */
   def simAnnPq(s: SparkSession, dir: String): DataFrame = {
     val (model, codes) = pqState(s, dir)
-    val e = withVecMutations(s, dir)
-    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
     val cand = graft.ops.Pq.searchAdc(
         unitMutations(s, dir).filter(pmod(col("vec_id"), lit(50)) === 0),
         "vec_id", "uv", codes, "vec_id", model, topK = 100)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
-      .filter(col("cosine") >= 0.9)
+    mutTruthTop5(s, dir)
       .join(cand, Seq("query_id", "neighbor_id"), "left_semi")
       .orderBy("query_id", "rank")
   }

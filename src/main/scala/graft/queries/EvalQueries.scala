@@ -94,10 +94,17 @@ object EvalQueries {
     val cellMean = train.groupBy("event_type", "hod")
       .agg(avg("value").as("cell_pred"))
     val globalMean = train.agg(avg("value").as("global_pred"))
+    // Checkpointed ONCE: withNtile's bucketed-rank machinery makes four
+    // passes over its input (count, approx-quantile probe, bucket-count
+    // collect, final window) — without the barrier each pass re-executed
+    // the full score pipeline (two scans of events + the calibration
+    // joins), 4× the work for identical rows (§5 multiply-consumed
+    // subtree).
     val scored = sided.filter(col("side") === 1)
       .join(cellMean, Seq("event_type", "hod"), "left")
       .crossJoin(broadcast(globalMean))
       .withColumn("prediction", coalesce(col("cell_pred"), col("global_pred")))
+      .localCheckpoint(true)
     // Exact ntile(10) via ChronoSplit.withNtile — the bucketed-rank
     // integer formula, identical to the oracle's ntile, with no
     // unpartitioned WindowExec over the scored rows (the prior global

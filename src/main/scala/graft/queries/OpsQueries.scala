@@ -221,7 +221,9 @@ object OpsQueries {
     // Materialized once: the gated corpus feeds both the contamination
     // shingle scan and the anti-join's left side, and the regex-heavy
     // feature scoring is the query's dominant cost.
-    val gated = docs
+    // The regex-heavy feature scoring is CPU-dense narrow work on the
+    // single-split scan — spread first (fanOut: no-op wide).
+    val gated = Tables.fanOut(docs)
       .withColumn("n_ws_tokens", TextAnalysis.wsTokenCount(col("text")))
       .withColumn("quality_score", round(TextAnalysis.qualityScore(col("text")), 6))
       .filter(col("n_ws_tokens") >= 30 && col("quality_score") >= 0.65)
@@ -502,14 +504,17 @@ object OpsQueries {
   /** #44 sliding-window chunking: 64-token windows, stride 48 (16-token
     * overlap) — the context-window prep step. */
   def chunkWindows(s: SparkSession, dir: String): DataFrame =
-    Chunking.slidingWindows(Tables.documents(s, dir), "text", "doc_id",
-        window = 64, stride = 48)
+    // Tokenize + window explode + slice/rejoin are CPU-dense narrow ops
+    // fused onto a single-split corpus scan — spread the docs first
+    // (fanOut: no-op on a wide at-scale scan).
+    Chunking.slidingWindows(Tables.fanOut(Tables.documents(s, dir)),
+        "text", "doc_id", window = 64, stride = 48)
       .orderBy("doc_id", "chunk_idx")
 
   /** #45 distribution-relative quality pruning: per-language middle 80%
     * by quality score (trim each language's bottom and top decile). */
   def qualityBand(s: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(s, dir)
+    val scored = Tables.fanOut(Tables.documents(s, dir))
       .withColumn("quality_score", round(TextAnalysis.qualityScore(col("text")), 6))
     Sampling.rankBand(scored, Seq(col("lang")),
         Seq(col("quality_score"), col("doc_id")),
@@ -746,8 +751,7 @@ object OpsQueries {
     * EXACTLY — and `never_under` certifies the one-sided CM guarantee
     * row by row. */
   def cmSketchTokens(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val toks = Tables.fanOut(Tables.documents(s, dir))
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
         .as("t"))
     // One token pass serves both the sketch and the exact audit: fold to
@@ -775,7 +779,7 @@ object OpsQueries {
     // the tokenize+zip explode runs cluster-wide (pre-explode bytes are
     // the cheap place to shuffle).
     TextAnalysis.skipGramPairs(
-        Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+        Tables.fanOut(Tables.documents(s, dir)),
         "text", window = 3, minCount = 5L)
       .orderBy("w", "c")
 
@@ -1851,7 +1855,9 @@ object OpsQueries {
     * deterministic, so the election is too). Timed as
     * `_mat_search_lists` in the bench. */
   private[graft] def rankedSearchList(
-      s: SparkSession, dir: String, kind: String): DataFrame =
+      s: SparkSession, dir: String, kind: String): DataFrame = {
+    // Fail a typo loudly instead of silently serving the tfidf ranking.
+    require(kind == "bm25" || kind == "tfidf", s"unknown ranking kind: $kind")
     searchListCache.getOrElseUpdate((s, dir, kind), {
       val docs = Tables.documents(s, dir)
       val q = Seq("vector", "key", "dup")
@@ -1860,6 +1866,7 @@ object OpsQueries {
         else TextAnalysis.tfidfSearch(docs, "text", "doc_id", q, 10)
       rankTopList(base, "rk").localCheckpoint(true)
     })
+  }
 
   def searchRrf(s: SparkSession, dir: String): DataFrame = {
     val bm = rankedSearchList(s, dir, "bm25").select(col("doc_id"), col("rk").as("rk_bm"))
@@ -1962,7 +1969,11 @@ object OpsQueries {
     * multi-`countDistinct` expand is the price of exactness; a 100-TB
     * profile would swap in HLL per column, the audited-sketch path). */
   def profileTable(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    // The multi-countDistinct aggregate expands every row ×|ProfileCols|
+    // before the partial aggregation — CPU-dense narrow work that would
+    // otherwise run on the single split the sf scans arrive as (fanOut:
+    // no-op on a wide at-scale scan). Aggregates are order-independent.
+    val li = Tables.fanOut(Tables.lineitem(s, dir))
     val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
       countDistinct(col(c)).as(s"${c}__nd"),
@@ -2194,10 +2205,14 @@ object OpsQueries {
     * statistic over the 100 means. */
   def evalBootstrap(s: SparkSession, dir: String): DataFrame = {
     val b = 100
-    val ev = Tables.events(s, dir)
-      .filter(col("value").isNotNull)
-      .select(col("event_type"), col("event_id"),
-        round(col("value") * 1000000L).cast("long").as("vmicro"))
+    // The ×100 resample explode plus the pmod/CASE chains and the fused
+    // partial aggregation are CPU-dense narrow work on a single-split
+    // events scan — spread the pre-explode rows first (fanOut: no-op on
+    // a wide at-scale scan; the aggregation is order-independent).
+    val ev = Tables.fanOut(Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 1000000L).cast("long").as("vmicro")))
       .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
       // uniform draw in [0, 1e6), keyed by (event_id, resample)
       .withColumn("u",
@@ -2629,13 +2644,19 @@ object OpsQueries {
       .groupBy("l_partkey", "wk").agg(sum("q").as("z"))
     val w0 = weekly.agg(min("wk").as("w0"))
     val wp = Window.partitionBy("l_partkey").orderBy("wk")
+    // t = max(rn) per part attaches as a full-partition window aggregate
+    // over the SAME per-part partitioning as the rn/iv windows — one
+    // WindowExec group, no extra exchange — instead of the former
+    // groupBy + self-join, which re-executed the whole window pipeline
+    // twice and shuffled it a third time (§5 multiply-consumed subtree,
+    // §2.4 share one exchange). max over ints is order-independent ⇒
+    // bit-identical weights.
     val pts = weekly.crossJoin(broadcast(w0))
       .withColumn("rn", row_number().over(wp).cast("long"))
       .withColumn("iv", coalesce(col("wk") - lag("wk", 1).over(wp),
         col("wk") - col("w0") + 1L))
-    val t = pts.groupBy(col("l_partkey").as("pk"))
-      .agg(max("rn").as("t"))
-    pts.join(t, col("l_partkey") === col("pk"))
+      .withColumn("t", max("rn").over(Window.partitionBy("l_partkey")))
+    pts
       .withColumn("w", when(col("rn") === 1, pow(lit(0.7), col("t") - 1))
         .otherwise(lit(0.3) * pow(lit(0.7), col("t") - col("rn"))))
       .groupBy("l_partkey")
@@ -3242,11 +3263,11 @@ object OpsQueries {
     * classic 206.835 − 1.015·(w/s) − 84.6·(syl/w) formula. The ranking
     * signal a curriculum or quality gate sorts on. */
   def docReadability(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      // One parquet file → one partition; the three regex passes are
-      // CPU-bound, so spread the scan before them (same bytes-vs-CPU
-      // sizing trap as the edit-distance verifies).
-      .repartition(s.sparkContext.defaultParallelism)
+    // One parquet file → one partition; the three regex passes are
+    // CPU-bound, so spread the scan before them (same bytes-vs-CPU
+    // sizing trap as the edit-distance verifies; fanOut: no-op on a
+    // wide at-scale scan).
+    Tables.fanOut(Tables.documents(s, dir))
       .withColumn("n_words",
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
       .withColumn("n_sents", greatest(lit(1L),

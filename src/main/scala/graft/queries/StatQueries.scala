@@ -23,9 +23,9 @@ object StatQueries {
     * full-outer self-join of the token table. */
   def sourceJsd(s: SparkSession, dir: String): DataFrame = {
     // Tokenize+explode on a single-split corpus scan would run on one
-    // core — distribute the docs before the CPU-bound narrow stage.
-    val lt = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    // core — distribute the docs before the CPU-bound narrow stage
+    // (fanOut: no-op on a wide at-scale scan).
+    val lt = Tables.fanOut(Tables.documents(s, dir))
       .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
@@ -1990,7 +1990,11 @@ object StatQueries {
   def markovAttribution(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts")))
     val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
-    val sess = ev
+    // Pin the session-window exchange to cluster width (see
+    // Tables.fanOutBy): all four per-(user[, session]) windows reuse the
+    // user-hash layout exchange-free, and the CPU-dense window pipeline
+    // stops running on the ~3 partitions AQE coalesces 3 MB to.
+    val sess = Tables.fanOutBy(ev, ev, col("user_id"))
       .withColumn("news",
         when(col("tsu") - lag("tsu", 1).over(w) > 1800000000L ||
           lag("tsu", 1).over(w).isNull, 1).otherwise(0))
@@ -1998,14 +2002,23 @@ object StatQueries {
         sum("news").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     val w2 = Window.partitionBy("user_id", "session_idx")
       .orderBy(col("tsu"), col("event_id"))
+    // pp (first purchase position; null when the session never converts
+    // — min ignores the nulls of the CASE, exactly the old left-join
+    // shape) and mx (session length) attach as full-partition window
+    // aggregates over the SAME (user, session) partitioning as the rn
+    // window — no extra exchange — instead of two groupBy+join passes
+    // that re-executed the whole sessionization pipeline three times
+    // (§5 multiply-consumed subtree). Integer min/max are order-
+    // independent ⇒ identical values. The pruned stream is checkpointed
+    // once: both transition consumers (e1, e2) read it.
+    val wSess = Window.partitionBy("user_id", "session_idx")
     val rn = sess.withColumn("rn", row_number().over(w2))
-    val pp = rn.filter(col("event_type") === "purchase")
-      .groupBy("user_id", "session_idx").agg(min("rn").as("pp"))
-    val mx = rn.groupBy("user_id", "session_idx").agg(max("rn").as("mx"))
+      .withColumn("pp",
+        min(when(col("event_type") === "purchase", col("rn"))).over(wSess))
+      .withColumn("mx", max("rn").over(wSess))
     val kept = rn
-      .join(pp, Seq("user_id", "session_idx"), "left")
-      .join(mx, Seq("user_id", "session_idx"))
       .filter(col("rn") <= coalesce(col("pp"), col("mx")))
+      .localCheckpoint(true)
     val w3 = Window.partitionBy("user_id", "session_idx").orderBy("rn")
     val stepped = kept.withColumn("prev", lag("event_type", 1).over(w3))
     val e1 = stepped.select(
@@ -2033,8 +2046,14 @@ object StatQueries {
       lit("__conv").as("st"), lit(1.0).as("v"))
     var v = conv
     for (i <- 1 to 12) {
+      // v is structurally ≤ |configs|·|states| rows (both bounded by the
+      // event-type vocabulary, not the corpus) — broadcast it so each of
+      // the 12 absorption steps is one broadcast join + one tiny
+      // aggregation; without the hint the post-checkpoint/post-aggregate
+      // size estimates let steps plan as sort-merge, paying two extra
+      // exchanges + sorts per step (§3.1).
       val step = ctrans
-        .join(v, col("cfg") === col("vcfg") && col("t") === col("st"))
+        .join(broadcast(v), col("cfg") === col("vcfg") && col("t") === col("st"))
         .groupBy(col("cfg").as("vcfg"), col("s").as("st"))
         .agg(sum(col("p") * col("v")).as("v"))
       v = step.unionAll(conv)
@@ -3791,11 +3810,22 @@ object StatQueries {
         col("id").as("pp_pico"), lit(0.0).as("ppr"))
     }
     val seed = seedRow.getLong(0)
+    // Degrees attach to the edge list ONCE, outside the walk, via a
+    // row-count-gated broadcast of the degree table (§3.1); inside the
+    // loop the mass vector joins the pre-degreed edges the same way —
+    // after a localCheckpoint its LogicalRDD size estimate is unknown,
+    // so without a hint each of the 5 iterations planned sort-merge
+    // joins that re-shuffled the edge list twice (§2.4). Both frames are
+    // checkpointed, so the gating counts are metadata-cheap; at a scale
+    // where they outgrow the broadcast limit the joins degrade to the
+    // old shuffled form instead of OOMing the driver. Per iteration
+    // exactly one exchange remains (the groupBy(tv) aggregation).
+    // Integer sums ⇒ bit-identical mass at every step.
+    val ed = e.join(graft.Tables.broadcastIfSmall(deg), "sv")
     var p = e.sparkSession.range(1)
       .select(lit(seed).as("v"), lit(1000000000000L).as("pp"))
     for (_ <- 1 to 5) {
-      val spread = e.join(p, col("sv") === col("v"))
-        .join(deg, "sv")
+      val spread = ed.join(graft.Tables.broadcastIfSmall(p), col("sv") === col("v"))
         .groupBy(col("tv"))
         .agg(sum(expr("cast(round(cast(pp as double)/d) as bigint)")).as("m"))
         .select(col("tv").as("v"),
