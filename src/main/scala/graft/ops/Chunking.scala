@@ -53,8 +53,12 @@ object Chunking {
     require(k > 0 && selPrefix.nonEmpty && selPrefix.matches("[0-9a-f]+"),
       "k > 0 and a lowercase-hex selPrefix required")
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
-      .filter(col("__t").isNotNull && length(col("__t")) > 0)
+    // The per-position md5 gate is CPU-dense narrow work (one hash per
+    // character position) fused onto a typically single-split corpus
+    // scan — spread the docs first (fanOut: no-op on a wide input).
+    val base = graft.Tables.fanOut(
+      df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+        .filter(col("__t").isNotNull && length(col("__t")) > 0))
     // Cut positions (p ≥ 2: a cut at 1 would open an empty chunk).
     // sequence(2, n) DESCENDS for n < 2 — the length guard is load-bearing.
     val cuts = base

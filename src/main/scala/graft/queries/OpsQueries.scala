@@ -636,8 +636,12 @@ object OpsQueries {
     * over the semi-joined survivors, so the answer is EXACTLY the tokens
     * with frequency ≥ ⌈φN⌉ and SQL-decidable. */
   def heavyHittersTokens(s: SparkSession, dir: String): DataFrame =
+    // Misra-Gries candidates are per-PARTITION state: a single-split scan
+    // would both serialize the tokenize and run one global MG pass —
+    // spread the docs first (fanOut: no-op wide; the candidate union is
+    // partition-count-insensitive because exact counts re-verify).
     Sketches.heavyHitters(
-        Tables.documents(s, dir)
+        Tables.fanOut(Tables.documents(s, dir))
           .select(explode(LanguageModel.tokens(col("text"))).as("token")),
         "token", phi = 0.02)
       .orderBy("item")
