@@ -38,10 +38,21 @@ object PageRank {
     val deg = e.groupBy("s").agg(count(lit(1)).as("d")).localCheckpoint(true)
     val n = deg.count().toDouble
     require(n > 0, "edge list is empty")
+    // Degrees attach to the edge list ONCE outside the walk, and the
+    // rank vector rides a row-count-gated broadcast per step (§3.1, same
+    // shape as graph_ppr): post-checkpoint size estimates are unknown,
+    // so each iteration otherwise plans sort-merge joins that re-shuffle
+    // the edge list twice; with the hints exactly one exchange (the
+    // groupBy(t) aggregation) remains per step. Both frames are
+    // checkpointed, so the gating counts are metadata-cheap, and at a
+    // scale past the broadcast limit the joins degrade to the old
+    // shuffled form. Rank values verified bit-identical to the old plan
+    // at sf0.1 on both pagerank queries (the per-key double sums land on
+    // the same values).
+    val ed = e.join(graft.Tables.broadcastIfSmall(deg), "s")
     var p = deg.select(col("s").as("v"), lit(1.0 / n).as("p"))
     for (_ <- 1 to iterations) {
-      p = e.join(p, col("s") === col("v"))
-        .join(deg, "s")
+      p = ed.join(graft.Tables.broadcastIfSmall(p), col("s") === col("v"))
         .groupBy(col("t"))
         .agg(sum(col("p") / col("d")).as("m"))
         .select(col("t").as("v"),
